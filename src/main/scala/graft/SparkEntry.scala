@@ -1,13 +1,342 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.tables.Tables
+import graft.timeseries.{Attribution, Currency, Infer, Merge, Resample}
+
+/** Driver contract (SURVEY.md §2.1 query inventory).
+  *
+  * Every entry in `queries` has a matching DuckDB oracle in `oracleSql`;
+  * output column NAMES and TYPES are pinned on both sides (explicit casts)
+  * because the driver hash-compares values after sorting columns by name.
+  * Every query ends in a total ORDER BY.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def hourly(t: DataFrame): DataFrame =
+    t.withColumn("bucket_ts", col("secs") - pmod(col("secs"), lit(3600L)))
+
+  /** M1 first-wins winner per (symbol, hour) — shared by qi_m1 and qi_h6. */
+  private def mergedHourly(t: DataFrame): DataFrame =
+    Merge.firstWins(hourly(t), Seq("symbol", "bucket_ts"), "priority", Seq("arrival"))
+
+  private val mergedHourlySql: String =
+    """tb AS (SELECT *, secs - secs % 3600 AS bucket_ts FROM ticks),
+      |w AS (SELECT *, row_number() OVER (PARTITION BY symbol, bucket_ts ORDER BY priority, arrival) AS rn FROM tb),
+      |m AS (SELECT * FROM w WHERE rn = 1)""".stripMargin
+
+  private def withTicks(body: String): String =
+    s"WITH ticks AS (${Tables.ticksSql}),\n$body"
+
+  // ---------------------------------------------------------------- flagship
+
+  /** Flagship §3.1 history pipeline on sf0.001: per-provider daily resample →
+    * priority merge → attribution join. Driver smoke-checks rows>0.
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val t = Tables.ticks(spark, "/root/testdata/sf0.001")
+    val byProv = Seq("prov_a", "prov_b").map { p =>
+      Resample.toDaily(t.filter(col("provider") === p))
+        .withColumn("provider", lit(p))
+    }
+    val tagged = byProv.zipWithIndex.map { case (df, i) => df.withColumn("priority", lit(i.toLong)) }
+    val merged = Merge.firstWins(tagged.reduce(_ unionByName _), Seq("symbol", "bucket_ts"), "priority")
+    val attribution = Attribution.spans(merged, Seq("symbol"), "bucket_ts")
+    merged.join(attribution,
+        merged("symbol") === attribution("symbol") &&
+        merged("bucket_ts").between(attribution("span_start"), attribution("span_end")),
+        "left_semi")
+      .orderBy("symbol", "bucket_ts")
+  }
+
+  // ---------------------------------------------------------------- queries
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // QI-TPCH sanity — decimal/timestamp semantics pin (TPC-H Q1 shape)
+    "q1_tpch_agg" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(col("l_quantity").cast(DecimalType(18, 2))).cast(DecimalType(38, 2)).as("sum_qty"),
+          sum((col("l_extendedprice").cast(DecimalType(18, 2)) *
+               (lit(1) - col("l_discount").cast(DecimalType(18, 2))))).cast(DecimalType(38, 4)).as("sum_revenue"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // QI-R2 daily OHLCV resample (R1+R2)
+    "qi_r2_daily" -> ((s, dir) => {
+      Resample.toDaily(Tables.ticks(s, dir))
+        .orderBy("symbol", "bucket_ts")
+    }),
+
+    // QI-R3 Monday-anchored weekly resample (R3)
+    "qi_r3_weekly" -> ((s, dir) => {
+      Resample.toWeekly(Tables.ticks(s, dir))
+        .orderBy("symbol", "bucket_ts")
+    }),
+
+    // QI-R5 5-minute resample (R5)
+    "qi_r5_minutes" -> ((s, dir) => {
+      Resample.toMinutes(Tables.ticks(s, dir), 5)
+        .orderBy("symbol", "bucket_ts")
+    }),
+
+    // QI-M1 priority merge, first-wins on (symbol, hour) (M1/M2)
+    "qi_m1_merge" -> ((s, dir) => {
+      mergedHourly(Tables.ticks(s, dir))
+        .select("symbol", "bucket_ts", "price", "volume", "provider", "arrival")
+        .orderBy("symbol", "bucket_ts")
+    }),
+
+    // QI-M3 action dedup with canonical (ts, kind-rank, payload) order (M3)
+    "qi_m3_actions" -> ((s, dir) => {
+      val acts = Tables.ticks(s, dir)
+        .filter(col("event_type").isin("click", "view", "purchase"))
+        .select(
+          (col("secs") - pmod(col("secs"), lit(86400L))).as("ts"),
+          when(col("event_type") === "click", "dividend")
+            .when(col("event_type") === "view", "split")
+            .otherwise("capital_gain").as("kind"),
+          (col("volume") % 10).as("amount"),
+          col("currency"))
+      Merge.dedupActions(acts)
+    }),
+
+    // QI-I1 step inference: unique mode else lower median (I1)
+    "qi_i1_step" -> ((s, dir) => {
+      Infer.estimateStepSeconds(Tables.ticks(s, dir))
+        .select(col("symbol"), col("step_seconds").cast(LongType).as("step_seconds"))
+        .orderBy("symbol")
+    }),
+
+    // QI-I2 subdaily flag (I2)
+    "qi_i2_subdaily" -> ((s, dir) => {
+      Infer.isSubdaily(Tables.ticks(s, dir)).orderBy("symbol")
+    }),
+
+    // QI-H6 provider attribution spans over the merged series (H6)
+    "qi_h6_attribution" -> ((s, dir) => {
+      Attribution.spans(mergedHourly(Tables.ticks(s, dir)), Seq("symbol"), "bucket_ts")
+    }),
+
+    // QI-S2 dedup-by-exchange-preference (S2): prov_b preferred
+    "qi_s2_dedup_pref" -> ((s, dir) => {
+      val t = Tables.ticks(s, dir)
+      val rank = when(col("provider") === "prov_b", 0).otherwise(1)
+      val wSym = Window.partitionBy("symbol")
+      val w = wSym.orderBy(rank, col("arrival"))
+      t.withColumn("rn", row_number().over(w))
+        .withColumn("first_seen", min(col("arrival")).over(wSym))
+        .filter(col("rn") === 1)
+        .select("symbol", "provider", "price", "arrival", "first_seen")
+        .orderBy("first_seen", "symbol")
+    }),
+
+    // QI-H4/F5 adjusted-flag algebra: bool_and + first-by-priority (H4, M1 flags)
+    "qi_h4_flags" -> ((s, dir) => {
+      Tables.ticks(s, dir)
+        .groupBy("symbol")
+        .agg(
+          bool_and(col("adjusted")).as("all_adjusted"),
+          min_by(col("provider"), col("priority") * 10000000000L + col("arrival")).as("first_provider"),
+          sum(when(col("adjusted"), 1L).otherwise(0L)).as("n_adjusted"))
+        .orderBy("symbol")
+    }),
+
+    // QI-C2 currency-uniformity diagnostic (C2/H5)
+    "qi_c2_currency" -> ((s, dir) => {
+      Currency.violations(Tables.ticks(s, dir), Seq("symbol"))
+    }),
+
+    // QI-ST8 monotonic timestamp gate, batch replay (ST8)
+    "qi_st8_gate" -> ((s, dir) => {
+      val w = Window.partitionBy("symbol").orderBy("arrival")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables.ticks(s, dir)
+        .withColumn("prev_max", max(col("secs")).over(w))
+        .filter(col("prev_max").isNull || col("secs") >= col("prev_max"))
+        .select("symbol", "arrival", "secs")
+        .orderBy("symbol", "arrival")
+    }),
+
+    // QI-Q2 info composition: multi-source left joins + COALESCE precedence (Q2)
+    "qi_q2_info_join" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+      val n = Tables.nation(s, dir)
+      val o = Tables.orders(s, dir)
+        .groupBy("o_custkey")
+        .agg(
+          count(lit(1)).as("order_cnt"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2))).cast(DecimalType(38, 2)).as("total_spent"))
+      c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"), "left")
+        .join(o, c("c_custkey") === o("o_custkey"), "left")
+        .select(
+          col("c_custkey"),
+          coalesce(col("n_name"), lit("UNKNOWN")).as("nation_name"),
+          coalesce(col("order_cnt"), lit(0L)).as("order_cnt"),
+          coalesce(col("total_spent"), lit(BigDecimal(0)).cast(DecimalType(38, 2))).as("total_spent"))
+        .orderBy("c_custkey")
+    }),
+
+    // QI-H8 bulk download summary: whole-range candle per symbol (H8)
+    "qi_h8_bulk" -> ((s, dir) => {
+      val t = Tables.ticks(s, dir)
+      t.groupBy("symbol")
+        .agg(
+          min_by(col("price"), col("ts")).as("open"),
+          max(col("price")).as("high"),
+          min(col("price")).as("low"),
+          max_by(col("price"), col("ts")).as("close"),
+          sum(col("volume")).as("volume"),
+          count(lit(1)).as("n_ticks"))
+        .orderBy("symbol")
+    }),
+
+    // QI-TOPK per-symbol top-3 by volume (S1 limit / generic top-k)
+    "qi_topk" -> ((s, dir) => {
+      val w = Window.partitionBy("symbol").orderBy(col("volume").desc, col("arrival"))
+      Tables.ticks(s, dir)
+        .withColumn("rank", row_number().over(w).cast(LongType))
+        .filter(col("rank") <= 3)
+        .select("symbol", "rank", "price", "volume", "arrival")
+        .orderBy("symbol", "rank")
+    })
+  )
+
+  // ---------------------------------------------------------------- oracles
+
+  def oracleSql: Map[String, String] = Map(
+    "q1_tpch_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS sum_revenue,
+        |  COUNT(*) AS count_order
+        |FROM lineitem GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+
+    "qi_r2_daily" -> withTicks(
+      """r AS (SELECT symbol, secs - secs % 86400 AS bucket_ts,
+        |  min_by(price, ts) AS open, max(price) AS high, min(price) AS low,
+        |  max_by(price, ts) AS close, CAST(sum(volume) AS BIGINT) AS volume
+        |FROM ticks GROUP BY 1,2)
+        |SELECT * FROM r ORDER BY symbol, bucket_ts""".stripMargin),
+
+    "qi_r3_weekly" -> withTicks(
+      """r AS (SELECT symbol,
+        |  ((secs // 86400) - ((secs // 86400 + 3) % 7)) * 86400 AS bucket_ts,
+        |  min_by(price, ts) AS open, max(price) AS high, min(price) AS low,
+        |  max_by(price, ts) AS close, CAST(sum(volume) AS BIGINT) AS volume
+        |FROM ticks GROUP BY 1,2)
+        |SELECT * FROM r ORDER BY symbol, bucket_ts""".stripMargin),
+
+    "qi_r5_minutes" -> withTicks(
+      """r AS (SELECT symbol, secs - secs % 300 AS bucket_ts,
+        |  min_by(price, ts) AS open, max(price) AS high, min(price) AS low,
+        |  max_by(price, ts) AS close, CAST(sum(volume) AS BIGINT) AS volume
+        |FROM ticks GROUP BY 1,2)
+        |SELECT * FROM r ORDER BY symbol, bucket_ts""".stripMargin),
+
+    "qi_m1_merge" -> withTicks(
+      mergedHourlySql +
+      """
+        |SELECT symbol, bucket_ts, price, volume, provider, arrival
+        |FROM m ORDER BY symbol, bucket_ts""".stripMargin),
+
+    "qi_m3_actions" -> withTicks(
+      """acts AS (SELECT secs - secs % 86400 AS ts,
+        |  CASE event_type WHEN 'click' THEN 'dividend' WHEN 'view' THEN 'split' ELSE 'capital_gain' END AS kind,
+        |  volume % 10 AS amount, currency
+        |FROM ticks WHERE event_type IN ('click','view','purchase'))
+        |SELECT DISTINCT ts, kind, amount, currency FROM acts
+        |ORDER BY ts, CASE kind WHEN 'dividend' THEN 0 WHEN 'split' THEN 1 ELSE 2 END, amount, currency""".stripMargin),
+
+    "qi_i1_step" -> withTicks(
+      """d AS (SELECT symbol, secs - lag(secs) OVER (PARTITION BY symbol ORDER BY secs, arrival) AS delta FROM ticks),
+        |p AS (SELECT symbol, delta FROM d WHERE delta > 0),
+        |c AS (SELECT symbol, delta, count(*) AS n FROM p GROUP BY 1,2),
+        |cm AS (SELECT symbol, delta, n, max(n) OVER (PARTITION BY symbol) AS mx FROM c),
+        |m AS (SELECT symbol, min(CASE WHEN n = mx THEN delta END) AS mode_delta,
+        |             sum(CASE WHEN n = mx THEN 1 ELSE 0 END) AS n_modes
+        |      FROM cm GROUP BY symbol),
+        |pm AS (SELECT symbol, delta, row_number() OVER (PARTITION BY symbol ORDER BY delta) AS rn,
+        |              count(*) OVER (PARTITION BY symbol) AS cnt FROM p),
+        |med AS (SELECT symbol, delta AS median_delta FROM pm WHERE rn = (cnt + 1) // 2)
+        |SELECT m.symbol, CAST(CASE WHEN n_modes = 1 THEN mode_delta ELSE median_delta END AS BIGINT) AS step_seconds
+        |FROM m LEFT JOIN med ON m.symbol = med.symbol
+        |ORDER BY m.symbol""".stripMargin),
+
+    "qi_i2_subdaily" -> withTicks(
+      """d AS (SELECT symbol, secs - lag(secs) OVER (PARTITION BY symbol ORDER BY secs, arrival) AS delta FROM ticks)
+        |SELECT symbol,
+        |  (sum(CASE WHEN delta < 86400 THEN 1 ELSE 0 END) >= 3
+        |   AND sum(CASE WHEN delta < 86400 THEN 1 ELSE 0 END) * 5 >= count(*) * 3) AS subdaily
+        |FROM d WHERE delta IS NOT NULL GROUP BY symbol ORDER BY symbol""".stripMargin),
+
+    "qi_h6_attribution" -> withTicks(
+      mergedHourlySql +
+      """,
+        |f AS (SELECT symbol, bucket_ts, provider,
+        |  CASE WHEN lag(provider) OVER (PARTITION BY symbol ORDER BY bucket_ts) IS DISTINCT FROM provider THEN 1 ELSE 0 END AS chg FROM m),
+        |s AS (SELECT *, sum(chg) OVER (PARTITION BY symbol ORDER BY bucket_ts ROWS UNBOUNDED PRECEDING) AS session FROM f)
+        |SELECT symbol, provider, min(bucket_ts) AS span_start, max(bucket_ts) AS span_end, count(*) AS n_points
+        |FROM s GROUP BY symbol, session, provider ORDER BY symbol, span_start""".stripMargin),
+
+    "qi_s2_dedup_pref" -> withTicks(
+      """w AS (SELECT symbol, provider, price, arrival,
+        |  row_number() OVER (PARTITION BY symbol ORDER BY (CASE provider WHEN 'prov_b' THEN 0 ELSE 1 END), arrival) AS rn,
+        |  min(arrival) OVER (PARTITION BY symbol) AS first_seen
+        |FROM ticks)
+        |SELECT symbol, provider, price, arrival, first_seen FROM w WHERE rn = 1
+        |ORDER BY first_seen, symbol""".stripMargin),
+
+    "qi_h4_flags" -> withTicks(
+      """r AS (SELECT symbol, bool_and(adjusted) AS all_adjusted,
+        |  min_by(provider, priority * 10000000000 + arrival) AS first_provider,
+        |  CAST(sum(CASE WHEN adjusted THEN 1 ELSE 0 END) AS BIGINT) AS n_adjusted
+        |FROM ticks GROUP BY symbol)
+        |SELECT * FROM r ORDER BY symbol""".stripMargin),
+
+    "qi_c2_currency" -> withTicks(
+      """r AS (SELECT symbol, CAST(count(DISTINCT currency) AS BIGINT) AS n_currencies
+        |FROM ticks GROUP BY symbol HAVING count(DISTINCT currency) > 1)
+        |SELECT * FROM r ORDER BY symbol""".stripMargin),
+
+    "qi_st8_gate" -> withTicks(
+      """g AS (SELECT symbol, arrival, secs,
+        |  max(secs) OVER (PARTITION BY symbol ORDER BY arrival ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+        |FROM ticks)
+        |SELECT symbol, arrival, secs FROM g WHERE prev_max IS NULL OR secs >= prev_max
+        |ORDER BY symbol, arrival""".stripMargin),
+
+    "qi_q2_info_join" ->
+      """WITH o AS (SELECT o_custkey, COUNT(*) AS order_cnt,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_spent
+        |FROM orders GROUP BY 1)
+        |SELECT c_custkey,
+        |  COALESCE(n_name, 'UNKNOWN') AS nation_name,
+        |  COALESCE(o.order_cnt, 0) AS order_cnt,
+        |  COALESCE(o.total_spent, CAST(0 AS DECIMAL(38,2))) AS total_spent
+        |FROM customer c
+        |LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |LEFT JOIN o ON c.c_custkey = o.o_custkey
+        |ORDER BY c_custkey""".stripMargin,
+
+    "qi_h8_bulk" -> withTicks(
+      """r AS (SELECT symbol,
+        |  min_by(price, ts) AS open, max(price) AS high, min(price) AS low,
+        |  max_by(price, ts) AS close, CAST(sum(volume) AS BIGINT) AS volume, count(*) AS n_ticks
+        |FROM ticks GROUP BY symbol)
+        |SELECT * FROM r ORDER BY symbol""".stripMargin),
+
+    "qi_topk" -> withTicks(
+      """w AS (SELECT symbol, price, volume, arrival,
+        |  row_number() OVER (PARTITION BY symbol ORDER BY volume DESC, arrival) AS rank
+        |FROM ticks)
+        |SELECT symbol, rank, price, volume, arrival FROM w WHERE rank <= 3
+        |ORDER BY symbol, rank""".stripMargin)
+  )
 }

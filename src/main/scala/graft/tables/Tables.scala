@@ -1,0 +1,86 @@
+package graft.tables
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Readers for the driver test tables (TESTDATA.md) plus the canonical
+  * `ticks` binding of FIXTURES.md §A that turns the `events` table into the
+  * market tick feed used by the SURVEY §2.1 oracle queries.
+  *
+  * All reads are plain parquet scans: Catalyst pushes filters/projections
+  * into the scan, so downstream operators must NOT pre-collect or cache here.
+  */
+object Tables {
+
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  def lineitem(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "lineitem")
+  def orders(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "orders")
+  def customer(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "customer")
+  def nation(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "nation")
+  def region(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "region")
+  def supplier(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "supplier")
+  def part(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "part")
+  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
+    * rejects; read it as nanosecond longs instead. All tick bucketing is
+    * integer epoch arithmetic anyway, and a long orders identically to the
+    * timestamp it encodes.
+    */
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table(spark, sfDir, "events")
+  }
+  def documents(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "documents")
+  def embeddings(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "embeddings")
+
+  /** Canonical tick-feed view (FIXTURES.md §A):
+    *
+    *   symbol   – instrument analog (user_id as string, 15 distinct)
+    *   ts       – event timestamp (UTC)
+    *   secs     – floor epoch seconds of ts (bigint; all bucketing derives from it)
+    *   price    – DECIMAL(18,6) so aggregation semantics are exact (no FP order
+    *              dependence across shuffle partitions — mandatory for the oracle
+    *              hash compare and for determinism at 100 TB)
+    *   volume   – deterministic integer volume (event_id % 1000)
+    *   provider – 2-provider split (prov_a / prov_b) for merge tests
+    *   priority – merge priority (prov_a=0 wins)
+    *   arrival  – pseudo-random but deterministic arrival order (for the
+    *              monotonic-gate replay and as a total tiebreaker)
+    *   adjusted – per-row adjusted flag analog
+    *   currency – USD except 'error' events → EUR (currency-invariant tests)
+    */
+  def ticks(spark: SparkSession, sfDir: String): DataFrame =
+    events(spark, sfDir).select(
+      col("user_id").cast(StringType).as("symbol"),
+      col("ts"), // nanosecond epoch long — ordering key
+      expr("ts DIV 1000000000").as("secs"),
+      col("value").cast(DecimalType(18, 6)).as("price"),
+      (col("event_id") % 1000).as("volume"),
+      when(col("event_id") % 2 === 0, "prov_a").otherwise("prov_b").as("provider"),
+      when(col("event_id") % 2 === 0, 0L).otherwise(1L).as("priority"),
+      ((col("event_id") * 48271L) % 1000000007L).as("arrival"),
+      (col("event_id") % 3 =!= 0).as("adjusted"),
+      when(col("event_type") === "error", "EUR").otherwise("USD").as("currency"),
+      col("event_type"),
+      col("event_id"))
+
+  /** Shared SQL prelude for the DuckDB oracle: the same `ticks` view in
+    * portable SQL. Every oracle query starts `WITH ticks AS (...)`.
+    */
+  val ticksSql: String =
+    """SELECT CAST(user_id AS VARCHAR) AS symbol,
+      |       ts,
+      |       epoch_ns(ts) // 1000000000 AS secs,
+      |       CAST(value AS DECIMAL(18,6)) AS price,
+      |       event_id % 1000 AS volume,
+      |       CASE WHEN event_id % 2 = 0 THEN 'prov_a' ELSE 'prov_b' END AS provider,
+      |       CAST(CASE WHEN event_id % 2 = 0 THEN 0 ELSE 1 END AS BIGINT) AS priority,
+      |       (event_id * 48271) % 1000000007 AS arrival,
+      |       event_id % 3 <> 0 AS adjusted,
+      |       CASE WHEN event_type = 'error' THEN 'EUR' ELSE 'USD' END AS currency,
+      |       event_type,
+      |       event_id
+      |FROM events""".stripMargin
+}
