@@ -55,7 +55,10 @@ object SparkEntry {
 
   // ---------------------------------------------------------------- queries
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] = coreQueries ++
+    graft.pipeline.PipelineQueries.queries
+
+  private def coreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // QI-TPCH sanity — decimal/timestamp semantics pin (TPC-H Q1 shape)
     "q1_tpch_agg" -> ((s, dir) => {
       Tables.lineitem(s, dir)
@@ -210,7 +213,10 @@ object SparkEntry {
 
   // ---------------------------------------------------------------- oracles
 
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = coreOracleSql ++
+    graft.pipeline.PipelineQueries.oracleSql
+
+  private def coreOracleSql: Map[String, String] = Map(
     "q1_tpch_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,

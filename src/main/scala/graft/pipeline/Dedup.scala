@@ -1,0 +1,149 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large-scale training-data pipelines.
+  *
+  * Scale design notes (the point of each algorithm at 100 TB):
+  *  - exact: one shuffle on a 128-bit content hash — never on the text
+  *    itself (hash keys are fixed-width → cheap sort/exchange).
+  *  - MinHash+LSH: signature is computed scan-side (narrow, codegen'd
+  *    higher-order functions, no UDF); only (band, bandHash) pairs shuffle.
+  *    Candidate generation is a self-equi-join on the band hash — the
+  *    classic shingle→minhash→band→bucket-join plan; no O(n²) stage.
+  *  - SimHash: 64 docs/sec/core scan-side fingerprint; near-dup = hamming
+  *    ball lookup (joins on rotated prefixes at scale).
+  *  - n-gram Jaccard: exact verification joins only within LSH buckets or
+  *    shingle-sharing pairs (the relational form below), never all-pairs.
+  */
+object Dedup {
+  import TextOps._
+
+  /** Exact dedup: keep the lowest doc_id per md5(text); emit a keep/drop map.
+    * (hash-groupBy — the only shuffle key is the 32-char hash)
+    */
+  def exactDedup(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val w = Window.partitionBy(col("h")).orderBy(col(idCol))
+    docs
+      .withColumn("h", md5(col(textCol)))
+      .withColumn("keep_id", first(col(idCol)).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .select(col(idCol), col("h"), col("keep_id"), (col(idCol) === col("keep_id")).as("is_keeper"))
+  }
+
+  /** Per-doc exploded distinct shingles with their 32-bit hash, computed
+    * ONCE per shingle (explode → hash; never re-evaluated inside nested
+    * higher-order functions — chained HOF columns get inlined by
+    * CollapseProject and re-evaluate their inputs combinatorially).
+    */
+  def shingleHashes(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs
+      .withColumn("toks", expr(toksS(textCol)))
+      .withColumn("shingles", expr(shinglesS))
+      .select(col(idCol), explode(col("shingles")).as("sh"))
+      .withColumn("h", expr(hashS("sh")))
+
+  /** MinHash signature as 32 aggregate columns over the exploded shingle
+    * hashes — one narrow shuffle keyed by doc id, partial-aggregated
+    * map-side (each aggregate is a min of an affine transform of `h`).
+    * Output: (id, sig array<long>). Empty-shingle docs are absent (they
+    * cannot be near-dups of anything).
+    */
+  def minhashSignature(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val aggs = seeds.zipWithIndex.map { case ((a, b), i) =>
+      min(expr(s"($a * h + $b) % $P")).as(s"m$i")
+    }
+    shingleHashes(docs, idCol, textCol)
+      .groupBy(idCol)
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col(idCol), array((0 until K).map(i => col(s"m$i")): _*).as("sig"))
+  }
+
+  /** LSH candidate pairs: docs sharing at least one band bucket (the band
+    * index is baked into the hash). Output (id1, id2), id1 < id2, distinct.
+    */
+  def minhashCandidates(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val bands = minhashSignature(docs, idCol, textCol)
+      .select(col(idCol), explode(expr(bandHashesS)).as("bh"))
+    bands.as("x")
+      .join(bands.as("y"), "bh")
+      .where(col(s"x.$idCol") < col(s"y.$idCol"))
+      .select(col(s"x.$idCol").as("id1"), col(s"y.$idCol").as("id2"))
+      .distinct()
+  }
+
+  /** Exact n-gram (3-token shingle) Jaccard for every pair of docs sharing
+    * at least one shingle — relational form: explode distinct shingles,
+    * self-join on the shingle, count intersections, join sizes.
+    * jaccard_ppm = |∩| * 1e6 / |∪| in exact integer arithmetic.
+    */
+  def ngramJaccardPairs(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val sh = docs
+      .withColumn("toks", expr(toksS(textCol)))
+      .withColumn("shingles", expr(shinglesS))
+      .select(col(idCol), explode(col("shingles")).as("sh"))
+    val sizes = sh.groupBy(idCol).agg(count(lit(1)).as("n_sh"))
+    val inter = sh.as("x").join(sh.as("y"), "sh")
+      .where(col(s"x.$idCol") < col(s"y.$idCol"))
+      .groupBy(col(s"x.$idCol").as("id1"), col(s"y.$idCol").as("id2"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.withColumnRenamed(idCol, "id1").withColumnRenamed("n_sh", "n1"), "id1")
+      .join(sizes.withColumnRenamed(idCol, "id2").withColumnRenamed("n_sh", "n2"), "id2")
+      .select(col("id1"), col("id2"),
+        expr("n_inter * 1000000 DIV (n1 + n2 - n_inter)").as("jaccard_ppm"))
+  }
+
+  /** MinHash near-dup verification: LSH candidates with exact shingle
+    * Jaccard attached, thresholded. The expensive exact verify runs ONLY
+    * on candidate pairs.
+    */
+  def minhashNearDups(
+      docs: DataFrame,
+      thresholdPpm: Long = 200000L,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    minhashCandidates(docs, idCol, textCol)
+      .join(ngramJaccardPairs(docs, idCol, textCol), Seq("id1", "id2"))
+      .where(col("jaccard_ppm") >= thresholdPpm)
+
+  /** Per-doc 32-bit SimHash. Relational form: explode tokens, hash each
+    * ONCE, aggregate 32 signed bit-sums per doc (one narrow shuffle,
+    * map-side partials), then assemble the fingerprint scan-side.
+    */
+  def simhash(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val tokenHashes = docs
+      .withColumn("toks", expr(toksS(textCol)))
+      .select(col(idCol), explode(col("toks")).as("t"))
+      .withColumn("h", expr(hashS("t")))
+    val bitSums = (0 until 32).map { b =>
+      sum(expr(s"CASE WHEN (shiftright(h, $b) & 1) = 1 THEN 1 ELSE -1 END")).as(s"w$b")
+    }
+    tokenHashes
+      .groupBy(idCol)
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col(idCol),
+        (0 until 32).map(b => when(col(s"w$b") > 0, lit(1L << b)).otherwise(0L))
+          .reduce(_ + _).as("simhash"))
+  }
+
+  /** SimHash near-dup pairs within hamming distance <= maxDist, blocked by
+    * 16-bit halves (a pair within distance 1 must agree on one half —
+    * pigeonhole): joins on half-key, never all-pairs.
+    */
+  def simhashNearDups(docs: DataFrame, maxDist: Int = 3, idCol: String = "doc_id"): DataFrame = {
+    val sh = simhash(docs, idCol)
+      .withColumn("lo", col("simhash") % 65536L)
+      .withColumn("hi", expr("simhash DIV 65536"))
+    def pairsOn(key: String) = sh.as("x").join(sh.as("y"), key)
+      .where(col(s"x.$idCol") < col(s"y.$idCol"))
+      .select(col(s"x.$idCol").as("id1"), col(s"y.$idCol").as("id2"),
+        col("x.simhash").as("sh1"), col("y.simhash").as("sh2"))
+    pairsOn("lo").unionByName(pairsOn("hi")).distinct()
+      .withColumn("dist", expr("bit_count(sh1 ^ sh2)"))
+      .where(col("dist") <= maxDist)
+      .select("id1", "id2", "dist")
+  }
+}

@@ -1,0 +1,213 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.tables.Tables
+
+/** Oracle-checked declared queries for the LLM-data-pipeline extensions.
+  * Each Spark query has a DuckDB twin generated from the same TextOps
+  * constants. Near-dup queries run on an augmented corpus with injected
+  * duplicates (docs ≡ 0 mod 10 duplicated, exact or first-token-dropped)
+  * so dedup paths produce non-trivial output on clean synthetic data.
+  */
+object PipelineQueries {
+  import TextOps._
+
+  /** documents + exact copies of every 10th doc (ids shifted by 1e6). */
+  private def exactAug(docs: DataFrame): DataFrame =
+    docs.select("doc_id", "text").unionByName(
+      docs.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+
+  /** documents + near-copies (first token dropped) of every 10th doc. */
+  private def nearAug(docs: DataFrame): DataFrame =
+    docs.select("doc_id", "text").unionByName(
+      docs.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          expr("substr(text, instr(text, ' ') + 1)").as("text")))
+
+  private val exactAugSql =
+    """aug AS (SELECT doc_id, text FROM documents
+      | UNION ALL SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0)""".stripMargin
+  private val nearAugSql =
+    """aug AS (SELECT doc_id, text FROM documents
+      | UNION ALL SELECT doc_id + 1000000, substr(text, strpos(text, ' ') + 1) FROM documents WHERE doc_id % 10 = 0)""".stripMargin
+
+  /** Shared DuckDB CTE chain: tokens → shingles → sizes/intersections → jaccard. */
+  private val jaccardSql =
+    s"""tk AS (SELECT doc_id, ${toksD("text")} AS toks FROM aug),
+       |sh AS (SELECT doc_id, $shinglesD AS shingles FROM tk),
+       |shx AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+       |sz AS (SELECT doc_id, count(*) AS n_sh FROM shx GROUP BY 1),
+       |itr AS (SELECT x.doc_id AS id1, y.doc_id AS id2, count(*) AS n_inter
+       |        FROM shx x JOIN shx y ON x.s = y.s AND x.doc_id < y.doc_id GROUP BY 1,2),
+       |jac AS (SELECT id1, id2, CAST(n_inter * 1000000 // (a.n_sh + b.n_sh - n_inter) AS BIGINT) AS jaccard_ppm
+       |        FROM itr JOIN sz a ON a.doc_id = itr.id1 JOIN sz b ON b.doc_id = itr.id2)""".stripMargin
+
+  private val cosineD =
+    """list_sum(list_transform(generate_series(1,64), i -> qv[i]::DOUBLE * nv[i]::DOUBLE))
+      | / (sqrt(list_sum(list_transform(generate_series(1,64), i -> qv[i]::DOUBLE * qv[i]::DOUBLE)))
+      |  * sqrt(list_sum(list_transform(generate_series(1,64), i -> nv[i]::DOUBLE * nv[i]::DOUBLE))))"""
+      .stripMargin.replace("\n", " ")
+
+  private def lshBucketD(vec: String): String = {
+    val bits = (0 until 4).map { j =>
+      val dot =
+        s"""list_sum(list_transform(generate_series(1,64),
+           | i -> $vec[i]::DOUBLE * ((($j*64 + (i-1))*2654435761 % 1000003)::DOUBLE/1000003.0 - 0.5)))"""
+          .stripMargin.replace("\n", " ")
+      s"CASE WHEN ($dot) > 0 THEN ${1L << j} ELSE 0 END"
+    }
+    bits.mkString("(", " + ", ")")
+  }
+
+  // ---------------------------------------------------------------- queries
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ext_dedup_exact" -> ((s, dir) => {
+      Dedup.exactDedup(exactAug(Tables.documents(s, dir))).orderBy("doc_id")
+    }),
+
+    "ext_dedup_minhash" -> ((s, dir) => {
+      Dedup.minhashNearDups(nearAug(Tables.documents(s, dir)), 200000L).orderBy("id1", "id2")
+    }),
+
+    "ext_dedup_ngram" -> ((s, dir) => {
+      Dedup.ngramJaccardPairs(nearAug(Tables.documents(s, dir)))
+        .orderBy(col("jaccard_ppm").desc, col("id1"), col("id2")).limit(20)
+    }),
+
+    "ext_dedup_simhash" -> ((s, dir) => {
+      Dedup.simhash(Tables.documents(s, dir)).orderBy("doc_id")
+    }),
+
+    "ext_knn_cosine" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.bruteForceKnn(emb, emb.filter(col("vec_id") < 10), 3).orderBy("query_id", "rank")
+    }),
+
+    "ext_knn_lsh" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.lshKnn(emb, emb.filter(col("vec_id") < 10), 3).orderBy("query_id", "rank")
+    }),
+
+    "ext_text_stats" -> ((s, dir) => {
+      TextAnalysis.tokenStats(Tables.documents(s, dir)).orderBy("doc_id")
+    }),
+
+    "ext_quality" -> ((s, dir) => {
+      TextAnalysis.qualityScore(Tables.documents(s, dir)).orderBy("doc_id")
+    }),
+
+    "ext_lang_id" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      TextAnalysis.langId(docs)
+        .join(docs.select("doc_id", "lang"), "doc_id")
+        .select(col("doc_id"), col("heur_lang"), col("lang"),
+          (col("heur_lang") === col("lang")).as("lang_match"))
+        .orderBy("doc_id")
+    }),
+
+    "ext_fingerprint" -> ((s, dir) => {
+      TextAnalysis.fingerprintStats(Tables.documents(s, dir)).orderBy("doc_id")
+    }),
+
+    "ext_multimodal" -> ((s, dir) => {
+      Multimodal.extractFeatures(Multimodal.asMediaTable(Tables.documents(s, dir)))
+        .select("media_id", "kind", "n_bytes", "checksum")
+        .orderBy("media_id")
+    })
+  )
+
+  // ---------------------------------------------------------------- oracles
+
+  def oracleSql: Map[String, String] = Map(
+    "ext_dedup_exact" ->
+      s"""WITH $exactAugSql
+         |SELECT doc_id, md5(text) AS h,
+         |  min(doc_id) OVER (PARTITION BY md5(text)) AS keep_id,
+         |  doc_id = min(doc_id) OVER (PARTITION BY md5(text)) AS is_keeper
+         |FROM aug ORDER BY doc_id""".stripMargin,
+
+    "ext_dedup_minhash" ->
+      s"""WITH $nearAugSql,
+         |$jaccardSql,
+         |sg AS (SELECT doc_id, $minhashSigD AS sig FROM sh),
+         |bh AS (SELECT doc_id, unnest($bandHashesD) AS bhash FROM sg),
+         |cand AS (SELECT DISTINCT x.doc_id AS id1, y.doc_id AS id2
+         |         FROM bh x JOIN bh y ON x.bhash = y.bhash AND x.doc_id < y.doc_id)
+         |SELECT c.id1, c.id2, j.jaccard_ppm
+         |FROM cand c JOIN jac j ON j.id1 = c.id1 AND j.id2 = c.id2
+         |WHERE j.jaccard_ppm >= 200000
+         |ORDER BY c.id1, c.id2""".stripMargin,
+
+    "ext_dedup_ngram" ->
+      s"""WITH $nearAugSql,
+         |$jaccardSql
+         |SELECT id1, id2, jaccard_ppm FROM jac
+         |ORDER BY jaccard_ppm DESC, id1, id2 LIMIT 20""".stripMargin,
+
+    "ext_dedup_simhash" ->
+      s"""WITH tk AS (SELECT doc_id, ${toksD("text")} AS toks FROM documents)
+         |SELECT doc_id, CAST($simhashD AS BIGINT) AS simhash FROM tk ORDER BY doc_id""".stripMargin,
+
+    "ext_knn_cosine" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+         |c AS (SELECT vec_id AS neighbor_id, embedding AS nv FROM embeddings),
+         |s AS (SELECT query_id, neighbor_id, $cosineD AS sim
+         |      FROM c, q WHERE neighbor_id <> query_id),
+         |w AS (SELECT query_id, neighbor_id,
+         |        row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank FROM s)
+         |SELECT query_id, rank, neighbor_id FROM w WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+
+    "ext_knn_lsh" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv, ${lshBucketD("embedding")} AS bucket
+         |           FROM embeddings WHERE vec_id < 10),
+         |c AS (SELECT vec_id AS neighbor_id, embedding AS nv, ${lshBucketD("embedding")} AS bucket
+         |      FROM embeddings),
+         |s AS (SELECT query_id, neighbor_id, $cosineD AS sim
+         |      FROM c JOIN q USING (bucket) WHERE neighbor_id <> query_id),
+         |w AS (SELECT query_id, neighbor_id,
+         |        row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank FROM s)
+         |SELECT query_id, rank, neighbor_id FROM w WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+
+    "ext_text_stats" ->
+      s"""WITH tk AS (SELECT doc_id, text, ${toksD("text")} AS toks FROM documents)
+         |SELECT doc_id, CAST(len(text) AS BIGINT) AS n_chars, CAST(len(toks) AS BIGINT) AS n_tokens,
+         |  CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+         |  CAST(list_sum(list_transform(toks, t -> len(t))) * 1000000 // greatest(len(toks), 1) AS BIGINT) AS avg_token_len_ppm,
+         |  CAST(len(list_distinct(toks)) * 1000000 // greatest(len(toks), 1) AS BIGINT) AS distinct_ppm
+         |FROM tk ORDER BY doc_id""".stripMargin,
+
+    "ext_quality" ->
+      s"""WITH tk AS (SELECT doc_id, ${toksD("text")} AS toks FROM documents),
+         |st AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+         |         CAST(len(list_distinct(toks)) * 1000000 // greatest(len(toks), 1) AS BIGINT) AS distinct_ppm
+         |       FROM tk)
+         |SELECT doc_id, CAST(least(least(n_tokens, 100) * 5000 + distinct_ppm // 2, 1000000) AS BIGINT) AS quality_ppm
+         |FROM st ORDER BY doc_id""".stripMargin,
+
+    "ext_lang_id" ->
+      s"""WITH tk AS (SELECT doc_id, lang, ${toksD("text")} AS toks FROM documents),
+         |sc AS (SELECT doc_id, lang,
+         |  ${langMarkers.map(_._1).map(l => s"CAST(${langScoreD(l)} AS BIGINT) AS s_$l").mkString(", ")}
+         |  FROM tk)
+         |SELECT doc_id, heur_lang, lang, heur_lang = lang AS lang_match
+         |FROM (SELECT doc_id, lang, $heurLangD AS heur_lang FROM sc)
+         |ORDER BY doc_id""".stripMargin,
+
+    "ext_fingerprint" ->
+      s"""WITH fp AS (SELECT doc_id, $fingerprintsD AS fps FROM documents)
+         |SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fp,
+         |  CASE WHEN len(fps) > 0 THEN list_min(fps) END AS min_fp,
+         |  CASE WHEN len(fps) > 0 THEN list_max(fps) END AS max_fp,
+         |  COALESCE(CAST(list_sum(fps) AS BIGINT), 0) AS sum_fp
+         |FROM fp ORDER BY doc_id""".stripMargin,
+
+    "ext_multimodal" ->
+      """SELECT doc_id AS media_id, 'image' AS kind,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, md5(text) AS checksum
+        |FROM documents ORDER BY media_id""".stripMargin
+  )
+}

@@ -1,0 +1,93 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate/exact nearest-neighbor search over an embedding column
+  * (`Array[Float]`).
+  *
+  * Scale design:
+  *  - Brute force: broadcast the (small) query set against the (huge)
+  *    corpus — one scan, no shuffle of the corpus; per-partition top-k via
+  *    window. This is the correctness baseline.
+  *  - LSH (random hyperplanes): bucket assignment is scan-side integer
+  *    arithmetic; the join is bucket-equi, so the corpus never crosses the
+  *    network except for matching buckets. At 1000 executors the bucket id
+  *    doubles as the shuffle/partition key.
+  *  All dot products run in double via fold-left (deterministic order —
+  *  no FP-reassociation nondeterminism across partitions).
+  */
+object Similarity {
+
+  /** cosine(a, b) in double, sequential fold (index order). */
+  def cosine(a: String, b: String): String =
+    s"""aggregate(zip_with($a, $b, (x, y) -> cast(x as double) * cast(y as double)),
+       | cast(0 as double), (acc, v) -> acc + v)
+       | / (sqrt(aggregate($a, cast(0 as double), (a2, v2) -> a2 + cast(v2 as double) * cast(v2 as double)))
+       |  * sqrt(aggregate($b, cast(0 as double), (a3, v3) -> a3 + cast(v3 as double) * cast(v3 as double))))"""
+      .stripMargin.replace("\n", " ")
+
+  /** Exact brute-force top-k cosine neighbors for each query vector.
+    * `queries` should be small (broadcast); ties broken by neighbor id.
+    */
+  def bruteForceKnn(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")))
+    val scored = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("nv"))
+      .crossJoin(q)
+      .where(col("neighbor_id") =!= col("query_id"))
+      .withColumn("sim", expr(cosine("qv", "nv")))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id")
+  }
+
+  /** Random-hyperplane LSH bucket id (nBits bits). Hyperplane j component i
+    * is a deterministic pseudo-random value in [-0.5, 0.5):
+    * ((j*dim+i)*2654435761 mod 1000003)/1000003 - 0.5.
+    */
+  def lshBucketExpr(vecCol: String, dim: Int, nBits: Int): String = {
+    val bits = (0 until nBits).map { j =>
+      val dot =
+        s"""aggregate(zip_with($vecCol, transform(sequence(0,${dim - 1}),
+           | i -> cast(($j*$dim + i)*2654435761 % 1000003 as double)/1000003.0 - 0.5),
+           | (x, y) -> cast(x as double) * y), cast(0 as double), (acc, v) -> acc + v)""".stripMargin.replace("\n", " ")
+      s"CASE WHEN ($dot) > 0 THEN ${1L << j}L ELSE 0L END"
+    }
+    bits.mkString("(", " + ", ")")
+  }
+
+  /** ANN: top-k within the query's LSH bucket only (plus guaranteed
+    * fallback to fewer results when the bucket is small — the standard
+    * recall/latency trade).
+    */
+  def lshKnn(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      dim: Int = 64,
+      nBits: Int = 4,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val bucket = lshBucketExpr(vecCol, dim, nBits)
+    val cb = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("nv"))
+      .withColumn("bucket", expr(bucket.replace(vecCol, "nv")))
+    val qb = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("bucket", expr(bucket.replace(vecCol, "qv"))))
+    val scored = cb.join(qb, "bucket")
+      .where(col("neighbor_id") =!= col("query_id"))
+      .withColumn("sim", expr(cosine("qv", "nv")))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id")
+  }
+}

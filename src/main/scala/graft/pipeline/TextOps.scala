@@ -1,0 +1,149 @@
+package graft.pipeline
+
+/** Shared constants + paired expression fragments for the LLM-data-pipeline
+  * operators (SURVEY §7 step 8). Every operator here exists twice: as a Spark
+  * expression (dialect S) and as DuckDB oracle SQL (dialect D), both generated
+  * from the SAME Scala constants so the two can never drift.
+  *
+  * Portable primitives:
+  *  - token hash: first 8 hex chars of md5 → bigint (identical in both engines)
+  *  - all arithmetic integer (no FP in any comparison-relevant output)
+  *  - tokenization: split on single space, drop empties
+  */
+object TextOps {
+
+  /** Mersenne prime 2^31-1 — modulus for all affine hash families. */
+  val P = 2147483647L
+
+  /** MinHash: K hash functions grouped into BANDS bands of ROWS rows. */
+  val K = 32
+  val BANDS = 8
+  val ROWS = 4
+
+  /** Deterministic affine seeds (a_i ∈ [1,P-1], b_i ∈ [0,P-1]). */
+  val seeds: Seq[(Long, Long)] = (0 until K).map { i =>
+    (((i * 2654435761L + 1013904223L) % (P - 1)) + 1, (i * 1103515245L + 12345L) % P)
+  }
+
+  // ------------------------------------------------------------ primitives
+
+  /** 32-bit token hash from md5 prefix. */
+  def hashS(tok: String) = s"cast(conv(substr(md5($tok),1,8),16,10) as bigint)"
+  def hashD(tok: String) = s"('0x'||substr(md5($tok),1,8))::BIGINT"
+
+  /** Tokens: split on space, drop empties. */
+  def toksS(text: String) = s"filter(split($text,' '), t0 -> length(t0) > 0)"
+  def toksD(text: String) = s"list_filter(string_split($text,' '), t0 -> len(t0) > 0)"
+
+  /** Distinct 3-token shingles over a tokens array column named `toks`. */
+  val shinglesS: String =
+    """array_distinct(CASE WHEN size(toks) >= 3 THEN
+      |  transform(sequence(1, size(toks)-2),
+      |    i -> concat_ws(' ', element_at(toks,i), element_at(toks,i+1), element_at(toks,i+2)))
+      |ELSE array() END)""".stripMargin.replace("\n", " ")
+  val shinglesD: String =
+    """list_distinct(CASE WHEN len(toks) >= 3 THEN
+      |  list_transform(generate_series(1, len(toks)-2),
+      |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+      |ELSE [] END)""".stripMargin.replace("\n", " ")
+
+  // ------------------------------------------------------------ minhash
+
+  private def seedArrayS = seeds.map { case (a, b) => s"array(${a}L,${b}L)" }.mkString("array(", ",", ")")
+  private def seedArrayD = seeds.map { case (a, b) => s"[$a,$b]" }.mkString("[", ",", "]")
+
+  /** MinHash signature (array of K bigints) over a `shingles` column.
+    * Empty shingle set → all-P sentinel signature (so empty docs never
+    * collide with real content by accident of a NULL).
+    */
+  val minhashSigS: String =
+    s"""CASE WHEN size(shingles) = 0 THEN transform(sequence(1,$K), i -> ${P}L)
+       |ELSE transform($seedArrayS,
+       |  sd -> array_min(transform(shingles,
+       |    t1 -> (element_at(sd,1) * ${hashS("t1")} + element_at(sd,2)) % ${P}L)))
+       |END""".stripMargin.replace("\n", " ")
+  val minhashSigD: String =
+    s"""CASE WHEN len(shingles) = 0 THEN list_transform(generate_series(1,$K), i -> $P)
+       |ELSE list_transform($seedArrayD,
+       |  sd -> list_min(list_transform(shingles,
+       |    t1 -> (sd[1] * ${hashD("t1")} + sd[2]) % $P)))
+       |END""".stripMargin.replace("\n", " ")
+
+  /** LSH band hashes: array of BANDS md5 strings over signature slices.
+    * The band index is baked into the hashed string so buckets from
+    * different bands can never collide and a join on the hash alone is
+    * correct.
+    */
+  val bandHashesS: String =
+    s"""transform(sequence(1,$BANDS), bj -> md5(concat(cast(bj as string), ':', concat_ws(',',
+       |  transform(sequence(0,${ROWS - 1}), o -> cast(element_at(sig, (bj-1)*$ROWS + 1 + o) as string))))))"""
+      .stripMargin.replace("\n", " ")
+  val bandHashesD: String =
+    s"""list_transform(generate_series(1,$BANDS), bj -> md5(bj::VARCHAR || ':' || array_to_string(
+       |  list_transform(generate_series(0,${ROWS - 1}), o -> sig[(bj-1)*$ROWS + 1 + o]::VARCHAR), ',')))"""
+      .stripMargin.replace("\n", " ")
+
+  // ------------------------------------------------------------ simhash
+
+  /** 32-bit SimHash over the (multiset of) tokens in `toks`. */
+  val simhashS: String =
+    s"""aggregate(transform(sequence(0,31), bi ->
+       |  CASE WHEN aggregate(toks, 0L, (acc, t2) ->
+       |    acc + CASE WHEN (shiftright(${hashS("t2")}, bi) & 1) = 1 THEN 1 ELSE -1 END) > 0
+       |  THEN shiftleft(1L, bi) ELSE 0L END), 0L, (acc2, v2) -> acc2 + v2)""".stripMargin.replace("\n", " ")
+  val simhashD: String =
+    s"""list_sum(list_transform(generate_series(0,31), bi ->
+       |  CASE WHEN list_sum(list_transform(toks, t2 ->
+       |    CASE WHEN ((${hashD("t2")} >> bi) & 1) = 1 THEN 1 ELSE -1 END)) > 0
+       |  THEN (1::BIGINT << bi) ELSE 0 END))""".stripMargin.replace("\n", " ")
+
+  // ------------------------------------------------------------ fingerprint
+
+  /** Winnowing fingerprints: character 8-gram hashes, sliding window of 4,
+    * keep window minima (standard winnowing, cf. Schleimer et al. 2003).
+    * Defined over a `text` string column; yields an array of distinct
+    * fingerprint hashes (empty if text shorter than 11 chars).
+    */
+  val fingerprintsS: String =
+    s"""CASE WHEN length(text) >= 11 THEN array_distinct(
+       |  transform(sequence(1, length(text)-10),
+       |    j -> array_min(transform(sequence(0,3),
+       |      o -> ${hashS("substring(text, j + o, 8)")}))))
+       |ELSE array() END""".stripMargin.replace("\n", " ")
+  val fingerprintsD: String =
+    s"""CASE WHEN len(text) >= 11 THEN list_distinct(
+       |  list_transform(generate_series(1, len(text)-10),
+       |    j -> list_min(list_transform(generate_series(0,3),
+       |      o -> ${hashD("substr(text, j + o, 8)")}))))
+       |ELSE [] END""".stripMargin.replace("\n", " ")
+
+  // ------------------------------------------------------------ lang-id
+
+  /** Marker-token sets for the n-gram/stopword language heuristic. */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to"),
+    "es" -> Seq("el", "la", "de", "y", "que"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "fr" -> Seq("le", "la", "et", "les", "des"))
+
+  private def inSetS(tok: String, set: Seq[String]) =
+    s"CASE WHEN $tok IN (${set.map(s => s"'$s'").mkString(",")}) THEN 1 ELSE 0 END"
+
+  def langScoreS(lang: String): String = {
+    val set = langMarkers.find(_._1 == lang).get._2
+    s"aggregate(toks, 0L, (acc3, t3) -> acc3 + ${inSetS("t3", set)})"
+  }
+  def langScoreD(lang: String): String = {
+    val set = langMarkers.find(_._1 == lang).get._2
+    s"list_sum(list_transform(toks, t3 -> ${inSetS("t3", set)}))"
+  }
+
+  /** argmax with fixed precedence en>es>de>fr, fallback 'und' when 0. */
+  val heurLangS: String = {
+    val cmp = langMarkers.map(_._1).map(l => s"s_$l").toList
+    s"""CASE WHEN greatest(${cmp.mkString(",")}) = 0 THEN 'und'
+       |${langMarkers.map(_._1).map(l => s"WHEN s_$l = greatest(${cmp.mkString(",")}) THEN '$l'").mkString(" ")}
+       |END""".stripMargin.replace("\n", " ")
+  }
+  val heurLangD: String = heurLangS // same SQL shape works in DuckDB
+}
