@@ -1,0 +1,71 @@
+package graft.connector
+
+import graft.core.Errors.BorsaError
+import graft.core.Model._
+
+/** Connector SPI (reference: borsa-core/src/connector.rs:309-451 — optional
+  * capability accessors; absence = capability unsupported).
+  *
+  * Record-level API: providers return small typed payloads; the router
+  * composes them. Bulk/scan paths (history at scale) go through the
+  * DataFrame-based router (graft.router.HistoryRouter) instead — the
+  * connector layer is control-plane only.
+  */
+trait Connector {
+  def name: String
+  def supportsKind(kind: AssetKind): Boolean = true
+  def capabilities: Set[String]
+
+  /** Supported native candle intervals (drives R6 negotiation). */
+  def supportedIntervals: Seq[Interval] = Seq.empty
+
+  def quote(inst: Instrument): Either[BorsaError, Quote] =
+    Left(BorsaError.Unsupported("quote"))
+  def history(inst: Instrument, req: HistoryRequest): Either[BorsaError, HistoryResponse] =
+    Left(BorsaError.Unsupported("history"))
+  def search(query: String): Either[BorsaError, Seq[SearchResult]] =
+    Left(BorsaError.Unsupported("search"))
+  def profile(inst: Instrument): Either[BorsaError, Profile] =
+    Left(BorsaError.Unsupported("profile"))
+  def isin(inst: Instrument): Either[BorsaError, String] =
+    Left(BorsaError.Unsupported("isin"))
+
+  /** Generic single-payload capability call (the ×19 macro surface Q4:
+    * earnings, statements, holders, esg, news, options… — uniform routing,
+    * no new data-plane operators).
+    */
+  def fetchCapability(capability: String, inst: Instrument): Either[BorsaError, Map[String, String]] =
+    Left(BorsaError.Unsupported(capability))
+}
+
+final case class SearchResult(
+    symbol: String,
+    name: Option[String],
+    exchange: Option[String],
+    kind: Option[AssetKind])
+
+final case class Profile(
+    name: Option[String],
+    sector: Option[String],
+    industry: Option[String],
+    isin: Option[String])
+
+/** Injectable clock so middleware (TTL cache, quota windows, blacklist,
+  * backoff) is deterministic under test.
+  */
+trait Clock extends Serializable { def nowMs: Long }
+object SystemClock extends Clock { def nowMs: Long = System.currentTimeMillis() }
+final class ManualClock(var t: Long = 0L) extends Clock {
+  def nowMs: Long = t
+  def advance(ms: Long): Unit = t += ms
+}
+
+/** MW6 call-origin scoping (borsa-core/src/middleware.rs:13-77): internal
+  * fan-out calls (e.g. the sub-requests of `info`) bypass quota/blacklist.
+  */
+sealed trait CallOrigin
+object CallOrigin {
+  case object External extends CallOrigin
+  final case class Internal(parent: String, stage: String) extends CallOrigin
+}
+final case class CallContext(origin: CallOrigin = CallOrigin.External)

@@ -1,0 +1,274 @@
+package graft.connector
+
+import scala.collection.mutable
+
+import graft.core.Errors.{BorsaError, normalizeRateLimit}
+import graft.core.Model._
+
+/** Middleware decorators MW1–MW6 (reference: borsa-middleware/src/
+  * {cache.rs,quota.rs,blacklist.rs,builder.rs}). Connector-layer concerns —
+  * they wrap provider IO, not the Spark plan.
+  */
+object Middleware {
+
+  // ------------------------------------------------------------------ MW1
+
+  final case class CacheConfig(
+      capacityPerCapability: Int = 2000,
+      defaultTtlMs: Long = 5 * 60 * 1000L,
+      negativeTtlMs: Long = 60 * 1000L,
+      // per-capability TTLs (borsa-types/src/config.rs:221-323)
+      ttlMs: Map[String, Long] = Map(
+        "quote" -> 2000L,
+        "option-chain" -> 30000L,
+        "news" -> 120000L,
+        "history" -> 15 * 60 * 1000L,
+        "download" -> 60 * 60 * 1000L,
+        "search" -> 6 * 3600 * 1000L,
+        "profile" -> 24 * 3600 * 1000L,
+        "isin" -> 7 * 24 * 3600 * 1000L))
+
+  /** TTL+LRU cache with negative caching of PERMANENT errors
+    * (cache.rs:443-505: only permanent failures are cached, with their own
+    * shorter TTL; transient errors always retry).
+    */
+  final class TtlLruCache[K, V](capacity: Int, clock: Clock) {
+    private case class Entry(value: V, expiresAt: Long)
+    private val map = new java.util.LinkedHashMap[K, Entry](16, 0.75f, true) {
+      override def removeEldestEntry(e: java.util.Map.Entry[K, Entry]): Boolean =
+        size() > capacity
+    }
+    def get(key: K): Option[V] = synchronized {
+      Option(map.get(key)) match {
+        case Some(e) if e.expiresAt > clock.nowMs => Some(e.value)
+        case Some(_)                              => map.remove(key); None
+        case None                                 => None
+      }
+    }
+    def put(key: K, value: V, ttlMs: Long): Unit = synchronized {
+      map.put(key, Entry(value, clock.nowMs + ttlMs))
+    }
+    def size: Int = synchronized(map.size())
+  }
+
+  final class CachingConnector(
+      val inner: Connector,
+      config: CacheConfig = CacheConfig(),
+      clock: Clock = SystemClock) extends Connector {
+    def name: String = inner.name
+    override def supportsKind(kind: AssetKind): Boolean = inner.supportsKind(kind)
+    def capabilities: Set[String] = inner.capabilities
+    override def supportedIntervals: Seq[Interval] = inner.supportedIntervals
+
+    private val caches = mutable.Map.empty[String, TtlLruCache[Any, Either[BorsaError, Any]]]
+    private def cacheFor(cap: String) = synchronized {
+      caches.getOrElseUpdate(cap, new TtlLruCache(config.capacityPerCapability, clock))
+    }
+
+    private def cached[K, V](cap: String, key: K)(load: => Either[BorsaError, V]): Either[BorsaError, V] = {
+      val c = cacheFor(cap)
+      c.get(key) match {
+        case Some(hit) => hit.asInstanceOf[Either[BorsaError, V]]
+        case None =>
+          val result = load
+          result match {
+            case Right(_) =>
+              c.put(key, result.asInstanceOf[Either[BorsaError, Any]],
+                config.ttlMs.getOrElse(cap, config.defaultTtlMs))
+            case Left(e) if e.isPermanent => // negative caching, own TTL
+              c.put(key, result.asInstanceOf[Either[BorsaError, Any]], config.negativeTtlMs)
+            case Left(_) => () // transient: never cached
+          }
+          result
+      }
+    }
+
+    override def quote(inst: Instrument): Either[BorsaError, Quote] =
+      cached("quote", inst)(inner.quote(inst))
+    override def history(inst: Instrument, req: HistoryRequest): Either[BorsaError, HistoryResponse] =
+      cached("history", (inst, req))(inner.history(inst, req))
+    override def search(query: String): Either[BorsaError, Seq[SearchResult]] =
+      cached("search", query)(inner.search(query))
+    override def profile(inst: Instrument): Either[BorsaError, Profile] =
+      cached("profile", inst)(inner.profile(inst))
+    override def isin(inst: Instrument): Either[BorsaError, String] =
+      cached("isin", inst)(inner.isin(inst))
+    override def fetchCapability(cap: String, inst: Instrument): Either[BorsaError, Map[String, String]] =
+      cached(cap, inst)(inner.fetchCapability(cap, inst))
+  }
+
+  // ------------------------------------------------------------------ MW2
+
+  sealed trait QuotaStrategy
+  object QuotaStrategy {
+    case object Unit extends QuotaStrategy
+    case object EvenSpreadHourly extends QuotaStrategy
+  }
+
+  final case class QuotaConfig(
+      limit: Long = 1000L,
+      windowMs: Long = 60 * 1000L,
+      strategy: QuotaStrategy = QuotaStrategy.Unit)
+
+  /** Sliding-window quota with boundary-aligned resets and the
+    * EvenSpreadHourly slice policy (quota.rs:105-210): window split into 24
+    * slices; slice exhaustion with window headroom → temporary
+    * QuotaExceeded with remaining>0. Internal-origin calls bypass
+    * (quota.rs:296-316).
+    */
+  final class QuotaGate(config: QuotaConfig, clock: Clock = SystemClock) {
+    private val slices = 24L
+    private val perSlice = math.max(1L, config.limit / slices)
+    private val sliceMs = math.max(1L, config.windowMs / slices)
+
+    private var windowStart = clock.nowMs
+    private var inWindow = 0L
+    private var sliceStart = clock.nowMs
+    private var inSlice = 0L
+
+    def shouldAllow(): Either[BorsaError, Unit] = synchronized {
+      val now = clock.nowMs
+      val elapsed = now - windowStart
+      if (elapsed >= config.windowMs) {
+        inWindow = 0
+        windowStart += (elapsed / config.windowMs) * config.windowMs // boundary-aligned
+      }
+      if (config.strategy == QuotaStrategy.EvenSpreadHourly) {
+        val se = now - sliceStart
+        if (se >= sliceMs) {
+          inSlice = 0
+          sliceStart += (se / sliceMs) * sliceMs
+        }
+        if (inSlice >= perSlice && inWindow < config.limit) {
+          val resetIn = sliceMs - (now - sliceStart)
+          return Left(BorsaError.QuotaExceeded(config.limit - inWindow, resetIn))
+        }
+      }
+      if (inWindow < config.limit) {
+        inWindow += 1
+        if (config.strategy == QuotaStrategy.EvenSpreadHourly) inSlice += 1
+        Right(())
+      } else {
+        Left(BorsaError.QuotaExceeded(config.limit - inWindow,
+          config.windowMs - (now - windowStart)))
+      }
+    }
+  }
+
+  final class QuotaAwareConnector(
+      val inner: Connector,
+      config: QuotaConfig = QuotaConfig(),
+      clock: Clock = SystemClock,
+      ctx: CallContext = CallContext()) extends Connector {
+    def name: String = inner.name
+    override def supportsKind(kind: AssetKind): Boolean = inner.supportsKind(kind)
+    def capabilities: Set[String] = inner.capabilities
+    override def supportedIntervals: Seq[Interval] = inner.supportedIntervals
+    val gate = new QuotaGate(config, clock)
+
+    private def gated[V](load: => Either[BorsaError, V]): Either[BorsaError, V] =
+      ctx.origin match {
+        case CallOrigin.Internal(_, _) => load.left.map(normalizeRateLimit) // MW6 bypass
+        case CallOrigin.External =>
+          gate.shouldAllow() match {
+            case Left(e)  => Left(e)
+            case Right(_) => load.left.map(normalizeRateLimit) // MW4 normalization
+          }
+      }
+
+    override def quote(inst: Instrument): Either[BorsaError, Quote] = gated(inner.quote(inst))
+    override def history(inst: Instrument, req: HistoryRequest): Either[BorsaError, HistoryResponse] =
+      gated(inner.history(inst, req))
+    override def search(query: String): Either[BorsaError, Seq[SearchResult]] = gated(inner.search(query))
+    override def profile(inst: Instrument): Either[BorsaError, Profile] = gated(inner.profile(inst))
+    override def isin(inst: Instrument): Either[BorsaError, String] = gated(inner.isin(inst))
+    override def fetchCapability(cap: String, inst: Instrument): Either[BorsaError, Map[String, String]] =
+      gated(inner.fetchCapability(cap, inst))
+  }
+
+  // ------------------------------------------------------------------ MW3
+
+  final case class BlacklistConfig(defaultWindowMs: Long = 60 * 1000L)
+
+  /** Circuit breaker: a RateLimitExceeded response blacklists the provider
+    * until now + (provider window | default); pre-call rejects with
+    * TemporarilyBlacklisted{reset_in_ms} (blacklist.rs:42-90,146-170).
+    */
+  final class BlacklistConnector(
+      val inner: Connector,
+      config: BlacklistConfig = BlacklistConfig(),
+      clock: Clock = SystemClock,
+      ctx: CallContext = CallContext()) extends Connector {
+    def name: String = inner.name
+    override def supportsKind(kind: AssetKind): Boolean = inner.supportsKind(kind)
+    def capabilities: Set[String] = inner.capabilities
+    override def supportedIntervals: Seq[Interval] = inner.supportedIntervals
+
+    @volatile private var blacklistedUntil: Long = 0L
+
+    private def guard[V](load: => Either[BorsaError, V]): Either[BorsaError, V] =
+      ctx.origin match {
+        case CallOrigin.Internal(_, _) => load
+        case CallOrigin.External =>
+          val now = clock.nowMs
+          if (now < blacklistedUntil)
+            Left(BorsaError.TemporarilyBlacklisted(blacklistedUntil - now))
+          else load match {
+            case l @ Left(e) =>
+              e.flatten.collectFirst {
+                case BorsaError.RateLimitExceeded(_, windowMs) => windowMs
+                case BorsaError.Connector(_, BorsaError.RateLimitExceeded(_, w)) => w
+              }.foreach { w =>
+                blacklistedUntil = now + (if (w > 0) w else config.defaultWindowMs)
+              }
+              l
+            case r => r
+          }
+      }
+
+    override def quote(inst: Instrument): Either[BorsaError, Quote] = guard(inner.quote(inst))
+    override def history(inst: Instrument, req: HistoryRequest): Either[BorsaError, HistoryResponse] =
+      guard(inner.history(inst, req))
+    override def search(query: String): Either[BorsaError, Seq[SearchResult]] = guard(inner.search(query))
+    override def profile(inst: Instrument): Either[BorsaError, Profile] = guard(inner.profile(inst))
+    override def isin(inst: Instrument): Either[BorsaError, String] = guard(inner.isin(inst))
+    override def fetchCapability(cap: String, inst: Instrument): Either[BorsaError, Map[String, String]] =
+      guard(inner.fetchCapability(cap, inst))
+  }
+
+  // ------------------------------------------------------------------ MW5
+
+  /** Onion composition with enforced outermost-first order
+    * Cache → Blacklist → Quota (builder.rs:73-84): the cache must sit outside
+    * so cached hits cost no quota; the blacklist outside the quota so
+    * blacklisted calls don't consume budget.
+    */
+  def buildStack(
+      base: Connector,
+      cache: Option[CacheConfig] = Some(CacheConfig()),
+      blacklist: Option[BlacklistConfig] = Some(BlacklistConfig()),
+      quota: Option[QuotaConfig] = Some(QuotaConfig()),
+      clock: Clock = SystemClock,
+      ctx: CallContext = CallContext()): Either[BorsaError, Connector] = {
+    var c: Connector = base
+    quota.foreach(q => c = new QuotaAwareConnector(c, q, clock, ctx))
+    blacklist.foreach(b => c = new BlacklistConnector(c, b, clock, ctx))
+    cache.foreach(cc => c = new CachingConnector(c, cc, clock))
+    Right(c)
+  }
+
+  /** Stack-order validation for manually assembled stacks (MW5). */
+  def validateStack(stack: Connector): Either[BorsaError, Unit] = {
+    def layers(c: Connector): List[String] = c match {
+      case w: CachingConnector    => "cache" :: layers(w.inner)
+      case w: BlacklistConnector  => "blacklist" :: layers(w.inner)
+      case w: QuotaAwareConnector => "quota" :: layers(w.inner)
+      case _                      => Nil
+    }
+    val order = layers(stack)
+    val expected = List("cache", "blacklist", "quota").filter(order.contains)
+    if (order == expected) Right(())
+    else Left(BorsaError.InvalidMiddlewareStack(
+      s"middleware order must be cache→blacklist→quota, got ${order.mkString("→")}"))
+  }
+}

@@ -1,0 +1,102 @@
+package graft.connector
+
+import graft.core.Errors.BorsaError
+import graft.core.Model._
+
+/** Deterministic mock connector (reference: borsa-mock/src/lib.rs:30-90
+  * sentinel symbols; borsa-mock/src/dynamic.rs:15-36 scripted behaviors).
+  *
+  * Sentinels: FAIL → connector error; RATELIMIT → RateLimitExceeded;
+  * TIMEOUT → 200 ms delay (the orchestrator's per-call timeout decides);
+  * NOTFOUND → NotFound. Everything else returns deterministic fixtures
+  * seeded by the symbol text.
+  */
+class MockConnector(
+    override val name: String = "mock",
+    script: MockConnector.Script = MockConnector.Script()) extends Connector {
+
+  def capabilities: Set[String] =
+    Set("quote", "history", "search", "profile", "isin")
+
+  override def supportedIntervals: Seq[Interval] = script.supportedIntervals
+
+  private def sentinel(symbol: String, capability: String): Either[BorsaError, Unit] =
+    symbol match {
+      case "FAIL" =>
+        Left(BorsaError.Connector(name, BorsaError.Other(s"forced failure: $capability")))
+      case "RATELIMIT" =>
+        Left(BorsaError.Connector(name, BorsaError.RateLimitExceeded(0, 0)))
+      case "TIMEOUT" =>
+        Thread.sleep(200); Right(())
+      case "NOTFOUND" =>
+        Left(BorsaError.NotFound(s"$capability for $symbol"))
+      case _ => script.behavior(capability) match {
+        case MockConnector.Succeed   => Right(())
+        case MockConnector.Fail(e)   => Left(e)
+        case MockConnector.Delay(ms) => Thread.sleep(ms); Right(())
+      }
+    }
+
+  private def seed(s: String): Long = s.foldLeft(7L)((a, c) => a * 31 + c)
+
+  override def quote(inst: Instrument): Either[BorsaError, Quote] =
+    sentinel(inst.symbol.value, "quote").map { _ =>
+      val base = BigDecimal(100 + (seed(inst.symbol.value) % 400).abs)
+      Quote(inst.symbol.value, Some(base), Some(base - 1), Some("USD"),
+        Some(s"${inst.symbol.value} Inc."), script.exchangeFor(inst.symbol.value),
+        Some("REGULAR"), Some(1000000L))
+    }
+
+  override def history(inst: Instrument, req: HistoryRequest): Either[BorsaError, HistoryResponse] =
+    sentinel(inst.symbol.value, "history").map { _ =>
+      val step = req.interval.seconds.getOrElse(86400L)
+      val start = req.startEpoch.getOrElse(1704067200L) // 2024-01-01
+      val end = req.endEpoch.getOrElse(start + step * 10)
+      val n = ((end - start) / step).min(script.maxCandles).max(0)
+      val candles = (0L until n).map { i =>
+        val ts = start + i * step
+        val p = BigDecimal(100) + BigDecimal((seed(inst.symbol.value) + i) % 50)
+        Candle(inst.symbol.value, ts, p, p + 2, p - 2, p + 1, None, Some(1000 + i), "USD")
+      }
+      HistoryResponse(candles, Seq.empty, adjusted = script.adjusted, meta = script.meta)
+    }
+
+  override def search(query: String): Either[BorsaError, Seq[SearchResult]] =
+    sentinel(query, "search").map { _ =>
+      script.searchResults.getOrElse(query,
+        (1 to 3).map(i => SearchResult(s"$query$i", Some(s"$query$i Corp"),
+          script.exchangeFor(s"$query$i"), Some(AssetKind.Equity))))
+    }
+
+  override def profile(inst: Instrument): Either[BorsaError, Profile] =
+    sentinel(inst.symbol.value, "profile").map { _ =>
+      Profile(Some(s"${inst.symbol.value} Incorporated"), Some("Technology"),
+        Some("Software"), Some(s"US${(seed(inst.symbol.value) % 1000000000L).abs}"))
+    }
+
+  override def isin(inst: Instrument): Either[BorsaError, String] =
+    sentinel(inst.symbol.value, "isin").map(_ => s"US${(seed(inst.symbol.value) % 1000000000L).abs}")
+
+  override def fetchCapability(cap: String, inst: Instrument): Either[BorsaError, Map[String, String]] =
+    sentinel(inst.symbol.value, cap).map(_ => Map("capability" -> cap, "symbol" -> inst.symbol.value))
+}
+
+object MockConnector {
+  sealed trait Behavior
+  case object Succeed extends Behavior
+  final case class Fail(error: BorsaError) extends Behavior
+  final case class Delay(ms: Long) extends Behavior
+
+  /** Scripted per-capability behaviors (port of borsa-mock/src/dynamic.rs). */
+  final case class Script(
+      behaviors: Map[String, Behavior] = Map.empty,
+      supportedIntervals: Seq[Interval] = Seq(Interval.I1m, Interval.I5m, Interval.I1h, Interval.D1),
+      adjusted: Boolean = true,
+      meta: Option[HistoryMeta] = None,
+      maxCandles: Long = 1000L,
+      exchanges: Map[String, String] = Map.empty,
+      searchResults: Map[String, Seq[SearchResult]] = Map.empty) {
+    def behavior(capability: String): Behavior = behaviors.getOrElse(capability, Succeed)
+    def exchangeFor(symbol: String): Option[String] = exchanges.get(symbol)
+  }
+}

@@ -87,7 +87,10 @@ object Resample {
         max(col("high")).as("high"),
         min(col("low")).as("low"),
         max_by(col("close"), ts).as("close"),
-        least(sum(col("volume")), lit(Long.MaxValue)).as("volume"))
+        // u128-sum-then-saturate-to-u64 (resample.rs:82-84): sum in decimal
+        // (can't overflow), clamp, then narrow — ANSI-safe
+        least(sum(col("volume").cast("decimal(38,0)")),
+          lit(Long.MaxValue).cast("decimal(38,0)")).cast("long").as("volume"))
       // merged/resampled output always clears close_unadj
       // (resample.rs:104-108, util.rs:8-12)
       .withColumn("close_unadj", lit(null).cast("decimal(38,9)"))

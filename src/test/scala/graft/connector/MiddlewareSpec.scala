@@ -1,0 +1,115 @@
+package graft.connector
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.connector.Middleware._
+import graft.core.Errors.BorsaError
+import graft.core.Model._
+
+class MiddlewareSpec extends AnyFunSuite {
+  private val inst = Instrument(Symbol("AAPL"), None, AssetKind.Equity)
+
+  private class CountingConnector extends Connector {
+    var calls = 0
+    def name = "counting"
+    def capabilities = Set("quote")
+    override def quote(i: Instrument): Either[BorsaError, Quote] = {
+      calls += 1
+      if (i.symbol.value == "NF") Left(BorsaError.NotFound("quote"))
+      else if (i.symbol.value == "TRANSIENT") Left(BorsaError.ProviderTimeout(name, "quote"))
+      else if (i.symbol.value == "RL") Left(BorsaError.RateLimitExceeded(0, 5000))
+      else Right(Quote(i.symbol.value, Some(BigDecimal(1)), None, None, None, None, None, None))
+    }
+  }
+
+  test("MW1 cache: TTL hit/expiry, per-capability TTLs (cache.rs:308-345)") {
+    val clock = new ManualClock(0)
+    val inner = new CountingConnector
+    val c = new CachingConnector(inner, CacheConfig(), clock)
+    assert(c.quote(inst).isRight); assert(inner.calls == 1)
+    assert(c.quote(inst).isRight); assert(inner.calls == 1) // cached
+    clock.advance(1999); c.quote(inst); assert(inner.calls == 1) // quote TTL 2s
+    clock.advance(2); c.quote(inst); assert(inner.calls == 2) // expired
+  }
+
+  test("MW1 negative caching: permanent errors cached with own TTL, transient never (cache.rs:443-505)") {
+    val clock = new ManualClock(0)
+    val inner = new CountingConnector
+    val c = new CachingConnector(inner, CacheConfig(), clock)
+    val nf = Instrument(Symbol("NF"), None, AssetKind.Equity)
+    c.quote(nf); c.quote(nf)
+    assert(inner.calls == 1) // NotFound (permanent) cached
+    clock.advance(60001)
+    c.quote(nf); assert(inner.calls == 2) // negative TTL 60s expired
+    val tr = Instrument(Symbol("TRANSIENT"), None, AssetKind.Equity)
+    c.quote(tr); c.quote(tr)
+    assert(inner.calls == 4) // transient retried every time
+  }
+
+  test("MW1 LRU eviction at capacity") {
+    val clock = new ManualClock(0)
+    val cache = new TtlLruCache[Int, Int](2, clock)
+    cache.put(1, 1, 1000); cache.put(2, 2, 1000); cache.put(3, 3, 1000)
+    assert(cache.get(1).isEmpty) // evicted
+    assert(cache.get(2).contains(2) && cache.get(3).contains(3))
+  }
+
+  test("MW2 quota: window limit + boundary-aligned reset (quota.rs:105-210)") {
+    val clock = new ManualClock(0)
+    val gate = new QuotaGate(QuotaConfig(limit = 2, windowMs = 1000), clock)
+    assert(gate.shouldAllow().isRight)
+    assert(gate.shouldAllow().isRight)
+    gate.shouldAllow() match {
+      case Left(BorsaError.QuotaExceeded(remaining, resetMs)) =>
+        assert(remaining == 0); assert(resetMs == 1000)
+      case other => fail(s"expected QuotaExceeded, got $other")
+    }
+    clock.advance(2500) // 2.5 windows later: reset aligns to boundary at 2000
+    assert(gate.shouldAllow().isRight)
+  }
+
+  test("MW2 EvenSpreadHourly: slice exhaustion blocks temporarily with remaining>0 (quota.rs:150-180)") {
+    val clock = new ManualClock(0)
+    // limit 48, window 24000ms -> 24 slices of 1000ms, 2 per slice
+    val gate = new QuotaGate(QuotaConfig(48, 24000, QuotaStrategy.EvenSpreadHourly), clock)
+    assert(gate.shouldAllow().isRight); assert(gate.shouldAllow().isRight)
+    gate.shouldAllow() match {
+      case Left(BorsaError.QuotaExceeded(remaining, resetMs)) =>
+        assert(remaining == 46) // window still has room
+        assert(resetMs == 1000)
+      case other => fail(s"expected slice block, got $other")
+    }
+    clock.advance(1000) // next slice
+    assert(gate.shouldAllow().isRight)
+  }
+
+  test("MW3 blacklist: rate-limit trips breaker; internal origin bypasses (blacklist.rs:42-90)") {
+    val clock = new ManualClock(0)
+    val inner = new CountingConnector
+    val bl = new BlacklistConnector(inner, BlacklistConfig(), clock)
+    val rl = Instrument(Symbol("RL"), None, AssetKind.Equity)
+    bl.quote(rl) // trips: provider window 5000ms
+    bl.quote(inst) match {
+      case Left(BorsaError.TemporarilyBlacklisted(reset)) => assert(reset == 5000)
+      case other => fail(s"expected blacklisted, got $other")
+    }
+    clock.advance(5000)
+    assert(bl.quote(inst).isRight)
+    // internal origin bypasses the breaker
+    val inner2 = new CountingConnector
+    val bl2 = new BlacklistConnector(inner2, BlacklistConfig(), clock,
+      CallContext(CallOrigin.Internal("info", "quote")))
+    bl2.quote(rl)
+    assert(bl2.quote(inst).isRight)
+  }
+
+  test("MW5 stack order validation: cache→blacklist→quota (builder.rs:73-84)") {
+    val base = new CountingConnector
+    val good = new CachingConnector(new BlacklistConnector(new QuotaAwareConnector(base)))
+    assert(validateStack(good).isRight)
+    val bad = new QuotaAwareConnector(new CachingConnector(base))
+    assert(validateStack(bad).isLeft)
+    val built = buildStack(base).toOption.get
+    assert(validateStack(built).isRight)
+  }
+}

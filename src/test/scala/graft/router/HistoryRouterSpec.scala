@@ -1,0 +1,120 @@
+package graft.router
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+
+import graft.SparkSpec
+import graft.core.Model.Interval
+import graft.core.Model.Interval._
+import graft.router.HistoryRouter._
+
+class HistoryRouterSpec extends SparkSpec {
+
+  // ------------------------------------------------------------- R6 tables
+  // mirrors router_history_interval_{largest_divisor,passthrough,reject}.rs
+
+  test("R6 exact support passes through") {
+    assert(chooseEffectiveInterval(Seq(I1m, I5m), I5m) == Right((I5m, None)))
+  }
+
+  test("R6 intraday: largest supported divisor + minute re-aggregation") {
+    // 15m from {1m,5m}: 5 divides 15 and is the largest divisor
+    assert(chooseEffectiveInterval(Seq(I1m, I5m), I15m)
+      == Right((I5m, Some(ResamplePlan.Minutes(15)))))
+    // 90m from {1m,30m}: 30 divides 90
+    assert(chooseEffectiveInterval(Seq(I1m, I30m), I90m)
+      == Right((I30m, Some(ResamplePlan.Minutes(90)))))
+    // 15m from {2m}: no divisor -> unsupported
+    assert(chooseEffectiveInterval(Seq(I2m), I15m).isLeft)
+  }
+
+  test("R6 daily: native else coarsest intraday + daily plan") {
+    assert(chooseEffectiveInterval(Seq(I1m, D1), D1) == Right((D1, None)))
+    assert(chooseEffectiveInterval(Seq(I1m, I1h), D1)
+      == Right((I1h, Some(ResamplePlan.Daily))))
+    assert(chooseEffectiveInterval(Seq(W1), D1).isLeft)
+  }
+
+  test("R6 weekly: native, else daily, else coarsest intraday + weekly plan") {
+    assert(chooseEffectiveInterval(Seq(W1, D1), W1) == Right((W1, None)))
+    assert(chooseEffectiveInterval(Seq(D1, I1m), W1)
+      == Right((D1, Some(ResamplePlan.Weekly))))
+    assert(chooseEffectiveInterval(Seq(I5m), W1)
+      == Right((I5m, Some(ResamplePlan.Weekly))))
+  }
+
+  test("R6 other calendar intervals pass through unemulated") {
+    assert(chooseEffectiveInterval(Seq(D1), M1) == Right((M1, None)))
+  }
+
+  // --------------------------------------------------------------- H4
+
+  private def ph(p: String, prio: Int, adjusted: Boolean) =
+    ProviderHistory(p, prio, adjusted, None, None, candlesDf(p))
+
+  private val schema = StructType(Seq(
+    StructField("symbol", StringType), StructField("ts", LongType),
+    StructField("open", DecimalType(18, 6)), StructField("high", DecimalType(18, 6)),
+    StructField("low", DecimalType(18, 6)), StructField("close", DecimalType(18, 6)),
+    StructField("volume", LongType), StructField("currency", StringType)))
+
+  private def candlesDf(p: String, currency: String = "USD", n: Int = 3) = {
+    val rows = (0 until n).map { i =>
+      val v = BigDecimal(100 + i + p.hashCode.abs % 10)
+      Row("S", 1704067200L + i * 86400L, v.bigDecimal, (v + 1).bigDecimal,
+        (v - 1).bigDecimal, v.bigDecimal, 100L, currency)
+    }
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+  }
+
+  test("H4 prefer-adjusted keeps only adjusted when any exists (history.rs:578-586)") {
+    val res = orderAndFilter(Seq(ph("a", 0, false), ph("b", 1, true)), preferAdjusted = true)
+    assert(res.map(_.provider) == Seq("b"))
+    // none adjusted -> all kept in (!adjusted, priority) order
+    val res2 = orderAndFilter(Seq(ph("a", 1, false), ph("b", 0, false)), preferAdjusted = true)
+    assert(res2.map(_.provider) == Seq("b", "a"))
+  }
+
+  test("H4 non-preferring keeps only matches of the top result's flag") {
+    val res = orderAndFilter(Seq(ph("a", 0, false), ph("b", 1, true), ph("c", 2, false)),
+      preferAdjusted = false)
+    assert(res.map(_.provider) == Seq("a", "c"))
+  }
+
+  // --------------------------------------------------------------- merge
+
+  test("merge: first-wins by priority, attribution spans, flags (M1+H6)") {
+    val a = ProviderHistory("pa", 0, adjusted = true, None, None, candlesDf("pa", n = 2))
+    val b = ProviderHistory("pb", 1, adjusted = true, None, None, candlesDf("pb", n = 3))
+    val Right(m) = merge(Seq(a, b))
+    val rows = m.candles.orderBy("ts").collect()
+    assert(rows.length == 3)
+    // ts 0,1 from pa (priority 0), ts 2 only in pb
+    val attr = m.attribution.collect()
+    assert(attr.map(r => (r.getAs[String]("provider"), r.getAs[Long]("n_points"))).toSeq
+      == Seq(("pa", 2L), ("pb", 1L)))
+    assert(m.adjusted)
+  }
+
+  test("H5 mixed currency across providers is diagnosed with the deviating provider") {
+    val a = ProviderHistory("pa", 0, adjusted = true, None, None, candlesDf("pa"))
+    val b = ProviderHistory("pb", 1, adjusted = true, None, None, candlesDf("pb", currency = "EUR"))
+    merge(Seq(a, b)) match {
+      case Left(graft.core.Errors.BorsaError.Connector("pb",
+        graft.core.Errors.BorsaError.InconsistentCurrencyData)) => ()
+      case other => fail(s"expected pb diagnosed, got $other")
+    }
+  }
+
+  test("H7 auto-daily resamples subdaily series only") {
+    val subdailyRows = (0 until 48).map { i =>
+      Row("S", 1704067200L + i * 3600L, BigDecimal(1).bigDecimal, BigDecimal(2).bigDecimal,
+        BigDecimal(0).bigDecimal, BigDecimal(1).bigDecimal, 1L, "USD")
+    }
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(subdailyRows, 1), schema)
+    val out = applyFinalResample(df, FinalResample.AutoDaily)
+    assert(out.count() == 2)
+    val daily = candlesDf("pa") // daily spacing: no resample
+    assert(applyFinalResample(daily, FinalResample.AutoDaily).count() == daily.count())
+  }
+}
