@@ -39,11 +39,7 @@ object Dedup {
     * CollapseProject and re-evaluate their inputs combinatorially).
     */
   def shingleHashes(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
-    docs
-      .withColumn("toks", expr(toksS(textCol)))
-      .withColumn("shingles", expr(shinglesS))
-      .select(col(idCol), explode(col("shingles")).as("sh"))
-      .withColumn("h", expr(hashS("sh")))
+    shingleRows(docs, idCol, textCol).withColumn("h", expr(hashS("sh")))
 
   /** MinHash signature as 32 aggregate columns over the exploded shingle
     * hashes — one narrow shuffle keyed by doc id, partial-aggregated
@@ -51,11 +47,15 @@ object Dedup {
     * Output: (id, sig array<long>). Empty-shingle docs are absent (they
     * cannot be near-dups of anything).
     */
-  def minhashSignature(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+  def minhashSignature(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    minhashSignatureOf(shingleHashes(docs, idCol, textCol), idCol)
+
+  /** Signature from a precomputed (id, sh, h) shingle-hash table. */
+  def minhashSignatureOf(shHashes: DataFrame, idCol: String = "doc_id"): DataFrame = {
     val aggs = seeds.zipWithIndex.map { case ((a, b), i) =>
       min(expr(s"($a * h + $b) % $P")).as(s"m$i")
     }
-    shingleHashes(docs, idCol, textCol)
+    shHashes
       .groupBy(idCol)
       .agg(aggs.head, aggs.tail: _*)
       .select(col(idCol), array((0 until K).map(i => col(s"m$i")): _*).as("sig"))
@@ -64,9 +64,11 @@ object Dedup {
   /** LSH candidate pairs: docs sharing at least one band bucket (the band
     * index is baked into the hash). Output (id1, id2), id1 < id2, distinct.
     */
-  def minhashCandidates(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val bands = minhashSignature(docs, idCol, textCol)
-      .select(col(idCol), explode(expr(bandHashesS)).as("bh"))
+  def minhashCandidates(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    minhashCandidatesOf(minhashSignature(docs, idCol, textCol), idCol)
+
+  def minhashCandidatesOf(signatures: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val bands = signatures.select(col(idCol), explode(expr(bandHashesS)).as("bh"))
     bands.as("x")
       .join(bands.as("y"), "bh")
       .where(col(s"x.$idCol") < col(s"y.$idCol"))
@@ -74,18 +76,71 @@ object Dedup {
       .distinct()
   }
 
-  /** Exact n-gram (3-token shingle) Jaccard for every pair of docs sharing
-    * at least one shingle — relational form: explode distinct shingles,
-    * self-join on the shingle, count intersections, join sizes.
-    * jaccard_ppm = |∩| * 1e6 / |∪| in exact integer arithmetic.
+  /** Per-doc exploded distinct 3-token shingles, relational form: posexplode
+    * tokens once, adjacent tokens via window lead() (fully codegen'd).
+    * The array-HOF form (transform over sequence with element_at) is a trap:
+    * after projection collapsing every element_at re-evaluates the whole
+    * tokenizer — O(tokens²) per document (measured 12x slower at sf0.1).
     */
-  def ngramJaccardPairs(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val sh = docs
-      .withColumn("toks", expr(toksS(textCol)))
-      .withColumn("shingles", expr(shinglesS))
-      .select(col(idCol), explode(col("shingles")).as("sh"))
+  def shingleRows(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val toks = docs.select(col(idCol), posexplode(expr(toksS(textCol))).as(Seq("pos", "t")))
+    val w = Window.partitionBy(idCol).orderBy("pos")
+    toks
+      .withColumn("t2", lead("t", 1).over(w))
+      .withColumn("t3", lead("t", 2).over(w))
+      .where(col("t3").isNotNull)
+      .select(col(idCol), concat_ws(" ", col("t"), col("t2"), col("t3")).as("sh"))
+      .distinct()
+  }
+
+  /** Exact shingle-Jaccard for every candidate pair: join the exploded
+    * shingles of both sides, count the intersection, divide by the union.
+    * jaccard_ppm = |∩| * 1e6 / |∪| in exact integer arithmetic. The O(n²)
+    * work is bounded by the candidate set — this NEVER self-joins the
+    * whole corpus.
+    */
+  def jaccardForPairs(
+      docs: DataFrame,
+      pairs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val sh = shingleRows(docs, idCol, textCol)
     val sizes = sh.groupBy(idCol).agg(count(lit(1)).as("n_sh"))
-    val inter = sh.as("x").join(sh.as("y"), "sh")
+    val inter = pairs
+      .join(sh.as("x"), col("id1") === col(s"x.$idCol"))
+      .join(sh.as("y"), col("id2") === col(s"y.$idCol") && col("x.sh") === col("y.sh"))
+      .groupBy("id1", "id2")
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.withColumnRenamed(idCol, "id1").withColumnRenamed("n_sh", "n1"), "id1")
+      .join(sizes.withColumnRenamed(idCol, "id2").withColumnRenamed("n_sh", "n2"), "id2")
+      .select(col("id1"), col("id2"),
+        expr("n_inter * 1000000 DIV (n1 + n2 - n_inter)").as("jaccard_ppm"))
+  }
+
+  /** All-pairs n-gram Jaccard over the df-capped shingle sets: shingles with
+    * document frequency > dfCap are dropped BEFORE pairing (standard
+    * stop-shingle blocking — ultra-common shingles cause quadratic join
+    * blowup and never certify near-dups on their own), and both the
+    * intersection and the set sizes are computed over the surviving
+    * shingles, so the metric is exactly "Jaccard of the rare-shingle sets".
+    * dfCap <= 0 disables blocking (exact full-set Jaccard). One self-join +
+    * one aggregation — no pair-materialize-then-rejoin.
+    */
+  def ngramJaccardPairs(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      dfCap: Long = 0L): DataFrame = {
+    val sh = shingleRows(docs, idCol, textCol)
+    val blocked =
+      if (dfCap <= 0) sh
+      else {
+        val rare = sh.groupBy("sh").agg(count(lit(1)).as("df")).where(col("df") <= dfCap)
+        sh.join(rare.select("sh"), "sh")
+      }
+    val sizes = blocked.groupBy(idCol).agg(count(lit(1)).as("n_sh"))
+    val inter = blocked.as("x").join(blocked.as("y"), "sh")
       .where(col(s"x.$idCol") < col(s"y.$idCol"))
       .groupBy(col(s"x.$idCol").as("id1"), col(s"y.$idCol").as("id2"))
       .agg(count(lit(1)).as("n_inter"))
@@ -96,18 +151,32 @@ object Dedup {
         expr("n_inter * 1000000 DIV (n1 + n2 - n_inter)").as("jaccard_ppm"))
   }
 
-  /** MinHash near-dup verification: LSH candidates with exact shingle
-    * Jaccard attached, thresholded. The expensive exact verify runs ONLY
-    * on candidate pairs.
+  /** MinHash near-dup verification: exact Jaccard is computed ONLY for LSH
+    * candidate pairs, then thresholded. The shingle-hash table is built
+    * once and persisted — it feeds the signature aggregation, the
+    * intersection join, and the size counts.
     */
   def minhashNearDups(
       docs: DataFrame,
       thresholdPpm: Long = 200000L,
       idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame =
-    minhashCandidates(docs, idCol, textCol)
-      .join(ngramJaccardPairs(docs, idCol, textCol), Seq("id1", "id2"))
+      textCol: String = "text"): DataFrame = {
+    val sh = shingleHashes(docs, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val candidates = minhashCandidatesOf(minhashSignatureOf(sh, idCol), idCol)
+    val sizes = sh.groupBy(idCol).agg(count(lit(1)).as("n_sh"))
+    val inter = candidates
+      .join(sh.as("x"), col("id1") === col(s"x.$idCol"))
+      .join(sh.as("y"), col("id2") === col(s"y.$idCol") && col("x.sh") === col("y.sh"))
+      .groupBy("id1", "id2")
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.withColumnRenamed(idCol, "id1").withColumnRenamed("n_sh", "n1"), "id1")
+      .join(sizes.withColumnRenamed(idCol, "id2").withColumnRenamed("n_sh", "n2"), "id2")
+      .select(col("id1"), col("id2"),
+        expr("n_inter * 1000000 DIV (n1 + n2 - n_inter)").as("jaccard_ppm"))
       .where(col("jaccard_ppm") >= thresholdPpm)
+  }
 
   /** Per-doc 32-bit SimHash. Relational form: explode tokens, hash each
     * ONCE, aggregate 32 signed bit-sums per doc (one narrow shuffle,

@@ -34,16 +34,33 @@ object PipelineQueries {
     """aug AS (SELECT doc_id, text FROM documents
       | UNION ALL SELECT doc_id + 1000000, substr(text, strpos(text, ' ') + 1) FROM documents WHERE doc_id % 10 = 0)""".stripMargin
 
-  /** Shared DuckDB CTE chain: tokens → shingles → sizes/intersections → jaccard. */
-  private val jaccardSql =
+  /** Shared DuckDB CTEs: tokens → shingles (exploded) → sizes. */
+  private val shinglesSqlCtes =
     s"""tk AS (SELECT doc_id, ${toksD("text")} AS toks FROM aug),
        |sh AS (SELECT doc_id, $shinglesD AS shingles FROM tk),
        |shx AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
-       |sz AS (SELECT doc_id, count(*) AS n_sh FROM shx GROUP BY 1),
-       |itr AS (SELECT x.doc_id AS id1, y.doc_id AS id2, count(*) AS n_inter
-       |        FROM shx x JOIN shx y ON x.s = y.s AND x.doc_id < y.doc_id GROUP BY 1,2),
+       |sz AS (SELECT doc_id, count(*) AS n_sh FROM shx GROUP BY 1)""".stripMargin
+
+  /** Exact Jaccard over full shingle sets for a pair CTE named `prs`. */
+  private val jaccardOfPairsSql =
+    """itr AS (SELECT id1, id2, count(*) AS n_inter
+      |        FROM prs JOIN shx x ON x.doc_id = prs.id1
+      |                 JOIN shx y ON y.doc_id = prs.id2 AND x.s = y.s GROUP BY 1,2),
+      |jac AS (SELECT id1, id2, CAST(n_inter * 1000000 // (a.n_sh + b.n_sh - n_inter) AS BIGINT) AS jaccard_ppm
+      |        FROM itr JOIN sz a ON a.doc_id = itr.id1 JOIN sz b ON b.doc_id = itr.id2)""".stripMargin
+
+  /** Jaccard over the df-capped shingle sets (matching
+    * Dedup.ngramJaccardPairs(dfCap)): intersections AND sizes computed on
+    * the blocked rows.
+    */
+  private def blockedJaccardSql(dfCap: Long) =
+    s"""rare AS (SELECT s FROM (SELECT s, count(*) AS df FROM shx GROUP BY 1) WHERE df <= $dfCap),
+       |blk AS (SELECT shx.doc_id, shx.s FROM shx JOIN rare ON shx.s = rare.s),
+       |bsz AS (SELECT doc_id, count(*) AS n_sh FROM blk GROUP BY 1),
+       |bitr AS (SELECT x.doc_id AS id1, y.doc_id AS id2, count(*) AS n_inter
+       |         FROM blk x JOIN blk y ON x.s = y.s AND x.doc_id < y.doc_id GROUP BY 1,2),
        |jac AS (SELECT id1, id2, CAST(n_inter * 1000000 // (a.n_sh + b.n_sh - n_inter) AS BIGINT) AS jaccard_ppm
-       |        FROM itr JOIN sz a ON a.doc_id = itr.id1 JOIN sz b ON b.doc_id = itr.id2)""".stripMargin
+       |        FROM bitr JOIN bsz a ON a.doc_id = bitr.id1 JOIN bsz b ON b.doc_id = bitr.id2)""".stripMargin
 
   private val cosineD =
     """list_sum(list_transform(generate_series(1,64), i -> qv[i]::DOUBLE * nv[i]::DOUBLE))
@@ -74,7 +91,7 @@ object PipelineQueries {
     }),
 
     "ext_dedup_ngram" -> ((s, dir) => {
-      Dedup.ngramJaccardPairs(nearAug(Tables.documents(s, dir)))
+      Dedup.ngramJaccardPairs(nearAug(Tables.documents(s, dir)), dfCap = 64L)
         .orderBy(col("jaccard_ppm").desc, col("id1"), col("id2")).limit(20)
     }),
 
@@ -132,19 +149,20 @@ object PipelineQueries {
 
     "ext_dedup_minhash" ->
       s"""WITH $nearAugSql,
-         |$jaccardSql,
+         |$shinglesSqlCtes,
          |sg AS (SELECT doc_id, $minhashSigD AS sig FROM sh),
          |bh AS (SELECT doc_id, unnest($bandHashesD) AS bhash FROM sg),
-         |cand AS (SELECT DISTINCT x.doc_id AS id1, y.doc_id AS id2
-         |         FROM bh x JOIN bh y ON x.bhash = y.bhash AND x.doc_id < y.doc_id)
-         |SELECT c.id1, c.id2, j.jaccard_ppm
-         |FROM cand c JOIN jac j ON j.id1 = c.id1 AND j.id2 = c.id2
-         |WHERE j.jaccard_ppm >= 200000
-         |ORDER BY c.id1, c.id2""".stripMargin,
+         |prs AS (SELECT DISTINCT x.doc_id AS id1, y.doc_id AS id2
+         |        FROM bh x JOIN bh y ON x.bhash = y.bhash AND x.doc_id < y.doc_id),
+         |$jaccardOfPairsSql
+         |SELECT id1, id2, jaccard_ppm FROM jac
+         |WHERE jaccard_ppm >= 200000
+         |ORDER BY id1, id2""".stripMargin,
 
     "ext_dedup_ngram" ->
       s"""WITH $nearAugSql,
-         |$jaccardSql
+         |$shinglesSqlCtes,
+         |${blockedJaccardSql(64L)}
          |SELECT id1, id2, jaccard_ppm FROM jac
          |ORDER BY jaccard_ppm DESC, id1, id2 LIMIT 20""".stripMargin,
 

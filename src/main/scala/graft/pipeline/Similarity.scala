@@ -20,16 +20,28 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** cosine(a, b) in double, sequential fold (index order). */
-  def cosine(a: String, b: String): String =
+  /** dot(a, b) in double, sequential fold (index order — deterministic,
+    * matches a left-to-right list_sum).
+    */
+  def dot(a: String, b: String): String =
     s"""aggregate(zip_with($a, $b, (x, y) -> cast(x as double) * cast(y as double)),
-       | cast(0 as double), (acc, v) -> acc + v)
-       | / (sqrt(aggregate($a, cast(0 as double), (a2, v2) -> a2 + cast(v2 as double) * cast(v2 as double)))
-       |  * sqrt(aggregate($b, cast(0 as double), (a3, v3) -> a3 + cast(v3 as double) * cast(v3 as double))))"""
-      .stripMargin.replace("\n", " ")
+       | cast(0 as double), (acc, v) -> acc + v)""".stripMargin.replace("\n", " ")
+
+  /** ||a|| in double. */
+  def norm(a: String): String =
+    s"sqrt(aggregate($a, cast(0 as double), (a2, v2) -> a2 + cast(v2 as double) * cast(v2 as double)))"
+
+  /** cosine(a, b) in double (per-pair form; prefer precomputed norms in
+    * joins — see bruteForceKnn).
+    */
+  def cosine(a: String, b: String): String =
+    s"${dot(a, b)} / (${norm(a)} * ${norm(b)})"
 
   /** Exact brute-force top-k cosine neighbors for each query vector.
     * `queries` should be small (broadcast); ties broken by neighbor id.
+    * Norms are computed ONCE PER ROW before the join — the per-pair work is
+    * a single dot fold (3× fewer interpreted folds than naive cosine; the
+    * resulting double is bit-identical since each factor is unchanged).
     */
   def bruteForceKnn(
       corpus: DataFrame,
@@ -37,11 +49,15 @@ object Similarity {
       k: Int,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
-    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")))
-    val scored = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("nv"))
+    val q = broadcast(queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("qnorm", expr(norm("qv"))))
+    val scored = corpus
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("nv"))
+      .withColumn("nnorm", expr(norm("nv")))
       .crossJoin(q)
       .where(col("neighbor_id") =!= col("query_id"))
-      .withColumn("sim", expr(cosine("qv", "nv")))
+      .withColumn("sim", expr(s"${dot("qv", "nv")} / (qnorm * nnorm)"))
     val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
     scored
       .withColumn("rank", row_number().over(w).cast("long"))
@@ -79,11 +95,13 @@ object Similarity {
     val bucket = lshBucketExpr(vecCol, dim, nBits)
     val cb = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("nv"))
       .withColumn("bucket", expr(bucket.replace(vecCol, "nv")))
+      .withColumn("nnorm", expr(norm("nv")))
     val qb = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-      .withColumn("bucket", expr(bucket.replace(vecCol, "qv"))))
+      .withColumn("bucket", expr(bucket.replace(vecCol, "qv")))
+      .withColumn("qnorm", expr(norm("qv"))))
     val scored = cb.join(qb, "bucket")
       .where(col("neighbor_id") =!= col("query_id"))
-      .withColumn("sim", expr(cosine("qv", "nv")))
+      .withColumn("sim", expr(s"${dot("qv", "nv")} / (qnorm * nnorm)"))
     val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
     scored
       .withColumn("rank", row_number().over(w).cast("long"))

@@ -1,0 +1,184 @@
+package graft.router
+
+import scala.concurrent.duration._
+import scala.concurrent.{Await, ExecutionContext, Future}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.connector.Connector
+import graft.core.Errors
+import graft.core.Errors.BorsaError
+import graft.core.Model._
+import graft.routing.Policy
+
+/** The flagship §3.1 history pipeline end-to-end (H1–H8 over the connector
+  * layer): eligibility → per-provider interval negotiation (R6) → Deep
+  * parallel / Fallback sequential fan-out (H1/H2) → per-provider resample
+  * plan (H3) → adjusted ordering/filter (H4) → first-wins merge + currency
+  * diagnosis + attribution (M1/H5/H6) → final resample (H7) → error
+  * collapse (history.rs:155-176).
+  *
+  * Connector results (record-level) are lifted into DataFrames so the merge
+  * is the same Catalyst plan the bulk/scan path uses — single-instrument
+  * history is just the multi-symbol pipeline with one symbol.
+  */
+object HistoryOrchestrator {
+
+  sealed trait MergeStrategy
+  object MergeStrategy {
+    /** H1 Deep: fan out to ALL eligible providers concurrently (config.rs:24-32). */
+    case object Deep extends MergeStrategy
+    /** H2 Fallback: first NON-EMPTY result wins; empty-but-OK continues. */
+    case object Fallback extends MergeStrategy
+  }
+
+  final case class Config(
+      strategy: MergeStrategy = MergeStrategy.Deep,
+      preferAdjusted: Boolean = true,
+      providerTimeout: FiniteDuration = 5.seconds,
+      finalResample: HistoryRouter.FinalResample = HistoryRouter.FinalResample.None)
+
+  private lazy val ec = ExecutionContext.fromExecutor(
+    java.util.concurrent.Executors.newCachedThreadPool(r => {
+      val t = new Thread(r, "graft-history"); t.setDaemon(true); t
+    }))
+
+  val candleSchema: StructType = StructType(Seq(
+    StructField("symbol", StringType), StructField("ts", LongType),
+    StructField("open", DecimalType(38, 9)), StructField("high", DecimalType(38, 9)),
+    StructField("low", DecimalType(38, 9)), StructField("close", DecimalType(38, 9)),
+    StructField("close_unadj", DecimalType(38, 9)), StructField("volume", LongType),
+    StructField("currency", StringType)))
+
+  def candlesToDf(spark: SparkSession, candles: Seq[Candle]): DataFrame = {
+    val rows = candles.map { c =>
+      Row(c.symbol, c.ts, c.open.bigDecimal, c.high.bigDecimal, c.low.bigDecimal,
+        c.close.bigDecimal, c.closeUnadj.map(_.bigDecimal).orNull,
+        c.volume.map(Long.box).orNull, c.currency)
+    }
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), candleSchema)
+  }
+
+  /** Plan stage: eligible connectors (policy order ∩ kind ∩ capability) with
+    * their negotiated effective request + resample plan
+    * (history.rs:388-443).
+    */
+  def planProviders(
+      inst: Instrument,
+      req: HistoryRequest,
+      connectors: Seq[Connector],
+      policy: Policy.ProviderPolicy): Seq[(Connector, HistoryRequest, Option[HistoryRouter.ResamplePlan])] = {
+    val ctx = Policy.Context(Some(inst.symbol), Some(inst.kind), inst.exchange)
+    val ordered = policy.orderedForContext(ctx, connectors.map(_.name))
+      .flatMap(n => connectors.find(_.name == n))
+      .filter(c => c.supportsKind(inst.kind) && c.capabilities.contains("history"))
+    ordered.flatMap { c =>
+      HistoryRouter.chooseEffectiveInterval(c.supportedIntervals, req.interval) match {
+        case Right((eff, plan)) => Some((c, req.copy(interval = eff), plan))
+        case Left(_)            => None // provider can't serve this cadence at all
+      }
+    }
+  }
+
+  final case class HistoryResult(
+      candles: DataFrame,
+      attribution: DataFrame,
+      adjusted: Boolean,
+      meta: Option[HistoryMeta],
+      warnings: Seq[BorsaError])
+
+  /** Execute the full pipeline for one instrument. */
+  def history(
+      spark: SparkSession,
+      inst: Instrument,
+      req: HistoryRequest,
+      connectors: Seq[Connector],
+      policy: Policy.ProviderPolicy = Policy.ProviderPolicy(),
+      config: Config = Config()): Either[BorsaError, HistoryResult] = {
+    val planned = planProviders(inst, req, connectors, policy)
+    if (planned.isEmpty) return Left(BorsaError.Unsupported("history"))
+
+    // H1/H2 fan-out
+    type Fetched = (Int, Connector, Option[HistoryRouter.ResamplePlan], Either[BorsaError, HistoryResponse])
+    val fetched: Seq[Fetched] = config.strategy match {
+      case MergeStrategy.Deep =>
+        val futures = planned.zipWithIndex.map { case ((c, r, plan), i) =>
+          Future((i, c, plan, Fetch.withTimeout(c.name, "history", config.providerTimeout)(
+            c.history(inst, r))))(ec)
+        }
+        Await.result(Future.sequence(futures)(implicitly, ec), config.providerTimeout + 2.second)
+      case MergeStrategy.Fallback =>
+        var acc = List.empty[Fetched]
+        var done = false
+        planned.zipWithIndex.foreach { case ((c, r, plan), i) =>
+          if (!done) {
+            val res = Fetch.withTimeout(c.name, "history", config.providerTimeout)(c.history(inst, r))
+            acc ::= ((i, c, plan, res))
+            if (res.exists(_.candles.nonEmpty)) done = true // first NON-EMPTY wins
+          }
+        }
+        acc.reverse
+    }
+
+    // H3 collect successes: non-empty OKs; NotFound/empty dropped silently,
+    // other errors tagged with the connector (history.rs:521-576)
+    val successes = fetched.collect {
+      case (i, c, plan, Right(resp)) if resp.candles.nonEmpty =>
+        HistoryRouter.ProviderHistory(c.name, i, resp.adjusted, resp.meta, plan,
+          candlesToDf(spark, resp.candles))
+    }
+    val errors = fetched.collect {
+      case (_, c, _, Left(e)) if !e.isInstanceOf[BorsaError.NotFound] =>
+        e match {
+          case t: BorsaError.ProviderTimeout => t
+          case tagged: BorsaError.Connector  => tagged
+          case other                         => BorsaError.Connector(c.name, other)
+        }
+    }
+
+    if (successes.isEmpty)
+      return Left(Errors.collapse(errors, "history",
+        Some(s"history for ${inst.symbol.value}")))
+
+    // H4 → M1/H5/H6 → H7
+    val ordered = HistoryRouter.orderAndFilter(successes, config.preferAdjusted)
+    HistoryRouter.merge(ordered).map { m =>
+      HistoryResult(
+        HistoryRouter.applyFinalResample(m.candles, config.finalResample),
+        m.attribution, m.adjusted, m.meta,
+        warnings = errors.filter(_.isActionable))
+    }
+  }
+
+  /** H8 bulk download across instruments: symbol-keyed union — the merge
+    * plan is identical, Spark collapses the fan-out into groupBy(symbol,…).
+    * Per-instrument failures become warnings (download.rs:130-213).
+    */
+  def download(
+      spark: SparkSession,
+      instruments: Seq[Instrument],
+      req: HistoryRequest,
+      connectors: Seq[Connector],
+      policy: Policy.ProviderPolicy = Policy.ProviderPolicy(),
+      config: Config = Config()): Either[BorsaError, HistoryResult] = {
+    val distinctSyms = instruments.map(_.symbol.value)
+    require(distinctSyms.distinct.size == distinctSyms.size,
+      "duplicate instrument keys in download request") // download.rs:10-27
+    val results = instruments.map(i => i -> history(spark, i, req, connectors, policy, config))
+    val oks = results.collect { case (_, Right(r)) => r }
+    val warnings = results.collect { case (i, Left(e)) =>
+      BorsaError.Connector(i.symbol.value, e) }
+    if (oks.isEmpty)
+      Left(Errors.collapse(warnings, "download", None))
+    else
+      Right(HistoryResult(
+        oks.map(_.candles).reduce(_ unionByName _),
+        oks.map(_.attribution).reduce(_ unionByName _),
+        oks.forall(_.adjusted),
+        oks.flatMap(_.meta).headOption,
+        oks.flatMap(_.warnings) ++ warnings))
+  }
+}

@@ -1,0 +1,87 @@
+package graft.router
+
+import graft.SparkSpec
+import graft.connector.MockConnector
+import graft.core.Errors.BorsaError
+import graft.core.Model._
+import graft.router.HistoryOrchestrator._
+import graft.routing.Policy
+
+/** End-to-end §3.1 pipeline over mock connectors (reference scenarios:
+  * borsa/tests/router/history — merge strategies, empty-skipped,
+  * interval negotiation, all-fail collapse).
+  */
+class HistoryOrchestratorSpec extends SparkSpec {
+
+  private val inst = Instrument(Symbol("AAPL"), None, AssetKind.Equity)
+  private val req = HistoryRequest(Interval.D1, Some(1704067200L), Some(1704067200L + 10 * 86400), None)
+
+  test("Deep merge: two providers, priority merge with attribution") {
+    val a = new MockConnector("prov_a")
+    val b = new MockConnector("prov_b")
+    val Right(res) = history(spark, inst, req, Seq(a, b),
+      Policy.ProviderPolicy().withGlobal(Seq("prov_a", "prov_b")))
+    assert(res.candles.count() == 10)
+    // both providers return the same ts range; first-wins -> all from prov_a
+    val attr = res.attribution.collect()
+    assert(attr.length == 1 && attr(0).getAs[String]("provider") == "prov_a")
+    assert(res.adjusted)
+  }
+
+  test("Fallback: first non-empty wins, failing provider is skipped with warning") {
+    val failing = new MockConnector("bad",
+      MockConnector.Script(behaviors = Map("history" -> MockConnector.Fail(BorsaError.Data("boom")))))
+    val good = new MockConnector("good")
+    val Right(res) = history(spark, inst, req, Seq(failing, good),
+      Policy.ProviderPolicy().withGlobal(Seq("bad", "good")),
+      Config(strategy = MergeStrategy.Fallback))
+    assert(res.candles.count() == 10)
+    assert(res.warnings.nonEmpty) // bad's error surfaced as warning
+    val attr = res.attribution.collect()
+    assert(attr.forall(_.getAs[String]("provider") == "good"))
+  }
+
+  test("R6 negotiation inside the pipeline: 15m request over a 5m provider resamples") {
+    val fiveMin = new MockConnector("p5",
+      MockConnector.Script(supportedIntervals = Seq(Interval.I5m)))
+    val r = HistoryRequest(Interval.I15m, Some(1704067200L), Some(1704067200L + 3600), None)
+    val Right(res) = history(spark, inst, r, Seq(fiveMin))
+    // 1h of 5m candles re-aggregated to 15m buckets -> 4 rows
+    assert(res.candles.count() == 4)
+  }
+
+  test("all providers failing collapses via F5") {
+    val f1 = new MockConnector("f1",
+      MockConnector.Script(behaviors = Map("history" -> MockConnector.Fail(BorsaError.Data("x")))))
+    val f2 = new MockConnector("f2",
+      MockConnector.Script(behaviors = Map("history" -> MockConnector.Fail(BorsaError.Data("y")))))
+    history(spark, inst, req, Seq(f1, f2)) match {
+      case Left(BorsaError.AllProvidersFailed(errs)) => assert(errs.size == 2)
+      case other => fail(s"expected collapse, got $other")
+    }
+  }
+
+  test("policy strict exclusion removes providers from the plan") {
+    val a = new MockConnector("a")
+    val b = new MockConnector("b")
+    val strictPolicy = Policy.ProviderPolicy()
+      .withRule(Policy.Selector(symbol = Some(Symbol("AAPL"))), Seq("b"), strict = true)
+    val Right(res) = history(spark, inst, req, Seq(a, b), strictPolicy)
+    assert(res.attribution.collect().forall(_.getAs[String]("provider") == "b"))
+  }
+
+  test("H8 download: multi-symbol union, duplicate keys rejected, partial failures warn") {
+    val conn = new MockConnector("m")
+    val insts = Seq(inst, Instrument(Symbol("MSFT"), None, AssetKind.Equity),
+      Instrument(Symbol("FAIL"), None, AssetKind.Equity))
+    val Right(res) = download(spark, insts, req, Seq(conn))
+    assert(res.candles.select("symbol").distinct().count() == 2)
+    assert(res.warnings.exists {
+      case BorsaError.Connector("FAIL", _) => true
+      case _ => false
+    })
+    intercept[IllegalArgumentException] {
+      download(spark, Seq(inst, inst), req, Seq(conn))
+    }
+  }
+}

@@ -1,0 +1,75 @@
+package graft.streaming
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.Errors.BorsaError
+import graft.streaming.StreamController._
+import graft.streaming.SupervisorFsm._
+
+class StreamControllerSpec extends AnyFunSuite {
+
+  private def fresh(n: Int) = Supervisor(
+    providers = Vector.fill(n)(ProviderState.Idle),
+    providerAllow = Vector.fill(n)(Set("A", "B")),
+    providerCanStream = Vector.fill(n)(true),
+    requiredSymbols = Set("A", "B"),
+    capability = "stream-quotes")
+
+  private class ScriptedRunner(fails: Set[Int] = Set.empty) extends SessionRunner {
+    var started = List.empty[(Int, Seq[String])]
+    var stopped = List.empty[Int]
+    def start(id: Int, symbols: Seq[String]): Either[BorsaError, Unit] = {
+      started ::= (id, symbols)
+      if (fails.contains(id)) Left(BorsaError.Data(s"p$id down")) else Right(())
+    }
+    def stop(id: Int): Unit = stopped ::= id
+  }
+
+  private val noTicks: (Long, () => Unit) => Unit = (_, _) => ()
+
+  test("startup succeeds when the first provider activates") {
+    val runner = new ScriptedRunner
+    val c = new Controller(fresh(2), runner, noTicks)
+    val handle = c.awaitStartup()
+    assert(handle.isRight)
+    assert(runner.started.map(_._1) == List(0))
+    assert(c.currentState.providers(0) == ProviderState.Active(Set("A", "B")))
+  }
+
+  test("failover: first provider fails, second activates; startup still succeeds") {
+    val runner = new ScriptedRunner(fails = Set(0))
+    val c = new Controller(fresh(2), runner, noTicks)
+    assert(c.awaitStartup().isRight)
+    assert(runner.started.reverse.map(_._1) == List(0, 1))
+    assert(c.currentState.providers(1).isInstanceOf[ProviderState.Active])
+  }
+
+  test("all providers fail: startup reports the collapsed error and terminates") {
+    val runner = new ScriptedRunner(fails = Set(0, 1))
+    val c = new Controller(fresh(2), runner, noTicks)
+    c.awaitStartup() match {
+      case Left(BorsaError.AllProvidersFailed(errs)) => assert(errs.size == 2)
+      case other => fail(s"expected collapse, got $other")
+    }
+    assert(c.currentState.phase == Phase.Terminated)
+  }
+
+  test("ST12 handle.stop() stops sessions and terminates") {
+    val runner = new ScriptedRunner
+    val c = new Controller(fresh(1), runner, noTicks)
+    val Right(handle) = c.awaitStartup()
+    handle.stop()
+    assert(c.currentState.phase == Phase.ShuttingDown)
+    assert(runner.stopped.contains(0))
+  }
+
+  test("backoff ticks are scheduled with jitter applied") {
+    var delays = List.empty[Long]
+    val runner = new ScriptedRunner
+    val c = new Controller(fresh(1), runner,
+      scheduleTick = (d, _) => delays ::= d, rand01 = () => 0.5)
+    c.awaitStartup()
+    // base 500ms + 50ms jitter (20% * 0.5)
+    assert(delays.contains(550L))
+  }
+}
