@@ -200,6 +200,34 @@ object SparkEntry {
         .orderBy("symbol")
     }),
 
+    // QI-R4 fixed-offset daily resample (R4, offset form): local midnight at
+    // UTC-5 emitted back as UTC epoch
+    "qi_r4_offset_daily" -> ((s, dir) => {
+      Resample.toDailyOffset(Tables.ticks(s, dir), -18000L)
+        .orderBy("symbol", "bucket_ts")
+    }),
+
+    // QI-Q5 join-heavy revenue rollup: lineitem ⋈ orders ⋈ customer ⋈
+    // broadcast(nation), decimal-exact, ordered by revenue
+    "qi_q5_revenue" -> ((s, dir) => {
+      val l = Tables.lineitem(s, dir)
+      val o = Tables.orders(s, dir)
+        .where(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+               col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      val c = Tables.customer(s, dir)
+      val n = Tables.nation(s, dir)
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+          sum(col("l_extendedprice").cast(DecimalType(18, 2)) *
+              (lit(1) - col("l_discount").cast(DecimalType(18, 2))))
+            .cast(DecimalType(38, 4)).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    }),
+
     // QI-TOPK per-symbol top-3 by volume (S1 limit / generic top-k)
     "qi_topk" -> ((s, dir) => {
       val w = Window.partitionBy("symbol").orderBy(col("volume").desc, col("arrival"))
@@ -337,6 +365,25 @@ object SparkEntry {
         |  max_by(price, ts) AS close, CAST(sum(volume) AS BIGINT) AS volume, count(*) AS n_ticks
         |FROM ticks GROUP BY symbol)
         |SELECT * FROM r ORDER BY symbol""".stripMargin),
+
+    "qi_r4_offset_daily" -> withTicks(
+      """r AS (SELECT symbol,
+        |  (secs - 18000) - (secs - 18000) % 86400 + 18000 AS bucket_ts,
+        |  min_by(price, ts) AS open, max(price) AS high, min(price) AS low,
+        |  max_by(price, ts) AS close, CAST(sum(volume) AS BIGINT) AS volume
+        |FROM ticks GROUP BY 1,2)
+        |SELECT * FROM r ORDER BY symbol, bucket_ts""".stripMargin),
+
+    "qi_q5_revenue" ->
+      """SELECT n_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY 1 ORDER BY revenue DESC, n_name""".stripMargin,
 
     "qi_topk" -> withTicks(
       """w AS (SELECT symbol, price, volume, arrival,

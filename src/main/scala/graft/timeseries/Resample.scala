@@ -112,25 +112,26 @@ object Resample {
     else resampleTicks(df, minuteBucket(col("secs"), minutes), keys)
 
   /** R4 — timezone-aware daily bucketing (resample.rs:212-320): bucket by
-    * *local* midnight in an IANA timezone (or a fixed UTC offset), emitting
-    * the UTC instant of that local midnight. DST handling follows Spark's
-    * timezone database: `from_utc_timestamp` shifts into local wall time,
-    * `date_trunc` finds local midnight, `to_utc_timestamp` shifts back
-    * (nonexistent local times resolve per JDK ZoneRules, matching the
-    * reference's UTC-fallback intent for DST gaps, resample.rs:258-276).
+    * *local* midnight in an IANA timezone, emitting the UTC epoch of that
+    * local midnight, with the reference's exact DST-gap/overlap choices
+    * (ambiguous midnight → earlier instant; swallowed midnight → UTC day
+    * start) via the native [[graft.functions.TzBucket]] expression.
     */
-  def toDailyLocal(df: DataFrame, timezone: String, keys: Seq[String] = Seq("symbol")): DataFrame = {
-    val localMidnightUtc =
-      to_utc_timestamp(date_trunc("DAY", from_utc_timestamp(col("ts"), timezone)), timezone)
-    resampleTicks(df, localMidnightUtc.cast("long"), keys)
-  }
+  def toDailyLocal(df: DataFrame, timezone: String, keys: Seq[String] = Seq("symbol")): DataFrame =
+    resampleTicks(df, graft.functions.TzBucket.localDay(col("secs"), timezone), keys)
+
+  /** R4 weekly/minute variants with the same DST-exact semantics. */
+  def toWeeklyLocal(df: DataFrame, timezone: String, keys: Seq[String] = Seq("symbol")): DataFrame =
+    resampleTicks(df, graft.functions.TzBucket.localWeek(col("secs"), timezone), keys)
+
+  def toMinutesLocal(df: DataFrame, timezone: String, minutes: Int, keys: Seq[String] = Seq("symbol")): DataFrame =
+    if (minutes <= 0) df
+    else resampleTicks(df, graft.functions.TzBucket.localMinutes(col("secs"), timezone, minutes), keys)
 
   /** R4 variant with a fixed UTC offset in seconds (HistoryMeta.utc_offset_seconds,
     * resample.rs:279-302): local day = floor((secs+offset)/86400), bucket start
     * emitted back in UTC.
     */
-  def toDailyOffset(df: DataFrame, offsetSeconds: Long, keys: Seq[String] = Seq("symbol")): DataFrame = {
-    val secs = epochSecs(col("ts")) + offsetSeconds
-    resampleTicks(df, dailyBucket(secs) - offsetSeconds, keys)
-  }
+  def toDailyOffset(df: DataFrame, offsetSeconds: Long, keys: Seq[String] = Seq("symbol")): DataFrame =
+    resampleTicks(df, dailyBucket(col("secs") + offsetSeconds) - offsetSeconds, keys)
 }
