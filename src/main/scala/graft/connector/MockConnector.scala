@@ -16,7 +16,14 @@ class MockConnector(
     script: MockConnector.Script = MockConnector.Script()) extends Connector {
 
   def capabilities: Set[String] =
-    Set("quote", "history", "search", "profile", "isin")
+    Set("quote", "history", "search", "profile", "isin",
+      // the ×19 generic single-payload capabilities (Q4 surface)
+      "earnings", "income-statement", "balance-sheet", "cashflow", "calendar",
+      "recommendations", "recommendations-summary", "upgrades-downgrades",
+      "price-target", "major-holders", "institutional-holders",
+      "mutual-fund-holders", "insider-transactions", "insider-purchases",
+      "insider-roster", "esg", "news", "options-expirations", "option-chain") ++
+      script.extraCapabilities
 
   override def supportedIntervals: Seq[Interval] = script.supportedIntervals
 
@@ -95,7 +102,8 @@ object MockConnector {
       meta: Option[HistoryMeta] = None,
       maxCandles: Long = 1000L,
       exchanges: Map[String, String] = Map.empty,
-      searchResults: Map[String, Seq[SearchResult]] = Map.empty) {
+      searchResults: Map[String, Seq[SearchResult]] = Map.empty,
+      extraCapabilities: Set[String] = Set.empty) {
     def behavior(capability: String): Behavior = behaviors.getOrElse(capability, Succeed)
     def exchangeFor(symbol: String): Option[String] = exchanges.get(symbol)
   }

@@ -1,0 +1,94 @@
+package graft
+
+import graft.connector.MockConnector
+import graft.core.Errors.BorsaError
+import graft.core.Model._
+import graft.routing.Policy
+import graft.streaming.StreamController
+
+/** Façade integration: the full API surface over mock connectors with the
+  * default middleware stack.
+  */
+class GraftSpec extends SparkSpec {
+
+  private def graft(policy: Policy.ProviderPolicy = Policy.ProviderPolicy()) =
+    new Graft(spark, Seq(new MockConnector("alpha"), new MockConnector("beta")), policy)
+
+  private val aapl = Instrument(Symbol("AAPL"), None, AssetKind.Equity)
+
+  test("quote routes by policy order with fallback") {
+    val g = graft(Policy.ProviderPolicy().withGlobal(Seq("beta", "alpha")))
+    assert(g.quote(aapl).exists(_.symbol == "AAPL"))
+    // sentinel NOTFOUND falls through both providers and collapses
+    val nf = g.quote(Instrument(Symbol("NOTFOUND"), None, AssetKind.Equity))
+    assert(nf == Left(BorsaError.NotFound("quote for NOTFOUND")))
+  }
+
+  test("quotes batch returns partial successes and per-symbol failures") {
+    val g = graft()
+    val (oks, fails) = g.quotes(Seq(aapl, Instrument(Symbol("FAIL"), None, AssetKind.Equity)))
+    assert(oks.map(_.symbol) == Seq("AAPL"))
+    assert(fails.keySet == Set("FAIL"))
+  }
+
+  test("history end-to-end through the façade") {
+    val g = graft()
+    val req = HistoryRequest(Interval.D1, Some(1704067200L), Some(1704067200L + 5 * 86400), None)
+    val Right(res) = g.history(aapl, req)
+    assert(res.candles.count() == 5)
+  }
+
+  test("search dedups by symbol and applies limit after merge") {
+    val g = graft()
+    val Right(report) = g.search("ZZ", limit = Some(2))
+    assert(report.payload.size == 2)
+    assert(report.payload.map(_.symbol).distinct.size == 2)
+  }
+
+  test("info composes quote+profile+isin with COALESCE precedence") {
+    val g = graft()
+    val Right(report) = g.info(aapl)
+    assert(report.payload.name.contains("AAPL Inc.")) // quote shortname wins
+    assert(report.payload.isin.exists(_.startsWith("US")))
+  }
+
+  test("fastInfo falls back price -> previousClose") {
+    val g = graft()
+    assert(g.fastInfo(aapl).exists(_.last > 0))
+  }
+
+  test("generic capability routing (Q4 surface)") {
+    val g = graft()
+    assert(g.capability(aapl, "earnings").exists(_("capability") == "earnings"))
+  }
+
+  test("streamQuotes without stream-capable providers is Unsupported") {
+    val runner = new StreamController.SessionRunner {
+      def start(id: Int, symbols: Seq[String]): Either[BorsaError, Unit] = Right(())
+      def stop(id: Int): Unit = ()
+    }
+    graft().streamQuotes(Seq(aapl), runner) match {
+      case Left(BorsaError.Unsupported(_)) => ()
+      case other => fail(s"expected unsupported (mock has no streaming), got $other")
+    }
+  }
+
+  test("streamQuotes plans, starts a provider session, and hands back a stoppable handle") {
+    val streaming = new Graft(spark, Seq(
+      new MockConnector("alpha", MockConnector.Script(extraCapabilities = Set("stream-quotes"))),
+      new MockConnector("beta", MockConnector.Script(extraCapabilities = Set("stream-quotes")))))
+    var started = List.empty[(Int, Seq[String])]
+    var stopped = List.empty[Int]
+    val runner = new StreamController.SessionRunner {
+      def start(id: Int, symbols: Seq[String]): Either[BorsaError, Unit] = {
+        started ::= (id, symbols); Right(())
+      }
+      def stop(id: Int): Unit = stopped ::= id
+    }
+    val Right(handle) = streaming.streamQuotes(Seq(aapl), runner)
+    assert(started.map(_._1) == List(0))
+    assert(started.head._2 == Seq("AAPL"))
+    handle.stop()
+    assert(stopped.contains(0))
+  }
+}
