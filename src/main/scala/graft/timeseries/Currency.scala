@@ -34,13 +34,15 @@ object Currency {
     */
   def ensureUniform(df: DataFrame, keys: Seq[String] = Seq("symbol")): DataFrame = {
     val bad = violations(df, keys)
-    // evaluate lazily inside the plan: cross-join with a 0/1-row error relation
+    // lazily evaluated inside the plan: a 1-row guard relation cross-joined
+    // in, consumed by a FILTER so column pruning cannot elide the
+    // raise_error (a merely-projected side-effect column would be pruned)
     val guard = bad
       .agg(count(lit(1)).as("__bad"))
       .select(when(col("__bad") > 0,
         raise_error(concat(lit("currency invariant violated for "), col("__bad"), lit(" group(s)"))))
         .otherwise(lit(null)).as("__guard"))
-    df.crossJoin(broadcast(guard)).drop("__guard")
+    df.crossJoin(broadcast(guard)).where(col("__guard").isNull).drop("__guard")
   }
 
   /** C3 — strip unadjusted closes (util.rs:8-12). */
