@@ -132,7 +132,11 @@ object Dedup {
       idCol: String = "doc_id",
       textCol: String = "text",
       dfCap: Long = 0L): DataFrame = {
+    // the windowed shingle derivation feeds 5+ plan branches (rare-df scan,
+    // both self-join sides, both size lookups); without materialization each
+    // branch rescans and re-sorts — persist it once
     val sh = shingleRows(docs, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val blocked =
       if (dfCap <= 0) sh
       else {
