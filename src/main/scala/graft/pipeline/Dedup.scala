@@ -203,8 +203,9 @@ object Dedup {
   }
 
   /** SimHash near-dup pairs within hamming distance <= maxDist, blocked by
-    * 16-bit halves (a pair within distance 1 must agree on one half —
-    * pigeonhole): joins on half-key, never all-pairs.
+    * 16-bit halves: candidates must agree on at least one half (guarantees
+    * full recall for distance <= 1 by pigeonhole; standard
+    * approximate-recall blocking beyond that — never an all-pairs join).
     */
   def simhashNearDups(docs: DataFrame, maxDist: Int = 3, idCol: String = "doc_id"): DataFrame = {
     val sh = simhash(docs, idCol)
@@ -215,7 +216,7 @@ object Dedup {
       .select(col(s"x.$idCol").as("id1"), col(s"y.$idCol").as("id2"),
         col("x.simhash").as("sh1"), col("y.simhash").as("sh2"))
     pairsOn("lo").unionByName(pairsOn("hi")).distinct()
-      .withColumn("dist", expr("bit_count(sh1 ^ sh2)"))
+      .withColumn("dist", expr("cast(bit_count(sh1 ^ sh2) as bigint)"))
       .where(col("dist") <= maxDist)
       .select("id1", "id2", "dist")
   }

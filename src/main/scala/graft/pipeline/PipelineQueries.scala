@@ -99,6 +99,11 @@ object PipelineQueries {
       Dedup.simhash(Tables.documents(s, dir)).orderBy("doc_id")
     }),
 
+    "ext_dedup_simhash_pairs" -> ((s, dir) => {
+      Dedup.simhashNearDups(nearAug(Tables.documents(s, dir)), maxDist = 6)
+        .orderBy("id1", "id2")
+    }),
+
     "ext_knn_cosine" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       Similarity.bruteForceKnn(emb, emb.filter(col("vec_id") < 10), 3).orderBy("query_id", "rank")
@@ -169,6 +174,21 @@ object PipelineQueries {
     "ext_dedup_simhash" ->
       s"""WITH tk AS (SELECT doc_id, ${toksD("text")} AS toks FROM documents)
          |SELECT doc_id, CAST($simhashD AS BIGINT) AS simhash FROM tk ORDER BY doc_id""".stripMargin,
+
+    "ext_dedup_simhash_pairs" ->
+      s"""WITH $nearAugSql,
+         |tk AS (SELECT doc_id, ${toksD("text")} AS toks FROM aug),
+         |sh AS (SELECT doc_id, CAST($simhashD AS BIGINT) AS simhash FROM tk),
+         |h AS (SELECT doc_id, simhash, simhash % 65536 AS lo, simhash // 65536 AS hi FROM sh),
+         |p AS (
+         |  SELECT x.doc_id AS id1, y.doc_id AS id2, x.simhash AS s1, y.simhash AS s2
+         |  FROM h x JOIN h y ON x.lo = y.lo AND x.doc_id < y.doc_id
+         |  UNION
+         |  SELECT x.doc_id, y.doc_id, x.simhash, y.simhash
+         |  FROM h x JOIN h y ON x.hi = y.hi AND x.doc_id < y.doc_id)
+         |SELECT id1, id2, CAST(bit_count(xor(s1, s2)) AS BIGINT) AS dist
+         |FROM p WHERE bit_count(xor(s1, s2)) <= 6
+         |ORDER BY id1, id2""".stripMargin,
 
     "ext_knn_cosine" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
