@@ -228,6 +228,34 @@ object SparkEntry {
         .orderBy(col("revenue").desc, col("n_name"))
     }),
 
+    // QI-JSON semi-structured extraction from the props column
+    "qi_json_props" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast(LongType).as("k"))
+        .groupBy("event_type")
+        .agg(sum(col("k")).as("sum_k"), count(lit(1)).as("n"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+        .orderBy("event_type")
+    }),
+
+    // QI-FUNNEL signup -> purchase conversion per user (event analytics)
+    "qi_funnel" -> ((s, dir) => {
+      val t = Tables.ticks(s, dir)
+      val u = t.groupBy("symbol")
+        .agg(min(when(col("event_type") === "signup", col("secs"))).as("first_signup"))
+        .where(col("first_signup").isNotNull)
+      val p = t.filter(col("event_type") === "purchase")
+        .join(u, "symbol")
+        .where(col("secs") >= col("first_signup"))
+        .groupBy("symbol")
+        .agg(min(col("secs")).as("first_purchase_after"))
+      u.join(p, Seq("symbol"), "left")
+        .select(col("symbol"), col("first_signup"), col("first_purchase_after"),
+          col("first_purchase_after").isNotNull.as("converted"))
+        .orderBy("symbol")
+    }),
+
     // QI-TOPK per-symbol top-3 by volume (S1 limit / generic top-k)
     "qi_topk" -> ((s, dir) => {
       val w = Window.partitionBy("symbol").orderBy(col("volume").desc, col("arrival"))
@@ -384,6 +412,25 @@ object SparkEntry {
         |JOIN nation ON c_nationkey = n_nationkey
         |WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
         |GROUP BY 1 ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "qi_json_props" ->
+      """SELECT event_type,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |  COUNT(*) AS n,
+        |  min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+        |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "qi_funnel" -> withTicks(
+      """u AS (SELECT symbol, min(CASE WHEN event_type = 'signup' THEN secs END) AS first_signup
+        |      FROM ticks GROUP BY 1 HAVING first_signup IS NOT NULL),
+        |p AS (SELECT t.symbol, min(t.secs) AS first_purchase_after
+        |      FROM ticks t JOIN u ON t.symbol = u.symbol
+        |      WHERE t.event_type = 'purchase' AND t.secs >= u.first_signup GROUP BY 1)
+        |SELECT u.symbol, u.first_signup, p.first_purchase_after,
+        |       p.first_purchase_after IS NOT NULL AS converted
+        |FROM u LEFT JOIN p ON u.symbol = p.symbol
+        |ORDER BY u.symbol""".stripMargin),
 
     "qi_topk" -> withTicks(
       """w AS (SELECT symbol, price, volume, arrival,
