@@ -256,6 +256,33 @@ object SparkEntry {
         .orderBy("symbol")
     }),
 
+    // QI-SESSIONIZE 30-min-gap user sessions (gaps-and-islands over time,
+    // the time-gap twin of H6's run-length sessionization)
+    "qi_sessionize" -> ((s, dir) => {
+      val w = Window.partitionBy("symbol").orderBy("secs", "arrival")
+      val sessions = Tables.ticks(s, dir)
+        .withColumn("prev", lag(col("secs"), 1).over(w))
+        .withColumn("new_session",
+          when(col("prev").isNull || col("secs") - col("prev") > 1800, 1L).otherwise(0L))
+        .withColumn("session_id", sum(col("new_session")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      sessions.groupBy("symbol", "session_id")
+        .agg(min(col("secs")).as("session_start"),
+          max(col("secs")).as("session_end"),
+          count(lit(1)).as("n_events"))
+        .orderBy("symbol", "session_start")
+    }),
+
+    // QI-RUNNING cumulative daily volume per symbol (running window agg)
+    "qi_running" -> ((s, dir) => {
+      val daily = Resample.toDaily(Tables.ticks(s, dir))
+      val w = Window.partitionBy("symbol").orderBy("bucket_ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      daily.withColumn("cum_volume", sum(col("volume")).over(w))
+        .select("symbol", "bucket_ts", "volume", "cum_volume")
+        .orderBy("symbol", "bucket_ts")
+    }),
+
     // QI-TOPK per-symbol top-3 by volume (S1 limit / generic top-k)
     "qi_topk" -> ((s, dir) => {
       val w = Window.partitionBy("symbol").orderBy(col("volume").desc, col("arrival"))
@@ -431,6 +458,26 @@ object SparkEntry {
         |       p.first_purchase_after IS NOT NULL AS converted
         |FROM u LEFT JOIN p ON u.symbol = p.symbol
         |ORDER BY u.symbol""".stripMargin),
+
+    "qi_sessionize" -> withTicks(
+      """g AS (SELECT symbol, secs, arrival,
+        |  CASE WHEN lag(secs) OVER (PARTITION BY symbol ORDER BY secs, arrival) IS NULL
+        |         OR secs - lag(secs) OVER (PARTITION BY symbol ORDER BY secs, arrival) > 1800
+        |       THEN 1 ELSE 0 END AS new_session
+        |FROM ticks),
+        |sid AS (SELECT symbol, secs,
+        |  sum(new_session) OVER (PARTITION BY symbol ORDER BY secs, arrival ROWS UNBOUNDED PRECEDING) AS session_id
+        |FROM g)
+        |SELECT symbol, CAST(session_id AS BIGINT) AS session_id,
+        |  min(secs) AS session_start, max(secs) AS session_end, count(*) AS n_events
+        |FROM sid GROUP BY 1, 2 ORDER BY symbol, session_start""".stripMargin),
+
+    "qi_running" -> withTicks(
+      """d AS (SELECT symbol, secs - secs % 86400 AS bucket_ts, CAST(sum(volume) AS BIGINT) AS volume
+        |FROM ticks GROUP BY 1, 2)
+        |SELECT symbol, bucket_ts, volume,
+        |  CAST(sum(volume) OVER (PARTITION BY symbol ORDER BY bucket_ts ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_volume
+        |FROM d ORDER BY symbol, bucket_ts""".stripMargin),
 
     "qi_topk" -> withTicks(
       """w AS (SELECT symbol, price, volume, arrival,
