@@ -114,6 +114,37 @@ object PipelineQueries {
       Similarity.lshKnn(emb, emb.filter(col("vec_id") < 10), 3).orderBy("query_id", "rank")
     }),
 
+    // embedding-cosine near-dup: LSH-bucketed pair join, cosine >= 0.999
+    // (corpus augmented with exact vector copies so near-dups exist)
+    "ext_dedup_embed" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val aug = emb.select("vec_id", "embedding").unionByName(
+        emb.filter(col("vec_id") % 10 === 0)
+          .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding")))
+      val bucket = Similarity.lshBucketExpr("embedding", 64, 4)
+      val b = aug.withColumn("bucket", expr(bucket))
+        .withColumn("nrm", expr(Similarity.norm("embedding")))
+      val pairs = b.as("x").join(b.as("y"), "bucket")
+        .where(col("x.vec_id") < col("y.vec_id"))
+        .select(col("x.vec_id").as("id1"), col("y.vec_id").as("id2"),
+          (expr(Similarity.dot("x.embedding", "y.embedding")) /
+            (col("x.nrm") * col("y.nrm"))).as("cos"))
+      pairs.where(col("cos") >= 0.999)
+        // floor (not cast): Spark's double->long cast truncates but
+        // DuckDB's rounds — floor is identical in both engines
+        .select(col("id1"), col("id2"), floor(col("cos") * 1000000).cast("long").as("cos_ppm"))
+        .orderBy("id1", "id2")
+    }),
+
+    // BPE-ish regex token counting (alpha runs + digit runs)
+    "ext_tokens_regex" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          expr("CAST(regexp_count(text, '[A-Za-z]+|[0-9]+') AS BIGINT)").as("n_regex_tokens"),
+          expr("CAST(regexp_count(text, '[0-9]+') AS BIGINT)").as("n_number_tokens"))
+        .orderBy("doc_id")
+    }),
+
     "ext_text_stats" -> ((s, dir) => {
       TextAnalysis.tokenStats(Tables.documents(s, dir)).orderBy("doc_id")
     }),
@@ -209,6 +240,25 @@ object PipelineQueries {
          |w AS (SELECT query_id, neighbor_id,
          |        row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank FROM s)
          |SELECT query_id, rank, neighbor_id FROM w WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+
+    "ext_dedup_embed" ->
+      s"""WITH aug AS (SELECT vec_id, embedding FROM embeddings
+         | UNION ALL SELECT vec_id + 1000000, embedding FROM embeddings WHERE vec_id % 10 = 0),
+         |b AS (SELECT vec_id, embedding, ${lshBucketD("embedding")} AS bucket,
+         |        sqrt(list_sum(list_transform(generate_series(1,64), i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE))) AS nrm
+         |      FROM aug),
+         |p AS (SELECT x.vec_id AS id1, y.vec_id AS id2,
+         |        list_sum(list_transform(generate_series(1,64), i -> x.embedding[i]::DOUBLE * y.embedding[i]::DOUBLE))
+         |          / (x.nrm * y.nrm) AS cos
+         |      FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id)
+         |SELECT id1, id2, CAST(floor(cos * 1000000) AS BIGINT) AS cos_ppm
+         |FROM p WHERE cos >= 0.999 ORDER BY id1, id2""".stripMargin,
+
+    "ext_tokens_regex" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+')) AS BIGINT) AS n_regex_tokens,
+        |  CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_number_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "ext_text_stats" ->
       s"""WITH tk AS (SELECT doc_id, text, ${toksD("text")} AS toks FROM documents)
