@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation for hot keys (the 100 TB lever when AQE's runtime skew
+  * split isn't available — e.g. aggregations, or joins whose skew AQE can't
+  * see at plan time).
+  *
+  *  - saltedJoin: the skewed (large) side gets a deterministic per-row salt
+  *    in [0, k); the small side is exploded k× so every (key, salt) pair
+  *    matches. One hot key's partition becomes k partitions.
+  *  - saltedAggSum: two-phase aggregation — partial sums on (keys, salt),
+  *    final sums on keys. Spark's own partial aggregation usually covers
+  *    this; the explicit form handles high-cardinality accumulators
+  *    (collect-like or distinct-heavy) where map-side combine is weak.
+  *
+  * Salts derive from xxhash64 of the full row struct: deterministic under
+  * task retry (no rand()), uniform for distinct rows.
+  */
+object Salting {
+
+  def saltCol(df: DataFrame, buckets: Int): Column =
+    pmod(xxhash64(struct(df.columns.map(col): _*)), lit(buckets.toLong))
+
+  /** Join `large` (skewed on `key`) with `small`, spreading each key over
+    * `buckets` sub-partitions. Result equals the plain join.
+    */
+  def saltedJoin(
+      large: DataFrame,
+      small: DataFrame,
+      key: String,
+      buckets: Int,
+      joinType: String = "inner"): DataFrame = {
+    val saltedLarge = large.withColumn("__salt", saltCol(large, buckets))
+    val saltedSmall = small
+      .withColumn("__salt", explode(sequence(lit(0L), lit(buckets.toLong - 1))))
+    saltedLarge
+      .join(saltedSmall, Seq(key, "__salt"), joinType)
+      .drop("__salt")
+  }
+
+  /** Two-phase skew-safe sum aggregation over possibly-hot group keys. */
+  def saltedAggSum(
+      df: DataFrame,
+      keys: Seq[String],
+      valueCol: String,
+      buckets: Int): DataFrame =
+    df.withColumn("__salt", saltCol(df, buckets))
+      .groupBy((keys.map(col) :+ col("__salt")): _*)
+      .agg(sum(col(valueCol)).as("__partial"))
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col("__partial")).as(s"sum_$valueCol"))
+}

@@ -1,0 +1,37 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class SaltingSpec extends SparkSpec {
+  import spark.implicits._
+
+  // skewed: 1000 rows on key "hot", a few elsewhere
+  private lazy val large = ((1 to 1000).map(i => ("hot", i.toLong)) ++
+    Seq(("a", 1L), ("b", 2L))).toDF("k", "v")
+  private lazy val small = Seq(("hot", "H"), ("a", "A"), ("c", "C")).toDF("k", "label")
+
+  test("saltedJoin equals the plain join (inner and left)") {
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("k", "v").collect().toSeq
+    assert(canon(Salting.saltedJoin(large, small, "k", 8))
+      == canon(large.join(small, Seq("k"), "inner")))
+    assert(canon(Salting.saltedJoin(large, small, "k", 8, "left"))
+      == canon(large.join(small, Seq("k"), "left")))
+  }
+
+  test("salt actually spreads the hot key over multiple buckets") {
+    val buckets = large.withColumn("__salt", Salting.saltCol(large, 8))
+      .where(col("k") === "hot").select("__salt").distinct().count()
+    assert(buckets > 4) // 1000 distinct rows over 8 salts
+  }
+
+  test("saltedAggSum equals the direct aggregation") {
+    val salted = Salting.saltedAggSum(large, Seq("k"), "v", 8)
+      .orderBy("k").collect().toSeq
+    val direct = large.groupBy("k").agg(sum(col("v")).as("sum_v"))
+      .orderBy("k").collect().toSeq
+    assert(salted == direct)
+  }
+}
