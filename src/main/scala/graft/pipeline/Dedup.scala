@@ -211,13 +211,17 @@ object Dedup {
     val sh = simhash(docs, idCol)
       .withColumn("lo", col("simhash") % 65536L)
       .withColumn("hi", expr("simhash DIV 65536"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // hamming filter runs per half-join branch BEFORE the distinct so the
+    // dedup shuffle only carries surviving near-dup pairs (word-overlap
+    // corpora cluster simhashes → hot half-buckets → most raw pairs fail
+    // the distance cut anyway)
     def pairsOn(key: String) = sh.as("x").join(sh.as("y"), key)
       .where(col(s"x.$idCol") < col(s"y.$idCol"))
       .select(col(s"x.$idCol").as("id1"), col(s"y.$idCol").as("id2"),
-        col("x.simhash").as("sh1"), col("y.simhash").as("sh2"))
-    pairsOn("lo").unionByName(pairsOn("hi")).distinct()
-      .withColumn("dist", expr("cast(bit_count(sh1 ^ sh2) as bigint)"))
+        expr("cast(bit_count(x.simhash ^ y.simhash) as bigint)").as("dist"))
       .where(col("dist") <= maxDist)
+    pairsOn("lo").unionByName(pairsOn("hi")).distinct()
       .select("id1", "id2", "dist")
   }
 }
