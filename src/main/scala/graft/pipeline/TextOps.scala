@@ -35,12 +35,11 @@ object TextOps {
   def toksS(text: String) = s"filter(split($text,' '), t0 -> length(t0) > 0)"
   def toksD(text: String) = s"list_filter(string_split($text,' '), t0 -> len(t0) > 0)"
 
-  /** Distinct 3-token shingles over a tokens array column named `toks`. */
-  val shinglesS: String =
-    """array_distinct(CASE WHEN size(toks) >= 3 THEN
-      |  transform(sequence(1, size(toks)-2),
-      |    i -> concat_ws(' ', element_at(toks,i), element_at(toks,i+1), element_at(toks,i+2)))
-      |ELSE array() END)""".stripMargin.replace("\n", " ")
+  /** Distinct 3-token shingles over a tokens list column named `toks`
+    * (oracle side only — the Spark side uses the relational
+    * explode+window-lead form in Dedup.shingleRows; the array-HOF form
+    * re-evaluates its inputs combinatorially after projection collapse).
+    */
   val shinglesD: String =
     """list_distinct(CASE WHEN len(toks) >= 3 THEN
       |  list_transform(generate_series(1, len(toks)-2),
@@ -49,25 +48,37 @@ object TextOps {
 
   // ------------------------------------------------------------ minhash
 
-  private def seedArrayS = seeds.map { case (a, b) => s"array(${a}L,${b}L)" }.mkString("array(", ",", ")")
   private def seedArrayD = seeds.map { case (a, b) => s"[$a,$b]" }.mkString("[", ",", "]")
 
-  /** MinHash signature (array of K bigints) over a `shingles` column.
-    * Empty shingle set → all-P sentinel signature (so empty docs never
-    * collide with real content by accident of a NULL).
+  /** MinHash signature (list of K bigints) over a `shingles` column —
+    * oracle twin of Dedup.minhashSignature's 32 min-aggregates.
     */
-  val minhashSigS: String =
-    s"""CASE WHEN size(shingles) = 0 THEN transform(sequence(1,$K), i -> ${P}L)
-       |ELSE transform($seedArrayS,
-       |  sd -> array_min(transform(shingles,
-       |    t1 -> (element_at(sd,1) * ${hashS("t1")} + element_at(sd,2)) % ${P}L)))
-       |END""".stripMargin.replace("\n", " ")
   val minhashSigD: String =
     s"""CASE WHEN len(shingles) = 0 THEN list_transform(generate_series(1,$K), i -> $P)
        |ELSE list_transform($seedArrayD,
        |  sd -> list_min(list_transform(shingles,
        |    t1 -> (sd[1] * ${hashD("t1")} + sd[2]) % $P)))
        |END""".stripMargin.replace("\n", " ")
+
+  /** 32-bit SimHash over the token multiset `toks` — oracle twin of
+    * Dedup.simhash's relational bit-sum form.
+    */
+  val simhashD: String =
+    s"""list_sum(list_transform(generate_series(0,31), bi ->
+       |  CASE WHEN list_sum(list_transform(toks, t2 ->
+       |    CASE WHEN ((${hashD("t2")} >> bi) & 1) = 1 THEN 1 ELSE -1 END)) > 0
+       |  THEN (1::BIGINT << bi) ELSE 0 END))""".stripMargin.replace("\n", " ")
+
+  /** Winnowing fingerprints (char 8-grams, window-4 minima, distinct) over a
+    * `text` column — oracle twin of TextAnalysis.fingerprintStats.
+    */
+  val fingerprintsD: String =
+    s"""CASE WHEN len(text) >= 11 THEN list_distinct(
+       |  list_transform(generate_series(1, len(text)-10),
+       |    j -> list_min(list_transform(generate_series(0,3),
+       |      o -> ${hashD("substr(text, j + o, 8)")}))))
+       |ELSE [] END""".stripMargin.replace("\n", " ")
+
 
   /** LSH band hashes: array of BANDS md5 strings over signature slices.
     * The band index is baked into the hashed string so buckets from
@@ -85,37 +96,9 @@ object TextOps {
 
   // ------------------------------------------------------------ simhash
 
-  /** 32-bit SimHash over the (multiset of) tokens in `toks`. */
-  val simhashS: String =
-    s"""aggregate(transform(sequence(0,31), bi ->
-       |  CASE WHEN aggregate(toks, 0L, (acc, t2) ->
-       |    acc + CASE WHEN (shiftright(${hashS("t2")}, bi) & 1) = 1 THEN 1 ELSE -1 END) > 0
-       |  THEN shiftleft(1L, bi) ELSE 0L END), 0L, (acc2, v2) -> acc2 + v2)""".stripMargin.replace("\n", " ")
-  val simhashD: String =
-    s"""list_sum(list_transform(generate_series(0,31), bi ->
-       |  CASE WHEN list_sum(list_transform(toks, t2 ->
-       |    CASE WHEN ((${hashD("t2")} >> bi) & 1) = 1 THEN 1 ELSE -1 END)) > 0
-       |  THEN (1::BIGINT << bi) ELSE 0 END))""".stripMargin.replace("\n", " ")
 
   // ------------------------------------------------------------ fingerprint
 
-  /** Winnowing fingerprints: character 8-gram hashes, sliding window of 4,
-    * keep window minima (standard winnowing, cf. Schleimer et al. 2003).
-    * Defined over a `text` string column; yields an array of distinct
-    * fingerprint hashes (empty if text shorter than 11 chars).
-    */
-  val fingerprintsS: String =
-    s"""CASE WHEN length(text) >= 11 THEN array_distinct(
-       |  transform(sequence(1, length(text)-10),
-       |    j -> array_min(transform(sequence(0,3),
-       |      o -> ${hashS("substring(text, j + o, 8)")}))))
-       |ELSE array() END""".stripMargin.replace("\n", " ")
-  val fingerprintsD: String =
-    s"""CASE WHEN len(text) >= 11 THEN list_distinct(
-       |  list_transform(generate_series(1, len(text)-10),
-       |    j -> list_min(list_transform(generate_series(0,3),
-       |      o -> ${hashD("substr(text, j + o, 8)")}))))
-       |ELSE [] END""".stripMargin.replace("\n", " ")
 
   // ------------------------------------------------------------ lang-id
 
