@@ -1,0 +1,47 @@
+package graft.functions
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** `SparkSessionExtensions` wiring: registers the engine's custom
+  * expressions for SQL use, so `spark.sql("... tz_bucket(secs, tz, mode)")`
+  * works in any session built with
+  * `.withExtensions(new GraftExtensions)` — or retrofit an existing
+  * session via [[GraftExtensions.register]].
+  *
+  * tz_bucket(secs BIGINT, zone STRING-literal, mode BIGINT-literal):
+  * mode 0 = local day, 1 = local Monday week, >=60 = minute step seconds.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction(GraftExtensions.tzBucketDescriptor)
+  }
+}
+
+object GraftExtensions {
+  import org.apache.spark.sql.catalyst.FunctionIdentifier
+  import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+  private def build(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 3, "tz_bucket(secs, zone, mode)")
+    val zone = exprs(1) match {
+      case lit if lit.foldable => lit.eval(null).toString
+      case other => throw new IllegalArgumentException(s"tz_bucket zone must be a literal, got $other")
+    }
+    val mode = exprs(2) match {
+      case lit if lit.foldable => lit.eval(null).toString.toLong
+      case other => throw new IllegalArgumentException(s"tz_bucket mode must be a literal, got $other")
+    }
+    TzBucket(exprs.head, zone, mode)
+  }
+
+  val tzBucketDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("tz_bucket"),
+    new ExpressionInfo(classOf[TzBucket].getName, "tz_bucket"),
+    build _)
+
+  /** Retrofit registration on an already-built session. */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "tz_bucket", build _, "scala_udf")
+}

@@ -73,4 +73,13 @@ class TzBucketSpec extends SparkSpec {
     assert(out(0).getLong(0) == 1710046800L)
     assert(out(1).isNullAt(0))
   }
+
+  test("tz_bucket is SQL-callable after GraftExtensions registration") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      "SELECT tz_bucket(1710072000L, 'America/New_York', 0L) AS day, " +
+      "tz_bucket(1730611800L, 'America/New_York', 3600L) AS minute").collect()(0)
+    assert(r.getLong(0) == 1710046800L)
+    assert(r.getLong(1) == 1730610000L)
+  }
 }

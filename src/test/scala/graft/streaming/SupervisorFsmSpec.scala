@@ -160,4 +160,29 @@ class SupervisorFsmSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("rapid flapping: backoff caps at max, FSM never wedges, recovery still possible") {
+    var s = fresh(2)
+    s = s.handle(BackoffTick)._1
+    // 20 flap cycles: start succeeds, session dies, tick clears, retry...
+    (1 to 20).foreach { _ =>
+      s.providers.indices.foreach { i =>
+        s.providers(i) match {
+          case ProviderState.Connecting(ss) =>
+            s = s.handle(ProviderStartSucceeded(i, ss))._1
+            s = s.handle(SessionEnded(i, ss))._1
+          case _ => ()
+        }
+      }
+      s = s.handle(BackoffTick)._1
+    }
+    assert(s.backoffMs <= s.backoff.maxMs)
+    assert(s.phase == Phase.Running)
+    // after the storm a start can still succeed and the FSM is healthy
+    val connecting = s.providers.indexWhere(_.isInstanceOf[ProviderState.Connecting])
+    assert(connecting >= 0, s"expected a retry in flight, state=${s.providers}")
+    val syms = s.providers(connecting).asInstanceOf[ProviderState.Connecting].symbols
+    val (recovered, _) = s.handle(ProviderStartSucceeded(connecting, syms))
+    assert(recovered.providers(connecting) == ProviderState.Active(syms))
+  }
 }
