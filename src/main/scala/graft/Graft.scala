@@ -92,12 +92,35 @@ final class Graft(
   def fastInfo(inst: Instrument): Either[BorsaError, InfoRouter.FastInfo] =
     quote(inst).flatMap(InfoRouter.fastInfo)
 
-  /** Q4 generic capability fetch (earnings, statements, holders, esg, news,
-    * options… — any of the 19 single-payload capabilities).
+  /** Q4 generic capability fetch (any of the 19 single-payload
+    * capabilities, untyped map form).
     */
   def capability(inst: Instrument, capabilityId: String): Either[BorsaError, Map[String, String]] =
     routed(inst, capabilityId, s"$capabilityId for ${inst.symbol.value}")(
       _.fetchCapability(capabilityId, inst))
+
+  // Typed Q4 verbs (same routing engine, structured payloads)
+  import graft.core.Payloads._
+  def earnings(inst: Instrument): Either[BorsaError, Earnings] =
+    routed(inst, "earnings", s"earnings for ${inst.symbol.value}")(_.earnings(inst))
+  def incomeStatement(inst: Instrument, quarterly: Boolean = false): Either[BorsaError, Seq[StatementRow]] =
+    routed(inst, "income-statement", s"income statement for ${inst.symbol.value}")(
+      _.incomeStatement(inst, quarterly))
+  def balanceSheet(inst: Instrument, quarterly: Boolean = false): Either[BorsaError, Seq[StatementRow]] =
+    routed(inst, "balance-sheet", s"balance sheet for ${inst.symbol.value}")(
+      _.balanceSheet(inst, quarterly))
+  def cashflow(inst: Instrument, quarterly: Boolean = false): Either[BorsaError, Seq[StatementRow]] =
+    routed(inst, "cashflow", s"cashflow for ${inst.symbol.value}")(_.cashflow(inst, quarterly))
+  def esg(inst: Instrument): Either[BorsaError, EsgScores] =
+    routed(inst, "esg", s"esg for ${inst.symbol.value}")(_.esg(inst))
+  def news(inst: Instrument, req: NewsRequest = NewsRequest()): Either[BorsaError, Seq[NewsArticle]] =
+    routed(inst, "news", s"news for ${inst.symbol.value}")(_.news(inst, req))
+  def optionsExpirations(inst: Instrument): Either[BorsaError, Seq[Long]] =
+    routed(inst, "options-expirations", s"option expirations for ${inst.symbol.value}")(
+      _.optionsExpirations(inst))
+  def optionChain(inst: Instrument, expiration: Option[Long] = None): Either[BorsaError, OptionChain] =
+    routed(inst, "option-chain", s"option chain for ${inst.symbol.value}")(
+      _.optionChain(inst, expiration))
 
   /** ST1-ST3 planning + ST4 supervision for a quote stream. The runner
     * starts the per-provider Structured Streaming sessions; tests inject a

@@ -36,6 +36,26 @@ trait Connector {
     */
   def fetchCapability(capability: String, inst: Instrument): Either[BorsaError, Map[String, String]] =
     Left(BorsaError.Unsupported(capability))
+
+  // Typed accessors for the structured capabilities (reference role traits,
+  // borsa-core/src/connector.rs:52-315). Default: unsupported.
+  import graft.core.Payloads._
+  def earnings(inst: Instrument): Either[BorsaError, Earnings] =
+    Left(BorsaError.Unsupported("earnings"))
+  def incomeStatement(inst: Instrument, quarterly: Boolean): Either[BorsaError, Seq[StatementRow]] =
+    Left(BorsaError.Unsupported("income-statement"))
+  def balanceSheet(inst: Instrument, quarterly: Boolean): Either[BorsaError, Seq[StatementRow]] =
+    Left(BorsaError.Unsupported("balance-sheet"))
+  def cashflow(inst: Instrument, quarterly: Boolean): Either[BorsaError, Seq[StatementRow]] =
+    Left(BorsaError.Unsupported("cashflow"))
+  def esg(inst: Instrument): Either[BorsaError, EsgScores] =
+    Left(BorsaError.Unsupported("esg"))
+  def news(inst: Instrument, req: NewsRequest): Either[BorsaError, Seq[NewsArticle]] =
+    Left(BorsaError.Unsupported("news"))
+  def optionsExpirations(inst: Instrument): Either[BorsaError, Seq[Long]] =
+    Left(BorsaError.Unsupported("options-expirations"))
+  def optionChain(inst: Instrument, expiration: Option[Long]): Either[BorsaError, OptionChain] =
+    Left(BorsaError.Unsupported("option-chain"))
 }
 
 final case class SearchResult(

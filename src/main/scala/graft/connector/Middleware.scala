@@ -54,18 +54,14 @@ object Middleware {
   final class CachingConnector(
       val inner: Connector,
       config: CacheConfig = CacheConfig(),
-      clock: Clock = SystemClock) extends Connector {
-    def name: String = inner.name
-    override def supportsKind(kind: AssetKind): Boolean = inner.supportsKind(kind)
-    def capabilities: Set[String] = inner.capabilities
-    override def supportedIntervals: Seq[Interval] = inner.supportedIntervals
+      clock: Clock = SystemClock) extends WrappedConnector {
 
     private val caches = mutable.Map.empty[String, TtlLruCache[Any, Either[BorsaError, Any]]]
     private def cacheFor(cap: String) = synchronized {
       caches.getOrElseUpdate(cap, new TtlLruCache(config.capacityPerCapability, clock))
     }
 
-    private def cached[K, V](cap: String, key: K)(load: => Either[BorsaError, V]): Either[BorsaError, V] = {
+    protected def wrap[V](cap: String, key: Any)(load: => Either[BorsaError, V]): Either[BorsaError, V] = {
       val c = cacheFor(cap)
       c.get(key) match {
         case Some(hit) => hit.asInstanceOf[Either[BorsaError, V]]
@@ -82,19 +78,6 @@ object Middleware {
           result
       }
     }
-
-    override def quote(inst: Instrument): Either[BorsaError, Quote] =
-      cached("quote", inst)(inner.quote(inst))
-    override def history(inst: Instrument, req: HistoryRequest): Either[BorsaError, HistoryResponse] =
-      cached("history", (inst, req))(inner.history(inst, req))
-    override def search(query: String): Either[BorsaError, Seq[SearchResult]] =
-      cached("search", query)(inner.search(query))
-    override def profile(inst: Instrument): Either[BorsaError, Profile] =
-      cached("profile", inst)(inner.profile(inst))
-    override def isin(inst: Instrument): Either[BorsaError, String] =
-      cached("isin", inst)(inner.isin(inst))
-    override def fetchCapability(cap: String, inst: Instrument): Either[BorsaError, Map[String, String]] =
-      cached(cap, inst)(inner.fetchCapability(cap, inst))
   }
 
   // ------------------------------------------------------------------ MW2
@@ -159,14 +142,10 @@ object Middleware {
       val inner: Connector,
       config: QuotaConfig = QuotaConfig(),
       clock: Clock = SystemClock,
-      ctx: CallContext = CallContext()) extends Connector {
-    def name: String = inner.name
-    override def supportsKind(kind: AssetKind): Boolean = inner.supportsKind(kind)
-    def capabilities: Set[String] = inner.capabilities
-    override def supportedIntervals: Seq[Interval] = inner.supportedIntervals
+      ctx: CallContext = CallContext()) extends WrappedConnector {
     val gate = new QuotaGate(config, clock)
 
-    private def gated[V](load: => Either[BorsaError, V]): Either[BorsaError, V] =
+    protected def wrap[V](cap: String, key: Any)(load: => Either[BorsaError, V]): Either[BorsaError, V] =
       ctx.origin match {
         case CallOrigin.Internal(_, _) => load.left.map(normalizeRateLimit) // MW6 bypass
         case CallOrigin.External =>
@@ -175,15 +154,6 @@ object Middleware {
             case Right(_) => load.left.map(normalizeRateLimit) // MW4 normalization
           }
       }
-
-    override def quote(inst: Instrument): Either[BorsaError, Quote] = gated(inner.quote(inst))
-    override def history(inst: Instrument, req: HistoryRequest): Either[BorsaError, HistoryResponse] =
-      gated(inner.history(inst, req))
-    override def search(query: String): Either[BorsaError, Seq[SearchResult]] = gated(inner.search(query))
-    override def profile(inst: Instrument): Either[BorsaError, Profile] = gated(inner.profile(inst))
-    override def isin(inst: Instrument): Either[BorsaError, String] = gated(inner.isin(inst))
-    override def fetchCapability(cap: String, inst: Instrument): Either[BorsaError, Map[String, String]] =
-      gated(inner.fetchCapability(cap, inst))
   }
 
   // ------------------------------------------------------------------ MW3
@@ -198,15 +168,11 @@ object Middleware {
       val inner: Connector,
       config: BlacklistConfig = BlacklistConfig(),
       clock: Clock = SystemClock,
-      ctx: CallContext = CallContext()) extends Connector {
-    def name: String = inner.name
-    override def supportsKind(kind: AssetKind): Boolean = inner.supportsKind(kind)
-    def capabilities: Set[String] = inner.capabilities
-    override def supportedIntervals: Seq[Interval] = inner.supportedIntervals
+      ctx: CallContext = CallContext()) extends WrappedConnector {
 
     @volatile private var blacklistedUntil: Long = 0L
 
-    private def guard[V](load: => Either[BorsaError, V]): Either[BorsaError, V] =
+    protected def wrap[V](cap: String, key: Any)(load: => Either[BorsaError, V]): Either[BorsaError, V] =
       ctx.origin match {
         case CallOrigin.Internal(_, _) => load
         case CallOrigin.External =>
@@ -225,15 +191,6 @@ object Middleware {
             case r => r
           }
       }
-
-    override def quote(inst: Instrument): Either[BorsaError, Quote] = guard(inner.quote(inst))
-    override def history(inst: Instrument, req: HistoryRequest): Either[BorsaError, HistoryResponse] =
-      guard(inner.history(inst, req))
-    override def search(query: String): Either[BorsaError, Seq[SearchResult]] = guard(inner.search(query))
-    override def profile(inst: Instrument): Either[BorsaError, Profile] = guard(inner.profile(inst))
-    override def isin(inst: Instrument): Either[BorsaError, String] = guard(inner.isin(inst))
-    override def fetchCapability(cap: String, inst: Instrument): Either[BorsaError, Map[String, String]] =
-      guard(inner.fetchCapability(cap, inst))
   }
 
   // ------------------------------------------------------------------ MW5

@@ -86,6 +86,65 @@ class MockConnector(
 
   override def fetchCapability(cap: String, inst: Instrument): Either[BorsaError, Map[String, String]] =
     sentinel(inst.symbol.value, cap).map(_ => Map("capability" -> cap, "symbol" -> inst.symbol.value))
+
+  // deterministic typed fixtures (seeded by symbol, like the reference's
+  // borsa-mock/src/fixtures)
+  import graft.core.Payloads._
+
+  override def earnings(inst: Instrument): Either[BorsaError, Earnings] =
+    sentinel(inst.symbol.value, "earnings").map { _ =>
+      val base = (seed(inst.symbol.value) % 1000).abs
+      Earnings(
+        yearly = (2021 to 2023).map(y =>
+          EarningsYear(y, Some(BigDecimal(base * 1000 + y)), Some(BigDecimal(base * 100 + y)))),
+        quarterly = Seq(EarningsQuarter("2023Q4", Some(BigDecimal(base * 250)), Some(BigDecimal(base * 25)))),
+        quarterlyEps = Seq(EarningsQuarterEps("2023Q4", Some(BigDecimal(base) / 100), Some(BigDecimal(base + 5) / 100))))
+    }
+
+  private def stmtRows(inst: Instrument, cap: String, quarterly: Boolean): Either[BorsaError, Seq[StatementRow]] =
+    sentinel(inst.symbol.value, cap).map { _ =>
+      val period = if (quarterly) "2023Q4" else "2023"
+      Seq("revenue", "net_income").map(item =>
+        StatementRow(period, item, Some(BigDecimal((seed(inst.symbol.value + item) % 100000).abs)), Some("USD")))
+    }
+  override def incomeStatement(inst: Instrument, quarterly: Boolean): Either[BorsaError, Seq[StatementRow]] =
+    stmtRows(inst, "income-statement", quarterly)
+  override def balanceSheet(inst: Instrument, quarterly: Boolean): Either[BorsaError, Seq[StatementRow]] =
+    stmtRows(inst, "balance-sheet", quarterly)
+  override def cashflow(inst: Instrument, quarterly: Boolean): Either[BorsaError, Seq[StatementRow]] =
+    stmtRows(inst, "cashflow", quarterly)
+
+  override def esg(inst: Instrument): Either[BorsaError, EsgScores] =
+    sentinel(inst.symbol.value, "esg").map { _ =>
+      val s = (seed(inst.symbol.value) % 50).abs
+      EsgScores(Some(BigDecimal(s)), Some(BigDecimal(s + 10)), Some(BigDecimal(s + 20)))
+    }
+
+  override def news(inst: Instrument, req: NewsRequest): Either[BorsaError, Seq[NewsArticle]] =
+    sentinel(inst.symbol.value, "news").map { _ =>
+      (1 to math.min(req.limit, 3)).map(i =>
+        NewsArticle(s"${inst.symbol.value} headline $i", Some(name),
+          Some(s"https://example.invalid/${inst.symbol.value}/$i"),
+          Some(1704067200L + i * 3600L), Some(s"summary $i")))
+    }
+
+  override def optionsExpirations(inst: Instrument): Either[BorsaError, Seq[Long]] =
+    sentinel(inst.symbol.value, "options-expirations").map(_ =>
+      Seq(1717200000L, 1719792000L))
+
+  override def optionChain(inst: Instrument, expiration: Option[Long]): Either[BorsaError, OptionChain] =
+    sentinel(inst.symbol.value, "option-chain").map { _ =>
+      val exp = expiration.getOrElse(1717200000L)
+      val spot = BigDecimal(100 + (seed(inst.symbol.value) % 400).abs)
+      def contract(kind: String, strikeOff: Int) = OptionContract(
+        s"${inst.symbol.value}$exp$kind$strikeOff", spot + strikeOff, exp,
+        Some(BigDecimal(5)), Some(BigDecimal(4)), Some(BigDecimal(6)),
+        Some(100L + strikeOff), Some(0.25),
+        Some(OptionGreeks(Some(0.5), Some(0.1), Some(-0.05), Some(0.2))))
+      OptionChain(
+        calls = Seq(contract("C", -5), contract("C", 0), contract("C", 5)),
+        puts = Seq(contract("P", -5), contract("P", 0), contract("P", 5)))
+    }
 }
 
 object MockConnector {

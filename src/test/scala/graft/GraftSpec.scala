@@ -91,4 +91,23 @@ class GraftSpec extends SparkSpec {
     handle.stop()
     assert(stopped.contains(0))
   }
+
+  test("typed Q4 verbs: earnings, statements, esg, news, option chain route and cache") {
+    val g = graft()
+    val Right(e) = g.earnings(aapl)
+    assert(e.yearly.map(_.year) == Seq(2021, 2022, 2023))
+    val Right(is) = g.incomeStatement(aapl, quarterly = true)
+    assert(is.map(_.item).toSet == Set("revenue", "net_income") && is.forall(_.period == "2023Q4"))
+    val Right(esg) = g.esg(aapl)
+    assert(esg.environmental.isDefined && esg.governance.isDefined)
+    val Right(news) = g.news(aapl)
+    assert(news.nonEmpty && news.head.title.contains("AAPL"))
+    val Right(exps) = g.optionsExpirations(aapl)
+    assert(exps.size == 2)
+    val Right(chain) = g.optionChain(aapl, Some(exps.head))
+    assert(chain.calls.size == 3 && chain.puts.size == 3)
+    assert(chain.calls.forall(_.expirationTs == exps.head))
+    // sentinel NOTFOUND flows through typed routing too
+    assert(g.earnings(Instrument(Symbol("NOTFOUND"), None, AssetKind.Equity)).isLeft)
+  }
 }
