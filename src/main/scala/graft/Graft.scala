@@ -121,6 +121,20 @@ final class Graft(
   def optionChain(inst: Instrument, expiration: Option[Long] = None): Either[BorsaError, OptionChain] =
     routed(inst, "option-chain", s"option chain for ${inst.symbol.value}")(
       _.optionChain(inst, expiration))
+  def holders(inst: Instrument, kind: HolderKind): Either[BorsaError, Seq[HolderRow]] =
+    routed(inst, kind.id, s"${kind.id} for ${inst.symbol.value}")(_.holders(inst, kind))
+  def calendar(inst: Instrument): Either[BorsaError, CalendarEvents] =
+    routed(inst, "calendar", s"calendar for ${inst.symbol.value}")(_.calendar(inst))
+  def recommendations(inst: Instrument): Either[BorsaError, Seq[Recommendation]] =
+    routed(inst, "recommendations", s"recommendations for ${inst.symbol.value}")(_.recommendations(inst))
+  def recommendationsSummary(inst: Instrument): Either[BorsaError, RecommendationSummary] =
+    routed(inst, "recommendations-summary", s"recommendation summary for ${inst.symbol.value}")(
+      _.recommendationsSummary(inst))
+  def priceTarget(inst: Instrument): Either[BorsaError, PriceTarget] =
+    routed(inst, "price-target", s"price target for ${inst.symbol.value}")(_.priceTarget(inst))
+  def upgradesDowngrades(inst: Instrument): Either[BorsaError, Seq[UpgradeDowngrade]] =
+    routed(inst, "upgrades-downgrades", s"upgrades/downgrades for ${inst.symbol.value}")(
+      _.upgradesDowngrades(inst))
 
   /** ST1-ST3 planning + ST4 supervision for a quote stream. The runner
     * starts the per-provider Structured Streaming sessions; tests inject a

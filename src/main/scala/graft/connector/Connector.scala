@@ -56,6 +56,18 @@ trait Connector {
     Left(BorsaError.Unsupported("options-expirations"))
   def optionChain(inst: Instrument, expiration: Option[Long]): Either[BorsaError, OptionChain] =
     Left(BorsaError.Unsupported("option-chain"))
+  def holders(inst: Instrument, kind: HolderKind): Either[BorsaError, Seq[HolderRow]] =
+    Left(BorsaError.Unsupported(kind.id))
+  def calendar(inst: Instrument): Either[BorsaError, CalendarEvents] =
+    Left(BorsaError.Unsupported("calendar"))
+  def recommendations(inst: Instrument): Either[BorsaError, Seq[Recommendation]] =
+    Left(BorsaError.Unsupported("recommendations"))
+  def recommendationsSummary(inst: Instrument): Either[BorsaError, RecommendationSummary] =
+    Left(BorsaError.Unsupported("recommendations-summary"))
+  def priceTarget(inst: Instrument): Either[BorsaError, PriceTarget] =
+    Left(BorsaError.Unsupported("price-target"))
+  def upgradesDowngrades(inst: Instrument): Either[BorsaError, Seq[UpgradeDowngrade]] =
+    Left(BorsaError.Unsupported("upgrades-downgrades"))
 }
 
 final case class SearchResult(

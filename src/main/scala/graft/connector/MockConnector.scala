@@ -145,6 +145,35 @@ class MockConnector(
         calls = Seq(contract("C", -5), contract("C", 0), contract("C", 5)),
         puts = Seq(contract("P", -5), contract("P", 0), contract("P", 5)))
     }
+
+  override def holders(inst: Instrument, kind: HolderKind): Either[BorsaError, Seq[HolderRow]] =
+    sentinel(inst.symbol.value, kind.id).map { _ =>
+      (1 to 2).map(i => HolderRow(s"${kind.id}-holder-$i",
+        Some(1000L * i), Some(BigDecimal(i) / 100), Some(1704067200L),
+        if (kind.id.startsWith("insider")) Some("Buy") else None))
+    }
+
+  override def calendar(inst: Instrument): Either[BorsaError, CalendarEvents] =
+    sentinel(inst.symbol.value, "calendar").map(_ =>
+      CalendarEvents(Seq(1714521600L, 1722470400L), Some(1709251200L), Some(1710460800L)))
+
+  override def recommendations(inst: Instrument): Either[BorsaError, Seq[Recommendation]] =
+    sentinel(inst.symbol.value, "recommendations").map(_ =>
+      Seq(Recommendation("0m", 5, 10, 3, 1, 0), Recommendation("-1m", 4, 11, 3, 1, 0)))
+
+  override def recommendationsSummary(inst: Instrument): Either[BorsaError, RecommendationSummary] =
+    sentinel(inst.symbol.value, "recommendations-summary").map(_ =>
+      RecommendationSummary(Some(BigDecimal("1.8")), Some("buy")))
+
+  override def priceTarget(inst: Instrument): Either[BorsaError, PriceTarget] =
+    sentinel(inst.symbol.value, "price-target").map { _ =>
+      val base = BigDecimal(100 + (seed(inst.symbol.value) % 400).abs)
+      PriceTarget(Some(base - 20), Some(base + 40), Some(base + 10), Some(base + 8), Some(12))
+    }
+
+  override def upgradesDowngrades(inst: Instrument): Either[BorsaError, Seq[UpgradeDowngrade]] =
+    sentinel(inst.symbol.value, "upgrades-downgrades").map(_ =>
+      Seq(UpgradeDowngrade(1704067200L, "MockFirm", "Buy", Some("Hold"), "up")))
 }
 
 object MockConnector {

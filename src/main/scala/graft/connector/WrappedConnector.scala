@@ -47,4 +47,16 @@ trait WrappedConnector extends Connector {
     wrap("options-expirations", inst)(inner.optionsExpirations(inst))
   override def optionChain(inst: Instrument, expiration: Option[Long]): Either[BorsaError, OptionChain] =
     wrap("option-chain", (inst, expiration))(inner.optionChain(inst, expiration))
+  override def holders(inst: Instrument, kind: HolderKind): Either[BorsaError, Seq[HolderRow]] =
+    wrap(kind.id, inst)(inner.holders(inst, kind))
+  override def calendar(inst: Instrument): Either[BorsaError, CalendarEvents] =
+    wrap("calendar", inst)(inner.calendar(inst))
+  override def recommendations(inst: Instrument): Either[BorsaError, Seq[Recommendation]] =
+    wrap("recommendations", inst)(inner.recommendations(inst))
+  override def recommendationsSummary(inst: Instrument): Either[BorsaError, RecommendationSummary] =
+    wrap("recommendations-summary", inst)(inner.recommendationsSummary(inst))
+  override def priceTarget(inst: Instrument): Either[BorsaError, PriceTarget] =
+    wrap("price-target", inst)(inner.priceTarget(inst))
+  override def upgradesDowngrades(inst: Instrument): Either[BorsaError, Seq[UpgradeDowngrade]] =
+    wrap("upgrades-downgrades", inst)(inner.upgradesDowngrades(inst))
 }

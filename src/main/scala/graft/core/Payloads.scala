@@ -51,4 +51,50 @@ object Payloads {
       greeks: Option[OptionGreeks])
 
   final case class OptionChain(calls: Seq[OptionContract], puts: Seq[OptionContract])
+
+  sealed trait HolderKind { def id: String }
+  object HolderKind {
+    case object Major extends HolderKind { val id = "major-holders" }
+    case object Institutional extends HolderKind { val id = "institutional-holders" }
+    case object MutualFund extends HolderKind { val id = "mutual-fund-holders" }
+    case object InsiderTransactions extends HolderKind { val id = "insider-transactions" }
+    case object InsiderPurchases extends HolderKind { val id = "insider-purchases" }
+    case object InsiderRoster extends HolderKind { val id = "insider-roster" }
+    val all: Seq[HolderKind] = Seq(Major, Institutional, MutualFund,
+      InsiderTransactions, InsiderPurchases, InsiderRoster)
+  }
+
+  final case class HolderRow(
+      holder: String,
+      shares: Option[Long],
+      pctHeld: Option[BigDecimal],
+      reportedTs: Option[Long],
+      transaction: Option[String]) // for insider-transaction kinds
+
+  final case class CalendarEvents(
+      earningsDates: Seq[Long],
+      exDividendTs: Option[Long],
+      dividendTs: Option[Long])
+
+  final case class Recommendation(
+      period: String,
+      strongBuy: Int, buy: Int, hold: Int, sell: Int, strongSell: Int)
+
+  final case class RecommendationSummary(
+      mean: Option[BigDecimal],
+      key: Option[String]) // e.g. "buy"
+
+  final case class PriceTarget(
+      low: Option[BigDecimal],
+      high: Option[BigDecimal],
+      mean: Option[BigDecimal],
+      median: Option[BigDecimal],
+      analysts: Option[Int])
+
+  final case class UpgradeDowngrade(
+      ts: Long,
+      firm: String,
+      toGrade: String,
+      fromGrade: Option[String],
+      action: String) // up | down | init | main
 }

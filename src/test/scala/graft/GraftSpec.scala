@@ -110,4 +110,24 @@ class GraftSpec extends SparkSpec {
     // sentinel NOTFOUND flows through typed routing too
     assert(g.earnings(Instrument(Symbol("NOTFOUND"), None, AssetKind.Equity)).isLeft)
   }
+
+  test("full typed capability surface: holders, calendar, recommendations, price target, upgrades") {
+    import _root_.graft.core.Payloads._
+    val g = graft()
+    HolderKind.all.foreach { kind =>
+      val Right(rows) = g.holders(aapl, kind)
+      assert(rows.size == 2, kind.id)
+      assert(rows.forall(_.transaction.isDefined == kind.id.startsWith("insider")), kind.id)
+    }
+    val Right(cal) = g.calendar(aapl)
+    assert(cal.earningsDates.size == 2 && cal.exDividendTs.isDefined)
+    val Right(recs) = g.recommendations(aapl)
+    assert(recs.map(_.period) == Seq("0m", "-1m"))
+    val Right(sum) = g.recommendationsSummary(aapl)
+    assert(sum.key.contains("buy"))
+    val Right(pt) = g.priceTarget(aapl)
+    assert(pt.low.exists(_ < pt.high.get))
+    val Right(ud) = g.upgradesDowngrades(aapl)
+    assert(ud.head.action == "up")
+  }
 }
