@@ -65,7 +65,9 @@ class MockConnector(
         val p = BigDecimal(100) + BigDecimal((seed(inst.symbol.value) + i) % 50)
         Candle(inst.symbol.value, ts, p, p + 2, p - 2, p + 1, None, Some(1000 + i), "USD")
       }
-      HistoryResponse(candles, Seq.empty, adjusted = script.adjusted, meta = script.meta)
+      val actions =
+        if (req.actions) script.actions.map(_.copy(symbol = inst.symbol.value)) else Seq.empty
+      HistoryResponse(candles, actions, adjusted = script.adjusted, meta = script.meta)
     }
 
   override def search(query: String): Either[BorsaError, Seq[SearchResult]] =
@@ -188,6 +190,7 @@ object MockConnector {
       supportedIntervals: Seq[Interval] = Seq(Interval.I1m, Interval.I5m, Interval.I1h, Interval.D1),
       adjusted: Boolean = true,
       meta: Option[HistoryMeta] = None,
+      actions: Seq[Action] = Seq.empty,
       maxCandles: Long = 1000L,
       exchanges: Map[String, String] = Map.empty,
       searchResults: Map[String, Seq[SearchResult]] = Map.empty,

@@ -62,6 +62,35 @@ object HistoryOrchestrator {
     spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), candleSchema)
   }
 
+  val actionSchema: StructType = StructType(Seq(
+    StructField("symbol", StringType), StructField("ts", LongType),
+    StructField("kind", StringType), StructField("amount", DecimalType(38, 9)),
+    StructField("currency", StringType), StructField("numerator", LongType),
+    StructField("denominator", LongType)))
+
+  def actionsToDf(spark: SparkSession, actions: Seq[Action]): DataFrame = {
+    val rows = actions.map { a =>
+      Row(a.symbol, a.ts, a.kind, a.amount.map(_.bigDecimal).orNull,
+        a.currency.orNull, a.numerator.map(Long.box).orNull,
+        a.denominator.map(Long.box).orNull)
+    }
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), actionSchema)
+  }
+
+  /** Range XOR period validation (download.rs:10-27,130-213). */
+  def validateRequest(req: HistoryRequest): Either[BorsaError, HistoryRequest] = {
+    val hasRange = req.startEpoch.isDefined || req.endEpoch.isDefined
+    (req.period, hasRange) match {
+      case (Some(_), true)  => Left(BorsaError.InvalidArg("period and start/end are mutually exclusive"))
+      case (None, false)    => Left(BorsaError.InvalidArg("history request needs a period or a [start,end) range"))
+      case _ =>
+        (req.startEpoch, req.endEpoch) match {
+          case (Some(s), Some(e)) if s >= e => Left(BorsaError.InvalidArg("start must precede end"))
+          case _ => Right(req)
+        }
+    }
+  }
+
   /** Plan stage: eligible connectors (policy order ∩ kind ∩ capability) with
     * their negotiated effective request + resample plan
     * (history.rs:388-443).
@@ -88,7 +117,8 @@ object HistoryOrchestrator {
       attribution: DataFrame,
       adjusted: Boolean,
       meta: Option[HistoryMeta],
-      warnings: Seq[BorsaError])
+      warnings: Seq[BorsaError],
+      actions: Option[DataFrame] = None)
 
   /** Execute the full pipeline for one instrument. */
   def history(
@@ -98,6 +128,10 @@ object HistoryOrchestrator {
       connectors: Seq[Connector],
       policy: Policy.ProviderPolicy = Policy.ProviderPolicy(),
       config: Config = Config()): Either[BorsaError, HistoryResult] = {
+    validateRequest(req) match {
+      case Left(e) => return Left(e)
+      case Right(_) => ()
+    }
     val planned = planProviders(inst, req, connectors, policy)
     if (planned.isEmpty) return Left(BorsaError.Unsupported("history"))
 
@@ -128,7 +162,9 @@ object HistoryOrchestrator {
     val successes = fetched.collect {
       case (i, c, plan, Right(resp)) if resp.candles.nonEmpty =>
         HistoryRouter.ProviderHistory(c.name, i, resp.adjusted, resp.meta, plan,
-          candlesToDf(spark, resp.candles))
+          candlesToDf(spark, resp.candles),
+          actions = if (req.actions && resp.actions.nonEmpty)
+            Some(actionsToDf(spark, resp.actions)) else None)
     }
     val errors = fetched.collect {
       case (_, c, _, Left(e)) if !e.isInstanceOf[BorsaError.NotFound] =>
@@ -149,7 +185,8 @@ object HistoryOrchestrator {
       HistoryResult(
         HistoryRouter.applyFinalResample(m.candles, config.finalResample),
         m.attribution, m.adjusted, m.meta,
-        warnings = errors.filter(_.isActionable))
+        warnings = errors.filter(_.isActionable),
+        actions = m.actions)
     }
   }
 

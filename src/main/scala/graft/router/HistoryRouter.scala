@@ -120,12 +120,13 @@ object HistoryRouter {
       results.sortBy(_.priority).filter(_.adjusted == top.adjusted)
     }
 
-  /** Merged result: candles + adjusted flag + meta + attribution spans. */
+  /** Merged result: candles + deduped actions + flags + attribution. */
   final case class MergedHistory(
       candles: DataFrame,
       attribution: DataFrame,
       adjusted: Boolean,
-      meta: Option[HistoryMeta])
+      meta: Option[HistoryMeta],
+      actions: Option[DataFrame] = None)
 
   /** H5+M1+H6 — the one-logical-plan merge: union with priority →
     * first-wins on (symbol, ts) → close_unadj cleared; mixed currency →
@@ -166,7 +167,15 @@ object HistoryRouter {
     // all contributors; meta = first non-None by priority
     val adjusted = results.minBy(_.priority).adjusted && results.forall(_.adjusted)
     val meta = results.sortBy(_.priority).flatMap(_.meta).headOption
-    Right(MergedHistory(candles.drop("provider"), attribution, adjusted, meta))
+
+    // M1 action handling (merge.rs:104-109): concatenate all contributors'
+    // actions, then M3 canonical dedup
+    val actionFrames = results.sortBy(_.priority).flatMap(_.actions)
+    val mergedActions =
+      if (actionFrames.isEmpty) None
+      else Some(graft.timeseries.Merge.dedupActions(actionFrames.reduce(_ unionByName _)))
+
+    Right(MergedHistory(candles.drop("provider"), attribution, adjusted, meta, mergedActions))
   }
 
   /** H7 `apply_final_resample` (history.rs:636-664): forced daily/weekly, or

@@ -84,4 +84,31 @@ class HistoryOrchestratorSpec extends SparkSpec {
       download(spark, Seq(inst, inst), req, Seq(conn))
     }
   }
+
+  test("merged actions: concatenated across providers, canonically deduped (M1+M3)") {
+    import graft.core.Model.Action
+    val div = Action("", 1704067200L, "dividend", Some(BigDecimal(1)), Some("USD"), None, None)
+    val split = Action("", 1704153600L, "split", None, None, Some(2L), Some(1L))
+    val a = new MockConnector("pa", MockConnector.Script(actions = Seq(div, split)))
+    val b = new MockConnector("pb", MockConnector.Script(actions = Seq(div))) // duplicate dividend
+    val Right(res) = history(spark, inst, req, Seq(a, b))
+    val acts = res.actions.get.collect()
+    assert(acts.length == 2) // duplicate dividend deduped
+    assert(acts.map(_.getAs[String]("kind")).toSeq == Seq("dividend", "split"))
+    // actions=false suppresses them
+    val Right(noActs) = history(spark, inst, req.copy(actions = false), Seq(a, b))
+    assert(noActs.actions.isEmpty)
+  }
+
+  test("request validation: period xor range, start < end (download.rs:10-27)") {
+    val conn = new MockConnector("m")
+    assert(history(spark, inst,
+      HistoryRequest(Interval.D1, Some(1L), Some(2L), Some("1mo")), Seq(conn)).isLeft)
+    assert(history(spark, inst,
+      HistoryRequest(Interval.D1, None, None, None), Seq(conn)).isLeft)
+    assert(history(spark, inst,
+      HistoryRequest(Interval.D1, Some(5L), Some(5L), None), Seq(conn)).isLeft)
+    assert(history(spark, inst,
+      HistoryRequest(Interval.D1, None, None, Some("1mo")), Seq(conn)).isRight)
+  }
 }
