@@ -32,6 +32,15 @@ object SparkEntry {
   private def withTicks(body: String): String =
     s"WITH ticks AS (${Tables.ticksSql}),\n$body"
 
+  /** Oracle-facing rename for OHLC aggregated over `price_micros`: the unit
+    * change is part of the column name so the BIGINT cutover (VERDICT r2
+    * "Next round" #1) is explicit on both sides of the hash compare.
+    */
+  private def microsOhlc(df: DataFrame): DataFrame =
+    df.withColumnsRenamed(Map(
+      "open" -> "open_micros", "high" -> "high_micros",
+      "low" -> "low_micros", "close" -> "close_micros"))
+
   // ---------------------------------------------------------------- flagship
 
   /** Flagship §3.1 history pipeline on sf0.001: per-provider daily resample →
@@ -59,40 +68,44 @@ object SparkEntry {
     graft.pipeline.PipelineQueries.queries
 
   private def coreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // QI-TPCH sanity — decimal/timestamp semantics pin (TPC-H Q1 shape)
+    // QI-TPCH sanity (TPC-H Q1 shape) — integer fixed-point outputs: the
+    // decimal→int scaling is the single rounding step (decimal(18,2)*100 is
+    // integral by construction), so sums are exact BIGINTs on both sides.
+    // qty ×100; revenue in cent·percent (×10⁴ of dollars).
     "q1_tpch_agg" -> ((s, dir) => {
+      val cents = (c: Column) => (c.cast(DecimalType(18, 2)) * 100).cast(LongType)
       Tables.lineitem(s, dir)
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-          sum(col("l_quantity").cast(DecimalType(18, 2))).cast(DecimalType(38, 2)).as("sum_qty"),
-          sum((col("l_extendedprice").cast(DecimalType(18, 2)) *
-               (lit(1) - col("l_discount").cast(DecimalType(18, 2))))).cast(DecimalType(38, 4)).as("sum_revenue"),
+          sum(cents(col("l_quantity"))).as("sum_qty_x100"),
+          sum(cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount"))))
+            .as("sum_revenue_x10k"),
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus")
     }),
 
-    // QI-R2 daily OHLCV resample (R1+R2)
+    // QI-R2 daily OHLCV resample (R1+R2) — integer micro-unit outputs
     "qi_r2_daily" -> ((s, dir) => {
-      Resample.toDaily(Tables.ticks(s, dir))
+      microsOhlc(Resample.toDaily(Tables.ticks(s, dir), priceCol = "price_micros"))
         .orderBy("symbol", "bucket_ts")
     }),
 
     // QI-R3 Monday-anchored weekly resample (R3)
     "qi_r3_weekly" -> ((s, dir) => {
-      Resample.toWeekly(Tables.ticks(s, dir))
+      microsOhlc(Resample.toWeekly(Tables.ticks(s, dir), priceCol = "price_micros"))
         .orderBy("symbol", "bucket_ts")
     }),
 
     // QI-R5 5-minute resample (R5)
     "qi_r5_minutes" -> ((s, dir) => {
-      Resample.toMinutes(Tables.ticks(s, dir), 5)
+      microsOhlc(Resample.toMinutes(Tables.ticks(s, dir), 5, priceCol = "price_micros"))
         .orderBy("symbol", "bucket_ts")
     }),
 
     // QI-M1 priority merge, first-wins on (symbol, hour) (M1/M2)
     "qi_m1_merge" -> ((s, dir) => {
       mergedHourly(Tables.ticks(s, dir))
-        .select("symbol", "bucket_ts", "price", "volume", "provider", "arrival")
+        .select("symbol", "bucket_ts", "price_micros", "volume", "provider", "arrival")
         .orderBy("symbol", "bucket_ts")
     }),
 
@@ -136,7 +149,7 @@ object SparkEntry {
       t.withColumn("rn", row_number().over(w))
         .withColumn("first_seen", min(col("arrival")).over(wSym))
         .filter(col("rn") === 1)
-        .select("symbol", "provider", "price", "arrival", "first_seen")
+        .select("symbol", "provider", "price_micros", "arrival", "first_seen")
         .orderBy("first_seen", "symbol")
     }),
 
@@ -175,14 +188,15 @@ object SparkEntry {
         .groupBy("o_custkey")
         .agg(
           count(lit(1)).as("order_cnt"),
-          sum(col("o_totalprice").cast(DecimalType(18, 2))).cast(DecimalType(38, 2)).as("total_spent"))
+          sum((col("o_totalprice").cast(DecimalType(18, 2)) * 100).cast(LongType))
+            .as("total_spent_cents"))
       c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"), "left")
         .join(o, c("c_custkey") === o("o_custkey"), "left")
         .select(
           col("c_custkey"),
           coalesce(col("n_name"), lit("UNKNOWN")).as("nation_name"),
           coalesce(col("order_cnt"), lit(0L)).as("order_cnt"),
-          coalesce(col("total_spent"), lit(BigDecimal(0)).cast(DecimalType(38, 2))).as("total_spent"))
+          coalesce(col("total_spent_cents"), lit(0L)).as("total_spent_cents"))
         .orderBy("c_custkey")
     }),
 
@@ -191,10 +205,10 @@ object SparkEntry {
       val t = Tables.ticks(s, dir)
       t.groupBy("symbol")
         .agg(
-          min_by(col("price"), col("ts")).as("open"),
-          max(col("price")).as("high"),
-          min(col("price")).as("low"),
-          max_by(col("price"), col("ts")).as("close"),
+          min_by(col("price_micros"), col("ts")).as("open_micros"),
+          max(col("price_micros")).as("high_micros"),
+          min(col("price_micros")).as("low_micros"),
+          max_by(col("price_micros"), col("ts")).as("close_micros"),
           sum(col("volume")).as("volume"),
           count(lit(1)).as("n_ticks"))
         .orderBy("symbol")
@@ -203,7 +217,7 @@ object SparkEntry {
     // QI-R4 fixed-offset daily resample (R4, offset form): local midnight at
     // UTC-5 emitted back as UTC epoch
     "qi_r4_offset_daily" -> ((s, dir) => {
-      Resample.toDailyOffset(Tables.ticks(s, dir), -18000L)
+      microsOhlc(Resample.toDailyOffset(Tables.ticks(s, dir), -18000L, priceCol = "price_micros"))
         .orderBy("symbol", "bucket_ts")
     }),
 
@@ -289,7 +303,7 @@ object SparkEntry {
       Tables.ticks(s, dir)
         .withColumn("rank", row_number().over(w).cast(LongType))
         .filter(col("rank") <= 3)
-        .select("symbol", "rank", "price", "volume", "arrival")
+        .select("symbol", "rank", "price_micros", "volume", "arrival")
         .orderBy("symbol", "rank")
     })
   )
@@ -302,37 +316,41 @@ object SparkEntry {
   private def coreOracleSql: Map[String, String] = Map(
     "q1_tpch_agg" ->
       """SELECT l_returnflag, l_linestatus,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS sum_revenue,
+        |  CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS sum_qty_x100,
+        |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |           * (100 - CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT))) AS BIGINT) AS sum_revenue_x10k,
         |  COUNT(*) AS count_order
         |FROM lineitem GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
 
     "qi_r2_daily" -> withTicks(
       """r AS (SELECT symbol, secs - secs % 86400 AS bucket_ts,
-        |  min_by(price, ts) AS open, max(price) AS high, min(price) AS low,
-        |  max_by(price, ts) AS close, CAST(sum(volume) AS BIGINT) AS volume
+        |  min_by(price_micros, ts) AS open_micros, max(price_micros) AS high_micros,
+        |  min(price_micros) AS low_micros, max_by(price_micros, ts) AS close_micros,
+        |  CAST(sum(volume) AS BIGINT) AS volume
         |FROM ticks GROUP BY 1,2)
         |SELECT * FROM r ORDER BY symbol, bucket_ts""".stripMargin),
 
     "qi_r3_weekly" -> withTicks(
       """r AS (SELECT symbol,
         |  ((secs // 86400) - ((secs // 86400 + 3) % 7)) * 86400 AS bucket_ts,
-        |  min_by(price, ts) AS open, max(price) AS high, min(price) AS low,
-        |  max_by(price, ts) AS close, CAST(sum(volume) AS BIGINT) AS volume
+        |  min_by(price_micros, ts) AS open_micros, max(price_micros) AS high_micros,
+        |  min(price_micros) AS low_micros, max_by(price_micros, ts) AS close_micros,
+        |  CAST(sum(volume) AS BIGINT) AS volume
         |FROM ticks GROUP BY 1,2)
         |SELECT * FROM r ORDER BY symbol, bucket_ts""".stripMargin),
 
     "qi_r5_minutes" -> withTicks(
       """r AS (SELECT symbol, secs - secs % 300 AS bucket_ts,
-        |  min_by(price, ts) AS open, max(price) AS high, min(price) AS low,
-        |  max_by(price, ts) AS close, CAST(sum(volume) AS BIGINT) AS volume
+        |  min_by(price_micros, ts) AS open_micros, max(price_micros) AS high_micros,
+        |  min(price_micros) AS low_micros, max_by(price_micros, ts) AS close_micros,
+        |  CAST(sum(volume) AS BIGINT) AS volume
         |FROM ticks GROUP BY 1,2)
         |SELECT * FROM r ORDER BY symbol, bucket_ts""".stripMargin),
 
     "qi_m1_merge" -> withTicks(
       mergedHourlySql +
       """
-        |SELECT symbol, bucket_ts, price, volume, provider, arrival
+        |SELECT symbol, bucket_ts, price_micros, volume, provider, arrival
         |FROM m ORDER BY symbol, bucket_ts""".stripMargin),
 
     "qi_m3_actions" -> withTicks(
@@ -375,11 +393,11 @@ object SparkEntry {
         |FROM s GROUP BY symbol, session, provider ORDER BY symbol, span_start""".stripMargin),
 
     "qi_s2_dedup_pref" -> withTicks(
-      """w AS (SELECT symbol, provider, price, arrival,
+      """w AS (SELECT symbol, provider, price_micros, arrival,
         |  row_number() OVER (PARTITION BY symbol ORDER BY (CASE provider WHEN 'prov_b' THEN 0 ELSE 1 END), arrival) AS rn,
         |  min(arrival) OVER (PARTITION BY symbol) AS first_seen
         |FROM ticks)
-        |SELECT symbol, provider, price, arrival, first_seen FROM w WHERE rn = 1
+        |SELECT symbol, provider, price_micros, arrival, first_seen FROM w WHERE rn = 1
         |ORDER BY first_seen, symbol""".stripMargin),
 
     "qi_h4_flags" -> withTicks(
@@ -403,12 +421,12 @@ object SparkEntry {
 
     "qi_q2_info_join" ->
       """WITH o AS (SELECT o_custkey, COUNT(*) AS order_cnt,
-        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_spent
+        |  CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS total_spent_cents
         |FROM orders GROUP BY 1)
         |SELECT c_custkey,
         |  COALESCE(n_name, 'UNKNOWN') AS nation_name,
         |  COALESCE(o.order_cnt, 0) AS order_cnt,
-        |  COALESCE(o.total_spent, CAST(0 AS DECIMAL(38,2))) AS total_spent
+        |  COALESCE(o.total_spent_cents, 0) AS total_spent_cents
         |FROM customer c
         |LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
         |LEFT JOIN o ON c.c_custkey = o.o_custkey
@@ -416,16 +434,18 @@ object SparkEntry {
 
     "qi_h8_bulk" -> withTicks(
       """r AS (SELECT symbol,
-        |  min_by(price, ts) AS open, max(price) AS high, min(price) AS low,
-        |  max_by(price, ts) AS close, CAST(sum(volume) AS BIGINT) AS volume, count(*) AS n_ticks
+        |  min_by(price_micros, ts) AS open_micros, max(price_micros) AS high_micros,
+        |  min(price_micros) AS low_micros, max_by(price_micros, ts) AS close_micros,
+        |  CAST(sum(volume) AS BIGINT) AS volume, count(*) AS n_ticks
         |FROM ticks GROUP BY symbol)
         |SELECT * FROM r ORDER BY symbol""".stripMargin),
 
     "qi_r4_offset_daily" -> withTicks(
       """r AS (SELECT symbol,
         |  (secs - 18000) - (secs - 18000) % 86400 + 18000 AS bucket_ts,
-        |  min_by(price, ts) AS open, max(price) AS high, min(price) AS low,
-        |  max_by(price, ts) AS close, CAST(sum(volume) AS BIGINT) AS volume
+        |  min_by(price_micros, ts) AS open_micros, max(price_micros) AS high_micros,
+        |  min(price_micros) AS low_micros, max_by(price_micros, ts) AS close_micros,
+        |  CAST(sum(volume) AS BIGINT) AS volume
         |FROM ticks GROUP BY 1,2)
         |SELECT * FROM r ORDER BY symbol, bucket_ts""".stripMargin),
 
@@ -480,10 +500,10 @@ object SparkEntry {
         |FROM d ORDER BY symbol, bucket_ts""".stripMargin),
 
     "qi_topk" -> withTicks(
-      """w AS (SELECT symbol, price, volume, arrival,
+      """w AS (SELECT symbol, price_micros, volume, arrival,
         |  row_number() OVER (PARTITION BY symbol ORDER BY volume DESC, arrival) AS rank
         |FROM ticks)
-        |SELECT symbol, rank, price, volume, arrival FROM w WHERE rank <= 3
+        |SELECT symbol, rank, price_micros, volume, arrival FROM w WHERE rank <= 3
         |ORDER BY symbol, rank""".stripMargin)
   )
 }
