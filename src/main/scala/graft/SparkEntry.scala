@@ -376,12 +376,15 @@ object SparkEntry {
         |FROM m LEFT JOIN med ON m.symbol = med.symbol
         |ORDER BY m.symbol""".stripMargin),
 
+    // delta > 0 (not just non-null): the reference skips duplicate
+    // timestamps (infer.rs:129-140), so zero deltas join neither side of
+    // the 60% ratio
     "qi_i2_subdaily" -> withTicks(
       """d AS (SELECT symbol, secs - lag(secs) OVER (PARTITION BY symbol ORDER BY secs, arrival) AS delta FROM ticks)
         |SELECT symbol,
         |  (sum(CASE WHEN delta < 86400 THEN 1 ELSE 0 END) >= 3
         |   AND sum(CASE WHEN delta < 86400 THEN 1 ELSE 0 END) * 5 >= count(*) * 3) AS subdaily
-        |FROM d WHERE delta IS NOT NULL GROUP BY symbol ORDER BY symbol""".stripMargin),
+        |FROM d WHERE delta > 0 GROUP BY symbol ORDER BY symbol""".stripMargin),
 
     "qi_h6_attribution" -> withTicks(
       mergedHourlySql +

@@ -34,7 +34,12 @@ object Fetch {
   })
   private lazy val ec = ExecutionContext.fromExecutor(pool)
 
-  /** Run one provider call under the per-provider timeout. */
+  /** Run one provider call under the per-provider timeout. A connector that
+    * THROWS (rather than returning Left) must not abort the fallback chain
+    * or vanish from a race's error set (the reference wraps every provider
+    * call result, core.rs:459-616) — any non-fatal throwable becomes a
+    * tagged Connector error so collapse semantics see it.
+    */
   def withTimeout[A](
       provider: String,
       capability: String,
@@ -43,6 +48,9 @@ object Fetch {
     try Await.result(fut, timeout)
     catch {
       case _: TimeoutException => Left(BorsaError.ProviderTimeout(provider, capability))
+      case scala.util.control.NonFatal(t) =>
+        Left(BorsaError.Connector(provider,
+          BorsaError.Other(s"${t.getClass.getSimpleName}: ${t.getMessage}")))
     }
   }
 

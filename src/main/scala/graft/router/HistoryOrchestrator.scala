@@ -120,18 +120,19 @@ object HistoryOrchestrator {
       warnings: Seq[BorsaError],
       actions: Option[DataFrame] = None)
 
-  /** Execute the full pipeline for one instrument. */
-  def history(
+  /** Per-instrument CONTROL plane (driver-side, record-level): plan → H1/H2
+    * fan-out → H3 collect successes → H4 order/filter. No Spark action runs
+    * here; the returned ProviderHistory frames are lazy plans. Shared by
+    * [[history]] (one instrument) and [[download]] (one data plane over all
+    * instruments).
+    */
+  private def fetchOrdered(
       spark: SparkSession,
       inst: Instrument,
       req: HistoryRequest,
       connectors: Seq[Connector],
-      policy: Policy.ProviderPolicy = Policy.ProviderPolicy(),
-      config: Config = Config()): Either[BorsaError, HistoryResult] = {
-    validateRequest(req) match {
-      case Left(e) => return Left(e)
-      case Right(_) => ()
-    }
+      policy: Policy.ProviderPolicy,
+      config: Config): Either[BorsaError, (Seq[HistoryRouter.ProviderHistory], Seq[BorsaError])] = {
     val planned = planProviders(inst, req, connectors, policy)
     if (planned.isEmpty) return Left(BorsaError.Unsupported("history"))
 
@@ -179,20 +180,56 @@ object HistoryOrchestrator {
       return Left(Errors.collapse(errors, "history",
         Some(s"history for ${inst.symbol.value}")))
 
-    // H4 → M1/H5/H6 → H7
-    val ordered = HistoryRouter.orderAndFilter(successes, config.preferAdjusted)
-    HistoryRouter.merge(ordered).map { m =>
-      HistoryResult(
-        HistoryRouter.applyFinalResample(m.candles, config.finalResample),
-        m.attribution, m.adjusted, m.meta,
-        warnings = errors.filter(_.isActionable),
-        actions = m.actions)
+    Right((HistoryRouter.orderAndFilter(successes, config.preferAdjusted), errors))
+  }
+
+  /** Merged adjusted-flag algebra per instrument (merge.rs:32-37,76-102):
+    * first contributor AND all contributors.
+    */
+  private def adjustedOf(ordered: Seq[HistoryRouter.ProviderHistory]): Boolean =
+    ordered.nonEmpty && ordered.minBy(_.priority).adjusted && ordered.forall(_.adjusted)
+
+  private def metaOf(ordered: Seq[HistoryRouter.ProviderHistory]): Option[HistoryMeta] =
+    ordered.sortBy(_.priority).flatMap(_.meta).headOption
+
+  /** Execute the full pipeline for one instrument. */
+  def history(
+      spark: SparkSession,
+      inst: Instrument,
+      req: HistoryRequest,
+      connectors: Seq[Connector],
+      policy: Policy.ProviderPolicy = Policy.ProviderPolicy(),
+      config: Config = Config()): Either[BorsaError, HistoryResult] = {
+    validateRequest(req) match {
+      case Left(e) => return Left(e)
+      case Right(_) => ()
+    }
+    fetchOrdered(spark, inst, req, connectors, policy, config).flatMap {
+      case (ordered, errors) =>
+        // H4 → M1/H5/H6 → H7
+        HistoryRouter.merge(ordered).map { m =>
+          HistoryResult(
+            HistoryRouter.applyFinalResample(m.candles, config.finalResample, m.meta),
+            m.attribution, m.adjusted, m.meta,
+            warnings = errors.filter(_.isActionable),
+            actions = m.actions)
+        }
     }
   }
 
-  /** H8 bulk download across instruments: symbol-keyed union — the merge
-    * plan is identical, Spark collapses the fan-out into groupBy(symbol,…).
-    * Per-instrument failures become warnings (download.rs:130-213).
+  /** H8 bulk download across instruments as ONE data plane: the control
+    * plane (plan/fetch/order) stays per-instrument — H4 adjusted filtering
+    * and provider ranking are instrument-local decisions — but every
+    * surviving provider frame is symbol-tagged already, so ALL of them feed
+    * a single union → one currency guard → one first-wins window → one
+    * attribution pass. Priorities are per-instrument ranks; the merge key
+    * (symbol, ts) means ranks only ever compete within their own
+    * instrument. Per-instrument failures become warnings, partial success
+    * succeeds (download.rs:130-213); merged actions ARE propagated.
+    *
+    * The final resample groups instruments by their merged meta (each
+    * instrument's bucket alignment follows its own providers' timezone) —
+    * one resample branch per distinct meta, one branch in the common case.
     */
   def download(
       spark: SparkSession,
@@ -204,18 +241,40 @@ object HistoryOrchestrator {
     val distinctSyms = instruments.map(_.symbol.value)
     require(distinctSyms.distinct.size == distinctSyms.size,
       "duplicate instrument keys in download request") // download.rs:10-27
-    val results = instruments.map(i => i -> history(spark, i, req, connectors, policy, config))
-    val oks = results.collect { case (_, Right(r)) => r }
-    val warnings = results.collect { case (i, Left(e)) =>
+    validateRequest(req) match {
+      case Left(e) => return Left(e)
+      case Right(_) => ()
+    }
+    val per = instruments.map(i =>
+      i -> fetchOrdered(spark, i, req, connectors, policy, config))
+    val oks = per.collect { case (i, Right((ordered, errs))) => (i, ordered, errs) }
+    val failWarnings = per.collect { case (i, Left(e)) =>
       BorsaError.Connector(i.symbol.value, e) }
-    if (oks.isEmpty)
-      Left(Errors.collapse(warnings, "download", None))
-    else
-      Right(HistoryResult(
-        oks.map(_.candles).reduce(_ unionByName _),
-        oks.map(_.attribution).reduce(_ unionByName _),
-        oks.forall(_.adjusted),
-        oks.flatMap(_.meta).headOption,
-        oks.flatMap(_.warnings) ++ warnings))
+    if (oks.isEmpty) return Left(Errors.collapse(failWarnings, "download", None))
+
+    // ONE merge plan across all instruments
+    val allProviders = oks.flatMap { case (_, ordered, _) => ordered }
+    HistoryRouter.merge(allProviders).map { m =>
+      val metaGroups: Seq[(Option[HistoryMeta], Seq[String])] =
+        oks.groupBy { case (_, ordered, _) => metaOf(ordered) }
+          .view.mapValues(_.map(_._1.symbol.value)).toSeq
+      val finalCandles = (config.finalResample, metaGroups) match {
+        case (HistoryRouter.FinalResample.None, _) => m.candles
+        case (mode, Seq((onlyMeta, _))) =>
+          HistoryRouter.applyFinalResample(m.candles, mode, onlyMeta)
+        case (mode, groups) =>
+          groups.map { case (meta, syms) =>
+            HistoryRouter.applyFinalResample(
+              m.candles.filter(col("symbol").isin(syms: _*)), mode, meta)
+          }.reduce(_ unionByName _)
+      }
+      HistoryResult(
+        finalCandles,
+        m.attribution,
+        oks.forall { case (_, ordered, _) => adjustedOf(ordered) },
+        oks.flatMap { case (_, ordered, _) => metaOf(ordered) }.headOption,
+        oks.flatMap(_._3.filter(_.isActionable)) ++ failWarnings,
+        actions = m.actions)
+    }
   }
 }

@@ -77,24 +77,41 @@ object HistoryRouter {
       candles: DataFrame,
       actions: Option[DataFrame] = None)
 
+  /** Meta-aware bucket column — the reference's `choose_bucket_{day,week,
+    * minutes}` (resample.rs:279-320): IANA timezone preferred (DST-exact via
+    * the native [[graft.functions.TzBucket]] expression), fixed UTC offset
+    * fallback, plain UTC otherwise. Applies to ALL three plan shapes — a
+    * provider reporting a timezone gets local trading-day/Monday/minute
+    * alignment, not UTC midnight splits.
+    */
+  def bucketFor(plan: ResamplePlan, meta: Option[HistoryMeta], secs: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val tz  = meta.flatMap(_.timezone)
+    val off = meta.flatMap(_.utcOffsetSeconds)
+    plan match {
+      case ResamplePlan.Minutes(m) =>
+        tz.map(z => graft.functions.TzBucket.localMinutes(secs, z, m.toInt))
+          .orElse(off.map(o => Resample.minuteBucket(secs + o, m.toInt) - o))
+          .getOrElse(Resample.minuteBucket(secs, m.toInt))
+      case ResamplePlan.Daily =>
+        tz.map(z => graft.functions.TzBucket.localDay(secs, z))
+          .orElse(off.map(o => Resample.dailyBucket(secs + o) - o))
+          .getOrElse(Resample.dailyBucket(secs))
+      case ResamplePlan.Weekly =>
+        tz.map(z => graft.functions.TzBucket.localWeek(secs, z))
+          .orElse(off.map(o => Resample.weeklyBucket(secs + o) - o))
+          .getOrElse(Resample.weeklyBucket(secs))
+    }
+  }
+
   /** H3 — apply each provider's resample plan with its own meta
     * (history.rs:521-576). NOTE: candle-shaped resample (open of earliest,
     * close of latest) — not the tick kernel.
     */
   def applyPlan(ph: ProviderHistory): DataFrame = {
-    val secs = col("ts")
     ph.plan match {
       case None => ph.candles
       case Some(plan) =>
-        val bucket = plan match {
-          case ResamplePlan.Minutes(m) => Resample.minuteBucket(secs, m.toInt)
-          case ResamplePlan.Daily =>
-            (ph.meta.flatMap(_.utcOffsetSeconds)) match {
-              case Some(off) => Resample.dailyBucket(secs + off) - off
-              case None      => Resample.dailyBucket(secs)
-            }
-          case ResamplePlan.Weekly => Resample.weeklyBucket(secs)
-        }
+        val bucket = bucketFor(plan, ph.meta, col("ts"))
         // currency rides along as a group key: post-C2 it is functionally
         // dependent on symbol, so this adds no groups and no extra shuffle
         val keys =
@@ -128,10 +145,24 @@ object HistoryRouter {
       meta: Option[HistoryMeta],
       actions: Option[DataFrame] = None)
 
+  /** Marker text of the in-plan currency guard; [[diagnosed]] keys on it. */
+  private val CurrencyGuardMsg = "currency invariant violated"
+
   /** H5+M1+H6 — the one-logical-plan merge: union with priority →
-    * first-wins on (symbol, ts) → close_unadj cleared; mixed currency →
-    * per-provider diagnostic (who broke the invariant); attribution spans
-    * from the winning rows.
+    * currency guard → first-wins on (symbol, ts) → close_unadj cleared;
+    * attribution spans from the winning rows.
+    *
+    * The currency invariant (history.rs:205-274: no symbol may mix
+    * currencies across contributing providers, checked BEFORE the merge
+    * hides rows) is enforced LAZILY, in-plan: a window min/max over
+    * `symbol` feeds a `raise_error` guard consumed by a filter. The guard
+    * window needs only hash-distribution by `symbol`, which the first-wins
+    * window (partitioned by (symbol, ts)) can reuse — so the clean path
+    * costs ZERO extra Spark jobs and zero extra exchanges, where the
+    * previous eager form ran 2 full driver-blocking scans per merge. On
+    * violation the consuming action throws; callers run actions through
+    * [[diagnosed]] to map the failure to the reference's typed error with
+    * the deviating provider named.
     */
   def merge(results: Seq[ProviderHistory]): Either[BorsaError, MergedHistory] = {
     require(results.nonEmpty, "merge of zero histories")
@@ -142,23 +173,19 @@ object HistoryRouter {
     }
     val unioned = tagged.reduce(_ unionByName _)
 
-    // H5 currency diagnostic (history.rs:205-274): providers mixing
-    // currencies within a symbol, checked BEFORE the merge hides rows.
-    val bad = Currency.violations(unioned, Seq("provider", "symbol")).limit(1).collect()
-    if (bad.nonEmpty)
-      return Left(BorsaError.Connector(bad.head.getString(0), BorsaError.InconsistentCurrencyData))
-    val crossBad = Currency.violations(unioned, Seq("symbol")).limit(1).collect()
-    if (crossBad.nonEmpty) {
-      // deviating provider: first (by priority) whose currency differs from
-      // the reference (top-priority) provider's currency
-      val ref = unioned.where(col("__prio") === results.map(_.priority).min)
-        .select("currency").limit(1).collect()(0).getString(0)
-      val deviating = unioned.where(col("currency") =!= ref)
-        .orderBy("__prio").select("provider").limit(1).collect()(0).getString(0)
-      return Left(BorsaError.Connector(deviating, BorsaError.InconsistentCurrencyData))
-    }
+    val guarded =
+      if (!unioned.columns.contains("currency")) unioned
+      else {
+        val wSym = org.apache.spark.sql.expressions.Window.partitionBy("symbol")
+        unioned
+          .withColumn("__cur_guard",
+            when(min(col("currency")).over(wSym) =!= max(col("currency")).over(wSym),
+              raise_error(concat(lit(s"$CurrencyGuardMsg for symbol "), col("symbol")))))
+          .where(col("__cur_guard").isNull)
+          .drop("__cur_guard")
+      }
 
-    val merged = Merge.firstWins(unioned, Seq("symbol", "ts"), "__prio")
+    val merged = Merge.firstWins(guarded, Seq("symbol", "ts"), "__prio")
       .withColumn("close_unadj", lit(null).cast("decimal(38,9)")) // merge.rs:93-95
     val attribution = Attribution.spans(merged, Seq("symbol"), "ts")
     val candles = merged.drop("__prio")
@@ -178,6 +205,60 @@ object HistoryRouter {
     Right(MergedHistory(candles.drop("provider"), attribution, adjusted, meta, mergedActions))
   }
 
+  /** H5 failure-path diagnosis (history.rs:205-274): run only AFTER the
+    * in-plan guard aborted an action. ONE combined aggregation keyed by
+    * (provider, priority, symbol) — its output is tiny (≤ providers ×
+    * symbols rows), so the naming logic runs driver-side:
+    * a provider mixing currencies within its own (symbol) is blamed first;
+    * otherwise the lowest-priority provider whose currency deviates from
+    * the top-priority provider's reference currency.
+    */
+  def diagnoseCurrency(results: Seq[ProviderHistory]): Option[BorsaError] = {
+    val tagged = results.map { r =>
+      applyPlan(r)
+        .withColumn("__prio", lit(r.priority))
+        .withColumn("provider", lit(r.provider))
+    }
+    val unioned = tagged.reduce(_ unionByName _)
+    if (!unioned.columns.contains("currency")) return None
+    val stats = unioned
+      .groupBy("provider", "__prio", "symbol")
+      .agg(collect_set(col("currency")).as("curs"))
+      .collect()
+      .map(r => (r.getAs[String]("provider"), r.getAs[Int]("__prio"),
+        r.getAs[String]("symbol"), r.getSeq[String](3).sorted))
+
+    // (a) provider-internal violation
+    stats.filter(_._4.length > 1).sortBy(s => (s._2, s._3)).headOption match {
+      case Some((p, _, _, _)) =>
+        return Some(BorsaError.Connector(p, BorsaError.InconsistentCurrencyData))
+      case None => ()
+    }
+    // (b) cross-provider deviation from the top-priority reference currency
+    val bySymbol = stats.groupBy(_._3)
+    bySymbol.toSeq.sortBy(_._1).flatMap { case (_, rows) =>
+      val ref = rows.minBy(_._2)._4.headOption
+      rows.sortBy(_._2).find(r => ref.exists(c => r._4.exists(_ != c)))
+    }.sortBy(_._2).headOption.map { case (p, _, _, _) =>
+      BorsaError.Connector(p, BorsaError.InconsistentCurrencyData)
+    }
+  }
+
+  /** Run a Spark action over a merged plan, mapping an in-plan currency
+    * guard failure to the reference's typed error (with the deviating
+    * provider identified by the one-pass [[diagnoseCurrency]]).
+    */
+  def diagnosed[T](results: Seq[ProviderHistory])(action: => T): Either[BorsaError, T] =
+    try Right(action) catch {
+      case t: Throwable if causeChain(t).exists(e =>
+          Option(e.getMessage).exists(_.contains(CurrencyGuardMsg))) =>
+        Left(diagnoseCurrency(results)
+          .getOrElse(BorsaError.Data(CurrencyGuardMsg)))
+    }
+
+  private def causeChain(t: Throwable): Seq[Throwable] =
+    Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(16).toSeq
+
   /** H7 `apply_final_resample` (history.rs:636-664): forced daily/weekly, or
     * auto-daily when the series is subdaily; clears close_unadj whenever a
     * resample ran.
@@ -190,35 +271,33 @@ object HistoryRouter {
     case object AutoDaily extends FinalResample
   }
 
-  def applyFinalResample(merged: DataFrame, mode: FinalResample): DataFrame = {
-    def run(bucket: org.apache.spark.sql.Column) =
-      Resample.resampleCandles(merged, bucket).withColumnRenamed("bucket_ts", "ts")
+  /** Final resample honors the MERGED meta (history.rs:642-658 routes
+    * through `resample_to_*_with_meta`): tz-local or offset-local buckets
+    * when the surviving provider reported them.
+    */
+  def applyFinalResample(
+      merged: DataFrame,
+      mode: FinalResample,
+      meta: Option[HistoryMeta] = scala.None): DataFrame = {
+    def run(df: DataFrame, plan: ResamplePlan) =
+      Resample.resampleCandles(df, bucketFor(plan, meta, col("ts")))
+        .withColumnRenamed("bucket_ts", "ts")
     mode match {
       case FinalResample.None   => merged
-      case FinalResample.Daily  => run(Resample.dailyBucket(col("ts")))
-      case FinalResample.Weekly => run(Resample.weeklyBucket(col("ts")))
+      case FinalResample.Daily  => run(merged, ResamplePlan.Daily)
+      case FinalResample.Weekly => run(merged, ResamplePlan.Weekly)
       case FinalResample.AutoDaily =>
-        // I2 on the merged series: resample only if subdaily
+        // I2 on the merged series: resample only if subdaily. The decision
+        // is inherently a driver-side boolean (it picks the plan shape), so
+        // cache the merged frame first: the decision pass materializes it
+        // and the chosen branch re-reads the cache instead of recomputing
+        // the whole upstream union+merge a second time.
+        val cached = merged.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val deltas = graft.timeseries.Infer.isSubdaily(
-          merged.withColumn("secs", col("ts")), tiebreak = Seq("ts"))
+          cached.withColumn("secs", col("ts")), tiebreak = Seq("ts"))
         val subdaily = deltas.where(col("subdaily")).limit(1).collect().nonEmpty
-        if (subdaily) run(Resample.dailyBucket(col("ts"))) else merged
+        if (subdaily) run(cached, ResamplePlan.Daily) else cached
     }
   }
 
-  /** H8 bulk download: the entire pipeline already keys by `symbol`, so a
-    * multi-instrument download IS the same plan on a union of inputs —
-    * Spark collapses "bulk" into groupBy(symbol, bucket). Partial failures
-    * surface as warnings (download.rs:130-213), not aborts.
-    */
-  def download(
-      perInstrument: Seq[(String, Either[BorsaError, Seq[ProviderHistory]])]): (Seq[(String, MergedHistory)], Seq[BorsaError]) = {
-    val (oks, errs) = perInstrument.partition(_._2.isRight)
-    val merged = oks.flatMap { case (sym, Right(results)) =>
-      if (results.isEmpty) None
-      else merge(results).toOption.map(sym -> _)
-    }
-    val warnings = errs.collect { case (sym, Left(e)) => BorsaError.Connector(sym, e) }
-    (merged, warnings)
-  }
 }

@@ -63,9 +63,16 @@ object Infer {
           .as("step_seconds"))
   }
 
-  /** I2 — per-symbol subdaily flag. */
+  /** I2 — per-symbol subdaily flag. The reference walks DISTINCT sorted
+    * timestamps (infer.rs:129-140 advances `last` only on a positive delta,
+    * i.e. duplicate timestamps are skipped) — over a sorted stream that is
+    * exactly `delta > 0`, so zero deltas count toward neither side of the
+    * 60% ratio. Symbols with no positive delta (all rows share one ts)
+    * produce no output row, matching the reference's `false` by absence.
+    */
   def isSubdaily(df: DataFrame, tiebreak: Seq[String] = Seq("arrival")): DataFrame =
     deltas(df, tiebreak)
+      .filter(col("delta") > 0)
       .groupBy("symbol")
       .agg(
         sum(when(col("delta") < 86400, 1L).otherwise(0L)).as("n_subdaily"),

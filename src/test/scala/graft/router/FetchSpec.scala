@@ -9,6 +9,31 @@ import graft.router.Fetch._
 
 class FetchSpec extends AnyFunSuite {
 
+  test("F3 a THROWING connector becomes a tagged Connector error and the chain continues") {
+    val result = prioritySequential[Int](Seq(
+      "boom" -> (() => throw new RuntimeException("kapow")),
+      "ok" -> (() => Right(42))), "quote")
+    assert(result == Right(42))
+    // all throwing: the thrown error is recorded, not lost
+    prioritySequential[Int](Seq(
+      "boom" -> (() => throw new RuntimeException("kapow"))), "quote") match {
+      case Left(BorsaError.AllProvidersFailed(
+        Seq(BorsaError.Connector("boom", BorsaError.Other(msg))))) =>
+        assert(msg.contains("kapow"))
+      case other => fail(s"expected tagged Connector error in the collapse, got $other")
+    }
+  }
+
+  test("F4 all-fail race records thrown errors and collapses to AllProvidersFailed, not Unsupported") {
+    latencyRace[Int](Seq(
+      "boom" -> (() => throw new RuntimeException("kapow")),
+      "bad" -> (() => Left(BorsaError.Data("x")))), "quote") match {
+      case Left(BorsaError.AllProvidersFailed(errs)) =>
+        assert(errs.size == 2)
+      case other => fail(s"expected AllProvidersFailed(2), got $other")
+    }
+  }
+
   test("F3 fallback: first success wins, NotFound continues (core.rs:499-550)") {
     var called = List.empty[String]
     val result = prioritySequential[Int](Seq(

@@ -85,6 +85,28 @@ class HistoryOrchestratorSpec extends SparkSpec {
     }
   }
 
+  test("H8 download is ONE merge plan (single first-wins exchange) and propagates merged actions") {
+    import graft.core.Model.Action
+    val div = Action("", 1704067200L, "dividend", Some(BigDecimal(1)), Some("USD"), None, None)
+    val a = new MockConnector("pa", MockConnector.Script(actions = Seq(div)))
+    val b = new MockConnector("pb")
+    val insts = Seq(inst,
+      Instrument(Symbol("MSFT"), None, AssetKind.Equity),
+      Instrument(Symbol("GOOG"), None, AssetKind.Equity))
+    val Right(res) = download(spark, insts, req, Seq(a, b),
+      Policy.ProviderPolicy().withGlobal(Seq("pa", "pb")))
+    assert(res.candles.select("symbol").distinct().count() == 3)
+    // one data plane: the 3-instrument × 2-provider union merges through a
+    // SINGLE exchange — the (symbol)-clustered shuffle that both the
+    // currency guard window and the first-wins window reuse. A
+    // per-instrument loop would show 3 independent merge plans instead.
+    val plan = res.candles.queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1, s"expected one merge exchange, plan:\n$plan")
+    // merged actions present in the bulk result (previously dropped)
+    assert(res.actions.isDefined && res.actions.get.count() == 3)
+  }
+
   test("merged actions: concatenated across providers, canonically deduped (M1+M3)") {
     import graft.core.Model.Action
     val div = Action("", 1704067200L, "dividend", Some(BigDecimal(1)), Some("USD"), None, None)

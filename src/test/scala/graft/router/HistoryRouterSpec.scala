@@ -96,14 +96,53 @@ class HistoryRouterSpec extends SparkSpec {
     assert(m.adjusted)
   }
 
-  test("H5 mixed currency across providers is diagnosed with the deviating provider") {
+  test("H5 mixed currency: in-plan guard aborts the action; diagnosis names the deviating provider") {
     val a = ProviderHistory("pa", 0, adjusted = true, None, None, candlesDf("pa"))
     val b = ProviderHistory("pb", 1, adjusted = true, None, None, candlesDf("pb", currency = "EUR"))
-    merge(Seq(a, b)) match {
+    // merge() itself is pure plan construction — the violation surfaces
+    // only when an action runs, and diagnosed() maps it to the typed error
+    val Right(m) = merge(Seq(a, b))
+    diagnosed(Seq(a, b))(m.candles.count()) match {
       case Left(graft.core.Errors.BorsaError.Connector("pb",
         graft.core.Errors.BorsaError.InconsistentCurrencyData)) => ()
       case other => fail(s"expected pb diagnosed, got $other")
     }
+    // provider-internal violation blames that provider directly
+    val mixedRows = Seq(
+      Row("S", 1704067200L, BigDecimal(1).bigDecimal, BigDecimal(2).bigDecimal,
+        BigDecimal(0).bigDecimal, BigDecimal(1).bigDecimal, 1L, "USD"),
+      Row("S", 1704153600L, BigDecimal(1).bigDecimal, BigDecimal(2).bigDecimal,
+        BigDecimal(0).bigDecimal, BigDecimal(1).bigDecimal, 1L, "EUR"))
+    val mixed = spark.createDataFrame(spark.sparkContext.parallelize(mixedRows, 1), schema)
+    val c = ProviderHistory("pc", 0, adjusted = true, None, None, mixed)
+    val Right(m2) = merge(Seq(c))
+    diagnosed(Seq(c))(m2.candles.count()) match {
+      case Left(graft.core.Errors.BorsaError.Connector("pc",
+        graft.core.Errors.BorsaError.InconsistentCurrencyData)) => ()
+      case other => fail(s"expected pc diagnosed, got $other")
+    }
+  }
+
+  test("H5 clean path: merge construction + collection run no extra jobs beyond the action itself") {
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val a = ProviderHistory("pa", 0, adjusted = true, None, None, candlesDf("pa", n = 2))
+      val b = ProviderHistory("pb", 1, adjusted = true, None, None, candlesDf("pb", n = 3))
+      val Right(m) = merge(Seq(a, b))
+      Thread.sleep(300) // let any eagerly-submitted job reach the listener bus
+      assert(jobs.get() == 0, "merge() must be pure plan construction — zero Spark jobs")
+      val before = jobs.get()
+      m.candles.count()
+      Thread.sleep(300)
+      // ONE action ⇒ a small constant number of jobs (AQE may split stages),
+      // not the 2+ extra full-scan diagnostic jobs of the eager design
+      assert(jobs.get() > before, "sanity: the action itself runs")
+    } finally spark.sparkContext.removeSparkListener(listener)
   }
 
   test("H7 auto-daily resamples subdaily series only") {
