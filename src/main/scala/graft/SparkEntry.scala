@@ -140,6 +140,24 @@ object SparkEntry {
       Attribution.spans(mergedHourly(Tables.ticks(s, dir)), Seq("symbol"), "bucket_ts")
     }),
 
+    // QI-H9 keepna-vs-dropna (request flags): 'error' events become NA
+    // prices; the dropna path (keepna=false, Flags.dropNa) feeds the daily
+    // OHLC while n_na counts the rows only keepna=true would retain
+    "qi_h9_keepna" -> ((s, dir) => {
+      val t = Tables.ticks(s, dir).withColumn("pm",
+        when(col("event_type") === "error", lit(null).cast(LongType))
+          .otherwise(col("price_micros")))
+      val kept = graft.timeseries.Flags.dropNa(t, Seq("pm"))
+      val ohlc = microsOhlc(
+        Resample.resampleTicks(kept, Resample.dailyBucket(col("secs")),
+          Seq("symbol"), priceCol = "pm"))
+      val na = t.groupBy(col("symbol"),
+          Resample.dailyBucket(col("secs")).as("bucket_ts"))
+        .agg(sum(when(col("pm").isNull, 1L).otherwise(0L)).as("n_na"))
+      ohlc.join(na, Seq("symbol", "bucket_ts"))
+        .orderBy("symbol", "bucket_ts")
+    }),
+
     // QI-S2 dedup-by-exchange-preference (S2): prov_b preferred
     "qi_s2_dedup_pref" -> ((s, dir) => {
       val t = Tables.ticks(s, dir)
@@ -394,6 +412,21 @@ object SparkEntry {
         |s AS (SELECT *, sum(chg) OVER (PARTITION BY symbol ORDER BY bucket_ts ROWS UNBOUNDED PRECEDING) AS session FROM f)
         |SELECT symbol, provider, min(bucket_ts) AS span_start, max(bucket_ts) AS span_end, count(*) AS n_points
         |FROM s GROUP BY symbol, session, provider ORDER BY symbol, span_start""".stripMargin),
+
+    "qi_h9_keepna" -> withTicks(
+      """t AS (SELECT symbol, ts, secs, volume,
+        |  CASE WHEN event_type = 'error' THEN NULL ELSE price_micros END AS pm FROM ticks),
+        |k AS (SELECT symbol, secs - secs % 86400 AS bucket_ts,
+        |  min_by(pm, ts) AS open_micros, max(pm) AS high_micros,
+        |  min(pm) AS low_micros, max_by(pm, ts) AS close_micros,
+        |  CAST(sum(volume) AS BIGINT) AS volume
+        |FROM t WHERE pm IS NOT NULL GROUP BY 1,2),
+        |na AS (SELECT symbol, secs - secs % 86400 AS bucket_ts,
+        |  CAST(sum(CASE WHEN pm IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_na
+        |FROM t GROUP BY 1,2)
+        |SELECT k.symbol, k.bucket_ts, open_micros, high_micros, low_micros, close_micros, volume, n_na
+        |FROM k JOIN na ON k.symbol = na.symbol AND k.bucket_ts = na.bucket_ts
+        |ORDER BY k.symbol, k.bucket_ts""".stripMargin),
 
     "qi_s2_dedup_pref" -> withTicks(
       """w AS (SELECT symbol, provider, price_micros, arrival,

@@ -63,7 +63,10 @@ class MockConnector(
       val candles = (0L until n).map { i =>
         val ts = start + i * step
         val p = BigDecimal(100) + BigDecimal((seed(inst.symbol.value) + i) % 50)
-        Candle(inst.symbol.value, ts, p, p + 2, p - 2, p + 1, None, Some(1000 + i), "USD")
+        // raw-close provenance: scripted delta below the adjusted close
+        // (mirrors an adjusted feed carrying close_unadj, adapter.rs style)
+        val raw = script.closeUnadjDelta.map(d => p + 1 - d)
+        Candle(inst.symbol.value, ts, p, p + 2, p - 2, p + 1, raw, Some(1000 + i), "USD")
       }
       val actions =
         if (req.actions) script.actions.map(_.copy(symbol = inst.symbol.value)) else Seq.empty
@@ -192,6 +195,7 @@ object MockConnector {
       meta: Option[HistoryMeta] = None,
       actions: Seq[Action] = Seq.empty,
       maxCandles: Long = 1000L,
+      closeUnadjDelta: Option[BigDecimal] = None,
       exchanges: Map[String, String] = Map.empty,
       searchResults: Map[String, Seq[SearchResult]] = Map.empty,
       extraCapabilities: Set[String] = Set.empty) {

@@ -68,12 +68,27 @@ object Similarity {
   /** Random-hyperplane LSH bucket id (nBits bits). Hyperplane j component i
     * is a deterministic pseudo-random value in [-0.5, 0.5):
     * ((j*dim+i)*2654435761 mod 1000003)/1000003 - 0.5.
+    *
+    * The components are computed ONCE, driver-side, and emitted as array
+    * LITERALS: higher-order functions are not constant-folded by Catalyst,
+    * so the previous `transform(sequence(...))` form re-derived every
+    * component for every row × bit — interpreted O(nBits×dim) modular
+    * arithmetic per row. The literal array leaves only the zip/fold dot
+    * product per row. `java.lang.Double.toString` round-trips exactly, so
+    * the parsed literals are bit-identical to the old per-row computation
+    * and bucket assignments (and the ext_knn_lsh oracle hash) are
+    * unchanged.
     */
+  def hyperplane(j: Int, dim: Int): IndexedSeq[Double] =
+    (0 until dim).map { i =>
+      ((j.toLong * dim + i) * 2654435761L % 1000003L).toDouble / 1000003.0 - 0.5
+    }
+
   def lshBucketExpr(vecCol: String, dim: Int, nBits: Int): String = {
     val bits = (0 until nBits).map { j =>
+      val lits = hyperplane(j, dim).map(d => s"${java.lang.Double.toString(d)}d").mkString(",")
       val dot =
-        s"""aggregate(zip_with($vecCol, transform(sequence(0,${dim - 1}),
-           | i -> cast(($j*$dim + i)*2654435761 % 1000003 as double)/1000003.0 - 0.5),
+        s"""aggregate(zip_with($vecCol, array($lits),
            | (x, y) -> cast(x as double) * y), cast(0 as double), (acc, v) -> acc + v)""".stripMargin.replace("\n", " ")
       s"CASE WHEN ($dot) > 0 THEN ${1L << j}L ELSE 0L END"
     }

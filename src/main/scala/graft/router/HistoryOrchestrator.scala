@@ -163,7 +163,10 @@ object HistoryOrchestrator {
     val successes = fetched.collect {
       case (i, c, plan, Right(resp)) if resp.candles.nonEmpty =>
         HistoryRouter.ProviderHistory(c.name, i, resp.adjusted, resp.meta, plan,
-          candlesToDf(spark, resp.candles),
+          // request flags (keepna/autoAdjust/prepost) interpret each
+          // provider frame BEFORE its resample plan — raw-vs-adjusted
+          // selection must happen on the provider cadence
+          graft.timeseries.Flags.applyRequestFlags(candlesToDf(spark, resp.candles), req),
           actions = if (req.actions && resp.actions.nonEmpty)
             Some(actionsToDf(spark, resp.actions)) else None)
     }

@@ -166,6 +166,18 @@ object HistoryRouter {
     */
   def merge(results: Seq[ProviderHistory]): Either[BorsaError, MergedHistory] = {
     require(results.nonEmpty, "merge of zero histories")
+    // Single source passes through UNMERGED (history.rs:207-210
+    // merge_history_or_tag_connector_error short-circuits len==1): no
+    // first-wins, no currency guard, and crucially close_unadj raw-close
+    // provenance is PRESERVED when the provider's plan ran no resample
+    // (borsa/tests/router/history/router_history_raw_close.rs).
+    if (results.sizeIs == 1) {
+      val r = results.head
+      val withProv = applyPlan(r).withColumn("provider", lit(r.provider))
+      val attribution = Attribution.spans(withProv, Seq("symbol"), "ts")
+      return Right(MergedHistory(
+        withProv.drop("provider"), attribution, r.adjusted, r.meta, r.actions))
+    }
     val tagged = results.map { r =>
       applyPlan(r)
         .withColumn("__prio", lit(r.priority))

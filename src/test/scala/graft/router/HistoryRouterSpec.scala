@@ -107,7 +107,8 @@ class HistoryRouterSpec extends SparkSpec {
         graft.core.Errors.BorsaError.InconsistentCurrencyData)) => ()
       case other => fail(s"expected pb diagnosed, got $other")
     }
-    // provider-internal violation blames that provider directly
+    // provider-INTERNAL violation blames that provider directly, even when
+    // another (clean) provider also contributes
     val mixedRows = Seq(
       Row("S", 1704067200L, BigDecimal(1).bigDecimal, BigDecimal(2).bigDecimal,
         BigDecimal(0).bigDecimal, BigDecimal(1).bigDecimal, 1L, "USD"),
@@ -115,8 +116,9 @@ class HistoryRouterSpec extends SparkSpec {
         BigDecimal(0).bigDecimal, BigDecimal(1).bigDecimal, 1L, "EUR"))
     val mixed = spark.createDataFrame(spark.sparkContext.parallelize(mixedRows, 1), schema)
     val c = ProviderHistory("pc", 0, adjusted = true, None, None, mixed)
-    val Right(m2) = merge(Seq(c))
-    diagnosed(Seq(c))(m2.candles.count()) match {
+    val d = ProviderHistory("pd", 1, adjusted = true, None, None, candlesDf("pd"))
+    val Right(m2) = merge(Seq(c, d))
+    diagnosed(Seq(c, d))(m2.candles.count()) match {
       case Left(graft.core.Errors.BorsaError.Connector("pc",
         graft.core.Errors.BorsaError.InconsistentCurrencyData)) => ()
       case other => fail(s"expected pc diagnosed, got $other")
