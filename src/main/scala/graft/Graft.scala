@@ -83,11 +83,16 @@ final class Graft(
   def isin(inst: Instrument): Either[BorsaError, String] =
     routed(inst, "isin", s"isin for ${inst.symbol.value}")(_.isin(inst))
 
-  /** Q2 composed info with warnings (internal sub-calls bypass quota via
-    * MW6 in a production wiring; here composed from the routed verbs).
+  /** Q2 composed info with warnings. The fan-out runs inside the MW6
+    * internal-origin scope (info.rs:35-37,76-78 — `CallOrigin::scope`):
+    * sub-calls hit the same cache but consume NO quota and cannot trip the
+    * blacklist breaker.
     */
   def info(inst: Instrument): Either[BorsaError, Report[InfoRouter.Info]] =
-    InfoRouter.info(inst, () => quote(inst), () => profile(inst), () => isin(inst))
+    InfoRouter.info(inst,
+      () => Middleware.internal("info", "info.quote")(quote(inst)),
+      () => Middleware.internal("info", "info.profile")(profile(inst)),
+      () => Middleware.internal("info", "info.isin")(isin(inst)))
 
   def fastInfo(inst: Instrument): Either[BorsaError, InfoRouter.FastInfo] =
     quote(inst).flatMap(InfoRouter.fastInfo)
@@ -143,29 +148,80 @@ final class Graft(
   def streamQuotes(
       instruments: Seq[Instrument],
       runner: StreamController.SessionRunner,
-      scheduleTick: (Long, () => Unit) => Unit = (_, _) => ()): Either[BorsaError, StreamController.StreamHandle] = {
+      scheduleTick: (Long, () => Unit) => Unit = (_, _) => ()): Either[BorsaError, StreamController.Handle] =
+    streamCapability("stream-quotes", instruments, runner, scheduleTick)
+
+  /** Candle stream façade (planner.rs:173-243): identical planning keyed on
+    * `stream-candles`; the session data plane builds update-mode bars with
+    * the is_final contract via [[graft.streaming.CandleAggregator]].
+    */
+  def streamCandles(
+      instruments: Seq[Instrument],
+      runner: StreamController.SessionRunner,
+      scheduleTick: (Long, () => Unit) => Unit = (_, _) => ()): Either[BorsaError, StreamController.Handle] =
+    streamCapability("stream-candles", instruments, runner, scheduleTick)
+
+  /** Option stream façade (planner.rs:317-389). */
+  def streamOptions(
+      instruments: Seq[Instrument],
+      runner: StreamController.SessionRunner,
+      scheduleTick: (Long, () => Unit) => Unit = (_, _) => ()): Either[BorsaError, StreamController.Handle] =
+    streamCapability("stream-options", instruments, runner, scheduleTick)
+
+  /** Shared stream orchestration: ST1 grouping → ST2 strict rejection →
+    * ST3 per-symbol primary election + supervisor SHARDING (stream.rs:
+    * 127-288) — one FSM per failover chain, provider vectors in CHAIN
+    * order (the FSM elects positionally), runner ids translated back to
+    * global connector indices. Startup follows stream.rs:290-311: await
+    * every chain's initial result; zero successes OR any error → stop all
+    * started chains and collapse.
+    */
+  private def streamCapability(
+      capability: String,
+      instruments: Seq[Instrument],
+      runner: StreamController.SessionRunner,
+      scheduleTick: (Long, () => Unit) => Unit): Either[BorsaError, StreamController.Handle] = {
+    val names = connectors.map(_.name)
     val groups = StreamPlanner.planGroups(
-      instruments, connectors.map(_.name),
-      canStream = n => connectors.find(_.name == n).exists(_.capabilities.contains("stream-quotes")),
+      instruments, names,
+      canStream = n => connectors.find(_.name == n).exists(_.capabilities.contains(capability)),
       supportsKind = (n, k) => connectors.find(_.name == n).exists(_.supportsKind(k)),
       policy)
     StreamPlanner.checkStrictRejection(groups, instruments,
-      anyStreamCapable = connectors.exists(_.capabilities.contains("stream-quotes"))) match {
+      anyStreamCapable = connectors.exists(_.capabilities.contains(capability))) match {
       case Left(e) => Left(e)
       case Right(()) if groups.forall(_.providers.isEmpty) =>
-        Left(graft.core.Errors.collapseStream(Nil, "stream-quotes")) // no eligible providers
+        Left(graft.core.Errors.collapseStream(Nil, capability)) // no eligible providers
       case Right(()) =>
-        val allow = groups.flatMap(_.providers).groupBy(_.provider)
-          .view.mapValues(_.flatMap(_.allowedSymbols).toSet).toMap
-        val names = connectors.map(_.name)
-        val supervisor = SupervisorFsm.Supervisor(
-          providers = Vector.fill(names.size)(SupervisorFsm.ProviderState.Idle),
-          providerAllow = names.map(n => allow.getOrElse(n, Set.empty[String])).toVector,
-          providerCanStream = names.map(n =>
-            connectors.find(_.name == n).exists(_.capabilities.contains("stream-quotes"))).toVector,
-          requiredSymbols = instruments.map(_.symbol.value).toSet,
-          capability = "stream-quotes")
-        new StreamController.Controller(supervisor, runner, scheduleTick).awaitStartup()
+        val controllers = for {
+          group <- groups.filter(_.providers.nonEmpty)
+          assignment <- StreamPlanner.assignSupervisors(group, policy)
+        } yield {
+          val planByName = group.providers.map(p => p.provider -> p).toMap
+          val chain = assignment.failoverChain.filter(planByName.contains)
+          val globalIdx = chain.map(names.indexOf).toVector
+          val supervisor = SupervisorFsm.Supervisor(
+            providers = Vector.fill(chain.size)(SupervisorFsm.ProviderState.Idle),
+            providerAllow = chain.map(n =>
+              planByName(n).allowedSymbols & assignment.symbols).toVector,
+            providerCanStream = Vector.fill(chain.size)(true),
+            requiredSymbols = assignment.symbols,
+            capability = capability)
+          val chainRunner = new StreamController.SessionRunner {
+            def start(id: Int, symbols: Seq[String]): Either[BorsaError, Unit] =
+              runner.start(globalIdx(id), symbols)
+            def stop(id: Int): Unit = runner.stop(globalIdx(id))
+            override def awaitStopped(): Unit = runner.awaitStopped()
+          }
+          new StreamController.Controller(supervisor, chainRunner, scheduleTick)
+        }
+        val results = controllers.map(_.awaitStartup())
+        val errors = results.collect { case Left(e) => e }
+        val handles = results.collect { case Right(h) => h }
+        if (handles.isEmpty || errors.nonEmpty) {
+          handles.foreach(_.stop())
+          Left(graft.core.Errors.collapseStream(errors, capability))
+        } else Right(new StreamController.CompositeHandle(handles))
     }
   }
 }

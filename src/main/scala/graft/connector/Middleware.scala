@@ -11,6 +11,30 @@ import graft.core.Model._
   */
 object Middleware {
 
+  // ------------------------------------------------------------------ MW6
+
+  /** Dynamic call-origin scope (borsa-core/src/middleware.rs:13-77 — the
+    * reference's task-local `CallOrigin::scope`): orchestrator-internal
+    * fan-out (e.g. `info`'s quote/profile/isin sub-calls) runs inside
+    * [[internal]], and the quota/blacklist decorators consult the scoped
+    * value PER CALL — so internal sub-requests never consume the user's
+    * quota or trip the breaker, while the same stack instance (and its
+    * cache) serves external calls normally. [[Fetch.withTimeout]]
+    * re-establishes the scope across its worker-pool boundary.
+    */
+  val currentOrigin = new scala.util.DynamicVariable[CallOrigin](CallOrigin.External)
+
+  def internal[T](parent: String, stage: String)(body: => T): T =
+    currentOrigin.withValue(CallOrigin.Internal(parent, stage))(body)
+
+  /** Per-call effective origin: a statically-internal stack stays internal;
+    * otherwise the dynamic scope decides.
+    */
+  private def effectiveOrigin(ctx: CallContext): CallOrigin = ctx.origin match {
+    case i: CallOrigin.Internal => i
+    case CallOrigin.External    => currentOrigin.value
+  }
+
   // ------------------------------------------------------------------ MW1
 
   final case class CacheConfig(
@@ -146,7 +170,7 @@ object Middleware {
     val gate = new QuotaGate(config, clock)
 
     protected def wrap[V](cap: String, key: Any)(load: => Either[BorsaError, V]): Either[BorsaError, V] =
-      ctx.origin match {
+      effectiveOrigin(ctx) match {
         case CallOrigin.Internal(_, _) => load.left.map(normalizeRateLimit) // MW6 bypass
         case CallOrigin.External =>
           gate.shouldAllow() match {
@@ -173,7 +197,7 @@ object Middleware {
     @volatile private var blacklistedUntil: Long = 0L
 
     protected def wrap[V](cap: String, key: Any)(load: => Either[BorsaError, V]): Either[BorsaError, V] =
-      ctx.origin match {
+      effectiveOrigin(ctx) match {
         case CallOrigin.Internal(_, _) => load
         case CallOrigin.External =>
           val now = clock.nowMs

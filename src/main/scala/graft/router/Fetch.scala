@@ -44,7 +44,12 @@ object Fetch {
       provider: String,
       capability: String,
       timeout: FiniteDuration)(call: => Either[BorsaError, A]): Either[BorsaError, A] = {
-    val fut = Future(call)(ec)
+    // MW6: the dynamic call-origin scope is thread-local — capture it at
+    // submission and re-establish it on the pool thread so internal
+    // fan-out stays internal through the fetch layer
+    val origin = graft.connector.Middleware.currentOrigin.value
+    val fut = Future(
+      graft.connector.Middleware.currentOrigin.withValue(origin)(call))(ec)
     try Await.result(fut, timeout)
     catch {
       case _: TimeoutException => Left(BorsaError.ProviderTimeout(provider, capability))
@@ -91,9 +96,12 @@ object Fetch {
     val winner = Promise[A]()
     val remaining = new java.util.concurrent.atomic.AtomicInteger(providers.size)
     val errors = new java.util.concurrent.ConcurrentLinkedQueue[BorsaError]()
+    val origin = graft.connector.Middleware.currentOrigin.value // MW6 scope capture
     providers.foreach { case (name, call) =>
       Future {
-        withTimeout(name, capability, config.providerTimeout)(call()).flatMap(postOk) match {
+        graft.connector.Middleware.currentOrigin.withValue(origin) {
+          withTimeout(name, capability, config.providerTimeout)(call()).flatMap(postOk)
+        } match {
           case Right(a) => winner.trySuccess(a)
           case Left(e)  => errors.add(tag(name, e))
         }

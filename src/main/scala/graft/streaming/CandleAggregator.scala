@@ -48,4 +48,29 @@ object CandleAggregator {
         col("w.start").cast("long").as("bucket_ts"),
         col("open"), col("high"), col("low"), col("close"), col("volume"), col("n_ticks"))
   }
+
+  /** The CandleUpdate `is_final` contract (connector.rs:270-288) as two
+    * feeds over ONE aggregation shape:
+    *
+    *  - [[updates]] runs with `outputMode("update")`: every re-emission of
+    *    a still-open bar is an intermediate update, is_final=false;
+    *  - [[finals]] runs with `outputMode("append")`: a bar is emitted
+    *    exactly once, when the watermark closes its window — is_final=true.
+    *
+    * Their union downstream is the reference's bar stream: zero or more
+    * false updates per bucket followed by exactly one true close. Keeping
+    * them as two queries (rather than one stream guessing finality) is the
+    * Spark-native mapping — finality IS append-mode semantics.
+    */
+  def updates(
+      ticks: DataFrame,
+      windowLength: String = "1 minute",
+      lateness: String = "30 seconds"): DataFrame =
+    candles(ticks, windowLength, lateness).withColumn("is_final", lit(false))
+
+  def finals(
+      ticks: DataFrame,
+      windowLength: String = "1 minute",
+      lateness: String = "30 seconds"): DataFrame =
+    candles(ticks, windowLength, lateness).withColumn("is_final", lit(true))
 }

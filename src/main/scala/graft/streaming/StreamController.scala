@@ -28,12 +28,25 @@ object StreamController {
     def awaitStopped(): Unit = ()
   }
 
-  /** ST12 graceful stream handle: stop = signal + await; close is
+  /** ST12 graceful stream handle contract: stop = signal + await; close is
     * best-effort signal (stream.rs:60-127).
     */
-  final class StreamHandle(controller: Controller) extends AutoCloseable {
+  trait Handle extends AutoCloseable {
+    def stop(): Unit
+    override def close(): Unit
+  }
+
+  final class StreamHandle(controller: Controller) extends Handle {
     def stop(): Unit = { controller.enqueue(Event.Shutdown); controller.awaitTerminated() }
     override def close(): Unit = controller.enqueue(Event.Shutdown)
+  }
+
+  /** One handle over the per-chain supervisor shards (ST3): stopping the
+    * stream stops every chain (stream.rs stop_broadcast semantics).
+    */
+  final class CompositeHandle(handles: Seq[StreamHandle]) extends Handle {
+    def stop(): Unit = handles.foreach(_.stop())
+    override def close(): Unit = handles.foreach(_.close())
   }
 
   final class Controller(

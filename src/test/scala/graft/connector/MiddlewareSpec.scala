@@ -103,6 +103,41 @@ class MiddlewareSpec extends AnyFunSuite {
     assert(bl2.quote(inst).isRight)
   }
 
+  test("MW6 dynamic scope: info-style internal fan-out consumes zero quota on one shared stack") {
+    val clock = new ManualClock(0)
+    val inner = new CountingConnector
+    val stack = new QuotaAwareConnector(inner, QuotaConfig(limit = 2, windowMs = 3600000), clock)
+    // external call consumes the first of 2 units
+    assert(stack.quote(inst).isRight)
+    // an arbitrarily large internal fan-out (the reference's
+    // CallOrigin::scope, info.rs:35-37) consumes nothing
+    (1 to 10).foreach { _ =>
+      Middleware.internal("info", "info.quote") {
+        assert(stack.quote(inst).isRight)
+      }
+    }
+    assert(inner.calls == 11)
+    // exactly one unit left for external use
+    assert(stack.quote(inst).isRight)
+    stack.quote(inst) match {
+      case Left(BorsaError.QuotaExceeded(_, _)) => ()
+      case other => fail(s"expected quota exhausted by the 2 EXTERNAL calls only, got $other")
+    }
+  }
+
+  test("MW6 scope survives the fetch worker-pool boundary") {
+    val observed = new java.util.concurrent.atomic.AtomicReference[CallOrigin](CallOrigin.External)
+    val res = Middleware.internal("info", "stage") {
+      graft.router.Fetch.prioritySequential[Int](Seq(
+        "x" -> (() => { observed.set(Middleware.currentOrigin.value); Right(1) })), "quote")
+    }
+    assert(res == Right(1))
+    observed.get() match {
+      case CallOrigin.Internal("info", "stage") => ()
+      case other => fail(s"origin lost across the pool: $other")
+    }
+  }
+
   test("MW5 stack order validation: cache→blacklist→quota (builder.rs:73-84)") {
     val base = new CountingConnector
     val good = new CachingConnector(new BlacklistConnector(new QuotaAwareConnector(base)))
