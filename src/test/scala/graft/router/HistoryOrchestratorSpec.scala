@@ -122,6 +122,33 @@ class HistoryOrchestratorSpec extends SparkSpec {
     assert(noActs.actions.isEmpty)
   }
 
+  test("wire payload end-to-end: fixture connector → R6 negotiation → tz-aware daily resample") {
+    import graft.connector.FixtureConnector
+    import graft.connector.FixtureConnector._
+    // 48 hourly candles from 2024-01-01 00:00 UTC, provider reports
+    // America/New_York — the Daily plan must bucket at NY local midnight
+    val start = 1704067200L
+    val candlesJson = (0 until 48).map { i =>
+      val ts = start + i * 3600L
+      s"""{"ts":$ts,"open":"10.0","high":"11.0","low":"9.0","close":"10.5","volume":5,"currency":"USD"}"""
+    }.mkString("[", ",", "]")
+    val body =
+      s"""{"adjusted":true,"meta":{"timezone":"America/New_York"},"candles":$candlesJson}"""
+    val fx = new FixtureConnector("fx",
+      new RecordedTransport(Map(("history", "AAPL") -> Right(body))),
+      supportedIntervals = Seq(Interval.I1h))
+    val r = HistoryRequest(Interval.D1, Some(start), Some(start + 2 * 86400), None)
+    val Right(res) = history(spark, inst, r, Seq(fx))
+    val ny = java.time.ZoneId.of("America/New_York")
+    val buckets = res.candles.select("ts").collect().map(_.getLong(0))
+    assert(buckets.nonEmpty)
+    buckets.foreach { ts =>
+      val l = java.time.Instant.ofEpochSecond(ts).atZone(ny)
+      assert(l.getHour == 0 && l.getMinute == 0, s"bucket $ts not NY-local midnight: $l")
+    }
+    assert(res.adjusted && res.meta.exists(_.timezone.contains("America/New_York")))
+  }
+
   test("request validation: period xor range, start < end (download.rs:10-27)") {
     val conn = new MockConnector("m")
     assert(history(spark, inst,
