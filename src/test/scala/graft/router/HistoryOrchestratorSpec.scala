@@ -122,6 +122,45 @@ class HistoryOrchestratorSpec extends SparkSpec {
     assert(noActs.actions.isEmpty)
   }
 
+  test("H4 prefer-adjusted matrix through the pipeline (router_history_prefer_adjusted.rs)") {
+    val unadj = new MockConnector("unadj", MockConnector.Script(adjusted = false))
+    val adj = new MockConnector("adj", MockConnector.Script(adjusted = true))
+    val policy = Policy.ProviderPolicy().withGlobal(Seq("unadj", "adj"))
+    // preferAdjusted=true (default): the higher-priority UNADJUSTED series
+    // is dropped entirely; every surviving row comes from `adj`
+    val Right(pref) = history(spark, inst, req, Seq(unadj, adj), policy)
+    assert(pref.attribution.collect().forall(_.getAs[String]("provider") == "adj"))
+    assert(pref.adjusted)
+    // preferAdjusted=false: priority order wins regardless of the flag, and
+    // only series matching the top result's adjustedness survive
+    val Right(prio) = history(spark, inst, req, Seq(unadj, adj), policy,
+      Config(preferAdjusted = false))
+    assert(prio.attribution.collect().forall(_.getAs[String]("provider") == "unadj"))
+    assert(!prio.adjusted)
+  }
+
+  test("H7 auto-resample through the pipeline (router_history_auto_resample.rs)") {
+    val hourly = new MockConnector("h",
+      MockConnector.Script(supportedIntervals = Seq(Interval.I1h)))
+    val subdailyReq = HistoryRequest(Interval.I1h, Some(0L), Some(2L * 86400), None)
+    // 48 hourly candles, AutoDaily → 2 daily rows at day starts
+    val Right(auto) = history(spark, inst, subdailyReq, Seq(hourly), config =
+      Config(finalResample = HistoryRouter.FinalResample.AutoDaily))
+    val ts = auto.candles.select("ts").collect().map(_.getLong(0)).sorted
+    assert(ts.toSeq == Seq(0L, 86400L))
+    // a daily-cadence series does NOT trigger auto resample
+    val daily = new MockConnector("d",
+      MockConnector.Script(supportedIntervals = Seq(Interval.D1)))
+    val dailyReq = HistoryRequest(Interval.D1, Some(0L), Some(3L * 86400), None)
+    val Right(noAuto) = history(spark, inst, dailyReq, Seq(daily), config =
+      Config(finalResample = HistoryRouter.FinalResample.AutoDaily))
+    assert(noAuto.candles.count() == 3)
+    // explicit Weekly overrides auto on the same subdaily series
+    val Right(weekly) = history(spark, inst, subdailyReq, Seq(hourly), config =
+      Config(finalResample = HistoryRouter.FinalResample.Weekly))
+    assert(weekly.candles.count() == 1, "2 days collapse into one Monday-anchored week")
+  }
+
   test("wire payload end-to-end: fixture connector → R6 negotiation → tz-aware daily resample") {
     import graft.connector.FixtureConnector
     import graft.connector.FixtureConnector._
