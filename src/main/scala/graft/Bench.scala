@@ -18,10 +18,11 @@ object Bench {
     SparkEntry.queries.foreach { case (_, fn) =>
       try fn(spark, warmDir).count() catch { case _: Throwable => () }
     }
-    // best-of-2: the host shows bursty contention (same query varies 10x
-    // between adjacent runs); the minimum is the faithful steady-state cost
+    // best-of-3: the host shows bursty contention (same query varies 10x
+    // between adjacent runs, and occasionally two adjacent runs are both
+    // hit); the minimum is the faithful steady-state cost
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val times = (1 to 2).map { _ =>
+      val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
         (System.nanoTime() - t0) / 1e9
