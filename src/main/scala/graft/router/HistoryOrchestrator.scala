@@ -266,9 +266,13 @@ object HistoryOrchestrator {
         case (mode, Seq((onlyMeta, _))) =>
           HistoryRouter.applyFinalResample(m.candles, mode, onlyMeta)
         case (mode, groups) =>
+          // one resample branch per distinct meta: persist the merged frame
+          // first so each branch re-reads the cache instead of recomputing
+          // the whole union+merge per branch
+          val cached = m.candles.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           groups.map { case (meta, syms) =>
             HistoryRouter.applyFinalResample(
-              m.candles.filter(col("symbol").isin(syms: _*)), mode, meta)
+              cached.filter(col("symbol").isin(syms: _*)), mode, meta)
           }.reduce(_ unionByName _)
       }
       HistoryResult(

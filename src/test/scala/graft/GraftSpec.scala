@@ -38,6 +38,23 @@ class GraftSpec extends SparkSpec {
     assert(res.candles.count() == 5)
   }
 
+  test("MW1 e2e: repeated history calls are served from the connector-layer cache") {
+    var historyCalls = 0
+    val counting = new MockConnector("c") {
+      override def history(inst: Instrument, req: HistoryRequest) = {
+        historyCalls += 1; super.history(inst, req)
+      }
+    }
+    val g = new Graft(spark, Seq(counting))
+    val req = HistoryRequest(Interval.D1, Some(1704067200L), Some(1704067200L + 5 * 86400), None)
+    assert(g.history(aapl, req).isRight)
+    assert(g.history(aapl, req).isRight)
+    assert(historyCalls == 1, "second identical request must be a cache hit")
+    // a different request misses
+    assert(g.history(aapl, req.copy(endEpoch = Some(1704067200L + 3 * 86400))).isRight)
+    assert(historyCalls == 2)
+  }
+
   test("search dedups by symbol and applies limit after merge") {
     val g = graft()
     val Right(report) = g.search("ZZ", limit = Some(2))
