@@ -1,0 +1,66 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftSqlBridge
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+
+/** Native dot product over embedding arrays (SURVEY §2 extensions, ANN /
+  * near-dup kernels).
+  *
+  * Replaces the `aggregate(zip_with(...))` higher-order-function form:
+  * HOFs run interpreted (no codegen, per-element lambda dispatch, a
+  * materialized zipped array per row) — measurable overhead when every
+  * candidate pair of a similarity join pays it. This expression is a tight
+  * primitive loop behind `doGenCode`, so it stays inside whole-stage
+  * codegen with zero allocation.
+  *
+  * Arithmetic parity with the HOF form is exact: elements are widened to
+  * double and accumulated strictly left-to-right (same IEEE sequence the
+  * fold produced), so existing oracle hashes are unchanged.
+  */
+object VecDotKernel {
+  def dot(a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
+      acc += x * y
+      i += 1
+    }
+    acc
+  }
+}
+
+case class VecDot(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "vec_dot"
+
+  private def isFloat(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _                       => false
+  }
+  private lazy val aFloat = isFloat(left)
+  private lazy val bFloat = isFloat(right)
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VecDotKernel.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], aFloat, bFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.VecDotKernel.dot($a, $b, $aFloat, $bFloat)")
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object VecDot {
+  def of(a: Column, b: Column): Column =
+    GraftSqlBridge.column(VecDot(GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
+}

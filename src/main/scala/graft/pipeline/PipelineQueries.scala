@@ -121,13 +121,12 @@ object PipelineQueries {
       val aug = emb.select("vec_id", "embedding").unionByName(
         emb.filter(col("vec_id") % 10 === 0)
           .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding")))
-      val bucket = Similarity.lshBucketExpr("embedding", 64, 4)
-      val b = aug.withColumn("bucket", expr(bucket))
-        .withColumn("nrm", expr(Similarity.norm("embedding")))
+      val b = aug.withColumn("bucket", Similarity.lshBucket(col("embedding"), 64, 4))
+        .withColumn("nrm", Similarity.norm(col("embedding")))
       val pairs = b.as("x").join(b.as("y"), "bucket")
         .where(col("x.vec_id") < col("y.vec_id"))
         .select(col("x.vec_id").as("id1"), col("y.vec_id").as("id2"),
-          (expr(Similarity.dot("x.embedding", "y.embedding")) /
+          (Similarity.dot(col("x.embedding"), col("y.embedding")) /
             (col("x.nrm") * col("y.nrm"))).as("cos"))
       pairs.where(col("cos") >= 0.999)
         // floor (not cast): Spark's double->long cast truncates but

@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -19,23 +19,21 @@ import org.apache.spark.sql.functions._
   *  no FP-reassociation nondeterminism across partitions).
   */
 object Similarity {
+  import graft.functions.VecDot
 
-  /** dot(a, b) in double, sequential fold (index order — deterministic,
-    * matches a left-to-right list_sum).
+  /** dot(a, b) in double via the native codegen'd [[VecDot]] expression —
+    * strict left-to-right accumulation (deterministic; bit-identical to
+    * the interpreted fold it replaced).
     */
-  def dot(a: String, b: String): String =
-    s"""aggregate(zip_with($a, $b, (x, y) -> cast(x as double) * cast(y as double)),
-       | cast(0 as double), (acc, v) -> acc + v)""".stripMargin.replace("\n", " ")
+  def dot(a: Column, b: Column): Column = VecDot.of(a, b)
 
   /** ||a|| in double. */
-  def norm(a: String): String =
-    s"sqrt(aggregate($a, cast(0 as double), (a2, v2) -> a2 + cast(v2 as double) * cast(v2 as double)))"
+  def norm(a: Column): Column = sqrt(VecDot.of(a, a))
 
   /** cosine(a, b) in double (per-pair form; prefer precomputed norms in
     * joins — see bruteForceKnn).
     */
-  def cosine(a: String, b: String): String =
-    s"${dot(a, b)} / (${norm(a)} * ${norm(b)})"
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
   /** Exact brute-force top-k cosine neighbors for each query vector.
     * `queries` should be small (broadcast); ties broken by neighbor id.
@@ -51,13 +49,13 @@ object Similarity {
       vecCol: String = "embedding"): DataFrame = {
     val q = broadcast(queries
       .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-      .withColumn("qnorm", expr(norm("qv"))))
+      .withColumn("qnorm", norm(col("qv"))))
     val scored = corpus
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("nv"))
-      .withColumn("nnorm", expr(norm("nv")))
+      .withColumn("nnorm", norm(col("nv")))
       .crossJoin(q)
       .where(col("neighbor_id") =!= col("query_id"))
-      .withColumn("sim", expr(s"${dot("qv", "nv")} / (qnorm * nnorm)"))
+      .withColumn("sim", dot(col("qv"), col("nv")) / (col("qnorm") * col("nnorm")))
     val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
     scored
       .withColumn("rank", row_number().over(w).cast("long"))
@@ -84,16 +82,11 @@ object Similarity {
       ((j.toLong * dim + i) * 2654435761L % 1000003L).toDouble / 1000003.0 - 0.5
     }
 
-  def lshBucketExpr(vecCol: String, dim: Int, nBits: Int): String = {
-    val bits = (0 until nBits).map { j =>
-      val lits = hyperplane(j, dim).map(d => s"${java.lang.Double.toString(d)}d").mkString(",")
-      val dot =
-        s"""aggregate(zip_with($vecCol, array($lits),
-           | (x, y) -> cast(x as double) * y), cast(0 as double), (acc, v) -> acc + v)""".stripMargin.replace("\n", " ")
-      s"CASE WHEN ($dot) > 0 THEN ${1L << j}L ELSE 0L END"
-    }
-    bits.mkString("(", " + ", ")")
-  }
+  def lshBucket(vec: Column, dim: Int = 64, nBits: Int = 4): Column =
+    (0 until nBits).map { j =>
+      when(VecDot.of(vec, typedLit(hyperplane(j, dim).toSeq)) > 0, lit(1L << j))
+        .otherwise(lit(0L))
+    }.reduce(_ + _)
 
   /** ANN: top-k within the query's LSH bucket only (plus guaranteed
     * fallback to fewer results when the bucket is small — the standard
@@ -107,16 +100,15 @@ object Similarity {
       nBits: Int = 4,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
-    val bucket = lshBucketExpr(vecCol, dim, nBits)
     val cb = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("nv"))
-      .withColumn("bucket", expr(bucket.replace(vecCol, "nv")))
-      .withColumn("nnorm", expr(norm("nv")))
+      .withColumn("bucket", lshBucket(col("nv"), dim, nBits))
+      .withColumn("nnorm", norm(col("nv")))
     val qb = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-      .withColumn("bucket", expr(bucket.replace(vecCol, "qv")))
-      .withColumn("qnorm", expr(norm("qv"))))
+      .withColumn("bucket", lshBucket(col("qv"), dim, nBits))
+      .withColumn("qnorm", norm(col("qv"))))
     val scored = cb.join(qb, "bucket")
       .where(col("neighbor_id") =!= col("query_id"))
-      .withColumn("sim", expr(s"${dot("qv", "nv")} / (qnorm * nnorm)"))
+      .withColumn("sim", dot(col("qv"), col("nv")) / (col("qnorm") * col("nnorm")))
     val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
     scored
       .withColumn("rank", row_number().over(w).cast("long"))
