@@ -50,11 +50,47 @@ object Demo {
     g.download(Seq(aapl, Instrument(Symbol("MSFT"), None, AssetKind.Equity)), req)
       .foreach(_.candles.groupBy("symbol").count().show())
 
+    println("== history request flags: raw closes + keepna ==")
+    val rawProv = new MockConnector("raw",
+      MockConnector.Script(closeUnadjDelta = Some(BigDecimal(3))))
+    new Graft(spark, Seq(rawProv))
+      .history(aapl, req.copy(autoAdjust = false))
+      .foreach(_.candles.select("ts", "close", "close_unadj").orderBy("ts").show(3))
+
+    println("== timezone-aware resample (provider reports America/New_York) ==")
+    val nyProv = new MockConnector("ny", MockConnector.Script(
+      supportedIntervals = Seq(Interval.I1h),
+      meta = Some(HistoryMeta(Some("America/New_York"), None))))
+    new Graft(spark, Seq(nyProv))
+      .history(aapl, HistoryRequest(Interval.D1, Some(1704067200L), Some(1704067200L + 2 * 86400), None))
+      .foreach(_.candles.orderBy("ts").show(3)) // ts = NY-local midnights
+
+    println("== stream candles: per-chain supervision over a scripted runner ==")
+    val streamer = new Graft(spark, Seq(
+      new MockConnector("alpha", MockConnector.Script(extraCapabilities = Set("stream-candles"))),
+      new MockConnector("beta", MockConnector.Script(extraCapabilities = Set("stream-candles")))))
+    val runner = new streaming.StreamController.SessionRunner {
+      def start(id: Int, symbols: Seq[String]) = { println(s"  session start: provider $id -> $symbols"); Right(()) }
+      def stop(id: Int): Unit = println(s"  session stop: provider $id")
+    }
+    streamer.streamCandles(Seq(aapl), runner).foreach(_.stop())
+
+    println("== config serde round-trip ==")
+    val cfgJson = routing.PolicySerde.toJson(routing.PolicySerde.GraftConfig(
+      routing = Policy.ProviderPolicy().withGlobal(Seq("alpha", "beta"))))
+    println(cfgJson.linesIterator.take(8).mkString("\n"))
+    println(s"  parses back: ${routing.PolicySerde.fromJson(cfgJson).isRight}")
+
     println("== training-data ops over the documents table ==")
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     pipeline.TextAnalysis.tokenStats(docs).show(3)
     pipeline.Dedup.simhash(docs).show(3)
     println(s"minhash near-dups on clean corpus: ${pipeline.Dedup.minhashNearDups(docs).count()}")
+
+    println("== embedding similarity (native vec_dot expression) ==")
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    pipeline.Similarity.bruteForceKnn(emb, emb.filter(org.apache.spark.sql.functions.col("vec_id") < 2), 3)
+      .show(6)
 
     spark.stop()
   }
