@@ -109,6 +109,10 @@ object Middleware {
   sealed trait QuotaStrategy
   object QuotaStrategy {
     case object Unit extends QuotaStrategy
+    /** Caller-specified units per request (provider-specific call costs —
+      * config.rs:54-57); the gate's `shouldAllow(weight)` deducts them.
+      */
+    case object Weighted extends QuotaStrategy
     case object EvenSpreadHourly extends QuotaStrategy
   }
 
@@ -133,7 +137,10 @@ object Middleware {
     private var sliceStart = clock.nowMs
     private var inSlice = 0L
 
-    def shouldAllow(): Either[BorsaError, Unit] = synchronized {
+    def shouldAllow(weight: Long = 1L): Either[BorsaError, Unit] = synchronized {
+      // weights only apply under the Weighted strategy (quota.rs config
+      // semantics: Unit always deducts exactly one)
+      val cost = if (config.strategy == QuotaStrategy.Weighted) math.max(1L, weight) else 1L
       val now = clock.nowMs
       val elapsed = now - windowStart
       if (elapsed >= config.windowMs) {
@@ -151,8 +158,8 @@ object Middleware {
           return Left(BorsaError.QuotaExceeded(config.limit - inWindow, resetIn))
         }
       }
-      if (inWindow < config.limit) {
-        inWindow += 1
+      if (inWindow + cost <= config.limit) {
+        inWindow += cost
         if (config.strategy == QuotaStrategy.EvenSpreadHourly) inSlice += 1
         Right(())
       } else {
@@ -166,14 +173,17 @@ object Middleware {
       val inner: Connector,
       config: QuotaConfig = QuotaConfig(),
       clock: Clock = SystemClock,
-      ctx: CallContext = CallContext()) extends WrappedConnector {
+      ctx: CallContext = CallContext(),
+      // per-capability call costs, consulted under QuotaStrategy.Weighted
+      // (config.rs:54-57 — "modeling provider-specific costs")
+      capabilityWeights: Map[String, Long] = Map.empty) extends WrappedConnector {
     val gate = new QuotaGate(config, clock)
 
     protected def wrap[V](cap: String, key: Any)(load: => Either[BorsaError, V]): Either[BorsaError, V] =
       effectiveOrigin(ctx) match {
         case CallOrigin.Internal(_, _) => load.left.map(normalizeRateLimit) // MW6 bypass
         case CallOrigin.External =>
-          gate.shouldAllow() match {
+          gate.shouldAllow(capabilityWeights.getOrElse(cap, 1L)) match {
             case Left(e)  => Left(e)
             case Right(_) => load.left.map(normalizeRateLimit) // MW4 normalization
           }

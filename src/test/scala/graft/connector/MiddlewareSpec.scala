@@ -103,6 +103,26 @@ class MiddlewareSpec extends AnyFunSuite {
     assert(bl2.quote(inst).isRight)
   }
 
+  test("MW2 Weighted: per-capability call costs deduct their weight (config.rs:54-57)") {
+    val clock = new ManualClock(0)
+    val inner = new CountingConnector
+    val q = new QuotaAwareConnector(inner,
+      QuotaConfig(limit = 10, windowMs = 3600000, strategy = QuotaStrategy.Weighted),
+      clock, capabilityWeights = Map("quote" -> 4L))
+    assert(q.quote(inst).isRight) // 4
+    assert(q.quote(inst).isRight) // 8
+    q.quote(inst) match { // would need 12 > 10
+      case Left(BorsaError.QuotaExceeded(remaining, _)) => assert(remaining == 2)
+      case other => fail(s"expected weighted exhaustion with remaining=2, got $other")
+    }
+    // Unit strategy ignores weights entirely
+    val u = new QuotaAwareConnector(new CountingConnector,
+      QuotaConfig(limit = 3, windowMs = 3600000), clock,
+      capabilityWeights = Map("quote" -> 100L))
+    assert(u.quote(inst).isRight && u.quote(inst).isRight && u.quote(inst).isRight)
+    assert(u.quote(inst).isLeft)
+  }
+
   test("MW6 dynamic scope: info-style internal fan-out consumes zero quota on one shared stack") {
     val clock = new ManualClock(0)
     val inner = new CountingConnector
