@@ -25,11 +25,16 @@ final class Graft(
     fetchConfig: Fetch.Config = Fetch.Config(),
     historyConfig: HistoryOrchestrator.Config = HistoryOrchestrator.Config(),
     exchangePrefs: Policy.ExchangePreference = Policy.ExchangePreference(),
-    middleware: Boolean = true) {
+    middleware: Boolean = true,
+    middlewareConfig: Graft.MiddlewareConfig = Graft.MiddlewareConfig()) {
 
   val connectors: Seq[Connector] =
     if (!middleware) rawConnectors
-    else rawConnectors.map(c => Middleware.buildStack(c).fold(e => throw new IllegalStateException(e.toString), identity))
+    else rawConnectors.map(c => Middleware.buildStack(c,
+      cache = middlewareConfig.cache,
+      blacklist = middlewareConfig.blacklist,
+      quota = middlewareConfig.quota)
+      .fold(e => throw new IllegalStateException(e.toString), identity))
 
   private def ordered(inst: Instrument): Seq[Connector] = {
     val ctx = Policy.Context(Some(inst.symbol), Some(inst.kind), inst.exchange)
@@ -224,4 +229,30 @@ final class Graft(
         } else Right(new StreamController.CompositeHandle(handles))
     }
   }
+}
+
+object Graft {
+
+  /** Middleware layer configuration (None disables that layer; MW5 order
+    * cache→blacklist→quota is enforced by the builder).
+    */
+  final case class MiddlewareConfig(
+      cache: Option[Middleware.CacheConfig] = Some(Middleware.CacheConfig()),
+      blacklist: Option[Middleware.BlacklistConfig] = Some(Middleware.BlacklistConfig()),
+      quota: Option[Middleware.QuotaConfig] = Some(Middleware.QuotaConfig()))
+
+  /** Construct a fully-configured engine from a parsed [[graft.routing.PolicySerde.GraftConfig]]
+    * (the JSON config surface) — routing rules, exchange preferences,
+    * fetch/history strategies, and middleware budgets all config-driven.
+    */
+  def fromConfig(
+      spark: SparkSession,
+      connectors: Seq[Connector],
+      cfg: graft.routing.PolicySerde.GraftConfig): Graft =
+    new Graft(spark, connectors,
+      policy = cfg.routing,
+      fetchConfig = cfg.fetch,
+      historyConfig = cfg.history,
+      exchangePrefs = cfg.exchangePreferences,
+      middlewareConfig = cfg.middleware)
 }

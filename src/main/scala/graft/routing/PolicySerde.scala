@@ -7,6 +7,7 @@ import scala.util.{Failure, Success, Try}
 import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
 
+import graft.connector.Middleware
 import graft.core.Errors.BorsaError
 import graft.core.Model._
 import graft.router.{Fetch, HistoryOrchestrator, HistoryRouter}
@@ -38,7 +39,8 @@ object PolicySerde {
       routing: Policy.ProviderPolicy = Policy.ProviderPolicy(),
       exchangePreferences: Policy.ExchangePreference = Policy.ExchangePreference(),
       fetch: Fetch.Config = Fetch.Config(),
-      history: HistoryOrchestrator.Config = HistoryOrchestrator.Config())
+      history: HistoryOrchestrator.Config = HistoryOrchestrator.Config(),
+      middleware: graft.Graft.MiddlewareConfig = graft.Graft.MiddlewareConfig())
 
   private val mapper = new ObjectMapper
 
@@ -116,6 +118,34 @@ object PolicySerde {
     history.put("providerTimeoutMs", cfg.history.providerTimeout.toMillis)
     history.put("finalResample", resampleName(cfg.history.finalResample))
 
+    val mw = root.putObject("middleware")
+    cfg.middleware.cache match {
+      case None => mw.putNull("cache")
+      case Some(c) =>
+        val o = mw.putObject("cache")
+        o.put("capacityPerCapability", c.capacityPerCapability)
+        o.put("defaultTtlMs", c.defaultTtlMs)
+        o.put("negativeTtlMs", c.negativeTtlMs)
+        val ttls = o.putObject("ttlMs")
+        c.ttlMs.toSeq.sortBy(_._1).foreach { case (k, v) => ttls.put(k, v) }
+    }
+    cfg.middleware.blacklist match {
+      case None => mw.putNull("blacklist")
+      case Some(b) => mw.putObject("blacklist").put("defaultWindowMs", b.defaultWindowMs)
+    }
+    cfg.middleware.quota match {
+      case None => mw.putNull("quota")
+      case Some(q) =>
+        val o = mw.putObject("quota")
+        o.put("limit", q.limit)
+        o.put("windowMs", q.windowMs)
+        o.put("strategy", q.strategy match {
+          case Middleware.QuotaStrategy.Unit             => "unit"
+          case Middleware.QuotaStrategy.Weighted         => "weighted"
+          case Middleware.QuotaStrategy.EvenSpreadHourly => "even_spread_hourly"
+        })
+    }
+
     mapper.writerWithDefaultPrettyPrinter.writeValueAsString(root)
   }
 
@@ -143,7 +173,9 @@ object PolicySerde {
           fetch <- optNode(root, "fetch").map(parseFetch).getOrElse(Right(Fetch.Config()))
           history <- optNode(root, "history").map(parseHistory)
             .getOrElse(Right(HistoryOrchestrator.Config()))
-        } yield GraftConfig(routing, prefs, fetch, history)
+          mw <- optNode(root, "middleware").map(parseMiddleware)
+            .getOrElse(Right(graft.Graft.MiddlewareConfig()))
+        } yield GraftConfig(routing, prefs, fetch, history, mw)
     }
 
   private def parseRouting(n: JsonNode): Either[BorsaError, Policy.ProviderPolicy] = {
@@ -195,6 +227,51 @@ object PolicySerde {
           .getOrElse(Fetch.Config().providerTimeout),
         requestTimeout = optNode(n, "requestTimeoutMs").map(_.asLong.millis))
     }
+
+  /** A middleware layer is: absent → enabled with defaults; explicit null →
+    * DISABLED; object → enabled with the given settings.
+    */
+  private def layer[A](n: JsonNode, f: String, default: Option[A])(
+      parse: JsonNode => Either[BorsaError, A]): Either[BorsaError, Option[A]] =
+    if (!n.has(f)) Right(default)
+    else Option(n.get(f)).filterNot(_.isNull) match {
+      case None    => Right(None)
+      case Some(v) => parse(v).map(Some(_))
+    }
+
+  private def parseMiddleware(n: JsonNode): Either[BorsaError, graft.Graft.MiddlewareConfig] =
+    for {
+      cache <- layer(n, "cache", Some(Middleware.CacheConfig())) { c =>
+        val base = Middleware.CacheConfig()
+        Right(Middleware.CacheConfig(
+          capacityPerCapability = optNode(c, "capacityPerCapability").map(_.asInt)
+            .getOrElse(base.capacityPerCapability),
+          defaultTtlMs = optNode(c, "defaultTtlMs").map(_.asLong).getOrElse(base.defaultTtlMs),
+          negativeTtlMs = optNode(c, "negativeTtlMs").map(_.asLong).getOrElse(base.negativeTtlMs),
+          ttlMs = optNode(c, "ttlMs").map(o =>
+            o.properties.asScala.map(e => e.getKey -> e.getValue.asLong).toMap)
+            .getOrElse(base.ttlMs)))
+      }
+      blacklist <- layer(n, "blacklist", Some(Middleware.BlacklistConfig())) { b =>
+        Right(Middleware.BlacklistConfig(
+          defaultWindowMs = optNode(b, "defaultWindowMs").map(_.asLong)
+            .getOrElse(Middleware.BlacklistConfig().defaultWindowMs)))
+      }
+      quota <- layer(n, "quota", Some(Middleware.QuotaConfig())) { q =>
+        (optNode(q, "strategy").map(_.asText).getOrElse("unit") match {
+          case "unit"               => Right(Middleware.QuotaStrategy.Unit)
+          case "weighted"           => Right(Middleware.QuotaStrategy.Weighted)
+          case "even_spread_hourly" => Right(Middleware.QuotaStrategy.EvenSpreadHourly)
+          case other => Left(BorsaError.InvalidArg(s"unknown quota strategy '$other'"))
+        }).map { strategy =>
+          val base = Middleware.QuotaConfig()
+          Middleware.QuotaConfig(
+            limit = optNode(q, "limit").map(_.asLong).getOrElse(base.limit),
+            windowMs = optNode(q, "windowMs").map(_.asLong).getOrElse(base.windowMs),
+            strategy = strategy)
+        }
+      }
+    } yield graft.Graft.MiddlewareConfig(cache, blacklist, quota)
 
   private def parseHistory(n: JsonNode): Either[BorsaError, HistoryOrchestrator.Config] =
     for {

@@ -38,6 +38,21 @@ class GraftSpec extends SparkSpec {
     assert(res.candles.count() == 5)
   }
 
+  test("Graft.fromConfig: JSON config drives routing and middleware budgets end-to-end") {
+    val json =
+      """{"routing": {"global": {"providers": ["alpha"], "strict": true}},
+        |"middleware": {"cache": null, "blacklist": null,
+        |               "quota": {"limit": 2, "windowMs": 3600000}}}""".stripMargin
+    val Right(cfg) = routing.PolicySerde.fromJson(json)
+    val g = Graft.fromConfig(spark,
+      Seq(new MockConnector("alpha"), new MockConnector("beta")), cfg)
+    // strict global routing: only alpha serves; no cache, so each call
+    // spends one of the 2 quota units
+    assert(g.quote(aapl).isRight)
+    assert(g.quote(aapl).isRight)
+    assert(g.quote(aapl).isLeft, "third uncached call must exhaust the configured quota")
+  }
+
   test("MW1 e2e: repeated history calls are served from the connector-layer cache") {
     var historyCalls = 0
     val counting = new MockConnector("c") {

@@ -30,7 +30,12 @@ class PolicySerdeSpec extends AnyFunSuite {
       strategy = HistoryOrchestrator.MergeStrategy.Fallback,
       preferAdjusted = false,
       providerTimeout = 3.seconds,
-      finalResample = HistoryRouter.FinalResample.AutoDaily))
+      finalResample = HistoryRouter.FinalResample.AutoDaily),
+    middleware = graft.Graft.MiddlewareConfig(
+      cache = None, // explicitly disabled layer
+      blacklist = Some(graft.connector.Middleware.BlacklistConfig(defaultWindowMs = 1234L)),
+      quota = Some(graft.connector.Middleware.QuotaConfig(limit = 7, windowMs = 1000L,
+        strategy = graft.connector.Middleware.QuotaStrategy.Weighted))))
 
   test("toJson → fromJson round-trips the full config") {
     val Right(back) = fromJson(toJson(full))
@@ -57,6 +62,16 @@ class PolicySerdeSpec extends AnyFunSuite {
     val Right(cfg) = fromJson(
       """{"routing": {"rules": [], "futureKnob": 1}, "somethingNew": {"a": 2}}""")
     assert(cfg.routing == Policy.ProviderPolicy())
+  }
+
+  test("middleware layers: absent=defaults, null=disabled, object=configured") {
+    val Right(defaults) = fromJson("{}")
+    assert(defaults.middleware == graft.Graft.MiddlewareConfig())
+    val Right(disabled) = fromJson("""{"middleware": {"cache": null, "quota": null}}""")
+    assert(disabled.middleware.cache.isEmpty && disabled.middleware.quota.isEmpty)
+    assert(disabled.middleware.blacklist.nonEmpty) // absent → default-enabled
+    assert(fromJson("""{"middleware": {"quota": {"strategy": "psychic"}}}""")
+      .left.exists(_.isInstanceOf[BorsaError.InvalidArg]))
   }
 
   test("unknown enum values are InvalidArg, malformed JSON is InvalidArg") {
