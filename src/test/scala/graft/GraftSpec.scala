@@ -68,6 +68,11 @@ class GraftSpec extends SparkSpec {
     // a different request misses
     assert(g.history(aapl, req.copy(endEpoch = Some(1704067200L + 3 * 86400))).isRight)
     assert(historyCalls == 2)
+    // flag bits are part of the cache identity (the reference HistoryKey
+    // carries all 4 flags): a raw-close request must NOT hit the adjusted
+    // entry
+    assert(g.history(aapl, req.copy(autoAdjust = false)).isRight)
+    assert(historyCalls == 3)
   }
 
   test("search dedups by symbol and applies limit after merge") {
