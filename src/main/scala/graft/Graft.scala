@@ -198,10 +198,11 @@ final class Graft(
       case Right(()) if groups.forall(_.providers.isEmpty) =>
         Left(graft.core.Errors.collapseStream(Nil, capability)) // no eligible providers
       case Right(()) =>
-        val controllers = for {
+        val assignments = for {
           group <- groups.filter(_.providers.nonEmpty)
           assignment <- StreamPlanner.assignSupervisors(group, policy)
-        } yield {
+        } yield (group, assignment)
+        val controllers = assignments.zipWithIndex.map { case ((group, assignment), chainIdx) =>
           val planByName = group.providers.map(p => p.provider -> p).toMap
           val chain = assignment.failoverChain.filter(planByName.contains)
           val globalIdx = chain.map(names.indexOf).toVector
@@ -212,11 +213,14 @@ final class Graft(
             providerCanStream = Vector.fill(chain.size)(true),
             requiredSymbols = assignment.symbols,
             capability = capability)
+          // chain-scoped runner view (distinct sessions per chain even for
+          // a shared provider) + chain-local→global connector id mapping
+          val scoped = runner.forChain(chainIdx)
           val chainRunner = new StreamController.SessionRunner {
             def start(id: Int, symbols: Seq[String]): Either[BorsaError, Unit] =
-              runner.start(globalIdx(id), symbols)
-            def stop(id: Int): Unit = runner.stop(globalIdx(id))
-            override def awaitStopped(): Unit = runner.awaitStopped()
+              scoped.start(globalIdx(id), symbols)
+            def stop(id: Int): Unit = scoped.stop(globalIdx(id))
+            override def awaitStopped(): Unit = scoped.awaitStopped()
           }
           new StreamController.Controller(supervisor, chainRunner, scheduleTick)
         }

@@ -119,7 +119,10 @@ object Middleware {
   final case class QuotaConfig(
       limit: Long = 1000L,
       windowMs: Long = 60 * 1000L,
-      strategy: QuotaStrategy = QuotaStrategy.Unit)
+      strategy: QuotaStrategy = QuotaStrategy.Unit,
+      // per-capability call costs, consulted under Weighted (unlisted
+      // capabilities cost 1)
+      capabilityWeights: Map[String, Long] = Map.empty)
 
   /** Sliding-window quota with boundary-aligned resets and the
     * EvenSpreadHourly slice policy (quota.rs:105-210): window split into 24
@@ -173,17 +176,14 @@ object Middleware {
       val inner: Connector,
       config: QuotaConfig = QuotaConfig(),
       clock: Clock = SystemClock,
-      ctx: CallContext = CallContext(),
-      // per-capability call costs, consulted under QuotaStrategy.Weighted
-      // (config.rs:54-57 — "modeling provider-specific costs")
-      capabilityWeights: Map[String, Long] = Map.empty) extends WrappedConnector {
+      ctx: CallContext = CallContext()) extends WrappedConnector {
     val gate = new QuotaGate(config, clock)
 
     protected def wrap[V](cap: String, key: Any)(load: => Either[BorsaError, V]): Either[BorsaError, V] =
       effectiveOrigin(ctx) match {
         case CallOrigin.Internal(_, _) => load.left.map(normalizeRateLimit) // MW6 bypass
         case CallOrigin.External =>
-          gate.shouldAllow(capabilityWeights.getOrElse(cap, 1L)) match {
+          gate.shouldAllow(config.capabilityWeights.getOrElse(cap, 1L)) match {
             case Left(e)  => Left(e)
             case Right(_) => load.left.map(normalizeRateLimit) // MW4 normalization
           }

@@ -22,8 +22,9 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * fold produced), so existing oracle hashes are unchanged.
   */
 object VecDotKernel {
+  /** Lengths must be equal (the expression null-guards mismatches). */
   def dot(a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
     var acc = 0.0
     var i = 0
     while (i < n) {
@@ -40,6 +41,11 @@ case class VecDot(left: Expression, right: Expression) extends BinaryExpression 
 
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
+  // unequal lengths → NULL, matching the HOF form it replaced (zip_with
+  // pads the shorter side with null, poisoning the fold to NULL) — a
+  // truncated/malformed embedding must stay excluded from similarity
+  // results, not score a partial dot product
+  override def nullable: Boolean = true
   override def prettyName: String = "vec_dot"
 
   private def isFloat(e: Expression): Boolean = e.dataType match {
@@ -49,12 +55,20 @@ case class VecDot(left: Expression, right: Expression) extends BinaryExpression 
   private lazy val aFloat = isFloat(left)
   private lazy val bFloat = isFloat(right)
 
-  override def nullSafeEval(a: Any, b: Any): Any =
-    VecDotKernel.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], aFloat, bFloat)
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    if (x.numElements() != y.numElements()) null
+    else VecDotKernel.dot(x, y, aFloat, bFloat)
+  }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) =>
-      s"graft.functions.VecDotKernel.dot($a, $b, $aFloat, $bFloat)")
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      if ($a.numElements() != $b.numElements()) {
+        ${ev.isNull} = true;
+      } else {
+        ${ev.value} = graft.functions.VecDotKernel.dot($a, $b, $aFloat, $bFloat);
+      }""")
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)

@@ -118,7 +118,21 @@ object HistoryOrchestrator {
       adjusted: Boolean,
       meta: Option[HistoryMeta],
       warnings: Seq[BorsaError],
-      actions: Option[DataFrame] = None)
+      actions: Option[DataFrame] = None,
+      /** The surviving per-provider control-plane inputs — kept so the lazy
+        * currency guard's failure can be mapped to the reference's typed
+        * error at ACTION time (see [[collect]]).
+        */
+      providers: Seq[HistoryRouter.ProviderHistory] = Seq.empty) {
+
+    /** Run a Spark action over this result with H5 failure-path diagnosis:
+      * a currency-guard abort is translated to
+      * `Connector(deviatingProvider, InconsistentCurrencyData)`
+      * (history.rs:205-274), everything else passes through.
+      */
+    def collect[T](action: => T): Either[BorsaError, T] =
+      HistoryRouter.diagnosed(providers)(action)
+  }
 
   /** Per-instrument CONTROL plane (driver-side, record-level): plan → H1/H2
     * fan-out → H3 collect successes → H4 order/filter. No Spark action runs
@@ -186,14 +200,11 @@ object HistoryOrchestrator {
     Right((HistoryRouter.orderAndFilter(successes, config.preferAdjusted), errors))
   }
 
-  /** Merged adjusted-flag algebra per instrument (merge.rs:32-37,76-102):
-    * first contributor AND all contributors.
-    */
   private def adjustedOf(ordered: Seq[HistoryRouter.ProviderHistory]): Boolean =
-    ordered.nonEmpty && ordered.minBy(_.priority).adjusted && ordered.forall(_.adjusted)
+    HistoryRouter.mergedAdjusted(ordered)
 
   private def metaOf(ordered: Seq[HistoryRouter.ProviderHistory]): Option[HistoryMeta] =
-    ordered.sortBy(_.priority).flatMap(_.meta).headOption
+    HistoryRouter.mergedMeta(ordered)
 
   /** Execute the full pipeline for one instrument. */
   def history(
@@ -215,7 +226,8 @@ object HistoryOrchestrator {
             HistoryRouter.applyFinalResample(m.candles, config.finalResample, m.meta),
             m.attribution, m.adjusted, m.meta,
             warnings = errors.filter(_.isActionable),
-            actions = m.actions)
+            actions = m.actions,
+            providers = ordered)
         }
     }
   }
@@ -281,7 +293,8 @@ object HistoryOrchestrator {
         oks.forall { case (_, ordered, _) => adjustedOf(ordered) },
         oks.flatMap { case (_, ordered, _) => metaOf(ordered) }.headOption,
         oks.flatMap(_._3.filter(_.isActionable)) ++ failWarnings,
-        actions = m.actions)
+        actions = m.actions,
+        providers = allProviders)
     }
   }
 }

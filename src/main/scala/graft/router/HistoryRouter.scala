@@ -137,6 +137,18 @@ object HistoryRouter {
       results.sortBy(_.priority).filter(_.adjusted == top.adjusted)
     }
 
+  /** Merged adjusted-flag algebra (merge.rs:32-37,76-102): first
+    * contributor AND all contributors — which reduces to all-adjusted over
+    * a non-empty contributor set. Shared by merge() and bulk download so
+    * the two paths cannot drift.
+    */
+  def mergedAdjusted(results: Seq[ProviderHistory]): Boolean =
+    results.nonEmpty && results.forall(_.adjusted)
+
+  /** Merged meta: first non-None by priority (merge.rs:37,96-101). */
+  def mergedMeta(results: Seq[ProviderHistory]): Option[HistoryMeta] =
+    results.sortBy(_.priority).flatMap(_.meta).headOption
+
   /** Merged result: candles + deduped actions + flags + attribution. */
   final case class MergedHistory(
       candles: DataFrame,
@@ -202,10 +214,9 @@ object HistoryRouter {
     val attribution = Attribution.spans(merged, Seq("symbol"), "ts")
     val candles = merged.drop("__prio")
 
-    // adjusted flag algebra (merge.rs:32-37,76-102): first contributor AND
-    // all contributors; meta = first non-None by priority
-    val adjusted = results.minBy(_.priority).adjusted && results.forall(_.adjusted)
-    val meta = results.sortBy(_.priority).flatMap(_.meta).headOption
+    // adjusted flag + meta algebra (merge.rs:32-37,76-102)
+    val adjusted = mergedAdjusted(results)
+    val meta = mergedMeta(results)
 
     // M1 action handling (merge.rs:104-109): concatenate all contributors'
     // actions, then M3 canonical dedup
@@ -291,8 +302,15 @@ object HistoryRouter {
       merged: DataFrame,
       mode: FinalResample,
       meta: Option[HistoryMeta] = scala.None): DataFrame = {
+    // currency rides along as a group key exactly like applyPlan: post-C2
+    // it is functionally dependent on symbol (no extra groups/shuffle), and
+    // keeping the column makes resampled and passthrough branches
+    // union-compatible (AutoDaily can resample one symbol group and pass
+    // another through)
+    def keysOf(df: DataFrame) =
+      if (df.columns.contains("currency")) Seq("symbol", "currency") else Seq("symbol")
     def run(df: DataFrame, plan: ResamplePlan) =
-      Resample.resampleCandles(df, bucketFor(plan, meta, col("ts")))
+      Resample.resampleCandles(df, bucketFor(plan, meta, col("ts")), keysOf(df))
         .withColumnRenamed("bucket_ts", "ts")
     mode match {
       case FinalResample.None   => merged

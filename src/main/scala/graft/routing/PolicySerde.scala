@@ -144,6 +144,10 @@ object PolicySerde {
           case Middleware.QuotaStrategy.Weighted         => "weighted"
           case Middleware.QuotaStrategy.EvenSpreadHourly => "even_spread_hourly"
         })
+        if (q.capabilityWeights.nonEmpty) {
+          val ws = o.putObject("weights")
+          q.capabilityWeights.toSeq.sortBy(_._1).foreach { case (k, v) => ws.put(k, v) }
+        }
     }
 
     mapper.writerWithDefaultPrettyPrinter.writeValueAsString(root)
@@ -268,7 +272,10 @@ object PolicySerde {
           Middleware.QuotaConfig(
             limit = optNode(q, "limit").map(_.asLong).getOrElse(base.limit),
             windowMs = optNode(q, "windowMs").map(_.asLong).getOrElse(base.windowMs),
-            strategy = strategy)
+            strategy = strategy,
+            capabilityWeights = optNode(q, "weights").map(o =>
+              o.properties.asScala.map(e => e.getKey -> e.getValue.asLong).toMap)
+              .getOrElse(Map.empty))
         }
       }
     } yield graft.Graft.MiddlewareConfig(cache, blacklist, quota)

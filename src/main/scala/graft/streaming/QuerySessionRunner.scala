@@ -21,18 +21,30 @@ import graft.core.Errors.BorsaError
   * union (ST10 `MonotonicGate.multiplex`) covers static composition. The
   * ST8 monotonic gate belongs downstream of the shared sink so its
   * per-symbol state survives provider failover.
+  *
+  * Sessions are keyed by (chain, provider): ST3 sharding may place the
+  * same provider in several failover chains, and each chain's session is
+  * an independent query — [[StreamController.SessionRunner.forChain]]
+  * returns the chain-scoped view, so one chain's StopAll/AwaitAll never
+  * touches another chain's healthy sessions.
+  *
+  * `allowFilter` keys the ST9 filter: quote/candle feeds use the default
+  * symbol-keyed filter; option feeds pass
+  * [[OptionStream.allowUnderlyings]] (their rows key by `underlying`).
   */
 final class QuerySessionRunner(
     sourceFor: (Int, Seq[String]) => Either[BorsaError, DataFrame],
-    startQuery: (Int, DataFrame) => StreamingQuery) extends StreamController.SessionRunner {
+    startQuery: (Int, DataFrame) => StreamingQuery,
+    allowFilter: (DataFrame, Set[String]) => DataFrame = MonotonicGate.allowSetFilter)
+  extends StreamController.SessionRunner {
 
-  private val active = TrieMap.empty[Int, StreamingQuery]
+  private val active = TrieMap.empty[(Int, Int), StreamingQuery]
 
-  def start(id: Int, symbols: Seq[String]): Either[BorsaError, Unit] =
+  private def startIn(chain: Int, id: Int, symbols: Seq[String]): Either[BorsaError, Unit] =
     sourceFor(id, symbols).flatMap { df =>
-      Try(startQuery(id, MonotonicGate.allowSetFilter(df, symbols.toSet))) match {
+      Try(startQuery(id, allowFilter(df, symbols.toSet))) match {
         case Success(q) =>
-          active.put(id, q)
+          active.put((chain, id), q)
           Right(())
         case Failure(e) =>
           Left(BorsaError.Connector(s"provider-$id",
@@ -43,12 +55,27 @@ final class QuerySessionRunner(
   /** Idempotent: stopping an unknown/already-stopped session is a no-op
     * (the FSM may preempt a session that failed on its own).
     */
-  def stop(id: Int): Unit =
-    active.remove(id).foreach(q => Try(q.stop()))
+  private def stopIn(chain: Int, id: Int): Unit =
+    active.remove((chain, id)).foreach(q => Try(q.stop()))
 
-  override def awaitStopped(): Unit =
-    active.keys.toSeq.foreach(stop)
+  private def awaitChain(chain: Int): Unit =
+    active.keys.filter(_._1 == chain).toSeq.foreach { case (c, i) => stopIn(c, i) }
 
-  /** Live queries by provider id (diagnostics / tests). */
-  def activeQueries: Map[Int, StreamingQuery] = active.toMap
+  // direct use (no sharding) = chain 0
+  def start(id: Int, symbols: Seq[String]): Either[BorsaError, Unit] = startIn(0, id, symbols)
+  def stop(id: Int): Unit = stopIn(0, id)
+  override def awaitStopped(): Unit = awaitChain(0)
+
+  override def forChain(chain: Int): StreamController.SessionRunner =
+    new StreamController.SessionRunner {
+      def start(id: Int, symbols: Seq[String]): Either[BorsaError, Unit] =
+        startIn(chain, id, symbols)
+      def stop(id: Int): Unit = stopIn(chain, id)
+      override def awaitStopped(): Unit = awaitChain(chain)
+      override def forChain(other: Int): StreamController.SessionRunner =
+        QuerySessionRunner.this.forChain(other)
+    }
+
+  /** Live queries by (chain, provider) (diagnostics / tests). */
+  def activeQueries: Map[(Int, Int), StreamingQuery] = active.toMap
 }

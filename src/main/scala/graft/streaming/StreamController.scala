@@ -26,6 +26,15 @@ object StreamController {
     def start(providerId: Int, symbols: Seq[String]): Either[BorsaError, Unit]
     def stop(providerId: Int): Unit
     def awaitStopped(): Unit = ()
+
+    /** Multi-chain orchestration (ST3 sharding) calls this once per
+      * failover chain before delegating: runners that manage per-session
+      * resources return a CHAIN-SCOPED view, so the same provider id
+      * appearing in two chains maps to two distinct sessions — and one
+      * chain's StopAll/AwaitAll cannot tear down another chain's healthy
+      * sessions. Stateless/test runners keep the default (shared `this`).
+      */
+    def forChain(chain: Int): SessionRunner = this
   }
 
   /** ST12 graceful stream handle contract: stop = signal + await; close is

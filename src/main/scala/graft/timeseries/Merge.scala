@@ -73,28 +73,18 @@ object Merge {
   def kindRank(kind: Column): Column =
     when(kind === "dividend", 0).when(kind === "split", 1).otherwise(2)
 
-  /** `sorted=false` skips the trailing canonical orderBy — a total sort is
-    * wasted work when the result is composed into a larger plan that
-    * re-partitions anyway; only user-facing leaves want the reference's
-    * canonical order.
-    */
-  def dedupActions(
-      actions: DataFrame,
-      keys: Seq[String] = Seq.empty,
-      sorted: Boolean = true): DataFrame = {
+  def dedupActions(actions: DataFrame, keys: Seq[String] = Seq.empty): DataFrame = {
     // `symbol` is part of the identity whenever present: without it, a
     // multi-symbol frame would collapse same-valued actions of DIFFERENT
     // instruments into one row (merge.rs:173-279 dedups within one
     // instrument's series; symbol scoping is implicit there).
     val identity = keys ++ Seq("symbol", "ts", "kind", "amount", "currency", "numerator", "denominator")
     val present = identity.distinct.filter(actions.columns.contains)
-    val deduped = actions.dropDuplicates(present)
-    if (!sorted) deduped
-    else {
-      val symbolKey =
-        if (!keys.contains("symbol") && actions.columns.contains("symbol")) Seq(col("symbol"))
-        else Seq.empty
-      deduped.orderBy((keys.map(col) ++ symbolKey ++ Seq(col("ts"), kindRank(col("kind")), col("amount"), col("currency"))): _*)
-    }
+    val symbolKey =
+      if (!keys.contains("symbol") && actions.columns.contains("symbol")) Seq(col("symbol"))
+      else Seq.empty
+    actions
+      .dropDuplicates(present)
+      .orderBy((keys.map(col) ++ symbolKey ++ Seq(col("ts"), kindRank(col("kind")), col("amount"), col("currency"))): _*)
   }
 }

@@ -107,8 +107,8 @@ class MiddlewareSpec extends AnyFunSuite {
     val clock = new ManualClock(0)
     val inner = new CountingConnector
     val q = new QuotaAwareConnector(inner,
-      QuotaConfig(limit = 10, windowMs = 3600000, strategy = QuotaStrategy.Weighted),
-      clock, capabilityWeights = Map("quote" -> 4L))
+      QuotaConfig(limit = 10, windowMs = 3600000, strategy = QuotaStrategy.Weighted,
+        capabilityWeights = Map("quote" -> 4L)), clock)
     assert(q.quote(inst).isRight) // 4
     assert(q.quote(inst).isRight) // 8
     q.quote(inst) match { // would need 12 > 10
@@ -117,8 +117,8 @@ class MiddlewareSpec extends AnyFunSuite {
     }
     // Unit strategy ignores weights entirely
     val u = new QuotaAwareConnector(new CountingConnector,
-      QuotaConfig(limit = 3, windowMs = 3600000), clock,
-      capabilityWeights = Map("quote" -> 100L))
+      QuotaConfig(limit = 3, windowMs = 3600000,
+        capabilityWeights = Map("quote" -> 100L)), clock)
     assert(u.quote(inst).isRight && u.quote(inst).isRight && u.quote(inst).isRight)
     assert(u.quote(inst).isLeft)
   }

@@ -188,6 +188,56 @@ class HistoryOrchestratorSpec extends SparkSpec {
     assert(res.adjusted && res.meta.exists(_.timezone.contains("America/New_York")))
   }
 
+  test("H5 typed diagnosis reaches the public result: mixed-currency merge maps to the deviating provider") {
+    import graft.connector.FixtureConnector
+    import graft.connector.FixtureConnector._
+    def fix(n: String, currency: String) = {
+      val candles = (0 until 3).map { i =>
+        s"""{"ts":${1704067200L + i * 86400L},"open":"1","high":"2","low":"0.5","close":"1.5","volume":1,"currency":"$currency"}"""
+      }.mkString("[", ",", "]")
+      new FixtureConnector(n, new RecordedTransport(Map(
+        ("history", "AAPL") -> Right(s"""{"adjusted":true,"candles":$candles}"""))))
+    }
+    val usd = fix("usd_prov", "USD")
+    val eur = fix("eur_prov", "EUR")
+    val Right(res) = history(spark, inst, req, Seq(usd, eur),
+      Policy.ProviderPolicy().withGlobal(Seq("usd_prov", "eur_prov")))
+    // the lazy guard aborts the action; HistoryResult.collect maps it
+    res.collect(res.candles.count()) match {
+      case Left(BorsaError.Connector("eur_prov", BorsaError.InconsistentCurrencyData)) => ()
+      case other => fail(s"expected eur_prov diagnosed, got $other")
+    }
+    // clean results pass actions through unchanged
+    val Right(clean) = history(spark, inst, req, Seq(usd))
+    assert(clean.collect(clean.candles.count()) == Right(3L))
+  }
+
+  test("H8 multi-meta download under AutoDaily: per-meta branches stay union-compatible") {
+    val nyProv = new MockConnector("ny", MockConnector.Script(
+      supportedIntervals = Seq(Interval.I1h),
+      meta = Some(HistoryMeta(Some("America/New_York"), None))))
+    val utcProv = new MockConnector("plain", MockConnector.Script(
+      supportedIntervals = Seq(Interval.I1h)))
+    // route each instrument to a different provider → two distinct metas
+    val policy = Policy.ProviderPolicy()
+      .withRule(Policy.Selector(symbol = Some(Symbol("AAPL"))), Seq("ny"), strict = true)
+      .withRule(Policy.Selector(symbol = Some(Symbol("MSFT"))), Seq("plain"), strict = true)
+    val r = HistoryRequest(Interval.I1h, Some(1704067200L), Some(1704067200L + 2 * 86400), None)
+    val insts = Seq(inst, Instrument(Symbol("MSFT"), None, AssetKind.Equity))
+    val Right(res) = download(spark, insts, r, Seq(nyProv, utcProv), policy,
+      Config(finalResample = HistoryRouter.FinalResample.AutoDaily))
+    val bySymbol = res.candles.select("symbol", "ts").collect()
+      .groupBy(_.getString(0)).view.mapValues(_.map(_.getLong(1)).sorted.toSeq).toMap
+    // subdaily hourly series collapse to daily on BOTH branches, each on
+    // its own meta alignment: MSFT at UTC midnights, AAPL at NY midnights
+    assert(bySymbol("MSFT") == Seq(1704067200L, 1704067200L + 86400L))
+    val ny = java.time.ZoneId.of("America/New_York")
+    bySymbol("AAPL").foreach { ts =>
+      val l = java.time.Instant.ofEpochSecond(ts).atZone(ny)
+      assert(l.getHour == 0 && l.getMinute == 0, s"AAPL bucket $ts not NY midnight: $l")
+    }
+  }
+
   test("request validation: period xor range, start < end (download.rs:10-27)") {
     val conn = new MockConnector("m")
     assert(history(spark, inst,

@@ -35,7 +35,8 @@ class PolicySerdeSpec extends AnyFunSuite {
       cache = None, // explicitly disabled layer
       blacklist = Some(graft.connector.Middleware.BlacklistConfig(defaultWindowMs = 1234L)),
       quota = Some(graft.connector.Middleware.QuotaConfig(limit = 7, windowMs = 1000L,
-        strategy = graft.connector.Middleware.QuotaStrategy.Weighted))))
+        strategy = graft.connector.Middleware.QuotaStrategy.Weighted,
+        capabilityWeights = Map("history" -> 5L, "quote" -> 1L)))))
 
   test("toJson → fromJson round-trips the full config") {
     val Right(back) = fromJson(toJson(full))

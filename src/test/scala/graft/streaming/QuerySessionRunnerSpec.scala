@@ -43,11 +43,11 @@ class QuerySessionRunnerSpec extends SparkSpec {
       capability = "stream-quotes")
     val controller = new Controller(supervisor, runner, (_, _) => ())
     val Right(handle) = controller.awaitStartup()
-    assert(runner.activeQueries.keySet == Set(0), "primary session is a live query")
+    assert(runner.activeQueries.keySet == Set((0, 0)), "primary session is a live query")
 
     // phase 1: provider 0 emits; X is outside the allow-set → filtered in-plan
     sources(0).addData(Seq(Update("A", 1, 100), Update("X", 2, 1), Update("B", 3, 50)))
-    runner.activeQueries(0).processAllAvailable()
+    runner.activeQueries((0, 0)).processAllAvailable()
     assert(sink.size() == 2)
 
     // session 0 dies and its restart fails → the scan fails over to
@@ -57,11 +57,11 @@ class QuerySessionRunnerSpec extends SparkSpec {
     runner.stop(0)
     p0Dead = true
     controller.enqueue(Event.BackoffTick)
-    assert(runner.activeQueries.keySet == Set(1), "failover started a real query on provider 1")
+    assert(runner.activeQueries.keySet == Set((0, 1)), "failover started a real query on provider 1")
 
     // phase 2: provider 1 emits into the SAME sink
     sources(1).addData(Seq(Update("A", 4, 110)))
-    runner.activeQueries(1).processAllAvailable()
+    runner.activeQueries((0, 1)).processAllAvailable()
 
     val rows = sink.toArray(Array.empty[(Long, String, Long)]).sortBy(_._3)
     assert(rows.map(_._3).toSeq == Seq(1L, 3L, 4L))
@@ -70,6 +70,32 @@ class QuerySessionRunnerSpec extends SparkSpec {
 
     // ST12 teardown stops every live query
     handle.stop()
+    assert(runner.activeQueries.isEmpty)
+  }
+
+  test("chain-scoped views: a shared provider hosts distinct sessions per chain; stopping one chain spares the other") {
+    implicit val sqlCtx = spark.sqlContext
+    val srcA = MemoryStream[Update]
+    val srcB = MemoryStream[Update]
+    var nextSrc = Seq(srcA, srcB)
+    val runner = new QuerySessionRunner(
+      sourceFor = (_, _) => synchronized {
+        val s = nextSrc.head; nextSrc = nextSrc.tail; Right(s.toDF())
+      },
+      startQuery = (_, df) => df.writeStream.format("noop").start())
+    val chain0 = runner.forChain(0)
+    val chain1 = runner.forChain(1)
+    // SAME provider id 1 in both chains → two live queries, not one
+    assert(chain0.start(1, Seq("AAPL")).isRight)
+    assert(chain1.start(1, Seq("MSFT")).isRight)
+    assert(runner.activeQueries.keySet == Set((0, 1), (1, 1)))
+    val q1 = runner.activeQueries((1, 1))
+    // chain 0 shutdown (StopAll + AwaitAll) must not touch chain 1
+    chain0.stop(1)
+    chain0.awaitStopped()
+    assert(runner.activeQueries.keySet == Set((1, 1)))
+    assert(runner.activeQueries((1, 1)).isActive && (q1 eq runner.activeQueries((1, 1))))
+    chain1.awaitStopped()
     assert(runner.activeQueries.isEmpty)
   }
 
