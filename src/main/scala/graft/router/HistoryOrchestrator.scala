@@ -280,7 +280,8 @@ object HistoryOrchestrator {
         case (mode, groups) =>
           // one resample branch per distinct meta: persist the merged frame
           // first so each branch re-reads the cache instead of recomputing
-          // the whole union+merge per branch
+          // the whole union+merge per branch (same bounded lifecycle as the
+          // AutoDaily cache — LRU-evictable, ContextCleaner-reclaimed)
           val cached = m.candles.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           groups.map { case (meta, syms) =>
             HistoryRouter.applyFinalResample(

@@ -321,7 +321,11 @@ object HistoryRouter {
         // is inherently a driver-side boolean (it picks the plan shape), so
         // cache the merged frame first: the decision pass materializes it
         // and the chosen branch re-reads the cache instead of recomputing
-        // the whole upstream union+merge a second time.
+        // the whole upstream union+merge a second time. Lifecycle: no
+        // explicit unpersist is possible (the returned plan still reads the
+        // cache); blocks are MEMORY_AND_DISK (LRU-evictable under
+        // pressure) and reclaimed by ContextCleaner once the frame becomes
+        // unreachable — bounded, not a leak.
         val cached = merged.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val deltas = graft.timeseries.Infer.isSubdaily(
           cached.withColumn("secs", col("ts")), tiebreak = Seq("ts"))
