@@ -76,6 +76,37 @@ class CandleStreamEndToEndSpec extends SparkSpec {
     handle.stop()
   }
 
+  test("full production path: 3 sharded chains over overlapping providers drive real chain-scoped queries") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.MonotonicGate.Update
+    val symbols = Seq("AAPL", "MSFT", "GOOG")
+    val providers = Seq("alpha", "beta", "gamma")
+    // each symbol elects a different primary; every chain contains all
+    // three providers, so providers overlap across chains
+    val policy = symbols.zip(Seq(
+      Seq("alpha", "beta", "gamma"),
+      Seq("beta", "gamma", "alpha"),
+      Seq("gamma", "alpha", "beta")))
+      .foldLeft(Policy.ProviderPolicy()) { case (p, (s, order)) =>
+        p.withRule(Policy.Selector(symbol = Some(Symbol(s))), order)
+      }
+    val g = new Graft(spark, providers.map(candleConnector), policy)
+    val runner = new QuerySessionRunner(
+      sourceFor = (_, _) => Right(MemoryStream[Update].toDF()),
+      startQuery = (_, df) => df.writeStream.format("noop").start())
+    val insts = symbols.map(s => Instrument(Symbol(s), None, AssetKind.Equity))
+    val Right(handle) = g.streamCandles(insts, runner)
+    // three chains, each with its own live session on its elected primary
+    // (global connector ids 0/1/2), scoped per chain
+    assert(runner.activeQueries.size == 3)
+    assert(runner.activeQueries.keys.map(_._1).toSet.size == 3, "one session per chain")
+    assert(runner.activeQueries.keys.map(_._2).toSet == Set(0, 1, 2),
+      "each chain runs a DIFFERENT primary")
+    assert(runner.activeQueries.values.forall(_.isActive))
+    handle.stop()
+    assert(runner.activeQueries.isEmpty, "composite stop tears down every chain's query")
+  }
+
   test("bar feed: is_final=false intermediate updates, then exactly one is_final=true close") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Tick]
