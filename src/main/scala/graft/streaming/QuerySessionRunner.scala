@@ -44,7 +44,11 @@ final class QuerySessionRunner(
     sourceFor(id, symbols).flatMap { df =>
       Try(startQuery(id, allowFilter(df, symbols.toSet))) match {
         case Success(q) =>
-          active.put((chain, id), q)
+          // idempotent start: the FSM may re-elect a provider without an
+          // intervening Stop (restart after an externally-reported failure
+          // while the old query thread is still alive) — the displaced
+          // query must be stopped or it keeps writing to the shared sink
+          active.put((chain, id), q).foreach(old => Try(old.stop()))
           Right(())
         case Failure(e) =>
           Left(BorsaError.Connector(s"provider-$id",

@@ -99,6 +99,25 @@ class QuerySessionRunnerSpec extends SparkSpec {
     assert(runner.activeQueries.isEmpty)
   }
 
+  test("re-electing a provider without an intervening stop displaces AND stops the old query") {
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[Update]
+    val runner = new QuerySessionRunner(
+      sourceFor = (_, _) => Right(src.toDF()),
+      startQuery = (_, df) => df.writeStream.format("noop").start())
+    assert(runner.start(0, Seq("A")).isRight)
+    val first = runner.activeQueries((0, 0))
+    // restart after an externally-reported failure: FSM re-elects provider 0
+    // while the old query thread is still alive — no Stop in between
+    assert(runner.start(0, Seq("A")).isRight)
+    val second = runner.activeQueries((0, 0))
+    assert(second ne first, "re-election started a fresh query")
+    assert(!first.isActive, "displaced query was stopped, not leaked")
+    assert(second.isActive)
+    runner.awaitStopped()
+    assert(runner.activeQueries.isEmpty)
+  }
+
   test("a source factory failure surfaces as a typed start error (FSM keeps scanning)") {
     val runner = new QuerySessionRunner(
       sourceFor = (_, _) => Left(BorsaError.Data("session unavailable")),
