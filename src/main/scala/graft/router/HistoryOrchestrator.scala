@@ -1,5 +1,6 @@
 package graft.router
 
+import java.util.concurrent.TimeoutException
 import scala.concurrent.duration._
 import scala.concurrent.{Await, ExecutionContext, Future}
 
@@ -39,12 +40,31 @@ object HistoryOrchestrator {
       strategy: MergeStrategy = MergeStrategy.Deep,
       preferAdjusted: Boolean = true,
       providerTimeout: FiniteDuration = 5.seconds,
-      finalResample: HistoryRouter.FinalResample = HistoryRouter.FinalResample.None)
+      finalResample: HistoryRouter.FinalResample = HistoryRouter.FinalResample.None,
+      /** Optional request-level deadline bounding the WHOLE provider
+        * fan-out — per-instrument for [[history]], across the concurrent
+        * per-instrument fan-out for [[download]] (config.rs:140-142,162;
+        * applied at history.rs:126-153 / download.rs:171-186). `None`
+        * leaves the request bounded only by per-call provider timeouts.
+        */
+      requestTimeout: Option[FiniteDuration] = None)
 
   private lazy val ec = ExecutionContext.fromExecutor(
     java.util.concurrent.Executors.newCachedThreadPool(r => {
       val t = new Thread(r, "graft-history"); t.setDaemon(true); t
     }))
+
+  /** Time budget for one blocking await under an optional shared deadline:
+    * the sooner of the stage's own bound and what the deadline has left.
+    */
+  private def budget(deadline: Option[Deadline], stageBound: FiniteDuration): FiniteDuration =
+    deadline match {
+      case None    => stageBound
+      case Some(d) =>
+        val left = d.timeLeft
+        if (left <= Duration.Zero) Duration.Zero
+        else if (left < stageBound) left else stageBound
+    }
 
   val candleSchema: StructType = StructType(Seq(
     StructField("symbol", StringType), StructField("ts", LongType),
@@ -146,25 +166,41 @@ object HistoryOrchestrator {
       req: HistoryRequest,
       connectors: Seq[Connector],
       policy: Policy.ProviderPolicy,
-      config: Config): Either[BorsaError, (Seq[HistoryRouter.ProviderHistory], Seq[BorsaError])] = {
+      config: Config,
+      deadline: Option[Deadline]): Either[BorsaError, (Seq[HistoryRouter.ProviderHistory], Seq[BorsaError])] = {
     val planned = planProviders(inst, req, connectors, policy)
     if (planned.isEmpty) return Left(BorsaError.Unsupported("history"))
 
-    // H1/H2 fan-out
+    // H1/H2 fan-out, bounded by the shared request deadline when one is set
+    // (history.rs:126-153: deadline elapse → RequestTimeout for the whole
+    // request, not a per-provider warning)
     type Fetched = (Int, Connector, Option[HistoryRouter.ResamplePlan], Either[BorsaError, HistoryResponse])
     val fetched: Seq[Fetched] = config.strategy match {
       case MergeStrategy.Deep =>
+        // MW6: this fan-out may itself run on a pooled thread (download's
+        // per-instrument futures) whose InheritableThreadLocal default can
+        // be stale — capture the CALLER's scope and re-establish it inside
+        // each future, exactly like Fetch.latencyRace
+        val origin = graft.connector.Middleware.currentOrigin.value
         val futures = planned.zipWithIndex.map { case ((c, r, plan), i) =>
-          Future((i, c, plan, Fetch.withTimeout(c.name, "history", config.providerTimeout)(
-            c.history(inst, r))))(ec)
+          Future(graft.connector.Middleware.currentOrigin.withValue(origin)(
+            (i, c, plan, Fetch.withTimeout(c.name, "history", config.providerTimeout)(
+              c.history(inst, r)))))(ec)
         }
-        Await.result(Future.sequence(futures)(implicitly, ec), config.providerTimeout + 2.second)
+        try Await.result(Future.sequence(futures)(implicitly, ec),
+          budget(deadline, config.providerTimeout + 2.second))
+        catch {
+          case _: TimeoutException => return Left(BorsaError.RequestTimeout("history"))
+        }
       case MergeStrategy.Fallback =>
         var acc = List.empty[Fetched]
         var done = false
         planned.zipWithIndex.foreach { case ((c, r, plan), i) =>
           if (!done) {
-            val res = Fetch.withTimeout(c.name, "history", config.providerTimeout)(c.history(inst, r))
+            if (deadline.exists(_.isOverdue()))
+              return Left(BorsaError.RequestTimeout("history"))
+            val res = Fetch.withTimeout(c.name, "history",
+              budget(deadline, config.providerTimeout))(c.history(inst, r))
             acc ::= ((i, c, plan, res))
             if (res.exists(_.candles.nonEmpty)) done = true // first NON-EMPTY wins
           }
@@ -218,7 +254,8 @@ object HistoryOrchestrator {
       case Left(e) => return Left(e)
       case Right(_) => ()
     }
-    fetchOrdered(spark, inst, req, connectors, policy, config).flatMap {
+    val deadline = config.requestTimeout.map(Deadline.now + _)
+    fetchOrdered(spark, inst, req, connectors, policy, config, deadline).flatMap {
       case (ordered, errors) =>
         // H4 → M1/H5/H6 → H7
         HistoryRouter.merge(ordered).map { m =>
@@ -260,8 +297,31 @@ object HistoryOrchestrator {
       case Left(e) => return Left(e)
       case Right(_) => ()
     }
-    val per = instruments.map(i =>
-      i -> fetchOrdered(spark, i, req, connectors, policy, config))
+    // Concurrent per-instrument fan-out under ONE shared deadline
+    // (download.rs:130-213): each instrument's control-plane fetch runs as
+    // its own task on the history executor, so N instruments × a slow
+    // provider cost ~one provider timeout of wall-clock, not N×. Deadline
+    // elapse fails the WHOLE download with RequestTimeout (download.rs
+    // "Returns an error only if ... an overall request-level timeout
+    // elapses"); per-instrument failures stay warnings.
+    val deadline = config.requestTimeout.map(Deadline.now + _)
+    val origin = graft.connector.Middleware.currentOrigin.value // MW6 scope capture
+    val futures = instruments.map { i =>
+      i -> Future(graft.connector.Middleware.currentOrigin.withValue(origin)(
+        fetchOrdered(spark, i, req, connectors, policy, config, deadline)))(ec)
+    }
+    // without a deadline each fetch is already bounded by per-call provider
+    // timeouts (Deep await ≤ providerTimeout+2s; Fallback ≤ N providers ×
+    // providerTimeout), so the await bound is that worst case plus slack
+    val fetchBound =
+      (config.providerTimeout + 2.seconds) * math.max(1L, connectors.size.toLong)
+    val per = futures.map { case (i, f) =>
+      try i -> Await.result(f, budget(deadline, fetchBound))
+      catch {
+        case _: TimeoutException =>
+          return Left(BorsaError.RequestTimeout("download"))
+      }
+    }
     val oks = per.collect { case (i, Right((ordered, errs))) => (i, ordered, errs) }
     val failWarnings = per.collect { case (i, Left(e)) =>
       BorsaError.Connector(i.symbol.value, e) }

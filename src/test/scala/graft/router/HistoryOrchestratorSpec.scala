@@ -1,5 +1,7 @@
 package graft.router
 
+import scala.concurrent.duration._
+
 import graft.SparkSpec
 import graft.connector.MockConnector
 import graft.core.Errors.BorsaError
@@ -236,6 +238,85 @@ class HistoryOrchestratorSpec extends SparkSpec {
       val l = java.time.Instant.ofEpochSecond(ts).atZone(ny)
       assert(l.getHour == 0 && l.getMinute == 0, s"AAPL bucket $ts not NY midnight: $l")
     }
+  }
+
+  test("download fans out instruments concurrently: N × slow provider ≈ one delay of wall-clock") {
+    val slow = new MockConnector("slow",
+      MockConnector.Script(behaviors = Map("history" -> MockConnector.Delay(600))))
+    val insts = Seq("A1", "A2", "A3", "A4").map(s => Instrument(Symbol(s), None, AssetKind.Equity))
+    val t0 = System.nanoTime()
+    val Right(res) = download(spark, insts, req, Seq(slow))
+    val elapsedMs = (System.nanoTime() - t0) / 1e6
+    assert(res.candles.select("symbol").distinct().count() == 4)
+    // sequential would cost 4 × 600 ms of provider IO before the plan even
+    // exists; concurrent ≈ one delay + fetch overhead
+    assert(elapsedMs < 1800, s"download control plane looks sequential: $elapsedMs ms")
+  }
+
+  test("shared request deadline: download collapses to RequestTimeout, bounded wall-clock") {
+    val slow = new MockConnector("slow",
+      MockConnector.Script(behaviors = Map("history" -> MockConnector.Delay(2000))))
+    val insts = Seq("B1", "B2", "B3").map(s => Instrument(Symbol(s), None, AssetKind.Equity))
+    val t0 = System.nanoTime()
+    val res = download(spark, insts, req, Seq(slow),
+      config = Config(requestTimeout = Some(300.millis)))
+    val elapsedMs = (System.nanoTime() - t0) / 1e6
+    res match {
+      case Left(BorsaError.RequestTimeout("download")) => ()
+      case other => fail(s"expected RequestTimeout, got $other")
+    }
+    assert(elapsedMs < 1500, s"deadline did not bound the fan-out: $elapsedMs ms")
+  }
+
+  test("request deadline bounds a single-instrument Deep fan-out (history.rs:126-153)") {
+    val slow = new MockConnector("slow",
+      MockConnector.Script(behaviors = Map("history" -> MockConnector.Delay(2000))))
+    history(spark, inst, req, Seq(slow),
+      config = Config(requestTimeout = Some(250.millis))) match {
+      case Left(BorsaError.RequestTimeout("history")) => ()
+      case other => fail(s"expected RequestTimeout, got $other")
+    }
+  }
+
+  test("Fallback chain stops at the deadline, not after N provider timeouts") {
+    // three slow-and-EMPTY providers: the chain would walk all of them
+    def slowEmpty(n: String) = new MockConnector(n, MockConnector.Script(
+      behaviors = Map("history" -> MockConnector.Delay(400)), maxCandles = 0))
+    val provs = Seq(slowEmpty("se1"), slowEmpty("se2"), slowEmpty("se3"))
+    val t0 = System.nanoTime()
+    val res = history(spark, inst, req, provs,
+      Policy.ProviderPolicy().withGlobal(Seq("se1", "se2", "se3")),
+      Config(strategy = MergeStrategy.Fallback, requestTimeout = Some(600.millis)))
+    val elapsedMs = (System.nanoTime() - t0) / 1e6
+    res match {
+      case Left(BorsaError.RequestTimeout("history")) => ()
+      case other => fail(s"expected RequestTimeout, got $other")
+    }
+    assert(elapsedMs < 1200, s"chain ran past the deadline: $elapsedMs ms")
+  }
+
+  test("MW6: pooled fan-out threads do not leak an inherited internal scope across requests") {
+    import graft.connector.{CallOrigin, Middleware}
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[CallOrigin]()
+    class Recording(n: String) extends MockConnector(n) {
+      override def history(i: Instrument, r: HistoryRequest): Either[BorsaError, HistoryResponse] = {
+        seen.add(Middleware.currentOrigin.value)
+        super.history(i, r)
+      }
+    }
+    val rec = new Recording("rec")
+    val insts = Seq("C1", "C2").map(s => Instrument(Symbol(s), None, AssetKind.Equity))
+    // warm-up under an INTERNAL scope: cached-pool threads created here
+    // inherit Internal as their permanent thread-local default
+    Middleware.internal("warmup", "history") {
+      assert(download(spark, insts, req, Seq(rec)).isRight)
+    }
+    seen.clear()
+    // an EXTERNAL request reusing those pooled threads must still observe
+    // External at the connector boundary (quota/blacklist consult this)
+    assert(download(spark, insts, req, Seq(rec)).isRight)
+    assert(!seen.isEmpty)
+    seen.forEach(o => assert(o == CallOrigin.External, s"leaked internal scope: $o"))
   }
 
   test("request validation: period xor range, start < end (download.rs:10-27)") {
