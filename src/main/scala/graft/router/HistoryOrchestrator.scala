@@ -273,11 +273,15 @@ object HistoryOrchestrator {
     * plane (plan/fetch/order) stays per-instrument — H4 adjusted filtering
     * and provider ranking are instrument-local decisions — but every
     * surviving provider frame is symbol-tagged already, so ALL of them feed
-    * a single union → one currency guard → one first-wins window → one
-    * attribution pass. Priorities are per-instrument ranks; the merge key
-    * (symbol, ts) means ranks only ever compete within their own
-    * instrument. Per-instrument failures become warnings, partial success
-    * succeeds (download.rs:130-213); merged actions ARE propagated.
+    * a shared grouped merge ([[HistoryRouter.mergeGrouped]]): one
+    * first-wins window for the multi-provider instruments, a guard-free
+    * short-circuit branch preserving close_unadj for single-provider
+    * instruments, one attribution pass over the union. Priorities are
+    * per-instrument ranks; the merge key (symbol, ts) means ranks only
+    * ever compete within their own instrument. Per-instrument failures —
+    * fetch errors AND currency violations — become warnings, partial
+    * success succeeds (download.rs:130-213); merged actions ARE
+    * propagated.
     *
     * The final resample groups instruments by their merged meta (each
     * instrument's bucket alignment follows its own providers' timezone) —
@@ -327,9 +331,11 @@ object HistoryOrchestrator {
       BorsaError.Connector(i.symbol.value, e) }
     if (oks.isEmpty) return Left(Errors.collapse(failWarnings, "download", None))
 
-    // ONE merge plan across all instruments
+    // ONE grouped merge plan across all instruments (per-instrument
+    // semantics: single-source short-circuit, per-symbol currency
+    // isolation)
     val allProviders = oks.flatMap { case (_, ordered, _) => ordered }
-    HistoryRouter.merge(allProviders).map { m =>
+    HistoryRouter.mergeGrouped(oks.map(_._2)).map { case (m, currencyWarnings) =>
       val metaGroups: Seq[(Option[HistoryMeta], Seq[String])] =
         oks.groupBy { case (_, ordered, _) => metaOf(ordered) }
           .view.mapValues(_.map(_._1.symbol.value)).toSeq
@@ -353,7 +359,7 @@ object HistoryOrchestrator {
         m.attribution,
         oks.forall { case (_, ordered, _) => adjustedOf(ordered) },
         oks.flatMap { case (_, ordered, _) => metaOf(ordered) }.headOption,
-        oks.flatMap(_._3.filter(_.isActionable)) ++ failWarnings,
+        oks.flatMap(_._3.filter(_.isActionable)) ++ failWarnings ++ currencyWarnings,
         actions = m.actions,
         providers = allProviders)
     }

@@ -228,28 +228,107 @@ object HistoryRouter {
     Right(MergedHistory(candles.drop("provider"), attribution, adjusted, meta, mergedActions))
   }
 
+  /** H8 bulk data plane with PER-INSTRUMENT merge semantics (download.rs:
+    * 130-213 isolation) over one set of union branches — `groups` carries
+    * one entry per instrument (its ordered surviving providers):
+    *
+    *  - instruments with a SINGLE contributing provider take the
+    *    single-source short-circuit (history.rs:207-210): no first-wins,
+    *    no currency check, close_unadj raw-close provenance preserved
+    *    unless their resample plan ran — exactly what `history` on the
+    *    same instrument would produce;
+    *  - instruments with several providers share ONE first-wins merge
+    *    (priorities only compete within their own symbol);
+    *  - a currency violation inside one instrument becomes a WARNING and
+    *    drops that symbol, instead of aborting the whole batch the way
+    *    `merge`'s strict in-plan guard must for single-instrument history.
+    *
+    * The violation check is one EAGER aggregation (≤ providers × symbols
+    * rows) over the multi-provider branch only — the per-instrument
+    * isolation contract requires knowing the violating symbols while the
+    * result (warnings) is being built. The reference pays full
+    * per-instrument materialization here; we pay one tiny stats job, and
+    * the data plane itself stays one lazy plan.
+    *
+    * Returns the merged history plus per-symbol currency warnings.
+    */
+  def mergeGrouped(groups: Seq[Seq[ProviderHistory]]): Either[BorsaError, (MergedHistory, Seq[BorsaError])] = {
+    require(groups.nonEmpty && groups.forall(_.nonEmpty), "mergeGrouped of zero histories")
+    val singles = groups.collect { case Seq(one) => one }
+    val multiProviders = groups.filter(_.sizeIs > 1).flatten
+
+    val singleFrames = singles.map(r => applyPlan(r).withColumn("provider", lit(r.provider)))
+
+    val (multiFrame, violations) =
+      if (multiProviders.isEmpty) (None, Seq.empty[(String, BorsaError)])
+      else {
+        val tagged = multiProviders.map { r =>
+          applyPlan(r)
+            .withColumn("__prio", lit(r.priority))
+            .withColumn("provider", lit(r.provider))
+        }
+        val unioned = tagged.reduce(_ unionByName _)
+        val viol = currencyViolations(multiProviders)
+        val clean =
+          if (viol.isEmpty) unioned
+          else unioned.filter(!col("symbol").isin(viol.map(_._1): _*))
+        val merged = Merge.firstWins(clean, Seq("symbol", "ts"), "__prio")
+          .withColumn("close_unadj", lit(null).cast("decimal(38,9)")) // merge.rs:93-95
+          .drop("__prio")
+        (Some(merged), viol)
+      }
+
+    val combined = (singleFrames ++ multiFrame).reduce(_ unionByName _)
+    val attribution = Attribution.spans(combined, Seq("symbol"), "ts")
+    val candles = combined.drop("provider")
+
+    val all = groups.flatten
+    val violSyms = violations.map(_._1)
+    val actionFrames = all.sortBy(_.priority).flatMap(_.actions)
+    val mergedActions =
+      if (actionFrames.isEmpty) None
+      else {
+        val deduped = graft.timeseries.Merge.dedupActions(actionFrames.reduce(_ unionByName _))
+        // a violating instrument contributes nothing — not even actions
+        // (reference: the whole instrument errored into warnings)
+        Some(if (violSyms.isEmpty) deduped
+             else deduped.filter(!col("symbol").isin(violSyms: _*)))
+      }
+
+    val warnings = violations.map { case (sym, e) => BorsaError.Connector(sym, e) }
+    Right((MergedHistory(candles, attribution, mergedAdjusted(all), mergedMeta(all),
+      mergedActions), warnings))
+  }
+
   /** H5 failure-path diagnosis (history.rs:205-274): run only AFTER the
-    * in-plan guard aborted an action. ONE combined aggregation keyed by
-    * (provider, priority, symbol) — its output is tiny (≤ providers ×
-    * symbols rows), so the naming logic runs driver-side:
+    * in-plan guard aborted an action. The blame logic:
     * a provider mixing currencies within its own (symbol) is blamed first;
     * otherwise the lowest-priority provider whose currency deviates from
     * the top-priority provider's reference currency.
     */
-  def diagnoseCurrency(results: Seq[ProviderHistory]): Option[BorsaError] = {
+  /** ONE combined aggregation keyed by (provider, priority, symbol) — its
+    * output is tiny (≤ providers × symbols rows), so the blame logic runs
+    * driver-side. Shared by [[diagnoseCurrency]] (history failure path) and
+    * [[currencyViolations]] (download isolation path).
+    */
+  private def currencyStats(results: Seq[ProviderHistory]): Array[(String, Int, String, Seq[String])] = {
     val tagged = results.map { r =>
       applyPlan(r)
         .withColumn("__prio", lit(r.priority))
         .withColumn("provider", lit(r.provider))
     }
     val unioned = tagged.reduce(_ unionByName _)
-    if (!unioned.columns.contains("currency")) return None
-    val stats = unioned
+    if (!unioned.columns.contains("currency")) return Array.empty
+    unioned
       .groupBy("provider", "__prio", "symbol")
       .agg(collect_set(col("currency")).as("curs"))
       .collect()
       .map(r => (r.getAs[String]("provider"), r.getAs[Int]("__prio"),
         r.getAs[String]("symbol"), r.getSeq[String](3).sorted))
+  }
+
+  def diagnoseCurrency(results: Seq[ProviderHistory]): Option[BorsaError] = {
+    val stats = currencyStats(results)
 
     // (a) provider-internal violation
     stats.filter(_._4.length > 1).sortBy(s => (s._2, s._3)).headOption match {
@@ -264,6 +343,26 @@ object HistoryRouter {
       rows.sortBy(_._2).find(r => ref.exists(c => r._4.exists(_ != c)))
     }.sortBy(_._2).headOption.map { case (p, _, _, _) =>
       BorsaError.Connector(p, BorsaError.InconsistentCurrencyData)
+    }
+  }
+
+  /** Per-SYMBOL currency diagnosis for the bulk path: every violating
+    * symbol mapped to its blamed typed error (same blame order as
+    * [[diagnoseCurrency]], scoped within the symbol: provider-internal
+    * mix first, else the lowest-priority provider deviating from the
+    * top-priority provider's reference currency).
+    */
+  def currencyViolations(results: Seq[ProviderHistory]): Seq[(String, BorsaError)] = {
+    val stats = currencyStats(results)
+    stats.groupBy(_._3).toSeq.sortBy(_._1).flatMap { case (sym, rows) =>
+      val internal = rows.filter(_._4.length > 1).sortBy(_._2).headOption
+      val blamed = internal.orElse {
+        val ref = rows.minBy(_._2)._4.headOption
+        rows.sortBy(_._2).find(r => ref.exists(c => r._4.exists(_ != c)))
+      }
+      blamed.map { case (p, _, _, _) =>
+        sym -> BorsaError.Connector(p, BorsaError.InconsistentCurrencyData)
+      }
     }
   }
 
@@ -317,11 +416,16 @@ object HistoryRouter {
       case FinalResample.Daily  => run(merged, ResamplePlan.Daily)
       case FinalResample.Weekly => run(merged, ResamplePlan.Weekly)
       case FinalResample.AutoDaily =>
-        // I2 on the merged series: resample only if subdaily. The decision
-        // is inherently a driver-side boolean (it picks the plan shape), so
-        // cache the merged frame first: the decision pass materializes it
-        // and the chosen branch re-reads the cache instead of recomputing
-        // the whole upstream union+merge a second time. Lifecycle: no
+        // I2 on the merged series, decided PER SYMBOL (history.rs:636-664
+        // applies auto-resample per response, which is inherently
+        // per-instrument): a daily-cadence symbol sharing a bulk frame
+        // with an intraday symbol passes through byte-identical, only the
+        // subdaily partition is resampled. The decision picks the plan
+        // shape, so it is a driver-side collect of the per-symbol flags
+        // (≤ one row per symbol — a download's instrument list is
+        // user-bounded). Cache the merged frame first: the decision pass
+        // materializes it and both branches re-read the cache instead of
+        // recomputing the whole upstream union+merge. Lifecycle: no
         // explicit unpersist is possible (the returned plan still reads the
         // cache); blocks are MEMORY_AND_DISK (LRU-evictable under
         // pressure) and reclaimed by ContextCleaner once the frame becomes
@@ -329,8 +433,19 @@ object HistoryRouter {
         val cached = merged.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val deltas = graft.timeseries.Infer.isSubdaily(
           cached.withColumn("secs", col("ts")), tiebreak = Seq("ts"))
-        val subdaily = deltas.where(col("subdaily")).limit(1).collect().nonEmpty
-        if (subdaily) run(cached, ResamplePlan.Daily) else cached
+        val subSyms = deltas.where(col("subdaily"))
+          .select("symbol").collect().map(_.getString(0)).toSeq
+        if (subSyms.isEmpty) cached
+        else {
+          val allSyms = cached.select("symbol").distinct()
+            .collect().map(_.getString(0))
+          // all symbols subdaily (the single-instrument history common
+          // case) keeps the branch-free plan
+          if (allSyms.forall(subSyms.contains)) run(cached, ResamplePlan.Daily)
+          else
+            run(cached.filter(col("symbol").isin(subSyms: _*)), ResamplePlan.Daily)
+              .unionByName(cached.filter(!col("symbol").isin(subSyms: _*)))
+        }
     }
   }
 

@@ -240,6 +240,90 @@ class HistoryOrchestratorSpec extends SparkSpec {
     }
   }
 
+  test("per-symbol AutoDaily in bulk: only the subdaily symbol is resampled; the daily symbol passes through byte-identical") {
+    import graft.connector.FixtureConnector
+    import graft.connector.FixtureConnector._
+    val start = 1704067200L
+    // MSFT: daily-cadence candles deliberately OFF midnight (12:00) — a
+    // global AutoDaily decision would snap them to midnight buckets
+    val msftTs = (0 until 3).map(i => start + i * 86400L + 43200L)
+    val msftCandles = msftTs.map(ts =>
+      s"""{"ts":$ts,"open":"1","high":"2","low":"0.5","close":"1.5","volume":7,"currency":"USD"}"""
+    ).mkString("[", ",", "]")
+    val daily = new FixtureConnector("daily_fx",
+      new RecordedTransport(Map(("history", "MSFT") ->
+        Right(s"""{"adjusted":true,"candles":$msftCandles}"""))),
+      supportedIntervals = Seq(Interval.I1h))
+    val hourly = new MockConnector("hourly", MockConnector.Script(
+      supportedIntervals = Seq(Interval.I1h)))
+    val policy = Policy.ProviderPolicy()
+      .withRule(Policy.Selector(symbol = Some(Symbol("AAPL"))), Seq("hourly"), strict = true)
+      .withRule(Policy.Selector(symbol = Some(Symbol("MSFT"))), Seq("daily_fx"), strict = true)
+    val r = HistoryRequest(Interval.I1h, Some(start), Some(start + 2 * 86400), None)
+    val insts = Seq(inst, Instrument(Symbol("MSFT"), None, AssetKind.Equity))
+    val Right(res) = download(spark, insts, r, Seq(daily, hourly), policy,
+      Config(finalResample = HistoryRouter.FinalResample.AutoDaily))
+    val bySymbol = res.candles.collect().groupBy(_.getAs[String]("symbol"))
+    // AAPL: 48 hourly candles collapsed to 2 daily buckets at UTC midnight
+    assert(bySymbol("AAPL").map(_.getAs[Long]("ts")).sorted.toSeq ==
+      Seq(start, start + 86400L))
+    // MSFT: rows byte-identical — same off-midnight ts, same values
+    val msftRows = bySymbol("MSFT").sortBy(_.getAs[Long]("ts"))
+    assert(msftRows.map(_.getAs[Long]("ts")).toSeq == msftTs)
+    assert(msftRows.forall(_.getAs[java.math.BigDecimal]("close")
+      .compareTo(new java.math.BigDecimal("1.5")) == 0))
+    assert(msftRows.forall(_.getAs[Long]("volume") == 7L))
+  }
+
+  test("download isolates a currency violation: violating symbol dropped with a blamed warning, batch succeeds") {
+    import graft.connector.FixtureConnector
+    import graft.connector.FixtureConnector._
+    def candlesJson(currency: String) = (0 until 3).map { i =>
+      s"""{"ts":${1704067200L + i * 86400L},"open":"1","high":"2","low":"0.5","close":"1.5","volume":1,"currency":"$currency"}"""
+    }.mkString("[", ",", "]")
+    def fix(n: String, aaplCur: String) = new FixtureConnector(n,
+      new RecordedTransport(Map(
+        ("history", "AAPL") -> Right(s"""{"adjusted":true,"candles":${candlesJson(aaplCur)}}"""),
+        ("history", "MSFT") -> Right(s"""{"adjusted":true,"candles":${candlesJson("USD")}}"""))))
+    val usd = fix("usd_prov", "USD")
+    val eur = fix("eur_prov", "EUR") // deviates on AAPL only
+    val insts = Seq(inst, Instrument(Symbol("MSFT"), None, AssetKind.Equity))
+    val Right(res) = download(spark, insts, req, Seq(usd, eur),
+      Policy.ProviderPolicy().withGlobal(Seq("usd_prov", "eur_prov")))
+    // the clean symbol survives; the violating one is dropped, not fatal
+    val syms = res.candles.select("symbol").distinct().collect().map(_.getString(0)).toSeq
+    assert(syms == Seq("MSFT"))
+    assert(res.warnings.exists {
+      case BorsaError.Connector("AAPL",
+        BorsaError.Connector("eur_prov", BorsaError.InconsistentCurrencyData)) => true
+      case _ => false
+    }, s"expected AAPL/eur_prov blame in ${res.warnings}")
+  }
+
+  test("download single-source short-circuit per instrument: close_unadj preserved like history() (raw_close.rs)") {
+    val a = new MockConnector("solo", MockConnector.Script(
+      closeUnadjDelta = Some(BigDecimal("0.25"))))
+    val insts = Seq(inst, Instrument(Symbol("MSFT"), None, AssetKind.Equity))
+    val Right(res) = download(spark, insts, req, Seq(a))
+    val rows = res.candles.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[java.math.BigDecimal]("close_unadj") != null),
+      "single-provider instruments must keep raw-close provenance in bulk")
+    // and history() on the same instrument agrees
+    val Right(solo) = history(spark, inst, req, Seq(a))
+    assert(solo.candles.collect().forall(_.getAs[java.math.BigDecimal]("close_unadj") != null))
+    // a multi-provider instrument in the SAME download still clears it
+    val b = new MockConnector("second", MockConnector.Script(
+      closeUnadjDelta = Some(BigDecimal("0.10"))))
+    val Right(mixed) = download(spark, insts, req, Seq(a, b),
+      Policy.ProviderPolicy()
+        .withRule(Policy.Selector(symbol = Some(Symbol("MSFT"))), Seq("solo", "second"), strict = true)
+        .withRule(Policy.Selector(symbol = Some(Symbol("AAPL"))), Seq("solo"), strict = true))
+    val bysym = mixed.candles.collect().groupBy(_.getAs[String]("symbol"))
+    assert(bysym("AAPL").forall(_.getAs[java.math.BigDecimal]("close_unadj") != null))
+    assert(bysym("MSFT").forall(_.getAs[java.math.BigDecimal]("close_unadj") == null))
+  }
+
   test("download fans out instruments concurrently: N × slow provider ≈ one delay of wall-clock") {
     val slow = new MockConnector("slow",
       MockConnector.Script(behaviors = Map("history" -> MockConnector.Delay(600))))
