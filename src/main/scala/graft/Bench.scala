@@ -23,6 +23,12 @@ object Bench {
     // hit); the minimum is the faithful steady-state cost
     val results = SparkEntry.queries.map { case (name, fn) =>
       val times = (1 to 3).map { _ =>
+        // drop every cached plan first: queries that persist intermediate
+        // tables (the shared shingle table feeds minhash AND ngram) must
+        // each pay their own build — otherwise the one-time materialization
+        // bills to whichever query the map iteration happens to run first,
+        // and per-query timings swap ~5s when the query set reorders
+        spark.catalog.clearCache()
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
         (System.nanoTime() - t0) / 1e9
