@@ -223,7 +223,7 @@ object HistoryRouter {
     val actionFrames = results.sortBy(_.priority).flatMap(_.actions)
     val mergedActions =
       if (actionFrames.isEmpty) None
-      else Some(graft.timeseries.Merge.dedupActions(actionFrames.reduce(_ unionByName _)))
+      else Some(graft.timeseries.Merge.dedupActionsUnsorted(actionFrames.reduce(_ unionByName _)))
 
     Right(MergedHistory(candles.drop("provider"), attribution, adjusted, meta, mergedActions))
   }
@@ -288,7 +288,7 @@ object HistoryRouter {
     val mergedActions =
       if (actionFrames.isEmpty) None
       else {
-        val deduped = graft.timeseries.Merge.dedupActions(actionFrames.reduce(_ unionByName _))
+        val deduped = graft.timeseries.Merge.dedupActionsUnsorted(actionFrames.reduce(_ unionByName _))
         // a violating instrument contributes nothing — not even actions
         // (reference: the whole instrument errored into warnings)
         Some(if (violSyms.isEmpty) deduped

@@ -73,18 +73,34 @@ object Merge {
   def kindRank(kind: Column): Column =
     when(kind === "dividend", 0).when(kind === "split", 1).otherwise(2)
 
-  def dedupActions(actions: DataFrame, keys: Seq[String] = Seq.empty): DataFrame = {
+  /** Dedup KERNEL without the canonical presentation sort — for mid-plan
+    * composition (the router's merge consumes the result as a frame that
+    * downstream operators re-partition anyway; a global Sort there is pure
+    * wasted work). Use [[dedupActions]] when the canonical order itself is
+    * the contract (terminal presentation, the M3 oracle query).
+    */
+  def dedupActionsUnsorted(actions: DataFrame, keys: Seq[String] = Seq.empty): DataFrame = {
     // `symbol` is part of the identity whenever present: without it, a
     // multi-symbol frame would collapse same-valued actions of DIFFERENT
     // instruments into one row (merge.rs:173-279 dedups within one
     // instrument's series; symbol scoping is implicit there).
     val identity = keys ++ Seq("symbol", "ts", "kind", "amount", "currency", "numerator", "denominator")
     val present = identity.distinct.filter(actions.columns.contains)
-    val symbolKey =
-      if (!keys.contains("symbol") && actions.columns.contains("symbol")) Seq(col("symbol"))
-      else Seq.empty
-    actions
-      .dropDuplicates(present)
-      .orderBy((keys.map(col) ++ symbolKey ++ Seq(col("ts"), kindRank(col("kind")), col("amount"), col("currency"))): _*)
+    actions.dropDuplicates(present)
   }
+
+  /** Canonical ORDER of M3 (merge.rs:173-279): (keys..., symbol, ts,
+    * kind-rank, amount, currency). Split from the kernel so plans can
+    * compose the dedup without a Sort node.
+    */
+  def canonicalActionOrder(df: DataFrame, keys: Seq[String] = Seq.empty): DataFrame = {
+    val symbolKey =
+      if (!keys.contains("symbol") && df.columns.contains("symbol")) Seq(col("symbol"))
+      else Seq.empty
+    df.orderBy((keys.map(col) ++ symbolKey ++
+      Seq(col("ts"), kindRank(col("kind")), col("amount"), col("currency"))): _*)
+  }
+
+  def dedupActions(actions: DataFrame, keys: Seq[String] = Seq.empty): DataFrame =
+    canonicalActionOrder(dedupActionsUnsorted(actions, keys), keys)
 }

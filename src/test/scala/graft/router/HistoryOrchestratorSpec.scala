@@ -118,7 +118,16 @@ class HistoryOrchestratorSpec extends SparkSpec {
     val Right(res) = history(spark, inst, req, Seq(a, b))
     val acts = res.actions.get.collect()
     assert(acts.length == 2) // duplicate dividend deduped
-    assert(acts.map(_.getAs[String]("kind")).toSeq == Seq("dividend", "split"))
+    // the mid-plan actions frame is UNSORTED (dedup kernel only) — the
+    // canonical order is a terminal presentation concern, so the merge
+    // plan must not carry a global Sort node for the actions branch
+    assert(acts.sortBy(_.getAs[Long]("ts")).map(_.getAs[String]("kind")).toSeq ==
+      Seq("dividend", "split"))
+    val actionsPlan = res.actions.get.queryExecution.executedPlan.toString
+    assert(!actionsPlan.contains("Sort "), s"actions branch carries a Sort:\n$actionsPlan")
+    // terminal presentation: the canonical order is one orderBy away
+    val presented = graft.timeseries.Merge.canonicalActionOrder(res.actions.get).collect()
+    assert(presented.map(_.getAs[String]("kind")).toSeq == Seq("dividend", "split"))
     // actions=false suppresses them
     val Right(noActs) = history(spark, inst, req.copy(actions = false), Seq(a, b))
     assert(noActs.actions.isEmpty)
