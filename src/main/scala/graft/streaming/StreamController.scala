@@ -37,8 +37,11 @@ object StreamController {
     def forChain(chain: Int): SessionRunner = this
   }
 
-  /** ST12 graceful stream handle contract: stop = signal + await; close is
-    * best-effort signal (stream.rs:60-127).
+  /** ST12 stream handle contract (stream.rs:60-127): `stop` = graceful
+    * signal + await completion; `close` = the DROP path — best-effort
+    * signal that must never block the dropper (the reference's Drop impl
+    * sends the one-shot then aborts without awaiting; "the task may not
+    * observe the stop signal").
     */
   trait Handle extends AutoCloseable {
     def stop(): Unit
@@ -47,7 +50,16 @@ object StreamController {
 
   final class StreamHandle(controller: Controller) extends Handle {
     def stop(): Unit = { controller.enqueue(Event.Shutdown); controller.awaitTerminated() }
-    override def close(): Unit = controller.enqueue(Event.Shutdown)
+    /** Drop semantics: the teardown (which may block inside a session's
+      * stop) runs on a daemon thread so dropping a handle never hangs the
+      * caller; on process exit the signal may go unobserved — exactly the
+      * reference's drop contract.
+      */
+    override def close(): Unit = {
+      val t = new Thread(() => controller.enqueue(Event.Shutdown), "graft-stream-drop")
+      t.setDaemon(true)
+      t.start()
+    }
   }
 
   /** One handle over the per-chain supervisor shards (ST3): stopping the

@@ -99,6 +99,26 @@ class QuerySessionRunnerSpec extends SparkSpec {
     assert(runner.activeQueries.isEmpty)
   }
 
+  test("ST12 drop: close() tears down live queries with no hang and no leaked sessions") {
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[Update]
+    val runner = new QuerySessionRunner(
+      sourceFor = (_, _) => Right(src.toDF()),
+      startQuery = (_, df) => df.writeStream.format("noop").start())
+    val supervisor = Supervisor(
+      providers = Vector.fill(1)(ProviderState.Idle),
+      providerAllow = Vector.fill(1)(Set("A")),
+      providerCanStream = Vector.fill(1)(true),
+      requiredSymbols = Set("A"),
+      capability = "stream-quotes")
+    val controller = new Controller(supervisor, runner, (_, _) => ())
+    val Right(handle) = controller.awaitStartup()
+    assert(runner.activeQueries.nonEmpty)
+    handle.close() // drop without await
+    controller.awaitTerminated()
+    assert(runner.activeQueries.isEmpty, "dropped handle leaked streaming queries")
+  }
+
   test("re-electing a provider without an intervening stop displaces AND stops the old query") {
     implicit val sqlCtx = spark.sqlContext
     val src = MemoryStream[Update]

@@ -63,6 +63,26 @@ class StreamControllerSpec extends AnyFunSuite {
     assert(runner.stopped.contains(0))
   }
 
+  test("ST12 drop: close() never blocks the dropper, even when a session stop blocks") {
+    val stopGate = new java.util.concurrent.CountDownLatch(1)
+    val runner = new ScriptedRunner {
+      override def stop(id: Int): Unit = {
+        stopGate.await() // a session whose teardown hangs
+        super.stop(id)
+      }
+    }
+    val c = new Controller(fresh(1), runner, noTicks)
+    val Right(handle) = c.awaitStartup()
+    val t0 = System.nanoTime()
+    handle.close() // drop path: must return immediately
+    val elapsedMs = (System.nanoTime() - t0) / 1e6
+    assert(elapsedMs < 500, s"drop blocked the caller for $elapsedMs ms")
+    assert(runner.stopped.isEmpty, "stop still blocked in the background")
+    stopGate.countDown() // teardown proceeds best-effort
+    c.awaitTerminated()
+    assert(runner.stopped.contains(0), "dropped handle leaked the session")
+  }
+
   test("backoff ticks are scheduled with jitter applied") {
     var delays = List.empty[Long]
     val runner = new ScriptedRunner
