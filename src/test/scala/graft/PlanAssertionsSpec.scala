@@ -39,6 +39,13 @@ class PlanAssertionsSpec extends SparkSpec {
     assert(plan.contains("WindowGroupLimit"), s"no WindowGroupLimit:\n$plan")
   }
 
+  test("ext_knn_lsh: bucketing uses the codegen'd vec_dot with literal hyperplanes, not interpreted HOFs") {
+    val plan = planOf("ext_knn_lsh")
+    assert(plan.contains("vec_dot"), s"native vec_dot missing:\n${plan.take(2000)}")
+    // the r2 interpreted form showed aggregate(zip_with(...)) lambda plumbing
+    assert(!plan.contains("lambdafunction"), "HOF lambda re-appeared in the LSH path")
+  }
+
   test("qi_h9_keepna: the NA filter reaches the aggregation input (no post-agg filtering)") {
     val plan = planOf("qi_h9_keepna")
     // dropna is a pre-aggregation Filter; HashAggregate must appear above it

@@ -318,6 +318,11 @@ class HistoryOrchestratorSpec extends SparkSpec {
     assert(rows.nonEmpty)
     assert(rows.forall(_.getAs[java.math.BigDecimal]("close_unadj") != null),
       "single-provider instruments must keep raw-close provenance in bulk")
+    // all-single downloads bypass the first-wins window entirely: no
+    // exchange anywhere in the candles plan
+    val plan = res.candles.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"single-source branch shuffled:\n$plan")
     // and history() on the same instrument agrees
     val Right(solo) = history(spark, inst, req, Seq(a))
     assert(solo.candles.collect().forall(_.getAs[java.math.BigDecimal]("close_unadj") != null))
