@@ -229,9 +229,14 @@ object HistoryOrchestrator {
         }
     }
 
-    if (successes.isEmpty)
+    if (successes.isEmpty) {
+      // all providers NotFound or OK-but-empty → NotFound, not Unsupported
+      // (history.rs:526-535 finalize: empty results with no recorded errors)
+      if (errors.isEmpty)
+        return Left(BorsaError.NotFound(s"history for ${inst.symbol.value}"))
       return Left(Errors.collapse(errors, "history",
         Some(s"history for ${inst.symbol.value}")))
+    }
 
     Right((HistoryRouter.orderAndFilter(successes, config.preferAdjusted), errors))
   }

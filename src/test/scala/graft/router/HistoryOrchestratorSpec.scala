@@ -52,6 +52,21 @@ class HistoryOrchestratorSpec extends SparkSpec {
     assert(res.candles.count() == 4)
   }
 
+  test("all providers NotFound or OK-but-empty → NotFound, not Unsupported (router_history_not_found.rs)") {
+    val nf = new MockConnector("nf_hist",
+      MockConnector.Script(behaviors = Map("history" ->
+        MockConnector.Fail(BorsaError.NotFound("history for AAPL")))))
+    history(spark, inst, req, Seq(nf)) match {
+      case Left(BorsaError.NotFound(what)) => assert(what.contains("AAPL"))
+      case other => fail(s"expected NotFound, got $other")
+    }
+    val emptyOk = new MockConnector("empty_ok", MockConnector.Script(maxCandles = 0))
+    history(spark, inst, req, Seq(emptyOk)) match {
+      case Left(BorsaError.NotFound(what)) => assert(what.contains("AAPL"))
+      case other => fail(s"expected NotFound, got $other")
+    }
+  }
+
   test("all providers failing collapses via F5") {
     val f1 = new MockConnector("f1",
       MockConnector.Script(behaviors = Map("history" -> MockConnector.Fail(BorsaError.Data("x")))))

@@ -63,6 +63,57 @@ class StreamControllerSpec extends AnyFunSuite {
     assert(runner.stopped.contains(0))
   }
 
+  test("failback priority: once cooldown clears, the primary is re-elected and the lower session preempted (router_stream_failback_priority.rs)") {
+    val runner = new ScriptedRunner
+    val c = new Controller(fresh(2), runner, noTicks)
+    assert(c.awaitStartup().isRight) // P0 active
+    // P0's session ends → P0 cools down, the scan fails over to P1
+    c.enqueue(Event.SessionEnded(0, Set("A", "B")))
+    assert(c.currentState.providers(0) == ProviderState.InCooldown)
+    assert(c.currentState.providers(1).isInstanceOf[ProviderState.Active])
+    // the next tick clears the cooldown → priority order re-elects P0 and
+    // preempts P1's now-redundant overlapping session
+    c.enqueue(Event.BackoffTick)
+    assert(c.currentState.providers(0).isInstanceOf[ProviderState.Active],
+      "primary did not fail back")
+    assert(runner.started.reverse.map(_._1) == List(0, 1, 0))
+    assert(runner.stopped.contains(1),
+      "failback must preempt the lower-priority overlapping session")
+  }
+
+  test("cooldown: a failed provider is skipped by scans until a backoff tick clears it (router_stream_cooldown.rs)") {
+    var failing = Set(0)
+    val runner = new ScriptedRunner {
+      override def start(id: Int, symbols: Seq[String]): Either[BorsaError, Unit] = {
+        started ::= (id, symbols)
+        if (failing.contains(id)) Left(BorsaError.Data(s"p$id down")) else Right(())
+      }
+    }
+    val c = new Controller(fresh(2), runner, noTicks)
+    assert(c.awaitStartup().isRight) // P0 failed → cooldown; P1 active
+    assert(c.currentState.providers(0) == ProviderState.InCooldown)
+    failing = Set.empty // P0 heals, but its cooldown window still stands
+    val startsBefore = runner.started.size
+    // a scan triggered mid-window (P1's session ends) must NOT retry P0
+    c.enqueue(Event.SessionEnded(1, Set("A", "B")))
+    assert(runner.started.size == startsBefore, "cooldown was not honored by the scan")
+    assert(c.currentState.phase == Phase.Running, "FSM wedged with all providers cooling")
+    // the tick clears cooldowns → P0 (higher priority) is elected
+    c.enqueue(Event.BackoffTick)
+    assert(c.currentState.providers(0).isInstanceOf[ProviderState.Active])
+    assert(runner.started.count(_._1 == 0) == 2)
+  }
+
+  test("downstream drop: the consumer going away stops every session (router_stream_downstream_drop.rs)") {
+    val runner = new ScriptedRunner
+    val c = new Controller(fresh(2), runner, noTicks)
+    assert(c.awaitStartup().isRight) // P0 active
+    c.enqueue(Event.DownstreamClosed)
+    assert(runner.stopped.contains(0), "active session leaked after downstream drop")
+    assert(c.currentState.phase == Phase.ShuttingDown ||
+      c.currentState.phase == Phase.Terminated)
+  }
+
   test("ST12 drop: close() never blocks the dropper, even when a session stop blocks") {
     val stopGate = new java.util.concurrent.CountDownLatch(1)
     val runner = new ScriptedRunner {
