@@ -20,6 +20,27 @@ class ResampleSpec extends SparkSpec {
     StructField("close", DecimalType(18, 6)),
     StructField("volume", LongType)))
 
+  test("UTC equivalence: tz-aware bucketing under a UTC meta equals plain UTC bucketing (resample_props.rs:282)") {
+    (1 to 5).foreach { seed =>
+      val r = new scala.util.Random(seed)
+      val ticks = (0 until 40).map { _ =>
+        val secs = 3600L * r.nextInt(24 * 21) + 60L * r.nextInt(60)
+        (s"S${r.nextInt(2)}", secs, secs, BigDecimal(1 + r.nextInt(100)), 5L)
+      }.toDF("symbol", "ts", "secs", "price", "volume")
+      def canon(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(_.toSeq.mkString("|")).sorted.toSeq
+      assert(canon(Resample.toDailyLocal(ticks, "UTC")) == canon(Resample.toDaily(ticks)),
+        s"seed=$seed daily")
+      assert(canon(Resample.toWeeklyLocal(ticks, "UTC")) == canon(Resample.toWeekly(ticks)),
+        s"seed=$seed weekly")
+      assert(canon(Resample.toMinutesLocal(ticks, "UTC", 15)) == canon(Resample.toMinutes(ticks, 15)),
+        s"seed=$seed minutes")
+      // offset-0 form agrees too (the third branch of bucketFor)
+      assert(canon(Resample.toDailyOffset(ticks, 0L)) == canon(Resample.toDaily(ticks)),
+        s"seed=$seed offset0")
+    }
+  }
+
   /** Coherent-OHLC candle generator (resample_props.rs:20-58): low <= open,
     * close <= high.
     */
