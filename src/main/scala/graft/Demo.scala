@@ -50,6 +50,21 @@ object Demo {
     g.download(Seq(aapl, Instrument(Symbol("MSFT"), None, AssetKind.Equity)), req)
       .foreach(_.candles.groupBy("symbol").count().show())
 
+    println("== download under a request deadline: concurrent fan-out, bounded wall-clock ==")
+    val slowProv = new MockConnector("slow",
+      MockConnector.Script(behaviors = Map("history" -> MockConnector.Delay(2000))))
+    val deadlined = new Graft(spark, Seq(slowProv),
+      historyConfig = router.HistoryOrchestrator.Config(
+        requestTimeout = Some(scala.concurrent.duration.DurationInt(300).millis)))
+    val t0 = System.nanoTime()
+    val res = deadlined.download(Seq(aapl), req)
+    println(f"  -> $res%.60s after ${(System.nanoTime() - t0) / 1e6}%.0f ms")
+
+    println("== download isolation: one bad instrument warns, the batch succeeds ==")
+    g.download(Seq(aapl, Instrument(Symbol("FAIL"), None, AssetKind.Equity)), req).foreach { d =>
+      println(s"  symbols: ${d.candles.select("symbol").distinct().count()}, warnings: ${d.warnings.size}")
+    }
+
     println("== history request flags: raw closes + keepna ==")
     val rawProv = new MockConnector("raw",
       MockConnector.Script(closeUnadjDelta = Some(BigDecimal(3))))
