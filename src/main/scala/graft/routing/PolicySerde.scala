@@ -28,7 +28,8 @@ import graft.router.{Fetch, HistoryOrchestrator, HistoryRouter}
   *   "fetch":   { "strategy": "priority_with_fallback", "providerTimeoutMs": 5000,
   *                "requestTimeoutMs": 30000 },
   *   "history": { "strategy": "deep", "preferAdjusted": true,
-  *                "providerTimeoutMs": 5000, "finalResample": "auto_daily" } }
+  *                "providerTimeoutMs": 5000, "requestTimeoutMs": 30000,
+  *                "finalResample": "auto_daily" } }
   * }}}
   * Unknown fields are ignored (forward compatibility); unknown enum values
   * are InvalidArg errors.
@@ -116,6 +117,7 @@ object PolicySerde {
     })
     history.put("preferAdjusted", cfg.history.preferAdjusted)
     history.put("providerTimeoutMs", cfg.history.providerTimeout.toMillis)
+    cfg.history.requestTimeout.foreach(t => history.put("requestTimeoutMs", t.toMillis))
     history.put("finalResample", resampleName(cfg.history.finalResample))
 
     val mw = root.putObject("middleware")
@@ -294,5 +296,6 @@ object PolicySerde {
       preferAdjusted = optNode(n, "preferAdjusted").forall(_.asBoolean),
       providerTimeout = optNode(n, "providerTimeoutMs").map(_.asLong.millis)
         .getOrElse(HistoryOrchestrator.Config().providerTimeout),
-      finalResample = resample)
+      finalResample = resample,
+      requestTimeout = optNode(n, "requestTimeoutMs").map(_.asLong.millis))
 }

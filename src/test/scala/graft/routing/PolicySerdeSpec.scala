@@ -30,7 +30,8 @@ class PolicySerdeSpec extends AnyFunSuite {
       strategy = HistoryOrchestrator.MergeStrategy.Fallback,
       preferAdjusted = false,
       providerTimeout = 3.seconds,
-      finalResample = HistoryRouter.FinalResample.AutoDaily),
+      finalResample = HistoryRouter.FinalResample.AutoDaily,
+      requestTimeout = Some(30.seconds)),
     middleware = graft.Graft.MiddlewareConfig(
       cache = None, // explicitly disabled layer
       blacklist = Some(graft.connector.Middleware.BlacklistConfig(defaultWindowMs = 1234L)),
