@@ -113,6 +113,19 @@ object StreamController {
         scheduleTick(jittered(delayMs, state.backoff, rand01), () => enqueue(Event.BackoffTick))
       case Action.PreemptSessions(ids) =>
         ids.foreach(runner.stop)
+        // the synchronous analog of the reference's session task
+        // acknowledging the stop signal (controller.rs:165 → SessionEnded →
+        // InCooldown): without this the preempted provider stays
+        // phantom-Active, and a later scan treats its symbols as covered by
+        // a session that no longer exists — the chain wedges if the
+        // elected provider then dies
+        ids.foreach { id =>
+          val syms = state.providers(id) match {
+            case ProviderState.Active(s) => s
+            case _                       => Set.empty[String]
+          }
+          enqueueAsync(Event.SessionEnded(id, syms))
+        }
     }
 
     /** Re-entrancy guard: start callbacks may fire while holding the lock in

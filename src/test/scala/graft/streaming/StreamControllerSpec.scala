@@ -134,6 +134,52 @@ class StreamControllerSpec extends AnyFunSuite {
     assert(runner.stopped.contains(0), "dropped handle leaked the session")
   }
 
+  test("a preempted provider is reported ended: no phantom Active, chain recovers when the elected provider dies") {
+    var failing = Set(0)
+    val runner = new ScriptedRunner {
+      override def start(id: Int, symbols: Seq[String]): Either[BorsaError, Unit] = {
+        started ::= (id, symbols)
+        if (failing.contains(id)) Left(BorsaError.Data(s"p$id down")) else Right(())
+      }
+    }
+    val c = new Controller(fresh(2), runner, noTicks)
+    assert(c.awaitStartup().isRight) // P0 down → P1 active
+    failing = Set.empty
+    c.enqueue(Event.BackoffTick) // P0 heals → elected → preempts P1
+    assert(c.currentState.providers(0).isInstanceOf[ProviderState.Active])
+    assert(runner.stopped.contains(1))
+    // the preempted session acknowledged the stop: P1 is in cooldown, NOT
+    // phantom-Active claiming coverage it can no longer provide
+    assert(c.currentState.providers(1) == ProviderState.InCooldown,
+      s"preempted provider state: ${c.currentState.providers(1)}")
+    // elected provider dies → a tick must re-elect SOMEONE (the wedge
+    // this guards against: a phantom-Active P1 makes the scan see the
+    // symbols as covered forever)
+    c.enqueue(Event.SessionEnded(0, Set("A", "B")))
+    c.enqueue(Event.BackoffTick)
+    assert(c.currentState.providers.exists(_.isInstanceOf[ProviderState.Active]),
+      "chain wedged after the elected provider died post-preemption")
+  }
+
+  test("concurrent stop/close interleavings: idempotent teardown, no deadlock (loom_stream_handle.rs:61,:91,:111)") {
+    (1 to 25).foreach { i =>
+      val runner = new ScriptedRunner
+      val c = new Controller(fresh(2), runner, noTicks)
+      val Right(handle) = c.awaitStartup()
+      val threads = Seq(
+        new Thread(() => handle.stop()),
+        new Thread(() => handle.close()),
+        new Thread(() => handle.stop()))
+      threads.foreach(_.start())
+      threads.foreach(_.join(5000))
+      assert(threads.forall(!_.isAlive), s"iteration $i: teardown deadlocked")
+      c.awaitTerminated()
+      assert(runner.stopped.contains(0), s"iteration $i: session leaked")
+      assert(c.currentState.phase == Phase.ShuttingDown ||
+        c.currentState.phase == Phase.Terminated, s"iteration $i: non-terminal phase")
+    }
+  }
+
   test("backoff ticks are scheduled with jitter applied") {
     var delays = List.empty[Long]
     val runner = new ScriptedRunner
