@@ -46,6 +46,34 @@ class MiddlewareSpec extends AnyFunSuite {
     assert(inner.calls == 4) // transient retried every time
   }
 
+  test("MW1 cache keys: full request identity separates entries — symbol, interval, and flag bits (cache_keys.rs)") {
+    val clock = new ManualClock(0)
+    var calls = 0
+    val inner = new Connector {
+      def name = "hist"
+      def capabilities = Set("history")
+      override def history(i: Instrument, r: HistoryRequest): Either[BorsaError, HistoryResponse] = {
+        calls += 1
+        Right(HistoryResponse(Seq.empty, Seq.empty, adjusted = true, meta = None))
+      }
+    }
+    val c = new CachingConnector(inner, CacheConfig(), clock)
+    val msft = Instrument(Symbol("MSFT"), None, AssetKind.Equity)
+    val base = HistoryRequest(Interval.D1, Some(0L), Some(86400L), None)
+    c.history(inst, base); c.history(inst, base)
+    assert(calls == 1, "identical request must hit the cache")
+    c.history(msft, base)
+    assert(calls == 2, "different symbol is a different key")
+    c.history(inst, base.copy(interval = Interval.I1h))
+    assert(calls == 3, "different interval is a different key")
+    c.history(inst, base.copy(keepna = !base.keepna))
+    assert(calls == 4, "a flipped request flag is a different key")
+    c.history(inst, base.copy(autoAdjust = !base.autoAdjust))
+    assert(calls == 5, "autoAdjust is part of the identity")
+    c.history(inst, base)
+    assert(calls == 5, "the original entry is still live under its own key")
+  }
+
   test("MW1 LRU eviction at capacity") {
     val clock = new ManualClock(0)
     val cache = new TtlLruCache[Int, Int](2, clock)
