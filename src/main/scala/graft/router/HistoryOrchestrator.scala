@@ -138,6 +138,12 @@ object HistoryOrchestrator {
       adjusted: Boolean,
       meta: Option[HistoryMeta],
       warnings: Seq[BorsaError],
+      /** Merged, deduped corporate actions. Like every DataFrame in this
+        * result the row order is UNSPECIFIED (frames compose into further
+        * plans; a baked-in global sort would be wasted work mid-plan) —
+        * apply [[graft.timeseries.Merge.canonicalActionOrder]] when
+        * presenting in the reference's canonical (ts, kind, payload) order.
+        */
       actions: Option[DataFrame] = None,
       /** The surviving per-provider control-plane inputs — kept so the lazy
         * currency guard's failure can be mapped to the reference's typed
@@ -331,6 +337,15 @@ object HistoryOrchestrator {
           return Left(BorsaError.RequestTimeout("download"))
       }
     }
+    // an INNER RequestTimeout can only come from the shared deadline (it
+    // is the sole source of a deadline in fetchOrdered), and it races the
+    // outer await for the same instant — normalize both outcomes to the
+    // documented whole-request RequestTimeout instead of letting the race
+    // pick between a warning, AllProvidersFailed, and RequestTimeout
+    if (per.exists {
+      case (_, Left(_: BorsaError.RequestTimeout)) => true
+      case _                                       => false
+    }) return Left(BorsaError.RequestTimeout("download"))
     val oks = per.collect { case (i, Right((ordered, errs))) => (i, ordered, errs) }
     val failWarnings = per.collect { case (i, Left(e)) =>
       BorsaError.Connector(i.symbol.value, e) }
@@ -341,11 +356,18 @@ object HistoryOrchestrator {
     // isolation)
     val allProviders = oks.flatMap { case (_, ordered, _) => ordered }
     HistoryRouter.mergeGrouped(oks.map(_._2)).map { case (m, currencyWarnings) =>
+      // a currency-violating instrument contributes NOTHING — not rows (the
+      // merge dropped them), and not its adjusted flag, meta, or a
+      // final-resample branch: same treatment as a fetch-failed instrument
+      val violSyms: Set[String] =
+        currencyWarnings.collect { case BorsaError.Connector(sym, _) => sym }.toSet
+      val contributing = oks.filterNot { case (i, _, _) => violSyms(i.symbol.value) }
       val metaGroups: Seq[(Option[HistoryMeta], Seq[String])] =
-        oks.groupBy { case (_, ordered, _) => metaOf(ordered) }
+        contributing.groupBy { case (_, ordered, _) => metaOf(ordered) }
           .view.mapValues(_.map(_._1.symbol.value)).toSeq
       val finalCandles = (config.finalResample, metaGroups) match {
         case (HistoryRouter.FinalResample.None, _) => m.candles
+        case (_, Seq()) => m.candles // every instrument dropped: empty frame
         case (mode, Seq((onlyMeta, _))) =>
           HistoryRouter.applyFinalResample(m.candles, mode, onlyMeta)
         case (mode, groups) =>
@@ -362,8 +384,8 @@ object HistoryOrchestrator {
       HistoryResult(
         finalCandles,
         m.attribution,
-        oks.forall { case (_, ordered, _) => adjustedOf(ordered) },
-        oks.flatMap { case (_, ordered, _) => metaOf(ordered) }.headOption,
+        contributing.forall { case (_, ordered, _) => adjustedOf(ordered) },
+        contributing.flatMap { case (_, ordered, _) => metaOf(ordered) }.headOption,
         oks.flatMap(_._3.filter(_.isActionable)) ++ failWarnings ++ currencyWarnings,
         actions = m.actions,
         providers = allProviders)

@@ -190,12 +190,7 @@ object HistoryRouter {
       return Right(MergedHistory(
         withProv.drop("provider"), attribution, r.adjusted, r.meta, r.actions))
     }
-    val tagged = results.map { r =>
-      applyPlan(r)
-        .withColumn("__prio", lit(r.priority))
-        .withColumn("provider", lit(r.provider))
-    }
-    val unioned = tagged.reduce(_ unionByName _)
+    val unioned = taggedUnion(results)
 
     val guarded =
       if (!unioned.columns.contains("currency")) unioned
@@ -262,12 +257,7 @@ object HistoryRouter {
     val (multiFrame, violations) =
       if (multiProviders.isEmpty) (None, Seq.empty[(String, BorsaError)])
       else {
-        val tagged = multiProviders.map { r =>
-          applyPlan(r)
-            .withColumn("__prio", lit(r.priority))
-            .withColumn("provider", lit(r.provider))
-        }
-        val unioned = tagged.reduce(_ unionByName _)
+        val unioned = taggedUnion(multiProviders)
         val viol = currencyViolations(multiProviders)
         val clean =
           if (viol.isEmpty) unioned
@@ -306,18 +296,25 @@ object HistoryRouter {
     * otherwise the lowest-priority provider whose currency deviates from
     * the top-priority provider's reference currency.
     */
+  /** The shared provider-frame tagging: each contribution resampled by its
+    * own plan, carrying its priority and provider name. merge(),
+    * mergeGrouped() and currencyStats() all consume this ONE construction
+    * so the stats job and the data plane cannot diverge.
+    */
+  private def taggedUnion(results: Seq[ProviderHistory]): DataFrame =
+    results.map { r =>
+      applyPlan(r)
+        .withColumn("__prio", lit(r.priority))
+        .withColumn("provider", lit(r.provider))
+    }.reduce(_ unionByName _)
+
   /** ONE combined aggregation keyed by (provider, priority, symbol) — its
     * output is tiny (≤ providers × symbols rows), so the blame logic runs
     * driver-side. Shared by [[diagnoseCurrency]] (history failure path) and
     * [[currencyViolations]] (download isolation path).
     */
   private def currencyStats(results: Seq[ProviderHistory]): Array[(String, Int, String, Seq[String])] = {
-    val tagged = results.map { r =>
-      applyPlan(r)
-        .withColumn("__prio", lit(r.priority))
-        .withColumn("provider", lit(r.provider))
-    }
-    val unioned = tagged.reduce(_ unionByName _)
+    val unioned = taggedUnion(results)
     if (!unioned.columns.contains("currency")) return Array.empty
     unioned
       .groupBy("provider", "__prio", "symbol")
@@ -326,6 +323,15 @@ object HistoryRouter {
       .map(r => (r.getAs[String]("provider"), r.getAs[Int]("__prio"),
         r.getAs[String]("symbol"), r.getSeq[String](3).sorted))
   }
+
+  /** Reference currency for a symbol's blame pass: the highest-priority
+    * provider that REPORTED one. `collect_set` skips nulls, so a
+    * top-priority provider with all-null currencies must not mask a
+    * lower-priority USD-vs-EUR mix (the in-plan guard's min/max ignores
+    * nulls the same way).
+    */
+  private def refCurrencyOf(rows: Seq[(String, Int, String, Seq[String])]): Option[String] =
+    rows.sortBy(_._2).flatMap(_._4.headOption).headOption
 
   def diagnoseCurrency(results: Seq[ProviderHistory]): Option[BorsaError] = {
     val stats = currencyStats(results)
@@ -336,10 +342,11 @@ object HistoryRouter {
         return Some(BorsaError.Connector(p, BorsaError.InconsistentCurrencyData))
       case None => ()
     }
-    // (b) cross-provider deviation from the top-priority reference currency
+    // (b) cross-provider deviation from the reference currency (the
+    // highest-priority provider that reported one)
     val bySymbol = stats.groupBy(_._3)
     bySymbol.toSeq.sortBy(_._1).flatMap { case (_, rows) =>
-      val ref = rows.minBy(_._2)._4.headOption
+      val ref = refCurrencyOf(rows.toSeq)
       rows.sortBy(_._2).find(r => ref.exists(c => r._4.exists(_ != c)))
     }.sortBy(_._2).headOption.map { case (p, _, _, _) =>
       BorsaError.Connector(p, BorsaError.InconsistentCurrencyData)
@@ -357,7 +364,7 @@ object HistoryRouter {
     stats.groupBy(_._3).toSeq.sortBy(_._1).flatMap { case (sym, rows) =>
       val internal = rows.filter(_._4.length > 1).sortBy(_._2).headOption
       val blamed = internal.orElse {
-        val ref = rows.minBy(_._2)._4.headOption
+        val ref = refCurrencyOf(rows.toSeq)
         rows.sortBy(_._2).find(r => ref.exists(c => r._4.exists(_ != c)))
       }
       blamed.map { case (p, _, _, _) =>

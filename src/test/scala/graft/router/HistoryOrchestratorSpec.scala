@@ -305,9 +305,13 @@ class HistoryOrchestratorSpec extends SparkSpec {
     def candlesJson(currency: String) = (0 until 3).map { i =>
       s"""{"ts":${1704067200L + i * 86400L},"open":"1","high":"2","low":"0.5","close":"1.5","volume":1,"currency":"$currency"}"""
     }.mkString("[", ",", "]")
+    // AAPL (the violator-to-be) reports unadjusted data + a Paris tz meta;
+    // MSFT is adjusted with no meta — the dropped instrument must not leak
+    // its flags into the result
     def fix(n: String, aaplCur: String) = new FixtureConnector(n,
       new RecordedTransport(Map(
-        ("history", "AAPL") -> Right(s"""{"adjusted":true,"candles":${candlesJson(aaplCur)}}"""),
+        ("history", "AAPL") -> Right(
+          s"""{"adjusted":false,"meta":{"timezone":"Europe/Paris"},"candles":${candlesJson(aaplCur)}}"""),
         ("history", "MSFT") -> Right(s"""{"adjusted":true,"candles":${candlesJson("USD")}}"""))))
     val usd = fix("usd_prov", "USD")
     val eur = fix("eur_prov", "EUR") // deviates on AAPL only
@@ -322,6 +326,25 @@ class HistoryOrchestratorSpec extends SparkSpec {
         BorsaError.Connector("eur_prov", BorsaError.InconsistentCurrencyData)) => true
       case _ => false
     }, s"expected AAPL/eur_prov blame in ${res.warnings}")
+    // the dropped instrument contributes NOTHING: adjusted/meta reflect
+    // only the surviving instruments
+    assert(res.adjusted, "dropped instrument leaked its unadjusted flag")
+    assert(res.meta.isEmpty, s"dropped instrument leaked its meta: ${res.meta}")
+  }
+
+  test("request deadline with a partially-complete fan-out still collapses to RequestTimeout (no partial-success race)") {
+    class PerSymbolSlow extends MockConnector("ps") {
+      override def history(i: Instrument, r: HistoryRequest): Either[BorsaError, HistoryResponse] = {
+        if (i.symbol.value == "SLOW") Thread.sleep(2000)
+        super.history(i, r)
+      }
+    }
+    val insts = Seq(inst, Instrument(Symbol("SLOW"), None, AssetKind.Equity))
+    download(spark, insts, req, Seq(new PerSymbolSlow),
+      config = Config(requestTimeout = Some(300.millis))) match {
+      case Left(BorsaError.RequestTimeout("download")) => ()
+      case other => fail(s"deadline elapse must not yield partial success, got $other")
+    }
   }
 
   test("download single-source short-circuit per instrument: close_unadj preserved like history() (raw_close.rs)") {

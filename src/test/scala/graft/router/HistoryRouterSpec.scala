@@ -158,4 +158,23 @@ class HistoryRouterSpec extends SparkSpec {
     val daily = candlesDf("pa") // daily spacing: no resample
     assert(applyFinalResample(daily, FinalResample.AutoDaily).count() == daily.count())
   }
+
+  test("currencyViolations: a null-currency top provider cannot mask a lower-priority mix (bulk/history guard parity)") {
+    import graft.core.Errors.BorsaError
+    import graft.core.Model.Candle
+    def frame(cur: String) = HistoryOrchestrator.candlesToDf(spark, Seq(
+      Candle("A", 0L, BigDecimal(1), BigDecimal(2), BigDecimal(1), BigDecimal(1), None, Some(1L), cur)))
+    def ph(name: String, prio: Int, cur: String) =
+      ProviderHistory(name, prio, adjusted = true, None, None, frame(cur))
+    val results = Seq(ph("p0", 0, null), ph("p1", 1, "USD"), ph("p2", 2, "EUR"))
+    // the in-plan guard (min/max ignores nulls) WOULD fire on this data;
+    // the bulk stats pass must agree: reference currency = the first
+    // provider that reported one (p1/USD), deviation blamed on p2
+    HistoryRouter.currencyViolations(results) match {
+      case Seq(("A", BorsaError.Connector("p2", BorsaError.InconsistentCurrencyData))) => ()
+      case other => fail(s"expected p2 blamed for symbol A, got $other")
+    }
+    // clean null-mixed-with-one-currency stays clean (guard parity again)
+    assert(HistoryRouter.currencyViolations(Seq(ph("p0", 0, null), ph("p1", 1, "USD"))).isEmpty)
+  }
 }
