@@ -18,11 +18,17 @@ object Bench {
     SparkEntry.queries.foreach { case (_, fn) =>
       try fn(spark, warmDir).count() catch { case _: Throwable => () }
     }
-    // best-of-3: the host shows bursty contention (same query varies 10x
-    // between adjacent runs, and occasionally two adjacent runs are both
-    // hit); the minimum is the faithful steady-state cost
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val times = (1 to 3).map { _ =>
+    // best-of-N with ROUND-ROBIN reps (rep 1 of every query, then rep 2,
+    // ...): the host shows bursty contention lasting tens of seconds, long
+    // enough to poison all back-to-back reps of one query (r4 recorded a
+    // 16 s minimum for a query that measures 1.4 s on a quiet host).
+    // Spreading each query's reps across the whole bench window means a
+    // burst inflates at most one rep per query, and the min stays faithful.
+    val names = SparkEntry.queries.keys.toVector
+    val reps = 4
+    val times = scala.collection.mutable.Map.empty[String, Vector[Double]]
+    (1 to reps).foreach { _ =>
+      names.foreach { name =>
         // drop every cached plan first: queries that persist intermediate
         // tables (the shared shingle table feeds minhash AND ngram) must
         // each pay their own build — otherwise the one-time materialization
@@ -30,14 +36,15 @@ object Bench {
         // and per-query timings swap ~5s when the query set reorders
         spark.catalog.clearCache()
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
-        (System.nanoTime() - t0) / 1e9
+        try { SparkEntry.queries(name)(spark, sfDir).count() } catch { case _: Throwable => () }
+        val dt = (System.nanoTime() - t0) / 1e9
+        times.updateWith(name)(v => Some(v.getOrElse(Vector.empty) :+ dt))
       }
-      name -> times.min
     }
+    val results = names.map(n => n -> times(n).min)
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

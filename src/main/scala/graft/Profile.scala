@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Ad-hoc profiling harness: time one or more SparkEntry queries repeatedly
+  * against an SF dir. Usage: runMain graft.Profile <sfDir> <reps> <q1,q2,...>
+  * Prints per-rep wall seconds so cold (first-materialization) and warm
+  * costs are visible separately — Bench.scala only reports the min.
+  */
+object Profile {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val reps = if (args.length > 1) args(1).toInt else 3
+    val names = if (args.length > 2) args(2).split(",").toSeq else Seq("ext_dedup_minhash")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    // same JIT warm-up as Bench
+    val warmDir = "/root/testdata/sf0.001"
+    names.foreach { n =>
+      try SparkEntry.queries(n)(spark, warmDir).count() catch { case _: Throwable => () }
+    }
+    names.foreach { n =>
+      (1 to reps).foreach { r =>
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        val cnt = SparkEntry.queries(n)(spark, sfDir).count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        println(f"PROFILE $n rep=$r rows=$cnt sec=$dt%.3f")
+      }
+    }
+    spark.stop()
+  }
+}
