@@ -323,6 +323,40 @@ object SparkEntry {
         .filter(col("rank") <= 3)
         .select("symbol", "rank", "price_micros", "volume", "arrival")
         .orderBy("symbol", "rank")
+    }),
+
+    // QI-ASOF backward as-of join with 1h tolerance: each purchase gets the
+    // prevailing prov_a price at-or-before its timestamp (trade → quote).
+    // Oracle is DuckDB's native ASOF LEFT JOIN; the Spark side is the
+    // single-shuffle union-carry operator.
+    "qi_asof_price" -> ((s, dir) => {
+      val t = Tables.ticks(s, dir)
+      val trades = t.filter(col("event_type") === "purchase")
+        .select("symbol", "secs", "event_id", "price_micros")
+      val refs = t.filter(col("provider") === "prov_a")
+        .groupBy("symbol", "secs")
+        .agg(max_by(col("price_micros"), col("arrival")).as("ref_micros"))
+      graft.operators.AsOfJoin.backward(trades, refs, Seq("symbol"), "secs", "secs",
+          Seq("ref_micros"), tolerance = Some(3600L), matchedTs = "ref_secs")
+        .orderBy("symbol", "event_id")
+    }),
+
+    // QI-RANGE point-in-interval range join (banded equi-join rewrite):
+    // prov_b ticks matched into per-(symbol, week) prov_a activity spans,
+    // aggregated per span. Oracle is the plain inequality join DuckDB
+    // evaluates with its IEJoin.
+    "qi_range_join" -> ((s, dir) => {
+      val t = Tables.ticks(s, dir)
+      val spans = t.filter(col("provider") === "prov_a")
+        .groupBy(col("symbol"), Resample.weeklyBucket(col("secs")).as("wk"))
+        .agg(min("secs").as("span_start"), max("secs").as("span_end"))
+        .drop("wk")
+      val points = t.filter(col("provider") === "prov_b").select("symbol", "secs", "volume")
+      graft.operators.RangeJoin
+        .pointInInterval(points, spans, Seq("symbol"), "secs", "span_start", "span_end", 86400L)
+        .groupBy("symbol", "span_start", "span_end")
+        .agg(count(lit(1)).as("n_points"), sum(col("volume")).as("sum_volume"))
+        .orderBy("symbol", "span_start")
     })
   )
 
@@ -540,6 +574,32 @@ object SparkEntry {
         |  row_number() OVER (PARTITION BY symbol ORDER BY volume DESC, arrival) AS rank
         |FROM ticks)
         |SELECT symbol, rank, price_micros, volume, arrival FROM w WHERE rank <= 3
-        |ORDER BY symbol, rank""".stripMargin)
+        |ORDER BY symbol, rank""".stripMargin),
+
+    // native ASOF LEFT JOIN is the oracle for the union-carry operator;
+    // the 1h tolerance is applied as a post-projection on both sides
+    "qi_asof_price" -> withTicks(
+      """l AS (SELECT symbol, secs, event_id, price_micros FROM ticks WHERE event_type = 'purchase'),
+        |r AS (SELECT symbol, secs, max_by(price_micros, arrival) AS ref_micros
+        |      FROM ticks WHERE provider = 'prov_a' GROUP BY 1, 2),
+        |j AS (SELECT l.symbol, l.secs, l.event_id, l.price_micros,
+        |             r.secs AS m_secs, r.ref_micros AS m_micros
+        |      FROM l ASOF LEFT JOIN r ON l.symbol = r.symbol AND l.secs >= r.secs)
+        |SELECT symbol, secs, event_id, price_micros,
+        |  CASE WHEN secs - m_secs <= 3600 THEN m_secs END AS ref_secs,
+        |  CASE WHEN secs - m_secs <= 3600 THEN m_micros END AS ref_micros
+        |FROM j ORDER BY symbol, event_id""".stripMargin),
+
+    // the oracle states the range predicate directly (DuckDB IEJoin); the
+    // Spark side must produce identical pairs through the banded rewrite
+    "qi_range_join" -> withTicks(
+      """i AS (SELECT symbol, min(secs) AS span_start, max(secs) AS span_end
+        |      FROM ticks WHERE provider = 'prov_a'
+        |      GROUP BY symbol, ((secs // 86400) - ((secs // 86400 + 3) % 7)) * 86400),
+        |p AS (SELECT symbol, secs, volume FROM ticks WHERE provider = 'prov_b')
+        |SELECT i.symbol, span_start, span_end, count(*) AS n_points,
+        |  CAST(sum(p.volume) AS BIGINT) AS sum_volume
+        |FROM i JOIN p ON p.symbol = i.symbol AND p.secs >= i.span_start AND p.secs <= i.span_end
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2""".stripMargin)
   )
 }
