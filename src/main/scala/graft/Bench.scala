@@ -36,16 +36,22 @@ object Bench {
         // and per-query timings swap ~5s when the query set reorders
         spark.catalog.clearCache()
         val t0 = System.nanoTime()
-        try { SparkEntry.queries(name)(spark, sfDir).count() } catch { case _: Throwable => () }
-        val dt = (System.nanoTime() - t0) / 1e9
+        // a failed rep records MaxValue, NOT elapsed-to-failure: a query
+        // that throws fast must never win min() with a fake "fast" time
+        val dt =
+          try { SparkEntry.queries(name)(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+          catch { case _: Throwable => Double.MaxValue }
         times.updateWith(name)(v => Some(v.getOrElse(Vector.empty) :+ dt))
       }
     }
     val results = names.map(n => n -> times(n).min)
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failed = results.collect { case (n, v) if v == Double.MaxValue => n }
+    val qs = results.map { case (k, v) =>
+      s"\"" + k + "\":" + (if (v == Double.MaxValue) "-1" else v.toString)
+    }.mkString("{", ",", "}")
+    val total = results.collect { case (_, v) if v != Double.MaxValue => v }.sum
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.TimestampType
 
 /** Backward as-of join — for every left row, attach the payload of the most
   * recent right row with `right.ts <= left.ts` within the same key group
@@ -16,15 +17,19 @@ import org.apache.spark.sql.functions._
   * key.
   *
   * Implementation is the scalable union-carry form, not a join node:
-  * tag both inputs, union them, and carry the last non-null right payload
-  * forward with a running `last(_, ignoreNulls)` window ordered by
-  * `(ts, side)` — right rows sort before left rows at equal timestamps,
-  * which yields the inclusive (<=) match. The whole operator is ONE shuffle
-  * on the key columns plus a sort within partitions: cost is O(|L|+|R|)
-  * rows through a single exchange regardless of how many left rows match
-  * each right row, so it survives 100 TB where a range-predicate join
-  * explodes. Skewed keys shard like any other window (salt upstream if one
-  * symbol dominates).
+  * tag both inputs, union them, and carry the last right row forward with a
+  * running `last(_, ignoreNulls)` window ordered by `(ts, side)` — right
+  * rows sort before left rows at equal timestamps, which yields the
+  * inclusive (<=) match. The matched timestamp and ALL payload columns are
+  * carried as ONE struct, so every output row's payload comes from exactly
+  * the matched right row — a right row whose payload value is NULL yields
+  * that NULL (never a stale value back-filled from an older row), matching
+  * DuckDB ASOF LEFT JOIN semantics. The whole operator is ONE shuffle on
+  * the key columns plus a sort within partitions: cost is O(|L|+|R|) rows
+  * through a single exchange regardless of how many left rows match each
+  * right row, so it survives 100 TB where a range-predicate join explodes.
+  * Skewed keys shard like any other window (salt upstream if one symbol
+  * dominates).
   *
   * Requirements: right rows must be unique per (keys, rightTs) — with
   * duplicates the carried payload would depend on intra-partition order.
@@ -32,12 +37,15 @@ import org.apache.spark.sql.functions._
   */
 object AsOfJoin {
 
+  private val Reserved = Seq("__t", "__side", "__c", "__mt")
+
   /** @param keys       equi-join key columns (present in both inputs)
     * @param leftTs     left event-time column (numeric or timestamp)
     * @param rightTs    right event-time column (same type as leftTs)
     * @param payload    right-side columns to attach to each left row
-    * @param tolerance  max allowed `leftTs - rightTs` (same unit as the ts
-    *                   columns); matches older than this become NULL
+    * @param tolerance  max allowed `leftTs - rightTs`; in ts units for
+    *                   numeric ts columns, in SECONDS for timestamp
+    *                   columns; matches older than this become NULL
     * @param matchedTs  output column name holding the matched right ts
     */
   def backward(
@@ -49,38 +57,61 @@ object AsOfJoin {
       payload: Seq[String],
       tolerance: Option[Long] = None,
       matchedTs: String = "matched_ts"): DataFrame = {
+    val leftCols = left.columns.toSet
+    val missingK = (keys.filterNot(leftCols) ++ keys.filterNot(right.columns.contains)).distinct
+    require(missingK.isEmpty, s"key columns absent from an input: ${missingK.mkString(", ")}")
+    require(payload.forall(right.columns.contains),
+      s"payload columns absent from right: ${payload.filterNot(right.columns.contains).mkString(", ")}")
+    val collisions = payload.filter(leftCols)
+    require(collisions.isEmpty,
+      s"payload columns collide with left columns (rename one side): ${collisions.mkString(", ")}")
+    require(!leftCols(matchedTs) && !payload.contains(matchedTs),
+      s"matchedTs '$matchedTs' collides with an existing output column")
+    val reservedHits = Reserved.filter(r => leftCols(r) || payload.contains(r) || keys.contains(r))
+    require(reservedHits.isEmpty,
+      s"reserved internal names in inputs: ${reservedHits.mkString(", ")}")
+
     val leftOnly = left.columns.toSeq.filterNot(c => keys.contains(c) || c == leftTs)
     val tsType = left.schema(leftTs).dataType
-    def typedNull(df: DataFrame, c: String) = lit(null).cast(df.schema(c).dataType).as(c)
 
     val rightSide = right.select(
       keys.map(col) ++
         Seq(col(rightTs).cast(tsType).as("__t"), lit(0).as("__side")) ++
         payload.map(col) ++
-        leftOnly.map(c => typedNull(left, c)): _*)
+        leftOnly.map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
     val leftSide = left.select(
       keys.map(col) ++
         Seq(col(leftTs).as("__t"), lit(1).as("__side")) ++
-        payload.map(c => typedNull(right, c)) ++
+        payload.map(c => lit(null).cast(right.schema(c).dataType).as(c)) ++
         leftOnly.map(col): _*)
 
+    // ONE struct carries (matched ts, payload...) atomically: on right rows
+    // the struct is non-null even when every payload value inside is null,
+    // so last(ignoreNulls) skips left rows only — ts and payload can never
+    // come from different right rows.
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("__t"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carry = when(col("__side") === 0,
+      struct(col("__t").as("__mt") +: payload.map(col): _*))
     val carried = rightSide.unionByName(leftSide)
-      .withColumn("__m", last(when(col("__side") === 0, col("__t")), ignoreNulls = true).over(w))
-      .withColumns(payload.map(c => c -> last(col(c), ignoreNulls = true).over(w)).toMap)
+      .withColumn("__c", last(carry, ignoreNulls = true).over(w))
       .where(col("__side") === 1)
 
+    // timestamps subtract to an interval, not a number — compare in epoch
+    // seconds when the ts column is a timestamp (tolerance is in seconds)
+    def asNum(c: org.apache.spark.sql.Column) =
+      if (tsType == TimestampType) c.cast("long") else c
     val inTol = tolerance match {
-      case Some(tol) => col("__m").isNotNull && (col("__t") - col("__m") <= tol)
-      case None      => col("__m").isNotNull
+      case Some(tol) =>
+        col("__c").isNotNull && (asNum(col("__t")) - asNum(col("__c.__mt")) <= tol)
+      case None => col("__c").isNotNull
     }
     carried.select(
       keys.map(col) ++
         Seq(col("__t").as(leftTs)) ++
         leftOnly.map(col) ++
-        Seq(when(inTol, col("__m")).as(matchedTs)) ++
-        payload.map(c => when(inTol, col(c)).as(c)): _*)
+        Seq(when(inTol, col("__c.__mt")).as(matchedTs)) ++
+        payload.map(c => when(inTol, col(s"__c.$c")).as(c)): _*)
   }
 }

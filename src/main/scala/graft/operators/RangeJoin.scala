@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Point-in-interval range join — match each point row to every interval row
@@ -22,13 +22,34 @@ import org.apache.spark.sql.functions._
   * the typical interval span: too small explodes intervals into many bucket
   * rows, too large piles unrelated points into each bucket and shifts work
   * into the residual filter.
+  *
+  * Robustness at scale:
+  *  - bucket ids use INTEGRAL truncating division (`div`), never
+  *    double-rounding `floor(col / width)` — nanosecond-epoch longs
+  *    (~1.7e18) exceed a double's 2^53 integer range and would mis-bucket.
+  *    Truncating division is monotonic in the dividend, which is all the
+  *    rewrite needs: bucket(start) <= bucket(point) <= bucket(end) holds,
+  *    so every containing interval still meets its point in the point's
+  *    bucket even for negative coordinates.
+  *  - a single degenerate span (e.g. a sentinel end of Long.MaxValue) would
+  *    otherwise explode into span/width bucket rows and OOM one executor —
+  *    or hard-fail at sequence()'s element cap with an opaque message. Any
+  *    interval wider than `maxBucketsPerInterval` buckets fails FAST with
+  *    an error naming the offending span. The guard feeds the sequence
+  *    bounds themselves, so column pruning can never drop it.
+  *  - empty intervals (start > end) match nothing — same semantics as the
+  *    raw inequality predicate — rather than tripping sequence()'s
+  *    descending mode and silently matching backwards.
   */
 object RangeJoin {
 
   /** @param points      frame with `keys` and a numeric `ptCol`
     * @param intervals   frame with `keys`, numeric `startCol`/`endCol`
-    *                    (inclusive bounds, start <= end)
+    *                    (inclusive bounds; rows with start > end match
+    *                    nothing)
     * @param bucketWidth band width in ts units (> 0)
+    * @param maxBucketsPerInterval fail-fast cap on span/bucketWidth per
+    *                    interval row (default 1M buckets)
     * @return one row per matching (point, interval) pair: all point columns
     *         plus the interval's start/end (other interval columns dropped;
     *         join back on (keys, start, end) if more are needed)
@@ -40,14 +61,41 @@ object RangeJoin {
       ptCol: String,
       startCol: String,
       endCol: String,
-      bucketWidth: Long): DataFrame = {
+      bucketWidth: Long,
+      maxBucketsPerInterval: Long = 1L << 20): DataFrame = {
     require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
-    val iv = intervals.select(
-      keys.map(col) ++ Seq(col(startCol), col(endCol),
-        explode(sequence(
-          floor(col(startCol) / bucketWidth).cast("long"),
-          floor(col(endCol) / bucketWidth).cast("long"))).as("__bucket")): _*)
-    val pt = points.withColumn("__bucket", floor(col(ptCol) / bucketWidth).cast("long"))
+    require(maxBucketsPerInterval > 0,
+      s"maxBucketsPerInterval must be positive, got $maxBucketsPerInterval")
+    val ptCols = points.columns.toSet
+    val missingK = (keys.filterNot(ptCols) ++ keys.filterNot(intervals.columns.contains)).distinct
+    require(missingK.isEmpty, s"key columns absent from an input: ${missingK.mkString(", ")}")
+    require(intervals.columns.contains(startCol) && intervals.columns.contains(endCol),
+      s"interval columns $startCol/$endCol absent from intervals")
+    val dup = Seq(startCol, endCol).filter(c => ptCols(c) || keys.contains(c))
+    require(dup.isEmpty,
+      s"interval bound columns collide with point/key columns (rename them): ${dup.mkString(", ")}")
+    require(!ptCols("__bucket") && !intervals.columns.contains("__bucket"),
+      "reserved internal name __bucket present in an input")
+
+    // SQL `div` is integral division (returns LONG) — exact for the full
+    // long range, unlike floor(col / width) which routes through a double
+    def bucketOf(name: String): Column = expr(s"`$name` div ${bucketWidth}L")
+    val startB = bucketOf(startCol)
+    val endB = bucketOf(endCol)
+    // the cap guard is folded into the sequence's upper bound so no
+    // optimizer rule can prune it away from under the explode
+    val guardedEnd = when(endB - startB >= maxBucketsPerInterval,
+        raise_error(format_string(
+          s"RangeJoin: interval [%s, %s] spans %s buckets at bucketWidth=$bucketWidth " +
+            s"(cap $maxBucketsPerInterval) — widen bucketWidth or filter degenerate spans",
+          col(startCol), col(endCol), endB - startB + lit(1))).cast("long"))
+      .otherwise(endB)
+
+    val iv = intervals
+      .where(col(startCol) <= col(endCol))
+      .select(keys.map(col) ++ Seq(col(startCol), col(endCol),
+        explode(sequence(startB, guardedEnd)).as("__bucket")): _*)
+    val pt = points.withColumn("__bucket", bucketOf(ptCol))
     pt.join(iv, keys :+ "__bucket")
       .where(col(ptCol) >= col(startCol) && col(ptCol) <= col(endCol))
       .drop("__bucket")

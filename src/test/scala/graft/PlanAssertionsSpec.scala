@@ -46,6 +46,36 @@ class PlanAssertionsSpec extends SparkSpec {
     assert(!plan.contains("lambdafunction"), "HOF lambda re-appeared in the LSH path")
   }
 
+  test("AsOfJoin: exactly ONE exchange, and no join node at all") {
+    import spark.implicits._
+    val left = Seq(("aa", 10L, 1L)).toDF("k", "ts", "lval")
+    val right = Seq(("aa", 5L, 2L)).toDF("k", "ts", "p1")
+    val plan = graft.operators.AsOfJoin
+      .backward(left, right, Seq("k"), "ts", "ts", Seq("p1"))
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange".r.findAllIn(plan).size
+    assert(exchanges == 1, s"expected exactly 1 exchange, got $exchanges:\n$plan")
+    assert(!plan.contains("Join"), s"as-of must be the union-carry form, not a join:\n$plan")
+  }
+
+  test("RangeJoin: plans a shuffled equi-join, never BroadcastNestedLoopJoin") {
+    import spark.implicits._
+    val points = Seq(("aa", 10L, 1L)).toDF("k", "ts", "v")
+    val intervals = Seq(("aa", 5L, 15L)).toDF("k", "s", "e")
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "-1") // big-side × big-side: the 100 TB shape
+      val plan = graft.operators.RangeJoin
+        .pointInInterval(points, intervals, Seq("k"), "ts", "s", "e", 7L)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+        s"expected a shuffled equi-join:\n$plan")
+      assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+        s"banded rewrite degenerated to a product join:\n$plan")
+    } finally spark.conf.set(key, prev)
+  }
+
   test("qi_h9_keepna: the NA filter reaches the aggregation input (no post-agg filtering)") {
     val plan = planOf("qi_h9_keepna")
     // dropna is a pre-aggregation Filter; HashAggregate must appear above it

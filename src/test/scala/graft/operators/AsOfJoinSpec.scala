@@ -1,0 +1,174 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** AsOfJoin vs the naive inequality-join oracle: a left join on
+  * `keys AND right.ts <= left.ts`, keeping per left row the match with the
+  * greatest right ts, then applying the tolerance. The naive form is what a
+  * user would write (and what Spark plans as a nested-loop join) — the
+  * union-carry operator must produce identical rows on every fixture,
+  * including the null-payload and multi-column-payload shapes the round-5
+  * oracle query could not reach.
+  */
+class AsOfJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** The naive oracle: per left row (identified by `lid`), the single best
+    * match by greatest right ts, tolerance applied post-hoc.
+    */
+  private def naiveAsOf(
+      left: DataFrame,
+      right: DataFrame,
+      tolerance: Option[Long]): DataFrame = {
+    val r = right
+      .withColumnRenamed("ts", "m_ts")
+      .withColumnRenamed("p1", "m_p1")
+      .withColumnRenamed("p2", "m_p2")
+    val j = left.join(r, left("k") === r("k") && col("m_ts") <= left("ts"), "left")
+      .drop(r("k"))
+    val w = Window.partitionBy("lid").orderBy(col("m_ts").desc_nulls_last)
+    val best = j.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+    val inTol = tolerance match {
+      case Some(tol) => col("m_ts").isNotNull && (col("ts") - col("m_ts") <= tol)
+      case None      => col("m_ts").isNotNull
+    }
+    best.select(col("k"), col("ts"), col("lid"), col("lval"),
+      when(inTol, col("m_ts")).as("matched_ts"),
+      when(inTol, col("m_p1")).as("p1"),
+      when(inTol, col("m_p2")).as("p2"))
+  }
+
+  private def asRowSet(df: DataFrame): Set[Seq[Any]] =
+    df.collect().map(_.toSeq).toSet
+
+  private def checkAgainstOracle(
+      left: DataFrame, right: DataFrame, tolerance: Option[Long]): Unit = {
+    val got = AsOfJoin.backward(left, right, Seq("k"), "ts", "ts",
+      Seq("p1", "p2"), tolerance)
+    val want = naiveAsOf(left, right, tolerance)
+    assert(got.columns.sorted.toSeq == want.columns.sorted.toSeq)
+    val g = asRowSet(got.select(want.columns.map(col): _*))
+    val w = asRowSet(want)
+    assert(g == w,
+      s"asof mismatch (tol=$tolerance): only-got=${(g -- w).take(5)} only-want=${(w -- g).take(5)}")
+  }
+
+  // left: (k, ts, lid, lval); right: (k, ts, p1 nullable, p2), unique (k, ts)
+  private def randomFixture(seed: Long): (DataFrame, DataFrame) = {
+    val rnd = new scala.util.Random(seed)
+    val keys = Vector("aa", "bb", "cc")
+    val left = (0 until 200).map { i =>
+      (keys(rnd.nextInt(3)), rnd.nextInt(500).toLong, i.toLong, rnd.nextInt(100))
+    }.toDF("k", "ts", "lid", "lval")
+    val right = rnd.shuffle((0 until 500).toVector).take(150).flatMap { t =>
+      val k = keys(rnd.nextInt(3))
+      val p1: Option[Long] = if (rnd.nextInt(10) < 3) None else Some(rnd.nextInt(1000).toLong)
+      Some((k, t.toLong, p1, s"s${rnd.nextInt(5)}"))
+    }.toDF("k", "ts", "p1", "p2")
+      // distinct (k, ts): keep one row per key+ts (fixture may repeat keys)
+      .groupBy("k", "ts").agg(first("p1").as("p1"), first("p2").as("p2"))
+    (left, right)
+  }
+
+  test("property: matches the naive inequality-join oracle (random fixtures, null + multi-col payloads)") {
+    for (seed <- 1L to 4L; tol <- Seq(None, Some(10L), Some(50L))) {
+      val (l, r) = randomFixture(seed)
+      checkAgainstOracle(l, r, tol)
+    }
+  }
+
+  test("null payload on the matched row is emitted as NULL, never back-filled from an older row") {
+    // the round-5 bug: __m pointed at ts=10 while p1 carried 7L from ts=5
+    val right = Seq(
+      ("aa", 5L, Some(7L), "old"),
+      ("aa", 10L, Option.empty[Long], "new")
+    ).toDF("k", "ts", "p1", "p2")
+    val left = Seq(("aa", 12L, 0L, 1)).toDF("k", "ts", "lid", "lval")
+    val out = AsOfJoin.backward(left, right, Seq("k"), "ts", "ts", Seq("p1", "p2"))
+      .select("matched_ts", "p1", "p2").collect()
+    assert(out.length == 1)
+    assert(out(0).getLong(0) == 10L, "must match the newest right row")
+    assert(out(0).isNullAt(1), "payload must be the matched row's NULL, not the older 7")
+    assert(out(0).getString(2) == "new")
+  }
+
+  test("equal timestamps match inclusively; tolerance boundary is inclusive") {
+    val right = Seq(("aa", 10L, Some(1L), "x")).toDF("k", "ts", "p1", "p2")
+    val left = Seq(
+      ("aa", 10L, 0L, 0), // equal ts -> match
+      ("aa", 15L, 1L, 0), // ts - m = 5 = tol -> match
+      ("aa", 16L, 2L, 0)  // ts - m = 6 > tol -> null
+    ).toDF("k", "ts", "lid", "lval")
+    val out = AsOfJoin.backward(left, right, Seq("k"), "ts", "ts", Seq("p1", "p2"),
+        tolerance = Some(5L))
+      .orderBy("lid").select("matched_ts").collect()
+    assert(out(0).getLong(0) == 10L)
+    assert(out(1).getLong(0) == 10L)
+    assert(out(2).isNullAt(0))
+  }
+
+  test("duplicate right timestamps: pre-aggregated right side joins deterministically") {
+    // the documented contract: right must be unique per (keys, ts) — the
+    // caller pre-aggregates; here max_by(arrival) picks p1=30
+    val raw = Seq(
+      ("aa", 10L, 20L, 1L),
+      ("aa", 10L, 30L, 2L),
+      ("aa", 4L, 5L, 1L)
+    ).toDF("k", "ts", "p1", "arrival")
+    val right = raw.groupBy("k", "ts")
+      .agg(max_by(col("p1"), col("arrival")).as("p1"), lit("z").as("p2"))
+    val left = Seq(("aa", 11L, 0L, 0)).toDF("k", "ts", "lid", "lval")
+    val out = AsOfJoin.backward(left, right, Seq("k"), "ts", "ts", Seq("p1", "p2"))
+      .select("matched_ts", "p1").collect()
+    assert(out(0).getLong(0) == 10L && out(0).getLong(1) == 30L)
+  }
+
+  test("timestamp-typed ts columns work with tolerance (interpreted in seconds)") {
+    val right = Seq(("aa", 100L, 1L)).toDF("k", "es", "p1")
+      .select(col("k"), timestamp_seconds(col("es")).as("ts"), col("p1"), lit("x").as("p2"))
+    val left = Seq(("aa", 130L, 0L, 0), ("aa", 9999L, 1L, 0)).toDF("k", "es", "lid", "lval")
+      .select(col("k"), timestamp_seconds(col("es")).as("ts"), col("lid"), col("lval"))
+    val out = AsOfJoin.backward(left, right, Seq("k"), "ts", "ts", Seq("p1", "p2"),
+        tolerance = Some(60L))
+      .orderBy("lid").select("p1").collect()
+    assert(out(0).getLong(0) == 1L, "within 60s -> match")
+    assert(out(1).isNullAt(0), "beyond 60s -> null")
+  }
+
+  test("left rows with no prior right row get all-null match columns") {
+    val right = Seq(("aa", 100L, Some(1L), "x")).toDF("k", "ts", "p1", "p2")
+    val left = Seq(("aa", 50L, 0L, 9), ("zz", 500L, 1L, 9)).toDF("k", "ts", "lid", "lval")
+    val out = AsOfJoin.backward(left, right, Seq("k"), "ts", "ts", Seq("p1", "p2"))
+      .orderBy("lid").select("matched_ts", "p1", "p2").collect()
+    out.foreach { r => assert(r.isNullAt(0) && r.isNullAt(1) && r.isNullAt(2)) }
+  }
+
+  test("collision guards reject ambiguous shapes with a clear error") {
+    val l = Seq(("aa", 1L, 0L, 0)).toDF("k", "ts", "lid", "lval")
+    val r = Seq(("aa", 1L, 1L)).toDF("k", "ts", "p1")
+    // payload name already on the left
+    val rBad = r.withColumnRenamed("p1", "lval")
+    val e1 = intercept[IllegalArgumentException] {
+      AsOfJoin.backward(l, rBad, Seq("k"), "ts", "ts", Seq("lval"))
+    }
+    assert(e1.getMessage.contains("lval"))
+    // matchedTs shadows a left column
+    val e2 = intercept[IllegalArgumentException] {
+      AsOfJoin.backward(l, r, Seq("k"), "ts", "ts", Seq("p1"), matchedTs = "lid")
+    }
+    assert(e2.getMessage.contains("lid"))
+    // reserved internal name in an input
+    val e3 = intercept[IllegalArgumentException] {
+      AsOfJoin.backward(l.withColumn("__side", lit(1)), r, Seq("k"), "ts", "ts", Seq("p1"))
+    }
+    assert(e3.getMessage.contains("__side"))
+    // missing key
+    val e4 = intercept[IllegalArgumentException] {
+      AsOfJoin.backward(l, r, Seq("nope"), "ts", "ts", Seq("p1"))
+    }
+    assert(e4.getMessage.contains("nope"))
+  }
+}
