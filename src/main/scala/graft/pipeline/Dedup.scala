@@ -137,6 +137,18 @@ object Dedup {
     // branch rescans and re-sorts — persist it once
     val sh = shingleRows(docs, idCol, textCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    ngramJaccardPairsOf(sh, idCol, dfCap)
+  }
+
+  /** n-gram Jaccard from a pre-staged (id, sh) shingle table — the 100 TB
+    * form: the tokenize→shingle derivation is written ONCE (bucketed by doc
+    * id, see ShingleStage) and every consumer reads the staged rows instead
+    * of re-deriving them per query.
+    */
+  def ngramJaccardPairsOf(
+      sh: DataFrame,
+      idCol: String = "doc_id",
+      dfCap: Long = 0L): DataFrame = {
     val blocked =
       if (dfCap <= 0) sh
       else {
@@ -167,6 +179,17 @@ object Dedup {
       textCol: String = "text"): DataFrame = {
     val sh = shingleHashes(docs, idCol, textCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    minhashNearDupsOf(sh, thresholdPpm, idCol)
+  }
+
+  /** MinHash near-dups from a pre-staged (id, sh, h) shingle-hash table
+    * (see ShingleStage): when the table is bucketed by doc id, the
+    * signature and size aggregations read it co-located — no exchange.
+    */
+  def minhashNearDupsOf(
+      sh: DataFrame,
+      thresholdPpm: Long = 200000L,
+      idCol: String = "doc_id"): DataFrame = {
     val candidates = minhashCandidatesOf(minhashSignatureOf(sh, idCol), idCol)
     val sizes = sh.groupBy(idCol).agg(count(lit(1)).as("n_sh"))
     val inter = candidates

@@ -86,12 +86,17 @@ object PipelineQueries {
       Dedup.exactDedup(exactAug(Tables.documents(s, dir))).orderBy("doc_id")
     }),
 
+    // both near-dup heavyweights read the ONE staged shingle-hash table
+    // (built on first use, bucketed by doc_id — see ShingleStage) instead
+    // of re-deriving shingles per query
     "ext_dedup_minhash" -> ((s, dir) => {
-      Dedup.minhashNearDups(nearAug(Tables.documents(s, dir)), 200000L).orderBy("id1", "id2")
+      val sh = ShingleStage.shingleHashes(s, dir, nearAug(Tables.documents(s, dir)))
+      Dedup.minhashNearDupsOf(sh, 200000L).orderBy("id1", "id2")
     }),
 
     "ext_dedup_ngram" -> ((s, dir) => {
-      Dedup.ngramJaccardPairs(nearAug(Tables.documents(s, dir)), dfCap = 64L)
+      val sh = ShingleStage.shingleHashes(s, dir, nearAug(Tables.documents(s, dir)))
+      Dedup.ngramJaccardPairsOf(sh.select("doc_id", "sh"), dfCap = 64L)
         .orderBy(col("jaccard_ppm").desc, col("id1"), col("id2")).limit(20)
     }),
 
