@@ -1,0 +1,86 @@
+package graft.examples
+
+import graft.SparkSpec
+
+/** The example corpus is CI-gated like the reference's (`cargo run
+  * --example` in its workflows): every example must run green against the
+  * mock, and the load-bearing claim of each is asserted — not just
+  * "it printed something".
+  */
+class ExamplesSpec extends SparkSpec {
+
+  test("every example in the corpus runs and produces output") {
+    Examples.all.foreach { ex =>
+      val out = ex.run(spark)
+      assert(out.nonEmpty, s"example '${ex.name}' produced no output")
+      assert(!out.exists(_.toLowerCase.contains("failed:")),
+        s"example '${ex.name}' reported a failure:\n${out.mkString("\n")}")
+    }
+  }
+
+  test("01: quote carries price, previous close and market state") {
+    val out = Ex01SimpleQuote.run(spark)
+    assert(out.exists(_.startsWith("symbol:         AAPL")))
+    assert(out.exists(l => l.startsWith("price:") && l.contains("$")))
+    assert(out.exists(_.startsWith("market state:   REGULAR")))
+  }
+
+  test("02: prime serves the head, backfill the tail, attribution shows both") {
+    val out = Ex02HistoryMerge.run(spark)
+    assert(out.head == "merged history: 10 candles")
+    val spans = out.dropWhile(_ != "attribution:").tail
+    assert(spans.size == 2, s"expected 2 attribution spans, got:\n${spans.mkString("\n")}")
+    assert(spans.head.contains("'prime'") && spans.head.contains("(3 points)"))
+    assert(spans(1).contains("'backfill'") && spans(1).contains("(7 points)"))
+  }
+
+  test("03: dedup keeps the preferred exchange's listing and merges the rest") {
+    val out = Ex03Search.run(spark)
+    assert(out.head.startsWith("results: 3"))
+    val zz1 = out.find(_.contains("ZZ1")).get
+    assert(zz1.contains("[NMS]"), s"S2 dedup must keep the preferred venue: $zz1")
+    assert(out.exists(_.contains("ZZ2")) && out.exists(_.contains("ZZ3")))
+  }
+
+  test("08: weekly resample emits Monday-anchored buckets only") {
+    val out = Ex08HistoryResampling.run(spark)
+    assert(out.head.startsWith("weekly candles:"))
+    assert(!out.exists(_.contains("NOT A MONDAY")))
+    // 28 daily candles from Mon 2024-01-01 = exactly 4 full weeks
+    assert(out.head == "weekly candles: 4")
+  }
+
+  test("12: the per-symbol rule overrides the kind-level priority") {
+    val out = Ex12PerSymbolPriority.run(spark)
+    assert(out == Seq(
+      "'NORMAL' served from FAST-VENUE",
+      "'SPECIAL' served from ACCURATE-VENUE"))
+  }
+
+  test("13: fallback, latency race and provider timeout all land on the healthy provider") {
+    val out = Ex13FetchStrategies.run(spark)
+    assert(out.size == 3)
+    out.foreach(l => assert(l.endsWith("SECONDARY"), s"expected SECONDARY to serve: $l"))
+  }
+
+  test("17: primary refused, backup activates, graceful stop") {
+    val out = Ex17StreamingFailover.run(spark)
+    assert(out.exists(_.contains("provider 0 -> REFUSED")))
+    assert(out.exists(_.contains("session start: provider 1 -> AAPL")))
+    assert(out.contains("stream up (failed over to backup)"))
+    assert(out.last == "stream stopped")
+  }
+
+  test("21: bulk download isolates the failing instrument as a warning") {
+    val out = Ex21Download.run(spark)
+    assert(out.contains("AAPL: 5 candles") && out.contains("MSFT: 5 candles"))
+    assert(!out.exists(_.startsWith("FAIL:")), "failed instrument must contribute no rows")
+    assert(out.contains("warnings: 1"))
+  }
+
+  test("24: the third call is rejected by quota before reaching the provider") {
+    val out = Ex24QuotaMiddleware.run(spark)
+    assert(out.count(_.contains("-> ok")) == 2)
+    assert(out.last.startsWith("GOOG -> quota exceeded"))
+  }
+}
