@@ -205,6 +205,44 @@ object Dedup {
       .where(col("jaccard_ppm") >= thresholdPpm)
   }
 
+  /** Cross-document LINE-level dedup (CCNet-style boilerplate removal):
+    * every distinct line keeps exactly ONE occurrence corpus-wide — the one
+    * with the smallest (doc_id, line position) — and every other occurrence
+    * (shared headers / footers / nav chrome, and repeats within a doc) is
+    * dropped. Output per doc: original line count, surviving line count,
+    * and the md5 of the cleaned text (kept lines re-joined in original
+    * order; NULL when nothing survives).
+    *
+    * Scale: lines shuffle as md5 hashes (fixed width, never the text); the
+    * keeper election is one min-aggregate over a PACKED (doc_id, pos) long
+    * key — no struct comparator in the agg hot path — and the re-join is a
+    * hash-equi-join on the same fixed-width key. Exactly the exact-dedup
+    * plan shape, at line granularity.
+    */
+  def lineDedupKeepFirst(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      sep: String = "\n"): DataFrame = {
+    val PosBits = 20 // 1M lines/doc; keeps doc_id*2^20+pos inside a long
+    val lines = docs
+      .select(col(idCol), posexplode(split(col(textCol), sep)).as(Seq("pos", "line")))
+      .withColumn("h", md5(col("line")))
+      .withColumn("k", col(idCol) * (1L << PosBits) + col("pos"))
+    val keepers = lines.groupBy("h").agg(min(col("k")).as("kmin"))
+    val kept = lines.join(keepers, "h").where(col("k") === col("kmin"))
+    val total = lines.groupBy(idCol).agg(count(lit(1)).as("n_lines"))
+    val keptAgg = kept.groupBy(idCol).agg(
+      count(lit(1)).as("n_kept"),
+      md5(concat_ws(sep,
+        transform(array_sort(collect_list(struct(col("pos"), col("line")))),
+          s => s.getField("line")))).as("kept_md5"))
+    total.join(keptAgg, Seq(idCol), "left")
+      .select(col(idCol), col("n_lines"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        col("kept_md5"))
+  }
+
   /** Per-doc 32-bit SimHash. Relational form: explode tokens, hash each
     * ONCE, aggregate 32 signed bit-sums per doc (one narrow shuffle,
     * map-side partials), then assemble the fingerprint scan-side.

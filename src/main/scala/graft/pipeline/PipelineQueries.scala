@@ -27,9 +27,51 @@ object PipelineQueries {
         .select((col("doc_id") + 1000000L).as("doc_id"),
           expr("substr(text, instr(text, ' ') + 1)").as("text")))
 
+  /** documents with injected line structure: a header line shared by EVERY
+    * doc, the (unique) body, and a footer line shared by every third doc —
+    * the boilerplate shape cross-doc line dedup exists to remove.
+    */
+  private def lineAug(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      concat(lit("subscribe to our newsletter\n"), col("text"),
+        when(col("doc_id") % 3 === 0, lit("\nall rights reserved"))
+          .otherwise(lit(""))).as("text"))
+
+  /** documents with deterministic synthetic PII appended (an email per doc,
+    * a phone for every fourth) so the scrubber has real work on clean data.
+    */
+  private def piiAug(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      concat(col("text"),
+        lit(" contact user"), col("doc_id").cast("string"), lit("@mail.example.com"),
+        when(col("doc_id") % 4 === 0,
+          concat(lit(" or call +1-555-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+          .otherwise(lit(""))).as("text"))
+
   private val exactAugSql =
     """aug AS (SELECT doc_id, text FROM documents
       | UNION ALL SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0)""".stripMargin
+
+  private val lineAugSql =
+    """aug AS (SELECT doc_id, 'subscribe to our newsletter' || chr(10) || text ||
+      |  CASE WHEN doc_id % 3 = 0 THEN chr(10) || 'all rights reserved' ELSE '' END AS text
+      | FROM documents)""".stripMargin
+
+  private val piiAugSql =
+    """aug AS (SELECT doc_id, text || ' contact user' || doc_id::VARCHAR || '@mail.example.com' ||
+      |  CASE WHEN doc_id % 4 = 0 THEN ' or call +1-555-' || lpad((doc_id % 10000)::VARCHAR, 4, '0') ELSE '' END AS text
+      | FROM documents)""".stripMargin
+
+  /** IVF centroid table — the oracle twin of Similarity.ivfCentroid's
+    * literal arrays (same integer formula, evaluated in SQL).
+    */
+  private val ivfCentSql =
+    """cent AS (SELECT cid, list_transform(generate_series(1,64),
+      |  i -> (((cid*64 + (i-1))*40503 + 1299721) % 1000003)::DOUBLE/1000003.0 - 0.5) AS cv
+      | FROM range(0,8) t(cid))""".stripMargin
+
+  private val dotEmbCentD =
+    "list_sum(list_transform(generate_series(1,64), i -> embedding[i]::DOUBLE * cv[i]))"
   private val nearAugSql =
     """aug AS (SELECT doc_id, text FROM documents
       | UNION ALL SELECT doc_id + 1000000, substr(text, strpos(text, ' ') + 1) FROM documents WHERE doc_id % 10 = 0)""".stripMargin
@@ -117,6 +159,23 @@ object PipelineQueries {
     "ext_knn_lsh" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       Similarity.lshKnn(emb, emb.filter(col("vec_id") < 10), 3).orderBy("query_id", "rank")
+    }),
+
+    "ext_knn_ivf" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.ivfKnn(emb, emb.filter(col("vec_id") < 10), 3).orderBy("query_id", "rank")
+    }),
+
+    "ext_dedup_lines" -> ((s, dir) => {
+      Dedup.lineDedupKeepFirst(lineAug(Tables.documents(s, dir))).orderBy("doc_id")
+    }),
+
+    "ext_repetition" -> ((s, dir) => {
+      TextAnalysis.repetitionStats(Tables.documents(s, dir)).orderBy("doc_id")
+    }),
+
+    "ext_pii_scrub" -> ((s, dir) => {
+      TextAnalysis.piiScrub(piiAug(Tables.documents(s, dir))).orderBy("doc_id")
     }),
 
     // embedding-cosine near-dup: LSH-bucketed pair join, cosine >= 0.999
@@ -244,6 +303,57 @@ object PipelineQueries {
          |w AS (SELECT query_id, neighbor_id,
          |        row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank FROM s)
          |SELECT query_id, rank, neighbor_id FROM w WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+
+    "ext_knn_ivf" ->
+      s"""WITH $ivfCentSql,
+         |cd AS (SELECT vec_id, embedding, cid,
+         |        row_number() OVER (PARTITION BY vec_id ORDER BY $dotEmbCentD DESC, cid) AS rn
+         |       FROM embeddings, cent),
+         |ca AS (SELECT vec_id AS neighbor_id, embedding AS nv, cid AS cell FROM cd WHERE rn = 1),
+         |qp AS (SELECT vec_id AS query_id, embedding AS qv, cid AS cell
+         |       FROM cd WHERE vec_id < 10 AND rn <= 2),
+         |s AS (SELECT query_id, neighbor_id, $cosineD AS sim
+         |      FROM ca JOIN qp USING (cell) WHERE neighbor_id <> query_id),
+         |w AS (SELECT query_id, neighbor_id,
+         |        row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank FROM s)
+         |SELECT query_id, rank, neighbor_id FROM w WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+
+    "ext_dedup_lines" ->
+      s"""WITH $lineAugSql,
+         |ln AS (SELECT doc_id, unnest(generate_series(0, len(ls)-1)) AS pos, unnest(ls) AS line
+         |       FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM aug)),
+         |kp AS (SELECT md5(line) AS h, min(doc_id * 1048576 + pos) AS kmin FROM ln GROUP BY 1),
+         |kept AS (SELECT ln.doc_id, ln.pos, ln.line FROM ln
+         |         JOIN kp ON md5(ln.line) = kp.h AND ln.doc_id * 1048576 + ln.pos = kp.kmin),
+         |tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines FROM ln GROUP BY 1),
+         |kd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+         |         md5(string_agg(line, chr(10) ORDER BY pos)) AS kept_md5 FROM kept GROUP BY 1)
+         |SELECT tot.doc_id, tot.n_lines, CAST(COALESCE(kd.n_kept, 0) AS BIGINT) AS n_kept, kd.kept_md5
+         |FROM tot LEFT JOIN kd USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    "ext_repetition" ->
+      s"""WITH tk AS (SELECT doc_id, ${toksD("text")} AS toks FROM documents),
+         |g AS (SELECT doc_id,
+         |  CASE WHEN len(toks) >= 2 THEN list_transform(generate_series(1, len(toks)-1),
+         |    i -> toks[i] || ' ' || toks[i+1]) ELSE [] END AS bgs,
+         |  CASE WHEN len(toks) >= 3 THEN list_transform(generate_series(1, len(toks)-2),
+         |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) ELSE [] END AS tgs
+         | FROM tk)
+         |SELECT doc_id,
+         |  CAST(len(bgs) AS BIGINT) AS n_bigrams,
+         |  CAST((len(bgs) - len(list_distinct(bgs))) * 1000000 // greatest(len(bgs), 1) AS BIGINT) AS dup_bigram_ppm,
+         |  CAST(len(tgs) AS BIGINT) AS n_trigrams,
+         |  CAST((len(tgs) - len(list_distinct(tgs))) * 1000000 // greatest(len(tgs), 1) AS BIGINT) AS dup_trigram_ppm
+         |FROM g ORDER BY doc_id""".stripMargin,
+
+    "ext_pii_scrub" ->
+      s"""WITH $piiAugSql
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, '${TextAnalysis.EmailRe}')) AS BIGINT) AS n_emails,
+         |  CAST(len(regexp_extract_all(text, '${TextAnalysis.PhoneRe}')) AS BIGINT) AS n_phones,
+         |  md5(regexp_replace(regexp_replace(text, '${TextAnalysis.EmailRe}', '<EMAIL>', 'g'),
+         |      '${TextAnalysis.PhoneRe}', '<PHONE>', 'g')) AS scrub_md5
+         |FROM aug ORDER BY doc_id""".stripMargin,
 
     "ext_dedup_embed" ->
       s"""WITH aug AS (SELECT vec_id, embedding FROM embeddings

@@ -88,6 +88,77 @@ object Similarity {
         .otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** IVF cell centroid c, component i — deterministic pseudo-random in
+    * [-0.5, 0.5), emitted as a driver-side literal array exactly like
+    * [[hyperplane]]. Production IVF trains centroids with k-means; the
+    * expensive parts at 100 TB — the assignment scan and the probe join —
+    * are identical either way, so the centroid table is a pluggable
+    * constant here (swap in trained centroids without touching the plan).
+    */
+  def ivfCentroid(c: Int, dim: Int): IndexedSeq[Double] =
+    (0 until dim).map { i =>
+      (((c.toLong * dim + i) * 40503L + 1299721L) % 1000003L).toDouble / 1000003.0 - 0.5
+    }
+
+  /** (negdot, cid) score structs against every centroid — array_min/sort
+    * over these yields "max inner product, ties to the lower cell id".
+    */
+  private def ivfCellScores(vec: Column, dim: Int, nCells: Int): Column =
+    array((0 until nCells).map { c =>
+      struct(
+        (-VecDot.of(vec, typedLit(ivfCentroid(c, dim).toSeq))).as("negdot"),
+        lit(c.toLong).as("cid"))
+    }: _*)
+
+  /** IVF cell assignment: the centroid with the max inner product (ties to
+    * the lower cell id). Scan-side: nCells codegen'd dot folds per row,
+    * no shuffle.
+    */
+  def ivfCell(vec: Column, dim: Int = 64, nCells: Int = 8): Column =
+    array_min(ivfCellScores(vec, dim, nCells)).getField("cid")
+
+  /** The nprobe nearest cells for a query vector (array of cell ids, best
+    * first).
+    */
+  def ivfProbes(vec: Column, nprobe: Int, dim: Int = 64, nCells: Int = 8): Column =
+    transform(
+      slice(array_sort(ivfCellScores(vec, dim, nCells)), 1, nprobe),
+      s => s.getField("cid"))
+
+  /** IVF ANN: corpus vectors are assigned to their nearest-centroid cell
+    * scan-side; each query probes its `nprobe` nearest cells and scores
+    * exact cosine against ONLY those cells' members. The probe join is an
+    * equi-join on the cell id — the corpus shuffles (or at scale: is
+    * pre-partitioned/bucketed) by cell, never broadcast or paired all-to-all.
+    * This is the second scale path next to [[lshKnn]]: LSH buckets by
+    * random projections (no training, fixed recall), IVF by centroid cells
+    * (trainable, recall tuned via nprobe).
+    */
+  def ivfKnn(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      dim: Int = 64,
+      nCells: Int = 8,
+      nprobe: Int = 2,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val cb = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("nv"))
+      .withColumn("cell", ivfCell(col("nv"), dim, nCells))
+      .withColumn("nnorm", norm(col("nv")))
+    val qb = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("cell", explode(ivfProbes(col("qv"), nprobe, dim, nCells)))
+      .withColumn("qnorm", norm(col("qv"))))
+    val scored = cb.join(qb, "cell")
+      .where(col("neighbor_id") =!= col("query_id"))
+      .withColumn("sim", dot(col("qv"), col("nv")) / (col("qnorm") * col("nnorm")))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id")
+  }
+
   /** ANN: top-k within the query's LSH bucket only (plus guaranteed
     * fallback to fewer results when the bucket is small — the standard
     * recall/latency trade).

@@ -44,6 +44,56 @@ object TextAnalysis {
     scored.select(col(idCol), expr(heurLangS).as("heur_lang"))
   }
 
+  /** Gopher-style within-document repetition: duplicate bigram/trigram
+    * fractions in ppm (a high duplicate fraction marks template/spam-like
+    * text that repeats itself). Relational form: posexplode tokens once,
+    * n-grams via window lead (codegen'd), two narrow per-doc aggregations.
+    * Docs too short for an n-gram report 0 (nothing repeats).
+    */
+  def repetitionStats(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(idCol).orderBy("pos")
+    val grams = docs
+      .select(col(idCol), posexplode(expr(toksS(textCol))).as(Seq("pos", "t")))
+      .withColumn("t2", lead("t", 1).over(w))
+      .withColumn("t3", lead("t", 2).over(w))
+    val bi = grams.where(col("t2").isNotNull)
+      .select(col(idCol), concat_ws(" ", col("t"), col("t2")).as("g"))
+      .groupBy(idCol).agg(count(lit(1)).as("n_bi"), countDistinct(col("g")).as("d_bi"))
+    val tri = grams.where(col("t3").isNotNull)
+      .select(col(idCol), concat_ws(" ", col("t"), col("t2"), col("t3")).as("g"))
+      .groupBy(idCol).agg(count(lit(1)).as("n_tri"), countDistinct(col("g")).as("d_tri"))
+    docs.select(col(idCol)).join(bi, Seq(idCol), "left").join(tri, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bi"), lit(0L)).as("n_bigrams"),
+        coalesce(expr("(n_bi - d_bi) * 1000000 DIV greatest(n_bi, 1)"), lit(0L))
+          .as("dup_bigram_ppm"),
+        coalesce(col("n_tri"), lit(0L)).as("n_trigrams"),
+        coalesce(expr("(n_tri - d_tri) * 1000000 DIV greatest(n_tri, 1)"), lit(0L))
+          .as("dup_trigram_ppm"))
+  }
+
+  /** Email pattern for [[piiScrub]] — `[.]` instead of an escaped dot so
+    * the same literal parses identically in Java regex (Spark) and RE2
+    * (DuckDB oracle).
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}"
+  /** Phone pattern for [[piiScrub]] (NANP 555 test block). */
+  val PhoneRe = "[+]1-555-[0-9]{4}"
+
+  /** Rule-based PII scrub: redact emails and phone numbers with typed
+    * placeholder tokens and report per-doc match counts. Scan-side
+    * codegen'd regex — the plan shape of every rule-based scrub/filter
+    * pass over a 100 TB corpus (no shuffle, pushdown-friendly).
+    */
+  def piiScrub(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.select(col(idCol),
+      regexp_count(col(textCol), lit(EmailRe)).cast("long").as("n_emails"),
+      regexp_count(col(textCol), lit(PhoneRe)).cast("long").as("n_phones"),
+      md5(regexp_replace(
+        regexp_replace(col(textCol), EmailRe, "<EMAIL>"),
+        PhoneRe, "<PHONE>")).as("scrub_md5"))
+
   /** Winnowing fingerprints, aggregated per doc (count / min / max / sum of
     * the distinct fingerprint set — order-insensitive on purpose).
     *
