@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
+import graft.operators.Salting
 import graft.tables.Tables
 import graft.timeseries.{Attribution, Currency, Infer, Merge, Resample}
 
@@ -241,6 +242,59 @@ object SparkEntry {
 
     // QI-Q5 join-heavy revenue rollup: lineitem ⋈ orders ⋈ customer ⋈
     // broadcast(nation), decimal-exact, ordered by revenue
+    // QI-SKEW salted two-phase aggregation: the ticks feed has 15 symbols
+    // over the whole corpus — exactly the hot-key shape where one reducer
+    // would own ~1/15th of 100 TB. The salted plan spreads each symbol over
+    // 16 sub-partitions; the result must equal the plain groupBy (the
+    // oracle IS the unsalted form).
+    "qi_skew_salted" -> ((s, dir) => {
+      Salting.saltedAggSum(
+          Tables.ticks(s, dir).select("symbol", "volume"),
+          Seq("symbol"), "volume", buckets = 16)
+        .orderBy("symbol")
+    }),
+
+    // QI-Q3 TPC-H Q3 shape: selective 3-way join, group, top-N. Filters on
+    // segment/dates push into all three scans; the top-10 prunes map-side
+    // (TopK via the sort+limit) — the classic "shipping priority" plan.
+    "qi_q3_shipping" -> ((s, dir) => {
+      val c = Tables.customer(s, dir).where(col("c_mktsegment") === "BUILDING")
+      val o = Tables.orders(s, dir)
+        .where(col("o_orderdate") < lit("1997-06-01").cast("timestamp"))
+      val l = Tables.lineitem(s, dir)
+        .where(col("l_shipdate") > lit("2000-06-01").cast("timestamp"))
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(sum(col("l_extendedprice").cast(DecimalType(18, 2)) *
+              (lit(1) - col("l_discount").cast(DecimalType(18, 2))))
+          .cast(DecimalType(38, 4)).as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderdate"), col("l_orderkey"))
+        .limit(10)
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+    }),
+
+    // QI-Q18 TPC-H Q18 shape: aggregate-then-join (the HAVING subquery
+    // reduces lineitem to big orders BEFORE touching orders/customer).
+    "qi_q18_bigorders" -> ((s, dir) => {
+      val big = Tables.lineitem(s, dir)
+        .groupBy("l_orderkey")
+        .agg(sum(col("l_quantity").cast(DecimalType(18, 2)))
+          .cast(DecimalType(38, 2)).as("total_qty"))
+        .where(col("total_qty") > 300)
+      val o = Tables.orders(s, dir)
+      val c = Tables.customer(s, dir)
+      big.join(o, big("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          col("o_orderdate"),
+          (col("o_totalprice").cast(DecimalType(18, 2)) * 100).cast(LongType)
+            .as("total_price_cents"),
+          col("total_qty"))
+        .orderBy(col("total_price_cents").desc, col("o_orderkey"))
+        .limit(20)
+    }),
+
     "qi_q5_revenue" -> ((s, dir) => {
       val l = Tables.lineitem(s, dir)
       val o = Tables.orders(s, dir)
@@ -518,6 +572,36 @@ object SparkEntry {
         |  CAST(sum(volume) AS BIGINT) AS volume
         |FROM ticks GROUP BY 1,2)
         |SELECT * FROM r ORDER BY symbol, bucket_ts""".stripMargin),
+
+    "qi_skew_salted" -> withTicks(
+      """t AS (SELECT symbol, volume FROM ticks)
+        |SELECT symbol, CAST(SUM(volume) AS BIGINT) AS sum_volume
+        |FROM t GROUP BY 1 ORDER BY symbol""".stripMargin),
+
+    "qi_q3_shipping" ->
+      """SELECT l_orderkey,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS revenue,
+        |  o_orderdate, o_orderpriority
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1997-06-01'
+        |  AND l_shipdate > TIMESTAMP '2000-06-01'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10""".stripMargin,
+
+    "qi_q18_bigorders" ->
+      """WITH big AS (
+        |  SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_qty
+        |  FROM lineitem GROUP BY 1 HAVING total_qty > 300)
+        |SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS total_price_cents,
+        |  total_qty
+        |FROM big
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY total_price_cents DESC, o_orderkey LIMIT 20""".stripMargin,
 
     "qi_q5_revenue" ->
       """SELECT n_name,

@@ -40,6 +40,61 @@ object FixtureConnector {
     def get(endpoint: String, key: String): Either[HttpError, String] =
       fixtures.getOrElse((endpoint, key), Left(HttpError(404)))
   }
+
+  /** Scripted transport for retry tests: each (endpoint, key) holds a QUEUE
+    * of responses consumed one per attempt (the reference's injection-test
+    * pattern with attempt-varying bodies).
+    */
+  final class ScriptedTransport(
+      script: Map[(String, String), Seq[Either[HttpError, String]]]) extends Transport {
+    private val remaining = scala.collection.mutable.Map(
+      script.view.mapValues(_.toList).toSeq: _*)
+    def get(endpoint: String, key: String): Either[HttpError, String] = synchronized {
+      remaining.get((endpoint, key)) match {
+        case Some(next :: rest) => remaining((endpoint, key)) = rest; next
+        case _ => Left(HttpError(404))
+      }
+    }
+    def attemptsLeft(endpoint: String, key: String): Int =
+      synchronized(remaining.get((endpoint, key)).map(_.size).getOrElse(0))
+  }
+
+  /** Transport-level retry with exponential backoff, honoring the error
+    * taxonomy of the reference (`retry_class`, borsa-types/src/error.rs:
+    * 184-224): TRANSIENT failures — 429 and 5xx, the shapes that map to
+    * RateLimitExceeded / Connector(Other) — are retried up to `maxAttempts`
+    * total tries; PERMANENT failures (every 4xx: NotFound / Data) fail
+    * immediately without burning attempts. A 429 carrying a Retry-After
+    * window overrides the backoff schedule, matching how the middleware's
+    * rate-limit normalization (MW4) respects provider-stated windows.
+    *
+    * `sleep` is injectable so specs assert the schedule without waiting;
+    * delays double per attempt from `baseDelayMs` (50ms → 100ms → ...),
+    * capped at `maxDelayMs`.
+    */
+  final class RetryingTransport(
+      inner: Transport,
+      maxAttempts: Int = 3,
+      baseDelayMs: Long = 50L,
+      maxDelayMs: Long = 5000L,
+      sleep: Long => Unit = Thread.sleep) extends Transport {
+    require(maxAttempts >= 1, s"maxAttempts must be >= 1, got $maxAttempts")
+
+    private def transient(e: HttpError): Boolean = e.status == 429 || e.status >= 500
+
+    def get(endpoint: String, key: String): Either[HttpError, String] = {
+      var attempt = 1
+      var result = inner.get(endpoint, key)
+      while (result.left.exists(transient) && attempt < maxAttempts) {
+        val backoff = math.min(baseDelayMs << (attempt - 1), maxDelayMs)
+        val delay = result.left.toOption.flatMap(_.retryAfterMs).getOrElse(backoff)
+        sleep(delay)
+        attempt += 1
+        result = inner.get(endpoint, key)
+      }
+      result
+    }
+  }
 }
 
 final class FixtureConnector(
