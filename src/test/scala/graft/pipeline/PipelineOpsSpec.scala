@@ -42,6 +42,36 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got == want, "kept lines must re-join in position order, not sorted order")
   }
 
+  test("lineDedupKeepFirst: property — equals the naive sequential model on random corpora") {
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "", "alpha beta")
+    (1 to 5).foreach { round =>
+      val docs = (0L until 40L).map { id =>
+        val n = 1 + rnd.nextInt(6)
+        (id, Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString("\n"))
+      }
+      // naive model: walk docs in id order, lines in position order, keep
+      // first occurrence of each distinct line corpus-wide
+      val seen = scala.collection.mutable.Set.empty[String]
+      val want = docs.map { case (id, text) =>
+        val lines = text.split("\n", -1).toSeq
+        val kept = lines.filter(l => seen.add(l))
+        (id, lines.size.toLong, kept.size.toLong,
+          if (kept.isEmpty) null else kept.mkString("\n"))
+      }
+      val got = Dedup.lineDedupKeepFirst(docs.toDF("doc_id", "text"))
+        .orderBy("doc_id").collect()
+      want.zip(got).foreach { case ((id, nl, nk, keptText), row) =>
+        assert(row.getLong(0) == id && row.getLong(1) == nl && row.getLong(2) == nk,
+          s"round $round doc $id: want ($nl, $nk) got (${row.getLong(1)}, ${row.getLong(2)})")
+        val wantMd5 = Option(keptText).map(t =>
+          java.security.MessageDigest.getInstance("MD5").digest(t.getBytes("UTF-8"))
+            .map("%02x".format(_)).mkString)
+        assert(Option(row.getString(3)) == wantMd5, s"round $round doc $id kept_md5 mismatch")
+      }
+    }
+  }
+
   // ------------------------------------------------------- repetition
 
   test("repetitionStats: duplicate n-gram fractions in ppm") {
