@@ -56,6 +56,7 @@ object Examples {
     Ex08HistoryResampling,
     Ex12PerSymbolPriority,
     Ex13FetchStrategies,
+    Ex16RateLimited,
     Ex17StreamingFailover,
     Ex21Download,
     Ex24QuotaMiddleware)

@@ -63,6 +63,14 @@ class ExamplesSpec extends SparkSpec {
     out.foreach(l => assert(l.endsWith("SECONDARY"), s"expected SECONDARY to serve: $l"))
   }
 
+  test("16: throttled wire falls back to mock, then the primary recovers") {
+    val out = Ex16RateLimited.run(spark)
+    assert(out.size == 3)
+    assert(out(0).contains("served by primary"))
+    assert(out(1).contains("served by mock fallback"))
+    assert(out(2).contains("served by primary"))
+  }
+
   test("17: primary refused, backup activates, graceful stop") {
     val out = Ex17StreamingFailover.run(spark)
     assert(out.exists(_.contains("provider 0 -> REFUSED")))
