@@ -224,11 +224,21 @@ object Dedup {
       idCol: String = "doc_id",
       textCol: String = "text",
       sep: String = "\n"): DataFrame = {
-    val PosBits = 20 // 1M lines/doc; keeps doc_id*2^20+pos inside a long
+    // packed key bounds: 2^20 lines/doc, |doc_id| < 2^43 — a doc over the
+    // line cap fails FAST with the offending id instead of silently packing
+    // into a colliding key (the RangeJoin guard pattern: the error feeds
+    // the key column itself, so no optimizer rule can prune it)
+    val PosBits = 20
     val lines = docs
       .select(col(idCol), posexplode(split(col(textCol), sep)).as(Seq("pos", "line")))
       .withColumn("h", md5(col("line")))
-      .withColumn("k", col(idCol) * (1L << PosBits) + col("pos"))
+      .withColumn("k",
+        when(col("pos") >= (1L << PosBits),
+          raise_error(format_string(
+            s"lineDedupKeepFirst: document %s exceeds ${1L << PosBits} lines " +
+              "(packed dedup key would collide) — split the document or raise PosBits",
+            col(idCol))).cast("long"))
+          .otherwise(col(idCol) * (1L << PosBits) + col("pos")))
     val keepers = lines.groupBy("h").agg(min(col("k")).as("kmin"))
     val kept = lines.join(keepers, "h").where(col("k") === col("kmin"))
     val total = lines.groupBy(idCol).agg(count(lit(1)).as("n_lines"))

@@ -72,6 +72,18 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("lineDedupKeepFirst: a document over the line cap fails fast, naming the doc") {
+    val huge = Seq.fill((1 << 20) + 2)("x").mkString("\n")
+    val docs = Seq((7L, huge)).toDF("doc_id", "text")
+    val e = intercept[Exception] {
+      Dedup.lineDedupKeepFirst(docs).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(m => m.contains("exceeds") && m.contains("7")),
+      s"expected the guard error naming doc 7, got: $e")
+  }
+
   // ------------------------------------------------------- repetition
 
   test("repetitionStats: duplicate n-gram fractions in ppm") {
