@@ -229,8 +229,12 @@ object Dedup {
     // into a colliding key (the RangeJoin guard pattern: the error feeds
     // the key column itself, so no optimizer rule can prune it)
     val PosBits = 20
+    // Spark's split takes a REGEX; quote so `sep` is literal like the
+    // rejoin below (and like every other engine's string_split) — a "."
+    // separator must not silently split on any-char
     val lines = docs
-      .select(col(idCol), posexplode(split(col(textCol), sep)).as(Seq("pos", "line")))
+      .select(col(idCol),
+        posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep))).as(Seq("pos", "line")))
       .withColumn("h", md5(col("line")))
       .withColumn("k",
         when(col("pos") >= (1L << PosBits),

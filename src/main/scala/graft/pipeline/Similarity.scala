@@ -143,10 +143,14 @@ object Similarity {
       nprobe: Int = 2,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
-    val cb = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("nv"))
+    // null embeddings would null-poison every cell dot and win the struct
+    // argmin (nulls order first) — they can't be neighbors, drop them here
+    val cb = corpus.where(col(vecCol).isNotNull)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("nv"))
       .withColumn("cell", ivfCell(col("nv"), dim, nCells))
       .withColumn("nnorm", norm(col("nv")))
-    val qb = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val qb = broadcast(queries.where(col(vecCol).isNotNull)
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
       .withColumn("cell", explode(ivfProbes(col("qv"), nprobe, dim, nCells)))
       .withColumn("qnorm", norm(col("qv"))))
     val scored = cb.join(qb, "cell")

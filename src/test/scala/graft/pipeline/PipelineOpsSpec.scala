@@ -72,6 +72,26 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("lineDedupKeepFirst: a regex-special separator splits literally") {
+    val docs = Seq((1L, "a.b.a"), (2L, "a")).toDF("doc_id", "text")
+    val out = Dedup.lineDedupKeepFirst(docs, sep = ".").orderBy("doc_id").collect()
+    // literal "." → doc 1 = [a, b, a] (keeps a, b); regex "." would split
+    // on EVERY char into empty strings
+    assert(out(0).getAs[Long]("n_lines") == 3 && out(0).getAs[Long]("n_kept") == 2)
+    assert(out(1).getAs[Long]("n_kept") == 0) // doc 2's "a" lost to doc 1
+  }
+
+  test("ivfKnn: null embeddings are dropped, not mis-assigned") {
+    val rows = Seq(
+      (0L, Array.fill(64)(0.1)),
+      (1L, Array.fill(64)(0.2)),
+      (2L, null.asInstanceOf[Array[Double]]))
+    val corpus = rows.toDF("vec_id", "embedding")
+    val out = Similarity.ivfKnn(corpus, corpus.filter($"vec_id" === 0), 5, nprobe = 8)
+      .select("neighbor_id").collect().map(_.getLong(0)).toSet
+    assert(out == Set(1L), s"null-embedding row must never surface as a neighbor: $out")
+  }
+
   test("lineDedupKeepFirst: a document over the line cap fails fast, naming the doc") {
     val huge = Seq.fill((1 << 20) + 2)("x").mkString("\n")
     val docs = Seq((7L, huge)).toDF("doc_id", "text")
