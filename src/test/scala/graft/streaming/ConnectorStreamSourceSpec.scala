@@ -69,6 +69,40 @@ class ConnectorStreamSourceSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("concurrent producers: every push is delivered exactly once (contended enqueue)") {
+    // capacity leaves headroom (a FULL buffer of processed-but-uncommitted
+    // rows deadlocks producer vs engine — see StreamingScaleEndToEndSpec);
+    // the claim here is the synchronized index assignment under contention:
+    // 4 threads racing push() must yield 800 distinct rows, none lost or
+    // duplicated across the micro-batch offset slices
+    val buf = StreamBuffer.register("css-mprod", capacity = 4096)
+    val sink = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val q = ConnectorStreamSource.readStream(spark, "css-mprod")
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], _: Long) =>
+        batch.collect().foreach(r => sink.add(r.getAs[Long]("arrival")))
+      }
+      .start()
+    try {
+      val failed = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val producers = (0 until 4).map { p =>
+        new Thread(() => (0 until 200).foreach { i =>
+          val id = p * 1000L + i
+          if (!buf.push(Update(s"P$p", id, id))) failed.set(true)
+        }, s"css-mprod-$p")
+      }
+      producers.foreach(_.start())
+      while (producers.exists(_.isAlive)) q.processAllAvailable()
+      producers.foreach(_.join())
+      q.processAllAvailable()
+      assert(!failed.get, "no push may be rejected under headroom")
+      val got = scala.jdk.CollectionConverters.CollectionHasAsScala(sink).asScala.toSeq.sorted
+      val want = (for (p <- 0 until 4; i <- 0 until 200) yield p * 1000L + i).sorted
+      assert(got == want, s"lost or duplicated rows: got ${got.size}, want ${want.size}")
+      assert(buf.dropped == 0)
+    } finally q.stop()
+  }
+
   test("the source serves as a production sourceFor in QuerySessionRunner") {
     val buf = StreamBuffer.register("css-runner", capacity = 16)
     val sink = new java.util.concurrent.ConcurrentLinkedQueue[String]()
