@@ -53,12 +53,18 @@ object Examples {
     Ex01SimpleQuote,
     Ex02HistoryMerge,
     Ex03Search,
+    Ex05OptionsChain,
     Ex08HistoryResampling,
+    Ex09StockComparison,
+    Ex10Recommendations,
+    Ex11UpcomingEvents,
     Ex12PerSymbolPriority,
     Ex13FetchStrategies,
     Ex16RateLimited,
     Ex17StreamingFailover,
+    Ex18Holders,
     Ex21Download,
+    Ex22MultiQuotes,
     Ex24QuotaMiddleware)
 }
 

@@ -50,6 +50,41 @@ class ExamplesSpec extends SparkSpec {
     assert(out.head == "weekly candles: 4")
   }
 
+  test("05: the chain for the nearest expiration carries calls and puts") {
+    val out = Ex05OptionsChain.run(spark)
+    assert(out.head.startsWith("expirations: ") && out.exists(_.contains("3 calls / 3 puts")))
+  }
+
+  test("09: one bulk download compares 30-day performance across symbols") {
+    val out = Ex09StockComparison.run(spark)
+    assert(out.head == "30-day performance (3 symbols):")
+    assert(out.tail.forall(_.contains("bp")))
+  }
+
+  test("10: recommendations, summary and price target compose") {
+    val out = Ex10Recommendations.run(spark)
+    assert(out.exists(_.startsWith("0m: strongBuy=")))
+    assert(out.exists(_.startsWith("summary: mean=")) && out.exists(_.startsWith("price target:")))
+  }
+
+  test("11: calendar events surface earnings and dividend dates") {
+    val out = Ex11UpcomingEvents.run(spark)
+    assert(out.head.startsWith("earnings dates: ") && out.size == 3)
+  }
+
+  test("18: all six holder kinds answer through the capability router") {
+    val out = Ex18Holders.run(spark)
+    graft.core.Payloads.HolderKind.all.foreach(k =>
+      assert(out.exists(_.startsWith(s"${k.id}: ")), s"missing ${k.id}"))
+    assert(out.exists(_.contains("txn=")), "insider kinds carry transactions")
+  }
+
+  test("22: batch quotes succeed partially, failures reported per symbol") {
+    val out = Ex22MultiQuotes.run(spark)
+    assert(out.count(_.trim.startsWith("AAPL")) == 1 && out.count(_.contains("$")) == 3)
+    assert(out.last == "failed symbols: FAIL")
+  }
+
   test("12: the per-symbol rule overrides the kind-level priority") {
     val out = Ex12PerSymbolPriority.run(spark)
     assert(out == Seq(
