@@ -98,6 +98,15 @@ class ExamplesSpec extends SparkSpec {
     out.foreach(l => assert(l.endsWith("SECONDARY"), s"expected SECONDARY to serve: $l"))
   }
 
+  test("15: exchange rule flips order, strict pins, F6 demotes mismatched venues") {
+    val out = Ex15RoutingPolicy.run(spark)
+    assert(out(0).endsWith("slow -> fast"), out(0))
+    assert(out(1).endsWith("fast -> slow"), out(1))
+    assert(out(2).contains("slow (strict)") && !out(2).contains("fast"), out(2))
+    assert(out(3).contains("FAILS"), out(3))
+    assert(out(4).contains("served from NASDAQ"), out(4))
+  }
+
   test("16: throttled wire falls back to mock, then the primary recovers") {
     val out = Ex16RateLimited.run(spark)
     assert(out.size == 3)
