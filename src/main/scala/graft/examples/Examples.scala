@@ -60,6 +60,7 @@ object Examples {
     Ex11UpcomingEvents,
     Ex12PerSymbolPriority,
     Ex13FetchStrategies,
+    Ex14MergeStrategies,
     Ex15RoutingPolicy,
     Ex16RateLimited,
     Ex17StreamingFailover,

@@ -98,6 +98,13 @@ class ExamplesSpec extends SparkSpec {
     out.foreach(l => assert(l.endsWith("SECONDARY"), s"expected SECONDARY to serve: $l"))
   }
 
+  test("14: Deep backfills from both providers, Fallback stops at the first non-empty") {
+    val out = Ex14MergeStrategies.run(spark)
+    assert(out.size == 2)
+    assert(out(0).matches("Deep\\s+: 10 candles from full \\+ short"), out(0))
+    assert(out(1).matches("Fallback: 3 candles from short"), out(1))
+  }
+
   test("15: exchange rule flips order, strict pins, F6 demotes mismatched venues") {
     val out = Ex15RoutingPolicy.run(spark)
     assert(out(0).endsWith("slow -> fast"), out(0))
