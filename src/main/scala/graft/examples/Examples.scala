@@ -54,6 +54,7 @@ object Examples {
     Ex02HistoryMerge,
     Ex03Search,
     Ex05OptionsChain,
+    Ex07FinancialSnapshot,
     Ex08HistoryResampling,
     Ex09StockComparison,
     Ex10Recommendations,

@@ -55,6 +55,15 @@ class ExamplesSpec extends SparkSpec {
     assert(out.head.startsWith("expirations: ") && out.exists(_.contains("3 calls / 3 puts")))
   }
 
+  test("07: the snapshot composes fundamentals, esg and news") {
+    val out = Ex07FinancialSnapshot.run(spark)
+    assert(out.count(_.startsWith("FY")) == 3)
+    assert(out.exists(_.startsWith("income rows:   revenue=")))
+    assert(out.exists(_.startsWith("balance (Q):   2023Q4")))
+    assert(out.exists(_.startsWith("esg: E=")))
+    assert(out.count(_.startsWith("news: ")) == 2)
+  }
+
   test("09: one bulk download compares 30-day performance across symbols") {
     val out = Ex09StockComparison.run(spark)
     assert(out.head == "30-day performance (3 symbols):")
