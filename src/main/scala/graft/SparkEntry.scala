@@ -254,6 +254,43 @@ object SparkEntry {
         .orderBy("symbol")
     }),
 
+    // QI-ANTI churn detection: customers with no orders since a date —
+    // left_anti join (Catalyst plans a hash anti-join; the probe side is
+    // the filtered orders, never a NOT IN subquery rescan)
+    "qi_anti_churn" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+      val recent = Tables.orders(s, dir)
+        .where(col("o_orderdate") >= lit("2000-06-01").cast("timestamp"))
+        .select(col("o_custkey"))
+      c.join(recent, c("c_custkey") === recent("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+        .orderBy("c_custkey")
+    }),
+
+    // QI-ROLLUP hierarchical aggregation: (nation, priority) -> nation ->
+    // grand total in ONE pass (the Expand operator), subtotal level tagged
+    // by grouping flags; NULL group keys are replaced by a sentinel so the
+    // total ORDER BY is null-free (ASC null placement differs per engine)
+    "qi_rollup_orders" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      val c = Tables.customer(s, dir)
+      val n = Tables.nation(s, dir)
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .rollup(col("n_name"), col("o_orderpriority"))
+        .agg(
+          (grouping(col("n_name")) + grouping(col("o_orderpriority")) * 2)
+            .cast(LongType).as("gid"),
+          count(lit(1)).as("n_orders"),
+          sum((col("o_totalprice").cast(DecimalType(18, 2)) * 100).cast(LongType))
+            .as("total_cents"))
+        .select(
+          coalesce(col("n_name"), lit("ALL")).as("nation"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("gid"), col("n_orders"), col("total_cents"))
+        .orderBy("gid", "nation", "priority")
+    }),
+
     // QI-Q3 TPC-H Q3 shape: selective 3-way join, group, top-N. Filters on
     // segment/dates push into all three scans; the top-10 prunes map-side
     // (TopK via the sort+limit) — the classic "shipping priority" plan.
@@ -577,6 +614,25 @@ object SparkEntry {
       """t AS (SELECT symbol, volume FROM ticks)
         |SELECT symbol, CAST(SUM(volume) AS BIGINT) AS sum_volume
         |FROM t GROUP BY 1 ORDER BY symbol""".stripMargin),
+
+    "qi_anti_churn" ->
+      """SELECT c_custkey, c_name, c_mktsegment
+        |FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey AND o.o_orderdate >= TIMESTAMP '2000-06-01')
+        |ORDER BY c_custkey""".stripMargin,
+
+    "qi_rollup_orders" ->
+      """SELECT COALESCE(n_name, 'ALL') AS nation,
+        |  COALESCE(o_orderpriority, 'ALL') AS priority,
+        |  CAST(grouping(n_name) + 2 * grouping(o_orderpriority) AS BIGINT) AS gid,
+        |  COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS total_cents
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY ROLLUP(n_name, o_orderpriority)
+        |ORDER BY gid, nation, priority""".stripMargin,
 
     "qi_q3_shipping" ->
       """SELECT l_orderkey,
