@@ -254,6 +254,23 @@ object SparkEntry {
         .orderBy("symbol")
     }),
 
+    // QI-OVERLAP interval-overlap join: signup sessions × error windows of
+    // the same symbol that intersect in time. The banded emit-once rewrite
+    // (operators.RangeJoin.intervalOverlap) — each overlapping pair meets
+    // in exactly one bucket, so no post-join dedup shuffle exists
+    "qi_interval_overlap" -> ((s, dir) => {
+      val t = Tables.ticks(s, dir)
+      val sessions = t.where(col("event_type") === "signup")
+        .select(col("symbol"), col("secs").as("s"),
+          (col("secs") + 7200L).as("e"), col("event_id").as("id"))
+      val errors = t.where(col("event_type") === "error")
+        .select(col("symbol"), col("secs").as("s"),
+          (col("secs") + 3600L).as("e"), col("event_id").as("id"))
+      graft.operators.RangeJoin.intervalOverlap(
+          sessions, errors, Seq("symbol"), "s", "e", "s", "e", bucketWidth = 3600L)
+        .orderBy("symbol", "id", "r_id")
+    }),
+
     // QI-ANTI churn detection: customers with no orders since a date —
     // left_anti join (Catalyst plans a hash anti-join; the probe side is
     // the filtered orders, never a NOT IN subquery rescan)
@@ -614,6 +631,15 @@ object SparkEntry {
       """t AS (SELECT symbol, volume FROM ticks)
         |SELECT symbol, CAST(SUM(volume) AS BIGINT) AS sum_volume
         |FROM t GROUP BY 1 ORDER BY symbol""".stripMargin),
+
+    "qi_interval_overlap" -> withTicks(
+      """a AS (SELECT symbol, secs AS s, secs + 7200 AS e, event_id AS id
+        |      FROM ticks WHERE event_type = 'signup'),
+        |b AS (SELECT symbol, secs AS s, secs + 3600 AS e, event_id AS id
+        |      FROM ticks WHERE event_type = 'error')
+        |SELECT a.symbol, a.s, a.e, a.id, b.s AS r_s, b.e AS r_e, b.id AS r_id
+        |FROM a JOIN b ON a.symbol = b.symbol AND a.s <= b.e AND b.s <= a.e
+        |ORDER BY a.symbol, a.id, r_id""".stripMargin),
 
     "qi_anti_churn" ->
       """SELECT c_custkey, c_name, c_mktsegment

@@ -100,4 +100,80 @@ object RangeJoin {
       .where(col(ptCol) >= col(startCol) && col(ptCol) <= col(endCol))
       .drop("__bucket")
   }
+
+  /** Interval-overlap join — one row per (left, right) pair of the same key
+    * whose inclusive ranges intersect: `s1 <= e2 AND s2 <= e1`. The
+    * companion primitive to [[pointInInterval]]; Spark would otherwise plan
+    * the two-sided inequality as a BroadcastNestedLoopJoin.
+    *
+    * Both sides explode to their covered buckets and meet on an equi-join,
+    * BUT an overlapping pair shares possibly-many buckets — instead of a
+    * pair-wide dedup shuffle afterwards, each pair is emitted in exactly
+    * ONE bucket: `greatest(bucket(s1), bucket(s2))`. That bucket is always
+    * within both sides' exploded ranges when the pair overlaps (truncating
+    * division is monotonic, so s2 <= e1 implies bucket(s2) <= bucket(e1)
+    * and vice versa) — full recall, zero duplicates, no post-join distinct.
+    *
+    * Output: left columns + the right's key-stripped columns renamed with
+    * `rightPrefix`. Bounds are validated by the same fail-fast span cap as
+    * [[pointInInterval]]; empty ranges (start > end) match nothing.
+    */
+  def intervalOverlap(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftStart: String,
+      leftEnd: String,
+      rightStart: String,
+      rightEnd: String,
+      bucketWidth: Long,
+      rightPrefix: String = "r_",
+      maxBucketsPerInterval: Long = 1L << 20): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
+    require(maxBucketsPerInterval > 0,
+      s"maxBucketsPerInterval must be positive, got $maxBucketsPerInterval")
+    val missingK = (keys.filterNot(left.columns.contains) ++
+      keys.filterNot(right.columns.contains)).distinct
+    require(missingK.isEmpty, s"key columns absent from an input: ${missingK.mkString(", ")}")
+    require(left.columns.contains(leftStart) && left.columns.contains(leftEnd),
+      s"bound columns $leftStart/$leftEnd absent from left")
+    require(right.columns.contains(rightStart) && right.columns.contains(rightEnd),
+      s"bound columns $rightStart/$rightEnd absent from right")
+    val rightRenamed = right.columns.filterNot(keys.contains)
+      .map(c => c -> s"$rightPrefix$c").toMap
+    val collide = rightRenamed.values.filter(left.columns.contains).toSeq
+    require(collide.isEmpty,
+      s"prefixed right columns collide with left columns: ${collide.mkString(", ")}")
+    val reserved = Seq("__bucket", "__sb", "__rsb")
+    require(reserved.forall(r => !left.columns.contains(r) && !right.columns.contains(r)),
+      "reserved internal names __bucket/__sb/__rsb present in an input")
+
+    def bucketOf(name: String): Column = expr(s"`$name` div ${bucketWidth}L")
+    def exploded(df: DataFrame, startCol: String, endCol: String): DataFrame = {
+      val startB = bucketOf(startCol)
+      val endB = bucketOf(endCol)
+      val guardedEnd = when(endB - startB >= maxBucketsPerInterval,
+          raise_error(format_string(
+            s"RangeJoin: interval [%s, %s] spans %s buckets at bucketWidth=$bucketWidth " +
+              s"(cap $maxBucketsPerInterval) — widen bucketWidth or filter degenerate spans",
+            col(startCol), col(endCol), endB - startB + lit(1))).cast("long"))
+        .otherwise(endB)
+      df.where(col(startCol) <= col(endCol))
+        .select(df.columns.map(col) :+ startB.as("__sb") :+
+          explode(sequence(startB, guardedEnd)).as("__bucket"): _*)
+    }
+    val l = exploded(left, leftStart, leftEnd)
+    val r = rightRenamed.foldLeft(
+        exploded(right, rightStart, rightEnd).withColumnRenamed("__sb", "__rsb")) {
+      case (df, (from, to)) => df.withColumnRenamed(from, to)
+    }
+    l.join(r, keys :+ "__bucket")
+      // emit-once: of all shared buckets, keep the pair only in
+      // max(bucket(s1), bucket(s2)) — in range for both sides iff they
+      // overlap, so no recall loss and no post-join dedup
+      .where(col("__bucket") === greatest(col("__sb"), col("__rsb")))
+      .where(col(leftStart) <= col(s"$rightPrefix$rightEnd") &&
+             col(s"$rightPrefix$rightStart") <= col(leftEnd))
+      .drop("__bucket", "__sb", "__rsb")
+  }
 }

@@ -76,6 +76,24 @@ class PlanAssertionsSpec extends SparkSpec {
     } finally spark.conf.set(key, prev)
   }
 
+  test("intervalOverlap: plans a shuffled equi-join, never BroadcastNestedLoopJoin") {
+    import spark.implicits._
+    val a = Seq(("aa", 5L, 15L, 1L)).toDF("k", "s", "e", "id")
+    val b = Seq(("aa", 10L, 20L, 2L)).toDF("k", "s", "e", "id")
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "-1") // big × big: the 100 TB shape
+      val plan = graft.operators.RangeJoin
+        .intervalOverlap(a, b, Seq("k"), "s", "e", "s", "e", 7L)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+        s"expected a shuffled equi-join:\n$plan")
+      assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+        s"banded overlap rewrite degenerated to a product join:\n$plan")
+    } finally spark.conf.set(key, prev)
+  }
+
   test("qi_h9_keepna: the NA filter reaches the aggregation input (no post-agg filtering)") {
     val plan = planOf("qi_h9_keepna")
     // dropna is a pre-aggregation Filter; HashAggregate must appear above it

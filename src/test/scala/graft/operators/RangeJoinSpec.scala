@@ -117,4 +117,68 @@ class RangeJoinSpec extends SparkSpec {
     }
     assert(e3.getMessage.contains("bucketWidth"))
   }
+
+  // --------------------------------------------------- interval overlap
+
+  private def naiveOverlap(left: DataFrame, right: DataFrame): DataFrame =
+    left.as("a").join(right.as("b"),
+        col("a.k") === col("b.k") &&
+          col("a.s") <= col("b.e") && col("b.s") <= col("a.e"))
+      .select(col("a.k").as("k"), col("a.s").as("s"), col("a.e").as("e"),
+        col("a.id").as("id"), col("b.s").as("r_s"), col("b.e").as("r_e"),
+        col("b.id").as("r_id"))
+
+  private def checkOverlap(left: DataFrame, right: DataFrame, width: Long): Unit = {
+    val got = RangeJoin.intervalOverlap(left, right, Seq("k"), "s", "e", "s", "e", width)
+    val cols = Seq("k", "s", "e", "id", "r_s", "r_e", "r_id")
+    val g = got.select(cols.map(col): _*).collect().map(_.toSeq)
+    val w = naiveOverlap(left, right).collect().map(_.toSeq)
+    val gm = g.groupBy(identity).view.mapValues(_.length).toMap
+    val wm = w.groupBy(identity).view.mapValues(_.length).toMap
+    assert(gm == wm, s"overlap mismatch at width=$width: " +
+      s"only-got=${(gm.keySet -- wm.keySet).take(5)} only-want=${(wm.keySet -- gm.keySet).take(5)}")
+  }
+
+  private def randomIntervals(seed: Long, n: Int, scale: Long = 0L): DataFrame = {
+    val rnd = new scala.util.Random(seed)
+    val keys = Vector("aa", "bb")
+    (0 until n).map { i =>
+      val a = scale + rnd.nextInt(1000).toLong - 500L
+      val b = scale + rnd.nextInt(1000).toLong - 500L
+      (keys(rnd.nextInt(2)), math.min(a, b), math.max(a, b), i.toLong)
+    }.toDF("k", "s", "e", "id")
+  }
+
+  test("overlap property: matches the naive two-sided inequality join, exactly once per pair") {
+    for (seed <- 1L to 3L; width <- Seq(1L, 7L, 100L, 5000L))
+      checkOverlap(randomIntervals(seed, 60), randomIntervals(seed + 100, 60), width)
+    // negative-coordinate band (exercises truncating-div monotonicity)
+    checkOverlap(randomIntervals(7, 50, -2000L), randomIntervals(8, 50, -2000L), 13L)
+  }
+
+  test("overlap boundaries: touching intervals match; disjoint same-bucket intervals do not") {
+    val a = Seq(("aa", 0L, 10L, 1L)).toDF("k", "s", "e", "id")
+    val touching = Seq(("aa", 10L, 20L, 2L)).toDF("k", "s", "e", "id")
+    val disjoint = Seq(("aa", 11L, 20L, 3L)).toDF("k", "s", "e", "id")
+    assert(RangeJoin.intervalOverlap(a, touching, Seq("k"), "s", "e", "s", "e", 100L).count() == 1)
+    assert(RangeJoin.intervalOverlap(a, disjoint, Seq("k"), "s", "e", "s", "e", 100L).count() == 0)
+    // empty right interval (s > e) matches nothing
+    val empty = Seq(("aa", 9L, 5L, 4L)).toDF("k", "s", "e", "id")
+    assert(RangeJoin.intervalOverlap(a, empty, Seq("k"), "s", "e", "s", "e", 100L).count() == 0)
+  }
+
+  test("overlap guards: span cap fails fast; prefixed-name collisions rejected") {
+    val a = Seq(("aa", 0L, 10L, 1L)).toDF("k", "s", "e", "id")
+    val degenerate = Seq(("aa", 0L, Long.MaxValue / 2, 2L)).toDF("k", "s", "e", "id")
+    val err = intercept[Exception] {
+      RangeJoin.intervalOverlap(a, degenerate, Seq("k"), "s", "e", "s", "e", 10L).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(err).exists(_.contains("spans")), s"expected the span-cap error, got $err")
+    val e2 = intercept[IllegalArgumentException] {
+      RangeJoin.intervalOverlap(a.withColumn("r_id", lit(1L)), a, Seq("k"), "s", "e", "s", "e", 10L)
+    }
+    assert(e2.getMessage.contains("r_id"))
+  }
 }
