@@ -449,6 +449,22 @@ object SparkEntry {
         .orderBy("symbol", "event_id")
     }),
 
+    // QI-ASOF-FWD forward as-of: for each error event, the NEXT reference
+    // price at or after it (time-reversal of the backward carry — one
+    // shuffle, no join node). DuckDB's native ASOF is backward-only, so
+    // the oracle is the naive window form.
+    "qi_asof_fwd" -> ((s, dir) => {
+      val t = Tables.ticks(s, dir)
+      val errors = t.filter(col("event_type") === "error")
+        .select("symbol", "secs", "event_id")
+      val refs = t.filter(col("provider") === "prov_b")
+        .groupBy("symbol", "secs")
+        .agg(max_by(col("price_micros"), col("arrival")).as("next_micros"))
+      graft.operators.AsOfJoin.forward(errors, refs, Seq("symbol"), "secs", "secs",
+          Seq("next_micros"), tolerance = Some(1800L), matchedTs = "next_secs")
+        .orderBy("symbol", "event_id")
+    }),
+
     // QI-RANGE point-in-interval range join (banded equi-join rewrite):
     // prov_b ticks matched into per-(symbol, week) prov_a activity spans,
     // aggregated per span. Oracle is the plain inequality join DuckDB
@@ -755,6 +771,20 @@ object SparkEntry {
         |  CASE WHEN secs - m_secs <= 3600 THEN m_secs END AS ref_secs,
         |  CASE WHEN secs - m_secs <= 3600 THEN m_micros END AS ref_micros
         |FROM j ORDER BY symbol, event_id""".stripMargin),
+
+    // DuckDB ASOF is backward-only: the forward oracle is the naive
+    // window form (smallest right secs at/after, tolerance post-hoc)
+    "qi_asof_fwd" -> withTicks(
+      """l AS (SELECT symbol, secs, event_id FROM ticks WHERE event_type = 'error'),
+        |r AS (SELECT symbol, secs, max_by(price_micros, arrival) AS next_micros
+        |      FROM ticks WHERE provider = 'prov_b' GROUP BY 1, 2),
+        |j AS (SELECT l.symbol, l.secs, l.event_id, r.secs AS m_secs, r.next_micros AS m_micros,
+        |        row_number() OVER (PARTITION BY l.symbol, l.event_id ORDER BY r.secs) AS rn
+        |      FROM l LEFT JOIN r ON l.symbol = r.symbol AND r.secs >= l.secs)
+        |SELECT symbol, secs, event_id,
+        |  CASE WHEN m_secs - secs <= 1800 THEN m_secs END AS next_secs,
+        |  CASE WHEN m_secs - secs <= 1800 THEN m_micros END AS next_micros
+        |FROM j WHERE rn = 1 ORDER BY symbol, event_id""".stripMargin),
 
     // the oracle states the range predicate directly (DuckDB IEJoin); the
     // Spark side must produce identical pairs through the banded rewrite

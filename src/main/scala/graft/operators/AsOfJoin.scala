@@ -114,4 +114,35 @@ object AsOfJoin {
         Seq(when(inTol, col("__c.__mt")).as(matchedTs)) ++
         payload.map(c => when(inTol, col(s"__c.$c")).as(c)): _*)
   }
+
+  /** Forward as-of join — for every left row, attach the payload of the
+    * EARLIEST right row with `right.ts >= left.ts` (equal timestamps
+    * match), optionally bounded by `tolerance >= rightTs - leftTs`.
+    *
+    * Implemented as [[backward]] over NEGATED timestamps — time reversal
+    * turns "most recent at or before" into "earliest at or after", so the
+    * forward join inherits the backward carry's single-shuffle plan, its
+    * atomic struct carry, and every guard, with zero duplicated logic.
+    * Numeric ts columns only (timestamps negate through their epoch —
+    * convert with `unix_timestamp` first).
+    */
+  def forward(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTs: String,
+      rightTs: String,
+      payload: Seq[String],
+      tolerance: Option[Long] = None,
+      matchedTs: String = "matched_ts"): DataFrame = {
+    require(left.schema(leftTs).dataType != TimestampType &&
+        right.schema(rightTs).dataType != TimestampType,
+      "forward as-of requires numeric ts columns (negate-based reversal; " +
+        "convert timestamps with unix_timestamp first)")
+    val negL = left.withColumn(leftTs, negate(col(leftTs)))
+    val negR = right.withColumn(rightTs, negate(col(rightTs)))
+    backward(negL, negR, keys, leftTs, rightTs, payload, tolerance, matchedTs)
+      .withColumn(leftTs, negate(col(leftTs)))
+      .withColumn(matchedTs, negate(col(matchedTs)))
+  }
 }

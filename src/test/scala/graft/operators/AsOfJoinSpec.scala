@@ -146,6 +146,65 @@ class AsOfJoinSpec extends SparkSpec {
     out.foreach { r => assert(r.isNullAt(0) && r.isNullAt(1) && r.isNullAt(2)) }
   }
 
+  /** Naive forward oracle: per left row, the single best match by SMALLEST
+    * right ts >= left ts, tolerance `m_ts - ts <= tol` post-hoc.
+    */
+  private def naiveForward(
+      left: DataFrame,
+      right: DataFrame,
+      tolerance: Option[Long]): DataFrame = {
+    val r = right
+      .withColumnRenamed("ts", "m_ts")
+      .withColumnRenamed("p1", "m_p1")
+      .withColumnRenamed("p2", "m_p2")
+    val j = left.join(r, left("k") === r("k") && col("m_ts") >= left("ts"), "left")
+      .drop(r("k"))
+    val w = Window.partitionBy("lid").orderBy(col("m_ts").asc_nulls_last)
+    val best = j.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+    val inTol = tolerance match {
+      case Some(tol) => col("m_ts").isNotNull && (col("m_ts") - col("ts") <= tol)
+      case None      => col("m_ts").isNotNull
+    }
+    best.select(col("k"), col("ts"), col("lid"), col("lval"),
+      when(inTol, col("m_ts")).as("matched_ts"),
+      when(inTol, col("m_p1")).as("p1"),
+      when(inTol, col("m_p2")).as("p2"))
+  }
+
+  test("forward property: matches the naive oracle (time-reversal of the backward carry)") {
+    for (seed <- 10L to 12L; tol <- Seq(None, Some(10L), Some(50L))) {
+      val (l, r) = randomFixture(seed)
+      val got = AsOfJoin.forward(l, r, Seq("k"), "ts", "ts", Seq("p1", "p2"), tol)
+      val want = naiveForward(l, r, tol)
+      val g = asRowSet(got.select(want.columns.map(col): _*))
+      val w = asRowSet(want)
+      assert(g == w,
+        s"forward asof mismatch (tol=$tol): only-got=${(g -- w).take(5)} only-want=${(w -- g).take(5)}")
+    }
+  }
+
+  test("forward: equal ts matches; tolerance boundary inclusive; timestamps rejected") {
+    val right = Seq(("aa", 10L, Some(1L), "x")).toDF("k", "ts", "p1", "p2")
+    val left = Seq(
+      ("aa", 10L, 0L, 0), // equal ts -> match
+      ("aa", 5L, 1L, 0),  // m - ts = 5 = tol -> match
+      ("aa", 4L, 2L, 0),  // m - ts = 6 > tol -> null
+      ("aa", 11L, 3L, 0)  // no right row at/after -> null
+    ).toDF("k", "ts", "lid", "lval")
+    val out = AsOfJoin.forward(left, right, Seq("k"), "ts", "ts", Seq("p1", "p2"),
+        tolerance = Some(5L))
+      .orderBy("lid").select("matched_ts", "ts").collect()
+    assert(out(0).getLong(0) == 10L && out(1).getLong(0) == 10L)
+    assert(out(2).isNullAt(0) && out(3).isNullAt(0))
+    assert(out.map(_.getLong(1)).toSeq == Seq(10L, 5L, 4L, 11L), "left ts must round-trip the negation")
+    val tsL = left.select(col("k"), timestamp_seconds(col("ts")).as("ts"), col("lid"), col("lval"))
+    val tsR = right.select(col("k"), timestamp_seconds(col("ts")).as("ts"), col("p1"), col("p2"))
+    val e = intercept[IllegalArgumentException] {
+      AsOfJoin.forward(tsL, tsR, Seq("k"), "ts", "ts", Seq("p1", "p2"))
+    }
+    assert(e.getMessage.contains("numeric"))
+  }
+
   test("collision guards reject ambiguous shapes with a clear error") {
     val l = Seq(("aa", 1L, 0L, 0)).toDF("k", "ts", "lid", "lval")
     val r = Seq(("aa", 1L, 1L)).toDF("k", "ts", "p1")
