@@ -465,6 +465,21 @@ object SparkEntry {
         .orderBy("symbol", "event_id")
     }),
 
+    // QI-ASOF-NEAREST: for each click event, the reference price nearest
+    // in time (either direction, ties backward) within 30 minutes — BOTH
+    // carries evaluate in one Window over one exchange (plan-asserted)
+    "qi_asof_nearest" -> ((s, dir) => {
+      val t = Tables.ticks(s, dir)
+      val clicks = t.filter(col("event_type") === "click")
+        .select("symbol", "secs", "event_id")
+      val refs = t.filter(col("provider") === "prov_a")
+        .groupBy("symbol", "secs")
+        .agg(max_by(col("price_micros"), col("arrival")).as("near_micros"))
+      graft.operators.AsOfJoin.nearest(clicks, refs, Seq("symbol"), "secs", "secs",
+          Seq("near_micros"), tolerance = Some(1800L), matchedTs = "near_secs")
+        .orderBy("symbol", "event_id")
+    }),
+
     // QI-RANGE point-in-interval range join (banded equi-join rewrite):
     // prov_b ticks matched into per-(symbol, week) prov_a activity spans,
     // aggregated per span. Oracle is the plain inequality join DuckDB
@@ -784,6 +799,19 @@ object SparkEntry {
         |SELECT symbol, secs, event_id,
         |  CASE WHEN m_secs - secs <= 1800 THEN m_secs END AS next_secs,
         |  CASE WHEN m_secs - secs <= 1800 THEN m_micros END AS next_micros
+        |FROM j WHERE rn = 1 ORDER BY symbol, event_id""".stripMargin),
+
+    // nearest = min |distance| within tolerance, ties backward (smaller
+    // m_secs); the oracle is the naive window form
+    "qi_asof_nearest" -> withTicks(
+      """l AS (SELECT symbol, secs, event_id FROM ticks WHERE event_type = 'click'),
+        |r AS (SELECT symbol, secs, max_by(price_micros, arrival) AS near_micros
+        |      FROM ticks WHERE provider = 'prov_a' GROUP BY 1, 2),
+        |j AS (SELECT l.symbol, l.secs, l.event_id, r.secs AS m_secs, r.near_micros AS m_micros,
+        |        row_number() OVER (PARTITION BY l.symbol, l.event_id
+        |                           ORDER BY abs(r.secs - l.secs), r.secs) AS rn
+        |      FROM l LEFT JOIN r ON l.symbol = r.symbol AND abs(r.secs - l.secs) <= 1800)
+        |SELECT symbol, secs, event_id, m_secs AS near_secs, m_micros AS near_micros
         |FROM j WHERE rn = 1 ORDER BY symbol, event_id""".stripMargin),
 
     // the oracle states the range predicate directly (DuckDB IEJoin); the

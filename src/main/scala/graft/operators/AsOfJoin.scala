@@ -48,15 +48,19 @@ object AsOfJoin {
     *                   columns; matches older than this become NULL
     * @param matchedTs  output column name holding the matched right ts
     */
-  def backward(
+  /** Shared validation + side-tagged union: right rows get `__side=0`
+    * (sorting before left rows at equal `__t`, which yields the inclusive
+    * backward match), left rows `__side=1`. Returns (union, left-only
+    * column names, ts type).
+    */
+  private def tagged(
       left: DataFrame,
       right: DataFrame,
       keys: Seq[String],
       leftTs: String,
       rightTs: String,
       payload: Seq[String],
-      tolerance: Option[Long] = None,
-      matchedTs: String = "matched_ts"): DataFrame = {
+      matchedTs: String): (DataFrame, Seq[String], org.apache.spark.sql.types.DataType) = {
     val leftCols = left.columns.toSet
     val missingK = (keys.filterNot(leftCols) ++ keys.filterNot(right.columns.contains)).distinct
     require(missingK.isEmpty, s"key columns absent from an input: ${missingK.mkString(", ")}")
@@ -84,18 +88,33 @@ object AsOfJoin {
         Seq(col(leftTs).as("__t"), lit(1).as("__side")) ++
         payload.map(c => lit(null).cast(right.schema(c).dataType).as(c)) ++
         leftOnly.map(col): _*)
+    (rightSide.unionByName(leftSide), leftOnly, tsType)
+  }
 
-    // ONE struct carries (matched ts, payload...) atomically: on right rows
-    // the struct is non-null even when every payload value inside is null,
-    // so last(ignoreNulls) skips left rows only — ts and payload can never
-    // come from different right rows.
+  /** The atomic (matched ts, payload...) struct: non-null exactly on right
+    * rows — even when every payload value inside is null — so an
+    * ignoreNulls carry skips left rows only and ts/payload can never come
+    * from different right rows.
+    */
+  private def carryStruct(payload: Seq[String]) =
+    when(col("__side") === 0, struct(col("__t").as("__mt") +: payload.map(col): _*))
+
+  def backward(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTs: String,
+      rightTs: String,
+      payload: Seq[String],
+      tolerance: Option[Long] = None,
+      matchedTs: String = "matched_ts"): DataFrame = {
+    val (union, leftOnly, tsType) =
+      tagged(left, right, keys, leftTs, rightTs, payload, matchedTs)
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("__t"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carry = when(col("__side") === 0,
-      struct(col("__t").as("__mt") +: payload.map(col): _*))
-    val carried = rightSide.unionByName(leftSide)
-      .withColumn("__c", last(carry, ignoreNulls = true).over(w))
+    val carried = union
+      .withColumn("__c", last(carryStruct(payload), ignoreNulls = true).over(w))
       .where(col("__side") === 1)
 
     // timestamps subtract to an interval, not a number — compare in epoch
@@ -113,6 +132,57 @@ object AsOfJoin {
         leftOnly.map(col) ++
         Seq(when(inTol, col("__c.__mt")).as(matchedTs)) ++
         payload.map(c => when(inTol, col(s"__c.$c")).as(c)): _*)
+  }
+
+  /** Nearest as-of join — for every left row, the right row minimizing
+    * `|rightTs - leftTs|` (within `tolerance` on BOTH sides), ties broken
+    * BACKWARD (pandas merge_asof direction='nearest' semantics; an
+    * equal-timestamp right row is a distance-0 backward match).
+    *
+    * STILL one shuffle: the backward carry (`last` over the preceding
+    * frame) and the forward carry (`first` over the following frame) are
+    * two window functions over the SAME partitioning and sort — Catalyst
+    * plans one Exchange + one Sort and evaluates both in a single Window
+    * operator. Numeric ts columns only.
+    */
+  def nearest(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTs: String,
+      rightTs: String,
+      payload: Seq[String],
+      tolerance: Option[Long] = None,
+      matchedTs: String = "matched_ts"): DataFrame = {
+    require(left.schema(leftTs).dataType != TimestampType &&
+        right.schema(rightTs).dataType != TimestampType,
+      "nearest as-of requires numeric ts columns (convert timestamps with unix_timestamp first)")
+    val (union, leftOnly, _) =
+      tagged(left, right, keys, leftTs, rightTs, payload, matchedTs)
+    val base = Window.partitionBy(keys.map(col): _*).orderBy(col("__t"), col("__side"))
+    val wPrev = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val carry = carryStruct(payload)
+    val carried = union
+      .withColumn("__cb", last(carry, ignoreNulls = true).over(wPrev))
+      .withColumn("__cf", first(carry, ignoreNulls = true).over(wNext))
+      .where(col("__side") === 1)
+
+    val db = col("__t") - col("__cb.__mt") // >= 0 when __cb defined
+    val df = col("__cf.__mt") - col("__t") // >= 0 when __cf defined
+    def within(dist: org.apache.spark.sql.Column) =
+      tolerance.map(t => dist <= t).getOrElse(lit(true))
+    val validB = col("__cb").isNotNull && within(db)
+    val validF = col("__cf").isNotNull && within(df)
+    // backward wins ties (and equal-ts rows live in the preceding frame)
+    val pick = when(validB && (!validF || db <= df), col("__cb"))
+      .when(validF, col("__cf"))
+    carried.select(
+      keys.map(col) ++
+        Seq(col("__t").as(leftTs)) ++
+        leftOnly.map(col) ++
+        Seq(pick.getField("__mt").as(matchedTs)) ++
+        payload.map(c => pick.getField(c).as(c)): _*)
   }
 
   /** Forward as-of join — for every left row, attach the payload of the

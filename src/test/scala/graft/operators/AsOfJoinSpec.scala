@@ -205,6 +205,72 @@ class AsOfJoinSpec extends SparkSpec {
     assert(e.getMessage.contains("numeric"))
   }
 
+  /** Naive nearest oracle: min |m_ts - ts| within tolerance on both sides,
+    * ties broken backward (m_ts <= ts preferred).
+    */
+  private def naiveNearest(
+      left: DataFrame,
+      right: DataFrame,
+      tolerance: Option[Long]): DataFrame = {
+    val r = right
+      .withColumnRenamed("ts", "m_ts")
+      .withColumnRenamed("p1", "m_p1")
+      .withColumnRenamed("p2", "m_p2")
+    val tolOk = tolerance.map(t => abs(col("m_ts") - left("ts")) <= t).getOrElse(lit(true))
+    val j = left.join(r, left("k") === r("k") && tolOk, "left").drop(r("k"))
+    val w = Window.partitionBy("lid").orderBy(
+      abs(col("m_ts") - col("ts")).asc_nulls_last,
+      // tie → backward: among equal distances the SMALLER m_ts is the
+      // backward candidate
+      col("m_ts").asc_nulls_last)
+    j.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      .select(col("k"), col("ts"), col("lid"), col("lval"),
+        col("m_ts").as("matched_ts"), col("m_p1").as("p1"), col("m_p2").as("p2"))
+  }
+
+  test("nearest property: min |distance| within tolerance, ties backward, one window pass") {
+    for (seed <- 20L to 22L; tol <- Seq(None, Some(10L), Some(50L))) {
+      val (l, r) = randomFixture(seed)
+      val got = AsOfJoin.nearest(l, r, Seq("k"), "ts", "ts", Seq("p1", "p2"), tol)
+      val want = naiveNearest(l, r, tol)
+      val g = asRowSet(got.select(want.columns.map(col): _*))
+      val w = asRowSet(want)
+      assert(g == w,
+        s"nearest mismatch (tol=$tol): only-got=${(g -- w).take(5)} only-want=${(w -- g).take(5)}")
+    }
+  }
+
+  test("nearest: tie prefers backward; tolerance excludes both sides independently") {
+    val right = Seq(
+      ("aa", 5L, Some(1L), "before"),
+      ("aa", 15L, Some(2L), "after")
+    ).toDF("k", "ts", "p1", "p2")
+    val left = Seq(
+      ("aa", 10L, 0L, 0), // equidistant (5 vs 5) -> backward row wins
+      ("aa", 13L, 1L, 0), // after is nearer (2 vs 8)
+      ("aa", 30L, 2L, 0)  // nearest is 'after' at distance 15 > tol -> null
+    ).toDF("k", "ts", "lid", "lval")
+    val out = AsOfJoin.nearest(left, right, Seq("k"), "ts", "ts", Seq("p1", "p2"),
+        tolerance = Some(10L))
+      .orderBy("lid").select("p2").collect()
+    assert(out(0).getString(0) == "before", "tie must break backward")
+    assert(out(1).getString(0) == "after")
+    assert(out(2).isNullAt(0))
+  }
+
+  test("nearest plans exactly ONE exchange (both carries share the sort)") {
+    // right side already unique per (k, ts) — no fixture pre-aggregation
+    // polluting the exchange count
+    val l = Seq(("aa", 1L, 0L, 1), ("aa", 5L, 1L, 2)).toDF("k", "ts", "lid", "lval")
+    val r = Seq(("aa", 2L, Option(1L), "x"), ("aa", 9L, Option(2L), "y"))
+      .toDF("k", "ts", "p1", "p2")
+    val plan = AsOfJoin.nearest(l, r, Seq("k"), "ts", "ts", Seq("p1", "p2"))
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1, s"expected 1 exchange, got $exchanges:\n$plan")
+    assert(!plan.contains("Join"), s"no join node expected:\n$plan")
+  }
+
   test("collision guards reject ambiguous shapes with a clear error") {
     val l = Seq(("aa", 1L, 0L, 0)).toDF("k", "ts", "lid", "lval")
     val r = Seq(("aa", 1L, 1L)).toDF("k", "ts", "p1")
