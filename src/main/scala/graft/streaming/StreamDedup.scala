@@ -1,0 +1,40 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Exactly-once ingestion dedup for a connector feed — the streaming face
+  * of the pipeline dedup family (SURVEY §2 addendum): providers re-deliver
+  * updates on reconnect/failover, and the duplicates must not reach the
+  * gate or the bar aggregation twice.
+  *
+  * `dropDuplicatesWithinWatermark` keys state by the update identity and
+  * EXPIRES it once the watermark passes the event time plus the delay —
+  * bounded state, unlike a raw streaming `dropDuplicates` whose key set
+  * grows for the lifetime of the query (the classic 100 TB slow leak).
+  * The contract is correspondingly bounded: duplicates arriving within
+  * `delay` of each other are dropped; a re-delivery older than the
+  * watermark may pass (it would also be dropped by the ST8 gate
+  * downstream, which is why the two compose in this order).
+  */
+object StreamDedup {
+
+  /** Dedup a (symbol, arrival, ts) update stream on its delivery identity
+    * (symbol, arrival). `eventTimeCol` must be monotone-ish in delivery
+    * order for the watermark to advance (connector feeds use the arrival
+    * sequence).
+    */
+  def dedupWithinWatermark(
+      updates: DataFrame,
+      delay: String = "10 minutes",
+      eventTimeCol: String = "arrival"): DataFrame =
+    updates
+      // +1 day: a query's initial watermark is epoch 0, and a stateful
+      // operator drops rows whose event time is not ABOVE the watermark —
+      // a sequence number of 0 would silently vanish from the stream
+      // without the shift
+      .withColumn("__evt", timestamp_seconds(col(eventTimeCol) + 86400L))
+      .withWatermark("__evt", delay)
+      .dropDuplicatesWithinWatermark("symbol", eventTimeCol)
+      .drop("__evt")
+}
