@@ -320,22 +320,25 @@ object SparkEntry {
       l.join(o, l("l_orderkey") === o("o_orderkey"))
         .join(c, o("o_custkey") === c("c_custkey"))
         .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
-        .agg(sum(col("l_extendedprice").cast(DecimalType(18, 2)) *
-              (lit(1) - col("l_discount").cast(DecimalType(18, 2))))
-          .cast(DecimalType(38, 4)).as("revenue"))
-        .orderBy(col("revenue").desc, col("o_orderdate"), col("l_orderkey"))
+        .agg((sum(col("l_extendedprice").cast(DecimalType(18, 2)) *
+              (lit(1) - col("l_discount").cast(DecimalType(18, 2)))) * 1000000)
+          .cast(LongType).as("revenue_micros"))
+        .orderBy(col("revenue_micros").desc, col("o_orderdate"), col("l_orderkey"))
         .limit(10)
-        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .select("l_orderkey", "revenue_micros", "o_orderdate", "o_orderpriority")
     }),
 
     // QI-Q18 TPC-H Q18 shape: aggregate-then-join (the HAVING subquery
     // reduces lineitem to big orders BEFORE touching orders/customer).
+    // Oracle-facing quantities project as integral hundredths (the repo's
+    // price_micros convention, Tables.scala) — never DECIMAL outputs.
     "qi_q18_bigorders" -> ((s, dir) => {
       val big = Tables.lineitem(s, dir)
         .groupBy("l_orderkey")
-        .agg(sum(col("l_quantity").cast(DecimalType(18, 2)))
-          .cast(DecimalType(38, 2)).as("total_qty"))
-        .where(col("total_qty") > 300)
+        .agg(sum(col("l_quantity").cast(DecimalType(18, 2))).as("qty_sum"))
+        .where(col("qty_sum") > 300)
+        .select(col("l_orderkey"),
+          (col("qty_sum") * 100).cast(LongType).as("total_qty_hundredths"))
       val o = Tables.orders(s, dir)
       val c = Tables.customer(s, dir)
       big.join(o, big("l_orderkey") === o("o_orderkey"))
@@ -344,7 +347,7 @@ object SparkEntry {
           col("o_orderdate"),
           (col("o_totalprice").cast(DecimalType(18, 2)) * 100).cast(LongType)
             .as("total_price_cents"),
-          col("total_qty"))
+          col("total_qty_hundredths"))
         .orderBy(col("total_price_cents").desc, col("o_orderkey"))
         .limit(20)
     }),
@@ -361,11 +364,11 @@ object SparkEntry {
         .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
         .groupBy("n_name")
         .agg(
-          sum(col("l_extendedprice").cast(DecimalType(18, 2)) *
-              (lit(1) - col("l_discount").cast(DecimalType(18, 2))))
-            .cast(DecimalType(38, 4)).as("revenue"),
+          (sum(col("l_extendedprice").cast(DecimalType(18, 2)) *
+              (lit(1) - col("l_discount").cast(DecimalType(18, 2)))) * 1000000)
+            .cast(LongType).as("revenue_micros"),
           count(lit(1)).as("n_items"))
-        .orderBy(col("revenue").desc, col("n_name"))
+        .orderBy(col("revenue_micros").desc, col("n_name"))
     }),
 
     // QI-JSON semi-structured extraction from the props column
@@ -693,7 +696,7 @@ object SparkEntry {
 
     "qi_q3_shipping" ->
       """SELECT l_orderkey,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS revenue,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) * 1000000 AS BIGINT) AS revenue_micros,
         |  o_orderdate, o_orderpriority
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
@@ -702,15 +705,15 @@ object SparkEntry {
         |  AND o_orderdate < TIMESTAMP '1997-06-01'
         |  AND l_shipdate > TIMESTAMP '2000-06-01'
         |GROUP BY l_orderkey, o_orderdate, o_orderpriority
-        |ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10""".stripMargin,
+        |ORDER BY revenue_micros DESC, o_orderdate, l_orderkey LIMIT 10""".stripMargin,
 
     "qi_q18_bigorders" ->
       """WITH big AS (
-        |  SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_qty
-        |  FROM lineitem GROUP BY 1 HAVING total_qty > 300)
+        |  SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qty_sum
+        |  FROM lineitem GROUP BY 1 HAVING qty_sum > 300)
         |SELECT c_name, c_custkey, o_orderkey, o_orderdate,
         |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS total_price_cents,
-        |  total_qty
+        |  CAST(qty_sum * 100 AS BIGINT) AS total_qty_hundredths
         |FROM big
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
@@ -718,14 +721,14 @@ object SparkEntry {
 
     "qi_q5_revenue" ->
       """SELECT n_name,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS revenue,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) * 1000000 AS BIGINT) AS revenue_micros,
         |  COUNT(*) AS n_items
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
         |WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
-        |GROUP BY 1 ORDER BY revenue DESC, n_name""".stripMargin,
+        |GROUP BY 1 ORDER BY revenue_micros DESC, n_name""".stripMargin,
 
     "qi_json_props" ->
       """SELECT event_type,

@@ -87,7 +87,10 @@ object FixtureConnector {
       var result = inner.get(endpoint, key)
       while (result.left.exists(transient) && attempt < maxAttempts) {
         val backoff = math.min(baseDelayMs << (attempt - 1), maxDelayMs)
-        val delay = result.left.toOption.flatMap(_.retryAfterMs).getOrElse(backoff)
+        // provider-stated window is honored but clamped: a buggy/hostile 429
+        // advertising an hour must not pin the calling thread past maxDelayMs
+        val delay = math.min(
+          result.left.toOption.flatMap(_.retryAfterMs).getOrElse(backoff), maxDelayMs)
         sleep(delay)
         attempt += 1
         result = inner.get(endpoint, key)

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.TimestampType
+import org.apache.spark.sql.types.{NumericType, TimestampType}
 
 /** Backward as-of join — for every left row, attach the payload of the most
   * recent right row with `right.ts <= left.ts` within the same key group
@@ -154,8 +154,8 @@ object AsOfJoin {
       payload: Seq[String],
       tolerance: Option[Long] = None,
       matchedTs: String = "matched_ts"): DataFrame = {
-    require(left.schema(leftTs).dataType != TimestampType &&
-        right.schema(rightTs).dataType != TimestampType,
+    require(left.schema(leftTs).dataType.isInstanceOf[NumericType] &&
+        right.schema(rightTs).dataType.isInstanceOf[NumericType],
       "nearest as-of requires numeric ts columns (convert timestamps with unix_timestamp first)")
     val (union, leftOnly, _) =
       tagged(left, right, keys, leftTs, rightTs, payload, matchedTs)
@@ -205,8 +205,8 @@ object AsOfJoin {
       payload: Seq[String],
       tolerance: Option[Long] = None,
       matchedTs: String = "matched_ts"): DataFrame = {
-    require(left.schema(leftTs).dataType != TimestampType &&
-        right.schema(rightTs).dataType != TimestampType,
+    require(left.schema(leftTs).dataType.isInstanceOf[NumericType] &&
+        right.schema(rightTs).dataType.isInstanceOf[NumericType],
       "forward as-of requires numeric ts columns (negate-based reversal; " +
         "convert timestamps with unix_timestamp first)")
     val negL = left.withColumn(leftTs, negate(col(leftTs)))

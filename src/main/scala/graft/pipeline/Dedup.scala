@@ -242,6 +242,11 @@ object Dedup {
             s"lineDedupKeepFirst: document %s exceeds ${1L << PosBits} lines " +
               "(packed dedup key would collide) — split the document or raise PosBits",
             col(idCol))).cast("long"))
+          .when(abs(col(idCol)) >= (1L << (63 - PosBits)),
+            raise_error(format_string(
+              s"lineDedupKeepFirst: |doc_id| %s >= 2^${63 - PosBits} overflows " +
+                "the packed dedup key — remap ids into the bound first",
+              col(idCol))).cast("long"))
           .otherwise(col(idCol) * (1L << PosBits) + col("pos")))
     val keepers = lines.groupBy("h").agg(min(col("k")).as("kmin"))
     val kept = lines.join(keepers, "h").where(col("k") === col("kmin"))

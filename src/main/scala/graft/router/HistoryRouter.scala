@@ -427,31 +427,41 @@ object HistoryRouter {
         // applies auto-resample per response, which is inherently
         // per-instrument): a daily-cadence symbol sharing a bulk frame
         // with an intraday symbol passes through byte-identical, only the
-        // subdaily partition is resampled. The decision picks the plan
-        // shape, so it is a driver-side collect of the per-symbol flags
-        // (≤ one row per symbol — a download's instrument list is
-        // user-bounded). Cache the merged frame first: the decision pass
-        // materializes it and both branches re-read the cache instead of
-        // recomputing the whole upstream union+merge. Lifecycle: no
-        // explicit unpersist is possible (the returned plan still reads the
-        // cache); blocks are MEMORY_AND_DISK (LRU-evictable under
-        // pressure) and reclaimed by ContextCleaner once the frame becomes
-        // unreachable — bounded, not a leak.
+        // subdaily partition is resampled. Cache the merged frame first:
+        // the decision pass materializes it and both branches re-read the
+        // cache instead of recomputing the whole upstream union+merge.
+        // Lifecycle: no explicit unpersist is possible (the returned plan
+        // still reads the cache); blocks are MEMORY_AND_DISK
+        // (LRU-evictable under pressure) and reclaimed by ContextCleaner
+        // once the frame becomes unreachable — bounded, not a leak.
         val cached = merged.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val deltas = graft.timeseries.Infer.isSubdaily(
+        val flags = graft.timeseries.Infer.isSubdaily(
           cached.withColumn("secs", col("ts")), tiebreak = Seq("ts"))
-        val subSyms = deltas.where(col("subdaily"))
-          .select("symbol").collect().map(_.getString(0)).toSeq
-        if (subSyms.isEmpty) cached
+          .select(col("symbol"), col("subdaily"))
+        // Only TWO scalars cross the driver (any-subdaily / all-subdaily):
+        // they pick the plan SHAPE. The mixed branch routes per-row via a
+        // broadcast join on the one-row-per-symbol flag frame — never a
+        // collected symbol list baked into the plan as an IN-list, which
+        // at a large universe becomes a giant literal and a driver
+        // round-trip proportional to the universe.
+        val counts = cached.select("symbol").distinct()
+          .join(flags, Seq("symbol"), "left")
+          .agg(count(lit(1)).as("n"),
+            coalesce(sum(when(col("subdaily"), 1L).otherwise(0L)), lit(0L)).as("n_sub"))
+          .head()
+        val (n, nSub) = (counts.getLong(0), counts.getLong(1))
+        if (nSub == 0L) cached
+        else if (nSub == n) run(cached, ResamplePlan.Daily) // branch-free common case
         else {
-          val allSyms = cached.select("symbol").distinct()
-            .collect().map(_.getString(0))
-          // all symbols subdaily (the single-instrument history common
-          // case) keeps the branch-free plan
-          if (allSyms.forall(subSyms.contains)) run(cached, ResamplePlan.Daily)
-          else
-            run(cached.filter(col("symbol").isin(subSyms: _*)), ResamplePlan.Daily)
-              .unionByName(cached.filter(!col("symbol").isin(subSyms: _*)))
+          val flagged = cached.join(broadcast(flags), Seq("symbol"), "left")
+            .withColumn("__sub", coalesce(col("subdaily"), lit(false)))
+            .drop("subdaily")
+          // allowMissingColumns: the resampled side always carries a cleared
+          // close_unadj (Resample.scala:96); a passthrough input without the
+          // column gets it as null rather than failing the union
+          run(flagged.where(col("__sub")).drop("__sub"), ResamplePlan.Daily)
+            .unionByName(flagged.where(!col("__sub")).drop("__sub"),
+              allowMissingColumns = true)
         }
     }
   }

@@ -50,6 +50,15 @@ class RetryingTransportSpec extends AnyFunSuite {
     assert(sleeps.toSeq == Seq(777L))
   }
 
+  test("a hostile Retry-After is clamped to maxDelayMs, never trusted raw") {
+    val sleeps = scala.collection.mutable.Buffer.empty[Long]
+    val t = new RetryingTransport(
+      scripted(Left(HttpError(429, retryAfterMs = Some(3600000L))), Right("ok")),
+      maxAttempts = 2, baseDelayMs = 50, maxDelayMs = 250, sleep = sleeps.append(_))
+    assert(t.get("quote", "AAPL") == Right("ok"))
+    assert(sleeps.toSeq == Seq(250L))
+  }
+
   test("backoff caps at maxDelayMs") {
     val sleeps = scala.collection.mutable.Buffer.empty[Long]
     val t = new RetryingTransport(

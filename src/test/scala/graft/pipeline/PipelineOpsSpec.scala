@@ -104,6 +104,17 @@ class PipelineOpsSpec extends SparkSpec {
       s"expected the guard error naming doc 7, got: $e")
   }
 
+  test("lineDedupKeepFirst: a doc_id outside the packed-key bound fails fast, naming the id") {
+    val docs = Seq((1L << 43, "a\nb"), (1L, "c")).toDF("doc_id", "text")
+    val e = intercept[Exception] {
+      Dedup.lineDedupKeepFirst(docs).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(m => m.contains("overflows") && m.contains((1L << 43).toString)),
+      s"expected the id-bound guard error, got: $e")
+  }
+
   // ------------------------------------------------------- repetition
 
   test("repetitionStats: duplicate n-gram fractions in ppm") {

@@ -159,6 +159,32 @@ class HistoryRouterSpec extends SparkSpec {
     assert(applyFinalResample(daily, FinalResample.AutoDaily).count() == daily.count())
   }
 
+  test("H7 mixed auto-daily routes per-row via broadcast join — no symbol IN-list in the plan") {
+    val subdailyRows = (0 until 48).map { i =>
+      Row("S", 1704067200L + i * 3600L, BigDecimal(1).bigDecimal, BigDecimal(2).bigDecimal,
+        BigDecimal(0).bigDecimal, BigDecimal(1).bigDecimal, 1L, "USD")
+    }
+    val sub = spark.createDataFrame(spark.sparkContext.parallelize(subdailyRows, 1), schema)
+    val dailyRows = (0 until 3).map { i =>
+      val v = BigDecimal(100 + i)
+      Row("D", 1704067200L + i * 86400L, v.bigDecimal, (v + 1).bigDecimal,
+        (v - 1).bigDecimal, v.bigDecimal, 100L, "USD")
+    }
+    val daily = spark.createDataFrame(spark.sparkContext.parallelize(dailyRows, 1), schema)
+    val out = applyFinalResample(sub.unionByName(daily), FinalResample.AutoDaily)
+    // behavior: subdaily symbol collapses 48 hourly → 2 daily buckets,
+    // daily symbol passes through byte-identical
+    assert(out.where(org.apache.spark.sql.functions.col("symbol") === "S").count() == 2)
+    assert(out.where(org.apache.spark.sql.functions.col("symbol") === "D").count() == 3)
+    // scale guard: the routing must be a broadcast join on the flag frame,
+    // never a collected symbol list baked into the plan as an IN-list
+    val plan = out.queryExecution.optimizedPlan.toString
+    assert(!plan.contains(" IN ("), s"plan must not contain a symbol IN-list:\n$plan")
+    val physical = out.queryExecution.executedPlan.toString
+    assert(physical.contains("BroadcastHashJoin"),
+      s"expected a broadcast join routing the flags:\n$physical")
+  }
+
   test("currencyViolations: a null-currency top provider cannot mask a lower-priority mix (bulk/history guard parity)") {
     import graft.core.Errors.BorsaError
     import graft.core.Model.Candle
