@@ -50,10 +50,13 @@ object Examples {
 
   /** The corpus, in reference numbering order. */
   val all: Seq[Example] = Seq(
+    Ex00Tracing,
     Ex01SimpleQuote,
     Ex02HistoryMerge,
     Ex03Search,
+    Ex04PriceTarget,
     Ex05OptionsChain,
+    Ex06FundamentalsDeepDive,
     Ex07FinancialSnapshot,
     Ex08HistoryResampling,
     Ex09StockComparison,
@@ -66,6 +69,8 @@ object Examples {
     Ex16RateLimited,
     Ex17StreamingFailover,
     Ex18Holders,
+    Ex19News,
+    Ex20Esg,
     Ex21Download,
     Ex22MultiQuotes,
     Ex24QuotaMiddleware)

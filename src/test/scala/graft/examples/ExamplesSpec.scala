@@ -18,6 +18,53 @@ class ExamplesSpec extends SparkSpec {
     }
   }
 
+  test("00: every capability call traced enter/exit; data-plane jobs observed") {
+    val out = Ex00Tracing.run(spark)
+    // every ENTER pairs with an EXIT for the same capability
+    val enters = out.filter(_.startsWith("ENTER")).map(_.stripPrefix("ENTER"))
+    val exits = out.filter(_.startsWith("EXIT")).map(_.stripPrefix("EXIT").replace(" ok", "").replace(" err", ""))
+    assert(enters.nonEmpty && enters.map(_.trim.takeWhile(_ != ' ')) == exits.map(_.trim.takeWhile(_ != ' ')))
+    assert(Seq("quote", "history", "search").forall(cap => enters.exists(_.contains(cap))),
+      s"all three verbs must be traced:\n${out.mkString("\n")}")
+    assert(out.exists(l => l.startsWith("spark jobs observed:") && !l.contains(" 0 ")),
+      "the history pipeline must submit at least one Spark job")
+  }
+
+  test("04: complete price target prints analyst count and low<=mean<=high") {
+    val out = Ex04PriceTarget.run(spark)
+    assert(out.head == "## Analyst Price Target for NVDA")
+    assert(out.exists(_.contains("Based on 12 analysts")))
+    def v(tag: String) = BigDecimal(out.find(_.trim.startsWith(s"- $tag:")).get.split("\\$").last)
+    assert(v("Low") <= v("Mean") && v("Mean") <= v("High"))
+  }
+
+  test("06: all eight capabilities render; both annual and quarterly periods appear") {
+    val out = Ex06FundamentalsDeepDive.run(spark)
+    assert(out.count(_.startsWith("##")) == 5, "five sections")
+    assert(!out.exists(_.contains("unavailable")), s"mock serves all 8:\n${out.mkString("\n")}")
+    assert(out.exists(l => l.startsWith("Annual latest 2023:") && l.contains("revenue=")))
+    assert(out.exists(l => l.startsWith("Quarterly latest 2023Q4:")))
+    assert(out.exists(_.contains(" vs ")), "quarterly EPS actual-vs-estimate line")
+    assert(out.exists(_.startsWith("Next Earnings: 2024-")))
+  }
+
+  test("19: news honors the request limit upstream and prints title — publisher") {
+    val out = Ex19News.run(spark)
+    assert(out.head == "articles: 3") // mock caps at 3
+    assert(out.tail.forall(_.contains(" — mock")))
+    assert(out.tail.forall(_.startsWith("AAPL headline")))
+  }
+
+  test("20: esg prints all three pillar scores") {
+    val out = Ex20Esg.run(spark)
+    assert(out.size == 1)
+    val m = raw"E: (\d+), S: (\d+), G: (\d+)".r.findFirstMatchIn(out.head)
+    assert(m.isDefined, s"expected numeric pillars, got: ${out.head}")
+    // mock fixture: S = E+10, G = E+20
+    val Seq(e, s, gv) = m.get.subgroups.map(BigDecimal(_))
+    assert(s == e + 10 && gv == e + 20)
+  }
+
   test("01: quote carries price, previous close and market state") {
     val out = Ex01SimpleQuote.run(spark)
     assert(out.exists(_.startsWith("symbol:         AAPL")))
