@@ -74,7 +74,7 @@ class AsOfJoinSpec extends SparkSpec {
   }
 
   test("property: matches the naive inequality-join oracle (random fixtures, null + multi-col payloads)") {
-    for (seed <- 1L to 4L; tol <- Seq(None, Some(10L), Some(50L))) {
+    for (seed <- 1L to 4L; tol <- Seq(None, Some(0L), Some(10L), Some(50L))) {
       val (l, r) = randomFixture(seed)
       checkAgainstOracle(l, r, tol)
     }
@@ -172,7 +172,7 @@ class AsOfJoinSpec extends SparkSpec {
   }
 
   test("forward property: matches the naive oracle (time-reversal of the backward carry)") {
-    for (seed <- 10L to 12L; tol <- Seq(None, Some(10L), Some(50L))) {
+    for (seed <- 10L to 12L; tol <- Seq(None, Some(0L), Some(10L), Some(50L))) {
       val (l, r) = randomFixture(seed)
       val got = AsOfJoin.forward(l, r, Seq("k"), "ts", "ts", Seq("p1", "p2"), tol)
       val want = naiveForward(l, r, tol)
@@ -229,7 +229,7 @@ class AsOfJoinSpec extends SparkSpec {
   }
 
   test("nearest property: min |distance| within tolerance, ties backward, one window pass") {
-    for (seed <- 20L to 22L; tol <- Seq(None, Some(10L), Some(50L))) {
+    for (seed <- 20L to 22L; tol <- Seq(None, Some(0L), Some(10L), Some(50L))) {
       val (l, r) = randomFixture(seed)
       val got = AsOfJoin.nearest(l, r, Seq("k"), "ts", "ts", Seq("p1", "p2"), tol)
       val want = naiveNearest(l, r, tol)
@@ -256,6 +256,53 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out(0).getString(0) == "before", "tie must break backward")
     assert(out(1).getString(0) == "after")
     assert(out(2).isNullAt(0))
+  }
+
+  test("forward: null payload on the matched row is emitted as NULL, never back-filled from a later row") {
+    // time-reversal of the r5 backward bug: the EARLIEST row at/after has a
+    // null payload; the value from the row after it must not leak in
+    val right = Seq(
+      ("aa", 10L, Option.empty[Long], "near"),
+      ("aa", 20L, Some(7L), "far")
+    ).toDF("k", "ts", "p1", "p2")
+    val left = Seq(("aa", 8L, 0L, 1)).toDF("k", "ts", "lid", "lval")
+    val out = AsOfJoin.forward(left, right, Seq("k"), "ts", "ts", Seq("p1", "p2"))
+      .select("matched_ts", "p1", "p2").collect()
+    assert(out.length == 1)
+    assert(out(0).getLong(0) == 10L, "must match the earliest at/after row")
+    assert(out(0).isNullAt(1), "payload must be the matched row's NULL, not 7 from ts=20")
+    assert(out(0).getString(2) == "near")
+  }
+
+  test("nearest: equidistant tie with a null-payload backward candidate still breaks backward") {
+    // backward candidate (distance 5) carries NULL; forward candidate at the
+    // SAME distance carries a value — pandas semantics pick backward, so the
+    // output payload must be the NULL, not the forward row's value
+    val right = Seq(
+      ("aa", 5L, Option.empty[Long], "before"),
+      ("aa", 15L, Some(9L), "after")
+    ).toDF("k", "ts", "p1", "p2")
+    val left = Seq(("aa", 10L, 0L, 0)).toDF("k", "ts", "lid", "lval")
+    val out = AsOfJoin.nearest(left, right, Seq("k"), "ts", "ts", Seq("p1", "p2"))
+      .select("matched_ts", "p1", "p2").collect()
+    assert(out(0).getLong(0) == 5L && out(0).isNullAt(1) && out(0).getString(2) == "before")
+  }
+
+  test("nearest/forward reject non-numeric ts types (date, string) with a clear error") {
+    val l = Seq(("aa", 1L, 0L, 0)).toDF("k", "ts", "lid", "lval")
+    val r = Seq(("aa", 1L, Option(1L), "x")).toDF("k", "ts", "p1", "p2")
+    def asDate(df: DataFrame) = df.withColumn("ts", to_date(lit("2024-01-01")))
+    def asStr(df: DataFrame) = df.withColumn("ts", col("ts").cast("string"))
+    for (mut <- Seq(asDate _, asStr _)) {
+      val e1 = intercept[IllegalArgumentException] {
+        AsOfJoin.nearest(mut(l), mut(r), Seq("k"), "ts", "ts", Seq("p1", "p2"))
+      }
+      assert(e1.getMessage.contains("numeric"))
+      val e2 = intercept[IllegalArgumentException] {
+        AsOfJoin.forward(mut(l), mut(r), Seq("k"), "ts", "ts", Seq("p1", "p2"))
+      }
+      assert(e2.getMessage.contains("numeric"))
+    }
   }
 
   test("nearest plans exactly ONE exchange (both carries share the sort)") {
