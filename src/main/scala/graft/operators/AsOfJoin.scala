@@ -37,7 +37,7 @@ import org.apache.spark.sql.types.{NumericType, TimestampType}
   */
 object AsOfJoin {
 
-  private val Reserved = Seq("__t", "__side", "__c", "__mt")
+  private val Reserved = Seq("__t", "__side", "__c", "__mt", "__bkt", "__s", "__prev")
 
   /** @param keys       equi-join key columns (present in both inputs)
     * @param leftTs     left event-time column (numeric or timestamp)
@@ -99,6 +99,35 @@ object AsOfJoin {
   private def carryStruct(payload: Seq[String]) =
     when(col("__side") === 0, struct(col("__t").as("__mt") +: payload.map(col): _*))
 
+  /** Shared tail of the backward carry: tolerance gating + final projection
+    * of left rows that carry `__c` (the matched struct).
+    */
+  private def finishBackward(
+      carried: DataFrame,
+      keys: Seq[String],
+      leftTs: String,
+      leftOnly: Seq[String],
+      payload: Seq[String],
+      tolerance: Option[Long],
+      matchedTs: String,
+      tsType: org.apache.spark.sql.types.DataType): DataFrame = {
+    // timestamps subtract to an interval, not a number — compare in epoch
+    // seconds when the ts column is a timestamp (tolerance is in seconds)
+    def asNum(c: org.apache.spark.sql.Column) =
+      if (tsType == TimestampType) c.cast("long") else c
+    val inTol = tolerance match {
+      case Some(tol) =>
+        col("__c").isNotNull && (asNum(col("__t")) - asNum(col("__c.__mt")) <= tol)
+      case None => col("__c").isNotNull
+    }
+    carried.select(
+      keys.map(col) ++
+        Seq(col("__t").as(leftTs)) ++
+        leftOnly.map(col) ++
+        Seq(when(inTol, col("__c.__mt")).as(matchedTs)) ++
+        payload.map(c => when(inTol, col(s"__c.$c")).as(c)): _*)
+  }
+
   def backward(
       left: DataFrame,
       right: DataFrame,
@@ -116,22 +145,84 @@ object AsOfJoin {
     val carried = union
       .withColumn("__c", last(carryStruct(payload), ignoreNulls = true).over(w))
       .where(col("__side") === 1)
+    finishBackward(carried, keys, leftTs, leftOnly, payload, tolerance, matchedTs, tsType)
+  }
 
-    // timestamps subtract to an interval, not a number — compare in epoch
-    // seconds when the ts column is a timestamp (tolerance is in seconds)
-    def asNum(c: org.apache.spark.sql.Column) =
-      if (tsType == TimestampType) c.cast("long") else c
-    val inTol = tolerance match {
-      case Some(tol) =>
-        col("__c").isNotNull && (asNum(col("__t")) - asNum(col("__c.__mt")) <= tol)
-      case None => col("__c").isNotNull
-    }
-    carried.select(
+  /** Skew-safe backward as-of join — identical semantics to [[backward]],
+    * but the per-key timeline is range-bucketed into fixed `span`-wide time
+    * buckets so ONE hot key no longer serializes into one partition (the
+    * documented limitation of the plain carry: "salt upstream if one symbol
+    * dominates"). Three-stage plan, all shuffles keyed (keys, bucket) or
+    * tiny:
+    *
+    *  1. per-(key, bucket) summary: the LAST right row of each bucket
+    *     (max_by over the carry struct) — map-side combinable aggregate;
+    *  2. bucket-boundary state: a window over the per-key BUCKET LIST
+    *     (rows = distinct buckets, ~rows/span smaller than the data) carries
+    *     the last summary strictly before each bucket; the only per-key
+    *     serial pass runs on this tiny frame;
+    *  3. each bucket receives its boundary state as one synthetic right row
+    *     (its genuine origin ts sorts before every in-bucket row by
+    *     construction), and the carry window now partitions by
+    *     (keys, bucket) — a hot key splits across timeline/span partitions.
+    *
+    * Bucket ids use integral truncating division (`div`, the RangeJoin
+    * convention): monotonic in ts, exact for the full Long range — never
+    * double arithmetic, which silently mis-buckets past 2^53. Integral ts
+    * columns only.
+    *
+    * Choose `span` near the left side's typical match distance × a few
+    * thousand: too small multiplies the summary pass; too large under-splits
+    * the hot key. Equal output to [[backward]] for every span.
+    */
+  def backwardSalted(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTs: String,
+      rightTs: String,
+      payload: Seq[String],
+      span: Long,
+      tolerance: Option[Long] = None,
+      matchedTs: String = "matched_ts"): DataFrame = {
+    require(span > 0, s"span must be positive, got $span")
+    val integral: Set[org.apache.spark.sql.types.DataType] =
+      Set(org.apache.spark.sql.types.ByteType, org.apache.spark.sql.types.ShortType,
+        org.apache.spark.sql.types.IntegerType, org.apache.spark.sql.types.LongType)
+    require(integral(left.schema(leftTs).dataType) && integral(right.schema(rightTs).dataType),
+      "salted as-of requires integral ts columns (div bucketing; convert timestamps with unix_timestamp first)")
+    val (union, leftOnly, tsType) =
+      tagged(left, right, keys, leftTs, rightTs, payload, matchedTs)
+    val u = union.withColumn("__bkt", expr(s"__t div ${span}L"))
+
+    // 1. last right row per (key, bucket), as the same atomic carry struct
+    val summary = u.where(col("__side") === 0)
+      .groupBy((keys :+ "__bkt").map(col): _*)
+      .agg(max_by(struct(col("__t").as("__mt") +: payload.map(col): _*), col("__t")).as("__s"))
+    // 2. state strictly before each bucket, over every bucket either side
+    //    touches (a left-only bucket still needs the handoff)
+    val allBuckets = u.select((keys :+ "__bkt").map(col): _*).distinct()
+    val wState = Window.partitionBy(keys.map(col): _*).orderBy(col("__bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val boundary = allBuckets.join(summary, keys :+ "__bkt", "left")
+      .withColumn("__prev", last(col("__s"), ignoreNulls = true).over(wState))
+      .where(col("__prev").isNotNull)
+    // 3. one synthetic right row per bucket at the carried row's ORIGIN ts
+    //    (strictly below every in-bucket ts since it comes from an earlier
+    //    bucket), then the plain carry partitioned by (keys, bucket)
+    val synthetic = boundary.select(
       keys.map(col) ++
-        Seq(col("__t").as(leftTs)) ++
-        leftOnly.map(col) ++
-        Seq(when(inTol, col("__c.__mt")).as(matchedTs)) ++
-        payload.map(c => when(inTol, col(s"__c.$c")).as(c)): _*)
+        Seq(col("__prev.__mt").cast(tsType).as("__t"), lit(0).as("__side")) ++
+        payload.map(c => col(s"__prev.$c").as(c)) ++
+        leftOnly.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+        col("__bkt"): _*)
+    val w = Window.partitionBy((keys :+ "__bkt").map(col): _*)
+      .orderBy(col("__t"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = u.unionByName(synthetic)
+      .withColumn("__c", last(carryStruct(payload), ignoreNulls = true).over(w))
+      .where(col("__side") === 1)
+    finishBackward(carried, keys, leftTs, leftOnly, payload, tolerance, matchedTs, tsType)
   }
 
   /** Nearest as-of join — for every left row, the right row minimizing

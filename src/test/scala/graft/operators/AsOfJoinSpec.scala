@@ -318,6 +318,60 @@ class AsOfJoinSpec extends SparkSpec {
     assert(!plan.contains("Join"), s"no join node expected:\n$plan")
   }
 
+  test("salted property: backwardSalted == backward for every span (random fixtures, tolerances)") {
+    for (seed <- 30L to 32L; span <- Seq(7L, 50L, 1000L); tol <- Seq(None, Some(10L))) {
+      val (l, r) = randomFixture(seed)
+      val got = asRowSet(AsOfJoin.backwardSalted(l, r, Seq("k"), "ts", "ts",
+        Seq("p1", "p2"), span = span, tolerance = tol))
+      val want = asRowSet(AsOfJoin.backward(l, r, Seq("k"), "ts", "ts",
+        Seq("p1", "p2"), tolerance = tol))
+      assert(got == want,
+        s"salted mismatch (seed=$seed span=$span tol=$tol): " +
+          s"only-got=${(got -- want).take(5)} only-want=${(want -- got).take(5)}")
+    }
+  }
+
+  test("salted: a single hot key splits across time buckets — the carry partitions on (key, bucket)") {
+    // one key, long timeline: the plain carry serializes this into ONE
+    // partition; the salted carry must partition on (k, __bkt)
+    val rnd = new scala.util.Random(7)
+    val left = (0 until 2000).map(i => ("hot", i.toLong * 3, i.toLong, rnd.nextInt(100)))
+      .toDF("k", "ts", "lid", "lval")
+    val right = (0 until 1000).map(i => ("hot", i.toLong * 7, Option(i.toLong), s"s$i"))
+      .toDF("k", "ts", "p1", "p2")
+    val out = AsOfJoin.backwardSalted(left, right, Seq("k"), "ts", "ts",
+      Seq("p1", "p2"), span = 500L)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("hashpartitioning(k#") && plan.contains("__bkt"),
+      s"main carry must partition on (k, __bkt):\n$plan")
+    // and the rows really spread: >1 bucket partition holds data
+    val buckets = out.select((col("ts") / 500).cast("long")).distinct().count()
+    assert(buckets > 10, s"fixture must span many buckets, got $buckets")
+    // output equality on the hot fixture too
+    assert(asRowSet(out) == asRowSet(
+      AsOfJoin.backward(left, right, Seq("k"), "ts", "ts", Seq("p1", "p2"))))
+  }
+
+  test("salted: left-only buckets still receive the boundary handoff; guards reject bad inputs") {
+    // right rows only in bucket 0 (ts<10); left rows alone in far buckets
+    val right = Seq(("aa", 5L, Option(42L), "x")).toDF("k", "ts", "p1", "p2")
+    val left = Seq(("aa", 9999L, 0L, 0), ("aa", 100000L, 1L, 0)).toDF("k", "ts", "lid", "lval")
+    val out = AsOfJoin.backwardSalted(left, right, Seq("k"), "ts", "ts",
+        Seq("p1", "p2"), span = 10L)
+      .orderBy("lid").select("matched_ts", "p1").collect()
+    out.foreach(r => assert(r.getLong(0) == 5L && r.getLong(1) == 42L,
+      "the bucket-boundary state must reach every later left-only bucket"))
+    intercept[IllegalArgumentException] {
+      AsOfJoin.backwardSalted(left, right, Seq("k"), "ts", "ts", Seq("p1", "p2"), span = 0L)
+    }
+    val tsL = left.select(col("k"), timestamp_seconds(col("ts")).as("ts"), col("lid"), col("lval"))
+    val tsR = right.select(col("k"), timestamp_seconds(col("ts")).as("ts"), col("p1"), col("p2"))
+    val e = intercept[IllegalArgumentException] {
+      AsOfJoin.backwardSalted(tsL, tsR, Seq("k"), "ts", "ts", Seq("p1", "p2"), span = 10L)
+    }
+    assert(e.getMessage.contains("integral"))
+  }
+
   test("collision guards reject ambiguous shapes with a clear error") {
     val l = Seq(("aa", 1L, 0L, 0)).toDF("k", "ts", "lid", "lval")
     val r = Seq(("aa", 1L, 1L)).toDF("k", "ts", "p1")
