@@ -452,6 +452,22 @@ object SparkEntry {
         .orderBy("symbol", "event_id")
     }),
 
+    // QI-ASOF-SALTED the skew-safe variant of qi_asof_price: identical
+    // semantics (same oracle), but the carry range-buckets each symbol's
+    // timeline into day-wide buckets with a boundary handoff, so one hot
+    // symbol splits across partitions instead of serializing into one.
+    "qi_asof_salted" -> ((s, dir) => {
+      val t = Tables.ticks(s, dir)
+      val trades = t.filter(col("event_type") === "purchase")
+        .select("symbol", "secs", "event_id", "price_micros")
+      val refs = t.filter(col("provider") === "prov_a")
+        .groupBy("symbol", "secs")
+        .agg(max_by(col("price_micros"), col("arrival")).as("ref_micros"))
+      graft.operators.AsOfJoin.backwardSalted(trades, refs, Seq("symbol"), "secs", "secs",
+          Seq("ref_micros"), span = 86400L, tolerance = Some(3600L), matchedTs = "ref_secs")
+        .orderBy("symbol", "event_id")
+    }),
+
     // QI-ASOF-FWD forward as-of: for each error event, the NEXT reference
     // price at or after it (time-reversal of the backward carry — one
     // shuffle, no join node). DuckDB's native ASOF is backward-only, so
@@ -779,6 +795,20 @@ object SparkEntry {
     // native ASOF LEFT JOIN is the oracle for the union-carry operator;
     // the 1h tolerance is applied as a post-projection on both sides
     "qi_asof_price" -> withTicks(
+      """l AS (SELECT symbol, secs, event_id, price_micros FROM ticks WHERE event_type = 'purchase'),
+        |r AS (SELECT symbol, secs, max_by(price_micros, arrival) AS ref_micros
+        |      FROM ticks WHERE provider = 'prov_a' GROUP BY 1, 2),
+        |j AS (SELECT l.symbol, l.secs, l.event_id, l.price_micros,
+        |             r.secs AS m_secs, r.ref_micros AS m_micros
+        |      FROM l ASOF LEFT JOIN r ON l.symbol = r.symbol AND l.secs >= r.secs)
+        |SELECT symbol, secs, event_id, price_micros,
+        |  CASE WHEN secs - m_secs <= 3600 THEN m_secs END AS ref_secs,
+        |  CASE WHEN secs - m_secs <= 3600 THEN m_micros END AS ref_micros
+        |FROM j ORDER BY symbol, event_id""".stripMargin),
+
+    // identical semantics to qi_asof_price — the salted operator must be
+    // indistinguishable from the plain carry at the output level
+    "qi_asof_salted" -> withTicks(
       """l AS (SELECT symbol, secs, event_id, price_micros FROM ticks WHERE event_type = 'purchase'),
         |r AS (SELECT symbol, secs, max_by(price_micros, arrival) AS ref_micros
         |      FROM ticks WHERE provider = 'prov_a' GROUP BY 1, 2),

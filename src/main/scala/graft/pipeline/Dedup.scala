@@ -304,4 +304,62 @@ object Dedup {
     pairsOn("lo").unionByName(pairsOn("hi")).distinct()
       .select("id1", "id2", "dist")
   }
+
+  /** Connected components over a near-dup pair list — the cluster-election
+    * step every production dedup pipeline runs AFTER pair generation:
+    * near-dup similarity is not transitive, so (A,B) and (B,C) pairs must
+    * collapse into one {A,B,C} cluster with a single elected keeper before
+    * dropping documents, or chained duplicates survive pairwise dedup.
+    *
+    * Min-label propagation: each node starts as its own component; every
+    * iteration is ONE distributed pass (edges ⋈ labels → per-node neighbor
+    * min → least(own, neighbor)) and the loop runs until a fixpoint —
+    * O(cluster diameter) iterations. Near-dup graphs are band-generated
+    * cliques and short chains (diameter ≲ a few), so the pathological
+    * O(n)-chain case the large-star/small-star algorithm exists for does
+    * not arise; `maxIters` fail-fasts rather than looping forever if it
+    * ever does. The convergence check is one scalar per iteration on the
+    * driver (inherent to iterative fixpoints); `localCheckpoint` truncates
+    * the growing lineage each round (on a cluster, prefer
+    * `spark.sparkContext.setCheckpointDir` + `checkpoint()` for fault
+    * tolerance across executor loss).
+    *
+    * Returns (id, comp): every node of `pairs` labeled with the minimum id
+    * reachable from it. Nodes absent from `pairs` are singletons — callers
+    * union them back (see ext_dedup_clusters).
+    */
+  def connectedComponents(
+      pairs: DataFrame,
+      idA: String = "id1",
+      idB: String = "id2",
+      maxIters: Int = 30): DataFrame = {
+    val edges = pairs.select(col(idA).as("u"), col(idB).as("v"))
+      .unionByName(pairs.select(col(idB).as("u"), col(idA).as("v")))
+      .distinct()
+      .localCheckpoint()
+    var labels = edges.select(col("u").as("id")).distinct()
+      .withColumn("comp", col("id"))
+      .localCheckpoint()
+    var iter = 0
+    var changed = 1L
+    while (changed > 0) {
+      require(iter < maxIters,
+        s"connectedComponents did not converge in $maxIters iterations — " +
+          "component diameter exceeds the near-dup assumption; raise maxIters " +
+          "or switch to a star-contraction algorithm")
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("id", "u"), "u")
+        .groupBy(col("v").as("id"))
+        .agg(min(col("comp")).as("nmin"))
+      val next = labels.withColumnRenamed("comp", "old")
+        .join(neighborMin, Seq("id"), "left")
+        .select(col("id"), least(col("old"), coalesce(col("nmin"), col("old"))).as("comp"),
+          col("old"))
+        .localCheckpoint()
+      changed = next.where(col("comp") =!= col("old")).count()
+      labels = next.drop("old")
+      iter += 1
+    }
+    labels
+  }
 }

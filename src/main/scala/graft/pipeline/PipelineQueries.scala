@@ -153,6 +153,20 @@ object PipelineQueries {
         .orderBy(col("jaccard_ppm").desc, col("id1"), col("id2")).limit(20)
     }),
 
+    // near-dup pairs → connected components → per-cluster keeper election:
+    // the post-pair step that makes dedup safe under chained duplicates
+    // ((A,B) + (B,C) ⇒ one {A,B,C} cluster, one keeper)
+    "ext_dedup_clusters" -> ((s, dir) => {
+      val sh = ShingleStage.shingleHashes(s, dir, nearAug(Tables.documents(s, dir)))
+      val comps = Dedup.connectedComponents(Dedup.minhashNearDupsOf(sh, 200000L))
+      sh.select("doc_id").distinct()
+        .join(comps.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("comp"), col("doc_id")).as("cluster_id"),
+          (coalesce(col("comp"), col("doc_id")) === col("doc_id")).as("is_keeper"))
+        .orderBy("doc_id")
+    }),
+
     "ext_dedup_simhash" -> ((s, dir) => {
       Dedup.simhash(Tables.documents(s, dir)).orderBy("doc_id")
     }),
@@ -275,6 +289,30 @@ object PipelineQueries {
          |${blockedJaccardSql(64L)}
          |SELECT id1, id2, jaccard_ppm FROM jac
          |ORDER BY jaccard_ppm DESC, id1, id2 LIMIT 20""".stripMargin,
+
+    // transitive closure via recursive CTE: min reachable id per node over
+    // the symmetrized minhash pair edges; absent nodes are singletons
+    "ext_dedup_clusters" ->
+      s"""WITH RECURSIVE $nearAugSql,
+         |$shinglesSqlCtes,
+         |sg AS (SELECT doc_id, $minhashSigD AS sig FROM sh),
+         |bh AS (SELECT doc_id, unnest($bandHashesD) AS bhash FROM sg),
+         |prs AS (SELECT DISTINCT x.doc_id AS id1, y.doc_id AS id2
+         |        FROM bh x JOIN bh y ON x.bhash = y.bhash AND x.doc_id < y.doc_id),
+         |$jaccardOfPairsSql,
+         |dup AS (SELECT id1, id2 FROM jac WHERE jaccard_ppm >= 200000),
+         |e AS (SELECT id1 AS u, id2 AS v FROM dup UNION SELECT id2, id1 FROM dup),
+         |reach(id, comp) AS (
+         |  SELECT DISTINCT u, u FROM e
+         |  UNION
+         |  SELECT e.v, reach.comp FROM reach JOIN e ON e.u = reach.id),
+         |comp AS (SELECT id, min(comp) AS comp FROM reach GROUP BY 1)
+         |SELECT d.doc_id,
+         |  COALESCE(c.comp, d.doc_id) AS cluster_id,
+         |  COALESCE(c.comp, d.doc_id) = d.doc_id AS is_keeper
+         |FROM (SELECT DISTINCT doc_id FROM aug) d
+         |LEFT JOIN comp c ON c.id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
 
     "ext_dedup_simhash" ->
       s"""WITH tk AS (SELECT doc_id, ${toksD("text")} AS toks FROM documents)

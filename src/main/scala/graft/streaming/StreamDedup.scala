@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
 /** Exactly-once ingestion dedup for a connector feed — the streaming face
@@ -37,4 +37,28 @@ object StreamDedup {
       .withWatermark("__evt", delay)
       .dropDuplicatesWithinWatermark("symbol", eventTimeCol)
       .drop("__evt")
+
+  /** The ENFORCED ingestion composition: dedup THEN the ST8 monotonic gate.
+    *
+    * Standalone `dedupWithinWatermark` is at-least-once (a re-delivery
+    * older than the watermark passes); standalone `streamingGate` lets
+    * duplicates through whenever ts equals the symbol's max (equal ts is
+    * allowed by the reference contract). Composed in THIS order, each
+    * covers the other's gap: in-window duplicates die in the dedup,
+    * beyond-window re-deliveries of STRICTLY older updates die in the
+    * gate (their ts is below the symbol's max). The only survivor is a
+    * re-delivery of the symbol's newest update arriving after the
+    * watermark delay with nothing newer in between — exactly the residue
+    * the reference's equal-ts-allowed gate accepts too. Session wiring
+    * should call this instead of assembling the two by convention.
+    */
+  def dedupedGate(
+      updates: Dataset[MonotonicGate.Update],
+      delay: String = "10 minutes",
+      stateTtlMs: Long = 24 * 3600 * 1000L): Dataset[MonotonicGate.Update] = {
+    import updates.sparkSession.implicits._
+    MonotonicGate.streamingGate(
+      dedupWithinWatermark(updates.toDF(), delay).as[MonotonicGate.Update],
+      stateTtlMs)
+  }
 }

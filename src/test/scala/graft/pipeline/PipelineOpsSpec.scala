@@ -115,6 +115,46 @@ class PipelineOpsSpec extends SparkSpec {
       s"expected the id-bound guard error, got: $e")
   }
 
+  // ------------------------------------------------------- components
+
+  test("connectedComponents: chains collapse transitively, min id labels the cluster") {
+    val pairs = Seq((2L, 1L), (2L, 3L), (5L, 4L), (9L, 9L)).toDF("id1", "id2")
+    val got = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L, 9L -> 9L))
+  }
+
+  test("connectedComponents: property — equals union-find on random pair sets") {
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(seed)
+      val pairs = Seq.fill(60)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+      // reference union-find
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      pairs.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val nodes = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+      val want = nodes.map(n => n -> find(n)).toMap
+      val got = Dedup.connectedComponents(pairs.toDF("id1", "id2")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == want, s"seed $seed: got $got want $want")
+    }
+  }
+
+  test("connectedComponents: fails fast instead of looping past maxIters") {
+    // a 6-node chain needs ~3 propagation rounds; maxIters=1 must raise
+    val chain = (0L until 5L).map(i => (i, i + 1)).toDF("id1", "id2")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.connectedComponents(chain, maxIters = 1)
+    }
+    assert(e.getMessage.contains("converge"))
+  }
+
   // ------------------------------------------------------- repetition
 
   test("repetitionStats: duplicate n-gram fractions in ppm") {

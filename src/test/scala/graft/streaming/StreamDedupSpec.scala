@@ -58,4 +58,41 @@ class StreamDedupSpec extends SparkSpec {
       StreamBuffer.unregister("dedup-scale")
     }
   }
+
+  test("dedupedGate: duplicates AND ts regressions die in one enforced composition") {
+    // feed: every update delivered twice (reconnect shape) PLUS stale
+    // out-of-order regressions (ts below the symbol's running max) —
+    // dedup alone passes the regressions, the gate alone passes the
+    // duplicates; the composition must emit the reference model of the
+    // distinct feed
+    val base = Seq(
+      Update("A", 1L, 100L), Update("A", 2L, 105L),
+      Update("A", 3L, 90L), // regression: below A's max
+      Update("A", 4L, 105L), // equal ts: allowed by the gate contract
+      Update("B", 5L, 50L), Update("B", 6L, 40L), // regression on B
+      Update("B", 7L, 60L))
+    val feed = base.flatMap(u => Seq(u, u))
+
+    val buf = StreamBuffer.register("dedup-gate", capacity = 1024)
+    val out = new ConcurrentLinkedQueue[Update]()
+    val q = StreamDedup.dedupedGate(
+        ConnectorStreamSource.readStream(spark, "dedup-gate").as[Update],
+        stateTtlMs = 0L)
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: Dataset[Update], _: Long) =>
+        batch.collect().foreach(out.add)
+      }
+      .start()
+    try {
+      feed.foreach(u => assert(buf.push(u)))
+      q.processAllAvailable()
+      val streamed = out.toArray(Array.empty[Update]).sortBy(_.arrival).toSeq
+      val want = MonotonicGate.referenceModel(base)
+      assert(streamed == want,
+        s"composition must equal referenceModel(distinct feed):\ngot  $streamed\nwant $want")
+    } finally {
+      q.stop()
+      StreamBuffer.unregister("dedup-gate")
+    }
+  }
 }
