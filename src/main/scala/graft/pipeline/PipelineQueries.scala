@@ -171,6 +171,25 @@ object PipelineQueries {
       Dedup.simhash(Tables.documents(s, dir)).orderBy("doc_id")
     }),
 
+    // deterministic stratified downsampling to per-language target rates —
+    // the training-data mixture step; scan-side hash predicate, broadcast
+    // rate table, no shuffle of the corpus
+    "ext_sample_stratified" -> ((s, dir) => {
+      import s.implicits._
+      val rates = Seq(("en", 500000L), ("zh", 200000L)).toDF("lang", "rate_ppm")
+      Sampling.stratifiedByRate(
+          Tables.documents(s, dir).select("doc_id", "lang"), "lang", rates,
+          defaultPpm = 800000L)
+        .select("doc_id", "lang", "bucket_ppm")
+        .orderBy("doc_id")
+    }),
+
+    // BM25-shaped integer relevance scoring against a query term set (the
+    // inverted-index access path: only query-term hits shuffle)
+    "ext_bm25" -> ((s, dir) => {
+      TextAnalysis.bm25Lite(Tables.documents(s, dir), Seq("spark", "join", "window"))
+    }),
+
     "ext_dedup_simhash_pairs" -> ((s, dir) => {
       Dedup.simhashNearDups(nearAug(Tables.documents(s, dir)), maxDist = 6)
         .orderBy("id1", "id2")
@@ -317,6 +336,29 @@ object PipelineQueries {
     "ext_dedup_simhash" ->
       s"""WITH tk AS (SELECT doc_id, ${toksD("text")} AS toks FROM documents)
          |SELECT doc_id, CAST($simhashD AS BIGINT) AS simhash FROM tk ORDER BY doc_id""".stripMargin,
+
+    "ext_sample_stratified" ->
+      """WITH r(lang, rate_ppm) AS (VALUES ('en', 500000), ('zh', 200000))
+        |SELECT d.doc_id, d.lang,
+        |  abs(d.doc_id * 2654435761 + 40503) % 1000000 AS bucket_ppm
+        |FROM documents d LEFT JOIN r ON d.lang = r.lang
+        |WHERE abs(d.doc_id * 2654435761 + 40503) % 1000000 < COALESCE(r.rate_ppm, 800000)
+        |ORDER BY d.doc_id""".stripMargin,
+
+    "ext_bm25" ->
+      s"""WITH toks AS (SELECT doc_id, unnest(${toksD("text")}) AS t FROM documents),
+         |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+         |corpus AS (SELECT count(*) AS n_docs, sum(dl) // count(*) AS avgdl FROM dl),
+         |tf AS (SELECT doc_id, t, count(*) AS tf FROM toks
+         |       WHERE t IN ('spark', 'join', 'window') GROUP BY 1, 2),
+         |dfx AS (SELECT t, count(*) AS df FROM tf GROUP BY 1),
+         |c AS (SELECT tf.doc_id,
+         |        tf.tf * (n_docs - df + 1) * 1000000 //
+         |          ((n_docs + 1) * (tf.tf + 1 + (2 * dl.dl) // greatest(avgdl, 1))) AS contrib
+         |      FROM tf JOIN dfx ON tf.t = dfx.t
+         |      JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN corpus)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hit, CAST(sum(contrib) AS BIGINT) AS score_ppm
+         |FROM c GROUP BY 1 ORDER BY score_ppm DESC, doc_id LIMIT 50""".stripMargin,
 
     "ext_dedup_simhash_pairs" ->
       s"""WITH $nearAugSql,

@@ -1,0 +1,52 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling operators for training-data mixture construction.
+  *
+  * A pretraining pipeline rarely trains on the raw corpus mix: it
+  * downsamples over-represented strata (language, source, quality bucket)
+  * to target rates. At 100 TB the sampling decision must be
+  *  - scan-side (a per-row predicate, no shuffle),
+  *  - deterministic and seedless (re-runs and retried tasks pick the SAME
+  *    rows — `rand()` resamples per retry and poisons exactly-once sinks),
+  *  - rate-driven by a small table (the mixture config), not code.
+  *
+  * The keep decision hashes the document id through a multiplicative
+  * integer hash onto [0, 1e6) and keeps rows whose bucket falls below the
+  * stratum's rate_ppm — integer arithmetic end to end, so the oracle
+  * computes the identical sample.
+  */
+object Sampling {
+
+  /** Multiplicative hash of the id column onto [0, 1_000_000) — Knuth's
+    * 2654435761 with an odd offset so id 0 is not pinned to bucket 0.
+    * Stays within Long for |id| < ~3.4e9; callers with wider ids remap
+    * first (the lineDedup convention).
+    */
+  def bucketPpm(idCol: String): org.apache.spark.sql.Column =
+    expr(s"abs(`$idCol` * 2654435761L + 40503L) % 1000000L")
+
+  /** Keep each row of `docs` when hash(id) < rate_ppm of its stratum.
+    *
+    * @param rates      (stratum, rate_ppm) table — joined BROADCAST so the
+    *                   mixture config never shuffles the corpus
+    * @param defaultPpm rate for strata absent from `rates` (1e6 keeps all)
+    */
+  def stratifiedByRate(
+      docs: DataFrame,
+      stratumCol: String,
+      rates: DataFrame,
+      defaultPpm: Long = 1000000L,
+      idCol: String = "doc_id"): DataFrame = {
+    require(rates.columns.toSeq == Seq(stratumCol, "rate_ppm"),
+      s"rates must have columns ($stratumCol, rate_ppm), got ${rates.columns.mkString(", ")}")
+    docs
+      .join(broadcast(rates), Seq(stratumCol), "left")
+      .withColumn("__bucket", bucketPpm(idCol))
+      .where(col("__bucket") < coalesce(col("rate_ppm"), lit(defaultPpm)))
+      .drop("rate_ppm")
+      .withColumnRenamed("__bucket", "bucket_ppm")
+  }
+}

@@ -128,4 +128,44 @@ object TextAnalysis {
         col("min_fp"), col("max_fp"),
         coalesce(col("sum_fp"), lit(0L)).as("sum_fp"))
   }
+
+  /** BM25-shaped relevance scoring of the corpus against a small query term
+    * set, in pure integer arithmetic (the repo's fixed-point convention —
+    * `ln`-based IDF rounds differently across engines, so the IDF factor is
+    * the rational surrogate `(N - df + 1) / (N + 1)` and the TF saturation
+    * keeps BM25's `tf / (tf + k·len-norm)` shape with integer division).
+    * Per (doc, term):
+    *
+    *   contrib_ppm = tf · (N − df + 1) · 1e6  DIV  (N + 1) · (tf + 1 + 2·dl DIV avgdl)
+    *
+    * The plan is the 100 TB shape regardless of the scoring formula:
+    * tokens are FILTERED to the query terms scan-side (only hits shuffle —
+    * the inverted-index access path), document lengths aggregate per doc
+    * once, corpus scalars (N, avgdl) ride in via one broadcast row, and
+    * per-term df is a broadcast-joined #terms-row table.
+    */
+  def bm25Lite(
+      docs: DataFrame,
+      terms: Seq[String],
+      topK: Int = 50,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(terms.nonEmpty, "bm25Lite needs at least one query term")
+    val toks = docs.select(col(idCol), explode(expr(toksS(textCol))).as("t"))
+    val dl = toks.groupBy(idCol).agg(count(lit(1)).as("dl"))
+    val corpus = dl.agg(count(lit(1)).as("n_docs"),
+      expr("sum(dl) DIV count(1)").as("avgdl"))
+    val tf = toks.where(col("t").isin(terms: _*))
+      .groupBy(col(idCol), col("t")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("t").agg(count(lit(1)).as("df"))
+    tf.join(broadcast(df), "t")
+      .join(dl, idCol)
+      .crossJoin(broadcast(corpus))
+      .withColumn("contrib_ppm", expr(
+        "tf * (n_docs - df + 1) * 1000000L DIV ((n_docs + 1) * (tf + 1 + (2 * dl) DIV greatest(avgdl, 1)))"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_hit"), sum(col("contrib_ppm")).as("score_ppm"))
+      .orderBy(col("score_ppm").desc, col(idCol))
+      .limit(topK)
+  }
 }

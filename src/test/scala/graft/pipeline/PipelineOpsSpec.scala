@@ -115,6 +115,44 @@ class PipelineOpsSpec extends SparkSpec {
       s"expected the id-bound guard error, got: $e")
   }
 
+  // ------------------------------------------------------- sampling/scoring
+
+  test("stratifiedByRate: deterministic, rate-monotone, default applied to absent strata") {
+    val docs = (0L until 200L).map(i => (i, if (i % 2 == 0) "en" else "zh"))
+      .toDF("doc_id", "lang")
+    def sample(en: Long, zh: Long, dflt: Long = 0L) =
+      Sampling.stratifiedByRate(docs, "lang",
+        Seq(("en", en), ("zh", zh)).toDF("lang", "rate_ppm"), defaultPpm = dflt)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(sample(0L, 0L).isEmpty, "rate 0 keeps nothing")
+    assert(sample(1000000L, 1000000L).size == 200, "rate 1e6 keeps everything")
+    val half = sample(500000L, 500000L)
+    assert(half == sample(500000L, 500000L), "re-run must pick identical rows")
+    assert(half.nonEmpty && half.size < 200)
+    val lower = sample(200000L, 200000L)
+    assert(lower.subsetOf(half), "lowering the rate must only shrink the kept set")
+    // stratum absent from the rate table follows defaultPpm
+    val defaulted = Sampling.stratifiedByRate(docs, "lang",
+      Seq(("en", 0L)).toDF("lang", "rate_ppm"), defaultPpm = 1000000L)
+      .select("lang").distinct().collect().map(_.getString(0)).toSet
+    assert(defaulted == Set("zh"), "en rate 0 drops all en; zh keeps via default")
+  }
+
+  test("bm25Lite: higher tf scores higher; df discounts; misses stay out") {
+    val docs = Seq(
+      (1L, "spark alpha beta gamma"),
+      (2L, "spark spark alpha beta"),
+      (3L, "alpha beta gamma delta"),
+      (4L, "common alpha beta gamma"),
+      (5L, "common common alpha beta")).toDF("doc_id", "text")
+    val out = TextAnalysis.bm25Lite(docs, Seq("spark", "common"), topK = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byId = out.map(t => t._1 -> t._3).toMap
+    assert(!byId.contains(3L), "doc without any query term must not appear")
+    assert(byId(2L) > byId(1L), "tf=2 must outscore tf=1 at equal df and dl")
+    assert(out.map(_._2).forall(_ == 1L), "each scored doc hit exactly one term here")
+  }
+
   // ------------------------------------------------------- components
 
   test("connectedComponents: chains collapse transitively, min id labels the cluster") {
