@@ -46,6 +46,24 @@ class PlanAssertionsSpec extends SparkSpec {
     assert(!plan.contains("lambdafunction"), "HOF lambda re-appeared in the LSH path")
   }
 
+  test("ext_sample_stratified: scan-side predicate + broadcast rates — only the presentation sort shuffles") {
+    val plan = planOf("ext_sample_stratified")
+    assert(plan.contains("BroadcastHashJoin"), s"rates must broadcast:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"the corpus must not hash-shuffle for a scan-side sample:\n$plan")
+  }
+
+  test("ext_bm25: query-term filter sits below the tf aggregate (inverted-index path), top-k prunes") {
+    val plan = planOf("ext_bm25")
+    assert(plan.contains("IN (spark,join,window)"), s"term filter missing:\n$plan")
+    // the filter must appear scan-side: before (deeper than) any Exchange
+    val filterIdx = plan.indexOf("IN (spark,join,window)")
+    val firstAggIdx = plan.indexOf("HashAggregate")
+    assert(firstAggIdx < filterIdx,
+      "filter must be UNDER the aggregates in the printed tree (scan side)")
+    assert(plan.contains("TakeOrderedAndProject"), s"top-k must prune, not global-sort:\n$plan")
+  }
+
   test("AsOfJoin: exactly ONE exchange, and no join node at all") {
     import spark.implicits._
     val left = Seq(("aa", 10L, 1L)).toDF("k", "ts", "lval")
