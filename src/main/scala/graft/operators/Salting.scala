@@ -51,4 +51,24 @@ object Salting {
       .agg(sum(col(valueCol)).as("__partial"))
       .groupBy(keys.map(col): _*)
       .agg(sum(col("__partial")).as(s"sum_$valueCol"))
+
+  /** Skew detection: key values whose row count exceeds `thresholdPpm` of
+    * the total (e.g. 50_000 ppm = any key holding >5% of the data). One
+    * aggregation pass; returns the hot keys with their counts so a caller
+    * can size `buckets` for [[saltedJoin]] or `span` for
+    * `AsOfJoin.backwardSalted` from the worst offender. Deterministic —
+    * no sampling — because the decision feeds plan construction and a
+    * retry must reach the same plan.
+    */
+  def hotKeys(
+      df: DataFrame,
+      keys: Seq[String],
+      thresholdPpm: Long = 50000L): DataFrame = {
+    require(thresholdPpm > 0, s"thresholdPpm must be positive, got $thresholdPpm")
+    val counts = df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("n_rows"))
+    val total = df.agg(count(lit(1)).as("n_total"))
+    counts.crossJoin(broadcast(total))
+      .where(col("n_rows") * 1000000L >= col("n_total") * thresholdPpm)
+      .select(keys.map(col) :+ col("n_rows"): _*)
+  }
 }

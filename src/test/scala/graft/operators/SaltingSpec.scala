@@ -34,4 +34,15 @@ class SaltingSpec extends SparkSpec {
       .orderBy("k").collect().toSeq
     assert(salted == direct)
   }
+
+  test("hotKeys flags only keys above the threshold share, with counts") {
+    // "hot" holds 1000/1002 rows (~998004 ppm); a and b hold ~998 ppm each
+    val hot = Salting.hotKeys(large, Seq("k"), thresholdPpm = 50000L)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(hot == Map("hot" -> 1000L))
+    // threshold below the small keys' share flags everything
+    val all = Salting.hotKeys(large, Seq("k"), thresholdPpm = 500L)
+      .collect().map(_.getString(0)).toSet
+    assert(all == Set("hot", "a", "b"))
+  }
 }
