@@ -51,8 +51,10 @@ object Ex00Tracing extends Example {
         HistoryRequest(Interval.D1, Some(1704067200L), Some(1704067200L + 10 * 86400), None))
       val histRows = hist.map(_.candles.count())
       val found = g.search("Apple")
-      // listener events are delivered asynchronously; give the bus a beat
-      Thread.sleep(300)
+      // listener events are delivered asynchronously; poll briefly (the
+      // actions above already ran, so events are in flight, not pending)
+      val deadline = System.nanoTime() + 2000000000L
+      while (jobs.get() == 0 && System.nanoTime() < deadline) Thread.sleep(50)
       trace.toSeq ++ Seq(
         s"quote:   ${if (quote.isRight) "ok" else s"err ${quote.left.toOption.get}"}",
         s"history: ${histRows.map(n => s"$n candles").getOrElse("err")}",
