@@ -52,13 +52,17 @@ object Salting {
       .groupBy(keys.map(col): _*)
       .agg(sum(col("__partial")).as(s"sum_$valueCol"))
 
-  /** Skew detection: key values whose row count exceeds `thresholdPpm` of
-    * the total (e.g. 50_000 ppm = any key holding >5% of the data). One
-    * aggregation pass; returns the hot keys with their counts so a caller
-    * can size `buckets` for [[saltedJoin]] or `span` for
-    * `AsOfJoin.backwardSalted` from the worst offender. Deterministic —
-    * no sampling — because the decision feeds plan construction and a
-    * retry must reach the same plan.
+  /** Skew detection: key values holding at least `thresholdPpm` of the
+    * total rows (e.g. 50_000 ppm = any key with ≥5% of the data). ONE
+    * aggregation pass over the input — the total is summed from the
+    * already-aggregated per-key counts, not a second scan. Returns the hot
+    * keys with their counts so a caller can size `buckets` for
+    * [[saltedJoin]] or `span` for `AsOfJoin.backwardSalted` from the worst
+    * offender. Deterministic — no sampling — because the decision feeds
+    * plan construction and a retry must reach the same plan. The share
+    * comparison runs in DECIMAL(38,0): Long `n_total * thresholdPpm`
+    * silently wraps past ~9.2e12 rows, exactly the scale this detector
+    * targets.
     */
   def hotKeys(
       df: DataFrame,
@@ -66,9 +70,10 @@ object Salting {
       thresholdPpm: Long = 50000L): DataFrame = {
     require(thresholdPpm > 0, s"thresholdPpm must be positive, got $thresholdPpm")
     val counts = df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("n_rows"))
-    val total = df.agg(count(lit(1)).as("n_total"))
+    val total = counts.agg(sum(col("n_rows")).as("n_total"))
     counts.crossJoin(broadcast(total))
-      .where(col("n_rows") * 1000000L >= col("n_total") * thresholdPpm)
+      .where(col("n_rows").cast("decimal(38,0)") * 1000000L >=
+        col("n_total").cast("decimal(38,0)") * thresholdPpm)
       .select(keys.map(col) :+ col("n_rows"): _*)
   }
 }

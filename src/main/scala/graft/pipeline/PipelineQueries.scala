@@ -159,7 +159,10 @@ object PipelineQueries {
     "ext_dedup_clusters" -> ((s, dir) => {
       val sh = ShingleStage.shingleHashes(s, dir, nearAug(Tables.documents(s, dir)))
       val comps = Dedup.connectedComponents(Dedup.minhashNearDupsOf(sh, 200000L))
-      sh.select("doc_id").distinct()
+      // universe = the CORPUS, not the shingle table: a document too short
+      // to shingle (< 3 tokens) has no sh rows but must still surface as a
+      // singleton keeper rather than silently vanish from the election
+      nearAug(Tables.documents(s, dir)).select("doc_id")
         .join(comps.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
         .select(col("doc_id"),
           coalesce(col("comp"), col("doc_id")).as("cluster_id"),
@@ -353,8 +356,8 @@ object PipelineQueries {
          |       WHERE t IN ('spark', 'join', 'window') GROUP BY 1, 2),
          |dfx AS (SELECT t, count(*) AS df FROM tf GROUP BY 1),
          |c AS (SELECT tf.doc_id,
-         |        tf.tf * (n_docs - df + 1) * 1000000 //
-         |          ((n_docs + 1) * (tf.tf + 1 + (2 * dl.dl) // greatest(avgdl, 1))) AS contrib
+         |        tf.tf * ((n_docs - df + 1) * 1000000 // (n_docs + 1)) //
+         |          (tf.tf + 1 + (2 * dl.dl) // greatest(avgdl, 1)) AS contrib
          |      FROM tf JOIN dfx ON tf.t = dfx.t
          |      JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN corpus)
          |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hit, CAST(sum(contrib) AS BIGINT) AS score_ppm

@@ -42,6 +42,9 @@ object Sampling {
       idCol: String = "doc_id"): DataFrame = {
     require(rates.columns.toSeq == Seq(stratumCol, "rate_ppm"),
       s"rates must have columns ($stratumCol, rate_ppm), got ${rates.columns.mkString(", ")}")
+    val reserved = Seq("rate_ppm", "__bucket", "bucket_ppm").filter(docs.columns.contains)
+    require(reserved.isEmpty,
+      s"docs columns collide with internal names (rename them): ${reserved.mkString(", ")}")
     docs
       .join(broadcast(rates), Seq(stratumCol), "left")
       .withColumn("__bucket", bucketPpm(idCol))

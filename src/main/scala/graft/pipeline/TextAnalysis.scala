@@ -134,9 +134,12 @@ object TextAnalysis {
     * `ln`-based IDF rounds differently across engines, so the IDF factor is
     * the rational surrogate `(N - df + 1) / (N + 1)` and the TF saturation
     * keeps BM25's `tf / (tf + k·len-norm)` shape with integer division).
-    * Per (doc, term):
+    * Per (doc, term), with the IDF factor reduced to ppm FIRST so no
+    * intermediate exceeds ~1e16 even at 1e10 documents (tf·(N−df+1)·1e6
+    * would silently wrap Long at corpus scale):
     *
-    *   contrib_ppm = tf · (N − df + 1) · 1e6  DIV  (N + 1) · (tf + 1 + 2·dl DIV avgdl)
+    *   idf_ppm     = (N − df + 1) · 1e6  DIV  (N + 1)
+    *   contrib_ppm = tf · idf_ppm  DIV  (tf + 1 + 2·dl DIV avgdl)
     *
     * The plan is the 100 TB shape regardless of the scoring formula:
     * tokens are FILTERED to the query terms scan-side (only hits shuffle —
@@ -162,7 +165,7 @@ object TextAnalysis {
       .join(dl, idCol)
       .crossJoin(broadcast(corpus))
       .withColumn("contrib_ppm", expr(
-        "tf * (n_docs - df + 1) * 1000000L DIV ((n_docs + 1) * (tf + 1 + (2 * dl) DIV greatest(avgdl, 1)))"))
+        "tf * ((n_docs - df + 1) * 1000000L DIV (n_docs + 1)) DIV (tf + 1 + (2 * dl) DIV greatest(avgdl, 1))"))
       .groupBy(idCol)
       .agg(count(lit(1)).as("n_hit"), sum(col("contrib_ppm")).as("score_ppm"))
       .orderBy(col("score_ppm").desc, col(idCol))

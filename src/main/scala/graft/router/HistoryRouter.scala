@@ -435,9 +435,13 @@ object HistoryRouter {
         // (LRU-evictable under pressure) and reclaimed by ContextCleaner
         // once the frame becomes unreachable — bounded, not a leak.
         val cached = merged.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // flags is one row per symbol; persist so the decision aggregate
+        // below AND the broadcast build in the mixed branch both read the
+        // materialized frame instead of re-running the inference window
         val flags = graft.timeseries.Infer.isSubdaily(
           cached.withColumn("secs", col("ts")), tiebreak = Seq("ts"))
           .select(col("symbol"), col("subdaily"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         // Only TWO scalars cross the driver (any-subdaily / all-subdaily):
         // they pick the plan SHAPE. The mixed branch routes per-row via a
         // broadcast join on the one-row-per-symbol flag frame — never a

@@ -56,9 +56,11 @@ class PlanAssertionsSpec extends SparkSpec {
   test("ext_bm25: query-term filter sits below the tf aggregate (inverted-index path), top-k prunes") {
     val plan = planOf("ext_bm25")
     assert(plan.contains("IN (spark,join,window)"), s"term filter missing:\n$plan")
-    // the filter must appear scan-side: before (deeper than) any Exchange
+    // the filter must appear scan-side: deeper in the printed tree than
+    // the tf aggregate (deeper nodes print LATER)
     val filterIdx = plan.indexOf("IN (spark,join,window)")
     val firstAggIdx = plan.indexOf("HashAggregate")
+    assert(firstAggIdx >= 0, s"tf aggregate missing from the plan:\n$plan")
     assert(firstAggIdx < filterIdx,
       "filter must be UNDER the aggregates in the printed tree (scan side)")
     assert(plan.contains("TakeOrderedAndProject"), s"top-k must prune, not global-sort:\n$plan")

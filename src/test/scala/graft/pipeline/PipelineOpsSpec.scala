@@ -184,6 +184,21 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("cluster election keeps unshingleable short docs as singleton keepers") {
+    // doc 1 has < 3 tokens → zero shingle rows; deriving the election
+    // universe from the shingle table would silently drop it
+    val docs = Seq((1L, "only two"), (2L, "a b c d e f"), (3L, "a b c d e f"))
+      .toDF("doc_id", "text")
+    val sh = Dedup.shingleHashes(docs)
+    val comps = Dedup.connectedComponents(Dedup.minhashNearDupsOf(sh, 200000L))
+    val out = docs.select("doc_id")
+      .join(comps.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .select($"doc_id", coalesce($"comp", $"doc_id").as("cluster_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(1L) == 1L, "short doc must surface as its own singleton keeper")
+    assert(out(2L) == 2L && out(3L) == 2L, "exact dups must share a cluster under the min id")
+  }
+
   test("connectedComponents: fails fast instead of looping past maxIters") {
     // a 6-node chain needs ~3 propagation rounds; maxIters=1 must raise
     val chain = (0L until 5L).map(i => (i, i + 1)).toDF("id1", "id2")
