@@ -193,6 +193,14 @@ object PipelineQueries {
       TextAnalysis.bm25Lite(Tables.documents(s, dir), Seq("spark", "join", "window"))
     }),
 
+    // benchmark decontamination: eval set = every 50th doc; per training
+    // doc, the ppm share of its shingles appearing anywhere in the eval set
+    "ext_decontaminate" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      TextAnalysis.contamination(docs, docs.filter(col("doc_id") % 50 === 0))
+        .orderBy("doc_id")
+    }),
+
     "ext_dedup_simhash_pairs" -> ((s, dir) => {
       Dedup.simhashNearDups(nearAug(Tables.documents(s, dir)), maxDist = 6)
         .orderBy("id1", "id2")
@@ -339,6 +347,22 @@ object PipelineQueries {
     "ext_dedup_simhash" ->
       s"""WITH tk AS (SELECT doc_id, ${toksD("text")} AS toks FROM documents)
          |SELECT doc_id, CAST($simhashD AS BIGINT) AS simhash FROM tk ORDER BY doc_id""".stripMargin,
+
+    "ext_decontaminate" ->
+      s"""WITH tk AS (SELECT doc_id, ${toksD("text")} AS toks FROM documents),
+         |sh AS (SELECT doc_id, $shinglesD AS shingles FROM tk),
+         |shx AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+         |ev AS (SELECT DISTINCT s FROM shx WHERE doc_id % 50 = 0),
+         |sz AS (SELECT doc_id, count(*) AS n_sh FROM shx GROUP BY 1),
+         |ht AS (SELECT shx.doc_id, count(*) AS n_hit FROM shx JOIN ev ON shx.s = ev.s GROUP BY 1)
+         |SELECT d.doc_id,
+         |  CAST(COALESCE(sz.n_sh, 0) AS BIGINT) AS n_sh,
+         |  CAST(COALESCE(ht.n_hit, 0) AS BIGINT) AS n_hit,
+         |  CAST(COALESCE(ht.n_hit, 0) * 1000000 // greatest(COALESCE(sz.n_sh, 0), 1) AS BIGINT) AS contaminated_ppm
+         |FROM documents d
+         |LEFT JOIN sz ON sz.doc_id = d.doc_id
+         |LEFT JOIN ht ON ht.doc_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
 
     "ext_sample_stratified" ->
       """WITH r(lang, rate_ppm) AS (VALUES ('en', 500000), ('zh', 200000))

@@ -138,6 +138,23 @@ class PipelineOpsSpec extends SparkSpec {
     assert(defaulted == Set("zh"), "en rate 0 drops all en; zh keeps via default")
   }
 
+  test("contamination: eval overlap in ppm; short and clean docs report zeros") {
+    val docs = Seq(
+      (1L, "a b c d e"),       // shingles: abc bcd cde
+      (2L, "x y z w"),         // disjoint from eval
+      (3L, "a b c q r s"),     // shares abc only (1 of 4)
+      (4L, "too short")        // no shingles
+    ).toDF("doc_id", "text")
+    val eval_ = Seq((100L, "a b c d e")).toDF("doc_id", "text")
+    val out = TextAnalysis.contamination(docs, eval_)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out(0) == ((1L, 3L, 3L, 1000000L)), s"fully contained: ${out(0)}")
+    assert(out(1) == ((2L, 2L, 0L, 0L)), s"clean: ${out(1)}")
+    assert(out(2) == ((3L, 4L, 1L, 250000L)), s"partial: ${out(2)}")
+    assert(out(3) == ((4L, 0L, 0L, 0L)), s"short doc reports zeros: ${out(3)}")
+  }
+
   test("bm25Lite: higher tf scores higher; df discounts; misses stay out") {
     val docs = Seq(
       (1L, "spark alpha beta gamma"),
