@@ -32,6 +32,28 @@ import graft.connector.FixtureConnector.{HttpError, Transport}
   * redirects beyond NORMAL policy, and non-GET verbs are out of scope —
   * the reference's provider API is read-only GETs.
   */
+object HttpTransport {
+  /** Production wiring in one call: live HTTP + transport-level retry under
+    * the full parse/validate/normalize/error-map connector, ready to hand
+    * to `new Graft(spark, Seq(...))` or `Graft.fromConfig`.
+    */
+  def connector(
+      name: String,
+      baseUrl: String,
+      headers: Map[String, String] = Map.empty,
+      supportedIntervals: Seq[graft.core.Model.Interval] =
+        Seq(graft.core.Model.Interval.I1m, graft.core.Model.Interval.I1h,
+          graft.core.Model.Interval.D1),
+      maxAttempts: Int = 3,
+      baseDelayMs: Long = 50L,
+      maxDelayMs: Long = 5000L): FixtureConnector =
+    new FixtureConnector(name,
+      new FixtureConnector.RetryingTransport(
+        new HttpTransport(baseUrl, headers),
+        maxAttempts = maxAttempts, baseDelayMs = baseDelayMs, maxDelayMs = maxDelayMs),
+      supportedIntervals)
+}
+
 final class HttpTransport(
     baseUrl: String,
     headers: Map[String, String] = Map.empty,

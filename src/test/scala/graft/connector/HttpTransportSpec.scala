@@ -104,6 +104,15 @@ class HttpTransportSpec extends AnyFunSuite {
     assert(sleeps.size == 1, "599 is transient: one retry must have happened")
   }
 
+  test("HttpTransport.connector factory: one call yields the full retrying live stack") {
+    withServer(Map("/quote/AAPL" -> Seq(
+      (502, "bad gateway", None),
+      (200, """{"symbol":"AAPL","price":"7.77"}""", None)))) { base =>
+      val c = HttpTransport.connector("yf", base, baseDelayMs = 1L)
+      assert(c.quote(aapl).exists(_.price.contains(BigDecimal("7.77"))))
+    }
+  }
+
   test("keys are URL-encoded on the wire") {
     withServer(Map("/search/a%2Fb%20c" -> Seq((200, "ok", None)))) { base =>
       assert(new HttpTransport(base).get("search", "a/b c") == Right("ok"))
