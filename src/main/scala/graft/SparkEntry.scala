@@ -436,6 +436,25 @@ object SparkEntry {
         .orderBy("symbol", "rank")
     }),
 
+    // QI-QUANTILES exact group-wise quantiles by explicit rank selection
+    // (lower-value convention, the repo's I1 lower-median precedent) —
+    // percentile_approx/approxQuantile cannot be oracle-hashed, and most
+    // engines disagree on interpolation; rank selection is engine-exact.
+    // One exchange on the group key serves both window passes.
+    "qi_quantiles" -> ((s, dir) => {
+      val byLang = Window.partitionBy("lang")
+      val w = byLang.orderBy(col("n_chars"), col("doc_id"))
+      Tables.documents(s, dir)
+        .select("lang", "doc_id", "n_chars")
+        .withColumn("cnt", count(lit(1)).over(byLang))
+        .withColumn("rn", row_number().over(w))
+        .groupBy("lang")
+        .agg(max(col("cnt")).as("n_docs"),
+          max(when(expr("rn = (cnt + 1) DIV 2"), col("n_chars"))).as("median_chars"),
+          max(when(expr("rn = (9 * cnt + 9) DIV 10"), col("n_chars"))).as("p90_chars"))
+        .orderBy("lang")
+    }),
+
     // QI-ASOF backward as-of join with 1h tolerance: each purchase gets the
     // prevailing prov_a price at-or-before its timestamp (trade → quote).
     // Oracle is DuckDB's native ASOF LEFT JOIN; the Spark side is the
@@ -805,6 +824,15 @@ object SparkEntry {
         |  CASE WHEN secs - m_secs <= 3600 THEN m_secs END AS ref_secs,
         |  CASE WHEN secs - m_secs <= 3600 THEN m_micros END AS ref_micros
         |FROM j ORDER BY symbol, event_id""".stripMargin),
+
+    "qi_quantiles" ->
+      """WITH r AS (SELECT lang, doc_id, n_chars,
+        |  row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rn,
+        |  count(*) OVER (PARTITION BY lang) AS cnt FROM documents)
+        |SELECT lang, CAST(max(cnt) AS BIGINT) AS n_docs,
+        |  CAST(max(CASE WHEN rn = (cnt + 1) // 2 THEN n_chars END) AS BIGINT) AS median_chars,
+        |  CAST(max(CASE WHEN rn = (9 * cnt + 9) // 10 THEN n_chars END) AS BIGINT) AS p90_chars
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // identical semantics to qi_asof_price — the salted operator must be
     // indistinguishable from the plain carry at the output level
