@@ -87,10 +87,11 @@ object FixtureConnector {
       var result = inner.get(endpoint, key)
       while (result.left.exists(transient) && attempt < maxAttempts) {
         val backoff = math.min(baseDelayMs << (attempt - 1), maxDelayMs)
-        // provider-stated window is honored but clamped: a buggy/hostile 429
-        // advertising an hour must not pin the calling thread past maxDelayMs
-        val delay = math.min(
-          result.left.toOption.flatMap(_.retryAfterMs).getOrElse(backoff), maxDelayMs)
+        // provider-stated window is honored but clamped to [0, maxDelayMs]:
+        // a buggy/hostile 429 must neither pin the calling thread past
+        // maxDelayMs nor smuggle a negative value into Thread.sleep
+        val delay = math.max(0L, math.min(
+          result.left.toOption.flatMap(_.retryAfterMs).getOrElse(backoff), maxDelayMs))
         sleep(delay)
         attempt += 1
         result = inner.get(endpoint, key)

@@ -69,8 +69,12 @@ final class HttpTransport(
 
   private def retryAfterMs(resp: HttpResponse[String]): Option[Long] = {
     import scala.jdk.OptionConverters._
+    // bound BEFORE the seconds→ms multiply: a hostile huge value would wrap
+    // Long negative and escape every downstream clamp into Thread.sleep
     resp.headers.firstValue("Retry-After").toScala
-      .flatMap(_.toLongOption).filter(_ >= 0).map(_ * 1000L)
+      .flatMap(_.toLongOption)
+      .filter(v => v >= 0 && v <= Long.MaxValue / 1000L)
+      .map(_ * 1000L)
   }
 
   def get(endpoint: String, key: String): Either[HttpError, String] = {

@@ -193,11 +193,13 @@ object PipelineQueries {
       TextAnalysis.bm25Lite(Tables.documents(s, dir), Seq("spark", "join", "window"))
     }),
 
-    // benchmark decontamination: eval set = every 50th doc; per training
-    // doc, the ppm share of its shingles appearing anywhere in the eval set
+    // benchmark decontamination: eval set = a FIXED 10 docs (doc_id < 10 —
+    // a benchmark is bounded; a corpus-share eval like `% 50` would grow
+    // the broadcast linearly with scale factor); per training doc, the ppm
+    // share of its shingles appearing anywhere in the eval set
     "ext_decontaminate" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-      TextAnalysis.contamination(docs, docs.filter(col("doc_id") % 50 === 0))
+      TextAnalysis.contamination(docs, docs.filter(col("doc_id") < 10))
         .orderBy("doc_id")
     }),
 
@@ -352,7 +354,7 @@ object PipelineQueries {
       s"""WITH tk AS (SELECT doc_id, ${toksD("text")} AS toks FROM documents),
          |sh AS (SELECT doc_id, $shinglesD AS shingles FROM tk),
          |shx AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
-         |ev AS (SELECT DISTINCT s FROM shx WHERE doc_id % 50 = 0),
+         |ev AS (SELECT DISTINCT s FROM shx WHERE doc_id < 10),
          |sz AS (SELECT doc_id, count(*) AS n_sh FROM shx GROUP BY 1),
          |ht AS (SELECT shx.doc_id, count(*) AS n_hit FROM shx JOIN ev ON shx.s = ev.s GROUP BY 1)
          |SELECT d.doc_id,

@@ -147,39 +147,6 @@ object TextAnalysis {
     * once, corpus scalars (N, avgdl) ride in via one broadcast row, and
     * per-term df is a broadcast-joined #terms-row table.
     */
-  /** Benchmark decontamination: for every training document, how many of
-    * its distinct 3-token shingles appear anywhere in the eval corpus, and
-    * that count as a ppm share of the document's shingles. Pipelines drop
-    * or flag documents above a contamination threshold before training so
-    * eval benchmarks stay meaningful.
-    *
-    * Scale shape: the EVAL side (benchmarks — thousands of documents) is
-    * reduced to its distinct shingle set and broadcast; the training corpus
-    * is probed with a broadcast left-semi join, so the corpus-side shingles
-    * never shuffle for the membership test — only the per-doc count
-    * aggregation exchanges on doc id. Docs too short to shingle report
-    * zeros (never silently dropped — the cluster-election universe lesson).
-    */
-  def contamination(
-      docs: DataFrame,
-      evalDocs: DataFrame,
-      idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
-    val train = Dedup.shingleRows(docs, idCol, textCol)
-    val evalSh = Dedup.shingleRows(evalDocs, idCol, textCol).select("sh").distinct()
-    val sizes = train.groupBy(idCol).agg(count(lit(1)).as("n_sh"))
-    val hits = train.join(broadcast(evalSh), Seq("sh"), "left_semi")
-      .groupBy(idCol).agg(count(lit(1)).as("n_hit"))
-    docs.select(col(idCol))
-      .join(sizes, Seq(idCol), "left")
-      .join(hits, Seq(idCol), "left")
-      .select(col(idCol),
-        coalesce(col("n_sh"), lit(0L)).as("n_sh"),
-        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
-        expr("coalesce(n_hit, 0L) * 1000000L DIV greatest(coalesce(n_sh, 0L), 1)")
-          .as("contaminated_ppm"))
-  }
-
   def bm25Lite(
       docs: DataFrame,
       terms: Seq[String],
@@ -203,5 +170,40 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_hit"), sum(col("contrib_ppm")).as("score_ppm"))
       .orderBy(col("score_ppm").desc, col(idCol))
       .limit(topK)
+  }
+
+  /** Benchmark decontamination: for every training document, how many of
+    * its distinct 3-token shingles appear anywhere in the eval corpus, and
+    * that count as a ppm share of the document's shingles. Pipelines drop
+    * or flag documents above a contamination threshold before training so
+    * eval benchmarks stay meaningful.
+    *
+    * Scale shape: the EVAL side must be the SMALL side (benchmarks —
+    * a bounded set of documents, never a corpus share that grows with the
+    * data); its distinct shingle set broadcasts, and the training corpus
+    * is probed in ONE pass — a broadcast left join that both counts each
+    * doc's shingles and its eval hits in a single doc-keyed aggregation
+    * (the eval set is distinct, so the join cannot multiply rows). Docs
+    * too short to shingle report zeros (never silently dropped — the
+    * cluster-election universe lesson).
+    */
+  def contamination(
+      docs: DataFrame,
+      evalDocs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val train = Dedup.shingleRows(docs, idCol, textCol)
+    val evalSh = Dedup.shingleRows(evalDocs, idCol, textCol)
+      .select("sh").distinct().withColumn("hit", lit(1))
+    val agg = train.join(broadcast(evalSh), Seq("sh"), "left")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_sh"), count(col("hit")).as("n_hit"))
+    docs.select(col(idCol))
+      .join(agg, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_sh"), lit(0L)).as("n_sh"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        expr("coalesce(n_hit, 0L) * 1000000L DIV greatest(coalesce(n_sh, 0L), 1)")
+          .as("contaminated_ppm"))
   }
 }
