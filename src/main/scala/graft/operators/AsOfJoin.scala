@@ -276,6 +276,29 @@ object AsOfJoin {
         payload.map(c => pick.getField(c).as(c)): _*)
   }
 
+  /** Skew-safe forward as-of join — [[forward]]'s semantics with
+    * [[backwardSalted]]'s time-bucketed plan, via the same negation trick:
+    * time reversal turns "earliest at or after" into "most recent at or
+    * before", and bucket ids stay monotonic under negation because `div`
+    * truncates toward zero symmetrically. Integral ts columns only.
+    */
+  def forwardSalted(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTs: String,
+      rightTs: String,
+      payload: Seq[String],
+      span: Long,
+      tolerance: Option[Long] = None,
+      matchedTs: String = "matched_ts"): DataFrame = {
+    val negL = left.withColumn(leftTs, negate(col(leftTs)))
+    val negR = right.withColumn(rightTs, negate(col(rightTs)))
+    backwardSalted(negL, negR, keys, leftTs, rightTs, payload, span, tolerance, matchedTs)
+      .withColumn(leftTs, negate(col(leftTs)))
+      .withColumn(matchedTs, negate(col(matchedTs)))
+  }
+
   /** Forward as-of join — for every left row, attach the payload of the
     * EARLIEST right row with `right.ts >= left.ts` (equal timestamps
     * match), optionally bounded by `tolerance >= rightTs - leftTs`.

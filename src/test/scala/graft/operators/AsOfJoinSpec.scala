@@ -352,6 +352,18 @@ class AsOfJoinSpec extends SparkSpec {
       AsOfJoin.backward(left, right, Seq("k"), "ts", "ts", Seq("p1", "p2"))))
   }
 
+  test("forwardSalted property: equals forward for every span (negation keeps buckets monotonic)") {
+    for (seed <- 40L to 41L; span <- Seq(7L, 300L); tol <- Seq(None, Some(10L))) {
+      val (l, r) = randomFixture(seed)
+      val got = asRowSet(AsOfJoin.forwardSalted(l, r, Seq("k"), "ts", "ts",
+        Seq("p1", "p2"), span = span, tolerance = tol))
+      val want = asRowSet(AsOfJoin.forward(l, r, Seq("k"), "ts", "ts",
+        Seq("p1", "p2"), tolerance = tol))
+      assert(got == want, s"forwardSalted mismatch (seed=$seed span=$span tol=$tol): " +
+        s"only-got=${(got -- want).take(5)} only-want=${(want -- got).take(5)}")
+    }
+  }
+
   test("salted: left-only buckets still receive the boundary handoff; guards reject bad inputs") {
     // right rows only in bucket 0 (ts<10); left rows alone in far buckets
     val right = Seq(("aa", 5L, Option(42L), "x")).toDF("k", "ts", "p1", "p2")
