@@ -503,6 +503,20 @@ object SparkEntry {
         .orderBy("symbol", "event_id")
     }),
 
+    // the skew-safe bucketed variant of qi_asof_fwd — identical semantics,
+    // identical oracle; the carry partitions on (symbol, day bucket)
+    "qi_asof_fwd_salted" -> ((s, dir) => {
+      val t = Tables.ticks(s, dir)
+      val errors = t.filter(col("event_type") === "error")
+        .select("symbol", "secs", "event_id")
+      val refs = t.filter(col("provider") === "prov_b")
+        .groupBy("symbol", "secs")
+        .agg(max_by(col("price_micros"), col("arrival")).as("next_micros"))
+      graft.operators.AsOfJoin.forwardSalted(errors, refs, Seq("symbol"), "secs", "secs",
+          Seq("next_micros"), span = 86400L, tolerance = Some(1800L), matchedTs = "next_secs")
+        .orderBy("symbol", "event_id")
+    }),
+
     // QI-ASOF-NEAREST: for each click event, the reference price nearest
     // in time (either direction, ties backward) within 30 minutes — BOTH
     // carries evaluate in one Window over one exchange (plan-asserted)
@@ -851,6 +865,20 @@ object SparkEntry {
     // DuckDB ASOF is backward-only: the forward oracle is the naive
     // window form (smallest right secs at/after, tolerance post-hoc)
     "qi_asof_fwd" -> withTicks(
+      """l AS (SELECT symbol, secs, event_id FROM ticks WHERE event_type = 'error'),
+        |r AS (SELECT symbol, secs, max_by(price_micros, arrival) AS next_micros
+        |      FROM ticks WHERE provider = 'prov_b' GROUP BY 1, 2),
+        |j AS (SELECT l.symbol, l.secs, l.event_id, r.secs AS m_secs, r.next_micros AS m_micros,
+        |        row_number() OVER (PARTITION BY l.symbol, l.event_id ORDER BY r.secs) AS rn
+        |      FROM l LEFT JOIN r ON l.symbol = r.symbol AND r.secs >= l.secs)
+        |SELECT symbol, secs, event_id,
+        |  CASE WHEN m_secs - secs <= 1800 THEN m_secs END AS next_secs,
+        |  CASE WHEN m_secs - secs <= 1800 THEN m_micros END AS next_micros
+        |FROM j WHERE rn = 1 ORDER BY symbol, event_id""".stripMargin),
+
+    // identical semantics to qi_asof_fwd — the salted operator must be
+    // output-indistinguishable from the plain time-reversed carry
+    "qi_asof_fwd_salted" -> withTicks(
       """l AS (SELECT symbol, secs, event_id FROM ticks WHERE event_type = 'error'),
         |r AS (SELECT symbol, secs, max_by(price_micros, arrival) AS next_micros
         |      FROM ticks WHERE provider = 'prov_b' GROUP BY 1, 2),
