@@ -436,6 +436,24 @@ object SparkEntry {
         .orderBy("symbol", "rank")
     }),
 
+    // QI-ADJUST split back-adjustment: synthetic splits (first 3 'view'
+    // days per symbol, small ratios from volume) applied to prov_a prices
+    // — exact integer rational fold, scan-side behind one broadcast join
+    "qi_adjust_splits" -> ((s, dir) => {
+      val t = Tables.ticks(s, dir)
+      val sp0 = t.filter(col("event_type") === "view")
+        .groupBy(col("symbol"), (col("secs") - pmod(col("secs"), lit(86400L))).as("ts"))
+        .agg(((min(col("volume")) % 3) + 2).as("num"), ((min(col("volume")) % 2) + 1).as("den"))
+      val w = Window.partitionBy("symbol").orderBy("ts")
+      val splits = sp0.withColumn("rn", row_number().over(w)).where(col("rn") <= 3).drop("rn")
+      val prices = t.filter(col("provider") === "prov_a")
+        .select("symbol", "secs", "event_id", "price_micros")
+      graft.timeseries.Adjust.backAdjustSplits(prices, splits,
+          keyCol = "symbol", priceTsCol = "secs", splitTsCol = "ts",
+          valueCol = "price_micros")
+        .orderBy("symbol", "event_id")
+    }),
+
     // QI-QUANTILES exact group-wise quantiles by explicit rank selection
     // (lower-value convention, the repo's I1 lower-median precedent) —
     // percentile_approx/approxQuantile cannot be oracle-hashed, and most
@@ -838,6 +856,29 @@ object SparkEntry {
         |  CASE WHEN secs - m_secs <= 3600 THEN m_secs END AS ref_secs,
         |  CASE WHEN secs - m_secs <= 3600 THEN m_micros END AS ref_micros
         |FROM j ORDER BY symbol, event_id""".stripMargin),
+
+    "qi_adjust_splits" -> withTicks(
+      """sp0 AS (SELECT symbol, secs - secs % 86400 AS sts,
+        |        (min(volume) % 3) + 2 AS num, (min(volume) % 2) + 1 AS den
+        |        FROM ticks WHERE event_type = 'view' GROUP BY 1, 2),
+        |sp AS (SELECT symbol, sts, num, den FROM (
+        |        SELECT sp0.*, row_number() OVER (PARTITION BY symbol ORDER BY sts) AS rn FROM sp0)
+        |       WHERE rn <= 3),
+        |a AS (SELECT symbol, list(struct_pack(sts := sts, num := num, den := den)) AS acts
+        |      FROM sp GROUP BY 1),
+        |p AS (SELECT symbol, secs, event_id, price_micros FROM ticks WHERE provider = 'prov_a'),
+        |j AS (SELECT p.*, a.acts FROM p LEFT JOIN a ON a.symbol = p.symbol),
+        |f AS (SELECT symbol, secs, event_id, price_micros, acts,
+        |        list_reduce(
+        |          list_prepend(struct_pack(n := 1::BIGINT, d := 1::BIGINT),
+        |            list_transform(list_filter(acts, x -> x.sts > secs),
+        |              x -> struct_pack(n := x.num, d := x.den))),
+        |          (acc, x) -> struct_pack(n := acc.n * x.n, d := acc.d * x.d)) AS fr
+        |      FROM j)
+        |SELECT symbol, secs, event_id, price_micros,
+        |  CASE WHEN acts IS NULL THEN price_micros
+        |       ELSE price_micros * fr.d // fr.n END AS adj_price_micros
+        |FROM f ORDER BY symbol, event_id""".stripMargin),
 
     "qi_quantiles" ->
       """WITH r AS (SELECT lang, doc_id, n_chars,
