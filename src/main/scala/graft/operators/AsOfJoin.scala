@@ -276,6 +276,25 @@ object AsOfJoin {
         payload.map(c => pick.getField(c).as(c)): _*)
   }
 
+  /** The time-reversal composition shared by both forward variants: negate
+    * both timelines, run a backward implementation, un-negate the left and
+    * matched ts columns. Lives in ONE place so a future reversal fix (e.g.
+    * extra ts output columns) cannot diverge between the variants.
+    */
+  private def timeReversed(
+      left: DataFrame,
+      right: DataFrame,
+      leftTs: String,
+      rightTs: String,
+      matchedTs: String)(
+      runBackward: (DataFrame, DataFrame) => DataFrame): DataFrame = {
+    val negL = left.withColumn(leftTs, negate(col(leftTs)))
+    val negR = right.withColumn(rightTs, negate(col(rightTs)))
+    runBackward(negL, negR)
+      .withColumn(leftTs, negate(col(leftTs)))
+      .withColumn(matchedTs, negate(col(matchedTs)))
+  }
+
   /** Skew-safe forward as-of join — [[forward]]'s semantics with
     * [[backwardSalted]]'s time-bucketed plan, via the same negation trick:
     * time reversal turns "earliest at or after" into "most recent at or
@@ -292,11 +311,12 @@ object AsOfJoin {
       span: Long,
       tolerance: Option[Long] = None,
       matchedTs: String = "matched_ts"): DataFrame = {
-    val negL = left.withColumn(leftTs, negate(col(leftTs)))
-    val negR = right.withColumn(rightTs, negate(col(rightTs)))
-    backwardSalted(negL, negR, keys, leftTs, rightTs, payload, span, tolerance, matchedTs)
-      .withColumn(leftTs, negate(col(leftTs)))
-      .withColumn(matchedTs, negate(col(matchedTs)))
+    require(left.schema(leftTs).dataType.isInstanceOf[NumericType] &&
+        right.schema(rightTs).dataType.isInstanceOf[NumericType],
+      "forward as-of requires numeric ts columns (negate-based reversal; " +
+        "convert timestamps with unix_timestamp first)")
+    timeReversed(left, right, leftTs, rightTs, matchedTs)(
+      backwardSalted(_, _, keys, leftTs, rightTs, payload, span, tolerance, matchedTs))
   }
 
   /** Forward as-of join — for every left row, attach the payload of the
@@ -323,10 +343,7 @@ object AsOfJoin {
         right.schema(rightTs).dataType.isInstanceOf[NumericType],
       "forward as-of requires numeric ts columns (negate-based reversal; " +
         "convert timestamps with unix_timestamp first)")
-    val negL = left.withColumn(leftTs, negate(col(leftTs)))
-    val negR = right.withColumn(rightTs, negate(col(rightTs)))
-    backward(negL, negR, keys, leftTs, rightTs, payload, tolerance, matchedTs)
-      .withColumn(leftTs, negate(col(leftTs)))
-      .withColumn(matchedTs, negate(col(matchedTs)))
+    timeReversed(left, right, leftTs, rightTs, matchedTs)(
+      backward(_, _, keys, leftTs, rightTs, payload, tolerance, matchedTs))
   }
 }

@@ -38,16 +38,43 @@ object Adjust {
       priceTsCol: String = "ts",
       splitTsCol: String = "ts",
       valueCol: String = "price"): DataFrame = {
+    val missing = (Seq(keyCol, priceTsCol, valueCol).filterNot(prices.columns.contains) ++
+      Seq(keyCol, splitTsCol, "num", "den").filterNot(splits.columns.contains)).distinct
+    require(missing.isEmpty, s"columns absent from an input: ${missing.mkString(", ")}")
+    val collisions = Seq("__acts", "__f", s"adj_$valueCol").filter(prices.columns.contains)
+    require(collisions.isEmpty,
+      s"prices columns collide with internal/output names (rename them): ${collisions.mkString(", ")}")
+
+    // validate each split row in-plan: a null / non-positive / giant ratio
+    // must ERROR, never silently fall back to the unadjusted price (the
+    // coalesce below is strictly for the no-splits left-join case)
+    def validated(c: String) = expr(
+      s"""if(`$c` is null or `$c` < 1 or `$c` > 2147483648L,
+         |  cast(raise_error(concat('backAdjustSplits: split $c must be an integer in [1, 2^31], got ',
+         |    coalesce(cast(`$c` as string), 'NULL'))) as bigint),
+         |  cast(`$c` as bigint))""".stripMargin)
     val acts = splits.groupBy(keyCol).agg(
-      collect_list(struct(col(splitTsCol).as("sts"), col("num"), col("den"))).as("__acts"))
+      collect_list(struct(col(splitTsCol).as("sts"),
+        validated("num").as("num"), validated("den").as("den"))).as("__acts"))
+
+    // the fold guards the ACCUMULATOR each step: inputs are <= 2^31 and the
+    // running product is checked < 2^31 before every multiply, so no
+    // intermediate can wrap a Long regardless of ANSI mode; the final
+    // product check bounds the last multiply too
+    val step =
+      """(acc, a) -> named_struct(
+        |  'n', if(acc.n >= 2147483648L,
+        |          cast(raise_error('backAdjustSplits: split factor product exceeds 2^31 - too many/degenerate splits') as bigint),
+        |          acc.n * a.num),
+        |  'd', if(acc.d >= 2147483648L,
+        |          cast(raise_error('backAdjustSplits: split factor product exceeds 2^31 - too many/degenerate splits') as bigint),
+        |          acc.d * a.den))""".stripMargin
     prices
       .join(broadcast(acts), Seq(keyCol), "left")
       .withColumn("__f", expr(
         s"""aggregate(filter(__acts, a -> a.sts > `$priceTsCol`),
-           |  named_struct('n', 1L, 'd', 1L),
-           |  (acc, a) -> named_struct('n', acc.n * a.num, 'd', acc.d * a.den))""".stripMargin))
+           |  named_struct('n', 1L, 'd', 1L), $step)""".stripMargin))
       .withColumn("__f", expr(
-        // fail fast on factor overflow risk instead of silently wrapping
         """if(__f.n >= 2147483648L or __f.d >= 2147483648L,
           |  named_struct('n', cast(raise_error('backAdjustSplits: split factor product exceeds 2^31 - too many/degenerate splits') as bigint), 'd', 1L),
           |  __f)""".stripMargin))

@@ -364,6 +364,17 @@ class AsOfJoinSpec extends SparkSpec {
     }
   }
 
+  test("forwardSalted: timestamp ts rejected eagerly with the curated guard message") {
+    val l = Seq(("aa", 1L, 0L, 0)).toDF("k", "ts", "lid", "lval")
+      .withColumn("ts", timestamp_seconds(col("ts")))
+    val r = Seq(("aa", 1L, Option(1L), "x")).toDF("k", "ts", "p1", "p2")
+      .withColumn("ts", timestamp_seconds(col("ts")))
+    val e = intercept[IllegalArgumentException] {
+      AsOfJoin.forwardSalted(l, r, Seq("k"), "ts", "ts", Seq("p1", "p2"), span = 10L)
+    }
+    assert(e.getMessage.contains("numeric"))
+  }
+
   test("salted: left-only buckets still receive the boundary handoff; guards reject bad inputs") {
     // right rows only in bucket 0 (ts<10); left rows alone in far buckets
     val right = Seq(("aa", 5L, Option(42L), "x")).toDF("k", "ts", "p1", "p2")

@@ -25,6 +25,20 @@ class AdjustSpec extends SparkSpec {
     assert(out.toSeq == Seq(100000L, 200000L, 200000L, 600000L, 600000L))
   }
 
+  test("invalid split rows (null / non-positive ratios) error, never silently unadjust") {
+    val prices = Seq(("S", 50L, 1L, 1000000L)).toDF("symbol", "secs", "event_id", "price_micros")
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    for (bad <- Seq(Option.empty[Long], Some(0L), Some(-2L))) {
+      val splits = Seq(("S", 100L, bad, Some(1L))).toDF("symbol", "ts", "num", "den")
+      val e = intercept[Exception] {
+        Adjust.backAdjustSplits(prices, splits,
+          priceTsCol = "secs", splitTsCol = "ts", valueCol = "price_micros").collect()
+      }
+      assert(messages(e).exists(_.contains("split num must be")), s"num=$bad got: $e")
+    }
+  }
+
   test("factor-product overflow fails fast instead of silently wrapping") {
     // 8^11 = 2^33: over the operator's 2^31 bound but under Long overflow
     // (an actual Long overflow would already throw via ANSI arithmetic)
