@@ -56,18 +56,28 @@ object Bench {
     }
     val results = names.map(n => n -> times(n).min)
     val failed = results.collect { case (n, v) if v == Double.MaxValue => n }
-    def fmt(v: Double) = if (v == Double.MaxValue) "-1" else v.toString
+    // 3-decimal floats: the driver captures only the tail of stdout, and r7's
+    // full-precision line (with per-rep arrays inline) overflowed that capture,
+    // leaving BENCH_r07.json unparsed. The stdout line must stay compact.
+    def fmt(v: Double) = if (v == Double.MaxValue) "-1" else f"$v%.3f"
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    // per-rep arrays (round-robin order): lets a reader separate host
-    // contention (one inflated rep, quiet siblings) from a real regression
-    // (every rep slow) without cross-referencing another round's file
+    val total = results.collect { case (_, v) if v != Double.MaxValue => v }.sum
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // per-rep arrays (round-robin order) go to a SIBLING FILE, not stdout:
+    // they let a reader separate host contention (one inflated rep, quiet
+    // siblings) from a real regression (every rep slow), but inlining them
+    // is what broke the driver's tail capture in round 7.
     val repsJson = names.map { n =>
       s"\"" + n + "\":" + times(n).map(fmt).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
-    val total = results.collect { case (_, v) if v != Double.MaxValue => v }.sum
-    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$repsJson,"staging_sec":$stagingSec,"failed":$failedJson,"sf":"$sfDir"}""")
+    try {
+      val repsPath = java.nio.file.Paths.get("target", "bench_reps.json")
+      java.nio.file.Files.createDirectories(repsPath.getParent)
+      java.nio.file.Files.write(repsPath,
+        s"""{"reps":$repsJson,"sf":"$sfDir"}""".getBytes("UTF-8"))
+    } catch { case _: Throwable => () }
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"staging_sec":${fmt(stagingSec)},"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -93,6 +93,14 @@ final class HttpTransport(
     } catch {
       case e: HttpTimeoutException =>
         Left(HttpError(598, s"timeout: ${e.getMessage}"))
+      case e: InterruptedException =>
+        // a thread interrupt must not escape the Either contract as a raw
+        // checked exception from inside the retry loop; restore the flag so
+        // the caller's executor still observes the interrupt, and map to a
+        // sub-500 status (NON-transient — retrying an interrupted call would
+        // fight the cancellation)
+        Thread.currentThread().interrupt()
+        Left(HttpError(499, s"interrupted: ${e.getMessage}"))
       case e: java.io.IOException =>
         Left(HttpError(599, s"connection failure: ${e.getMessage}"))
     }

@@ -39,6 +39,16 @@ object AsOfJoin {
 
   private val Reserved = Seq("__t", "__side", "__c", "__mt", "__bkt", "__s", "__prev")
 
+  /** Exact integer floor division of `__t` by `span`: `div` truncates toward
+    * zero, so on its own bucket 0 would span (-span, span) — twice every
+    * other bucket's width; subtracting 1 when the remainder is negative
+    * (Spark's % takes the dividend's sign) restores uniform widths with no
+    * double math. Package-visible so the spec can assert uniformity
+    * directly.
+    */
+  private[operators] def floorBucket(span: Long): org.apache.spark.sql.Column =
+    expr(s"(__t div ${span}L) - (case when __t % ${span}L < 0 then 1 else 0 end)")
+
   /** @param keys       equi-join key columns (present in both inputs)
     * @param leftTs     left event-time column (numeric or timestamp)
     * @param rightTs    right event-time column (same type as leftTs)
@@ -166,10 +176,13 @@ object AsOfJoin {
     *     construction), and the carry window now partitions by
     *     (keys, bucket) — a hot key splits across timeline/span partitions.
     *
-    * Bucket ids use integral truncating division (`div`, the RangeJoin
-    * convention): monotonic in ts, exact for the full Long range — never
-    * double arithmetic, which silently mis-buckets past 2^53. Integral ts
-    * columns only.
+    * Bucket ids use exact integer FLOOR division (`div` corrected for
+    * negative remainders): monotonic in ts, exact for the full Long range —
+    * never double arithmetic, which silently mis-buckets past 2^53 — and
+    * uniform `span` width on BOTH sides of the origin (truncating `div`
+    * alone would give bucket 0 double width over (-span, span), degrading
+    * the skew split exactly where time-reversed positive-epoch data lands).
+    * Integral ts columns only.
     *
     * Choose `span` near the left side's typical match distance × a few
     * thousand: too small multiplies the summary pass; too large under-splits
@@ -193,7 +206,7 @@ object AsOfJoin {
       "salted as-of requires integral ts columns (div bucketing; convert timestamps with unix_timestamp first)")
     val (union, leftOnly, tsType) =
       tagged(left, right, keys, leftTs, rightTs, payload, matchedTs)
-    val u = union.withColumn("__bkt", expr(s"__t div ${span}L"))
+    val u = union.withColumn("__bkt", floorBucket(span))
 
     // 1. last right row per (key, bucket), as the same atomic carry struct
     val summary = u.where(col("__side") === 0)
@@ -298,8 +311,9 @@ object AsOfJoin {
   /** Skew-safe forward as-of join — [[forward]]'s semantics with
     * [[backwardSalted]]'s time-bucketed plan, via the same negation trick:
     * time reversal turns "earliest at or after" into "most recent at or
-    * before", and bucket ids stay monotonic under negation because `div`
-    * truncates toward zero symmetrically. Integral ts columns only.
+    * before", and floor-division bucket ids stay monotonic in the negated
+    * timeline (all the carry needs) with uniform `span` width on both sides
+    * of the origin. Integral ts columns only.
     */
   def forwardSalted(
       left: DataFrame,

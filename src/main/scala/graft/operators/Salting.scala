@@ -20,6 +20,15 @@ import org.apache.spark.sql.functions._
   */
 object Salting {
 
+  /** Deterministic per-row salt in [0, buckets). Hashes the FULL row, so it
+    * spreads hot keys whose rows differ in any column (the common skew
+    * case: one symbol, many timestamps/payloads). Known limit: a hot key
+    * whose rows are BIT-IDENTICAL duplicates all hash to one bucket and
+    * still serialize — full-row hashing is the price of retry determinism
+    * (a partition-local counter would spread them but re-salt differently
+    * on task retry, breaking exactly-once sinks). Exact-duplicate-heavy
+    * inputs should dedup (pipeline.Dedup) or pre-count before salting.
+    */
   def saltCol(df: DataFrame, buckets: Int): Column =
     pmod(xxhash64(struct(df.columns.map(col): _*)), lit(buckets.toLong))
 

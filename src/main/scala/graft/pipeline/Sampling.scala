@@ -20,13 +20,25 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
+  /** Largest |id| for which id * 2654435761 + 40503 stays inside a Long.
+    * Ids past this would silently wrap in non-ANSI mode and bias the
+    * keep/drop decision, so [[bucketPpm]] errors in-plan instead (the
+    * lineDedup convention — fail fast, never silently wrong).
+    */
+  val MaxIdMagnitude: Long = (Long.MaxValue - 40503L) / 2654435761L
+
   /** Multiplicative hash of the id column onto [0, 1_000_000) — Knuth's
     * 2654435761 with an odd offset so id 0 is not pinned to bucket 0.
-    * Stays within Long for |id| < ~3.4e9; callers with wider ids remap
-    * first (the lineDedup convention).
+    * Errors in-plan for |id| > [[MaxIdMagnitude]] (~3.47e9); callers with
+    * wider ids remap first. Symmetric compare, no abs() — abs(Long.Min)
+    * wraps negative in non-ANSI mode and would evade an abs-based check.
     */
   def bucketPpm(idCol: String): org.apache.spark.sql.Column =
-    expr(s"abs(`$idCol` * 2654435761L + 40503L) % 1000000L")
+    expr(
+      s"""abs(if(`$idCol` > ${MaxIdMagnitude}L or `$idCol` < -${MaxIdMagnitude}L,
+         |  cast(raise_error(concat('bucketPpm: |$idCol| exceeds $MaxIdMagnitude - the sampling hash would overflow; remap ids first (got ',
+         |    cast(`$idCol` as string), ')')) as bigint),
+         |  `$idCol` * 2654435761L + 40503L) % 1000000L)""".stripMargin)
 
   /** Keep each row of `docs` when hash(id) < rate_ppm of its stratum.
     *
@@ -45,6 +57,15 @@ object Sampling {
     val reserved = Seq("rate_ppm", "__bucket", "bucket_ppm").filter(docs.columns.contains)
     require(reserved.isEmpty,
       s"docs columns collide with internal names (rename them): ${reserved.mkString(", ")}")
+    // a duplicated stratum key would silently MULTIPLY corpus rows through
+    // the left join instead of sampling them — fail fast at plan build. The
+    // rates table is the mixture config (tiny, broadcast below), so one
+    // driver-side pass over it is free.
+    val dupStrata = rates.groupBy(stratumCol).count()
+      .where(col("count") > 1).select(stratumCol).limit(5)
+      .collect().map(_.get(0)).mkString(", ")
+    require(dupStrata.isEmpty,
+      s"rates has duplicate rows for strata: $dupStrata — one rate_ppm per stratum required")
     docs
       .join(broadcast(rates), Seq(stratumCol), "left")
       .withColumn("__bucket", bucketPpm(idCol))

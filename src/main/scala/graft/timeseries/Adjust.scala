@@ -78,8 +78,20 @@ object Adjust {
         """if(__f.n >= 2147483648L or __f.d >= 2147483648L,
           |  named_struct('n', cast(raise_error('backAdjustSplits: split factor product exceeds 2^31 - too many/degenerate splits') as bigint), 'd', 1L),
           |  __f)""".stripMargin))
+      // the final multiply needs its own guard: the factor products are each
+      // < 2^31, but value * __f.d can still wrap for |value| >= ~4.3e9 (a
+      // $4,300 price in micros) times a large den product. Symmetric compare
+      // against Long.Max DIV __f.d (no abs() — abs(Long.MinValue) wraps
+      // negative in non-ANSI mode and would sneak past an abs-based check).
+      // A null __f (no splits for the key) makes the condition null → else
+      // branch → null product → coalesce falls back to the raw value.
       .withColumn(s"adj_$valueCol",
-        expr(s"coalesce(`$valueCol` * __f.d DIV __f.n, `$valueCol`)"))
+        expr(s"""coalesce(
+           |  if(__f.d > 1L and (`$valueCol` > 9223372036854775807L DIV __f.d
+           |                  or `$valueCol` < -(9223372036854775807L DIV __f.d)),
+           |    cast(raise_error('backAdjustSplits: value * split denominator product would overflow Long - rescale the value column first') as bigint),
+           |    `$valueCol` * __f.d DIV __f.n),
+           |  `$valueCol`)""".stripMargin))
       .drop("__acts", "__f")
   }
 }

@@ -113,6 +113,24 @@ class HttpTransportSpec extends AnyFunSuite {
     }
   }
 
+  test("thread interrupt maps to non-transient 499 and the interrupt flag survives") {
+    withServer(Map("/quote/AAPL" -> Seq((200, "ok", None)))) { base =>
+      val t = new HttpTransport(base)
+      // pre-set the interrupt flag: HttpClient.send blocks on an internal
+      // future whose wait observes it and throws InterruptedException
+      Thread.currentThread().interrupt()
+      val out = t.get("quote", "AAPL")
+      // reads AND clears in one call, so later tests aren't poisoned either way
+      val flagRestored = Thread.interrupted()
+      out match {
+        case Left(HttpError(499, body, None)) =>
+          assert(body.contains("interrupted"))
+          assert(flagRestored, "the transport must restore the interrupt flag")
+        case other => fail(s"expected non-transient 499, got $other")
+      }
+    }
+  }
+
   test("keys are URL-encoded on the wire") {
     withServer(Map("/search/a%2Fb%20c" -> Seq((200, "ok", None)))) { base =>
       assert(new HttpTransport(base).get("search", "a/b c") == Right("ok"))

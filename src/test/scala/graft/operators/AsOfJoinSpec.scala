@@ -364,6 +364,23 @@ class AsOfJoinSpec extends SparkSpec {
     }
   }
 
+  test("floorBucket: uniform span-wide buckets on both sides of the origin") {
+    // truncating `div` would give bucket 0 double width over (-span, span);
+    // floor division keeps every bucket exactly `span` wide — including the
+    // boundary cases at the origin and at exact multiples
+    val span = 10L
+    val ts = Seq(-21L, -20L, -11L, -10L, -1L, 0L, 1L, 9L, 10L, 19L, 20L)
+    val got = ts.toDF("__t").select(AsOfJoin.floorBucket(span).as("b"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(-3L, -2L, -2L, -1L, -1L, 0L, 0L, 0L, 1L, 1L, 2L),
+      s"floor bucketing mismatch: ${ts.zip(got)}")
+    // each bucket holds exactly span consecutive timestamps
+    val wide = (-100L until 100L).toDF("__t")
+      .select(AsOfJoin.floorBucket(span).as("b")).groupBy("b").count()
+      .select("count").distinct().collect().map(_.getLong(0)).toSeq
+    assert(wide == Seq(span), s"bucket widths must be uniform, got $wide")
+  }
+
   test("forwardSalted: timestamp ts rejected eagerly with the curated guard message") {
     val l = Seq(("aa", 1L, 0L, 0)).toDF("k", "ts", "lid", "lval")
       .withColumn("ts", timestamp_seconds(col("ts")))

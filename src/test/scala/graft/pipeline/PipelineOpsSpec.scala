@@ -138,6 +138,33 @@ class PipelineOpsSpec extends SparkSpec {
     assert(defaulted == Set("zh"), "en rate 0 drops all en; zh keeps via default")
   }
 
+  test("stratifiedByRate: an id past the hash bound fails fast; duplicate strata rejected") {
+    // oversized id: the multiplicative hash would wrap Long and silently
+    // bias keep/drop — must raise in-plan, naming the id
+    val wide = Seq((Sampling.MaxIdMagnitude + 1L, "en"), (1L, "en")).toDF("doc_id", "lang")
+    val e = intercept[Exception] {
+      Sampling.stratifiedByRate(wide, "lang",
+        Seq(("en", 500000L)).toDF("lang", "rate_ppm")).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(m => m.contains("overflow") &&
+        m.contains((Sampling.MaxIdMagnitude + 1L).toString)),
+      s"expected the id-bound guard error, got: $e")
+    // ids at the bound (either sign) still hash fine
+    val atBound = Seq((Sampling.MaxIdMagnitude, "en"), (-Sampling.MaxIdMagnitude, "en"))
+      .toDF("doc_id", "lang")
+    Sampling.stratifiedByRate(atBound, "lang",
+      Seq(("en", 1000000L)).toDF("lang", "rate_ppm")).collect()
+    // a duplicated stratum row would multiply corpus rows through the join
+    val docs = Seq((1L, "en")).toDF("doc_id", "lang")
+    val dup = intercept[IllegalArgumentException] {
+      Sampling.stratifiedByRate(docs, "lang",
+        Seq(("en", 100L), ("en", 200L)).toDF("lang", "rate_ppm"))
+    }
+    assert(dup.getMessage.contains("duplicate"), s"got: $dup")
+  }
+
   test("contamination: eval overlap in ppm; short and clean docs report zeros") {
     val docs = Seq(
       (1L, "a b c d e"),       // shingles: abc bcd cde

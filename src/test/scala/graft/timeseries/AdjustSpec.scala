@@ -39,6 +39,28 @@ class AdjustSpec extends SparkSpec {
     }
   }
 
+  test("value * denominator-product overflow fails fast instead of silently wrapping") {
+    // den product 5^13 ≈ 1.22e9 (< 2^31, passes the factor guard); a value
+    // of 2^33 micros times that product would wrap Long — must raise, not
+    // return a wrapped adjusted price
+    val splits = (0 until 13).map(i => ("S", i.toLong, 1L, 5L)).toDF("symbol", "ts", "num", "den")
+    val prices = Seq(("S", -1L, 1L, 1L << 33)).toDF("symbol", "secs", "event_id", "price_micros")
+    val e = intercept[Exception] {
+      Adjust.backAdjustSplits(prices, splits,
+        priceTsCol = "secs", splitTsCol = "ts", valueCol = "price_micros").collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("would overflow Long")), s"got: $e")
+    // the same magnitudes in a SAFE combination still succeed: big value,
+    // den product 1 (num-only splits divide, never multiply the value)
+    val numOnly = (0 until 13).map(i => ("S", i.toLong, 5L, 1L)).toDF("symbol", "ts", "num", "den")
+    val ok = Adjust.backAdjustSplits(prices, numOnly,
+        priceTsCol = "secs", splitTsCol = "ts", valueCol = "price_micros")
+      .select("adj_price_micros").collect().map(_.getLong(0))
+    assert(ok.toSeq == Seq((1L << 33) / math.pow(5, 13).toLong))
+  }
+
   test("factor-product overflow fails fast instead of silently wrapping") {
     // 8^11 = 2^33: over the operator's 2^31 bound but under Long overflow
     // (an actual Long overflow would already throw via ANSI arithmetic)
