@@ -454,6 +454,29 @@ object SparkEntry {
         .orderBy("symbol", "event_id")
     }),
 
+    // QI-ADJUST-DIVS dividend/capital-gain back-adjustment (total-return):
+    // synthetic dividends from click-event days (amount <= 997 micros, far
+    // under the 10,000-micro price floor), anchored strictly after each
+    // symbol's first price so every ex-date has a reference close. Exact
+    // ppb fixed-point cumulative factors — see Adjust.backAdjustDividends.
+    "qi_adjust_divs" -> ((s, dir) => {
+      val t = Tables.ticks(s, dir)
+      val prices = t.filter(col("provider") === "prov_a")
+        .select("symbol", "secs", "event_id", "price_micros")
+      val d0 = t.filter(col("event_type") === "click")
+        .groupBy(col("symbol"), (col("secs") - pmod(col("secs"), lit(86400L))).as("dts"))
+        .agg((lit(1L) + min(col("volume")) % 997L).as("amount"))
+      val pmin = prices.groupBy("symbol").agg(min(col("secs")).as("first_secs"))
+      val w = Window.partitionBy("symbol").orderBy("dts")
+      val divs = d0.join(pmin, Seq("symbol"))
+        .where(col("dts") > col("first_secs")).drop("first_secs")
+        .withColumn("rn", row_number().over(w)).where(col("rn") <= 4).drop("rn")
+      graft.timeseries.Adjust.backAdjustDividends(prices, divs,
+          keyCol = "symbol", priceTsCol = "secs", divTsCol = "dts",
+          valueCol = "price_micros", amountCol = "amount")
+        .orderBy("symbol", "event_id")
+    }),
+
     // QI-QUANTILES exact group-wise quantiles by explicit rank selection
     // (lower-value convention, the repo's I1 lower-median precedent) —
     // percentile_approx/approxQuantile cannot be oracle-hashed, and most
@@ -879,6 +902,34 @@ object SparkEntry {
         |  CASE WHEN acts IS NULL THEN price_micros
         |       ELSE price_micros * fr.d // fr.n END AS adj_price_micros
         |FROM f ORDER BY symbol, event_id""".stripMargin),
+
+    "qi_adjust_divs" -> withTicks(
+      """p AS (SELECT symbol, secs, event_id, price_micros FROM ticks WHERE provider = 'prov_a'),
+        |d0 AS (SELECT symbol, secs - secs % 86400 AS dts, 1 + min(volume) % 997 AS amount
+        |       FROM ticks WHERE event_type = 'click' GROUP BY 1, 2),
+        |pmin AS (SELECT symbol, min(secs) AS first_secs FROM p GROUP BY 1),
+        |d1 AS (SELECT d0.symbol, dts, amount,
+        |         row_number() OVER (PARTITION BY d0.symbol ORDER BY dts) AS rn
+        |       FROM d0 JOIN pmin ON pmin.symbol = d0.symbol AND d0.dts > pmin.first_secs),
+        |divs AS (SELECT symbol, dts, amount FROM d1 WHERE rn <= 4),
+        |rc AS (SELECT symbol, secs, max(price_micros) AS ref FROM p GROUP BY 1, 2),
+        |f AS (SELECT d.symbol, d.dts,
+        |        (SELECT arg_max(ref, secs) FROM rc
+        |          WHERE rc.symbol = d.symbol AND rc.secs < d.dts) AS ref, d.amount
+        |      FROM divs d),
+        |ff AS (SELECT symbol, dts, (ref - amount) * 1000000000 // ref AS fppb FROM f),
+        |a AS (SELECT symbol, list(struct_pack(nts := -dts, f := fppb) ORDER BY dts DESC) AS divl
+        |      FROM ff GROUP BY 1),
+        |j AS (SELECT p.*, a.divl FROM p LEFT JOIN a ON a.symbol = p.symbol),
+        |c AS (SELECT symbol, secs, event_id, price_micros, divl,
+        |        list_reduce(list_prepend(1000000000::BIGINT,
+        |            list_transform(list_filter(divl, x -> x.nts < -secs), x -> x.f)),
+        |          (acc, x) -> acc * x // 1000000000) AS cum
+        |      FROM j)
+        |SELECT symbol, secs, event_id, price_micros,
+        |  CASE WHEN divl IS NULL OR cum = 1000000000 THEN price_micros
+        |       ELSE price_micros * cum // 1000000000 END AS adj_price_micros
+        |FROM c ORDER BY symbol, event_id""".stripMargin),
 
     "qi_quantiles" ->
       """WITH r AS (SELECT lang, doc_id, n_chars,
