@@ -528,6 +528,22 @@ object SparkEntry {
         .orderBy("symbol", "event_id")
     }),
 
+    // QI-ASOF-AUTO the auto-dispatched variant of qi_asof_price (same
+    // oracle): the detector sees 15 symbols each holding ~6.7% >= the 5%
+    // default threshold, so dispatch picks the salted carry and sizes the
+    // span from the worst symbol's timeline — no hand-chosen span.
+    "qi_asof_auto" -> ((s, dir) => {
+      val t = Tables.ticks(s, dir)
+      val trades = t.filter(col("event_type") === "purchase")
+        .select("symbol", "secs", "event_id", "price_micros")
+      val refs = t.filter(col("provider") === "prov_a")
+        .groupBy("symbol", "secs")
+        .agg(max_by(col("price_micros"), col("arrival")).as("ref_micros"))
+      graft.operators.AsOfJoin.auto(trades, refs, Seq("symbol"), "secs", "secs",
+          Seq("ref_micros"), tolerance = Some(3600L), matchedTs = "ref_secs")
+        .orderBy("symbol", "event_id")
+    }),
+
     // QI-ASOF-FWD forward as-of: for each error event, the NEXT reference
     // price at or after it (time-reversal of the backward carry — one
     // shuffle, no join node). DuckDB's native ASOF is backward-only, so
@@ -943,6 +959,21 @@ object SparkEntry {
     // identical semantics to qi_asof_price — the salted operator must be
     // indistinguishable from the plain carry at the output level
     "qi_asof_salted" -> withTicks(
+      """l AS (SELECT symbol, secs, event_id, price_micros FROM ticks WHERE event_type = 'purchase'),
+        |r AS (SELECT symbol, secs, max_by(price_micros, arrival) AS ref_micros
+        |      FROM ticks WHERE provider = 'prov_a' GROUP BY 1, 2),
+        |j AS (SELECT l.symbol, l.secs, l.event_id, l.price_micros,
+        |             r.secs AS m_secs, r.ref_micros AS m_micros
+        |      FROM l ASOF LEFT JOIN r ON l.symbol = r.symbol AND l.secs >= r.secs)
+        |SELECT symbol, secs, event_id, price_micros,
+        |  CASE WHEN secs - m_secs <= 3600 THEN m_secs END AS ref_secs,
+        |  CASE WHEN secs - m_secs <= 3600 THEN m_micros END AS ref_micros
+        |FROM j ORDER BY symbol, event_id""".stripMargin),
+
+    // identical semantics to qi_asof_price — auto-dispatch (which picks the
+    // salted carry on this all-hot-symbols fixture and sizes the span
+    // itself) must be output-indistinguishable from the plain carry
+    "qi_asof_auto" -> withTicks(
       """l AS (SELECT symbol, secs, event_id, price_micros FROM ticks WHERE event_type = 'purchase'),
         |r AS (SELECT symbol, secs, max_by(price_micros, arrival) AS ref_micros
         |      FROM ticks WHERE provider = 'prov_a' GROUP BY 1, 2),

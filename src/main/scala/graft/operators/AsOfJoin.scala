@@ -238,6 +238,57 @@ object AsOfJoin {
     finishBackward(carried, keys, leftTs, leftOnly, payload, tolerance, matchedTs, tsType)
   }
 
+  /** Auto-dispatched backward as-of join — measures the key distribution
+    * and picks [[backward]] (uniform keys) or [[backwardSalted]] (one or
+    * more keys hold ≥ `thresholdPpm` of the rows), sizing `span` so the
+    * WORST offender's timeline splits into ~`targetBuckets` buckets. Users
+    * stop hand-choosing the variant and hand-sizing the span.
+    *
+    * The detection is ONE deterministic aggregation over both inputs'
+    * (keys, ts) — [[Salting.hotKeyStats]]: no sampling, so a re-run or a
+    * retried task reaches the IDENTICAL plan (the decision feeds plan
+    * construction), and only key-level stats ever reach the driver
+    * (≤ 1e6/thresholdPpm rows by construction). The span derives from the
+    * maximal (n_rows, ts-range) offender; ties agree on the range, so tie
+    * order cannot perturb the chosen span either. This is a plan-build
+    * action — callers composing many as-ofs over the same inputs should
+    * detect once and call the sized variant directly.
+    *
+    * Output equals [[backward]] for every dispatch outcome (the salted
+    * property tests prove span-independence). Integral ts columns only —
+    * the salted path requires them, and dispatch must not change the
+    * accepted input domain based on data.
+    */
+  def auto(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTs: String,
+      rightTs: String,
+      payload: Seq[String],
+      tolerance: Option[Long] = None,
+      matchedTs: String = "matched_ts",
+      thresholdPpm: Long = 50000L,
+      targetBuckets: Int = 32): DataFrame = {
+    require(targetBuckets > 0, s"targetBuckets must be positive, got $targetBuckets")
+    val integral: Set[org.apache.spark.sql.types.DataType] =
+      Set(org.apache.spark.sql.types.ByteType, org.apache.spark.sql.types.ShortType,
+        org.apache.spark.sql.types.IntegerType, org.apache.spark.sql.types.LongType)
+    require(integral(left.schema(leftTs).dataType) && integral(right.schema(rightTs).dataType),
+      "auto as-of requires integral ts columns (div bucketing; convert timestamps with unix_timestamp first)")
+    val l = left.select(keys.map(col) :+ col(leftTs).cast("long").as("__t"): _*)
+    val r = right.select(keys.map(col) :+ col(rightTs).cast("long").as("__t"): _*)
+    val hot = Salting.hotKeyStats(l.unionByName(r), keys, "__t", thresholdPpm)
+      .select("n_rows", "ts_min", "ts_max").collect()
+    if (hot.isEmpty)
+      backward(left, right, keys, leftTs, rightTs, payload, tolerance, matchedTs)
+    else {
+      val worst = hot.maxBy(row => (row.getLong(0), row.getLong(2) - row.getLong(1)))
+      val span = math.max(1L, (worst.getLong(2) - worst.getLong(1)) / targetBuckets)
+      backwardSalted(left, right, keys, leftTs, rightTs, payload, span, tolerance, matchedTs)
+    }
+  }
+
   /** Nearest as-of join — for every left row, the right row minimizing
     * `|rightTs - leftTs|` (within `tolerance` on BOTH sides), ties broken
     * BACKWARD (pandas merge_asof direction='nearest' semantics; an

@@ -85,4 +85,25 @@ object Salting {
         col("n_total").cast("decimal(38,0)") * thresholdPpm)
       .select(keys.map(col) :+ col("n_rows"): _*)
   }
+
+  /** [[hotKeys]] plus the per-key timestamp range needed to SIZE the
+    * mitigation: `AsOfJoin.auto` divides the worst offender's `(ts_min,
+    * ts_max)` spread by its bucket target to pick a salted-carry `span`.
+    * Same single-pass, deterministic, DECIMAL-compared detection — the
+    * extra min/max aggregates ride the existing exchange for free.
+    */
+  def hotKeyStats(
+      df: DataFrame,
+      keys: Seq[String],
+      tsCol: String,
+      thresholdPpm: Long = 50000L): DataFrame = {
+    require(thresholdPpm > 0, s"thresholdPpm must be positive, got $thresholdPpm")
+    val counts = df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("n_rows"),
+      min(col(tsCol)).as("ts_min"), max(col(tsCol)).as("ts_max"))
+    val total = counts.agg(sum(col("n_rows")).as("n_total"))
+    counts.crossJoin(broadcast(total))
+      .where(col("n_rows").cast("decimal(38,0)") * 1000000L >=
+        col("n_total").cast("decimal(38,0)") * thresholdPpm)
+      .select(keys.map(col) ++ Seq(col("n_rows"), col("ts_min"), col("ts_max")): _*)
+  }
 }

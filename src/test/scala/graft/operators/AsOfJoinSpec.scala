@@ -364,6 +364,48 @@ class AsOfJoinSpec extends SparkSpec {
     }
   }
 
+  test("auto: skewed input dispatches to the salted carry with a detector-sized span") {
+    // one dominant key (>5% of rows by far): auto must plan (k, __bkt)
+    // partitioning — and still equal the plain backward join
+    val rnd = new scala.util.Random(11)
+    val left = ((0 until 1500).map(i => ("hot", i.toLong * 3, i.toLong, rnd.nextInt(100))) ++
+        (0 until 50).map(i => (s"c${i % 10}", i.toLong * 5, 10000L + i, rnd.nextInt(100))))
+      .toDF("k", "ts", "lid", "lval")
+    val right = (0 until 700).map(i => ("hot", i.toLong * 7, Option(i.toLong), s"s$i"))
+      .toDF("k", "ts", "p1", "p2")
+    val out = AsOfJoin.auto(left, right, Seq("k"), "ts", "ts", Seq("p1", "p2"))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("hashpartitioning(k#") && plan.contains("__bkt"),
+      s"skewed input must take the salted carry:\n${plan.take(2000)}")
+    assert(asRowSet(out) == asRowSet(
+      AsOfJoin.backward(left, right, Seq("k"), "ts", "ts", Seq("p1", "p2"))))
+  }
+
+  test("auto: uniform input stays on the plain single-exchange carry") {
+    // 50 keys, ~2% of rows each — all under the 5% default threshold
+    val rnd = new scala.util.Random(12)
+    val left = (0 until 1000).map(i => (s"k${i % 50}", i.toLong * 3, i.toLong, rnd.nextInt(100)))
+      .toDF("k", "ts", "lid", "lval")
+    val right = (0 until 500).map(i => (s"k${i % 50}", i.toLong * 7, Option(i.toLong), s"s$i"))
+      .toDF("k", "ts", "p1", "p2")
+    val out = AsOfJoin.auto(left, right, Seq("k"), "ts", "ts", Seq("p1", "p2"))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("__bkt"), s"uniform input must stay plain:\n${plan.take(2000)}")
+    assert(asRowSet(out) == asRowSet(
+      AsOfJoin.backward(left, right, Seq("k"), "ts", "ts", Seq("p1", "p2"))))
+  }
+
+  test("auto: timestamp ts rejected eagerly; dispatch never widens the input domain") {
+    val l = Seq(("aa", 1L, 0L, 0)).toDF("k", "ts", "lid", "lval")
+      .withColumn("ts", timestamp_seconds(col("ts")))
+    val r = Seq(("aa", 1L, Option(1L), "x")).toDF("k", "ts", "p1", "p2")
+      .withColumn("ts", timestamp_seconds(col("ts")))
+    val e = intercept[IllegalArgumentException] {
+      AsOfJoin.auto(l, r, Seq("k"), "ts", "ts", Seq("p1", "p2"))
+    }
+    assert(e.getMessage.contains("integral"))
+  }
+
   test("floorBucket: uniform span-wide buckets on both sides of the origin") {
     // truncating `div` would give bucket 0 double width over (-span, span);
     // floor division keeps every bucket exactly `span` wide — including the

@@ -45,4 +45,11 @@ class SaltingSpec extends SparkSpec {
       .collect().map(_.getString(0)).toSet
     assert(all == Set("hot", "a", "b"))
   }
+
+  test("hotKeyStats adds the ts range that sizes the mitigation span") {
+    val stats = Salting.hotKeyStats(large, Seq("k"), "v", thresholdPpm = 50000L)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(stats == Map("hot" -> ((1000L, 1L, 1000L))))
+  }
 }
