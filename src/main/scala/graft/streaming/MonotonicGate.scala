@@ -45,20 +45,37 @@ object MonotonicGate {
       updates: Dataset[Update],
       stateTtlMs: Long = 24 * 3600 * 1000L): Dataset[Update] = {
     import updates.sparkSession.implicits._
+    streamingGateOf[Update](updates, _.symbol, _.arrival, _.ts, stateTtlMs)
+  }
+
+  /** The gate generalized over the row type (same contract, same state):
+    * lets richer event shapes — e.g. `StreamAsOf.AsOfEvent`, which carries
+    * a side tag and payload the `Update` shape can't hold — pass through
+    * the IDENTICAL per-symbol monotonic filter before their own stateful
+    * stage, instead of re-implementing the gate per shape.
+    */
+  def streamingGateOf[T](
+      updates: Dataset[T],
+      symbolOf: T => String,
+      arrivalOf: T => Long,
+      tsOf: T => Long,
+      stateTtlMs: Long = 24 * 3600 * 1000L)(
+      implicit enc: org.apache.spark.sql.Encoder[T]): Dataset[T] = {
+    import updates.sparkSession.implicits._
     val timeoutConf =
       if (stateTtlMs > 0) GroupStateTimeout.ProcessingTimeTimeout
       else GroupStateTimeout.NoTimeout // stateTtlMs=0 → no reaper (testing)
     updates
-      .groupByKey(_.symbol)
-      .flatMapGroupsWithState[GateState, Update](OutputMode.Append(), timeoutConf) {
-        (symbol: String, rows: Iterator[Update], state: GroupState[GateState]) =>
+      .groupByKey(symbolOf)
+      .flatMapGroupsWithState[GateState, T](OutputMode.Append(), timeoutConf) {
+        (symbol: String, rows: Iterator[T], state: GroupState[GateState]) =>
           if (state.hasTimedOut) {
             state.remove() // TTL reaper: forget the per-symbol watermark
             Iterator.empty
           } else {
             var maxTs = state.getOption.map(_.maxTs).getOrElse(Long.MinValue)
-            val out = rows.toSeq.sortBy(_.arrival).filter { u =>
-              if (u.ts >= maxTs) { maxTs = math.max(maxTs, u.ts); true }
+            val out = rows.toSeq.sortBy(arrivalOf).filter { u =>
+              if (tsOf(u) >= maxTs) { maxTs = math.max(maxTs, tsOf(u)); true }
               else false
             }
             state.update(GateState(maxTs))
