@@ -100,30 +100,46 @@ object Similarity {
       (((c.toLong * dim + i) * 40503L + 1299721L) % 1000003L).toDouble / 1000003.0 - 0.5
     }
 
-  /** (negdot, cid) score structs against every centroid — array_min/sort
-    * over these yields "max inner product, ties to the lower cell id".
+  /** The default (untrained) centroid table: pseudo-random literals. Swap
+    * for [[KMeans.train]] output via the `*Of` forms / `ivfKnnWith`.
     */
-  private def ivfCellScores(vec: Column, dim: Int, nCells: Int): Column =
-    array((0 until nCells).map { c =>
+  def defaultCentroids(dim: Int, nCells: Int): Seq[Seq[Double]] =
+    (0 until nCells).map(c => ivfCentroid(c, dim).toSeq)
+
+  /** (negdot, cid) score structs against an EXPLICIT centroid table —
+    * array_min/sort over these yields "max inner product, ties to the
+    * lower cell id". Centroids ride as driver-side literals (control-plane
+    * sized: nCells × dim doubles), so assignment stays scan-side.
+    */
+  private def cellScoresOf(vec: Column, centroids: Seq[Seq[Double]]): Column =
+    array(centroids.zipWithIndex.map { case (ct, c) =>
       struct(
-        (-VecDot.of(vec, typedLit(ivfCentroid(c, dim).toSeq))).as("negdot"),
+        (-VecDot.of(vec, typedLit(ct))).as("negdot"),
         lit(c.toLong).as("cid"))
     }: _*)
+
+  /** IVF cell assignment against an explicit centroid table. */
+  def ivfCellOf(vec: Column, centroids: Seq[Seq[Double]]): Column =
+    array_min(cellScoresOf(vec, centroids)).getField("cid")
+
+  /** The nprobe nearest cells against an explicit centroid table. */
+  def ivfProbesOf(vec: Column, centroids: Seq[Seq[Double]], nprobe: Int): Column =
+    transform(
+      slice(array_sort(cellScoresOf(vec, centroids)), 1, nprobe),
+      s => s.getField("cid"))
 
   /** IVF cell assignment: the centroid with the max inner product (ties to
     * the lower cell id). Scan-side: nCells codegen'd dot folds per row,
     * no shuffle.
     */
   def ivfCell(vec: Column, dim: Int = 64, nCells: Int = 8): Column =
-    array_min(ivfCellScores(vec, dim, nCells)).getField("cid")
+    ivfCellOf(vec, defaultCentroids(dim, nCells))
 
   /** The nprobe nearest cells for a query vector (array of cell ids, best
     * first).
     */
   def ivfProbes(vec: Column, nprobe: Int, dim: Int = 64, nCells: Int = 8): Column =
-    transform(
-      slice(array_sort(ivfCellScores(vec, dim, nCells)), 1, nprobe),
-      s => s.getField("cid"))
+    ivfProbesOf(vec, defaultCentroids(dim, nCells), nprobe)
 
   /** IVF ANN: corpus vectors are assigned to their nearest-centroid cell
     * scan-side; each query probes its `nprobe` nearest cells and scores
@@ -142,16 +158,33 @@ object Similarity {
       nCells: Int = 8,
       nprobe: Int = 2,
       idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame =
+    ivfKnnWith(corpus, queries, k, defaultCentroids(dim, nCells), nprobe, idCol, vecCol)
+
+  /** [[ivfKnn]] against an explicit centroid table (e.g. [[KMeans.train]]
+    * output) — the trained-IVF form. Plan is identical to the untrained
+    * path: centroids are literals, assignment scan-side, probe join
+    * equi-keyed on the cell id.
+    */
+  def ivfKnnWith(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      centroids: Seq[Seq[Double]],
+      nprobe: Int = 2,
+      idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
+    require(centroids.nonEmpty && centroids.map(_.size).distinct.size == 1,
+      "centroids must be a non-empty table of equal-dimension vectors")
     // null embeddings would null-poison every cell dot and win the struct
     // argmin (nulls order first) — they can't be neighbors, drop them here
     val cb = corpus.where(col(vecCol).isNotNull)
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("nv"))
-      .withColumn("cell", ivfCell(col("nv"), dim, nCells))
+      .withColumn("cell", ivfCellOf(col("nv"), centroids))
       .withColumn("nnorm", norm(col("nv")))
     val qb = broadcast(queries.where(col(vecCol).isNotNull)
       .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-      .withColumn("cell", explode(ivfProbes(col("qv"), nprobe, dim, nCells)))
+      .withColumn("cell", explode(ivfProbesOf(col("qv"), centroids, nprobe)))
       .withColumn("qnorm", norm(col("qv"))))
     val scored = cb.join(qb, "cell")
       .where(col("neighbor_id") =!= col("query_id"))
