@@ -252,6 +252,37 @@ class PipelineOpsSpec extends SparkSpec {
     assert(e.getMessage.contains("converge"))
   }
 
+  test("connectedComponentsStar: property — equals min-label CC on random pair sets") {
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(seed + 100)
+      val pairs = Seq.fill(60)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+        .toDF("id1", "id2")
+      val want = Dedup.connectedComponents(pairs).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val got = Dedup.connectedComponentsStar(pairs).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == want, s"seed $seed: got $got want $want")
+    }
+  }
+
+  test("connectedComponentsStar: self-loops and edgeless nodes label as singletons") {
+    val pairs = Seq((2L, 1L), (9L, 9L)).toDF("id1", "id2")
+    val got = Dedup.connectedComponentsStar(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 9L -> 9L))
+  }
+
+  test("connectedComponentsStar: a 1000-node chain converges in O(log n) rounds") {
+    // the adversarial case min-label exists to avoid: diameter 999 would
+    // need 999 min-label rounds; star contraction must stay logarithmic
+    val chain = (0L until 999L).map(i => (i, i + 1)).toDF("id1", "id2")
+    val (labels, rounds) = Dedup.starContract(chain, "id1", "id2", maxIters = 50)
+    assert(rounds <= 2 * 10 + 4, s"expected O(log2 1000) rounds, took $rounds")
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(got.length == 1000 && got.forall(_._2 == 0L),
+      s"all nodes must label 0, got ${got.filter(_._2 != 0L).take(5).toSeq}")
+  }
+
   // ------------------------------------------------------- repetition
 
   test("repetitionStats: duplicate n-gram fractions in ppm") {
