@@ -71,11 +71,23 @@ object Bench {
     val repsJson = names.map { n =>
       s"\"" + n + "\":" + times(n).map(fmt).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
+    // per-query triage: a query whose reps spread >1.3x saw host contention
+    // (its min is still faithful — that is why reps run round-robin); tight
+    // reps mean a quiet host. Cross-round comparison (regressed/improved)
+    // lives in scripts/benchtriage.py, which needs a prior round's file.
+    val triageJson = names.map { n =>
+      val v = times(n)
+      val cls =
+        if (v.contains(Double.MaxValue)) "failed"
+        else if (v.max / v.min > 1.3) "contended"
+        else "quiet"
+      s"\"" + n + "\":\"" + cls + "\""
+    }.mkString("{", ",", "}")
     try {
       val repsPath = java.nio.file.Paths.get("target", "bench_reps.json")
       java.nio.file.Files.createDirectories(repsPath.getParent)
       java.nio.file.Files.write(repsPath,
-        s"""{"reps":$repsJson,"sf":"$sfDir"}""".getBytes("UTF-8"))
+        s"""{"reps":$repsJson,"triage":$triageJson,"sf":"$sfDir"}""".getBytes("UTF-8"))
     } catch { case _: Throwable => () }
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"staging_sec":${fmt(stagingSec)},"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
