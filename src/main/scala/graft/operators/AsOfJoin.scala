@@ -289,6 +289,27 @@ object AsOfJoin {
     }
   }
 
+  /** [[auto]] for the forward direction — the same detector and dispatch
+    * through the shared [[timeReversed]] core. Negation preserves both the
+    * per-key counts and the ts ranges the detector sizes the span from, so
+    * the dispatch decision is identical to what the backward form would
+    * make on the reversed timeline. Integral ts columns only.
+    */
+  def autoForward(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTs: String,
+      rightTs: String,
+      payload: Seq[String],
+      tolerance: Option[Long] = None,
+      matchedTs: String = "matched_ts",
+      thresholdPpm: Long = 50000L,
+      targetBuckets: Int = 32): DataFrame =
+    timeReversed(left, right, leftTs, rightTs, matchedTs)(
+      auto(_, _, keys, leftTs, rightTs, payload, tolerance, matchedTs,
+        thresholdPpm, targetBuckets))
+
   /** Nearest as-of join — for every left row, the right row minimizing
     * `|rightTs - leftTs|` (within `tolerance` on BOTH sides), ties broken
     * BACKWARD (pandas merge_asof direction='nearest' semantics; an

@@ -395,6 +395,27 @@ class AsOfJoinSpec extends SparkSpec {
       AsOfJoin.backward(left, right, Seq("k"), "ts", "ts", Seq("p1", "p2"))))
   }
 
+  test("autoForward: skew dispatches salted, uniform stays plain, both equal forward") {
+    val rnd = new scala.util.Random(13)
+    val skewLeft = (0 until 1200).map(i => ("hot", i.toLong * 3, i.toLong, rnd.nextInt(100)))
+      .toDF("k", "ts", "lid", "lval")
+    val skewRight = (0 until 600).map(i => ("hot", i.toLong * 7, Option(i.toLong), s"s$i"))
+      .toDF("k", "ts", "p1", "p2")
+    val skewed = AsOfJoin.autoForward(skewLeft, skewRight, Seq("k"), "ts", "ts", Seq("p1", "p2"))
+    assert(skewed.queryExecution.executedPlan.toString.contains("__bkt"))
+    assert(asRowSet(skewed) == asRowSet(
+      AsOfJoin.forward(skewLeft, skewRight, Seq("k"), "ts", "ts", Seq("p1", "p2"))))
+
+    val uniLeft = (0 until 1000).map(i => (s"k${i % 50}", i.toLong * 3, i.toLong, rnd.nextInt(100)))
+      .toDF("k", "ts", "lid", "lval")
+    val uniRight = (0 until 500).map(i => (s"k${i % 50}", i.toLong * 7, Option(i.toLong), s"s$i"))
+      .toDF("k", "ts", "p1", "p2")
+    val uniform = AsOfJoin.autoForward(uniLeft, uniRight, Seq("k"), "ts", "ts", Seq("p1", "p2"))
+    assert(!uniform.queryExecution.executedPlan.toString.contains("__bkt"))
+    assert(asRowSet(uniform) == asRowSet(
+      AsOfJoin.forward(uniLeft, uniRight, Seq("k"), "ts", "ts", Seq("p1", "p2"))))
+  }
+
   test("auto: timestamp ts rejected eagerly; dispatch never widens the input domain") {
     val l = Seq(("aa", 1L, 0L, 0)).toDF("k", "ts", "lid", "lval")
       .withColumn("ts", timestamp_seconds(col("ts")))
