@@ -157,12 +157,13 @@ class PipelineOpsSpec extends SparkSpec {
     Sampling.stratifiedByRate(atBound, "lang",
       Seq(("en", 1000000L)).toDF("lang", "rate_ppm")).collect()
     // a duplicated stratum row would multiply corpus rows through the join
+    // (in-plan guard: fires on execution, costs nothing at plan build)
     val docs = Seq((1L, "en")).toDF("doc_id", "lang")
-    val dup = intercept[IllegalArgumentException] {
+    val dup = intercept[Exception] {
       Sampling.stratifiedByRate(docs, "lang",
-        Seq(("en", 100L), ("en", 200L)).toDF("lang", "rate_ppm"))
+        Seq(("en", 100L), ("en", 200L)).toDF("lang", "rate_ppm")).collect()
     }
-    assert(dup.getMessage.contains("duplicate"), s"got: $dup")
+    assert(messages(dup).exists(_.contains("duplicate")), s"got: $dup")
   }
 
   test("contamination: eval overlap in ppm; short and clean docs report zeros") {
