@@ -58,19 +58,30 @@ object Sampling {
     require(reserved.isEmpty,
       s"docs columns collide with internal names (rename them): ${reserved.mkString(", ")}")
     // a duplicated stratum key would silently MULTIPLY corpus rows through
-    // the left join instead of sampling them — guard IN-PLAN (house
-    // convention; an eager driver-side check would cost one job per plan
-    // build, which the bench showed as +60% on this scan-side operator).
-    // The flag is one global aggregate over the tiny rates table (plans a
-    // SinglePartition exchange, never a hash shuffle — the scan-side plan
-    // guard stays intact) cross-joined back as a 1-row broadcast.
-    val dupFlag = rates.agg(count(lit(1)).as("__n"),
-      size(collect_set(col(stratumCol))).cast("long").as("__d"))
-    val guarded = rates.crossJoin(broadcast(dupFlag))
-      .withColumn("rate_ppm", when(col("__n") =!= col("__d"),
-          expr("cast(raise_error('stratifiedByRate: duplicate rates rows - one rate_ppm per stratum required') as bigint)"))
-        .otherwise(col("rate_ppm")))
-      .drop("__n", "__d")
+    // the left join instead of sampling them. Guard at the cheapest point
+    // that still can't be skipped: the usual mixture config is a literal
+    // local table, validated driver-side for free (no job — an eager
+    // collect here measured +60% on this scan-side operator); anything
+    // non-local gets an IN-PLAN flag instead — one global aggregate over
+    // the tiny rates table (SinglePartition exchange, never a hash
+    // shuffle, so the scan-side plan guard holds) cross-joined back as a
+    // 1-row broadcast, raising on execution.
+    val guarded = rates.queryExecution.optimizedPlan match {
+      case lr: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
+        val i = lr.output.indexWhere(_.name == stratumCol)
+        val keys = lr.data.map(_.get(i, lr.output(i).dataType))
+        require(keys.distinct.size == keys.size,
+          "stratifiedByRate: duplicate rates rows - one rate_ppm per stratum required")
+        rates
+      case _ =>
+        val dupFlag = rates.agg(count(lit(1)).as("__n"),
+          size(collect_set(col(stratumCol))).cast("long").as("__d"))
+        rates.crossJoin(broadcast(dupFlag))
+          .withColumn("rate_ppm", when(col("__n") =!= col("__d"),
+              expr("cast(raise_error('stratifiedByRate: duplicate rates rows - one rate_ppm per stratum required') as bigint)"))
+            .otherwise(col("rate_ppm")))
+          .drop("__n", "__d")
+    }
     docs
       .join(broadcast(guarded), Seq(stratumCol), "left")
       .withColumn("__bucket", bucketPpm(idCol))

@@ -156,14 +156,23 @@ class PipelineOpsSpec extends SparkSpec {
       .toDF("doc_id", "lang")
     Sampling.stratifiedByRate(atBound, "lang",
       Seq(("en", 1000000L)).toDF("lang", "rate_ppm")).collect()
-    // a duplicated stratum row would multiply corpus rows through the join
-    // (in-plan guard: fires on execution, costs nothing at plan build)
+    // a duplicated stratum row would multiply corpus rows through the join;
+    // a LITERAL rates table is validated driver-side for free...
     val docs = Seq((1L, "en")).toDF("doc_id", "lang")
+    val dupRates = Seq(("en", 100L), ("en", 200L)).toDF("lang", "rate_ppm")
     val dup = intercept[Exception] {
-      Sampling.stratifiedByRate(docs, "lang",
-        Seq(("en", 100L), ("en", 200L)).toDF("lang", "rate_ppm")).collect()
+      Sampling.stratifiedByRate(docs, "lang", dupRates).collect()
     }
     assert(messages(dup).exists(_.contains("duplicate")), s"got: $dup")
+    // ...and a NON-local rates table takes the lazy in-plan guard path
+    val dupLazy = intercept[Exception] {
+      Sampling.stratifiedByRate(docs, "lang", dupRates.repartition(1)).collect()
+    }
+    assert(messages(dupLazy).exists(_.contains("duplicate")), s"got: $dupLazy")
+    // clean non-local rates still sample correctly through the guard
+    val cleanLazy = Sampling.stratifiedByRate(docs, "lang",
+      Seq(("en", 1000000L)).toDF("lang", "rate_ppm").repartition(1))
+    assert(cleanLazy.count() == 1L)
   }
 
   test("contamination: eval overlap in ppm; short and clean docs report zeros") {
