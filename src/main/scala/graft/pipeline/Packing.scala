@@ -1,0 +1,76 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-sequence packing — the concat-and-chunk step between the
+  * dedup/sample stages and the trainer: documents are laid end to end in a
+  * deterministic pseudo-shuffled order and cut into fixed `ctxTokens`
+  * windows. Every mainstream pretraining pipeline runs exactly this shape;
+  * the operator assigns each document its token offset and the chunk range
+  * it lands in (a doc spanning a boundary continues in the next chunk —
+  * the standard no-padding packing).
+  *
+  * Scale design (100 TB): a single global concatenation order would make
+  * the running-sum window one sequential partition. Packing is therefore
+  * SHARDED: the same multiplicative hash the sampling operator uses (so
+  * the id-magnitude overflow guard rides along) assigns each doc a shard
+  * and its pseudo-random position within the shard, and every shard packs
+  * independently in parallel — which is also the production layout (one
+  * output file set per shard). Chunk ids are shard-local; (shard,
+  * chunk_first) is the global chunk key.
+  *
+  * Deterministic end to end: hash order (no rand()), integer arithmetic
+  * only — a re-run or a retried task packs identically, and an engine
+  * replaying the same definition (the DuckDB oracle) reproduces the exact
+  * offsets.
+  */
+object Packing {
+
+  /** @param docs      must carry `idCol` and a non-negative integral
+    *                  `tokensCol` (compose with `TextAnalysis.tokenStats`
+    *                  or count inline)
+    * @param ctxTokens the training context length in tokens
+    * @param nShards   independent packing streams; size to cluster
+    *                  parallelism (each shard's running sum is sequential)
+    * @return (idCol, shard, start_tok, chunk_first, chunk_last, n_chunks)
+    *         — start_tok is the doc's offset in its shard's token stream;
+    *         zero-token docs occupy no tokens and report their boundary
+    *         chunk twice
+    */
+  def packChunks(
+      docs: DataFrame,
+      ctxTokens: Long,
+      nShards: Int,
+      idCol: String = "doc_id",
+      tokensCol: String = "n_tokens"): DataFrame = {
+    require(ctxTokens > 0, s"ctxTokens must be positive, got $ctxTokens")
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    val missing = Seq(idCol, tokensCol).filterNot(docs.columns.contains)
+    require(missing.isEmpty, s"columns absent from docs: ${missing.mkString(", ")}")
+    val reserved = Seq("__hval", "shard", "start_tok", "chunk_first", "chunk_last", "n_chunks")
+      .filter(docs.columns.contains)
+    require(reserved.isEmpty,
+      s"docs columns collide with output/internal names (rename them): ${reserved.mkString(", ")}")
+
+    val toks = expr(
+      s"""if(`$tokensCol` is null or `$tokensCol` < 0,
+         |  cast(raise_error(concat('packChunks: $tokensCol must be a non-negative integer, got ',
+         |    coalesce(cast(`$tokensCol` as string), 'NULL'))) as bigint),
+         |  cast(`$tokensCol` as bigint))""".stripMargin)
+    val w = Window.partitionBy("shard").orderBy("__hval", idCol)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs
+      .withColumn("__hval", Sampling.bucketPpm(idCol)) // guarded hash position
+      .withColumn("shard", col("__hval") % nShards)
+      .withColumn("__n", toks)
+      .withColumn("start_tok", coalesce(sum(col("__n")).over(w), lit(0L)))
+      .withColumn("chunk_first", expr(s"start_tok DIV ${ctxTokens}L"))
+      .withColumn("chunk_last",
+        expr(s"if(__n > 0, (start_tok + __n - 1) DIV ${ctxTokens}L, start_tok DIV ${ctxTokens}L)"))
+      .withColumn("n_chunks", col("chunk_last") - col("chunk_first") + lit(1L))
+      .select(col(idCol), col("shard"), col("start_tok"),
+        col("chunk_first"), col("chunk_last"), col("n_chunks"))
+  }
+}

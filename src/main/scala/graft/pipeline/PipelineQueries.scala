@@ -208,6 +208,18 @@ object PipelineQueries {
         .orderBy("id1", "id2")
     }),
 
+    // training-sequence packing: hash-sharded concat-and-chunk into
+    // 512-token contexts — each shard's token stream cumsums in parallel
+    "ext_pack_chunks" -> ((s, dir) => {
+      import graft.pipeline.TextOps.toksS
+      Packing.packChunks(
+          Tables.documents(s, dir)
+            .select(col("doc_id"),
+              expr(s"size(${toksS("text")})").cast("long").as("n_tokens")),
+          ctxTokens = 512L, nShards = 8)
+        .orderBy("doc_id")
+    }),
+
     "ext_knn_cosine" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       Similarity.bruteForceKnn(emb, emb.filter(col("vec_id") < 10), 3).orderBy("query_id", "rank")
@@ -365,6 +377,23 @@ object PipelineQueries {
          |LEFT JOIN sz ON sz.doc_id = d.doc_id
          |LEFT JOIN ht ON ht.doc_id = d.doc_id
          |ORDER BY d.doc_id""".stripMargin,
+
+    "ext_pack_chunks" ->
+      s"""WITH d AS (SELECT doc_id, CAST(len(${toksD("text")}) AS BIGINT) AS n_tokens FROM documents),
+         |h AS (SELECT doc_id, n_tokens,
+         |        abs(doc_id * 2654435761 + 40503) % 1000000 AS hval FROM d),
+         |s AS (SELECT doc_id, n_tokens, hval, hval % 8 AS shard FROM h),
+         |c AS (SELECT doc_id, shard, n_tokens,
+         |        CAST(COALESCE(sum(n_tokens) OVER (PARTITION BY shard ORDER BY hval, doc_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_tok
+         |      FROM s)
+         |SELECT doc_id, CAST(shard AS BIGINT) AS shard, start_tok,
+         |  start_tok // 512 AS chunk_first,
+         |  CASE WHEN n_tokens > 0 THEN (start_tok + n_tokens - 1) // 512
+         |       ELSE start_tok // 512 END AS chunk_last,
+         |  CASE WHEN n_tokens > 0 THEN (start_tok + n_tokens - 1) // 512
+         |       ELSE start_tok // 512 END - start_tok // 512 + 1 AS n_chunks
+         |FROM c ORDER BY doc_id""".stripMargin,
 
     "ext_sample_stratified" ->
       """WITH r(lang, rate_ppm) AS (VALUES ('en', 500000), ('zh', 200000))

@@ -1,0 +1,50 @@
+package graft.pipeline
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Sequence packing invariants: within a shard the token stream is gapless
+  * and overlap-free (every doc starts exactly where the previous ended),
+  * chunk ranges follow from pure integer arithmetic, and the layout is
+  * deterministic across runs.
+  */
+class PackingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = {
+    val rnd = new scala.util.Random(3)
+    (0L until 400L).map(i => (i, rnd.nextInt(900).toLong)).toDF("doc_id", "n_tokens")
+  }
+
+  test("shard token streams are gapless and overlap-free; chunk math is exact") {
+    val out = Packing.packChunks(docs, ctxTokens = 100L, nShards = 4).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(0)))
+    val toks = docs.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out.groupBy(_._1).foreach { case (shard, rows) =>
+      val ordered = rows.sortBy(_._2)
+      var expectStart = 0L
+      ordered.foreach { case (_, start, cf, cl, nc, id) =>
+        val n = toks(id)
+        assert(start == expectStart, s"shard $shard doc $id: start $start != $expectStart")
+        expectStart += n
+        assert(cf == start / 100, s"doc $id chunk_first")
+        val wantLast = if (n > 0) (start + n - 1) / 100 else start / 100
+        assert(cl == wantLast && nc == wantLast - cf + 1, s"doc $id chunk range")
+      }
+    }
+    // every doc appears exactly once across shards
+    assert(out.length == 400 && out.map(_._6).distinct.length == 400)
+  }
+
+  test("packing is deterministic across runs and rejects bad token counts") {
+    val a = Packing.packChunks(docs, 100L, 4).collect().toSeq.map(_.toSeq)
+    val b = Packing.packChunks(docs, 100L, 4).collect().toSeq.map(_.toSeq)
+    assert(a.toSet == b.toSet)
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    val bad = Seq((1L, -3L)).toDF("doc_id", "n_tokens")
+    val e = intercept[Exception] { Packing.packChunks(bad, 100L, 4).collect() }
+    assert(messages(e).exists(_.contains("non-negative")), s"got: $e")
+  }
+}
