@@ -11,10 +11,14 @@ import org.apache.spark.sql.catalyst.expressions.Expression
   *
   * tz_bucket(secs BIGINT, zone STRING-literal, mode BIGINT-literal):
   * mode 0 = local day, 1 = local Monday week, >=60 = minute step seconds.
+  * vec_dot(a ARRAY<FLOAT|DOUBLE>, b ARRAY<FLOAT|DOUBLE>): codegen'd strict
+  * left-to-right dot product (the similarity kernel), NULL on length
+  * mismatch.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.tzBucketDescriptor)
+    ext.injectFunction(GraftExtensions.vecDotDescriptor)
   }
 }
 
@@ -40,8 +44,21 @@ object GraftExtensions {
     new ExpressionInfo(classOf[TzBucket].getName, "tz_bucket"),
     build _)
 
+  private def buildVecDot(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 2, "vec_dot(a, b)")
+    VecDot(exprs.head, exprs(1))
+  }
+
+  val vecDotDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("vec_dot"),
+    new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
+    buildVecDot _)
+
   /** Retrofit registration on an already-built session. */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "tz_bucket", build _, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "vec_dot", buildVecDot _, "scala_udf")
+  }
 }

@@ -133,10 +133,21 @@ object Adjust {
     * price outside (0, ~9.2e9], a factor or cumulative factor underflowing
     * 1 ppb, and final-multiply overflow.
     *
+    * Composing with [[backAdjustSplits]] for the full total-return series:
+    * dividend factors are RATIOS, so they are invariant under any uniform
+    * scaling of reference price and amount — run splits first on the
+    * prices, split-adjust the amounts the same way (one more
+    * `backAdjustSplits` call with `valueCol = amount`, exactly how
+    * provider feeds ship "split-adjusted dividends"), then run this
+    * operator on the adjusted pair. Each factor then equals its raw-series
+    * value and the products telescope into the standard provider
+    * `adjclose`.
+    *
     * @param prices    (keyCol, priceTsCol, valueCol) rows — valueCol and
     *                  priceTsCol integral (micros/epoch-seconds convention)
     * @param dividends (keyCol, divTsCol, amountCol) rows — amountCol in the
-    *                  same integral unit as valueCol
+    *                  same integral unit as valueCol, as-traded at its
+    *                  ex-time (see the composition note for split handling)
     * @return prices plus `adj_<valueCol>` back-adjusted for distributions
     */
   def backAdjustDividends(

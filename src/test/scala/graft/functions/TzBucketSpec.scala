@@ -82,4 +82,13 @@ class TzBucketSpec extends SparkSpec {
     assert(r.getLong(0) == 1710046800L)
     assert(r.getLong(1) == 1730610000L)
   }
+
+  test("vec_dot is SQL-callable after GraftExtensions registration, NULL on length mismatch") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      "SELECT vec_dot(array(1.0D, 2.0D, 3.0D), array(4.0D, 5.0D, 6.0D)) AS d, " +
+      "vec_dot(array(1.0D), array(1.0D, 2.0D)) AS mismatch").collect()(0)
+    assert(r.getDouble(0) == 32.0)
+    assert(r.isNullAt(1))
+  }
 }
