@@ -276,9 +276,13 @@ object AsOfJoin {
         org.apache.spark.sql.types.IntegerType, org.apache.spark.sql.types.LongType)
     require(integral(left.schema(leftTs).dataType) && integral(right.schema(rightTs).dataType),
       "auto as-of requires integral ts columns (div bucketing; convert timestamps with unix_timestamp first)")
+    // null timestamps are excluded from DETECTION (min/max of a key whose
+    // ts are all null would read back as 0 through the primitive getters
+    // and silently mis-size the span); the join itself still sees them
     val l = left.select(keys.map(col) :+ col(leftTs).cast("long").as("__t"): _*)
     val r = right.select(keys.map(col) :+ col(rightTs).cast("long").as("__t"): _*)
-    val hot = Salting.hotKeyStats(l.unionByName(r), keys, "__t", thresholdPpm)
+    val hot = Salting.hotKeyStats(
+        l.unionByName(r).where(col("__t").isNotNull), keys, "__t", thresholdPpm)
       .select("n_rows", "ts_min", "ts_max").collect()
     if (hot.isEmpty)
       backward(left, right, keys, leftTs, rightTs, payload, tolerance, matchedTs)

@@ -54,8 +54,17 @@ object KMeans {
       s"corpus has only ${seeds.size} non-null vectors for $nCells cells")
     val dim = seeds.head.size
 
+    // a dimension-mismatched vector would null its cell dot products, fall
+    // out of the argmin as a NULL cell, and read back as cell 0 through the
+    // primitive getter — silently corrupting that centroid. Fail fast.
+    val checked = vecs.withColumn("__v", expr(
+      s"""if(size(__v) != $dim,
+         |  array(cast(raise_error(concat('KMeans.train: vector dimension ', cast(size(__v) as string),
+         |    ' != $dim (the seeded dimension) for id ', cast(__id as string))) as double)),
+         |  __v)""".stripMargin))
+
     (0 until iters).foldLeft(seeds) { (centroids, _) =>
-      val sums = vecs
+      val sums = checked
         .withColumn("__cell", Similarity.ivfCellOf(col("__v"), centroids))
         .select(col("__cell"), posexplode(col("__v")).as(Seq("__pos", "__comp")))
         .groupBy("__cell", "__pos")

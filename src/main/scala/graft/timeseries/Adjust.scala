@@ -210,7 +210,7 @@ object Adjust {
            |  when __m is null then cast(raise_error(concat(
            |    'backAdjustDividends: no price strictly before dividend at ts ', cast(__dts as string),
            |    ' - drop or re-window such dividends first')) as bigint)
-           |  when __m.__pv <= 0 then cast(raise_error('backAdjustDividends: reference price must be positive') as bigint)
+           |  when __m.__pv is null or __m.__pv <= 0 then cast(raise_error('backAdjustDividends: reference price must be positive, got NULL or <= 0') as bigint)
            |  when __m.__pv > ${maxRef}L then cast(raise_error('backAdjustDividends: reference price exceeds $maxRef - rescale the value column first') as bigint)
            |  when __amt >= __m.__pv then cast(raise_error(concat(
            |    'backAdjustDividends: amount ', cast(__amt as string), ' >= reference price ',

@@ -416,6 +416,21 @@ class AsOfJoinSpec extends SparkSpec {
       AsOfJoin.forward(uniLeft, uniRight, Seq("k"), "ts", "ts", Seq("p1", "p2"))))
   }
 
+  test("auto: null timestamps don't poison the span sizing and output still equals backward") {
+    val rnd = new scala.util.Random(14)
+    // hot key with a sprinkle of null-ts rows: detection must size the span
+    // from the non-null range, and the join output must match plain backward
+    val left = ((0 until 800).map(i => ("hot", Option(i.toLong * 3), i.toLong, rnd.nextInt(50))) ++
+        (0 until 20).map(i => ("hot", Option.empty[Long], 9000L + i, rnd.nextInt(50))))
+      .toDF("k", "ts", "lid", "lval")
+    val right = (0 until 400).map(i => ("hot", i.toLong * 7, Option(i.toLong), s"s$i"))
+      .toDF("k", "ts", "p1", "p2")
+    val out = AsOfJoin.auto(left, right, Seq("k"), "ts", "ts", Seq("p1", "p2"))
+    assert(out.queryExecution.executedPlan.toString.contains("__bkt"), "hot key must still salt")
+    assert(asRowSet(out) == asRowSet(
+      AsOfJoin.backward(left, right, Seq("k"), "ts", "ts", Seq("p1", "p2"))))
+  }
+
   test("auto: timestamp ts rejected eagerly; dispatch never widens the input domain") {
     val l = Seq(("aa", 1L, 0L, 0)).toDF("k", "ts", "lid", "lval")
       .withColumn("ts", timestamp_seconds(col("ts")))

@@ -37,6 +37,17 @@ class KMeansSpec extends SparkSpec {
     assert(byCluster.values.flatten.toSet.size == 4, s"merged clusters: $byCluster")
   }
 
+  test("a dimension-mismatched vector fails fast instead of corrupting a centroid") {
+    val mixed = clustered.select($"vec_id", $"embedding")
+      .unionByName(Seq((999L, Seq(1.0, 2.0))).toDF("vec_id", "embedding"))
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    // (the offender may be seeded first, in which case the OTHER vectors
+    // mismatch — either way training must raise, naming some id)
+    val e = intercept[Exception] { KMeans.train(mixed, nCells = 4, iters = 1) }
+    assert(messages(e).exists(m => m.contains("vector dimension")), s"got: $e")
+  }
+
   test("training is deterministic: identical inputs produce identical models") {
     val a = KMeans.train(clustered, nCells = 4, iters = 3)
     val b = KMeans.train(clustered, nCells = 4, iters = 3)

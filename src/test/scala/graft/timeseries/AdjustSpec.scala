@@ -166,6 +166,16 @@ class AdjustSpec extends SparkSpec {
     assert(messages(e4).exists(_.contains("non-negative")), s"got: $e4")
   }
 
+  test("dividend: a NULL reference close errors, never silently nulls the adjusted column") {
+    // the only price before the ex-time has a null value — adjusting off it
+    // is undefined and must raise, not propagate null through the factor
+    val divs = Seq(("S", 100L, 10L)).toDF("symbol", "dts", "amount")
+    val prices = Seq(("S", 50L, 1L, Option.empty[Long]), ("S", 150L, 2L, Some(500000L)))
+      .toDF("symbol", "secs", "event_id", "price_micros")
+    val e = intercept[Exception] { divAdjust(prices, divs).collect() }
+    assert(messages(e).exists(_.contains("reference price must be positive")), s"got: $e")
+  }
+
   test("dividend: value * cumulative factor overflow fails fast; unadjusted rows are exempt") {
     // cum < 1e9 (a real dividend) and a value past Long.Max DIV cum must raise
     val divs = Seq(("S", 100L, 50000L)).toDF("symbol", "dts", "amount")
