@@ -44,13 +44,55 @@ object Packing {
       ctxTokens: Long,
       nShards: Int,
       idCol: String = "doc_id",
+      tokensCol: String = "n_tokens"): DataFrame =
+    packedCore(docs, ctxTokens, nShards, idCol, tokensCol)
+      .select(col(idCol), col("shard"), col("start_tok"),
+        col("chunk_first"), col("chunk_last"), col("n_chunks"))
+
+  /** The per-CHUNK companion view — the artifact a training loader actually
+    * consumes: one row per (shard, chunk_id) with the documents
+    * intersecting it and the chunk's fill. Derived from the same layout as
+    * [[packChunks]] (one explode of each doc's chunk range — fan-out =
+    * n_chunks per doc, ~1 — then a map-side-combinable aggregate on
+    * (shard, chunk_id)). Invariant: every chunk except each shard's last
+    * holds exactly `ctxTokens` tokens.
+    *
+    * @return (shard, chunk_id, n_docs, doc_first, doc_last, fill_tokens)
+    */
+  def chunkSpans(
+      docs: DataFrame,
+      ctxTokens: Long,
+      nShards: Int,
+      idCol: String = "doc_id",
       tokensCol: String = "n_tokens"): DataFrame = {
+    val packed = packedCore(docs, ctxTokens, nShards, idCol, tokensCol)
+      .where(col("__n") > 0) // zero-token docs occupy no chunk
+    packed
+      .select(col(idCol), col("shard"), col("start_tok"), col("__n"),
+        explode(expr(s"sequence(chunk_first, chunk_last)")).as("chunk_id"))
+      // tokens of this doc landing in this chunk: overlap of
+      // [start, start+n) with [chunk*ctx, (chunk+1)*ctx)
+      .withColumn("__in", expr(
+        s"""least(start_tok + __n, (chunk_id + 1) * ${ctxTokens}L)
+           | - greatest(start_tok, chunk_id * ${ctxTokens}L)""".stripMargin))
+      .groupBy("shard", "chunk_id")
+      .agg(count(lit(1)).as("n_docs"),
+        min(col(idCol)).as("doc_first"), max(col(idCol)).as("doc_last"),
+        sum(col("__in")).as("fill_tokens"))
+  }
+
+  private def packedCore(
+      docs: DataFrame,
+      ctxTokens: Long,
+      nShards: Int,
+      idCol: String,
+      tokensCol: String): DataFrame = {
     require(ctxTokens > 0, s"ctxTokens must be positive, got $ctxTokens")
     require(nShards > 0, s"nShards must be positive, got $nShards")
     val missing = Seq(idCol, tokensCol).filterNot(docs.columns.contains)
     require(missing.isEmpty, s"columns absent from docs: ${missing.mkString(", ")}")
-    val reserved = Seq("__hval", "shard", "start_tok", "chunk_first", "chunk_last", "n_chunks")
-      .filter(docs.columns.contains)
+    val reserved = Seq("__hval", "__n", "shard", "start_tok", "chunk_first", "chunk_last", "n_chunks")
+      .filter(c => docs.columns.contains(c) && c != tokensCol)
     require(reserved.isEmpty,
       s"docs columns collide with output/internal names (rename them): ${reserved.mkString(", ")}")
 
@@ -70,7 +112,5 @@ object Packing {
       .withColumn("chunk_last",
         expr(s"if(__n > 0, (start_tok + __n - 1) DIV ${ctxTokens}L, start_tok DIV ${ctxTokens}L)"))
       .withColumn("n_chunks", col("chunk_last") - col("chunk_first") + lit(1L))
-      .select(col(idCol), col("shard"), col("start_tok"),
-        col("chunk_first"), col("chunk_last"), col("n_chunks"))
   }
 }

@@ -220,6 +220,18 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // the per-chunk companion view (what a training loader reads): doc
+    // spans and fill per (shard, chunk)
+    "ext_pack_spans" -> ((s, dir) => {
+      import graft.pipeline.TextOps.toksS
+      Packing.chunkSpans(
+          Tables.documents(s, dir)
+            .select(col("doc_id"),
+              expr(s"size(${toksS("text")})").cast("long").as("n_tokens")),
+          ctxTokens = 512L, nShards = 8)
+        .orderBy("shard", "chunk_id")
+    }),
+
     "ext_knn_cosine" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       Similarity.bruteForceKnn(emb, emb.filter(col("vec_id") < 10), 3).orderBy("query_id", "rank")
@@ -394,6 +406,25 @@ object PipelineQueries {
          |  CASE WHEN n_tokens > 0 THEN (start_tok + n_tokens - 1) // 512
          |       ELSE start_tok // 512 END - start_tok // 512 + 1 AS n_chunks
          |FROM c ORDER BY doc_id""".stripMargin,
+
+    "ext_pack_spans" ->
+      s"""WITH d AS (SELECT doc_id, CAST(len(${toksD("text")}) AS BIGINT) AS n_tokens FROM documents),
+         |h AS (SELECT doc_id, n_tokens,
+         |        abs(doc_id * 2654435761 + 40503) % 1000000 AS hval FROM d),
+         |s AS (SELECT doc_id, n_tokens, hval, hval % 8 AS shard FROM h),
+         |c AS (SELECT doc_id, shard, n_tokens,
+         |        CAST(COALESCE(sum(n_tokens) OVER (PARTITION BY shard ORDER BY hval, doc_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_tok
+         |      FROM s),
+         |e AS (SELECT doc_id, shard, start_tok, n_tokens,
+         |        unnest(generate_series(start_tok // 512, (start_tok + n_tokens - 1) // 512)) AS chunk_id
+         |      FROM c WHERE n_tokens > 0)
+         |SELECT CAST(shard AS BIGINT) AS shard, CAST(chunk_id AS BIGINT) AS chunk_id,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  min(doc_id) AS doc_first, max(doc_id) AS doc_last,
+         |  CAST(sum(least(start_tok + n_tokens, (chunk_id + 1) * 512)
+         |       - greatest(start_tok, chunk_id * 512)) AS BIGINT) AS fill_tokens
+         |FROM e GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "ext_sample_stratified" ->
       """WITH r(lang, rate_ppm) AS (VALUES ('en', 500000), ('zh', 200000))

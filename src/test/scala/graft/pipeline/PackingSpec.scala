@@ -37,6 +37,26 @@ class PackingSpec extends SparkSpec {
     assert(out.length == 400 && out.map(_._6).distinct.length == 400)
   }
 
+  test("chunkSpans: every chunk but each shard's last is exactly ctx-full; totals conserve") {
+    val spans = Packing.chunkSpans(docs, ctxTokens = 100L, nShards = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(5)))
+    spans.groupBy(_._1).foreach { case (shard, rows) =>
+      val maxChunk = rows.map(_._2).max
+      rows.foreach { case (_, chunk, nDocs, fill) =>
+        assert(nDocs >= 1)
+        if (chunk < maxChunk)
+          assert(fill == 100L, s"shard $shard chunk $chunk fill $fill != ctx")
+        else
+          assert(fill >= 1 && fill <= 100L, s"shard $shard final chunk fill $fill")
+      }
+      // chunk ids are contiguous from 0
+      assert(rows.map(_._2).sorted.toSeq == (0L to maxChunk), s"shard $shard has chunk gaps")
+    }
+    // token conservation: fills sum to the corpus token count
+    val totalTokens = docs.agg(sum("n_tokens")).collect()(0).getLong(0)
+    assert(spans.map(_._4).sum == totalTokens)
+  }
+
   test("packing is deterministic across runs and rejects bad token counts") {
     val a = Packing.packChunks(docs, 100L, 4).collect().toSeq.map(_.toSeq)
     val b = Packing.packChunks(docs, 100L, 4).collect().toSeq.map(_.toSeq)
