@@ -107,6 +107,42 @@ object Demo {
     pipeline.Similarity.bruteForceKnn(emb, emb.filter(org.apache.spark.sql.functions.col("vec_id") < 2), 3)
       .show(6)
 
+    println("== trained IVF: k-means centroids through the same scan-side plan ==")
+    val centroids = pipeline.KMeans.train(emb, nCells = 8)
+    pipeline.Similarity.ivfKnnWith(
+        emb, emb.filter(org.apache.spark.sql.functions.col("vec_id") < 2), 3, centroids)
+      .show(6)
+
+    println("== total-return adjustment: splits then split-adjusted dividends ==")
+    locally {
+      import org.apache.spark.sql.functions._
+      import spark.implicits._
+      val prices = Seq(("S", 10L, 1L, 9000000L), ("S", 20L, 2L, 9600000L),
+          ("S", 30L, 3L, 5000000L), ("S", 40L, 4L, 5200000L))
+        .toDF("symbol", "secs", "event_id", "price_micros")
+      val splits = Seq(("S", 25L, 2L, 1L)).toDF("symbol", "ts", "num", "den")
+      val divs = Seq(("S", 40L, 200000L)).toDF("symbol", "dts", "amount")
+      val splitAdj = timeseries.Adjust.backAdjustSplits(prices, splits,
+          priceTsCol = "secs", valueCol = "price_micros")
+        .withColumnRenamed("adj_price_micros", "sadj_micros")
+      val divsAdj = timeseries.Adjust.backAdjustSplits(divs, splits,
+          priceTsCol = "dts", valueCol = "amount")
+        .select(col("symbol"), col("dts"), col("adj_amount").as("amount"))
+      timeseries.Adjust.backAdjustDividends(
+          splitAdj.select(col("symbol"), col("secs"), col("event_id"), col("sadj_micros")),
+          divsAdj, priceTsCol = "secs", divTsCol = "dts", valueCol = "sadj_micros")
+        .orderBy("event_id").show()
+    }
+
+    println("== sequence packing: 64-token contexts over 8 shards ==")
+    locally {
+      import org.apache.spark.sql.functions._
+      val withToks = docs.select(col("doc_id"),
+        expr(s"size(${pipeline.TextOps.toksS("text")})").cast("long").as("n_tokens"))
+      pipeline.Packing.chunkSpans(withToks, ctxTokens = 64L, nShards = 8)
+        .orderBy("shard", "chunk_id").show(5)
+    }
+
     spark.stop()
   }
 }
