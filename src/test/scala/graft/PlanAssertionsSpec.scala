@@ -46,6 +46,21 @@ class PlanAssertionsSpec extends SparkSpec {
     assert(!plan.contains("lambdafunction"), "HOF lambda re-appeared in the LSH path")
   }
 
+  test("ext_pack_chunks: exactly ONE hash exchange (the shard cumsum) beyond the presentation sort") {
+    val plan = planOf("ext_pack_chunks")
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(hashExchanges == 1,
+      s"packing must shuffle the corpus once, on the shard key; got $hashExchanges:\n${plan.take(2000)}")
+  }
+
+  test("ext_pack_spans: shard cumsum + one (shard, chunk) aggregate — no other shuffles") {
+    val plan = planOf("ext_pack_spans")
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(hashExchanges <= 2,
+      s"chunk view must add at most the (shard, chunk_id) aggregate exchange; got $hashExchanges:\n${plan.take(2000)}")
+    assert(plan.contains("Generate"), s"chunk-range explode missing:\n${plan.take(1500)}")
+  }
+
   test("ext_sample_stratified: scan-side predicate + broadcast rates — only the presentation sort shuffles") {
     val plan = planOf("ext_sample_stratified")
     assert(plan.contains("BroadcastHashJoin"), s"rates must broadcast:\n$plan")
