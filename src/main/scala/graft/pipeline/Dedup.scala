@@ -363,6 +363,30 @@ object Dedup {
     labels
   }
 
+  /** [[connectedComponents]] with the star-contraction fallback wired in:
+    * run min-label for up to `minLabelIters` rounds (the cheap path for
+    * band-generated near-dup graphs, diameter ≲ a few), and if the graph
+    * turns out adversarial — a component whose diameter exceeds the
+    * budget — rerun with [[connectedComponentsStar]] instead of failing.
+    * The fallback restarts from the edges (min-label progress is per-node
+    * labels, not contracted edges, so nothing transfers), which costs at
+    * most the budgeted min-label rounds — bounded and rare by
+    * construction. Dispatch is deterministic: the same input either
+    * converges in the same rounds or falls back identically.
+    */
+  def connectedComponentsAuto(
+      pairs: DataFrame,
+      idA: String = "id1",
+      idB: String = "id2",
+      minLabelIters: Int = 12,
+      starIters: Int = 50): DataFrame =
+    try connectedComponents(pairs, idA, idB, minLabelIters)
+    catch {
+      case e: IllegalArgumentException if e.getMessage != null &&
+          e.getMessage.contains("did not converge") =>
+        connectedComponentsStar(pairs, idA, idB, starIters)
+    }
+
   /** Star-contraction connected components — the documented upgrade path
     * for graphs where [[connectedComponents]]' min-label O(diameter)
     * degrades (adversarial LONG CHAINS: a diameter-d path needs d

@@ -255,6 +255,12 @@ object PipelineQueries {
       TextAnalysis.repetitionStats(Tables.documents(s, dir)).orderBy("doc_id")
     }),
 
+    // Gopher-style composite keep/drop with a reasons bitmask — the
+    // pretraining filter stack over the integer metrics
+    "ext_quality_filter" -> ((s, dir) => {
+      TextAnalysis.gopherFilter(Tables.documents(s, dir)).orderBy("doc_id")
+    }),
+
     "ext_pii_scrub" -> ((s, dir) => {
       TextAnalysis.piiScrub(piiAug(Tables.documents(s, dir))).orderBy("doc_id")
     }),
@@ -525,6 +531,34 @@ object PipelineQueries {
          |  CAST(len(tgs) AS BIGINT) AS n_trigrams,
          |  CAST((len(tgs) - len(list_distinct(tgs))) * 1000000 // greatest(len(tgs), 1) AS BIGINT) AS dup_trigram_ppm
          |FROM g ORDER BY doc_id""".stripMargin,
+
+    "ext_quality_filter" ->
+      s"""WITH tk AS (SELECT doc_id, ${toksD("text")} AS toks FROM documents),
+         |st AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+         |  CAST(COALESCE(list_sum(list_transform(toks, t -> len(t))), 0) * 1000000
+         |       // greatest(len(toks), 1) AS BIGINT) AS avg_len,
+         |  CAST(len(list_distinct(toks)) * 1000000 // greatest(len(toks), 1) AS BIGINT) AS distinct_ppm
+         | FROM tk),
+         |g AS (SELECT doc_id,
+         |  CASE WHEN len(toks) >= 2 THEN list_transform(generate_series(1, len(toks)-1),
+         |    i -> toks[i] || ' ' || toks[i+1]) ELSE [] END AS bgs,
+         |  CASE WHEN len(toks) >= 3 THEN list_transform(generate_series(1, len(toks)-2),
+         |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) ELSE [] END AS tgs
+         | FROM tk),
+         |rep AS (SELECT doc_id,
+         |  CAST((len(bgs) - len(list_distinct(bgs))) * 1000000 // greatest(len(bgs), 1) AS BIGINT) AS dup_bi,
+         |  CAST((len(tgs) - len(list_distinct(tgs))) * 1000000 // greatest(len(tgs), 1) AS BIGINT) AS dup_tri
+         | FROM g),
+         |f AS (SELECT st.doc_id,
+         |  CAST(st.n_tokens < 50 AS BIGINT) * 1
+         |  + CAST(st.n_tokens > 100000 AS BIGINT) * 2
+         |  + CAST(st.avg_len < 3000000 OR st.avg_len > 10000000 AS BIGINT) * 4
+         |  + CAST(st.distinct_ppm < 200000 AS BIGINT) * 8
+         |  + CAST(rep.dup_bi > 200000 AS BIGINT) * 16
+         |  + CAST(rep.dup_tri > 300000 AS BIGINT) * 32 AS drop_reasons
+         | FROM st JOIN rep ON rep.doc_id = st.doc_id)
+         |SELECT doc_id, CAST(drop_reasons = 0 AS BIGINT) AS keep, drop_reasons
+         |FROM f ORDER BY doc_id""".stripMargin,
 
     "ext_pii_scrub" ->
       s"""WITH $piiAugSql

@@ -34,6 +34,44 @@ object TextAnalysis {
       .select(col(idCol),
         expr("least(least(n_tokens, 100) * 5000 + distinct_ppm DIV 2, 1000000)").as("quality_ppm"))
 
+  /** Gopher/Dolma-style composite keep/drop filter — the rule stack a
+    * pretraining pipeline actually applies, composed from the existing
+    * integer metrics ([[tokenStats]], [[repetitionStats]]) so every
+    * threshold compare is deterministic and oracle-replicable. Emits the
+    * decision AND a `drop_reasons` bitmask (bit 0 too-few-tokens, 1
+    * too-many, 2 token-length out of band, 3 low lexical diversity, 4
+    * duplicate bigrams, 5 duplicate trigrams) — pipelines keep the mask
+    * for filter-rate dashboards and ablations, not just the boolean.
+    * Thresholds are ppm integers; defaults adapt the published Gopher
+    * rules to this engine's fixed-point convention.
+    */
+  def gopherFilter(
+      docs: DataFrame,
+      minTokens: Long = 50L,
+      maxTokens: Long = 100000L,
+      minAvgTokenLenPpm: Long = 3000000L,
+      maxAvgTokenLenPpm: Long = 10000000L,
+      minDistinctPpm: Long = 200000L,
+      maxDupBigramPpm: Long = 200000L,
+      maxDupTrigramPpm: Long = 300000L,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val reasons = expr(
+      s"""cast(n_tokens < ${minTokens}L as bigint) * 1
+         | + cast(n_tokens > ${maxTokens}L as bigint) * 2
+         | + cast(avg_token_len_ppm < ${minAvgTokenLenPpm}L
+         |        or avg_token_len_ppm > ${maxAvgTokenLenPpm}L as bigint) * 4
+         | + cast(distinct_ppm < ${minDistinctPpm}L as bigint) * 8
+         | + cast(dup_bigram_ppm > ${maxDupBigramPpm}L as bigint) * 16
+         | + cast(dup_trigram_ppm > ${maxDupTrigramPpm}L as bigint) * 32""".stripMargin)
+    tokenStats(docs, idCol, textCol)
+      .join(repetitionStats(docs, idCol, textCol), Seq(idCol))
+      .withColumn("drop_reasons", reasons)
+      .select(col(idCol),
+        (col("drop_reasons") === 0L).cast("bigint").as("keep"),
+        col("drop_reasons"))
+  }
+
   /** Stopword-marker language heuristic (argmax of per-language marker
     * counts, precedence en>es>de>fr, 'und' when no markers hit).
     */

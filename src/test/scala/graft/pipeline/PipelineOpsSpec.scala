@@ -282,6 +282,20 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got == Map(1L -> 1L, 2L -> 1L, 9L -> 9L))
   }
 
+  test("connectedComponentsAuto: short graphs use min-label, a long chain falls back to star") {
+    // well-within-budget graph: identical to min-label output
+    val pairs = Seq((2L, 1L), (2L, 3L), (5L, 4L)).toDF("id1", "id2")
+    val got = Dedup.connectedComponentsAuto(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L))
+    // a 200-node chain blows the 12-round min-label budget; auto must
+    // fall back to star contraction and still label everything 0
+    val chain = (0L until 199L).map(i => (i, i + 1)).toDF("id1", "id2")
+    val labels = Dedup.connectedComponentsAuto(chain).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    assert(labels.length == 200 && labels.forall(_._2 == 0L))
+  }
+
   test("connectedComponentsStar: a 1000-node chain converges in O(log n) rounds") {
     // the adversarial case min-label exists to avoid: diameter 999 would
     // need 999 min-label rounds; star contraction must stay logarithmic
@@ -291,6 +305,22 @@ class PipelineOpsSpec extends SparkSpec {
     val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1))
     assert(got.length == 1000 && got.forall(_._2 == 0L),
       s"all nodes must label 0, got ${got.filter(_._2 != 0L).take(5).toSeq}")
+  }
+
+  test("gopherFilter: each rule trips its own reason bit; clean prose keeps") {
+    val docs = Seq(
+      (1L, (0 until 60).map(i => s"word$i").mkString(" ")), // clean (avg token ~5.8 chars)
+      (2L, "too short"),                                                // bit 0
+      (3L, Seq.fill(80)("same").mkString(" ")),                         // repeats: bits 3,4,5
+      (4L, (0 until 60).map(i => s"supercalifragilistic$i").mkString(" ")) // long tokens: bit 2
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.gopherFilter(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out(1L) == ((1L, 0L)), s"clean doc: ${out(1L)}")
+    assert(out(2L)._1 == 0L && (out(2L)._2 & 1L) != 0L, s"short doc: ${out(2L)}")
+    assert(out(3L)._1 == 0L && (out(3L)._2 & 48L) != 0L && (out(3L)._2 & 8L) != 0L,
+      s"repetitive doc: ${out(3L)}")
+    assert(out(4L)._1 == 0L && (out(4L)._2 & 4L) != 0L, s"long-token doc: ${out(4L)}")
   }
 
   // ------------------------------------------------------- repetition
