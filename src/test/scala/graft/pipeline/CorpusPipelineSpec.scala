@@ -1,0 +1,67 @@
+package graft.pipeline
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.tables.Tables
+
+/** The four pipeline stages compose end to end the way a pretraining data
+  * pipeline runs them — quality filter → exact dedup → stratified sample →
+  * sequence packing — over the real documents table, with row accounting
+  * at every stage and full determinism across re-runs.
+  */
+class CorpusPipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("filter → dedup → sample → pack composes with exact row accounting") {
+    assume(new java.io.File(s"$dir/documents.parquet").exists(), s"$dir not present")
+    val docs = Tables.documents(spark, dir)
+    val total = docs.count()
+
+    // 1. quality filter (keep only clean docs, with a reasons breakdown)
+    val filtered = docs.join(
+      TextAnalysis.gopherFilter(docs).where(col("keep") === 1L).select("doc_id"), "doc_id")
+    val nFiltered = filtered.count()
+    assert(nFiltered > 0 && nFiltered <= total)
+
+    // 2. exact dedup keeps one doc per distinct text
+    val deduped = filtered.join(
+      Dedup.exactDedup(filtered).where(col("is_keeper")).select("doc_id"), "doc_id")
+    val nDeduped = deduped.count()
+    assert(nDeduped <= nFiltered)
+    assert(deduped.select("text").distinct().count() == nDeduped,
+      "post-dedup texts must be unique")
+
+    // 3. stratified sample to language rates
+    val sampled = Sampling.stratifiedByRate(
+      deduped.select("doc_id", "lang", "text"), "lang",
+      Seq(("en", 700000L), ("zh", 700000L)).toDF("lang", "rate_ppm"),
+      defaultPpm = 500000L)
+    val nSampled = sampled.count()
+    assert(nSampled > 0 && nSampled <= nDeduped)
+
+    // 4. pack the survivors into 256-token contexts
+    val packed = Packing.packChunks(
+      sampled.select(col("doc_id"),
+        expr(s"size(${TextOps.toksS("text")})").cast("long").as("n_tokens")),
+      ctxTokens = 256L, nShards = 4)
+    assert(packed.count() == nSampled, "packing must assign every sampled doc")
+    assert(packed.select("doc_id").distinct().count() == nSampled)
+
+    // deterministic end to end: the same pipeline re-run picks the same
+    // docs and the same layout
+    val again = Packing.packChunks(
+      Sampling.stratifiedByRate(
+          filtered.join(
+              Dedup.exactDedup(filtered).where(col("is_keeper")).select("doc_id"), "doc_id")
+            .select("doc_id", "lang", "text"), "lang",
+          Seq(("en", 700000L), ("zh", 700000L)).toDF("lang", "rate_ppm"),
+          defaultPpm = 500000L)
+        .select(col("doc_id"),
+          expr(s"size(${TextOps.toksS("text")})").cast("long").as("n_tokens")),
+      ctxTokens = 256L, nShards = 4)
+    assert(packed.collect().map(_.toSeq).toSet == again.collect().map(_.toSeq).toSet)
+  }
+}
