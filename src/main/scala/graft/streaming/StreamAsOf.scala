@@ -57,30 +57,45 @@ object StreamAsOf {
       else GroupStateTimeout.NoTimeout
     events
       .groupByKey(_.symbol)
-      .flatMapGroupsWithState[QuoteState, Enriched](OutputMode.Append(), timeoutConf) {
-        (symbol: String, rows: Iterator[AsOfEvent], state: GroupState[QuoteState]) =>
-          if (state.hasTimedOut) {
-            state.remove() // TTL reaper: forget the prevailing quote
-            Iterator.empty
-          } else {
-            var quote = state.getOption
-            // (ts, quotes-first): a quote and a trade at the same ts must
-            // match regardless of which micro-batch position they hold
-            // (!isQuote: false sorts first, so the quote is applied before
-            // the trade is emitted — the batch carry's __side=0-first rule)
-            val out = rows.toSeq.sortBy(e => (e.ts, !e.isQuote, e.value))
-              .iterator.flatMap { e =>
-                if (e.isQuote) { quote = Some(QuoteState(e.ts, e.value)); None }
-                else {
-                  val m = quote.filter(q => tolerance.forall(t => e.ts - q.qts <= t))
-                  Some(Enriched(symbol, e.ts, e.value, m.map(_.qts), m.map(_.qval)))
-                }
-              }.toVector
-            quote.foreach(q => state.update(q))
-            if (stateTtlMs > 0) state.setTimeoutDuration(stateTtlMs)
-            out.iterator
+      .flatMapGroupsWithState[QuoteState, Enriched](OutputMode.Append(), timeoutConf)(
+        processGroup(tolerance, stateTtlMs))
+  }
+
+  /** The per-group kernel — named (not inline) so the TTL arming paths are
+    * unit-testable against `TestGroupState` (a TTL-armed streaming query
+    * never quiesces under `processAllAvailable`/AvailableNow, so the
+    * equivalence specs run with the reaper off and THIS covers the rest).
+    */
+  private[streaming] def processGroup(
+      tolerance: Option[Long], stateTtlMs: Long)(
+      symbol: String, rows: Iterator[AsOfEvent],
+      state: GroupState[QuoteState]): Iterator[Enriched] = {
+    if (state.hasTimedOut) {
+      state.remove() // TTL reaper: forget the prevailing quote
+      Iterator.empty
+    } else {
+      var quote = state.getOption
+      // (ts, quotes-first): a quote and a trade at the same ts must
+      // match regardless of which micro-batch position they hold
+      // (!isQuote: false sorts first, so the quote is applied before
+      // the trade is emitted — the batch carry's __side=0-first rule)
+      val out = rows.toSeq.sortBy(e => (e.ts, !e.isQuote, e.value))
+        .iterator.flatMap { e =>
+          if (e.isQuote) { quote = Some(QuoteState(e.ts, e.value)); None }
+          else {
+            val m = quote.filter(q => tolerance.forall(t => e.ts - q.qts <= t))
+            Some(Enriched(symbol, e.ts, e.value, m.map(_.qts), m.map(_.qval)))
           }
+        }.toVector
+      // arm the TTL only when state exists: a trades-only batch for a
+      // never-quoted symbol has nothing to expire, and calling
+      // setTimeoutDuration on undefined state throws at runtime
+      quote.foreach { q =>
+        state.update(q)
+        if (stateTtlMs > 0) state.setTimeoutDuration(stateTtlMs)
       }
+      out.iterator
+    }
   }
 
   /** The ENFORCED live composition (the `dedupedGate` discipline): ST8

@@ -108,6 +108,36 @@ class StreamAsOfSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("TTL kernel: trades-only batch on fresh state must not throw; quote arms, timeout reaps") {
+    // regression: setTimeoutDuration on UNDEFINED state (no quote seen yet)
+    // throws at runtime — masked by the equivalence tests' stateTtlMs = 0.
+    // TestGroupState drives the kernel directly (a TTL-armed streaming
+    // query never quiesces under processAllAvailable/AvailableNow).
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    import org.apache.spark.api.java.Optional
+    def fresh(hasTimedOut: Boolean = false, st: Optional[QuoteState] = Optional.empty()) =
+      TestGroupState.create[QuoteState](st, GroupStateTimeout.ProcessingTimeTimeout,
+        1000L, Optional.empty[Long](), hasTimedOut)
+
+    // trades-only, no prior state: emits unmatched, must NOT arm a timeout
+    val s1 = fresh()
+    val out1 = StreamAsOf.processGroup(None, 60000L)(
+      "FRESH", Iterator(AsOfEvent("FRESH", 10L, false, 1L)), s1).toList
+    assert(out1 == List(Enriched("FRESH", 10L, 1L, None, None)))
+    assert(!s1.exists && !s1.getTimeoutTimestampMs.isPresent)
+
+    // a quote arrives: state updates AND the TTL arms
+    val s2 = fresh()
+    StreamAsOf.processGroup(None, 60000L)(
+      "FRESH", Iterator(AsOfEvent("FRESH", 20L, true, 7L)), s2).toList
+    assert(s2.get == QuoteState(20L, 7L) && s2.getTimeoutTimestampMs.isPresent)
+
+    // timeout firing reaps the prevailing quote
+    val s3 = fresh(hasTimedOut = true, st = Optional.of(QuoteState(20L, 7L)))
+    val out3 = StreamAsOf.processGroup(None, 60000L)("FRESH", Iterator.empty, s3).toList
+    assert(out3.isEmpty && s3.isRemoved)
+  }
+
   test("tolerance bounds the match; equal-ts quote and trade match in any batch split") {
     // quote and trade share ts=10 but arrive in DIFFERENT micro-batches
     // with the trade first in its batch — the in-batch (ts, quotes-first)
