@@ -262,6 +262,71 @@ object Dedup {
         col("kept_md5"))
   }
 
+  /** Duplicate-span detection — the distributed analog of exact-substring
+    * dedup (suffix-array dedup in the training-data literature): every run
+    * of >= `w` consecutive tokens that occurs more than once ANYWHERE in
+    * the corpus (across documents or repeated within one) is reported as a
+    * merged per-document token span `[span_start, span_end]` (0-based,
+    * inclusive), ready for excision. Complements [[exactDedup]] (whole-doc)
+    * and [[lineDedupKeepFirst]] (line-aligned): duplicated prose that
+    * crosses line boundaries or sits inside otherwise-unique documents is
+    * only visible at this granularity.
+    *
+    * Shape at 100 TB (a suffix array does not distribute; rolling windows
+    * do):
+    *  1. scan-side tokenize + ONE per-doc window pass builds every w-token
+    *     gram hash with its position (lead-chain like [[shingleRows]] —
+    *     the array-HOF form re-evaluates the tokenizer combinatorially
+    *     after projection collapse);
+    *  2. one corpus-wide exchange on the fixed-width 32-bit gram hash
+    *     scores each window with its global occurrence count via a
+    *     PARTITION-count window — text never crosses the wire, and the
+    *     gram stream is derived ONCE (the groupBy-then-join-back form
+    *     re-derives the whole expensive gram build under the aggregate —
+    *     Spark shares no subplans);
+    *  3. surviving windows merge into islands per document (per-doc
+    *     windows, partition-local after one exchange).
+    * A degenerate boilerplate gram concentrates its occurrences in one
+    * window partition (spill-safe, but slow); corpora with pathological
+    * boilerplate should cap gram document frequency upstream, the
+    * [[ngramJaccardPairsOf]] df-cap pattern.
+    *
+    * Windows that overlap or abut merge into one span; `n_windows` counts
+    * the duplicated windows inside the span (== span_end - span_start - w
+    * + 2 iff every window in the span is duplicated).
+    */
+  def duplicateSpans(
+      docs: DataFrame,
+      w: Int = 10,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(w >= 2, s"duplicateSpans: window must be >= 2 tokens, got $w")
+    val perDoc = Window.partitionBy(idCol).orderBy("pos")
+    var toks = docs.select(col(idCol), posexplode(expr(toksS(textCol))).as(Seq("pos", "t")))
+    for (i <- 1 until w) toks = toks.withColumn(s"__t$i", lead("t", i).over(perDoc))
+    val grams = toks
+      .where(col(s"__t${w - 1}").isNotNull) // full w-token windows only
+      .select(col(idCol), col("pos"),
+        concat_ws(" ", col("t") +: (1 until w).map(i => col(s"__t$i")): _*).as("__gram"))
+      .select(col(idCol), col("pos"), expr(hashS("__gram")).as("gh"))
+    val hits = grams
+      .withColumn("__c", count(lit(1)).over(Window.partitionBy("gh")))
+      .where(col("__c") > 1)
+      .select(col(idCol), col("pos"))
+    hits
+      .withColumn("__pe", max(col("pos") + lit(w - 1)).over(
+        perDoc.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("__brk",
+        when(col("__pe").isNull || col("pos") > col("__pe") + 1, lit(1)).otherwise(lit(0)))
+      .withColumn("__isl", sum("__brk").over(perDoc))
+      .groupBy(col(idCol), col("__isl"))
+      .agg(
+        min("pos").cast("long").as("span_start"),
+        (max("pos") + lit(w - 1)).cast("long").as("span_end"),
+        count(lit(1)).as("n_windows"))
+      .select(col(idCol), col("span_start"), col("span_end"), col("n_windows"))
+  }
+
   /** Per-doc 32-bit SimHash. Relational form: explode tokens, hash each
     * ONCE, aggregate 32 signed bit-sums per doc (one narrow shuffle,
     * map-side partials), then assemble the fingerprint scan-side.

@@ -320,6 +320,28 @@ object PipelineQueries {
       Multimodal.extractFeatures(Multimodal.asMediaTable(Tables.documents(s, dir)))
         .select("media_id", "kind", "n_bytes", "checksum")
         .orderBy("media_id")
+    }),
+
+    // duplicate-span detection (exact-substring dedup at w=10 tokens):
+    // merged per-doc token spans covering every 10-gram that repeats
+    // anywhere in the corpus
+    "ext_dedup_substr" -> ((s, dir) => {
+      Dedup.duplicateSpans(Tables.documents(s, dir), w = 10)
+        .orderBy("doc_id", "span_start")
+    }),
+
+    // budget-driven mixture: per-source token budgets → derived keep
+    // rates → deterministic scan-side sample. src3's zero budget drops the
+    // stratum; src2's budget exceeds its total (keeps all); unlisted
+    // sources fall to the 300000 ppm default
+    "ext_mixture_budget" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("source"),
+        expr(s"""cast(size(${toksS("text")}) as bigint)""").as("n_tok"))
+      val budgets = Map("src0" -> 600L, "src1" -> 400L, "src2" -> 2000L, "src3" -> 0L)
+      Sampling.mixtureByBudget(docs, "source", budgets,
+          tokensCol = "n_tok", defaultPpm = 300000L)
+        .select("doc_id", "source", "n_tok", "bucket_ppm")
+        .orderBy("doc_id")
     })
   )
 
@@ -624,6 +646,45 @@ object PipelineQueries {
     "ext_multimodal" ->
       """SELECT doc_id AS media_id, 'image' AS kind,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, md5(text) AS checksum
-        |FROM documents ORDER BY media_id""".stripMargin
+        |FROM documents ORDER BY media_id""".stripMargin,
+
+    // rolling 10-gram hashes → count > 1 → join back → gaps-and-islands
+    // span merge (abutting windows merge: pos <= prev_end + 1)
+    "ext_dedup_substr" ->
+      s"""WITH tk AS (SELECT doc_id, ${toksD("text")} AS toks FROM documents),
+         |grams AS (
+         |  SELECT doc_id, i - 1 AS pos,
+         |    ${hashD("array_to_string(toks[i:i+9],' ')")} AS gh
+         |  FROM tk, unnest(generate_series(1, len(toks) - 9)) AS g(i)
+         |  WHERE len(toks) >= 10),
+         |dup AS (SELECT gh FROM grams GROUP BY gh HAVING count(*) > 1),
+         |hits AS (SELECT g.doc_id, g.pos FROM grams g JOIN dup USING (gh)),
+         |pe AS (SELECT doc_id, pos,
+         |  max(pos + 9) OVER (PARTITION BY doc_id ORDER BY pos
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+         |  FROM hits),
+         |isl AS (SELECT doc_id, pos,
+         |  sum(CASE WHEN prev_end IS NULL OR pos > prev_end + 1 THEN 1 ELSE 0 END)
+         |    OVER (PARTITION BY doc_id ORDER BY pos) AS island
+         |  FROM pe)
+         |SELECT doc_id, min(pos) AS span_start, max(pos) + 9 AS span_end,
+         |  CAST(count(*) AS BIGINT) AS n_windows
+         |FROM isl GROUP BY doc_id, island
+         |ORDER BY doc_id, span_start""".stripMargin,
+
+    "ext_mixture_budget" ->
+      s"""WITH d AS (SELECT doc_id, source,
+         |  CAST(len(${toksD("text")}) AS BIGINT) AS n_tok FROM documents),
+         |tot AS (SELECT source, sum(n_tok) AS tot FROM d GROUP BY 1),
+         |b(source, budget) AS (VALUES ('src0', 600), ('src1', 400), ('src2', 2000), ('src3', 0)),
+         |r AS (SELECT t.source,
+         |  CASE WHEN t.tot <= 0 THEN 1000000
+         |       ELSE least(1000000, (b.budget * 1000000) // t.tot) END AS rate_ppm
+         |  FROM tot t JOIN b ON t.source = b.source)
+         |SELECT d.doc_id, d.source, d.n_tok,
+         |  abs(d.doc_id * 2654435761 + 40503) % 1000000 AS bucket_ppm
+         |FROM d LEFT JOIN r ON d.source = r.source
+         |WHERE abs(d.doc_id * 2654435761 + 40503) % 1000000 < COALESCE(r.rate_ppm, 300000)
+         |ORDER BY d.doc_id""".stripMargin
   )
 }

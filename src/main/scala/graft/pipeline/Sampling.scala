@@ -82,11 +82,82 @@ object Sampling {
             .otherwise(col("rate_ppm")))
           .drop("__n", "__d")
     }
+    applyRates(docs, stratumCol, guarded, defaultPpm, idCol)
+  }
+
+  /** The sampling core: broadcast-join the rates, keep rows whose hash
+    * bucket falls under the stratum's rate. Callers are responsible for
+    * rates uniqueness ([[stratifiedByRate]] guards; [[mixtureByBudget]]'s
+    * rates are a groupBy output — unique structurally).
+    */
+  private def applyRates(
+      docs: DataFrame,
+      stratumCol: String,
+      rates: DataFrame,
+      defaultPpm: Long,
+      idCol: String): DataFrame =
     docs
-      .join(broadcast(guarded), Seq(stratumCol), "left")
+      .join(broadcast(rates), Seq(stratumCol), "left")
       .withColumn("__bucket", bucketPpm(idCol))
       .where(col("__bucket") < coalesce(col("rate_ppm"), lit(defaultPpm)))
       .drop("rate_ppm")
       .withColumnRenamed("__bucket", "bucket_ppm")
+
+  /** Per-stratum keep rates derived from TOKEN BUDGETS: rate_ppm =
+    * min(1e6, budget_tokens * 1e6 / stratum_total_tokens), exact integer
+    * arithmetic. This is how a mixture config is actually written — "this
+    * run gets N tokens of code, M of books" — with the translation to
+    * rates done by the engine, not a notebook. Only budgeted strata get a
+    * row; unlisted strata fall to the sampler's `defaultPpm`.
+    *
+    * One aggregation pass over `docs` (map-side partial sums, output rows
+    * = #strata) joined to the literal budget table. A stratum whose total
+    * is 0 tokens keeps everything (its budget constrains nothing).
+    */
+  def mixtureRates(
+      docs: DataFrame,
+      stratumCol: String,
+      budgets: Map[String, Long],
+      tokensCol: String): DataFrame = {
+    require(budgets.nonEmpty, "mixtureRates: budgets must be non-empty")
+    // budget * 1e6 must stay inside a Long; budgets is a literal map, so
+    // the check is driver-side and free (no in-plan guard needed)
+    val maxBudget = Long.MaxValue / 1000000L
+    budgets.foreach { case (s, b) =>
+      require(b >= 0 && b <= maxBudget,
+        s"mixtureRates: budget for '$s' must be in [0, $maxBudget] tokens, got $b")
+    }
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val totals = docs.groupBy(stratumCol).agg(sum(col(tokensCol)).as("__tot"))
+    totals
+      .join(broadcast(budgets.toSeq.toDF(stratumCol, "__budget")), stratumCol)
+      .select(col(stratumCol),
+        when(col("__tot") <= 0, lit(1000000L))
+          .otherwise(least(lit(1000000L), expr("__budget * 1000000L div __tot")))
+          .as("rate_ppm"))
+  }
+
+  /** Budget-driven mixture sampling: [[mixtureRates]] composed with
+    * [[stratifiedByRate]]. Two passes over the corpus — the totals
+    * aggregation and the scan-side keep predicate — which is inherent:
+    * the rate depends on a global per-stratum sum. The rates table
+    * (#strata rows) broadcasts; the corpus never shuffles.
+    */
+  def mixtureByBudget(
+      docs: DataFrame,
+      stratumCol: String,
+      budgets: Map[String, Long],
+      tokensCol: String,
+      defaultPpm: Long = 1000000L,
+      idCol: String = "doc_id"): DataFrame = {
+    val reserved = Seq("rate_ppm", "__bucket", "bucket_ppm").filter(docs.columns.contains)
+    require(reserved.isEmpty,
+      s"docs columns collide with internal names (rename them): ${reserved.mkString(", ")}")
+    // rates come out of a groupBy on the stratum — unique by construction,
+    // so the stratifiedByRate dup guard (which would re-aggregate the
+    // corpus-derived rates a second time) is skipped deliberately
+    applyRates(docs, stratumCol,
+      mixtureRates(docs, stratumCol, budgets, tokensCol), defaultPpm, idCol)
   }
 }

@@ -136,4 +136,29 @@ class PlanAssertionsSpec extends SparkSpec {
     val aggIdx = plan.indexOf("HashAggregate")
     assert(filterIdx >= 0 && aggIdx >= 0)
   }
+
+  test("ext_dedup_substr: ONE gram derivation (single scan), no join — the linear 3-exchange pipeline") {
+    val plan = planOf("ext_dedup_substr")
+    // the groupBy-then-join-back form re-derives the whole expensive
+    // scan→explode→window gram build under the aggregate; the window-count
+    // form must read the corpus exactly once
+    val scans = "Scan parquet".r.findAllIn(plan).size
+    assert(scans == 1, s"gram stream must derive from ONE corpus scan, got $scans:\n${plan.take(2000)}")
+    assert(!plan.contains("Join"), s"duplicate scoring must not join back:\n${plan.take(2000)}")
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(hashExchanges == 3,
+      s"expected exactly (doc_id leads, gh count, doc_id islands) + presentation range; got $hashExchanges:\n${plan.take(2000)}")
+  }
+
+  test("ext_mixture_budget: derived rates broadcast; the corpus keep-filter is scan-side") {
+    val plan = planOf("ext_mixture_budget")
+    assert(plan.contains("BroadcastHashJoin"), s"rates must broadcast onto the corpus:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"nothing here may sort-merge:\n$plan")
+    // the only hashpartitioning exchange is the per-stratum totals
+    // aggregate (map-side partials, #strata rows) — the corpus itself
+    // never hash-shuffles
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(hashExchanges == 1,
+      s"only the tiny totals aggregate may hash-exchange; got $hashExchanges:\n${plan.take(2000)}")
+  }
 }

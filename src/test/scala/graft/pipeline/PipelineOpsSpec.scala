@@ -383,4 +383,98 @@ class PipelineOpsSpec extends SparkSpec {
     val narrow = Similarity.ivfKnn(corpus, queries, 3)
     assert(narrow.groupBy("query_id").count().collect().forall(_.getLong(1) <= 3))
   }
+
+  // ------------------------------------------------------- duplicate spans
+
+  test("duplicateSpans: a shared run surfaces in every holder; unique text is silent") {
+    val shared = (1 to 12).map(i => s"tok$i").mkString(" ") // 12 shared tokens
+    val docs = Seq(
+      (1L, s"alpha beta $shared gamma"),
+      (2L, s"$shared delta epsilon zeta"),
+      (3L, "totally unique words only here nothing repeats at all ever once")
+    ).toDF("doc_id", "text")
+    val out = Dedup.duplicateSpans(docs, w = 10).orderBy("doc_id", "span_start")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    // the 12-token run yields 3 duplicated 10-windows per holder, merged to
+    // one span over exactly the shared tokens — boundary-straddling windows
+    // (e.g. doc 1 pos 0: "alpha beta tok1...") are unique and must not widen it
+    assert(out == Seq((1L, 2L, 13L, 3L), (2L, 0L, 11L, 3L)))
+  }
+
+  test("duplicateSpans: within-doc repetition merges abutting windows into one span") {
+    // P P: window 0 and window 10 are both P (duplicated); the straddling
+    // windows 1..9 occur once each. [0,9] and [10,19] abut → one span.
+    val p = (1 to 10).map(i => s"w$i").mkString(" ")
+    val docs = Seq((7L, s"$p $p")).toDF("doc_id", "text")
+    val out = Dedup.duplicateSpans(docs, w = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(out == Seq((7L, 0L, 19L, 2L)))
+  }
+
+  test("duplicateSpans: matches a brute-force reference on a random corpus") {
+    val rnd = new scala.util.Random(42)
+    val vocab = Vector("a", "b", "c", "d", "e") // tiny vocab → many repeats
+    val w = 5
+    val docs = (0L until 30L).map(i =>
+      (i, Vector.fill(rnd.nextInt(41))(vocab(rnd.nextInt(vocab.size))).mkString(" ")))
+    // reference on gram STRINGS (no hashing): agreement also certifies the
+    // 32-bit hash introduced no collisions on this corpus
+    val toks = docs.map { case (id, t) => id -> t.split(" ").filter(_.nonEmpty).toVector }
+    val counts = scala.collection.mutable.Map.empty[String, Int].withDefaultValue(0)
+    for ((_, ts) <- toks; i <- 0 to ts.length - w)
+      counts(ts.slice(i, i + w).mkString(" ")) += 1
+    val expected = toks.flatMap { case (id, ts) =>
+      val dupPos = (0 to ts.length - w).filter(i => counts(ts.slice(i, i + w).mkString(" ")) > 1)
+      val spans = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+      var (start, end, n) = (-1, -1, 0)
+      for (p <- dupPos) {
+        if (start < 0 || p > end + 1) {
+          if (start >= 0) spans += ((id, start.toLong, end.toLong, n.toLong))
+          start = p; end = p + w - 1; n = 1
+        } else { end = math.max(end, p + w - 1); n += 1 }
+      }
+      if (start >= 0) spans += ((id, start.toLong, end.toLong, n.toLong))
+      spans
+    }.sortBy(s => (s._1, s._2))
+    val got = Dedup.duplicateSpans(docs.toDF("doc_id", "text"), w = w)
+      .orderBy("doc_id", "span_start")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == expected)
+  }
+
+  // ------------------------------------------------------- mixture budgets
+
+  test("mixtureRates: integer derivation — zero budget drops, oversize budget caps at 1e6") {
+    val docs = Seq(
+      (1L, "a", 100L), (2L, "a", 300L), // total a = 400
+      (3L, "b", 50L),
+      (4L, "c", 10L)).toDF("doc_id", "src", "n_tok")
+    val rates = Sampling.mixtureRates(docs, "src",
+        Map("a" -> 100L, "b" -> 500L, "c" -> 0L), "n_tok")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rates == Map("a" -> 250000L, "b" -> 1000000L, "c" -> 0L))
+    // a budget that would overflow budget * 1e6 fails fast, driver-side
+    val e = intercept[IllegalArgumentException] {
+      Sampling.mixtureRates(docs, "src", Map("a" -> Long.MaxValue / 1000L), "n_tok")
+    }
+    assert(e.getMessage.contains("budget"))
+  }
+
+  test("mixtureByBudget: composition equals stratifiedByRate over the derived rates") {
+    val docs = (0L until 100L).map(i => (i, s"s${i % 3}", 10L + i % 7))
+      .toDF("doc_id", "src", "n_tok")
+    val budgets = Map("s0" -> 150L, "s1" -> 0L) // s2 unlisted → defaultPpm
+    val viaMixture = Sampling.mixtureByBudget(docs, "src", budgets,
+        tokensCol = "n_tok", defaultPpm = 400000L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val direct = Sampling.stratifiedByRate(docs, "src",
+        Sampling.mixtureRates(docs, "src", budgets, "n_tok"), defaultPpm = 400000L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(viaMixture == direct)
+    // zero budget drops its stratum entirely; the unlisted stratum samples
+    val kept = Sampling.mixtureByBudget(docs, "src", budgets,
+        tokensCol = "n_tok", defaultPpm = 400000L)
+      .select("src").distinct().collect().map(_.getString(0)).toSet
+    assert(!kept.contains("s1") && kept.contains("s2"))
+  }
 }
