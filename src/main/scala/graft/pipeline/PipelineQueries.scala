@@ -330,6 +330,21 @@ object PipelineQueries {
         .orderBy("doc_id", "span_start")
     }),
 
+    // SemDeDup: centroid-cell blocking → within-cell cosine pairs →
+    // connected components → keeper election. Corpus augmented with exact
+    // vector copies (+1e6 for %10, +2e6 for %20) so {v, v+1e6, v+2e6}
+    // triangles exercise the transitive merge
+    "ext_semdedup" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
+      val aug = emb
+        .unionByName(emb.filter(col("vec_id") % 10 === 0)
+          .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding")))
+        .unionByName(emb.filter(col("vec_id") % 20 === 0)
+          .select((col("vec_id") + 2000000L).as("vec_id"), col("embedding")))
+      Similarity.semanticDedup(aug, Similarity.defaultCentroids(64, 8), 0.999)
+        .orderBy("vec_id")
+    }),
+
     // budget-driven mixture: per-source token budgets → derived keep
     // rates → deterministic scan-side sample. src3's zero budget drops the
     // stratum; src2's budget exceeds its total (keeps all); unlisted
@@ -671,6 +686,39 @@ object PipelineQueries {
          |  CAST(count(*) AS BIGINT) AS n_windows
          |FROM isl GROUP BY doc_id, island
          |ORDER BY doc_id, span_start""".stripMargin,
+
+    // cell assignment mirrors ext_knn_ivf's argmax (dot DESC, ties to
+    // lower cid); pair cosine mirrors ext_dedup_embed's deterministic
+    // fold; components + election mirror ext_dedup_clusters
+    "ext_semdedup" ->
+      s"""WITH RECURSIVE
+         |aug AS (SELECT vec_id, embedding FROM embeddings
+         |  UNION ALL SELECT vec_id + 1000000, embedding FROM embeddings WHERE vec_id % 10 = 0
+         |  UNION ALL SELECT vec_id + 2000000, embedding FROM embeddings WHERE vec_id % 20 = 0),
+         |$ivfCentSql,
+         |cd AS (SELECT vec_id, embedding, cid,
+         |        row_number() OVER (PARTITION BY vec_id ORDER BY $dotEmbCentD DESC, cid) AS rn
+         |       FROM aug, cent),
+         |asg AS (SELECT vec_id, embedding, cid AS cell FROM cd WHERE rn = 1),
+         |prs AS (SELECT x.vec_id AS id1, y.vec_id AS id2
+         |        FROM asg x JOIN asg y ON x.cell = y.cell AND x.vec_id < y.vec_id
+         |        WHERE list_sum(list_transform(generate_series(1,64),
+         |                i -> x.embedding[i]::DOUBLE * y.embedding[i]::DOUBLE))
+         |          / (sqrt(list_sum(list_transform(generate_series(1,64),
+         |                i -> x.embedding[i]::DOUBLE * x.embedding[i]::DOUBLE)))
+         |           * sqrt(list_sum(list_transform(generate_series(1,64),
+         |                i -> y.embedding[i]::DOUBLE * y.embedding[i]::DOUBLE)))) >= 0.999),
+         |e AS (SELECT id1 AS u, id2 AS v FROM prs UNION SELECT id2, id1 FROM prs),
+         |reach(id, comp) AS (
+         |  SELECT DISTINCT u, u FROM e
+         |  UNION
+         |  SELECT e.v, reach.comp FROM reach JOIN e ON e.u = reach.id),
+         |comp AS (SELECT id, min(comp) AS comp FROM reach GROUP BY 1)
+         |SELECT a.vec_id,
+         |  COALESCE(c.comp, a.vec_id) AS cluster_id,
+         |  COALESCE(c.comp, a.vec_id) = a.vec_id AS is_keeper
+         |FROM aug a LEFT JOIN comp c ON c.id = a.vec_id
+         |ORDER BY a.vec_id""".stripMargin,
 
     "ext_mixture_budget" ->
       s"""WITH d AS (SELECT doc_id, source,

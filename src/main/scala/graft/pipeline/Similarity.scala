@@ -223,4 +223,54 @@ object Similarity {
       .where(col("rank") <= k)
       .select("query_id", "rank", "neighbor_id")
   }
+
+  /** SemDeDup-style semantic deduplication: cluster the corpus into
+    * centroid cells, find within-cell pairs with cosine >= `minCos`, and
+    * collapse the pair graph into clusters with one elected keeper each
+    * (min-id, via [[Dedup.connectedComponents]] — near-dup similarity is
+    * not transitive, so (A,B)+(B,C) must merge before dropping anything).
+    *
+    * The cell assignment is the blocking step (the published SemDeDup
+    * recipe: k-means the embeddings, then compare ONLY within a cluster):
+    * pairs never form across cells, so a near-dup pair straddling a cell
+    * boundary is missed by design — the standard recall/cost trade, tuned
+    * by `centroids` (fewer cells = higher recall, more pairs). Use
+    * [[KMeans.train]] output for trained cells or
+    * [[defaultCentroids]] for the deterministic untrained form.
+    *
+    * Scale shape: assignment is scan-side (literal centroids, codegen'd
+    * dot folds); the pair join is an equi-join on the cell id, so the
+    * corpus shuffles by cell and each cell's pairs form locally —
+    * quadratic ONLY within a cell (cells are corpus/nCells sized; a
+    * pathological giant cell means the centroids need retraining, the
+    * same remedy as a hot LSH bucket). The component step runs on the
+    * pair graph only, never the corpus.
+    *
+    * Returns (idCol, cluster_id, is_keeper) for every non-null-vector row.
+    */
+  def semanticDedup(
+      corpus: DataFrame,
+      centroids: Seq[Seq[Double]],
+      minCos: Double,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(centroids.nonEmpty && centroids.map(_.size).distinct.size == 1,
+      "centroids must be a non-empty table of equal-dimension vectors")
+    require(minCos > 0.0 && minCos <= 1.0,
+      s"minCos must be in (0, 1], got $minCos (a non-positive threshold pairs everything in a cell)")
+    val b = corpus.where(col(vecCol).isNotNull)
+      .select(col(idCol).as("__id"), col(vecCol).as("__v"))
+      .withColumn("__cell", ivfCellOf(col("__v"), centroids))
+      .withColumn("__nrm", norm(col("__v")))
+    val pairs = b.as("x").join(b.as("y"),
+        col("x.__cell") === col("y.__cell") && col("x.__id") < col("y.__id"))
+      .where(dot(col("x.__v"), col("y.__v")) / (col("x.__nrm") * col("y.__nrm")) >= minCos)
+      .select(col("x.__id").as("id1"), col("y.__id").as("id2"))
+    val comps = Dedup.connectedComponents(pairs)
+    corpus.where(col(vecCol).isNotNull).select(col(idCol))
+      .join(comps.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("comp"), col(idCol)).as("cluster_id"),
+        (coalesce(col("comp"), col(idCol)) === col(idCol)).as("is_keeper"))
+  }
 }

@@ -150,6 +150,14 @@ class PlanAssertionsSpec extends SparkSpec {
       s"expected exactly (doc_id leads, gh count, doc_id islands) + presentation range; got $hashExchanges:\n${plan.take(2000)}")
   }
 
+  test("ext_semdedup: cell assignment is scan-side; the pair join is cell-equi, never nested-loop") {
+    val plan = planOf("ext_semdedup")
+    // the blocking step must be an equi-join on the cell id — an
+    // unblocked all-pairs comparison would plan BroadcastNestedLoopJoin
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"pair generation must block on cells:\n${plan.take(2000)}")
+    assert(!plan.contains("CartesianProduct"), s"pair generation must block on cells:\n${plan.take(2000)}")
+  }
+
   test("ext_mixture_budget: derived rates broadcast; the corpus keep-filter is scan-side") {
     val plan = planOf("ext_mixture_budget")
     assert(plan.contains("BroadcastHashJoin"), s"rates must broadcast onto the corpus:\n$plan")

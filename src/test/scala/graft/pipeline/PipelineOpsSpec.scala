@@ -442,6 +442,36 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  // ------------------------------------------------------- semantic dedup
+
+  test("semanticDedup: transitive near-dups collapse to one keeper; distinct vectors stay singletons") {
+    // 2-dim, two cells along the axes; a/b/c near-identical (one cluster,
+    // keeper = min id), d in the other cell (singleton)
+    val cents = Seq(Seq(1.0, 0.0), Seq(0.0, 1.0))
+    val vecs = Seq(
+      (3L, Array(1.0f, 0.010f)),
+      (1L, Array(1.0f, 0.011f)),
+      (2L, Array(1.0f, 0.012f)),
+      (9L, Array(0.02f, 1.0f))).toDF("vec_id", "embedding")
+    val out = Similarity.semanticDedup(vecs, cents, 0.99)
+      .orderBy("vec_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
+    assert(out == Seq((1L, 1L, true), (2L, 1L, false), (3L, 1L, false), (9L, 9L, true)))
+  }
+
+  test("semanticDedup: pairs form only within a cell (cross-cell near-dups are missed by design)") {
+    // two near-identical diagonal vectors that land in DIFFERENT cells
+    // (one barely x-major, one barely y-major): blocked by the cell
+    // boundary, both stay keepers
+    val cents = Seq(Seq(1.0, 0.0), Seq(0.0, 1.0))
+    val vecs = Seq(
+      (1L, Array(1.000f, 0.999f)),
+      (2L, Array(0.999f, 1.000f))).toDF("vec_id", "embedding")
+    val out = Similarity.semanticDedup(vecs, cents, 0.99)
+      .collect().map(r => (r.getLong(0), r.getBoolean(2))).toSeq.sorted
+    assert(out == Seq((1L, true), (2L, true)))
+  }
+
   // ------------------------------------------------------- mixture budgets
 
   test("mixtureRates: integer derivation — zero budget drops, oversize budget caps at 1e6") {
