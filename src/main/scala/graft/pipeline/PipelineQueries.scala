@@ -330,6 +330,32 @@ object PipelineQueries {
         .orderBy("doc_id", "span_start")
     }),
 
+    // model-based quality filtering: fastText-style linear classifier
+    // inference against a literal (token, w_milli) model — positive
+    // weights on content-ish tokens, negative on boilerplate-ish ones
+    "ext_classifier" -> ((s, dir) => {
+      import s.implicits._
+      val model = Seq(
+        ("data", 400L), ("join", 250L), ("spark", 300L), ("vector", 150L),
+        ("slow", -500L), ("the", -100L), ("a", -100L)).toDF("token", "w_milli")
+      TextAnalysis.classifierScore(Tables.documents(s, dir), model,
+          biasMilli = 50L, keepThresholdMilli = 0L)
+        .orderBy("doc_id")
+    }),
+
+    // vocabulary head with cumulative corpus coverage (the tokenizer
+    // vocab-sizing curve): top-20 tokens by count, ties lexical
+    "ext_vocab_coverage" -> ((s, dir) => {
+      TextAnalysis.vocabCoverage(Tables.documents(s, dir), topK = 20)
+        .orderBy("rank")
+    }),
+
+    // unigram-LM surprisal band-pass input: mean integer-log2 inverse
+    // corpus frequency per document, milli fixed-point
+    "ext_surprisal" -> ((s, dir) => {
+      TextAnalysis.surprisalStats(Tables.documents(s, dir)).orderBy("doc_id")
+    }),
+
     // SemDeDup: centroid-cell blocking → within-cell cosine pairs →
     // connected components → keeper election. Corpus augmented with exact
     // vector copies (+1e6 for %10, +2e6 for %20) so {v, v+1e6, v+2e6}
@@ -686,6 +712,51 @@ object PipelineQueries {
          |  CAST(count(*) AS BIGINT) AS n_windows
          |FROM isl GROUP BY doc_id, island
          |ORDER BY doc_id, span_start""".stripMargin,
+
+    // truncating division on both sides: Spark `div` and DuckDB `//`
+    // both truncate toward zero (weight sums can be negative)
+    "ext_classifier" ->
+      s"""WITH w(token, w_milli) AS (VALUES
+         |  ('data', 400), ('join', 250), ('spark', 300), ('vector', 150),
+         |  ('slow', -500), ('the', -100), ('a', -100)),
+         |tk AS (SELECT doc_id, ${toksD("text")} AS toks FROM documents),
+         |tx AS (SELECT doc_id, unnest(toks) AS t FROM tk),
+         |agg AS (SELECT tx.doc_id, count(*) AS n_tok, COALESCE(sum(w.w_milli), 0) AS wsum
+         |        FROM tx LEFT JOIN w ON tx.t = w.token GROUP BY 1)
+         |SELECT d.doc_id,
+         |  CAST(COALESCE(a.n_tok, 0) AS BIGINT) AS n_tok,
+         |  CAST(50 + COALESCE(a.wsum, 0) // greatest(COALESCE(a.n_tok, 0), 1) AS BIGINT) AS score_milli,
+         |  (50 + COALESCE(a.wsum, 0) // greatest(COALESCE(a.n_tok, 0), 1)) >= 0 AS keep
+         |FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
+
+    "ext_vocab_coverage" ->
+      s"""WITH tx AS (SELECT unnest(${toksD("text")}) AS t FROM documents),
+         |c AS (SELECT t, count(*) AS cnt FROM tx GROUP BY 1),
+         |tot AS (SELECT sum(cnt) AS total FROM c),
+         |top AS (SELECT t, cnt, row_number() OVER (ORDER BY cnt DESC, t) AS rank
+         |        FROM c QUALIFY rank <= 20)
+         |SELECT CAST(rank AS BIGINT) AS rank, t AS token, CAST(cnt AS BIGINT) AS cnt,
+         |  CAST(sum(cnt) OVER (ORDER BY cnt DESC, t
+         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 1000000 // total AS BIGINT) AS cum_ppm
+         |FROM top, tot ORDER BY rank""".stripMargin,
+
+    // integer log2 via binary-digit count: length(bin(x)) in Spark ==
+    // length(format('{:b}', x)) in DuckDB — exact, no float log anywhere
+    "ext_surprisal" ->
+      s"""WITH tk AS (SELECT doc_id, ${toksD("text")} AS toks FROM documents),
+         |tx AS (SELECT doc_id, unnest(toks) AS t FROM tk),
+         |c AS (SELECT t, count(*) AS cnt FROM tx GROUP BY 1),
+         |tot AS (SELECT sum(cnt) AS total FROM c),
+         |agg AS (SELECT tx.doc_id, count(*) AS n_tok,
+         |         sum(length(format('{:b}', CAST(total AS BIGINT)))
+         |           - length(format('{:b}', CAST(cnt AS BIGINT)))) AS ssum
+         |        FROM tx JOIN c ON tx.t = c.t, tot GROUP BY 1)
+         |SELECT d.doc_id,
+         |  CAST(COALESCE(a.n_tok, 0) AS BIGINT) AS n_tok,
+         |  CAST(COALESCE(a.ssum, 0) * 1000 // greatest(COALESCE(a.n_tok, 0), 1) AS BIGINT) AS mean_surprisal_milli
+         |FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
 
     // cell assignment mirrors ext_knn_ivf's argmax (dot DESC, ties to
     // lower cid); pair cosine mirrors ext_dedup_embed's deterministic

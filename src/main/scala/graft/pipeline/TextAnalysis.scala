@@ -244,4 +244,130 @@ object TextAnalysis {
         expr("coalesce(n_hit, 0L) * 1000000L DIV greatest(coalesce(n_sh, 0L), 1)")
           .as("contaminated_ppm"))
   }
+
+  /** Linear text-classifier INFERENCE — the model-based quality-filter
+    * pass (fastText-style "educational value" / quality classifiers) that
+    * sits next to the rule-based [[gopherFilter]] in every pretraining
+    * pipeline: score(doc) = bias + mean token weight, against a trained
+    * bag-of-words model supplied as a (token, w_milli) table. Training
+    * happens offline; what the engine owes the pipeline is inference over
+    * 100 TB, exactly like the rule filters — integer milli fixed-point so
+    * the decision is deterministic and oracle-replicable.
+    *
+    * Scale shape: the MODEL broadcasts (1e5..1e7 rows — never
+    * corpus-sized); tokens explode scan-side and take their weight from
+    * the broadcast join (text never shuffles), and the per-doc mean is one
+    * doc-keyed aggregation with map-side partials. Unknown tokens weigh 0;
+    * zero-token docs score `bias`. Weight sums can be negative: the mean
+    * truncates toward zero, which Spark `div` and DuckDB `//` agree on
+    * for BOTH signs (verified — both are truncating, not flooring).
+    *
+    * A duplicated model row would double-count its token, so the model is
+    * uniqueness-guarded the [[Sampling.stratifiedByRate]] way: literal
+    * local tables validate driver-side for free; anything else gets the
+    * in-plan single-aggregate flag.
+    */
+  def classifierScore(
+      docs: DataFrame,
+      weights: DataFrame,
+      biasMilli: Long = 0L,
+      keepThresholdMilli: Long = 0L,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(weights.columns.toSeq == Seq("token", "w_milli"),
+      s"weights must have columns (token, w_milli), got ${weights.columns.mkString(", ")}")
+    val guarded = weights.queryExecution.optimizedPlan match {
+      case lr: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
+        val i = lr.output.indexWhere(_.name == "token")
+        val keys = lr.data.map(_.get(i, lr.output(i).dataType))
+        require(keys.distinct.size == keys.size,
+          "classifierScore: duplicate model rows - one w_milli per token required")
+        weights
+      case _ =>
+        val dupFlag = weights.agg(count(lit(1)).as("__n"),
+          size(collect_set(col("token"))).cast("long").as("__d"))
+        weights.crossJoin(broadcast(dupFlag))
+          .withColumn("w_milli", when(col("__n") =!= col("__d"),
+              expr("cast(raise_error('classifierScore: duplicate model rows - one w_milli per token required') as bigint)"))
+            .otherwise(col("w_milli")))
+          .drop("__n", "__d")
+    }
+    val agg = docs
+      .select(col(idCol), explode_outer(expr(toksS(textCol))).as("t"))
+      .join(broadcast(guarded.withColumnRenamed("token", "t")), Seq("t"), "left")
+      .groupBy(idCol)
+      .agg(count(col("t")).as("n_tok"),
+        coalesce(sum("w_milli"), lit(0L)).as("__wsum"))
+    agg
+      .withColumn("score_milli",
+        expr(s"${biasMilli}L + __wsum div greatest(n_tok, 1)"))
+      .select(col(idCol), col("n_tok"), col("score_milli"),
+        (col("score_milli") >= keepThresholdMilli).as("keep"))
+  }
+
+  /** Corpus vocabulary head: the `topK` tokens by occurrence count with
+    * each token's cumulative corpus-coverage share in ppm — the curve a
+    * tokenizer-training / vocab-sizing decision reads ("how much of the
+    * corpus do the first N entries cover"). Ties break lexically so the
+    * ranking is total and deterministic.
+    *
+    * Scale shape: ONE map-side-partial token-count aggregation (vocab-
+    * sized output, never corpus-sized), a TakeOrdered top-K (no full
+    * sort), and the running coverage sum runs over K rows only — the
+    * single-partition window is bounded by `topK`, never by vocab size.
+    */
+  def vocabCoverage(
+      docs: DataFrame,
+      topK: Int = 100,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(topK > 0, s"topK must be positive, got $topK")
+    val counts = docs.select(explode(expr(toksS(textCol))).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("cnt"))
+    val total = counts.agg(sum("cnt").as("__total"))
+    val top = counts.orderBy(col("cnt").desc, col("t")).limit(topK)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cnt").desc, col("t"))
+    top.crossJoin(broadcast(total))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("cum_ppm",
+        expr("sum(cnt) over (order by cnt desc, t rows between unbounded preceding and current row) * 1000000L div __total"))
+      .select(col("rank"), col("t").as("token"), col("cnt"), col("cum_ppm"))
+  }
+
+  /** Unigram-LM surprisal scoring — the corpus-statistics stand-in for
+    * perplexity filtering: each token's surprisal is the integer log2 of
+    * its inverse corpus frequency, approximated EXACTLY (bit-length
+    * arithmetic — `len(bin(total)) - len(bin(cnt))`, no floats, so both
+    * engines compute the identical score), and a document scores the mean
+    * surprisal of its tokens in milli units. Low = boilerplate-like
+    * (frequent tokens), high = rare-token-heavy (OCR noise, gibberish) —
+    * pipelines band-pass on this exactly like model perplexity.
+    *
+    * Scale shape: the token-count table is vocab-sized, NOT broadcast —
+    * the exploded corpus joins it by token (shuffle on the fixed-width
+    * token key: the inverted-index access path), then one doc-keyed mean.
+    * Two shuffles total, both map-side-partial aggregations.
+    */
+  def surprisalStats(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val toks = docs.select(col(idCol), explode(expr(toksS(textCol))).as("t"))
+    val counts = toks.groupBy("t").agg(count(lit(1)).as("__cnt"))
+    val total = counts.agg(sum("__cnt").as("__total"))
+    val agg = toks
+      .join(counts, "t")
+      .crossJoin(broadcast(total))
+      .withColumn("__surp", expr("length(bin(__total)) - length(bin(__cnt))"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_tok"),
+        sum(col("__surp")).cast("long").as("__ssum"))
+    docs.select(col(idCol))
+      .join(agg, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_tok"), lit(0L)).as("n_tok"),
+        expr("coalesce(__ssum, 0L) * 1000L DIV greatest(coalesce(n_tok, 0L), 1)")
+          .as("mean_surprisal_milli"))
+  }
 }

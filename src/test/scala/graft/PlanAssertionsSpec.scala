@@ -150,6 +150,17 @@ class PlanAssertionsSpec extends SparkSpec {
       s"expected exactly (doc_id leads, gh count, doc_id islands) + presentation range; got $hashExchanges:\n${plan.take(2000)}")
   }
 
+  test("ext_classifier: the model broadcasts onto the token stream — corpus text never shuffles for the join") {
+    val plan = planOf("ext_classifier")
+    assert(plan.contains("BroadcastHashJoin"), s"model weights must broadcast:\n${plan.take(2000)}")
+    assert(!plan.contains("SortMergeJoin"), s"the token-weight join must not sort-merge:\n${plan.take(2000)}")
+  }
+
+  test("ext_vocab_coverage: top-K is a TakeOrdered, never a full vocab sort") {
+    val plan = planOf("ext_vocab_coverage")
+    assert(plan.contains("TakeOrderedAndProject"), s"top-K must prune before sorting the vocab:\n${plan.take(2000)}")
+  }
+
   test("ext_semdedup: cell assignment is scan-side; the pair join is cell-equi, never nested-loop") {
     val plan = planOf("ext_semdedup")
     // the blocking step must be an equi-join on the cell id — an

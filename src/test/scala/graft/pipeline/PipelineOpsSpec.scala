@@ -442,6 +442,60 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  // ------------------------------------------------- classifier inference
+
+  test("classifierScore: mean token weight + bias; truncation toward zero; zero-token doc scores bias") {
+    val model = Seq(("good", 300L), ("bad", -500L)).toDF("token", "w_milli")
+    val docs = Seq(
+      (1L, "good good bad"),       // (300+300-500) div 3 = 33
+      (2L, "bad bad unknown"),     // -1000 div 3 = -333 (truncates toward 0)
+      (3L, ""),                    // zero tokens -> bias only
+      (4L, "neutral words only")). // all unknown -> 0 div 3 = 0
+      toDF("doc_id", "text")
+    val out = TextAnalysis.classifierScore(docs, model, biasMilli = 10L, keepThresholdMilli = 0L)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3))).toSeq
+    assert(out == Seq(
+      (1L, 3L, 43L, true),
+      (2L, 3L, -323L, false),
+      (3L, 0L, 10L, true),
+      (4L, 3L, 10L, true)))
+  }
+
+  test("classifierScore: a duplicated model row fails fast (literal model, driver-side)") {
+    val dup = Seq(("good", 300L), ("good", 100L)).toDF("token", "w_milli")
+    val docs = Seq((1L, "good")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      TextAnalysis.classifierScore(docs, dup)
+    }
+    assert(e.getMessage.contains("duplicate model rows"))
+  }
+
+  // ------------------------------------------------------- vocab coverage
+
+  test("vocabCoverage: rank by count with lexical ties, exact cumulative ppm") {
+    val docs = Seq((1L, "b a b c"), (2L, "a b a")).toDF("doc_id", "text")
+    // counts: a=3, b=3, c=1; total=7; ties a<b
+    val out = TextAnalysis.vocabCoverage(docs, topK = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(out == Seq(
+      (1L, "a", 3L, 3L * 1000000 / 7),
+      (2L, "b", 3L, 6L * 1000000 / 7)))
+  }
+
+  // ------------------------------------------------------------ surprisal
+
+  test("surprisalStats: bit-length log2 of inverse frequency, mean per doc") {
+    val docs = Seq((1L, "x x x"), (2L, "x y")).toDF("doc_id", "text")
+    // counts: x=4, y=1; total=5 (bin '101' -> 3 digits)
+    // surp(x) = 3 - 3 = 0; surp(y) = 3 - 1 = 2
+    val out = TextAnalysis.surprisalStats(docs).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(out == Seq(
+      (1L, 3L, 0L),           // mean(0,0,0)
+      (2L, 2L, 1000L)))       // mean(0,2) = 1 -> 1000 milli
+  }
+
   // ------------------------------------------------------- semantic dedup
 
   test("semanticDedup: transitive near-dups collapse to one keeper; distinct vectors stay singletons") {
