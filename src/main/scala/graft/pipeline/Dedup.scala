@@ -327,6 +327,38 @@ object Dedup {
       .select(col(idCol), col("span_start"), col("span_end"), col("n_windows"))
   }
 
+  /** Span EXCISION — the apply step that turns [[duplicateSpans]] output
+    * into a cleaned corpus: every token whose position falls inside one of
+    * the document's spans is removed, and the survivors rejoin on single
+    * spaces (whitespace normalizes — the tokenizer's view, matching every
+    * other operator in this file). Emits `n_removed` so pipelines can
+    * dashboard excision rates.
+    *
+    * Scale shape: spans aggregate to ONE array per affected document
+    * (bounded — spans are merged islands, not raw windows) and join on the
+    * doc key; the token filter is then a scan-side HOF over the row's own
+    * tokens. Documents with no spans pass through the left join untouched.
+    * At 100 TB co-locate the join with a doc_id-bucketed layout
+    * ([[graft.operators.Layout]]) — both sides derive from the same
+    * corpus, so the shuffle is avoidable, not inherent.
+    */
+  def exciseSpans(
+      docs: DataFrame,
+      spans: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val sp = spans.groupBy(idCol)
+      .agg(collect_list(struct(
+        col("span_start").as("s"), col("span_end").as("e"))).as("__spans"))
+    docs.join(sp, Seq(idCol), "left")
+      .withColumn("__toks", expr(toksS(textCol)))
+      .withColumn("__kept", expr(
+        "filter(__toks, (t, i) -> __spans is null or not exists(__spans, sp -> i >= sp.s and i <= sp.e))"))
+      .select(col(idCol),
+        concat_ws(" ", col("__kept")).as("clean_text"),
+        (size(col("__toks")) - size(col("__kept"))).cast("long").as("n_removed"))
+  }
+
   /** Per-doc 32-bit SimHash. Relational form: explode tokens, hash each
     * ONCE, aggregate 32 signed bit-sums per doc (one narrow shuffle,
     * map-side partials), then assemble the fingerprint scan-side.

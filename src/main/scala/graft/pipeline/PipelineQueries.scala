@@ -76,6 +76,31 @@ object PipelineQueries {
     """aug AS (SELECT doc_id, text FROM documents
       | UNION ALL SELECT doc_id + 1000000, substr(text, strpos(text, ' ') + 1) FROM documents WHERE doc_id % 10 = 0)""".stripMargin
 
+  /** Shared DuckDB CTEs for exact-substring dedup: rolling 10-gram hashes
+    * → duplicated windows → gaps-and-islands merge → per-doc spans `spn`.
+    * Used by both the detection (ext_dedup_substr) and the application
+    * (ext_excise) oracles.
+    */
+  private val substrSpanCtes =
+    s"""tk AS (SELECT doc_id, ${toksD("text")} AS toks FROM documents),
+       |grams AS (
+       |  SELECT doc_id, i - 1 AS pos,
+       |    ${hashD("array_to_string(toks[i:i+9],' ')")} AS gh
+       |  FROM tk, unnest(generate_series(1, len(toks) - 9)) AS g(i)
+       |  WHERE len(toks) >= 10),
+       |dup AS (SELECT gh FROM grams GROUP BY gh HAVING count(*) > 1),
+       |hits AS (SELECT g.doc_id, g.pos FROM grams g JOIN dup USING (gh)),
+       |pe AS (SELECT doc_id, pos,
+       |  max(pos + 9) OVER (PARTITION BY doc_id ORDER BY pos
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+       |  FROM hits),
+       |isl AS (SELECT doc_id, pos,
+       |  sum(CASE WHEN prev_end IS NULL OR pos > prev_end + 1 THEN 1 ELSE 0 END)
+       |    OVER (PARTITION BY doc_id ORDER BY pos) AS island
+       |  FROM pe),
+       |spn AS (SELECT doc_id, island, min(pos) AS s, max(pos) + 9 AS e, count(*) AS nw
+       |        FROM isl GROUP BY doc_id, island)""".stripMargin
+
   /** Shared DuckDB CTEs: tokens → shingles (exploded) → sizes. */
   private val shinglesSqlCtes =
     s"""tk AS (SELECT doc_id, ${toksD("text")} AS toks FROM aug),
@@ -328,6 +353,14 @@ object PipelineQueries {
     "ext_dedup_substr" -> ((s, dir) => {
       Dedup.duplicateSpans(Tables.documents(s, dir), w = 10)
         .orderBy("doc_id", "span_start")
+    }),
+
+    // span excision: duplicateSpans applied back to the corpus — the
+    // detect → clean round trip of exact-substring dedup
+    "ext_excise" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.exciseSpans(docs, Dedup.duplicateSpans(docs, w = 10))
+        .orderBy("doc_id")
     }),
 
     // model-based quality filtering: fastText-style linear classifier
@@ -692,26 +725,26 @@ object PipelineQueries {
     // rolling 10-gram hashes → count > 1 → join back → gaps-and-islands
     // span merge (abutting windows merge: pos <= prev_end + 1)
     "ext_dedup_substr" ->
-      s"""WITH tk AS (SELECT doc_id, ${toksD("text")} AS toks FROM documents),
-         |grams AS (
-         |  SELECT doc_id, i - 1 AS pos,
-         |    ${hashD("array_to_string(toks[i:i+9],' ')")} AS gh
-         |  FROM tk, unnest(generate_series(1, len(toks) - 9)) AS g(i)
-         |  WHERE len(toks) >= 10),
-         |dup AS (SELECT gh FROM grams GROUP BY gh HAVING count(*) > 1),
-         |hits AS (SELECT g.doc_id, g.pos FROM grams g JOIN dup USING (gh)),
-         |pe AS (SELECT doc_id, pos,
-         |  max(pos + 9) OVER (PARTITION BY doc_id ORDER BY pos
-         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
-         |  FROM hits),
-         |isl AS (SELECT doc_id, pos,
-         |  sum(CASE WHEN prev_end IS NULL OR pos > prev_end + 1 THEN 1 ELSE 0 END)
-         |    OVER (PARTITION BY doc_id ORDER BY pos) AS island
-         |  FROM pe)
-         |SELECT doc_id, min(pos) AS span_start, max(pos) + 9 AS span_end,
-         |  CAST(count(*) AS BIGINT) AS n_windows
-         |FROM isl GROUP BY doc_id, island
-         |ORDER BY doc_id, span_start""".stripMargin,
+      s"""WITH $substrSpanCtes
+         |SELECT doc_id, s AS span_start, e AS span_end, CAST(nw AS BIGINT) AS n_windows
+         |FROM spn ORDER BY doc_id, span_start""".stripMargin,
+
+    // excision applies the spn spans: keep tokens outside every span,
+    // rejoin on single spaces (the tokenizer-normalized view, both sides)
+    "ext_excise" ->
+      s"""WITH $substrSpanCtes,
+         |ex AS (SELECT tk.doc_id, string_agg(toks[i], ' ' ORDER BY i) AS clean_text,
+         |         count(*) AS n_keep
+         |       FROM tk, unnest(generate_series(1, len(toks))) AS g(i)
+         |       WHERE NOT EXISTS (SELECT 1 FROM spn s
+         |                         WHERE s.doc_id = tk.doc_id AND i - 1 BETWEEN s.s AND s.e)
+         |       GROUP BY 1),
+         |tl AS (SELECT doc_id, len(toks) AS n FROM tk)
+         |SELECT t.doc_id,
+         |  COALESCE(ex.clean_text, '') AS clean_text,
+         |  CAST(t.n - COALESCE(ex.n_keep, 0) AS BIGINT) AS n_removed
+         |FROM tl t LEFT JOIN ex ON ex.doc_id = t.doc_id
+         |ORDER BY t.doc_id""".stripMargin,
 
     // truncating division on both sides: Spark `div` and DuckDB `//`
     // both truncate toward zero (weight sums can be negative)

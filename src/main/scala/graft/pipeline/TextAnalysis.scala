@@ -305,6 +305,35 @@ object TextAnalysis {
         (col("score_milli") >= keepThresholdMilli).as("keep"))
   }
 
+  /** [[classifierScore]] as a pure per-row projection — the STREAMING-SAFE
+    * form: the model rides as a map literal and the score is one
+    * `aggregate` HOF over the row's own tokens, so there is no join and no
+    * aggregation state. Use it to score documents at INGEST (a stateless
+    * `readStream` projection composable with [[graft.streaming.StreamDedup]])
+    * or wherever the model is small enough to inline in the plan (~1e4
+    * entries; past that the plan itself bloats — use the broadcast-join
+    * [[classifierScore]], which handles 1e7-row models).
+    *
+    * Output-equal to [[classifierScore]] on the same model (spec-asserted).
+    */
+  def classifierScoreInline(
+      docs: DataFrame,
+      weights: Map[String, Long],
+      biasMilli: Long = 0L,
+      keepThresholdMilli: Long = 0L,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(weights.nonEmpty, "classifierScoreInline: weights must be non-empty")
+    docs
+      .select(col(idCol), expr(toksS(textCol)).as("__toks"))
+      .withColumn("n_tok", size(col("__toks")).cast("long"))
+      .withColumn("__wsum", aggregate(col("__toks"), lit(0L),
+        (acc, t) => acc + coalesce(element_at(typedLit(weights), t), lit(0L))))
+      .withColumn("score_milli", expr(s"${biasMilli}L + __wsum div greatest(n_tok, 1)"))
+      .select(col(idCol), col("n_tok"), col("score_milli"),
+        (col("score_milli") >= keepThresholdMilli).as("keep"))
+  }
+
   /** Corpus vocabulary head: the `topK` tokens by occurrence count with
     * each token's cumulative corpus-coverage share in ppm — the curve a
     * tokenizer-training / vocab-sizing decision reads ("how much of the

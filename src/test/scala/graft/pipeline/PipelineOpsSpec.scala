@@ -442,6 +442,24 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  // -------------------------------------------------------- span excision
+
+  test("exciseSpans: removes exactly the spanned tokens; spanless and all-duplicate docs behave") {
+    val shared = (1 to 12).map(i => s"tok$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"alpha beta $shared gamma"),
+      (2L, shared),                       // the whole doc is one span
+      (3L, "unique words nothing here")). // no spans at all
+      toDF("doc_id", "text")
+    val out = Dedup.exciseSpans(docs, Dedup.duplicateSpans(docs, w = 10))
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(out == Seq(
+      (1L, "alpha beta gamma", 12L),
+      (2L, "", 12L),
+      (3L, "unique words nothing here", 0L)))
+  }
+
   // ------------------------------------------------- classifier inference
 
   test("classifierScore: mean token weight + bias; truncation toward zero; zero-token doc scores bias") {
@@ -460,6 +478,33 @@ class PipelineOpsSpec extends SparkSpec {
       (2L, 3L, -323L, false),
       (3L, 0L, 10L, true),
       (4L, 3L, 10L, true)))
+  }
+
+  test("classifierScoreInline: output-equal to the broadcast-join form; runs as a streaming projection") {
+    val wmap = Map("good" -> 300L, "bad" -> -500L)
+    val docs = Seq((1L, "good good bad"), (2L, "bad bad x"), (3L, ""), (4L, "y z"))
+      .toDF("doc_id", "text")
+    val viaJoin = TextAnalysis.classifierScore(docs, wmap.toSeq.toDF("token", "w_milli"),
+        biasMilli = 10L, keepThresholdMilli = 0L)
+      .orderBy("doc_id").collect().toSeq
+    val inline = TextAnalysis.classifierScoreInline(docs, wmap,
+        biasMilli = 10L, keepThresholdMilli = 0L)
+      .orderBy("doc_id").collect().toSeq
+    assert(inline == viaJoin)
+
+    // streaming: the same projection over a MemoryStream, append mode,
+    // no state — scores arrive with the batch results
+    implicit val sqlCtx = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val query = TextAnalysis.classifierScoreInline(
+        input.toDF().toDF("doc_id", "text"), wmap, biasMilli = 10L)
+      .writeStream.format("memory").queryName("clf_out").outputMode("append").start()
+    try {
+      input.addData(Seq((1L, "good good bad"), (2L, "bad bad x")))
+      query.processAllAvailable()
+      val streamed = spark.table("clf_out").orderBy("doc_id").collect().toSeq
+      assert(streamed == viaJoin.take(2))
+    } finally query.stop()
   }
 
   test("classifierScore: a duplicated model row fails fast (literal model, driver-side)") {
