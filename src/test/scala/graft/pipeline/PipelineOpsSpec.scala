@@ -558,6 +558,50 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out == Seq((1L, 1L, true), (2L, 1L, false), (3L, 1L, false), (9L, 9L, true)))
   }
 
+  test("semanticDedup: matches a brute-force reference (argmax cells, pairwise cosine, union-find)") {
+    val rnd = new scala.util.Random(7)
+    val dim = 8
+    val cents: Seq[Seq[Double]] = Seq.fill(4)(Seq.fill(dim)(rnd.nextDouble() - 0.5))
+    val base = (0L until 40L).map(i => i -> Array.fill(dim)(rnd.nextFloat() * 2 - 1))
+    // exact copies (+100) and copies-of-copies (+200) to force transitive merges
+    val all = base ++
+      base.filter(_._1 % 5 == 0).map { case (i, v) => (i + 100L) -> v.clone() } ++
+      base.filter(_._1 % 10 == 0).map { case (i, v) => (i + 200L) -> v.clone() }
+
+    // reference mirrors the engine's arithmetic order exactly: strict
+    // left-to-right double fold (VecDot), argmax as min over (-dot, cid)
+    def dotd(a: Array[Float], b: Seq[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i).toDouble * b(i); i += 1 }; acc
+    }
+    def dotf(a: Array[Float], b: Array[Float]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i).toDouble * b(i).toDouble; i += 1 }; acc
+    }
+    val cellOf = all.map { case (i, v) =>
+      i -> cents.zipWithIndex.map { case (c, ci) => (-dotd(v, c), ci) }.min._2
+    }.toMap
+    val byId = all.toMap
+    val parent = scala.collection.mutable.Map(all.map(_._1 -> -1L): _*)
+    def find(x: Long): Long = if (parent(x) < 0) x else { val r = find(parent(x)); parent(x) = r; r }
+    def union(a: Long, b: Long): Unit = { val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb) }
+    val ids = all.map(_._1)
+    for (i <- ids; j <- ids if i < j && cellOf(i) == cellOf(j)) {
+      val (vi, vj) = (byId(i), byId(j))
+      val cos = dotf(vi, vj) / (math.sqrt(dotf(vi, vi)) * math.sqrt(dotf(vj, vj)))
+      if (cos >= 0.99) union(i, j)
+    }
+    // min-id root == elected keeper label (union always reroots to the min)
+    val expected = ids.sorted.map(i => (i, find(i), find(i) == i))
+
+    val got = Similarity.semanticDedup(all.toDF("vec_id", "embedding"), cents, 0.99)
+      .orderBy("vec_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
+    assert(got == expected)
+    // sanity: the construction actually produced multi-member clusters
+    assert(expected.count(!_._3) >= 12)
+  }
+
   test("semanticDedup: pairs form only within a cell (cross-cell near-dups are missed by design)") {
     // two near-identical diagonal vectors that land in DIFFERENT cells
     // (one barely x-major, one barely y-major): blocked by the cell
