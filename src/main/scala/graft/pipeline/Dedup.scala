@@ -33,6 +33,36 @@ object Dedup {
       .select(col(idCol), col("h"), col("keep_id"), (col(idCol) === col("keep_id")).as("is_keeper"))
   }
 
+  /** INCREMENTAL exact dedup — the production ingest shape: a corpus is
+    * not re-deduped end to end on every snapshot; new batches check
+    * against the historical fingerprint STORE (the `h` column of prior
+    * [[exactDedup]] output) and against themselves. Keeps each new batch
+    * row that is (a) absent from the store and (b) the first holder of
+    * its hash within the batch.
+    *
+    * Scale shape: hashing is scan-side; the store probe is a LEFT ANTI
+    * join on the fixed-width hash — both sides shuffle by `h` but only
+    * (id, hash) rows ever cross the wire, never text, and a store laid
+    * out hash-bucketed ([[graft.operators.Layout]]) makes the probe
+    * co-located scan-to-scan. The within-batch keep-first runs on the
+    * store survivors only.
+    */
+  def exactDedupIncremental(
+      docs: DataFrame,
+      seenHashes: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(seenHashes.columns.contains("h"),
+      s"seenHashes must carry the fingerprint column 'h', got ${seenHashes.columns.mkString(", ")}")
+    val fresh = docs.select(col(idCol), md5(col(textCol)).as("h"))
+      .join(seenHashes.select("h"), Seq("h"), "left_anti")
+    val w = Window.partitionBy("h").orderBy(col(idCol))
+    fresh
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .select(col(idCol), col("h"))
+  }
+
   /** Per-doc exploded distinct shingles with their 32-bit hash, computed
     * ONCE per shingle (explode → hash; never re-evaluated inside nested
     * higher-order functions — chained HOF columns get inlined by

@@ -355,6 +355,32 @@ object PipelineQueries {
         .orderBy("doc_id", "span_start")
     }),
 
+    // exact-count mixture: exactly N docs per listed source (hash-order
+    // prefix selection), unlisted sources drop; src2 capped past its size
+    // (keeps all 25 at sf0.01 — min(n, |stratum|))
+    "ext_sample_exact" -> ((s, dir) => {
+      Sampling.exactPerStratum(
+          Tables.documents(s, dir).select("doc_id", "source"), "source",
+          Map("src0" -> 7L, "src1" -> 3L, "src2" -> 1000L))
+        .orderBy("doc_id")
+    }),
+
+    // incremental exact dedup: new batch (all docs) probed against a
+    // historical store (hashes of the doc_id % 7 == 0 snapshot), then
+    // within-batch keep-first
+    "ext_dedup_incr" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val store = docs.where(col("doc_id") % 7 === 0).select(md5(col("text")).as("h"))
+      Dedup.exactDedupIncremental(docs, store).orderBy("doc_id")
+    }),
+
+    // per-doc TF-IDF keywords: integer idf (bit-length log2 of inverse
+    // doc frequency), top-3 per doc, total tie order
+    "ext_keywords" -> ((s, dir) => {
+      TextAnalysis.tfidfKeywords(Tables.documents(s, dir), topK = 3)
+        .orderBy("doc_id", "rank")
+    }),
+
     // span excision: duplicateSpans applied back to the corpus — the
     // detect → clean round trip of exact-substring dedup
     "ext_excise" -> ((s, dir) => {
@@ -728,6 +754,43 @@ object PipelineQueries {
       s"""WITH $substrSpanCtes
          |SELECT doc_id, s AS span_start, e AS span_end, CAST(nw AS BIGINT) AS n_windows
          |FROM spn ORDER BY doc_id, span_start""".stripMargin,
+
+    "ext_sample_exact" ->
+      """WITH r AS (SELECT doc_id, source,
+        |  row_number() OVER (PARTITION BY source
+        |    ORDER BY abs(doc_id * 2654435761 + 40503) % 1000000, doc_id) AS rn
+        |  FROM documents)
+        |SELECT doc_id, source, CAST(rn AS BIGINT) AS sample_rank
+        |FROM r
+        |WHERE rn <= CASE source WHEN 'src0' THEN 7 WHEN 'src1' THEN 3
+        |                        WHEN 'src2' THEN 1000 ELSE 0 END
+        |ORDER BY doc_id""".stripMargin,
+
+    "ext_dedup_incr" ->
+      """WITH store AS (SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 7 = 0),
+        |cand AS (SELECT doc_id, md5(text) AS h FROM documents),
+        |fresh AS (SELECT c.doc_id, c.h FROM cand c
+        |          WHERE NOT EXISTS (SELECT 1 FROM store s WHERE s.h = c.h)),
+        |r AS (SELECT doc_id, h, row_number() OVER (PARTITION BY h ORDER BY doc_id) AS rn
+        |      FROM fresh)
+        |SELECT doc_id, h FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    "ext_keywords" ->
+      s"""WITH tk AS (SELECT doc_id, ${toksD("text")} AS toks FROM documents),
+         |tx AS (SELECT doc_id, unnest(toks) AS t FROM tk),
+         |tf AS (SELECT doc_id, t, count(*) AS tf FROM tx GROUP BY 1, 2),
+         |df AS (SELECT t, count(*) AS df FROM tf GROUP BY 1),
+         |n AS (SELECT count(*) AS n FROM documents),
+         |sc AS (SELECT tf.doc_id, tf.t,
+         |         tf.tf * (length(format('{:b}', CAST(n AS BIGINT)))
+         |                - length(format('{:b}', CAST(df AS BIGINT)))) AS score
+         |       FROM tf JOIN df USING (t), n),
+         |r AS (SELECT doc_id, t, score,
+         |        row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, t) AS rank
+         |      FROM sc)
+         |SELECT doc_id, CAST(rank AS BIGINT) AS rank, t AS token, CAST(score AS BIGINT) AS score
+         |FROM r WHERE rank <= 3
+         |ORDER BY doc_id, rank""".stripMargin,
 
     // excision applies the spn spans: keep tokens outside every span,
     // rejoin on single spaces (the tokenizer-normalized view, both sides)

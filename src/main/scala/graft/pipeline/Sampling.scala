@@ -138,6 +138,47 @@ object Sampling {
           .as("rate_ppm"))
   }
 
+  /** Exact-COUNT stratified sampling: exactly min(n, |stratum|) rows per
+    * stratum (mixture configs are often written "exactly N docs of
+    * source X", not as rates). Selection is the deterministic hash order
+    * ([[bucketPpm]], ties on id) — seedless, so retries and re-runs pick
+    * the identical sample, and the chosen rows are a PREFIX of the
+    * rate-sampled ordering (growing n only adds rows). The config IS the
+    * mixture: strata absent from `counts` are dropped (n defaults to 0) —
+    * a passthrough stratum would defeat the literal rank pre-filter the
+    * scale story depends on, so callers wanting one must name it with an
+    * explicit (large) n and accept the weaker pruning.
+    *
+    * Scale shape: the rank window partitions by stratum, which would
+    * serialize a 100 TB stratum — except the literal `__rn <=
+    * max(counts)` pre-filter lets Spark push a WindowGroupLimit below the
+    * exchange (plan-asserted, the qi_topk mechanism): every map task
+    * keeps at most max(n) rows per stratum BEFORE the shuffle, so the
+    * per-stratum partition ranks over at most n × #tasks rows — bounded
+    * by the config, never by the corpus. The exact per-stratum cap then
+    * applies on the pruned stream.
+    */
+  def exactPerStratum(
+      docs: DataFrame,
+      stratumCol: String,
+      counts: Map[String, Long],
+      idCol: String = "doc_id"): DataFrame = {
+    require(counts.nonEmpty, "exactPerStratum: counts must be non-empty")
+    counts.foreach { case (s, n) =>
+      require(n >= 0, s"exactPerStratum: count for '$s' must be >= 0, got $n")
+    }
+    require(!docs.columns.contains("sample_rank"),
+      "docs columns collide with internal names (rename them): sample_rank")
+    val maxN = counts.values.max
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(stratumCol).orderBy(bucketPpm(idCol), col(idCol))
+    docs
+      .withColumn("sample_rank", row_number().over(w).cast("long"))
+      .where(col("sample_rank") <= maxN) // literal: triggers WindowGroupLimit
+      .where(col("sample_rank") <=
+        coalesce(element_at(typedLit(counts), col(stratumCol)), lit(0L)))
+  }
+
   /** Budget-driven mixture sampling: [[mixtureRates]] composed with
     * [[stratifiedByRate]]. Two passes over the corpus — the totals
     * aggregation and the scan-side keep predicate — which is inherent:

@@ -364,6 +364,42 @@ object TextAnalysis {
       .select(col("rank"), col("t").as("token"), col("cnt"), col("cum_ppm"))
   }
 
+  /** Per-document TF-IDF keyword extraction: the `topK` tokens of each
+    * document by `tf * idf_bits`, where idf_bits is the integer log2 of
+    * inverse DOCUMENT frequency (bit-length arithmetic, the
+    * [[surprisalStats]] convention — exact in both engines, no float log).
+    * Ties break (score desc, token asc) so the ranking is total. The
+    * per-doc keyword list is what search indexing, tagging, and
+    * cluster-labeling passes consume.
+    *
+    * Scale shape: distinct-per-doc token rows → one vocab-keyed df
+    * aggregate (vocab-sized, map-side partials) joined back on the token
+    * key (inverted-index path, like [[surprisalStats]] — the df table
+    * does NOT broadcast at 100 TB), then a per-doc rank window whose
+    * literal `<= topK` filter pushes a WindowGroupLimit below the
+    * exchange — map tasks keep topK rows per doc before any shuffle.
+    */
+  def tfidfKeywords(
+      docs: DataFrame,
+      topK: Int = 3,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(topK > 0, s"topK must be positive, got $topK")
+    val toks = docs.select(col(idCol), explode(expr(toksS(textCol))).as("t"))
+    val tf = toks.groupBy(col(idCol), col("t")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("t").agg(count(lit(1)).as("__df"))
+    val nDocs = docs.agg(count(lit(1)).as("__n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCol).orderBy(col("score").desc, col("t"))
+    tf.join(df, "t")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score", expr("tf * (length(bin(__n)) - length(bin(__df)))"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= topK)
+      .select(col(idCol), col("rank"), col("t").as("token"),
+        col("score").cast("long").as("score"))
+  }
+
   /** Unigram-LM surprisal scoring — the corpus-statistics stand-in for
     * perplexity filtering: each token's surprisal is the integer log2 of
     * its inverse corpus frequency, approximated EXACTLY (bit-length

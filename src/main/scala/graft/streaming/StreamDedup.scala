@@ -38,6 +38,33 @@ object StreamDedup {
       .dropDuplicatesWithinWatermark("symbol", eventTimeCol)
       .drop("__evt")
 
+  /** Streaming corpus-ingest dedup against a STATIC historical fingerprint
+    * store — the stream-side face of [[graft.pipeline.Dedup.exactDedupIncremental]]:
+    * documents arriving on the stream are dropped when their content hash
+    * already exists in the store (a stream-static LEFT ANTI join —
+    * stateless, so no watermark and no state growth). The store is read
+    * per micro-batch: persist it (or lay it out hash-bucketed) so the
+    * probe is a lookup, not a rescan.
+    *
+    * Within-stream duplicates are NOT this operator's job (two identical
+    * docs in one batch both pass) — compose with
+    * [[dedupWithinWatermark]] upstream for in-flight dedup, exactly as
+    * the batch twin composes its store probe with keep-first election.
+    * Emits the input columns plus the content hash `h` (so the sink can
+    * append the new fingerprints back to the store — the incremental
+    * loop).
+    */
+  def dedupAgainstStore(
+      docs: DataFrame,
+      seenHashes: DataFrame,
+      textCol: String = "text"): DataFrame = {
+    require(seenHashes.columns.contains("h"),
+      s"seenHashes must carry the fingerprint column 'h', got ${seenHashes.columns.mkString(", ")}")
+    docs
+      .withColumn("h", md5(col(textCol)))
+      .join(seenHashes.select("h"), Seq("h"), "left_anti")
+  }
+
   /** The ENFORCED ingestion composition: dedup THEN the ST8 monotonic gate.
     *
     * Standalone `dedupWithinWatermark` is at-least-once (a re-delivery

@@ -150,6 +150,12 @@ class PlanAssertionsSpec extends SparkSpec {
       s"expected exactly (doc_id leads, gh count, doc_id islands) + presentation range; got $hashExchanges:\n${plan.take(2000)}")
   }
 
+  test("ext_sample_exact: literal rank cap pushes WindowGroupLimit below the exchange") {
+    val plan = planOf("ext_sample_exact")
+    assert(plan.contains("WindowGroupLimit"),
+      s"the max(n) literal must prune per-stratum ranks map-side:\n${plan.take(2000)}")
+  }
+
   test("ext_classifier: the model broadcasts onto the token stream — corpus text never shuffles for the join") {
     val plan = planOf("ext_classifier")
     assert(plan.contains("BroadcastHashJoin"), s"model weights must broadcast:\n${plan.take(2000)}")

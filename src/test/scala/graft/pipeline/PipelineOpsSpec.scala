@@ -442,6 +442,57 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  // ----------------------------------------------------- tf-idf keywords
+
+  test("tfidfKeywords: tf × bit-length idf, corpus-wide tokens score 0, total tie order") {
+    val docs = Seq((1L, "x x y"), (2L, "x z")).toDF("doc_id", "text")
+    // n=2 ('10': 2 digits); df(x)=2 -> idf 0; df(y)=df(z)=1 -> idf 1
+    val out = TextAnalysis.tfidfKeywords(docs, topK = 2).orderBy("doc_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3))).toSeq
+    assert(out == Seq(
+      (1L, 1L, "y", 1L), (1L, 2L, "x", 0L),
+      (2L, 1L, "z", 1L), (2L, 2L, "x", 0L)))
+  }
+
+  // ----------------------------------------------------- incremental dedup
+
+  test("exactDedupIncremental: store hits drop, within-batch dups elect first, fresh docs pass") {
+    val store = Seq("seen text").toDF("text").select(md5(col("text")).as("h"))
+    val batch = Seq(
+      (1L, "seen text"),     // in store -> dropped
+      (2L, "fresh one"),     // new, unique -> kept
+      (3L, "fresh two"),     // new, duplicated in batch -> kept (first)
+      (4L, "fresh two"),     // batch duplicate -> dropped
+      (5L, "seen text")).    // in store -> dropped
+      toDF("doc_id", "text")
+    val out = Dedup.exactDedupIncremental(batch, store)
+      .collect().map(_.getLong(0)).toSeq.sorted
+    assert(out == Seq(2L, 3L))
+  }
+
+  // --------------------------------------------------- exact-count sample
+
+  test("exactPerStratum: exact caps, prefix-growth, unlisted strata drop") {
+    val docs = (0L until 60L).map(i => (i, s"s${i % 3}")).toDF("doc_id", "src")
+    val n4 = Sampling.exactPerStratum(docs, "src", Map("s0" -> 4L, "s1" -> 2L))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(n4.count(_._2 == "s0") == 4 && n4.count(_._2 == "s1") == 2)
+    assert(!n4.exists(_._2 == "s2")) // unlisted -> dropped
+    // a cap past the stratum size keeps the whole stratum
+    val big = Sampling.exactPerStratum(docs, "src", Map("s0" -> 999L))
+      .collect()
+    assert(big.length == 20)
+    // growing n only ADDS rows (hash-order prefix property)
+    val n2 = Sampling.exactPerStratum(docs, "src", Map("s0" -> 2L))
+      .collect().map(_.getLong(0)).toSet
+    val n6 = Sampling.exactPerStratum(docs, "src", Map("s0" -> 6L))
+      .collect().map(_.getLong(0)).toSet
+    assert(n2.subsetOf(n6))
+    // deterministic: a second run picks the identical rows
+    assert(Sampling.exactPerStratum(docs, "src", Map("s0" -> 4L, "s1" -> 2L))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq.sorted == n4.sorted)
+  }
+
   // -------------------------------------------------------- span excision
 
   test("exciseSpans: removes exactly the spanned tokens; spanless and all-duplicate docs behave") {

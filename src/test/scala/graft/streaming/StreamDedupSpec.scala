@@ -95,4 +95,26 @@ class StreamDedupSpec extends SparkSpec {
       StreamBuffer.unregister("dedup-gate")
     }
   }
+
+  test("dedupAgainstStore: stream-static anti probe drops stored texts, passes fresh ones with their hash") {
+    implicit val sqlCtx = spark.sqlContext
+    val store = Seq("seen text").toDF("text")
+      .select(org.apache.spark.sql.functions.md5(col("text")).as("h"))
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val q = StreamDedup.dedupAgainstStore(input.toDF().toDF("doc_id", "text"), store)
+      .writeStream.format("memory").queryName("store_dedup_out").outputMode("append").start()
+    try {
+      input.addData(Seq((1L, "seen text"), (2L, "fresh one"), (3L, "fresh one")))
+      q.processAllAvailable()
+      val out = spark.table("store_dedup_out")
+        .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("h"))).toSeq.sortBy(_._1)
+      // stateless by contract: BOTH in-batch copies of "fresh one" pass
+      // (in-flight dedup is dedupWithinWatermark's job, composed upstream)
+      assert(out.map(_._1) == Seq(2L, 3L))
+      // the emitted hash is the store fingerprint format (the append loop)
+      val freshHash = Seq("fresh one").toDF("text")
+        .select(org.apache.spark.sql.functions.md5(col("text"))).head.getString(0)
+      assert(out.forall(_._2 == freshHash))
+    } finally q.stop()
+  }
 }
