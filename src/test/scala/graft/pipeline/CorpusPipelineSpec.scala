@@ -64,4 +64,50 @@ class CorpusPipelineSpec extends SparkSpec {
       ctxTokens = 256L, nShards = 4)
     assert(packed.collect().map(_.toSeq).toSet == again.collect().map(_.toSeq).toSet)
   }
+
+  test("ingest round composes: excise → classifier → store probe → exact-count sample → pack") {
+    assume(new java.io.File(s"$dir/documents.parquet").exists(), s"$dir not present")
+    val docs = Tables.documents(spark, dir)
+
+    // 1. exact-substring cleanup: excise corpus-duplicated spans
+    val cleaned = Dedup.exciseSpans(docs, Dedup.duplicateSpans(docs, w = 10))
+      .join(docs.select("doc_id", "source"), "doc_id")
+    assert(cleaned.count() == docs.count(), "excision rewrites, never drops")
+
+    // 2. model-based quality filter on the CLEANED text
+    val kept = cleaned.join(
+      TextAnalysis.classifierScoreInline(cleaned,
+          Map("data" -> 400L, "join" -> 250L, "slow" -> -400L, "the" -> -100L),
+          biasMilli = 20L, textCol = "clean_text")
+        .where(col("keep")).select("doc_id"),
+      "doc_id")
+    val nKept = kept.count()
+    assert(nKept > 0 && nKept < docs.count())
+
+    // 3. incremental dedup: probe against a prior-snapshot store
+    val store = docs.where(col("doc_id") % 3 === 0)
+      .select(md5(col("text")).as("h"))
+    val fresh = kept.join(
+      Dedup.exactDedupIncremental(kept, store, textCol = "clean_text").select("doc_id"),
+      "doc_id")
+    val nFresh = fresh.count()
+    assert(nFresh > 0 && nFresh <= nKept)
+
+    // 4. exact-count mixture over the fresh survivors
+    val caps = fresh.select("source").distinct().collect().map(_.getString(0))
+      .sorted.take(3).map(_ -> 5L).toMap
+    val sampled = Sampling.exactPerStratum(
+      fresh.select("doc_id", "source", "clean_text"), "source", caps)
+    val bySrc = sampled.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySrc.keySet.subsetOf(caps.keySet), "unlisted strata must drop")
+    assert(bySrc.forall { case (s, n) => n <= caps(s) }, "caps are exact upper bounds")
+
+    // 5. pack the sample into 128-token contexts
+    val packed = Packing.packChunks(
+      sampled.select(col("doc_id"),
+        expr(s"size(${TextOps.toksS("clean_text")})").cast("long").as("n_tokens")),
+      ctxTokens = 128L, nShards = 2)
+    assert(packed.count() == sampled.count(), "packing must assign every sampled doc")
+  }
 }
