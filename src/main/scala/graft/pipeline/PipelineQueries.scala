@@ -365,6 +365,19 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // multi-epoch mixture: src0's budget exceeds its size (upsamples to
+    // ~4 epochs), src1 downsamples, src2 and unlisted sources drop
+    "ext_mixture_epochs" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("source"),
+        expr(s"cast(size(${toksS("text")}) as bigint)").as("n_tok"))
+      val budgets = Map("src0" -> 5000L, "src1" -> 700L, "src2" -> 0L)
+      Sampling.stratifiedWithRepeats(docs, "source",
+          Sampling.mixtureEpochRates(docs, "source", budgets, "n_tok"),
+          defaultPpm = 0L)
+        .select("doc_id", "source", "epoch")
+        .orderBy("doc_id", "epoch")
+    }),
+
     // incremental exact dedup: new batch (all docs) probed against a
     // historical store (hashes of the doc_id % 7 == 0 snapshot), then
     // within-batch keep-first
@@ -765,6 +778,25 @@ object PipelineQueries {
         |WHERE rn <= CASE source WHEN 'src0' THEN 7 WHEN 'src1' THEN 3
         |                        WHEN 'src2' THEN 1000 ELSE 0 END
         |ORDER BY doc_id""".stripMargin,
+
+    "ext_mixture_epochs" ->
+      s"""WITH d AS (SELECT doc_id, source,
+         |  CAST(len(${toksD("text")}) AS BIGINT) AS n_tok FROM documents),
+         |tot AS (SELECT source, sum(n_tok) AS tot FROM d GROUP BY 1),
+         |b(source, budget) AS (VALUES ('src0', 5000), ('src1', 700), ('src2', 0)),
+         |r AS (SELECT t.source,
+         |  CASE WHEN t.tot <= 0 THEN 1000000
+         |       ELSE (CAST(b.budget AS BIGINT) * 1000000) // t.tot END AS rate_ppm
+         |  FROM tot t JOIN b ON t.source = b.source),
+         |k AS (SELECT d.doc_id, d.source,
+         |  COALESCE(r.rate_ppm, 0) // 1000000
+         |    + CASE WHEN abs(d.doc_id * 2654435761 + 40503) % 1000000
+         |                < COALESCE(r.rate_ppm, 0) % 1000000 THEN 1 ELSE 0 END AS k
+         |  FROM d LEFT JOIN r ON d.source = r.source)
+         |SELECT doc_id, source, CAST(epoch AS BIGINT) AS epoch
+         |FROM k, unnest(generate_series(0, CAST(k - 1 AS BIGINT))) g(epoch)
+         |WHERE k > 0
+         |ORDER BY doc_id, epoch""".stripMargin,
 
     "ext_dedup_incr" ->
       """WITH store AS (SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 7 = 0),

@@ -57,33 +57,40 @@ object Sampling {
     val reserved = Seq("rate_ppm", "__bucket", "bucket_ppm").filter(docs.columns.contains)
     require(reserved.isEmpty,
       s"docs columns collide with internal names (rename them): ${reserved.mkString(", ")}")
-    // a duplicated stratum key would silently MULTIPLY corpus rows through
-    // the left join instead of sampling them. Guard at the cheapest point
-    // that still can't be skipped: the usual mixture config is a literal
-    // local table, validated driver-side for free (no job — an eager
-    // collect here measured +60% on this scan-side operator); anything
-    // non-local gets an IN-PLAN flag instead — one global aggregate over
-    // the tiny rates table (SinglePartition exchange, never a hash
-    // shuffle, so the scan-side plan guard holds) cross-joined back as a
-    // 1-row broadcast, raising on execution.
-    val guarded = rates.queryExecution.optimizedPlan match {
+    val guarded = dupGuardedRates(rates, stratumCol, "stratifiedByRate")
+    applyRates(docs, stratumCol, guarded, defaultPpm, idCol)
+  }
+
+  /** A duplicated stratum key would silently MULTIPLY corpus rows through
+    * the rates join instead of sampling them. Guard at the cheapest point
+    * that still can't be skipped: the usual mixture config is a literal
+    * local table, validated driver-side for free (no job — an eager
+    * collect here measured +60% on a scan-side operator); anything
+    * non-local gets an IN-PLAN flag instead — one global aggregate over
+    * the tiny rates table (SinglePartition exchange, never a hash
+    * shuffle, so scan-side plan guards hold) cross-joined back as a
+    * 1-row broadcast, raising on execution.
+    */
+  private def dupGuardedRates(
+      rates: DataFrame,
+      stratumCol: String,
+      opName: String): DataFrame =
+    rates.queryExecution.optimizedPlan match {
       case lr: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
         val i = lr.output.indexWhere(_.name == stratumCol)
         val keys = lr.data.map(_.get(i, lr.output(i).dataType))
         require(keys.distinct.size == keys.size,
-          "stratifiedByRate: duplicate rates rows - one rate_ppm per stratum required")
+          s"$opName: duplicate rates rows - one rate_ppm per stratum required")
         rates
       case _ =>
         val dupFlag = rates.agg(count(lit(1)).as("__n"),
           size(collect_set(col(stratumCol))).cast("long").as("__d"))
         rates.crossJoin(broadcast(dupFlag))
           .withColumn("rate_ppm", when(col("__n") =!= col("__d"),
-              expr("cast(raise_error('stratifiedByRate: duplicate rates rows - one rate_ppm per stratum required') as bigint)"))
+              expr(s"cast(raise_error('$opName: duplicate rates rows - one rate_ppm per stratum required') as bigint)"))
             .otherwise(col("rate_ppm")))
           .drop("__n", "__d")
     }
-    applyRates(docs, stratumCol, guarded, defaultPpm, idCol)
-  }
 
   /** The sampling core: broadcast-join the rates, keep rows whose hash
     * bucket falls under the stratum's rate. Callers are responsible for
@@ -177,6 +184,81 @@ object Sampling {
       .where(col("sample_rank") <= maxN) // literal: triggers WindowGroupLimit
       .where(col("sample_rank") <=
         coalesce(element_at(typedLit(counts), col(stratumCol)), lit(0L)))
+  }
+
+  /** [[mixtureRates]] WITHOUT the 1e6 cap: a budget larger than its
+    * stratum yields rate_ppm > 1e6, meaning the stratum must be REPEATED
+    * (multi-epoch upsampling — how real mixtures treat small high-quality
+    * sources). Pair with [[stratifiedWithRepeats]]. `maxEpochs` bounds the
+    * derived rate in-plan (raise_error): a near-empty stratum under a big
+    * budget would otherwise explode each row into millions of copies —
+    * fail fast, never silently fan out.
+    */
+  def mixtureEpochRates(
+      docs: DataFrame,
+      stratumCol: String,
+      budgets: Map[String, Long],
+      tokensCol: String,
+      maxEpochs: Long = 100L): DataFrame = {
+    require(budgets.nonEmpty, "mixtureEpochRates: budgets must be non-empty")
+    require(maxEpochs >= 1, s"maxEpochs must be >= 1, got $maxEpochs")
+    val maxBudget = Long.MaxValue / 1000000L
+    budgets.foreach { case (s, b) =>
+      require(b >= 0 && b <= maxBudget,
+        s"mixtureEpochRates: budget for '$s' must be in [0, $maxBudget] tokens, got $b")
+    }
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val totals = docs.groupBy(stratumCol).agg(sum(col(tokensCol)).as("__tot"))
+    totals
+      .join(broadcast(budgets.toSeq.toDF(stratumCol, "__budget")), stratumCol)
+      .select(col(stratumCol),
+        when(col("__tot") <= 0, lit(1000000L))
+          .otherwise(expr(
+            s"""if(__budget * 1000000L div __tot > ${maxEpochs}L * 1000000L,
+               |  cast(raise_error(concat('mixtureEpochRates: derived rate for stratum ', cast($stratumCol as string),
+               |    ' exceeds $maxEpochs epochs - a near-empty stratum under this budget would fan out explosively; raise maxEpochs deliberately or fix the budget')) as bigint),
+               |  __budget * 1000000L div __tot)""".stripMargin))
+          .as("rate_ppm"))
+  }
+
+  /** Rate-driven sampling with UPSAMPLING: `rate_ppm` may exceed 1e6.
+    * Every row emits `rate div 1e6` copies, plus one more when its hash
+    * bucket falls under `rate mod 1e6` — so a stratum at rate 2.3e6
+    * averages 2.3 copies of itself, deterministically (the same rows get
+    * the extra copy on every run, and a rate <= 1e6 degenerates to
+    * exactly [[stratifiedByRate]]'s selection). The emitted `epoch`
+    * column numbers the copies 0..k-1 so downstream packing/shuffling can
+    * spread repeats apart.
+    *
+    * Scan-side: broadcast rates join + an explode of a per-row sequence —
+    * the corpus never shuffles, and the fan-out is exactly the mixture's
+    * token multiple (bounded upstream by [[mixtureEpochRates]]'s
+    * maxEpochs guard).
+    */
+  def stratifiedWithRepeats(
+      docs: DataFrame,
+      stratumCol: String,
+      rates: DataFrame,
+      defaultPpm: Long = 1000000L,
+      idCol: String = "doc_id"): DataFrame = {
+    require(rates.columns.toSeq == Seq(stratumCol, "rate_ppm"),
+      s"rates must have columns ($stratumCol, rate_ppm), got ${rates.columns.mkString(", ")}")
+    val reserved = Seq("rate_ppm", "__bucket", "__k", "bucket_ppm", "epoch")
+      .filter(docs.columns.contains)
+    require(reserved.isEmpty,
+      s"docs columns collide with internal names (rename them): ${reserved.mkString(", ")}")
+    docs
+      .join(broadcast(dupGuardedRates(rates, stratumCol, "stratifiedWithRepeats")),
+        Seq(stratumCol), "left")
+      .withColumn("__bucket", bucketPpm(idCol))
+      .withColumn("rate_ppm", coalesce(col("rate_ppm"), lit(defaultPpm)))
+      .withColumn("__k",
+        expr("rate_ppm div 1000000L + if(__bucket < rate_ppm % 1000000L, 1L, 0L)"))
+      .where(col("__k") > 0)
+      .withColumn("epoch", explode(expr("sequence(0L, __k - 1L)")))
+      .drop("rate_ppm", "__k")
+      .withColumnRenamed("__bucket", "bucket_ppm")
   }
 
   /** Budget-driven mixture sampling: [[mixtureRates]] composed with

@@ -454,6 +454,42 @@ class PipelineOpsSpec extends SparkSpec {
       (2L, 1L, "z", 1L), (2L, 2L, "x", 0L)))
   }
 
+  // ------------------------------------------------------ epoch upsampling
+
+  test("stratifiedWithRepeats: whole epochs plus hash-selected remainder; <= 1e6 degenerates to stratifiedByRate") {
+    val docs = (0L until 90L).map(i => (i, s"s${i % 3}")).toDF("doc_id", "src")
+    val rates = Seq(("s0", 2500000L), ("s1", 400000L)).toDF("src", "rate_ppm")
+    val out = Sampling.stratifiedWithRepeats(docs, "src", rates, defaultPpm = 0L)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("src"), r.getAs[Long]("epoch"))).toSeq
+    val s0 = out.filter(_._2 == "s0")
+    // every s0 doc appears at least twice (epochs 0,1); ~half get a third copy
+    assert(s0.groupBy(_._1).forall { case (_, rows) => rows.size >= 2 && rows.size <= 3 })
+    assert(s0.exists(_._3 == 2L) && s0.count(_._3 == 2L) < 30)
+    // epochs number 0..k-1 densely
+    s0.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted == (0L until rows.size.toLong)) }
+    // sub-1e6 stratum: identical row selection to stratifiedByRate, all epoch 0
+    val s1 = out.filter(_._2 == "s1")
+    assert(s1.forall(_._3 == 0L))
+    val direct = Sampling.stratifiedByRate(docs, "src",
+        Seq(("s1", 400000L)).toDF("src", "rate_ppm"), defaultPpm = 0L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(s1.map(_._1).toSet == direct)
+    // unlisted stratum at defaultPpm 0 drops
+    assert(!out.exists(_._2 == "s2"))
+  }
+
+  test("mixtureEpochRates: uncapped rates; the maxEpochs guard raises in-plan on explosive fan-out") {
+    val docs = Seq((1L, "a", 10L), (2L, "a", 10L), (3L, "b", 1L)).toDF("doc_id", "src", "n_tok")
+    val rates = Sampling.mixtureEpochRates(docs, "src", Map("a" -> 50L), "n_tok")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rates == Map("a" -> 2500000L)) // 50 tokens budget / 20 total = 2.5 epochs
+    val boom = intercept[Exception] {
+      Sampling.mixtureEpochRates(docs, "src", Map("b" -> 1000L), "n_tok").collect()
+    }
+    assert(boom.getMessage.contains("exceeds 100 epochs"))
+  }
+
   // ----------------------------------------------------- incremental dedup
 
   test("exactDedupIncremental: store hits drop, within-batch dups elect first, fresh docs pass") {
