@@ -365,6 +365,15 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // deterministic holdout split: 90/5/5 train/val/test by id hash —
+    // stable under corpus growth (no eval-set migration between snapshots)
+    "ext_split" -> ((s, dir) => {
+      Sampling.holdoutSplit(Tables.documents(s, dir).select("doc_id"),
+          Seq(("train", 900000L), ("val", 50000L), ("test", 50000L)))
+        .select("doc_id", "split", "bucket_ppm")
+        .orderBy("doc_id")
+    }),
+
     // multi-epoch mixture: src0's budget exceeds its size (upsamples to
     // ~4 epochs), src1 downsamples, src2 and unlisted sources drop
     "ext_mixture_epochs" -> ((s, dir) => {
@@ -778,6 +787,14 @@ object PipelineQueries {
         |WHERE rn <= CASE source WHEN 'src0' THEN 7 WHEN 'src1' THEN 3
         |                        WHEN 'src2' THEN 1000 ELSE 0 END
         |ORDER BY doc_id""".stripMargin,
+
+    "ext_split" ->
+      """SELECT doc_id,
+        |  CASE WHEN abs(doc_id * 2654435761 + 40503) % 1000000 < 900000 THEN 'train'
+        |       WHEN abs(doc_id * 2654435761 + 40503) % 1000000 < 950000 THEN 'val'
+        |       ELSE 'test' END AS split,
+        |  abs(doc_id * 2654435761 + 40503) % 1000000 AS bucket_ppm
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "ext_mixture_epochs" ->
       s"""WITH d AS (SELECT doc_id, source,

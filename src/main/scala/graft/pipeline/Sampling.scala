@@ -186,6 +186,38 @@ object Sampling {
         coalesce(element_at(typedLit(counts), col(stratumCol)), lit(0L)))
   }
 
+  /** Deterministic holdout split: label every row train/val/test (any
+    * number of named slices) by its [[bucketPpm]] bucket against the
+    * cumulative ppm boundaries. Pure scan-side projection — no shuffle,
+    * no sampling job — and the same row lands in the same slice on every
+    * run, on task retry, AND as the corpus grows (membership depends only
+    * on the row's id, so an incremental ingest never migrates old docs
+    * between train and eval — the leak a fraction-based split re-rolls
+    * every snapshot).
+    */
+  def holdoutSplit(
+      docs: DataFrame,
+      splits: Seq[(String, Long)],
+      idCol: String = "doc_id"): DataFrame = {
+    require(splits.nonEmpty, "holdoutSplit: splits must be non-empty")
+    require(splits.map(_._1).distinct.size == splits.size,
+      s"holdoutSplit: split names must be unique, got ${splits.map(_._1).mkString(", ")}")
+    require(splits.forall(_._2 > 0),
+      s"holdoutSplit: every slice needs a positive ppm share, got ${splits.mkString(", ")}")
+    require(splits.map(_._2).sum == 1000000L,
+      s"holdoutSplit: ppm shares must sum to exactly 1000000, got ${splits.map(_._2).sum}")
+    require(!docs.columns.contains("split") && !docs.columns.contains("bucket_ppm"),
+      "docs columns collide with internal names (rename them): split, bucket_ppm")
+    val bounds = splits.scanLeft(0L)(_ + _._2).tail
+    val label = splits.zip(bounds).tail.foldLeft(
+      when(col("bucket_ppm") < bounds.head, lit(splits.head._1))) {
+      case (acc, ((name, _), hi)) => acc.when(col("bucket_ppm") < hi, lit(name))
+    }
+    docs
+      .withColumn("bucket_ppm", bucketPpm(idCol))
+      .withColumn("split", label)
+  }
+
   /** [[mixtureRates]] WITHOUT the 1e6 cap: a budget larger than its
     * stratum yields rate_ppm > 1e6, meaning the stratum must be REPEATED
     * (multi-epoch upsampling — how real mixtures treat small high-quality

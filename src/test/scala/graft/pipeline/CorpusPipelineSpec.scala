@@ -110,4 +110,32 @@ class CorpusPipelineSpec extends SparkSpec {
       ctxTokens = 128L, nShards = 2)
     assert(packed.count() == sampled.count(), "packing must assign every sampled doc")
   }
+
+  test("multi-epoch mixture feeds packing via a composite sequence id") {
+    assume(new java.io.File(s"$dir/documents.parquet").exists(), s"$dir not present")
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("source"),
+      expr(s"cast(size(${TextOps.toksS("text")}) as bigint)").as("n_tok"))
+    val budgets = Map("src0" -> 5000L, "src1" -> 700L)
+    val epochs = Sampling.stratifiedWithRepeats(docs, "source",
+      Sampling.mixtureEpochRates(docs, "source", budgets, "n_tok"), defaultPpm = 0L)
+    val nRows = epochs.count()
+    assert(nRows > docs.where(col("source") === "src0").count(),
+      "src0 must upsample past one epoch")
+
+    // packing keys rows by id — epoch copies need a composite id so each
+    // copy gets its own pseudo-shuffled position (and the bucketPpm
+    // magnitude guard rides along: doc_id * 1000 stays well inside 2^31)
+    val packed = Packing.packChunks(
+      epochs.select((col("doc_id") * 1000L + col("epoch")).as("seq_id"),
+        col("n_tok").as("n_tokens")),
+      ctxTokens = 128L, nShards = 2, idCol = "seq_id")
+    assert(packed.count() == nRows, "every epoch copy packs exactly once")
+    // copies of the same doc land at distinct layout positions
+    val positions = packed
+      .select((col("seq_id") / 1000L).cast("long").as("doc_id"), col("shard"), col("start_tok"))
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toSeq
+      .groupBy(_._1).values
+    assert(positions.forall(g => g.map(_._2).distinct.size == g.size),
+      "epoch copies must not collapse onto one position")
+  }
 }

@@ -454,6 +454,30 @@ class PipelineOpsSpec extends SparkSpec {
       (2L, 1L, "z", 1L), (2L, 2L, "x", 0L)))
   }
 
+  // --------------------------------------------------------- holdout split
+
+  test("holdoutSplit: exhaustive labeling, growth-stable membership, config validation") {
+    val splits = Seq(("train", 900000L), ("val", 50000L), ("test", 50000L))
+    val small = Sampling.holdoutSplit((0L until 500L).toDF("doc_id"), splits)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    val big = Sampling.holdoutSplit((0L until 1000L).toDF("doc_id"), splits)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    // every row labeled, all three slices present at this size
+    assert(big.size == 1000 && big.values.toSet == Set("train", "val", "test"))
+    // growing the corpus never migrates an existing doc between slices
+    assert(small.forall { case (id, s) => big(id) == s })
+    // shares are roughly proportional (hash uniformity, wide tolerance)
+    assert(big.values.count(_ == "train") > 800)
+    // invalid configs fail fast
+    assert(intercept[IllegalArgumentException] {
+      Sampling.holdoutSplit((0L until 5L).toDF("doc_id"), Seq(("a", 1L)))
+    }.getMessage.contains("sum"))
+    assert(intercept[IllegalArgumentException] {
+      Sampling.holdoutSplit((0L until 5L).toDF("doc_id"),
+        Seq(("a", 500000L), ("a", 500000L)))
+    }.getMessage.contains("unique"))
+  }
+
   // ------------------------------------------------------ epoch upsampling
 
   test("stratifiedWithRepeats: whole epochs plus hash-selected remainder; <= 1e6 degenerates to stratifiedByRate") {
