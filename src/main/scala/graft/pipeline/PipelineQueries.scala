@@ -380,9 +380,8 @@ object PipelineQueries {
       val docs = Tables.documents(s, dir).select(col("doc_id"), col("source"),
         expr(s"cast(size(${toksS("text")}) as bigint)").as("n_tok"))
       val budgets = Map("src0" -> 5000L, "src1" -> 700L, "src2" -> 0L)
-      Sampling.stratifiedWithRepeats(docs, "source",
-          Sampling.mixtureEpochRates(docs, "source", budgets, "n_tok"),
-          defaultPpm = 0L)
+      Sampling.mixtureByBudgetEpochs(docs, "source", budgets,
+          tokensCol = "n_tok", defaultPpm = 0L)
         .select("doc_id", "source", "epoch")
         .orderBy("doc_id", "epoch")
     }),

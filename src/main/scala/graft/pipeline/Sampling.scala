@@ -276,13 +276,43 @@ object Sampling {
       idCol: String = "doc_id"): DataFrame = {
     require(rates.columns.toSeq == Seq(stratumCol, "rate_ppm"),
       s"rates must have columns ($stratumCol, rate_ppm), got ${rates.columns.mkString(", ")}")
+    applyRepeats(docs, stratumCol,
+      dupGuardedRates(rates, stratumCol, "stratifiedWithRepeats"), defaultPpm, idCol)
+  }
+
+  /** [[mixtureEpochRates]] composed with the repeat sampler — the
+    * budget-written multi-epoch mixture. Like [[mixtureByBudget]], the
+    * dup guard is skipped deliberately: the rates are a groupBy output
+    * (unique structurally), and the in-plan guard would re-derive the
+    * whole rates pipeline — including a second corpus scan — just to
+    * re-check it (the plan guard caught exactly this).
+    */
+  def mixtureByBudgetEpochs(
+      docs: DataFrame,
+      stratumCol: String,
+      budgets: Map[String, Long],
+      tokensCol: String,
+      defaultPpm: Long = 1000000L,
+      maxEpochs: Long = 100L,
+      idCol: String = "doc_id"): DataFrame =
+    applyRepeats(docs, stratumCol,
+      mixtureEpochRates(docs, stratumCol, budgets, tokensCol, maxEpochs), defaultPpm, idCol)
+
+  /** The repeat-sampling core (see [[stratifiedWithRepeats]] for the
+    * contract; callers own rates uniqueness).
+    */
+  private def applyRepeats(
+      docs: DataFrame,
+      stratumCol: String,
+      rates: DataFrame,
+      defaultPpm: Long,
+      idCol: String): DataFrame = {
     val reserved = Seq("rate_ppm", "__bucket", "__k", "bucket_ppm", "epoch")
       .filter(docs.columns.contains)
     require(reserved.isEmpty,
       s"docs columns collide with internal names (rename them): ${reserved.mkString(", ")}")
     docs
-      .join(broadcast(dupGuardedRates(rates, stratumCol, "stratifiedWithRepeats")),
-        Seq(stratumCol), "left")
+      .join(broadcast(rates), Seq(stratumCol), "left")
       .withColumn("__bucket", bucketPpm(idCol))
       .withColumn("rate_ppm", coalesce(col("rate_ppm"), lit(defaultPpm)))
       .withColumn("__k",

@@ -150,6 +150,30 @@ class PlanAssertionsSpec extends SparkSpec {
       s"expected exactly (doc_id leads, gh count, doc_id islands) + presentation range; got $hashExchanges:\n${plan.take(2000)}")
   }
 
+  test("ext_split: a pure scan-side projection — no hash exchange, no join anywhere") {
+    val plan = planOf("ext_split")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"holdout labeling must not shuffle:\n${plan.take(2000)}")
+    assert(!plan.contains("Join"), s"holdout labeling must not join:\n${plan.take(2000)}")
+  }
+
+  test("ext_mixture_epochs: only the totals aggregate hash-exchanges; the fan-out is a scan-side Generate") {
+    val plan = planOf("ext_mixture_epochs")
+    assert(plan.contains("BroadcastHashJoin"), s"rates must broadcast onto the corpus:\n${plan.take(2000)}")
+    assert(!plan.contains("SortMergeJoin"), s"nothing here may sort-merge:\n${plan.take(2000)}")
+    assert(plan.contains("Generate"), s"epoch copies must explode scan-side:\n${plan.take(2000)}")
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(hashExchanges == 1,
+      s"only the tiny totals aggregate may hash-exchange; got $hashExchanges:\n${plan.take(2000)}")
+  }
+
+  test("ext_dedup_incr: the store probe is a LEFT ANTI equi-join on the hash — text never joins") {
+    val plan = planOf("ext_dedup_incr")
+    assert(plan.contains("LeftAnti"), s"store probe must be an anti join:\n${plan.take(2000)}")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"the probe must stay equi-keyed:\n${plan.take(2000)}")
+  }
+
   test("ext_sample_exact: literal rank cap pushes WindowGroupLimit below the exchange") {
     val plan = planOf("ext_sample_exact")
     assert(plan.contains("WindowGroupLimit"),

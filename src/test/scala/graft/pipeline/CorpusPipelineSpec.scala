@@ -116,8 +116,8 @@ class CorpusPipelineSpec extends SparkSpec {
     val docs = Tables.documents(spark, dir).select(col("doc_id"), col("source"),
       expr(s"cast(size(${TextOps.toksS("text")}) as bigint)").as("n_tok"))
     val budgets = Map("src0" -> 5000L, "src1" -> 700L)
-    val epochs = Sampling.stratifiedWithRepeats(docs, "source",
-      Sampling.mixtureEpochRates(docs, "source", budgets, "n_tok"), defaultPpm = 0L)
+    val epochs = Sampling.mixtureByBudgetEpochs(docs, "source", budgets,
+      tokensCol = "n_tok", defaultPpm = 0L)
     val nRows = epochs.count()
     assert(nRows > docs.where(col("source") === "src0").count(),
       "src0 must upsample past one epoch")
