@@ -322,16 +322,30 @@ object TextAnalysis {
       biasMilli: Long = 0L,
       keepThresholdMilli: Long = 0L,
       idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text"): DataFrame =
+    classifierColumns(docs, weights, biasMilli, keepThresholdMilli, textCol)
+      .select(col(idCol), col("n_tok"), col("score_milli"), col("keep"))
+
+  /** [[classifierScoreInline]]'s column-preserving core: appends (n_tok,
+    * score_milli, keep) to the input row instead of projecting them out —
+    * the form streaming compositions need (a streaming frame cannot
+    * self-join its own scores back without a stream-stream join).
+    */
+  private[graft] def classifierColumns(
+      docs: DataFrame,
+      weights: Map[String, Long],
+      biasMilli: Long,
+      keepThresholdMilli: Long,
+      textCol: String): DataFrame = {
     require(weights.nonEmpty, "classifierScoreInline: weights must be non-empty")
     docs
-      .select(col(idCol), expr(toksS(textCol)).as("__toks"))
+      .withColumn("__toks", expr(toksS(textCol)))
       .withColumn("n_tok", size(col("__toks")).cast("long"))
       .withColumn("__wsum", aggregate(col("__toks"), lit(0L),
         (acc, t) => acc + coalesce(element_at(typedLit(weights), t), lit(0L))))
       .withColumn("score_milli", expr(s"${biasMilli}L + __wsum div greatest(n_tok, 1)"))
-      .select(col(idCol), col("n_tok"), col("score_milli"),
-        (col("score_milli") >= keepThresholdMilli).as("keep"))
+      .withColumn("keep", col("score_milli") >= keepThresholdMilli)
+      .drop("__toks", "__wsum")
   }
 
   /** Corpus vocabulary head: the `topK` tokens by occurrence count with

@@ -65,6 +65,27 @@ object StreamDedup {
       .join(seenHashes.select("h"), Seq("h"), "left_anti")
   }
 
+  /** The ENFORCED corpus-ingest composition: classifier quality filter
+    * THEN the store probe — the [[dedupedGate]] discipline applied to the
+    * document stream. Order matters and is fixed in code, not convention:
+    * scoring first means rejected docs never pay the store probe, and the
+    * emitted rows carry both the score columns and the content hash, so
+    * one sink can (a) append fingerprints to the store and (b) dashboard
+    * keep rates. Both stages are stateless (a pure projection + a
+    * stream-static anti join): no watermark, no state growth.
+    */
+  def scoredIngest(
+      docs: DataFrame,
+      seenHashes: DataFrame,
+      weights: Map[String, Long],
+      biasMilli: Long = 0L,
+      keepThresholdMilli: Long = 0L,
+      textCol: String = "text"): DataFrame = {
+    val scored = graft.pipeline.TextAnalysis.classifierColumns(
+      docs, weights, biasMilli, keepThresholdMilli, textCol)
+    dedupAgainstStore(scored.where(col("keep")).drop("keep"), seenHashes, textCol)
+  }
+
   /** The ENFORCED ingestion composition: dedup THEN the ST8 monotonic gate.
     *
     * Standalone `dedupWithinWatermark` is at-least-once (a re-delivery

@@ -117,4 +117,25 @@ class StreamDedupSpec extends SparkSpec {
       assert(out.forall(_._2 == freshHash))
     } finally q.stop()
   }
+
+  test("scoredIngest: classifier keep then store probe, enforced in one stateless composition") {
+    implicit val sqlCtx = spark.sqlContext
+    val store = Seq("good stored doc").toDF("text")
+      .select(org.apache.spark.sql.functions.md5(col("text")).as("h"))
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val q = StreamDedup.scoredIngest(input.toDF().toDF("doc_id", "text"), store,
+        Map("good" -> 300L, "bad" -> -500L), biasMilli = 10L)
+      .writeStream.format("memory").queryName("ingest_out").outputMode("append").start()
+    try {
+      input.addData(Seq(
+        (1L, "good stored doc"),  // keeps the score bar but already in store
+        (2L, "good fresh doc"),   // keeps and fresh -> emitted
+        (3L, "bad bad bad")))     // classifier rejects before the probe
+      q.processAllAvailable()
+      val out = spark.table("ingest_out")
+        .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("score_milli"))).toSeq
+      assert(out.map(_._1) == Seq(2L))
+      assert(out.head._2 == 110L) // 10 bias + 300 div 3
+    } finally q.stop()
+  }
 }
