@@ -180,6 +180,12 @@ class PlanAssertionsSpec extends SparkSpec {
       s"the max(n) literal must prune per-stratum ranks map-side:\n${plan.take(2000)}")
   }
 
+  test("ext_keywords: the literal top-k filter prunes per-doc ranks map-side (WindowGroupLimit)") {
+    val plan = planOf("ext_keywords")
+    assert(plan.contains("WindowGroupLimit"),
+      s"rank <= topK must prune before the per-doc window:\n${plan.take(2000)}")
+  }
+
   test("ext_classifier: the model broadcasts onto the token stream — corpus text never shuffles for the join") {
     val plan = planOf("ext_classifier")
     assert(plan.contains("BroadcastHashJoin"), s"model weights must broadcast:\n${plan.take(2000)}")
