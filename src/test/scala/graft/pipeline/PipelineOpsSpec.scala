@@ -571,6 +571,31 @@ class PipelineOpsSpec extends SparkSpec {
       (3L, "unique words nothing here", 0L)))
   }
 
+  test("exciseSpans: matches a brute-force detect+apply reference on a random corpus") {
+    val rnd = new scala.util.Random(11)
+    val vocab = Vector("a", "b", "c", "d")
+    val w = 4
+    val docs = (0L until 25L).map(i =>
+      (i, Vector.fill(rnd.nextInt(31))(vocab(rnd.nextInt(vocab.size))).mkString(" ")))
+    val toks = docs.map { case (id, t) => id -> t.split(" ").filter(_.nonEmpty).toVector }
+    val counts = scala.collection.mutable.Map.empty[String, Int].withDefaultValue(0)
+    for ((_, ts) <- toks; i <- 0 to ts.length - w)
+      counts(ts.slice(i, i + w).mkString(" ")) += 1
+    val expected = toks.map { case (id, ts) =>
+      val covered = Array.fill(ts.length)(false)
+      for (i <- 0 to ts.length - w if counts(ts.slice(i, i + w).mkString(" ")) > 1;
+           p <- i until i + w) covered(p) = true
+      val kept = ts.indices.filterNot(covered).map(ts)
+      (id, kept.mkString(" "), covered.count(identity).toLong)
+    }.sortBy(_._1)
+    val df = docs.toDF("doc_id", "text")
+    val got = Dedup.exciseSpans(df, Dedup.duplicateSpans(df, w = w)).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got == expected)
+    // sanity: the tiny vocab actually produced excisions AND survivors
+    assert(expected.exists(_._3 > 0) && expected.exists(e => e._3 == 0 && e._2.nonEmpty))
+  }
+
   // ------------------------------------------------- classifier inference
 
   test("classifierScore: mean token weight + bias; truncation toward zero; zero-token doc scores bias") {
