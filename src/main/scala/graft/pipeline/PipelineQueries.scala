@@ -436,6 +436,12 @@ object PipelineQueries {
       TextAnalysis.surprisalStats(Tables.documents(s, dir)).orderBy("doc_id")
     }),
 
+    // bigram-LM transition surprisal: integer-log2 inverse conditional
+    // frequency, mean per doc (the perplexity-filter proxy)
+    "ext_bigram_lm" -> ((s, dir) => {
+      TextAnalysis.bigramSurprisalStats(Tables.documents(s, dir)).orderBy("doc_id")
+    }),
+
     // SemDeDup: centroid-cell blocking → within-cell cosine pairs →
     // connected components → keeper election. Corpus augmented with exact
     // vector copies (+1e6 for %10, +2e6 for %20) so {v, v+1e6, v+2e6}
@@ -884,6 +890,23 @@ object PipelineQueries {
          |  CAST(sum(cnt) OVER (ORDER BY cnt DESC, t
          |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 1000000 // total AS BIGINT) AS cum_ppm
          |FROM top, tot ORDER BY rank""".stripMargin,
+
+    "ext_bigram_lm" ->
+      s"""WITH tk AS (SELECT doc_id, ${toksD("text")} AS toks FROM documents),
+         |bg AS (SELECT doc_id, toks[i] AS p, toks[i + 1] AS c
+         |       FROM tk, unnest(generate_series(1, len(toks) - 1)) AS g(i)
+         |       WHERE len(toks) >= 2),
+         |bc AS (SELECT p, c, count(*) AS bc FROM bg GROUP BY 1, 2),
+         |lc AS (SELECT p, count(*) AS lc FROM bg GROUP BY 1),
+         |agg AS (SELECT bg.doc_id, count(*) AS n_trans,
+         |         sum(length(format('{:b}', CAST(lc AS BIGINT)))
+         |           - length(format('{:b}', CAST(bc AS BIGINT)))) AS ss
+         |        FROM bg JOIN bc USING (p, c) JOIN lc USING (p) GROUP BY 1)
+         |SELECT d.doc_id,
+         |  CAST(COALESCE(a.n_trans, 0) AS BIGINT) AS n_trans,
+         |  CAST(COALESCE(a.ss, 0) * 1000 // greatest(COALESCE(a.n_trans, 0), 1) AS BIGINT) AS mean_surprisal_milli
+         |FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
 
     // integer log2 via binary-digit count: length(bin(x)) in Spark ==
     // length(format('{:b}', x)) in DuckDB — exact, no float log anywhere

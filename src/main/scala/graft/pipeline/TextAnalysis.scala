@@ -378,6 +378,49 @@ object TextAnalysis {
       .select(col("rank"), col("t").as("token"), col("cnt"), col("cum_ppm"))
   }
 
+  /** Bigram-LM transition surprisal — the 2-gram step up from
+    * [[surprisalStats]] and the closest integer-exact proxy for the
+    * perplexity filters real pipelines run: each transition scores the
+    * integer log2 of its inverse conditional frequency,
+    * `bitlen(c(prev,·)) - bitlen(c(prev,cur))` (how surprising is `cur`
+    * after `prev`, corpus-wide), and a document reports the mean over its
+    * transitions in milli units. Low = formulaic/repetitive phrasing,
+    * high = incoherent token streams — the band-pass both Gopher-style
+    * and perplexity-based cleaning apply.
+    *
+    * Scale shape: ONE per-doc lead window builds the transition stream;
+    * bigram and left-context counts are vocab²-bounded aggregates joined
+    * back on fixed-width token keys (the inverted-index path — neither
+    * broadcasts); the final mean is one doc-keyed aggregation. Documents
+    * with fewer than 2 tokens report 0 transitions, never vanish.
+    */
+  def bigramSurprisalStats(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val perDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCol).orderBy("pos")
+    val bg = docs
+      .select(col(idCol), posexplode(expr(toksS(textCol))).as(Seq("pos", "p")))
+      .withColumn("c", lead("p", 1).over(perDoc))
+      .where(col("c").isNotNull)
+      .select(col(idCol), col("p"), col("c"))
+    val bc = bg.groupBy("p", "c").agg(count(lit(1)).as("__bc"))
+    val lc = bg.groupBy("p").agg(count(lit(1)).as("__lc"))
+    val agg = bg
+      .join(bc, Seq("p", "c"))
+      .join(lc, Seq("p"))
+      .withColumn("__s", expr("length(bin(__lc)) - length(bin(__bc))"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_trans"), sum(col("__s")).cast("long").as("__ss"))
+    docs.select(col(idCol))
+      .join(agg, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_trans"), lit(0L)).as("n_trans"),
+        expr("coalesce(__ss, 0L) * 1000L DIV greatest(coalesce(n_trans, 0L), 1)")
+          .as("mean_surprisal_milli"))
+  }
+
   /** Per-document TF-IDF keyword extraction: the `topK` tokens of each
     * document by `tf * idf_bits`, where idf_bits is the integer log2 of
     * inverse DOCUMENT frequency (bit-length arithmetic, the

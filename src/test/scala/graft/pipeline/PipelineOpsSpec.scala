@@ -677,6 +677,21 @@ class PipelineOpsSpec extends SparkSpec {
       (2L, 2L, 1000L)))       // mean(0,2) = 1 -> 1000 milli
   }
 
+  // ------------------------------------------------------ bigram surprisal
+
+  test("bigramSurprisalStats: conditional bit-length surprisal; short docs report zero transitions") {
+    val docs = Seq((1L, "x y"), (2L, "x z"), (3L, "x y"), (4L, "solo")).toDF("doc_id", "text")
+    // transitions: (x,y)x2, (x,z)x1; lc(x)=3 ('11': 2 digits)
+    // surp(x->y) = 2 - 2 = 0; surp(x->z) = 2 - 1 = 1
+    val out = TextAnalysis.bigramSurprisalStats(docs).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(out == Seq(
+      (1L, 1L, 0L),
+      (2L, 1L, 1000L),
+      (3L, 1L, 0L),
+      (4L, 0L, 0L)))
+  }
+
   // ------------------------------------------------------- semantic dedup
 
   test("semanticDedup: transitive near-dups collapse to one keeper; distinct vectors stay singletons") {
