@@ -16,6 +16,8 @@ Classification per query:
   contended  reps spread >1.3x — host noise inflated some reps; the
              round-robin min is still faithful
   failed     a rep recorded -1 (query threw)
+  subms      min rounds to 0.000 — spread unmeasurable at 3-decimal
+             precision; prior-ratio compares the max instead
   regressed  (with prior) min grew >1.3x vs the prior min
   improved   (with prior) min shrank below 0.77x of the prior min
 
@@ -58,10 +60,16 @@ def main():
             out[q] = {"class": "failed", "reps": v}
             continue
         mn, mx = min(ok), max(ok)
-        cls = "contended" if mn > 0 and mx / mn > 1.3 else "quiet"
+        # mn == 0: sub-millisecond reps at 3-decimal precision — spread is
+        # unmeasurable, so give it its own class instead of defaulting to
+        # "quiet", and compare on max for the prior-ratio check below.
+        if mn == 0:
+            cls = "subms"
+        else:
+            cls = "contended" if mx / mn > 1.3 else "quiet"
         entry = {"class": cls, "min": mn, "max": mx}
         if q in prior and prior[q] > 0:
-            ratio = mn / prior[q]
+            ratio = (mn if mn > 0 else mx) / prior[q]
             entry["prior_min"] = prior[q]
             entry["ratio"] = round(ratio, 3)
             if ratio > 1.3:

@@ -59,7 +59,11 @@ object Bench {
     // 3-decimal floats: the driver captures only the tail of stdout, and r7's
     // full-precision line (with per-rep arrays inline) overflowed that capture,
     // leaving BENCH_r07.json unparsed. The stdout line must stay compact.
-    def fmt(v: Double) = if (v == Double.MaxValue) "-1" else f"$v%.3f"
+    // Locale.ROOT: f"" uses the JVM default locale — a comma-decimal locale
+    // would emit "1,234" and break the driver's JSON parse.
+    def fmt(v: Double) =
+      if (v == Double.MaxValue) "-1"
+      else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v != Double.MaxValue => v }.sum

@@ -25,12 +25,31 @@ object Salting {
     * case: one symbol, many timestamps/payloads). Known limit: a hot key
     * whose rows are BIT-IDENTICAL duplicates all hash to one bucket and
     * still serialize — full-row hashing is the price of retry determinism
-    * (a partition-local counter would spread them but re-salt differently
+    * (a row-local counter would spread them but re-salt differently
     * on task retry, breaking exactly-once sinks). Exact-duplicate-heavy
-    * inputs should dedup (pipeline.Dedup) or pre-count before salting.
+    * inputs should dedup (pipeline.Dedup) or pre-count before salting —
+    * or opt into [[saltColSpread]] where the sink tolerates retry
+    * nondeterminism.
     */
   def saltCol(df: DataFrame, buckets: Int): Column =
     pmod(xxhash64(struct(df.columns.map(col): _*)), lit(buckets.toLong))
+
+  /** [[saltCol]] with a row-local disambiguator mixed in — the OPT-IN form
+    * for duplicate-heavy hot keys: bit-identical rows of one key spread
+    * evenly over the buckets instead of landing in one. The disambiguator
+    * (`monotonically_increasing_id` = partition id << 33 | partition-local
+    * row index) is unique per row, so the salt is uniform regardless of
+    * row content. The trade, and why this is not the default: a retried
+    * task re-enumerates its partition and may salt the same row
+    * differently, so downstream exactly-once sinks that key on the salted
+    * partition must not be fed from this form — use it for idempotent
+    * aggregations ([[saltedAggSum]]'s two-phase sum is one: every row
+    * still contributes exactly once to exactly one partial regardless of
+    * which salt it drew) and joins materialized atomically.
+    */
+  def saltColSpread(df: DataFrame, buckets: Int): Column =
+    pmod(xxhash64(struct(df.columns.map(col): _*), monotonically_increasing_id()),
+      lit(buckets.toLong))
 
   /** Join `large` (skewed on `key`) with `small`, spreading each key over
     * `buckets` sub-partitions. Result equals the plain join.
@@ -40,8 +59,10 @@ object Salting {
       small: DataFrame,
       key: String,
       buckets: Int,
-      joinType: String = "inner"): DataFrame = {
-    val saltedLarge = large.withColumn("__salt", saltCol(large, buckets))
+      joinType: String = "inner",
+      spreadDuplicates: Boolean = false): DataFrame = {
+    val salt = if (spreadDuplicates) saltColSpread(large, buckets) else saltCol(large, buckets)
+    val saltedLarge = large.withColumn("__salt", salt)
     val saltedSmall = small
       .withColumn("__salt", explode(sequence(lit(0L), lit(buckets.toLong - 1))))
     saltedLarge
@@ -54,8 +75,10 @@ object Salting {
       df: DataFrame,
       keys: Seq[String],
       valueCol: String,
-      buckets: Int): DataFrame =
-    df.withColumn("__salt", saltCol(df, buckets))
+      buckets: Int,
+      spreadDuplicates: Boolean = false): DataFrame =
+    df.withColumn("__salt",
+        if (spreadDuplicates) saltColSpread(df, buckets) else saltCol(df, buckets))
       .groupBy((keys.map(col) :+ col("__salt")): _*)
       .agg(sum(col(valueCol)).as("__partial"))
       .groupBy(keys.map(col): _*)

@@ -308,7 +308,11 @@ object Dedup {
     *     gram hash with its position (lead-chain like [[shingleRows]] —
     *     the array-HOF form re-evaluates the tokenizer combinatorially
     *     after projection collapse);
-    *  2. one corpus-wide exchange on the fixed-width 32-bit gram hash
+    *  2. one corpus-wide exchange on the fixed-width full-md5 gram hash
+    *     (32 hex chars — NOT a truncated prefix: past ~77k distinct grams
+    *     a 32-bit key collides by birthday bound, and a collision here
+    *     falsely excises unique text; whole-doc [[exactDedup]] set the
+    *     full-md5 convention and this operator keeps it) —
     *     scores each window with its global occurrence count via a
     *     PARTITION-count window — text never crosses the wire, and the
     *     gram stream is derived ONCE (the groupBy-then-join-back form
@@ -338,7 +342,7 @@ object Dedup {
       .where(col(s"__t${w - 1}").isNotNull) // full w-token windows only
       .select(col(idCol), col("pos"),
         concat_ws(" ", col("t") +: (1 until w).map(i => col(s"__t$i")): _*).as("__gram"))
-      .select(col(idCol), col("pos"), expr(hashS("__gram")).as("gh"))
+      .select(col(idCol), col("pos"), md5(col("__gram")).as("gh"))
     val hits = grams
       .withColumn("__c", count(lit(1)).over(Window.partitionBy("gh")))
       .where(col("__c") > 1)

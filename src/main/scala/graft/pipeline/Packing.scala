@@ -91,8 +91,14 @@ object Packing {
     require(nShards > 0, s"nShards must be positive, got $nShards")
     val missing = Seq(idCol, tokensCol).filterNot(docs.columns.contains)
     require(missing.isEmpty, s"columns absent from docs: ${missing.mkString(", ")}")
-    val reserved = Seq("__hval", "__n", "shard", "start_tok", "chunk_first", "chunk_last", "n_chunks")
-      .filter(c => docs.columns.contains(c) && c != tokensCol)
+    // `__hval`/`shard`/`__n` are written BEFORE the token-count expression
+    // reads `tokensCol`, so tokensCol may not collide with them (the shard
+    // index would silently become the token count); the post-`__n` output
+    // names are safe to overwrite when they ARE the token column.
+    val writtenBeforeRead = Seq("__hval", "shard", "__n")
+    val writtenAfterRead = Seq("start_tok", "chunk_first", "chunk_last", "n_chunks")
+    val reserved = writtenBeforeRead.filter(docs.columns.contains) ++
+      writtenAfterRead.filter(c => docs.columns.contains(c) && c != tokensCol)
     require(reserved.isEmpty,
       s"docs columns collide with output/internal names (rename them): ${reserved.mkString(", ")}")
 

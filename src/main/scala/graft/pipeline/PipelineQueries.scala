@@ -85,7 +85,7 @@ object PipelineQueries {
     s"""tk AS (SELECT doc_id, ${toksD("text")} AS toks FROM documents),
        |grams AS (
        |  SELECT doc_id, i - 1 AS pos,
-       |    ${hashD("array_to_string(toks[i:i+9],' ')")} AS gh
+       |    md5(array_to_string(toks[i:i+9],' ')) AS gh
        |  FROM tk, unnest(generate_series(1, len(toks) - 9)) AS g(i)
        |  WHERE len(toks) >= 10),
        |dup AS (SELECT gh FROM grams GROUP BY gh HAVING count(*) > 1),

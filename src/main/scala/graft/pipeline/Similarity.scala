@@ -227,8 +227,12 @@ object Similarity {
   /** SemDeDup-style semantic deduplication: cluster the corpus into
     * centroid cells, find within-cell pairs with cosine >= `minCos`, and
     * collapse the pair graph into clusters with one elected keeper each
-    * (min-id, via [[Dedup.connectedComponents]] — near-dup similarity is
-    * not transitive, so (A,B)+(B,C) must merge before dropping anything).
+    * (min-id, via [[Dedup.connectedComponentsAuto]] — near-dup similarity
+    * is not transitive, so (A,B)+(B,C) must merge before dropping
+    * anything; the auto dispatcher keeps min-label as the fast path and
+    * falls back to star contraction if a component's diameter exceeds the
+    * near-dup assumption, so adversarial chains converge in O(log n)
+    * rounds without user code).
     *
     * The cell assignment is the blocking step (the published SemDeDup
     * recipe: k-means the embeddings, then compare ONLY within a cluster):
@@ -241,10 +245,13 @@ object Similarity {
     * Scale shape: assignment is scan-side (literal centroids, codegen'd
     * dot folds); the pair join is an equi-join on the cell id, so the
     * corpus shuffles by cell and each cell's pairs form locally —
-    * quadratic ONLY within a cell (cells are corpus/nCells sized; a
+    * quadratic ONLY within a cell (cells are corpus/nCells sized). A
     * pathological giant cell means the centroids need retraining, the
-    * same remedy as a hot LSH bucket). The component step runs on the
-    * pair graph only, never the corpus.
+    * same remedy as a hot LSH bucket — and that must FAIL FAST, not burn
+    * a quadratic join first: the in-plan guard raises past `maxCellRows`
+    * rows in one cell (a count window sharing the pair join's cell
+    * partitioning — no extra exchange) before any pair forms. The
+    * component step runs on the pair graph only, never the corpus.
     *
     * Returns (idCol, cluster_id, is_keeper) for every non-null-vector row.
     */
@@ -253,20 +260,32 @@ object Similarity {
       centroids: Seq[Seq[Double]],
       minCos: Double,
       idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
+      vecCol: String = "embedding",
+      maxCellRows: Long = 1000000L): DataFrame = {
     require(centroids.nonEmpty && centroids.map(_.size).distinct.size == 1,
       "centroids must be a non-empty table of equal-dimension vectors")
     require(minCos > 0.0 && minCos <= 1.0,
       s"minCos must be in (0, 1], got $minCos (a non-positive threshold pairs everything in a cell)")
-    val b = corpus.where(col(vecCol).isNotNull)
+    val b0 = corpus.where(col(vecCol).isNotNull)
       .select(col(idCol).as("__id"), col(vecCol).as("__v"))
       .withColumn("__cell", ivfCellOf(col("__v"), centroids))
       .withColumn("__nrm", norm(col("__v")))
+    // giant-cell guard rides on the join key so it cannot be pruned away
+    val b = if (maxCellRows > 0) {
+      b0.withColumn("__csz", count(lit(1)).over(Window.partitionBy("__cell")))
+        .withColumn("__cell", when(col("__csz") <= maxCellRows, col("__cell"))
+          .otherwise(expr(
+            s"""cast(raise_error(concat('semanticDedup: cell ', cast(__cell as string),
+               | ' holds ', cast(__csz as string), ' rows (> ${maxCellRows}) - the within-cell',
+               | ' pair join would be quadratic; retrain centroids (KMeans.train, more cells)',
+               | ' or raise maxCellRows')) as bigint)""".stripMargin)))
+        .drop("__csz")
+    } else b0
     val pairs = b.as("x").join(b.as("y"),
         col("x.__cell") === col("y.__cell") && col("x.__id") < col("y.__id"))
       .where(dot(col("x.__v"), col("y.__v")) / (col("x.__nrm") * col("y.__nrm")) >= minCos)
       .select(col("x.__id").as("id1"), col("y.__id").as("id2"))
-    val comps = Dedup.connectedComponents(pairs)
+    val comps = Dedup.connectedComponentsAuto(pairs)
     corpus.where(col(vecCol).isNotNull).select(col(idCol))
       .join(comps.withColumnRenamed("id", idCol), Seq(idCol), "left")
       .select(col(idCol),

@@ -27,6 +27,30 @@ class SaltingSpec extends SparkSpec {
     assert(buckets > 4) // 1000 distinct rows over 8 salts
   }
 
+  test("saltColSpread spreads BIT-IDENTICAL duplicate rows evenly; saltCol pins them to one bucket") {
+    // 1024 exact copies of one row: the documented saltCol limit (full-row
+    // hash -> one bucket) vs the opt-in row-local disambiguator
+    val dups = (1 to 1024).map(_ => ("hot", 42L)).toDF("k", "v")
+      .repartition(8) // several input partitions, like a real scan
+    assert(dups.withColumn("__salt", Salting.saltCol(dups, 8))
+      .select("__salt").distinct().count() == 1L)
+    val spreadCounts = dups.withColumn("__salt", Salting.saltColSpread(dups, 8))
+      .groupBy("__salt").count().collect().map(_.getLong(1))
+    assert(spreadCounts.length == 8, "duplicates should reach every bucket")
+    assert(spreadCounts.max <= 4L * spreadCounts.min,
+      s"spread should be roughly even, got ${spreadCounts.toSeq}")
+  }
+
+  test("saltedJoin/saltedAggSum with spreadDuplicates stay result-equal on duplicate-heavy input") {
+    val dups = ((1 to 500).map(_ => ("hot", 7L)) ++ Seq(("a", 1L))).toDF("k", "v")
+    def canon(df: org.apache.spark.sql.DataFrame) = df.orderBy("k", "v").collect().toSeq
+    assert(canon(Salting.saltedJoin(dups, small, "k", 8, "inner", spreadDuplicates = true))
+      == canon(dups.join(small, Seq("k"), "inner")))
+    assert(Salting.saltedAggSum(dups, Seq("k"), "v", 8, spreadDuplicates = true)
+      .orderBy("k").collect().toSeq
+      == dups.groupBy("k").agg(sum(col("v")).as("sum_v")).orderBy("k").collect().toSeq)
+  }
+
   test("saltedAggSum equals the direct aggregation") {
     val salted = Salting.saltedAggSum(large, Seq("k"), "v", 8)
       .orderBy("k").collect().toSeq

@@ -766,6 +766,39 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out == Seq((1L, true), (2L, true)))
   }
 
+  test("semanticDedup: adversarial long chain in one cell converges via the auto CC fallback") {
+    // 20 unit vectors 6 degrees apart in one cell: consecutive cosine
+    // cos(6°) ≈ 0.9945 >= 0.99, skip-one cos(12°) ≈ 0.978 < 0.99 — a pure
+    // 19-diameter chain. Min-label alone needs ~19 rounds and fail-fasts at
+    // the auto dispatcher's 12-round budget; the star-contraction fallback
+    // (wired through connectedComponentsAuto this round) must engage
+    // inside semanticDedup and still elect one min-id keeper.
+    val cents = Seq(Seq(1.0, 0.0)) // single cell: no blocking interference
+    val chain = (0 until 20).map { i =>
+      val a = math.toRadians(6.0 * i)
+      (i.toLong + 1L, Array(math.cos(a).toFloat, math.sin(a).toFloat))
+    }
+    val out = Similarity.semanticDedup(chain.toDF("vec_id", "embedding"), cents, 0.99)
+      .orderBy("vec_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
+    assert(out == (1L to 20L).map(i => (i, 1L, i == 1L)))
+  }
+
+  test("semanticDedup: giant-cell guard fails fast before the quadratic pair join") {
+    val cents = Seq(Seq(1.0, 0.0))
+    val vecs = (1L to 6L).map(i => (i, Array(1.0f, i.toFloat / 100)))
+      .toDF("vec_id", "embedding")
+    val err = intercept[Exception] {
+      Similarity.semanticDedup(vecs, cents, 0.99, maxCellRows = 5L).collect()
+    }
+    val messages = Iterator.iterate(err: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(e => Option(e.getMessage).getOrElse("")).mkString(" | ")
+    assert(messages.contains("semanticDedup: cell"),
+      s"expected the giant-cell raise_error, got: $messages")
+    // at the bound it passes untouched
+    assert(Similarity.semanticDedup(vecs, cents, 0.99, maxCellRows = 6L).count() == 6L)
+  }
+
   // ------------------------------------------------------- mixture budgets
 
   test("mixtureRates: integer derivation — zero budget drops, oversize budget caps at 1e6") {
