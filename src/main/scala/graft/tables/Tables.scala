@@ -1,6 +1,6 @@
 package graft.tables
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -23,14 +23,28 @@ object Tables {
   def region(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "region")
   def supplier(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "supplier")
   def part(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "part")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
-    * rejects; read it as nanosecond longs instead. All tick bucketing is
-    * integer epoch arithmetic anyway, and a long orders identically to the
-    * timestamp it encodes.
+  /** `events.ts` has shipped in two parquet encodings across driver testdata
+    * generations: TIMESTAMP(NANOS) (which Spark's vectorized reader rejects —
+    * read as nanosecond longs via the legacy conf) and TIMESTAMP(MICROS).
+    * All tick bucketing is integer epoch arithmetic, so [[ticks]] normalizes
+    * either encoding to one canonical shape: `ts` = nanosecond epoch long.
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     table(spark, sfDir, "events")
+  }
+
+  /** `ts` as a nanosecond epoch long, whatever the parquet encoding. A long
+    * orders identically to the timestamp it encodes, and integer epoch math
+    * (unlike timestamp intervals) hashes identically across engines.
+    */
+  private def tsNanos(ev: DataFrame): Column = ev.schema("ts").dataType match {
+    case LongType => col("ts") // legacy TIMESTAMP(NANOS) via nanosAsLong
+    case TimestampType => unix_micros(col("ts")) * 1000L
+    // No-tz parquet micros reads as NTZ; the session tz is pinned UTC in
+    // every entrypoint, so reinterpreting the wall clock as UTC is exact.
+    case TimestampNTZType => unix_micros(col("ts").cast(TimestampType)) * 1000L
+    case other => throw new IllegalArgumentException(s"unsupported events.ts type: $other")
   }
   def documents(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "embeddings")
@@ -51,8 +65,12 @@ object Tables {
     *   adjusted – per-row adjusted flag analog
     *   currency – USD except 'error' events → EUR (currency-invariant tests)
     */
-  def ticks(spark: SparkSession, sfDir: String): DataFrame =
-    events(spark, sfDir).select(
+  def ticks(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev0 = events(spark, sfDir)
+    // Normalize FIRST so `secs` derives from the canonical long with exact
+    // integer DIV (double division would lose precision at ns magnitudes).
+    val ev = ev0.withColumn("ts", tsNanos(ev0))
+    ev.select(
       col("user_id").cast(StringType).as("symbol"),
       col("ts"), // nanosecond epoch long — ordering key
       expr("ts DIV 1000000000").as("secs"),
@@ -76,13 +94,16 @@ object Tables {
       when(col("event_type") === "error", "EUR").otherwise("USD").as("currency"),
       col("event_type"),
       col("event_id"))
+  }
 
   /** Shared SQL prelude for the DuckDB oracle: the same `ticks` view in
     * portable SQL. Every oracle query starts `WITH ticks AS (...)`.
+    * `epoch_ns` normalizes `ts` to the same nanosecond long on any parquet
+    * timestamp unit, mirroring the Spark-side normalization above.
     */
   val ticksSql: String =
     """SELECT CAST(user_id AS VARCHAR) AS symbol,
-      |       ts,
+      |       epoch_ns(ts) AS ts,
       |       epoch_ns(ts) // 1000000000 AS secs,
       |       CAST(value AS DECIMAL(18,6)) AS price,
       |       CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS price_micros,
