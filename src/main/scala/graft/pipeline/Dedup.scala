@@ -235,6 +235,116 @@ object Dedup {
       .where(col("jaccard_ppm") >= thresholdPpm)
   }
 
+  /** Near-dup pairs WITHIN a signature table by signature agreement —
+    * the text-free verification used on incremental ingest paths (exact
+    * shingle Jaccard needs both documents' text; signature agreement is
+    * the standard MinHash estimate of it and needs only the signatures).
+    * Candidates come from the usual band join; `sim_ppm` is the exact
+    * integer share of agreeing components. Output (id1, id2, sim_ppm),
+    * id1 < id2, distinct.
+    *
+    * Scale shape: the band join shuffles (id, bandHash) pairs only; the
+    * K-long signature arrays are joined back per surviving CANDIDATE pair
+    * (post-distinct), never carried through the band explosion.
+    */
+  def minhashSigPairs(
+      signatures: DataFrame,
+      thresholdPpm: Long = 500000L,
+      idCol: String = "doc_id"): DataFrame =
+    minhashCandidatesOf(signatures, idCol)
+      .join(signatures.select(col(idCol).as("id1"), col("sig").as("__sx")), "id1")
+      .join(signatures.select(col(idCol).as("id2"), col("sig").as("__sy")), "id2")
+      .withColumn("sim_ppm", expr(sigSimS("__sx", "__sy")))
+      .where(col("sim_ppm") >= thresholdPpm)
+      .select("id1", "id2", "sim_ppm")
+
+  /** Probe a NEW batch's signatures against the persistent signature STORE
+    * — the lookup step of incremental near-dup dedup. The store carries
+    * (idCol, sig, cluster_id): one row per retained historical document
+    * with its near-dup cluster label (for a store that was itself deduped,
+    * cluster_id == the keeper's own id). Returns one row per (batch doc,
+    * matched store doc) whose signature agreement clears the threshold:
+    * (idCol, store_id, cluster_id, sim_ppm).
+    *
+    * Scale shape — the reason this operator exists: the historical CORPUS
+    * is never rescanned. Only the store's fixed-width signatures are read
+    * (no text column exists on that side), the band join moves (id,
+    * bandHash) pairs, and signatures rejoin per unique candidate. A store
+    * laid out bucketed by band hash makes the probe co-located.
+    */
+  def minhashStoreMatches(
+      batchSigs: DataFrame,
+      sigStore: DataFrame,
+      thresholdPpm: Long = 500000L,
+      idCol: String = "doc_id"): DataFrame = {
+    require(sigStore.columns.contains("sig") && sigStore.columns.contains("cluster_id"),
+      s"sigStore must carry 'sig' and 'cluster_id', got ${sigStore.columns.mkString(", ")}")
+    val bBands = batchSigs.select(col(idCol), explode(expr(bandHashesS)).as("bh"))
+    val sBands = sigStore.select(col(idCol).as("store_id"), col("cluster_id"), col("sig"))
+      .select(col("store_id"), col("cluster_id"), explode(expr(bandHashesS)).as("bh"))
+    bBands.join(sBands, "bh")
+      .select(col(idCol), col("store_id"), col("cluster_id")).distinct()
+      .join(batchSigs.select(col(idCol), col("sig").as("__sx")), idCol)
+      .join(sigStore.select(col(idCol).as("store_id"), col("sig").as("__sy")), "store_id")
+      .withColumn("sim_ppm", expr(sigSimS("__sx", "__sy")))
+      .where(col("sim_ppm") >= thresholdPpm)
+      .select(col(idCol), col("store_id"), col("cluster_id"), col("sim_ppm"))
+  }
+
+  /** INCREMENTAL MinHash near-dup dedup — the production ingest loop that
+    * [[exactDedupIncremental]] runs at exact granularity, at NEAR-dup
+    * granularity: a growing corpus must not re-pay full-corpus near-dup
+    * cost per ingest round, so new batches probe a persistent signature
+    * store ([[minhashStoreMatches]]), pair up among themselves
+    * ([[minhashSigPairs]]), and the union graph — batch↔batch edges plus
+    * batch↔existing-cluster edges — collapses through connected
+    * components exactly like the full-corpus election (chained duplicates
+    * spanning the batch boundary land in ONE cluster).
+    *
+    * Output, one row per batch document:
+    *  - cluster_id: the minimum EXISTING cluster id in the document's
+    *    component when the component touches the store (new near-dups of
+    *    old content join the old cluster — also merging old clusters a
+    *    new document bridges); otherwise the component's minimum batch id
+    *    (a brand-new cluster); otherwise the document's own id (novel
+    *    singleton).
+    *  - is_novel: true iff the component touches no existing cluster.
+    *
+    * The caller closes the loop by appending the batch signatures (with
+    * their assigned cluster_id) back to the store — the same append
+    * contract as [[exactDedupIncremental]]'s fingerprint store and the
+    * stream-side [[graft.streaming.StreamDedup.dedupAgainstStore]].
+    *
+    * Scale: batch text is scanned once (signature aggregation); the store
+    * side reads signatures only — the historical corpus never rescans.
+    * CC runs on the near-dup pair graph (batch-sized, not corpus-sized).
+    */
+  def minhashDedupIncremental(
+      batch: DataFrame,
+      sigStore: DataFrame,
+      thresholdPpm: Long = 500000L,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    // feeds the band explode, both sim verifications, and the final label
+    // join — persist so the signature aggregation runs once
+    val bsig = minhashSignature(batch, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val matches = minhashStoreMatches(bsig, sigStore, thresholdPpm, idCol)
+    val edges = minhashSigPairs(bsig, thresholdPpm, idCol).select("id1", "id2")
+      .unionByName(
+        matches.select(col(idCol).as("id1"), col("cluster_id").as("id2")).distinct())
+    val comps = connectedComponentsAuto(edges)
+    val storeClusters = sigStore.select("cluster_id").distinct()
+    val storeMin = comps.join(storeClusters, comps("id") === storeClusters("cluster_id"))
+      .groupBy("comp").agg(min(col("cluster_id")).as("__store_min"))
+    batch.select(col(idCol))
+      .join(comps.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .join(storeMin, Seq("comp"), "left")
+      .select(col(idCol),
+        coalesce(col("__store_min"), col("comp"), col(idCol)).as("cluster_id"),
+        col("__store_min").isNull.as("is_novel"))
+  }
+
   /** Cross-document LINE-level dedup (CCNet-style boilerplate removal):
     * every distinct line keeps exactly ONE occurrence corpus-wide — the one
     * with the smallest (doc_id, line position) — and every other occurrence

@@ -395,6 +395,26 @@ object PipelineQueries {
       Dedup.exactDedupIncremental(docs, store).orderBy("doc_id")
     }),
 
+    // incremental NEAR-dup dedup: even docs are the already-ingested corpus
+    // (signature store, each its own cluster — a deduped store's keepers);
+    // the new batch is the odd docs plus near-copies of store docs (+1e6,
+    // attach to existing clusters) and near-copies of batch docs (+2e6,
+    // form new within-batch clusters). The store's TEXT is never read —
+    // only its signatures (see minhashDedupIncremental)
+    "ext_dedup_minhash_incr" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val store = Dedup.minhashSignature(docs.where(col("doc_id") % 2 === 0))
+        .withColumn("cluster_id", col("doc_id"))
+      val batch = docs.where(col("doc_id") % 2 === 1).select("doc_id", "text")
+        .unionByName(docs.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            expr("substr(text, instr(text, ' ') + 1)").as("text")))
+        .unionByName(docs.filter(col("doc_id") % 10 === 5)
+          .select((col("doc_id") + 2000000L).as("doc_id"),
+            expr("substr(text, instr(text, ' ') + 1)").as("text")))
+      Dedup.minhashDedupIncremental(batch, store).orderBy("doc_id")
+    }),
+
     // per-doc TF-IDF keywords: integer idf (bit-length log2 of inverse
     // doc frequency), top-3 per doc, total tie order
     "ext_keywords" -> ((s, dir) => {
@@ -819,6 +839,52 @@ object PipelineQueries {
          |FROM k, unnest(generate_series(0, CAST(k - 1 AS BIGINT))) g(epoch)
          |WHERE k > 0
          |ORDER BY doc_id, epoch""".stripMargin,
+
+    // the incremental near-dup twin: signatures on both corpora from the
+    // shared TextOps constants, band-join probes, integer signature
+    // agreement as the verification, recursive-CTE CC over the union graph
+    "ext_dedup_minhash_incr" ->
+      s"""WITH RECURSIVE
+         |old AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+         |bat AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+         |  UNION ALL SELECT doc_id + 1000000, substr(text, strpos(text, ' ') + 1)
+         |    FROM documents WHERE doc_id % 10 = 0
+         |  UNION ALL SELECT doc_id + 2000000, substr(text, strpos(text, ' ') + 1)
+         |    FROM documents WHERE doc_id % 10 = 5),
+         |otk AS (SELECT doc_id, ${toksD("text")} AS toks FROM old),
+         |osh AS (SELECT doc_id, $shinglesD AS shingles FROM otk),
+         |osg AS (SELECT doc_id, $minhashSigD AS sig FROM osh WHERE len(shingles) > 0),
+         |store AS (SELECT doc_id AS store_id, doc_id AS cluster_id, sig FROM osg),
+         |btk AS (SELECT doc_id, ${toksD("text")} AS toks FROM bat),
+         |bsh AS (SELECT doc_id, $shinglesD AS shingles FROM btk),
+         |bsg AS (SELECT doc_id, $minhashSigD AS sig FROM bsh WHERE len(shingles) > 0),
+         |obh AS (SELECT store_id, cluster_id, unnest($bandHashesD) AS bh FROM store),
+         |bbh AS (SELECT doc_id, unnest($bandHashesD) AS bh FROM bsg),
+         |scand AS (SELECT DISTINCT b.doc_id, o.store_id, o.cluster_id
+         |          FROM bbh b JOIN obh o USING (bh)),
+         |smatch AS (SELECT c.doc_id, c.cluster_id
+         |  FROM scand c JOIN bsg x ON c.doc_id = x.doc_id
+         |               JOIN store s ON c.store_id = s.store_id
+         |  WHERE ${sigSimD("x.sig", "s.sig")} >= 500000),
+         |bcand AS (SELECT DISTINCT x.doc_id AS id1, y.doc_id AS id2
+         |          FROM bbh x JOIN bbh y ON x.bh = y.bh AND x.doc_id < y.doc_id),
+         |bpair AS (SELECT c.id1, c.id2
+         |  FROM bcand c JOIN bsg x ON c.id1 = x.doc_id JOIN bsg y ON c.id2 = y.doc_id
+         |  WHERE ${sigSimD("x.sig", "y.sig")} >= 500000),
+         |e AS (SELECT id1 AS u, id2 AS v FROM bpair UNION SELECT id2, id1 FROM bpair
+         |  UNION SELECT doc_id, cluster_id FROM smatch
+         |  UNION SELECT cluster_id, doc_id FROM smatch),
+         |reach(id, comp) AS (SELECT DISTINCT u, u FROM e
+         |  UNION SELECT e.v, reach.comp FROM reach JOIN e ON e.u = reach.id),
+         |comp AS (SELECT id, min(comp) AS comp FROM reach GROUP BY 1),
+         |smin AS (SELECT comp, min(id) AS store_min FROM comp
+         |         WHERE id IN (SELECT cluster_id FROM store) GROUP BY comp)
+         |SELECT b.doc_id,
+         |  coalesce(sm.store_min, c.comp, b.doc_id) AS cluster_id,
+         |  sm.store_min IS NULL AS is_novel
+         |FROM bat b LEFT JOIN comp c ON b.doc_id = c.id
+         |           LEFT JOIN smin sm ON c.comp = sm.comp
+         |ORDER BY doc_id""".stripMargin,
 
     "ext_dedup_incr" ->
       """WITH store AS (SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 7 = 0),

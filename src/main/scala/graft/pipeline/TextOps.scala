@@ -80,6 +80,42 @@ object TextOps {
        |ELSE [] END""".stripMargin.replace("\n", " ")
 
 
+  /** Signature agreement in ppm — the MinHash estimate of Jaccard as exact
+    * integer arithmetic over two K-component signature columns: the share
+    * of positions where the signatures agree. This is the verification
+    * metric for INCREMENTAL near-dup probing, where the historical side's
+    * text is gone and exact shingle Jaccard is unavailable by design.
+    */
+  def sigSimS(x: String, y: String): String =
+    s"aggregate(zip_with($x, $y, (a1, b1) -> IF(a1 = b1, 1L, 0L)), 0L, (acc2, v2) -> acc2 + v2) * 1000000 DIV $K"
+  def sigSimD(x: String, y: String): String =
+    s"list_sum(list_transform(generate_series(1,$K), si -> CASE WHEN $x[si] = $y[si] THEN 1 ELSE 0 END)) * 1000000 // $K"
+
+  /** Per-ROW MinHash signature (array<long>) — the streaming face of
+    * Dedup.minhashSignature: same shingle derivation (distinct 3-token
+    * shingles), same affine family, same min semantics, computed in ONE
+    * scan-side expression (no shuffle, no window) so it is legal in a
+    * stateless streaming projection. Intermediates are LAMBDA-BOUND via
+    * single-element `transform` (a let-binding): each reference to `tks` /
+    * `shs` / `hs` is an attribute lookup, so the tokenizer is evaluated
+    * once per row — not once per reference, the HOF-inlining trap
+    * Dedup.shingleRows documents. Rows with < 3 tokens produce the empty
+    * signature sentinel (all P) — callers filter them out, mirroring the
+    * batch aggregate's absent-row semantics.
+    */
+  def rowSigS(textCol: String): String = {
+    val mins = seeds.map { case (a, b) =>
+      s"aggregate(hs, ${P}L, (acc4, h1) -> least(acc4, ($a * h1 + $b) % $P))"
+    }
+    s"""element_at(transform(array(${toksS(textCol)}), tks ->
+       |  element_at(transform(array(CASE WHEN size(tks) >= 3
+       |      THEN array_distinct(transform(sequence(1, size(tks) - 2),
+       |        i2 -> concat_ws(' ', element_at(tks, i2), element_at(tks, i2 + 1), element_at(tks, i2 + 2))))
+       |      ELSE array() END), shs ->
+       |    element_at(transform(array(transform(shs, s2 -> ${hashS("s2")})), hs ->
+       |      array(${mins.mkString(",")})), 1)), 1)), 1)""".stripMargin.replace("\n", " ")
+  }
+
   /** LSH band hashes: array of BANDS md5 strings over signature slices.
     * The band index is baked into the hashed string so buckets from
     * different bands can never collide and a join on the hash alone is

@@ -65,6 +65,63 @@ object StreamDedup {
       .join(seenHashes.select("h"), Seq("h"), "left_anti")
   }
 
+  /** Streaming NEAR-dup probe against a STATIC signature store — the
+    * stream-side face of [[graft.pipeline.Dedup.minhashStoreMatches]]:
+    * documents arriving on the stream are matched against the historical
+    * corpus's MinHash signatures, emitting one row per (doc, matched store
+    * doc) with the store's cluster id and the signature agreement —
+    * byte-identical to the batch operator on the same rows (same shingle
+    * set, same affine family, same band hashes, same integer verification).
+    *
+    * Everything is STATELESS: the per-row signature is one scan-side
+    * expression (TextOps.rowSigS — no shuffle, no window, legal in a
+    * streaming projection), the probe is a stream-static equi-join on the
+    * band hash, and the per-(doc, store doc) dedup that a batch operator
+    * would do with `distinct()` (stateful in streaming) is done
+    * ROW-LOCALLY instead: both signatures sit in the joined row, so each
+    * row keeps itself iff ITS band index is the FIRST band on which the
+    * two signatures agree — exactly one survivor per matched pair, no
+    * state. Docs with < 3 tokens cannot near-dup and are filtered (the
+    * batch aggregate's absent-row semantics).
+    *
+    * The store is read per micro-batch — persist it or lay it out
+    * band-hash-bucketed so the probe is a lookup, not a rescan. Novel
+    * docs (no output row) continue into the exact-hash store probe
+    * downstream; the caller appends their signatures to the store, the
+    * same incremental-loop contract as [[dedupAgainstStore]].
+    */
+  def nearDupAgainstStore(
+      docs: DataFrame,
+      sigStore: DataFrame,
+      thresholdPpm: Long = 500000L,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    import graft.pipeline.TextOps._
+    require(sigStore.columns.contains("sig") && sigStore.columns.contains("cluster_id"),
+      s"sigStore must carry 'sig' and 'cluster_id', got ${sigStore.columns.mkString(", ")}")
+    // first band index (1-based) on which the two signatures' band SLICES
+    // agree — band hashes are md5 of the slice, so slice equality is the
+    // join condition restated row-locally
+    val firstCommonBand =
+      s"""element_at(filter(sequence(1, $BANDS), bj ->
+         |  forall(sequence(0, ${ROWS - 1}), o ->
+         |    element_at(sig, (bj-1)*$ROWS + 1 + o) = element_at(__ssig, (bj-1)*$ROWS + 1 + o))), 1)"""
+        .stripMargin.replace("\n", " ")
+    val sigged = docs
+      .where(expr(s"size(${toksS(textCol)}) >= 3"))
+      .withColumn("sig", expr(rowSigS(textCol)))
+    val bBands = sigged.select(col(idCol), col("sig"),
+      posexplode(expr(bandHashesS)).as(Seq("__b", "bh")))
+    val sBands = sigStore.select(col(idCol).as("store_id"), col("cluster_id"), col("sig"))
+      .select(col("store_id"), col("cluster_id"), col("sig"), explode(expr(bandHashesS)).as("bh"))
+      .withColumnRenamed("sig", "__ssig")
+    bBands.join(sBands, "bh")
+      .where(col("__b") + 1 === expr(firstCommonBand))
+      .withColumn("sim_ppm", expr(sigSimS("sig", "__ssig")))
+      .where(col("sim_ppm") >= thresholdPpm)
+      .select(col(idCol), col("store_id"), col("cluster_id"), col("sim_ppm"))
+  }
+
   /** The ENFORCED corpus-ingest composition: classifier quality filter
     * THEN the store probe — the [[dedupedGate]] discipline applied to the
     * document stream. Order matters and is fixed in code, not convention:
