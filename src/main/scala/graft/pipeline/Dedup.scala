@@ -164,7 +164,9 @@ object Dedup {
       dfCap: Long = 0L): DataFrame = {
     // the windowed shingle derivation feeds 5+ plan branches (rare-df scan,
     // both self-join sides, both size lookups); without materialization each
-    // branch rescans and re-sorts — persist it once
+    // branch rescans and re-sorts — persist it once. Lifecycle: the cache
+    // is released by ContextCleaner when the returned frame is GC'd;
+    // long-lived drivers bound peak cache with spark.catalog.clearCache()
     val sh = shingleRows(docs, idCol, textCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     ngramJaccardPairsOf(sh, idCol, dfCap)
@@ -207,6 +209,8 @@ object Dedup {
       thresholdPpm: Long = 200000L,
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
+    // persisted shingle-hash substrate; cache lifecycle as in
+    // [[ngramJaccardPairs]] (ContextCleaner on GC / clearCache())
     val sh = shingleHashes(docs, idCol, textCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     minhashNearDupsOf(sh, thresholdPpm, idCol)
@@ -315,16 +319,41 @@ object Dedup {
     * contract as [[exactDedupIncremental]]'s fingerprint store and the
     * stream-side [[graft.streaming.StreamDedup.dedupAgainstStore]].
     *
+    * ID-DISJOINTNESS CONTRACT: batch document ids and store cluster ids
+    * are nodes of ONE component graph, so they must live in disjoint id
+    * spaces — a batch doc whose id numerically equals an existing
+    * cluster_id would be silently conflated into that cluster. Any
+    * monotone id allocator satisfies this for free (new doc ids are
+    * always above every historical id, and cluster ids are elected
+    * minima of historical ids); `checkIdDisjointness = true` verifies it
+    * with one anti-join count before the main query (a debug-path guard:
+    * one extra driver barrier, so it is opt-in, not the default).
+    *
     * Scale: batch text is scanned once (signature aggregation); the store
     * side reads signatures only — the historical corpus never rescans.
     * CC runs on the near-dup pair graph (batch-sized, not corpus-sized).
+    * The persisted batch-signature intermediate lives until the returned
+    * frame's references are garbage collected (Spark's ContextCleaner
+    * unpersists it); long-lived drivers looping over many corpora should
+    * bound peak cache with `spark.catalog.clearCache()` between rounds —
+    * the same lifecycle as [[ngramJaccardPairs]] / [[simhashNearDups]].
     */
   def minhashDedupIncremental(
       batch: DataFrame,
       sigStore: DataFrame,
       thresholdPpm: Long = 500000L,
       idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text",
+      checkIdDisjointness: Boolean = false): DataFrame = {
+    if (checkIdDisjointness) {
+      val clashes = batch.select(col(idCol).as("cluster_id"))
+        .join(sigStore.select("cluster_id").distinct(), Seq("cluster_id"), "left_semi")
+      val sample = clashes.limit(3).collect().map(_.get(0))
+      require(sample.isEmpty,
+        s"minhashDedupIncremental: batch ids collide with store cluster ids " +
+          s"(e.g. ${sample.mkString(", ")}) — the component graph would conflate " +
+          "them into one cluster; remap one id space first")
+    }
     // feeds the band explode, both sim verifications, and the final label
     // join — persist so the signature aggregation runs once
     val bsig = minhashSignature(batch, idCol, textCol)
@@ -529,6 +558,8 @@ object Dedup {
     * approximate-recall blocking beyond that — never an all-pairs join).
     */
   def simhashNearDups(docs: DataFrame, maxDist: Int = 3, idCol: String = "doc_id"): DataFrame = {
+    // persisted fingerprint substrate feeding both self-join sides; cache
+    // lifecycle as in [[ngramJaccardPairs]] (ContextCleaner / clearCache())
     val sh = simhash(docs, idCol)
       .withColumn("lo", col("simhash") % 65536L)
       .withColumn("hi", expr("simhash DIV 65536"))
@@ -560,10 +591,15 @@ object Dedup {
     * O(n)-chain case the large-star/small-star algorithm exists for does
     * not arise; `maxIters` fail-fasts rather than looping forever if it
     * ever does. The convergence check is one scalar per iteration on the
-    * driver (inherent to iterative fixpoints); `localCheckpoint` truncates
-    * the growing lineage each round (on a cluster, prefer
-    * `spark.sparkContext.setCheckpointDir` + `checkpoint()` for fault
-    * tolerance across executor loss).
+    * driver (inherent to iterative fixpoints) and is FUSED with the
+    * lineage-truncating checkpoint: the per-round `localCheckpoint` is
+    * LAZY (`eager = false`), so the convergence `count()` is the single
+    * job that both materializes the checkpoint blocks and returns the
+    * changed-row count — one driver barrier per round, not two (the
+    * eager-checkpoint-then-count form paid two full driver syncs per
+    * round, and under host contention the second one dominated tail
+    * latency). On a cluster, prefer `spark.sparkContext.setCheckpointDir`
+    * + `checkpoint()` for fault tolerance across executor loss.
     *
     * Returns (id, comp): every node of `pairs` labeled with the minimum id
     * reachable from it. Nodes absent from `pairs` are singletons — callers
@@ -574,13 +610,16 @@ object Dedup {
       idA: String = "id1",
       idB: String = "id2",
       maxIters: Int = 30): DataFrame = {
+    // lazy checkpoints throughout: each is materialized by the first job
+    // that reads it (the round's convergence count), never by a dedicated
+    // materialization job of its own
     val edges = pairs.select(col(idA).as("u"), col(idB).as("v"))
       .unionByName(pairs.select(col(idB).as("u"), col(idA).as("v")))
       .distinct()
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     var labels = edges.select(col("u").as("id")).distinct()
       .withColumn("comp", col("id"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     var iter = 0
     var changed = 1L
     while (changed > 0) {
@@ -596,7 +635,10 @@ object Dedup {
         .join(neighborMin, Seq("id"), "left")
         .select(col("id"), least(col("old"), coalesce(col("nmin"), col("old"))).as("comp"),
           col("old"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
+      // this count IS the round's materialization: it executes the marked
+      // RDD (caching its blocks, truncating lineage) and measures progress
+      // in the same pass — the fused single barrier
       changed = next.where(col("comp") =!= col("old")).count()
       labels = next.drop("old")
       iter += 1
@@ -692,19 +734,22 @@ object Dedup {
       canonical(smaller.unionByName(self))
     }
 
+    // lazy checkpoints (the connectedComponents convention): the round's
+    // first fixpoint probe materializes the marked RDD — no dedicated
+    // materialization job, one fewer driver barrier per round
     val nodes = pairs.select(col(idA).as("id"))
       .unionByName(pairs.select(col(idB).as("id")))
-      .distinct().localCheckpoint()
+      .distinct().localCheckpoint(eager = false)
     var cur = pairs
       .select(least(col(idA), col(idB)).as("lo"), greatest(col(idA), col(idB)).as("hi"))
-      .where(col("lo") =!= col("hi")).distinct().localCheckpoint()
+      .where(col("lo") =!= col("hi")).distinct().localCheckpoint(eager = false)
     var iter = 0
     var done = cur.isEmpty // edgeless input: all singletons
     while (!done) {
       require(iter < maxIters,
         s"connectedComponentsStar did not converge in $maxIters rounds — " +
           "this exceeds the O(log n) bound; the input is likely not a static graph")
-      val next = smallStar(largeStar(cur)).localCheckpoint()
+      val next = smallStar(largeStar(cur)).localCheckpoint(eager = false)
       // edge-set fixpoint (label stability alone is not a sound stop for
       // star contraction): two set differences over the shrinking edge set
       done = next.except(cur).isEmpty && cur.except(next).isEmpty

@@ -99,21 +99,23 @@ object TextOps {
     * single-element `transform` (a let-binding): each reference to `tks` /
     * `shs` / `hs` is an attribute lookup, so the tokenizer is evaluated
     * once per row — not once per reference, the HOF-inlining trap
-    * Dedup.shingleRows documents. Rows with < 3 tokens produce the empty
-    * signature sentinel (all P) — callers filter them out, mirroring the
-    * batch aggregate's absent-row semantics.
+    * Dedup.shingleRows documents. Rows with < 3 tokens produce a NULL
+    * signature (mirroring the batch aggregate's absent-row semantics):
+    * NULL propagates safely through `sigSimS` (null sim_ppm fails every
+    * threshold), whereas the earlier all-P sentinel made any two tiny
+    * docs perfect near-dups (sim_ppm = 1e6) for a caller that forgot the
+    * size>=3 pre-filter.
     */
   def rowSigS(textCol: String): String = {
     val mins = seeds.map { case (a, b) =>
       s"aggregate(hs, ${P}L, (acc4, h1) -> least(acc4, ($a * h1 + $b) % $P))"
     }
     s"""element_at(transform(array(${toksS(textCol)}), tks ->
-       |  element_at(transform(array(CASE WHEN size(tks) >= 3
-       |      THEN array_distinct(transform(sequence(1, size(tks) - 2),
-       |        i2 -> concat_ws(' ', element_at(tks, i2), element_at(tks, i2 + 1), element_at(tks, i2 + 2))))
-       |      ELSE array() END), shs ->
-       |    element_at(transform(array(transform(shs, s2 -> ${hashS("s2")})), hs ->
-       |      array(${mins.mkString(",")})), 1)), 1)), 1)""".stripMargin.replace("\n", " ")
+       |  IF(size(tks) < 3, NULL,
+       |    element_at(transform(array(array_distinct(transform(sequence(1, size(tks) - 2),
+       |        i2 -> concat_ws(' ', element_at(tks, i2), element_at(tks, i2 + 1), element_at(tks, i2 + 2))))), shs ->
+       |      element_at(transform(array(transform(shs, s2 -> ${hashS("s2")})), hs ->
+       |        array(${mins.mkString(",")})), 1)), 1))), 1)""".stripMargin.replace("\n", " ")
   }
 
   /** LSH band hashes: array of BANDS md5 strings over signature slices.

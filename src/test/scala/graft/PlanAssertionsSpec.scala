@@ -167,6 +167,26 @@ class PlanAssertionsSpec extends SparkSpec {
       s"only the tiny totals aggregate may hash-exchange; got $hashExchanges:\n${plan.take(2000)}")
   }
 
+  test("minhashDedupIncremental: the store scan reads signatures only — the historical corpus text never rescans") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit}
+    // a store table that CARRIES text: the operator must column-prune it
+    // out of the parquet read (at 100 TB the text is the corpus — reading
+    // it would defeat the whole incremental design)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sigstore").toString
+    graft.pipeline.Dedup.minhashSignature(
+        Seq((10L, "the quick brown fox jumps over the lazy dog")).toDF("doc_id", "text"))
+      .withColumn("cluster_id", col("doc_id"))
+      .withColumn("raw_text", lit("historical corpus text that must never be scanned"))
+      .write.mode("overwrite").parquet(tmp)
+    val store = spark.read.parquet(tmp)
+    val batch = Seq((101L, "quick brown fox jumps over the lazy dog")).toDF("doc_id", "text")
+    val plan = graft.pipeline.Dedup.minhashDedupIncremental(batch, store)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("raw_text"),
+      s"store-side text column leaked into the scan:\n${plan.take(3000)}")
+  }
+
   test("ext_dedup_incr: the store probe is a LEFT ANTI equi-join on the hash — text never joins") {
     val plan = planOf("ext_dedup_incr")
     assert(plan.contains("LeftAnti"), s"store probe must be an anti join:\n${plan.take(2000)}")

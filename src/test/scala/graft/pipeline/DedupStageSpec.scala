@@ -39,6 +39,54 @@ class DedupStageSpec extends SparkSpec {
     assert(plan.contains("Bucketed: true"), s"scan is not bucket-aware:\n$plan")
   }
 
+  test("minhashDedupIncremental: bridge merges store clusters; is_novel flags store-untouched components; singletons keep own id") {
+    import spark.implicits._
+    val base1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val base2 = "one two three four five six seven eight nine ten eleven"
+    val base3 = "red orange yellow green blue indigo violet white black gray"
+    // store: 10 and 20 carry the SAME signature but sit in different
+    // clusters (the historical state a bridge doc must merge); 30 is
+    // unrelated
+    val store = Dedup.minhashSignature(
+        Seq((10L, base1), (20L, base1), (30L, base2)).toDF("doc_id", "text"))
+      .withColumn("cluster_id", col("doc_id"))
+    val batch = Seq(
+      (101L, base1), // bridge: matches clusters 10 AND 20 -> merges them
+      (102L, base3), // within-batch pair with 103: new cluster, min id
+      (103L, base3),
+      (104L, base2), // attaches to existing cluster 30
+      (105L, "totally distinct unique words sharing nothing with anyone"),
+      (106L, "too short")) // <3 tokens: no signature, singleton by coalesce
+      .toDF("doc_id", "text")
+    val got = Dedup.minhashDedupIncremental(batch, store)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(got == Map(
+      101L -> ((10L, false)), // min EXISTING cluster id of the merged pair
+      102L -> ((102L, true)), // new within-batch cluster, min batch id
+      103L -> ((102L, true)),
+      104L -> ((30L, false)), // joined the old cluster
+      105L -> ((105L, true)), // novel singleton: own id
+      106L -> ((106L, true))), // short doc: own id via the coalesce path
+      s"got $got")
+  }
+
+  test("minhashDedupIncremental: checkIdDisjointness rejects batch ids colliding with store cluster ids") {
+    import spark.implicits._
+    val store = Dedup.minhashSignature(
+        Seq((10L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text"))
+      .withColumn("cluster_id", col("doc_id"))
+    val batch = Seq((10L, "some other text entirely here")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.minhashDedupIncremental(batch, store, checkIdDisjointness = true)
+    }
+    assert(e.getMessage.contains("collide"))
+    // disjoint ids pass the guard (and still compute)
+    val ok = Dedup.minhashDedupIncremental(
+      Seq((101L, "some other text entirely here")).toDF("doc_id", "text"),
+      store, checkIdDisjointness = true)
+    assert(ok.count() == 1L)
+  }
+
   test("staging is once-per-corpus: second call reads the same managed table") {
     ShingleStage.shingleHashes(spark, s"$dir#spec", docs)
     assert(spark.catalog.tableExists("graft_shingles__root_testdata_sf0_001_spec"))

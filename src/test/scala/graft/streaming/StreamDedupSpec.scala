@@ -118,6 +118,75 @@ class StreamDedupSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("rowSigS == batch minhashSignature component-for-component; <3-token rows are NULL") {
+    import graft.pipeline.{Dedup, TextOps}
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "pack my box with five dozen liquor jugs"),
+      (3L, "alpha beta gamma"), // exactly 3 tokens: 1 shingle
+      (4L, "two tokens"),       // <3 tokens: NULL signature
+      (5L, ""))                 // empty: NULL signature
+      .toDF("doc_id", "text")
+    val rowSigs = docs
+      .select(col("doc_id"), org.apache.spark.sql.functions.expr(TextOps.rowSigS("text")).as("sig"))
+      .collect().map(r => r.getLong(0) -> Option(r.getSeq[Long](1))).toMap
+    val batchSigs = Dedup.minhashSignature(docs)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    // scan-side signature is byte-identical to the batch aggregate wherever
+    // the batch aggregate emits a row...
+    batchSigs.foreach { case (id, sig) =>
+      assert(rowSigs(id).contains(sig), s"doc $id: rowSigS != minhashSignature")
+    }
+    // ...and NULL exactly where the batch aggregate emits none (<3 tokens)
+    assert(rowSigs.keySet == Set(1L, 2L, 3L, 4L, 5L))
+    assert(rowSigs(4L).isEmpty && rowSigs(5L).isEmpty,
+      "<3-token rows must produce NULL, not a sentinel that matches other tiny docs")
+    assert(batchSigs.keySet == Set(1L, 2L, 3L))
+  }
+
+  test("nearDupAgainstStore: MemoryStream probe == batch minhashStoreMatches row-for-row") {
+    import graft.pipeline.Dedup
+    implicit val sqlCtx = spark.sqlContext
+    val storeDocs = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog"),
+      (20L, "pack my box with five dozen liquor jugs"),
+      (30L, "sphinx of black quartz judge my vow right now")).toDF("doc_id", "text")
+    val store = Dedup.minhashSignature(storeDocs).withColumn("cluster_id", col("doc_id"))
+    // batch shapes: near-copy (first token dropped — the corpus duplicate
+    // convention), exact copy, novel doc, and a <3-token doc that must be
+    // filtered (its NULL signature may never match anything)
+    val batchRows = Seq(
+      (101L, "quick brown fox jumps over the lazy dog"),
+      (102L, "the quick brown fox jumps over the lazy dog"),
+      (103L, "pack my box with five dozen liquor jugs"),
+      (104L, "completely unrelated novel document text goes right here"),
+      (105L, "too short"))
+    val batchDf = batchRows.toDF("doc_id", "text")
+    val want = Dedup.minhashStoreMatches(Dedup.minhashSignature(batchDf), store)
+      .collect().map(_.toSeq).toSet
+    assert(want.nonEmpty, "fixture must produce store matches (exact copies at minimum)")
+
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val q = StreamDedup.nearDupAgainstStore(input.toDF().toDF("doc_id", "text"), store)
+      .writeStream.format("memory").queryName("neardup_probe_out").outputMode("append").start()
+    try {
+      // adversarial micro-batch boundaries: 1 row, then 2, then the rest —
+      // the stateless contract means the split points must not matter
+      input.addData(batchRows.take(1)); q.processAllAvailable()
+      input.addData(batchRows.slice(1, 3)); q.processAllAvailable()
+      input.addData(batchRows.drop(3)); q.processAllAvailable()
+      val got = spark.table("neardup_probe_out").collect().map(_.toSeq)
+      assert(got.toSet == want,
+        s"stream probe != batch minhashStoreMatches:\ngot  ${got.toSet}\nwant $want")
+      // the row-local first-common-band rule must emit EXACTLY one survivor
+      // per matched (doc, store doc) pair — no duplicates from multi-band
+      // agreement (exact copies agree on all 8 bands)
+      assert(got.map(r => (r(0), r(1))).distinct.length == got.length,
+        "multi-band match emitted duplicate rows for one (doc, store doc) pair")
+      assert(!got.exists(_.head == 105L), "<3-token doc must not match anything")
+    } finally q.stop()
+  }
+
   test("scoredIngest: classifier keep then store probe, enforced in one stateless composition") {
     implicit val sqlCtx = spark.sqlContext
     val store = Seq("good stored doc").toDF("text")
