@@ -1,0 +1,193 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Real byte-pair-encoding (BPE) tokenization as a scan-side expression —
+  * the subword token counts every token-denominated operator in this
+  * package (Packing, Sampling.mixtureByBudget, TextAnalysis.vocabCoverage,
+  * surprisal) should run on, instead of the whitespace-token
+  * approximation.
+  *
+  * Reference analog: the fixed library-kernel discipline of
+  * borsa-core/src/timeseries/resample.rs:26-121 — a deterministic,
+  * unit-tested kernel with no configurable fuzz. The merge table is a
+  * LITERAL (the model ships with the engine build, like a tokenizer's
+  * merges.txt rides with the trained model), so the whole encode compiles
+  * to codegen'd higher-order functions over the token array: per word,
+  * split to characters, then apply each merge rule in rank order. No
+  * shuffle, no UDF, no driver loop — the classic Spark-first shape for a
+  * per-row kernel.
+  *
+  * ALGORITHM EQUIVALENCE (why rank-order exhaustive application == the
+  * classic greedy lowest-rank-anywhere encode): the merge list is
+  * WELL-FORMED — every compound symbol referenced by a rule is produced
+  * by an EARLIER rule (validated at class load). Applying rule i can only
+  * create its own output symbol `a+b`; any rule mentioning `a+b` must
+  * come after i, and merging two symbols into one never creates a new
+  * adjacency of two pre-existing symbols. So once rules 1..i-1 are
+  * exhausted, rule i can never re-enable them — applying rules in rank
+  * order exhaustively visits exactly the merges the greedy
+  * lowest-rank-first loop performs (asserted against a literal greedy
+  * reference implementation in BpeSpec).
+  *
+  * SIMULTANEOUS-MERGE FORM (why one pass per rule suffices): every rule
+  * has left != right (validated), so two match positions can never be
+  * adjacent (positions i and i+1 both matching forces a = b). All
+  * occurrences of the pair in a word are therefore disjoint and merge in
+  * ONE positional pass — no sequential fold, no fixpoint iteration per
+  * rule.
+  */
+object Bpe {
+  import TextOps.{toksS, toksD}
+
+  /** Ordered merge rules; rank = position (0-based). Compound vocabulary
+    * ids are 256 + rank (single characters keep their code point, the
+    * byte-vocab convention).
+    */
+  val merges: Seq[(String, String)] = Seq(
+    ("t", "h"),   // th   (id 256)
+    ("th", "e"),  // the  (id 257)
+    ("i", "n"),   // in   (id 258)
+    ("a", "n"),   // an   (id 259)
+    ("an", "d"),  // and  (id 260)
+    ("e", "r"),   // er   (id 261)
+    ("o", "n"),   // on   (id 262)
+    ("r", "e"),   // re   (id 263)
+    ("in", "g"),  // ing  (id 264)
+    ("o", "r"),   // or   (id 265)
+    ("s", "t"),   // st   (id 266)
+    ("a", "t"))   // at   (id 267)
+
+  /** Compound symbol → integer id (256 + rank). */
+  val vocabIds: Map[String, Int] =
+    merges.zipWithIndex.map { case ((a, b), i) => (a + b) -> (256 + i) }.toMap
+
+  /** Fail-fast validation of the two structural properties the expression
+    * form depends on (see the object scaladoc). Public so specs can
+    * assert malformed tables are rejected.
+    */
+  def validate(ms: Seq[(String, String)]): Unit = {
+    val produced = scala.collection.mutable.Set.empty[String]
+    ms.zipWithIndex.foreach { case ((a, b), i) =>
+      require(a.nonEmpty && b.nonEmpty, s"Bpe rule $i: empty symbol")
+      require(a != b,
+        s"Bpe rule $i: left == right ('$a') — adjacent occurrences would " +
+          "overlap and the simultaneous-merge form would be unsound")
+      Seq(a, b).foreach { s =>
+        require(s.length == 1 || produced.contains(s),
+          s"Bpe rule $i references compound symbol '$s' before any earlier " +
+            "rule produces it — the merge list is not well-formed, and " +
+            "rank-order application would diverge from greedy BPE")
+      }
+      require(!produced.contains(a + b),
+        s"Bpe rule $i produces '$a$b' twice")
+      produced += (a + b)
+    }
+  }
+  validate(merges)
+
+  // ------------------------------------------------------------ expressions
+
+  /** One merge-rule application over a symbol-array lambda variable `sv`:
+    * merged pairs emit their concatenation at the left position, the
+    * consumed right position emits NULL, everything else passes through;
+    * the filter drops the NULLs. All positions merge in one pass — sound
+    * because left != right (see scaladoc).
+    */
+  private def applyRuleS(sv: String, k: Int, a: String, b: String): String =
+    s"""filter(transform(sequence(1, size($sv)), i$k ->
+       |  CASE WHEN i$k < size($sv) AND element_at($sv, i$k) = '$a' AND element_at($sv, i$k + 1) = '$b' THEN '$a$b'
+       |       WHEN i$k > 1 AND element_at($sv, i$k - 1) = '$a' AND element_at($sv, i$k) = '$b' THEN NULL
+       |       ELSE element_at($sv, i$k) END), x$k -> x$k IS NOT NULL)""".stripMargin.replace("\n", " ")
+
+  private def applyRuleD(sv: String, k: Int, a: String, b: String): String =
+    s"""list_filter(list_transform(generate_series(1, len($sv)), i$k ->
+       |  CASE WHEN i$k < len($sv) AND $sv[i$k] = '$a' AND $sv[i$k + 1] = '$b' THEN '$a$b'
+       |       WHEN i$k > 1 AND $sv[i$k - 1] = '$a' AND $sv[i$k] = '$b' THEN NULL
+       |       ELSE $sv[i$k] END), x$k -> x$k IS NOT NULL)""".stripMargin.replace("\n", " ")
+
+  /** BPE symbols of one word (a lambda variable): characters, then every
+    * rule in rank order. Each level is LAMBDA-BOUND via the
+    * single-element-transform let-binding (the rowSigS discipline): the
+    * rule body references its input array ~6 times, and without the
+    * binding CollapseProject would inline the whole lower pipeline into
+    * each reference — 6^rules evaluations per word.
+    */
+  private def wordSymsS(w: String): String = {
+    val chars = s"transform(sequence(1, length($w)), c0 -> substr($w, c0, 1))"
+    merges.zipWithIndex.foldLeft(chars) { case (acc, ((a, b), i)) =>
+      val k = i + 1
+      s"element_at(transform(array($acc), s$k -> ${applyRuleS(s"s$k", k, a, b)}), 1)"
+    }
+  }
+
+  private def wordSymsD(w: String): String = {
+    val chars = s"list_transform(generate_series(1, len($w)), c0 -> $w[c0])"
+    merges.zipWithIndex.foldLeft(chars) { case (acc, ((a, b), i)) =>
+      val k = i + 1
+      s"list_transform([$acc], s$k -> ${applyRuleD(s"s$k", k, a, b)})[1]"
+    }
+  }
+
+  /** Per-document BPE symbol array (document order preserved: words in
+    * token order, symbols in word order).
+    */
+  def symsS(textCol: String): String =
+    s"flatten(transform(${toksS(textCol)}, w0 -> ${wordSymsS("w0")}))"
+  def symsD(textCol: String): String =
+    s"flatten(list_transform(${toksD(textCol)}, w0 -> ${wordSymsD("w0")}))"
+
+  /** Symbol → integer id over a symbol lambda variable: code point for
+    * single characters, 256 + rank for compounds. The -1 arm is
+    * unreachable (every multi-char symbol is produced by a rule — the
+    * well-formedness invariant).
+    */
+  private def idOfS(sy: String): String = {
+    val compounds = vocabIds.toSeq.sortBy(_._2)
+      .map { case (s, id) => s"WHEN '$s' THEN $id" }.mkString(" ")
+    s"CASE WHEN length($sy) = 1 THEN ascii($sy) ELSE CASE $sy $compounds ELSE -1 END END"
+  }
+  private def idOfD(sy: String): String = {
+    val compounds = vocabIds.toSeq.sortBy(_._2)
+      .map { case (s, id) => s"WHEN '$s' THEN $id" }.mkString(" ")
+    s"CASE WHEN len($sy) = 1 THEN ascii($sy) ELSE CASE $sy $compounds ELSE -1 END END"
+  }
+
+  /** BPE token COUNT expression — drop-in for the whitespace
+    * `size(toksS(text))` wherever a token-denominated operator takes a
+    * token count (packChunks, mixtureByBudget, vocab budgets): the
+    * subword count is what a trainer's context length is actually
+    * denominated in.
+    */
+  def nTokensS(textCol: String): String = s"size(${symsS(textCol)})"
+  def nTokensD(textCol: String): String = s"len(${symsD(textCol)})"
+
+  /** Per-document encode summary: whitespace token count, BPE token
+    * count, and the md5 of the comma-joined id sequence (order-exact —
+    * two documents agree iff their full BPE id streams agree). The
+    * symbol array is evaluated ONCE per row via `inline` (a Generate —
+    * projection collapsing cannot inline it into each output column).
+    */
+  def encode(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val stats =
+      s"""inline(array(element_at(transform(array(${symsS(textCol)}), ss -> named_struct(
+         |  'n_ws_tokens', cast(size(${toksS(textCol)}) as bigint),
+         |  'n_bpe_tokens', cast(size(ss) as bigint),
+         |  'ids_md5', md5(concat_ws(',', transform(ss, sy -> cast(${idOfS("sy")} as string)))))), 1)))"""
+        .stripMargin.replace("\n", " ")
+    docs.select(col(idCol), expr(stats))
+  }
+
+  /** DuckDB oracle twin of [[encode]] over the `documents` table —
+    * generated from the same merge constants so the two dialects cannot
+    * drift (the TextOps convention).
+    */
+  def encodeSqlD: String =
+    s"""WITH syms AS (SELECT doc_id, ${toksD("text")} AS toks, ${symsD("text")} AS ss FROM documents)
+       |SELECT doc_id,
+       |  CAST(len(toks) AS BIGINT) AS n_ws_tokens,
+       |  CAST(len(ss) AS BIGINT) AS n_bpe_tokens,
+       |  md5(array_to_string(list_transform(ss, sy -> (${idOfD("sy")})::VARCHAR), ',')) AS ids_md5
+       |FROM syms ORDER BY doc_id""".stripMargin
+}

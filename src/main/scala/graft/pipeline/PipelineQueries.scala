@@ -415,6 +415,14 @@ object PipelineQueries {
       Dedup.minhashDedupIncremental(batch, store).orderBy("doc_id")
     }),
 
+    // real subword BPE encode: a literal well-formed merge table applied
+    // in rank order as codegen'd HOFs — scan-side, no shuffle, no UDF;
+    // n_bpe_tokens is the count token-denominated operators should be
+    // denominated in (vs the whitespace approximation)
+    "ext_bpe_encode" -> ((s, dir) => {
+      Bpe.encode(Tables.documents(s, dir)).orderBy("doc_id")
+    }),
+
     // per-doc TF-IDF keywords: integer idf (bit-length log2 of inverse
     // doc frequency), top-3 per doc, total tie order
     "ext_keywords" -> ((s, dir) => {
@@ -894,6 +902,9 @@ object PipelineQueries {
         |r AS (SELECT doc_id, h, row_number() OVER (PARTITION BY h ORDER BY doc_id) AS rn
         |      FROM fresh)
         |SELECT doc_id, h FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    // both dialects generated from Bpe.merges — they cannot drift
+    "ext_bpe_encode" -> Bpe.encodeSqlD,
 
     "ext_keywords" ->
       s"""WITH tk AS (SELECT doc_id, ${toksD("text")} AS toks FROM documents),

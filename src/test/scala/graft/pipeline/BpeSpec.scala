@@ -1,0 +1,116 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import graft.tables.Tables
+import org.apache.spark.sql.functions._
+
+/** The BPE expression kernel must equal the classic greedy
+  * lowest-rank-first encode (implemented literally below as the reference
+  * model), reject malformed merge tables, and compose with the
+  * token-denominated operators.
+  */
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Literal greedy BPE (Sennrich encode loop): find the lowest-rank pair
+    * present anywhere, merge ALL its occurrences left-to-right, repeat.
+    */
+  private def greedyBpe(word: String, merges: Seq[(String, String)]): Seq[String] = {
+    var syms = word.map(_.toString).toVector
+    var done = false
+    while (!done) {
+      merges.find { case (a, b) =>
+        syms.indices.dropRight(1).exists(i => syms(i) == a && syms(i + 1) == b)
+      } match {
+        case None => done = true
+        case Some((a, b)) =>
+          val out = Vector.newBuilder[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+              out += (a + b); i += 2
+            } else { out += syms(i); i += 1 }
+          }
+          syms = out.result()
+      }
+    }
+    syms
+  }
+
+  private def exprSyms(words: Seq[String]): Map[String, Seq[String]] =
+    words.toDF("text")
+      .select(col("text"), expr(Bpe.symsS("text")).as("syms"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1).toSeq).toMap
+
+  test("hand-checked merges: rank order, all occurrences, chained compounds") {
+    val got = exprSyms(Seq("the", "thin", "and", "banana", "thethe", "x"))
+    assert(got("the") == Seq("the"))          // t+h -> th, th+e -> the
+    assert(got("thin") == Seq("th", "in"))    // two independent rules
+    assert(got("and") == Seq("and"))          // a+n -> an, an+d -> and
+    assert(got("banana") == Seq("b", "an", "an", "a")) // all occurrences, one pass
+    assert(got("thethe") == Seq("the", "the"))
+    assert(got("x") == Seq("x"))              // no rule: single char survives
+  }
+
+  test("expression encode == greedy reference on real corpus words (sf0.001)") {
+    val corpus = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(explode(expr(graft.pipeline.TextOps.toksS("text"))).as("w"))
+      .distinct().limit(500).collect().map(_.getString(0)).toSeq
+    assert(corpus.size > 20, "corpus fixture must supply real words")
+    // adversarial shapes: repeated pairs, rule chains, compound prefixes,
+    // digits, rule-dense runs
+    val words = (corpus ++ Seq(
+      "ththth", "erere", "rerere", "ananan", "andandand", "inging",
+      "thethethe", "onstonst", "ratatat", "a1n2d3", "xyzzy", "t", "at",
+      "stationer", "threading", "reinstating", "organization")).distinct
+    val got = exprSyms(words)
+    words.foreach { w =>
+      val want = greedyBpe(w, Bpe.merges)
+      assert(got(w) == want, s"word '$w': expression ${got(w)} != greedy $want")
+    }
+  }
+
+  test("validate rejects malformed merge tables") {
+    // left == right: the simultaneous-merge form would be unsound
+    assert(intercept[IllegalArgumentException] {
+      Bpe.validate(Seq(("a", "a")))
+    }.getMessage.contains("left == right"))
+    // forward reference: compound used before produced
+    assert(intercept[IllegalArgumentException] {
+      Bpe.validate(Seq(("th", "e"), ("t", "h")))
+    }.getMessage.contains("well-formed"))
+    // duplicate production
+    assert(intercept[IllegalArgumentException] {
+      Bpe.validate(Seq(("t", "h"), ("t", "h")))
+    }.getMessage.contains("twice"))
+    Bpe.validate(Bpe.merges) // the shipped table passes
+  }
+
+  test("encode summary: ids are code points / 256+rank; md5 is the exact id stream") {
+    val out = Bpe.encode(Seq((1L, "the and x")).toDF("doc_id", "text")).collect()(0)
+    assert(out.getAs[Long]("n_ws_tokens") == 3L)
+    assert(out.getAs[Long]("n_bpe_tokens") == 3L) // [the, and, x]
+    val wantIds = Seq(Bpe.vocabIds("the"), Bpe.vocabIds("and"), 'x'.toInt)
+    assert(wantIds == Seq(257, 260, 120))
+    val wantMd5 = java.security.MessageDigest.getInstance("MD5")
+      .digest(wantIds.mkString(",").getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(out.getAs[String]("ids_md5") == wantMd5)
+  }
+
+  test("packChunks composes on BPE counts (token-denominated packing)") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), expr(s"cast(${Bpe.nTokensS("text")} as bigint)").as("n_tokens"))
+    val packed = Packing.packChunks(docs, ctxTokens = 512L, nShards = 4)
+    // every doc packed; offsets consistent: total tokens == sum of per-shard
+    // stream lengths (the last doc's start + its tokens, per shard)
+    val total = docs.agg(sum("n_tokens")).head.getLong(0)
+    val byShard = packed.join(docs, "doc_id")
+      .groupBy("shard").agg(max(col("start_tok") + col("n_tokens")).as("end_tok"))
+      .agg(sum("end_tok")).head.getLong(0)
+    assert(total == byShard, s"BPE-token stream must pack exactly: $total != $byShard")
+    // BPE counts differ from whitespace counts (the approximation is real)
+    val ws = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(sum(expr(s"size(${TextOps.toksS("text")})"))).head.getLong(0)
+    assert(total > ws, "subword count must exceed whitespace token count")
+  }
+}
