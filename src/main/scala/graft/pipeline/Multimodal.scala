@@ -6,11 +6,13 @@ import org.apache.spark.sql.functions._
 /** Multimodal-column plumbing: media payloads as opaque `binary` columns
   * with a typed metadata struct, plus a decode/feature-extract stage.
   *
-  * The actual codec (image/audio decode) is STUBBED behind
-  * [[MediaDecoder]] — this container has no media libraries — but the
-  * Spark-side plumbing is real and tested: schema, batch shape,
-  * partition-preserving mapPartitions, and the deterministic fake decoder
-  * used by the oracle query.
+  * The HEADER layer is real: [[parseDims]] extracts image dimensions
+  * from actual PNG (IHDR chunk) and JPEG (SOF marker scan) byte streams
+  * — pure byte arithmetic against the public container formats, no
+  * media library needed. Full pixel decode (this container has no
+  * codecs) stays behind the pluggable [[MediaDecoder]] seam with a
+  * deterministic fake; the Spark-side plumbing — schema, batch shape,
+  * partition-preserving mapPartitions — is real and tested either way.
   *
   * At scale: payloads stay columnar (parquet binary); decode runs
   * scan-side per partition (no shuffle); feature vectors come back as
@@ -68,6 +70,107 @@ object Multimodal {
       lit(null).cast("int").as("width"),
       lit(null).cast("int").as("height"),
       lit(null).cast("int").as("sample_rate"))
+
+  case class MediaDims(media_id: Long, fmt: String, width: Long, height: Long)
+
+  /** Real image-header dimension extraction — the decode step every
+    * multimodal ingest pipeline runs FIRST (resize planning, aspect
+    * filtering, thumbnail routing) and the one that never needs a codec:
+    * dimensions live in fixed offsets of the container header.
+    *
+    *  - PNG: 8-byte signature `89 50 4E 47 0D 0A 1A 0A`, then the IHDR
+    *    chunk (always first): 4-byte length (13), "IHDR", width and
+    *    height as big-endian u32 at offsets 16 and 20.
+    *  - JPEG: `FF D8` (SOI), then a marker-segment walk — each segment
+    *    is `FF <marker>` + big-endian u16 length (inclusive of itself);
+    *    the frame header (SOF0-SOF15 except DHT/JPG/DAC) carries
+    *    precision(1), height(u16), width(u16) after the length.
+    *
+    * Fail-fast on anything malformed (bad signature, truncated header,
+    * missing SOF): a corrupt payload must surface at the decode stage
+    * with its media identity, not flow NULL dimensions downstream.
+    */
+  def parseDims(bytes: Array[Byte]): (String, Int, Int) = {
+    def u8(i: Int): Int = bytes(i) & 0xff
+    def u16(i: Int): Int = (u8(i) << 8) | u8(i + 1)
+    def u32(i: Int): Long = (u16(i).toLong << 16) | u16(i + 2)
+    def fail(msg: String): Nothing =
+      throw new IllegalArgumentException(s"parseDims: $msg (${bytes.length} bytes)")
+
+    val pngSig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+    if (bytes.length >= 2 && u8(0) == 0x89) {
+      if (bytes.length < 24) fail("truncated PNG: no room for IHDR")
+      if (!pngSig.indices.forall(i => u8(i) == pngSig(i))) fail("bad PNG signature")
+      // IHDR must be the first chunk (PNG spec); its type sits at 12..15
+      if (!(u8(12) == 'I' && u8(13) == 'H' && u8(14) == 'D' && u8(15) == 'R'))
+        fail("first PNG chunk is not IHDR")
+      val (w, h) = (u32(16), u32(20))
+      if (w <= 0 || h <= 0) fail(s"PNG dimensions out of range: ${w}x$h")
+      ("png", w.toInt, h.toInt)
+    } else if (bytes.length >= 2 && u8(0) == 0xff && u8(1) == 0xd8) {
+      var pos = 2
+      while (pos + 3 < bytes.length) {
+        if (u8(pos) != 0xff) fail(f"JPEG marker expected at offset $pos, got 0x${u8(pos)}%02x")
+        var p = pos
+        while (p < bytes.length && u8(p) == 0xff) p += 1 // fill bytes are legal
+        if (p >= bytes.length) fail("truncated JPEG: dangling fill bytes")
+        val marker = u8(p)
+        val isSof = marker >= 0xc0 && marker <= 0xcf &&
+          marker != 0xc4 && marker != 0xc8 && marker != 0xcc
+        if (isSof) {
+          if (p + 8 >= bytes.length) fail("truncated JPEG SOF segment")
+          val (h, w) = (u16(p + 4), u16(p + 6))
+          if (w == 0 || h == 0) fail(s"JPEG dimensions out of range: ${w}x$h")
+          return ("jpeg", w, h)
+        }
+        if (marker == 0xd9 || (marker >= 0xd0 && marker <= 0xd7) || marker == 0x01)
+          fail("JPEG stream ended without a frame header (no SOF)")
+        if (p + 2 >= bytes.length) fail("truncated JPEG segment length")
+        val len = u16(p + 1)
+        if (len < 2) fail(s"corrupt JPEG segment length $len")
+        pos = p + 1 + len
+        // a declared segment length overrunning the buffer is truncation,
+        // not a clean no-SOF stream
+        if (pos > bytes.length) fail("truncated JPEG: segment overruns the payload")
+      }
+      fail("JPEG stream ended without a frame header (no SOF)")
+    } else fail("unknown image format (neither PNG nor JPEG signature)")
+  }
+
+  /** Header-dimension extraction over a media table: the same
+    * partition-preserving typed-mapPartitions seam as [[extractFeatures]]
+    * — payload bytes never shuffle, one parser pass per row.
+    */
+  def imageDims(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, payload) =>
+        try {
+          val (fmt, w, h) = parseDims(payload)
+          MediaDims(id, fmt, w.toLong, h.toLong)
+        } catch {
+          case e: IllegalArgumentException =>
+            // re-raise with the media identity: at 100 TB "some payload
+            // was corrupt" is undebuggable without the row key
+            throw new IllegalArgumentException(s"media_id=$id: ${e.getMessage}", e)
+        }
+      }).toDF()
+  }
+
+  /** The real header parser behind the pluggable decoder seam: features =
+    * [width, height] from [[parseDims]] (full pixel decode would extend
+    * this with a codec).
+    */
+  object HeaderDecoder extends MediaDecoder {
+    def decode(row: MediaRow): MediaFeatures = {
+      val (_, w, h) = parseDims(row.payload)
+      MediaFeatures(row.media_id, row.kind, row.payload.length.toLong,
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(row.payload).map("%02x".format(_)).mkString,
+        Array(w.toDouble, h.toDouble))
+    }
+  }
 
   /** Decode/feature-extract stage: partition-preserving, batched.
     * This is the seam where a Pandas-UDF/mapInPandas equivalent would sit;

@@ -347,6 +347,28 @@ object PipelineQueries {
         .orderBy("media_id")
     }),
 
+    // REAL header decode round-trip: Spark assembles genuine PNG IHDR /
+    // JPEG JFIF+SOF0 byte streams with doc_id-derived dimensions (hex
+    // assembly + unhex), and Multimodal.parseDims must invert them by
+    // walking the actual container formats; the oracle states the closed
+    // form the parse must recover
+    "ext_multimodal_dims" -> ((s, dir) => {
+      val w = col("doc_id") % 800 + 16
+      val h = col("doc_id") % 600 + 16
+      val hex8 = (c: org.apache.spark.sql.Column) => lpad(hex(c), 8, "0")
+      val hex4 = (c: org.apache.spark.sql.Column) => lpad(hex(c), 4, "0")
+      val png = unhex(concat(
+        lit("89504E470D0A1A0A0000000D49484452"), hex8(w), hex8(h),
+        lit("0802000000DEADBEEF")))
+      val jpeg = unhex(concat(
+        lit("FFD8FFE000104A46494600010100004800480000FFC0001108"), hex4(h), hex4(w),
+        lit("03011100021101031101")))
+      val media = Tables.documents(s, dir).select(
+        col("doc_id").as("media_id"),
+        when(col("doc_id") % 4 === 0, jpeg).otherwise(png).as("payload"))
+      Multimodal.imageDims(media).orderBy("media_id")
+    }),
+
     // duplicate-span detection (exact-substring dedup at w=10 tokens):
     // merged per-doc token spans covering every 10-gram that repeats
     // anywhere in the corpus
@@ -801,6 +823,13 @@ object PipelineQueries {
     "ext_multimodal" ->
       """SELECT doc_id AS media_id, 'image' AS kind,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, md5(text) AS checksum
+        |FROM documents ORDER BY media_id""".stripMargin,
+
+    "ext_multimodal_dims" ->
+      """SELECT doc_id AS media_id,
+        |  CASE WHEN doc_id % 4 = 0 THEN 'jpeg' ELSE 'png' END AS fmt,
+        |  CAST(doc_id % 800 + 16 AS BIGINT) AS width,
+        |  CAST(doc_id % 600 + 16 AS BIGINT) AS height
         |FROM documents ORDER BY media_id""".stripMargin,
 
     // rolling 10-gram hashes → count > 1 → join back → gaps-and-islands

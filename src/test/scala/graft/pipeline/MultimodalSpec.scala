@@ -22,6 +22,60 @@ class MultimodalSpec extends SparkSpec {
     assert(vec.length == 2 && vec.head == 5.0)
   }
 
+  private def hexBytes(h: String): Array[Byte] =
+    h.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+
+  test("parseDims: real PNG IHDR and JPEG SOF byte streams round-trip") {
+    // hand-assembled 640x480 PNG: signature + IHDR(len 13) + dims + tail
+    val png = hexBytes(
+      "89504E470D0A1A0A" + "0000000D" + "49484452" +
+        "00000280" + "000001E0" + "0802000000" + "DEADBEEF")
+    assert(Multimodal.parseDims(png) == (("png", 640, 480)))
+    // JPEG: SOI + APP0(JFIF) + SOF0 with height 17, width 4097 (byte-order
+    // sensitive values: a LE/BE mixup cannot pass)
+    val jpeg = hexBytes(
+      "FFD8" + "FFE0" + "0010" + "4A46494600" + "0101" + "00" + "00480048" + "0000" +
+        "FFC0" + "0011" + "08" + "0011" + "1001" + "03" + "011100" + "021101" + "031101")
+    assert(Multimodal.parseDims(jpeg) == (("jpeg", 4097, 17)))
+    // SOF2 (progressive) is a frame header too
+    val progressive = jpeg.updated(22, 0xc2.toByte)
+    assert(Multimodal.parseDims(progressive) == (("jpeg", 4097, 17)))
+  }
+
+  test("parseDims: corrupt headers fail fast with the reason") {
+    def failsWith(bytes: Array[Byte], msg: String): Unit = {
+      val e = intercept[IllegalArgumentException](Multimodal.parseDims(bytes))
+      assert(e.getMessage.contains(msg), s"got: ${e.getMessage}")
+    }
+    failsWith(hexBytes("89504E470D0A1A0B" + "0000000D" + "49484452" + "00" * 16),
+      "bad PNG signature")
+    failsWith(hexBytes("89504E470D0A1A0A" + "00000000"), "truncated PNG")
+    failsWith(hexBytes("89504E470D0A1A0A" + "0000000D" + "49444154" + "00" * 16),
+      "not IHDR")
+    failsWith(hexBytes("FFD8FFD9"), "no SOF") // SOI + EOI: no frame header
+    failsWith(hexBytes("FFD8FFE00010"), "truncated JPEG")
+    failsWith(hexBytes("CAFEBABE"), "unknown image format")
+  }
+
+  test("imageDims: the mapPartitions seam surfaces the failing media_id") {
+    val media = Seq((7L, Array[Byte](0x42, 0x42))).toDF("media_id", "payload")
+    val e = intercept[org.apache.spark.SparkException] {
+      Multimodal.imageDims(media).collect()
+    }
+    assert(e.getCause != null && String.valueOf(e.getCause.getMessage).contains("media_id=7"))
+  }
+
+  test("HeaderDecoder: the real parser rides the pluggable decoder seam") {
+    val png = hexBytes(
+      "89504E470D0A1A0A" + "0000000D" + "49484452" +
+        "00000010" + "00000020" + "0802000000" + "DEADBEEF")
+    val media = Seq((1L, "image", png, None: Option[Int], None: Option[Int], None: Option[Int]))
+      .toDF("media_id", "kind", "payload", "width", "height", "sample_rate")
+    val out = Multimodal.extractFeatures(media, Multimodal.HeaderDecoder).collect()(0)
+    val features = out.getSeq[Double](out.fieldIndex("features"))
+    assert(features == Seq(16.0, 32.0))
+  }
+
   test("a custom decoder plugs into the same seam") {
     val docs = Seq((1L, "abc")).toDF("doc_id", "text")
     val constant = new Multimodal.MediaDecoder {
