@@ -143,6 +143,46 @@ object StreamDedup {
     dedupAgainstStore(scored.where(col("keep")).drop("keep"), seenHashes, textCol)
   }
 
+  /** [[scoredIngest]] with STRATIFIED MIXTURE SAMPLING between the
+    * classifier and the store probe — the full streaming face of the
+    * batch ingest pipeline (classifier → Sampling.stratifiedByRate →
+    * dedup store probe), so an ingest stream can rate-control per
+    * stratum (language, source, quality bucket) WITHOUT a batch pass.
+    *
+    * The sampling stage reuses the batch operator verbatim: the keep
+    * decision is the deterministic scan-side [[graft.pipeline.Sampling.bucketPpm]]
+    * hash predicate under a BROADCAST stream-static rates join — no
+    * state, no watermark, no shuffle, and (crucially for streaming) no
+    * randomness: a row's keep/drop is a pure function of its id, so
+    * micro-batch replays after failure re-decide identically — `rand()`
+    * sampling would break exactly-once sinks on retry. Identical
+    * semantics to the batch composition on the same rows (spec-asserted:
+    * stream == batch replay).
+    *
+    * Stage order is fixed in code, like [[scoredIngest]]: classifier
+    * first (rejected docs pay neither the sample hash nor the probe),
+    * sample second (dropped strata rows never probe the store), store
+    * probe last. Output carries score columns, `bucket_ppm`, and the
+    * content hash `h` for the store-append loop.
+    */
+  def sampledIngest(
+      docs: DataFrame,
+      seenHashes: DataFrame,
+      weights: Map[String, Long],
+      rates: DataFrame,
+      stratumCol: String,
+      defaultPpm: Long = 1000000L,
+      biasMilli: Long = 0L,
+      keepThresholdMilli: Long = 0L,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val scored = graft.pipeline.TextAnalysis.classifierColumns(
+      docs, weights, biasMilli, keepThresholdMilli, textCol)
+    val sampled = graft.pipeline.Sampling.stratifiedByRate(
+      scored.where(col("keep")).drop("keep"), stratumCol, rates, defaultPpm, idCol)
+    dedupAgainstStore(sampled, seenHashes, textCol)
+  }
+
   /** The ENFORCED ingestion composition: dedup THEN the ST8 monotonic gate.
     *
     * Standalone `dedupWithinWatermark` is at-least-once (a re-delivery

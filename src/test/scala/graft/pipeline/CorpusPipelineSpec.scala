@@ -111,6 +111,46 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(packed.count() == sampled.count(), "packing must assign every sampled doc")
   }
 
+  test("trained-centroid SemDeDup: KMeans.train composes into semanticDedup, deterministic, recall >= defaultCentroids") {
+    assume(new java.io.File(s"$dir/embeddings.parquet").exists(), s"$dir not present")
+    val emb = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+    // exact vector copies so true near-dup clusters exist
+    val aug = emb.unionByName(emb.filter(col("vec_id") % 10 === 0)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding")))
+
+    // training is deterministic end to end: identical inputs -> identical
+    // centroids (hash-seeded init + 1e-6-rounded means), so cluster ids
+    // are stable across re-runs
+    val trained = KMeans.train(emb, nCells = 8, iters = 2)
+    val trained2 = KMeans.train(emb, nCells = 8, iters = 2)
+    assert(trained == trained2, "KMeans.train must be run-to-run deterministic")
+
+    val withTrained = Similarity.semanticDedup(aug, trained, 0.999)
+    val withDefault = Similarity.semanticDedup(aug, Similarity.defaultCentroids(64, 8), 0.999)
+
+    // determinism of the composed pipeline: same input, same labels
+    assert(withTrained.collect().map(_.toSeq).toSet ==
+      Similarity.semanticDedup(aug, KMeans.train(emb, nCells = 8, iters = 2), 0.999)
+        .collect().map(_.toSeq).toSet)
+
+    // exact copies land in the SAME Lloyd cell by construction (identical
+    // vectors score identically), so trained-centroid recall on the
+    // injected duplicates is total — and at least what the fixed
+    // hash-grid defaultCentroids achieve
+    def dupsCaught(df: org.apache.spark.sql.DataFrame): Long =
+      df.where(col("vec_id") >= 1000000L && !col("is_keeper")).count()
+    val nInjected = aug.where(col("vec_id") >= 1000000L).count()
+    assert(dupsCaught(withTrained) == nInjected,
+      "every injected exact copy must collapse onto its original")
+    assert(dupsCaught(withTrained) >= dupsCaught(withDefault))
+
+    // trained cells are data-adaptive: assignment must use them (the two
+    // centroid tables produce different cell populations)
+    val cellsT = aug.select(Similarity.ivfCellOf(col("embedding"), trained).as("c"))
+      .groupBy("c").count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cellsT.nonEmpty && cellsT.values.sum == aug.count())
+  }
+
   test("multi-epoch mixture feeds packing via a composite sequence id") {
     assume(new java.io.File(s"$dir/documents.parquet").exists(), s"$dir not present")
     val docs = Tables.documents(spark, dir).select(col("doc_id"), col("source"),

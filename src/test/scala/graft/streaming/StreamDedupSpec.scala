@@ -187,6 +187,43 @@ class StreamDedupSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sampledIngest: stream == batch classifier -> stratifiedByRate -> store-probe on the same feed") {
+    import org.apache.spark.sql.functions.md5
+    implicit val sqlCtx = spark.sqlContext
+    val store = Seq("stored doc text").toDF("text").select(md5(col("text")).as("h"))
+    val rates = Seq(("en", 700000L)).toDF("lang", "rate_ppm")
+    val weights = Map("good" -> 500L, "bad" -> -900L)
+    // rows spanning all four fates: classifier-rejected, sampled out
+    // (de falls to the 100000 ppm default), store-dropped, emitted
+    val rows = (1L to 60L).map { i =>
+      val lang = if (i % 3 == 0) "de" else "en"
+      val text =
+        if (i % 5 == 0) "bad bad doc"
+        else if (i % 7 == 0) "stored doc text"
+        else s"good doc $i"
+      (i, lang, text)
+    }
+    def pipeline(docs: org.apache.spark.sql.DataFrame) =
+      StreamDedup.sampledIngest(docs, store, weights, rates, "lang", defaultPpm = 100000L)
+    val want = pipeline(rows.toDF("doc_id", "lang", "text")).collect().map(_.toSeq).toSet
+    assert(want.nonEmpty, "fixture must emit rows")
+    // the sample stage genuinely dropped classifier-kept fresh rows
+    val keptFresh = rows.count { case (i, _, t) => !t.startsWith("bad") && !t.startsWith("stored") }
+    assert(want.size < keptFresh, "sampling must drop some kept rows")
+
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String, String)]
+    val q = pipeline(input.toDF().toDF("doc_id", "lang", "text"))
+      .writeStream.format("memory").queryName("sampled_ingest_out").outputMode("append").start()
+    try {
+      // adversarial micro-batch boundaries: deterministic hash sampling
+      // must make the splits invisible (rand() sampling would not be)
+      rows.grouped(7).foreach { g => input.addData(g); q.processAllAvailable() }
+      val got = spark.table("sampled_ingest_out").collect().map(_.toSeq).toSet
+      assert(got == want,
+        s"stream != batch composition:\nonly-stream ${(got -- want).take(3)}\nonly-batch ${(want -- got).take(3)}")
+    } finally q.stop()
+  }
+
   test("scoredIngest: classifier keep then store probe, enforced in one stateless composition") {
     implicit val sqlCtx = spark.sqlContext
     val store = Seq("good stored doc").toDF("text")
