@@ -480,6 +480,15 @@ object PipelineQueries {
         .orderBy("rank")
     }),
 
+    // the SAME curve over the real BPE subword stream — the vocab-sizing
+    // view a tokenizer-training decision actually reads (vocabCoverage
+    // recomposed on Bpe.symsS; token-denominated, not whitespace)
+    "ext_bpe_vocab" -> ((s, dir) => {
+      TextAnalysis.vocabCoverage(Tables.documents(s, dir), topK = 20,
+          tokenizerS = Bpe.symsS)
+        .orderBy("rank")
+    }),
+
     // unigram-LM surprisal band-pass input: mean integer-log2 inverse
     // corpus frequency per document, milli fixed-point
     "ext_surprisal" -> ((s, dir) => {
@@ -988,6 +997,18 @@ object PipelineQueries {
 
     "ext_vocab_coverage" ->
       s"""WITH tx AS (SELECT unnest(${toksD("text")}) AS t FROM documents),
+         |c AS (SELECT t, count(*) AS cnt FROM tx GROUP BY 1),
+         |tot AS (SELECT sum(cnt) AS total FROM c),
+         |top AS (SELECT t, cnt, row_number() OVER (ORDER BY cnt DESC, t) AS rank
+         |        FROM c QUALIFY rank <= 20)
+         |SELECT CAST(rank AS BIGINT) AS rank, t AS token, CAST(cnt AS BIGINT) AS cnt,
+         |  CAST(sum(cnt) OVER (ORDER BY cnt DESC, t
+         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 1000000 // total AS BIGINT) AS cum_ppm
+         |FROM top, tot ORDER BY rank""".stripMargin,
+
+    // same curve, BPE symbol stream (twin generated from Bpe.merges)
+    "ext_bpe_vocab" ->
+      s"""WITH tx AS (SELECT unnest(${Bpe.symsD("text")}) AS t FROM documents),
          |c AS (SELECT t, count(*) AS cnt FROM tx GROUP BY 1),
          |tot AS (SELECT sum(cnt) AS total FROM c),
          |top AS (SELECT t, cnt, row_number() OVER (ORDER BY cnt DESC, t) AS rank

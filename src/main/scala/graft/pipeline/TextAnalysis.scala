@@ -363,9 +363,13 @@ object TextAnalysis {
       docs: DataFrame,
       topK: Int = 100,
       idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text",
+      tokenizerS: String => String = toksS): DataFrame = {
     require(topK > 0, s"topK must be positive, got $topK")
-    val counts = docs.select(explode(expr(toksS(textCol))).as("t"))
+    // tokenizerS swaps the token stream the curve is computed over —
+    // e.g. Bpe.symsS for the SUBWORD vocab-sizing curve (the one a
+    // tokenizer-training decision actually reads)
+    val counts = docs.select(explode(expr(tokenizerS(textCol))).as("t"))
       .groupBy("t").agg(count(lit(1)).as("cnt"))
     val total = counts.agg(sum("cnt").as("__total"))
     val top = counts.orderBy(col("cnt").desc, col("t")).limit(topK)

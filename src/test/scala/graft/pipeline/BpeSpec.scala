@@ -97,6 +97,43 @@ class BpeSpec extends SparkSpec {
     assert(out.getAs[String]("ids_md5") == wantMd5)
   }
 
+  test("mixtureByBudget composes on BPE counts (budgets denominated in subword tokens)") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("source"),
+        expr(s"cast(${Bpe.nTokensS("text")} as bigint)").as("n_tok"))
+    val srcTotal = docs.where(col("source") === "src0").count()
+    assert(srcTotal > 2, "fixture needs a populated stratum")
+    val budget = docs.where(col("source") === "src0")
+      .agg(sum("n_tok")).head.getLong(0) / 2 // half the stratum's BPE tokens
+    val kept = Sampling.mixtureByBudget(docs, "source", Map("src0" -> budget),
+      tokensCol = "n_tok", defaultPpm = 0L)
+    val rows = kept.collect()
+    assert(rows.nonEmpty && rows.forall(_.getAs[String]("source") == "src0"),
+      "zero default must drop unbudgeted strata")
+    assert(rows.length < srcTotal, "a half-token budget must subsample the stratum")
+    // deterministic: the same budget picks the same docs on a re-run
+    assert(Sampling.mixtureByBudget(docs, "source", Map("src0" -> budget),
+        tokensCol = "n_tok", defaultPpm = 0L)
+      .collect().map(_.getAs[Long]("doc_id")).sorted.toSeq ==
+      rows.map(_.getAs[Long]("doc_id")).sorted.toSeq)
+  }
+
+  test("vocabCoverage composes on the BPE symbol stream (subword vocab-sizing curve)") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val bpe = TextAnalysis.vocabCoverage(docs, topK = 10, tokenizerS = Bpe.symsS).collect()
+    assert(bpe.length == 10)
+    // the subword head contains single chars or compounds, never a
+    // whitespace word longer than the longest merge output
+    val maxSym = Bpe.vocabIds.keys.map(_.length).max
+    assert(bpe.forall(_.getAs[String]("token").length <= maxSym))
+    // coverage is cumulative and monotone
+    val cums = bpe.sortBy(_.getAs[Long]("rank")).map(_.getAs[Long]("cum_ppm"))
+    assert(cums.zip(cums.tail).forall { case (a, b) => a <= b })
+    // and differs from the whitespace curve (the recomposition is real)
+    val ws = TextAnalysis.vocabCoverage(docs, topK = 10).collect()
+    assert(ws.map(_.getAs[String]("token")).toSeq != bpe.map(_.getAs[String]("token")).toSeq)
+  }
+
   test("packChunks composes on BPE counts (token-denominated packing)") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
       .select(col("doc_id"), expr(s"cast(${Bpe.nTokensS("text")} as bigint)").as("n_tokens"))
