@@ -96,10 +96,15 @@ object Bpe {
     * because left != right (see scaladoc).
     */
   private def applyRuleS(sv: String, k: Int, a: String, b: String): String =
-    s"""filter(transform(sequence(1, size($sv)), i$k ->
-       |  CASE WHEN i$k < size($sv) AND element_at($sv, i$k) = '$a' AND element_at($sv, i$k + 1) = '$b' THEN '$a$b'
-       |       WHEN i$k > 1 AND element_at($sv, i$k - 1) = '$a' AND element_at($sv, i$k) = '$b' THEN NULL
-       |       ELSE element_at($sv, i$k) END), x$k -> x$k IS NOT NULL)""".stripMargin.replace("\n", " ")
+    // the exists() guard skips the two-array rebuild for words that do not
+    // contain the pair at all — the overwhelmingly common case (a word
+    // matches a handful of the rule table), measured ~2x on the corpus
+    s"""IF(NOT exists(sequence(1, size($sv)), g$k ->
+       |     g$k < size($sv) AND element_at($sv, g$k) = '$a' AND element_at($sv, g$k + 1) = '$b'), $sv,
+       |   filter(transform(sequence(1, size($sv)), i$k ->
+       |     CASE WHEN i$k < size($sv) AND element_at($sv, i$k) = '$a' AND element_at($sv, i$k + 1) = '$b' THEN '$a$b'
+       |          WHEN i$k > 1 AND element_at($sv, i$k - 1) = '$a' AND element_at($sv, i$k) = '$b' THEN NULL
+       |          ELSE element_at($sv, i$k) END), x$k -> x$k IS NOT NULL))""".stripMargin.replace("\n", " ")
 
   private def applyRuleD(sv: String, k: Int, a: String, b: String): String =
     s"""list_filter(list_transform(generate_series(1, len($sv)), i$k ->
@@ -162,6 +167,62 @@ object Bpe {
     */
   def nTokensS(textCol: String): String = s"size(${symsS(textCol)})"
   def nTokensD(textCol: String): String = s"len(${symsD(textCol)})"
+
+  /** THE DICTIONARY PATH — the scale form for token COUNTING: natural
+    * language vocabulary is Zipfian, so distinct words grow far slower
+    * than token occurrences, and the per-word BPE cost should be paid
+    * once per DISTINCT word and fanned back out by frequency — the
+    * per-word cache every production tokenizer keeps (GPT-2's lru_cache
+    * per word), expressed relationally. The dictionary is vocab-sized,
+    * so it BROADCASTS onto the token stream; the corpus never shuffles
+    * for the lookup. Use this wherever only counts matter (packing,
+    * mixture budgets, vocab curves); [[encode]] stays scan-side because
+    * its id-stream md5 needs the exact token ORDER.
+    *
+    * Per-document BPE token counts: (idCol, n_bpe_tokens). Zero-token
+    * documents report 0 (they never vanish from a packing feed).
+    */
+  def docTokenCounts(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val toks = docs.select(col(idCol), explode(expr(toksS(textCol))).as("__w"))
+    val dict = toks.select("__w").distinct()
+      .withColumn("__nb", expr(s"cast(size(${wordSymsS("__w")}) as bigint)"))
+    val counts = toks.join(broadcast(dict), "__w")
+      .groupBy(idCol).agg(sum(col("__nb")).as("n_bpe_tokens"))
+    docs.select(col(idCol))
+      .join(counts, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("n_bpe_tokens"), lit(0L)).as("n_bpe_tokens"))
+  }
+
+  /** Subword vocab-sizing curve via the dictionary path: word counts are
+    * one vocab-sized aggregation, BPE runs once per distinct word, and
+    * symbol counts weight by word frequency — corpus-sized work is ONE
+    * token count aggregation; all BPE cost is vocab-sized. Output schema
+    * matches `TextAnalysis.vocabCoverage` (rank, token, cnt, cum_ppm) and
+    * the results are identical (spec-asserted) — this is a pure plan
+    * optimization.
+    */
+  def vocabCurve(
+      docs: DataFrame,
+      topK: Int = 100,
+      textCol: String = "text"): DataFrame = {
+    require(topK > 0, s"topK must be positive, got $topK")
+    val wc = docs.select(explode(expr(toksS(textCol))).as("__w"))
+      .groupBy("__w").agg(count(lit(1)).as("__wc"))
+    val counts = wc
+      .select(explode(expr(wordSymsS("__w"))).as("t"), col("__wc"))
+      .groupBy("t").agg(sum(col("__wc")).as("cnt"))
+    val total = counts.agg(sum("cnt").as("__total"))
+    val top = counts.orderBy(col("cnt").desc, col("t")).limit(topK)
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("cnt").desc, col("t"))
+    top.crossJoin(broadcast(total))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("cum_ppm",
+        expr("sum(cnt) over (order by cnt desc, t rows between unbounded preceding and current row) * 1000000L div __total"))
+      .select(col("rank"), col("t").as("token"), col("cnt"), col("cum_ppm"))
+  }
 
   /** Per-document encode summary: whitespace token count, BPE token
     * count, and the md5 of the comma-joined id sequence (order-exact —

@@ -481,12 +481,12 @@ object PipelineQueries {
     }),
 
     // the SAME curve over the real BPE subword stream — the vocab-sizing
-    // view a tokenizer-training decision actually reads (vocabCoverage
-    // recomposed on Bpe.symsS; token-denominated, not whitespace)
+    // view a tokenizer-training decision actually reads. Dictionary
+    // path: BPE runs once per DISTINCT word (Zipfian vocab), weighted by
+    // frequency — spec-equal to vocabCoverage(tokenizerS = Bpe.symsS)
+    // but with all BPE cost vocab-sized instead of corpus-sized
     "ext_bpe_vocab" -> ((s, dir) => {
-      TextAnalysis.vocabCoverage(Tables.documents(s, dir), topK = 20,
-          tokenizerS = Bpe.symsS)
-        .orderBy("rank")
+      Bpe.vocabCurve(Tables.documents(s, dir), topK = 20).orderBy("rank")
     }),
 
     // unigram-LM surprisal band-pass input: mean integer-log2 inverse

@@ -212,6 +212,28 @@ class PlanAssertionsSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), s"the token-weight join must not sort-merge:\n${plan.take(2000)}")
   }
 
+  test("ext_bpe_encode: the whole encode is scan-side — zero hash exchanges, no join") {
+    val plan = planOf("ext_bpe_encode")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"BPE encode must not shuffle the corpus:\n${plan.take(2000)}")
+    assert(!plan.contains("Join"), s"BPE encode must not join:\n${plan.take(2000)}")
+  }
+
+  test("ext_bpe_vocab: dictionary path — two vocab-sized aggregates, top-K prunes") {
+    val plan = planOf("ext_bpe_vocab")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-K must prune, not global-sort:\n${plan.take(2000)}")
+    // the (word agg, symbol agg) chain appears twice in the printed plan —
+    // the counts subtree feeds both the grand-total and top-K branches and
+    // Spark shares no subplans — so the bound is 2 aggregates x 2 branches;
+    // the point of the guard: every exchange is VOCAB-sized (post-agg),
+    // never an exchange of corpus rows
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(hashExchanges <= 4,
+      s"only the vocab-sized aggregates may exchange; got $hashExchanges:\n${plan.take(2000)}")
+    assert(!plan.contains("SortMergeJoin"), "nothing here may sort-merge the corpus")
+  }
+
   test("ext_vocab_coverage: top-K is a TakeOrdered, never a full vocab sort") {
     val plan = planOf("ext_vocab_coverage")
     assert(plan.contains("TakeOrderedAndProject"), s"top-K must prune before sorting the vocab:\n${plan.take(2000)}")

@@ -134,6 +134,27 @@ class BpeSpec extends SparkSpec {
     assert(ws.map(_.getAs[String]("token")).toSeq != bpe.map(_.getAs[String]("token")).toSeq)
   }
 
+  test("dictionary path == scan-side path: docTokenCounts and vocabCurve are pure plan optimizations") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    // per-doc counts: dict-path == size of the exact scan-side stream
+    val direct = docs.select(col("doc_id"),
+        expr(s"cast(${Bpe.nTokensS("text")} as bigint)").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dict = Bpe.docTokenCounts(docs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dict == direct, "dictionary fan-back must reproduce exact per-doc counts")
+    // vocab curve: dict-path == vocabCoverage over the scan-side stream
+    val want = TextAnalysis.vocabCoverage(docs, topK = 15, tokenizerS = Bpe.symsS)
+      .collect().map(_.toSeq)
+    val got = Bpe.vocabCurve(docs, topK = 15).collect().map(_.toSeq)
+    assert(got.toSeq == want.toSeq)
+    // and the dictionary genuinely broadcasts (corpus never shuffles for
+    // the lookup)
+    val plan = Bpe.docTokenCounts(docs).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"dict must broadcast:\n${plan.take(1500)}")
+    assert(!plan.contains("SortMergeJoin"), "the token-dict join must not sort-merge")
+  }
+
   test("packChunks composes on BPE counts (token-denominated packing)") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
       .select(col("doc_id"), expr(s"cast(${Bpe.nTokensS("text")} as bigint)").as("n_tokens"))
