@@ -374,6 +374,34 @@ object Dedup {
         col("__store_min").isNull.as("is_novel"))
   }
 
+  /** The APPEND step that closes the incremental near-dup loop: the new
+    * store rows for a batch just labeled by [[minhashDedupIncremental]] —
+    * (idCol, sig, cluster_id) for every batch document that produced a
+    * signature (>= 3 tokens; shorter docs cannot near-dup and have
+    * nothing to store). `sigStore.unionByName(sigStoreAppend(...))` is
+    * the next round's store, so cluster identities persist across ingest
+    * rounds (spec-asserted: a round-2 near-copy of round-1 content
+    * attaches to the cluster id round 1 assigned).
+    *
+    * Signatures are recomputed from the batch text (one scan — the same
+    * cost shape as the labeling pass; callers holding the labeled batch
+    * in cache pay only the scan). Store-side dedup of merged clusters is
+    * NOT required: a store row whose cluster_id was merged away still
+    * routes probes into the merged component via the store-min election.
+    */
+  def sigStoreAppend(
+      batch: DataFrame,
+      assignments: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(assignments.columns.contains("cluster_id"),
+      s"assignments must carry 'cluster_id' (a minhashDedupIncremental result), " +
+        s"got ${assignments.columns.mkString(", ")}")
+    minhashSignature(batch, idCol, textCol)
+      .join(assignments.select(col(idCol), col("cluster_id")), idCol)
+      .select(col(idCol), col("sig"), col("cluster_id"))
+  }
+
   /** Cross-document LINE-level dedup (CCNet-style boilerplate removal):
     * every distinct line keeps exactly ONE occurrence corpus-wide — the one
     * with the smallest (doc_id, line position) — and every other occurrence

@@ -155,6 +155,24 @@ class BpeSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), "the token-dict join must not sort-merge")
   }
 
+  test("BPE counting is streaming-legal: pure scan-side projection over a MemoryStream") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val q = input.toDF().toDF("doc_id", "text")
+      .select(col("doc_id"), expr(s"cast(${Bpe.nTokensS("text")} as bigint)").as("n_bpe"))
+      .writeStream.format("memory").queryName("bpe_stream_out").outputMode("append").start()
+    try {
+      input.addData(Seq((1L, "the and"), (2L, "banana")))
+      q.processAllAvailable()
+      val got = spark.table("bpe_stream_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toMap
+      // [the]+[and] = 2; banana -> [b, an, an, a] = 4 — the same counts the
+      // batch kernel produces, so ingest-side token accounting (quota,
+      // budget admission) can run statelessly in the stream
+      assert(got == Map(1L -> 2L, 2L -> 4L))
+    } finally q.stop()
+  }
+
   test("packChunks composes on BPE counts (token-denominated packing)") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
       .select(col("doc_id"), expr(s"cast(${Bpe.nTokensS("text")} as bigint)").as("n_tokens"))

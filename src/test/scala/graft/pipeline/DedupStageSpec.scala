@@ -87,6 +87,37 @@ class DedupStageSpec extends SparkSpec {
     assert(ok.count() == 1L)
   }
 
+  test("the incremental loop CLOSES: sigStoreAppend feeds round 2, cluster identities persist") {
+    import spark.implicits._
+    val base1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val base2 = "one two three four five six seven eight nine ten eleven"
+    // round 0 store: one historical cluster (doc 10)
+    val store0 = Dedup.minhashSignature(Seq((10L, base1)).toDF("doc_id", "text"))
+      .withColumn("cluster_id", col("doc_id"))
+    // round 1: a novel pair forms NEW cluster 101; doc 103 joins cluster 10
+    val batch1 = Seq((101L, base2), (102L, base2), (103L, base1)).toDF("doc_id", "text")
+    val round1 = Dedup.minhashDedupIncremental(batch1, store0)
+    val got1 = round1.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got1 == Map(101L -> 101L, 102L -> 101L, 103L -> 10L))
+
+    val store1 = store0.unionByName(Dedup.sigStoreAppend(batch1, round1))
+    assert(store1.count() == 4L, "every signature-bearing batch doc appends")
+
+    // round 2: near-copies of ROUND-1 content must attach to the cluster
+    // ids round 1 assigned — the loop is closed, identities persist
+    val batch2 = Seq(
+      (201L, base2), // exact copy of round-1 novel content -> cluster 101
+      (202L, base1), // copy of historical content -> cluster 10
+      (203L, "completely fresh words never seen in any earlier round"))
+      .toDF("doc_id", "text")
+    val got2 = Dedup.minhashDedupIncremental(batch2, store1)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(got2 == Map(
+      201L -> ((101L, false)), // round-1-minted cluster id survives the append
+      202L -> ((10L, false)),
+      203L -> ((203L, true))), s"got $got2")
+  }
+
   test("staging is once-per-corpus: second call reads the same managed table") {
     ShingleStage.shingleHashes(spark, s"$dir#spec", docs)
     assert(spark.catalog.tableExists("graft_shingles__root_testdata_sf0_001_spec"))
