@@ -85,6 +85,10 @@ object Multimodal {
     *    is `FF <marker>` + big-endian u16 length (inclusive of itself);
     *    the frame header (SOF0-SOF15 except DHT/JPG/DAC) carries
     *    precision(1), height(u16), width(u16) after the length.
+    *  - GIF: "GIF87a"/"GIF89a" signature, then the logical screen
+    *    descriptor: width and height as LITTLE-endian u16 at offsets 6
+    *    and 8 (the one common format with LE dims — a byte-order mixup
+    *    cannot survive the specs).
     *
     * Fail-fast on anything malformed (bad signature, truncated header,
     * missing SOF): a corrupt payload must surface at the decode stage
@@ -93,6 +97,7 @@ object Multimodal {
   def parseDims(bytes: Array[Byte]): (String, Int, Int) = {
     def u8(i: Int): Int = bytes(i) & 0xff
     def u16(i: Int): Int = (u8(i) << 8) | u8(i + 1)
+    def u16le(i: Int): Int = u8(i) | (u8(i + 1) << 8)
     def u32(i: Int): Long = (u16(i).toLong << 16) | u16(i + 2)
     def fail(msg: String): Nothing =
       throw new IllegalArgumentException(s"parseDims: $msg (${bytes.length} bytes)")
@@ -134,7 +139,14 @@ object Multimodal {
         if (pos > bytes.length) fail("truncated JPEG: segment overruns the payload")
       }
       fail("JPEG stream ended without a frame header (no SOF)")
-    } else fail("unknown image format (neither PNG nor JPEG signature)")
+    } else if (bytes.length >= 6 && u8(0) == 'G' && u8(1) == 'I' && u8(2) == 'F') {
+      val version = new String(bytes.slice(3, 6), "US-ASCII")
+      if (version != "87a" && version != "89a") fail(s"unknown GIF version '$version'")
+      if (bytes.length < 10) fail("truncated GIF: no logical screen descriptor")
+      val (w, h) = (u16le(6), u16le(8))
+      if (w == 0 || h == 0) fail(s"GIF dimensions out of range: ${w}x$h")
+      ("gif", w, h)
+    } else fail("unknown image format (no PNG/JPEG/GIF signature)")
   }
 
   /** Header-dimension extraction over a media table: the same

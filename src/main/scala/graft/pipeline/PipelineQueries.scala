@@ -272,6 +272,14 @@ object PipelineQueries {
       Similarity.ivfKnn(emb, emb.filter(col("vec_id") < 10), 3).orderBy("query_id", "rank")
     }),
 
+    // int8-quantized exact top-k: the memory-bound scale path (4x smaller
+    // embedding store); symmetric per-vector quantization and dequantized
+    // integer scoring, exact in both engines
+    "ext_knn_int8" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.int8Knn(emb, emb.filter(col("vec_id") < 10), 3).orderBy("query_id", "rank")
+    }),
+
     "ext_dedup_lines" -> ((s, dir) => {
       Dedup.lineDedupKeepFirst(lineAug(Tables.documents(s, dir))).orderBy("doc_id")
     }),
@@ -348,24 +356,33 @@ object PipelineQueries {
     }),
 
     // REAL header decode round-trip: Spark assembles genuine PNG IHDR /
-    // JPEG JFIF+SOF0 byte streams with doc_id-derived dimensions (hex
-    // assembly + unhex), and Multimodal.parseDims must invert them by
-    // walking the actual container formats; the oracle states the closed
-    // form the parse must recover
+    // JPEG JFIF+SOF0 / GIF89a byte streams with doc_id-derived dimensions
+    // (hex assembly + unhex), and Multimodal.parseDims must invert them
+    // by walking the actual container formats — including GIF's
+    // LITTLE-endian screen descriptor against PNG/JPEG's big-endian
+    // fields; the oracle states the closed form the parse must recover
     "ext_multimodal_dims" -> ((s, dir) => {
       val w = col("doc_id") % 800 + 16
       val h = col("doc_id") % 600 + 16
       val hex8 = (c: org.apache.spark.sql.Column) => lpad(hex(c), 8, "0")
       val hex4 = (c: org.apache.spark.sql.Column) => lpad(hex(c), 4, "0")
+      // little-endian u16: low byte then high byte, integer DIV throughout
+      val hex4le = (sqlExpr: String) => expr(
+        s"concat(lpad(hex(($sqlExpr) % 256), 2, '0'), lpad(hex(($sqlExpr) DIV 256), 2, '0'))")
+      val wSql = "doc_id % 800 + 16"
+      val hSql = "doc_id % 600 + 16"
       val png = unhex(concat(
         lit("89504E470D0A1A0A0000000D49484452"), hex8(w), hex8(h),
         lit("0802000000DEADBEEF")))
       val jpeg = unhex(concat(
         lit("FFD8FFE000104A46494600010100004800480000FFC0001108"), hex4(h), hex4(w),
         lit("03011100021101031101")))
+      val gif = unhex(concat(lit("474946383961"), hex4le(wSql), hex4le(hSql), lit("000000")))
       val media = Tables.documents(s, dir).select(
         col("doc_id").as("media_id"),
-        when(col("doc_id") % 4 === 0, jpeg).otherwise(png).as("payload"))
+        when(col("doc_id") % 4 === 0, jpeg)
+          .when(col("doc_id") % 4 === 2, gif)
+          .otherwise(png).as("payload"))
       Multimodal.imageDims(media).orderBy("media_id")
     }),
 
@@ -712,6 +729,23 @@ object PipelineQueries {
          |        row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank FROM s)
          |SELECT query_id, rank, neighbor_id FROM w WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
 
+    "ext_knn_int8" ->
+      """WITH vp AS (SELECT vec_id,
+        |  list_transform(embedding, x0 -> CAST(floor(x0::DOUBLE * 1000000) AS BIGINT)) AS p
+        |  FROM embeddings),
+        |qz AS (SELECT vec_id, p,
+        |  greatest(list_max(list_transform(p, x1 -> abs(x1))), 1) AS m FROM vp),
+        |qq AS (SELECT vec_id, m,
+        |  list_transform(p, x2 -> CASE WHEN x2 < 0 THEN -((-x2 * 127) // m)
+        |                               ELSE (x2 * 127) // m END) AS q FROM qz),
+        |s AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+        |        list_sum(list_transform(generate_series(1,64), i -> a.q[i] * b.q[i])) * a.m * b.m AS score
+        |      FROM qq a, qq b WHERE a.vec_id < 10 AND b.vec_id <> a.vec_id),
+        |w AS (SELECT query_id, neighbor_id, score,
+        |        row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank FROM s)
+        |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, CAST(score AS BIGINT) AS score
+        |FROM w WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+
     "ext_dedup_lines" ->
       s"""WITH $lineAugSql,
          |ln AS (SELECT doc_id, unnest(generate_series(0, len(ls)-1)) AS pos, unnest(ls) AS line
@@ -836,7 +870,9 @@ object PipelineQueries {
 
     "ext_multimodal_dims" ->
       """SELECT doc_id AS media_id,
-        |  CASE WHEN doc_id % 4 = 0 THEN 'jpeg' ELSE 'png' END AS fmt,
+        |  CASE WHEN doc_id % 4 = 0 THEN 'jpeg'
+        |       WHEN doc_id % 4 = 2 THEN 'gif'
+        |       ELSE 'png' END AS fmt,
         |  CAST(doc_id % 800 + 16 AS BIGINT) AS width,
         |  CAST(doc_id % 600 + 16 AS BIGINT) AS height
         |FROM documents ORDER BY media_id""".stripMargin,

@@ -63,6 +63,72 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id")
   }
 
+  /** INT8 QUANTIZATION — the memory-bound scale path for a 100 TB
+    * embedding store: a float32 corpus quantized symmetrically per vector
+    * to [-127, 127] is 4x smaller on disk and in executor memory, which
+    * at this scale is usually the difference between an in-memory probe
+    * and a spill. All arithmetic is EXACT integer so the oracle hashes:
+    * components go to ppm via floor (the ext_dedup_embed convention —
+    * floor is identical in both engines), the per-vector scale m is the
+    * max |component| in ppm, and quantization divides with explicit
+    * truncate-toward-zero on both signs (engine-proof: DuckDB's `//`
+    * and Spark's `div` are only guaranteed to agree away from negative
+    * operands, so the sign is factored out).
+    *
+    * Intermediates are lambda-bound (single-element-transform let, the
+    * rowSigS discipline) so the ppm array is computed once per row, not
+    * once per reference.
+    */
+  // float components convert to double BEFORE the ppm multiply (the
+  // conversion is exact; float arithmetic would round differently than
+  // the oracle's double path)
+  private def ppmS(vec: String): String =
+    s"transform($vec, x0 -> cast(floor(cast(x0 as double) * 1000000) as bigint))"
+
+  def int8QuantS(vec: String): String = {
+    val scale = "greatest(aggregate(vp, 0L, (a0, x1) -> greatest(a0, abs(x1))), 1L)"
+    val codes = "transform(vp, x2 -> IF(x2 < 0, -((-x2 * 127) div m0), (x2 * 127) div m0))"
+    s"element_at(transform(array(${ppmS(vec)}), vp -> " +
+      s"element_at(transform(array($scale), m0 -> $codes), 1)), 1)"
+  }
+
+  /** Per-vector quantization scale (max |component| in ppm) — stored
+    * alongside the int8 codes so scoring can dequantize.
+    */
+  def int8ScaleS(vec: String): String =
+    s"greatest(aggregate(${ppmS(vec)}, 0L, (a0, x1) -> greatest(a0, abs(x1))), 1L)"
+
+  /** Exact top-k over the QUANTIZED corpus: integer code dot product
+    * dequantized by the two vectors' scales — score = (q·q') × m1 × m2,
+    * a pure-integer monotone estimate of the float dot product (codes
+    * ≤ 127, dims ≤ 64, scales ≤ ~1e6 ppm keep the product inside a
+    * Long). The query set broadcasts; the corpus is scanned once with
+    * per-row quantization — at scale the codes would be PRE-quantized at
+    * rest (4x smaller scan) and this operator reads them directly.
+    */
+  def int8Knn(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val q = broadcast(queries
+      .select(col(idCol).as("query_id"),
+        expr(int8QuantS(vecCol)).as("qq"), expr(int8ScaleS(vecCol)).as("qm")))
+    val scored = corpus
+      .select(col(idCol).as("neighbor_id"),
+        expr(int8QuantS(vecCol)).as("nq"), expr(int8ScaleS(vecCol)).as("nm"))
+      .crossJoin(q)
+      .where(col("neighbor_id") =!= col("query_id"))
+      .withColumn("score",
+        expr("aggregate(zip_with(qq, nq, (a1, b1) -> a1 * b1), 0L, (s1, v1) -> s1 + v1) * qm * nm"))
+    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "score")
+  }
+
   /** Random-hyperplane LSH bucket id (nBits bits). Hyperplane j component i
     * is a deterministic pseudo-random value in [-0.5, 0.5):
     * ((j*dim+i)*2654435761 mod 1000003)/1000003 - 0.5.

@@ -40,6 +40,10 @@ class MultimodalSpec extends SparkSpec {
     // SOF2 (progressive) is a frame header too
     val progressive = jpeg.updated(22, 0xc2.toByte)
     assert(Multimodal.parseDims(progressive) == (("jpeg", 4097, 17)))
+    // GIF89a: LITTLE-endian screen descriptor — 0x0140 x 0x00F0 stored
+    // byte-swapped (an endianness mixup would read 320x240 as 16385x61440)
+    val gif = hexBytes("474946383961" + "4001" + "F000" + "000000")
+    assert(Multimodal.parseDims(gif) == (("gif", 320, 240)))
   }
 
   test("parseDims: corrupt headers fail fast with the reason") {
@@ -54,6 +58,8 @@ class MultimodalSpec extends SparkSpec {
       "not IHDR")
     failsWith(hexBytes("FFD8FFD9"), "no SOF") // SOI + EOI: no frame header
     failsWith(hexBytes("FFD8FFE00010"), "truncated JPEG")
+    failsWith(hexBytes("474946383961" + "4001"), "truncated GIF")
+    failsWith(hexBytes("474946383761".dropRight(2) + "62"), "unknown GIF version") // "GIF87b"
     failsWith(hexBytes("CAFEBABE"), "unknown image format")
   }
 

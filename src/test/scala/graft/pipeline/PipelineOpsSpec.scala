@@ -834,4 +834,32 @@ class PipelineOpsSpec extends SparkSpec {
       .select("src").distinct().collect().map(_.getString(0)).toSet
     assert(!kept.contains("s1") && kept.contains("s2"))
   }
+
+  // ------------------------------------------------------- int8 ANN
+
+  test("int8Knn: codes fill [-127,127], quantization is exact-integer deterministic, copies rank top") {
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$dir/embeddings.parquet").exists(), s"$dir not present")
+    val emb = graft.tables.Tables.embeddings(spark, dir).select("vec_id", "embedding")
+    val codes = emb.select(expr(Similarity.int8QuantS("embedding")).as("q"))
+      .collect().map(_.getSeq[Long](0))
+    // symmetric quantization: every code in range, and the max |component|
+    // of every vector maps to exactly +/-127 (full range used)
+    assert(codes.forall(_.forall(c => c >= -127 && c <= 127)))
+    assert(codes.forall(_.exists(c => math.abs(c) == 127)))
+
+    // an exact vector copy has identical codes and scale — it must appear
+    // in its original's top-3 by the dequantized score
+    val aug = emb.unionByName(emb.filter(col("vec_id") % 10 === 0)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding")))
+    val top = Similarity.int8Knn(aug, aug.filter(col("vec_id") % 10 === 0 && col("vec_id") < 1000000L), 3)
+    val byQuery = top.collect().groupBy(_.getAs[Long]("query_id"))
+    byQuery.foreach { case (q, rows) =>
+      assert(rows.exists(_.getAs[Long]("neighbor_id") == q + 1000000L),
+        s"exact copy of $q must rank in its top-3")
+    }
+    // deterministic across runs (pure integer arithmetic, no FP ordering)
+    val again = Similarity.int8Knn(aug, aug.filter(col("vec_id") % 10 === 0 && col("vec_id") < 1000000L), 3)
+    assert(top.collect().map(_.toSeq).toSeq == again.collect().map(_.toSeq).toSeq)
+  }
 }
