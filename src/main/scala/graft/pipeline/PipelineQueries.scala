@@ -442,8 +442,14 @@ object PipelineQueries {
     // only its signatures (see minhashDedupIncremental)
     "ext_dedup_minhash_incr" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
+      // persist the inline-built store: the operator reads it three times
+      // (band explode, signature rejoin, cluster-id distinct), and in
+      // production it IS a materialized table — re-deriving the store
+      // signature pipeline per consumer would misrepresent the query's
+      // steady-state cost
       val store = Dedup.minhashSignature(docs.where(col("doc_id") % 2 === 0))
         .withColumn("cluster_id", col("doc_id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val batch = docs.where(col("doc_id") % 2 === 1).select("doc_id", "text")
         .unionByName(docs.filter(col("doc_id") % 10 === 0)
           .select((col("doc_id") + 1000000L).as("doc_id"),
