@@ -89,28 +89,41 @@ object Bpe {
 
   // ------------------------------------------------------------ expressions
 
+  /** String-literal escapes for symbols embedded in generated
+    * expressions — shipped merges are plain letters, but TRAINED tables
+    * carry arbitrary corpus characters (apostrophes, backslashes).
+    * Spark escapes with backslash; DuckDB doubles the quote.
+    */
+  private def lit1(s: String): String =
+    s.replace("\\", "\\\\").replace("'", "\\'")
+  private def lit1D(s: String): String = s.replace("'", "''")
+
   /** One merge-rule application over a symbol-array lambda variable `sv`:
     * merged pairs emit their concatenation at the left position, the
     * consumed right position emits NULL, everything else passes through;
     * the filter drops the NULLs. All positions merge in one pass — sound
     * because left != right (see scaladoc).
     */
-  private def applyRuleS(sv: String, k: Int, a: String, b: String): String =
+  private def applyRuleS(sv: String, k: Int, a0: String, b0: String): String = {
+    val (a, b, ab) = (lit1(a0), lit1(b0), lit1(a0 + b0))
     // the exists() guard skips the two-array rebuild for words that do not
     // contain the pair at all — the overwhelmingly common case (a word
     // matches a handful of the rule table), measured ~2x on the corpus
     s"""IF(NOT exists(sequence(1, size($sv)), g$k ->
        |     g$k < size($sv) AND element_at($sv, g$k) = '$a' AND element_at($sv, g$k + 1) = '$b'), $sv,
        |   filter(transform(sequence(1, size($sv)), i$k ->
-       |     CASE WHEN i$k < size($sv) AND element_at($sv, i$k) = '$a' AND element_at($sv, i$k + 1) = '$b' THEN '$a$b'
+       |     CASE WHEN i$k < size($sv) AND element_at($sv, i$k) = '$a' AND element_at($sv, i$k + 1) = '$b' THEN '$ab'
        |          WHEN i$k > 1 AND element_at($sv, i$k - 1) = '$a' AND element_at($sv, i$k) = '$b' THEN NULL
        |          ELSE element_at($sv, i$k) END), x$k -> x$k IS NOT NULL))""".stripMargin.replace("\n", " ")
+  }
 
-  private def applyRuleD(sv: String, k: Int, a: String, b: String): String =
+  private def applyRuleD(sv: String, k: Int, a0: String, b0: String): String = {
+    val (a, b, ab) = (lit1D(a0), lit1D(b0), lit1D(a0 + b0))
     s"""list_filter(list_transform(generate_series(1, len($sv)), i$k ->
-       |  CASE WHEN i$k < len($sv) AND $sv[i$k] = '$a' AND $sv[i$k + 1] = '$b' THEN '$a$b'
+       |  CASE WHEN i$k < len($sv) AND $sv[i$k] = '$a' AND $sv[i$k + 1] = '$b' THEN '$ab'
        |       WHEN i$k > 1 AND $sv[i$k - 1] = '$a' AND $sv[i$k] = '$b' THEN NULL
        |       ELSE $sv[i$k] END), x$k -> x$k IS NOT NULL)""".stripMargin.replace("\n", " ")
+  }
 
   /** BPE symbols of one word (a lambda variable): characters, then every
     * rule in rank order. Each level is LAMBDA-BOUND via the
@@ -119,29 +132,96 @@ object Bpe {
     * binding CollapseProject would inline the whole lower pipeline into
     * each reference — 6^rules evaluations per word.
     */
-  private def wordSymsS(w: String): String = {
+  private def wordSymsS(w: String, ms: Seq[(String, String)] = merges): String = {
     val chars = s"transform(sequence(1, length($w)), c0 -> substr($w, c0, 1))"
-    merges.zipWithIndex.foldLeft(chars) { case (acc, ((a, b), i)) =>
+    ms.zipWithIndex.foldLeft(chars) { case (acc, ((a, b), i)) =>
       val k = i + 1
       s"element_at(transform(array($acc), s$k -> ${applyRuleS(s"s$k", k, a, b)}), 1)"
     }
   }
 
-  private def wordSymsD(w: String): String = {
+  private def wordSymsD(w: String, ms: Seq[(String, String)] = merges): String = {
     val chars = s"list_transform(generate_series(1, len($w)), c0 -> $w[c0])"
-    merges.zipWithIndex.foldLeft(chars) { case (acc, ((a, b), i)) =>
+    ms.zipWithIndex.foldLeft(chars) { case (acc, ((a, b), i)) =>
       val k = i + 1
       s"list_transform([$acc], s$k -> ${applyRuleD(s"s$k", k, a, b)})[1]"
     }
   }
 
   /** Per-document BPE symbol array (document order preserved: words in
-    * token order, symbols in word order).
+    * token order, symbols in word order). `ms` swaps in a TRAINED merge
+    * table ([[train]]) for the shipped literal.
     */
-  def symsS(textCol: String): String =
-    s"flatten(transform(${toksS(textCol)}, w0 -> ${wordSymsS("w0")}))"
+  def symsS(textCol: String): String = symsWithS(textCol, merges)
+  def symsWithS(textCol: String, ms: Seq[(String, String)]): String = {
+    validate(ms)
+    s"flatten(transform(${toksS(textCol)}, w0 -> ${wordSymsS("w0", ms)}))"
+  }
   def symsD(textCol: String): String =
     s"flatten(list_transform(${toksD(textCol)}, w0 -> ${wordSymsD("w0")}))"
+
+  /** DETERMINISTIC DISTRIBUTED BPE TRAINING — learn a merge table from
+    * the corpus instead of shipping one (the [[KMeans.train]] discipline
+    * applied to the tokenizer: train and serve from the same engine).
+    *
+    * Standard BPE training loop on the WORD-COUNT DICTIONARY (Sennrich):
+    * the corpus collapses to (word, count) once — vocabulary is Zipfian,
+    * so the dict is vocab-sized — and every round is ONE vocab-sized
+    * aggregation: explode each dict word's adjacent symbol pairs weighted
+    * by the word's count, pick the most frequent pair (ties broken
+    * lexically — total order, so identical corpora train identical
+    * tables), merge it into the dict scan-side, repeat. Only one
+    * (pair, count) row reaches the driver per round — model-sized, the
+    * control-plane convention.
+    *
+    * Departure from textbook BPE, documented: candidate pairs with
+    * left == right (e.g. doubling 'aa') are SKIPPED, because the
+    * engine's encoder applies each rule as one simultaneous positional
+    * pass, which is only sound for left != right (see the object
+    * scaladoc). Every trained table therefore passes [[validate]] and
+    * composes with [[symsWithS]] / the greedy reference directly.
+    * Training stops early when no pair occurs at least `minCount` times.
+    */
+  def train(
+      docs: DataFrame,
+      nMerges: Int,
+      minCount: Long = 2L,
+      textCol: String = "text"): Seq[(String, String)] = {
+    require(nMerges >= 0, s"nMerges must be non-negative, got $nMerges")
+    require(minCount >= 1, s"minCount must be positive, got $minCount")
+    var dict = docs.select(explode(expr(toksS(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .select(expr("transform(sequence(1, length(w)), c0 -> substr(w, c0, 1))").as("syms"),
+        col("c"))
+      .localCheckpoint(eager = false)
+    val learned = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var exhausted = false
+    while (learned.size < nMerges && !exhausted) {
+      // adjacent symbol pairs of every dict word, weighted by word count;
+      // left == right pairs excluded (encoder soundness — see scaladoc)
+      val best = dict
+        .select(explode(expr(
+          """filter(zip_with(slice(syms, 1, size(syms) - 1), slice(syms, 2, size(syms) - 1),
+            |  (pa, pb) -> struct(pa as a, pb as b)), p0 -> p0.a != p0.b)"""
+            .stripMargin.replace("\n", " "))).as("p"), col("c"))
+        .groupBy("p").agg(sum(col("c")).as("n"))
+        .orderBy(col("n").desc, col("p.a"), col("p.b"))
+        .limit(1)
+        .collect()
+      best.headOption.filter(_.getLong(1) >= minCount) match {
+        case None => exhausted = true
+        case Some(row) =>
+          val p = row.getStruct(0)
+          val (a, b) = (p.getString(0), p.getString(1))
+          learned += ((a, b))
+          // apply the new rule to the dict (the encoder's positional pass)
+          dict = dict
+            .select(expr(applyRuleS("syms", learned.size, a, b)).as("syms"), col("c"))
+            .localCheckpoint(eager = false)
+      }
+    }
+    learned.toSeq
+  }
 
   /** Symbol → integer id over a symbol lambda variable: code point for
     * single characters, 256 + rank for compounds. The -1 arm is
@@ -150,12 +230,12 @@ object Bpe {
     */
   private def idOfS(sy: String): String = {
     val compounds = vocabIds.toSeq.sortBy(_._2)
-      .map { case (s, id) => s"WHEN '$s' THEN $id" }.mkString(" ")
+      .map { case (s, id) => s"WHEN '${lit1(s)}' THEN $id" }.mkString(" ")
     s"CASE WHEN length($sy) = 1 THEN ascii($sy) ELSE CASE $sy $compounds ELSE -1 END END"
   }
   private def idOfD(sy: String): String = {
     val compounds = vocabIds.toSeq.sortBy(_._2)
-      .map { case (s, id) => s"WHEN '$s' THEN $id" }.mkString(" ")
+      .map { case (s, id) => s"WHEN '${lit1D(s)}' THEN $id" }.mkString(" ")
     s"CASE WHEN len($sy) = 1 THEN ascii($sy) ELSE CASE $sy $compounds ELSE -1 END END"
   }
 

@@ -155,6 +155,54 @@ class BpeSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), "the token-dict join must not sort-merge")
   }
 
+  test("train: learns the expected merges on a constructed corpus, in frequency order") {
+    // 'ab' appears 12x adjacent, 'bc' 9x (within abc), 'cd' 6x; training
+    // must learn (a,b) first, then — after ab absorbs the b's — the
+    // remaining top pairs over the updated dict
+    val docs = Seq(
+      (1L, "ab ab ab ab ab ab"),
+      (2L, "abc abc abc abc abc abc abc abc abc"),
+      (3L, "cd cd cd cd cd cd")).toDF("doc_id", "text")
+    val learned = Bpe.train(docs, nMerges = 3)
+    assert(learned.head == (("a", "b")), s"most frequent pair first, got $learned")
+    assert(learned.contains(("c", "d")), s"got $learned")
+    assert(learned.contains(("ab", "c")), s"'abc' must merge via the learned 'ab', got $learned")
+    Bpe.validate(learned) // trained tables are well-formed by construction
+  }
+
+  test("train -> encode composes: trained merges drive symsWithS and match the greedy reference") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val learned = Bpe.train(docs, nMerges = 8)
+    assert(learned.size == 8)
+    Bpe.validate(learned)
+    // deterministic: identical corpus trains the identical table
+    assert(Bpe.train(docs, nMerges = 8) == learned)
+    // the trained table compresses: fewer symbols than characters
+    val words = docs.select(explode(expr(TextOps.toksS("text"))).as("w"))
+      .distinct().limit(100).collect().map(_.getString(0)).toSeq
+    val enc = words.toDF("text")
+      .select(col("text"), expr(Bpe.symsWithS("text", learned)).as("syms"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1).toSeq).toMap
+    val nSyms = enc.values.map(_.size).sum
+    val nChars = words.map(_.length).sum
+    assert(nSyms < nChars, s"trained merges must compress: $nSyms symbols vs $nChars chars")
+    // expression encode under the trained table == greedy reference
+    words.foreach { w =>
+      assert(enc(w) == greedyBpe(w, learned), s"word '$w' diverges under trained merges")
+    }
+  }
+
+  test("train + encode survive symbols needing SQL escaping (apostrophes)") {
+    val docs = Seq((1L, "don't don't don't can't")).toDF("doc_id", "text")
+    val learned = Bpe.train(docs, nMerges = 2)
+    assert(learned.nonEmpty)
+    // the apostrophe-bearing merges round-trip through generated SQL
+    val out = Seq(("don't")).toDF("text")
+      .select(expr(Bpe.symsWithS("text", learned)).as("syms"))
+      .head.getSeq[String](0).toSeq
+    assert(out == greedyBpe("don't", learned), s"got $out for $learned")
+  }
+
   test("BPE counting is streaming-legal: pure scan-side projection over a MemoryStream") {
     implicit val sqlCtx = spark.sqlContext
     val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
