@@ -70,6 +70,25 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("expression encode == greedy reference on seeded-random rule-dense words") {
+    // words over the rule alphabet maximize merge interactions (chained
+    // compounds, repeated pairs, rule-order sensitivity); seeded so the
+    // property run is deterministic
+    val rnd = new scala.util.Random(0x5eed)
+    val alphabet = "theinandrgost".toCharArray
+    val words = (1 to 300).map { _ =>
+      val len = 1 + rnd.nextInt(12)
+      String.valueOf(Array.fill(len)(alphabet(rnd.nextInt(alphabet.length))))
+    }.distinct
+    val got = exprSyms(words)
+    words.foreach { w =>
+      val want = greedyBpe(w, Bpe.merges)
+      assert(got(w) == want, s"word '$w': expression ${got(w)} != greedy $want")
+      // lossless: symbols concatenate back to the word
+      assert(got(w).mkString == w)
+    }
+  }
+
   test("validate rejects malformed merge tables") {
     // left == right: the simultaneous-merge form would be unsound
     assert(intercept[IllegalArgumentException] {
