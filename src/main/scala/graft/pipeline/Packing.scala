@@ -119,4 +119,50 @@ object Packing {
         expr(s"if(__n > 0, (start_tok + __n - 1) DIV ${ctxTokens}L, start_tok DIV ${ctxTokens}L)"))
       .withColumn("n_chunks", col("chunk_last") - col("chunk_first") + lit(1L))
   }
+
+  /** Deterministic EPOCH-seeded shard layout: every epoch sees the corpus
+    * in a fresh, independent pseudo-random order — the per-epoch reshuffle
+    * every training loop performs, as a declarative layout instead of a
+    * runtime shuffle. [[packChunks]]' multiplicative hash cannot provide
+    * this: changing its additive constant only ROTATES the bucket values,
+    * so the doc order between two "seeds" would be nearly identical. The
+    * epoch key here is `md5(epoch || ':' || id)` — avalanche, so epoch
+    * n and n+1 orders are uncorrelated — and the shard is the key's first
+    * 8 hex digits mod `nShards` (a doc also MOVES across shards between
+    * epochs, so a shard-per-worker reader sees fresh data composition
+    * every epoch, not just a reordered local shard).
+    *
+    * Scale shape: the position window partitions by shard — nShards
+    * independent sequential streams, sized to cluster parallelism, each
+    * |corpus|/nShards rows (md5 uniformity); nothing global. Writing the
+    * layout is then `repartition(shard) + sortWithinPartitions(pos)` —
+    * one exchange, and the files ARE the epoch's training order.
+    * Deterministic end to end: no rand(), so task retries and re-runs
+    * (and a replaying engine) produce the identical layout.
+    *
+    * @return docs columns + `shard` and `pos` (1-based contiguous within
+    *         the shard, ordered by the epoch key with id tiebreak —
+    *         md5 collisions cannot make the layout ambiguous)
+    */
+  def epochShuffle(
+      docs: DataFrame,
+      nShards: Int,
+      epoch: Long,
+      idCol: String = "doc_id"): DataFrame = {
+    require(nShards > 0, s"epochShuffle: nShards must be positive, got $nShards")
+    require(epoch >= 0, s"epochShuffle: epoch must be >= 0, got $epoch")
+    require(docs.columns.contains(idCol), s"column absent from docs: $idCol")
+    val reserved = Seq("__ekey", "shard", "pos").filter(docs.columns.contains)
+    require(reserved.isEmpty,
+      s"docs columns collide with output/internal names (rename them): ${reserved.mkString(", ")}")
+    val w = Window.partitionBy("shard").orderBy(col("__ekey"), col(idCol))
+    docs
+      .withColumn("__ekey",
+        expr(s"md5(concat('$epoch', ':', cast(`$idCol` as string)))"))
+      // first 8 hex digits -> [0, 2^32): positive, so % is a true modulus
+      .withColumn("shard",
+        expr(s"cast(conv(substring(__ekey, 1, 8), 16, 10) as bigint) % $nShards"))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .drop("__ekey")
+  }
 }

@@ -551,6 +551,40 @@ object PipelineQueries {
           tokensCol = "n_tok", defaultPpm = 300000L)
         .select("doc_id", "source", "n_tok", "bucket_ppm")
         .orderBy("doc_id")
+    }),
+
+    // temperature-scaled mixture: one total budget split across sources
+    // proportionally to sqrt(stratum tokens) — small sources get a larger
+    // share than their raw frequency (the multilingual rebalancing rule)
+    "ext_mixture_temp" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("source"),
+        expr(s"cast(size(${toksS("text")}) as bigint)").as("n_tok"))
+      Sampling.mixtureByTemperature(docs, "source", budget = 3000L,
+          tokensCol = "n_tok")
+        .select("doc_id", "source", "n_tok", "bucket_ppm")
+        .orderBy("doc_id")
+    }),
+
+    // exact per-stratum token-budget prefix: at most N tokens of each
+    // source, the SAME rows every run (hash-order prefix); src3 unlisted
+    // -> dropped; src2's cap exceeds its total -> full keep path
+    "ext_token_cap" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("source"),
+        expr(s"cast(size(${toksS("text")}) as bigint)").as("n_toks"))
+      Sampling.tokenCapPerStratum(docs, "source",
+          Map("src0" -> 400L, "src1" -> 1500L, "src2" -> 100000000L),
+          tokensCol = "n_toks")
+        .select("doc_id", "source", "n_tok", "cum_tok", "bucket_ppm")
+        .orderBy("doc_id")
+    }),
+
+    // epoch-seeded deterministic shard layout: fresh uncorrelated order
+    // (and shard assignment) per epoch — the declarative training reshuffle
+    "ext_shard_order" -> ((s, dir) => {
+      Packing.epochShuffle(Tables.documents(s, dir).select("doc_id"),
+          nShards = 8, epoch = 3L)
+        .select("doc_id", "shard", "pos")
+        .orderBy("doc_id")
     })
   )
 
@@ -1140,6 +1174,52 @@ object PipelineQueries {
          |  abs(d.doc_id * 2654435761 + 40503) % 1000000 AS bucket_ppm
          |FROM d LEFT JOIN r ON d.source = r.source
          |WHERE abs(d.doc_id * 2654435761 + 40503) % 1000000 < COALESCE(r.rate_ppm, 300000)
-         |ORDER BY d.doc_id""".stripMargin
+         |ORDER BY d.doc_id""".stripMargin,
+
+    // temperature mixture twin: integer weights floor(sqrt(tot)) — sqrt is
+    // IEEE-correctly-rounded on both engines, everything after is BIGINT
+    "ext_mixture_temp" ->
+      s"""WITH d AS (SELECT doc_id, source,
+         |  CAST(len(${toksD("text")}) AS BIGINT) AS n_tok FROM documents),
+         |tot AS (SELECT source, CAST(sum(n_tok) AS BIGINT) AS tot FROM d GROUP BY 1),
+         |w AS (SELECT source, tot,
+         |  CASE WHEN tot <= 0 THEN 0 ELSE CAST(floor(sqrt(tot)) AS BIGINT) END AS w
+         |  FROM tot),
+         |sw AS (SELECT CAST(sum(w) AS BIGINT) AS s FROM w),
+         |r AS (SELECT w.source,
+         |  CASE WHEN w.tot <= 0 THEN 1000000
+         |       ELSE least(1000000, (3000 * ((w.w * 1000000) // sw.s)) // w.tot) END AS rate_ppm
+         |  FROM w, sw)
+         |SELECT d.doc_id, d.source, d.n_tok,
+         |  abs(d.doc_id * 2654435761 + 40503) % 1000000 AS bucket_ppm
+         |FROM d LEFT JOIN r ON d.source = r.source
+         |WHERE abs(d.doc_id * 2654435761 + 40503) % 1000000 < COALESCE(r.rate_ppm, 1000000)
+         |ORDER BY d.doc_id""".stripMargin,
+
+    // token-cap twin replays the EXACT semantics (running-sum prefix over
+    // the full stratum in hash order) with no prefilter — equality with the
+    // prefiltered Spark plan is exactly what the margin guard certifies
+    "ext_token_cap" ->
+      s"""WITH d AS (SELECT doc_id, source,
+         |  CAST(len(${toksD("text")}) AS BIGINT) AS n_tok FROM documents),
+         |cap(source, cap) AS (VALUES ('src0', 400), ('src1', 1500), ('src2', 100000000)),
+         |j AS (SELECT d.doc_id, d.source, d.n_tok, cap.cap,
+         |        abs(d.doc_id * 2654435761 + 40503) % 1000000 AS bucket_ppm
+         |      FROM d JOIN cap ON d.source = cap.source),
+         |c AS (SELECT doc_id, source, n_tok, bucket_ppm, cap,
+         |        CAST(sum(n_tok) OVER (PARTITION BY source ORDER BY bucket_ppm, doc_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tok
+         |      FROM j)
+         |SELECT doc_id, source, n_tok, cum_tok, bucket_ppm FROM c
+         |WHERE cum_tok <= cap ORDER BY doc_id""".stripMargin,
+
+    "ext_shard_order" ->
+      s"""WITH k AS (SELECT doc_id, md5('3:' || doc_id::VARCHAR) AS ekey
+         |  FROM documents),
+         |s AS (SELECT doc_id, ekey,
+         |  ('0x' || substr(ekey, 1, 8))::BIGINT % 8 AS shard FROM k)
+         |SELECT doc_id, shard,
+         |  CAST(row_number() OVER (PARTITION BY shard ORDER BY ekey, doc_id) AS BIGINT) AS pos
+         |FROM s ORDER BY doc_id""".stripMargin
   )
 }

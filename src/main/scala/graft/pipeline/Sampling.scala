@@ -345,4 +345,208 @@ object Sampling {
     applyRates(docs, stratumCol,
       mixtureRates(docs, stratumCol, budgets, tokensCol), defaultPpm, idCol)
   }
+
+  /** Temperature-scaled mixture rates: per-stratum keep rates such that
+    * the sampled token mass is split proportionally to `tot_i^alpha`
+    * (alpha < 1 flattens the natural distribution — the standard
+    * multilingual / multi-domain rebalancing rule: small strata get a
+    * larger share than their raw frequency, dominant strata a smaller
+    * one), under a single TOTAL token budget. Where [[mixtureRates]]
+    * needs a hand-written budget per stratum, this derives the whole
+    * split from one knob.
+    *
+    * Integer-exact and cross-engine deterministic for the default
+    * alpha = 0.5: the stratum weight is `floor(sqrt(tot))` — IEEE-754
+    * requires sqrt to be correctly rounded, so Spark and any replaying
+    * engine (the DuckDB oracle) floor the SAME double. Other alphas go
+    * through `pow`, which carries no such guarantee; same-engine runs
+    * are still deterministic, but a cross-engine replay may differ in
+    * the last ppm at weight-ratio boundaries (documented, not guarded).
+    * After the weight, everything is Long arithmetic:
+    * `w_ppm = w * 1e6 div S` (S = sum of weights), and
+    * `rate_ppm = min(1e6, budget * w_ppm div tot)` — `budget * w_ppm`
+    * cannot overflow because budget <= Long.Max/1e6 (required) and
+    * w_ppm <= 1e6. The weight itself is guarded in-plan: a stratum with
+    * `tot^alpha > Long.Max/1e6` would overflow the normalization, so
+    * the plan raises with a lower-alpha hint instead of wrapping.
+    *
+    * Downsampling-only by design (rates cap at 1e6): a budget larger
+    * than the corpus leaves all strata at keep-everything rather than
+    * upsampling — compose [[mixtureByBudgetEpochs]] with hand weights
+    * when repeats are wanted. Zero-token strata keep everything (the
+    * budget constrains nothing), mirroring [[mixtureRates]].
+    *
+    * One aggregation pass over `docs` (output rows = #strata) plus a
+    * single-row weight-sum broadcast — the corpus never shuffles.
+    */
+  def temperatureRates(
+      docs: DataFrame,
+      stratumCol: String,
+      budget: Long,
+      tokensCol: String,
+      alpha: Double = 0.5): DataFrame = {
+    val maxBudget = Long.MaxValue / 1000000L
+    require(budget >= 0 && budget <= maxBudget,
+      s"temperatureRates: budget must be in [0, $maxBudget] tokens, got $budget")
+    require(alpha > 0 && alpha <= 1,
+      s"temperatureRates: alpha must be in (0, 1], got $alpha")
+    val wExpr =
+      if (alpha == 0.5) "sqrt(cast(__tot as double))"
+      else s"power(cast(__tot as double), ${alpha}d)"
+    val totals = docs.groupBy(stratumCol).agg(sum(col(tokensCol)).as("__tot"))
+    val weighted = totals.withColumn("__w", expr(
+      s"""if(__tot <= 0, 0L,
+         |  if($wExpr >= ${maxBudget}d,
+         |    cast(raise_error(concat('temperatureRates: weight tot^alpha for stratum ',
+         |      cast($stratumCol as string), ' overflows the ppm normalization; lower alpha')) as bigint),
+         |    cast(floor($wExpr) as bigint)))""".stripMargin))
+    // weight normalization via a window over the AGGREGATE OUTPUT — a
+    // #strata-row frame, so the unpartitioned window is config-sized, and
+    // the totals subtree (the one corpus scan) is not duplicated into a
+    // second aggregate branch (a separate wSum agg + crossJoin re-derives
+    // totals and scans the corpus twice)
+    val wWin = org.apache.spark.sql.expressions.Window
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    weighted
+      .withColumn("__s", sum(col("__w")).over(wWin))
+      .select(col(stratumCol),
+        when(col("__tot") <= 0, lit(1000000L))
+          .otherwise(expr(
+            s"least(1000000L, ${budget}L * (__w * 1000000L div __s) div __tot)"))
+          .as("rate_ppm"))
+  }
+
+  /** [[temperatureRates]] composed with the scan-side rate sampler — the
+    * one-knob domain-balanced mixture. Rates are a groupBy output (unique
+    * structurally), so the dup guard is skipped as in [[mixtureByBudget]].
+    * Every stratum present in docs gets a derived rate; `defaultPpm` only
+    * applies to rows whose stratum is NULL (groupBy gives NULL its own
+    * rate row, so in practice it never fires — kept for signature parity
+    * with the other composers).
+    */
+  def mixtureByTemperature(
+      docs: DataFrame,
+      stratumCol: String,
+      budget: Long,
+      tokensCol: String,
+      alpha: Double = 0.5,
+      defaultPpm: Long = 1000000L,
+      idCol: String = "doc_id"): DataFrame = {
+    val reserved = Seq("rate_ppm", "__bucket", "bucket_ppm").filter(docs.columns.contains)
+    require(reserved.isEmpty,
+      s"docs columns collide with internal names (rename them): ${reserved.mkString(", ")}")
+    applyRates(docs, stratumCol,
+      temperatureRates(docs, stratumCol, budget, tokensCol, alpha), defaultPpm, idCol)
+  }
+
+  /** EXACT per-stratum token-budget prefix: keep each stratum's documents
+    * in the deterministic hash order ([[bucketPpm]], ties on id) while the
+    * running token total stays <= the stratum's cap. This is the exact
+    * counterpart of [[mixtureRates]]' expected-value rates — "at most N
+    * tokens of source X, and the SAME rows every run" — and the
+    * token-denominated sibling of [[exactPerStratum]]'s row counts.
+    * Strata absent from `caps` are dropped (the config IS the mixture,
+    * the [[exactPerStratum]] convention).
+    *
+    * Scale shape: a naive running-sum window serializes each stratum —
+    * unusable when one stratum is half the corpus. The window therefore
+    * runs on a PREFILTERED superset: a scan-side bucket cutoff at
+    * `marginPct`% of the proportional rate `cap/tot` keeps ~margin x cap
+    * tokens per stratum, and the sequential pass orders ~margin x cap
+    * tokens, bounded by the CONFIG, not the corpus. The prefilter is
+    * provably safe or loud: survivors are a prefix of the stratum's hash
+    * order, so if their token total STRICTLY exceeds the cap the true
+    * budget prefix lies entirely inside them — and an in-plan guard
+    * raises when it doesn't (pathological token-mass skew across hash
+    * buckets). The guard is a zero-row UNION branch derived from the
+    * per-stratum aggregates, NOT a per-row predicate: it fires even when
+    * the prefilter leaves a stratum with no survivor rows at all (a
+    * per-row raise would have nothing to evaluate on and truncate
+    * silently). Raise `marginPct` if it fires.
+    *
+    * @return docs columns + `n_tok` (guarded count), `cum_tok` (running
+    *         total, inclusive), `bucket_ppm`
+    */
+  def tokenCapPerStratum(
+      docs: DataFrame,
+      stratumCol: String,
+      caps: Map[String, Long],
+      tokensCol: String,
+      idCol: String = "doc_id",
+      marginPct: Long = 300L): DataFrame = {
+    require(caps.nonEmpty, "tokenCapPerStratum: caps must be non-empty")
+    val maxCap = Long.MaxValue / 1000000L
+    caps.foreach { case (s, c) =>
+      require(c >= 0 && c <= maxCap,
+        s"tokenCapPerStratum: cap for '$s' must be in [0, $maxCap] tokens, got $c")
+    }
+    require(marginPct >= 100 && marginPct <= 100000,
+      s"tokenCapPerStratum: marginPct must be in [100, 100000], got $marginPct")
+    val reserved = Seq("__cap", "__tot", "__cut", "__bucket", "__stot",
+      "n_tok", "cum_tok", "bucket_ppm").filter(c =>
+        docs.columns.contains(c) && c != tokensCol)
+    require(reserved.isEmpty,
+      s"docs columns collide with output/internal names (rename them): ${reserved.mkString(", ")}")
+
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val capDf = caps.toSeq.toDF(stratumCol, "__cap")
+    val nTok = expr(
+      s"""if(`$tokensCol` is null or `$tokensCol` < 0,
+         |  cast(raise_error(concat('tokenCapPerStratum: $tokensCol must be a non-negative integer, got ',
+         |    coalesce(cast(`$tokensCol` as string), 'NULL'))) as bigint),
+         |  cast(`$tokensCol` as bigint))""".stripMargin)
+    // bucket cutoff: full keep when the cap covers the stratum; otherwise
+    // marginPct% of the proportional rate (base < 1e6 on that arm, so the
+    // margin product stays far from Long range)
+    val cutExpr =
+      s"""if(__cap * 1000000L div greatest(__tot, 1L) >= 1000000L, 1000000L,
+         |  least(1000000L, (__cap * 1000000L div greatest(__tot, 1L)) * ${marginPct}L div 100L))"""
+        .stripMargin
+    // inner join: unlisted strata are dropped BEFORE the corpus-wide
+    // aggregate and window ever see them
+    val capped = docs.join(broadcast(capDf), Seq(stratumCol))
+      .withColumn("n_tok", nTok)
+    // __cap is functionally dependent on the stratum (a literal map), so
+    // grouping by both keeps it available without a first() aggregate
+    val totals = capped.groupBy(col(stratumCol), col("__cap"))
+      .agg(sum(col("n_tok")).as("__tot"))
+      .select(col(stratumCol), col("__tot"), col("__cap"))
+    val survivors = capped
+      .join(broadcast(totals.select(col(stratumCol), col("__tot"))), Seq(stratumCol))
+      .withColumn("__cut", expr(cutExpr))
+      .withColumn("__bucket", bucketPpm(idCol))
+      .where(col("__bucket") < col("__cut"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(stratumCol).orderBy(col("__bucket"), col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val kept = survivors
+      .withColumn("cum_tok", sum(col("n_tok")).over(w))
+      .where(col("cum_tok") <= col("__cap"))
+      .drop("__cap", "__tot", "__cut")
+      .withColumnRenamed("__bucket", "bucket_ppm")
+    // zero-row guard branch: per-stratum survivor totals vs cap, computed
+    // from aggregates alone — raises on margin failure even for strata the
+    // prefilter emptied entirely. `__stot` is null for such strata (left
+    // join), which coalesces to 0 and correctly trips the strict > cap
+    // requirement.
+    val survTot = survivors.groupBy(stratumCol).agg(sum(col("n_tok")).as("__stot"))
+    // ONE conditional expression, not two stacked filters: Spark merges
+    // consecutive Filters and may evaluate the conjuncts in either order,
+    // so a bare raise_error predicate behind a separate condition filter
+    // fires spuriously on valid strata
+    val invalid = totals
+      .withColumn("__cut", expr(cutExpr))
+      .join(survTot, Seq(stratumCol), "left")
+      .where(expr(
+        s"""if(__cut < 1000000L and coalesce(__stot, 0L) <= __cap,
+           |  cast(raise_error(concat('tokenCapPerStratum: prefilter margin too small for stratum ',
+           |    cast($stratumCol as string), ' - raise marginPct')) as boolean),
+           |  false)""".stripMargin))
+    val guardRows = kept.schema.fields.foldLeft(invalid.select()) {
+      case (d, f) => d.withColumn(f.name, lit(null).cast(f.dataType))
+    }
+    kept.unionByName(guardRows)
+  }
 }

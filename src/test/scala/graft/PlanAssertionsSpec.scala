@@ -258,4 +258,39 @@ class PlanAssertionsSpec extends SparkSpec {
     assert(hashExchanges == 1,
       s"only the tiny totals aggregate may hash-exchange; got $hashExchanges:\n${plan.take(2000)}")
   }
+
+  test("ext_mixture_temp: weights broadcast like the budget mixture — the corpus never hash-shuffles") {
+    val plan = planOf("ext_mixture_temp")
+    assert(plan.contains("BroadcastHashJoin"), s"rates must broadcast onto the corpus:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"nothing here may sort-merge:\n$plan")
+    // totals aggregate (#strata rows) is the only hash exchange; the
+    // weight-sum reduction is a single-row broadcast on top of it
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(hashExchanges == 1,
+      s"only the tiny totals aggregate may hash-exchange; got $hashExchanges:\n${plan.take(2000)}")
+  }
+
+  test("ext_token_cap: the bucket prefilter sits below the running-sum window") {
+    val plan = planOf("ext_token_cap")
+    // the whole point of the margin prefilter: the per-stratum sequential
+    // window must sort only the pre-pruned survivor set, so the Filter on
+    // __bucket/__cut must appear DEEPER in the plan than the Window node
+    val winAt = plan.indexOf("Window")
+    val filterAt = plan.indexOf("__cut")
+    assert(winAt >= 0 && filterAt >= 0, s"expected window + cutoff filter:\n${plan.take(2000)}")
+    assert(filterAt > winAt,
+      s"bucket cutoff filter must run below (after in plan text) the window:\n${plan.take(3000)}")
+    assert(plan.contains("BroadcastHashJoin"), s"caps/totals must broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"no cartesian allowed:\n$plan")
+  }
+
+  test("ext_shard_order: the position window partitions by shard — never a global single-partition sort") {
+    val plan = planOf("ext_shard_order")
+    // a Window with an empty partition spec renders as
+    // "Window [...], [order...]" with no partition list and logs the
+    // single-partition warning; the shard-partitioned form shows
+    // "windowpartitionby" via hashpartitioning(shard...)
+    assert(plan.contains("hashpartitioning(shard"),
+      s"position window must partition by shard:\n${plan.take(2000)}")
+  }
 }

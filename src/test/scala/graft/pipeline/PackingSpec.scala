@@ -67,4 +67,56 @@ class PackingSpec extends SparkSpec {
     val e = intercept[Exception] { Packing.packChunks(bad, 100L, 4).collect() }
     assert(messages(e).exists(_.contains("non-negative")), s"got: $e")
   }
+
+  // ------------------------------------------------------ epoch shuffle
+
+  test("epochShuffle: every doc placed once, pos contiguous per shard, deterministic") {
+    val ids = (0L until 300L).map(Tuple1(_)).toDF("doc_id")
+    val out = Packing.epochShuffle(ids, nShards = 4, epoch = 0L).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("shard"), r.getAs[Long]("pos")))
+    assert(out.length == 300 && out.map(_._1).toSet.size == 300)
+    assert(out.forall(t => t._2 >= 0 && t._2 < 4))
+    out.groupBy(_._2).foreach { case (shard, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1L to rows.length),
+        s"shard $shard positions not contiguous")
+    }
+    // md5 spreads shards roughly evenly (each ~75 of 300)
+    out.groupBy(_._2).foreach { case (shard, rows) =>
+      assert(rows.length > 40 && rows.length < 120, s"shard $shard size ${rows.length}")
+    }
+    val again = Packing.epochShuffle(ids, nShards = 4, epoch = 0L).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("shard"), r.getAs[Long]("pos")))
+    assert(out.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+  }
+
+  test("epochShuffle: epochs are uncorrelated — docs move shards and orders diverge") {
+    val ids = (0L until 300L).map(Tuple1(_)).toDF("doc_id")
+    def layout(e: Long) = Packing.epochShuffle(ids, nShards = 4, epoch = e).collect()
+      .map(r => r.getAs[Long]("doc_id") -> (r.getAs[Long]("shard"), r.getAs[Long]("pos"))).toMap
+    val e0 = layout(0L); val e1 = layout(1L)
+    // an avalanche hash moves ~3/4 of docs to a different shard
+    val moved = (0L until 300L).count(i => e0(i)._1 != e1(i)._1)
+    assert(moved > 150, s"only $moved/300 docs changed shard between epochs")
+    // within docs that stayed on their shard, the relative order reshuffles
+    val stayed = (0L until 300L).filter(i => e0(i)._1 == e1(i)._1)
+    val samePos = stayed.count(i => e0(i)._2 == e1(i)._2)
+    assert(samePos < stayed.length / 2, s"$samePos/${stayed.length} kept their position")
+  }
+
+  test("epochShuffle: shard derives from the md5 epoch key exactly as documented") {
+    // independent JVM-side computation of the shard for a handful of ids —
+    // pins the conv(hex,16,10) % n path against a reference implementation
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def expectShard(epoch: Long, id: Long, n: Int): Long = {
+      val hex = md.digest(s"$epoch:$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 8), 16) % n
+    }
+    val ids = (0L until 20L).map(Tuple1(_)).toDF("doc_id")
+    val got = Packing.epochShuffle(ids, nShards = 8, epoch = 5L).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("shard")).toMap
+    (0L until 20L).foreach { i =>
+      assert(got(i) == expectShard(5L, i, 8), s"doc $i shard mismatch")
+    }
+  }
 }

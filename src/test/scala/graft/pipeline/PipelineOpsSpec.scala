@@ -862,4 +862,111 @@ class PipelineOpsSpec extends SparkSpec {
     val again = Similarity.int8Knn(aug, aug.filter(col("vec_id") % 10 === 0 && col("vec_id") < 1000000L), 3)
     assert(top.collect().map(_.toSeq).toSeq == again.collect().map(_.toSeq).toSeq)
   }
+
+  // --------------------------------------------- temperature mixture
+
+  test("temperatureRates: sqrt reweighting is integer-exact; caps and empty strata behave") {
+    // s0: 100 docs x 100 tokens = 10000; s1: 10 x 10 = 100
+    val docs = ((0L until 100L).map(i => (i, "s0", 100L)) ++
+      (100L until 110L).map(i => (i, "s1", 10L))).toDF("doc_id", "src", "n_tok")
+    val rates = Sampling.temperatureRates(docs, "src", budget = 1000L, tokensCol = "n_tok")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // w0 = sqrt(10000) = 100, w1 = sqrt(100) = 10, S = 110
+    // w_ppm0 = 100*1e6 div 110 = 909090; rate0 = 1000 * 909090 div 10000
+    // w_ppm1 =  10*1e6 div 110 =  90909; rate1 = 1000 *  90909 div 100
+    assert(rates == Map("s0" -> 90909L, "s1" -> 909090L))
+    // the flattening property itself: the small stratum samples at a far
+    // HIGHER rate, where a proportional split would give both the same one
+    assert(rates("s1") > rates("s0") * 9)
+
+    // budget beyond the corpus: all strata cap at keep-everything
+    val full = Sampling.temperatureRates(docs, "src", budget = 1000000L, tokensCol = "n_tok")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(full.values.forall(_ == 1000000L))
+
+    // alpha = 1 degenerates to a proportional split: equal rates (mod floor)
+    val prop = Sampling.temperatureRates(docs, "src", budget = 1000L,
+        tokensCol = "n_tok", alpha = 1.0)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(prop("s0") - prop("s1")) <= 200,
+      s"alpha=1 must be ~proportional, got $prop")
+
+    // a zero-token stratum keeps everything (budget constrains nothing)
+    val withEmpty = docs.unionByName(Seq((200L, "s2", 0L)).toDF("doc_id", "src", "n_tok"))
+    val r3 = Sampling.temperatureRates(withEmpty, "src", budget = 1000L, tokensCol = "n_tok")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(r3("s2") == 1000000L && r3("s0") == 90909L)
+  }
+
+  test("mixtureByTemperature: sampled mass tracks the sqrt split; deterministic") {
+    val docs = ((0L until 400L).map(i => (i, "s0", 50L)) ++
+      (400L until 500L).map(i => (i, "s1", 8L))).toDF("doc_id", "src", "n_tok")
+    val out = Sampling.mixtureByTemperature(docs, "src", budget = 4000L, tokensCol = "n_tok")
+    val toks = out.groupBy("src").agg(sum("n_tok")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // targets: w0 = sqrt(20000) ~ 141, w1 = sqrt(800) ~ 28, so s1 gets
+    // ~17% of the budget despite being 4% of the corpus; hash sampling is
+    // expected-value, so assert within a loose band around the target
+    val t0 = 4000.0 * 141 / 169; val t1 = 4000.0 * 28 / 169
+    assert(toks("s0") > t0 * 0.6 && toks("s0") < t0 * 1.4, s"s0 got ${toks("s0")} vs target $t0")
+    assert(toks("s1") > t1 * 0.6 && toks("s1") < t1 * 1.4, s"s1 got ${toks("s1")} vs target $t1")
+    assert(out.collect().map(_.getAs[Long]("doc_id")).sorted.toSeq ==
+      Sampling.mixtureByTemperature(docs, "src", budget = 4000L, tokensCol = "n_tok")
+        .collect().map(_.getAs[Long]("doc_id")).sorted.toSeq)
+  }
+
+  // --------------------------------------------- token-budget prefix cap
+
+  test("tokenCapPerStratum: exact hash-order prefix, full-keep arm, unlisted drop") {
+    val docs = ((0L until 80L).map(i => (i, "s0", 10L + i % 7)) ++
+      (80L until 120L).map(i => (i, "s1", 5L)) ++
+      (120L until 140L).map(i => (i, "s2", 3L))).toDF("doc_id", "src", "n_tok")
+    val out = Sampling.tokenCapPerStratum(docs, "src",
+      Map("s0" -> 200L, "s1" -> 100000L), tokensCol = "n_tok")
+    val rows = out.collect()
+    // unlisted s2 dropped entirely
+    assert(!rows.exists(_.getAs[String]("src") == "s2"))
+    // full-keep arm: cap >= total keeps the whole stratum with exact cums
+    assert(rows.count(_.getAs[String]("src") == "s1") == 40)
+    // exact prefix: recompute brute-force from the full stratum in
+    // (bucket, id) order and compare ids
+    val buckets = docs.where(col("src") === "s0")
+      .select(col("doc_id"), col("n_tok"), Sampling.bucketPpm("doc_id").as("b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(t => (t._3, t._1))
+    val expect = buckets.scanLeft((0L, 0L, 0L, 0L)) { case ((_, _, _, cum), (id, n, b)) =>
+      (id, n, b, cum + n) }.drop(1).takeWhile(_._4 <= 200L).map(_._1).toSet
+    val got = rows.filter(_.getAs[String]("src") == "s0").map(_.getAs[Long]("doc_id")).toSet
+    assert(got == expect, s"prefix mismatch: got $got expect $expect")
+    // per-stratum kept mass never exceeds the cap
+    assert(rows.filter(_.getAs[String]("src") == "s0").map(_.getAs[Long]("n_tok")).sum <= 200L)
+    // deterministic re-run
+    assert(Sampling.tokenCapPerStratum(docs, "src",
+        Map("s0" -> 200L, "s1" -> 100000L), tokensCol = "n_tok")
+      .collect().map(_.getAs[Long]("doc_id")).sorted.toSeq == rows.map(_.getAs[Long]("doc_id")).sorted.toSeq)
+  }
+
+  test("tokenCapPerStratum: margin guard is loud, even when the prefilter empties the stratum") {
+    // adversarial token-mass skew: all mass sits in HIGH hash buckets, so
+    // a tight margin's survivor prefix cannot reach the cap
+    val base = (0L until 200L).map { i => (i, "s0") }.toDF("doc_id", "src")
+      .select(col("doc_id"), col("src"), Sampling.bucketPpm("doc_id").as("b"))
+    val skewed = base.select(col("doc_id"), col("src"),
+      when(col("b") < 900000L, 0L).otherwise(10000L).as("n_tok"))
+    val ex = intercept[Exception] {
+      Sampling.tokenCapPerStratum(skewed, "src", Map("s0" -> 500L),
+        tokensCol = "n_tok", marginPct = 100L).collect()
+    }
+    assert(ex.getMessage.contains("marginPct"), s"wrong error: ${ex.getMessage}")
+
+    // zero-survivor corner: the cutoff floors to 0 buckets, no survivor row
+    // exists to carry a per-row guard — the union guard must still raise
+    // rather than return a silently-empty stratum
+    val heavy = (0L until 50L).map(i => (i, "s0", 1000000L)).toDF("doc_id", "src", "n_tok")
+    val ex2 = intercept[Exception] {
+      Sampling.tokenCapPerStratum(heavy, "src", Map("s0" -> 3L),
+        tokensCol = "n_tok", marginPct = 100L).collect()
+    }
+    assert(ex2.getMessage.contains("marginPct"), s"wrong error: ${ex2.getMessage}")
+  }
 }
