@@ -104,12 +104,20 @@ object Bpe {
     * the filter drops the NULLs. All positions merge in one pass — sound
     * because left != right (see scaladoc).
     */
-  private def applyRuleS(sv: String, k: Int, a0: String, b0: String): String = {
+  private def applyRuleS(sv: String, k: Int, a0: String, b0: String, rawW: Option[String] = None): String = {
     val (a, b, ab) = (lit1(a0), lit1(b0), lit1(a0 + b0))
-    // the exists() guard skips the two-array rebuild for words that do not
-    // contain the pair at all — the overwhelmingly common case (a word
-    // matches a handful of the rule table), measured ~2x on the corpus
-    s"""IF(NOT exists(sequence(1, size($sv)), g$k ->
+    // two skip guards, cheap-first. (1) instr: symbols are contiguous
+    // substrings of the word in order, so adjacent symbols a,b imply the
+    // word's RAW TEXT contains a+b — a native substring search over the
+    // word (no lambda machinery) rules out most (rule, word) pairs.
+    // (2) exists: the pair's symbols exist but are not adjacent at this
+    // level. Both skip the two-array rebuild — the overwhelmingly common
+    // case (a word matches a handful of the rule table); Or-expressions
+    // short-circuit, so the positional scan only runs on instr hits
+    // rawW = None when no raw-text column is in scope (the trainer's dict
+    // pass, where the rule is known to be corpus-frequent anyway)
+    val instrGuard = rawW.map(w => s"instr($w, '$ab') = 0 OR ").getOrElse("")
+    s"""IF($instrGuard NOT exists(sequence(1, size($sv)), g$k ->
        |     g$k < size($sv) AND element_at($sv, g$k) = '$a' AND element_at($sv, g$k + 1) = '$b'), $sv,
        |   filter(transform(sequence(1, size($sv)), i$k ->
        |     CASE WHEN i$k < size($sv) AND element_at($sv, i$k) = '$a' AND element_at($sv, i$k + 1) = '$b' THEN '$ab'
@@ -136,7 +144,7 @@ object Bpe {
     val chars = s"transform(sequence(1, length($w)), c0 -> substr($w, c0, 1))"
     ms.zipWithIndex.foldLeft(chars) { case (acc, ((a, b), i)) =>
       val k = i + 1
-      s"element_at(transform(array($acc), s$k -> ${applyRuleS(s"s$k", k, a, b)}), 1)"
+      s"element_at(transform(array($acc), s$k -> ${applyRuleS(s"s$k", k, a, b, Some(w))}), 1)"
     }
   }
 

@@ -196,4 +196,87 @@ object Multimodal {
       it.map(decoder.decode)
     }.toDF()
   }
+
+  /** Letterbox ("contain") resize PLAN over an [[imageDims]] frame: the
+    * target geometry every image normalization pass needs, as pure integer
+    * arithmetic — `scale_ppm = min(1e6, maxW*1e6 div w, maxH*1e6 div h)`
+    * (downscale-only: a smaller-than-box image keeps its size), output
+    * dims floored with a 1-pixel minimum so extreme aspect ratios cannot
+    * collapse to zero. Scan-side projection, no shuffle, no FP — the same
+    * plan on any engine produces identical geometry, so a distributed
+    * resize is deterministic and resumable. The pixel resampling itself is
+    * decoder-seam work ([[MediaDecoder]]); this operator decides WHAT to
+    * decode into, which is the part that must be exact and auditable.
+    *
+    * In-plan guards: null/nonpositive dims raise with the media id
+    * (corrupt-header rows must fail loudly, the [[parseDims]] discipline),
+    * and dims are required < 2^32 (already guaranteed by the header
+    * parsers' u32/u16 fields) so the ppm products stay inside a Long.
+    */
+  def resizePlan(dims: DataFrame, maxW: Long, maxH: Long): DataFrame = {
+    val maxSide = Long.MaxValue / 1000000L
+    require(maxW > 0 && maxW <= maxSide && maxH > 0 && maxH <= maxSide,
+      s"resizePlan: target box must be in [1, $maxSide], got ${maxW}x$maxH")
+    val missing = Seq("media_id", "width", "height").filterNot(dims.columns.contains)
+    require(missing.isEmpty, s"columns absent from dims: ${missing.mkString(", ")}")
+    val reserved = Seq("scale_ppm", "out_w", "out_h").filter(dims.columns.contains)
+    require(reserved.isEmpty,
+      s"dims columns collide with output names (rename them): ${reserved.mkString(", ")}")
+    val guard = (c: String) => expr(
+      s"""if($c is null or $c <= 0 or $c >= 4294967296L,
+         |  cast(raise_error(concat('resizePlan: $c out of range for media_id ',
+         |    cast(media_id as string))) as bigint),
+         |  cast($c as bigint))""".stripMargin)
+    dims
+      .withColumn("width", guard("width"))
+      .withColumn("height", guard("height"))
+      .withColumn("scale_ppm", expr(
+        s"least(1000000L, ${maxW}L * 1000000L div width, ${maxH}L * 1000000L div height)"))
+      .withColumn("out_w", expr("greatest(1L, width * scale_ppm div 1000000L)"))
+      .withColumn("out_h", expr("greatest(1L, height * scale_ppm div 1000000L)"))
+  }
+
+  /** Uniform frame-sampling PLAN for video media: k evenly spaced frame
+    * indices per item — `idx_j = j * n_frames div k` with duplicates
+    * collapsed (short clips yield fewer than k frames, never repeats), and
+    * the exact millisecond seek position per index. One scan-side explode
+    * (fan-out <= k), integer arithmetic end to end; the frame EXTRACTION
+    * is decoder-seam work — this is the deterministic sampling decision a
+    * 100 TB video pipeline must be able to re-run and audit. fps is
+    * milli-fps (29.97 fps = 29970) so NTSC-style rates stay exact.
+    *
+    * In-plan guards: null/negative duration or nonpositive fps raise with
+    * the media id; duration <= 1e12 ms (~31 years) and fps <= 1e6 milli
+    * (1000 fps) keep `duration * fps` inside a Long. Zero-frame media emit
+    * no rows (a zero-length clip has no frame 0).
+    *
+    * @return idCol + (n_frames, frame_idx, t_ms)
+    */
+  def frameSamplePlan(
+      media: DataFrame,
+      k: Int,
+      idCol: String = "media_id",
+      durationCol: String = "duration_ms",
+      fpsCol: String = "fps_milli"): DataFrame = {
+    require(k > 0 && k <= 100000, s"frameSamplePlan: k must be in [1, 100000], got $k")
+    val missing = Seq(idCol, durationCol, fpsCol).filterNot(media.columns.contains)
+    require(missing.isEmpty, s"columns absent from media: ${missing.mkString(", ")}")
+    val reserved = Seq("n_frames", "frame_idx", "t_ms").filter(media.columns.contains)
+    require(reserved.isEmpty,
+      s"media columns collide with output names (rename them): ${reserved.mkString(", ")}")
+    media
+      .withColumn("n_frames", expr(
+        s"""if(`$durationCol` is null or `$durationCol` < 0 or `$durationCol` > 1000000000000L
+           |   or `$fpsCol` is null or `$fpsCol` <= 0 or `$fpsCol` > 1000000L,
+           |  cast(raise_error(concat('frameSamplePlan: duration/fps out of range for $idCol ',
+           |    cast(`$idCol` as string))) as bigint),
+           |  cast(`$durationCol` as bigint) * cast(`$fpsCol` as bigint) div 1000000L)"""
+          .stripMargin))
+      .withColumn("frame_idx", explode(expr(
+        s"""if(n_frames <= 0, array(),
+           |  array_distinct(transform(sequence(0L, ${k - 1}L), j -> j * n_frames div ${k}L)))"""
+          .stripMargin)))
+      .withColumn("t_ms", expr(s"frame_idx * 1000000L div cast(`$fpsCol` as bigint)"))
+      .select(col(idCol), col("n_frames"), col("frame_idx"), col("t_ms"))
+  }
 }

@@ -48,6 +48,46 @@ object PipelineQueries {
           concat(lit(" or call +1-555-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
           .otherwise(lit(""))).as("text"))
 
+  /** REAL image headers with doc_id-derived dimensions (PNG IHDR / JPEG
+    * JFIF+SOF0 / GIF89a incl. GIF's little-endian screen descriptor) —
+    * shared by the dims round-trip and the resize-geometry queries.
+    */
+  private def headerMedia(s: SparkSession, dir: String): DataFrame = {
+    val w = col("doc_id") % 800 + 16
+    val h = col("doc_id") % 600 + 16
+    val hex8 = (c: org.apache.spark.sql.Column) => lpad(hex(c), 8, "0")
+    val hex4 = (c: org.apache.spark.sql.Column) => lpad(hex(c), 4, "0")
+    // little-endian u16: low byte then high byte, integer DIV throughout
+    val hex4le = (sqlExpr: String) => expr(
+      s"concat(lpad(hex(($sqlExpr) % 256), 2, '0'), lpad(hex(($sqlExpr) DIV 256), 2, '0'))")
+    val wSql = "doc_id % 800 + 16"
+    val hSql = "doc_id % 600 + 16"
+    val png = unhex(concat(
+      lit("89504E470D0A1A0A0000000D49484452"), hex8(w), hex8(h),
+      lit("0802000000DEADBEEF")))
+    val jpeg = unhex(concat(
+      lit("FFD8FFE000104A46494600010100004800480000FFC0001108"), hex4(h), hex4(w),
+      lit("03011100021101031101")))
+    val gif = unhex(concat(lit("474946383961"), hex4le(wSql), hex4le(hSql), lit("000000")))
+    Tables.documents(s, dir).select(
+      col("doc_id").as("media_id"),
+      when(col("doc_id") % 4 === 0, jpeg)
+        .when(col("doc_id") % 4 === 2, gif)
+        .otherwise(png).as("payload"))
+  }
+
+  /** The closed-form dims the header parsers must recover — the shared
+    * SELECT-list core of the dims and resize oracles.
+    */
+  private val dimsClosedFormSql =
+    """SELECT doc_id AS media_id,
+      |  CASE WHEN doc_id % 4 = 0 THEN 'jpeg'
+      |       WHEN doc_id % 4 = 2 THEN 'gif'
+      |       ELSE 'png' END AS fmt,
+      |  CAST(doc_id % 800 + 16 AS BIGINT) AS width,
+      |  CAST(doc_id % 600 + 16 AS BIGINT) AS height
+      |FROM documents""".stripMargin
+
   private val exactAugSql =
     """aug AS (SELECT doc_id, text FROM documents
       | UNION ALL SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0)""".stripMargin
@@ -100,6 +140,38 @@ object PipelineQueries {
        |  FROM pe),
        |spn AS (SELECT doc_id, island, min(pos) AS s, max(pos) + 9 AS e, count(*) AS nw
        |        FROM isl GROUP BY doc_id, island)""".stripMargin
+
+  /** Shared DuckDB CTEs for the Gopher-style quality filter: tokens →
+    * per-doc stats → bigram/trigram repetition → bitmask `drop_reasons`
+    * (thresholds mirror TextAnalysis.gopherFilter defaults). Used by both
+    * the standalone ext_quality_filter oracle and the end-to-end
+    * ext_corpus_build twin, so the two cannot drift.
+    */
+  private val gopherSqlCtes =
+    s"""tk AS (SELECT doc_id, ${toksD("text")} AS toks FROM documents),
+       |st AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+       |  CAST(COALESCE(list_sum(list_transform(toks, t -> len(t))), 0) * 1000000
+       |       // greatest(len(toks), 1) AS BIGINT) AS avg_len,
+       |  CAST(len(list_distinct(toks)) * 1000000 // greatest(len(toks), 1) AS BIGINT) AS distinct_ppm
+       | FROM tk),
+       |g AS (SELECT doc_id,
+       |  CASE WHEN len(toks) >= 2 THEN list_transform(generate_series(1, len(toks)-1),
+       |    i -> toks[i] || ' ' || toks[i+1]) ELSE [] END AS bgs,
+       |  CASE WHEN len(toks) >= 3 THEN list_transform(generate_series(1, len(toks)-2),
+       |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) ELSE [] END AS tgs
+       | FROM tk),
+       |rep AS (SELECT doc_id,
+       |  CAST((len(bgs) - len(list_distinct(bgs))) * 1000000 // greatest(len(bgs), 1) AS BIGINT) AS dup_bi,
+       |  CAST((len(tgs) - len(list_distinct(tgs))) * 1000000 // greatest(len(tgs), 1) AS BIGINT) AS dup_tri
+       | FROM g),
+       |f AS (SELECT st.doc_id,
+       |  CAST(st.n_tokens < 50 AS BIGINT) * 1
+       |  + CAST(st.n_tokens > 100000 AS BIGINT) * 2
+       |  + CAST(st.avg_len < 3000000 OR st.avg_len > 10000000 AS BIGINT) * 4
+       |  + CAST(st.distinct_ppm < 200000 AS BIGINT) * 8
+       |  + CAST(rep.dup_bi > 200000 AS BIGINT) * 16
+       |  + CAST(rep.dup_tri > 300000 AS BIGINT) * 32 AS drop_reasons
+       | FROM st JOIN rep ON rep.doc_id = st.doc_id)""".stripMargin
 
   /** Shared DuckDB CTEs: tokens → shingles (exploded) → sizes. */
   private val shinglesSqlCtes =
@@ -362,28 +434,26 @@ object PipelineQueries {
     // LITTLE-endian screen descriptor against PNG/JPEG's big-endian
     // fields; the oracle states the closed form the parse must recover
     "ext_multimodal_dims" -> ((s, dir) => {
-      val w = col("doc_id") % 800 + 16
-      val h = col("doc_id") % 600 + 16
-      val hex8 = (c: org.apache.spark.sql.Column) => lpad(hex(c), 8, "0")
-      val hex4 = (c: org.apache.spark.sql.Column) => lpad(hex(c), 4, "0")
-      // little-endian u16: low byte then high byte, integer DIV throughout
-      val hex4le = (sqlExpr: String) => expr(
-        s"concat(lpad(hex(($sqlExpr) % 256), 2, '0'), lpad(hex(($sqlExpr) DIV 256), 2, '0'))")
-      val wSql = "doc_id % 800 + 16"
-      val hSql = "doc_id % 600 + 16"
-      val png = unhex(concat(
-        lit("89504E470D0A1A0A0000000D49484452"), hex8(w), hex8(h),
-        lit("0802000000DEADBEEF")))
-      val jpeg = unhex(concat(
-        lit("FFD8FFE000104A46494600010100004800480000FFC0001108"), hex4(h), hex4(w),
-        lit("03011100021101031101")))
-      val gif = unhex(concat(lit("474946383961"), hex4le(wSql), hex4le(hSql), lit("000000")))
-      val media = Tables.documents(s, dir).select(
+      Multimodal.imageDims(headerMedia(s, dir)).orderBy("media_id")
+    }),
+
+    // letterbox resize geometry over REAL parsed headers: contain-fit into
+    // 320x240, downscale-only, integer ppm — the deterministic "what to
+    // decode into" decision; pixel resampling stays behind the decoder seam
+    "ext_media_resize" -> ((s, dir) => {
+      Multimodal.resizePlan(Multimodal.imageDims(headerMedia(s, dir)),
+          maxW = 320L, maxH = 240L)
+        .orderBy("media_id")
+    }),
+
+    // uniform frame sampling: 8 evenly spaced frames per clip with exact
+    // millisecond seek positions; milli-fps keeps NTSC 23.976 exact
+    "ext_media_frames" -> ((s, dir) => {
+      val m = Tables.documents(s, dir).select(
         col("doc_id").as("media_id"),
-        when(col("doc_id") % 4 === 0, jpeg)
-          .when(col("doc_id") % 4 === 2, gif)
-          .otherwise(png).as("payload"))
-      Multimodal.imageDims(media).orderBy("media_id")
+        ((col("doc_id") % 120 + 1) * 1000).cast("long").as("duration_ms"),
+        when(col("doc_id") % 2 === 0, 30000L).otherwise(23976L).as("fps_milli"))
+      Multimodal.frameSamplePlan(m, k = 8).orderBy("media_id", "frame_idx")
     }),
 
     // duplicate-span detection (exact-substring dedup at w=10 tokens):
@@ -584,6 +654,31 @@ object PipelineQueries {
       Packing.epochShuffle(Tables.documents(s, dir).select("doc_id"),
           nShards = 8, epoch = 3L)
         .select("doc_id", "shard", "pos")
+        .orderBy("doc_id")
+    }),
+
+    // END-TO-END corpus build: quality filter → exact dedup → temperature
+    // mixture → sequence packing, composed as ONE declarative pipeline the
+    // way a pretraining data build actually runs. Stage boundaries persist
+    // the kept/token frames (each stage's verdict joins back on doc_id, so
+    // an unpersisted tree would re-run the upstream stages once per
+    // consumer — at 100 TB these seams are parquet checkpoints; in-query
+    // the cache serves the same role, lifecycle as stageShingles)
+    "ext_corpus_build" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val kept = docs.join(
+          TextAnalysis.gopherFilter(docs).where(col("keep") === 1L).select("doc_id"),
+          Seq("doc_id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val deduped = kept.join(
+        Dedup.exactDedup(kept).where(col("is_keeper")).select("doc_id"), Seq("doc_id"))
+      val withTok = deduped.select(col("doc_id"), col("source"),
+          expr(s"cast(size(${toksS("text")}) as bigint)").as("n_tok"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val sampled = Sampling.mixtureByTemperature(withTok, "source", budget = 3000L,
+        tokensCol = "n_tok")
+      Packing.packChunks(sampled.select(col("doc_id"), col("n_tok").as("n_tokens")),
+          ctxTokens = 256L, nShards = 8)
         .orderBy("doc_id")
     })
   )
@@ -815,30 +910,7 @@ object PipelineQueries {
          |FROM g ORDER BY doc_id""".stripMargin,
 
     "ext_quality_filter" ->
-      s"""WITH tk AS (SELECT doc_id, ${toksD("text")} AS toks FROM documents),
-         |st AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
-         |  CAST(COALESCE(list_sum(list_transform(toks, t -> len(t))), 0) * 1000000
-         |       // greatest(len(toks), 1) AS BIGINT) AS avg_len,
-         |  CAST(len(list_distinct(toks)) * 1000000 // greatest(len(toks), 1) AS BIGINT) AS distinct_ppm
-         | FROM tk),
-         |g AS (SELECT doc_id,
-         |  CASE WHEN len(toks) >= 2 THEN list_transform(generate_series(1, len(toks)-1),
-         |    i -> toks[i] || ' ' || toks[i+1]) ELSE [] END AS bgs,
-         |  CASE WHEN len(toks) >= 3 THEN list_transform(generate_series(1, len(toks)-2),
-         |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) ELSE [] END AS tgs
-         | FROM tk),
-         |rep AS (SELECT doc_id,
-         |  CAST((len(bgs) - len(list_distinct(bgs))) * 1000000 // greatest(len(bgs), 1) AS BIGINT) AS dup_bi,
-         |  CAST((len(tgs) - len(list_distinct(tgs))) * 1000000 // greatest(len(tgs), 1) AS BIGINT) AS dup_tri
-         | FROM g),
-         |f AS (SELECT st.doc_id,
-         |  CAST(st.n_tokens < 50 AS BIGINT) * 1
-         |  + CAST(st.n_tokens > 100000 AS BIGINT) * 2
-         |  + CAST(st.avg_len < 3000000 OR st.avg_len > 10000000 AS BIGINT) * 4
-         |  + CAST(st.distinct_ppm < 200000 AS BIGINT) * 8
-         |  + CAST(rep.dup_bi > 200000 AS BIGINT) * 16
-         |  + CAST(rep.dup_tri > 300000 AS BIGINT) * 32 AS drop_reasons
-         | FROM st JOIN rep ON rep.doc_id = st.doc_id)
+      s"""WITH $gopherSqlCtes
          |SELECT doc_id, CAST(drop_reasons = 0 AS BIGINT) AS keep, drop_reasons
          |FROM f ORDER BY doc_id""".stripMargin,
 
@@ -909,13 +981,33 @@ object PipelineQueries {
         |FROM documents ORDER BY media_id""".stripMargin,
 
     "ext_multimodal_dims" ->
-      """SELECT doc_id AS media_id,
-        |  CASE WHEN doc_id % 4 = 0 THEN 'jpeg'
-        |       WHEN doc_id % 4 = 2 THEN 'gif'
-        |       ELSE 'png' END AS fmt,
-        |  CAST(doc_id % 800 + 16 AS BIGINT) AS width,
-        |  CAST(doc_id % 600 + 16 AS BIGINT) AS height
-        |FROM documents ORDER BY media_id""".stripMargin,
+      s"""$dimsClosedFormSql ORDER BY media_id""".stripMargin,
+
+    "ext_media_resize" ->
+      s"""WITH d AS ($dimsClosedFormSql),
+         |r AS (SELECT *, least(1000000,
+         |        CAST(320 * 1000000 AS BIGINT) // width,
+         |        CAST(240 * 1000000 AS BIGINT) // height) AS scale_ppm FROM d)
+         |SELECT media_id, fmt, width, height, CAST(scale_ppm AS BIGINT) AS scale_ppm,
+         |  CAST(greatest(1, width * scale_ppm // 1000000) AS BIGINT) AS out_w,
+         |  CAST(greatest(1, height * scale_ppm // 1000000) AS BIGINT) AS out_h
+         |FROM r ORDER BY media_id""".stripMargin,
+
+    "ext_media_frames" ->
+      """WITH m AS (SELECT doc_id AS media_id,
+        |  CAST((doc_id % 120 + 1) * 1000 AS BIGINT) AS duration_ms,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN 30000 ELSE 23976 END AS BIGINT) AS fps_milli
+        | FROM documents),
+        |n AS (SELECT media_id, fps_milli,
+        |  duration_ms * fps_milli // 1000000 AS n_frames FROM m),
+        |fidx AS (SELECT media_id, n_frames, fps_milli,
+        |  unnest(list_distinct(list_transform(generate_series(0, 7),
+        |    j -> j * n_frames // 8))) AS frame_idx
+        | FROM n WHERE n_frames > 0)
+        |SELECT media_id, CAST(n_frames AS BIGINT) AS n_frames,
+        |  CAST(frame_idx AS BIGINT) AS frame_idx,
+        |  CAST(frame_idx * 1000000 // fps_milli AS BIGINT) AS t_ms
+        |FROM fidx ORDER BY media_id, frame_idx""".stripMargin,
 
     // rolling 10-gram hashes → count > 1 → join back → gaps-and-islands
     // span merge (abutting windows merge: pos <= prev_end + 1)
@@ -1220,6 +1312,45 @@ object PipelineQueries {
          |  ('0x' || substr(ekey, 1, 8))::BIGINT % 8 AS shard FROM k)
          |SELECT doc_id, shard,
          |  CAST(row_number() OVER (PARTITION BY shard ORDER BY ekey, doc_id) AS BIGINT) AS pos
-         |FROM s ORDER BY doc_id""".stripMargin
+         |FROM s ORDER BY doc_id""".stripMargin,
+
+    // end-to-end twin: every stage replayed from the SHARED fragments the
+    // standalone oracles use (gopher CTEs verbatim, min-id keeper election,
+    // sqrt temperature rates, hash-shard packing) — drift in any one
+    // operator's twin breaks both its own query and this composition
+    "ext_corpus_build" ->
+      s"""WITH $gopherSqlCtes,
+         |qkeep AS (SELECT doc_id FROM f WHERE drop_reasons = 0),
+         |kd AS (SELECT d.doc_id, d.source, d.text FROM documents d JOIN qkeep USING (doc_id)),
+         |ded AS (SELECT doc_id, source FROM (
+         |    SELECT doc_id, source,
+         |      min(doc_id) OVER (PARTITION BY md5(text)) AS keep_id FROM kd)
+         |  WHERE doc_id = keep_id),
+         |dt AS (SELECT ded.doc_id, ded.source, CAST(len(tk.toks) AS BIGINT) AS n_tok
+         |       FROM ded JOIN tk ON tk.doc_id = ded.doc_id),
+         |tot AS (SELECT source, CAST(sum(n_tok) AS BIGINT) AS tot FROM dt GROUP BY 1),
+         |w2 AS (SELECT source, tot,
+         |  CASE WHEN tot <= 0 THEN 0 ELSE CAST(floor(sqrt(tot)) AS BIGINT) END AS w FROM tot),
+         |sw AS (SELECT CAST(sum(w) AS BIGINT) AS s FROM w2),
+         |r AS (SELECT w2.source,
+         |  CASE WHEN w2.tot <= 0 THEN 1000000
+         |       ELSE least(1000000, (3000 * ((w2.w * 1000000) // sw.s)) // w2.tot) END AS rate_ppm
+         |  FROM w2, sw),
+         |samp AS (SELECT dt.doc_id, dt.n_tok AS n_tokens FROM dt LEFT JOIN r ON dt.source = r.source
+         |         WHERE abs(dt.doc_id * 2654435761 + 40503) % 1000000 < COALESCE(r.rate_ppm, 1000000)),
+         |h AS (SELECT doc_id, n_tokens,
+         |        abs(doc_id * 2654435761 + 40503) % 1000000 AS hval FROM samp),
+         |s2 AS (SELECT doc_id, n_tokens, hval, hval % 8 AS shard FROM h),
+         |c AS (SELECT doc_id, shard, n_tokens,
+         |        CAST(COALESCE(sum(n_tokens) OVER (PARTITION BY shard ORDER BY hval, doc_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_tok
+         |      FROM s2)
+         |SELECT doc_id, CAST(shard AS BIGINT) AS shard, start_tok,
+         |  start_tok // 256 AS chunk_first,
+         |  CASE WHEN n_tokens > 0 THEN (start_tok + n_tokens - 1) // 256
+         |       ELSE start_tok // 256 END AS chunk_last,
+         |  CASE WHEN n_tokens > 0 THEN (start_tok + n_tokens - 1) // 256
+         |       ELSE start_tok // 256 END - start_tok // 256 + 1 AS n_chunks
+         |FROM c ORDER BY doc_id""".stripMargin
   )
 }

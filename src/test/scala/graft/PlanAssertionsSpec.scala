@@ -284,6 +284,16 @@ class PlanAssertionsSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), s"no cartesian allowed:\n$plan")
   }
 
+  test("ext_corpus_build: stage seams cache, rates broadcast, nothing degenerates to cartesian") {
+    val plan = planOf("ext_corpus_build")
+    // the persisted kept/token frames must actually serve the downstream
+    // stages (without them every verdict join re-runs its upstream stages)
+    assert(plan.contains("InMemoryTableScan"),
+      s"stage-boundary caches missing from the plan:\n${plan.take(2000)}")
+    assert(plan.contains("BroadcastHashJoin"), s"rates must broadcast:\n${plan.take(2000)}")
+    assert(!plan.contains("CartesianProduct"), s"no cartesian allowed:\n${plan.take(2000)}")
+  }
+
   test("ext_shard_order: the position window partitions by shard — never a global single-partition sort") {
     val plan = planOf("ext_shard_order")
     // a Window with an empty partition spec renders as

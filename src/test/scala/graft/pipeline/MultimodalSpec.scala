@@ -91,4 +91,74 @@ class MultimodalSpec extends SparkSpec {
     val out = Multimodal.extractFeatures(Multimodal.asMediaTable(docs), constant).collect()(0)
     assert(out.getAs[Long]("n_bytes") == -1L && out.getAs[String]("checksum") == "x")
   }
+
+  // ------------------------------------------------------ resize geometry
+
+  test("resizePlan: contain-fit never exceeds the box, never upscales, preserves aspect; corrupt dims raise") {
+    val dims = Seq(
+      (1L, 800L, 600L),   // downscale, width-limited (800/320 > 600/240? equal -> both)
+      (2L, 100L, 50L),    // fits -> passthrough
+      (3L, 5000L, 2L),    // extreme aspect: height floors to the 1-px minimum
+      (4L, 320L, 240L)).  // exact fit -> passthrough
+      toDF("media_id", "width", "height")
+    val out = Multimodal.resizePlan(dims, maxW = 320L, maxH = 240L)
+      .collect().map(r => r.getAs[Long]("media_id") ->
+        (r.getAs[Long]("scale_ppm"), r.getAs[Long]("out_w"), r.getAs[Long]("out_h"))).toMap
+    // never exceeds the box, never upscales
+    out.values.foreach { case (s, w, h) =>
+      assert(s <= 1000000L && w <= 320 && h <= 240)
+    }
+    // passthrough for images already inside the box
+    assert(out(2L) == ((1000000L, 100L, 50L)) && out(4L) == ((1000000L, 320L, 240L)))
+    // 800x600 -> exactly 320x240 (scale = 400000 ppm on both axes)
+    assert(out(1L) == ((400000L, 320L, 240L)))
+    // extreme aspect: height floors to 1, never 0
+    assert(out(3L)._3 == 1L)
+    // aspect preserved within floor tolerance: |out_w*h - out_h*w| < w + h
+    out.foreach { case (id, (_, ow, oh)) =>
+      val (w0, h0) = dims.collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+        .toMap.apply(id)
+      assert(math.abs(ow * h0 - oh * w0) <= w0 + h0, s"aspect drift for $id")
+    }
+    val bad = Seq((9L, 0L, 10L)).toDF("media_id", "width", "height")
+    val e = intercept[Exception] {
+      Multimodal.resizePlan(bad, 320L, 240L).collect()
+    }
+    assert(e.getMessage.contains("out of range"), s"got: ${e.getMessage}")
+  }
+
+  // ------------------------------------------------------ frame sampling
+
+  test("frameSamplePlan: k uniform frames, short-clip collapse, zero-length silence, exact NTSC seeks") {
+    val media = Seq(
+      (1L, 10000L, 30000L),  // 10 s @ 30 fps -> 300 frames, 8 samples
+      (2L, 100L, 30000L),    // 3 frames < k -> exactly 3 samples (no repeats)
+      (3L, 0L, 30000L),      // zero-length -> no rows
+      (4L, 1000L, 23976L)).  // 1 s NTSC -> 23 frames
+      toDF("media_id", "duration_ms", "fps_milli")
+    val out = Multimodal.frameSamplePlan(media, k = 8).collect()
+      .map(r => (r.getAs[Long]("media_id"), r.getAs[Long]("n_frames"),
+        r.getAs[Long]("frame_idx"), r.getAs[Long]("t_ms")))
+    val byId = out.groupBy(_._1)
+    assert(!byId.contains(3L), "zero-length media must emit no frames")
+    assert(byId(1L).length == 8 && byId(2L).length == 3)
+    byId.values.foreach { rows =>
+      val idxs = rows.map(_._3).toSeq
+      assert(idxs == idxs.sorted.distinct, "frame indices must be strictly increasing")
+      rows.foreach { case (_, n, i, _) => assert(i >= 0 && i < n) }
+    }
+    // NTSC seek positions are exact integer milliseconds of idx/23.976
+    byId(4L).foreach { case (_, _, i, t) => assert(t == i * 1000000L / 23976L) }
+    // deterministic re-run
+    val again = Multimodal.frameSamplePlan(media, k = 8).collect()
+      .map(r => (r.getAs[Long]("media_id"), r.getAs[Long]("n_frames"),
+        r.getAs[Long]("frame_idx"), r.getAs[Long]("t_ms")))
+    assert(out.sortBy(t => (t._1, t._3)).toSeq == again.sortBy(t => (t._1, t._3)).toSeq)
+    // out-of-range metadata raises with the media id
+    val bad = Seq((7L, -5L, 30000L)).toDF("media_id", "duration_ms", "fps_milli")
+    val e = intercept[Exception] {
+      Multimodal.frameSamplePlan(bad, k = 8).collect()
+    }
+    assert(e.getMessage.contains("out of range"), s"got: ${e.getMessage}")
+  }
 }
