@@ -33,6 +33,42 @@ object Dedup {
       .select(col(idCol), col("h"), col("keep_id"), (col(idCol) === col("keep_id")).as("is_keeper"))
   }
 
+  /** PRIORITY-aware exact dedup across datasets: when the same text
+    * appears in several sources, keep the copy from the most trusted one
+    * — the standard multi-dataset merge rule (a curated dump beats a web
+    * crawl for the identical document; plain [[exactDedup]]'s min-id
+    * election would keep whichever dataset happened to get lower ids).
+    * Keeper per md5(text) = lowest (priority, id); sources absent from
+    * `priorities` rank WORST at `defaultPriority` (they only win when no
+    * listed source holds the text), mirroring the search router's
+    * exchange-preference dedup (S2) at corpus scale.
+    *
+    * Same plan as [[exactDedup]]: scan-side hash + priority lookup
+    * (literal map — no join), one window over the 32-char hash. Only
+    * (id, hash, priority) ever shuffles, never text.
+    */
+  def exactDedupByPriority(
+      docs: DataFrame,
+      priorities: Map[String, Long],
+      sourceCol: String = "source",
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      defaultPriority: Long = Long.MaxValue): DataFrame = {
+    require(priorities.nonEmpty, "exactDedupByPriority: priorities must be non-empty")
+    val reserved = Seq("h", "prio", "keep_id", "is_keeper").filter(docs.columns.contains)
+    require(reserved.isEmpty,
+      s"docs columns collide with output names (rename them): ${reserved.mkString(", ")}")
+    val w = Window.partitionBy(col("h")).orderBy(col("prio"), col(idCol))
+    docs
+      .withColumn("h", md5(col(textCol)))
+      .withColumn("prio",
+        coalesce(element_at(typedLit(priorities), col(sourceCol)), lit(defaultPriority)))
+      .withColumn("keep_id", first(col(idCol)).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .select(col(idCol), col(sourceCol), col("h"), col("prio"), col("keep_id"),
+        (col(idCol) === col("keep_id")).as("is_keeper"))
+  }
+
   /** INCREMENTAL exact dedup — the production ingest shape: a corpus is
     * not re-deduped end to end on every snapshot; new batches check
     * against the historical fingerprint STORE (the `h` column of prior

@@ -88,6 +88,24 @@ object PipelineQueries {
       |  CAST(doc_id % 600 + 16 AS BIGINT) AS height
       |FROM documents""".stripMargin
 
+  /** Shared DuckDB CTEs for the linear classifier: literal model → token
+    * explode → per-doc integer score, ending in
+    * `scores(doc_id, n_tok, score_milli)` over every document (bias 50).
+    * Used by ext_classifier and the curriculum twin.
+    */
+  private val classifierSqlCtes =
+    s"""w(token, w_milli) AS (VALUES
+       |  ('data', 400), ('join', 250), ('spark', 300), ('vector', 150),
+       |  ('slow', -500), ('the', -100), ('a', -100)),
+       |ctk AS (SELECT doc_id, ${toksD("text")} AS toks FROM documents),
+       |ctx AS (SELECT doc_id, unnest(toks) AS t FROM ctk),
+       |cagg AS (SELECT ctx.doc_id, count(*) AS n_tok, COALESCE(sum(w.w_milli), 0) AS wsum
+       |        FROM ctx LEFT JOIN w ON ctx.t = w.token GROUP BY 1),
+       |scores AS (SELECT d.doc_id,
+       |  CAST(COALESCE(a.n_tok, 0) AS BIGINT) AS n_tok,
+       |  CAST(50 + COALESCE(a.wsum, 0) // greatest(COALESCE(a.n_tok, 0), 1) AS BIGINT) AS score_milli
+       | FROM documents d LEFT JOIN cagg a ON a.doc_id = d.doc_id)""".stripMargin
+
   private val exactAugSql =
     """aug AS (SELECT doc_id, text FROM documents
       | UNION ALL SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0)""".stripMargin
@@ -563,6 +581,39 @@ object PipelineQueries {
         ("slow", -500L), ("the", -100L), ("a", -100L)).toDF("token", "w_milli")
       TextAnalysis.classifierScore(Tables.documents(s, dir), model,
           biasMilli = 50L, keepThresholdMilli = 0L)
+        .orderBy("doc_id")
+    }),
+
+    // priority-aware cross-dataset dedup: a 'curated' re-release of every
+    // 10th doc (higher id!) must WIN its duplicate group over the
+    // original's source — the multi-dataset merge rule plain min-id
+    // election gets wrong
+    "ext_dedup_priority" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select("doc_id", "source", "text")
+      val aug = docs.unionByName(docs.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          lit("curated").as("source"), col("text")))
+      Dedup.exactDedupByPriority(aug,
+          Map("curated" -> 1L, "src0" -> 5L, "src1" -> 4L))
+        .orderBy("doc_id")
+    }),
+
+    // quality-curriculum sampling: classifier scores → histogram quartile
+    // bins (scale path: score-cardinality histogram, never a global
+    // ntile) → per-bin keep rates (top bin full, lower bins thinned)
+    "ext_curriculum" -> ((s, dir) => {
+      import s.implicits._
+      val model = Seq(
+        ("data", 400L), ("join", 250L), ("spark", 300L), ("vector", 150L),
+        ("slow", -500L), ("the", -100L), ("a", -100L)).toDF("token", "w_milli")
+      val scored = TextAnalysis.classifierScore(Tables.documents(s, dir), model,
+          biasMilli = 50L, keepThresholdMilli = 0L)
+        .select("doc_id", "score_milli")
+      val binned = Sampling.scoreBins(scored, "score_milli", nBins = 4)
+      val rates = Seq((1L, 100000L), (2L, 300000L), (3L, 600000L), (4L, 1000000L))
+        .toDF("bin", "rate_ppm")
+      Sampling.stratifiedByRate(binned, "bin", rates, defaultPpm = 0L)
+        .select("doc_id", "score_milli", "bin", "bucket_ppm")
         .orderBy("doc_id")
     }),
 
@@ -1149,19 +1200,41 @@ object PipelineQueries {
     // truncating division on both sides: Spark `div` and DuckDB `//`
     // both truncate toward zero (weight sums can be negative)
     "ext_classifier" ->
-      s"""WITH w(token, w_milli) AS (VALUES
-         |  ('data', 400), ('join', 250), ('spark', 300), ('vector', 150),
-         |  ('slow', -500), ('the', -100), ('a', -100)),
-         |tk AS (SELECT doc_id, ${toksD("text")} AS toks FROM documents),
-         |tx AS (SELECT doc_id, unnest(toks) AS t FROM tk),
-         |agg AS (SELECT tx.doc_id, count(*) AS n_tok, COALESCE(sum(w.w_milli), 0) AS wsum
-         |        FROM tx LEFT JOIN w ON tx.t = w.token GROUP BY 1)
-         |SELECT d.doc_id,
-         |  CAST(COALESCE(a.n_tok, 0) AS BIGINT) AS n_tok,
-         |  CAST(50 + COALESCE(a.wsum, 0) // greatest(COALESCE(a.n_tok, 0), 1) AS BIGINT) AS score_milli,
-         |  (50 + COALESCE(a.wsum, 0) // greatest(COALESCE(a.n_tok, 0), 1)) >= 0 AS keep
-         |FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
-         |ORDER BY d.doc_id""".stripMargin,
+      s"""WITH $classifierSqlCtes
+         |SELECT doc_id, n_tok, score_milli, score_milli >= 0 AS keep
+         |FROM scores ORDER BY doc_id""".stripMargin,
+
+    "ext_dedup_priority" ->
+      s"""WITH paug AS (SELECT doc_id, source, text FROM documents
+         | UNION ALL SELECT doc_id + 1000000, 'curated', text FROM documents WHERE doc_id % 10 = 0),
+         |p AS (SELECT doc_id, source, md5(text) AS h,
+         |  CASE source WHEN 'curated' THEN 1 WHEN 'src0' THEN 5 WHEN 'src1' THEN 4
+         |       ELSE 9223372036854775807 END AS prio FROM paug),
+         |k AS (SELECT *, first_value(doc_id) OVER (PARTITION BY h ORDER BY prio, doc_id
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS keep_id FROM p)
+         |SELECT doc_id, source, h, CAST(prio AS BIGINT) AS prio, keep_id,
+         |  doc_id = keep_id AS is_keeper
+         |FROM k ORDER BY doc_id""".stripMargin,
+
+    // quality-curriculum sampling twin: histogram bins over the classifier
+    // scores (equal scores share a bin), per-bin keep rates
+    "ext_curriculum" ->
+      s"""WITH $classifierSqlCtes,
+         |hist AS (SELECT score_milli, count(*) AS n FROM scores GROUP BY 1),
+         |cum AS (SELECT score_milli,
+         |  COALESCE(sum(n) OVER (ORDER BY score_milli
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below,
+         |  sum(n) OVER () AS total FROM hist),
+         |b AS (SELECT score_milli, least(4, below * 4 // total + 1) AS bin FROM cum),
+         |j AS (SELECT s.doc_id, s.score_milli, b.bin FROM scores s
+         |      JOIN b ON s.score_milli = b.score_milli)
+         |SELECT doc_id, score_milli, CAST(bin AS BIGINT) AS bin,
+         |  abs(doc_id * 2654435761 + 40503) % 1000000 AS bucket_ppm
+         |FROM j
+         |WHERE abs(doc_id * 2654435761 + 40503) % 1000000 <
+         |  CASE bin WHEN 1 THEN 100000 WHEN 2 THEN 300000
+         |           WHEN 3 THEN 600000 ELSE 1000000 END
+         |ORDER BY doc_id""".stripMargin,
 
     "ext_vocab_coverage" ->
       s"""WITH tx AS (SELECT unnest(${toksD("text")}) AS t FROM documents),

@@ -440,6 +440,51 @@ object Sampling {
       temperatureRates(docs, stratumCol, budget, tokensCol, alpha), defaultPpm, idCol)
   }
 
+  /** Curriculum / quality binning: assign each document a 1..nBins bin by
+    * its position in the SCORE distribution — the "train on the top
+    * quality quartile at full rate, lower ones thinned" knob, composing
+    * directly with [[stratifiedByRate]] on the bin column.
+    *
+    * Scale shape: a global `ntile` would sort the corpus in one
+    * partition. Instead the distribution is captured as a score HISTOGRAM
+    * (one map-side-combinable aggregate, output rows = score cardinality
+    * — classifier scores are integer milli, so thousands, not corpus
+    * rows), the cumulative below-count runs as a window over that
+    * config-sized frame, and the bin assignment broadcasts back onto the
+    * corpus scan: `bin = below * nBins div total + 1`. Equal scores land
+    * in the SAME bin (the histogram cannot split a score across a
+    * boundary) — bins are equal-count up to score-tie granularity, which
+    * is also what makes the assignment deterministic and replayable.
+    */
+  def scoreBins(
+      docs: DataFrame,
+      scoreCol: String,
+      nBins: Int,
+      idCol: String = "doc_id"): DataFrame = {
+    require(nBins >= 1 && nBins <= 10000,
+      s"scoreBins: nBins must be in [1, 10000], got $nBins")
+    val missing = Seq(idCol, scoreCol).filterNot(docs.columns.contains)
+    require(missing.isEmpty, s"columns absent from docs: ${missing.mkString(", ")}")
+    val reserved = Seq("bin", "__n", "__below", "__total").filter(docs.columns.contains)
+    require(reserved.isEmpty,
+      s"docs columns collide with output/internal names (rename them): ${reserved.mkString(", ")}")
+    val hist = docs.groupBy(col(scoreCol)).agg(count(lit(1)).as("__n"))
+    // both windows run over the HISTOGRAM frame (score-cardinality rows) —
+    // the single-partition warning they carry is about a config-sized
+    // frame, never the corpus
+    val wBelow = org.apache.spark.sql.expressions.Window.orderBy(col(scoreCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val wAll = org.apache.spark.sql.expressions.Window
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    val bins = hist
+      .withColumn("__below", coalesce(sum(col("__n")).over(wBelow), lit(0L)))
+      .withColumn("__total", sum(col("__n")).over(wAll))
+      .select(col(scoreCol),
+        expr(s"least(${nBins}L, __below * ${nBins}L div __total + 1L)").as("bin"))
+    docs.join(broadcast(bins), Seq(scoreCol))
+  }
+
   /** EXACT per-stratum token-budget prefix: keep each stratum's documents
     * in the deterministic hash order ([[bucketPpm]], ties on id) while the
     * running token total stays <= the stratum's cap. This is the exact

@@ -2,6 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Exactly-once ingestion dedup for a connector feed — the streaming face
   * of the pipeline dedup family (SURVEY §2 addendum): providers re-deliver
@@ -205,5 +206,101 @@ object StreamDedup {
     MonotonicGate.streamingGate(
       dedupWithinWatermark(updates.toDF(), delay).as[MonotonicGate.Update],
       stateTtlMs)
+  }
+
+  /** A document arriving on an ingest stream for budget admission:
+    * `arrival` is the delivery sequence (ties broken by doc_id), `n_tok`
+    * a non-negative token count.
+    */
+  case class AdmitDoc(doc_id: Long, stratum: String, n_tok: Long, arrival: Long)
+
+  /** An admitted document: input fields plus the stratum's cumulative
+    * admitted tokens INCLUDING this doc (the admission receipt).
+    */
+  case class AdmittedDoc(
+      doc_id: Long, stratum: String, n_tok: Long, arrival: Long, cum_tok: Long)
+
+  /** Per-stratum admission counter (public: the Dataset encoder's codegen
+    * needs a visible constructor).
+    */
+  case class AdmitState(admitted: Long)
+
+  /** Streaming per-stratum TOKEN-BUDGET ADMISSION — the streaming twin of
+    * [[graft.pipeline.Sampling.tokenCapPerStratum]]: admit documents in
+    * ARRIVAL order while the stratum's cumulative admitted tokens stay
+    * within its budget, then shut the door. Where the batch operator
+    * picks the deterministic hash-order prefix of a corpus it can see
+    * whole, a stream cannot reorder the future — arrival order IS the
+    * canonical order, and the admission decision must be made online.
+    * Together they close the ingest loop the same way
+    * exactDedupIncremental/dedupAgainstStore do for dedup.
+    *
+    * State is ONE Long per stratum (the admitted-token counter) — bounded
+    * by the mixture config forever, no watermark, no TTL (an exhausted
+    * budget must STAY exhausted; expiring it would silently re-open
+    * admission). The admission rule differs from the batch twin's strict
+    * prefix DELIBERATELY: batch can afford "first overflow ends the
+    * stratum" because its hash order is re-runnable, but an online
+    * admitter that did that would let one oversized doc permanently waste
+    * the remaining budget — so a doc that would overflow is rejected
+    * without consuming budget, and smaller later docs may still fit (the
+    * budget can never overfill under either rule). Within a micro-batch
+    * rows are
+    * processed in (arrival, doc_id) order, so replays after failure
+    * re-decide identically (micro-batch boundaries cannot change the
+    * outcome — spec-asserted against the in-memory reference across
+    * adversarial splits).
+    *
+    * Strata absent from `budgets` are dropped (the config IS the mixture,
+    * the [[graft.pipeline.Sampling.exactPerStratum]] convention); negative
+    * token counts fail the query loudly.
+    */
+  def tokenBudgetAdmit(
+      docs: Dataset[AdmitDoc],
+      budgets: Map[String, Long]): Dataset[AdmittedDoc] = {
+    require(budgets.nonEmpty, "tokenBudgetAdmit: budgets must be non-empty")
+    budgets.foreach { case (s, b) =>
+      require(b >= 0, s"tokenBudgetAdmit: budget for '$s' must be >= 0, got $b")
+    }
+    import docs.sparkSession.implicits._
+    docs
+      .groupByKey(_.stratum)
+      .flatMapGroupsWithState[AdmitState, AdmittedDoc](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (stratum: String, rows: Iterator[AdmitDoc], state: GroupState[AdmitState]) =>
+          budgets.get(stratum) match {
+            case None => Iterator.empty // unlisted stratum: dropped
+            case Some(budget) =>
+              var admitted = state.getOption.map(_.admitted).getOrElse(0L)
+              val out = rows.toSeq.sortBy(d => (d.arrival, d.doc_id)).flatMap { d =>
+                if (d.n_tok < 0)
+                  throw new IllegalArgumentException(
+                    s"tokenBudgetAdmit: negative n_tok ${d.n_tok} for doc ${d.doc_id}")
+                if (admitted + d.n_tok <= budget) {
+                  admitted += d.n_tok
+                  Some(AdmittedDoc(d.doc_id, d.stratum, d.n_tok, d.arrival, admitted))
+                } else None
+              }
+              state.update(AdmitState(admitted))
+              out.iterator
+          }
+      }
+  }
+
+  /** In-memory reference model of [[tokenBudgetAdmit]] (for property
+    * tests): one pass over the full feed in (arrival, doc_id) order.
+    */
+  def admitReference(
+      docs: Seq[AdmitDoc], budgets: Map[String, Long]): Seq[AdmittedDoc] = {
+    val admitted = scala.collection.mutable.Map.empty[String, Long]
+    docs.sortBy(d => (d.arrival, d.doc_id)).flatMap { d =>
+      budgets.get(d.stratum).flatMap { budget =>
+        val cur = admitted.getOrElse(d.stratum, 0L)
+        if (cur + d.n_tok <= budget) {
+          admitted(d.stratum) = cur + d.n_tok
+          Some(AdmittedDoc(d.doc_id, d.stratum, d.n_tok, d.arrival, cur + d.n_tok))
+        } else None
+      }
+    }
   }
 }

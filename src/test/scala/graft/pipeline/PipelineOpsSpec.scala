@@ -915,6 +915,69 @@ class PipelineOpsSpec extends SparkSpec {
         .collect().map(_.getAs[Long]("doc_id")).sorted.toSeq)
   }
 
+  // ------------------------------------------------ priority dedup
+
+  test("exactDedupByPriority: trusted source wins its dup group regardless of id; unlisted ranks worst") {
+    val docs = Seq(
+      (1L, "crawl", "same text"),    // dup group A: crawl(1), curated(9)
+      (9L, "curated", "same text"),  //   -> curated wins despite higher id
+      (2L, "crawl", "other text"),   // dup group B: crawl vs unlisted
+      (3L, "mystery", "other text"), //   -> listed crawl wins
+      (5L, "curated", "unique")).    // singleton keeps itself
+      toDF("doc_id", "source", "text")
+    val out = Dedup.exactDedupByPriority(docs, Map("curated" -> 1L, "crawl" -> 5L))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("keep_id"), r.getAs[Boolean]("is_keeper"))).toMap
+    assert(out(1L) == ((9L, false)) && out(9L) == ((9L, true)),
+      "curated must beat the lower-id crawl copy")
+    assert(out(2L) == ((2L, true)) && out(3L) == ((2L, false)),
+      "listed source must beat the unlisted one")
+    assert(out(5L) == ((5L, true)))
+    // uniform priorities degenerate to exactDedup's min-id election
+    val flat = Dedup.exactDedupByPriority(docs, Map("curated" -> 7L, "crawl" -> 7L, "mystery" -> 7L))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("keep_id")).toMap
+    val plain = Dedup.exactDedup(docs)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("keep_id")).toMap
+    assert(flat == plain)
+  }
+
+  // --------------------------------------------------- curriculum bins
+
+  test("scoreBins: histogram quartiles match a brute-force reference; ties never split bins") {
+    val rnd = new scala.util.Random(23)
+    val docs = (0L until 200L).map(i => (i, rnd.nextInt(40).toLong - 20L))
+      .toDF("doc_id", "score")
+    val got = Sampling.scoreBins(docs, "score", nBins = 4)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("score"), r.getAs[Long]("bin"))).toMap
+    assert(got.size == 200)
+    // brute force: below-count per score over the full distribution
+    val scores = docs.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val byScore = scores.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val expect = scores.map { case (id, s) =>
+      val below = byScore.filter(_._1 < s).values.sum
+      id -> math.min(4L, below * 4L / 200L + 1L)
+    }.toMap
+    assert(got.view.mapValues(_._2).toMap == expect)
+    // ties: every doc with the same score shares a bin
+    got.values.groupBy(_._1).foreach { case (s, v) =>
+      assert(v.map(_._2).toSet.size == 1, s"score $s split across bins")
+    }
+    // bins are monotone in score
+    val binOfScore = got.values.toSeq.distinct.sortBy(_._1)
+    assert(binOfScore.map(_._2) == binOfScore.map(_._2).sorted)
+    // roughly equal-count (up to tie granularity of this distribution)
+    val sizes = got.values.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(sizes.keySet == Set(1L, 2L, 3L, 4L) && sizes.values.forall(n => n > 20 && n < 80),
+      s"degenerate bin sizes: $sizes")
+    // composes with stratifiedByRate on the bin column (the curriculum)
+    val rates = Seq((4L, 1000000L), (3L, 0L), (2L, 0L), (1L, 0L)).toDF("bin", "rate_ppm")
+    val top = Sampling.stratifiedByRate(
+        Sampling.scoreBins(docs, "score", 4), "bin", rates, defaultPpm = 0L)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(top == got.filter(_._2._2 == 4L).keySet)
+  }
+
   // --------------------------------------------- token-budget prefix cap
 
   test("tokenCapPerStratum: exact hash-order prefix, full-keep arm, unlisted drop") {
@@ -944,6 +1007,35 @@ class PipelineOpsSpec extends SparkSpec {
     assert(Sampling.tokenCapPerStratum(docs, "src",
         Map("s0" -> 200L, "s1" -> 100000L), tokensCol = "n_tok")
       .collect().map(_.getAs[Long]("doc_id")).sorted.toSeq == rows.map(_.getAs[Long]("doc_id")).sorted.toSeq)
+  }
+
+  test("tokenCapPerStratum: matches a brute-force prefix reference on seeded random corpora") {
+    val rnd = new scala.util.Random(11)
+    (1 to 3).foreach { round =>
+      val docs = (0L until 150L).map { i =>
+        (i * 7 + round, s"s${rnd.nextInt(4)}", rnd.nextInt(40).toLong)
+      }.toDF("doc_id", "src", "n_tok")
+      val caps = Map("s0" -> (200L + 100 * round), "s1" -> 150L, "s2" -> 1000000L)
+      val got = Sampling.tokenCapPerStratum(docs, "src", caps, tokensCol = "n_tok",
+          marginPct = 400L)
+        .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cum_tok"))).toMap
+      // brute force: per stratum, walk (bucket, id) order accumulating
+      val rows = docs
+        .select(col("doc_id"), col("src"), col("n_tok"), Sampling.bucketPpm("doc_id").as("b"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      // running-INCLUSIVE sum with no reset: the first overflow poisons
+      // every later doc too (the operator is a prefix, not a knapsack)
+      val expect = rows.groupBy(_._2).flatMap { case (srcK, g) =>
+        caps.get(srcK).toSeq.flatMap { cap =>
+          var cum = 0L
+          g.sortBy(t => (t._4, t._1)).flatMap { case (id, _, n, _) =>
+            cum += n
+            if (cum <= cap) Some(id -> cum) else None
+          }
+        }
+      }.toMap
+      assert(got == expect, s"round $round: got ${got.size} expect ${expect.size}")
+    }
   }
 
   test("tokenCapPerStratum: margin guard is loud, even when the prefilter empties the stratum") {

@@ -244,4 +244,47 @@ class StreamDedupSpec extends SparkSpec {
       assert(out.head._2 == 110L) // 10 bias + 300 div 3
     } finally q.stop()
   }
+
+  test("tokenBudgetAdmit: MemoryStream == reference across adversarial micro-batch splits; state persists") {
+    import StreamDedup.{AdmitDoc, AdmittedDoc}
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(17)
+    // feed: two budgeted strata + one unlisted; sizes that force both a
+    // mid-batch exhaustion and an overflow-then-smaller-doc-fits admission
+    val feed = (0L until 60L).map { i =>
+      AdmitDoc(i, s"s${(i % 3).toInt}", rnd.nextInt(30).toLong, arrival = i)
+    }
+    val budgets = Map("s0" -> 120L, "s1" -> 45L) // s2 unlisted -> dropped
+    val want = StreamDedup.admitReference(feed, budgets)
+    assert(want.nonEmpty && want.size < feed.size, "fixture must exercise rejections")
+    // the overflow-skip arm must actually occur in the fixture: some doc
+    // rejected while a LATER doc of the same stratum is admitted
+    val rejected = feed.filter(d => budgets.contains(d.stratum))
+      .filterNot(d => want.exists(_.doc_id == d.doc_id))
+    assert(rejected.exists(r => want.exists(a =>
+        a.stratum == r.stratum && a.arrival > r.arrival)),
+      "fixture must exercise reject-then-admit-smaller")
+
+    // three adversarial chunkings, including one-row batches over the
+    // exhaustion boundary
+    Seq(Seq(60), Seq(7, 1, 1, 1, 20, 30), Seq(1) ++ Seq.fill(59)(1)).zipWithIndex
+      .foreach { case (split, si) =>
+        val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[AdmitDoc]
+        val name = s"admit_out_$si"
+        val q = StreamDedup.tokenBudgetAdmit(input.toDS(), budgets)
+          .writeStream.format("memory").queryName(name).outputMode("append").start()
+        try {
+          var rest = feed
+          split.foreach { n =>
+            val (chunk, tail) = rest.splitAt(n)
+            rest = tail
+            if (chunk.nonEmpty) { input.addData(chunk); q.processAllAvailable() }
+          }
+          if (rest.nonEmpty) { input.addData(rest); q.processAllAvailable() }
+          val got = spark.table(name).as[AdmittedDoc].collect().sortBy(_.arrival).toSeq
+          assert(got == want.sortBy(_.arrival),
+            s"split $si: stream admission diverged from the reference")
+        } finally q.stop()
+      }
+  }
 }
