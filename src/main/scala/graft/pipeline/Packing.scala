@@ -144,6 +144,56 @@ object Packing {
     *         the shard, ordered by the epoch key with id tiebreak —
     *         md5 collisions cannot make the layout ambiguous)
     */
+  /** Proportional mixture INTERLEAVE: an ordering key under which the
+    * strata of a sampled mixture appear in proportion to their weights,
+    * evenly spread — a training loader reading the sorted stream sees
+    * "3 parts code, 1 part books" continuously, instead of the
+    * source-clumped runs a plain sort or hash order produces (clumping is
+    * the classic curriculum accident: hours of one domain in a row).
+    * Classic stride scheduling: the p-th doc (1-based, deterministic
+    * hash order) of a stratum with weight w gets
+    * `ikey = (2p - 1) * 1e6 div (2 w)` — stratum i's docs sit at odd
+    * multiples of 1/(2 w_i), so any prefix of the merged order holds each
+    * stratum in weight proportion with discrepancy <= 1 doc.
+    *
+    * Scale shape: docs hash-shard FIRST ([[Sampling.bucketPpm]], the
+    * packing convention), and the position window partitions by (shard,
+    * stratum) — per-shard-per-stratum sequential streams, bounded by
+    * |corpus| / nShards, never a global order. Each shard's sorted
+    * stream is independently proportionally mixed, which is exactly the
+    * per-worker training layout. Strata absent from `weights` are
+    * dropped (the config IS the mixture); weights must be positive.
+    *
+    * @return docs columns + shard, pos (1-based within (shard, stratum)),
+    *         ikey — write with `repartition(shard) +
+    *         sortWithinPartitions(ikey, stratumCol, idCol)`
+    */
+  def interleaveByWeight(
+      docs: DataFrame,
+      stratumCol: String,
+      weights: Map[String, Long],
+      nShards: Int,
+      idCol: String = "doc_id"): DataFrame = {
+    require(weights.nonEmpty, "interleaveByWeight: weights must be non-empty")
+    weights.foreach { case (s, w) =>
+      require(w > 0 && w <= 1000000000L,
+        s"interleaveByWeight: weight for '$s' must be in [1, 1e9], got $w")
+    }
+    require(nShards > 0, s"interleaveByWeight: nShards must be positive, got $nShards")
+    val reserved = Seq("__hval", "__w", "shard", "pos", "ikey").filter(docs.columns.contains)
+    require(reserved.isEmpty,
+      s"docs columns collide with output/internal names (rename them): ${reserved.mkString(", ")}")
+    val w = Window.partitionBy("shard", stratumCol).orderBy(col("__hval"), col(idCol))
+    docs
+      .withColumn("__w", element_at(typedLit(weights), col(stratumCol)))
+      .where(col("__w").isNotNull) // unlisted strata: dropped
+      .withColumn("__hval", Sampling.bucketPpm(idCol))
+      .withColumn("shard", col("__hval") % nShards)
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .withColumn("ikey", expr("(2L * pos - 1L) * 1000000L div (2L * __w)"))
+      .drop("__w", "__hval")
+  }
+
   def epochShuffle(
       docs: DataFrame,
       nShards: Int,

@@ -708,6 +708,17 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // proportional mixture interleave: stride-scheduled ordering keys so
+    // each shard's sorted stream holds src0:src1:src2 at 3:1:2
+    // continuously (never source-clumped runs); unlisted sources drop
+    "ext_interleave" -> ((s, dir) => {
+      Packing.interleaveByWeight(
+          Tables.documents(s, dir).select("doc_id", "source"),
+          "source", Map("src0" -> 3L, "src1" -> 1L, "src2" -> 2L), nShards = 4)
+        .select("doc_id", "source", "shard", "pos", "ikey")
+        .orderBy("doc_id")
+    }),
+
     // END-TO-END corpus build: quality filter → exact dedup → temperature
     // mixture → sequence packing, composed as ONE declarative pipeline the
     // way a pretraining data build actually runs. Stage boundaries persist
@@ -1386,6 +1397,19 @@ object PipelineQueries {
          |SELECT doc_id, shard,
          |  CAST(row_number() OVER (PARTITION BY shard ORDER BY ekey, doc_id) AS BIGINT) AS pos
          |FROM s ORDER BY doc_id""".stripMargin,
+
+    "ext_interleave" ->
+      """WITH d AS (SELECT doc_id, source,
+        |  CASE source WHEN 'src0' THEN 3 WHEN 'src1' THEN 1 WHEN 'src2' THEN 2 END AS w,
+        |  abs(doc_id * 2654435761 + 40503) % 1000000 AS hval
+        | FROM documents),
+        |s AS (SELECT doc_id, source, w, hval, hval % 4 AS shard FROM d WHERE w IS NOT NULL),
+        |p AS (SELECT doc_id, source, w, shard,
+        |  CAST(row_number() OVER (PARTITION BY shard, source ORDER BY hval, doc_id) AS BIGINT) AS pos
+        | FROM s)
+        |SELECT doc_id, source, CAST(shard AS BIGINT) AS shard, pos,
+        |  CAST((2 * pos - 1) * 1000000 // (2 * w) AS BIGINT) AS ikey
+        |FROM p ORDER BY doc_id""".stripMargin,
 
     // end-to-end twin: every stage replayed from the SHARED fragments the
     // standalone oracles use (gopher CTEs verbatim, min-id keeper election,

@@ -68,6 +68,49 @@ class PackingSpec extends SparkSpec {
     assert(messages(e).exists(_.contains("non-negative")), s"got: $e")
   }
 
+  // ------------------------------------------------ mixture interleave
+
+  test("interleaveByWeight: sorted prefixes hold every stratum in weight proportion (bounded discrepancy)") {
+    val mix = ((0L until 300L).map(i => (i, "a")) ++
+      (300L until 400L).map(i => (i, "b")) ++
+      (400L until 600L).map(i => (i, "c")) ++
+      (600L until 620L).map(i => (i, "zz"))).toDF("doc_id", "src")
+    val weights = Map("a" -> 3L, "b" -> 1L, "c" -> 2L)
+    val out = Packing.interleaveByWeight(mix, "src", weights, nShards = 2)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("src"),
+        r.getAs[Long]("shard"), r.getAs[Long]("pos"), r.getAs[Long]("ikey")))
+    // unlisted stratum dropped
+    assert(!out.exists(_._2 == "zz") && out.length == 600)
+    // within each shard's sorted stream, every prefix holds each stratum
+    // within 1 doc of its weight share of what that stratum has consumed —
+    // the stride-scheduling discrepancy bound: docs of stratum i in keys
+    // <= K is |{p : (2p-1)/(2w) <= K}| = floor(K*w + 1/2), so two strata's
+    // counts stay in ratio w1:w2 up to rounding
+    out.groupBy(_._3).foreach { case (shard, rows) =>
+      val ordered = rows.sortBy(t => (t._5, t._2, t._1))
+      val totalW = weights.values.sum.toDouble
+      val counts = scala.collection.mutable.Map.empty[String, Int].withDefaultValue(0)
+      ordered.zipWithIndex.foreach { case ((_, srcK, _, _, _), idx) =>
+        counts(srcK) += 1
+        val n = idx + 1
+        // only check prefixes where no stratum is exhausted yet
+        val exhausted = weights.keys.exists(k =>
+          counts(k) == rows.count(_._2 == k))
+        if (!exhausted) {
+          weights.foreach { case (k, wgt) =>
+            val expect = n * wgt / totalW
+            assert(math.abs(counts(k) - expect) <= 2.0,
+              s"shard $shard prefix $n: stratum $k at ${counts(k)} vs ~$expect")
+          }
+        }
+      }
+    }
+    // deterministic
+    val again = Packing.interleaveByWeight(mix, "src", weights, nShards = 2)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("ikey")))
+    assert(out.map(t => (t._1, t._5)).sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+  }
+
   // ------------------------------------------------------ epoch shuffle
 
   test("epochShuffle: every doc placed once, pos contiguous per shard, deterministic") {
