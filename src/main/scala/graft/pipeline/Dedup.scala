@@ -391,7 +391,12 @@ object Dedup {
           "them into one cluster; remap one id space first")
     }
     // feeds the band explode, both sim verifications, and the final label
-    // join — persist so the signature aggregation runs once
+    // join — persist so the signature aggregation runs once. (Measured:
+    // the explode+aggregate form beats the scan-side rowSigS expression
+    // here — the exploded hash is codegen'd and the 64 mins combine
+    // map-side, while the row expression is one large interpreted HOF;
+    // rowSigS earns its keep only where a shuffle is illegal, i.e. the
+    // stateless streaming projection.)
     val bsig = minhashSignature(batch, idCol, textCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val matches = minhashStoreMatches(bsig, sigStore, thresholdPpm, idCol)

@@ -43,6 +43,28 @@ object ShingleStage {
     spark.table(table)
   }
 
+  /** Generic one-time staged table for other materialized substrates (the
+    * incremental near-dup SIGNATURE STORE is the main client: in
+    * production the store is a stored table the `sigStoreAppend` loop
+    * maintains — rebuilding its signature pipeline per consumer would
+    * misrepresent the steady-state probe cost). Same contract as
+    * [[shingleHashes]]: first caller pays the build, later callers read
+    * parquet; idempotent across JVMs.
+    */
+  def stagedTable(spark: SparkSession, key: String, build: => DataFrame): DataFrame = {
+    val table = staged.getOrElseUpdate(key, {
+      val name = "graft_staged_" + key.replaceAll("[^A-Za-z0-9]", "_")
+      spark.sql(s"DROP TABLE IF EXISTS $name")
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), name)
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+      build.write.format("parquet").saveAsTable(name)
+      name
+    })
+    spark.table(table)
+  }
+
   /** Drop all staged tables (tests). */
   def reset(spark: SparkSession): Unit = {
     staged.values.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
