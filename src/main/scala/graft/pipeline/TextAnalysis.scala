@@ -245,6 +245,59 @@ object TextAnalysis {
           .as("contaminated_ppm"))
   }
 
+  /** STREAMING-SAFE contamination probe — the [[classifierScoreInline]]
+    * discipline applied to [[contamination]]: the eval set's distinct
+    * shingles ship as a LITERAL map, the document's distinct shingles
+    * derive in one scan-side HOF, and hits are O(1) map lookups per
+    * shingle — no explode, no join, no aggregation, so the probe is legal
+    * in a stateless streaming projection (an ingest stream can refuse
+    * benchmark-contaminated documents online, not in a nightly batch).
+    * Output-equal to [[contamination]] on the same rows (spec-asserted):
+    * same distinct-shingle counting, same ppm arithmetic, zeros for
+    * docs too short to shingle.
+    *
+    * The eval set is bounded by contract (a benchmark is a fixed set of
+    * documents), which is what makes the literal-map form sound — the
+    * same boundedness [[contamination]]'s broadcast relies on.
+    */
+  def contaminationInline(
+      docs: DataFrame,
+      evalShingles: Set[String],
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(evalShingles.nonEmpty, "contaminationInline: evalShingles must be non-empty")
+    val reserved = Seq("__toks", "__shs", "n_sh", "n_hit", "contaminated_ppm")
+      .filter(docs.columns.contains)
+    require(reserved.isEmpty,
+      s"docs columns collide with output/internal names (rename them): ${reserved.mkString(", ")}")
+    val evalMap = evalShingles.map(_ -> 1L).toMap
+    docs
+      .withColumn("__toks", expr(toksS(textCol)))
+      .withColumn("__shs", expr(
+        """array_distinct(IF(size(__toks) >= 3,
+          |  transform(sequence(1, size(__toks) - 2),
+          |    i -> concat_ws(' ', element_at(__toks, i), element_at(__toks, i + 1), element_at(__toks, i + 2))),
+          |  array_repeat('', 0)))""".stripMargin.replace("\n", " ")))
+      .withColumn("n_sh", size(col("__shs")).cast("long"))
+      .withColumn("n_hit", size(filter(col("__shs"),
+        s => element_at(typedLit(evalMap), s).isNotNull)).cast("long"))
+      .select(col(idCol), col("n_sh"), col("n_hit"),
+        expr("n_hit * 1000000L DIV greatest(n_sh, 1L)").as("contaminated_ppm"))
+  }
+
+  /** The eval set's distinct shingles as a driver-side set (the literal
+    * [[contaminationInline]] consumes). A benchmark is a BOUNDED set of
+    * documents, so this collect is control-plane configuration, not a
+    * data-plane bottleneck — same contract as [[contamination]]'s
+    * broadcast of the identical rows.
+    */
+  def evalShingleSet(
+      evalDocs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text"): Set[String] =
+    Dedup.shingleRows(evalDocs, idCol, textCol)
+      .select("sh").distinct().collect().map(_.getString(0)).toSet
+
   /** Linear text-classifier INFERENCE — the model-based quality-filter
     * pass (fastText-style "educational value" / quality classifiers) that
     * sits next to the rule-based [[gopherFilter]] in every pretraining

@@ -915,6 +915,27 @@ class PipelineOpsSpec extends SparkSpec {
         .collect().map(_.getAs[Long]("doc_id")).sorted.toSeq)
   }
 
+  // ------------------------------------------ inline contamination
+
+  test("contaminationInline == contamination on the same rows; short docs report zeros") {
+    val eval = Seq((100L, "alpha beta gamma delta"), (101L, "one two three")).toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon"),  // 2 eval shingles of 3
+      (2L, "completely novel text right here"),
+      (3L, "one two three one two three"),      // repeated eval shingles, distinct-counted
+      (4L, "too short"),                        // no shingles -> zeros
+      (5L, "")).toDF("doc_id", "text")
+    val inline = TextAnalysis.contaminationInline(docs,
+        TextAnalysis.evalShingleSet(eval))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).sortBy(_._1)
+    val batch = TextAnalysis.contamination(docs, eval)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).sortBy(_._1)
+    assert(inline.toSeq == batch.toSeq,
+      s"inline ${inline.toSeq} != batch ${batch.toSeq}")
+    val short = inline.find(_._1 == 4L).get
+    assert(short._2 == 0L && short._3 == 0L && short._4 == 0L)
+  }
+
   // ------------------------------------------------ priority dedup
 
   test("exactDedupByPriority: trusted source wins its dup group regardless of id; unlisted ranks worst") {

@@ -245,6 +245,27 @@ class StreamDedupSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("contaminationInline runs as a stateless streaming projection, equal to the batch probe") {
+    import graft.pipeline.TextAnalysis
+    implicit val sqlCtx = spark.sqlContext
+    val eval = Seq((100L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val evalSet = TextAnalysis.evalShingleSet(eval)
+    val rows = Seq((1L, "alpha beta gamma delta epsilon"), (2L, "novel text entirely here"),
+      (3L, "too short"))
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val q = TextAnalysis.contaminationInline(input.toDF().toDF("doc_id", "text"), evalSet)
+      .writeStream.format("memory").queryName("contam_out").outputMode("append").start()
+    try {
+      input.addData(rows)
+      q.processAllAvailable()
+      val streamed = spark.table("contam_out")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).sortBy(_._1)
+      val batch = TextAnalysis.contamination(rows.toDF("doc_id", "text"), eval)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).sortBy(_._1)
+      assert(streamed.toSeq == batch.toSeq)
+    } finally q.stop()
+  }
+
   test("tokenBudgetAdmit: MemoryStream == reference across adversarial micro-batch splits; state persists") {
     import StreamDedup.{AdmitDoc, AdmittedDoc}
     implicit val sqlCtx = spark.sqlContext
