@@ -178,4 +178,50 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(positions.forall(g => g.map(_._2).distinct.size == g.size),
       "epoch copies must not collapse onto one position")
   }
+
+  test("mixture round composes: priority dedup → temperature mixture → token cap → interleave") {
+    assume(new java.io.File(s"$dir/documents.parquet").exists(), s"$dir not present")
+    val docs = Tables.documents(spark, dir)
+    // re-release every 5th doc from a curated source (higher ids)
+    val aug = docs.select("doc_id", "source", "text")
+      .unionByName(docs.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          org.apache.spark.sql.functions.lit("curated").as("source"), col("text")))
+
+    // 1. priority dedup: curated copies win their groups
+    val priorities = Map("curated" -> 1L, "src0" -> 5L, "src1" -> 5L, "src2" -> 5L, "src3" -> 5L)
+    val verdict = Dedup.exactDedupByPriority(aug, priorities)
+    val deduped = aug.join(verdict.where(col("is_keeper")).select("doc_id"), "doc_id")
+    assert(deduped.count() == docs.count(), "one keeper per distinct text")
+    // every curated copy beat its original
+    assert(deduped.where(col("source") === "curated").count() ==
+      docs.filter(col("doc_id") % 5 === 0).count())
+
+    // 2. temperature mixture over the deduped survivors
+    val withTok = deduped.select(col("doc_id"), col("source"),
+      expr(s"cast(size(${TextOps.toksS("text")}) as bigint)").as("n_tok"))
+    val sampled = Sampling.mixtureByTemperature(withTok, "source", budget = 4000L,
+      tokensCol = "n_tok")
+    val nSampled = sampled.count()
+    assert(nSampled > 0 && nSampled < withTok.count())
+
+    // 3. exact token cap on one stratum of the sample
+    val capped = Sampling.tokenCapPerStratum(
+      sampled.select("doc_id", "source", "n_tok"), "source",
+      Map("curated" -> 300L), tokensCol = "n_tok")
+    val capTok = capped.agg(org.apache.spark.sql.functions.sum("n_tok")).collect()(0).getLong(0)
+    assert(capTok <= 300L, s"cap overflow: $capTok")
+
+    // 4. interleave what remains of two strata proportionally
+    val mixed = sampled.where(col("source").isin("src0", "src1"))
+    val laid = Packing.interleaveByWeight(
+      mixed.select("doc_id", "source"), "source", Map("src0" -> 2L, "src1" -> 1L), nShards = 2)
+    assert(laid.count() == mixed.count(), "interleave must place every listed doc")
+    // deterministic re-run of the whole chain
+    val again = Packing.interleaveByWeight(
+      Sampling.mixtureByTemperature(withTok, "source", budget = 4000L, tokensCol = "n_tok")
+        .where(col("source").isin("src0", "src1")).select("doc_id", "source"),
+      "source", Map("src0" -> 2L, "src1" -> 1L), nShards = 2)
+    assert(laid.collect().map(_.toSeq).toSet == again.collect().map(_.toSeq).toSet)
+  }
 }
