@@ -294,6 +294,32 @@ class PlanAssertionsSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), s"no cartesian allowed:\n${plan.take(2000)}")
   }
 
+  test("ext_curriculum: bin table broadcasts onto the corpus; no corpus-wide global sort") {
+    val plan = planOf("ext_curriculum")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the (score -> bin) table must broadcast:\n${plan.take(2000)}")
+    // the distribution window runs over the HISTOGRAM aggregate, so the
+    // plan must contain an aggregate below the single-partition window —
+    // never a Window directly over the corpus-sized scored frame
+    assert(!plan.contains("CartesianProduct"), s"no cartesian allowed:\n${plan.take(2000)}")
+    assert(plan.contains("HashAggregate"),
+      s"histogram aggregate missing (global ntile would have none):\n${plan.take(2000)}")
+  }
+
+  test("ext_interleave: position window partitions by (shard, stratum) — never a global order") {
+    val plan = planOf("ext_interleave")
+    assert(plan.contains("hashpartitioning(shard"),
+      s"interleave window must partition by shard:\n${plan.take(2000)}")
+  }
+
+  test("ext_dedup_priority: one window on the text hash; priorities are a literal lookup, no extra join") {
+    val plan = planOf("ext_dedup_priority")
+    assert(plan.contains("hashpartitioning(h"),
+      s"keeper window must partition by the hash:\n${plan.take(2000)}")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin"),
+      s"the literal priority map must not become a join:\n${plan.take(2000)}")
+  }
+
   test("ext_shard_order: the position window partitions by shard — never a global single-partition sort") {
     val plan = planOf("ext_shard_order")
     // a Window with an empty partition spec renders as
