@@ -120,6 +120,55 @@ object Packing {
       .withColumn("n_chunks", col("chunk_last") - col("chunk_first") + lit(1L))
   }
 
+  /** Length-bucketed BATCHING plan — the padding-efficiency layout for
+    * padded (non-packed) training and for inference serving: documents
+    * group into power-of-two length buckets (`bucket` = bit length of the
+    * token count, so bucket b holds 2^(b-1)..2^b-1 tokens and the
+    * worst-case padding within any batch is < 2x, vs unbounded for
+    * random batching), and each (shard, bucket) stream is cut into
+    * `batchSize`-doc batches in deterministic hash order. Pure integer —
+    * the bit-length log2 idiom the surprisal operators use, exact on any
+    * engine.
+    *
+    * Scale shape: the position window partitions by (shard, bucket) —
+    * parallel streams bounded by |corpus|/nShards, never a global order;
+    * bucket assignment and batch arithmetic are scan-side. A training
+    * loader reads `(shard, bucket, batch_idx)` groups; every batch's docs
+    * agree on the bucket by construction, so its padded width is the
+    * bucket ceiling.
+    *
+    * @return docs columns + bucket, shard, pos (1-based within
+    *         (shard, bucket)), batch_idx (0-based)
+    */
+  def lengthBuckets(
+      docs: DataFrame,
+      batchSize: Long,
+      nShards: Int,
+      idCol: String = "doc_id",
+      tokensCol: String = "n_tokens"): DataFrame = {
+    require(batchSize > 0, s"lengthBuckets: batchSize must be positive, got $batchSize")
+    require(nShards > 0, s"lengthBuckets: nShards must be positive, got $nShards")
+    val missing = Seq(idCol, tokensCol).filterNot(docs.columns.contains)
+    require(missing.isEmpty, s"columns absent from docs: ${missing.mkString(", ")}")
+    val reserved = Seq("__hval", "bucket", "shard", "pos", "batch_idx")
+      .filter(docs.columns.contains)
+    require(reserved.isEmpty,
+      s"docs columns collide with output/internal names (rename them): ${reserved.mkString(", ")}")
+    val w = Window.partitionBy("shard", "bucket").orderBy(col("__hval"), col(idCol))
+    docs
+      .withColumn("bucket", expr(
+        s"""if(`$tokensCol` is null or `$tokensCol` < 0,
+           |  cast(raise_error(concat('lengthBuckets: $tokensCol must be a non-negative integer, got ',
+           |    coalesce(cast(`$tokensCol` as string), 'NULL'))) as bigint),
+           |  if(`$tokensCol` = 0, 0L, cast(length(bin(cast(`$tokensCol` as bigint))) as bigint)))"""
+          .stripMargin))
+      .withColumn("__hval", Sampling.bucketPpm(idCol))
+      .withColumn("shard", col("__hval") % nShards)
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .withColumn("batch_idx", expr(s"(pos - 1L) div ${batchSize}L"))
+      .drop("__hval")
+  }
+
   /** Deterministic EPOCH-seeded shard layout: every epoch sees the corpus
     * in a fresh, independent pseudo-random order — the per-epoch reshuffle
     * every training loop performs, as a declarative layout instead of a

@@ -718,6 +718,17 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // length-bucketed batching: pow2 length buckets (padding < 2x within
+    // any batch) cut into 16-doc batches per (shard, bucket) hash stream
+    "ext_len_buckets" -> ((s, dir) => {
+      Packing.lengthBuckets(
+          Tables.documents(s, dir).select(col("doc_id"),
+            expr(s"cast(size(${toksS("text")}) as bigint)").as("n_tokens")),
+          batchSize = 16L, nShards = 4)
+        .select("doc_id", "n_tokens", "bucket", "shard", "pos", "batch_idx")
+        .orderBy("doc_id")
+    }),
+
     // proportional mixture interleave: stride-scheduled ordering keys so
     // each shard's sorted stream holds src0:src1:src2 at 3:1:2
     // continuously (never source-clumped runs); unlisted sources drop
@@ -1407,6 +1418,22 @@ object PipelineQueries {
          |SELECT doc_id, shard,
          |  CAST(row_number() OVER (PARTITION BY shard ORDER BY ekey, doc_id) AS BIGINT) AS pos
          |FROM s ORDER BY doc_id""".stripMargin,
+
+    "ext_len_buckets" ->
+      s"""WITH d AS (SELECT doc_id,
+         |  CAST(len(${toksD("text")}) AS BIGINT) AS n_tokens FROM documents),
+         |b AS (SELECT doc_id, n_tokens,
+         |  CASE WHEN n_tokens = 0 THEN 0
+         |       ELSE length(format('{:b}', n_tokens)) END AS bucket,
+         |  abs(doc_id * 2654435761 + 40503) % 1000000 AS hval
+         | FROM d),
+         |s AS (SELECT doc_id, n_tokens, bucket, hval, hval % 4 AS shard FROM b),
+         |p AS (SELECT doc_id, n_tokens, bucket, shard,
+         |  CAST(row_number() OVER (PARTITION BY shard, bucket ORDER BY hval, doc_id) AS BIGINT) AS pos
+         | FROM s)
+         |SELECT doc_id, n_tokens, CAST(bucket AS BIGINT) AS bucket,
+         |  CAST(shard AS BIGINT) AS shard, pos, (pos - 1) // 16 AS batch_idx
+         |FROM p ORDER BY doc_id""".stripMargin,
 
     "ext_interleave" ->
       """WITH d AS (SELECT doc_id, source,

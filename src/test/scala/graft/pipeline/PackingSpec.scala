@@ -68,6 +68,47 @@ class PackingSpec extends SparkSpec {
     assert(messages(e).exists(_.contains("non-negative")), s"got: $e")
   }
 
+  // ----------------------------------------------- length bucketing
+
+  test("lengthBuckets: pow2 boundaries, full batches except the last, <2x padding within any batch") {
+    val rnd = new scala.util.Random(29)
+    val mix = (0L until 500L).map(i => (i, rnd.nextInt(1000).toLong)).toDF("doc_id", "n_tokens")
+    val out = Packing.lengthBuckets(mix, batchSize = 8L, nShards = 2)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("bucket"), r.getAs[Long]("shard"), r.getAs[Long]("pos"),
+        r.getAs[Long]("batch_idx")))
+    assert(out.length == 500)
+    // bucket b holds exactly [2^(b-1), 2^b) tokens; zero-token docs bucket 0
+    out.foreach { case (id, n, b, _, _, _) =>
+      if (n == 0) assert(b == 0, s"doc $id")
+      else assert(n >= (1L << (b - 1).toInt) && n < (1L << b.toInt),
+        s"doc $id: $n tokens outside bucket $b")
+    }
+    out.groupBy(t => (t._4, t._3)).foreach { case ((shard, bucket), rows) =>
+      // positions contiguous per (shard, bucket) stream
+      assert(rows.map(_._5).sorted.toSeq == (1L to rows.length))
+      // every batch full except possibly the highest index
+      val byBatch = rows.groupBy(_._6)
+      val maxIdx = byBatch.keys.max
+      byBatch.foreach { case (idx, b2) =>
+        if (idx < maxIdx) assert(b2.length == 8, s"batch ($shard,$bucket,$idx) not full")
+        // padding bound: max/min token ratio within a batch < 2 (same bucket)
+        val ns = b2.map(_._2).filter(_ > 0)
+        if (ns.nonEmpty) assert(ns.max < ns.min * 2 || ns.min == 0 || ns.max == ns.min,
+          s"batch ($shard,$bucket,$idx) spans ${ns.min}..${ns.max}")
+      }
+    }
+    // deterministic
+    val again = Packing.lengthBuckets(mix, batchSize = 8L, nShards = 2)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("batch_idx")))
+    assert(out.map(t => (t._1, t._6)).sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+    // negative token counts fail loudly
+    val e = intercept[Exception] {
+      Packing.lengthBuckets(Seq((1L, -2L)).toDF("doc_id", "n_tokens"), 8L, 2).collect()
+    }
+    assert(e.getMessage.contains("non-negative"), s"got: ${e.getMessage}")
+  }
+
   // ------------------------------------------------ mixture interleave
 
   test("interleaveByWeight: sorted prefixes hold every stratum in weight proportion (bounded discrepancy)") {
