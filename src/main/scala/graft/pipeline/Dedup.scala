@@ -443,6 +443,42 @@ object Dedup {
       .select(col(idCol), col("sig"), col("cluster_id"))
   }
 
+  /** CROSS-SOURCE OVERLAP MATRIX — the data-card statistic a multi-source
+    * corpus build reports before choosing mixture weights: for every
+    * unordered source pair (a, b), how many near-dup pairs straddle the
+    * two sources and how similar they are on average. Feed it the pair
+    * list any detector produced ([[minhashNearDups]] jaccard_ppm,
+    * [[minhashSigPairs]] sim_ppm, [[simhashNearDups]] via a renamed dist)
+    * plus a (id, source) lookup; rows with a == b count within-source
+    * duplication, a != b cross-source contamination (e.g. "how much of
+    * the web crawl is already in the curated dump").
+    *
+    * Scale shape: `pairs` is the post-threshold near-dup list — tiny next
+    * to the corpus — so both source lookups are joins of a small frame
+    * against the fixed-width (id, source) projection of the corpus
+    * (broadcast `pairs` or bucket the corpus by id to co-locate; the text
+    * never loads). The matrix itself is one groupBy over at most
+    * |sources|² rows of output.
+    */
+  def overlapMatrix(
+      pairs: DataFrame,
+      sources: DataFrame,
+      idCol: String = "doc_id",
+      srcCol: String = "source",
+      simCol: String = "jaccard_ppm"): DataFrame = {
+    require(pairs.columns.contains(simCol),
+      s"pairs must carry the similarity column '$simCol', got ${pairs.columns.mkString(", ")}")
+    pairs
+      .join(sources.select(col(idCol).as("id1"), col(srcCol).as("__s1")), "id1")
+      .join(sources.select(col(idCol).as("id2"), col(srcCol).as("__s2")), "id2")
+      .groupBy(
+        least(col("__s1"), col("__s2")).as("source_a"),
+        greatest(col("__s1"), col("__s2")).as("source_b"))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        expr(s"sum($simCol) DIV count(1)").as("mean_sim_ppm"))
+  }
+
   /** Cross-document LINE-level dedup (CCNet-style boilerplate removal):
     * every distinct line keeps exactly ONE occurrence corpus-wide — the one
     * with the smallest (doc_id, line position) — and every other occurrence

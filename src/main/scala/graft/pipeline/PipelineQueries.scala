@@ -280,6 +280,19 @@ object PipelineQueries {
         .orderBy(col("jaccard_ppm").desc, col("id1"), col("id2")).limit(20)
     }),
 
+    // cross-source overlap matrix: per unordered source pair, how many
+    // near-dup pairs straddle the two sources — the data-card statistic
+    // that drives mixture/dedup policy across datasets
+    "ext_overlap_matrix" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val sh = ShingleStage.shingleHashes(s, dir, nearAug(docs))
+      val srcs = docs.select("doc_id", "source").unionByName(
+        docs.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("source")))
+      Dedup.overlapMatrix(Dedup.minhashNearDupsOf(sh, 200000L), srcs)
+        .orderBy("source_a", "source_b")
+    }),
+
     // near-dup pairs → connected components → per-cluster keeper election:
     // the post-pair step that makes dedup safe under chained duplicates
     // ((A,B) + (B,C) ⇒ one {A,B,C} cluster, one keeper)
@@ -380,6 +393,14 @@ object PipelineQueries {
     "ext_knn_int8" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       Similarity.int8Knn(emb, emb.filter(col("vec_id") < 10), 3).orderBy("query_id", "rank")
+    }),
+
+    // product-quantized top-k: the 64x-compression scale path (8 four-bit
+    // codes per vector); asymmetric-distance scoring — per pair, M table
+    // lookups against the query's LUT, never a per-dimension dot
+    "ext_knn_pq" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.pqKnn(emb, emb.filter(col("vec_id") < 10), 3).orderBy("query_id", "rank")
     }),
 
     "ext_dedup_lines" -> ((s, dir) => {
@@ -795,6 +816,26 @@ object PipelineQueries {
          |SELECT id1, id2, jaccard_ppm FROM jac
          |ORDER BY jaccard_ppm DESC, id1, id2 LIMIT 20""".stripMargin,
 
+    "ext_overlap_matrix" ->
+      s"""WITH $nearAugSql,
+         |$shinglesSqlCtes,
+         |sg AS (SELECT doc_id, $minhashSigD AS sig FROM sh),
+         |bh AS (SELECT doc_id, unnest($bandHashesD) AS bhash FROM sg),
+         |prs AS (SELECT DISTINCT x.doc_id AS id1, y.doc_id AS id2
+         |        FROM bh x JOIN bh y ON x.bhash = y.bhash AND x.doc_id < y.doc_id),
+         |$jaccardOfPairsSql,
+         |dup AS (SELECT id1, id2, jaccard_ppm FROM jac WHERE jaccard_ppm >= 200000),
+         |src AS (SELECT doc_id, source FROM documents
+         |        UNION ALL SELECT doc_id + 1000000, source FROM documents WHERE doc_id % 10 = 0),
+         |m AS (SELECT least(a.source, b.source) AS source_a,
+         |        greatest(a.source, b.source) AS source_b,
+         |        count(*) AS n_pairs, sum(jaccard_ppm) // count(*) AS mean_sim_ppm
+         |      FROM dup JOIN src a ON a.doc_id = dup.id1
+         |               JOIN src b ON b.doc_id = dup.id2 GROUP BY 1, 2)
+         |SELECT source_a, source_b, CAST(n_pairs AS BIGINT) AS n_pairs,
+         |  CAST(mean_sim_ppm AS BIGINT) AS mean_sim_ppm
+         |FROM m ORDER BY source_a, source_b""".stripMargin,
+
     // transitive closure via recursive CTE: min reachable id per node over
     // the symmetrized minhash pair edges; absent nodes are singletons
     "ext_dedup_clusters" ->
@@ -962,6 +1003,33 @@ object PipelineQueries {
         |w AS (SELECT query_id, neighbor_id, score,
         |        row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank FROM s)
         |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, CAST(score AS BIGINT) AS score
+        |FROM w WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+
+    // PQ oracle: the codebook is the SAME integer formula as
+    // Similarity.pqCbVal, evaluated in SQL (the ivfCentSql discipline)
+    "ext_knn_pq" ->
+      """WITH cb AS (SELECT m, c, list_transform(generate_series(1,8),
+        |    i -> (((m*16 + c)*8 + (i-1))*48271 + 12345) % 999983 - 499991) AS vals
+        |  FROM range(0,8) t(m), range(0,16) u(c)),
+        |vp AS (SELECT vec_id,
+        |  list_transform(embedding, x0 -> CAST(floor(x0::DOUBLE * 1000000) AS BIGINT)) AS p
+        |  FROM embeddings),
+        |d AS (SELECT vec_id, m, c,
+        |    list_sum(list_transform(generate_series(1,8),
+        |      i -> (p[m*8+i] - vals[i]) * (p[m*8+i] - vals[i]))) AS dist
+        |  FROM vp, cb),
+        |cd AS (SELECT vec_id, m, c,
+        |    row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, c) AS rn FROM d),
+        |codes AS (SELECT vec_id, m, c FROM cd WHERE rn = 1),
+        |lut AS (SELECT vec_id AS query_id, m, c,
+        |    list_sum(list_transform(generate_series(1,8), i -> p[m*8+i] * vals[i])) AS v
+        |  FROM vp, cb WHERE vec_id < 10),
+        |s AS (SELECT l.query_id, k.vec_id AS neighbor_id, CAST(sum(l.v) AS BIGINT) AS score
+        |      FROM codes k JOIN lut l ON k.m = l.m AND k.c = l.c
+        |      WHERE k.vec_id <> l.query_id GROUP BY 1, 2),
+        |w AS (SELECT query_id, neighbor_id, score,
+        |        row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank FROM s)
+        |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, score
         |FROM w WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
 
     "ext_dedup_lines" ->

@@ -290,6 +290,145 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id")
   }
 
+  // ------------------------------------------------------------------ PQ
+
+  /** Product-quantization geometry: 64-dim vectors split into [[PQ_M]]
+    * subspaces of [[PQ_SUBDIM]] dims; each subspace has a [[PQ_KSUB]]-entry
+    * codebook, so a vector stores as 8 four-bit codes — 32 bytes of float32
+    * per subspace collapse to half a byte. PQ completes the ANN family's
+    * compression axis: LSH buckets (no training), IVF cells (trainable
+    * routing), int8 (4× memory), PQ (64× memory, table-lookup scoring).
+    */
+  val PQ_M = 8
+  val PQ_SUBDIM = 8
+  val PQ_KSUB = 16
+
+  /** Codebook entry component, ppm-integer — deterministic pseudo-random in
+    * [-499991, 499991] (≈ [-0.5, 0.5) in ppm), the [[ivfCentroid]]
+    * discipline: production PQ trains codebooks per subspace with k-means
+    * (swap trained tables in via the `*With` forms); the scale-critical
+    * parts — the one-time encode scan and the LUT-lookup scoring join — are
+    * identical either way. All-integer so the oracle hashes exactly.
+    */
+  def pqCbVal(m: Int, c: Int, i: Int): Long =
+    (((m.toLong * PQ_KSUB + c) * PQ_SUBDIM + i) * 48271L + 12345L) % 999983L - 499991L
+
+  /** The default codebook table: codebooks(m)(c) = subvector of ppm ints. */
+  def defaultPqCodebooks: Seq[Seq[Seq[Long]]] =
+    (0 until PQ_M).map(m => (0 until PQ_KSUB).map(c =>
+      (0 until PQ_SUBDIM).map(i => pqCbVal(m, c, i))))
+
+  /** SQL literal for a full codebook table: array<array<array<bigint>>>,
+    * indexed cb[m+1][c+1][i+1]. Constant-folded to ONE literal by Catalyst
+    * — referencing it inside per-row lambdas costs nothing per row.
+    */
+  private def pqCbLitS(cbs: Seq[Seq[Seq[Long]]]): String =
+    cbs.map(cb => cb.map(v => v.mkString("array(", "L,", "L)"))
+        .mkString("array(", ",", ")"))
+      .mkString("array(", ",", ")")
+
+  /** ppm quantization of the float vector (the int8 convention: exact
+    * float→double widening, floor — identical in both engines).
+    */
+  private def pqPpmS(vec: String): String =
+    s"transform($vec, x0 -> cast(floor(cast(x0 as double) * 1000000) as bigint))"
+
+  /** PQ ENCODE — array of [[PQ_M]] codes, each the argmin-L2 codebook entry
+    * for its subvector (ties to the lower code id via struct ordering).
+    * One scan-side expression; the ppm array is lambda-bound (the rowSigS
+    * discipline) so it is computed once per row. Pure Long arithmetic:
+    * per-component squared diffs ≤ (1.5e6)² ≈ 2.3e12, × 8 components
+    * ≈ 1.8e13 — far inside Long.
+    */
+  def pqCodesS(vec: String, cbs: Seq[Seq[Seq[Long]]] = defaultPqCodebooks): String = {
+    val cb = pqCbLitS(cbs)
+    s"""element_at(transform(array(${pqPpmS(vec)}), vp ->
+       |  transform(sequence(0, ${PQ_M - 1}), mi ->
+       |    array_min(transform(sequence(0, ${PQ_KSUB - 1}), ci ->
+       |      named_struct(
+       |        'd', aggregate(sequence(1, $PQ_SUBDIM), 0L, (acc, i) ->
+       |          acc + (element_at(vp, mi*$PQ_SUBDIM + i) - element_at(element_at(element_at($cb, mi+1), ci+1), i))
+       |              * (element_at(vp, mi*$PQ_SUBDIM + i) - element_at(element_at(element_at($cb, mi+1), ci+1), i))),
+       |        'c', cast(ci as bigint)))).c)), 1)""".stripMargin.replace("\n", " ")
+  }
+
+  /** Per-QUERY ADC lookup table: lut[m+1][c+1] = dot_ppm(query subvector m,
+    * codebook entry c) — the asymmetric-distance trick: the query is never
+    * quantized; scoring a corpus vector is [[PQ_M]] table lookups instead
+    * of a 64-component dot product. Built scan-side per query row
+    * ([[PQ_M]]×[[PQ_KSUB]] = 128 short folds — query sets are small and
+    * broadcast).
+    */
+  def pqLutS(vec: String, cbs: Seq[Seq[Seq[Long]]] = defaultPqCodebooks): String = {
+    val cb = pqCbLitS(cbs)
+    s"""element_at(transform(array(${pqPpmS(vec)}), vp ->
+       |  transform(sequence(0, ${PQ_M - 1}), mi ->
+       |    transform(sequence(0, ${PQ_KSUB - 1}), ci ->
+       |      aggregate(sequence(1, $PQ_SUBDIM), 0L, (acc, i) ->
+       |        acc + element_at(vp, mi*$PQ_SUBDIM + i) * element_at(element_at(element_at($cb, mi+1), ci+1), i))))), 1)""".stripMargin.replace("\n", " ")
+  }
+
+  /** ADC score of one (query LUT, corpus codes) pair: estimated inner
+    * product of the query with the corpus vector's RECONSTRUCTION —
+    * [[PQ_M]] lookups, no per-dimension arithmetic.
+    */
+  private def pqScoreS(lut: String, codes: String): String =
+    s"""aggregate(sequence(0, ${PQ_M - 1}), 0L, (acc, mi) ->
+       |  acc + element_at(element_at($lut, mi+1), cast(element_at($codes, mi+1) as int) + 1))"""
+      .stripMargin.replace("\n", " ")
+
+  /** ENCODE a corpus to (id, codes) — the one-time at-rest pass: at 100 TB
+    * the float store is written once as PQ codes (64× smaller: 8 codes vs
+    * 64 floats) and every probe afterwards reads codes only. Pair with
+    * [[graft.pipeline.ShingleStage.stagedTable]] / a bucketed layout to
+    * make probes scan co-located fixed-width rows.
+    */
+  def pqEncode(
+      corpus: DataFrame,
+      cbs: Seq[Seq[Seq[Long]]] = defaultPqCodebooks,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame =
+    corpus.where(col(vecCol).isNotNull)
+      .select(col(idCol), expr(pqCodesS(vecCol, cbs)).as("codes"))
+
+  /** PQ top-k over a PRE-ENCODED (id, codes) corpus — the production probe:
+    * queries broadcast with their ADC LUTs; each (query, corpus) pair costs
+    * [[PQ_M]] array lookups; per-query top-k via window. The corpus never
+    * shuffles and its floats never load.
+    */
+  def pqKnnOf(
+      codes: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      cbs: Seq[Seq[Seq[Long]]] = defaultPqCodebooks,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val q = broadcast(queries.where(col(vecCol).isNotNull)
+      .select(col(idCol).as("query_id"), expr(pqLutS(vecCol, cbs)).as("lut")))
+    val scored = codes
+      .select(col(idCol).as("neighbor_id"), col("codes"))
+      .crossJoin(q)
+      .where(col("neighbor_id") =!= col("query_id"))
+      .withColumn("score", expr(pqScoreS("lut", "codes")))
+    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "score")
+  }
+
+  /** PQ top-k with inline encode (correctness/bench form — production uses
+    * [[pqEncode]] once + [[pqKnnOf]] per probe batch).
+    */
+  def pqKnn(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      cbs: Seq[Seq[Seq[Long]]] = defaultPqCodebooks,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame =
+    pqKnnOf(pqEncode(corpus, cbs, idCol, vecCol), queries, k, cbs, idCol, vecCol)
+
   /** SemDeDup-style semantic deduplication: cluster the corpus into
     * centroid cells, find within-cell pairs with cosine >= `minCos`, and
     * collapse the pair graph into clusters with one elected keeper each
