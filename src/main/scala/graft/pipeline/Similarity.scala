@@ -340,9 +340,16 @@ object Similarity {
     * per-component squared diffs ≤ (1.5e6)² ≈ 2.3e12, × 8 components
     * ≈ 1.8e13 — far inside Long.
     */
-  def pqCodesS(vec: String, cbs: Seq[Seq[Seq[Long]]] = defaultPqCodebooks): String = {
+  def pqCodesS(vec: String, cbs: Seq[Seq[Seq[Long]]] = defaultPqCodebooks): String =
+    pqCodesFromPpmS(pqPpmS(vec), cbs)
+
+  /** [[pqCodesS]] over an ALREADY-ppm array<bigint> expression (the trainer
+    * assigns from its staged ppm column — round-tripping ppm→float→ppm
+    * through a double division would off-by-one the floor).
+    */
+  def pqCodesFromPpmS(ppmExpr: String, cbs: Seq[Seq[Seq[Long]]]): String = {
     val cb = pqCbLitS(cbs)
-    s"""element_at(transform(array(${pqPpmS(vec)}), vp ->
+    s"""element_at(transform(array($ppmExpr), vp ->
        |  transform(sequence(0, ${PQ_M - 1}), mi ->
        |    array_min(transform(sequence(0, ${PQ_KSUB - 1}), ci ->
        |      named_struct(
@@ -428,6 +435,70 @@ object Similarity {
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame =
     pqKnnOf(pqEncode(corpus, cbs, idCol, vecCol), queries, k, cbs, idCol, vecCol)
+
+  /** TRAIN PQ codebooks — per-subspace Lloyd k-means over the ppm-integer
+    * subvectors, all [[PQ_M]] subspaces in the SAME scan (the
+    * [[KMeans.train]] discipline, specialized):
+    *
+    *  - init: the [[PQ_KSUB]] corpus vectors with the smallest
+    *    `xxhash64(id)` seed every subspace's codebook from their
+    *    subvectors (TakeOrdered — deterministic, no rand(), retry-stable);
+    *  - each round: ONE pass computes every row's per-subspace assignment
+    *    (the same scan-side [[pqCodesS]] argmin the encode path uses) and
+    *    reduces per (subspace, code, component) SUM/COUNT — integer sums,
+    *    so cross-partition reassociation cannot perturb them and identical
+    *    inputs train identical codebooks with no rounding epsilon at all
+    *    (stronger than the float-mean 1e-6 rounding [[KMeans.train]]
+    *    needs);
+    *  - only model-sized data reaches the driver: M×KSUB×SUBDIM = 1024
+    *    aggregate rows per round;
+    *  - empty codes keep their previous entry (no resampling).
+    *
+    * Unlike IVF (where untrained pseudo-random centroids only ROUTE and
+    * the scoring stays exact), PQ codebooks RECONSTRUCT the data — an
+    * untrained codebook quantizes to noise and recall collapses, so
+    * production PQ always trains. Returns a table for the `cbs` parameter
+    * of [[pqEncode]]/[[pqKnnOf]]/[[pqKnn]].
+    */
+  def pqTrain(
+      corpus: DataFrame,
+      iters: Int = 3,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): Seq[Seq[Seq[Long]]] = {
+    require(iters >= 0, s"iters must be non-negative, got $iters")
+    val vecs = corpus.where(col(vecCol).isNotNull)
+      .select(col(idCol).as("__id"), expr(pqPpmS(vecCol)).as("__p"))
+    val seeds = vecs
+      .orderBy(xxhash64(col("__id")), col("__id"))
+      .limit(PQ_KSUB)
+      .select("__p").collect().map(_.getSeq[Long](0).toIndexedSeq)
+    require(seeds.size == PQ_KSUB,
+      s"corpus has only ${seeds.size} non-null vectors for $PQ_KSUB codebook entries")
+    require(seeds.head.size == PQ_M * PQ_SUBDIM,
+      s"pqTrain expects ${PQ_M * PQ_SUBDIM}-dim vectors, got ${seeds.head.size}")
+    val init: Seq[Seq[Seq[Long]]] = (0 until PQ_M).map(m =>
+      (0 until PQ_KSUB).map(c =>
+        (0 until PQ_SUBDIM).map(i => seeds(c)(m * PQ_SUBDIM + i))))
+    (0 until iters).foldLeft(init) { (cbs, _) =>
+      val sums = vecs
+        .withColumn("__codes", expr(pqCodesFromPpmS("__p", cbs)))
+        .select(col("__codes"), posexplode(col("__p")).as(Seq("__pos", "__comp")))
+        .withColumn("__m", expr(s"__pos DIV $PQ_SUBDIM"))
+        .withColumn("__c", expr("element_at(__codes, cast(__m as int) + 1)"))
+        .groupBy(col("__m"), col("__c"), expr(s"cast(__pos % $PQ_SUBDIM as bigint)").as("__i"))
+        .agg(sum(col("__comp")).as("__sum"), count(lit(1)).as("__n"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) -> (r.getLong(3), r.getLong(4)))
+        .toMap
+      (0 until PQ_M).map(m => (0 until PQ_KSUB).map(c => (0 until PQ_SUBDIM).map { i =>
+        sums.get((m.toLong, c.toLong, i.toLong)) match {
+          // integer sum / count — rint of an exact ratio, fully deterministic
+          case Some((s, n)) => math.rint(s.toDouble / n).toLong
+          case None => cbs(m)(c)(i)
+        }
+      }))
+    }
+  }
 
   /** SemDeDup-style semantic deduplication: cluster the corpus into
     * centroid cells, find within-cell pairs with cosine >= `minCos`, and
