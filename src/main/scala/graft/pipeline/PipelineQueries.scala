@@ -219,11 +219,13 @@ object PipelineQueries {
        |jac AS (SELECT id1, id2, CAST(n_inter * 1000000 // (a.n_sh + b.n_sh - n_inter) AS BIGINT) AS jaccard_ppm
        |        FROM bitr JOIN bsz a ON a.doc_id = bitr.id1 JOIN bsz b ON b.doc_id = bitr.id2)""".stripMargin
 
-  private val cosineD =
-    """list_sum(list_transform(generate_series(1,64), i -> qv[i]::DOUBLE * nv[i]::DOUBLE))
-      | / (sqrt(list_sum(list_transform(generate_series(1,64), i -> qv[i]::DOUBLE * qv[i]::DOUBLE)))
-      |  * sqrt(list_sum(list_transform(generate_series(1,64), i -> nv[i]::DOUBLE * nv[i]::DOUBLE))))"""
+  private def cosD(a: String, b: String): String =
+    s"""list_sum(list_transform(generate_series(1,64), i -> $a[i]::DOUBLE * $b[i]::DOUBLE))
+       | / (sqrt(list_sum(list_transform(generate_series(1,64), i -> $a[i]::DOUBLE * $a[i]::DOUBLE)))
+       |  * sqrt(list_sum(list_transform(generate_series(1,64), i -> $b[i]::DOUBLE * $b[i]::DOUBLE))))"""
       .stripMargin.replace("\n", " ")
+
+  private val cosineD = cosD("qv", "nv")
 
   private def lshBucketD(vec: String): String = {
     val bits = (0 until 4).map { j =>
@@ -258,6 +260,27 @@ object PipelineQueries {
     ShingleStage.stagedTable(s, s"sigstore_$dir",
       Dedup.minhashSignature(Tables.documents(s, dir).where(col("doc_id") % 2 === 0))
         .withColumn("cluster_id", col("doc_id")))
+
+  /** The incremental SEMANTIC query's persistent PQ-encoded vector store
+    * (even vec_ids, cluster_id = own id) — the embedding twin of
+    * [[sigStoreFor]]: in production the vecStoreAppend loop maintains this
+    * table, so its one-time encode belongs to staging.
+    */
+  private def vecStoreFor(s: SparkSession, dir: String): DataFrame =
+    ShingleStage.stagedTable(s, s"vecstore_$dir",
+      Similarity.vecStoreEncode(
+          Tables.embeddings(s, dir).where(col("vec_id") % 2 === 0),
+          Similarity.defaultCentroids(64, 8), Similarity.refPqCodebooks)
+        .withColumn("cluster_id", col("vec_id")))
+
+  /** DuckDB VALUES rows for a PQ codebook table (m, c, vals) — generated
+    * from the SAME Scala literal the Spark side folds in, so the two
+    * dialects cannot drift (the Bpe.encodeSqlD discipline).
+    */
+  private def pqCbRowsD(cbs: Seq[Seq[Seq[Long]]]): String =
+    cbs.zipWithIndex.flatMap { case (cb, m) =>
+      cb.zipWithIndex.map { case (e, c) => s"($m, $c, [${e.mkString(",")}])" }
+    }.mkString(", ")
 
   // ---------------------------------------------------------------- queries
 
@@ -577,6 +600,27 @@ object PipelineQueries {
           .select((col("doc_id") + 2000000L).as("doc_id"),
             expr("substr(text, instr(text, ' ') + 1)").as("text")))
       Dedup.minhashDedupIncremental(batch, store).orderBy("doc_id")
+    }),
+
+    // incremental SEMANTIC dedup against the PQ-encoded vector store —
+    // the embedding member of the incremental family (exact → minhash →
+    // semantic): store floats never load (codes only), batch pairs among
+    // itself with exact cosine, the union graph CC-collapses with the
+    // store-min election; mirrors ext_dedup_minhash_incr's construction
+    // (odd = batch, copies of evens exercise attach, copies of odds
+    // exercise within-batch clustering)
+    "ext_semdedup_incr" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val store = vecStoreFor(s, dir)
+      val batch = emb.where(col("vec_id") % 2 === 1).select("vec_id", "embedding")
+        .unionByName(emb.filter(col("vec_id") % 10 === 0)
+          .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding")))
+        .unionByName(emb.filter(col("vec_id") % 10 === 5)
+          .select((col("vec_id") + 2000000L).as("vec_id"), col("embedding")))
+      Similarity.semanticDedupIncremental(batch, store,
+          Similarity.defaultCentroids(64, 8), Similarity.refPqCodebooks,
+          tauPpm = 500000L, nprobe = 2)
+        .orderBy("vec_id")
     }),
 
     // real subword BPE encode: a literal well-formed merge table applied
@@ -1259,6 +1303,68 @@ object PipelineQueries {
         |r AS (SELECT doc_id, h, row_number() OVER (PARTITION BY h ORDER BY doc_id) AS rn
         |      FROM fresh)
         |SELECT doc_id, h FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    // incremental semantic dedup: PQ codes + IVF cells + exact batch
+    // cosine + recursive-CTE CC — every integer from the SAME frozen
+    // codebook literal the Spark side folds in
+    "ext_semdedup_incr" ->
+      s"""WITH RECURSIVE
+         |cent AS (SELECT cid, list_transform(generate_series(1,64),
+         |  i -> (((cid*64 + (i-1))*40503 + 1299721) % 1000003)::DOUBLE/1000003.0 - 0.5) AS cv
+         | FROM range(0,8) t(cid)),
+         |cbt AS (SELECT m, c, list_transform(vals, vv -> vv::BIGINT) AS vals
+         |  FROM (VALUES ${pqCbRowsD(Similarity.refPqCodebooks)}) t(m, c, vals)),
+         |bat AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 1
+         |  UNION ALL SELECT vec_id + 1000000, embedding FROM embeddings WHERE vec_id % 10 = 0
+         |  UNION ALL SELECT vec_id + 2000000, embedding FROM embeddings WHERE vec_id % 10 = 5),
+         |old AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 0),
+         |ocd AS (SELECT vec_id, cid,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY $dotEmbCentD DESC, cid) AS rn
+         |  FROM old, cent),
+         |ocell AS (SELECT vec_id AS store_id, cid AS cell FROM ocd WHERE rn = 1),
+         |op AS (SELECT vec_id, list_transform(embedding, x0 -> CAST(floor(x0::DOUBLE * 1000000) AS BIGINT)) AS p FROM old),
+         |od AS (SELECT vec_id, m, c,
+         |    list_sum(list_transform(generate_series(1,8), i -> (p[m*8+i] - vals[i]) * (p[m*8+i] - vals[i]))) AS dist,
+         |    list_sum(list_transform(generate_series(1,8), i -> vals[i]*vals[i])) AS sd
+         |  FROM op, cbt),
+         |ocr AS (SELECT vec_id, m, c, sd, row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, c) AS rn FROM od),
+         |ocodes AS (SELECT vec_id AS store_id, m, c, sd FROM ocr WHERE rn = 1),
+         |bcd AS (SELECT vec_id, cid,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY $dotEmbCentD DESC, cid) AS rn
+         |  FROM bat, cent),
+         |bcell AS (SELECT vec_id, cid AS cell FROM bcd WHERE rn = 1),
+         |bprobe AS (SELECT vec_id, cid AS cell FROM bcd WHERE rn <= 2),
+         |bp AS (SELECT vec_id, list_transform(embedding, x0 -> CAST(floor(x0::DOUBLE * 1000000) AS BIGINT)) AS p FROM bat),
+         |blut AS (SELECT vec_id, m, c,
+         |    list_sum(list_transform(generate_series(1,8), i -> p[m*8+i] * vals[i])) AS v
+         |  FROM bp, cbt),
+         |bq2 AS (SELECT vec_id, list_sum(list_transform(p, z -> z*z)) AS q2 FROM bp),
+         |sadc AS (SELECT pr.vec_id, oc2.store_id, sum(l.v) AS adc, sum(oc2.sd) AS r2
+         |  FROM bprobe pr JOIN ocell oce ON oce.cell = pr.cell
+         |       JOIN ocodes oc2 ON oc2.store_id = oce.store_id
+         |       JOIN blut l ON l.vec_id = pr.vec_id AND l.m = oc2.m AND l.c = oc2.c
+         |  GROUP BY 1, 2),
+         |smatch AS (SELECT s2.vec_id, s2.store_id AS cluster_id
+         |  FROM sadc s2 JOIN bq2 q ON q.vec_id = s2.vec_id
+         |  WHERE CAST(floor((adc::DOUBLE / (sqrt(q.q2::DOUBLE) * sqrt(greatest(r2, 1)::DOUBLE))) * 1000000) AS BIGINT) >= 500000),
+         |bpair AS (SELECT cx.vec_id AS id1, cy.vec_id AS id2
+         |  FROM bcell cx JOIN bcell cy ON cx.cell = cy.cell AND cx.vec_id < cy.vec_id
+         |       JOIN bat x ON x.vec_id = cx.vec_id JOIN bat y ON y.vec_id = cy.vec_id
+         |  WHERE CAST(floor((${cosD("x.embedding", "y.embedding")}) * 1000000) AS BIGINT) >= 500000),
+         |e AS (SELECT id1 AS u, id2 AS v FROM bpair UNION SELECT id2, id1 FROM bpair
+         |  UNION SELECT vec_id, cluster_id FROM smatch
+         |  UNION SELECT cluster_id, vec_id FROM smatch),
+         |reach(id, comp) AS (SELECT DISTINCT u, u FROM e
+         |  UNION SELECT e.v, reach.comp FROM reach JOIN e ON e.u = reach.id),
+         |comp AS (SELECT id, min(comp) AS comp FROM reach GROUP BY 1),
+         |smin AS (SELECT comp, min(id) AS store_min FROM comp
+         |         WHERE id IN (SELECT vec_id FROM old) GROUP BY comp)
+         |SELECT b.vec_id,
+         |  coalesce(sm.store_min, c.comp, b.vec_id) AS cluster_id,
+         |  sm.store_min IS NULL AS is_novel
+         |FROM bat b LEFT JOIN comp c ON b.vec_id = c.id
+         |           LEFT JOIN smin sm ON c.comp = sm.comp
+         |ORDER BY vec_id""".stripMargin,
 
     // both dialects generated from Bpe.merges — they cannot drift
     "ext_bpe_encode" -> Bpe.encodeSqlD,

@@ -303,6 +303,24 @@ object Similarity {
   val PQ_SUBDIM = 8
   val PQ_KSUB = 16
 
+  /** FROZEN reference PQ codebooks — per-subspace Lloyd output (3 rounds)
+    * over a synthetic embeddings snapshot, baked as a literal the same way
+    * [[graft.pipeline.Bpe]] bakes its merge table: the correctness oracle
+    * must evaluate the IDENTICAL codebook in SQL, and k-means training is
+    * not replayable there. Production pipelines train fresh codebooks with
+    * [[pqTrain]]; this table only anchors the cross-engine gate and the
+    * default for the incremental semantic-dedup query.
+    */
+  val refPqCodebooks: Seq[Seq[Seq[Long]]] = Seq(
+    Seq(Seq(18913L, 33482L, -4140L, -173607L, 117791L, -34696L, -27889L, -54943L), Seq(-39388L, -50995L, 16340L, -50214L, -99272L, -55322L, -94626L, 32383L), Seq(-24733L, 19032L, -73031L, 114795L, -80646L, 44361L, 61463L, 114451L), Seq(-128972L, -4967L, 41656L, -10856L, 74951L, 16597L, 124631L, -48377L), Seq(-35591L, 8095L, 40038L, 2326L, -9150L, -185903L, 144898L, 104341L), Seq(-33038L, -111614L, 121322L, 32044L, 117498L, -129024L, -103168L, 122785L), Seq(-27627L, 121584L, 80013L, -89055L, -112251L, 127494L, 1553L, -14847L), Seq(221843L, 14156L, 46154L, -40500L, -15799L, -44246L, 19844L, 98227L), Seq(-91623L, -187245L, 17644L, -6018L, -17852L, 134517L, -121107L, 41400L), Seq(110063L, -139803L, -12547L, 3927L, -3822L, 111736L, -16298L, -88349L), Seq(69414L, -6634L, -185210L, 6198L, -25124L, 39713L, 19907L, -91301L), Seq(-81817L, 26932L, -49017L, 35689L, 56782L, 26081L, -149892L, -161737L), Seq(2620L, 9806L, 100707L, 2968L, 146992L, 200018L, -145770L, -7397L), Seq(69611L, 39574L, 55305L, 150715L, 55915L, -8576L, -61082L, -17553L), Seq(10015L, -31364L, -60265L, -76333L, 100179L, 26296L, -75256L, 149484L), Seq(-55359L, 59100L, 16194L, 40326L, -159070L, -196108L, -47202L, -91479L)),
+    Seq(Seq(165410L, 21270L, -28275L, 36375L, -141559L, -48548L, -10401L, -36723L), Seq(-72699L, 109933L, -83430L, 126063L, 88009L, -81814L, 54009L, -35146L), Seq(-98348L, -128785L, 8812L, 9795L, -88733L, 91654L, 35382L, 112223L), Seq(-84616L, 20285L, -89702L, 60892L, 84352L, 232891L, 16249L, -1233L), Seq(-14635L, 128442L, 153877L, 5655L, 280L, 8540L, 112113L, -78572L), Seq(-93843L, 50700L, 114578L, 142282L, -26506L, -36954L, -125220L, -4539L), Seq(37174L, 230201L, 61024L, 38506L, -92429L, 162689L, -22290L, -5576L), Seq(-77333L, -115904L, 48597L, -33108L, -99890L, -45076L, 69345L, -149931L), Seq(-9510L, 68705L, -103053L, 47341L, 14693L, 13546L, -57815L, 164181L), Seq(-76174L, 51745L, -19716L, -96308L, -156833L, -11313L, -117041L, -33265L), Seq(40905L, -79207L, -63968L, -87409L, 41147L, -120935L, -5594L, -3920L), Seq(39838L, 36074L, 82790L, -123868L, 90219L, 56350L, -94844L, 47332L), Seq(81569L, -96499L, 49285L, 39394L, 74308L, 51129L, 102944L, 89502L), Seq(-23747L, -59859L, 176212L, -123725L, 43217L, -193152L, -45103L, 61412L), Seq(121589L, 131712L, -59869L, -6906L, 96299L, -59611L, 188555L, -17560L), Seq(-37565L, -155578L, -33827L, 29756L, -5410L, 72022L, -84517L, -148116L)),
+    Seq(Seq(24623L, 62474L, -43439L, 125972L, -129178L, -57726L, 43468L, -109637L), Seq(-42244L, 4987L, 71735L, -139761L, 41508L, 173042L, 56369L, -83017L), Seq(-185679L, 10197L, -61100L, -202366L, 170652L, 51942L, 214001L, -103071L), Seq(23952L, -65726L, -80968L, 103103L, 95464L, -26520L, -46604L, 20203L), Seq(19769L, 190866L, -12335L, -23148L, 21917L, 68751L, -58481L, 779L), Seq(195818L, -68994L, 1242L, 15906L, -61852L, -108805L, 19901L, 141562L), Seq(-36583L, 156888L, -60052L, -75864L, 31066L, -134005L, -3355L, -41066L), Seq(64985L, 1532L, -105740L, 91979L, -16542L, 108669L, 85313L, 4422L), Seq(47877L, -59267L, 132374L, 44813L, 74378L, -27918L, 106868L, -24547L), Seq(8813L, 51940L, 47736L, -95788L, 388L, 61970L, 108090L, 238235L), Seq(13053L, 98190L, 73127L, -74774L, -169289L, 66049L, -220L, -12832L), Seq(159970L, -16395L, -18540L, -107019L, -61422L, -83172L, 103471L, -49246L), Seq(-81701L, -131642L, -110158L, -72975L, -26747L, 57786L, -20543L, -16887L), Seq(53494L, 44847L, 84426L, -31842L, 132819L, 11816L, -14353L, -239191L), Seq(5132L, -70209L, 98369L, 11460L, 20110L, -58716L, -137224L, 69946L), Seq(-162016L, 37108L, 36994L, 62154L, -28001L, -52316L, -5121L, -13275L)),
+    Seq(Seq(34024L, 166516L, 133029L, 23308L, 28362L, 49729L, -5353L, 176190L), Seq(89871L, 76814L, -75749L, -22854L, 8434L, 170884L, -75499L, 52985L), Seq(-39912L, -67889L, -66798L, -77379L, 39005L, 85836L, -42074L, -131575L), Seq(-67515L, -25598L, 22819L, -114613L, -127722L, -49168L, -67960L, 25885L), Seq(-12295L, -80228L, 161674L, -33960L, 73695L, 13921L, 95736L, 15134L), Seq(150419L, 65980L, 377L, -54632L, 68059L, 71986L, 94083L, -125786L), Seq(-48763L, -127454L, 23947L, 118435L, 54960L, -5106L, 20663L, -45066L), Seq(54640L, -96857L, -100665L, 14796L, -42702L, 64174L, 127102L, 100278L), Seq(-81329L, 126048L, -16475L, -15939L, 60212L, -279099L, 23009L, -46493L), Seq(-19379L, -65936L, -103967L, 82232L, -63586L, -104876L, 17201L, -151209L), Seq(65972L, 75532L, -103482L, 179129L, -57555L, 20191L, -112064L, -22076L), Seq(107800L, 100557L, 67609L, 29864L, -110205L, -16792L, -33450L, 43934L), Seq(-55389L, 225382L, -54604L, 11817L, 9598L, -73393L, 79260L, -86298L), Seq(53888L, -11071L, 29093L, 34988L, 82126L, -120326L, -69856L, 64640L), Seq(-178794L, 55180L, -28177L, -17469L, 56458L, 84952L, -62262L, 47469L), Seq(-66647L, 20381L, 16938L, 28040L, -145254L, -36969L, 168097L, -70758L)),
+    Seq(Seq(-176018L, -149308L, 6480L, 73200L, -16801L, -12407L, -34L, 41307L), Seq(2255L, -50320L, -38665L, 79012L, -53627L, -75508L, 62040L, -156100L), Seq(40756L, 634L, -81265L, 133539L, 91664L, 63239L, 91993L, 37319L), Seq(181169L, -1128L, -73803L, -49148L, -12195L, -47228L, 38798L, -92435L), Seq(-130539L, 24167L, -17345L, -97780L, -83948L, 55239L, -64273L, -76166L), Seq(-10788L, -24012L, 14342L, 132336L, -6462L, 80007L, -146087L, -1402L), Seq(-95659L, -100602L, -65243L, 35457L, 186746L, 111063L, 6701L, 45293L), Seq(-55459L, -63355L, -42842L, -764L, -40793L, -150047L, 54117L, 145499L), Seq(-5477L, -47521L, 125135L, -55949L, 75719L, -14799L, 112472L, -55313L), Seq(-33547L, -9178L, 108742L, 94744L, -251803L, -59311L, 126159L, 47286L), Seq(144349L, -111832L, 63530L, -529L, 52844L, 39923L, 1729L, 84817L), Seq(35025L, -96676L, -53674L, -100669L, 42362L, -88533L, -135570L, 40723L), Seq(6550L, 103046L, -50457L, -46257L, -70949L, 57315L, -901L, 151274L), Seq(82034L, 111554L, 90373L, 7687L, -31914L, 160120L, 21677L, -21046L), Seq(54283L, 156951L, 30749L, 37527L, 82296L, -139953L, -110842L, -46936L), Seq(57700L, 17307L, 65919L, -180995L, -93431L, -118824L, 88241L, -38961L)),
+    Seq(Seq(-3612L, 13890L, -61727L, 45474L, -10014L, 151816L, 74357L, -90297L), Seq(33826L, -75849L, 187092L, 26921L, 60384L, 40576L, -15431L, -126857L), Seq(-24153L, 18332L, 139508L, 30367L, -167258L, 66444L, -93054L, -48223L), Seq(-62842L, -94763L, -90024L, 65522L, 84097L, 64464L, -88426L, -36695L), Seq(-5790L, 40165L, -168018L, -54830L, 8297L, 31172L, -118544L, 148368L), Seq(-73563L, 97721L, -115247L, 20587L, -140673L, -51814L, 44714L, 10159L), Seq(150853L, -78398L, -11855L, -87312L, 16402L, 65965L, 66651L, 112388L), Seq(-104627L, -108571L, 29729L, 72795L, -32941L, 39335L, 28365L, 128566L), Seq(-36543L, -86653L, -54720L, 16828L, 82720L, -101588L, 95639L, -77922L), Seq(138157L, 46897L, 92268L, 96194L, -126069L, 8219L, 66841L, -79590L), Seq(-21494L, -213842L, -43949L, -95509L, -57733L, -44342L, 16332L, -94798L), Seq(88037L, 3183L, -16363L, -144148L, 43302L, -74390L, -122155L, -5981L), Seq(65391L, 24069L, -30489L, 148209L, 36832L, -47002L, -53455L, 68379L), Seq(-78407L, -17643L, -24964L, -162507L, -126663L, 9904L, -95086L, 8101L), Seq(-25197L, 79086L, 103559L, -66232L, -44651L, -175409L, 66302L, 27571L), Seq(-68785L, 172365L, 28387L, -56108L, 102401L, -15141L, 31601L, 77588L)),
+    Seq(Seq(43773L, -138760L, -45091L, 141719L, 72845L, -78928L, 58420L, -22297L), Seq(-36248L, -191768L, 47794L, 5346L, 11564L, 96642L, 9019L, 117149L), Seq(58084L, 15246L, 109154L, -84386L, -17529L, -88416L, 116299L, 204309L), Seq(233926L, -194978L, 10472L, -49790L, 8917L, 97041L, -88924L, 13309L), Seq(-52793L, -25360L, 38324L, 52952L, 22454L, 140798L, 102230L, -26369L), Seq(25126L, 262L, 111915L, 31512L, -18982L, 57574L, -134774L, -172626L), Seq(25142L, 11693L, -115838L, 92778L, -15504L, -20118L, -33588L, 128013L), Seq(-25205L, -10755L, 140354L, 64281L, 32173L, -66925L, -69556L, 87362L), Seq(-149240L, 18397L, -13725L, 62439L, -145107L, 73310L, -59099L, -124373L), Seq(58897L, -58952L, 84998L, -127328L, -149477L, 22638L, -16854L, 31262L), Seq(83344L, 132317L, 81245L, -38373L, 113120L, -22874L, 12449L, -18053L), Seq(82309L, 53805L, -115115L, -127627L, 2503L, 50760L, 89524L, -721L), Seq(-142041L, 29675L, -22119L, -21358L, 165102L, 4962L, -73617L, -17873L), Seq(-129381L, -102919L, -96930L, -63249L, -41066L, -60050L, -33174L, -8968L), Seq(-72471L, 16804L, 65512L, 68513L, 6120L, -114611L, 125188L, -17693L), Seq(50653L, 37197L, -33123L, -58025L, -42752L, -131832L, -32044L, -144733L)),
+    Seq(Seq(-34998L, -95362L, -116385L, -71203L, -75719L, -33812L, 74444L, -176262L), Seq(43121L, -61659L, -5118L, 94636L, -100731L, 51228L, -89731L, -85064L), Seq(64506L, -94395L, -3230L, 103233L, 20366L, 154828L, 74566L, 780L), Seq(-83557L, -58667L, -29471L, -121636L, 98302L, -55107L, -25529L, -70662L), Seq(95948L, -128824L, -14882L, -76805L, -17303L, -5638L, 83681L, 99862L), Seq(-70343L, 50635L, -4433L, 12714L, -151253L, 56574L, -31083L, 102588L), Seq(-101747L, 51689L, 5880L, 32892L, 79623L, 4551L, 173364L, 26412L), Seq(2897L, 124121L, -181815L, -88384L, 40932L, 53336L, -58274L, -86693L), Seq(-87037L, 64315L, 88368L, -117154L, -81329L, -104185L, 43147L, 19284L), Seq(27189L, 18253L, 39363L, -136433L, 15063L, 131810L, -6550L, -21155L), Seq(137413L, 66314L, 25483L, 37768L, 113194L, -118313L, -46737L, 57549L), Seq(-31566L, 106353L, -97906L, 6501L, 132494L, 21167L, -70035L, 184605L), Seq(24606L, -91964L, 160682L, -18575L, 114791L, 55449L, -117350L, -87153L), Seq(-127499L, 42518L, 31964L, 138225L, 51469L, -6795L, -139667L, -17247L), Seq(-1510L, 8008L, -182470L, 92057L, 3528L, -93434L, 78931L, 3445L), Seq(71904L, 84883L, 119898L, 52992L, -86521L, -40082L, -38569L, -100275L)))
+
   /** Codebook entry component, ppm-integer — deterministic pseudo-random in
     * [-499991, 499991] (≈ [-0.5, 0.5) in ppm), the [[ivfCentroid]]
     * discipline: production PQ trains codebooks per subspace with k-means
@@ -498,6 +516,176 @@ object Similarity {
         }
       }))
     }
+  }
+
+  // ------------------------------------------------------- IVF+PQ incremental
+
+  /** Per-(subspace, code) self-dot of the codebook entry — ||cb[m][c]||²
+    * in ppm². Because subspaces are disjoint coordinate blocks, the squared
+    * norm of a PQ RECONSTRUCTION is exactly the sum of its entries' self
+    * dots: ||recon||² = Σ_m ||cb[m][code_m]||², no cross terms. Emitted as
+    * a literal lookup table next to the ADC LUT, so the probe recovers a
+    * true cosine estimate from integer ingredients only.
+    */
+  def pqSelfDots(cbs: Seq[Seq[Seq[Long]]]): Seq[Seq[Long]] =
+    cbs.map(_.map(entry => entry.map(v => v * v).sum))
+
+  private def pqSelfDotLitS(cbs: Seq[Seq[Seq[Long]]]): String =
+    pqSelfDots(cbs).map(row => row.mkString("array(", "L,", "L)"))
+      .mkString("array(", ",", ")")
+
+  /** Squared norm of the ppm quantization of the vector (exact integer). */
+  def pqQNorm2S(vec: String): String =
+    s"aggregate(${pqPpmS(vec)}, 0L, (acc, x1) -> acc + x1 * x1)"
+
+  /** Estimated-cosine ppm of (query LUT, corpus codes): ADC inner product
+    * over the reconstruction, normalized by the exact integer norms —
+    * floor((adc / (sqrt(q2) * sqrt(max(r2, 1)))) * 1e6). Every ingredient
+    * is an exact integer ≤ ~2^46, so the doubles, the IEEE-correctly-
+    * rounded sqrts, and the floor are bit-identical across engines (the
+    * mixture-temperature sqrt precedent).
+    */
+  def pqCosPpmS(lut: String, codes: String, q2: String, cbs: Seq[Seq[Seq[Long]]]): String = {
+    val sd = pqSelfDotLitS(cbs)
+    val adc = pqScoreS(lut, codes)
+    val r2 = s"""aggregate(sequence(0, ${PQ_M - 1}), 0L, (acc2, mj) ->
+       |  acc2 + element_at(element_at($sd, mj+1), cast(element_at($codes, mj+1) as int) + 1))"""
+      .stripMargin.replace("\n", " ")
+    s"cast(floor((cast($adc as double) / (sqrt(cast($q2 as double)) * sqrt(cast(greatest($r2, 1L) as double)))) * 1000000) as bigint)"
+  }
+
+  /** ENCODE a corpus into the persistent VECTOR STORE row shape — (id,
+    * cell, codes): the IVF cell routes probes (computed from the floats
+    * while they exist, i.e. at write time), the PQ codes are all a probe
+    * ever scores against. The caller attaches `cluster_id` (own id for a
+    * deduped store) — the same contract as the minhash signature store.
+    * 64-dim floats never persist: the store row is fixed-width and ~64×
+    * smaller, which at 100 TB is the difference between an in-memory
+    * probe side and a second corpus.
+    */
+  def vecStoreEncode(
+      corpus: DataFrame,
+      centroids: Seq[Seq[Double]],
+      cbs: Seq[Seq[Seq[Long]]] = defaultPqCodebooks,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame =
+    corpus.where(col(vecCol).isNotNull)
+      .select(col(idCol),
+        ivfCellOf(col(vecCol), centroids).as("cell"),
+        expr(pqCodesS(vecCol, cbs)).as("codes"))
+
+  /** Probe a NEW batch against the PQ-encoded vector store — the IVFPQ
+    * probe: each batch vector computes its `nprobe` nearest cells, its ADC
+    * LUT, and its exact integer norm scan-side; the join is cell-equi
+    * (the store shuffles — or at rest: is bucketed — by cell, never
+    * broadcast or paired all-to-all); each surviving pair costs [[PQ_M]]
+    * lookups. Returns (idCol, store_id, cluster_id, cos_ppm) for pairs
+    * whose estimated cosine clears `tauPpm`.
+    */
+  def ivfPqStoreMatches(
+      batch: DataFrame,
+      vecStore: DataFrame,
+      centroids: Seq[Seq[Double]],
+      cbs: Seq[Seq[Seq[Long]]] = defaultPqCodebooks,
+      nprobe: Int = 2,
+      tauPpm: Long = 850000L,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(Seq("cell", "codes", "cluster_id").forall(vecStore.columns.contains),
+      s"vecStore must carry 'cell', 'codes', 'cluster_id', got ${vecStore.columns.mkString(", ")}")
+    val qb = batch.where(col(vecCol).isNotNull)
+      .select(col(idCol),
+        explode(ivfProbesOf(col(vecCol), centroids, nprobe)).as("cell"),
+        expr(pqLutS(vecCol, cbs)).as("__lut"),
+        expr(pqQNorm2S(vecCol)).as("__q2"))
+    qb.join(vecStore.select(col(idCol).as("store_id"), col("cell"), col("codes"), col("cluster_id")), "cell")
+      .withColumn("cos_ppm", expr(pqCosPpmS("__lut", "codes", "__q2", cbs)))
+      .where(col("cos_ppm") >= tauPpm)
+      .select(col(idCol), col("store_id"), col("cluster_id"), col("cos_ppm"))
+  }
+
+  /** INCREMENTAL SEMANTIC dedup — the embedding-granularity member of the
+    * incremental dedup family ([[graft.pipeline.Dedup.exactDedupIncremental]]
+    * exact, [[graft.pipeline.Dedup.minhashDedupIncremental]] near-dup):
+    * a growing corpus must not re-pay full-corpus semantic dedup per
+    * ingest round, so new batches probe the PQ-encoded store
+    * ([[ivfPqStoreMatches]] — historical floats never load, only codes),
+    * pair among themselves (cell-blocked exact cosine, the [[semanticDedup]]
+    * plan), and the union graph collapses through connected components.
+    * Same output contract as the minhash twin: (idCol, cluster_id,
+    * is_novel), store-min election, bridge documents merge old clusters.
+    *
+    * Thresholds are deliberately split: batch↔batch pairs use EXACT cosine
+    * (floats are in hand — one scan), batch↔store uses the ADC estimate
+    * (floats are gone — quantization error is the price of the 64× store).
+    * The ID-DISJOINTNESS contract of the minhash twin applies unchanged.
+    */
+  def semanticDedupIncremental(
+      batch: DataFrame,
+      vecStore: DataFrame,
+      centroids: Seq[Seq[Double]],
+      cbs: Seq[Seq[Seq[Long]]] = defaultPqCodebooks,
+      tauPpm: Long = 850000L,
+      nprobe: Int = 2,
+      maxCellRows: Long = 1000000L,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val b0 = batch.where(col(vecCol).isNotNull)
+      .select(col(idCol).as("__id"), col(vecCol).as("__v"))
+      .withColumn("__cell", ivfCellOf(col("__v"), centroids))
+      .withColumn("__nrm", norm(col("__v")))
+    val b = if (maxCellRows > 0) {
+      b0.withColumn("__csz", count(lit(1)).over(Window.partitionBy("__cell")))
+        .withColumn("__cell", when(col("__csz") <= maxCellRows, col("__cell"))
+          .otherwise(expr(
+            s"""cast(raise_error(concat('semanticDedupIncremental: batch cell ', cast(__cell as string),
+               | ' holds ', cast(__csz as string), ' rows (> ${maxCellRows}) - retrain centroids',
+               | ' or raise maxCellRows')) as bigint)""".stripMargin)))
+        .drop("__csz")
+    } else b0
+    // exact-cosine ppm (floor) so the threshold semantics match the store
+    // probe's integer compare — for integer tauPpm, floor(c*1e6) >= tau
+    // iff c*1e6 >= tau
+    val pairs = b.as("x").join(b.as("y"),
+        col("x.__cell") === col("y.__cell") && col("x.__id") < col("y.__id"))
+      .withColumn("__cos_ppm",
+        floor(dot(col("x.__v"), col("y.__v")) / (col("x.__nrm") * col("y.__nrm")) * 1e6).cast("long"))
+      .where(col("__cos_ppm") >= tauPpm)
+      .select(col("x.__id").as("id1"), col("y.__id").as("id2"))
+    val matches = ivfPqStoreMatches(batch, vecStore, centroids, cbs, nprobe, tauPpm, idCol, vecCol)
+    val edges = pairs.unionByName(
+      matches.select(col(idCol).as("id1"), col("cluster_id").as("id2")).distinct())
+    val comps = Dedup.connectedComponentsAuto(edges)
+    val storeClusters = vecStore.select("cluster_id").distinct()
+    val storeMin = comps.join(storeClusters, comps("id") === storeClusters("cluster_id"))
+      .groupBy("comp").agg(min(col("cluster_id")).as("__store_min"))
+    batch.where(col(vecCol).isNotNull).select(col(idCol))
+      .join(comps.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .join(storeMin, Seq("comp"), "left")
+      .select(col(idCol),
+        coalesce(col("__store_min"), col("comp"), col(idCol)).as("cluster_id"),
+        col("__store_min").isNull.as("is_novel"))
+  }
+
+  /** The APPEND step closing the incremental semantic loop: new store rows
+    * for a just-labeled batch — (id, cell, codes, cluster_id). The same
+    * contract as [[graft.pipeline.Dedup.sigStoreAppend]]: union onto the
+    * store for the next round; merged-away cluster ids still route probes
+    * into the merged component via the store-min election.
+    */
+  def vecStoreAppend(
+      batch: DataFrame,
+      assignments: DataFrame,
+      centroids: Seq[Seq[Double]],
+      cbs: Seq[Seq[Seq[Long]]] = defaultPqCodebooks,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(assignments.columns.contains("cluster_id"),
+      s"assignments must carry 'cluster_id' (a semanticDedupIncremental result), " +
+        s"got ${assignments.columns.mkString(", ")}")
+    vecStoreEncode(batch, centroids, cbs, idCol, vecCol)
+      .join(assignments.select(col(idCol), col("cluster_id")), idCol)
+      .select(col(idCol), col("cell"), col("codes"), col("cluster_id"))
   }
 
   /** SemDeDup-style semantic deduplication: cluster the corpus into

@@ -329,4 +329,28 @@ class PlanAssertionsSpec extends SparkSpec {
     assert(plan.contains("hashpartitioning(shard"),
       s"position window must partition by shard:\n${plan.take(2000)}")
   }
+
+  test("pqKnnOf: the pre-encoded probe never reads the float embedding store") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // the at-rest claim: codes are written once (64x smaller) and the probe
+    // reads ONLY them — a plan that reaches back to the float column defeats
+    // the compression entirely at 100 TB
+    val tmp = java.nio.file.Files.createTempDirectory("graft_pqcodes").toString
+    val rnd = new scala.util.Random(3)
+    val emb = (0L until 20L).map(i => (i, Array.fill(64)(rnd.nextDouble() - 0.5)))
+      .toDF("vec_id", "embedding")
+    graft.pipeline.Similarity.pqEncode(emb)
+      .join(emb, "vec_id") // codes AND floats at rest, like a widened store
+      .write.mode("overwrite").parquet(tmp)
+    val store = spark.read.parquet(tmp)
+    val queries = emb.filter(col("vec_id") < 2)
+    val plan = graft.pipeline.Similarity.pqKnnOf(store, queries, 3)
+      .queryExecution.executedPlan.toString
+    val scans = plan.linesIterator.filter(_.contains("graft_pqcodes")).mkString("\n")
+    assert(!scans.contains("embedding"),
+      s"PQ probe leaked the float column into the store scan:\n$scans")
+    assert(plan.contains("BroadcastExchange") || plan.contains("BroadcastNestedLoop"),
+      s"query LUTs must broadcast:\n${plan.take(2000)}")
+  }
 }

@@ -126,4 +126,96 @@ class DedupStageSpec extends SparkSpec {
       sys.error("re-staged despite cache"))
     assert(again.columns.toSeq == Seq("doc_id", "sh", "h"))
   }
+
+  // --------------------------------------------- incremental SEMANTIC dedup
+
+  /** Exact-reconstruction fixture: prototype k is one-hot at dim 8k (ppm
+    * 1e6), and the handcrafted codebooks carry exactly the subvectors the
+    * prototypes use (entry 0 = zero, entry 1 = local one-hot, the rest
+    * distant filler) — so PQ reconstructs prototypes EXACTLY and the ADC
+    * cosine between a copy and its stored original is precisely 1e6 ppm,
+    * while different prototypes are orthogonal (cos 0). Semantics are then
+    * assertable without tolerance.
+    */
+  private def proto(k: Int): Array[Double] = {
+    val v = Array.fill(64)(0.0); v(8 * k) = 1.0; v
+  }
+  private val fixtureCbs: Seq[Seq[Seq[Long]]] =
+    (0 until Similarity.PQ_M).map { _ =>
+      Seq(Seq.fill(8)(0L), 1000000L +: Seq.fill(7)(0L)) ++
+        (2 until Similarity.PQ_KSUB).map(_ => Seq.fill(8)(900000L))
+    }
+  private val fixtureCents = Similarity.defaultCentroids(64, 8)
+
+  test("semanticDedupIncremental: bridge merges store clusters; attach; within-batch; novel; null vectors drop") {
+    import spark.implicits._
+    val store = Similarity.vecStoreEncode(
+        Seq((10L, proto(0)), (20L, proto(0)), (30L, proto(1))).toDF("vec_id", "embedding"),
+        fixtureCents, fixtureCbs)
+      .withColumn("cluster_id", col("vec_id"))
+    val batch = Seq(
+      (101L, proto(0)),             // bridge: ADC-matches clusters 10 AND 20 -> merges
+      (102L, proto(2)),             // within-batch exact-cos pair with 103
+      (103L, proto(2)),
+      (104L, proto(1)),             // attaches to existing cluster 30
+      (105L, proto(3)),             // novel singleton
+      (106L, null.asInstanceOf[Array[Double]])) // null embedding: dropped
+      .toDF("vec_id", "embedding")
+    val got = Similarity.semanticDedupIncremental(
+        batch, store, fixtureCents, fixtureCbs, tauPpm = 500000L)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(got == Map(
+      101L -> ((10L, false)), // min existing cluster id of the merged pair
+      102L -> ((102L, true)),
+      103L -> ((102L, true)),
+      104L -> ((30L, false)),
+      105L -> ((105L, true))), s"got $got")
+  }
+
+  test("the semantic loop CLOSES: vecStoreAppend feeds round 2, cluster identities persist") {
+    import spark.implicits._
+    val store0 = Similarity.vecStoreEncode(
+        Seq((10L, proto(0))).toDF("vec_id", "embedding"), fixtureCents, fixtureCbs)
+      .withColumn("cluster_id", col("vec_id"))
+    val batch1 = Seq((101L, proto(4)), (102L, proto(4)), (103L, proto(0)))
+      .toDF("vec_id", "embedding")
+    val round1 = Similarity.semanticDedupIncremental(
+      batch1, store0, fixtureCents, fixtureCbs, tauPpm = 500000L)
+    val got1 = round1.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got1 == Map(101L -> 101L, 102L -> 101L, 103L -> 10L), s"got $got1")
+
+    val store1 = store0.unionByName(
+      Similarity.vecStoreAppend(batch1, round1, fixtureCents, fixtureCbs))
+    assert(store1.count() == 4L, "every non-null batch vector appends")
+
+    val batch2 = Seq(
+      (201L, proto(4)), // copy of round-1 novel content -> round-1-minted cluster 101
+      (202L, proto(0)), // copy of historical content -> cluster 10
+      (203L, proto(6))) // fresh
+      .toDF("vec_id", "embedding")
+    val got2 = Similarity.semanticDedupIncremental(
+        batch2, store1, fixtureCents, fixtureCbs, tauPpm = 500000L)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(got2 == Map(
+      201L -> ((101L, false)),
+      202L -> ((10L, false)),
+      203L -> ((203L, true))), s"got $got2")
+  }
+
+  test("semanticDedupIncremental: the store scan reads codes only — floats of the historical corpus never load") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_vecstore").toString
+    Similarity.vecStoreEncode(
+        Seq((10L, proto(0))).toDF("vec_id", "embedding"), fixtureCents, fixtureCbs)
+      .withColumn("cluster_id", col("vec_id"))
+      .withColumn("raw_embedding", typedLit(Seq.fill(64)(0.25)))
+      .write.mode("overwrite").parquet(tmp)
+    val store = spark.read.parquet(tmp)
+    val batch = Seq((101L, proto(0))).toDF("vec_id", "embedding")
+    val plan = Similarity.semanticDedupIncremental(
+        batch, store, fixtureCents, fixtureCbs, tauPpm = 500000L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("raw_embedding"),
+      s"store-side float column leaked into the scan:\n${plan.take(3000)}")
+  }
 }
