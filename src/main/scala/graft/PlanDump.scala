@@ -11,7 +11,8 @@ object PlanDump {
     Seq("qi_r2_daily", "qi_m1_merge", "qi_q5_revenue", "ext_dedup_minhash", "qi_st8_gate",
       "qi_h9_keepna", "qi_h8_bulk", "ext_knn_lsh", "qi_asof_price", "qi_range_join",
       "ext_knn_ivf", "ext_dedup_lines", "ext_pii_scrub", "qi_q3_shipping", "qi_q18_bigorders", "qi_skew_salted", "qi_anti_churn", "qi_rollup_orders", "qi_adjust_divs",
-      "ext_pack_chunks", "ext_pack_spans").foreach { q =>
+      "ext_pack_chunks", "ext_pack_spans", "ext_knn_pq", "ext_overlap_matrix",
+      "ext_semdedup_incr").foreach { q =>
       println(s"######## $q")
       SparkEntry.queries(q)(spark, dir).explain("formatted")
     }

@@ -123,6 +123,41 @@ object StreamDedup {
       .select(col(idCol), col("store_id"), col("cluster_id"), col("sim_ppm"))
   }
 
+  /** Streaming SEMANTIC probe against the STATIC PQ-encoded vector store —
+    * the stream-side face of [[graft.pipeline.Similarity.ivfPqStoreMatches]],
+    * and the embedding member of the streaming probe family
+    * ([[dedupAgainstStore]] exact, [[nearDupAgainstStore]] minhash).
+    * Documents arriving with embeddings are matched against the
+    * historical corpus's PQ codes, emitting (id, store_id, cluster_id,
+    * cos_ppm) — identical to the batch operator on the same rows.
+    *
+    * Unlike the minhash probe — which had to replace the batch
+    * `distinct()` with the row-local first-common-band rule — this IS the
+    * batch operator unchanged: cell probes, the ADC LUT, and the integer
+    * norm are scan-side expressions (literal centroids/codebooks, no
+    * shuffle), the store probe is a stream-static equi-join on the cell
+    * id, and a store vector lives in exactly ONE cell, so no multi-band
+    * duplication ever arises. Delegation is the point: zero semantic
+    * drift between the faces is structural, not asserted.
+    *
+    * The store is read per micro-batch — persist it or lay it out
+    * cell-bucketed. Matched docs carry their historical cluster; novel
+    * docs (no output row) continue into the exact/near-dup probes; the
+    * caller appends codes to the store via
+    * [[graft.pipeline.Similarity.vecStoreAppend]].
+    */
+  def semanticAgainstStore(
+      docs: DataFrame,
+      vecStore: DataFrame,
+      centroids: Seq[Seq[Double]],
+      cbs: Seq[Seq[Seq[Long]]] = graft.pipeline.Similarity.defaultPqCodebooks,
+      nprobe: Int = 2,
+      tauPpm: Long = 850000L,
+      idCol: String = "doc_id",
+      vecCol: String = "embedding"): DataFrame =
+    graft.pipeline.Similarity.ivfPqStoreMatches(
+      docs, vecStore, centroids, cbs, nprobe, tauPpm, idCol, vecCol)
+
   /** The ENFORCED corpus-ingest composition: classifier quality filter
     * THEN the store probe — the [[dedupedGate]] discipline applied to the
     * document stream. Order matters and is fixed in code, not convention:

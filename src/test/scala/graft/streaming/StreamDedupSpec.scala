@@ -187,6 +187,46 @@ class StreamDedupSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("semanticAgainstStore: MemoryStream probe == batch ivfPqStoreMatches row-for-row") {
+    import graft.pipeline.Similarity
+    implicit val sqlCtx = spark.sqlContext
+    // exact-reconstruction fixture (the DedupStageSpec discipline):
+    // prototypes are one-hot at dim 8k, codebooks carry exactly those
+    // subvectors — copies score cos_ppm 1e6, different prototypes 0
+    def proto(k: Int): Array[Double] = {
+      val v = Array.fill(64)(0.0); v(8 * k) = 1.0; v
+    }
+    val cbs: Seq[Seq[Seq[Long]]] = (0 until Similarity.PQ_M).map { _ =>
+      Seq(Seq.fill(8)(0L), 1000000L +: Seq.fill(7)(0L)) ++
+        (2 until Similarity.PQ_KSUB).map(_ => Seq.fill(8)(900000L))
+    }
+    val cents = Similarity.defaultCentroids(64, 8)
+    val store = Similarity.vecStoreEncode(
+        Seq((10L, proto(0)), (20L, proto(1)), (30L, proto(2))).toDF("vec_id", "embedding"),
+        cents, cbs)
+      .withColumn("cluster_id", col("vec_id"))
+    val batchRows = Seq(
+      (101L, proto(0)), // copy of stored content
+      (102L, proto(1)),
+      (103L, proto(5))) // novel: no store match
+    val batchDf = batchRows.toDF("vec_id", "embedding")
+    val want = Similarity.ivfPqStoreMatches(batchDf, store, cents, cbs, tauPpm = 500000L)
+      .collect().map(_.toSeq).toSet
+    assert(want.map(_.head).toSet == Set(101L, 102L), s"fixture sanity: $want")
+
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Array[Double])]
+    val q = StreamDedup.semanticAgainstStore(
+        input.toDF().toDF("vec_id", "embedding"), store, cents, cbs,
+        tauPpm = 500000L, idCol = "vec_id", vecCol = "embedding")
+      .writeStream.format("memory").queryName("sem_probe_out").outputMode("append").start()
+    try {
+      input.addData(batchRows.take(1)); q.processAllAvailable()
+      input.addData(batchRows.drop(1)); q.processAllAvailable()
+      val got = spark.table("sem_probe_out").collect().map(_.toSeq).toSet
+      assert(got == want, s"stream probe != batch ivfPqStoreMatches:\ngot  $got\nwant $want")
+    } finally q.stop()
+  }
+
   test("sampledIngest: stream == batch classifier -> stratifiedByRate -> store-probe on the same feed") {
     import org.apache.spark.sql.functions.md5
     implicit val sqlCtx = spark.sqlContext
