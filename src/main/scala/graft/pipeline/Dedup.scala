@@ -390,14 +390,36 @@ object Dedup {
           s"(e.g. ${sample.mkString(", ")}) — the component graph would conflate " +
           "them into one cluster; remap one id space first")
     }
+    minhashDedupIncrementalSigs(batch.select(col(idCol)),
+      minhashSignature(batch, idCol, textCol), sigStore, thresholdPpm, idCol)
+  }
+
+  /** [[minhashDedupIncremental]] from PRECOMPUTED batch signatures: use
+    * when fixed-width SIGNATURES already exist at rest (re-labeling a
+    * slice of the signature store, replaying a batch whose sigs were
+    * persisted by [[sigStoreAppend]]) — then the text scan is skipped
+    * outright. Deriving batch sigs from the staged SHINGLE table and
+    * passing them here is NOT a win (measured 1.4x slower at sf0.1:
+    * hundreds of exploded substrate rows per doc vs one text row);
+    * shingle staging pays off only for consumers that need shingle rows.
+    * `batchIds` is the batch's id universe — it may exceed `batchSigs`
+    * (docs under 3 tokens produce no signature but must still surface as
+    * novel singletons).
+    */
+  def minhashDedupIncrementalSigs(
+      batchIds: DataFrame,
+      batchSigs: DataFrame,
+      sigStore: DataFrame,
+      thresholdPpm: Long = 500000L,
+      idCol: String = "doc_id"): DataFrame = {
     // feeds the band explode, both sim verifications, and the final label
-    // join — persist so the signature aggregation runs once. (Measured:
+    // join — persist so the signature derivation runs once. (Measured:
     // the explode+aggregate form beats the scan-side rowSigS expression
     // here — the exploded hash is codegen'd and the 64 mins combine
     // map-side, while the row expression is one large interpreted HOF;
     // rowSigS earns its keep only where a shuffle is illegal, i.e. the
     // stateless streaming projection.)
-    val bsig = minhashSignature(batch, idCol, textCol)
+    val bsig = batchSigs
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val matches = minhashStoreMatches(bsig, sigStore, thresholdPpm, idCol)
     val edges = minhashSigPairs(bsig, thresholdPpm, idCol).select("id1", "id2")
@@ -407,7 +429,7 @@ object Dedup {
     val storeClusters = sigStore.select("cluster_id").distinct()
     val storeMin = comps.join(storeClusters, comps("id") === storeClusters("cluster_id"))
       .groupBy("comp").agg(min(col("cluster_id")).as("__store_min"))
-    batch.select(col(idCol))
+    batchIds.select(col(idCol))
       .join(comps.withColumnRenamed("id", idCol), Seq(idCol), "left")
       .join(storeMin, Seq("comp"), "left")
       .select(col(idCol),

@@ -592,6 +592,13 @@ object PipelineQueries {
       // cluster-id distinct) as parquet — its one-time signature build is
       // staging cost, like the shingle substrate
       val store = sigStoreFor(s, dir)
+      // batch signatures derive from TEXT, not the staged shingle table:
+      // measured A/B at sf0.1, reading the exploded (doc_id, sh, h)
+      // substrate for the batch slice costs ~1.4x the tokenize-from-text
+      // scan (hundreds of staged rows per doc vs one text row, and the
+      // doc_id%2 predicate cannot prune parquet) — the staged table earns
+      // its keep only for consumers that need SHINGLE rows (jaccard
+      // verification), not signature-only derivation
       val batch = docs.where(col("doc_id") % 2 === 1).select("doc_id", "text")
         .unionByName(docs.filter(col("doc_id") % 10 === 0)
           .select((col("doc_id") + 1000000L).as("doc_id"),
