@@ -247,6 +247,70 @@ object Bpe {
     s"CASE WHEN len($sy) = 1 THEN ascii($sy) ELSE CASE $sy $compounds ELSE -1 END END"
   }
 
+  /** Symbol of one integer id — the inverse of [[idOfS]]: code point back
+    * to its character below 256, compound rank back to its merged string.
+    * Unknown ids decode to NULL (which `concat_ws` skips — a corrupted
+    * stream surfaces as a round-trip mismatch, not a crash).
+    */
+  private def symOfS(idv: String): String = {
+    val compounds = vocabIds.toSeq.sortBy(_._2)
+      .map { case (s, id) => s"WHEN $id THEN '${lit1(s)}'" }.mkString(" ")
+    s"CASE WHEN $idv < 256 THEN char($idv) ELSE CASE $idv $compounds ELSE NULL END END"
+  }
+  private def symOfD(idv: String): String = {
+    val compounds = vocabIds.toSeq.sortBy(_._2)
+      .map { case (s, id) => s"WHEN $id THEN '${lit1D(s)}'" }.mkString(" ")
+    s"CASE WHEN $idv < 256 THEN chr($idv) ELSE CASE $idv $compounds ELSE NULL END END"
+  }
+
+  /** DECODE an id array back to text — the inverse every tokenizer ships
+    * (inspection, sampling dashboards, loss-masking audits decode what
+    * the loader packed). Scan-side, like the encode. CONTRACT: whitespace
+    * is not in this vocabulary (the tokenizer splits on it), so decoding
+    * a document's flat id stream yields the SPACE-STRIPPED normalized
+    * text; per WORD the round trip is exact (spec-asserted over the
+    * seeded fuzz corpus). Production vocabs carry an explicit
+    * space-marker symbol and decode byte-exactly — the id→symbol table
+    * is the same shape either way.
+    */
+  def decodeS(idsCol: String): String =
+    s"concat_ws('', transform($idsCol, v0 -> ${symOfS("v0")}))"
+  def decodeD(idsCol: String): String =
+    s"array_to_string(list_transform($idsCol, v0 -> ${symOfD("v0")}), '')"
+
+  /** Per-document encode→decode ROUND TRIP audit: BPE token count, md5 of
+    * the decoded text, and whether the decode reproduces the
+    * space-stripped normalized document exactly (it must — asserting it
+    * corpus-wide is the cheapest end-to-end integrity check of the whole
+    * id table). The symbol array and the decoded string are each
+    * lambda-bound so they evaluate once per row.
+    */
+  def decodeRoundTrip(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val ids = s"transform(ss, sy -> ${idOfS("sy")})"
+    val stats =
+      s"""inline(array(element_at(transform(array(${symsS(textCol)}), ss ->
+         |  element_at(transform(array(${decodeS(ids)}), dd -> named_struct(
+         |    'n_bpe_tokens', cast(size(ss) as bigint),
+         |    'decoded_md5', md5(dd),
+         |    'roundtrip_ok', dd = concat_ws('', ${toksS(textCol)}))), 1)), 1)))"""
+        .stripMargin.replace("\n", " ")
+    docs.select(col(idCol), expr(stats))
+  }
+
+  /** DuckDB oracle twin of [[decodeRoundTrip]] — generated from the same
+    * constants (the [[encodeSqlD]] discipline).
+    */
+  def decodeRoundTripSqlD: String = {
+    val ids = s"list_transform(ss, sy -> ${idOfD("sy")})"
+    s"""WITH syms AS (SELECT doc_id, ${toksD("text")} AS toks, ${symsD("text")} AS ss FROM documents),
+       |dec AS (SELECT doc_id, toks, ss, ${decodeD(ids)} AS dd FROM syms)
+       |SELECT doc_id,
+       |  CAST(len(ss) AS BIGINT) AS n_bpe_tokens,
+       |  md5(dd) AS decoded_md5,
+       |  dd = array_to_string(toks, '') AS roundtrip_ok
+       |FROM dec ORDER BY doc_id""".stripMargin
+  }
+
   /** BPE token COUNT expression — drop-in for the whitespace
     * `size(toksS(text))` wherever a token-denominated operator takes a
     * token count (packChunks, mixtureByBudget, vocab budgets): the

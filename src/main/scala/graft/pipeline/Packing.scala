@@ -264,4 +264,38 @@ object Packing {
       .withColumn("pos", row_number().over(w).cast("long"))
       .drop("__ekey")
   }
+
+  /** SHARD MANIFEST — the provenance record a corpus build publishes next
+    * to its training shards so a consumer (or a re-run) can verify the
+    * layout bit-for-bit without re-reading the data: per shard, the doc
+    * count, the token total, and an ORDER-EXACT content fingerprint of
+    * the (position, doc id) assignment.
+    *
+    * The fingerprint is `bit_xor` over rows of a 60-bit md5-derived hash
+    * of "pos:id". Position is baked into every term, so any reorder,
+    * drop, duplicate, or swap changes the result — order-exact — yet XOR
+    * commutes, so the aggregate is map-side combinable with O(1) state.
+    * The tempting alternative (md5 of the collect_list of ids in position
+    * order) materializes a corpus/nShards-sized array per group — a
+    * driver-of-the-executor-world memory cliff at 100 TB. 60 bits (15 hex
+    * chars) keeps `conv` exact (16^15 < 2^63; all 32 hex chars would
+    * overflow the bigint parse).
+    *
+    * Input is an [[epochShuffle]]/[[lengthBuckets]]-shaped frame carrying
+    * `shard`, `pos`, and optionally `n_tokens` (token totals are reported
+    * when present, omitted when not).
+    */
+  def shardManifest(placed: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    require(Seq("shard", "pos", idCol).forall(placed.columns.contains),
+      s"shardManifest needs 'shard', 'pos', '$idCol', got ${placed.columns.mkString(", ")}")
+    val fp = expr(
+      s"""bit_xor(cast(conv(substr(md5(concat(cast(pos as string), ':',
+         |  cast(`$idCol` as string))), 1, 15), 16, 10) as bigint))""".stripMargin
+        .replace("\n", " ")).as("fingerprint")
+    val aggs =
+      if (placed.columns.contains("n_tokens"))
+        Seq(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"), fp)
+      else Seq(count(lit(1)).as("n_docs"), fp)
+    placed.groupBy("shard").agg(aggs.head, aggs.tail: _*)
+  }
 }

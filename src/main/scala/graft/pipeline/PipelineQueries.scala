@@ -638,6 +638,13 @@ object PipelineQueries {
       Bpe.encode(Tables.documents(s, dir)).orderBy("doc_id")
     }),
 
+    // BPE decode round trip: ids -> text inverse; roundtrip_ok asserts
+    // decode(encode(doc)) == space-stripped normalized doc corpus-wide —
+    // the cheapest end-to-end integrity check of the id table
+    "ext_bpe_decode" -> ((s, dir) => {
+      Bpe.decodeRoundTrip(Tables.documents(s, dir)).orderBy("doc_id")
+    }),
+
     // per-doc TF-IDF keywords: integer idf (bit-length log2 of inverse
     // doc frequency), top-3 per doc, total tie order
     "ext_keywords" -> ((s, dir) => {
@@ -788,6 +795,19 @@ object PipelineQueries {
           nShards = 8, epoch = 3L)
         .select("doc_id", "shard", "pos")
         .orderBy("doc_id")
+    }),
+
+    // shard manifest: the provenance record published next to training
+    // shards — per shard: doc count, token total, order-exact xor
+    // fingerprint of the (pos, id) assignment (O(1) agg state)
+    "ext_manifest" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val toks = docs.select(col("doc_id"),
+        expr(s"cast(size(${toksS("text")}) as bigint)").as("n_tokens"))
+      Packing.shardManifest(
+          Packing.epochShuffle(docs.select("doc_id"), nShards = 8, epoch = 3L)
+            .join(toks, "doc_id"))
+        .orderBy("shard")
     }),
 
     // length-bucketed batching: pow2 length buckets (padding < 2x within
@@ -1375,6 +1395,7 @@ object PipelineQueries {
 
     // both dialects generated from Bpe.merges — they cannot drift
     "ext_bpe_encode" -> Bpe.encodeSqlD,
+    "ext_bpe_decode" -> Bpe.decodeRoundTripSqlD,
 
     "ext_keywords" ->
       s"""WITH tk AS (SELECT doc_id, ${toksD("text")} AS toks FROM documents),
@@ -1599,6 +1620,21 @@ object PipelineQueries {
          |SELECT doc_id, shard,
          |  CAST(row_number() OVER (PARTITION BY shard ORDER BY ekey, doc_id) AS BIGINT) AS pos
          |FROM s ORDER BY doc_id""".stripMargin,
+
+    "ext_manifest" ->
+      s"""WITH k AS (SELECT doc_id, md5('3:' || doc_id::VARCHAR) AS ekey
+         |  FROM documents),
+         |s AS (SELECT doc_id, ekey,
+         |  ('0x' || substr(ekey, 1, 8))::BIGINT % 8 AS shard FROM k),
+         |p AS (SELECT doc_id, shard,
+         |  CAST(row_number() OVER (PARTITION BY shard ORDER BY ekey, doc_id) AS BIGINT) AS pos
+         | FROM s),
+         |t AS (SELECT doc_id, CAST(len(${toksD("text")}) AS BIGINT) AS n_tokens FROM documents)
+         |SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(t.n_tokens) AS BIGINT) AS n_tokens,
+         |  bit_xor(('0x' || substr(md5(p.pos::VARCHAR || ':' || p.doc_id::VARCHAR), 1, 15))::BIGINT) AS fingerprint
+         |FROM p JOIN t ON t.doc_id = p.doc_id
+         |GROUP BY shard ORDER BY shard""".stripMargin,
 
     "ext_len_buckets" ->
       s"""WITH d AS (SELECT doc_id,

@@ -256,4 +256,32 @@ class BpeSpec extends SparkSpec {
       .select(sum(expr(s"size(${TextOps.toksS("text")})"))).head.getLong(0)
     assert(total > ws, "subword count must exceed whitespace token count")
   }
+
+  test("decode inverts encode: per-word round trip exact on seeded rule-dense words") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(0xdec0de)
+    val alphabet = "theinandrgost".toCharArray
+    val words = (1 to 200).map { _ =>
+      val len = 1 + rnd.nextInt(12)
+      String.valueOf(Array.fill(len)(alphabet(rnd.nextInt(alphabet.length))))
+    }.distinct
+    // single-word documents: the flat id stream IS the word's stream, so
+    // the space-stripped contract degenerates to exact equality
+    val docs = words.zipWithIndex.map { case (w, i) => (i.toLong, w) }.toDF("doc_id", "text")
+    val got = Bpe.decodeRoundTrip(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getString(2), r.getBoolean(3)))).toMap
+    words.zipWithIndex.foreach { case (w, i) =>
+      val (md5got, ok) = got(i.toLong)
+      assert(ok, s"round trip failed for '$w'")
+      val md5want = java.security.MessageDigest.getInstance("MD5")
+        .digest(w.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      assert(md5got == md5want, s"decoded text of '$w' is not the word itself")
+    }
+  }
+
+  test("decodeRoundTrip holds corpus-wide at sf0.001 (multi-word docs: space-stripped contract)") {
+    val out = Bpe.decodeRoundTrip(Tables.documents(spark, "/root/testdata/sf0.001"))
+    assert(out.where(!col("roundtrip_ok")).isEmpty,
+      "decode(encode(doc)) must equal the space-stripped normalized doc for every document")
+  }
 }

@@ -203,4 +203,26 @@ class PackingSpec extends SparkSpec {
       assert(got(i) == expectShard(5L, i, 8), s"doc $i shard mismatch")
     }
   }
+
+  test("shardManifest: counts/totals per shard; fingerprint is order-exact and detects swaps") {
+    import spark.implicits._
+    val placed = Seq(
+      (1L, 0L, 1L, 10L), (2L, 0L, 2L, 20L), (3L, 1L, 1L, 5L))
+      .toDF("doc_id", "shard", "pos", "n_tokens")
+    val m = Packing.shardManifest(placed).orderBy("shard").collect()
+    assert(m.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq((0L, 2L, 30L), (1L, 1L, 5L)))
+    // swapping two docs' positions keeps counts/totals but MUST change the
+    // fingerprint — that is the whole point of baking pos into each term
+    val swapped = Seq(
+      (2L, 0L, 1L, 20L), (1L, 0L, 2L, 10L), (3L, 1L, 1L, 5L))
+      .toDF("doc_id", "shard", "pos", "n_tokens")
+    val m2 = Packing.shardManifest(swapped).orderBy("shard").collect()
+    assert(m2(0).getLong(1) == 2L && m2(0).getLong(2) == 30L)
+    assert(m2(0).getLong(3) != m(0).getLong(3), "swap must change the fingerprint")
+    assert(m2(1).getLong(3) == m(1).getLong(3), "untouched shard fingerprint is stable")
+    // token column optional: without it the schema drops n_tokens
+    val noTok = Packing.shardManifest(placed.drop("n_tokens"))
+    assert(noTok.columns.toSeq == Seq("shard", "n_docs", "fingerprint"))
+  }
 }
