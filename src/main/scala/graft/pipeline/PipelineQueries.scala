@@ -482,6 +482,18 @@ object PipelineQueries {
       TextAnalysis.qualityScore(Tables.documents(s, dir)).orderBy("doc_id")
     }),
 
+    // calibrated per-source quality filter: keep the top 25% of EACH
+    // source by its OWN score distribution (a global threshold cannot
+    // apply one keep-rate across incomparable score scales); histogram
+    // cutoffs broadcast, ties at the cutoff keep deterministically
+    "ext_calibrated" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val scored = TextAnalysis.qualityScore(docs)
+        .join(docs.select("doc_id", "source"), "doc_id")
+      Sampling.calibratedKeep(scored, "source", "quality_ppm", keepPpm = 250000L)
+        .orderBy("doc_id")
+    }),
+
     "ext_lang_id" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       TextAnalysis.langId(docs)
@@ -1179,6 +1191,27 @@ object PipelineQueries {
          |       FROM tk)
          |SELECT doc_id, CAST(least(least(n_tokens, 100) * 5000 + distinct_ppm // 2, 1000000) AS BIGINT) AS quality_ppm
          |FROM st ORDER BY doc_id""".stripMargin,
+
+    "ext_calibrated" ->
+      s"""WITH tk AS (SELECT doc_id, ${toksD("text")} AS toks FROM documents),
+         |st AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+         |         CAST(len(list_distinct(toks)) * 1000000 // greatest(len(toks), 1) AS BIGINT) AS distinct_ppm
+         |       FROM tk),
+         |sc AS (SELECT st.doc_id, d.source,
+         |         CAST(least(least(n_tokens, 100) * 5000 + distinct_ppm // 2, 1000000) AS BIGINT) AS quality_ppm
+         |       FROM st JOIN documents d ON d.doc_id = st.doc_id),
+         |h AS (SELECT source, quality_ppm, count(*) AS c FROM sc GROUP BY 1, 2),
+         |cum AS (SELECT source, quality_ppm,
+         |    sum(c) OVER (PARTITION BY source ORDER BY quality_ppm DESC
+         |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumc,
+         |    sum(c) OVER (PARTITION BY source) * 250000 // 1000000 AS target
+         |  FROM h),
+         |cut AS (SELECT source, CAST(max(quality_ppm) AS BIGINT) AS cutoff
+         |        FROM cum WHERE cumc >= target AND target > 0 GROUP BY source)
+         |SELECT sc.doc_id, sc.source, sc.quality_ppm, cut.cutoff,
+         |  cut.cutoff IS NOT NULL AND sc.quality_ppm >= cut.cutoff AS kept
+         |FROM sc LEFT JOIN cut ON cut.source = sc.source
+         |ORDER BY sc.doc_id""".stripMargin,
 
     "ext_lang_id" ->
       s"""WITH tk AS (SELECT doc_id, lang, ${toksD("text")} AS toks FROM documents),

@@ -594,4 +594,59 @@ object Sampling {
     }
     kept.unionByName(guardRows)
   }
+
+  /** CALIBRATED per-stratum score cutoffs — apply ONE keep-rate across
+    * heterogeneous sources: a fixed global score threshold keeps 90% of a
+    * clean curated dump and 4% of a noisy crawl (the score scales are not
+    * comparable), so production filters calibrate per stratum — "keep the
+    * top `keepPpm` of EACH source by ITS OWN score distribution".
+    *
+    * cutoff(stratum) = the target-th highest score, target = floor(n ×
+    * keepPpm / 1e6); keeping `score >= cutoff` includes boundary TIES
+    * (deterministic overshoot, the curriculum-bin convention — equal
+    * scores never split). Strata whose target floors to 0 emit no cutoff
+    * row: nothing keeps.
+    *
+    * Scale shape (the curriculum histogram trick, per stratum): the
+    * distribution is captured as a (stratum, score) COUNT histogram —
+    * map-side combinable, output sized by score cardinality (integer
+    * scores: thousands of rows), NEVER a corpus-wide rank window — the
+    * cumulative runs over that config-sized frame, and the cutoff table
+    * broadcasts back onto the corpus scan.
+    */
+  def calibratedCutoffs(
+      scored: DataFrame,
+      stratumCol: String,
+      scoreCol: String,
+      keepPpm: Long): DataFrame = {
+    require(keepPpm >= 0 && keepPpm <= 1000000L,
+      s"calibratedCutoffs: keepPpm must be in [0, 1e6], got $keepPpm")
+    import org.apache.spark.sql.expressions.Window
+    val hist = scored.groupBy(col(stratumCol), col(scoreCol))
+      .agg(count(lit(1)).as("__c"))
+    val desc = Window.partitionBy(stratumCol).orderBy(col(scoreCol).desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    hist
+      .withColumn("__cum", sum(col("__c")).over(desc))
+      .withColumn("__target", expr(s"(sum(__c) over (partition by `$stratumCol`)) * $keepPpm DIV 1000000"))
+      .where(col("__cum") >= col("__target") && col("__target") > 0)
+      .groupBy(stratumCol).agg(max(col(scoreCol)).as("cutoff"))
+  }
+
+  /** [[calibratedCutoffs]] applied back: every row labeled with its
+    * stratum's cutoff and the keep verdict (`kept = score >= cutoff`;
+    * false when the stratum has no cutoff). The cutoff table broadcasts —
+    * the corpus never shuffles for the calibration.
+    */
+  def calibratedKeep(
+      scored: DataFrame,
+      stratumCol: String,
+      scoreCol: String,
+      keepPpm: Long,
+      idCol: String = "doc_id"): DataFrame =
+    scored.join(
+        broadcast(calibratedCutoffs(scored, stratumCol, scoreCol, keepPpm)),
+        Seq(stratumCol), "left")
+      .select(col(idCol), col(stratumCol), col(scoreCol), col("cutoff"),
+        (col("cutoff").isNotNull && col(scoreCol) >= col("cutoff")).as("kept"))
 }

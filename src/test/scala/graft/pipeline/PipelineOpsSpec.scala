@@ -1201,6 +1201,40 @@ class PipelineOpsSpec extends SparkSpec {
       ("web", "web", 1L, 500000L)))
   }
 
+  test("calibratedKeep: per-stratum quantile cutoffs, boundary ties keep, target-0 keeps nothing") {
+    // stratum A: scores 100..10 (10 docs), keep 30% -> target 3 -> cutoff
+    // = 3rd highest = 80; stratum B: all-equal scores (total tie: cutoff
+    // = that score, everything keeps); stratum C: 1 doc at 30% -> target
+    // floors to 0 -> no cutoff, nothing keeps
+    val scored = ((1L to 10L).map(i => (i, "A", i * 10L)) ++
+      Seq((21L, "B", 7L), (22L, "B", 7L), (23L, "B", 7L)) ++
+      Seq((31L, "C", 999L))).toDF("doc_id", "stratum", "score")
+    val out = Sampling.calibratedKeep(scored, "stratum", "score", keepPpm = 300000L)
+      .collect().map(r => r.getLong(0) -> ((Option(r.get(3)), r.getBoolean(4)))).toMap
+    (1L to 10L).foreach { i =>
+      assert(out(i) == ((Some(80L), i * 10L >= 80L)), s"A doc $i: ${out(i)}")
+    }
+    // B: n=3, target = 0 (3*3e5 DIV 1e6 = 0)? no: 900000 DIV 1e6 = 0 -> nothing keeps
+    Seq(21L, 22L, 23L).foreach { i => assert(out(i) == ((None, false)), s"B doc $i: ${out(i)}") }
+    assert(out(31L) == ((None, false)))
+    // raise B's rate so target reaches 1: the tie group keeps WHOLE
+    val out2 = Sampling.calibratedKeep(scored, "stratum", "score", keepPpm = 400000L)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(4)).toMap
+    Seq(21L, 22L, 23L).foreach { i => assert(out2(i), s"B tie group must keep whole at 40%") }
+  }
+
+  test("calibratedKeep: cutoffs broadcast; no corpus-wide rank window in the plan") {
+    val scored = (1L to 50L).map(i => (i, s"s${i % 3}", i)).toDF("doc_id", "stratum", "score")
+    val plan = Sampling.calibratedKeep(scored, "stratum", "score", 500000L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastExchange") || plan.contains("BroadcastHashJoin"),
+      s"cutoff table must broadcast:\n${plan.take(2000)}")
+    // the only Window runs over the (stratum, score) HISTOGRAM — its input
+    // is an aggregate, never the raw corpus rows
+    assert(!plan.contains("row_number"),
+      s"calibration must not rank the corpus:\n${plan.take(2000)}")
+  }
+
   test("overlapMatrix rejects a pair list without the similarity column") {
     val pairs = Seq((1L, 2L)).toDF("id1", "id2")
     val sources = Seq((1L, "a")).toDF("doc_id", "source")
