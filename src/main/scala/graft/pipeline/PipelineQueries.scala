@@ -482,6 +482,13 @@ object PipelineQueries {
       TextAnalysis.qualityScore(Tables.documents(s, dir)).orderBy("doc_id")
     }),
 
+    // per-source data card: the release summary (docs, tokens, mean
+    // quality, dominant language + share, within-corpus dup rate) — the
+    // numbers mixture weights are chosen from
+    "ext_datacard" -> ((s, dir) => {
+      TextAnalysis.dataCard(Tables.documents(s, dir)).orderBy("source")
+    }),
+
     // calibrated per-source quality filter: keep the top 25% of EACH
     // source by its OWN score distribution (a global threshold cannot
     // apply one keep-rate across incomparable score scales); histogram
@@ -1191,6 +1198,32 @@ object PipelineQueries {
          |       FROM tk)
          |SELECT doc_id, CAST(least(least(n_tokens, 100) * 5000 + distinct_ppm // 2, 1000000) AS BIGINT) AS quality_ppm
          |FROM st ORDER BY doc_id""".stripMargin,
+
+    "ext_datacard" ->
+      s"""WITH tk AS (SELECT doc_id, ${toksD("text")} AS toks FROM documents),
+         |st AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+         |         CAST(len(list_distinct(toks)) * 1000000 // greatest(len(toks), 1) AS BIGINT) AS distinct_ppm
+         |       FROM tk),
+         |q AS (SELECT doc_id,
+         |        CAST(least(least(n_tokens, 100) * 5000 + distinct_ppm // 2, 1000000) AS BIGINT) AS quality_ppm,
+         |        n_tokens FROM st),
+         |dd AS (SELECT doc_id, doc_id = min(doc_id) OVER (PARTITION BY md5(text)) AS is_keeper
+         |       FROM documents),
+         |pd AS (SELECT d.doc_id, d.source, d.lang, q.n_tokens, q.quality_ppm, dd.is_keeper
+         |       FROM documents d JOIN q ON q.doc_id = d.doc_id JOIN dd ON dd.doc_id = d.doc_id),
+         |r AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |        CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+         |        CAST(sum(quality_ppm) // count(*) AS BIGINT) AS mean_quality_ppm,
+         |        CAST(sum(CASE WHEN is_keeper THEN 0 ELSE 1 END) * 1000000 // count(*) AS BIGINT) AS dup_ppm
+         |      FROM pd GROUP BY source),
+         |lc AS (SELECT source, lang, count(*) AS c FROM pd GROUP BY 1, 2),
+         |tl AS (SELECT source, lang AS top_lang, c FROM (
+         |        SELECT source, lang, c, row_number() OVER (PARTITION BY source ORDER BY c DESC, lang) AS rn
+         |        FROM lc) WHERE rn = 1)
+         |SELECT r.source, r.n_docs, r.n_tokens, r.mean_quality_ppm, r.dup_ppm,
+         |  tl.top_lang, CAST(tl.c * 1000000 // r.n_docs AS BIGINT) AS top_lang_ppm
+         |FROM r JOIN tl ON tl.source = r.source
+         |ORDER BY r.source""".stripMargin,
 
     "ext_calibrated" ->
       s"""WITH tk AS (SELECT doc_id, ${toksD("text")} AS toks FROM documents),

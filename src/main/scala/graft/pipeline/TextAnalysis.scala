@@ -25,6 +25,49 @@ object TextAnalysis {
         expr("size(array_distinct(toks)) * 1000000 DIV greatest(size(toks), 1)")
           .as("distinct_ppm"))
 
+  /** PER-SOURCE DATA CARD — the one-page corpus summary published next to
+    * a dataset release (and consulted before choosing mixture weights):
+    * per source, the doc and token counts, mean quality, the dominant
+    * language with its share, and the within-corpus duplication rate
+    * (share of this source's docs whose text also appears elsewhere under
+    * the corpus-wide exact-dedup election — curated-vs-crawl overlap
+    * shows up here immediately). All integer (ppm means via DIV), so the
+    * card hashes cross-engine.
+    *
+    * Scale shape: one pass computes the per-doc metrics scan-side
+    * (token stats and quality are projections; the dedup verdict is the
+    * [[Dedup.exactDedup]] hash window — fixed-width keys); the rollup is
+    * a |sources|-row aggregate plus a (source, lang)-sized mode election.
+    * Nothing rank-windows the corpus.
+    */
+  def dataCard(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      srcCol: String = "source",
+      langCol: String = "lang"): DataFrame = {
+    val perDoc = docs.select(col(idCol), col(srcCol), col(langCol))
+      .join(tokenStats(docs, idCol, textCol).select(col(idCol), col("n_tokens")), idCol)
+      .join(qualityScore(docs, idCol, textCol), idCol)
+      .join(Dedup.exactDedup(docs, idCol, textCol).select(col(idCol), col("is_keeper")), idCol)
+    val rollup = perDoc.groupBy(srcCol).agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("n_tokens")).as("n_tokens"),
+      expr("sum(quality_ppm) DIV count(1)").as("mean_quality_ppm"),
+      expr("sum(IF(is_keeper, 0L, 1L)) * 1000000 DIV count(1)").as("dup_ppm"))
+    val langW = org.apache.spark.sql.expressions.Window.partitionBy(srcCol)
+      .orderBy(col("__lc").desc, col(langCol))
+    val topLang = perDoc.groupBy(col(srcCol), col(langCol))
+      .agg(count(lit(1)).as("__lc"))
+      .withColumn("__r", row_number().over(langW))
+      .where(col("__r") === 1)
+      .select(col(srcCol), col(langCol).as("top_lang"), col("__lc").as("__topn"))
+    rollup.join(topLang, srcCol)
+      .select(col(srcCol), col("n_docs"), col("n_tokens"), col("mean_quality_ppm"),
+        col("dup_ppm"), col("top_lang"),
+        expr("__topn * 1000000 DIV n_docs").as("top_lang_ppm"))
+  }
+
   /** Quality score in ppm: rewards length (capped) and lexical diversity.
     * Deterministic integer formula — a stand-in for model-based quality
     * classifiers with identical pipeline shape.

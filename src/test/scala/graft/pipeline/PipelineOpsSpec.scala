@@ -1223,6 +1223,26 @@ class PipelineOpsSpec extends SparkSpec {
     Seq(21L, 22L, 23L).foreach { i => assert(out2(i), s"B tie group must keep whole at 40%") }
   }
 
+  test("dataCard: per-source rollup with dup rate and dominant language") {
+    val docs = Seq(
+      // 'web': 4 docs — one is a copy of a curated doc (loses the corpus
+      // min-id election -> counts as dup), langs 3×en 1×de
+      (10L, "alpha beta gamma delta", "web", "en"),
+      (11L, "five six seven eight nine", "web", "en"),
+      (12L, "unique web words here", "web", "de"),
+      (13L, "curated corpus sentence one", "web", "en"), // copy of doc 1
+      // 'curated': 2 docs, all en, no dups (doc 1 is the keeper)
+      (1L, "curated corpus sentence one", "curated", "en"),
+      (2L, "curated corpus sentence two", "curated", "en")
+    ).toDF("doc_id", "text", "source", "lang")
+    val got = TextAnalysis.dataCard(docs).orderBy("source").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(4),
+        r.getString(5), r.getLong(6)))
+    assert(got(0) == (("curated", 2L, 8L, 0L, "en", 1000000L)), s"got ${got(0)}")
+    // web: 4 docs, 4+5+4+4=17 tokens, 1 dup of 4 -> 250000 ppm, en 3/4
+    assert(got(1) == (("web", 4L, 17L, 250000L, "en", 750000L)), s"got ${got(1)}")
+  }
+
   test("calibratedKeep: cutoffs broadcast; no corpus-wide rank window in the plan") {
     val scored = (1L to 50L).map(i => (i, s"s${i % 3}", i)).toDF("doc_id", "stratum", "score")
     val plan = Sampling.calibratedKeep(scored, "stratum", "score", 500000L)
