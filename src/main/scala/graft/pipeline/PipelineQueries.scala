@@ -130,6 +130,30 @@ object PipelineQueries {
 
   private val dotEmbCentD =
     "list_sum(list_transform(generate_series(1,64), i -> embedding[i]::DOUBLE * cv[i]))"
+
+  /** Shared DuckDB CTEs for the SemDeDup cluster derivation (augmented
+    * embeddings → cell assignment → within-cell cosine pairs → recursive
+    * CC `comp`) — used by both ext_semdedup and ext_cluster_centroids so
+    * the two cannot drift. Callers prepend `WITH RECURSIVE`.
+    */
+  private lazy val semdedupCcSql =
+    s"""aug AS (SELECT vec_id, embedding FROM embeddings
+       |  UNION ALL SELECT vec_id + 1000000, embedding FROM embeddings WHERE vec_id % 10 = 0
+       |  UNION ALL SELECT vec_id + 2000000, embedding FROM embeddings WHERE vec_id % 20 = 0),
+       |$ivfCentSql,
+       |cd AS (SELECT vec_id, embedding, cid,
+       |        row_number() OVER (PARTITION BY vec_id ORDER BY $dotEmbCentD DESC, cid) AS rn
+       |       FROM aug, cent),
+       |asg AS (SELECT vec_id, embedding, cid AS cell FROM cd WHERE rn = 1),
+       |prs AS (SELECT x.vec_id AS id1, y.vec_id AS id2
+       |        FROM asg x JOIN asg y ON x.cell = y.cell AND x.vec_id < y.vec_id
+       |        WHERE ${cosD("x.embedding", "y.embedding")} >= 0.999),
+       |e AS (SELECT id1 AS u, id2 AS v FROM prs UNION SELECT id2, id1 FROM prs),
+       |reach(id, comp) AS (
+       |  SELECT DISTINCT u, u FROM e
+       |  UNION
+       |  SELECT e.v, reach.comp FROM reach JOIN e ON e.u = reach.id),
+       |comp AS (SELECT id, min(comp) AS comp FROM reach GROUP BY 1)""".stripMargin
   private val nearAugSql =
     """aug AS (SELECT doc_id, text FROM documents
       | UNION ALL SELECT doc_id + 1000000, substr(text, strpos(text, ' ') + 1) FROM documents WHERE doc_id % 10 = 0)""".stripMargin
@@ -766,6 +790,23 @@ object PipelineQueries {
           .select((col("vec_id") + 2000000L).as("vec_id"), col("embedding")))
       Similarity.semanticDedup(aug, Similarity.defaultCentroids(64, 8), 0.999)
         .orderBy("vec_id")
+    }),
+
+    // cluster centroid summaries: the retrain feed — mean embedding per
+    // non-singleton dedup cluster (integer ppm, floor mean), emitted
+    // exploded per component
+    "ext_cluster_centroids" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
+      val aug = emb
+        .unionByName(emb.filter(col("vec_id") % 10 === 0)
+          .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding")))
+        .unionByName(emb.filter(col("vec_id") % 20 === 0)
+          .select((col("vec_id") + 2000000L).as("vec_id"), col("embedding")))
+      val labeled = Similarity.semanticDedup(aug, Similarity.defaultCentroids(64, 8), 0.999)
+      val multi = labeled.groupBy("cluster_id").count().where(col("count") > 1)
+        .select("cluster_id")
+      Similarity.clusterCentroids(labeled.join(multi, "cluster_id"), aug)
+        .orderBy("cluster_id", "pos")
     }),
 
     // budget-driven mixture: per-source token budgets → derived keep
@@ -1598,33 +1639,29 @@ object PipelineQueries {
     // fold; components + election mirror ext_dedup_clusters
     "ext_semdedup" ->
       s"""WITH RECURSIVE
-         |aug AS (SELECT vec_id, embedding FROM embeddings
-         |  UNION ALL SELECT vec_id + 1000000, embedding FROM embeddings WHERE vec_id % 10 = 0
-         |  UNION ALL SELECT vec_id + 2000000, embedding FROM embeddings WHERE vec_id % 20 = 0),
-         |$ivfCentSql,
-         |cd AS (SELECT vec_id, embedding, cid,
-         |        row_number() OVER (PARTITION BY vec_id ORDER BY $dotEmbCentD DESC, cid) AS rn
-         |       FROM aug, cent),
-         |asg AS (SELECT vec_id, embedding, cid AS cell FROM cd WHERE rn = 1),
-         |prs AS (SELECT x.vec_id AS id1, y.vec_id AS id2
-         |        FROM asg x JOIN asg y ON x.cell = y.cell AND x.vec_id < y.vec_id
-         |        WHERE list_sum(list_transform(generate_series(1,64),
-         |                i -> x.embedding[i]::DOUBLE * y.embedding[i]::DOUBLE))
-         |          / (sqrt(list_sum(list_transform(generate_series(1,64),
-         |                i -> x.embedding[i]::DOUBLE * x.embedding[i]::DOUBLE)))
-         |           * sqrt(list_sum(list_transform(generate_series(1,64),
-         |                i -> y.embedding[i]::DOUBLE * y.embedding[i]::DOUBLE)))) >= 0.999),
-         |e AS (SELECT id1 AS u, id2 AS v FROM prs UNION SELECT id2, id1 FROM prs),
-         |reach(id, comp) AS (
-         |  SELECT DISTINCT u, u FROM e
-         |  UNION
-         |  SELECT e.v, reach.comp FROM reach JOIN e ON e.u = reach.id),
-         |comp AS (SELECT id, min(comp) AS comp FROM reach GROUP BY 1)
+         |$semdedupCcSql
          |SELECT a.vec_id,
          |  COALESCE(c.comp, a.vec_id) AS cluster_id,
          |  COALESCE(c.comp, a.vec_id) = a.vec_id AS is_keeper
          |FROM aug a LEFT JOIN comp c ON c.id = a.vec_id
          |ORDER BY a.vec_id""".stripMargin,
+
+    // shared cluster derivation (semdedupCcSql), then the centroid rollup
+    // of every non-singleton cluster — exact integer sums, floor mean
+    "ext_cluster_centroids" ->
+      s"""WITH RECURSIVE
+         |$semdedupCcSql,
+         |lab AS (SELECT a.vec_id, COALESCE(c.comp, a.vec_id) AS cluster_id
+         |        FROM aug a LEFT JOIN comp c ON c.id = a.vec_id),
+         |multi AS (SELECT cluster_id FROM lab GROUP BY 1 HAVING count(*) > 1),
+         |vp AS (SELECT l.cluster_id, l.vec_id,
+         |         list_transform(a.embedding, x0 -> CAST(floor(x0::DOUBLE * 1000000) AS BIGINT)) AS p
+         |       FROM lab l JOIN multi USING (cluster_id) JOIN aug a ON a.vec_id = l.vec_id),
+         |x AS (SELECT cluster_id, CAST(i - 1 AS BIGINT) AS pos, p[i] AS v
+         |      FROM vp, unnest(generate_series(1, 64)) t(i))
+         |SELECT cluster_id, pos,
+         |  CAST(floor(sum(v)::DOUBLE / count(*)) AS BIGINT) AS mean_ppm
+         |FROM x GROUP BY 1, 2 ORDER BY cluster_id, pos""".stripMargin,
 
     "ext_mixture_budget" ->
       s"""WITH d AS (SELECT doc_id, source,

@@ -518,6 +518,38 @@ object Similarity {
     }
   }
 
+  /** CLUSTER CENTROID SUMMARIES — the retrain feed: after a dedup election
+    * ([[semanticDedup]] / [[semanticDedupIncremental]] / the minhash
+    * family), each cluster's mean embedding is its representative — the
+    * vector that seeds the NEXT round's IVF cells or SemDeDup centroids
+    * (the standing remedy for a giant cell is "retrain on current data";
+    * this is the aggregation that retraining reads). Emitted EXPLODED as
+    * (cluster_id, pos, mean_ppm): integer ppm means via exact integer
+    * sums and one floor division — deterministic and oracle-hashable,
+    * and the consumer (a centroid table literal) wants per-component
+    * rows anyway.
+    *
+    * Scale: the join is id-equi; the aggregate is map-side-combinable
+    * sum/count per (cluster, component) — nCluster × dim rows out, never
+    * a collect_list of member vectors.
+    */
+  def clusterCentroids(
+      labeled: DataFrame,
+      emb: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(labeled.columns.contains("cluster_id"),
+      s"labeled must carry 'cluster_id', got ${labeled.columns.mkString(", ")}")
+    labeled.select(col(idCol), col("cluster_id"))
+      .join(emb.where(col(vecCol).isNotNull).select(col(idCol), col(vecCol)), idCol)
+      .select(col("cluster_id"),
+        posexplode(expr(pqPpmS(vecCol))).as(Seq("__p0", "__v")))
+      .groupBy(col("cluster_id"), expr("cast(__p0 as bigint)").as("pos"))
+      .agg(sum(col("__v")).as("__s"), count(lit(1)).as("__n"))
+      .select(col("cluster_id"), col("pos"),
+        expr("cast(floor(cast(__s as double) / __n) as bigint)").as("mean_ppm"))
+  }
+
   // ------------------------------------------------------- IVF+PQ incremental
 
   /** Per-(subspace, code) self-dot of the codebook entry — ||cb[m][c]||²

@@ -1223,6 +1223,24 @@ class PipelineOpsSpec extends SparkSpec {
     Seq(21L, 22L, 23L).foreach { i => assert(out2(i), s"B tie group must keep whole at 40%") }
   }
 
+  test("clusterCentroids: exact ppm means, floor on negative sums, null vectors drop") {
+    val labeled = Seq((1L, 100L), (2L, 100L), (3L, 300L)).toDF("vec_id", "cluster_id")
+    val emb = Seq(
+      (1L, Array(0.5, -0.25) ++ Array.fill(62)(0.0)),
+      (2L, Array(0.25, -0.5) ++ Array.fill(62)(0.0)),
+      (3L, null.asInstanceOf[Array[Double]])).toDF("vec_id", "embedding")
+    val got = Similarity.clusterCentroids(labeled, emb)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // cluster 100, dim 0: (500000 + 250000)/2 = 375000
+    assert(got((100L, 0L)) == 375000L)
+    // dim 1: (-250000 + -500000)/2 = -375000 exactly; floor semantics
+    // also cover the inexact case: floor(-750001/2) would be -375001
+    assert(got((100L, 1L)) == -375000L)
+    assert(got((100L, 5L)) == 0L)
+    // the null-vector cluster contributes nothing
+    assert(!got.keys.exists(_._1 == 300L))
+  }
+
   test("dataCard: per-source rollup with dup rate and dominant language") {
     val docs = Seq(
       // 'web': 4 docs — one is a copy of a curated doc (loses the corpus
