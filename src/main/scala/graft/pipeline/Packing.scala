@@ -265,6 +265,49 @@ object Packing {
       .drop("__ekey")
   }
 
+  /** CHUNK-WITH-OVERLAP — the embedding/retrieval-side splitter, dual to
+    * [[packChunks]]: packing CONCATENATES short docs up to the context
+    * length for training; this SPLITS long docs into fixed-token windows
+    * with overlap so each chunk embeds/retrieves with boundary context
+    * (the standard RAG splitter). Chunks start every `chunkTokens -
+    * overlapTokens` tokens; the last chunk may be short; empty docs emit
+    * nothing. `chunk_md5` fingerprints the chunk's token slice
+    * (order-exact), so downstream embedding stores can key dedup/caching
+    * on content.
+    *
+    * Scale shape: entirely scan-side — tokenize, a per-row chunk-count
+    * formula, one Generate (explode of the chunk index range), and
+    * per-chunk slicing of the row's own token array. No shuffle, no
+    * window, no join; legal in a stateless streaming projection as-is.
+    */
+  def chunkWithOverlap(
+      docs: DataFrame,
+      chunkTokens: Int,
+      overlapTokens: Int,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(chunkTokens > 0, s"chunkWithOverlap: chunkTokens must be positive, got $chunkTokens")
+    require(overlapTokens >= 0 && overlapTokens < chunkTokens,
+      s"chunkWithOverlap: overlap must be in [0, chunkTokens), got $overlapTokens")
+    val stride = chunkTokens - overlapTokens
+    import graft.pipeline.TextOps.toksS
+    docs
+      .select(col(idCol), expr(toksS(textCol)).as("__toks"))
+      .withColumn("__n", size(col("__toks")).cast("long"))
+      .where(col("__n") > 0)
+      .withColumn("__k",
+        expr(s"IF(__n <= $chunkTokens, 0L, (__n - $chunkTokens + $stride - 1) DIV $stride)"))
+      .select(col(idCol), col("__toks"), col("__n"),
+        explode(expr("sequence(0L, __k)")).as("chunk_idx"))
+      .withColumn("tok_start", col("chunk_idx") * stride)
+      .withColumn("tok_end", least(col("tok_start") + chunkTokens, col("__n")))
+      .select(col(idCol), col("chunk_idx"), col("tok_start"), col("tok_end"),
+        (col("tok_end") - col("tok_start")).as("n_chunk_tokens"),
+        md5(concat_ws(" ", expr(
+          "slice(__toks, cast(tok_start as int) + 1, cast(tok_end - tok_start as int))")))
+          .as("chunk_md5"))
+  }
+
   /** SHARD MANIFEST — the provenance record a corpus build publishes next
     * to its training shards so a consumer (or a re-run) can verify the
     * layout bit-for-bit without re-reading the data: per shard, the doc

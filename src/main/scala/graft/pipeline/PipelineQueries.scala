@@ -506,6 +506,13 @@ object PipelineQueries {
       TextAnalysis.qualityScore(Tables.documents(s, dir)).orderBy("doc_id")
     }),
 
+    // session-document assembly: interaction logs -> one training doc per
+    // activity session (30-min gaps), events rendered in exact time order
+    "ext_session_docs" -> ((s, dir) => {
+      TextAnalysis.sessionDocs(Tables.ticks(s, dir), gapSeconds = 1800L)
+        .orderBy("symbol", "session_idx")
+    }),
+
     // per-source data card: the release summary (docs, tokens, mean
     // quality, dominant language + share, within-corpus dup rate) — the
     // numbers mixture weights are chosen from
@@ -855,6 +862,15 @@ object PipelineQueries {
           nShards = 8, epoch = 3L)
         .select("doc_id", "shard", "pos")
         .orderBy("doc_id")
+    }),
+
+    // RAG-style chunk-with-overlap: fixed 64-token windows every 48
+    // tokens (16-token overlap) — the retrieval-side dual of packing;
+    // chunk_md5 keys embedding-store dedup on content
+    "ext_chunks_overlap" -> ((s, dir) => {
+      Packing.chunkWithOverlap(Tables.documents(s, dir),
+          chunkTokens = 64, overlapTokens = 16)
+        .orderBy("doc_id", "chunk_idx")
     }),
 
     // shard manifest: the provenance record published next to training
@@ -1239,6 +1255,23 @@ object PipelineQueries {
          |       FROM tk)
          |SELECT doc_id, CAST(least(least(n_tokens, 100) * 5000 + distinct_ppm // 2, 1000000) AS BIGINT) AS quality_ppm
          |FROM st ORDER BY doc_id""".stripMargin,
+
+    "ext_session_docs" ->
+      s"""WITH ticks AS (${Tables.ticksSql}),
+         |g AS (SELECT symbol, secs, event_id, event_type, price_micros,
+         |  CASE WHEN lag(secs) OVER (PARTITION BY symbol ORDER BY secs, event_id) IS NULL
+         |         OR secs - lag(secs) OVER (PARTITION BY symbol ORDER BY secs, event_id) > 1800
+         |       THEN 1 ELSE 0 END AS new_s
+         | FROM ticks),
+         |s AS (SELECT *, CAST(sum(new_s) OVER (PARTITION BY symbol ORDER BY secs, event_id
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx FROM g)
+         |SELECT symbol, session_idx,
+         |  CAST(min(secs) AS BIGINT) AS session_start,
+         |  CAST(max(secs) AS BIGINT) AS session_end,
+         |  CAST(count(*) AS BIGINT) AS n_events,
+         |  md5(string_agg(event_type || ':' || price_micros::VARCHAR, ' ' ORDER BY secs, event_id)) AS doc_md5
+         |FROM s GROUP BY symbol, session_idx
+         |ORDER BY symbol, session_idx""".stripMargin,
 
     "ext_datacard" ->
       s"""WITH tk AS (SELECT doc_id, ${toksD("text")} AS toks FROM documents),
@@ -1723,6 +1756,20 @@ object PipelineQueries {
          |SELECT doc_id, shard,
          |  CAST(row_number() OVER (PARTITION BY shard ORDER BY ekey, doc_id) AS BIGINT) AS pos
          |FROM s ORDER BY doc_id""".stripMargin,
+
+    "ext_chunks_overlap" ->
+      s"""WITH tk AS (SELECT doc_id, ${toksD("text")} AS toks FROM documents),
+         |n AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n FROM tk WHERE len(toks) > 0),
+         |k AS (SELECT doc_id, toks, n,
+         |  CASE WHEN n <= 64 THEN 0 ELSE (n - 64 + 47) // 48 END AS k FROM n),
+         |c AS (SELECT doc_id, toks, n, unnest(generate_series(0, k)) AS chunk_idx FROM k),
+         |s AS (SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+         |  CAST(chunk_idx * 48 AS BIGINT) AS tok_start,
+         |  CAST(least(chunk_idx * 48 + 64, n) AS BIGINT) AS tok_end, toks FROM c)
+         |SELECT doc_id, chunk_idx, tok_start, tok_end,
+         |  tok_end - tok_start AS n_chunk_tokens,
+         |  md5(array_to_string(toks[tok_start + 1 : tok_end], ' ')) AS chunk_md5
+         |FROM s ORDER BY doc_id, chunk_idx""".stripMargin,
 
     "ext_manifest" ->
       s"""WITH k AS (SELECT doc_id, md5('3:' || doc_id::VARCHAR) AS ekey

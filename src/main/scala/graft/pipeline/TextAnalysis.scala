@@ -25,6 +25,49 @@ object TextAnalysis {
         expr("size(array_distinct(toks)) * 1000000 DIV greatest(size(toks), 1)")
           .as("distinct_ppm"))
 
+  /** SESSION-DOCUMENT ASSEMBLY — the structured-logs→training-text step: a
+    * user's event stream becomes one document per activity session (gap >
+    * `gapSeconds` starts a new session), with the events rendered in
+    * exact time order — the standard recipe for turning interaction logs
+    * (chats, search sessions, clickstreams) into sequence-model training
+    * documents. Emits per session the bounds, the event count, and the
+    * md5 of the assembled text (order-exact; the text itself is
+    * `"event_type:price_micros"` entries space-joined — swap the entry
+    * expression for richer renderings).
+    *
+    * Scale shape: one exchange keyed by the user (the sessionize window),
+    * then a per-session aggregate whose collect_list is bounded by the
+    * SESSION length (gap-bounded by construction — never a whole-user or
+    * whole-corpus array). The assembly sorts within the aggregated struct
+    * array, the [[graft.pipeline.Dedup.lineDedupKeepFirst]] kept_md5
+    * pattern.
+    */
+  def sessionDocs(ticks: DataFrame, gapSeconds: Long = 1800L): DataFrame = {
+    require(gapSeconds > 0, s"sessionDocs: gapSeconds must be positive, got $gapSeconds")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("symbol").orderBy("secs", "event_id")
+    ticks
+      .withColumn("__prev", lag(col("secs"), 1).over(w))
+      .withColumn("__new",
+        when(col("__prev").isNull || col("secs") - col("__prev") > gapSeconds, 1L)
+          .otherwise(0L))
+      .withColumn("session_idx", sum(col("__new")).over(
+        w.rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)))
+      .withColumn("__entry",
+        concat(col("event_type"), lit(":"), col("price_micros").cast("string")))
+      .groupBy(col("symbol"), col("session_idx"))
+      .agg(
+        min(col("secs")).as("session_start"),
+        max(col("secs")).as("session_end"),
+        count(lit(1)).as("n_events"),
+        md5(concat_ws(" ",
+          transform(
+            array_sort(collect_list(struct(col("secs"), col("event_id"), col("__entry")))),
+            s => s.getField("__entry")))).as("doc_md5"))
+  }
+
   /** PER-SOURCE DATA CARD — the one-page corpus summary published next to
     * a dataset release (and consulted before choosing mixture weights):
     * per source, the doc and token counts, mean quality, the dominant

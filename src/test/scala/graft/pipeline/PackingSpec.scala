@@ -204,6 +204,32 @@ class PackingSpec extends SparkSpec {
     }
   }
 
+  test("chunkWithOverlap: coverage, overlap arithmetic, short/empty docs, guards") {
+    import spark.implicits._
+    // 10 tokens, chunk 4, overlap 1 -> stride 3 -> starts 0,3,6 (6+4=10 covers)
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"t$i").mkString(" ")),
+      (2L, "a b"),   // shorter than one chunk: single short chunk
+      (3L, "")       // empty: emits nothing
+    ).toDF("doc_id", "text")
+    val out = Packing.chunkWithOverlap(docs, chunkTokens = 4, overlapTokens = 1)
+      .orderBy("doc_id", "chunk_idx").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      (1L, 0L, 0L, 4L), (1L, 1L, 3L, 7L), (1L, 2L, 6L, 10L),
+      (2L, 0L, 0L, 2L)))
+    // every token position of doc 1 is inside at least one chunk, and
+    // consecutive full chunks overlap by exactly `overlap`
+    val spans = out.filter(_._1 == 1L).map(t => (t._3, t._4))
+    assert((0L until 10L).forall(p => spans.exists(s => p >= s._1 && p < s._2)))
+    spans.sliding(2).foreach { case Array((_, e1), (s2, _)) =>
+      assert(e1 - s2 == 1L, "full consecutive chunks must overlap by exactly overlapTokens")
+    }
+    intercept[IllegalArgumentException] {
+      Packing.chunkWithOverlap(docs, chunkTokens = 4, overlapTokens = 4)
+    }
+  }
+
   test("shardManifest: counts/totals per shard; fingerprint is order-exact and detects swaps") {
     import spark.implicits._
     val placed = Seq(

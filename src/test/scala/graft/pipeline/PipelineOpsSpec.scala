@@ -1223,6 +1223,27 @@ class PipelineOpsSpec extends SparkSpec {
     Seq(21L, 22L, 23L).foreach { i => assert(out2(i), s"B tie group must keep whole at 40%") }
   }
 
+  test("sessionDocs: gap splits sessions; doc_md5 is order-exact over the session's events") {
+    def md5Of(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val ticks = Seq(
+      ("u1", 100L, 1L, "view", 10L),
+      ("u1", 200L, 2L, "click", 20L),
+      ("u1", 5000L, 3L, "view", 30L), // > 1800s gap: new session
+      ("u2", 100L, 4L, "buy", 40L)
+    ).toDF("symbol", "secs", "event_id", "event_type", "price_micros")
+    val got = TextAnalysis.sessionDocs(ticks, gapSeconds = 1800L)
+      .orderBy("symbol", "session_idx").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getString(5)))
+    assert(got.toSeq == Seq(
+      ("u1", 1L, 100L, 200L, 2L, md5Of("view:10 click:20")),
+      ("u1", 2L, 5000L, 5000L, 1L, md5Of("view:30")),
+      ("u2", 1L, 100L, 100L, 1L, md5Of("buy:40"))), s"got ${got.toSeq}")
+    // order exactness: swapping the two u1 events changes the md5
+    assert(md5Of("view:10 click:20") != md5Of("click:20 view:10"))
+  }
+
   test("clusterCentroids: exact ppm means, floor on negative sums, null vectors drop") {
     val labeled = Seq((1L, 100L), (2L, 100L), (3L, 300L)).toDF("vec_id", "cluster_id")
     val emb = Seq(
