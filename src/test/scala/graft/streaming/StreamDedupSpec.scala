@@ -227,6 +227,26 @@ class StreamDedupSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("chunkWithOverlap is streaming-legal: stateless splitter over a MemoryStream == batch") {
+    import graft.pipeline.Packing
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Seq(
+      (1L, (1 to 10).map(i => s"tok$i").mkString(" ")),
+      (2L, "short doc"),
+      (3L, ""))
+    val want = Packing.chunkWithOverlap(rows.toDF("doc_id", "text"), 4, 1)
+      .collect().map(_.toSeq).toSet
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val q = Packing.chunkWithOverlap(input.toDF().toDF("doc_id", "text"), 4, 1)
+      .writeStream.format("memory").queryName("chunk_out").outputMode("append").start()
+    try {
+      input.addData(rows.take(1)); q.processAllAvailable()
+      input.addData(rows.drop(1)); q.processAllAvailable()
+      val got = spark.table("chunk_out").collect().map(_.toSeq).toSet
+      assert(got == want, s"stream chunks != batch chunks:\ngot  $got\nwant $want")
+    } finally q.stop()
+  }
+
   test("sampledIngest: stream == batch classifier -> stratifiedByRate -> store-probe on the same feed") {
     import org.apache.spark.sql.functions.md5
     implicit val sqlCtx = spark.sqlContext
