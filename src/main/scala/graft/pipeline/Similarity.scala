@@ -365,16 +365,31 @@ object Similarity {
     * assigns from its staged ppm column — round-tripping ppm→float→ppm
     * through a double division would off-by-one the floor).
     */
+  /** In-plan dimension check on a lambda-bound ppm array `vp0`: a vector
+    * whose size is not PQ_M×PQ_SUBDIM must FAIL, not mis-encode —
+    * out-of-range `element_at` yields NULL, a NULL distance propagates
+    * into the argmin struct, and struct ordering ranks the null field
+    * FIRST, silently electing garbage codes. The guard feeds the bound
+    * variable itself so no rule can prune it (the lineDedup convention).
+    */
+  private def pqDimGuardS(inner: String): String =
+    s"""element_at(transform(array(IF(size(vp0) = ${PQ_M * PQ_SUBDIM}, vp0,
+       |  transform(vp0, xx -> xx + cast(raise_error(concat(
+       |    'PQ: vector dimension ', cast(size(vp0) as string),
+       |    ' != ${PQ_M * PQ_SUBDIM} — wrong-dimension vectors would silently mis-encode')) as bigint)))),
+       |  vp -> $inner), 1)""".stripMargin.replace("\n", " ")
+
   def pqCodesFromPpmS(ppmExpr: String, cbs: Seq[Seq[Seq[Long]]]): String = {
     val cb = pqCbLitS(cbs)
-    s"""element_at(transform(array($ppmExpr), vp ->
-       |  transform(sequence(0, ${PQ_M - 1}), mi ->
-       |    array_min(transform(sequence(0, ${PQ_KSUB - 1}), ci ->
-       |      named_struct(
-       |        'd', aggregate(sequence(1, $PQ_SUBDIM), 0L, (acc, i) ->
-       |          acc + (element_at(vp, mi*$PQ_SUBDIM + i) - element_at(element_at(element_at($cb, mi+1), ci+1), i))
-       |              * (element_at(vp, mi*$PQ_SUBDIM + i) - element_at(element_at(element_at($cb, mi+1), ci+1), i))),
-       |        'c', cast(ci as bigint)))).c)), 1)""".stripMargin.replace("\n", " ")
+    val body =
+      s"""transform(sequence(0, ${PQ_M - 1}), mi ->
+         |    array_min(transform(sequence(0, ${PQ_KSUB - 1}), ci ->
+         |      named_struct(
+         |        'd', aggregate(sequence(1, $PQ_SUBDIM), 0L, (acc, i) ->
+         |          acc + (element_at(vp, mi*$PQ_SUBDIM + i) - element_at(element_at(element_at($cb, mi+1), ci+1), i))
+         |              * (element_at(vp, mi*$PQ_SUBDIM + i) - element_at(element_at(element_at($cb, mi+1), ci+1), i))),
+         |        'c', cast(ci as bigint)))).c)""".stripMargin.replace("\n", " ")
+    s"element_at(transform(array($ppmExpr), vp0 -> ${pqDimGuardS(body)}), 1)"
   }
 
   /** Per-QUERY ADC lookup table: lut[m+1][c+1] = dot_ppm(query subvector m,
@@ -386,11 +401,13 @@ object Similarity {
     */
   def pqLutS(vec: String, cbs: Seq[Seq[Seq[Long]]] = defaultPqCodebooks): String = {
     val cb = pqCbLitS(cbs)
-    s"""element_at(transform(array(${pqPpmS(vec)}), vp ->
-       |  transform(sequence(0, ${PQ_M - 1}), mi ->
-       |    transform(sequence(0, ${PQ_KSUB - 1}), ci ->
-       |      aggregate(sequence(1, $PQ_SUBDIM), 0L, (acc, i) ->
-       |        acc + element_at(vp, mi*$PQ_SUBDIM + i) * element_at(element_at(element_at($cb, mi+1), ci+1), i))))), 1)""".stripMargin.replace("\n", " ")
+    val body =
+      s"""transform(sequence(0, ${PQ_M - 1}), mi ->
+         |    transform(sequence(0, ${PQ_KSUB - 1}), ci ->
+         |      aggregate(sequence(1, $PQ_SUBDIM), 0L, (acc, i) ->
+         |        acc + element_at(vp, mi*$PQ_SUBDIM + i) * element_at(element_at(element_at($cb, mi+1), ci+1), i))))"""
+        .stripMargin.replace("\n", " ")
+    s"element_at(transform(array(${pqPpmS(vec)}), vp0 -> ${pqDimGuardS(body)}), 1)"
   }
 
   /** ADC score of one (query LUT, corpus codes) pair: estimated inner
@@ -661,7 +678,19 @@ object Similarity {
       nprobe: Int = 2,
       maxCellRows: Long = 1000000L,
       idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
+      vecCol: String = "embedding",
+      checkIdDisjointness: Boolean = false): DataFrame = {
+    if (checkIdDisjointness) {
+      // the minhash twin's opt-in debug guard, same contract: batch ids and
+      // store cluster ids are nodes of ONE component graph
+      val clashes = batch.select(col(idCol).as("cluster_id"))
+        .join(vecStore.select("cluster_id").distinct(), Seq("cluster_id"), "left_semi")
+      val sample = clashes.limit(3).collect().map(_.get(0))
+      require(sample.isEmpty,
+        s"semanticDedupIncremental: batch ids collide with store cluster ids " +
+          s"(e.g. ${sample.mkString(", ")}) — the component graph would conflate " +
+          "them into one cluster; remap one id space first")
+    }
     val b0 = batch.where(col(vecCol).isNotNull)
       .select(col(idCol).as("__id"), col(vecCol).as("__v"))
       .withColumn("__cell", ivfCellOf(col("__v"), centroids))

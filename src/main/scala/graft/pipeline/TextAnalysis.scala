@@ -44,6 +44,11 @@ object TextAnalysis {
     */
   def sessionDocs(ticks: DataFrame, gapSeconds: Long = 1800L): DataFrame = {
     require(gapSeconds > 0, s"sessionDocs: gapSeconds must be positive, got $gapSeconds")
+    val needed = Seq("symbol", "secs", "event_id", "event_type", "price_micros")
+      .filterNot(ticks.columns.contains)
+    require(needed.isEmpty,
+      s"sessionDocs needs the ticks-view columns ${needed.mkString(", ")} " +
+        s"(got ${ticks.columns.mkString(", ")})")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("symbol").orderBy("secs", "event_id")
     ticks
@@ -89,6 +94,9 @@ object TextAnalysis {
       textCol: String = "text",
       srcCol: String = "source",
       langCol: String = "lang"): DataFrame = {
+    val needed = Seq(idCol, textCol, srcCol, langCol).filterNot(docs.columns.contains)
+    require(needed.isEmpty,
+      s"dataCard: columns absent from docs: ${needed.mkString(", ")}")
     val perDoc = docs.select(col(idCol), col(srcCol), col(langCol))
       .join(tokenStats(docs, idCol, textCol).select(col(idCol), col("n_tokens")), idCol)
       .join(qualityScore(docs, idCol, textCol), idCol)

@@ -202,6 +202,23 @@ class DedupStageSpec extends SparkSpec {
       203L -> ((203L, true))), s"got $got2")
   }
 
+  test("semanticDedupIncremental: checkIdDisjointness rejects colliding id spaces") {
+    import spark.implicits._
+    val store = Similarity.vecStoreEncode(
+        Seq((10L, proto(0))).toDF("vec_id", "embedding"), fixtureCents, fixtureCbs)
+      .withColumn("cluster_id", col("vec_id"))
+    val e = intercept[IllegalArgumentException] {
+      Similarity.semanticDedupIncremental(
+        Seq((10L, proto(1))).toDF("vec_id", "embedding"),
+        store, fixtureCents, fixtureCbs, checkIdDisjointness = true)
+    }
+    assert(e.getMessage.contains("collide"))
+    val ok = Similarity.semanticDedupIncremental(
+      Seq((101L, proto(1))).toDF("vec_id", "embedding"),
+      store, fixtureCents, fixtureCbs, checkIdDisjointness = true)
+    assert(ok.count() == 1L)
+  }
+
   test("semanticDedupIncremental: the store scan reads codes only — floats of the historical corpus never load") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft_vecstore").toString

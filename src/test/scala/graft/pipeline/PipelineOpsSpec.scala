@@ -1124,6 +1124,13 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("pqEncode fails fast on wrong-dimension vectors (never silently mis-encodes)") {
+    val bad = Seq((1L, Array.fill(10)(0.5))).toDF("vec_id", "embedding")
+    val e = intercept[Exception] { Similarity.pqEncode(bad).collect() }
+    assert(e.getMessage != null && e.getMessage.contains("dimension"),
+      s"wrong error: ${e.getMessage}")
+  }
+
   test("pqKnnOf ADC scores == Scala reference; ranking is (score desc, id)") {
     val rnd = new scala.util.Random(11)
     val vecs = (0L until 30L).map(i => (i, Array.fill(64)(rnd.nextDouble() - 0.5)))
