@@ -149,6 +149,92 @@ object Multimodal {
     } else fail("unknown image format (no PNG/JPEG/GIF signature)")
   }
 
+  case class AudioMeta(
+      media_id: Long, fmt: String, channels: Long, sample_rate: Long,
+      bits_per_sample: Long, n_samples: Long, duration_ms: Long)
+
+  /** Real WAV/RIFF audio header extraction — the audio twin of
+    * [[parseDims]], pure byte arithmetic against the public container:
+    * "RIFF" + LE u32 size + "WAVE", then an even-aligned chunk walk; the
+    * "fmt " chunk carries (audio_format, channels, sample_rate,
+    * byte_rate, block_align, bits_per_sample) as LE fields, and the
+    * "data" chunk's declared size, divided by block_align, is the sample
+    * count (duration follows by integer arithmetic — no float, so the
+    * metadata hashes cross-engine). PCM only (audio_format 1): that is
+    * what a training pipeline stores at rest; compressed formats belong
+    * behind the codec seam.
+    *
+    * Fail-fast on malformed input (bad magic, truncated chunk, declared
+    * data overrunning the payload, zero block_align): corrupt audio must
+    * surface at the decode stage with its media identity.
+    */
+  def parseAudio(bytes: Array[Byte]): AudioMeta = parseAudio(bytes, -1L)
+
+  private def parseAudio(bytes: Array[Byte], mediaId: Long): AudioMeta = {
+    def u8(i: Int): Int = bytes(i) & 0xff
+    def u16le(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    def u32le(i: Int): Long =
+      u16le(i).toLong | (u16le(i + 2).toLong << 16)
+    def ascii(i: Int, n: Int): String = new String(bytes.slice(i, i + n), "US-ASCII")
+    def fail(msg: String): Nothing =
+      throw new IllegalArgumentException(s"parseAudio: $msg (${bytes.length} bytes)")
+
+    if (bytes.length < 12 || ascii(0, 4) != "RIFF") fail("not a RIFF container")
+    if (ascii(8, 4) != "WAVE") fail(s"RIFF form is '${ascii(8, 4)}', not WAVE")
+    var pos = 12
+    var fmtSeen = false
+    var channels = 0L; var sampleRate = 0L; var blockAlign = 0L; var bits = 0L
+    var dataSize = -1L
+    while (pos + 8 <= bytes.length && dataSize < 0) {
+      val id = ascii(pos, 4)
+      val size = u32le(pos + 4)
+      val body = pos + 8
+      id match {
+        case "fmt " =>
+          if (size < 16 || body + 16 > bytes.length) fail("truncated fmt chunk")
+          val audioFormat = u16le(body)
+          if (audioFormat != 1) fail(s"audio format $audioFormat is not PCM")
+          channels = u16le(body + 2)
+          sampleRate = u32le(body + 4)
+          blockAlign = u16le(body + 12)
+          bits = u16le(body + 14)
+          if (channels <= 0 || sampleRate <= 0 || blockAlign <= 0 || bits <= 0)
+            fail(s"fmt fields out of range: ch=$channels sr=$sampleRate block=$blockAlign bits=$bits")
+          fmtSeen = true
+        case "data" =>
+          if (!fmtSeen) fail("data chunk before fmt chunk")
+          if (body + size > bytes.length) fail("declared data size overruns the payload")
+          dataSize = size
+        case _ => // skip unknown chunk
+          if (body + size > bytes.length) fail(s"chunk '$id' overruns the payload")
+      }
+      // RIFF chunks are word-aligned: odd sizes carry one pad byte
+      if (dataSize < 0) pos = body + size.toInt + (size % 2).toInt
+    }
+    if (!fmtSeen) fail("no fmt chunk")
+    if (dataSize < 0) fail("no data chunk")
+    val nSamples = dataSize / blockAlign
+    AudioMeta(mediaId, "wav", channels, sampleRate, bits, nSamples,
+      nSamples * 1000L / sampleRate)
+  }
+
+  /** Audio-metadata extraction over a media table — the [[imageDims]]
+    * seam at audio granularity: payload bytes never shuffle, one parser
+    * pass per row, corrupt rows fail with their media identity.
+    */
+  def audioMeta(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, payload) =>
+        try parseAudio(payload, id)
+        catch {
+          case e: IllegalArgumentException =>
+            throw new IllegalArgumentException(s"media_id=$id: ${e.getMessage}", e)
+        }
+      }).toDF()
+  }
+
   /** Header-dimension extraction over a media table: the same
     * partition-preserving typed-mapPartitions seam as [[extractFeatures]]
     * — payload bytes never shuffle, one parser pass per row.

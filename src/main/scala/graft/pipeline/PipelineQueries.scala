@@ -76,6 +76,34 @@ object PipelineQueries {
         .otherwise(png).as("payload"))
   }
 
+  /** REAL RIFF/WAVE payloads with doc_id-derived parameters: channels =
+    * doc_id%2+1, sample_rate = 8000*(doc_id%3+1), 16-bit PCM, n_samples =
+    * doc_id%1000+100 (zero-filled data chunk — the parser requires the
+    * declared bytes to actually be present).
+    */
+  private def audioMedia(s: SparkSession, dir: String): DataFrame = {
+    // little-endian hex helpers over integer SQL expressions
+    def le16(e: String) =
+      s"concat(lpad(hex(($e) % 256), 2, '0'), lpad(hex(($e) DIV 256), 2, '0'))"
+    def le32(e: String) =
+      s"concat(${le16(e + " % 65536")}, ${le16(e + " DIV 65536")})"
+    val ch = "doc_id % 2 + 1"
+    val sr = "8000 * (doc_id % 3 + 1)"
+    val block = s"($ch) * 2"
+    val nSamp = "doc_id % 1000 + 100"
+    val dataSize = s"($nSamp) * ($block)"
+    val byteRate = s"($sr) * ($block)"
+    val hexStr =
+      s"""concat('52494646', ${le32(s"36 + ($dataSize)")}, '57415645',
+         |  '666d7420', ${le32("16")}, ${le16("1")}, ${le16(ch)}, ${le32(sr)},
+         |  ${le32(byteRate)}, ${le16(block)}, ${le16("16")},
+         |  '64617461', ${le32(dataSize)}, repeat('00', cast($dataSize as int)))"""
+        .stripMargin.replace("\n", " ")
+    Tables.documents(s, dir).select(
+      col("doc_id").as("media_id"),
+      unhex(expr(hexStr)).as("payload"))
+  }
+
   /** The closed-form dims the header parsers must recover — the shared
     * SELECT-list core of the dims and resize oracles.
     */
@@ -559,6 +587,13 @@ object PipelineQueries {
     // fields; the oracle states the closed form the parse must recover
     "ext_multimodal_dims" -> ((s, dir) => {
       Multimodal.imageDims(headerMedia(s, dir)).orderBy("media_id")
+    }),
+
+    // real WAV/RIFF header walk: channels/rate/bits/sample-count/duration
+    // recovered from actual byte streams — the audio twin of the image
+    // header decode; oracle is the closed form the parser must recover
+    "ext_audio_meta" -> ((s, dir) => {
+      Multimodal.audioMeta(audioMedia(s, dir)).orderBy("media_id")
     }),
 
     // letterbox resize geometry over REAL parsed headers: contain-fit into
@@ -1344,6 +1379,15 @@ object PipelineQueries {
 
     "ext_multimodal_dims" ->
       s"""$dimsClosedFormSql ORDER BY media_id""".stripMargin,
+
+    "ext_audio_meta" ->
+      """SELECT doc_id AS media_id, 'wav' AS fmt,
+        |  CAST(doc_id % 2 + 1 AS BIGINT) AS channels,
+        |  CAST(8000 * (doc_id % 3 + 1) AS BIGINT) AS sample_rate,
+        |  CAST(16 AS BIGINT) AS bits_per_sample,
+        |  CAST(doc_id % 1000 + 100 AS BIGINT) AS n_samples,
+        |  CAST((doc_id % 1000 + 100) * 1000 // (8000 * (doc_id % 3 + 1)) AS BIGINT) AS duration_ms
+        |FROM documents ORDER BY media_id""".stripMargin,
 
     "ext_media_resize" ->
       s"""WITH d AS ($dimsClosedFormSql),

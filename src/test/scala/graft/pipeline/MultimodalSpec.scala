@@ -161,4 +161,58 @@ class MultimodalSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("out of range"), s"got: ${e.getMessage}")
   }
+
+  // ---------------------------------------------------------------- audio
+
+  /** Minimal valid PCM WAV: fmt + data chunks, LE fields. */
+  private def wav(
+      channels: Int, sampleRate: Int, bits: Int, nSamples: Int,
+      fmtTag: Int = 1, extraChunk: Boolean = false): Array[Byte] = {
+    val block = channels * bits / 8
+    val dataSize = nSamples * block
+    val bb = java.nio.ByteBuffer.allocate(200 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes); bb.putInt(36 + dataSize); bb.put("WAVE".getBytes)
+    if (extraChunk) { bb.put("LIST".getBytes); bb.putInt(3); bb.put(Array[Byte](1, 2, 3, 0)) }
+    bb.put("fmt ".getBytes); bb.putInt(16)
+    bb.putShort(fmtTag.toShort); bb.putShort(channels.toShort); bb.putInt(sampleRate)
+    bb.putInt(sampleRate * block); bb.putShort(block.toShort); bb.putShort(bits.toShort)
+    bb.put("data".getBytes); bb.putInt(dataSize); bb.put(new Array[Byte](dataSize))
+    java.util.Arrays.copyOf(bb.array(), bb.position())
+  }
+
+  test("parseAudio: real RIFF/WAVE streams round-trip, incl. odd-size chunk padding") {
+    val m = Multimodal.parseAudio(wav(2, 44100, 16, 1000))
+    assert((m.fmt, m.channels, m.sample_rate, m.bits_per_sample, m.n_samples, m.duration_ms) ==
+      (("wav", 2L, 44100L, 16L, 1000L, 22L))) // 1000*1000/44100 = 22 integer ms
+    // an unknown odd-sized chunk before fmt must be skipped with padding
+    val withList = Multimodal.parseAudio(wav(1, 8000, 16, 400, extraChunk = true))
+    assert(withList.n_samples == 400L && withList.sample_rate == 8000L)
+  }
+
+  test("parseAudio: corrupt audio fails fast with the reason") {
+    def msg(b: Array[Byte]): String =
+      intercept[IllegalArgumentException](Multimodal.parseAudio(b)).getMessage
+    assert(msg("notRIFFatall0".getBytes).contains("not a RIFF"))
+    val good = wav(1, 8000, 16, 10)
+    assert(msg(java.util.Arrays.copyOf(good, 30)).contains("truncated fmt"))
+    // declared data size beyond the payload = truncation
+    assert(msg(java.util.Arrays.copyOf(good, good.length - 4))
+      .contains("overruns the payload"))
+    // non-PCM belongs behind the codec seam, not silent acceptance
+    assert(msg(wav(1, 8000, 16, 10, fmtTag = 3)).contains("not PCM"))
+    // AVI is RIFF but not WAVE
+    val avi = good.clone(); "AVI ".getBytes.copyToArray(avi, 8)
+    assert(msg(avi).contains("not WAVE"))
+  }
+
+  test("audioMeta: the mapPartitions seam surfaces the failing media_id") {
+    val rows = Seq((5L, wav(1, 8000, 16, 10)), (6L, "junk".getBytes))
+      .toDF("media_id", "payload")
+    val e = intercept[Exception] { Multimodal.audioMeta(rows).collect() }
+    def chain(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10)
+        .map(x => Option(x.getMessage).getOrElse("")).toSeq
+    assert(chain(e).exists(_.contains("media_id=6")), s"got: ${chain(e)}")
+  }
 }
