@@ -235,6 +235,105 @@ object Multimodal {
       }).toDF()
   }
 
+  case class VideoMeta(
+      media_id: Long, fmt: String, width: Long, height: Long,
+      timescale: Long, duration_ms: Long)
+
+  /** Real MP4/ISO-BMFF header extraction — the video member of the
+    * codec-free header triad ([[parseDims]] images, [[parseAudio]] audio):
+    * a big-endian BOX walk. Top level must open with `ftyp`; `moov`
+    * contains `mvhd` (movie timescale + duration — version 0 u32 fields
+    * or version 1 u64) and `trak`/`tkhd` (track width/height as 16.16
+    * fixed point at the end of the v0/v1 body). duration_ms =
+    * duration × 1000 / timescale in integer arithmetic.
+    *
+    * The first video track (nonzero tkhd dims) wins; audio-only MP4s fail
+    * (this seam feeds the FRAME-sampling plan — an item with no video
+    * track must surface, not emit 0×0). Fail-fast on truncation, missing
+    * boxes, or a box length overrunning the payload, always with enough
+    * reason to debug a 100 TB ingest without the bytes in hand.
+    */
+  def parseVideo(bytes: Array[Byte]): VideoMeta = parseVideo(bytes, -1L)
+
+  private def parseVideo(bytes: Array[Byte], mediaId: Long): VideoMeta = {
+    def u8(i: Int): Int = bytes(i) & 0xff
+    def u16(i: Int): Int = (u8(i) << 8) | u8(i + 1)
+    def u32(i: Int): Long = (u16(i).toLong << 16) | u16(i + 2)
+    def u64(i: Int): Long = (u32(i) << 32) | u32(i + 4)
+    def ascii(i: Int, n: Int): String = new String(bytes.slice(i, i + n), "US-ASCII")
+    def fail(msg: String): Nothing =
+      throw new IllegalArgumentException(s"parseVideo: $msg (${bytes.length} bytes)")
+
+    // walk boxes in [from, until); call f(type, bodyStart, bodyEnd)
+    def walk(from: Int, until: Int)(f: (String, Int, Int) => Unit): Unit = {
+      var pos = from
+      while (pos + 8 <= until) {
+        val size = u32(pos)
+        val typ = ascii(pos + 4, 4)
+        val (body, end) =
+          if (size == 1) {
+            if (pos + 16 > until) fail(s"truncated largesize box '$typ'")
+            val ls = u64(pos + 8)
+            if (ls < 16 || pos + ls > until) fail(s"box '$typ' overruns the payload")
+            (pos + 16, pos + ls.toInt)
+          } else {
+            if (size < 8 || pos + size > until) fail(s"box '$typ' overruns the payload")
+            (pos + 8, pos + size.toInt)
+          }
+        f(typ, body, end)
+        pos = end
+      }
+      if (pos != until) fail("trailing bytes are not a whole box")
+    }
+
+    if (bytes.length < 12 || ascii(4, 4) != "ftyp") fail("not an MP4 (no leading ftyp box)")
+    var timescale = -1L; var duration = -1L
+    var w = -1L; var h = -1L
+    walk(0, bytes.length) { (typ, body, end) =>
+      if (typ == "moov") walk(body, end) { (t2, b2, e2) =>
+        if (t2 == "mvhd") {
+          val ver = u8(b2)
+          if (ver == 1) {
+            if (b2 + 28 > e2) fail("truncated mvhd v1")
+            timescale = u32(b2 + 20); duration = u64(b2 + 24)
+          } else {
+            if (b2 + 20 > e2) fail("truncated mvhd v0")
+            timescale = u32(b2 + 12); duration = u32(b2 + 16)
+          }
+          if (timescale <= 0) fail(s"mvhd timescale out of range: $timescale")
+        } else if (t2 == "trak") walk(b2, e2) { (t3, b3, e3) =>
+          if (t3 == "tkhd" && w < 0) {
+            val ver = u8(b3)
+            val dimOff = b3 + (if (ver == 1) 88 else 76)
+            if (dimOff + 8 > e3) fail(s"truncated tkhd v$ver")
+            val (tw, th) = (u32(dimOff) >> 16, u32(dimOff + 4) >> 16)
+            if (tw > 0 && th > 0) { w = tw; h = th } // else: non-video track
+          }
+        }
+      }
+    }
+    if (timescale < 0) fail("no moov/mvhd box")
+    if (w < 0) fail("no video track (every tkhd has zero dimensions)")
+    VideoMeta(mediaId, "mp4", w, h, timescale, duration * 1000L / timescale)
+  }
+
+  /** Video-metadata extraction over a media table — the [[imageDims]]
+    * seam at video granularity; feeds [[frameSamplePlan]] with REAL
+    * container metadata instead of caller-supplied columns.
+    */
+  def videoMeta(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, payload) =>
+        try parseVideo(payload, id)
+        catch {
+          case e: IllegalArgumentException =>
+            throw new IllegalArgumentException(s"media_id=$id: ${e.getMessage}", e)
+        }
+      }).toDF()
+  }
+
   /** Header-dimension extraction over a media table: the same
     * partition-preserving typed-mapPartitions seam as [[extractFeatures]]
     * — payload bytes never shuffle, one parser pass per row.

@@ -104,6 +104,39 @@ object PipelineQueries {
       unhex(expr(hexStr)).as("payload"))
   }
 
+  /** REAL MP4 box trees (ftyp + moov[mvhd + trak[tkhd]]) with
+    * doc_id-derived parameters: timescale = 1000*(doc_id%4+1), duration
+    * = doc_id%9000+1000 (movie units), dims = (doc_id%640+32,
+    * doc_id%480+32) as 16.16 fixed point. Box sizes are the exact
+    * big-endian totals (ftyp 16, mvhd 108, tkhd 92, trak 100, moov 216).
+    */
+  private def videoMedia(s: SparkSession, dir: String): DataFrame = {
+    def hex8(e: String) = s"lpad(hex($e), 8, '0')"
+    def hex4(e: String) = s"lpad(hex($e), 4, '0')"
+    val ts = "1000 * (doc_id % 4 + 1)"
+    val dur = "doc_id % 9000 + 1000"
+    val w = "doc_id % 640 + 32"
+    val h = "doc_id % 480 + 32"
+    val matrix =
+      "000100000000000000000000000000000001000000000000000000000000000040000000"
+    val hexStr =
+      s"""concat(
+         |  '00000010', '66747970', '69736F6D', '00000000',
+         |  '000000D8', '6D6F6F76',
+         |  '0000006C', '6D766864', '00000000', '00000000', '00000000',
+         |    ${hex8(ts)}, ${hex8(dur)}, '00010000', '01000000',
+         |    '0000000000000000', '$matrix', repeat('00', 24), '00000001',
+         |  '00000064', '7472616B',
+         |  '0000005C', '746B6864', '00000007', '00000000', '00000000',
+         |    '00000001', '00000000', ${hex8(dur)}, '0000000000000000',
+         |    '00000000', '00000000', '$matrix',
+         |    concat(${hex4(w)}, '0000'), concat(${hex4(h)}, '0000'))"""
+        .stripMargin.replace("\n", " ")
+    Tables.documents(s, dir).select(
+      col("doc_id").as("media_id"),
+      unhex(expr(hexStr)).as("payload"))
+  }
+
   /** The closed-form dims the header parsers must recover — the shared
     * SELECT-list core of the dims and resize oracles.
     */
@@ -594,6 +627,13 @@ object PipelineQueries {
     // header decode; oracle is the closed form the parser must recover
     "ext_audio_meta" -> ((s, dir) => {
       Multimodal.audioMeta(audioMedia(s, dir)).orderBy("media_id")
+    }),
+
+    // real MP4 box walk: mvhd timescale/duration + first video track's
+    // tkhd 16.16 dims — the video member of the header triad, feeding
+    // frameSamplePlan with container metadata instead of caller columns
+    "ext_video_meta" -> ((s, dir) => {
+      Multimodal.videoMeta(videoMedia(s, dir)).orderBy("media_id")
     }),
 
     // letterbox resize geometry over REAL parsed headers: contain-fit into
@@ -1379,6 +1419,14 @@ object PipelineQueries {
 
     "ext_multimodal_dims" ->
       s"""$dimsClosedFormSql ORDER BY media_id""".stripMargin,
+
+    "ext_video_meta" ->
+      """SELECT doc_id AS media_id, 'mp4' AS fmt,
+        |  CAST(doc_id % 640 + 32 AS BIGINT) AS width,
+        |  CAST(doc_id % 480 + 32 AS BIGINT) AS height,
+        |  CAST(1000 * (doc_id % 4 + 1) AS BIGINT) AS timescale,
+        |  CAST((doc_id % 9000 + 1000) * 1000 // (1000 * (doc_id % 4 + 1)) AS BIGINT) AS duration_ms
+        |FROM documents ORDER BY media_id""".stripMargin,
 
     "ext_audio_meta" ->
       """SELECT doc_id AS media_id, 'wav' AS fmt,

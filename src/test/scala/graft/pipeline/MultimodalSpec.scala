@@ -206,6 +206,67 @@ class MultimodalSpec extends SparkSpec {
     assert(msg(avi).contains("not WAVE"))
   }
 
+  // ---------------------------------------------------------------- video
+
+  /** Minimal MP4: ftyp + moov[mvhd(v0|v1) + trak[tkhd]] big-endian. */
+  private def mp4(
+      timescale: Int, duration: Long, w: Int, h: Int,
+      mvhdV1: Boolean = false, videoTrack: Boolean = true): Array[Byte] = {
+    def box(typ: String, body: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(8 + body.length)
+      bb.putInt(8 + body.length); bb.put(typ.getBytes); bb.put(body); bb.array()
+    }
+    val mvhd = {
+      val bb = java.nio.ByteBuffer.allocate(if (mvhdV1) 112 else 100)
+      bb.putInt(if (mvhdV1) 0x01000000 else 0)
+      if (mvhdV1) { bb.putLong(0L); bb.putLong(0L); bb.putInt(timescale); bb.putLong(duration) }
+      else { bb.putInt(0); bb.putInt(0); bb.putInt(timescale); bb.putInt(duration.toInt) }
+      bb.putInt(0x00010000); bb.putShort(0x0100.toShort); bb.putShort(0)
+      bb.putLong(0L) // reserved
+      Seq(0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000).foreach(bb.putInt)
+      (1 to 6).foreach(_ => bb.putInt(0)); bb.putInt(1)
+      bb.array()
+    }
+    val tkhd = {
+      val bb = java.nio.ByteBuffer.allocate(84)
+      bb.putInt(7); bb.putInt(0); bb.putInt(0); bb.putInt(1); bb.putInt(0)
+      bb.putInt(duration.toInt); bb.putLong(0L)
+      bb.putShort(0); bb.putShort(0); bb.putShort(0); bb.putShort(0)
+      Seq(0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000).foreach(bb.putInt)
+      bb.putInt(if (videoTrack) w << 16 else 0)
+      bb.putInt(if (videoTrack) h << 16 else 0)
+      bb.array()
+    }
+    val ftyp = box("ftyp", "isom".getBytes ++ Array.fill[Byte](4)(0))
+    ftyp ++ box("moov", box("mvhd", mvhd) ++ box("trak", box("tkhd", tkhd)))
+  }
+
+  test("parseVideo: real MP4 box trees round-trip, v0 and v1 mvhd") {
+    val m = Multimodal.parseVideo(mp4(30000, 90000L, 1920, 1080))
+    assert((m.fmt, m.width, m.height, m.timescale, m.duration_ms) ==
+      (("mp4", 1920L, 1080L, 30000L, 3000L)))
+    val v1 = Multimodal.parseVideo(mp4(1000, 4500L, 640, 480, mvhdV1 = true))
+    assert((v1.width, v1.height, v1.duration_ms) == ((640L, 480L, 4500L)))
+  }
+
+  test("parseVideo: corrupt/audio-only MP4 fails fast with the reason") {
+    def msg(b: Array[Byte]): String =
+      intercept[IllegalArgumentException](Multimodal.parseVideo(b)).getMessage
+    assert(msg("definitely not an mp4!".getBytes).contains("no leading ftyp"))
+    assert(msg(mp4(1000, 100L, 10, 10, videoTrack = false)).contains("no video track"))
+    val good = mp4(1000, 100L, 10, 10)
+    assert(msg(java.util.Arrays.copyOf(good, good.length - 6)).contains("overruns"))
+  }
+
+  test("parseVideo composes with frameSamplePlan: container metadata feeds the sampler") {
+    val media = Seq((1L, mp4(30000, 90000L, 1280, 720))).toDF("media_id", "payload")
+    val meta = Multimodal.videoMeta(media)
+      .withColumn("fps_milli",
+        org.apache.spark.sql.functions.lit(29970L)) // fps comes from the stream-info seam
+    val frames = Multimodal.frameSamplePlan(meta, k = 4).collect()
+    assert(frames.length == 4 && frames.forall(_.getAs[Long]("t_ms") <= 3000L))
+  }
+
   test("audioMeta: the mapPartitions seam surfaces the failing media_id") {
     val rows = Seq((5L, wav(1, 8000, 16, 10)), (6L, "junk".getBytes))
       .toDF("media_id", "payload")
