@@ -224,4 +224,42 @@ class CorpusPipelineSpec extends SparkSpec {
       "source", Map("src0" -> 2L, "src1" -> 1L), nShards = 2)
     assert(laid.collect().map(_.toSeq).toSet == again.collect().map(_.toSeq).toSet)
   }
+
+  test("decision round composes: data card → calibrated filter → budget mixture → manifest") {
+    assume(new java.io.File(s"$dir/documents.parquet").exists(), s"$dir not present")
+    val docs = Tables.documents(spark, dir)
+
+    // 1. the data card is what budgets are CHOSEN from: derive per-source
+    //    token budgets as half of each source's token total
+    val card = TextAnalysis.dataCard(docs).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(card.nonEmpty && card.values.forall(_ > 0))
+    val budgets = card.map { case (src, tot) => src -> (tot / 2) }
+
+    // 2. calibrated per-source quality filter keeps each source's top 60%
+    val scored = TextAnalysis.qualityScore(docs)
+      .join(docs.select("doc_id", "source"), "doc_id")
+    val kept = Sampling.calibratedKeep(scored, "source", "quality_ppm", keepPpm = 600000L)
+      .where(col("kept")).select("doc_id")
+    val keptDocs = docs.join(kept, "doc_id")
+    assert(keptDocs.count() > 0 && keptDocs.count() < docs.count(),
+      "calibration must actually filter")
+
+    // 3. the kept set flows into the budget mixture and then the shard
+    //    manifest — the full decision round, deterministic end to end
+    import graft.pipeline.TextOps.toksS
+    val withTok = keptDocs.select(col("doc_id"), col("source"),
+      expr(s"cast(size(${toksS("text")}) as bigint)").as("n_tok"))
+    def run() = {
+      val sampled = Sampling.mixtureByBudget(withTok, "source", budgets,
+        tokensCol = "n_tok", defaultPpm = 0L)
+      Packing.shardManifest(
+        Packing.epochShuffle(sampled.select("doc_id"), nShards = 4, epoch = 1L)
+          .join(withTok.select(col("doc_id"), col("n_tok").as("n_tokens")), "doc_id"))
+    }
+    val m1 = run().collect().map(_.toSeq).toSet
+    assert(m1.nonEmpty)
+    assert(m1 == run().collect().map(_.toSeq).toSet,
+      "the whole decision round must be re-run identical")
+  }
 }
