@@ -332,6 +332,7 @@ object PipelineQueries {
   def stageShingles(s: SparkSession, dir: String): Unit = {
     ShingleStage.shingleHashes(s, dir, nearAug(Tables.documents(s, dir)))
     sigStoreFor(s, dir)
+    vecStoreFor(s, dir) // the PQ store is one-time-per-corpus too
     ()
   }
 
