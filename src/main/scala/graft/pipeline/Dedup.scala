@@ -501,6 +501,34 @@ object Dedup {
         expr(s"sum($simCol) DIV count(1)").as("mean_sim_ppm"))
   }
 
+  /** QUALITY-AWARE keeper election over a clustered corpus — the
+    * production refinement of the min-id convention: when a near-dup
+    * cluster holds a clean curated copy and a mangled crawl copy, the
+    * pipeline should keep the BEST copy, not the one that happened to get
+    * the lowest id. Keeper per cluster = highest `scoreCol`, ties to the
+    * lower id (total order — identical corpora elect identical keepers).
+    * Input is any (idCol, cluster_id) labeling ([[connectedComponents]]
+    * output, [[minhashDedupIncremental]], semanticDedup) joined with a
+    * per-doc score; output adds `keeper_id` and `is_keeper`.
+    *
+    * Scale shape: one window over the cluster id carrying only (id,
+    * cluster, score) — fixed width; singletons elect themselves. The
+    * max-score election rides the same exchange a min-id election would.
+    */
+  def electKeepersByScore(
+      labeled: DataFrame,
+      scoreCol: String,
+      idCol: String = "doc_id"): DataFrame = {
+    require(labeled.columns.contains("cluster_id") && labeled.columns.contains(scoreCol),
+      s"labeled must carry 'cluster_id' and '$scoreCol', got ${labeled.columns.mkString(", ")}")
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(col(scoreCol).desc, col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    labeled
+      .withColumn("keeper_id", first(col(idCol)).over(w))
+      .withColumn("is_keeper", col(idCol) === col("keeper_id"))
+  }
+
   /** Cross-document LINE-level dedup (CCNet-style boilerplate removal):
     * every distinct line keeps exactly ONE occurrence corpus-wide — the one
     * with the smallest (doc_id, line position) — and every other occurrence

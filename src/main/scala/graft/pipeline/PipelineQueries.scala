@@ -389,6 +389,20 @@ object PipelineQueries {
         .orderBy(col("jaccard_ppm").desc, col("id1"), col("id2")).limit(20)
     }),
 
+    // quality-aware keeper election: within each near-dup cluster keep the
+    // HIGHEST-quality copy (ties to lower id) instead of the min id — the
+    // curated-beats-mangled refinement of the cluster election
+    "ext_keeper_quality" -> ((s, dir) => {
+      val aug = nearAug(Tables.documents(s, dir))
+      val sh = ShingleStage.shingleHashes(s, dir, aug)
+      val comps = Dedup.connectedComponents(Dedup.minhashNearDupsOf(sh, 200000L))
+      val labeled = aug.select("doc_id")
+        .join(comps.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("comp"), col("doc_id")).as("cluster_id"))
+        .join(TextAnalysis.qualityScore(aug), "doc_id")
+      Dedup.electKeepersByScore(labeled, "quality_ppm").orderBy("doc_id")
+    }),
+
     // cross-source overlap matrix: per unordered source pair, how many
     // near-dup pairs straddle the two sources — the data-card statistic
     // that drives mixture/dedup policy across datasets
@@ -1082,6 +1096,42 @@ object PipelineQueries {
          |FROM (SELECT DISTINCT doc_id FROM aug) d
          |LEFT JOIN comp c ON c.id = d.doc_id
          |ORDER BY d.doc_id""".stripMargin,
+
+    "ext_keeper_quality" ->
+      s"""WITH RECURSIVE $nearAugSql,
+         |$shinglesSqlCtes,
+         |sg AS (SELECT doc_id, $minhashSigD AS sig FROM sh),
+         |bh AS (SELECT doc_id, unnest($bandHashesD) AS bhash FROM sg),
+         |prs AS (SELECT DISTINCT x.doc_id AS id1, y.doc_id AS id2
+         |        FROM bh x JOIN bh y ON x.bhash = y.bhash AND x.doc_id < y.doc_id),
+         |$jaccardOfPairsSql,
+         |dup AS (SELECT id1, id2 FROM jac WHERE jaccard_ppm >= 200000),
+         |e AS (SELECT id1 AS u, id2 AS v FROM dup UNION SELECT id2, id1 FROM dup),
+         |reach(id, comp) AS (
+         |  SELECT DISTINCT u, u FROM e
+         |  UNION
+         |  SELECT e.v, reach.comp FROM reach JOIN e ON e.u = reach.id),
+         |comp AS (SELECT id, min(comp) AS comp FROM reach GROUP BY 1),
+         |lab AS (SELECT d.doc_id, COALESCE(c.comp, d.doc_id) AS cluster_id
+         |        FROM (SELECT DISTINCT doc_id FROM aug) d
+         |        LEFT JOIN comp c ON c.id = d.doc_id),
+         |qt AS (SELECT doc_id, ${toksD("text")} AS toks FROM aug),
+         |qs AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+         |         CAST(len(list_distinct(toks)) * 1000000 // greatest(len(toks), 1) AS BIGINT) AS distinct_ppm
+         |       FROM qt),
+         |q AS (SELECT doc_id,
+         |        CAST(least(least(n_tokens, 100) * 5000 + distinct_ppm // 2, 1000000) AS BIGINT) AS quality_ppm
+         |      FROM qs),
+         |j AS (SELECT lab.doc_id, lab.cluster_id, q.quality_ppm
+         |      FROM lab JOIN q ON q.doc_id = lab.doc_id)
+         |SELECT doc_id, cluster_id, quality_ppm,
+         |  first_value(doc_id) OVER (PARTITION BY cluster_id
+         |    ORDER BY quality_ppm DESC, doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS keeper_id,
+         |  doc_id = first_value(doc_id) OVER (PARTITION BY cluster_id
+         |    ORDER BY quality_ppm DESC, doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS is_keeper
+         |FROM j ORDER BY doc_id""".stripMargin,
 
     "ext_dedup_simhash" ->
       s"""WITH tk AS (SELECT doc_id, ${toksD("text")} AS toks FROM documents)

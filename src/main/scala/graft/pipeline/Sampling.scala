@@ -644,9 +644,26 @@ object Sampling {
       scoreCol: String,
       keepPpm: Long,
       idCol: String = "doc_id"): DataFrame =
-    scored.join(
-        broadcast(calibratedCutoffs(scored, stratumCol, scoreCol, keepPpm)),
-        Seq(stratumCol), "left")
+    calibratedKeepWith(scored,
+      calibratedCutoffs(scored, stratumCol, scoreCol, keepPpm),
+      stratumCol, scoreCol, idCol)
+
+  /** Apply an EXPLICIT cutoff table — the streaming face: cutoffs derive
+    * from a batch histogram pass over yesterday's corpus (or a rolling
+    * snapshot) and apply to the live stream as a stream-static broadcast
+    * join + scan-side compare — stateless, no watermark, replay-stable.
+    * The batch form above is this function fed its own corpus's cutoffs.
+    */
+  def calibratedKeepWith(
+      scored: DataFrame,
+      cutoffs: DataFrame,
+      stratumCol: String,
+      scoreCol: String,
+      idCol: String = "doc_id"): DataFrame = {
+    require(cutoffs.columns.contains("cutoff"),
+      s"cutoffs must carry 'cutoff' (a calibratedCutoffs result), got ${cutoffs.columns.mkString(", ")}")
+    scored.join(broadcast(cutoffs), Seq(stratumCol), "left")
       .select(col(idCol), col(stratumCol), col(scoreCol), col("cutoff"),
         (col("cutoff").isNotNull && col(scoreCol) >= col("cutoff")).as("kept"))
+  }
 }

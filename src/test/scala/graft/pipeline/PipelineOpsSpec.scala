@@ -1230,6 +1230,21 @@ class PipelineOpsSpec extends SparkSpec {
     Seq(21L, 22L, 23L).foreach { i => assert(out2(i), s"B tie group must keep whole at 40%") }
   }
 
+  test("electKeepersByScore: max score wins, ties to lower id, singletons self-elect") {
+    val labeled = Seq(
+      (1L, 100L, 500000L), (2L, 100L, 900000L), (3L, 100L, 900000L), // tie 2 vs 3
+      (7L, 700L, 10L)).toDF("doc_id", "cluster_id", "quality_ppm")
+    val got = Dedup.electKeepersByScore(labeled, "quality_ppm")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(3), r.getBoolean(4)))).toMap
+    assert(got == Map(
+      1L -> ((2L, false)), 2L -> ((2L, true)), 3L -> ((2L, false)),
+      7L -> ((7L, true))), s"got $got")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.electKeepersByScore(labeled.drop("quality_ppm"), "quality_ppm")
+    }
+    assert(e.getMessage.contains("quality_ppm"))
+  }
+
   test("sessionDocs: gap splits sessions; doc_md5 is order-exact over the session's events") {
     def md5Of(s: String) = java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString

@@ -227,6 +227,30 @@ class StreamDedupSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("calibratedKeepWith is streaming-legal: batch-derived cutoffs apply stream-static") {
+    import graft.pipeline.Sampling
+    implicit val sqlCtx = spark.sqlContext
+    val history = (1L to 20L).map(i => (i, s"s${i % 2}", i * 10L))
+      .toDF("doc_id", "stratum", "score")
+    val cutoffs = Sampling.calibratedCutoffs(history, "stratum", "score", keepPpm = 500000L)
+    val live = Seq((100L, "s0", 5L), (101L, "s0", 195L), (102L, "s1", 200L), (103L, "sX", 999L))
+    val want = Sampling.calibratedKeepWith(
+        live.toDF("doc_id", "stratum", "score"), cutoffs, "stratum", "score")
+      .collect().map(_.toSeq).toSet
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String, Long)]
+    val q = Sampling.calibratedKeepWith(
+        input.toDF().toDF("doc_id", "stratum", "score"), cutoffs, "stratum", "score")
+      .writeStream.format("memory").queryName("calib_out").outputMode("append").start()
+    try {
+      input.addData(live.take(2)); q.processAllAvailable()
+      input.addData(live.drop(2)); q.processAllAvailable()
+      val got = spark.table("calib_out").collect().map(_.toSeq).toSet
+      assert(got == want, s"stream calibration != batch:\ngot  $got\nwant $want")
+      // the unknown stratum must land kept=false, not vanish or pass
+      assert(got.exists(r => r.head == 103L && r.last == false))
+    } finally q.stop()
+  }
+
   test("chunkWithOverlap is streaming-legal: stateless splitter over a MemoryStream == batch") {
     import graft.pipeline.Packing
     implicit val sqlCtx = spark.sqlContext
