@@ -373,8 +373,11 @@ object Similarity {
     * variable itself so no rule can prune it (the lineDedup convention).
     */
   private def pqDimGuardS(inner: String): String =
+    // the error arm is an array LITERAL of one raise_error — evaluated
+    // eagerly when the branch is taken, so even an EMPTY vector raises
+    // (a transform-lambda guard would never run its body on size 0)
     s"""element_at(transform(array(IF(size(vp0) = ${PQ_M * PQ_SUBDIM}, vp0,
-       |  transform(vp0, xx -> xx + cast(raise_error(concat(
+       |  array(cast(raise_error(concat(
        |    'PQ: vector dimension ', cast(size(vp0) as string),
        |    ' != ${PQ_M * PQ_SUBDIM} — wrong-dimension vectors would silently mis-encode')) as bigint)))),
        |  vp -> $inner), 1)""".stripMargin.replace("\n", " ")

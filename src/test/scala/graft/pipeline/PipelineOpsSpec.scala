@@ -1129,6 +1129,12 @@ class PipelineOpsSpec extends SparkSpec {
     val e = intercept[Exception] { Similarity.pqEncode(bad).collect() }
     assert(e.getMessage != null && e.getMessage.contains("dimension"),
       s"wrong error: ${e.getMessage}")
+    // the empty-vector corner must ALSO raise: a transform-lambda guard
+    // would never run on size 0 and garbage codes would slip through
+    val empty = Seq((2L, Array.empty[Double])).toDF("vec_id", "embedding")
+    val e2 = intercept[Exception] { Similarity.pqEncode(empty).collect() }
+    assert(e2.getMessage != null && e2.getMessage.contains("dimension"),
+      s"wrong error: ${e2.getMessage}")
   }
 
   test("pqKnnOf ADC scores == Scala reference; ranking is (score desc, id)") {
