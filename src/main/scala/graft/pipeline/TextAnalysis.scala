@@ -339,6 +339,73 @@ object TextAnalysis {
           .as("contaminated_ppm"))
   }
 
+  /** BLOOM-FILTER contamination probe — the scale path past
+    * [[contamination]]'s exact broadcast: an exact distinct-shingle set
+    * for a LARGE eval suite (every benchmark a lab guards, hundreds of
+    * millions of shingles) stops fitting a broadcast, while a Bloom
+    * filter at the same coverage is a few hundred MB at fpp=1e-3 and
+    * still one executor-local O(k) probe per shingle. The trade is
+    * one-sided and safe for decontamination: NO false negatives (every
+    * truly contaminated shingle hits — nothing contaminated slips
+    * through), a bounded false-positive rate (a clean doc's
+    * contaminated_ppm reads slightly high — it gets over-dropped, never
+    * under-dropped).
+    *
+    * Fully declarative: the filter builds with the native codegen'd
+    * `BloomFilterAggregate` (map-side partial bit-array merges — the eval
+    * shingles never funnel through the driver; only the merged bit array
+    * does, once), and probes with `BloomFilterMightContain` — no UDF
+    * anywhere. Same output schema as [[contamination]]; NOT
+    * oracle-hashable by design (the bit array depends on Spark's
+    * internal hash), so the contract is spec-asserted instead: superset
+    * of the exact probe's hits, FPR within budget on disjoint corpora.
+    */
+  def contaminationBloom(
+      docs: DataFrame,
+      evalDocs: DataFrame,
+      expectedShingles: Long,
+      fpp: Double = 0.001,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(expectedShingles > 0, s"expectedShingles must be positive, got $expectedShingles")
+    require(fpp > 0 && fpp < 1, s"fpp must be in (0, 1), got $fpp")
+    // m = ceil(-n ln p / (ln 2)^2), the textbook sizing
+    val numBits = math.ceil(
+      -expectedShingles * math.log(fpp) / (math.log(2) * math.log(2))).toLong
+    // bloom_filter_agg / might_contain are not in the public function
+    // registry; the Catalyst expressions are — wire them through the
+    // bridge (the VecDot idiom for native expressions)
+    import org.apache.spark.sql.GraftSqlBridge
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    val bfAgg = GraftSqlBridge.column(
+      new BloomFilterAggregate(
+        GraftSqlBridge.expression(xxhash64(col("sh"))),
+        Literal(expectedShingles), Literal(numBits)).toAggregateExpression())
+    // ONE model-sized driver read (the KMeans.train convention): the bit
+    // array is numBits/8 bytes however big the eval corpus is, and
+    // might_contain requires a CONSTANT filter — it then ships to
+    // executors as a literal, the same broadcast shape as the classifier
+    // model
+    val bfBytes = Dedup.shingleRows(evalDocs, idCol, textCol).agg(bfAgg.as("__bf"))
+      .head.getAs[Array[Byte]]("__bf")
+    val agg = Dedup.shingleRows(docs, idCol, textCol)
+      .withColumn("__hit", GraftSqlBridge.column(
+        BloomFilterMightContain(
+          Literal(bfBytes, org.apache.spark.sql.types.BinaryType),
+          GraftSqlBridge.expression(xxhash64(col("sh"))))))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_sh"),
+        sum(when(col("__hit"), 1L).otherwise(0L)).as("n_hit"))
+    docs.select(col(idCol))
+      .join(agg, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_sh"), lit(0L)).as("n_sh"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        expr("coalesce(n_hit, 0L) * 1000000L DIV greatest(coalesce(n_sh, 0L), 1)")
+          .as("contaminated_ppm"))
+  }
+
   /** STREAMING-SAFE contamination probe — the [[classifierScoreInline]]
     * discipline applied to [[contamination]]: the eval set's distinct
     * shingles ship as a LITERAL map, the document's distinct shingles

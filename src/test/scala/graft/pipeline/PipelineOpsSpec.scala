@@ -1236,6 +1236,36 @@ class PipelineOpsSpec extends SparkSpec {
     Seq(21L, 22L, 23L).foreach { i => assert(out2(i), s"B tie group must keep whole at 40%") }
   }
 
+  test("contaminationBloom: superset of the exact probe (no false negatives), bounded FPR") {
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$dir/documents.parquet").exists(), s"$dir not present")
+    val docs = graft.tables.Tables.documents(spark, dir)
+    // eval set = every 7th doc: real contamination exists (those docs'
+    // shingles are fully in-eval), everything else is near-disjoint
+    val evalDocs = docs.where(col("doc_id") % 7 === 0)
+    val exact = TextAnalysis.contamination(docs, evalDocs)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val bloom = TextAnalysis.contaminationBloom(docs, evalDocs,
+        expectedShingles = 20000L, fpp = 0.001)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(bloom.keySet == exact.keySet)
+    var extra = 0L; var total = 0L
+    exact.foreach { case (id, (nSh, nHitExact)) =>
+      val (nShB, nHitB) = bloom(id)
+      assert(nShB == nSh)
+      // ONE-SIDED: every exact hit is a bloom hit (no false negatives)
+      assert(nHitB >= nHitExact, s"doc $id lost hits: bloom $nHitB < exact $nHitExact")
+      extra += nHitB - nHitExact; total += nSh
+    }
+    // false positives stay within an order of magnitude of the budget
+    // (small-sample noise allowance over ~tens of thousands of probes)
+    assert(extra.toDouble / total <= 0.01,
+      s"bloom FPR blew the budget: $extra extra hits over $total shingles")
+    // fully contaminated docs read exactly fully contaminated either way
+    val full = exact.collect { case (id, (n, h)) if n > 0 && n == h => id }
+    assert(full.nonEmpty && full.forall(id => bloom(id)._1 == bloom(id)._2))
+  }
+
   test("electKeepersByScore: max score wins, ties to lower id, singletons self-elect") {
     val labeled = Seq(
       (1L, 100L, 500000L), (2L, 100L, 900000L), (3L, 100L, 900000L), // tie 2 vs 3
