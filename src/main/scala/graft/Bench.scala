@@ -94,6 +94,13 @@ object Bench {
         s"""{"reps":$repsJson,"triage":$triageJson,"sf":"$sfDir"}""".getBytes("UTF-8"))
     } catch { case _: Throwable => () }
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"staging_sec":${fmt(stagingSec)},"failed":$failedJson,"sf":"$sfDir"}""")
+    // The per-query line above grows with the query count and outgrew the
+    // driver's ~2 KB stdout tail capture at 105 queries (BENCH_r12 recorded
+    // parsed:null). Print a SECOND, short, summary line LAST so the tail
+    // capture always contains a parseable total regardless of query count;
+    // the full per-query map stays available on the long line and in
+    // target/bench_reps.json.
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","staging_sec":${fmt(stagingSec)},"n_queries":${names.size},"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -490,9 +490,20 @@ object Dedup {
       simCol: String = "jaccard_ppm"): DataFrame = {
     require(pairs.columns.contains(simCol),
       s"pairs must carry the similarity column '$simCol', got ${pairs.columns.mkString(", ")}")
+    // LEFT joins + in-plan raise, not inner joins: a pair id missing from
+    // `sources` under an inner join would silently drop the pair and skew
+    // n_pairs/mean_sim_ppm — the statistic that drives mixture policy —
+    // whereas a stale or incomplete lookup should surface loudly (the
+    // repo's loud-guard convention, cf. the simCol require above)
+    def srcOrRaise(side: String) = coalesce(col(s"__s$side"),
+      expr(s"cast(raise_error(concat('overlapMatrix: pair id$side=', " +
+        s"cast(id$side as string), ' has no source row - the (id, source) " +
+        s"lookup is stale or incomplete')) as string)"))
     pairs
-      .join(sources.select(col(idCol).as("id1"), col(srcCol).as("__s1")), "id1")
-      .join(sources.select(col(idCol).as("id2"), col(srcCol).as("__s2")), "id2")
+      .join(sources.select(col(idCol).as("id1"), col(srcCol).as("__s1")), Seq("id1"), "left")
+      .join(sources.select(col(idCol).as("id2"), col(srcCol).as("__s2")), Seq("id2"), "left")
+      .withColumn("__s1", srcOrRaise("1"))
+      .withColumn("__s2", srcOrRaise("2"))
       .groupBy(
         least(col("__s1"), col("__s2")).as("source_a"),
         greatest(col("__s1"), col("__s2")).as("source_b"))
@@ -732,6 +743,26 @@ object Dedup {
       .select("id1", "id2", "dist")
   }
 
+  /** Lineage truncation for iterative CC state: reliable `checkpoint()`
+    * when `spark.graft.dedup.reliableCheckpoint=true` (requires a
+    * `setCheckpointDir` — fail-fast with the remedy if absent, because
+    * Spark's own error at materialization time names neither the conf nor
+    * the caller), else `localCheckpoint`. Always lazy: the round's
+    * convergence probe stays the single job that both materializes the
+    * state and measures progress.
+    */
+  private def ccCheckpoint(df: DataFrame): DataFrame = {
+    val reliable = df.sparkSession.conf
+      .getOption("spark.graft.dedup.reliableCheckpoint").exists(_.toBoolean)
+    if (reliable) {
+      require(df.sparkSession.sparkContext.getCheckpointDir.isDefined,
+        "spark.graft.dedup.reliableCheckpoint=true requires " +
+          "spark.sparkContext.setCheckpointDir(<reliable storage path>) " +
+          "before running connected components")
+      df.checkpoint(eager = false)
+    } else df.localCheckpoint(eager = false)
+  }
+
   /** Connected components over a near-dup pair list — the cluster-election
     * step every production dedup pipeline runs AFTER pair generation:
     * near-dup similarity is not transitive, so (A,B) and (B,C) pairs must
@@ -753,8 +784,18 @@ object Dedup {
     * changed-row count — one driver barrier per round, not two (the
     * eager-checkpoint-then-count form paid two full driver syncs per
     * round, and under host contention the second one dominated tail
-    * latency). On a cluster, prefer `spark.sparkContext.setCheckpointDir`
-    * + `checkpoint()` for fault tolerance across executor loss.
+    * latency).
+    *
+    * FAULT TOLERANCE: per-round state truncates lineage via
+    * [[ccCheckpoint]] — `localCheckpoint` by default (blocks pinned to
+    * executor storage; fastest, but an executor loss mid-loop fails the
+    * job), or a RELIABLE `checkpoint()` to the cluster's checkpoint
+    * directory when `spark.graft.dedup.reliableCheckpoint=true` and
+    * `spark.sparkContext.setCheckpointDir` has been called — the mode a
+    * 1000-executor run should use, since losing one executor during a
+    * multi-round CC over a 100 TB corpus' pair graph must not restart
+    * the whole election. Both modes keep the lazy (`eager = false`)
+    * fused-barrier contract.
     *
     * Returns (id, comp): every node of `pairs` labeled with the minimum id
     * reachable from it. Nodes absent from `pairs` are singletons — callers
@@ -768,13 +809,13 @@ object Dedup {
     // lazy checkpoints throughout: each is materialized by the first job
     // that reads it (the round's convergence count), never by a dedicated
     // materialization job of its own
-    val edges = pairs.select(col(idA).as("u"), col(idB).as("v"))
-      .unionByName(pairs.select(col(idB).as("u"), col(idA).as("v")))
-      .distinct()
-      .localCheckpoint(eager = false)
-    var labels = edges.select(col("u").as("id")).distinct()
-      .withColumn("comp", col("id"))
-      .localCheckpoint(eager = false)
+    val edges = ccCheckpoint(
+      pairs.select(col(idA).as("u"), col(idB).as("v"))
+        .unionByName(pairs.select(col(idB).as("u"), col(idA).as("v")))
+        .distinct())
+    var labels = ccCheckpoint(
+      edges.select(col("u").as("id")).distinct()
+        .withColumn("comp", col("id")))
     var iter = 0
     var changed = 1L
     while (changed > 0) {
@@ -786,11 +827,11 @@ object Dedup {
         .join(labels.withColumnRenamed("id", "u"), "u")
         .groupBy(col("v").as("id"))
         .agg(min(col("comp")).as("nmin"))
-      val next = labels.withColumnRenamed("comp", "old")
-        .join(neighborMin, Seq("id"), "left")
-        .select(col("id"), least(col("old"), coalesce(col("nmin"), col("old"))).as("comp"),
-          col("old"))
-        .localCheckpoint(eager = false)
+      val next = ccCheckpoint(
+        labels.withColumnRenamed("comp", "old")
+          .join(neighborMin, Seq("id"), "left")
+          .select(col("id"), least(col("old"), coalesce(col("nmin"), col("old"))).as("comp"),
+            col("old")))
       // this count IS the round's materialization: it executes the marked
       // RDD (caching its blocks, truncating lineage) and measures progress
       // in the same pass — the fused single barrier
@@ -892,22 +933,30 @@ object Dedup {
     // lazy checkpoints (the connectedComponents convention): the round's
     // first fixpoint probe materializes the marked RDD — no dedicated
     // materialization job, one fewer driver barrier per round
-    val nodes = pairs.select(col(idA).as("id"))
-      .unionByName(pairs.select(col(idB).as("id")))
-      .distinct().localCheckpoint(eager = false)
-    var cur = pairs
+    val nodes = ccCheckpoint(
+      pairs.select(col(idA).as("id"))
+        .unionByName(pairs.select(col(idB).as("id")))
+        .distinct())
+    var cur = ccCheckpoint(pairs
       .select(least(col(idA), col(idB)).as("lo"), greatest(col(idA), col(idB)).as("hi"))
-      .where(col("lo") =!= col("hi")).distinct().localCheckpoint(eager = false)
+      .where(col("lo") =!= col("hi")).distinct())
     var iter = 0
     var done = cur.isEmpty // edgeless input: all singletons
     while (!done) {
       require(iter < maxIters,
         s"connectedComponentsStar did not converge in $maxIters rounds — " +
           "this exceeds the O(log n) bound; the input is likely not a static graph")
-      val next = smallStar(largeStar(cur)).localCheckpoint(eager = false)
+      val next = ccCheckpoint(smallStar(largeStar(cur)))
       // edge-set fixpoint (label stability alone is not a sound stop for
-      // star contraction): two set differences over the shrinking edge set
-      done = next.except(cur).isEmpty && cur.except(next).isEmpty
+      // star contraction), probed as ONE symmetric-difference job — the
+      // same fused-single-barrier convention as min-label's convergence
+      // count: both sides are canonical DISTINCT (lo, hi) sets, so an edge
+      // appearing exactly once in their union lies in exactly one set, and
+      // this count both materializes `next`'s lazy checkpoint and decides
+      // convergence in a single driver sync (the former two `except`
+      // probes paid two full passes per round)
+      done = next.unionByName(cur).groupBy("lo", "hi")
+        .agg(count(lit(1)).as("__n")).where(col("__n") === 1).isEmpty
       cur = next
       iter += 1
     }

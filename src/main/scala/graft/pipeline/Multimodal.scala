@@ -208,6 +208,14 @@ object Multimodal {
         case _ => // skip unknown chunk
           if (body + size > bytes.length) fail(s"chunk '$id' overruns the payload")
       }
+      // EVERY chunk's declared size must fit the payload, re-checked here
+      // in Long arithmetic before the advance regardless of which arm ran:
+      // the fmt arm validates only its first 16 bytes, so a hostile fmt
+      // size like 0xFFFFFFF8 (→ -8 under `.toInt`) would otherwise make
+      // the advance a no-op (infinite executor loop) or drive `pos`
+      // negative (AIOOBE escaping the fail-fast wrapper, losing the media
+      // id). This bound also caps `size` < 2^31, so `size.toInt` is safe.
+      if (body.toLong + size > bytes.length) fail(s"chunk '$id' overruns the payload")
       // RIFF chunks are word-aligned: odd sizes carry one pad byte
       if (dataSize < 0) pos = body + size.toInt + (size % 2).toInt
     }

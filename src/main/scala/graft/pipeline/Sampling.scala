@@ -664,6 +664,11 @@ object Sampling {
       s"cutoffs must carry 'cutoff' (a calibratedCutoffs result), got ${cutoffs.columns.mkString(", ")}")
     scored.join(broadcast(cutoffs), Seq(stratumCol), "left")
       .select(col(idCol), col(stratumCol), col(scoreCol), col("cutoff"),
-        (col("cutoff").isNotNull && col(scoreCol) >= col("cutoff")).as("kept"))
+        // coalesce: a NULL score would make the compare NULL (not false),
+        // and a NULL verdict is dropped by BOTH where(kept) and
+        // where(!kept) — the contract is a boolean verdict for every row,
+        // so unscorable rows land kept=false like unknown strata do
+        coalesce(col("cutoff").isNotNull && col(scoreCol) >= col("cutoff"),
+          lit(false)).as("kept"))
   }
 }

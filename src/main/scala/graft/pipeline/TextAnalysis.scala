@@ -372,6 +372,22 @@ object TextAnalysis {
     // m = ceil(-n ln p / (ln 2)^2), the textbook sizing
     val numBits = math.ceil(
       -expectedShingles * math.log(fpp) / (math.log(2) * math.log(2))).toLong
+    // Spark's BloomFilterAggregate SILENTLY CLAMPS numBits to
+    // spark.sql.optimizer.runtime.bloomFilter.maxNumBits (default 2^26
+    // bits = 8 MB) — above ~4.7M expected shingles at fpp=1e-3 the
+    // textbook sizing would be ignored and the real FPR would blow past
+    // budget with no warning, breaking the bounded-over-drop half of the
+    // one-sided-error contract (no-false-negatives would still hold).
+    // Fail fast with the remedy instead of degrading silently.
+    val maxNumBits = docs.sparkSession.conf
+      .getOption("spark.sql.optimizer.runtime.bloomFilter.maxNumBits")
+      .map(_.toLong).getOrElse(67108864L)
+    require(numBits <= maxNumBits,
+      s"contaminationBloom: sizing for expectedShingles=$expectedShingles at fpp=$fpp " +
+        s"needs $numBits bits, above spark.sql.optimizer.runtime.bloomFilter.maxNumBits=" +
+        s"$maxNumBits — BloomFilterAggregate would silently clamp the filter and the " +
+        "false-positive rate would exceed the budget; raise that conf to at least " +
+        s"$numBits (${numBits / 8 / 1024 / 1024 + 1} MB bit array) before calling")
     // bloom_filter_agg / might_contain are not in the public function
     // registry; the Catalyst expressions are — wire them through the
     // bridge (the VecDot idiom for native expressions)

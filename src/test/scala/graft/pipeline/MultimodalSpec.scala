@@ -206,6 +206,29 @@ class MultimodalSpec extends SparkSpec {
     assert(msg(avi).contains("not WAVE"))
   }
 
+  test("parseAudio: hostile 32-bit chunk sizes fail fast, never stall or escape the wrapper") {
+    def msg(b: Array[Byte]): String =
+      intercept[IllegalArgumentException](Multimodal.parseAudio(b)).getMessage
+    // fmt size 0xFFFFFFF8 → toInt = -8 would make the chunk advance a
+    // no-op (pos = body - 8 = pos): an infinite executor loop on
+    // adversarial ingest before the bound check existed
+    def withChunkSize(at: Int, size: Long): Array[Byte] = {
+      val b = wav(1, 8000, 16, 10).clone()
+      java.nio.ByteBuffer.wrap(b).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        .putInt(at, size.toInt)
+      b
+    }
+    // fmt chunk header sits at pos 12; its size field at 16
+    assert(msg(withChunkSize(16, 0xFFFFFFF8L)).contains("overruns the payload"))
+    // a value that would drive pos negative (AIOOBE without the guard)
+    assert(msg(withChunkSize(16, 0x80000000L)).contains("overruns the payload"))
+    // an unknown chunk with a hostile size fails the same way: replace the
+    // fmt tag so the size is consumed by the skip arm
+    val unk = withChunkSize(16, 0xFFFFFFF8L)
+    "junk".getBytes.copyToArray(unk, 12)
+    assert(msg(unk).contains("overruns the payload"))
+  }
+
   // ---------------------------------------------------------------- video
 
   /** Minimal MP4: ftyp + moov[mvhd(v0|v1) + trak[tkhd]] big-endian. */

@@ -1360,4 +1360,74 @@ class PipelineOpsSpec extends SparkSpec {
     }
     assert(ex.getMessage.contains("jaccard_ppm"))
   }
+
+  test("overlapMatrix: a pair id missing from sources raises instead of silently dropping") {
+    val pairs = Seq((1L, 2L, 500000L), (1L, 3L, 400000L)).toDF("id1", "id2", "jaccard_ppm")
+    // id 3 has no source row — an inner join would drop the (1,3) pair and
+    // under-count n_pairs with no signal; the loud guard must name the id
+    val sources = Seq((1L, "a"), (2L, "b")).toDF("doc_id", "source")
+    val e = intercept[Exception] {
+      Dedup.overlapMatrix(pairs, sources).collect()
+    }
+    assert(e.getMessage.contains("has no source row") && e.getMessage.contains("3"),
+      s"got: ${e.getMessage}")
+    // complete lookups still aggregate normally through the left-join path
+    val full = sources.unionByName(Seq((3L, "a")).toDF("doc_id", "source"))
+    val ok = Dedup.overlapMatrix(pairs, full).orderBy("source_a", "source_b").collect()
+    assert(ok.map(r => (r.getString(0), r.getString(1), r.getAs[Long]("n_pairs"))).toSeq ==
+      Seq(("a", "a", 1L), ("a", "b", 1L)))
+  }
+
+  test("calibratedKeepWith: a NULL score lands kept=false, never a NULL verdict") {
+    val scored = Seq((1L, "a", Some(10L)), (2L, "a", None), (3L, "zz", Some(99L)))
+      .toDF("doc_id", "stratum", "score")
+    val cutoffs = Seq(("a", 5L)).toDF("stratum", "cutoff")
+    val out = Sampling.calibratedKeepWith(scored, cutoffs, "stratum", "score")
+    val byId = out.collect().map(r => r.getAs[Long]("doc_id") ->
+      (if (r.isNullAt(r.fieldIndex("kept"))) null else r.getAs[Boolean]("kept"))).toMap
+    assert(byId(1L) == true)
+    assert(byId(2L) == false, "NULL score must verdict false, not NULL")
+    assert(byId(3L) == false, "unknown stratum verdicts false")
+    // the boolean-verdict contract: where(kept) + where(!kept) partition ALL rows
+    val n = out.where(col("kept")).count() + out.where(!col("kept")).count()
+    assert(n == 3L, s"verdict must be total over the corpus, covered $n of 3")
+  }
+
+  test("contaminationBloom: sizing above the engine's bloom ceiling fails fast with the remedy") {
+    val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val evalDocs = Seq((100L, "a b c")).toDF("doc_id", "text")
+    // BloomFilterAggregate silently CLAMPS to
+    // spark.sql.optimizer.runtime.bloomFilter.maxNumBits (default 2^26) —
+    // sizing past it must refuse loudly, or the FPR budget breaks silently
+    val e = intercept[IllegalArgumentException] {
+      TextAnalysis.contaminationBloom(docs, evalDocs, expectedShingles = 1L << 40)
+    }
+    assert(e.getMessage.contains("maxNumBits"), s"got: ${e.getMessage}")
+    // at legal sizes the probe still runs
+    val ok = TextAnalysis.contaminationBloom(docs, evalDocs, expectedShingles = 1000L)
+    assert(ok.head.getAs[Long]("contaminated_ppm") == 1000000L)
+  }
+
+  test("connectedComponents + star: reliable checkpoint path labels identically") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id1", "id2")
+    val want = Dedup.connectedComponents(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    spark.conf.set("spark.graft.dedup.reliableCheckpoint", "true")
+    try {
+      // without a checkpoint dir the reliable path must fail fast naming
+      // the remedy (Spark's own late error names neither conf nor caller)
+      if (spark.sparkContext.getCheckpointDir.isEmpty) {
+        val e = intercept[IllegalArgumentException](Dedup.connectedComponents(pairs))
+        assert(e.getMessage.contains("setCheckpointDir"))
+      }
+      val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+      spark.sparkContext.setCheckpointDir(dir)
+      val got = Dedup.connectedComponents(pairs).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == want)
+      val (starLabels, _) = Dedup.starContract(pairs, "id1", "id2", 50)
+      val gotStar = starLabels.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(gotStar == want)
+    } finally spark.conf.unset("spark.graft.dedup.reliableCheckpoint")
+  }
 }
