@@ -59,9 +59,48 @@ object Bpe {
     ("s", "t"),   // st   (id 266)
     ("a", "t"))   // at   (id 267)
 
-  /** Compound symbol → integer id (256 + rank). */
-  val vocabIds: Map[String, Int] =
-    merges.zipWithIndex.map { case ((a, b), i) => (a + b) -> (256 + i) }.toMap
+  /** Compound symbol → integer id (256 + rank) for any merge table. */
+  def vocabIdsOf(ms: Seq[(String, String)]): Map[String, Int] =
+    ms.zipWithIndex.map { case ((a, b), i) => (a + b) -> (256 + i) }.toMap
+
+  /** Compound symbol → integer id for the shipped table. */
+  val vocabIds: Map[String, Int] = vocabIdsOf(merges)
+
+  /** FROZEN TRAINED merge table — [[train]] run once over the sf0.01
+    * `documents` corpus (nMerges = 16, minCount = 2, via
+    * [[TrainBpeTool]]) and baked as a literal, the
+    * [[graft.pipeline.Similarity.refPqCodebooks]] discipline for model
+    * artifacts: training is a one-time offline job, serving folds the
+    * frozen constants into the scan, and the DuckDB oracle is generated
+    * from the SAME literal so the two engines cannot drift. BpeSpec
+    * asserts this table equals a fresh [[train]] on the same corpus
+    * (drift between the literal and the trainer fails the suite); note
+    * it learned whole corpus words ("join", "hash", "row") — the
+    * Zipfian-head behavior real BPE training shows. 16 rules, not more:
+    * each rule adds a nested lambda level, and past ~20 the chain
+    * exceeds Catalyst's default analyzer-resolution budget
+    * (spark.sql.analyzer.maxIterations = 100) — a table much larger than
+    * that belongs in the dictionary path ([[docTokenCounts]]'s per-word
+    * broadcast), not in a per-row expression chain.
+    */
+  val refTrainedMerges: Seq[(String, String)] = Seq(
+    ("e", "r"),
+    ("i", "n"),
+    ("o", "w"),
+    ("o", "r"),
+    ("s", "t"),
+    ("m", "er"),
+    ("a", "t"),
+    ("l", "u"),
+    ("a", "r"),
+    ("p", "ar"),
+    ("j", "o"),
+    ("jo", "in"),
+    ("a", "s"),
+    ("as", "h"),
+    ("h", "ash"),
+    ("r", "ow"))
+  validate(refTrainedMerges)
 
   /** Fail-fast validation of the two structural properties the expression
     * form depends on (see the object scaladoc). Public so specs can
@@ -165,8 +204,9 @@ object Bpe {
     validate(ms)
     s"flatten(transform(${toksS(textCol)}, w0 -> ${wordSymsS("w0", ms)}))"
   }
-  def symsD(textCol: String): String =
-    s"flatten(list_transform(${toksD(textCol)}, w0 -> ${wordSymsD("w0")}))"
+  def symsD(textCol: String): String = symsWithD(textCol, merges)
+  def symsWithD(textCol: String, ms: Seq[(String, String)]): String =
+    s"flatten(list_transform(${toksD(textCol)}, w0 -> ${wordSymsD("w0", ms)}))"
 
   /** DETERMINISTIC DISTRIBUTED BPE TRAINING — learn a merge table from
     * the corpus instead of shipping one (the [[KMeans.train]] discipline
@@ -236,13 +276,13 @@ object Bpe {
     * unreachable (every multi-char symbol is produced by a rule — the
     * well-formedness invariant).
     */
-  private def idOfS(sy: String): String = {
-    val compounds = vocabIds.toSeq.sortBy(_._2)
+  private def idOfS(sy: String, ms: Seq[(String, String)] = merges): String = {
+    val compounds = vocabIdsOf(ms).toSeq.sortBy(_._2)
       .map { case (s, id) => s"WHEN '${lit1(s)}' THEN $id" }.mkString(" ")
     s"CASE WHEN length($sy) = 1 THEN ascii($sy) ELSE CASE $sy $compounds ELSE -1 END END"
   }
-  private def idOfD(sy: String): String = {
-    val compounds = vocabIds.toSeq.sortBy(_._2)
+  private def idOfD(sy: String, ms: Seq[(String, String)] = merges): String = {
+    val compounds = vocabIdsOf(ms).toSeq.sortBy(_._2)
       .map { case (s, id) => s"WHEN '${lit1D(s)}' THEN $id" }.mkString(" ")
     s"CASE WHEN len($sy) = 1 THEN ascii($sy) ELSE CASE $sy $compounds ELSE -1 END END"
   }
@@ -269,30 +309,61 @@ object Bpe {
     * is not in this vocabulary (the tokenizer splits on it), so decoding
     * a document's flat id stream yields the SPACE-STRIPPED normalized
     * text; per WORD the round trip is exact (spec-asserted over the
-    * seeded fuzz corpus). Production vocabs carry an explicit
-    * space-marker symbol and decode byte-exactly — the id→symbol table
-    * is the same shape either way.
+    * seeded fuzz corpus). The SPACED stream ([[symsSpacedS]]) carries the
+    * space-marker symbol (id 32) between words — the SentencePiece/GPT-2
+    * convention reduced to this vocabulary's whitespace model — and
+    * decodes BYTE-EXACTLY up to the tokenizer's own normalization (runs
+    * of spaces collapse; leading/trailing spaces strip, because
+    * `split(text, ' ')` drops empties). The decode itself is
+    * convention-free (ids → symbols → concat) and serves both streams.
     */
   def decodeS(idsCol: String): String =
     s"concat_ws('', transform($idsCol, v0 -> ${symOfS("v0")}))"
   def decodeD(idsCol: String): String =
     s"array_to_string(list_transform($idsCol, v0 -> ${symOfD("v0")}), '')"
 
-  /** Per-document encode→decode ROUND TRIP audit: BPE token count, md5 of
-    * the decoded text, and whether the decode reproduces the
-    * space-stripped normalized document exactly (it must — asserting it
-    * corpus-wide is the cheapest end-to-end integrity check of the whole
-    * id table). The symbol array and the decoded string are each
-    * lambda-bound so they evaluate once per row.
+  /** Per-document symbol stream WITH the space-marker symbol between
+    * words — what a production loader actually packs, because its decode
+    * is byte-exact (see [[decodeS]]). The space can never merge: every
+    * rule's symbols come from space-SPLIT words (trainer and shipped
+    * table alike), so ' ' appears in no rule and always survives as a
+    * single id-32 token. Built by prepending the marker to EVERY word and
+    * slicing off the leading one — one evaluation of the per-word rule
+    * chain, where an indexed-lambda CASE would duplicate the whole chain
+    * per branch.
+    */
+  def symsSpacedS(textCol: String): String = symsSpacedWithS(textCol, merges)
+  def symsSpacedWithS(textCol: String, ms: Seq[(String, String)]): String = {
+    validate(ms)
+    val spaced = s"flatten(transform(${toksS(textCol)}, w0 -> concat(array(' '), ${wordSymsS("w0", ms)})))"
+    s"element_at(transform(array($spaced), fs0 -> " +
+      s"CASE WHEN size(fs0) = 0 THEN fs0 ELSE slice(fs0, 2, size(fs0) - 1) END), 1)"
+  }
+  def symsSpacedD(textCol: String): String = symsSpacedWithD(textCol, merges)
+  def symsSpacedWithD(textCol: String, ms: Seq[(String, String)]): String = {
+    val spaced = s"flatten(list_transform(${toksD(textCol)}, w0 -> list_prepend(' ', ${wordSymsD("w0", ms)})))"
+    s"list_transform([$spaced], fs0 -> CASE WHEN len(fs0) = 0 THEN fs0 ELSE fs0[2:] END)[1]"
+  }
+
+  /** Per-document encode→decode ROUND TRIP audit over the SPACED stream:
+    * BPE token count (space markers included — they occupy loader
+    * positions), md5 of the decoded text, and whether the decode
+    * reproduces the document BYTE-EXACTLY modulo the tokenizer's
+    * whitespace normalization (`dd = concat_ws(' ', toks)`: only texts
+    * with leading/trailing/doubled spaces differ from their round trip,
+    * and those the tokenizer itself normalizes — documented contract).
+    * Asserting this corpus-wide is the cheapest end-to-end integrity
+    * check of the whole id table. The symbol array and the decoded
+    * string are each lambda-bound so they evaluate once per row.
     */
   def decodeRoundTrip(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val ids = s"transform(ss, sy -> ${idOfS("sy")})"
     val stats =
-      s"""inline(array(element_at(transform(array(${symsS(textCol)}), ss ->
+      s"""inline(array(element_at(transform(array(${symsSpacedS(textCol)}), ss ->
          |  element_at(transform(array(${decodeS(ids)}), dd -> named_struct(
          |    'n_bpe_tokens', cast(size(ss) as bigint),
          |    'decoded_md5', md5(dd),
-         |    'roundtrip_ok', dd = concat_ws('', ${toksS(textCol)}))), 1)), 1)))"""
+         |    'roundtrip_ok', dd = concat_ws(' ', ${toksS(textCol)}))), 1)), 1)))"""
         .stripMargin.replace("\n", " ")
     docs.select(col(idCol), expr(stats))
   }
@@ -302,12 +373,12 @@ object Bpe {
     */
   def decodeRoundTripSqlD: String = {
     val ids = s"list_transform(ss, sy -> ${idOfD("sy")})"
-    s"""WITH syms AS (SELECT doc_id, ${toksD("text")} AS toks, ${symsD("text")} AS ss FROM documents),
+    s"""WITH syms AS (SELECT doc_id, ${toksD("text")} AS toks, ${symsSpacedD("text")} AS ss FROM documents),
        |dec AS (SELECT doc_id, toks, ss, ${decodeD(ids)} AS dd FROM syms)
        |SELECT doc_id,
        |  CAST(len(ss) AS BIGINT) AS n_bpe_tokens,
        |  md5(dd) AS decoded_md5,
-       |  dd = array_to_string(toks, '') AS roundtrip_ok
+       |  dd = array_to_string(toks, ' ') AS roundtrip_ok
        |FROM dec ORDER BY doc_id""".stripMargin
   }
 
@@ -402,5 +473,36 @@ object Bpe {
        |  CAST(len(toks) AS BIGINT) AS n_ws_tokens,
        |  CAST(len(ss) AS BIGINT) AS n_bpe_tokens,
        |  md5(array_to_string(list_transform(ss, sy -> (${idOfD("sy")})::VARCHAR), ',')) AS ids_md5
+       |FROM syms ORDER BY doc_id""".stripMargin
+
+  /** [[encode]] with an arbitrary (typically TRAINED) merge table: same
+    * output schema, ids are 256 + the table's own ranks. The serving path
+    * for [[refTrainedMerges]] — the table folds into the scan as
+    * literals, exactly like the shipped one.
+    */
+  def encodeWith(
+      docs: DataFrame,
+      ms: Seq[(String, String)],
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val stats =
+      s"""inline(array(element_at(transform(array(${symsWithS(textCol, ms)}), ss -> named_struct(
+         |  'n_ws_tokens', cast(size(${toksS(textCol)}) as bigint),
+         |  'n_bpe_tokens', cast(size(ss) as bigint),
+         |  'ids_md5', md5(concat_ws(',', transform(ss, sy -> cast(${idOfS("sy", ms)} as string)))))), 1)))"""
+        .stripMargin.replace("\n", " ")
+    docs.select(col(idCol), expr(stats))
+  }
+
+  /** DuckDB oracle twin of [[encodeWith]] — generated from the same merge
+    * constants (the [[encodeSqlD]] discipline), so a frozen trained table
+    * is hash-checked against DuckDB exactly like the shipped one.
+    */
+  def encodeSqlWithD(ms: Seq[(String, String)]): String =
+    s"""WITH syms AS (SELECT doc_id, ${toksD("text")} AS toks, ${symsWithD("text", ms)} AS ss FROM documents)
+       |SELECT doc_id,
+       |  CAST(len(toks) AS BIGINT) AS n_ws_tokens,
+       |  CAST(len(ss) AS BIGINT) AS n_bpe_tokens,
+       |  md5(array_to_string(list_transform(ss, sy -> (${idOfD("sy", ms)})::VARCHAR), ',')) AS ids_md5
        |FROM syms ORDER BY doc_id""".stripMargin
 }

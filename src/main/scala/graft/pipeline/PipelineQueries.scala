@@ -541,6 +541,25 @@ object PipelineQueries {
       Similarity.pqKnn(emb, emb.filter(col("vec_id") < 10), 3).orderBy("query_id", "rank")
     }),
 
+    // ANN recall report: recall@3 of each approximate index against the
+    // exact baseline over the same probe queries — the artifact you watch
+    // when swapping trained centroids/codebooks into a production index.
+    // The exact baseline persists across the three comparisons (it is the
+    // expensive side; the report joins are top-k-output-sized).
+    "ext_knn_recall" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val qs = emb.filter(col("vec_id") < 10)
+      val exact = Similarity.bruteForceKnn(emb, qs, 3)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      Seq(
+        "ivf" -> Similarity.ivfKnn(emb, qs, 3),
+        "lsh" -> Similarity.lshKnn(emb, qs, 3),
+        "pq" -> Similarity.pqKnn(emb, qs, 3))
+        .map { case (m, a) => Similarity.knnRecall(exact, a, m) }
+        .reduce(_.unionByName(_))
+        .orderBy("method")
+    }),
+
     "ext_dedup_lines" -> ((s, dir) => {
       Dedup.lineDedupKeepFirst(lineAug(Tables.documents(s, dir))).orderBy("doc_id")
     }),
@@ -793,11 +812,20 @@ object PipelineQueries {
       Bpe.encode(Tables.documents(s, dir)).orderBy("doc_id")
     }),
 
-    // BPE decode round trip: ids -> text inverse; roundtrip_ok asserts
-    // decode(encode(doc)) == space-stripped normalized doc corpus-wide —
-    // the cheapest end-to-end integrity check of the id table
+    // BPE decode round trip over the SPACED id stream (space marker id 32
+    // between words): roundtrip_ok asserts decode(encode(doc)) is
+    // BYTE-EXACT modulo whitespace normalization, corpus-wide — the
+    // cheapest end-to-end integrity check of the id table
     "ext_bpe_decode" -> ((s, dir) => {
       Bpe.decodeRoundTrip(Tables.documents(s, dir)).orderBy("doc_id")
+    }),
+
+    // encode with the FROZEN TRAINED merge table (Bpe.train run offline
+    // over this corpus, baked as a literal — the refPqCodebooks
+    // discipline): serving a trained tokenizer is the same scan-side plan
+    // as the shipped one, and the oracle folds the same frozen constants
+    "ext_bpe_trained" -> ((s, dir) => {
+      Bpe.encodeWith(Tables.documents(s, dir), Bpe.refTrainedMerges).orderBy("doc_id")
     }),
 
     // per-doc TF-IDF keywords: integer idf (bit-length log2 of inverse
@@ -1041,6 +1069,71 @@ object PipelineQueries {
 
   // ---------------------------------------------------------------- oracles
 
+  // The four KNN statements live in vals (not inline in the map) because
+  // ext_knn_recall composes them as derived-table subqueries — one
+  // definition serves both the standalone oracle entry and the recall
+  // comparison, so the two can never drift.
+  private lazy val knnCosineSql: String =
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+       |c AS (SELECT vec_id AS neighbor_id, embedding AS nv FROM embeddings),
+       |s AS (SELECT query_id, neighbor_id, $cosineD AS sim
+       |      FROM c, q WHERE neighbor_id <> query_id),
+       |w AS (SELECT query_id, neighbor_id,
+       |        row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank FROM s)
+       |SELECT query_id, rank, neighbor_id FROM w WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+
+  private lazy val knnLshSql: String =
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv, ${lshBucketD("embedding")} AS bucket
+       |           FROM embeddings WHERE vec_id < 10),
+       |c AS (SELECT vec_id AS neighbor_id, embedding AS nv, ${lshBucketD("embedding")} AS bucket
+       |      FROM embeddings),
+       |s AS (SELECT query_id, neighbor_id, $cosineD AS sim
+       |      FROM c JOIN q USING (bucket) WHERE neighbor_id <> query_id),
+       |w AS (SELECT query_id, neighbor_id,
+       |        row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank FROM s)
+       |SELECT query_id, rank, neighbor_id FROM w WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+
+  private lazy val knnIvfSql: String =
+    s"""WITH $ivfCentSql,
+       |cd AS (SELECT vec_id, embedding, cid,
+       |        row_number() OVER (PARTITION BY vec_id ORDER BY $dotEmbCentD DESC, cid) AS rn
+       |       FROM embeddings, cent),
+       |ca AS (SELECT vec_id AS neighbor_id, embedding AS nv, cid AS cell FROM cd WHERE rn = 1),
+       |qp AS (SELECT vec_id AS query_id, embedding AS qv, cid AS cell
+       |       FROM cd WHERE vec_id < 10 AND rn <= 2),
+       |s AS (SELECT query_id, neighbor_id, $cosineD AS sim
+       |      FROM ca JOIN qp USING (cell) WHERE neighbor_id <> query_id),
+       |w AS (SELECT query_id, neighbor_id,
+       |        row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank FROM s)
+       |SELECT query_id, rank, neighbor_id FROM w WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+
+  // PQ oracle: the codebook is the SAME integer formula as
+  // Similarity.pqCbVal, evaluated in SQL (the ivfCentSql discipline)
+  private lazy val knnPqSql: String =
+    """WITH cb AS (SELECT m, c, list_transform(generate_series(1,8),
+      |    i -> (((m*16 + c)*8 + (i-1))*48271 + 12345) % 999983 - 499991) AS vals
+      |  FROM range(0,8) t(m), range(0,16) u(c)),
+      |vp AS (SELECT vec_id,
+      |  list_transform(embedding, x0 -> CAST(floor(x0::DOUBLE * 1000000) AS BIGINT)) AS p
+      |  FROM embeddings),
+      |d AS (SELECT vec_id, m, c,
+      |    list_sum(list_transform(generate_series(1,8),
+      |      i -> (p[m*8+i] - vals[i]) * (p[m*8+i] - vals[i]))) AS dist
+      |  FROM vp, cb),
+      |cd AS (SELECT vec_id, m, c,
+      |    row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, c) AS rn FROM d),
+      |codes AS (SELECT vec_id, m, c FROM cd WHERE rn = 1),
+      |lut AS (SELECT vec_id AS query_id, m, c,
+      |    list_sum(list_transform(generate_series(1,8), i -> p[m*8+i] * vals[i])) AS v
+      |  FROM vp, cb WHERE vec_id < 10),
+      |s AS (SELECT l.query_id, k.vec_id AS neighbor_id, CAST(sum(l.v) AS BIGINT) AS score
+      |      FROM codes k JOIN lut l ON k.m = l.m AND k.c = l.c
+      |      WHERE k.vec_id <> l.query_id GROUP BY 1, 2),
+      |w AS (SELECT query_id, neighbor_id, score,
+      |        row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank FROM s)
+      |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, score
+      |FROM w WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "ext_dedup_exact" ->
       s"""WITH $exactAugSql
@@ -1242,39 +1335,33 @@ object PipelineQueries {
          |FROM p WHERE bit_count(xor(s1, s2)) <= 6
          |ORDER BY id1, id2""".stripMargin,
 
-    "ext_knn_cosine" ->
-      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
-         |c AS (SELECT vec_id AS neighbor_id, embedding AS nv FROM embeddings),
-         |s AS (SELECT query_id, neighbor_id, $cosineD AS sim
-         |      FROM c, q WHERE neighbor_id <> query_id),
-         |w AS (SELECT query_id, neighbor_id,
-         |        row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank FROM s)
-         |SELECT query_id, rank, neighbor_id FROM w WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+    "ext_knn_cosine" -> knnCosineSql,
 
-    "ext_knn_lsh" ->
-      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv, ${lshBucketD("embedding")} AS bucket
-         |           FROM embeddings WHERE vec_id < 10),
-         |c AS (SELECT vec_id AS neighbor_id, embedding AS nv, ${lshBucketD("embedding")} AS bucket
-         |      FROM embeddings),
-         |s AS (SELECT query_id, neighbor_id, $cosineD AS sim
-         |      FROM c JOIN q USING (bucket) WHERE neighbor_id <> query_id),
-         |w AS (SELECT query_id, neighbor_id,
-         |        row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank FROM s)
-         |SELECT query_id, rank, neighbor_id FROM w WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+    "ext_knn_lsh" -> knnLshSql,
 
-    "ext_knn_ivf" ->
-      s"""WITH $ivfCentSql,
-         |cd AS (SELECT vec_id, embedding, cid,
-         |        row_number() OVER (PARTITION BY vec_id ORDER BY $dotEmbCentD DESC, cid) AS rn
-         |       FROM embeddings, cent),
-         |ca AS (SELECT vec_id AS neighbor_id, embedding AS nv, cid AS cell FROM cd WHERE rn = 1),
-         |qp AS (SELECT vec_id AS query_id, embedding AS qv, cid AS cell
-         |       FROM cd WHERE vec_id < 10 AND rn <= 2),
-         |s AS (SELECT query_id, neighbor_id, $cosineD AS sim
-         |      FROM ca JOIN qp USING (cell) WHERE neighbor_id <> query_id),
-         |w AS (SELECT query_id, neighbor_id,
-         |        row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank FROM s)
-         |SELECT query_id, rank, neighbor_id FROM w WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+    "ext_knn_ivf" -> knnIvfSql,
+
+    // recall@3 of each approximate index vs the exact baseline: each KNN
+    // statement embeds as a derived-table subquery (same vals as the
+    // standalone entries — zero drift); LEFT join from the exact side so
+    // false neighbors lower recall instead of inflating the denominator
+    "ext_knn_recall" ->
+      s"""WITH ex AS (SELECT query_id, neighbor_id FROM ($knnCosineSql)),
+         |a_ivf AS (SELECT query_id, neighbor_id FROM ($knnIvfSql)),
+         |a_lsh AS (SELECT query_id, neighbor_id FROM ($knnLshSql)),
+         |a_pq AS (SELECT query_id, neighbor_id FROM ($knnPqSql)),
+         |r AS (
+         |  SELECT 'ivf' AS method, count(*) AS n_exact, count(a.neighbor_id) AS n_hit
+         |  FROM ex e LEFT JOIN a_ivf a USING (query_id, neighbor_id)
+         |  UNION ALL
+         |  SELECT 'lsh', count(*), count(a.neighbor_id)
+         |  FROM ex e LEFT JOIN a_lsh a USING (query_id, neighbor_id)
+         |  UNION ALL
+         |  SELECT 'pq', count(*), count(a.neighbor_id)
+         |  FROM ex e LEFT JOIN a_pq a USING (query_id, neighbor_id))
+         |SELECT method, CAST(n_exact AS BIGINT) AS n_exact, CAST(n_hit AS BIGINT) AS n_hit,
+         |  CAST(n_hit * 1000000 // n_exact AS BIGINT) AS recall_ppm
+         |FROM r ORDER BY method""".stripMargin,
 
     "ext_knn_int8" ->
       """WITH vp AS (SELECT vec_id,
@@ -1293,32 +1380,7 @@ object PipelineQueries {
         |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, CAST(score AS BIGINT) AS score
         |FROM w WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
 
-    // PQ oracle: the codebook is the SAME integer formula as
-    // Similarity.pqCbVal, evaluated in SQL (the ivfCentSql discipline)
-    "ext_knn_pq" ->
-      """WITH cb AS (SELECT m, c, list_transform(generate_series(1,8),
-        |    i -> (((m*16 + c)*8 + (i-1))*48271 + 12345) % 999983 - 499991) AS vals
-        |  FROM range(0,8) t(m), range(0,16) u(c)),
-        |vp AS (SELECT vec_id,
-        |  list_transform(embedding, x0 -> CAST(floor(x0::DOUBLE * 1000000) AS BIGINT)) AS p
-        |  FROM embeddings),
-        |d AS (SELECT vec_id, m, c,
-        |    list_sum(list_transform(generate_series(1,8),
-        |      i -> (p[m*8+i] - vals[i]) * (p[m*8+i] - vals[i]))) AS dist
-        |  FROM vp, cb),
-        |cd AS (SELECT vec_id, m, c,
-        |    row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, c) AS rn FROM d),
-        |codes AS (SELECT vec_id, m, c FROM cd WHERE rn = 1),
-        |lut AS (SELECT vec_id AS query_id, m, c,
-        |    list_sum(list_transform(generate_series(1,8), i -> p[m*8+i] * vals[i])) AS v
-        |  FROM vp, cb WHERE vec_id < 10),
-        |s AS (SELECT l.query_id, k.vec_id AS neighbor_id, CAST(sum(l.v) AS BIGINT) AS score
-        |      FROM codes k JOIN lut l ON k.m = l.m AND k.c = l.c
-        |      WHERE k.vec_id <> l.query_id GROUP BY 1, 2),
-        |w AS (SELECT query_id, neighbor_id, score,
-        |        row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank FROM s)
-        |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, score
-        |FROM w WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+    "ext_knn_pq" -> knnPqSql,
 
     "ext_dedup_lines" ->
       s"""WITH $lineAugSql,
@@ -1694,6 +1756,7 @@ object PipelineQueries {
     // both dialects generated from Bpe.merges — they cannot drift
     "ext_bpe_encode" -> Bpe.encodeSqlD,
     "ext_bpe_decode" -> Bpe.decodeRoundTripSqlD,
+    "ext_bpe_trained" -> Bpe.encodeSqlWithD(Bpe.refTrainedMerges),
 
     "ext_keywords" ->
       s"""WITH tk AS (SELECT doc_id, ${toksD("text")} AS toks FROM documents),

@@ -462,6 +462,34 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id", "score")
   }
 
+  /** ANN RECALL REPORT — `recall@k` of an approximate top-k against the
+    * exact baseline, the number an operator watches when swapping trained
+    * centroids ([[ivfTrain]]) or codebooks ([[pqTrain]]) into a 100 TB
+    * index: a routing or quantization regression shows up here before it
+    * shows up in downstream quality. One row: (method, n_exact, n_hit,
+    * recall_ppm), where a hit is an exact-neighbor (query_id, neighbor_id)
+    * pair the approximate result also returned (rank-insensitive — the
+    * standard recall@k convention) and recall_ppm is the integer ppm
+    * share.
+    *
+    * Scale shape: both inputs are top-k OUTPUTS (|queries| × k rows —
+    * model-sized next to the corpus), so the join and the single
+    * aggregate are trivial; the cost lives in producing the exact
+    * baseline, which is the one deliberately-quadratic operator in the
+    * family and is therefore run over a SAMPLED query set, never the full
+    * corpus (the ext_knn_* convention: a handful of probe queries).
+    * LEFT join from the exact side: an approximate pair absent from the
+    * baseline (a false neighbor) must lower recall by not matching, not
+    * inflate the denominator.
+    */
+  def knnRecall(exact: DataFrame, approx: DataFrame, method: String): DataFrame =
+    exact.select("query_id", "neighbor_id")
+      .join(approx.select(col("query_id"), col("neighbor_id"), lit(1).as("__hit")),
+        Seq("query_id", "neighbor_id"), "left")
+      .agg(count(lit(1)).as("n_exact"), count(col("__hit")).as("n_hit"))
+      .select(lit(method).as("method"), col("n_exact"), col("n_hit"),
+        expr("n_hit * 1000000 DIV n_exact").as("recall_ppm"))
+
   /** PQ top-k with inline encode (correctness/bench form — production uses
     * [[pqEncode]] once + [[pqKnnOf]] per probe batch).
     */

@@ -265,8 +265,8 @@ class BpeSpec extends SparkSpec {
       val len = 1 + rnd.nextInt(12)
       String.valueOf(Array.fill(len)(alphabet(rnd.nextInt(alphabet.length))))
     }.distinct
-    // single-word documents: the flat id stream IS the word's stream, so
-    // the space-stripped contract degenerates to exact equality
+    // single-word documents: the spaced stream has no space markers, so
+    // the byte-exact contract degenerates to exact word equality
     val docs = words.zipWithIndex.map { case (w, i) => (i.toLong, w) }.toDF("doc_id", "text")
     val got = Bpe.decodeRoundTrip(docs).collect()
       .map(r => r.getLong(0) -> ((r.getString(2), r.getBoolean(3)))).toMap
@@ -279,9 +279,82 @@ class BpeSpec extends SparkSpec {
     }
   }
 
-  test("decodeRoundTrip holds corpus-wide at sf0.001 (multi-word docs: space-stripped contract)") {
+  test("decodeRoundTrip is BYTE-EXACT on multi-word docs (space marker id 32 in the stream)") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the cat and the hat"),
+      (2L, "single"),
+      (3L, "  doubled  spaces   normalize "), // tokenizer normalization: ok means vs single-spaced form
+      (4L, "a\nb c")) // newline is INSIDE a token (split is on ' ' only) and must survive
+      .toDF("doc_id", "text")
+    val out = Bpe.decodeRoundTrip(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getString(2), r.getBoolean(3)))).toMap
+    def md5(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // byte-exact: the decoded md5 IS the md5 of the original text
+    assert(out(1L) == ((md5("the cat and the hat"), true)))
+    assert(out(2L) == ((md5("single"), true)))
+    assert(out(4L) == ((md5("a\nb c"), true)))
+    // whitespace-normalized input decodes to the normalized form — still
+    // roundtrip_ok by the documented contract (the tokenizer itself
+    // collapses the runs), and the decode equals the single-spaced text
+    assert(out(3L) == ((md5("doubled spaces normalize"), true)))
+  }
+
+  test("decodeRoundTrip holds corpus-wide at sf0.001 (byte-exact contract)") {
     val out = Bpe.decodeRoundTrip(Tables.documents(spark, "/root/testdata/sf0.001"))
     assert(out.where(!col("roundtrip_ok")).isEmpty,
-      "decode(encode(doc)) must equal the space-stripped normalized doc for every document")
+      "decode(encode(doc)) must be byte-exact (modulo whitespace normalization) for every document")
+    // stronger than the flag for well-formed corpus text (no doubled
+    // spaces in the synthetic docs): decoded md5 == md5(text) itself
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val joined = docs.join(out, "doc_id")
+      .where(col("decoded_md5") =!= md5(col("text")))
+    assert(joined.isEmpty, "decoded text must hash-equal the original document text")
+  }
+
+  test("refTrainedMerges: the frozen literal equals a fresh train on its corpus (sf0.01)") {
+    // the discipline that keeps a baked model artifact honest: training is
+    // deterministic (integer counts, lexical tie-breaks), so drift between
+    // the literal and the trainer means one of them changed — fail loudly
+    val fresh = Bpe.train(
+      Tables.documents(spark, "/root/testdata/sf0.01"),
+      nMerges = Bpe.refTrainedMerges.size)
+    assert(fresh == Bpe.refTrainedMerges,
+      s"frozen table drifted from a fresh train:\nfrozen=${Bpe.refTrainedMerges}\nfresh =$fresh")
+  }
+
+  test("encodeWith(refTrainedMerges): trained serving matches the greedy reference") {
+    import spark.implicits._
+    val docs = Seq((1L, "the merger can scan the hash batch"),
+      (2L, "join parlor stow")).toDF("doc_id", "text")
+    val ids = Bpe.encodeWith(docs, Bpe.refTrainedMerges).collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    // greedy reference: repeatedly merge the lowest-rank adjacent pair
+    def greedy(word: String): Seq[String] = {
+      val ranks = Bpe.refTrainedMerges.zipWithIndex.toMap
+      var syms = word.map(_.toString)
+      var done = false
+      while (!done) {
+        val cand = syms.zip(syms.drop(1)).zipWithIndex
+          .flatMap { case ((a, b), i) => ranks.get((a, b)).map(r => (r, i)) }
+        if (cand.isEmpty) done = true
+        else {
+          val (r, i) = cand.minBy(_._1)
+          val (a, b) = Bpe.refTrainedMerges(r)
+          syms = syms.take(i) ++ Seq(a + b) ++ syms.drop(i + 2)
+        }
+      }
+      syms
+    }
+    val vocab = Bpe.vocabIdsOf(Bpe.refTrainedMerges)
+    def md5ids(text: String): String = {
+      val stream = text.split(' ').filter(_.nonEmpty).toSeq.flatMap(greedy)
+        .map(sy => if (sy.length == 1) sy.codePointAt(0) else vocab(sy))
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(stream.mkString(",").getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+    assert(ids(1L) == md5ids("the merger can scan the hash batch"))
+    assert(ids(2L) == md5ids("join parlor stow"))
   }
 }
