@@ -419,6 +419,45 @@ object Bpe {
       .select(col(idCol), coalesce(col("n_bpe_tokens"), lit(0L)).as("n_bpe_tokens"))
   }
 
+  /** TOKENIZER FERTILITY by language — BPE tokens per whitespace word,
+    * per language: the metric that exposes a tokenizer under-serving a
+    * language (a vocab trained on English fragments everything else into
+    * near-character streams; fertility 2-3× the trained language's is
+    * the classic symptom, and it silently multiplies that language's
+    * compute cost and shrinks its effective context). Output per lang:
+    * (lang, n_words, n_bpe_tokens, fertility_ppm = bpe*1e6 div words).
+    *
+    * Scale shape: the dictionary path ([[docTokenCounts]]'s discipline) —
+    * the per-word BPE chain runs once per DISTINCT word (Zipfian
+    * vocab-sized), fans back over the (lang, word) occurrence stream via
+    * a broadcast join, and the rollup is one lang-keyed aggregation. The
+    * corpus text never shuffles.
+    */
+  def fertilityByLang(
+      docs: DataFrame,
+      langCol: String = "lang",
+      textCol: String = "text"): DataFrame = {
+    val words = docs.select(col(langCol), explode(expr(toksS(textCol))).as("__w"))
+    val dict = words.select("__w").distinct()
+      .withColumn("__nb", expr(s"cast(size(${wordSymsS("__w")}) as bigint)"))
+    words.join(broadcast(dict), "__w")
+      .groupBy(langCol)
+      .agg(count(lit(1)).as("n_words"), sum(col("__nb")).as("n_bpe_tokens"))
+      .select(col(langCol), col("n_words"), col("n_bpe_tokens"),
+        expr("n_bpe_tokens * 1000000 DIV greatest(n_words, 1)").as("fertility_ppm"))
+  }
+
+  /** DuckDB oracle twin of [[fertilityByLang]] (per-doc scan form — the
+    * oracle verifies VALUES, not the plan shape).
+    */
+  def fertilitySqlD: String =
+    s"""WITH syms AS (SELECT lang, ${toksD("text")} AS toks, ${symsD("text")} AS ss FROM documents)
+       |SELECT lang,
+       |  CAST(sum(len(toks)) AS BIGINT) AS n_words,
+       |  CAST(sum(len(ss)) AS BIGINT) AS n_bpe_tokens,
+       |  CAST(sum(len(ss)) * 1000000 // greatest(sum(len(toks)), 1) AS BIGINT) AS fertility_ppm
+       |FROM syms GROUP BY lang ORDER BY lang""".stripMargin
+
   /** Subword vocab-sizing curve via the dictionary path: word counts are
     * one vocab-sized aggregation, BPE runs once per distinct word, and
     * symbol counts weight by word frequency — corpus-sized work is ONE

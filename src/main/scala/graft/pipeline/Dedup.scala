@@ -235,6 +235,79 @@ object Dedup {
         expr("n_inter * 1000000 DIV (n1 + n2 - n_inter)").as("jaccard_ppm"))
   }
 
+  /** Asymmetric shingle CONTAINMENT pairs — the inclusion detector Jaccard
+    * resemblance structurally misses: a short document fully quoted inside
+    * a long one has containment(sub in super) = |A∩B|/|A| ≈ 1 while its
+    * Jaccard ≈ |A|/|B| ≈ 0, so a resemblance threshold never fires
+    * (Broder's containment; the LSH-Ensemble problem, Zhu et al.
+    * VLDB'16). Training pipelines need this direction: a crawl page
+    * embedding a benchmark document, a doc quoting another wholesale.
+    *
+    * Output: one row per ORDERED (id_sub, id_super) pair over the
+    * df-capped shingle sets with containment_ppm >= thresholdPpm — both
+    * directions of every co-shingling pair are scored, because
+    * containment is directional by definition.
+    *
+    * Scale shape: identical to [[ngramJaccardPairsOf]] — the stop-shingle
+    * df-cap blocks the quadratic join, sizes come from one doc-keyed
+    * count over the bucketed staged table, and the threshold applies
+    * before anything leaves the aggregation. Not a new substrate: reads
+    * the SAME staged (doc_id, sh) table every other shingle consumer
+    * reads.
+    */
+  def shingleContainmentOf(
+      sh: DataFrame,
+      thresholdPpm: Long = 500000L,
+      dfCap: Long = 64L,
+      idCol: String = "doc_id"): DataFrame = {
+    val blocked =
+      if (dfCap <= 0) sh
+      else {
+        val rare = sh.groupBy("sh").agg(count(lit(1)).as("df")).where(col("df") <= dfCap)
+        sh.join(rare.select("sh"), "sh")
+      }
+    val sizes = blocked.groupBy(idCol).agg(count(lit(1)).as("n_sh"))
+    val inter = blocked.as("x").join(blocked.as("y"), "sh")
+      .where(col(s"x.$idCol") < col(s"y.$idCol"))
+      .groupBy(col(s"x.$idCol").as("id1"), col(s"y.$idCol").as("id2"))
+      .agg(count(lit(1)).as("n_inter"))
+      .join(sizes.withColumnRenamed(idCol, "id1").withColumnRenamed("n_sh", "n1"), "id1")
+      .join(sizes.withColumnRenamed(idCol, "id2").withColumnRenamed("n_sh", "n2"), "id2")
+    inter
+      .select(col("id1").as("id_sub"), col("id2").as("id_super"),
+        expr("n_inter * 1000000 DIV n1").as("containment_ppm"))
+      .unionByName(inter
+        .select(col("id2").as("id_sub"), col("id1").as("id_super"),
+          expr("n_inter * 1000000 DIV n2").as("containment_ppm")))
+      .where(col("containment_ppm") >= thresholdPpm)
+  }
+
+  /** Dedup AUDIT: cluster-size histogram over a (id, cluster_id) labeling
+    * — the statistic every production dedup pass reports to its data
+    * card: how much of the corpus is duplicated, at what multiplicity,
+    * and what survives election (one keeper per cluster). Output one row
+    * per distinct cluster size: (cluster_size, n_clusters, n_docs,
+    * docs_ppm) — docs_ppm is the integer share of the corpus living at
+    * that multiplicity, so singletons' docs_ppm is the unduplicated
+    * share and sum(n_clusters) is the post-dedup corpus size.
+    *
+    * Scale shape: two aggregations (cluster-keyed count, then size-keyed
+    * count) over fixed-width label rows; the corpus total rides a
+    * broadcast single-row cross join — nothing corpus-sized shuffles
+    * twice and no window runs over the corpus.
+    */
+  def clusterStats(labeled: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    require(labeled.columns.contains("cluster_id"),
+      s"labeled must carry 'cluster_id', got ${labeled.columns.mkString(", ")}")
+    val sizes = labeled.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
+    val total = labeled.agg(count(lit(1)).as("__t"))
+    sizes.groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
+      .withColumn("n_docs", col("cluster_size") * col("n_clusters"))
+      .crossJoin(broadcast(total))
+      .select(col("cluster_size"), col("n_clusters"), col("n_docs"),
+        expr("n_docs * 1000000 DIV __t").as("docs_ppm"))
+  }
+
   /** MinHash near-dup verification: exact Jaccard is computed ONLY for LSH
     * candidate pairs, then thresholded. The shingle-hash table is built
     * once and persisted — it feeds the signature aggregation, the

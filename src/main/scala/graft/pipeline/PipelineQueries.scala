@@ -452,6 +452,26 @@ object PipelineQueries {
       Dedup.simhash(Tables.documents(s, dir)).orderBy("doc_id")
     }),
 
+    // dedup AUDIT: cluster-size histogram off the staged pair store — the
+    // data-card statistic of any dedup pass (how much corpus mass sits at
+    // each duplication multiplicity; sum(n_clusters) = post-dedup size)
+    "ext_dedup_stats" -> ((s, dir) => {
+      val comps = Dedup.connectedComponents(pairStoreFor(s, dir))
+      val labeled = nearAug(Tables.documents(s, dir)).select("doc_id")
+        .join(comps.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("comp"), col("doc_id")).as("cluster_id"))
+      Dedup.clusterStats(labeled).orderBy("cluster_size")
+    }),
+
+    // asymmetric shingle containment: the inclusion detector resemblance
+    // misses (a doc quoted wholesale inside a bigger one has Jaccard ~0
+    // but containment ~1); directional pairs off the staged shingle table
+    "ext_containment" -> ((s, dir) => {
+      val sh = ShingleStage.shingleHashes(s, dir, nearAug(Tables.documents(s, dir)))
+      Dedup.shingleContainmentOf(sh.select("doc_id", "sh"), thresholdPpm = 900000L, dfCap = 64L)
+        .orderBy(col("containment_ppm").desc, col("id_sub"), col("id_super")).limit(20)
+    }),
+
     // deterministic stratified downsampling to per-language target rates —
     // the training-data mixture step; scan-side hash predicate, broadcast
     // rate table, no shuffle of the corpus
@@ -828,6 +848,13 @@ object PipelineQueries {
       Bpe.encodeWith(Tables.documents(s, dir), Bpe.refTrainedMerges).orderBy("doc_id")
     }),
 
+    // tokenizer fertility by language (BPE tokens per whitespace word):
+    // the under-served-language metric; dictionary path — BPE once per
+    // distinct word, broadcast fan-back, corpus text never shuffles
+    "ext_fertility" -> ((s, dir) => {
+      Bpe.fertilityByLang(Tables.documents(s, dir)).orderBy("lang")
+    }),
+
     // per-doc TF-IDF keywords: integer idf (bit-length log2 of inverse
     // doc frequency), top-3 per doc, total tie order
     "ext_keywords" -> ((s, dir) => {
@@ -1161,6 +1188,27 @@ object PipelineQueries {
          |SELECT id1, id2, jaccard_ppm FROM jac
          |ORDER BY jaccard_ppm DESC, id1, id2 LIMIT 20""".stripMargin,
 
+    // directional containment over the df-capped shingle sets (both
+    // directions of every co-shingling pair; same blocked CTEs as ngram)
+    "ext_containment" ->
+      s"""WITH $nearAugSql,
+         |$shinglesSqlCtes,
+         |rare AS (SELECT s FROM (SELECT s, count(*) AS df FROM shx GROUP BY 1) WHERE df <= 64),
+         |blk AS (SELECT shx.doc_id, shx.s FROM shx JOIN rare ON shx.s = rare.s),
+         |bsz AS (SELECT doc_id, count(*) AS n_sh FROM blk GROUP BY 1),
+         |bitr AS (SELECT x.doc_id AS id1, y.doc_id AS id2, count(*) AS n_inter
+         |         FROM blk x JOIN blk y ON x.s = y.s AND x.doc_id < y.doc_id GROUP BY 1,2),
+         |cont AS (
+         |  SELECT id1 AS id_sub, id2 AS id_super,
+         |    CAST(n_inter * 1000000 // a.n_sh AS BIGINT) AS containment_ppm
+         |  FROM bitr JOIN bsz a ON a.doc_id = bitr.id1
+         |  UNION ALL
+         |  SELECT id2, id1, CAST(n_inter * 1000000 // b.n_sh AS BIGINT)
+         |  FROM bitr JOIN bsz b ON b.doc_id = bitr.id2)
+         |SELECT id_sub, id_super, containment_ppm FROM cont
+         |WHERE containment_ppm >= 900000
+         |ORDER BY containment_ppm DESC, id_sub, id_super LIMIT 20""".stripMargin,
+
     "ext_overlap_matrix" ->
       s"""WITH $nearAugSql,
          |$shinglesSqlCtes,
@@ -1204,6 +1252,34 @@ object PipelineQueries {
          |FROM (SELECT DISTINCT doc_id FROM aug) d
          |LEFT JOIN comp c ON c.id = d.doc_id
          |ORDER BY d.doc_id""".stripMargin,
+
+    // cluster-size histogram over the same labeling as ext_dedup_clusters
+    "ext_dedup_stats" ->
+      s"""WITH RECURSIVE $nearAugSql,
+         |$shinglesSqlCtes,
+         |sg AS (SELECT doc_id, $minhashSigD AS sig FROM sh),
+         |bh AS (SELECT doc_id, unnest($bandHashesD) AS bhash FROM sg),
+         |prs AS (SELECT DISTINCT x.doc_id AS id1, y.doc_id AS id2
+         |        FROM bh x JOIN bh y ON x.bhash = y.bhash AND x.doc_id < y.doc_id),
+         |$jaccardOfPairsSql,
+         |dup AS (SELECT id1, id2 FROM jac WHERE jaccard_ppm >= 200000),
+         |e AS (SELECT id1 AS u, id2 AS v FROM dup UNION SELECT id2, id1 FROM dup),
+         |reach(id, comp) AS (
+         |  SELECT DISTINCT u, u FROM e
+         |  UNION
+         |  SELECT e.v, reach.comp FROM reach JOIN e ON e.u = reach.id),
+         |comp AS (SELECT id, min(comp) AS comp FROM reach GROUP BY 1),
+         |lab AS (SELECT d.doc_id, COALESCE(c.comp, d.doc_id) AS cluster_id
+         |        FROM (SELECT DISTINCT doc_id FROM aug) d
+         |        LEFT JOIN comp c ON c.id = d.doc_id),
+         |szs AS (SELECT cluster_id, count(*) AS cluster_size FROM lab GROUP BY 1),
+         |hist AS (SELECT cluster_size, count(*) AS n_clusters FROM szs GROUP BY 1),
+         |tot AS (SELECT count(*) AS t FROM lab)
+         |SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+         |  CAST(n_clusters AS BIGINT) AS n_clusters,
+         |  CAST(cluster_size * n_clusters AS BIGINT) AS n_docs,
+         |  CAST(cluster_size * n_clusters * 1000000 // t AS BIGINT) AS docs_ppm
+         |FROM hist, tot ORDER BY cluster_size""".stripMargin,
 
     "ext_keeper_quality" ->
       s"""WITH RECURSIVE $nearAugSql,
@@ -1757,6 +1833,7 @@ object PipelineQueries {
     "ext_bpe_encode" -> Bpe.encodeSqlD,
     "ext_bpe_decode" -> Bpe.decodeRoundTripSqlD,
     "ext_bpe_trained" -> Bpe.encodeSqlWithD(Bpe.refTrainedMerges),
+    "ext_fertility" -> Bpe.fertilitySqlD,
 
     "ext_keywords" ->
       s"""WITH tk AS (SELECT doc_id, ${toksD("text")} AS toks FROM documents),

@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators: token counting, quality scoring, language ID,
@@ -366,7 +366,23 @@ object TextAnalysis {
       expectedShingles: Long,
       fpp: Double = 0.001,
       idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text"): DataFrame =
+    contaminationBloomWith(docs,
+      evalShingleBloom(evalDocs, expectedShingles, fpp, idCol, textCol), idCol, textCol)
+
+  /** Build the eval suite's Bloom filter ONCE — the at-rest artifact both
+    * probe faces consume ([[contaminationBloomWith]] batch,
+    * [[contaminationBloomInline]] streaming): in production the filter is
+    * built when the benchmark suite changes and persisted next to it,
+    * not rebuilt per corpus pass. Sizing, the silent-clamp guard, and
+    * the one-sided-error contract live here (see [[contaminationBloom]]).
+    */
+  def evalShingleBloom(
+      evalDocs: DataFrame,
+      expectedShingles: Long,
+      fpp: Double = 0.001,
+      idCol: String = "doc_id",
+      textCol: String = "text"): Array[Byte] = {
     require(expectedShingles > 0, s"expectedShingles must be positive, got $expectedShingles")
     require(fpp > 0 && fpp < 1, s"fpp must be in (0, 1), got $fpp")
     // m = ceil(-n ln p / (ln 2)^2), the textbook sizing
@@ -379,7 +395,7 @@ object TextAnalysis {
     // budget with no warning, breaking the bounded-over-drop half of the
     // one-sided-error contract (no-false-negatives would still hold).
     // Fail fast with the remedy instead of degrading silently.
-    val maxNumBits = docs.sparkSession.conf
+    val maxNumBits = evalDocs.sparkSession.conf
       .getOption("spark.sql.optimizer.runtime.bloomFilter.maxNumBits")
       .map(_.toLong).getOrElse(67108864L)
     require(numBits <= maxNumBits,
@@ -403,8 +419,22 @@ object TextAnalysis {
     // might_contain requires a CONSTANT filter — it then ships to
     // executors as a literal, the same broadcast shape as the classifier
     // model
-    val bfBytes = Dedup.shingleRows(evalDocs, idCol, textCol).agg(bfAgg.as("__bf"))
+    Dedup.shingleRows(evalDocs, idCol, textCol).agg(bfAgg.as("__bf"))
       .head.getAs[Array[Byte]]("__bf")
+  }
+
+  /** Probe an ALREADY-BUILT Bloom filter (the batch half of
+    * [[contaminationBloom]], which delegates here): the relational
+    * explode+aggregate form for batch corpora. For streams use
+    * [[contaminationBloomInline]] — same filter bytes, stateless scan.
+    */
+  def contaminationBloomWith(
+      docs: DataFrame,
+      bfBytes: Array[Byte],
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.GraftSqlBridge
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
     val agg = Dedup.shingleRows(docs, idCol, textCol)
       .withColumn("__hit", GraftSqlBridge.column(
         BloomFilterMightContain(
@@ -458,6 +488,49 @@ object TextAnalysis {
       .withColumn("n_sh", size(col("__shs")).cast("long"))
       .withColumn("n_hit", size(filter(col("__shs"),
         s => element_at(typedLit(evalMap), s).isNotNull)).cast("long"))
+      .select(col(idCol), col("n_sh"), col("n_hit"),
+        expr("n_hit * 1000000L DIV greatest(n_sh, 1L)").as("contaminated_ppm"))
+  }
+
+  /** STREAMING face of the BLOOM probe — [[contaminationInline]]'s shape
+    * fed by [[evalShingleBloom]]'s at-rest artifact instead of the exact
+    * literal map: document shingles derive in one scan-side HOF and each
+    * probes the filter literal via the native `BloomFilterMightContain`
+    * inside a lambda — no explode, no join, no aggregation, so the probe
+    * is legal in a stateless streaming projection. This is the form that
+    * scales where the literal map stops: the exact map grows with the
+    * eval suite (and bloats every task binary), while the filter is
+    * fixed-size at the chosen FPR however many benchmarks it covers.
+    * Output-equal to [[contaminationBloomWith]] on the same rows — same
+    * filter bytes, same distinct-shingle counting (spec-asserted over a
+    * MemoryStream) — and inherits the one-sided-error contract: no false
+    * negatives, bounded over-count.
+    */
+  def contaminationBloomInline(
+      docs: DataFrame,
+      bfBytes: Array[Byte],
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(bfBytes != null && bfBytes.nonEmpty, "contaminationBloomInline: empty filter")
+    val reserved = Seq("__toks", "__shs", "n_sh", "n_hit", "contaminated_ppm")
+      .filter(docs.columns.contains)
+    require(reserved.isEmpty,
+      s"docs columns collide with output/internal names (rename them): ${reserved.mkString(", ")}")
+    import org.apache.spark.sql.GraftSqlBridge
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    def mightContain(s: Column): Column = GraftSqlBridge.column(
+      BloomFilterMightContain(
+        Literal(bfBytes, org.apache.spark.sql.types.BinaryType),
+        GraftSqlBridge.expression(xxhash64(s))))
+    docs
+      .withColumn("__toks", expr(toksS(textCol)))
+      .withColumn("__shs", expr(
+        """array_distinct(IF(size(__toks) >= 3,
+          |  transform(sequence(1, size(__toks) - 2),
+          |    i -> concat_ws(' ', element_at(__toks, i), element_at(__toks, i + 1), element_at(__toks, i + 2))),
+          |  array_repeat('', 0)))""".stripMargin.replace("\n", " ")))
+      .withColumn("n_sh", size(col("__shs")).cast("long"))
+      .withColumn("n_hit", size(filter(col("__shs"), s => mightContain(s))).cast("long"))
       .select(col(idCol), col("n_sh"), col("n_hit"),
         expr("n_hit * 1000000L DIV greatest(n_sh, 1L)").as("contaminated_ppm"))
   }

@@ -1408,6 +1408,64 @@ class PipelineOpsSpec extends SparkSpec {
     assert(ok.head.getAs[Long]("contaminated_ppm") == 1000000L)
   }
 
+  test("clusterStats: histogram arithmetic and corpus shares on a hand labeling") {
+    // clusters: {10,11,12} (size 3), {20,21} (size 2), three singletons
+    val labeled = Seq(
+      (10L, 10L), (11L, 10L), (12L, 10L),
+      (20L, 20L), (21L, 20L),
+      (30L, 30L), (31L, 31L), (32L, 32L)).toDF("doc_id", "cluster_id")
+    val got = Dedup.clusterStats(labeled).orderBy("cluster_size").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == Seq(
+      (1L, 3L, 3L, 375000L),
+      (2L, 1L, 2L, 250000L),
+      (3L, 1L, 3L, 375000L)))
+    // the audit identities a data card relies on
+    assert(got.map(_._3).sum == 8L, "n_docs must total the corpus")
+    assert(got.map(_._2).sum == 5L, "sum(n_clusters) is the post-dedup size")
+  }
+
+  test("shingleContainmentOf: full inclusion scores 1e6 where Jaccard stays low") {
+    val big = (1 to 20).map(i => s"tok$i").mkString(" ")    // 18 shingles
+    val sub = (5 to 10).map(i => s"tok$i").mkString(" ")    // 4 shingles, all inside big
+    val docs = Seq((1L, big), (2L, sub)).toDF("doc_id", "text")
+    val sh = Dedup.shingleRows(docs)
+    val got = Dedup.shingleContainmentOf(sh, thresholdPpm = 0L, dfCap = 0L).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // sub fully contained in big; big barely contained in sub — the
+    // asymmetry that makes resemblance miss wholesale quoting
+    assert(got((2L, 1L)) == 1000000L)
+    assert(got((1L, 2L)) == 4L * 1000000L / 18L)
+    val jac = Dedup.ngramJaccardPairsOf(sh).collect().head.getLong(2)
+    assert(jac == got((1L, 2L)), "Jaccard of a strict subset pair equals the super-side containment")
+    // the directional threshold keeps only the quoting direction
+    val thr = Dedup.shingleContainmentOf(sh, thresholdPpm = 900000L, dfCap = 0L).collect()
+    assert(thr.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((2L, 1L)))
+  }
+
+  test("fertilityByLang: dictionary path == per-doc scan arithmetic") {
+    val docs = Seq(
+      (1L, "en", "the other and another the"),
+      (2L, "en", "stone store then"),
+      (3L, "zz", "qqq zzz"),
+      (4L, "zz", "")).toDF("doc_id", "lang", "text")
+    val got = Bpe.fertilityByLang(docs).orderBy("lang").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    // independent arithmetic: per-doc BPE counts from the scan-side encode
+    val enc = Bpe.encode(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    def agg(ids: Seq[Long]) = {
+      val ws = ids.map(enc(_)._1).sum; val bpe = ids.map(enc(_)._2).sum
+      (ws, bpe, bpe * 1000000L / math.max(ws, 1L))
+    }
+    val (enWs, enBpe, enF) = agg(Seq(1L, 2L))
+    val (zzWs, zzBpe, zzF) = agg(Seq(3L, 4L))
+    assert(got == Seq(("en", enWs, enBpe, enF), ("zz", zzWs, zzBpe, zzF)))
+    // the under-served language reads higher fertility: no rule matches
+    // qqq/zzz so every character is its own token
+    assert(zzF > enF)
+  }
+
   test("connectedComponents + star: reliable checkpoint path labels identically") {
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id1", "id2")
     val want = Dedup.connectedComponents(pairs).collect()

@@ -251,6 +251,37 @@ class StreamDedupSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("contaminationBloomInline: MemoryStream probe == batch bloom probe, same at-rest filter") {
+    import graft.pipeline.TextAnalysis
+    implicit val sqlCtx = spark.sqlContext
+    val evalDocs = Seq(
+      (100L, "alpha beta gamma delta"),
+      (101L, "epsilon zeta eta theta iota")).toDF("doc_id", "text")
+    // the filter is built ONCE (the at-rest artifact) and feeds BOTH faces
+    val bf = TextAnalysis.evalShingleBloom(evalDocs, expectedShingles = 1000L)
+    val rows = Seq(
+      (1L, "alpha beta gamma delta trailing"), // leading eval shingles hit
+      (2L, "totally unrelated clean words right here"),
+      (3L, "xy"),                              // too short to shingle: zeros
+      (4L, "epsilon zeta eta theta iota"))     // fully contaminated
+    val want = TextAnalysis.contaminationBloomWith(rows.toDF("doc_id", "text"), bf)
+      .collect().map(_.toSeq).toSet
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val q = TextAnalysis.contaminationBloomInline(input.toDF().toDF("doc_id", "text"), bf)
+      .writeStream.format("memory").queryName("bloom_out").outputMode("append").start()
+    try {
+      input.addData(rows.take(2)); q.processAllAvailable()
+      input.addData(rows.drop(2)); q.processAllAvailable()
+      val got = spark.table("bloom_out").collect().map(_.toSeq).toSet
+      assert(got == want, s"stream bloom probe != batch:\ngot  $got\nwant $want")
+      // the one-sided contract on the stream face: truly contaminated
+      // docs MUST hit fully (no false negatives); the short doc is zeros
+      val byId = got.map(s => s.head -> s).toMap
+      assert(byId(4L)(3) == 1000000L, "fully contaminated doc must read 1e6 ppm")
+      assert(byId(3L) == Seq(3L, 0L, 0L, 0L))
+    } finally q.stop()
+  }
+
   test("chunkWithOverlap is streaming-legal: stateless splitter over a MemoryStream == batch") {
     import graft.pipeline.Packing
     implicit val sqlCtx = spark.sqlContext
