@@ -580,6 +580,23 @@ object PipelineQueries {
         .orderBy("method")
     }),
 
+    // kNN label consistency: the embedding-space quality probe (does the
+    // space cluster semantically) — majority neighbor label vs own label
+    // over leave-one-out top-5; per-label accuracy report
+    "ext_knn_label" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val qs = emb.filter(col("vec_id") < 25)
+      Similarity.knnLabelEval(Similarity.bruteForceKnn(emb, qs, 5), emb, qs)
+        .orderBy("true_label")
+    }),
+
+    // IVF cell purity: does the coarse quantizer respect semantics —
+    // per-cell dominant-label share; the retrain-trigger metric
+    "ext_cell_purity" -> ((s, dir) => {
+      Similarity.cellPurity(Tables.embeddings(s, dir), Similarity.defaultCentroids(64, 8))
+        .orderBy("cell")
+    }),
+
     "ext_dedup_lines" -> ((s, dir) => {
       Dedup.lineDedupKeepFirst(lineAug(Tables.documents(s, dir))).orderBy("doc_id")
     }),
@@ -1100,14 +1117,16 @@ object PipelineQueries {
   // ext_knn_recall composes them as derived-table subqueries — one
   // definition serves both the standalone oracle entry and the recall
   // comparison, so the two can never drift.
-  private lazy val knnCosineSql: String =
-    s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+  private def knnCosineSqlFor(maxQ: Long, k: Int): String =
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < $maxQ),
        |c AS (SELECT vec_id AS neighbor_id, embedding AS nv FROM embeddings),
        |s AS (SELECT query_id, neighbor_id, $cosineD AS sim
        |      FROM c, q WHERE neighbor_id <> query_id),
        |w AS (SELECT query_id, neighbor_id,
        |        row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank FROM s)
-       |SELECT query_id, rank, neighbor_id FROM w WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+       |SELECT query_id, rank, neighbor_id FROM w WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+
+  private lazy val knnCosineSql: String = knnCosineSqlFor(10L, 3)
 
   private lazy val knnLshSql: String =
     s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv, ${lshBucketD("embedding")} AS bucket
@@ -1457,6 +1476,43 @@ object PipelineQueries {
         |FROM w WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
 
     "ext_knn_pq" -> knnPqSql,
+
+    // per-label kNN majority-vote accuracy over leave-one-out top-5
+    "ext_knn_label" ->
+      s"""WITH nb AS (SELECT query_id, neighbor_id FROM (${knnCosineSqlFor(25L, 5)})),
+         |lb AS (SELECT vec_id, CAST(label AS BIGINT) AS l FROM embeddings),
+         |v AS (SELECT query_id, lb.l AS nl, count(*) AS c
+         |      FROM nb JOIN lb ON lb.vec_id = nb.neighbor_id GROUP BY 1, 2),
+         |p AS (SELECT query_id, nl AS pred FROM (
+         |        SELECT query_id, nl, row_number() OVER (
+         |          PARTITION BY query_id ORDER BY c DESC, nl) AS rn FROM v) WHERE rn = 1),
+         |q AS (SELECT vec_id AS query_id, CAST(label AS BIGINT) AS t
+         |      FROM embeddings WHERE vec_id < 25)
+         |SELECT q.t AS true_label,
+         |  CAST(count(*) AS BIGINT) AS n_queries,
+         |  CAST(count(p.pred) AS BIGINT) AS n_predicted,
+         |  CAST(sum(CASE WHEN p.pred = q.t THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+         |  CAST(sum(CASE WHEN p.pred = q.t THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT) AS accuracy_ppm
+         |FROM q LEFT JOIN p USING (query_id) GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // IVF cell purity: per-cell dominant-label share (assignment CTEs as
+    // in ext_knn_ivf — max inner product, ties to the lower cell)
+    "ext_cell_purity" ->
+      s"""WITH $ivfCentSql,
+         |cd AS (SELECT vec_id, label, cid,
+         |        row_number() OVER (PARTITION BY vec_id ORDER BY $dotEmbCentD DESC, cid) AS rn
+         |       FROM embeddings, cent),
+         |asg AS (SELECT CAST(cid AS BIGINT) AS cell, CAST(label AS BIGINT) AS l
+         |        FROM cd WHERE rn = 1),
+         |cnt AS (SELECT cell, l, count(*) AS c FROM asg GROUP BY 1, 2),
+         |tot AS (SELECT cell, sum(c) AS n_vecs FROM cnt GROUP BY 1),
+         |dom AS (SELECT cell, l, c FROM (
+         |          SELECT cell, l, c, row_number() OVER (
+         |            PARTITION BY cell ORDER BY c DESC, l) AS rn FROM cnt) WHERE rn = 1)
+         |SELECT dom.cell, CAST(tot.n_vecs AS BIGINT) AS n_vecs, dom.l AS dominant_label,
+         |  CAST(dom.c AS BIGINT) AS n_dominant,
+         |  CAST(dom.c * 1000000 // tot.n_vecs AS BIGINT) AS purity_ppm
+         |FROM dom JOIN tot USING (cell) ORDER BY dom.cell""".stripMargin,
 
     "ext_dedup_lines" ->
       s"""WITH $lineAugSql,

@@ -290,6 +290,87 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id")
   }
 
+  /** kNN LABEL-CONSISTENCY evaluation — the standard "is this embedding
+    * space any good" probe a training pipeline runs before trusting
+    * embeddings for SemDeDup / clustering / mixture decisions: for probe
+    * vectors with known labels, the majority label of the k nearest
+    * neighbors should be the probe's own label. Accuracy collapsing
+    * means the space does not cluster semantically and every
+    * embedding-driven operator downstream is firing on noise.
+    *
+    * Takes ANY family member's top-k output (`knn`: query_id,
+    * neighbor_id, ...), so the same report runs against brute force, LSH,
+    * IVF, or PQ — composes with [[knnRecall]] (recall measures index
+    * faithfulness; this measures the SPACE). Majority vote ties break to
+    * the smaller label (total order). Output per label: (true_label,
+    * n_queries, n_predicted, n_correct, accuracy_ppm); queries with no
+    * neighbors count predicted=0 and incorrect — visible, never silently
+    * dropped.
+    *
+    * Scale shape: `knn` is |queries|×k rows; the only corpus-sized touch
+    * is the fixed-width (id, label) projection joined to neighbor ids.
+    * Votes, the per-query argmax window, and the label rollup all run on
+    * model-sized frames.
+    */
+  def knnLabelEval(
+      knn: DataFrame,
+      corpusLabels: DataFrame,
+      queries: DataFrame,
+      idCol: String = "vec_id",
+      labelCol: String = "label"): DataFrame = {
+    require(corpusLabels.columns.contains(labelCol) && queries.columns.contains(labelCol),
+      s"corpusLabels and queries must carry '$labelCol'")
+    val votes = knn
+      .join(corpusLabels.select(col(idCol).as("neighbor_id"),
+        col(labelCol).cast("long").as("__nl")), "neighbor_id")
+      .groupBy("query_id", "__nl").agg(count(lit(1)).as("__v"))
+    val w = Window.partitionBy("query_id").orderBy(col("__v").desc, col("__nl"))
+    val pred = votes.withColumn("__rn", row_number().over(w)).where(col("__rn") === 1)
+      .select(col("query_id"), col("__nl").as("__pred"))
+    queries.select(col(idCol).as("query_id"), col(labelCol).cast("long").as("true_label"))
+      .join(pred, Seq("query_id"), "left")
+      .groupBy("true_label")
+      .agg(count(lit(1)).as("n_queries"),
+        count(col("__pred")).as("n_predicted"),
+        sum(when(col("__pred") === col("true_label"), 1L).otherwise(0L)).as("n_correct"))
+      .select(col("true_label"), col("n_queries"), col("n_predicted"), col("n_correct"),
+        expr("n_correct * 1000000 DIV n_queries").as("accuracy_ppm"))
+  }
+
+  /** IVF CELL PURITY — does the coarse quantizer respect semantics?
+    * Per cell: member count, the dominant label, and its share
+    * (purity_ppm). Low purity means the router splits semantic
+    * neighborhoods across cells, which silently caps both IVF recall
+    * (neighbors live behind unprobed cells) and SemDeDup (near-dups
+    * never meet inside a cell) — this is the number that says whether
+    * centroids need retraining BEFORE recall regressions show up
+    * downstream. Ties break to the smaller label.
+    *
+    * Scale shape: assignment is the scan-side [[ivfCellOf]] argmax (no
+    * shuffle); then one (cell, label)-keyed count and a window over the
+    * |cells|×|labels| aggregate — the corpus shuffles once, as
+    * fixed-width (cell, label) rows.
+    */
+  def cellPurity(
+      corpus: DataFrame,
+      centroids: Seq[Seq[Double]],
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      labelCol: String = "label"): DataFrame = {
+    require(corpus.columns.contains(labelCol), s"corpus must carry '$labelCol'")
+    val counts = corpus.where(col(vecCol).isNotNull)
+      .select(ivfCellOf(col(vecCol), centroids).as("cell"),
+        col(labelCol).cast("long").as("__l"))
+      .groupBy("cell", "__l").agg(count(lit(1)).as("__c"))
+    val tot = counts.groupBy("cell").agg(sum(col("__c")).as("n_vecs"))
+    val w = Window.partitionBy("cell").orderBy(col("__c").desc, col("__l"))
+    counts.withColumn("__rn", row_number().over(w)).where(col("__rn") === 1)
+      .join(tot, "cell")
+      .select(col("cell").cast("long").as("cell"), col("n_vecs"),
+        col("__l").as("dominant_label"), col("__c").as("n_dominant"),
+        expr("__c * 1000000 DIV n_vecs").as("purity_ppm"))
+  }
+
   // ------------------------------------------------------------------ PQ
 
   /** Product-quantization geometry: 64-dim vectors split into [[PQ_M]]

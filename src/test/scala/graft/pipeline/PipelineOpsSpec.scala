@@ -1466,6 +1466,37 @@ class PipelineOpsSpec extends SparkSpec {
     assert(zzF > enF)
   }
 
+  test("knnLabelEval: majority vote, lower-label ties, neighborless queries count incorrect") {
+    // knn output for q1 (votes 2:1 for label 7), q2 (1:1 tie between 3
+    // and 5 -> smaller label 3 wins); q3 produced no neighbors at all
+    val knn = Seq(
+      (1L, 10L), (1L, 11L), (1L, 12L),
+      (2L, 10L), (2L, 20L)).toDF("query_id", "neighbor_id")
+    val corpusLabels = Seq((10L, 7), (11L, 7), (12L, 9), (20L, 3)).toDF("vec_id", "label")
+    val queries = Seq((1L, 7), (2L, 5), (3L, 5)).toDF("vec_id", "label")
+    val got = Similarity.knnLabelEval(knn, corpusLabels, queries).orderBy("true_label").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    // q2's neighbors are labels 7 and 3 -> tie broken to 3, wrong vs 5;
+    // q3 has no prediction and counts incorrect but visible in n_predicted
+    assert(got == Seq(
+      (5L, 2L, 1L, 0L, 0L),
+      (7L, 1L, 1L, 1L, 1000000L)))
+  }
+
+  test("cellPurity: dominant-label share per cell, lower-label ties") {
+    val cents = Seq(Seq(1.0, 0.0), Seq(0.0, 1.0))
+    val corpus = Seq(
+      (1L, Seq(1.0f, 0.1f), 7), (2L, Seq(0.9f, 0.2f), 7), (3L, Seq(1.0f, 0.0f), 9),
+      (4L, Seq(0.1f, 1.0f), 3),
+      (5L, null.asInstanceOf[Seq[Float]], 1)) // null vec drops, never poisons
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.cellPurity(corpus, cents).orderBy("cell").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    assert(got == Seq(
+      (0L, 3L, 7L, 2L, 666666L),
+      (1L, 1L, 3L, 1L, 1000000L)))
+  }
+
   test("connectedComponents + star: reliable checkpoint path labels identically") {
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id1", "id2")
     val want = Dedup.connectedComponents(pairs).collect()
