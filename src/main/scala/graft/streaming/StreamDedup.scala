@@ -66,6 +66,54 @@ object StreamDedup {
       .join(seenHashes.select("h"), Seq("h"), "left_anti")
   }
 
+  /** One ingested document for [[dedupUnbounded]]: (doc_id, text,
+    * arrival). Arrival breaks first-occurrence ties deterministically
+    * when duplicates share a micro-batch.
+    */
+  case class IngestDoc(doc_id: Long, text: String, arrival: Long)
+
+  /** UNBOUNDED cross-batch streaming exact dedup — state held BY THE
+    * ENGINE, keyed by the content hash itself: a duplicate arriving hours
+    * or days after its first copy still drops, where
+    * [[dedupWithinWatermark]]'s bounded contract would have evicted the
+    * key and [[dedupAgainstStore]] needs an external store the caller
+    * maintains between batches. This is the streaming twin of the batch
+    * fingerprint store with the engine's state store AS the store: one
+    * value-less entry per distinct content hash (a fixed ~32-byte key in
+    * the state backend — RocksDB-backed on a cluster, so state scales
+    * with DISTINCT content on disk, not with the stream), checkpointed
+    * with the query, exactly-once across restarts.
+    *
+    * First occurrence wins: within a micro-batch the earliest (arrival,
+    * doc_id) copy of a hash is emitted and every later copy — same batch
+    * or any future batch — drops. Deterministic: replaying the same
+    * batches yields the same survivors.
+    *
+    * The honest trade vs the bounded form: state never expires. That is
+    * the OPERATOR'S CONTRACT (exact dedup over the corpus lifetime needs
+    * exactly this much memory — the batch fingerprint store pays the
+    * identical bytes at rest); use the watermark form when re-delivery
+    * windows are bounded, and this form when the stream IS the corpus
+    * ingest.
+    */
+  def dedupUnbounded(docs: Dataset[IngestDoc]): Dataset[IngestDoc] = {
+    import docs.sparkSession.implicits._
+    docs
+      .groupByKey(d => java.security.MessageDigest.getInstance("MD5")
+        .digest(d.text.getBytes("UTF-8")).map("%02x".format(_)).mkString)
+      .flatMapGroupsWithState[Boolean, IngestDoc](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (_: String, rows: Iterator[IngestDoc], state: GroupState[Boolean]) =>
+          if (state.exists) Iterator.empty // hash seen in a prior batch
+          else {
+            state.update(true)
+            // earliest copy in this batch is the corpus-wide first
+            // occurrence (arrival order is the ingest order contract)
+            Iterator.single(rows.minBy(d => (d.arrival, d.doc_id)))
+          }
+      }
+  }
+
   /** Streaming NEAR-dup probe against a STATIC signature store — the
     * stream-side face of [[graft.pipeline.Dedup.minhashStoreMatches]]:
     * documents arriving on the stream are matched against the historical
@@ -307,6 +355,14 @@ object StreamDedup {
             case None => Iterator.empty // unlisted stratum: dropped
             case Some(budget) =>
               var admitted = state.getOption.map(_.admitted).getOrElse(0L)
+              // rows.toSeq materializes THIS STRATUM's slice of the
+              // micro-batch in one task to sort it into the deterministic
+              // (arrival, doc_id) admission order — bounded by micro-batch
+              // size in the normal case, but a pathological single-stratum
+              // burst (one stratum dominating a huge micro-batch) lands
+              // entirely in this task's heap; cap micro-batch size
+              // (maxOffsetsPerTrigger or the source's own batching) when a
+              // stratum can burst
               val out = rows.toSeq.sortBy(d => (d.arrival, d.doc_id)).flatMap { d =>
                 if (d.n_tok < 0)
                   throw new IllegalArgumentException(

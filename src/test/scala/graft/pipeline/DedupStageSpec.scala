@@ -31,6 +31,34 @@ class DedupStageSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("staged containment == derive-per-query containment (df-capped)") {
+    val staged = ShingleStage.shingleHashes(spark, s"$dir#spec", docs)
+    val got = rows(Dedup.shingleContainmentOf(staged.select("doc_id", "sh"), 500000L, 64L))
+    val want = rows(Dedup.shingleContainmentOf(Dedup.shingleRows(docs), 500000L, 64L))
+    assert(got == want)
+  }
+
+  test("pair-store election: staged pairs label identically and the corpus side never scans text") {
+    // the pair graph staged as a managed table (the pairStoreFor shape)
+    val pairsStaged = ShingleStage.stagedTable(spark, s"$dir#specpairs",
+      Dedup.minhashNearDupsOf(ShingleStage.shingleHashes(spark, s"$dir#spec", docs), 200000L))
+    // value-neutrality: CC over the staged pair table == CC over pairs
+    // derived fresh from text
+    val got = rows(Dedup.connectedComponents(pairsStaged))
+    val want = rows(Dedup.connectedComponents(Dedup.minhashNearDups(docs, 200000L)))
+    assert(got == want, "staged pair store must be a pure optimization")
+    // the election's corpus side selects ids only — column pruning must
+    // reach the parquet scan (a scan reading text for an id-only join is
+    // exactly the waste the staged store exists to avoid)
+    val comps = Dedup.connectedComponents(pairsStaged)
+    val labeled = Tables.documents(spark, dir).select("doc_id")
+      .join(comps.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("comp"), col("doc_id")).as("cluster_id"))
+    val plan = labeled.queryExecution.executedPlan.toString
+    assert(!plan.contains("text:string"),
+      s"corpus text leaked into the election scan:\n${plan.take(3000)}")
+  }
+
   test("signature aggregation over the staged table plans NO exchange (bucket co-location)") {
     val staged = ShingleStage.shingleHashes(spark, s"$dir#spec", docs)
     val plan = Dedup.minhashSignatureOf(staged).queryExecution.executedPlan.toString

@@ -1443,6 +1443,31 @@ class PipelineOpsSpec extends SparkSpec {
     assert(thr.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((2L, 1L)))
   }
 
+  test("shingleContainmentOf: property — equals brute-force set containment on random corpora") {
+    val rnd = new scala.util.Random(0xc047a1)
+    (1 to 3).foreach { round =>
+      val docs = (1L to 12L).map { i =>
+        val n = 3 + rnd.nextInt(10)
+        (i, Seq.fill(n)("w" + rnd.nextInt(8)).mkString(" "))
+      }
+      def shs(t: String): Set[String] =
+        t.split(' ').filter(_.nonEmpty).sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet
+      val sets = docs.map { case (i, t) => i -> shs(t) }.toMap
+      val want = (for {
+        (a, sa) <- sets.toSeq; (b, sb) <- sets.toSeq
+        if a != b && sa.nonEmpty
+        inter = (sa & sb).size
+        if inter > 0
+        c = inter.toLong * 1000000L / sa.size
+        if c >= 300000L
+      } yield (a, b, c)).toSet
+      val got = Dedup.shingleContainmentOf(
+          Dedup.shingleRows(docs.toDF("doc_id", "text")), thresholdPpm = 300000L, dfCap = 0L)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == want, s"round $round: containment diverged from the set reference")
+    }
+  }
+
   test("fertilityByLang: dictionary path == per-doc scan arithmetic") {
     val docs = Seq(
       (1L, "en", "the other and another the"),

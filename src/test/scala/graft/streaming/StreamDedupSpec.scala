@@ -251,6 +251,31 @@ class StreamDedupSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedupUnbounded: duplicates drop across micro-batches with no watermark bound") {
+    import graft.streaming.StreamDedup.IngestDoc
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Seq(
+      IngestDoc(1L, "alpha doc", 10L),
+      IngestDoc(2L, "alpha doc", 5L),  // same batch, EARLIER arrival: this one wins
+      IngestDoc(3L, "beta doc", 20L),
+      IngestDoc(4L, "alpha doc", 99L), // later batch: far beyond any bounded window
+      IngestDoc(5L, "gamma doc", 30L),
+      IngestDoc(6L, "beta doc", 40L),  // later batch dup
+      IngestDoc(7L, "gamma doc", 31L)) // same-batch dup of 5
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[IngestDoc]
+    val q = StreamDedup.dedupUnbounded(input.toDS())
+      .writeStream.format("memory").queryName("unbounded_out").outputMode("append").start()
+    try {
+      input.addData(rows.take(3)); q.processAllAvailable()
+      input.addData(rows.drop(3)); q.processAllAvailable()
+      val got = spark.table("unbounded_out").as[IngestDoc].collect().sortBy(_.doc_id).toSeq
+      // batch twin: exactDedup keepers over the same rows, first = min
+      // (arrival, doc_id) per hash — docs 2 (beats 1 on arrival), 3, 5
+      assert(got == Seq(rows(1), rows(2), rows(4)),
+        s"got $got")
+    } finally q.stop()
+  }
+
   test("contaminationBloomInline: MemoryStream probe == batch bloom probe, same at-rest filter") {
     import graft.pipeline.TextAnalysis
     implicit val sqlCtx = spark.sqlContext
