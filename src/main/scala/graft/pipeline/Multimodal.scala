@@ -300,9 +300,16 @@ object Multimodal {
     walk(0, bytes.length) { (typ, body, end) =>
       if (typ == "moov") walk(body, end) { (t2, b2, e2) =>
         if (t2 == "mvhd") {
+          // the version byte itself needs a bound: an EMPTY mvhd box
+          // (size 8) as the last box would read past the array here
+          if (b2 >= e2) fail("truncated mvhd (empty box)")
           val ver = u8(b2)
           if (ver == 1) {
-            if (b2 + 28 > e2) fail("truncated mvhd v1")
+            // v1 layout: ver/flags(4) + times(16) + timescale(4 @20) +
+            // duration(8 @24..31) — the u64 read ends at b2+31, so the
+            // bound is 32 (a 28-byte bound let a crafted last-box mvhd
+            // read past the buffer: AIOOBE escaping the fail-fast wrapper)
+            if (b2 + 32 > e2) fail("truncated mvhd v1")
             timescale = u32(b2 + 20); duration = u64(b2 + 24)
           } else {
             if (b2 + 20 > e2) fail("truncated mvhd v0")
@@ -311,6 +318,7 @@ object Multimodal {
           if (timescale <= 0) fail(s"mvhd timescale out of range: $timescale")
         } else if (t2 == "trak") walk(b2, e2) { (t3, b3, e3) =>
           if (t3 == "tkhd" && w < 0) {
+            if (b3 >= e3) fail("truncated tkhd (empty box)")
             val ver = u8(b3)
             val dimOff = b3 + (if (ver == 1) 88 else 76)
             if (dimOff + 8 > e3) fail(s"truncated tkhd v$ver")

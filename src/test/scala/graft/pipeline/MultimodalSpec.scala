@@ -281,6 +281,30 @@ class MultimodalSpec extends SparkSpec {
     assert(msg(java.util.Arrays.copyOf(good, good.length - 6)).contains("overruns"))
   }
 
+  test("parseVideo: a crafted 28-byte mvhd v1 as the LAST box fails fast, never reads past the buffer") {
+    // v1's duration u64 ends at body+31; a 28-byte body passed the old
+    // 28-byte bound and the read ran off the end of the array (AIOOBE
+    // escaping the fail-fast wrapper — the parseAudio hostile-size class)
+    def box(typ: String, body: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(8 + body.length)
+      bb.putInt(8 + body.length); bb.put(typ.getBytes); bb.put(body); bb.array()
+    }
+    val mvhd28 = java.nio.ByteBuffer.allocate(28)
+      .putInt(0x01000000).putLong(0L).putLong(0L).putInt(1000).array()
+    val ftyp = box("ftyp", "isom".getBytes ++ Array.fill[Byte](4)(0))
+    val bad = ftyp ++ box("moov", box("mvhd", mvhd28))
+    val e = intercept[IllegalArgumentException](Multimodal.parseVideo(bad))
+    assert(e.getMessage.contains("truncated mvhd v1"), s"got: ${e.getMessage}")
+    // an EMPTY mvhd box (size 8, no version byte) as the last box: the
+    // version read itself must be bounded
+    val empty = ftyp ++ box("moov", box("mvhd", Array.emptyByteArray))
+    val e2 = intercept[IllegalArgumentException](Multimodal.parseVideo(empty))
+    assert(e2.getMessage.contains("truncated mvhd (empty box)"), s"got: ${e2.getMessage}")
+    val emptyTk = ftyp ++ box("moov", box("trak", box("tkhd", Array.emptyByteArray)))
+    val e3 = intercept[IllegalArgumentException](Multimodal.parseVideo(emptyTk))
+    assert(e3.getMessage.contains("truncated tkhd (empty box)"), s"got: ${e3.getMessage}")
+  }
+
   test("parseVideo composes with frameSamplePlan: container metadata feeds the sampler") {
     val media = Seq((1L, mp4(30000, 90000L, 1280, 720))).toDF("media_id", "payload")
     val meta = Multimodal.videoMeta(media)
