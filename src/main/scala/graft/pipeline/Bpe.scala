@@ -440,11 +440,20 @@ object Bpe {
     val words = docs.select(col(langCol), explode(expr(toksS(textCol))).as("__w"))
     val dict = words.select("__w").distinct()
       .withColumn("__nb", expr(s"cast(size(${wordSymsS("__w")}) as bigint)"))
-    words.join(broadcast(dict), "__w")
+    val agg = words.join(broadcast(dict), "__w")
       .groupBy(langCol)
       .agg(count(lit(1)).as("n_words"), sum(col("__nb")).as("n_bpe_tokens"))
-      .select(col(langCol), col("n_words"), col("n_bpe_tokens"),
-        expr("n_bpe_tokens * 1000000 DIV greatest(n_words, 1)").as("fertility_ppm"))
+    // left join from the distinct langs: a language whose documents are
+    // ALL empty produces no word rows but must still report (0, 0, 0) —
+    // vanishing from a per-language report reads as "not ingested", the
+    // opposite of the truth
+    docs.select(langCol).distinct()
+      .join(agg, Seq(langCol), "left")
+      .select(col(langCol),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(col("n_bpe_tokens"), lit(0L)).as("n_bpe_tokens"),
+        expr("coalesce(n_bpe_tokens, 0L) * 1000000 DIV greatest(coalesce(n_words, 0L), 1)")
+          .as("fertility_ppm"))
   }
 
   /** DuckDB oracle twin of [[fertilityByLang]] (per-doc scan form — the

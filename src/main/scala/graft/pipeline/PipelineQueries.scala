@@ -1455,7 +1455,7 @@ object PipelineQueries {
          |  SELECT 'pq', count(*), count(a.neighbor_id)
          |  FROM ex e LEFT JOIN a_pq a USING (query_id, neighbor_id))
          |SELECT method, CAST(n_exact AS BIGINT) AS n_exact, CAST(n_hit AS BIGINT) AS n_hit,
-         |  CAST(n_hit * 1000000 // n_exact AS BIGINT) AS recall_ppm
+         |  CAST(n_hit * 1000000 // greatest(n_exact, 1) AS BIGINT) AS recall_ppm
          |FROM r ORDER BY method""".stripMargin,
 
     "ext_knn_int8" ->

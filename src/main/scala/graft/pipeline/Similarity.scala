@@ -568,8 +568,11 @@ object Similarity {
       .join(approx.select(col("query_id"), col("neighbor_id"), lit(1).as("__hit")),
         Seq("query_id", "neighbor_id"), "left")
       .agg(count(lit(1)).as("n_exact"), count(col("__hit")).as("n_hit"))
+      // greatest: an EMPTY exact baseline (probe set with no neighbors)
+      // reports 0/0 as recall 0, not a NULL that diverges from the
+      // oracle's division-by-zero error
       .select(lit(method).as("method"), col("n_exact"), col("n_hit"),
-        expr("n_hit * 1000000 DIV n_exact").as("recall_ppm"))
+        expr("n_hit * 1000000 DIV greatest(n_exact, 1)").as("recall_ppm"))
 
   /** PQ top-k with inline encode (correctness/bench form — production uses
     * [[pqEncode]] once + [[pqKnnOf]] per probe batch).

@@ -1489,6 +1489,11 @@ class PipelineOpsSpec extends SparkSpec {
     // the under-served language reads higher fertility: no rule matches
     // qqq/zzz so every character is its own token
     assert(zzF > enF)
+    // a language whose docs are ALL empty still reports (0,0,0) — absent
+    // from the report would read as "not ingested"
+    val withEmpty = docs.unionByName(Seq((9L, "xx", "")).toDF("doc_id", "lang", "text"))
+    val xx = Bpe.fertilityByLang(withEmpty).where(col("lang") === "xx").collect()
+    assert(xx.map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSeq == Seq((0L, 0L, 0L)))
   }
 
   test("knnLabelEval: majority vote, lower-label ties, neighborless queries count incorrect") {
