@@ -42,11 +42,11 @@ object Bpe {
   import TextOps.{toksS, toksD}
 
   /** Ordered merge rules; rank = position (0-based). Compound vocabulary
-    * ids are 256 + rank (single characters keep their code point, the
+    * ids are VOCAB_BASE + rank (single characters keep their code point, the
     * byte-vocab convention).
     */
   val merges: Seq[(String, String)] = Seq(
-    ("t", "h"),   // th   (id 256)
+    ("t", "h"),   // th   (id VOCAB_BASE + 0)
     ("th", "e"),  // the  (id 257)
     ("i", "n"),   // in   (id 258)
     ("a", "n"),   // an   (id 259)
@@ -59,9 +59,19 @@ object Bpe {
     ("s", "t"),   // st   (id 266)
     ("a", "t"))   // at   (id 267)
 
-  /** Compound symbol → integer id (256 + rank) for any merge table. */
+  /** Compound-id base: one ABOVE the Unicode code-point range
+    * (0x10FFFF), so compound ids can never collide with a single
+    * character's own code point. The previous base of 256 followed the
+    * byte-vocab convention but this vocabulary's atoms are CODE POINTS,
+    * not bytes — 'Ā' (U+0100 = 256) would have encoded as compound rank
+    * 0 and decoded as "th". Any id below the base is, by construction, a
+    * character id.
+    */
+  val VOCAB_BASE: Int = 0x110000
+
+  /** Compound symbol → integer id (VOCAB_BASE + rank) for any merge table. */
   def vocabIdsOf(ms: Seq[(String, String)]): Map[String, Int] =
-    ms.zipWithIndex.map { case ((a, b), i) => (a + b) -> (256 + i) }.toMap
+    ms.zipWithIndex.map { case ((a, b), i) => (a + b) -> (VOCAB_BASE + i) }.toMap
 
   /** Compound symbol → integer id for the shipped table. */
   val vocabIds: Map[String, Int] = vocabIdsOf(merges)
@@ -272,7 +282,7 @@ object Bpe {
   }
 
   /** Symbol → integer id over a symbol lambda variable: code point for
-    * single characters, 256 + rank for compounds. The -1 arm is
+    * single characters, VOCAB_BASE + rank for compounds. The -1 arm is
     * unreachable (every multi-char symbol is produced by a rule — the
     * well-formedness invariant).
     */
@@ -288,19 +298,23 @@ object Bpe {
   }
 
   /** Symbol of one integer id — the inverse of [[idOfS]]: code point back
-    * to its character below 256, compound rank back to its merged string.
+    * to its character below VOCAB_BASE, compound rank back to its merged
+    * string. Character decode is `format_string('%c', id)` on the Spark
+    * side (DuckDB: `chr`) because Spark's `char(n)` is MOD-256 — it would
+    * silently corrupt every non-Latin-1 code point.
     * Unknown ids decode to NULL (which `concat_ws` skips — a corrupted
     * stream surfaces as a round-trip mismatch, not a crash).
     */
   private def symOfS(idv: String): String = {
     val compounds = vocabIds.toSeq.sortBy(_._2)
       .map { case (s, id) => s"WHEN $id THEN '${lit1(s)}'" }.mkString(" ")
-    s"CASE WHEN $idv < 256 THEN char($idv) ELSE CASE $idv $compounds ELSE NULL END END"
+    s"CASE WHEN $idv < $VOCAB_BASE THEN format_string('%c', cast($idv as int)) " +
+      s"ELSE CASE $idv $compounds ELSE NULL END END"
   }
   private def symOfD(idv: String): String = {
     val compounds = vocabIds.toSeq.sortBy(_._2)
       .map { case (s, id) => s"WHEN $id THEN '${lit1D(s)}'" }.mkString(" ")
-    s"CASE WHEN $idv < 256 THEN chr($idv) ELSE CASE $idv $compounds ELSE NULL END END"
+    s"CASE WHEN $idv < $VOCAB_BASE THEN chr(($idv)::INT) ELSE CASE $idv $compounds ELSE NULL END END"
   }
 
   /** DECODE an id array back to text — the inverse every tokenizer ships
@@ -524,7 +538,7 @@ object Bpe {
        |FROM syms ORDER BY doc_id""".stripMargin
 
   /** [[encode]] with an arbitrary (typically TRAINED) merge table: same
-    * output schema, ids are 256 + the table's own ranks. The serving path
+    * output schema, ids are VOCAB_BASE + the table's own ranks. The serving path
     * for [[refTrainedMerges]] — the table folds into the scan as
     * literals, exactly like the shipped one.
     */

@@ -105,12 +105,12 @@ class BpeSpec extends SparkSpec {
     Bpe.validate(Bpe.merges) // the shipped table passes
   }
 
-  test("encode summary: ids are code points / 256+rank; md5 is the exact id stream") {
+  test("encode summary: ids are code points / VOCAB_BASE+rank; md5 is the exact id stream") {
     val out = Bpe.encode(Seq((1L, "the and x")).toDF("doc_id", "text")).collect()(0)
     assert(out.getAs[Long]("n_ws_tokens") == 3L)
     assert(out.getAs[Long]("n_bpe_tokens") == 3L) // [the, and, x]
     val wantIds = Seq(Bpe.vocabIds("the"), Bpe.vocabIds("and"), 'x'.toInt)
-    assert(wantIds == Seq(257, 260, 120))
+    assert(wantIds == Seq(Bpe.VOCAB_BASE + 1, Bpe.VOCAB_BASE + 4, 120))
     val wantMd5 = java.security.MessageDigest.getInstance("MD5")
       .digest(wantIds.mkString(",").getBytes("UTF-8")).map("%02x".format(_)).mkString
     assert(out.getAs[String]("ids_md5") == wantMd5)
@@ -299,6 +299,24 @@ class BpeSpec extends SparkSpec {
     // roundtrip_ok by the documented contract (the tokenizer itself
     // collapses the runs), and the decode equals the single-spaced text
     assert(out(3L) == ((md5("doubled spaces normalize"), true)))
+  }
+
+  test("decode is codepoint-correct: non-Latin-1 chars round-trip; U+0100 cannot collide with a compound id") {
+    import spark.implicits._
+    // U+0100 'Ā' IS 256 — under the old base-256 id space it was compound
+    // rank 0 ("th") and decoded wrongly; Spark's char(n) is also mod-256,
+    // which silently corrupted every non-Latin-1 code point
+    val docs = Seq(
+      (1L, "café résumé"),
+      (2L, "ĀbĀ"),
+      (3L, "中文 tokens")).toDF("doc_id", "text")
+    val out = Bpe.decodeRoundTrip(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getString(2), r.getBoolean(3)))).toMap
+    def md5(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(out(1L) == ((md5("café résumé"), true)))
+    assert(out(2L) == ((md5("ĀbĀ"), true)))
+    assert(out(3L) == ((md5("中文 tokens"), true)))
   }
 
   test("decodeRoundTrip holds corpus-wide at sf0.001 (byte-exact contract)") {
