@@ -574,7 +574,11 @@ object PipelineQueries {
       Seq(
         "ivf" -> Similarity.ivfKnn(emb, qs, 3),
         "lsh" -> Similarity.lshKnn(emb, qs, 3),
-        "pq" -> Similarity.pqKnn(emb, qs, 3))
+        "pq" -> Similarity.pqKnn(emb, qs, 3),
+        // trained vs untrained codebooks side by side: THE comparison
+        // this report exists for (untrained PQ reconstructs noise —
+        // measured ~3% here vs the trained table's lift)
+        "pq_trained" -> Similarity.pqKnn(emb, qs, 3, Similarity.refPqCodebooks))
         .map { case (m, a) => Similarity.knnRecall(exact, a, m) }
         .reduce(_.unionByName(_))
         .orderBy("method")
@@ -1153,12 +1157,11 @@ object PipelineQueries {
        |        row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank FROM s)
        |SELECT query_id, rank, neighbor_id FROM w WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
 
-  // PQ oracle: the codebook is the SAME integer formula as
-  // Similarity.pqCbVal, evaluated in SQL (the ivfCentSql discipline)
-  private lazy val knnPqSql: String =
-    """WITH cb AS (SELECT m, c, list_transform(generate_series(1,8),
-      |    i -> (((m*16 + c)*8 + (i-1))*48271 + 12345) % 999983 - 499991) AS vals
-      |  FROM range(0,8) t(m), range(0,16) u(c)),
+  // PQ oracle: the codebook CTE is a parameter so the same statement
+  // serves both the formula-default codebooks and the frozen TRAINED
+  // table (pqCbRowsD VALUES — the ext_semdedup_incr discipline)
+  private def knnPqSqlFrom(cbCte: String): String =
+    s"""WITH cb AS ($cbCte),
       |vp AS (SELECT vec_id,
       |  list_transform(embedding, x0 -> CAST(floor(x0::DOUBLE * 1000000) AS BIGINT)) AS p
       |  FROM embeddings),
@@ -1179,6 +1182,18 @@ object PipelineQueries {
       |        row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank FROM s)
       |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, score
       |FROM w WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+
+  // the codebook is the SAME integer formula as Similarity.pqCbVal,
+  // evaluated in SQL (the ivfCentSql discipline)
+  private lazy val knnPqSql: String = knnPqSqlFrom(
+    """SELECT m, c, list_transform(generate_series(1,8),
+      |    i -> (((m*16 + c)*8 + (i-1))*48271 + 12345) % 999983 - 499991) AS vals
+      |  FROM range(0,8) t(m), range(0,16) u(c)""".stripMargin)
+
+  // the frozen TRAINED codebooks as literal VALUES rows — generated from
+  // the same Scala constant the Spark side folds
+  private lazy val knnPqTrainedSql: String = knnPqSqlFrom(
+    s"SELECT m, c, vals FROM (VALUES ${pqCbRowsD(Similarity.refPqCodebooks)}) t(m, c, vals)")
 
   def oracleSql: Map[String, String] = Map(
     "ext_dedup_exact" ->
@@ -1445,6 +1460,7 @@ object PipelineQueries {
          |a_ivf AS (SELECT query_id, neighbor_id FROM ($knnIvfSql)),
          |a_lsh AS (SELECT query_id, neighbor_id FROM ($knnLshSql)),
          |a_pq AS (SELECT query_id, neighbor_id FROM ($knnPqSql)),
+         |a_pqt AS (SELECT query_id, neighbor_id FROM ($knnPqTrainedSql)),
          |r AS (
          |  SELECT 'ivf' AS method, count(*) AS n_exact, count(a.neighbor_id) AS n_hit
          |  FROM ex e LEFT JOIN a_ivf a USING (query_id, neighbor_id)
@@ -1453,7 +1469,10 @@ object PipelineQueries {
          |  FROM ex e LEFT JOIN a_lsh a USING (query_id, neighbor_id)
          |  UNION ALL
          |  SELECT 'pq', count(*), count(a.neighbor_id)
-         |  FROM ex e LEFT JOIN a_pq a USING (query_id, neighbor_id))
+         |  FROM ex e LEFT JOIN a_pq a USING (query_id, neighbor_id)
+         |  UNION ALL
+         |  SELECT 'pq_trained', count(*), count(a.neighbor_id)
+         |  FROM ex e LEFT JOIN a_pqt a USING (query_id, neighbor_id))
          |SELECT method, CAST(n_exact AS BIGINT) AS n_exact, CAST(n_hit AS BIGINT) AS n_hit,
          |  CAST(n_hit * 1000000 // greatest(n_exact, 1) AS BIGINT) AS recall_ppm
          |FROM r ORDER BY method""".stripMargin,
