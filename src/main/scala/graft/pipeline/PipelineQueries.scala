@@ -192,6 +192,19 @@ object PipelineQueries {
   private val dotEmbCentD =
     "list_sum(list_transform(generate_series(1,64), i -> embedding[i]::DOUBLE * cv[i]))"
 
+  /** A `cent(cid, cv)` CTE from an explicit centroid table — the VALUES
+    * twin of [[ivfCentSql]] for frozen TRAINED centroids
+    * (Similarity.refIvfCentroids): rows generated from the same Scala
+    * literal the Spark side folds (`Double.toString` round-trips exactly
+    * in both engines), cast to DOUBLE[] so DuckDB cannot type plain
+    * decimals as DECIMAL and drift the arithmetic.
+    */
+  private def ivfCentValuesSql(cents: Seq[Seq[Double]]): String =
+    "cent AS (SELECT cid, cv FROM (VALUES " +
+      cents.zipWithIndex.map { case (c, i) =>
+        s"($i, [${c.mkString(",")}]::DOUBLE[])"
+      }.mkString(", ") + ") t(cid, cv))"
+
   /** Shared DuckDB CTEs for the SemDeDup cluster derivation (augmented
     * embeddings → cell assignment → within-cell cosine pairs → recursive
     * CC `comp`) — used by both ext_semdedup and ext_cluster_centroids so
@@ -575,10 +588,12 @@ object PipelineQueries {
         "ivf" -> Similarity.ivfKnn(emb, qs, 3),
         "lsh" -> Similarity.lshKnn(emb, qs, 3),
         "pq" -> Similarity.pqKnn(emb, qs, 3),
-        // trained vs untrained codebooks side by side: THE comparison
-        // this report exists for (untrained PQ reconstructs noise —
-        // measured ~3% here vs the trained table's lift)
-        "pq_trained" -> Similarity.pqKnn(emb, qs, 3, Similarity.refPqCodebooks))
+        // trained vs untrained side by side: THE comparison this report
+        // exists for (untrained PQ reconstructs noise — measured ~3%
+        // here vs ~27% trained; trained IVF routes better than the
+        // pseudo-random cells)
+        "pq_trained" -> Similarity.pqKnn(emb, qs, 3, Similarity.refPqCodebooks),
+        "ivf_trained" -> Similarity.ivfKnnWith(emb, qs, 3, Similarity.refIvfCentroids))
         .map { case (m, a) => Similarity.knnRecall(exact, a, m) }
         .reduce(_.unionByName(_))
         .orderBy("method")
@@ -598,6 +613,13 @@ object PipelineQueries {
     // per-cell dominant-label share; the retrain-trigger metric
     "ext_cell_purity" -> ((s, dir) => {
       Similarity.cellPurity(Tables.embeddings(s, dir), Similarity.defaultCentroids(64, 8))
+        .orderBy("cell")
+    }),
+
+    // the same purity report under the frozen TRAINED centroids — the
+    // before/after a retrain decision reads
+    "ext_cell_purity_trained" -> ((s, dir) => {
+      Similarity.cellPurity(Tables.embeddings(s, dir), Similarity.refIvfCentroids)
         .orderBy("cell")
     }),
 
@@ -1143,8 +1165,8 @@ object PipelineQueries {
        |        row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank FROM s)
        |SELECT query_id, rank, neighbor_id FROM w WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
 
-  private lazy val knnIvfSql: String =
-    s"""WITH $ivfCentSql,
+  private def knnIvfSqlFrom(centCte: String): String =
+    s"""WITH $centCte,
        |cd AS (SELECT vec_id, embedding, cid,
        |        row_number() OVER (PARTITION BY vec_id ORDER BY $dotEmbCentD DESC, cid) AS rn
        |       FROM embeddings, cent),
@@ -1156,6 +1178,28 @@ object PipelineQueries {
        |w AS (SELECT query_id, neighbor_id,
        |        row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank FROM s)
        |SELECT query_id, rank, neighbor_id FROM w WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+
+  private lazy val knnIvfSql: String = knnIvfSqlFrom(ivfCentSql)
+
+  /** Cell-purity statement from any `cent(cid, cv)` CTE — serves both the
+    * formula-default and the frozen trained centroid tables.
+    */
+  private def cellPuritySqlFrom(centCte: String): String =
+    s"""WITH $centCte,
+       |cd AS (SELECT vec_id, label, cid,
+       |        row_number() OVER (PARTITION BY vec_id ORDER BY $dotEmbCentD DESC, cid) AS rn
+       |       FROM embeddings, cent),
+       |asg AS (SELECT CAST(cid AS BIGINT) AS cell, CAST(label AS BIGINT) AS l
+       |        FROM cd WHERE rn = 1),
+       |cnt AS (SELECT cell, l, count(*) AS c FROM asg GROUP BY 1, 2),
+       |tot AS (SELECT cell, sum(c) AS n_vecs FROM cnt GROUP BY 1),
+       |dom AS (SELECT cell, l, c FROM (
+       |          SELECT cell, l, c, row_number() OVER (
+       |            PARTITION BY cell ORDER BY c DESC, l) AS rn FROM cnt) WHERE rn = 1)
+       |SELECT dom.cell, CAST(tot.n_vecs AS BIGINT) AS n_vecs, dom.l AS dominant_label,
+       |  CAST(dom.c AS BIGINT) AS n_dominant,
+       |  CAST(dom.c * 1000000 // tot.n_vecs AS BIGINT) AS purity_ppm
+       |FROM dom JOIN tot USING (cell) ORDER BY dom.cell""".stripMargin
 
   // PQ oracle: the codebook CTE is a parameter so the same statement
   // serves both the formula-default codebooks and the frozen TRAINED
@@ -1461,6 +1505,7 @@ object PipelineQueries {
          |a_lsh AS (SELECT query_id, neighbor_id FROM ($knnLshSql)),
          |a_pq AS (SELECT query_id, neighbor_id FROM ($knnPqSql)),
          |a_pqt AS (SELECT query_id, neighbor_id FROM ($knnPqTrainedSql)),
+         |a_ivt AS (SELECT query_id, neighbor_id FROM (${knnIvfSqlFrom(ivfCentValuesSql(Similarity.refIvfCentroids))})),
          |r AS (
          |  SELECT 'ivf' AS method, count(*) AS n_exact, count(a.neighbor_id) AS n_hit
          |  FROM ex e LEFT JOIN a_ivf a USING (query_id, neighbor_id)
@@ -1472,7 +1517,10 @@ object PipelineQueries {
          |  FROM ex e LEFT JOIN a_pq a USING (query_id, neighbor_id)
          |  UNION ALL
          |  SELECT 'pq_trained', count(*), count(a.neighbor_id)
-         |  FROM ex e LEFT JOIN a_pqt a USING (query_id, neighbor_id))
+         |  FROM ex e LEFT JOIN a_pqt a USING (query_id, neighbor_id)
+         |  UNION ALL
+         |  SELECT 'ivf_trained', count(*), count(a.neighbor_id)
+         |  FROM ex e LEFT JOIN a_ivt a USING (query_id, neighbor_id))
          |SELECT method, CAST(n_exact AS BIGINT) AS n_exact, CAST(n_hit AS BIGINT) AS n_hit,
          |  CAST(n_hit * 1000000 // greatest(n_exact, 1) AS BIGINT) AS recall_ppm
          |FROM r ORDER BY method""".stripMargin,
@@ -1516,22 +1564,9 @@ object PipelineQueries {
 
     // IVF cell purity: per-cell dominant-label share (assignment CTEs as
     // in ext_knn_ivf — max inner product, ties to the lower cell)
-    "ext_cell_purity" ->
-      s"""WITH $ivfCentSql,
-         |cd AS (SELECT vec_id, label, cid,
-         |        row_number() OVER (PARTITION BY vec_id ORDER BY $dotEmbCentD DESC, cid) AS rn
-         |       FROM embeddings, cent),
-         |asg AS (SELECT CAST(cid AS BIGINT) AS cell, CAST(label AS BIGINT) AS l
-         |        FROM cd WHERE rn = 1),
-         |cnt AS (SELECT cell, l, count(*) AS c FROM asg GROUP BY 1, 2),
-         |tot AS (SELECT cell, sum(c) AS n_vecs FROM cnt GROUP BY 1),
-         |dom AS (SELECT cell, l, c FROM (
-         |          SELECT cell, l, c, row_number() OVER (
-         |            PARTITION BY cell ORDER BY c DESC, l) AS rn FROM cnt) WHERE rn = 1)
-         |SELECT dom.cell, CAST(tot.n_vecs AS BIGINT) AS n_vecs, dom.l AS dominant_label,
-         |  CAST(dom.c AS BIGINT) AS n_dominant,
-         |  CAST(dom.c * 1000000 // tot.n_vecs AS BIGINT) AS purity_ppm
-         |FROM dom JOIN tot USING (cell) ORDER BY dom.cell""".stripMargin,
+    "ext_cell_purity" -> cellPuritySqlFrom(ivfCentSql),
+    "ext_cell_purity_trained" ->
+      cellPuritySqlFrom(ivfCentValuesSql(Similarity.refIvfCentroids)),
 
     "ext_dedup_lines" ->
       s"""WITH $lineAugSql,

@@ -384,6 +384,28 @@ object Similarity {
   val PQ_SUBDIM = 8
   val PQ_KSUB = 16
 
+  /** FROZEN TRAINED IVF centroids — [[KMeans.train]] run once over the
+    * sf0.01 `embeddings` corpus (8 cells, 3 Lloyd rounds, via
+    * [[TrainIvfTool]]) and baked as a literal: the [[refPqCodebooks]] /
+    * [[graft.pipeline.Bpe.refTrainedMerges]] discipline completing the
+    * train→freeze→serve→measure loop for the IVF coarse quantizer.
+    * Training is deterministic (hash-seeded init, 1e-6-rounded means),
+    * so PipelineOpsSpec can assert this table equals a fresh train on
+    * the same corpus; `Double.toString` round-trips exactly, so the
+    * parsed literal is bit-identical to the trained model and the DuckDB
+    * oracle folds the same values.
+    */
+  val refIvfCentroids: Seq[Seq[Double]] = Seq(
+
+    Seq(0.025416, 0.040068, 0.008489, 1.16E-4, -0.011068, 0.019375, 0.063418, 0.021082, 0.01399, -0.057459, 0.076434, -0.006983, 0.009293, -0.013321, 0.015576, 0.038556, 0.052695, 0.040208, -0.039346, -0.035976, -0.023297, -0.020578, 0.013782, -0.001794, -0.017992, 0.022205, -0.027033, 0.014803, 0.038176, 0.021163, 0.0578, -0.01591, 0.005221, 0.012709, -0.030898, 0.010246, -0.045167, -0.026724, 0.014747, 0.020969, -0.00447, -4.76E-4, -0.039095, -0.045231, -0.022134, -0.005039, 0.029025, 0.028119, -0.001209, -0.009864, -0.035575, 0.024908, -0.049172, -0.026929, 0.033143, 0.002092, -0.033422, -0.022961, -0.025456, -0.081535, -0.027706, -0.05005, 0.012103, -0.051374),
+    Seq(0.021616, -0.012101, -0.019465, 0.029743, 0.048977, 0.005254, -0.049333, -0.020234, -0.019128, -0.042929, 0.016902, -0.016473, -0.016748, 0.022514, 0.008958, -0.010403, 0.026869, 0.040482, -0.001855, -0.036829, 0.028741, 0.051574, 0.063511, -0.103412, -0.029494, -0.024909, 0.042019, 0.042231, -0.0452, -3.52E-4, 0.029624, -0.048081, -0.032768, -0.016531, 0.021364, 0.025572, 0.061666, 0.007157, 0.029054, 0.061703, 0.013662, 0.029604, 0.032749, -0.031744, -0.024182, -0.010035, -0.027262, 0.013549, -0.01396, 0.025947, -0.01458, -0.034295, 0.012086, 0.016124, 0.014281, 0.001171, -0.015271, -0.025422, 4.25E-4, 0.032751, -0.02262, 0.034163, 0.042801, -0.02009),
+    Seq(0.0022, -0.031406, 0.033996, 0.00513, 0.003798, -0.071157, -0.020485, 0.080152, -0.029182, 0.059571, -0.006797, 0.002988, 0.062544, 0.03555, 0.010051, 0.010726, -0.03241, -0.016341, -0.040369, 0.030728, 3.28E-4, -0.024727, 0.019958, 0.01243, 0.015524, 0.006077, -0.042073, 0.022506, -0.027661, 0.059067, 0.016415, -0.0255, 0.05867, 0.064388, 0.024968, 1.21E-4, -5.34E-4, 0.023535, -0.017939, -0.00152, -0.038805, -0.013336, -0.023266, 0.03025, -0.031945, -0.012015, -0.051243, 0.0136, 0.007622, -0.029655, 0.090571, 0.043428, 0.019562, 0.020724, 0.004678, -0.014034, -0.003802, -0.036403, -0.02263, 0.006048, -0.0069, -0.016733, -0.00552, -0.06576),
+    Seq(-0.053346, -0.03318, 0.045832, 0.00839, -0.023717, 0.044139, -0.021162, 0.023821, -0.012707, 0.056596, -0.065023, 0.023523, 0.020391, -0.08261, 0.01174, 0.011565, 0.036574, -0.004172, 0.020043, 0.008526, -0.03816, -0.003632, -0.01249, -0.014059, 0.003506, 0.074979, 0.031871, -0.008132, 0.019109, -0.074965, -0.040279, 0.027085, 0.030081, -0.007178, 0.001341, 0.053545, -0.035803, -0.049778, -0.008251, -0.028739, 0.047141, -0.014052, 0.014987, 0.048504, -0.030787, -0.026024, 0.005208, 0.037024, -0.045564, -0.026101, -0.036302, 0.002355, 0.03177, 4.89E-4, 0.009483, 0.033827, 0.032044, 0.05499, -0.02229, -0.03405, -0.056956, 0.032413, -0.040665, 0.00423),
+    Seq(0.02234, 0.00147, -0.042381, -0.009924, 0.013215, 0.018387, -0.051204, 0.009241, 0.026798, -0.009992, -0.015727, 0.041186, -0.039659, 0.045068, 0.001503, -0.028567, -0.019562, -0.062124, 0.012103, -0.03196, -0.034805, 0.056839, -0.001589, 0.043935, 0.045659, 0.080947, 0.057027, -0.022579, -0.001764, -0.023459, 0.009893, 0.071587, -0.048064, -0.025212, 0.003099, -0.023433, -0.037232, 0.059387, -0.011603, -0.028415, -0.050665, -0.041343, -0.04947, 0.011545, -0.011878, 0.024575, 0.019627, -0.018593, -0.019914, -0.004694, 0.014861, 0.021093, -0.02604, -0.004568, -0.052623, -0.001309, 0.047939, 0.017917, 0.01273, 0.019977, 0.030268, -0.029774, -0.017827, -0.023596),
+    Seq(4.0E-4, 0.001375, 0.021102, -0.014179, 0.025015, 0.014476, -0.01678, 0.007767, 0.017536, -0.040138, 0.046871, -0.041368, 0.014818, -0.01716, -0.022583, 0.027015, -0.045581, 0.02883, 0.034248, 0.051562, 0.010016, -0.023911, -0.034351, 0.002774, -0.063792, 0.057987, -0.020507, 0.018965, 0.027884, 0.05763, -0.057747, -0.031383, 0.020909, -0.018775, 0.008484, -0.046447, -0.024583, -0.03012, -0.02604, 0.036854, 0.022677, -0.073761, 0.022118, -0.014095, 0.023517, 0.032506, -0.005431, -0.005387, 0.023878, 0.020658, 0.027737, -0.064036, 0.014515, -0.030367, -0.016866, -0.046919, 0.037288, 0.015619, 0.055031, -0.01148, 0.04184, 0.032606, -0.051421, -0.002257),
+    Seq(5.67E-4, -0.032328, 0.008608, -0.034142, -0.03494, -0.018854, 0.018576, -0.059351, -0.008174, 0.008708, -0.003162, -0.009389, -0.073034, 0.005499, -0.03543, -0.009913, 0.041741, 0.006343, -0.002355, 0.051884, 0.003523, 0.032743, -0.033184, 0.065993, 0.009199, -0.064826, -0.027774, 0.007543, -0.025796, -0.026452, -0.025608, 0.012101, 0.014533, -0.064997, 0.021909, 0.018178, 0.029244, -0.016995, 0.01583, -0.005368, 0.008057, 0.053488, 0.051485, -0.02394, 0.023426, 0.033453, 0.052836, -0.028525, -0.033306, -0.024051, 0.019466, 0.032592, 0.087031, -0.06207, 0.026459, -0.012581, -0.002909, -0.025683, 0.020946, -0.018132, 0.004928, 0.032266, 0.022091, 0.022606),
+    Seq(-0.009922, 0.034184, -0.026149, -0.036409, 0.049917, 0.06941, -0.060883, -0.012827, -0.008804, 0.025509, -0.003224, 0.039001, -0.020705, 0.007397, 0.002356, 0.009121, -0.017188, 0.021055, 0.020047, -0.025639, 0.024352, -0.056871, 0.005786, -0.066092, 0.028632, -0.079384, -0.035911, 0.004819, 0.011836, -0.03543, 0.055523, -0.033496, 0.021623, -0.018461, -0.014877, -0.021979, 0.01383, 0.007771, 0.003096, -0.084946, 7.17E-4, -0.020245, 0.007268, 0.017857, -0.010943, -0.004463, -0.008446, 0.003988, 0.051565, -0.045819, -0.009084, -0.038558, -0.016606, 0.048238, 0.03434, 0.017114, -0.033185, 0.006644, -0.067023, 0.005451, 0.034695, 0.013879, 0.039711, 0.056992))
+
   /** FROZEN reference PQ codebooks — per-subspace Lloyd output (3 rounds)
     * over a synthetic embeddings snapshot, baked as a literal the same way
     * [[graft.pipeline.Bpe]] bakes its merge table: the correctness oracle

@@ -1513,6 +1513,14 @@ class PipelineOpsSpec extends SparkSpec {
       (7L, 1L, 1L, 1L, 1000000L)))
   }
 
+  test("refIvfCentroids: the frozen literal equals a fresh KMeans.train on its corpus (sf0.01)") {
+    val fresh = KMeans.train(
+      graft.tables.Tables.embeddings(spark, "/root/testdata/sf0.01"),
+      nCells = Similarity.refIvfCentroids.size)
+    assert(fresh == Similarity.refIvfCentroids,
+      "frozen IVF centroid table drifted from a fresh train on the same corpus")
+  }
+
   test("cellPurity: dominant-label share per cell, lower-label ties") {
     val cents = Seq(Seq(1.0, 0.0), Seq(0.0, 1.0))
     val corpus = Seq(
