@@ -898,6 +898,16 @@ object PipelineQueries {
       Bpe.fertilityByLang(Tables.documents(s, dir)).orderBy("lang")
     }),
 
+    // DSIR importance weights: score every raw doc by target-vs-raw
+    // bigram-LM log ratio (integer bit-length log2, add-one smoothing);
+    // target = the English slice of the corpus, so English-looking docs
+    // weight high and the selection step downstream resamples toward it
+    "ext_dsir" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Sampling.dsirWeights(docs, docs.where(col("lang") === "en"))
+        .orderBy("doc_id")
+    }),
+
     // per-doc TF-IDF keywords: integer idf (bit-length log2 of inverse
     // doc frequency), top-3 per doc, total tie order
     "ext_keywords" -> ((s, dir) => {
@@ -1944,6 +1954,39 @@ object PipelineQueries {
     "ext_bpe_decode" -> Bpe.decodeRoundTripSqlD,
     "ext_bpe_trained" -> Bpe.encodeSqlWithD(Bpe.refTrainedMerges),
     "ext_fertility" -> Bpe.fertilitySqlD,
+
+    // DSIR weights: same add-one bit-length arithmetic per transition
+    "ext_dsir" ->
+      s"""WITH tk AS (SELECT doc_id, ${toksD("text")} AS toks FROM documents),
+         |bg AS (SELECT doc_id, toks[i] AS p, toks[i + 1] AS c
+         |       FROM tk, unnest(generate_series(1, len(toks) - 1)) AS g(i)
+         |       WHERE len(toks) >= 2),
+         |rbc AS (SELECT p, c, count(*) AS rbc FROM bg GROUP BY 1, 2),
+         |rlc AS (SELECT p, count(*) AS rlc FROM bg GROUP BY 1),
+         |ttk AS (SELECT ${toksD("text")} AS toks FROM documents WHERE lang = 'en'),
+         |tbg AS (SELECT toks[i] AS p, toks[i + 1] AS c
+         |        FROM ttk, unnest(generate_series(1, len(toks) - 1)) AS g(i)
+         |        WHERE len(toks) >= 2),
+         |tbc AS (SELECT p, c, count(*) AS tbc FROM tbg GROUP BY 1, 2),
+         |tlc AS (SELECT p, count(*) AS tlc FROM tbg GROUP BY 1),
+         |vr AS (SELECT greatest(count(DISTINCT t), 1) AS vr
+         |       FROM (SELECT unnest(toks) AS t FROM tk)),
+         |vt AS (SELECT greatest(count(DISTINCT t), 1) AS vt
+         |       FROM (SELECT unnest(toks) AS t FROM ttk)),
+         |j AS (SELECT bg.doc_id,
+         |        (length(format('{:b}', CAST(COALESCE(tbc.tbc, 0) + 1 AS BIGINT)))
+         |          - length(format('{:b}', CAST(COALESCE(tlc.tlc, 0) + vt.vt AS BIGINT))))
+         |      - (length(format('{:b}', CAST(rbc.rbc + 1 AS BIGINT)))
+         |          - length(format('{:b}', CAST(rlc.rlc + vr.vr AS BIGINT)))) AS w
+         |      FROM bg JOIN rbc USING (p, c) JOIN rlc USING (p)
+         |           LEFT JOIN tbc USING (p, c) LEFT JOIN tlc USING (p), vr, vt),
+         |agg AS (SELECT doc_id, count(*) AS n_trans, sum(w) AS ws FROM j GROUP BY 1)
+         |SELECT d.doc_id,
+         |  CAST(COALESCE(a.n_trans, 0) AS BIGINT) AS n_trans,
+         |  CAST(COALESCE(a.ws, 0) AS BIGINT) AS weight_sum,
+         |  CAST(COALESCE(a.ws, 0) * 1000 // greatest(COALESCE(a.n_trans, 0), 1) AS BIGINT) AS weight_milli
+         |FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
 
     "ext_keywords" ->
       s"""WITH tk AS (SELECT doc_id, ${toksD("text")} AS toks FROM documents),

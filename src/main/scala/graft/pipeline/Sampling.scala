@@ -671,4 +671,84 @@ object Sampling {
         coalesce(col("cutoff").isNotNull && col(scoreCol) >= col("cutoff"),
           lit(false)).as("kept"))
   }
+
+  /** DSIR-style IMPORTANCE WEIGHTS for data selection (cited technique:
+    * Xie et al., "Data Selection for Language Models via Importance
+    * Resampling", NeurIPS 2023 — hashed-n-gram importance weights;
+    * original implementation, reduced to this engine's integer-exact
+    * discipline): each raw document is scored by how much more likely its
+    * bigram stream is under a TARGET-corpus language model than under the
+    * RAW-corpus model,
+    *
+    *   weight(doc) = Σ_bigrams [log2 p_target(c|p) − log2 p_raw(c|p)],
+    *
+    * with both conditionals estimated by LAPLACE-smoothed count ratios,
+    * p(c|p) = (bc + 1) / (lc + V) with V the corpus' distinct-token
+    * count, and log2 as integer bit-length (the
+    * [[graft.pipeline.TextAnalysis.bigramSurprisalStats]] kernel — exact
+    * in both engines, no float log). The +V denominator is load-bearing:
+    * a naive (bc+1)/(lc+1) scores an entirely-unseen bigram as
+    * bitlen(1)−bitlen(1) = 0 — i.e. p = 1, the OPPOSITE of unseen —
+    * whereas Laplace sends it to −bitlen(V). High weight = looks like
+    * the target distribution; the selection step composes downstream
+    * ([[calibratedKeep]] on `weight_milli`, or a rate table keyed on
+    * weight buckets) — weights and selection are deliberately separate
+    * operators, as in the paper.
+    *
+    * Output per raw doc: (idCol, n_trans, weight_sum, weight_milli =
+    * sum×1000 / max(n_trans, 1) — the length-debiased per-transition
+    * mean). Docs with < 2 tokens report zeros, never vanish.
+    *
+    * Scale shape: both LM count tables are vocab²-bounded aggregates
+    * joined back on fixed-width token keys (the inverted-index path —
+    * neither broadcasts; a 100 TB raw corpus meets a model-sized target
+    * corpus only through these aggregates), and the final rollup is one
+    * doc-keyed aggregation. The raw corpus is scanned once.
+    */
+  def dsirWeights(
+      raw: DataFrame,
+      target: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import TextOps.toksS
+    def bigramsOf(df: DataFrame, keepId: Boolean): DataFrame = {
+      val perDoc = Window.partitionBy(idCol).orderBy("pos")
+      val bg = df
+        .select(col(idCol), posexplode(expr(toksS(textCol))).as(Seq("pos", "p")))
+        .withColumn("c", lead("p", 1).over(perDoc))
+        .where(col("c").isNotNull)
+      if (keepId) bg.select(col(idCol), col("p"), col("c"))
+      else bg.select("p", "c")
+    }
+    val bg = bigramsOf(raw, keepId = true)
+    val tbg = bigramsOf(target, keepId = false)
+    val rbc = bg.groupBy("p", "c").agg(count(lit(1)).as("__rbc"))
+    val rlc = bg.groupBy("p").agg(count(lit(1)).as("__rlc"))
+    val tbc = tbg.groupBy("p", "c").agg(count(lit(1)).as("__tbc"))
+    val tlc = tbg.groupBy("p").agg(count(lit(1)).as("__tlc"))
+    // each corpus' distinct-token count (the Laplace V): one scalar each,
+    // broadcast via a single-row cross join (the tfidfKeywords nDocs idiom)
+    val vr = raw.select(explode(expr(toksS(textCol))).as("__t"))
+      .agg(count_distinct(col("__t")).as("__vr"))
+    val vt = target.select(explode(expr(toksS(textCol))).as("__t"))
+      .agg(count_distinct(col("__t")).as("__vt"))
+    val agg = bg
+      .join(rbc, Seq("p", "c")).join(rlc, Seq("p"))
+      .join(tbc, Seq("p", "c"), "left").join(tlc, Seq("p"), "left")
+      .crossJoin(broadcast(vr)).crossJoin(broadcast(vt))
+      .withColumn("__w", expr(
+        """(length(bin(coalesce(__tbc, 0L) + 1L)) - length(bin(coalesce(__tlc, 0L) + greatest(__vt, 1L))))
+          | - (length(bin(__rbc + 1L)) - length(bin(__rlc + greatest(__vr, 1L))))"""
+          .stripMargin.replace("\n", " ")))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_trans"), sum(col("__w")).cast("long").as("__ws"))
+    raw.select(col(idCol))
+      .join(agg, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_trans"), lit(0L)).as("n_trans"),
+        coalesce(col("__ws"), lit(0L)).as("weight_sum"),
+        expr("coalesce(__ws, 0L) * 1000L DIV greatest(coalesce(n_trans, 0L), 1L)")
+          .as("weight_milli"))
+  }
 }

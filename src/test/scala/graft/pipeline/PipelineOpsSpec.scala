@@ -1513,6 +1513,63 @@ class PipelineOpsSpec extends SparkSpec {
       (7L, 1L, 1L, 1L, 1000000L)))
   }
 
+  test("dsirWeights: equals a Scala reference; target-like docs out-weight divergent ones") {
+    val raw = Seq(
+      (1L, "the cat sat on the mat and the cat ran"),
+      (2L, "zzz qqq www zzz qqq www zzz qqq www"),
+      (3L, "x")).toDF("doc_id", "text")
+    val targetRows = Seq("the cat sat on the mat", "the cat ran to the mat")
+    val target = targetRows.zipWithIndex.map { case (t, i) => (100L + i, t) }
+      .toDF("doc_id", "text")
+    // independent reference: the same Laplace bit-length formula in plain
+    // Scala over the fixture
+    def bigrams(t: String) = {
+      val w = t.split(' ').filter(_.nonEmpty); w.zip(w.drop(1)).toSeq
+    }
+    val rawDocs = Seq(1L -> "the cat sat on the mat and the cat ran",
+      2L -> "zzz qqq www zzz qqq www zzz qqq www", 3L -> "x")
+    val rbg = rawDocs.flatMap { case (_, t) => bigrams(t) }
+    val tbg = targetRows.flatMap(bigrams)
+    val (rbc, rlc) = (rbg.groupBy(identity).view.mapValues(_.size).toMap,
+      rbg.groupBy(_._1).view.mapValues(_.size).toMap)
+    val (tbc, tlc) = (tbg.groupBy(identity).view.mapValues(_.size).toMap,
+      tbg.groupBy(_._1).view.mapValues(_.size).toMap)
+    val vR = rawDocs.flatMap(_._2.split(' ').filter(_.nonEmpty)).distinct.size.toLong
+    val vT = targetRows.flatMap(_.split(' ').filter(_.nonEmpty)).distinct.size.toLong
+    def bits(x: Long) = java.lang.Long.toBinaryString(x).length
+    def wOf(doc: String): (Long, Long) = {
+      val bs = bigrams(doc)
+      val ws = bs.map { b =>
+        (bits(tbc.getOrElse(b, 0) + 1L) - bits(tlc.getOrElse(b._1, 0) + vT)) -
+          (bits(rbc(b) + 1L) - bits(rlc(b._1) + vR))
+      }
+      (bs.size.toLong, ws.map(_.toLong).sum)
+    }
+    val got = Sampling.dsirWeights(raw, target).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val byId = got.map(t => t._1 -> t).toMap
+    rawDocs.take(2).foreach { case (id, t) =>
+      val (n, s) = wOf(t)
+      assert(byId(id)._2 == n && byId(id)._3 == s,
+        s"doc $id: got ${byId(id)}, reference ($n, $s)")
+    }
+    // the point of the operator: target-like beats divergent
+    assert(byId(1L)._4 > byId(2L)._4, s"ordering failed: $got")
+    // single-token doc: no transitions, zeros, still present
+    assert(byId(3L) == ((3L, 0L, 0L, 0L)))
+  }
+
+  test("dsirWeights: English target ranks English docs above non-English at sf0.001") {
+    val docs = graft.tables.Tables.documents(spark, "/root/testdata/sf0.001")
+    val w = Sampling.dsirWeights(docs, docs.where(col("lang") === "en"))
+      .join(docs.select("doc_id", "lang"), "doc_id")
+    val means = w.groupBy(col("lang") === "en")
+      .agg(avg(col("weight_milli")).as("m")).collect()
+      .map(r => r.getBoolean(0) -> r.getDouble(1)).toMap
+    assert(means(true) > means(false),
+      s"English docs must out-weight non-English under an English target: $means")
+  }
+
   test("refIvfCentroids: the frozen literal equals a fresh KMeans.train on its corpus (sf0.01)") {
     val fresh = KMeans.train(
       graft.tables.Tables.embeddings(spark, "/root/testdata/sf0.01"),
