@@ -235,6 +235,51 @@ object Dedup {
         expr("n_inter * 1000000 DIV (n1 + n2 - n_inter)").as("jaccard_ppm"))
   }
 
+  /** FULL-set exact Jaccard for an EXPLICIT candidate pair list, from a
+    * pre-staged (id, sh) table — the staged-table form of
+    * [[jaccardForPairs]]: the O(n²) work is bounded by the candidate set,
+    * never a corpus self-join. Output (id1, id2, jaccard_ppm) for every
+    * input pair (pairs sharing no shingle score 0).
+    */
+  def jaccardForPairsOf(
+      sh: DataFrame,
+      pairs: DataFrame,
+      idCol: String = "doc_id"): DataFrame = {
+    val sizes = sh.groupBy(idCol).agg(count(lit(1)).as("n_sh"))
+    val inter = pairs.select("id1", "id2")
+      .join(sh.select(col(idCol).as("id1"), col("sh")), "id1")
+      .join(sh.select(col(idCol).as("id2"), col("sh")), Seq("id2", "sh"))
+      .groupBy("id1", "id2")
+      .agg(count(lit(1)).as("n_inter"))
+    pairs.select("id1", "id2")
+      .join(inter, Seq("id1", "id2"), "left")
+      .join(sizes.withColumnRenamed(idCol, "id1").withColumnRenamed("n_sh", "n1"), "id1")
+      .join(sizes.withColumnRenamed(idCol, "id2").withColumnRenamed("n_sh", "n2"), "id2")
+      .select(col("id1"), col("id2"),
+        expr("coalesce(n_inter, 0L) * 1000000 DIV (n1 + n2 - coalesce(n_inter, 0L))")
+          .as("jaccard_ppm"))
+  }
+
+  /** Distinct co-shingling candidate pairs over the df-capped sets — the
+    * candidate generator [[ngramJaccardPairsOf]] runs internally, exposed
+    * so audits can verify those candidates with FULL-set Jaccard.
+    */
+  def coShinglingPairs(
+      sh: DataFrame,
+      dfCap: Long = 64L,
+      idCol: String = "doc_id"): DataFrame = {
+    val blocked =
+      if (dfCap <= 0) sh
+      else {
+        val rare = sh.groupBy("sh").agg(count(lit(1)).as("df")).where(col("df") <= dfCap)
+        sh.join(rare.select("sh"), "sh")
+      }
+    blocked.as("x").join(blocked.as("y"), "sh")
+      .where(col(s"x.$idCol") < col(s"y.$idCol"))
+      .select(col(s"x.$idCol").as("id1"), col(s"y.$idCol").as("id2"))
+      .distinct()
+  }
+
   /** Asymmetric shingle CONTAINMENT pairs — the inclusion detector Jaccard
     * resemblance structurally misses: a short document fully quoted inside
     * a long one has containment(sub in super) = |A∩B|/|A| ≈ 1 while its

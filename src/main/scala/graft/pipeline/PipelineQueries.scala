@@ -476,6 +476,34 @@ object PipelineQueries {
       Dedup.clusterStats(labeled).orderBy("cluster_size")
     }),
 
+    // LSH banding recall audit — the dedup twin of ext_knn_recall: the
+    // staged band-generated pair list vs exact ground truth at the same
+    // threshold, over a DETERMINISTIC DOC SAMPLE (doc_id % 4 == 0, both
+    // endpoints): exhaustive all-pairs truth is exactly what cannot be
+    // computed at 100 TB — a production audit estimates banding recall
+    // on a sampled sub-corpus (measured: the exhaustive form was 8x the
+    // sampled one's wall time at sf0.1 and grows quadratically). Truth =
+    // df-capped co-shingling candidates within the sample, verified with
+    // FULL-set Jaccard. The number that tunes band count/width before a
+    // dedup pass trusts its candidate generator.
+    "ext_dedup_recall" -> ((s, dir) => {
+      val shFull = ShingleStage.shingleHashes(s, dir, nearAug(Tables.documents(s, dir)))
+        .select("doc_id", "sh")
+      val shS = shFull.where(col("doc_id") % 4 === 0)
+      val truth = Dedup.jaccardForPairsOf(shS, Dedup.coShinglingPairs(shS, 64L))
+        .where(col("jaccard_ppm") >= 200000L).select("id1", "id2")
+      val band = pairStoreFor(s, dir)
+        .where(col("id1") % 4 === 0 && col("id2") % 4 === 0)
+        .select("id1", "id2")
+      val nBand = band.agg(count(lit(1)).as("n_band"))
+      truth
+        .join(band.withColumn("__hit", lit(1)), Seq("id1", "id2"), "left")
+        .agg(count(lit(1)).as("n_truth"), count(col("__hit")).as("n_found"))
+        .crossJoin(broadcast(nBand))
+        .select(col("n_truth"), col("n_band"), col("n_found"),
+          expr("n_found * 1000000 DIV greatest(n_truth, 1)").as("recall_ppm"))
+    }),
+
     // asymmetric shingle containment: the inclusion detector resemblance
     // misses (a doc quoted wholesale inside a bigger one has Jaccard ~0
     // but containment ~1); directional pairs off the staged shingle table
@@ -1275,6 +1303,40 @@ object PipelineQueries {
          |${blockedJaccardSql(64L)}
          |SELECT id1, id2, jaccard_ppm FROM jac
          |ORDER BY jaccard_ppm DESC, id1, id2 LIMIT 20""".stripMargin,
+
+    // banding recall audit: band-generated+verified pairs vs df-capped
+    // co-shingling candidates verified with FULL-set Jaccard
+    "ext_dedup_recall" ->
+      s"""WITH $nearAugSql,
+         |$shinglesSqlCtes,
+         |sg AS (SELECT doc_id, $minhashSigD AS sig FROM sh),
+         |bh AS (SELECT doc_id, unnest($bandHashesD) AS bhash FROM sg),
+         |prs AS (SELECT DISTINCT x.doc_id AS id1, y.doc_id AS id2
+         |        FROM bh x JOIN bh y ON x.bhash = y.bhash AND x.doc_id < y.doc_id),
+         |$jaccardOfPairsSql,
+         |band AS (SELECT id1, id2 FROM jac
+         |         WHERE jaccard_ppm >= 200000 AND id1 % 4 = 0 AND id2 % 4 = 0),
+         |shs AS (SELECT doc_id, s FROM shx WHERE doc_id % 4 = 0),
+         |rare AS (SELECT s FROM (SELECT s, count(*) AS df FROM shs GROUP BY 1) WHERE df <= 64),
+         |blk AS (SELECT shs.doc_id, shs.s FROM shs JOIN rare ON shs.s = rare.s),
+         |tprs AS (SELECT DISTINCT x.doc_id AS id1, y.doc_id AS id2
+         |         FROM blk x JOIN blk y ON x.s = y.s AND x.doc_id < y.doc_id),
+         |titr AS (SELECT id1, id2, count(*) AS n_inter
+         |         FROM tprs JOIN shs x ON x.doc_id = tprs.id1
+         |                   JOIN shs y ON y.doc_id = tprs.id2 AND x.s = y.s GROUP BY 1, 2),
+         |tjac AS (SELECT tprs.id1, tprs.id2,
+         |          CAST(COALESCE(titr.n_inter, 0) * 1000000
+         |            // (a.n_sh + b.n_sh - COALESCE(titr.n_inter, 0)) AS BIGINT) AS jp
+         |         FROM tprs LEFT JOIN titr USING (id1, id2)
+         |              JOIN sz a ON a.doc_id = tprs.id1 JOIN sz b ON b.doc_id = tprs.id2),
+         |truth AS (SELECT id1, id2 FROM tjac WHERE jp >= 200000),
+         |nb AS (SELECT count(*) AS n_band FROM band)
+         |SELECT CAST(count(*) AS BIGINT) AS n_truth,
+         |  CAST(nb.n_band AS BIGINT) AS n_band,
+         |  CAST(count(band.id1) AS BIGINT) AS n_found,
+         |  CAST(count(band.id1) * 1000000 // greatest(count(*), 1) AS BIGINT) AS recall_ppm
+         |FROM truth LEFT JOIN band USING (id1, id2), nb
+         |GROUP BY nb.n_band""".stripMargin,
 
     // directional containment over the df-capped shingle sets (both
     // directions of every co-shingling pair; same blocked CTEs as ngram)

@@ -1443,6 +1443,25 @@ class PipelineOpsSpec extends SparkSpec {
     assert(thr.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((2L, 1L)))
   }
 
+  test("jaccardForPairsOf + coShinglingPairs: explicit-pair verification, zero for disjoint pairs") {
+    val docs = Seq(
+      (1L, "a b c d e f"),   // shingles: abc bcd cde def
+      (2L, "c d e f g h"),   // cde def efg fgh — shares cde, def with doc 1
+      (3L, "x y z w v u")).toDF("doc_id", "text")
+    val sh = Dedup.shingleRows(docs)
+    // candidate generator only surfaces co-shingling pairs
+    val cands = Dedup.coShinglingPairs(sh, dfCap = 0L).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cands == Set((1L, 2L)))
+    // explicit pairs verify with FULL-set Jaccard; a disjoint pair is 0,
+    // not absent (the audit needs every asked-about pair answered)
+    val pairs = Seq((1L, 2L), (1L, 3L)).toDF("id1", "id2")
+    val got = Dedup.jaccardForPairsOf(sh, pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got((1L, 2L)) == 2L * 1000000L / 6L) // |∩|=2, |∪|=4+4-2
+    assert(got((1L, 3L)) == 0L)
+  }
+
   test("shingleContainmentOf: property — equals brute-force set containment on random corpora") {
     val rnd = new scala.util.Random(0xc047a1)
     (1 to 3).foreach { round =>
