@@ -658,6 +658,35 @@ object Dedup {
       .withColumn("is_keeper", col(idCol) === col("keeper_id"))
   }
 
+  /** SOFT dedup weights — the downweight-instead-of-drop election: hard
+    * dedup keeps one copy per cluster and deletes the signal that the
+    * content occurred N times, which skews the training distribution
+    * for content whose frequency is MEANINGFUL. Soft dedup keeps the
+    * cluster keeper and assigns it sampling weight 1e6 / cluster_size
+    * (duplicated content trains at its deduplicated rate, not its
+    * duplicated one); non-keepers weight 0. Singletons weight 1e6. The
+    * weight column feeds the rate-driven samplers
+    * ([[graft.pipeline.Sampling.stratifiedByRate]] / temperature
+    * mixtures) directly.
+    *
+    * Input: any (idCol, cluster_id) labeling; output adds keeper_id
+    * (min id), is_keeper, cluster_size, weight_ppm. One window per
+    * cluster over fixed-width rows — the [[electKeepersByScore]] shape.
+    */
+  def softDedupWeights(labeled: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    require(labeled.columns.contains("cluster_id"),
+      s"labeled must carry 'cluster_id', got ${labeled.columns.mkString(", ")}")
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    labeled
+      .withColumn("keeper_id", first(col(idCol)).over(w))
+      .withColumn("cluster_size", count(lit(1)).over(w).cast("long"))
+      .withColumn("is_keeper", col(idCol) === col("keeper_id"))
+      .withColumn("weight_ppm",
+        when(col("is_keeper"), expr("1000000 DIV cluster_size")).otherwise(lit(0L)))
+  }
+
   /** Cross-document LINE-level dedup (CCNet-style boilerplate removal):
     * every distinct line keeps exactly ONE occurrence corpus-wide — the one
     * with the smallest (doc_id, line position) — and every other occurrence

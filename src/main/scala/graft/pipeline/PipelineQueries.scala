@@ -476,6 +476,17 @@ object PipelineQueries {
       Dedup.clusterStats(labeled).orderBy("cluster_size")
     }),
 
+    // SOFT dedup: keeper weight 1e6/cluster_size instead of hard drop —
+    // duplicated content trains at its deduplicated rate; weights feed
+    // the rate-driven samplers directly
+    "ext_dedup_soft" -> ((s, dir) => {
+      val comps = Dedup.connectedComponents(pairStoreFor(s, dir))
+      val labeled = nearAug(Tables.documents(s, dir)).select("doc_id")
+        .join(comps.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("comp"), col("doc_id")).as("cluster_id"))
+      Dedup.softDedupWeights(labeled).orderBy("doc_id")
+    }),
+
     // LSH banding recall audit — the dedup twin of ext_knn_recall: the
     // staged band-generated pair list vs exact ground truth at the same
     // threshold, over a DETERMINISTIC DOC SAMPLE (doc_id % 4 == 0, both
@@ -1402,6 +1413,35 @@ object PipelineQueries {
          |FROM (SELECT DISTINCT doc_id FROM aug) d
          |LEFT JOIN comp c ON c.id = d.doc_id
          |ORDER BY d.doc_id""".stripMargin,
+
+    // soft-dedup weights over the same labeling as ext_dedup_clusters
+    "ext_dedup_soft" ->
+      s"""WITH RECURSIVE $nearAugSql,
+         |$shinglesSqlCtes,
+         |sg AS (SELECT doc_id, $minhashSigD AS sig FROM sh),
+         |bh AS (SELECT doc_id, unnest($bandHashesD) AS bhash FROM sg),
+         |prs AS (SELECT DISTINCT x.doc_id AS id1, y.doc_id AS id2
+         |        FROM bh x JOIN bh y ON x.bhash = y.bhash AND x.doc_id < y.doc_id),
+         |$jaccardOfPairsSql,
+         |dup AS (SELECT id1, id2 FROM jac WHERE jaccard_ppm >= 200000),
+         |e AS (SELECT id1 AS u, id2 AS v FROM dup UNION SELECT id2, id1 FROM dup),
+         |reach(id, comp) AS (
+         |  SELECT DISTINCT u, u FROM e
+         |  UNION
+         |  SELECT e.v, reach.comp FROM reach JOIN e ON e.u = reach.id),
+         |comp AS (SELECT id, min(comp) AS comp FROM reach GROUP BY 1),
+         |lab AS (SELECT d.doc_id, COALESCE(c.comp, d.doc_id) AS cluster_id
+         |        FROM (SELECT DISTINCT doc_id FROM aug) d
+         |        LEFT JOIN comp c ON c.id = d.doc_id),
+         |szs AS (SELECT cluster_id, min(doc_id) AS keeper_id,
+         |          count(*) AS cluster_size FROM lab GROUP BY 1)
+         |SELECT lab.doc_id, lab.cluster_id, s.keeper_id,
+         |  CAST(s.cluster_size AS BIGINT) AS cluster_size,
+         |  lab.doc_id = s.keeper_id AS is_keeper,
+         |  CAST(CASE WHEN lab.doc_id = s.keeper_id
+         |    THEN 1000000 // s.cluster_size ELSE 0 END AS BIGINT) AS weight_ppm
+         |FROM lab JOIN szs s USING (cluster_id)
+         |ORDER BY lab.doc_id""".stripMargin,
 
     // cluster-size histogram over the same labeling as ext_dedup_clusters
     "ext_dedup_stats" ->

@@ -1408,6 +1408,22 @@ class PipelineOpsSpec extends SparkSpec {
     assert(ok.head.getAs[Long]("contaminated_ppm") == 1000000L)
   }
 
+  test("softDedupWeights: keeper gets 1e6/cluster_size, non-keepers 0, singletons full weight") {
+    val labeled = Seq(
+      (10L, 10L), (11L, 10L), (12L, 10L), // cluster of 3
+      (30L, 30L)).toDF("doc_id", "cluster_id") // singleton
+    val got = Dedup.softDedupWeights(labeled).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(r.fieldIndex("cluster_size")),
+        r.getBoolean(r.fieldIndex("is_keeper")), r.getLong(r.fieldIndex("weight_ppm")))).toSeq
+    assert(got == Seq(
+      (10L, 3L, true, 333333L),
+      (11L, 3L, false, 0L),
+      (12L, 3L, false, 0L),
+      (30L, 1L, true, 1000000L)))
+    // the soft-dedup invariant: total weight == post-dedup corpus size
+    assert(got.filter(_._3).map(_._4).sum == 333333L + 1000000L)
+  }
+
   test("clusterStats: histogram arithmetic and corpus shares on a hand labeling") {
     // clusters: {10,11,12} (size 3), {20,21} (size 2), three singletons
     val labeled = Seq(
