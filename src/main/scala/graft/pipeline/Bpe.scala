@@ -302,8 +302,11 @@ object Bpe {
     * string. Character decode is `format_string('%c', id)` on the Spark
     * side (DuckDB: `chr`) because Spark's `char(n)` is MOD-256 — it would
     * silently corrupt every non-Latin-1 code point.
-    * Unknown ids decode to NULL (which `concat_ws` skips — a corrupted
-    * stream surfaces as a round-trip mismatch, not a crash).
+    * Ids above the compound range decode to NULL (which `concat_ws`
+    * skips — a corrupted stream surfaces as a round-trip mismatch, not
+    * a crash); every id below VOCAB_BASE is a character id by the
+    * id-space construction, including code points the -1 encode arm
+    * never emits.
     */
   private def symOfS(idv: String): String = {
     val compounds = vocabIds.toSeq.sortBy(_._2)

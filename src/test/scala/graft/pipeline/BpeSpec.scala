@@ -309,7 +309,8 @@ class BpeSpec extends SparkSpec {
     val docs = Seq(
       (1L, "café résumé"),
       (2L, "ĀbĀ"),
-      (3L, "中文 tokens")).toDF("doc_id", "text")
+      (3L, "中文 tokens"),
+      (4L, "emoji 😀 ok")).toDF("doc_id", "text") // U+1F600: supplementary plane
     val out = Bpe.decodeRoundTrip(docs).collect()
       .map(r => r.getLong(0) -> ((r.getString(2), r.getBoolean(3)))).toMap
     def md5(s: String) = java.security.MessageDigest.getInstance("MD5")
@@ -317,6 +318,8 @@ class BpeSpec extends SparkSpec {
     assert(out(1L) == ((md5("café résumé"), true)))
     assert(out(2L) == ((md5("ĀbĀ"), true)))
     assert(out(3L) == ((md5("中文 tokens"), true)))
+    assert(out(4L) == ((md5("emoji 😀 ok"), true)),
+      "supplementary-plane code points must round-trip (one char, one id)")
   }
 
   test("decodeRoundTrip holds corpus-wide at sf0.001 (byte-exact contract)") {
