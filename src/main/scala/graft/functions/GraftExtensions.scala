@@ -19,6 +19,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.tzBucketDescriptor)
     ext.injectFunction(GraftExtensions.vecDotDescriptor)
+    ext.injectFunction(GraftExtensions.nfcDescriptor)
   }
 }
 
@@ -54,11 +55,23 @@ object GraftExtensions {
     new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
     buildVecDot _)
 
+  private def buildNfc(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 1, "nfc_normalize(s)")
+    NfcNormalize(exprs.head)
+  }
+
+  val nfcDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("nfc_normalize"),
+    new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
+    buildNfc _)
+
   /** Retrofit registration on an already-built session. */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "tz_bucket", build _, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "vec_dot", buildVecDot _, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "nfc_normalize", buildNfc _, "scala_udf")
   }
 }

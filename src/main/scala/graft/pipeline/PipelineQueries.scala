@@ -27,6 +27,16 @@ object PipelineQueries {
         .select((col("doc_id") + 1000000L).as("doc_id"),
           expr("substr(text, instr(text, ' ') + 1)").as("text")))
 
+  /** documents + a DENORMALIZED copy of every 5th doc — decomposed
+    * accents (e + combining U+0301), a BEL control char, doubled spaces:
+    * the byte-level variance normalization exists to canonicalize.
+    */
+  private def normAug(docs: DataFrame): DataFrame =
+    docs.select("doc_id", "text").unionByName(
+      docs.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(lit("résumé   "), col("text")).as("text")))
+
   /** documents with injected line structure: a header line shared by EVERY
     * doc, the (unique) body, and a footer line shared by every third doc —
     * the boilerplate shape cross-doc line dedup exists to remove.
@@ -402,6 +412,13 @@ object PipelineQueries {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ext_dedup_exact" -> ((s, dir) => {
       Dedup.exactDedup(exactAug(Tables.documents(s, dir))).orderBy("doc_id")
+    }),
+
+    // text normalization pass: NFC (native codegen'd expression; DuckDB's
+    // nfc_normalize is the twin) + control-char strip + space-run
+    // collapse — the canonical fingerprint byte-keyed dedup should key on
+    "ext_normalize" -> ((s, dir) => {
+      TextAnalysis.normalizeDocs(normAug(Tables.documents(s, dir))).orderBy("doc_id")
     }),
 
     // both near-dup heavyweights read the ONE staged shingle-hash table
@@ -1295,6 +1312,22 @@ object PipelineQueries {
          |  min(doc_id) OVER (PARTITION BY md5(text)) AS keep_id,
          |  doc_id = min(doc_id) OVER (PARTITION BY md5(text)) AS is_keeper
          |FROM aug ORDER BY doc_id""".stripMargin,
+
+    // normalization: the aug's decomposed accents / BEL / space runs are
+    // built from chr() code points — the same bytes the Spark literal holds
+    "ext_normalize" ->
+      s"""WITH aug AS (SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000,
+         |    're' || chr(769) || 'sume' || chr(769) || ' ' || chr(7) || '  ' || text
+         |  FROM documents WHERE doc_id % 5 = 0),
+         |n AS (SELECT doc_id, text,
+         |  trim(regexp_replace(regexp_replace(nfc_normalize(text),
+         |    '[\\x00-\\x1f\\x7f]', ' ', 'g'), ' +', ' ', 'g')) AS norm
+         |  FROM aug)
+         |SELECT doc_id, md5(norm) AS norm_md5,
+         |  CAST(len(norm) AS BIGINT) AS n_chars, norm <> text AS changed
+         |FROM n ORDER BY doc_id""".stripMargin,
 
     "ext_dedup_minhash" ->
       s"""WITH $nearAugSql,

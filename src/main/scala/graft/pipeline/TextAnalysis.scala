@@ -492,6 +492,37 @@ object TextAnalysis {
         expr("n_hit * 1000000L DIV greatest(n_sh, 1L)").as("contaminated_ppm"))
   }
 
+  /** TEXT NORMALIZATION pass — the canonicalization every byte-keyed
+    * operator downstream depends on: the SAME user-visible string can
+    * arrive as composed ("é") or decomposed ("e"+U+0301) Unicode, with
+    * stray control characters and runs of spaces, and exact dedup's md5,
+    * shingle hashing, BPE's character split, and the PII regexes all
+    * treat those variants as DIFFERENT documents unless ingestion
+    * normalizes first. Chain: NFC (the native codegen'd
+    * [[graft.functions.NfcNormalize]] expression — no UDF, stays inside
+    * whole-stage codegen; DuckDB's own `nfc_normalize` is the oracle
+    * twin), control characters → space, space runs collapsed, ends
+    * trimmed. Output: (idCol, norm_md5, n_chars, changed) — the
+    * fingerprint downstream dedup should key on, plus the audit flag.
+    *
+    * Scan-side only (no shuffle, no join), so the pass is free to fuse
+    * into any ingest scan and is legal in a stateless streaming
+    * projection as-is.
+    */
+  def normalizeDocs(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val cleaned = trim(regexp_replace(
+      regexp_replace(graft.functions.NfcNormalize.of(col(textCol)),
+        "[\\x00-\\x1f\\x7f]", " "),
+      " +", " "))
+    docs.select(col(idCol),
+      md5(cleaned).as("norm_md5"),
+      length(cleaned).cast("long").as("n_chars"),
+      (cleaned =!= col(textCol)).as("changed"))
+  }
+
   /** STREAMING face of the BLOOM probe — [[contaminationInline]]'s shape
     * fed by [[evalShingleBloom]]'s at-rest artifact instead of the exact
     * literal map: document shingles derive in one scan-side HOF and each
