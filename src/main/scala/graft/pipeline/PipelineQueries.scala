@@ -421,6 +421,21 @@ object PipelineQueries {
       TextAnalysis.normalizeDocs(normAug(Tables.documents(s, dir))).orderBy("doc_id")
     }),
 
+    // normalization UNLOCKING dedup: copies differing only in byte-level
+    // form (doubled spaces + a trailing control char) hash apart on raw
+    // md5 but collapse onto their originals when keyed on canonical text
+    "ext_dedup_normalized" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val aug = docs.select("doc_id", "text").unionByName(
+        docs.filter(col("doc_id") % 5 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            concat(regexp_replace(col("text"), " ", "  "), lit("")).as("text")))
+      Dedup.exactDedup(
+          aug.withColumn("__t", TextAnalysis.normalizeExpr(col("text"))),
+          textCol = "__t")
+        .orderBy("doc_id")
+    }),
+
     // both near-dup heavyweights read the ONE staged shingle-hash table
     // (built on first use, bucketed by doc_id — see ShingleStage) instead
     // of re-deriving shingles per query
@@ -1327,6 +1342,21 @@ object PipelineQueries {
          |  FROM aug)
          |SELECT doc_id, md5(norm) AS norm_md5,
          |  CAST(len(norm) AS BIGINT) AS n_chars, norm <> text AS changed
+         |FROM n ORDER BY doc_id""".stripMargin,
+
+    // exact dedup keyed on CANONICAL text: byte-variant copies collapse
+    "ext_dedup_normalized" ->
+      s"""WITH aug AS (SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, regexp_replace(text, ' ', '  ', 'g') || chr(7)
+         |  FROM documents WHERE doc_id % 5 = 0),
+         |n AS (SELECT doc_id,
+         |  trim(regexp_replace(regexp_replace(nfc_normalize(text),
+         |    '[\\x00-\\x1f\\x7f]', ' ', 'g'), ' +', ' ', 'g')) AS t
+         |  FROM aug)
+         |SELECT doc_id, md5(t) AS h,
+         |  min(doc_id) OVER (PARTITION BY md5(t)) AS keep_id,
+         |  doc_id = min(doc_id) OVER (PARTITION BY md5(t)) AS is_keeper
          |FROM n ORDER BY doc_id""".stripMargin,
 
     "ext_dedup_minhash" ->

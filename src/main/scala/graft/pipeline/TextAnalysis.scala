@@ -509,14 +509,22 @@ object TextAnalysis {
     * into any ingest scan and is legal in a stateless streaming
     * projection as-is.
     */
+  /** The normalization chain as a composable Column — so other
+    * operators can key on canonical text directly (exact dedup over
+    * `normalizeExpr` collapses byte-variant copies the raw md5 would
+    * keep apart).
+    */
+  def normalizeExpr(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(graft.functions.NfcNormalize.of(text),
+        "[\\x00-\\x1f\\x7f]", " "),
+      " +", " "))
+
   def normalizeDocs(
       docs: DataFrame,
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
-    val cleaned = trim(regexp_replace(
-      regexp_replace(graft.functions.NfcNormalize.of(col(textCol)),
-        "[\\x00-\\x1f\\x7f]", " "),
-      " +", " "))
+    val cleaned = normalizeExpr(col(textCol))
     docs.select(col(idCol),
       md5(cleaned).as("norm_md5"),
       length(cleaned).cast("long").as("n_chars"),
