@@ -396,7 +396,6 @@ object Similarity {
     * oracle folds the same values.
     */
   val refIvfCentroids: Seq[Seq[Double]] = Seq(
-
     Seq(0.025416, 0.040068, 0.008489, 1.16E-4, -0.011068, 0.019375, 0.063418, 0.021082, 0.01399, -0.057459, 0.076434, -0.006983, 0.009293, -0.013321, 0.015576, 0.038556, 0.052695, 0.040208, -0.039346, -0.035976, -0.023297, -0.020578, 0.013782, -0.001794, -0.017992, 0.022205, -0.027033, 0.014803, 0.038176, 0.021163, 0.0578, -0.01591, 0.005221, 0.012709, -0.030898, 0.010246, -0.045167, -0.026724, 0.014747, 0.020969, -0.00447, -4.76E-4, -0.039095, -0.045231, -0.022134, -0.005039, 0.029025, 0.028119, -0.001209, -0.009864, -0.035575, 0.024908, -0.049172, -0.026929, 0.033143, 0.002092, -0.033422, -0.022961, -0.025456, -0.081535, -0.027706, -0.05005, 0.012103, -0.051374),
     Seq(0.021616, -0.012101, -0.019465, 0.029743, 0.048977, 0.005254, -0.049333, -0.020234, -0.019128, -0.042929, 0.016902, -0.016473, -0.016748, 0.022514, 0.008958, -0.010403, 0.026869, 0.040482, -0.001855, -0.036829, 0.028741, 0.051574, 0.063511, -0.103412, -0.029494, -0.024909, 0.042019, 0.042231, -0.0452, -3.52E-4, 0.029624, -0.048081, -0.032768, -0.016531, 0.021364, 0.025572, 0.061666, 0.007157, 0.029054, 0.061703, 0.013662, 0.029604, 0.032749, -0.031744, -0.024182, -0.010035, -0.027262, 0.013549, -0.01396, 0.025947, -0.01458, -0.034295, 0.012086, 0.016124, 0.014281, 0.001171, -0.015271, -0.025422, 4.25E-4, 0.032751, -0.02262, 0.034163, 0.042801, -0.02009),
     Seq(0.0022, -0.031406, 0.033996, 0.00513, 0.003798, -0.071157, -0.020485, 0.080152, -0.029182, 0.059571, -0.006797, 0.002988, 0.062544, 0.03555, 0.010051, 0.010726, -0.03241, -0.016341, -0.040369, 0.030728, 3.28E-4, -0.024727, 0.019958, 0.01243, 0.015524, 0.006077, -0.042073, 0.022506, -0.027661, 0.059067, 0.016415, -0.0255, 0.05867, 0.064388, 0.024968, 1.21E-4, -5.34E-4, 0.023535, -0.017939, -0.00152, -0.038805, -0.013336, -0.023266, 0.03025, -0.031945, -0.012015, -0.051243, 0.0136, 0.007622, -0.029655, 0.090571, 0.043428, 0.019562, 0.020724, 0.004678, -0.014034, -0.003802, -0.036403, -0.02263, 0.006048, -0.0069, -0.016733, -0.00552, -0.06576),
@@ -567,7 +566,7 @@ object Similarity {
 
   /** ANN RECALL REPORT — `recall@k` of an approximate top-k against the
     * exact baseline, the number an operator watches when swapping trained
-    * centroids ([[ivfTrain]]) or codebooks ([[pqTrain]]) into a 100 TB
+    * centroids ([[graft.pipeline.KMeans.train]]) or codebooks ([[pqTrain]]) into a 100 TB
     * index: a routing or quantization regression shows up here before it
     * shows up in downstream quality. One row: (method, n_exact, n_hit,
     * recall_ppm), where a hit is an exact-neighbor (query_id, neighbor_id)
