@@ -56,6 +56,22 @@ class NfcNormalizeSpec extends SparkSpec {
     assert(df.head.getString(0) == s"0$eAcute")
   }
 
+  test("normalizeDocs is streaming-legal: stateless scan over a MemoryStream == batch") {
+    import graft.pipeline.TextAnalysis
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Seq((1L, s"r${eDec}sum$eDec  x"), (2L, "plain"), (3L, " pad "))
+    val want = TextAnalysis.normalizeDocs(rows.toDF("doc_id", "text"))
+      .collect().map(_.toSeq).toSet
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val q = TextAnalysis.normalizeDocs(input.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("norm_out").outputMode("append").start()
+    try {
+      input.addData(rows.take(1)); q.processAllAvailable()
+      input.addData(rows.drop(1)); q.processAllAvailable()
+      assert(spark.table("norm_out").collect().map(_.toSeq).toSet == want)
+    } finally q.stop()
+  }
+
   test("normalizeDocs: the full cleaning chain and the changed flag") {
     import graft.pipeline.TextAnalysis
     val docs = Seq(
