@@ -776,6 +776,17 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // robust per-source outlier screen: median/MAD (50% breakdown point —
+    // a contaminated shard cannot move the threshold that should catch
+    // it, unlike mean/stddev); all-integer so both engines agree exactly
+    "ext_outliers" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val scored = TextAnalysis.qualityScore(docs)
+        .join(docs.select("doc_id", "source"), "doc_id")
+      Sampling.madOutliers(scored, "source", "quality_ppm", kMilli = 2000L)
+        .orderBy("doc_id")
+    }),
+
     "ext_lang_id" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       TextAnalysis.langId(docs)
@@ -1883,6 +1894,37 @@ object PipelineQueries {
          |  cut.cutoff IS NOT NULL AND sc.quality_ppm >= cut.cutoff AS kept
          |FROM sc LEFT JOIN cut ON cut.source = sc.source
          |ORDER BY sc.doc_id""".stripMargin,
+
+    // median/MAD outliers: upper median via the same desc-cumulative
+    // histogram as the calibrated cutoffs, target = ceil(n/2)
+    "ext_outliers" ->
+      s"""WITH tk AS (SELECT doc_id, ${toksD("text")} AS toks FROM documents),
+         |st AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+         |         CAST(len(list_distinct(toks)) * 1000000 // greatest(len(toks), 1) AS BIGINT) AS distinct_ppm
+         |       FROM tk),
+         |sc AS (SELECT st.doc_id, d.source,
+         |         CAST(least(least(n_tokens, 100) * 5000 + distinct_ppm // 2, 1000000) AS BIGINT) AS quality_ppm
+         |       FROM st JOIN documents d ON d.doc_id = st.doc_id),
+         |h AS (SELECT source, quality_ppm, count(*) AS c FROM sc GROUP BY 1, 2),
+         |cm AS (SELECT source, quality_ppm,
+         |    sum(c) OVER (PARTITION BY source ORDER BY quality_ppm DESC
+         |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         |    (sum(c) OVER (PARTITION BY source) + 1) // 2 AS target FROM h),
+         |med AS (SELECT source, CAST(max(quality_ppm) AS BIGINT) AS med
+         |        FROM cm WHERE cum >= target GROUP BY 1),
+         |dv AS (SELECT sc.doc_id, sc.source, sc.quality_ppm, med.med,
+         |         abs(sc.quality_ppm - med.med) AS dev
+         |       FROM sc JOIN med USING (source)),
+         |h2 AS (SELECT source, dev, count(*) AS c FROM dv GROUP BY 1, 2),
+         |cm2 AS (SELECT source, dev,
+         |    sum(c) OVER (PARTITION BY source ORDER BY dev DESC
+         |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         |    (sum(c) OVER (PARTITION BY source) + 1) // 2 AS target FROM h2),
+         |mad AS (SELECT source, CAST(max(dev) AS BIGINT) AS mad
+         |        FROM cm2 WHERE cum >= target GROUP BY 1)
+         |SELECT dv.doc_id, dv.source, dv.quality_ppm, dv.med, mad.mad,
+         |  dv.dev * 1000 > 2000 * mad.mad AS is_outlier
+         |FROM dv JOIN mad USING (source) ORDER BY dv.doc_id""".stripMargin,
 
     "ext_lang_id" ->
       s"""WITH tk AS (SELECT doc_id, lang, ${toksD("text")} AS toks FROM documents),

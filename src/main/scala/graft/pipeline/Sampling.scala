@@ -672,6 +672,60 @@ object Sampling {
           lit(false)).as("kept"))
   }
 
+  /** Upper median per stratum via the (stratum, value) HISTOGRAM — the
+    * [[calibratedCutoffs]] plan shape with target = ceil(n/2), so a
+    * single-row stratum reports its own value (the keep-rate form's
+    * `target > 0` guard would drop it). Never a corpus rank window.
+    */
+  private def upperMedianPerStratum(
+      df: DataFrame,
+      stratumCol: String,
+      valCol: String,
+      outCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hist = df.groupBy(col(stratumCol), col(valCol)).agg(count(lit(1)).as("__c"))
+    val desc = Window.partitionBy(stratumCol).orderBy(col(valCol).desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    hist
+      .withColumn("__cum", sum(col("__c")).over(desc))
+      .withColumn("__target",
+        expr(s"((sum(__c) over (partition by `$stratumCol`)) + 1) DIV 2"))
+      .where(col("__cum") >= col("__target"))
+      .groupBy(stratumCol).agg(max(col(valCol)).as(outCol))
+  }
+
+  /** ROBUST per-stratum OUTLIER detection — median/MAD, the screen that
+    * survives exactly the contamination it hunts: mean/stddev thresholds
+    * move with the outliers they are supposed to catch (one badly mangled
+    * shard shifts the mean and hides itself), while the median and the
+    * median absolute deviation have a 50% breakdown point. A document is
+    * flagged when |score − median| × 1000 > kMilli × MAD — all integer
+    * arithmetic, so both engines agree exactly. A zero-MAD stratum (over
+    * half its scores identical) flags ANY deviation — the strict reading
+    * of robustness, documented rather than softened.
+    *
+    * Scale shape: two histogram passes ([[calibratedCutoffs]]'s shape —
+    * per-stratum aggregates, never a corpus rank window), both broadcast
+    * back; the corpus is scanned twice and never shuffled on its rows.
+    * Output: (idCol, stratumCol, scoreCol, med, mad, is_outlier).
+    */
+  def madOutliers(
+      scored: DataFrame,
+      stratumCol: String,
+      scoreCol: String,
+      kMilli: Long = 3000L,
+      idCol: String = "doc_id"): DataFrame = {
+    require(kMilli > 0, s"madOutliers: kMilli must be positive, got $kMilli")
+    val med = upperMedianPerStratum(scored, stratumCol, scoreCol, "med")
+    val dev = scored.join(broadcast(med), Seq(stratumCol))
+      .withColumn("__dev", abs(col(scoreCol) - col("med")))
+    val mad = upperMedianPerStratum(
+      dev.select(col(stratumCol), col("__dev")), stratumCol, "__dev", "mad")
+    dev.join(broadcast(mad), Seq(stratumCol))
+      .select(col(idCol), col(stratumCol), col(scoreCol), col("med"), col("mad"),
+        (col("__dev") * 1000L > lit(kMilli) * col("mad")).as("is_outlier"))
+  }
+
   /** DSIR-style IMPORTANCE WEIGHTS for data selection (cited technique:
     * Xie et al., "Data Selection for Language Models via Importance
     * Resampling", NeurIPS 2023 — hashed-n-gram importance weights;

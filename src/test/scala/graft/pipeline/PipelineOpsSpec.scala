@@ -1548,6 +1548,31 @@ class PipelineOpsSpec extends SparkSpec {
       (7L, 1L, 1L, 1L, 1000000L)))
   }
 
+  test("madOutliers: median/MAD flags the outlier the mean would hide; zero-MAD and singleton strata") {
+    val scored = Seq(
+      // stratum a: scores 10,12,14,16,1000 — med 14, deviations 4,2,0,2,986
+      // -> MAD 2; at k=2.0 the threshold is 4 exactly, so only 1000 flags
+      (1L, "a", 10L), (2L, "a", 12L), (3L, "a", 14L), (4L, "a", 16L), (5L, "a", 1000L),
+      // stratum b: constant scores except one — MAD 0, ANY deviation flags
+      (6L, "b", 7L), (7L, "b", 7L), (8L, "b", 7L), (9L, "b", 8L),
+      // stratum c: a single row — med = own score, dev 0, never an outlier
+      (10L, "c", 99L)).toDF("doc_id", "stratum", "score")
+    val got = Sampling.madOutliers(scored, "stratum", "score", kMilli = 2000L)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getLong(4), r.getBoolean(5)))
+    // a: med 14 (upper median of 5 desc: target 3 -> 14), MAD 2
+    val byId = got.map(t => t._1 -> t).toMap
+    assert(byId(3L) == ((3L, 14L, 2L, false)))
+    // |10-14|=4; 4*1000 > 2000*2 is false (equal) -> boundary stays in
+    assert(byId(1L)._4 == false)
+    assert(byId(5L)._4 == true, "the gross outlier must flag")
+    // zero-MAD stratum: med 7, MAD 0 -> the single deviating row flags
+    assert(byId(6L) == ((6L, 7L, 0L, false)))
+    assert(byId(9L) == ((9L, 7L, 0L, true)))
+    // singleton stratum
+    assert(byId(10L) == ((10L, 99L, 0L, false)))
+  }
+
   test("dsirWeights: equals a Scala reference; target-like docs out-weight divergent ones") {
     val raw = Seq(
       (1L, "the cat sat on the mat and the cat ran"),
