@@ -93,13 +93,14 @@ object Bench {
       java.nio.file.Files.write(repsPath,
         s"""{"reps":$repsJson,"triage":$triageJson,"sf":"$sfDir"}""".getBytes("UTF-8"))
     } catch { case _: Throwable => () }
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"staging_sec":${fmt(stagingSec)},"failed":$failedJson,"sf":"$sfDir"}""")
-    // The per-query line above grows with the query count and outgrew the
-    // driver's ~2 KB stdout tail capture at 105 queries (BENCH_r12 recorded
-    // parsed:null). Print a SECOND, short, summary line LAST so the tail
-    // capture always contains a parseable total regardless of query count;
-    // the full per-query map stays available on the long line and in
+    // Two lines: a long per-query detail line, then a short summary line
+    // LAST (the detail line outgrew the driver's ~2 KB stdout tail capture
+    // at 105 queries — BENCH_r12 recorded parsed:null). Only the summary
+    // line carries "metric":"total" so a consumer keying or summing by
+    // metric name sees exactly one total; the detail line is named
+    // "total_detail" and the full per-query map also lands in
     // target/bench_reps.json.
+    println(s"""{"metric":"total_detail","value":${fmt(total)},"unit":"sec","queries":$qs,"staging_sec":${fmt(stagingSec)},"failed":$failedJson,"sf":"$sfDir"}""")
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","staging_sec":${fmt(stagingSec)},"n_queries":${names.size},"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }

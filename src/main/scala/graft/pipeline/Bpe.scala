@@ -302,22 +302,28 @@ object Bpe {
     * string. Character decode is `format_string('%c', id)` on the Spark
     * side (DuckDB: `chr`) because Spark's `char(n)` is MOD-256 — it would
     * silently corrupt every non-Latin-1 code point.
-    * Ids above the compound range decode to NULL (which `concat_ws`
+    * Ids outside the vocabulary decode to NULL (which `concat_ws`
     * skips — a corrupted stream surfaces as a round-trip mismatch, not
-    * a crash); every id below VOCAB_BASE is a character id by the
-    * id-space construction, including code points the -1 encode arm
-    * never emits.
+    * a crash). The character arm is range-guarded: negative ids and the
+    * UTF-16 surrogate block (U+D800–U+DFFF, not characters) would make
+    * `format_string('%c', ...)` throw `IllegalFormatCodePointException`
+    * (DuckDB's `chr` likewise errors), so a hostile external id stream
+    * must fall through to NULL before the formatter ever sees it.
     */
   private def symOfS(idv: String): String = {
     val compounds = vocabIds.toSeq.sortBy(_._2)
       .map { case (s, id) => s"WHEN $id THEN '${lit1(s)}'" }.mkString(" ")
-    s"CASE WHEN $idv < $VOCAB_BASE THEN format_string('%c', cast($idv as int)) " +
+    s"CASE WHEN $idv >= 0 AND $idv < $VOCAB_BASE " +
+      s"AND NOT ($idv BETWEEN 55296 AND 57343) " +
+      s"THEN format_string('%c', cast($idv as int)) " +
       s"ELSE CASE $idv $compounds ELSE NULL END END"
   }
   private def symOfD(idv: String): String = {
     val compounds = vocabIds.toSeq.sortBy(_._2)
       .map { case (s, id) => s"WHEN $id THEN '${lit1D(s)}'" }.mkString(" ")
-    s"CASE WHEN $idv < $VOCAB_BASE THEN chr(($idv)::INT) ELSE CASE $idv $compounds ELSE NULL END END"
+    s"CASE WHEN $idv >= 0 AND $idv < $VOCAB_BASE " +
+      s"AND NOT ($idv BETWEEN 55296 AND 57343) " +
+      s"THEN chr(($idv)::INT) ELSE CASE $idv $compounds ELSE NULL END END"
   }
 
   /** DECODE an id array back to text — the inverse every tokenizer ships
@@ -370,19 +376,50 @@ object Bpe {
     * with leading/trailing/doubled spaces differ from their round trip,
     * and those the tokenizer itself normalizes — documented contract).
     * Asserting this corpus-wide is the cheapest end-to-end integrity
-    * check of the whole id table. The symbol array and the decoded
-    * string are each lambda-bound so they evaluate once per row.
+    * check of the whole id table.
+    *
+    * Runs on the DICTIONARY PATH ([[docTokenCounts]]'s discipline): both
+    * the per-word merge chain AND the per-id decode (whose
+    * `format_string('%c', …)` character formatting is the expensive part
+    * of byte-exact decode) execute once per DISTINCT word — the Zipfian
+    * vocabulary — then fan back over the (doc, pos, word) occurrence
+    * stream via a broadcast join. The round trip stays genuine: each
+    * dictionary entry is decode(ids(encode(word))) through the integer id
+    * table, exactly what the scan-side form computed per occurrence, and
+    * the spaced stream's decode factors per word because the marker
+    * (id 32) always decodes to one ' ' between words. The per-doc
+    * reassembly (`array_sort(collect_list(struct(pos, dec)))`) is the
+    * one cost the scan-side form didn't pay: this audit shuffles the
+    * decoded WORD stream once. That trade is right here — the merge
+    * chain + formatter cost it removes grows with merge-table depth and
+    * per-occurrence volume, while the shuffle is the corpus's token
+    * stream at its natural width (measured at sf0.1: 2.87 → under the
+    * encode-only query's own floor).
     */
   def decodeRoundTrip(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val ids = s"transform(ss, sy -> ${idOfS("sy")})"
-    val stats =
-      s"""inline(array(element_at(transform(array(${symsSpacedS(textCol)}), ss ->
-         |  element_at(transform(array(${decodeS(ids)}), dd -> named_struct(
-         |    'n_bpe_tokens', cast(size(ss) as bigint),
-         |    'decoded_md5', md5(dd),
-         |    'roundtrip_ok', dd = concat_ws(' ', ${toksS(textCol)}))), 1)), 1)))"""
-        .stripMargin.replace("\n", " ")
-    docs.select(col(idCol), expr(stats))
+    val base = docs.select(col(idCol), expr(toksS(textCol)).as("__toks"))
+    val words = base.select(col(idCol), posexplode(col("__toks")).as(Seq("__p", "__w")))
+    val ids = s"transform(ws, sy -> ${idOfS("sy")})"
+    val dict = words.select("__w").distinct()
+      .select(col("__w"),
+        expr(
+          s"""inline(array(element_at(transform(array(${wordSymsS("__w")}), ws ->
+             |  named_struct(
+             |    '__n', cast(size(ws) as bigint),
+             |    '__d', ${decodeS(ids)})), 1)))"""
+            .stripMargin.replace("\n", " ")))
+    val perDoc = words.join(broadcast(dict), "__w")
+      .groupBy(idCol)
+      .agg(
+        expr("sum(__n) + count(1) - 1").as("n_bpe_tokens"),
+        expr("concat_ws(' ', transform(array_sort(collect_list(struct(__p, __d))), x -> x.__d))")
+          .as("__dd"))
+    base.join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bpe_tokens"), lit(0L)).as("n_bpe_tokens"),
+        md5(coalesce(col("__dd"), lit(""))).as("decoded_md5"),
+        (coalesce(col("__dd"), lit("")) === concat_ws(" ", col("__toks")))
+          .as("roundtrip_ok"))
   }
 
   /** DuckDB oracle twin of [[decodeRoundTrip]] — generated from the same
@@ -463,10 +500,13 @@ object Bpe {
     // left join from the distinct langs: a language whose documents are
     // ALL empty produces no word rows but must still report (0, 0, 0) —
     // vanishing from a per-language report reads as "not ingested", the
-    // opposite of the truth
-    docs.select(langCol).distinct()
-      .join(agg, Seq(langCol), "left")
-      .select(col(langCol),
+    // opposite of the truth. NULL-SAFE equality (<=>): an un-tagged
+    // (NULL-lang) stratum with real words must match its own aggregate
+    // row, not zero out — the exact misreport this join exists to prevent.
+    val langs = docs.select(col(langCol)).distinct().as("__l")
+    langs
+      .join(agg.as("__a"), col(s"__l.$langCol") <=> col(s"__a.$langCol"), "left")
+      .select(col(s"__l.$langCol").as(langCol),
         coalesce(col("n_words"), lit(0L)).as("n_words"),
         coalesce(col("n_bpe_tokens"), lit(0L)).as("n_bpe_tokens"),
         expr("coalesce(n_bpe_tokens, 0L) * 1000000 DIV greatest(coalesce(n_words, 0L), 1)")

@@ -253,11 +253,19 @@ object Dedup {
       .agg(count(lit(1)).as("n_inter"))
     pairs.select("id1", "id2")
       .join(inter, Seq("id1", "id2"), "left")
-      .join(sizes.withColumnRenamed(idCol, "id1").withColumnRenamed("n_sh", "n1"), "id1")
-      .join(sizes.withColumnRenamed(idCol, "id2").withColumnRenamed("n_sh", "n2"), "id2")
+      .join(sizes.withColumnRenamed(idCol, "id1").withColumnRenamed("n_sh", "n1"),
+        Seq("id1"), "left")
+      .join(sizes.withColumnRenamed(idCol, "id2").withColumnRenamed("n_sh", "n2"),
+        Seq("id2"), "left")
       .select(col("id1"), col("id2"),
-        expr("coalesce(n_inter, 0L) * 1000000 DIV (n1 + n2 - coalesce(n_inter, 0L))")
-          .as("jaccard_ppm"))
+        // An endpoint absent from sh (doc under the shingle length) has zero
+        // shingles, not "no row": coalesce sizes to 0 so every input pair
+        // appears in the output, and score the degenerate both-empty pair 0
+        // (no shared shingle) rather than dividing by zero.
+        expr("""CASE WHEN coalesce(n1, 0L) + coalesce(n2, 0L) = 0L THEN 0L
+                ELSE coalesce(n_inter, 0L) * 1000000
+                     DIV (coalesce(n1, 0L) + coalesce(n2, 0L) - coalesce(n_inter, 0L))
+                END""").as("jaccard_ppm"))
   }
 
   /** Distinct co-shingling candidate pairs over the df-capped sets — the

@@ -1417,11 +1417,10 @@ object PipelineQueries {
          |truth AS (SELECT id1, id2 FROM tjac WHERE jp >= 200000),
          |nb AS (SELECT count(*) AS n_band FROM band)
          |SELECT CAST(count(*) AS BIGINT) AS n_truth,
-         |  CAST(nb.n_band AS BIGINT) AS n_band,
+         |  (SELECT CAST(n_band AS BIGINT) FROM nb) AS n_band,
          |  CAST(count(band.id1) AS BIGINT) AS n_found,
          |  CAST(count(band.id1) * 1000000 // greatest(count(*), 1) AS BIGINT) AS recall_ppm
-         |FROM truth LEFT JOIN band USING (id1, id2), nb
-         |GROUP BY nb.n_band""".stripMargin,
+         |FROM truth LEFT JOIN band USING (id1, id2)""".stripMargin,
 
     // directional containment over the df-capped shingle sets (both
     // directions of every co-shingling pair; same blocked CTEs as ngram)

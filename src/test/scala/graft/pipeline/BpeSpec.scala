@@ -322,6 +322,20 @@ class BpeSpec extends SparkSpec {
       "supplementary-plane code points must round-trip (one char, one id)")
   }
 
+  test("decode NULL-guards hostile ids: negative, surrogate block, unknown compound — no crash") {
+    import spark.implicits._
+    // a corrupted EXTERNAL id stream can hold values the encoder never
+    // emits; format_string('%c', …) throws IllegalFormatCodePointException
+    // on negatives and the UTF-16 surrogate block (U+D800–U+DFFF), so the
+    // decode must range-guard them to NULL (concat_ws skips NULLs — the
+    // corruption surfaces as a round-trip mismatch, not an executor crash)
+    val hostile = Seq((1L, Seq(97L, -5L, 0xD800L, 0xDFFFL, 98L, Bpe.VOCAB_BASE + 9999L)))
+      .toDF("doc_id", "ids")
+    val out = hostile.select(expr(Bpe.decodeS("ids")).as("d")).collect()
+    assert(out.head.getString(0) == "ab",
+      "hostile ids must decode to NULL (skipped), valid ids must survive")
+  }
+
   test("decodeRoundTrip holds corpus-wide at sf0.001 (byte-exact contract)") {
     val out = Bpe.decodeRoundTrip(Tables.documents(spark, "/root/testdata/sf0.001"))
     assert(out.where(!col("roundtrip_ok")).isEmpty,

@@ -1476,6 +1476,16 @@ class PipelineOpsSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
     assert(got((1L, 2L)) == 2L * 1000000L / 6L) // |∩|=2, |∪|=4+4-2
     assert(got((1L, 3L)) == 0L)
+    // a pair whose endpoint has ZERO shingle rows (doc under the shingle
+    // length, or an id absent from sh entirely) still answers 0 — the
+    // documented every-input-pair contract; an inner join on sizes would
+    // silently drop it and understate audit denominators
+    val shortDocs = docs.unionByName(Seq((4L, "a b"), (5L, "")).toDF("doc_id", "text"))
+    val shortPairs = Seq((1L, 4L), (4L, 5L), (1L, 99L)).toDF("id1", "id2")
+    val got2 = Dedup.jaccardForPairsOf(Dedup.shingleRows(shortDocs), shortPairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got2 == Map((1L, 4L) -> 0L, (4L, 5L) -> 0L, (1L, 99L) -> 0L),
+      "every input pair must appear, including zero-shingle and both-empty endpoints")
   }
 
   test("shingleContainmentOf: property — equals brute-force set containment on random corpora") {
@@ -1529,6 +1539,13 @@ class PipelineOpsSpec extends SparkSpec {
     val withEmpty = docs.unionByName(Seq((9L, "xx", "")).toDF("doc_id", "lang", "text"))
     val xx = Bpe.fertilityByLang(withEmpty).where(col("lang") === "xx").collect()
     assert(xx.map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSeq == Seq((0L, 0L, 0L)))
+    // an UN-TAGGED (NULL-lang) stratum with real words must report its own
+    // aggregate, not zero out through a null-unsafe join
+    val withNull = docs.unionByName(
+      Seq((10L, Option.empty[String], "the and")).toDF("doc_id", "lang", "text"))
+    val nl = Bpe.fertilityByLang(withNull).where(col("lang").isNull).collect()
+    assert(nl.length == 1 && nl.head.getLong(1) == 2L && nl.head.getLong(2) > 0L,
+      "NULL-lang stratum with words must carry its real counts")
   }
 
   test("knnLabelEval: majority vote, lower-label ties, neighborless queries count incorrect") {
