@@ -37,6 +37,55 @@ object PipelineQueries {
         .select((col("doc_id") + 1000000L).as("doc_id"),
           concat(lit("résumé   "), col("text")).as("text")))
 
+  /** Markup fixture pieces for [[markupAug]] — ONE set of constants feeds
+    * the Spark aug and the DuckDB oracle so the two engines build
+    * byte-identical HTML. Adversarial on purpose: a raw `<` inside the
+    * script, a comment carrying a fake `<p>`, entity escapes in a real
+    * paragraph, an all-link nav, a link farm, a short heading, a footer.
+    */
+  private val mkHead =
+    """<html><head><title>Doc</title><style>p { color: #333; }</style>""" +
+      """<script>if (1 < 2) { track("&"); }</script></head><body>""" +
+      """<nav><a href="/">Home</a> <a href="/about">About</a> <a href="/contact">Contact</a></nav>""" +
+      """<!-- nav end <p>not a real paragraph</p> --><h1>Overview</h1><p>"""
+  private val mkFarm =
+    """<div><a href="/t/1">tag one</a> <a href="/t/2">tag two</a> """ +
+      """<a href="/t/3">tag three</a> related tags</div>"""
+  private val mkQuote =
+    """<p>He said &quot;rows &amp; columns&quot; twice, a &#39;quoted&#39; phrase worth keeping here.</p>"""
+  private val mkFoot =
+    """<footer><a href="/privacy">Privacy</a>&nbsp;<a href="/terms">Terms</a> © 2026</footer></body></html>"""
+
+  /** documents wrapped in synthetic HTML: boilerplate chrome around the
+    * real text (entity-escaped, the well-formed-HTML discipline), a link
+    * farm for every 3rd doc, a second REAL entity-laden paragraph for
+    * every 7th. Extraction must recover exactly the text (+ the quote
+    * paragraph where present) and drop all chrome.
+    */
+  private def markupAug(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      concat(lit(mkHead),
+        regexp_replace(regexp_replace(regexp_replace(col("text"),
+          "&", "&amp;"), "<", "&lt;"), ">", "&gt;"),
+        lit("</p>"),
+        when(col("doc_id") % 3 === 0, lit(mkFarm)).otherwise(lit("")),
+        when(col("doc_id") % 7 === 0, lit(mkQuote)).otherwise(lit("")),
+        lit(mkFoot)).as("html"))
+
+  private def escTextD: String =
+    "replace(replace(replace(text, '&', '&amp;'), '<', '&lt;'), '>', '&gt;')"
+
+  private def markupHtmlD: String = {
+    import MarkupExtract.sqlLit
+    s"""${sqlLit(mkHead)} || $escTextD || '</p>' ||
+       |  CASE WHEN doc_id % 3 = 0 THEN ${sqlLit(mkFarm)} ELSE '' END ||
+       |  CASE WHEN doc_id % 7 = 0 THEN ${sqlLit(mkQuote)} ELSE '' END ||
+       |  ${sqlLit(mkFoot)}""".stripMargin
+  }
+
+  private def markupAugSqlD: String =
+    s"h AS (SELECT doc_id, $markupHtmlD AS html FROM documents)"
+
   /** documents with injected line structure: a header line shared by EVERY
     * doc, the (unique) body, and a footer line shared by every third doc —
     * the boilerplate shape cross-doc line dedup exists to remove.
@@ -432,6 +481,40 @@ object PipelineQueries {
             concat(regexp_replace(col("text"), " ", "  "), lit("")).as("text")))
       Dedup.exactDedup(
           aug.withColumn("__t", TextAnalysis.normalizeExpr(col("text"))),
+          textCol = "__t")
+        .orderBy("doc_id")
+    }),
+
+    // HTML boilerplate extraction — the FIRST stage of a web-corpus
+    // pipeline: markup in, main text out (block segmentation + link
+    // density + length classification, jusText-style); scan-side HOFs,
+    // no shuffle
+    "ext_extract_text" -> ((s, dir) => {
+      MarkupExtract.extract(markupAug(Tables.documents(s, dir)))
+        .select(col("doc_id"), md5(col("text")).as("extracted_md5"),
+          col("n_blocks"), col("n_good"), col("n_chars"))
+        .orderBy("doc_id")
+    }),
+
+    // the canonical web-ingest chain COMPOSED: extract → NFC-normalize →
+    // exact dedup keyed on canonical extracted text. Byte-variant markup
+    // of the same page (entity escapes vs raw chars, every 5th doc
+    // re-wrapped with different chrome) collapses onto one keeper —
+    // the end-to-end story extraction exists to enable
+    "ext_extract_dedup" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val variant = docs.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      val aug = markupAug(docs.select("doc_id", "text"))
+        .unionByName(
+          variant.select(col("doc_id"),
+            concat(lit("<html><body><div><p>"),
+              regexp_replace(regexp_replace(regexp_replace(col("text"),
+                "&", "&amp;"), "<", "&lt;"), ">", "&gt;"),
+              lit("</p></div>"), lit(mkFoot)).as("html")))
+      val extracted = MarkupExtract.extract(aug)
+      Dedup.exactDedup(
+          extracted.withColumn("__t", TextAnalysis.normalizeExpr(col("text"))),
           textCol = "__t")
         .orderBy("doc_id")
     }),
@@ -1365,6 +1448,33 @@ object PipelineQueries {
          |  trim(regexp_replace(regexp_replace(nfc_normalize(text),
          |    '[\\x00-\\x1f\\x7f]', ' ', 'g'), ' +', ' ', 'g')) AS t
          |  FROM aug)
+         |SELECT doc_id, md5(t) AS h,
+         |  min(doc_id) OVER (PARTITION BY md5(t)) AS keep_id,
+         |  doc_id = min(doc_id) OVER (PARTITION BY md5(t)) AS is_keeper
+         |FROM n ORDER BY doc_id""".stripMargin,
+
+    // markup extraction: the aug builds byte-identical HTML from the same
+    // fixture constants; the extraction CTEs come from MarkupExtract so
+    // the regex/threshold constants cannot drift between engines
+    "ext_extract_text" ->
+      s"""WITH $markupAugSqlD,
+         |${MarkupExtract.extractSqlD()}
+         |SELECT doc_id, md5(txt) AS extracted_md5, n_blocks, n_good, n_chars
+         |FROM ex ORDER BY doc_id""".stripMargin,
+
+    // extract → normalize → exact dedup, composed end-to-end
+    "ext_extract_dedup" ->
+      s"""WITH h AS (SELECT doc_id, $markupHtmlD AS html FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000,
+         |    '<html><body><div><p>' || $escTextD || '</p></div>' ||
+         |    ${MarkupExtract.sqlLit(mkFoot)} AS html
+         |  FROM documents WHERE doc_id % 5 = 0),
+         |${MarkupExtract.extractSqlD()},
+         |n AS (SELECT doc_id,
+         |  trim(regexp_replace(regexp_replace(nfc_normalize(txt),
+         |    '[\\x00-\\x1f\\x7f]', ' ', 'g'), ' +', ' ', 'g')) AS t
+         |  FROM ex)
          |SELECT doc_id, md5(t) AS h,
          |  min(doc_id) OVER (PARTITION BY md5(t)) AS keep_id,
          |  doc_id = min(doc_id) OVER (PARTITION BY md5(t)) AS is_keeper
