@@ -668,6 +668,24 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // fuzzy decontamination: MinHash banding over UNIGRAM token sets —
+    // the probe that catches a PARAPHRASED eval doc (every 3rd token
+    // reworded zeroes every exact 3-gram shingle, so ext_decontaminate
+    // and the Bloom path read 0; word-choice overlap survives). Eval =
+    // a 10-doc benchmark, paraphrased; eval side broadcasts, the corpus
+    // pays one signature aggregation + O(BANDS) broadcast probes
+    "ext_decontaminate_fuzzy" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val para = expr(
+        s"""concat_ws(' ', transform(${toksS("text")},
+           |  (t4, i4) -> IF((i4 + 1) % 3 = 0, concat('zz', substr(t4, 1, 1)), t4)))"""
+          .stripMargin.replace("\n", " "))
+      val evalSet = docs.filter(col("doc_id") < 10)
+        .select(col("doc_id"), para.as("text"))
+      TextAnalysis.contaminationFuzzy(docs.select("doc_id", "text"), evalSet)
+        .orderBy("doc_id", "eval_id")
+    }),
+
     "ext_dedup_simhash_pairs" -> ((s, dir) => {
       Dedup.simhashNearDups(nearAug(Tables.documents(s, dir)), maxDist = 6)
         .orderBy("id1", "id2")
@@ -1709,6 +1727,31 @@ object PipelineQueries {
          |LEFT JOIN sz ON sz.doc_id = d.doc_id
          |LEFT JOIN ht ON ht.doc_id = d.doc_id
          |ORDER BY d.doc_id""".stripMargin,
+
+    // fuzzy decontamination: unigram-set minhash, banded; the paraphrase
+    // aug and the signature/band/agreement constants are all shared with
+    // the Spark side
+    "ext_decontaminate_fuzzy" ->
+      s"""WITH tk AS (SELECT doc_id, ${toksD("text")} AS toks FROM documents),
+         |ev AS (SELECT doc_id AS eval_id,
+         |         list_transform(generate_series(1, len(toks)),
+         |           i -> CASE WHEN i % 3 = 0 THEN 'zz' || substr(toks[i], 1, 1)
+         |                ELSE toks[i] END) AS etoks
+         |       FROM tk WHERE doc_id < 10),
+         |tsh AS (SELECT doc_id, list_distinct(toks) AS shingles FROM tk WHERE len(toks) > 0),
+         |esh AS (SELECT eval_id AS doc_id, list_distinct(etoks) AS shingles FROM ev
+         |        WHERE len(etoks) > 0),
+         |tsg AS (SELECT doc_id, $minhashSigD AS sig FROM tsh),
+         |esg AS (SELECT doc_id AS eval_id, $minhashSigD AS sig FROM esh),
+         |tb AS (SELECT doc_id, unnest($bandHashesD) AS bh FROM tsg),
+         |eb AS (SELECT eval_id, unnest($bandHashesD) AS bh FROM esg),
+         |cand AS (SELECT DISTINCT tb.doc_id, eb.eval_id FROM tb JOIN eb ON tb.bh = eb.bh),
+         |sim AS (SELECT cand.doc_id, cand.eval_id,
+         |          CAST(${sigSimD("x.sig", "y.sig")} AS BIGINT) AS sim_ppm
+         |        FROM cand JOIN tsg x ON x.doc_id = cand.doc_id
+         |             JOIN esg y ON y.eval_id = cand.eval_id)
+         |SELECT doc_id, eval_id, sim_ppm FROM sim
+         |WHERE sim_ppm >= 500000 ORDER BY doc_id, eval_id""".stripMargin,
 
     "ext_pack_chunks" ->
       s"""WITH d AS (SELECT doc_id, CAST(len(${toksD("text")}) AS BIGINT) AS n_tokens FROM documents),

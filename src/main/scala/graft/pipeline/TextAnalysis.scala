@@ -339,6 +339,59 @@ object TextAnalysis {
           .as("contaminated_ppm"))
   }
 
+  /** NEAR-DUP (fuzzy) decontamination — the probe [[contamination]]'s
+    * exact n-gram matching structurally cannot be: a PARAPHRASED eval
+    * document slips every exact path (one edited token kills all three
+    * shingles covering it; a light paraphrase — every few tokens
+    * reworded — zeroes the exact hit count entirely, and the Bloom
+    * variant inherits the same blindness because it probes the same
+    * shingles). This probe bands MinHash signatures over the UNIGRAM
+    * token sets instead: word choice survives paraphrase far better
+    * than word ORDER, so the signal degrades gracefully with edit
+    * density instead of cliffing at one-edit-per-window. Same signature
+    * machinery as near-dup dedup ([[Dedup.minhashSignatureOf]], the
+    * band join, signature-agreement verification) — only the substrate
+    * changes, shingle rows → distinct-token rows.
+    *
+    * Output: one row per (training doc, eval doc) pair whose signature
+    * agreement clears `thresholdPpm` — the excision list for the fuzzy
+    * pass. Training docs matching nothing produce no rows (at corpus
+    * scale the flagged set is tiny; a per-doc report would be
+    * corpus-sized).
+    *
+    * Scale shape: the eval side is BENCHMARK-BOUNDED (same contract as
+    * [[contamination]]'s broadcast map), so its band table and
+    * signatures broadcast; the training side pays one doc-keyed
+    * signature aggregation (map-side partial mins over exploded token
+    * hashes) and then O(BANDS) broadcast-hash-join probes per doc — the
+    * corpus never shuffles and never self-joins. Candidates rejoin
+    * signatures per surviving pair for the exact integer agreement
+    * check, mirroring [[Dedup.minhashStoreMatches]].
+    */
+  def contaminationFuzzy(
+      docs: DataFrame,
+      evalDocs: DataFrame,
+      thresholdPpm: Long = 500000L,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    import graft.pipeline.TextOps.{toksS, hashS, bandHashesS, sigSimS}
+    def tokHashes(d: DataFrame, outId: String) =
+      d.select(col(idCol).as(outId), explode(expr(toksS(textCol))).as("t"))
+        .distinct()
+        .withColumn("h", expr(hashS("t")))
+    val trainSigs = Dedup.minhashSignatureOf(tokHashes(docs, idCol), idCol)
+    val evalSigs = Dedup.minhashSignatureOf(tokHashes(evalDocs, "eval_id"), "eval_id")
+    val tBands = trainSigs.select(col(idCol), explode(expr(bandHashesS)).as("bh"))
+    val eBands = evalSigs.select(col("eval_id"), explode(expr(bandHashesS)).as("bh"))
+    tBands.join(broadcast(eBands), "bh")
+      .select(col(idCol), col("eval_id")).distinct()
+      .join(trainSigs.select(col(idCol), col("sig").as("__sx")), idCol)
+      .join(broadcast(evalSigs.select(col("eval_id"), col("sig").as("__sy"))), "eval_id")
+      .withColumn("sim_ppm", expr(sigSimS("__sx", "__sy")))
+      .where(col("sim_ppm") >= thresholdPpm)
+      .select(col(idCol), col("eval_id"), col("sim_ppm"))
+  }
+
   /** BLOOM-FILTER contamination probe — the scale path past
     * [[contamination]]'s exact broadcast: an exact distinct-shingle set
     * for a LARGE eval suite (every benchmark a lab guards, hundreds of

@@ -192,6 +192,36 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out(3) == ((4L, 0L, 0L, 0L)), s"short doc reports zeros: ${out(3)}")
   }
 
+  test("contaminationFuzzy catches a paraphrased eval doc that exact shingle decontamination misses") {
+    // vocabulary appears TWICE at non-congruent offsets (40 tokens, 20
+    // distinct), so a paraphrase hitting every 3rd POSITION (the marker
+    // 'zzz') kills every 3-token window — exact hits are PROVABLY zero
+    // (every eval shingle contains 'zzz'; no train shingle does) — while
+    // the distinct-token set barely moves (each token survives at its
+    // other, non-congruent position): unigram Jaccard = 20/21
+    val vocab = (1 to 20).map(i => s"tok$i")
+    val trainText = (vocab ++ vocab).mkString(" ")
+    val paraText = (vocab ++ vocab).zipWithIndex
+      .map { case (t, i) => if ((i + 1) % 3 == 0) "zzz" else t }.mkString(" ")
+    val train = Seq(
+      (1L, trainText),
+      (2L, (1 to 20).map(i => s"other$i").mkString(" "))) // disjoint vocab
+      .toDF("doc_id", "text")
+    val evalDocs = Seq((7L, paraText)).toDF("doc_id", "text")
+    // exact path: zero hits for BOTH train docs
+    val exact = TextAnalysis.contamination(train, evalDocs).orderBy("doc_id").collect()
+    assert(exact.forall(_.getLong(3) == 0L),
+      "the paraphrase must zero the exact probe — that miss is the point")
+    // fuzzy path: train doc 1 flagged against eval 7, the disjoint doc clean
+    val fuzzy = TextAnalysis.contaminationFuzzy(train, evalDocs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(fuzzy.map(t => (t._1, t._2)).toSeq == Seq((1L, 7L)),
+      s"exactly the paraphrased pair must flag, got ${fuzzy.toSeq}")
+    assert(fuzzy.head._3 >= 500000L, "signature agreement must clear the threshold")
+    // empty eval set: no rows, no crash
+    assert(TextAnalysis.contaminationFuzzy(train, evalDocs.limit(0)).isEmpty)
+  }
+
   test("bm25Lite: higher tf scores higher; df discounts; misses stay out") {
     val docs = Seq(
       (1L, "spark alpha beta gamma"),
