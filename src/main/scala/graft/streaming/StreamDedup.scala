@@ -81,8 +81,10 @@ object StreamDedup {
     * fingerprint store with the engine's state store AS the store: one
     * value-less entry per distinct content hash (a fixed ~32-byte key in
     * the state backend — RocksDB-backed on a cluster, so state scales
-    * with DISTINCT content on disk, not with the stream), checkpointed
-    * with the query, exactly-once across restarts.
+    * with DISTINCT content on disk, not with the stream; StreamDedupSpec
+    * runs this kernel under `RocksDBStateStoreProvider` and asserts
+    * identical semantics, so the disk-backed path is exercised, not just
+    * claimed), checkpointed with the query, exactly-once across restarts.
     *
     * First occurrence wins: within a micro-batch the earliest (arrival,
     * doc_id) copy of a hash is emitted and every later copy — same batch

@@ -263,4 +263,102 @@ class DedupStageSpec extends SparkSpec {
     assert(!plan.contains("raw_embedding"),
       s"store-side float column leaked into the scan:\n${plan.take(3000)}")
   }
+
+  // ------------------------------------- ONLINE store maintenance (e2e)
+
+  test("sig-store maintenance ONLINE: foreachBatch labels + appends over a MemoryStream; identities persist; guard fires") {
+    // the production ingest loop the staged tables model, actually driven
+    // from a stream: each micro-batch reads the parquet-backed store,
+    // labels via minhashDedupIncremental (disjointness guard ON), and
+    // appends sigStoreAppend rows — the store a later batch reads IS the
+    // table an earlier batch wrote
+    import spark.implicits._
+    val base1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val base2 = "one two three four five six seven eight nine ten eleven"
+    val storePath = java.nio.file.Files.createTempDirectory("graft_sigstore_online").toString
+    Dedup.minhashSignature(Seq((10L, base1)).toDF("doc_id", "text"))
+      .withColumn("cluster_id", col("doc_id"))
+      .write.mode("overwrite").parquet(storePath)
+    val labels = new java.util.concurrent.ConcurrentHashMap[Long, Long]()
+    implicit val sqlCtx = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val q = input.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty) {
+          val b = batch.persist()
+          val store = spark.read.parquet(storePath)
+          val labeled = Dedup.minhashDedupIncremental(b, store,
+            checkIdDisjointness = true).persist()
+          labeled.collect().foreach(r => labels.put(r.getLong(0), r.getLong(1)))
+          Dedup.sigStoreAppend(b, labeled)
+            .write.mode("append").parquet(storePath)
+          labeled.unpersist(); b.unpersist()
+          ()
+        }
+      }
+      .start()
+    try {
+      input.addData(Seq((101L, base2), (102L, base2), (103L, base1)))
+      q.processAllAvailable()
+      input.addData(Seq((201L, base2), (202L, base1),
+        (203L, "completely fresh words never seen in any earlier round")))
+      q.processAllAvailable()
+      import scala.jdk.CollectionConverters._
+      assert(labels.asScala.toMap == Map(
+        101L -> 101L, 102L -> 101L, 103L -> 10L,     // batch 1 vs seed store
+        201L -> 101L, 202L -> 10L, 203L -> 203L),    // batch 2 sees batch 1's appends
+        s"got ${labels.asScala.toMap}")
+      assert(spark.read.parquet(storePath).count() == 7L,
+        "store = 1 seed + 3 batch-1 + 3 batch-2 rows")
+      // the id-disjointness guard fires ACROSS batches: id 10 is a store
+      // cluster id minted before this stream ever started
+      input.addData(Seq((10L, base2)))
+      val e = intercept[Exception] { q.processAllAvailable() }
+      def chain(t: Throwable): Seq[Throwable] =
+        if (t == null) Nil else t +: chain(t.getCause)
+      assert(chain(e).exists(_.getMessage != null) &&
+        chain(e).exists(t => t.getMessage != null && t.getMessage.contains("collide")),
+        s"expected the disjointness guard in the failure chain, got $e")
+    } finally q.stop()
+  }
+
+  test("vec-store maintenance ONLINE: foreachBatch drives semanticDedupIncremental + vecStoreAppend across batches") {
+    import spark.implicits._
+    val storePath = java.nio.file.Files.createTempDirectory("graft_vecstore_online").toString
+    Similarity.vecStoreEncode(
+        Seq((10L, proto(0))).toDF("vec_id", "embedding"), fixtureCents, fixtureCbs)
+      .withColumn("cluster_id", col("vec_id"))
+      .write.mode("overwrite").parquet(storePath)
+    val labels = new java.util.concurrent.ConcurrentHashMap[Long, Long]()
+    implicit val sqlCtx = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Array[Double])]
+    val q = input.toDF().toDF("vec_id", "embedding").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty) {
+          val b = batch.persist()
+          val store = spark.read.parquet(storePath)
+          val labeled = Similarity.semanticDedupIncremental(
+            b, store, fixtureCents, fixtureCbs, tauPpm = 500000L,
+            checkIdDisjointness = true).persist()
+          labeled.collect().foreach(r => labels.put(r.getLong(0), r.getLong(1)))
+          Similarity.vecStoreAppend(b, labeled, fixtureCents, fixtureCbs)
+            .write.mode("append").parquet(storePath)
+          labeled.unpersist(); b.unpersist()
+          ()
+        }
+      }
+      .start()
+    try {
+      input.addData(Seq((101L, proto(4)), (102L, proto(4)), (103L, proto(0))))
+      q.processAllAvailable()
+      input.addData(Seq((201L, proto(4)), (202L, proto(0)), (203L, proto(6))))
+      q.processAllAvailable()
+      import scala.jdk.CollectionConverters._
+      assert(labels.asScala.toMap == Map(
+        101L -> 101L, 102L -> 101L, 103L -> 10L,
+        201L -> 101L, 202L -> 10L, 203L -> 203L),  // round-1-minted 101 persists
+        s"got ${labels.asScala.toMap}")
+      assert(spark.read.parquet(storePath).count() == 7L)
+    } finally q.stop()
+  }
 }

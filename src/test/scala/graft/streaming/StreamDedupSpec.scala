@@ -448,4 +448,68 @@ class StreamDedupSpec extends SparkSpec {
         } finally q.stop()
       }
   }
+
+  test("unbounded state kernels run under the RocksDB state-store provider (the cluster backend)") {
+    // dedupUnbounded's scaladoc claims corpus-lifetime state is viable
+    // because the store is disk-backed on a cluster; this spec RUNS both
+    // NoTimeout kernels under RocksDBStateStoreProvider instead of the
+    // default in-memory/HDFS provider and asserts identical semantics —
+    // the claim is exercised, not just documented
+    import graft.streaming.StreamDedup.{IngestDoc, AdmitDoc, AdmittedDoc}
+    implicit val sqlCtx = spark.sqlContext
+    val confKey = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(confKey)
+    spark.conf.set(confKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // dedupUnbounded: cross-batch duplicate drops, first occurrence wins
+      val rows = Seq(
+        IngestDoc(1L, "alpha doc", 10L),
+        IngestDoc(2L, "alpha doc", 5L),
+        IngestDoc(3L, "beta doc", 20L),
+        IngestDoc(4L, "alpha doc", 99L),
+        IngestDoc(5L, "beta doc", 40L))
+      val in1 = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[IngestDoc]
+      val q1 = StreamDedup.dedupUnbounded(in1.toDS())
+        .writeStream.format("memory").queryName("rocks_dedup_out").outputMode("append").start()
+      try {
+        in1.addData(rows.take(3)); q1.processAllAvailable()
+        in1.addData(rows.drop(3)); q1.processAllAvailable()
+        val got = spark.table("rocks_dedup_out").as[IngestDoc].collect().sortBy(_.doc_id).toSeq
+        assert(got == Seq(rows(1), rows(2)),
+          s"RocksDB-backed dedup diverged from the default provider's semantics: $got")
+        // the query's state store is actually RocksDB, not silently the
+        // default: the provider registers rocksdb* custom metrics
+        val pp = q1.lastProgress
+        assert(pp != null && pp.stateOperators.nonEmpty, "state operator progress missing")
+        import scala.jdk.CollectionConverters._
+        assert(pp.stateOperators.head.customMetrics.keySet.asScala
+            .exists(_.toLowerCase.contains("rocksdb")),
+          s"expected rocksdb custom metrics, got ${pp.stateOperators.head.customMetrics.keySet}")
+      } finally q1.stop()
+
+      // tokenBudgetAdmit: cumulative per-stratum budget persists across batches
+      val feed = Seq(
+        AdmitDoc(1L, "en", 40L, 1L), AdmitDoc(2L, "en", 50L, 2L),
+        AdmitDoc(3L, "en", 20L, 3L), AdmitDoc(4L, "zh", 70L, 4L),
+        AdmitDoc(5L, "zh", 40L, 5L), AdmitDoc(6L, "xx", 10L, 6L))
+      val budgets = Map("en" -> 100L, "zh" -> 100L)
+      val want = StreamDedup.admitReference(feed, budgets)
+      val in2 = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[AdmitDoc]
+      val q2 = StreamDedup.tokenBudgetAdmit(in2.toDS(), budgets)
+        .writeStream.format("memory").queryName("rocks_admit_out").outputMode("append").start()
+      try {
+        in2.addData(feed.take(2)); q2.processAllAvailable()
+        in2.addData(feed.drop(2)); q2.processAllAvailable()
+        val got = spark.table("rocks_admit_out").as[AdmittedDoc].collect().sortBy(_.arrival).toSeq
+        assert(got == want.sortBy(_.arrival),
+          "RocksDB-backed admission diverged from the reference model")
+      } finally q2.stop()
+    } finally {
+      prior match {
+        case Some(v) => spark.conf.set(confKey, v)
+        case None => spark.conf.unset(confKey)
+      }
+    }
+  }
 }
