@@ -765,7 +765,17 @@ object PipelineQueries {
         // here vs ~27% trained; trained IVF routes better than the
         // pseudo-random cells)
         "pq_trained" -> Similarity.pqKnn(emb, qs, 3, Similarity.refPqCodebooks),
-        "ivf_trained" -> Similarity.ivfKnnWith(emb, qs, 3, Similarity.refIvfCentroids))
+        "ivf_trained" -> Similarity.ivfKnnWith(emb, qs, 3, Similarity.refIvfCentroids),
+        // residual IVFPQ (FAISS composition: trained cells + codebooks
+        // trained on what the cells leave unexplained, L2 ADC): "ivfpq"
+        // is the routed production config (nprobe=2, same routing budget
+        // as ivf_trained); "ivfpq_full" probes every cell — the
+        // quantization-quality apples-to-apples against pq_trained
+        // (residual codes beat flat trained codes at equal bit budget)
+        "ivfpq" -> Similarity.ivfPqKnn(emb, qs, 3,
+          Similarity.refIvfCentroids, Similarity.refResidualPqCodebooks, nprobe = 2),
+        "ivfpq_full" -> Similarity.ivfPqKnn(emb, qs, 3,
+          Similarity.refIvfCentroids, Similarity.refResidualPqCodebooks, nprobe = 8))
         .map { case (m, a) => Similarity.knnRecall(exact, a, m) }
         .reduce(_.unionByName(_))
         .orderBy("method")
@@ -1432,6 +1442,65 @@ object PipelineQueries {
   private lazy val knnPqTrainedSql: String = knnPqSqlFrom(
     s"SELECT m, c, vals FROM (VALUES ${pqCbRowsD(Similarity.refPqCodebooks)}) t(m, c, vals)")
 
+  // IVFPQ residual oracle: cell assignment as in the IVF statements (max
+  // dot, ties to the lower cid), residual = ppm(vec) − ppm(centroid),
+  // codes argmin over the RESIDUAL codebooks, L2 ADC scoring
+  // 2·dot(q, recon) − ‖recon‖² with the probe restricted to the query's
+  // nprobe cells — each piece the integer twin of the Spark expression
+  private def knnIvfPqSql(nprobe: Int): String = {
+    val cbCte =
+      s"SELECT m, c, vals FROM (VALUES ${pqCbRowsD(Similarity.refResidualPqCodebooks)}) t(m, c, vals)"
+    s"""WITH cb AS ($cbCte),
+       |${ivfCentValuesSql(Similarity.refIvfCentroids)},
+       |cp AS (SELECT cid, list_transform(cv, x0 -> CAST(floor(x0 * 1000000) AS BIGINT)) AS cpv
+       |       FROM cent),
+       |vp AS (SELECT vec_id,
+       |  list_transform(embedding, x0 -> CAST(floor(x0::DOUBLE * 1000000) AS BIGINT)) AS p
+       |  FROM embeddings),
+       |cd AS (SELECT vec_id, cid,
+       |        row_number() OVER (PARTITION BY vec_id ORDER BY $dotEmbCentD DESC, cid) AS rn
+       |       FROM embeddings, cent),
+       |asg AS (SELECT vec_id, cid AS cell FROM cd WHERE rn = 1),
+       |rp AS (SELECT vp.vec_id, asg.cell,
+       |         list_transform(generate_series(1,64), i -> p[i] - cpv[i]) AS r
+       |       FROM vp JOIN asg USING (vec_id) JOIN cp ON cp.cid = asg.cell),
+       |d AS (SELECT vec_id, m, c,
+       |    list_sum(list_transform(generate_series(1,8),
+       |      i -> (r[m*8+i] - vals[i]) * (r[m*8+i] - vals[i]))) AS dist
+       |  FROM rp, cb),
+       |cdx AS (SELECT vec_id, m, c,
+       |    row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, c) AS rn FROM d),
+       |codes AS (SELECT vec_id, m, c FROM cdx WHERE rn = 1),
+       |nr AS (SELECT codes.vec_id,
+       |         CAST(sum(list_sum(list_transform(generate_series(1,8),
+       |           i -> (cpv[codes.m*8+i] + vals[i]) * (cpv[codes.m*8+i] + vals[i])))) AS BIGINT) AS nrm2
+       |       FROM codes JOIN cb ON cb.m = codes.m AND cb.c = codes.c
+       |            JOIN asg ON asg.vec_id = codes.vec_id
+       |            JOIN cp ON cp.cid = asg.cell
+       |       GROUP BY codes.vec_id),
+       |lut AS (SELECT vec_id AS query_id, m, c,
+       |    list_sum(list_transform(generate_series(1,8), i -> p[m*8+i] * vals[i])) AS v
+       |  FROM vp, cb WHERE vec_id < 10),
+       |bs AS (SELECT vp.vec_id AS query_id, cp.cid AS cell,
+       |         list_sum(list_transform(generate_series(1,64), i -> p[i] * cpv[i])) AS b
+       |       FROM vp, cp WHERE vp.vec_id < 10),
+       |probes AS (SELECT vec_id AS query_id, cid AS cell FROM cd
+       |           WHERE vec_id < 10 AND rn <= $nprobe),
+       |s AS (SELECT l.query_id, k.vec_id AS neighbor_id,
+       |        CAST(2 * (sum(l.v) + max(bs.b)) - max(nr.nrm2) AS BIGINT) AS score
+       |      FROM codes k
+       |        JOIN asg ON asg.vec_id = k.vec_id
+       |        JOIN probes pr ON pr.cell = asg.cell
+       |        JOIN lut l ON l.query_id = pr.query_id AND k.m = l.m AND k.c = l.c
+       |        JOIN bs ON bs.query_id = pr.query_id AND bs.cell = asg.cell
+       |        JOIN nr ON nr.vec_id = k.vec_id
+       |      WHERE k.vec_id <> l.query_id GROUP BY 1, 2),
+       |w AS (SELECT query_id, neighbor_id, score,
+       |        row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank FROM s)
+       |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, score
+       |FROM w WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
     "ext_dedup_exact" ->
       s"""WITH $exactAugSql
@@ -1844,6 +1913,8 @@ object PipelineQueries {
          |a_pq AS (SELECT query_id, neighbor_id FROM ($knnPqSql)),
          |a_pqt AS (SELECT query_id, neighbor_id FROM ($knnPqTrainedSql)),
          |a_ivt AS (SELECT query_id, neighbor_id FROM (${knnIvfSqlFrom(ivfCentValuesSql(Similarity.refIvfCentroids))})),
+         |a_ivfpq AS (SELECT query_id, neighbor_id FROM (${knnIvfPqSql(2)})),
+         |a_ivfpqf AS (SELECT query_id, neighbor_id FROM (${knnIvfPqSql(8)})),
          |r AS (
          |  SELECT 'ivf' AS method, count(*) AS n_exact, count(a.neighbor_id) AS n_hit
          |  FROM ex e LEFT JOIN a_ivf a USING (query_id, neighbor_id)
@@ -1858,7 +1929,13 @@ object PipelineQueries {
          |  FROM ex e LEFT JOIN a_pqt a USING (query_id, neighbor_id)
          |  UNION ALL
          |  SELECT 'ivf_trained', count(*), count(a.neighbor_id)
-         |  FROM ex e LEFT JOIN a_ivt a USING (query_id, neighbor_id))
+         |  FROM ex e LEFT JOIN a_ivt a USING (query_id, neighbor_id)
+         |  UNION ALL
+         |  SELECT 'ivfpq', count(*), count(a.neighbor_id)
+         |  FROM ex e LEFT JOIN a_ivfpq a USING (query_id, neighbor_id)
+         |  UNION ALL
+         |  SELECT 'ivfpq_full', count(*), count(a.neighbor_id)
+         |  FROM ex e LEFT JOIN a_ivfpqf a USING (query_id, neighbor_id))
          |SELECT method, CAST(n_exact AS BIGINT) AS n_exact, CAST(n_hit AS BIGINT) AS n_hit,
          |  CAST(n_hit * 1000000 // greatest(n_exact, 1) AS BIGINT) AS recall_ppm
          |FROM r ORDER BY method""".stripMargin,

@@ -423,6 +423,23 @@ object Similarity {
     Seq(Seq(43773L, -138760L, -45091L, 141719L, 72845L, -78928L, 58420L, -22297L), Seq(-36248L, -191768L, 47794L, 5346L, 11564L, 96642L, 9019L, 117149L), Seq(58084L, 15246L, 109154L, -84386L, -17529L, -88416L, 116299L, 204309L), Seq(233926L, -194978L, 10472L, -49790L, 8917L, 97041L, -88924L, 13309L), Seq(-52793L, -25360L, 38324L, 52952L, 22454L, 140798L, 102230L, -26369L), Seq(25126L, 262L, 111915L, 31512L, -18982L, 57574L, -134774L, -172626L), Seq(25142L, 11693L, -115838L, 92778L, -15504L, -20118L, -33588L, 128013L), Seq(-25205L, -10755L, 140354L, 64281L, 32173L, -66925L, -69556L, 87362L), Seq(-149240L, 18397L, -13725L, 62439L, -145107L, 73310L, -59099L, -124373L), Seq(58897L, -58952L, 84998L, -127328L, -149477L, 22638L, -16854L, 31262L), Seq(83344L, 132317L, 81245L, -38373L, 113120L, -22874L, 12449L, -18053L), Seq(82309L, 53805L, -115115L, -127627L, 2503L, 50760L, 89524L, -721L), Seq(-142041L, 29675L, -22119L, -21358L, 165102L, 4962L, -73617L, -17873L), Seq(-129381L, -102919L, -96930L, -63249L, -41066L, -60050L, -33174L, -8968L), Seq(-72471L, 16804L, 65512L, 68513L, 6120L, -114611L, 125188L, -17693L), Seq(50653L, 37197L, -33123L, -58025L, -42752L, -131832L, -32044L, -144733L)),
     Seq(Seq(-34998L, -95362L, -116385L, -71203L, -75719L, -33812L, 74444L, -176262L), Seq(43121L, -61659L, -5118L, 94636L, -100731L, 51228L, -89731L, -85064L), Seq(64506L, -94395L, -3230L, 103233L, 20366L, 154828L, 74566L, 780L), Seq(-83557L, -58667L, -29471L, -121636L, 98302L, -55107L, -25529L, -70662L), Seq(95948L, -128824L, -14882L, -76805L, -17303L, -5638L, 83681L, 99862L), Seq(-70343L, 50635L, -4433L, 12714L, -151253L, 56574L, -31083L, 102588L), Seq(-101747L, 51689L, 5880L, 32892L, 79623L, 4551L, 173364L, 26412L), Seq(2897L, 124121L, -181815L, -88384L, 40932L, 53336L, -58274L, -86693L), Seq(-87037L, 64315L, 88368L, -117154L, -81329L, -104185L, 43147L, 19284L), Seq(27189L, 18253L, 39363L, -136433L, 15063L, 131810L, -6550L, -21155L), Seq(137413L, 66314L, 25483L, 37768L, 113194L, -118313L, -46737L, 57549L), Seq(-31566L, 106353L, -97906L, 6501L, 132494L, 21167L, -70035L, 184605L), Seq(24606L, -91964L, 160682L, -18575L, 114791L, 55449L, -117350L, -87153L), Seq(-127499L, 42518L, 31964L, 138225L, 51469L, -6795L, -139667L, -17247L), Seq(-1510L, 8008L, -182470L, 92057L, 3528L, -93434L, 78931L, 3445L), Seq(71904L, 84883L, 119898L, 52992L, -86521L, -40082L, -38569L, -100275L)))
 
+  /** FROZEN TRAINED RESIDUAL codebooks — [[pqTrainResidual]] run once
+    * over the sf0.01 `embeddings` corpus against [[refIvfCentroids]] (8
+    * Lloyd rounds, via [[TrainResidualPqTool]]) and baked as a literal:
+    * the [[refPqCodebooks]] discipline for the residual quantizer, so the
+    * DuckDB oracle folds the identical integers and PipelineOpsSpec can
+    * assert the literal equals a fresh train on the same corpus.
+    */
+  val refResidualPqCodebooks: Seq[Seq[Seq[Long]]] = Seq(
+    Seq(Seq(12795L, 27785L, 52246L, -3904L, -68112L, -42424L, 249078L, 2495L), Seq(-121206L, -23498L, -11487L, 19557L, 67355L, -145814L, -89071L, -67811L), Seq(-6345L, -7137L, -2317L, 105752L, 105372L, -110212L, 34965L, 101391L), Seq(-16515L, -26160L, 94245L, -38780L, -157286L, 61761L, -10907L, -26416L), Seq(8681L, 112657L, 122347L, 52783L, 73608L, -28529L, 34421L, -69723L), Seq(67900L, -25464L, -67693L, 35135L, -13946L, 23336L, 47503L, -197771L), Seq(163972L, -69734L, -33616L, -70973L, -48802L, -117681L, 1195L, 47379L), Seq(-121462L, -88561L, -95208L, -93934L, 97173L, 58167L, 107538L, -63349L), Seq(71097L, -15933L, 7305L, 80780L, 28380L, 125399L, -164175L, -54442L), Seq(-5776L, -175469L, 11596L, 101297L, -28289L, 56403L, -37307L, 60286L), Seq(-91800L, 124560L, 26445L, -69097L, -104505L, -89191L, 21265L, -23322L), Seq(83876L, -5758L, 215987L, 47808L, -18174L, -84403L, -96679L, 8334L), Seq(-6337L, 83662L, -172285L, 3681L, -84609L, 43182L, 11760L, 78084L), Seq(154219L, 23865L, -20739L, -2388L, 41534L, 61478L, 46475L, 164856L), Seq(-143290L, 64219L, 15093L, 58601L, 25659L, 130648L, 9106L, 31256L), Seq(3446L, 18541L, 33372L, -129288L, 75641L, 4738L, -89461L, 49220L)),
+    Seq(Seq(28744L, -24521L, 140454L, 70792L, -80767L, -48497L, 78276L, 88264L), Seq(-43429L, -110738L, 19322L, -33720L, -91773L, -1183L, -45081L, -187676L), Seq(-52297L, 32840L, -103942L, 181292L, 6798L, 19099L, -78736L, -44232L), Seq(-43762L, 190261L, -82630L, -124134L, 8867L, -60885L, -48568L, -31036L), Seq(-28866L, 174388L, 60456L, 82790L, -102715L, 69938L, -69412L, -43851L), Seq(-71781L, 1666L, -1307L, -153794L, -86074L, 1826L, -65938L, 48377L), Seq(194077L, 33078L, -32001L, -21533L, -102145L, -24574L, 2985L, -44212L), Seq(62490L, -94929L, -53944L, 16742L, 32040L, -97926L, 91839L, 21499L), Seq(52480L, -64798L, 62574L, -40140L, 82760L, 13507L, -162400L, 90054L), Seq(-1233L, 39631L, -46031L, 99373L, 82795L, 76830L, -34436L, 140463L), Seq(-4201L, -33738L, -74969L, -70852L, -27194L, 197867L, 76379L, 54451L), Seq(92756L, 127199L, -79080L, 4682L, 162601L, -50595L, 150263L, -21813L), Seq(-34949L, 27934L, 120674L, -96832L, 5736L, -209212L, -23259L, -34350L), Seq(-125955L, -168316L, -61468L, 23380L, 7113L, 18576L, 5517L, 102197L), Seq(-118034L, -44679L, 3263L, 8776L, 99808L, -39972L, 55791L, -150295L), Seq(18071L, 98729L, 138836L, -17640L, 49836L, 31566L, 90724L, -79827L)),
+    Seq(Seq(101050L, 75457L, -70148L, -133345L, 86055L, -39882L, 21605L, 80865L), Seq(67953L, -60735L, -43321L, -104343L, -131145L, 8205L, -60416L, -86383L), Seq(13024L, -48767L, -147237L, 85252L, 28654L, 64427L, 94796L, 34155L), Seq(32041L, -65929L, 39598L, -10111L, -129226L, -100410L, 25361L, 126062L), Seq(10604L, 67375L, 118332L, -12926L, -65866L, 129600L, 44096L, 33579L), Seq(-106996L, 135750L, -23655L, 67928L, -21813L, 49141L, -64343L, 10180L), Seq(152340L, -81483L, -57568L, 102553L, 6178L, -50681L, -128708L, -40101L), Seq(-14454L, 212644L, 42622L, -95866L, -34388L, -81661L, -4160L, -16506L), Seq(-128750L, 13237L, 1264L, -150550L, 45863L, 72520L, 115132L, -89570L), Seq(53600L, -55369L, 92041L, 77461L, 60336L, -66912L, 129563L, -24499L), Seq(-117044L, -173970L, -62879L, -41532L, 25180L, 68252L, -61269L, -17306L), Seq(-72902L, 13819L, -67779L, 93381L, -74369L, -109268L, 23331L, -91756L), Seq(89783L, 81521L, 17720L, 3890L, 67836L, 17181L, 20198L, -208587L), Seq(-73797L, -72819L, 127923L, -41685L, 112942L, -113518L, -61373L, -25452L), Seq(29917L, 759L, 66859L, 22990L, 114786L, 30553L, -148975L, 45251L), Seq(8979L, -53416L, 12031L, -43265L, 54912L, 65306L, -6142L, 249330L)),
+    Seq(Seq(79729L, 38128L, -60984L, 146774L, 85054L, 56300L, -79623L, -25130L), Seq(-66744L, -46050L, 165879L, -72758L, -77403L, 7659L, -36293L, 122890L), Seq(-12201L, 53191L, -88349L, -123686L, 63432L, 78286L, 40452L, -880L), Seq(-21120L, -45740L, 83177L, -98275L, 95834L, -64564L, 53929L, -111903L), Seq(154094L, 93848L, 104674L, -56825L, 25821L, 103984L, -52234L, -114286L), Seq(-170288L, 81795L, 86466L, 9214L, -2023L, 113457L, -4801L, -5450L), Seq(-62657L, -52278L, -31483L, 80036L, 15806L, -19956L, -113297L, 114884L), Seq(-71644L, -161442L, 9280L, 32830L, 61335L, 37046L, 119910L, 38503L), Seq(-76401L, -6039L, -30399L, 104618L, -119296L, -29219L, 47639L, -121772L), Seq(-125878L, 58136L, -86832L, -24725L, 68258L, -169020L, 6418L, -71291L), Seq(73559L, 180358L, 17904L, 26390L, -105925L, -21601L, 72843L, 7523L), Seq(84649L, -40198L, 124832L, 36368L, 58027L, 100566L, 3422L, 88229L), Seq(7284L, -55532L, -57212L, -151660L, -120081L, 22751L, -83519L, -3204L), Seq(41293L, -3826L, -135947L, 34612L, -37841L, 9087L, 45792L, 160129L), Seq(46613L, -21420L, -8625L, 35870L, -89966L, -148044L, -135026L, -47580L), Seq(171893L, -95335L, -40500L, 18318L, -5779L, -29114L, 97300L, -14027L)),
+    Seq(Seq(-125308L, -60006L, -27461L, -100682L, 75439L, -185142L, -73122L, 79666L), Seq(48456L, -52226L, 104515L, -4904L, 87L, 14410L, -14167L, 164890L), Seq(69275L, 149062L, 108048L, 17428L, -21046L, 148990L, -2231L, -13583L), Seq(-122054L, -9770L, 84550L, 114909L, -40146L, -87525L, 31772L, 26930L), Seq(-119117L, 80098L, -90076L, -31114L, -36482L, 36037L, -31391L, -11504L), Seq(21764L, -114030L, -119884L, -33840L, -115753L, -191895L, 36356L, 105550L), Seq(22926L, -12526L, -84363L, 184283L, 43128L, -39082L, 80165L, -9656L), Seq(10309L, 6823L, 6651L, 3373L, 77636L, 37514L, -227877L, -19792L), Seq(-51823L, -29246L, 2350L, 59424L, -171915L, 126040L, 37248L, -2753L), Seq(-112423L, -22413L, 140231L, -134864L, -9873L, 17061L, -41263L, -90117L), Seq(88950L, -59683L, 13027L, 23456L, 149949L, 63631L, 54717L, -27845L), Seq(-19078L, -183568L, -109819L, 7288L, -13675L, 36615L, -45112L, 13930L), Seq(71525L, -19359L, -73370L, -133020L, 70700L, -137127L, -84087L, 71785L), Seq(56323L, 174365L, -42572L, -34654L, -9507L, 3888L, 164995L, 68247L), Seq(81007L, 96803L, 15033L, 10405L, 27114L, -104553L, -32766L, -123945L), Seq(99121L, -75796L, -11782L, -177480L, -47324L, -15896L, 128846L, -30969L)),
+    Seq(Seq(20361L, 121815L, 88793L, -7238L, 72981L, -85100L, 132553L, -66506L), Seq(70961L, -128627L, -24884L, 82088L, -106569L, 77133L, 69892L, 59815L), Seq(-110035L, -9811L, -33776L, -147715L, -48723L, 21079L, -123930L, -38162L), Seq(99515L, -54353L, -33135L, 130432L, 96607L, -83335L, 60238L, -87901L), Seq(-128720L, -45759L, 1922L, 44727L, 9826L, -4946L, 5449L, 145001L), Seq(30705L, -24875L, 43748L, 161644L, 48896L, 107666L, -93838L, 71867L), Seq(2878L, -94110L, 102454L, -101237L, 131764L, -10554L, 1778L, 35266L), Seq(117115L, -29121L, 26149L, -117273L, -65589L, -124299L, -24096L, 80L), Seq(-128277L, -62378L, 193100L, 66126L, -63867L, 36742L, -14499L, -5778L), Seq(-63253L, -94040L, -108592L, -17229L, 13329L, -82915L, 35499L, -122111L), Seq(20918L, 78086L, 143524L, 11559L, -158310L, 22913L, -62230L, -123412L), Seq(38531L, 19974L, -42013L, 55260L, -60781L, 146572L, 74607L, -135631L), Seq(-47827L, 131320L, -76578L, -8574L, -85800L, -109943L, 12270L, 51113L), Seq(69754L, 59555L, -23224L, 4227L, 46700L, 27952L, -142653L, -40119L), Seq(-68293L, 132070L, -93338L, -554L, 136787L, 45024L, 28610L, 90980L), Seq(115555L, -41642L, -88668L, -120908L, 22397L, 88207L, 17009L, 129113L)),
+    Seq(Seq(39704L, 16107L, -16232L, -152949L, -154178L, -10410L, 61814L, 10325L), Seq(-71148L, 37010L, -35380L, -50885L, 77476L, 131050L, 70308L, -81053L), Seq(28665L, -71432L, 155582L, 7839L, -48606L, -22111L, 80941L, 52526L), Seq(34696L, 135921L, 34715L, 87447L, -34255L, -98448L, -62152L, 14111L), Seq(-67528L, 49111L, -118883L, 63961L, -90991L, -28182L, 121448L, 15202L), Seq(113530L, 94488L, 28873L, -114102L, 11189L, 18021L, -96585L, -32892L), Seq(-45244L, -35239L, 35938L, -69205L, 95830L, -95874L, 20206L, -109552L), Seq(126671L, 47626L, 31614L, 1198L, 44140L, 114492L, 112918L, 71211L), Seq(-31085L, 37698L, 44267L, 9292L, -87792L, 46421L, -115742L, -200671L), Seq(-146360L, -57214L, -13135L, 115294L, -138810L, 107701L, -6942L, 8452L), Seq(-149935L, 90703L, 46820L, 19644L, 85157L, 9651L, -2829L, 108448L), Seq(-45970L, -95779L, 1062L, 137255L, 117197L, -8301L, 5748L, -26065L), Seq(110644L, 113001L, 42174L, 17351L, 198545L, -90566L, 13792L, 77114L), Seq(72417L, -124126L, -71777L, -14134L, -56246L, -158895L, -56087L, -81984L), Seq(187576L, -142131L, -56190L, 46544L, 274L, 40622L, -33849L, 51370L), Seq(-49736L, -90634L, -67180L, -48654L, 20712L, -4859L, -101587L, 112332L)),
+    Seq(Seq(-16530L, 29075L, 133370L, 24627L, 26948L, -85658L, 125939L, 84672L), Seq(-58587L, -27936L, -113808L, 136142L, -22231L, -13515L, 147307L, -51559L), Seq(-13047L, 55570L, -12512L, -23242L, 73874L, 161065L, 59363L, -56942L), Seq(9495L, 23276L, -31661L, 5491L, -160809L, -92437L, -29192L, 28605L), Seq(39843L, -23402L, 106331L, 141787L, -86848L, -91374L, 26901L, -120183L), Seq(165651L, -107565L, 27309L, 66072L, 16111L, 32095L, -4129L, 52286L), Seq(-144483L, -53339L, -10277L, -70677L, -26158L, 135354L, 35344L, 58058L), Seq(42725L, -25382L, -169475L, 15003L, 35272L, -87288L, 23110L, 93191L), Seq(-114714L, -65922L, 43958L, -2065L, 59286L, -4150L, -102460L, -105148L), Seq(56358L, 6887L, -4043L, -130502L, 28651L, -83272L, 68253L, -118369L), Seq(-60887L, 75977L, -31827L, 64694L, 90804L, -47845L, -112208L, 151471L), Seq(-8115L, 141757L, -143875L, -133187L, 49204L, -46980L, 19127L, 49837L), Seq(14208L, 20828L, 2480L, 53044L, -107757L, 130439L, -124268L, -62293L), Seq(11686L, -186864L, -25385L, -88020L, 60443L, 39382L, 20270L, 51191L), Seq(-60510L, 79955L, 170787L, -64144L, -111662L, 37287L, -47652L, 73680L), Seq(116668L, 133770L, 75096L, 7624L, 105156L, 52017L, -109015L, -58692L)))
+
   /** Codebook entry component, ppm-integer — deterministic pseudo-random in
     * [-499991, 499991] (≈ [-0.5, 0.5) in ppm), the [[ivfCentroid]]
     * discipline: production PQ trains codebooks per subspace with k-means
@@ -639,6 +656,14 @@ object Similarity {
     require(iters >= 0, s"iters must be non-negative, got $iters")
     val vecs = corpus.where(col(vecCol).isNotNull)
       .select(col(idCol).as("__id"), expr(pqPpmS(vecCol)).as("__p"))
+    pqTrainOnPpm(vecs, iters)
+  }
+
+  /** The Lloyd loop over an explicit (__id, __p ppm-array) frame — shared
+    * by [[pqTrain]] (raw vectors) and [[pqTrainResidual]] (cell
+    * residuals).
+    */
+  private def pqTrainOnPpm(vecs: DataFrame, iters: Int): Seq[Seq[Seq[Long]]] = {
     val seeds = vecs
       .orderBy(xxhash64(col("__id")), col("__id"))
       .limit(PQ_KSUB)
@@ -669,6 +694,168 @@ object Similarity {
         }
       }))
     }
+  }
+
+  // ------------------------------------------------------------ IVF-PQ
+  // residual encoding (the standard FAISS IVFPQ composition): quantize
+  // vec − centroid(cell) instead of the raw vector. Residuals concentrate
+  // near the origin — the coarse quantizer has already explained the
+  // cell-level structure — so the same codebook budget (M×KSUB entries)
+  // spends its resolution on a much smaller ball and reconstruction error
+  // drops; with trained cells AND trained residual codebooks this is the
+  // configuration production IVFPQ ships. Scoring stays ADC:
+  //   dot(q, centroid_c + recon(codes)) = dot(q, centroid_c) + LUT(codes)
+  // — one integer base term per (query, probed cell) plus the same M
+  // table lookups as flat PQ. All-integer ppm arithmetic end to end.
+
+  /** Centroid table in ppm (floor(x·1e6)) as a SQL literal — the integer
+    * twin of the double centroid literal, so residuals subtract exactly
+    * the same values in both engines.
+    */
+  private def centPpmLitS(centroids: Seq[Seq[Double]]): String =
+    centroids.map(_.map(x => math.floor(x * 1000000).toLong)
+        .mkString("array(", "L,", "L)"))
+      .mkString("array(", ",", ")")
+
+  /** Residual ppm array for a row carrying `cell`: ppm(vec) − ppm(centroid
+    * of its cell), dimension-guarded on the input vector.
+    */
+  private def residualPpmS(vecCol: String, centroids: Seq[Seq[Double]]): String = {
+    val cp = centPpmLitS(centroids)
+    val body =
+      s"""transform(sequence(1, ${PQ_M * PQ_SUBDIM}), ri ->
+         |  element_at(vp, ri) - element_at(element_at($cp, cast(cell as int) + 1), ri))"""
+        .stripMargin.replace("\n", " ")
+    s"element_at(transform(array(${pqPpmS(vecCol)}), vp0 -> ${pqDimGuardS(body)}), 1)"
+  }
+
+  /** Squared norm (ppm²) of the RECONSTRUCTION centroid(cell) +
+    * codebook(codes) — the per-vector constant L2 ADC needs: estimated
+    * −‖q − recon‖² = 2·dot(q, recon) − ‖recon‖² (+ ‖q‖², constant per
+    * query). Stored once at encode time; pure Long arithmetic.
+    */
+  private def reconNrm2S(centroids: Seq[Seq[Double]], cbs: Seq[Seq[Seq[Long]]]): String = {
+    val cp = centPpmLitS(centroids)
+    val cb = pqCbLitS(cbs)
+    s"""element_at(transform(array(codes), cs ->
+       |  aggregate(sequence(1, ${PQ_M * PQ_SUBDIM}), 0L, (acc, i) ->
+       |    acc + (element_at(element_at($cp, cast(cell as int) + 1), i)
+       |           + element_at(element_at(element_at($cb, cast((i-1) DIV $PQ_SUBDIM as int) + 1),
+       |               cast(element_at(cs, cast((i-1) DIV $PQ_SUBDIM as int) + 1) as int) + 1),
+       |               cast((i-1) % $PQ_SUBDIM as int) + 1))
+       |        * (element_at(element_at($cp, cast(cell as int) + 1), i)
+       |           + element_at(element_at(element_at($cb, cast((i-1) DIV $PQ_SUBDIM as int) + 1),
+       |               cast(element_at(cs, cast((i-1) DIV $PQ_SUBDIM as int) + 1) as int) + 1),
+       |               cast((i-1) % $PQ_SUBDIM as int) + 1)))), 1)"""
+      .stripMargin.replace("\n", " ")
+  }
+
+  /** ENCODE a corpus to (id, cell, codes, nrm2) with RESIDUAL codes — the
+    * at-rest IVFPQ layout: same 64× compression as [[pqEncode]] (plus one
+    * bigint norm) and the cell column the probe's equi-join routes on.
+    * One scan: cell assignment (nCells codegen'd dot folds), residual
+    * subtraction, argmin encode, and the reconstruction norm are all
+    * scan-side; no shuffle.
+    */
+  def ivfPqEncode(
+      corpus: DataFrame,
+      centroids: Seq[Seq[Double]],
+      cbs: Seq[Seq[Seq[Long]]],
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame =
+    corpus.where(col(vecCol).isNotNull)
+      .select(col(idCol), ivfCellOf(col(vecCol), centroids).as("cell"), col(vecCol))
+      .select(col(idCol), col("cell"),
+        expr(pqCodesFromPpmS(residualPpmS(vecCol, centroids), cbs)).as("codes"))
+      .withColumn("nrm2", expr(reconNrm2S(centroids, cbs)))
+
+  /** IVFPQ top-k over a PRE-ENCODED (id, cell, codes, nrm2) corpus:
+    * queries broadcast with their ADC LUT, their nprobe probe cells, and
+    * one integer base term per cell (dot of the query with each centroid
+    * — nCells folds per query, query sets are small); the probe is an
+    * equi-join on the cell id, so only the probed cells' codes are
+    * scored — the IVF routing win and the PQ memory win compose. The
+    * corpus never shuffles and its floats never load.
+    *
+    * Scoring is L2 ADC (the FAISS IVFPQ default): score = 2·dot(q, recon)
+    * − ‖recon‖², i.e. −‖q − recon‖² up to the per-query constant ‖q‖² —
+    * dot(q, recon) decomposes as base(query, cell) + LUT(codes). Raw-IP
+    * ranking amplifies reconstruction-norm noise (a code word with a
+    * large norm scores high against every query); the stored norm term
+    * cancels exactly that, and it is what measured better against the
+    * cosine ground truth here. All-integer ppm² arithmetic.
+    */
+  def ivfPqKnnOf(
+      encoded: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      centroids: Seq[Seq[Double]],
+      cbs: Seq[Seq[Seq[Long]]],
+      nprobe: Int = 2,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val cp = centPpmLitS(centroids)
+    val basesBody =
+      s"""transform(sequence(1, ${centroids.size}), ci ->
+         |  aggregate(sequence(1, ${PQ_M * PQ_SUBDIM}), 0L, (acc, i) ->
+         |    acc + element_at(vp, i) * element_at(element_at($cp, ci), i)))"""
+        .stripMargin.replace("\n", " ")
+    val q = broadcast(
+      queries.where(col(vecCol).isNotNull)
+        .select(col(idCol).as("query_id"),
+          expr(pqLutS(vecCol, cbs)).as("lut"),
+          expr(s"element_at(transform(array(${pqPpmS(vecCol)}), vp0 -> ${pqDimGuardS(basesBody)}), 1)")
+            .as("__bases"),
+          ivfProbesOf(col(vecCol), centroids, nprobe).as("__probes"))
+        .select(col("query_id"), col("lut"), col("__bases"),
+          explode(col("__probes")).as("cell"))
+        .select(col("query_id"), col("lut"), col("cell"),
+          expr("element_at(__bases, cast(cell as int) + 1)").as("__base")))
+    val scored = encoded
+      .select(col(idCol).as("neighbor_id"), col("cell"), col("codes"), col("nrm2"))
+      .join(q, "cell")
+      .where(col("neighbor_id") =!= col("query_id"))
+      .withColumn("score", expr(s"2L * (${pqScoreS("lut", "codes")} + __base) - nrm2"))
+    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "score")
+  }
+
+  /** IVFPQ top-k with inline encode (correctness/bench form — production
+    * uses [[ivfPqEncode]] once + [[ivfPqKnnOf]] per probe batch).
+    */
+  def ivfPqKnn(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      centroids: Seq[Seq[Double]],
+      cbs: Seq[Seq[Seq[Long]]],
+      nprobe: Int = 2,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame =
+    ivfPqKnnOf(ivfPqEncode(corpus, centroids, cbs, idCol, vecCol),
+      queries, k, centroids, cbs, nprobe, idCol, vecCol)
+
+  /** TRAIN residual codebooks — [[pqTrain]]'s Lloyd loop over the CELL
+    * RESIDUALS instead of the raw vectors (the FAISS IVFPQ training
+    * order: train the coarse quantizer first, then fit codebooks to what
+    * it leaves unexplained). Deterministic like [[pqTrain]] (hash-seeded
+    * init, exact integer sums).
+    */
+  def pqTrainResidual(
+      corpus: DataFrame,
+      centroids: Seq[Seq[Double]],
+      iters: Int = 3,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): Seq[Seq[Seq[Long]]] = {
+    require(iters >= 0, s"iters must be non-negative, got $iters")
+    val vecs = corpus.where(col(vecCol).isNotNull)
+      .select(col(idCol).as("__id"),
+        ivfCellOf(col(vecCol), centroids).as("cell"), col(vecCol))
+      .select(col("__id"), expr(residualPpmS(vecCol, centroids)).as("__p"))
+    pqTrainOnPpm(vecs, iters)
   }
 
   /** CLUSTER CENTROID SUMMARIES — the retrain feed: after a dedup election

@@ -1685,6 +1685,80 @@ class PipelineOpsSpec extends SparkSpec {
       "frozen IVF centroid table drifted from a fresh train on the same corpus")
   }
 
+  test("refResidualPqCodebooks: the frozen literal equals a fresh pqTrainResidual on its corpus (sf0.01)") {
+    val fresh = Similarity.pqTrainResidual(
+      graft.tables.Tables.embeddings(spark, "/root/testdata/sf0.01"),
+      Similarity.refIvfCentroids, iters = 8)
+    assert(fresh == Similarity.refResidualPqCodebooks,
+      "frozen residual codebook table drifted from a fresh train on the same corpus")
+  }
+
+  test("ivfPqEncode consistency: codes are the true residual argmin, nrm2 the true reconstruction norm, residual beats flat reconstruction") {
+    val emb = graft.tables.Tables.embeddings(spark, "/root/testdata/sf0.01")
+    val cents = Similarity.refIvfCentroids
+    val rcb = Similarity.refResidualPqCodebooks
+    val centPpm = cents.map(_.map(x => math.floor(x * 1e6).toLong))
+    val enc = Similarity.ivfPqEncode(emb, cents, rcb).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getSeq[Long](2), r.getLong(3)))).toMap
+    val vecs = emb.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble)).toMap
+    assert(enc.keySet == vecs.keySet, "every non-null vector must encode")
+    var resErr = 0.0
+    var flatErr = 0.0
+    val fcb = Similarity.refPqCodebooks
+    val flat = Similarity.pqEncode(emb, fcb).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    vecs.foreach { case (id, v) =>
+      val p = v.map(x => math.floor(x * 1e6).toLong)
+      val (cell, codes, nrm2) = enc(id)
+      // independent argmin: the operator's codes must be exactly the
+      // per-subspace L2-nearest residual codebook entries (ties to the
+      // lower code, the struct-ordering contract)
+      val r = (0 until 64).map(i => p(i) - centPpm(cell.toInt)(i))
+      (0 until 8).foreach { m =>
+        val want = (0 until 16).map { c =>
+          val d = (0 until 8).map { i =>
+            val x = r(m * 8 + i) - rcb(m)(c)(i); x * x
+          }.sum
+          (d, c.toLong)
+        }.min._2
+        assert(codes(m) == want, s"vec $id subspace $m: code ${codes(m)} != argmin $want")
+      }
+      // nrm2 is the exact integer norm of centroid + codebook[codes]
+      val recon = (0 until 64).map(i => centPpm(cell.toInt)(i) + rcb(i / 8)(codes(i / 8).toInt)(i % 8))
+      assert(nrm2 == recon.map(x => x * x).sum, s"vec $id: stored nrm2 diverges")
+      resErr += (0 until 64).map(i => { val d = (p(i) - recon(i)).toDouble; d * d }).sum
+      val frecon = (0 until 64).map(i => fcb(i / 8)(flat(id)(i / 8).toInt)(i % 8))
+      flatErr += (0 until 64).map(i => { val d = (p(i) - frecon(i)).toDouble; d * d }).sum
+    }
+    // the point of residual encoding: at the same bit budget, quantizing
+    // what the coarse quantizer leaves unexplained reconstructs better
+    assert(resErr < flatErr,
+      s"residual reconstruction error $resErr must beat flat trained PQ $flatErr")
+  }
+
+  test("ivfPqKnnOf over a pre-encoded store == inline ivfPqKnn; recall criterion holds at sf0.01") {
+    val emb = graft.tables.Tables.embeddings(spark, "/root/testdata/sf0.01")
+    val qs = emb.filter(col("vec_id") < 10)
+    val cents = Similarity.refIvfCentroids
+    val rcb = Similarity.refResidualPqCodebooks
+    val inline = Similarity.ivfPqKnn(emb, qs, 3, cents, rcb)
+      .collect().map(_.toSeq).toSet
+    val staged = Similarity.ivfPqKnnOf(
+        Similarity.ivfPqEncode(emb, cents, rcb), qs, 3, cents, rcb)
+      .collect().map(_.toSeq).toSet
+    assert(inline == staged, "pre-encoded probe must be a pure optimization")
+    // the residual-coding criterion: at the full probe budget (every cell
+    // — isolating quantization quality from routing), residual codes must
+    // recall at least as well as the flat trained codebooks
+    val exact = Similarity.bruteForceKnn(emb, qs, 3)
+    def recallOf(a: org.apache.spark.sql.DataFrame): Long =
+      Similarity.knnRecall(exact, a, "x").head().getLong(3)
+    val full = recallOf(Similarity.ivfPqKnn(emb, qs, 3, cents, rcb, nprobe = cents.size))
+    val flat = recallOf(Similarity.pqKnn(emb, qs, 3, Similarity.refPqCodebooks))
+    assert(full >= flat, s"residual IVFPQ recall $full must be >= flat trained PQ $flat")
+  }
+
   test("cellPurity: dominant-label share per cell, lower-label ties") {
     val cents = Seq(Seq(1.0, 0.0), Seq(0.0, 1.0))
     val corpus = Seq(
