@@ -610,4 +610,180 @@ object Bpe {
        |  CAST(len(ss) AS BIGINT) AS n_bpe_tokens,
        |  md5(array_to_string(list_transform(ss, sy -> (${idOfD("sy", ms)})::VARCHAR), ',')) AS ids_md5
        |FROM syms ORDER BY doc_id""".stripMargin
+  // ------------------------------------------------------- byte fallback
+
+  /** BYTE-FALLBACK encoding — the GPT-2 byte-level convention reduced to
+    * this engine's symbol machinery: a word's atoms are its UTF-8 BYTES,
+    * not its code points, so the base alphabet is BOUNDED at 256 ids
+    * however exotic the input (the property production tokenizers ship
+    * byte fallback for — the embedding table cannot grow with Unicode).
+    * Each byte rides as a CARRIER CHARACTER so the existing per-word
+    * merge chain applies unchanged: printable ASCII bytes (0x21–0x7E)
+    * keep their own code point — the shipped and trained merge tables,
+    * whose symbols are ASCII letters, operate identically on carrier
+    * strings — and every other byte b maps injectively to U+0100+b (the
+    * GPT-2 byte-encoder idea with a simpler rule; carrier code points
+    * stay in U+0021–U+01FF, printable and surrogate-free). Ids: a single
+    * carrier char is its BYTE VALUE (0–255); compounds keep VOCAB_BASE +
+    * rank. Decode inverts exactly — ids → carrier string → bytes → one
+    * UTF-8 decode — so the round trip is byte-exact for any valid UTF-8
+    * input, including multi-byte scripts and supplementary-plane emoji
+    * the code-point model covers only with unbounded ids. On printable
+    * pure-ASCII text the two models emit IDENTICAL id streams
+    * (spec-asserted), so the fallback is a strict extension.
+    */
+  private def byteWordS(w: String): String =
+    s"""element_at(transform(array(hex(encode($w, 'UTF-8'))), hx0 ->
+       |  IF(length(hx0) < 2, '',
+       |    concat_ws('', transform(sequence(1, length(hx0) DIV 2), bi ->
+       |      element_at(transform(array(cast(conv(substr(hx0, 2*bi - 1, 2), 16, 10) as int)),
+       |        b0 -> format_string('%c', IF(b0 BETWEEN 33 AND 126, b0, b0 + 256))), 1))))), 1)"""
+      .stripMargin.replace("\n", " ")
+  private def byteWordD(w: String): String =
+    s"""list_transform([hex(encode($w))], hx0 ->
+       |  CASE WHEN length(hx0) < 2 THEN '' ELSE
+       |    array_to_string(list_transform(generate_series(1, length(hx0) // 2), bi ->
+       |      list_transform([('0x' || substr(hx0, 2*bi - 1, 2))::INT],
+       |        b0 -> chr(CASE WHEN b0 BETWEEN 33 AND 126 THEN b0 ELSE b0 + 256 END))[1]), '')
+       |  END)[1]"""
+      .stripMargin.replace("\n", " ")
+
+  /** Id of one byte-model symbol: carrier char → its byte value,
+    * compound → VOCAB_BASE + rank (unknown compounds → -1, the
+    * [[idOfS]] convention).
+    */
+  private def byteIdOfS(sy: String, ms: Seq[(String, String)]): String = {
+    val compounds = vocabIdsOf(ms).toSeq.sortBy(_._2)
+      .map { case (s, id) => s"WHEN '${lit1(s)}' THEN $id" }.mkString(" ")
+    s"CASE WHEN length($sy) = 1 THEN " +
+      s"IF(ascii($sy) >= 256, ascii($sy) - 256, ascii($sy)) " +
+      s"ELSE CASE $sy $compounds ELSE -1 END END"
+  }
+  private def byteIdOfD(sy: String, ms: Seq[(String, String)]): String = {
+    val compounds = vocabIdsOf(ms).toSeq.sortBy(_._2)
+      .map { case (s, id) => s"WHEN '${lit1D(s)}' THEN $id" }.mkString(" ")
+    s"CASE WHEN len($sy) = 1 THEN " +
+      s"CASE WHEN ascii($sy) >= 256 THEN ascii($sy) - 256 ELSE ascii($sy) END " +
+      s"ELSE CASE $sy $compounds ELSE -1 END END"
+  }
+
+  /** Byte-model symbol of one id — carrier char below 256, compound
+    * string for known compound ids, NULL otherwise (the [[symOfS]]
+    * hostile-id contract; carrier code points never reach the surrogate
+    * block by construction, but negatives and unknown ids still fall
+    * through to NULL before any formatter runs).
+    */
+  private def byteSymOfS(idv: String, ms: Seq[(String, String)]): String = {
+    val compounds = vocabIdsOf(ms).toSeq.sortBy(_._2)
+      .map { case (s, id) => s"WHEN $id THEN '${lit1(s)}'" }.mkString(" ")
+    s"CASE WHEN $idv >= 0 AND $idv < 256 THEN " +
+      s"format_string('%c', IF($idv BETWEEN 33 AND 126, cast($idv as int), cast($idv as int) + 256)) " +
+      s"ELSE CASE $idv $compounds ELSE NULL END END"
+  }
+  private def byteSymOfD(idv: String, ms: Seq[(String, String)]): String = {
+    val compounds = vocabIdsOf(ms).toSeq.sortBy(_._2)
+      .map { case (s, id) => s"WHEN $id THEN '${lit1D(s)}'" }.mkString(" ")
+    s"CASE WHEN $idv >= 0 AND $idv < 256 THEN " +
+      s"chr(CASE WHEN $idv BETWEEN 33 AND 126 THEN ($idv)::INT ELSE ($idv)::INT + 256 END) " +
+      s"ELSE CASE $idv $compounds ELSE NULL END END"
+  }
+
+  /** Carrier string → original word: each carrier char back to its byte,
+    * the byte string through ONE UTF-8 decode.
+    */
+  private def byteDecodeWordS(m: String): String =
+    s"""element_at(transform(array($m), m0 ->
+       |  IF(length(m0) < 1, '',
+       |    decode(unhex(concat_ws('', transform(sequence(1, length(m0)), ci ->
+       |      element_at(transform(array(ascii(substr(m0, ci, 1))), cp0 ->
+       |        lpad(hex(IF(cp0 >= 256, cp0 - 256, cp0)), 2, '0')), 1)))), 'UTF-8'))), 1)"""
+      .stripMargin.replace("\n", " ")
+  private def byteDecodeWordD(m: String): String =
+    s"""list_transform([$m], m0 ->
+       |  CASE WHEN length(m0) < 1 THEN '' ELSE
+       |    decode(from_hex(array_to_string(list_transform(generate_series(1, length(m0)), ci ->
+       |      list_transform([ascii(m0[ci])], cp0 ->
+       |        lpad(hex(CASE WHEN cp0 >= 256 THEN cp0 - 256 ELSE cp0 END), 2, '0'))[1]), '')))
+       |  END)[1]"""
+      .stripMargin.replace("\n", " ")
+
+  /** Per-document byte-fallback encode→decode round trip on the
+    * DICTIONARY PATH (the [[decodeRoundTrip]] shape: byte mapping, merge
+    * chain, id table, and decode all run once per DISTINCT word, fan
+    * back by position, reassemble per doc). Output per document:
+    * (idCol, n_bpe_tokens, decoded_md5, roundtrip_ok, max_base_id) —
+    * n_bpe_tokens counts the spaced stream (marker id 32 = the space
+    * byte, between words), and max_base_id ≤ 255 is the BOUNDED-alphabet
+    * witness the byte model exists for (the code-point model emits ids
+    * up to 0x10FFFF on the same input).
+    */
+  def byteRoundTrip(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      ms: Seq[(String, String)] = merges): DataFrame = {
+    validate(ms)
+    val base = docs.select(col(idCol), expr(toksS(textCol)).as("__toks"))
+    val words = base.select(col(idCol), posexplode(col("__toks")).as(Seq("__p", "__w")))
+    val decFromIds = byteDecodeWordS(
+      s"concat_ws('', transform(idv, v0 -> ${byteSymOfS("v0", ms)}))")
+    val dict = words.select("__w").distinct()
+      .select(col("__w"),
+        expr(
+          s"""inline(array(element_at(transform(array(${byteWordS("__w")}), bw ->
+             |  element_at(transform(array(${wordSymsS("bw", ms)}), ws ->
+             |    element_at(transform(array(transform(ws, sy -> ${byteIdOfS("sy", ms)})), idv ->
+             |      named_struct(
+             |        '__n', cast(size(ws) as bigint),
+             |        '__maxb', coalesce(array_max(filter(idv, v1 -> v1 < ${VOCAB_BASE}L)), -1L),
+             |        '__d', $decFromIds)), 1)), 1)), 1)))"""
+            .stripMargin.replace("\n", " ")))
+    val perDoc = words.join(broadcast(dict), "__w")
+      .groupBy(idCol)
+      .agg(
+        expr("sum(__n) + count(1) - 1").as("n_bpe_tokens"),
+        expr("concat_ws(' ', transform(array_sort(collect_list(struct(__p, __d))), x -> x.__d))")
+          .as("__dd"),
+        max(col("__maxb")).as("max_base_id"))
+    base.join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bpe_tokens"), lit(0L)).as("n_bpe_tokens"),
+        md5(coalesce(col("__dd"), lit(""))).as("decoded_md5"),
+        (coalesce(col("__dd"), lit("")) === concat_ws(" ", col("__toks")))
+          .as("roundtrip_ok"),
+        coalesce(col("max_base_id"), lit(-1L)).as("max_base_id"))
+  }
+
+  /** DuckDB oracle twin of [[byteRoundTrip]] over a CTE `aug(doc_id,
+    * text)` — per-word scan form (the oracle verifies VALUES, not the
+    * dictionary plan). Yields CTEs ending in `bf(doc_id, n_bpe_tokens,
+    * decoded_md5, roundtrip_ok, max_base_id)`.
+    */
+  def byteRoundTripSqlD(ms: Seq[(String, String)] = merges): String = {
+    val decFromIds = byteDecodeWordD(
+      s"array_to_string(list_transform(idv, v0 -> ${byteSymOfD("v0", ms)}), '')")
+    s"""tk AS (SELECT doc_id, ${toksD("text")} AS toks FROM aug),
+       |wd AS (SELECT doc_id, i AS pos, toks[i] AS w
+       |       FROM tk, unnest(generate_series(1, len(toks))) AS g(i)),
+       |wrow AS (SELECT doc_id, pos,
+       |    list_transform([${byteWordD("w")}], bw ->
+       |      list_transform([${wordSymsD("bw", ms)}], ws0 ->
+       |        list_transform([list_transform(ws0, sy -> ${byteIdOfD("sy", ms)})], idv ->
+       |          {'n': len(ws0),
+       |           'maxb': coalesce(list_max(list_filter(idv, v1 -> v1 < $VOCAB_BASE)), -1),
+       |           'd': $decFromIds})[1])[1])[1] AS r
+       |  FROM wd),
+       |agg AS (SELECT doc_id,
+       |    CAST(sum(r.n) + count(*) - 1 AS BIGINT) AS n_bpe_tokens,
+       |    string_agg(r.d, ' ' ORDER BY pos) AS dd,
+       |    CAST(max(r.maxb) AS BIGINT) AS max_base_id
+       |  FROM wrow GROUP BY doc_id),
+       |bf AS (SELECT tk.doc_id,
+       |    COALESCE(agg.n_bpe_tokens, 0) AS n_bpe_tokens,
+       |    md5(COALESCE(agg.dd, '')) AS decoded_md5,
+       |    COALESCE(agg.dd, '') = array_to_string(tk.toks, ' ') AS roundtrip_ok,
+       |    COALESCE(agg.max_base_id, -1) AS max_base_id
+       |  FROM tk LEFT JOIN agg USING (doc_id))""".stripMargin
+  }
+
 }

@@ -86,6 +86,15 @@ object PipelineQueries {
   private def markupAugSqlD: String =
     s"h AS (SELECT doc_id, $markupHtmlD AS html FROM documents)"
 
+  /** Multi-byte prefix for the byte-fallback aug — accented Latin,
+    * CJK, and a supplementary-plane emoji; the DuckDB twin is generated
+    * from the SAME constant via chr() so the two engines build
+    * byte-identical text.
+    */
+  private val mbPrefix = "résumé 中文 😀 "
+  private def mbPrefixD: String =
+    mbPrefix.codePoints().toArray.map(c => s"chr($c)").mkString(" || ")
+
   /** documents with injected line structure: a header line shared by EVERY
     * doc, the (unique) body, and a footer line shared by every third doc —
     * the boilerplate shape cross-doc line dedup exists to remove.
@@ -1090,6 +1099,20 @@ object PipelineQueries {
     // cheapest end-to-end integrity check of the id table
     "ext_bpe_decode" -> ((s, dir) => {
       Bpe.decodeRoundTrip(Tables.documents(s, dir)).orderBy("doc_id")
+    }),
+
+    // BYTE-FALLBACK round trip: atoms are UTF-8 bytes on carrier chars,
+    // so the base alphabet is bounded at 256 ids however exotic the
+    // input (max_base_id <= 255 is the witness column); the aug prefixes
+    // every 5th doc with multi-byte scripts + supplementary-plane emoji,
+    // which the byte model round-trips exactly
+    "ext_bpe_bytes" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val aug = docs.select("doc_id", "text").unionByName(
+        docs.filter(col("doc_id") % 5 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            concat(lit(mbPrefix), col("text")).as("text")))
+      Bpe.byteRoundTrip(aug).orderBy("doc_id")
     }),
 
     // encode with the FROZEN TRAINED merge table (Bpe.train run offline
@@ -2405,6 +2428,18 @@ object PipelineQueries {
     "ext_bpe_encode" -> Bpe.encodeSqlD,
     "ext_bpe_decode" -> Bpe.decodeRoundTripSqlD,
     "ext_bpe_trained" -> Bpe.encodeSqlWithD(Bpe.refTrainedMerges),
+
+    // byte-fallback round trip: aug prefix built from the same code
+    // points the Spark literal holds
+    "ext_bpe_bytes" ->
+      s"""WITH aug AS (SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, $mbPrefixD || text
+         |  FROM documents WHERE doc_id % 5 = 0),
+         |${Bpe.byteRoundTripSqlD()}
+         |SELECT doc_id, CAST(n_bpe_tokens AS BIGINT) AS n_bpe_tokens,
+         |  decoded_md5, roundtrip_ok, CAST(max_base_id AS BIGINT) AS max_base_id
+         |FROM bf ORDER BY doc_id""".stripMargin,
     "ext_fertility" -> Bpe.fertilitySqlD,
 
     // DSIR weights: same add-one bit-length arithmetic per transition

@@ -322,6 +322,47 @@ class BpeSpec extends SparkSpec {
       "supplementary-plane code points must round-trip (one char, one id)")
   }
 
+  test("byteRoundTrip: byte-exact on multi-byte scripts with a BOUNDED base alphabet") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the cat and the hat"),          // pure ASCII, merges fire
+      (2L, "café résumé"),                  // 2-byte UTF-8 sequences
+      (3L, "中文 tokens here"),              // 3-byte CJK
+      (4L, "emoji 😀 ok"),                  // 4-byte supplementary plane
+      (5L, "ĀbĀ"))                          // the U+0100 collision char
+      .toDF("doc_id", "text")
+    val out = Bpe.byteRoundTrip(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2), r.getBoolean(3), r.getLong(4)))).toMap
+    def md5(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    docs.collect().foreach { r =>
+      val (id, text) = (r.getLong(0), r.getString(1))
+      val (_, dm, ok, maxb) = out(id)
+      assert(ok, s"byte round trip failed for doc $id")
+      assert(dm == md5(text), s"decoded text of doc $id is not byte-exact")
+      // the whole point of byte fallback: base ids bounded at 255 no
+      // matter how exotic the code points (the code-point model needs
+      // ids up to 0x1F600 for the same input)
+      assert(maxb <= 255L, s"doc $id leaked a base id above the byte range: $maxb")
+    }
+    // merges fire on the carrier string exactly as on chars: "the" is one
+    // compound, "cat" is c + at, "and" is one compound, "hat" is h + at
+    // -> 1 + 2 + 1 + 1 + 2 symbols + 4 space markers = 11
+    assert(out(1L)._1 == 11L, s"got ${out(1L)._1}")
+  }
+
+  test("byte model == code-point model on printable ASCII (strict extension)") {
+    // on printable pure-ASCII text every byte IS its code point, so the
+    // two models produce the same symbol stream, counts, and decode
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val bytes = Bpe.byteRoundTrip(docs).select("doc_id", "n_bpe_tokens", "decoded_md5")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    val cps = Bpe.decodeRoundTrip(docs).select("doc_id", "n_bpe_tokens", "decoded_md5")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(bytes == cps,
+      "byte-fallback must agree with the code-point model on ASCII input")
+  }
+
   test("decode NULL-guards hostile ids: negative, surrogate block, unknown compound — no crash") {
     import spark.implicits._
     // a corrupted EXTERNAL id stream can hold values the encoder never
