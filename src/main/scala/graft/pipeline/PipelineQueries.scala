@@ -86,6 +86,46 @@ object PipelineQueries {
   private def markupAugSqlD: String =
     s"h AS (SELECT doc_id, $markupHtmlD AS html FROM documents)"
 
+  /** documents with a deterministic synthetic URL — the provenance
+    * column web-pipeline stages key on. Adversarial on purpose:
+    * case-variant scheme/host, default ports, trailing slashes, tracking
+    * params in shuffled order, fragments, a two-level-suffix ccTLD for
+    * every 11th doc, and a non-http URL for every 13th (the NULL-key
+    * path). Path keys on doc_id % 40 so canonical URLs genuinely
+    * collide across docs (URL dedup has real work).
+    */
+  private def urlAug(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("text"),
+      when(col("doc_id") % 13 === 0, lit("mailto:someone@example.com"))
+        .otherwise(concat(
+          when(col("doc_id") % 2 === 0, lit("HTTP://WWW.")).otherwise(lit("https://www.")),
+          col("source"), (col("doc_id") % 5).cast("string"),
+          when(col("doc_id") % 11 === 0, lit(".Example.CO.UK")).otherwise(lit(".Example.COM")),
+          when(col("doc_id") % 2 === 0, lit(":80")).otherwise(lit(":443")),
+          lit("/articles/"), (col("doc_id") % 40).cast("string"),
+          when(col("doc_id") % 4 === 0, lit("/")).otherwise(lit("")),
+          when(col("doc_id") % 3 === 0, lit("?utm_source=feed&b=2&a=1"))
+            .when(col("doc_id") % 3 === 1, lit("?a=1&b=2")).otherwise(lit("")),
+          when(col("doc_id") % 7 === 0, lit("#section-2")).otherwise(lit(""))))
+        .as("url"))
+
+  // NOTE: this CTE is interpolated into outer stripMargin blocks, so no
+  // continuation line may START with '|' (the outer strip would eat it) —
+  // concatenation operators trail their line instead
+  private val urlAugSql: String =
+    """ua AS (SELECT doc_id, text,
+      |  CASE WHEN doc_id % 13 = 0 THEN 'mailto:someone@example.com' ELSE
+      |    (CASE WHEN doc_id % 2 = 0 THEN 'HTTP://WWW.' ELSE 'https://www.' END) ||
+      |    source || CAST(doc_id % 5 AS VARCHAR) ||
+      |    (CASE WHEN doc_id % 11 = 0 THEN '.Example.CO.UK' ELSE '.Example.COM' END) ||
+      |    (CASE WHEN doc_id % 2 = 0 THEN ':80' ELSE ':443' END) ||
+      |    '/articles/' || CAST(doc_id % 40 AS VARCHAR) ||
+      |    (CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END) ||
+      |    (CASE WHEN doc_id % 3 = 0 THEN '?utm_source=feed&b=2&a=1'
+      |        WHEN doc_id % 3 = 1 THEN '?a=1&b=2' ELSE '' END) ||
+      |    (CASE WHEN doc_id % 7 = 0 THEN '#section-2' ELSE '' END)
+      |  END AS url FROM documents)""".stripMargin
+
   /** Multi-byte prefix for the byte-fallback aug — accented Latin,
     * CJK, and a supplementary-plane emoji; the DuckDB twin is generated
     * from the SAME constant via chr() so the two engines build
@@ -509,6 +549,34 @@ object PipelineQueries {
           aug.withColumn("__t", TextAnalysis.normalizeExpr(col("text"))),
           textCol = "__t")
         .orderBy("doc_id")
+    }),
+
+    // URL canonicalization + registrable domain: the provenance key the
+    // three URL stages share (tracking params dropped + params sorted,
+    // fragments off, case/port normalized; public-suffix-aware domain)
+    "ext_url_normalize" -> ((s, dir) => {
+      urlAug(Tables.documents(s, dir))
+        .select(col("doc_id"),
+          UrlOps.canonicalUrl(col("url")).as("canon_url"),
+          UrlOps.registrableDomain(col("url")).as("domain"))
+        .orderBy("doc_id")
+    }),
+
+    // URL-keyed exact dedup: byte-variant URLs of the same page collapse
+    // onto one keeper; unparseable provenance keeps itself
+    "ext_url_dedup" -> ((s, dir) => {
+      UrlOps.urlDedup(urlAug(Tables.documents(s, dir))).orderBy("doc_id")
+    }),
+
+    // per-domain cap (the RefinedWeb/FineWeb anti-spam stage):
+    // deterministic content-blind draw of at most 20 docs per domain
+    "ext_domain_cap" -> ((s, dir) => {
+      UrlOps.domainCap(urlAug(Tables.documents(s, dir)), cap = 20L).orderBy("doc_id")
+    }),
+
+    // per-domain composition data card (NULL-domain row kept visible)
+    "ext_domain_stats" -> ((s, dir) => {
+      UrlOps.domainStats(urlAug(Tables.documents(s, dir))).orderBy("domain")
     }),
 
     // HTML boilerplate extraction — the FIRST stage of a web-corpus
@@ -1578,6 +1646,45 @@ object PipelineQueries {
          |  min(doc_id) OVER (PARTITION BY md5(t)) AS keep_id,
          |  doc_id = min(doc_id) OVER (PARTITION BY md5(t)) AS is_keeper
          |FROM n ORDER BY doc_id""".stripMargin,
+
+    // URL stages: aug + expressions generated from the same constants
+    "ext_url_normalize" ->
+      s"""WITH $urlAugSql
+         |SELECT doc_id, ${UrlOps.canonicalUrlD("url")} AS canon_url,
+         |  ${UrlOps.registrableDomainD("url")} AS domain
+         |FROM ua ORDER BY doc_id""".stripMargin,
+
+    "ext_url_dedup" ->
+      s"""WITH $urlAugSql,
+         |cn AS (SELECT doc_id, ${UrlOps.canonicalUrlD("url")} AS canon_url FROM ua)
+         |SELECT doc_id, canon_url,
+         |  CASE WHEN canon_url IS NULL THEN doc_id
+         |       ELSE min(doc_id) OVER (PARTITION BY canon_url) END AS keep_id,
+         |  doc_id = (CASE WHEN canon_url IS NULL THEN doc_id
+         |       ELSE min(doc_id) OVER (PARTITION BY canon_url) END) AS is_keeper
+         |FROM cn ORDER BY doc_id""".stripMargin,
+
+    "ext_domain_cap" ->
+      s"""WITH $urlAugSql,
+         |dm AS (SELECT doc_id, ${UrlOps.registrableDomainD("url")} AS domain,
+         |         abs(doc_id * 2654435761 + 40503) % 1000000 AS h FROM ua),
+         |r AS (SELECT doc_id, domain,
+         |        CASE WHEN domain IS NULL THEN 0
+         |             ELSE row_number() OVER (PARTITION BY domain ORDER BY h, doc_id) END AS rank
+         |      FROM dm)
+         |SELECT doc_id, domain, CAST(rank AS BIGINT) AS rank,
+         |  (domain IS NULL OR rank <= 20) AS kept
+         |FROM r ORDER BY doc_id""".stripMargin,
+
+    "ext_domain_stats" ->
+      s"""WITH $urlAugSql,
+         |dm AS (SELECT ${UrlOps.registrableDomainD("url")} AS domain,
+         |         CAST(length(text) AS BIGINT) AS n FROM ua),
+         |a AS (SELECT domain, count(*) AS n_docs, sum(n) AS n_chars FROM dm GROUP BY 1),
+         |t AS (SELECT sum(n_chars) AS tot FROM a)
+         |SELECT domain, CAST(n_docs AS BIGINT) AS n_docs, CAST(n_chars AS BIGINT) AS n_chars,
+         |  CAST(n_chars * 1000000 // greatest(tot, 1) AS BIGINT) AS share_ppm
+         |FROM a, t ORDER BY domain NULLS FIRST""".stripMargin,
 
     // markup extraction: the aug builds byte-identical HTML from the same
     // fixture constants; the extraction CTEs come from MarkupExtract so

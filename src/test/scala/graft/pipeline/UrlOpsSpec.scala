@@ -1,0 +1,99 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class UrlOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def canon(u: String): Option[String] =
+    Option(Seq(Tuple1(u)).toDF("url")
+      .select(UrlOps.canonicalUrl(col("url"))).head.getString(0))
+  private def dom(u: String): Option[String] =
+    Option(Seq(Tuple1(u)).toDF("url")
+      .select(UrlOps.registrableDomain(col("url"))).head.getString(0))
+
+  test("canonicalUrl: every normalization rule, one case each") {
+    // case-variant scheme+host, default port, tracking params, unsorted
+    // params, trailing slash, fragment — all collapse to one form
+    assert(canon("HTTP://WWW.Example.COM:80/a/b/?utm_source=x&b=2&a=1#frag")
+      == Some("http://www.example.com/a/b?a=1&b=2"))
+    assert(canon("https://example.com:443/x") == Some("https://example.com/x"))
+    // NON-default port survives
+    assert(canon("https://example.com:8443/x") == Some("https://example.com:8443/x"))
+    // empty and all-slash paths root; all-tracking query drops entirely
+    assert(canon("https://example.com") == Some("https://example.com/"))
+    assert(canon("https://example.com///?fbclid=abc") == Some("https://example.com/"))
+    // param ORDER is transport noise: permutations canonicalize equal
+    assert(canon("https://e.com/p?z=1&a=2") == canon("https://e.com/p?a=2&z=1"))
+    // a param merely PREFIXED by a tracking name is not tracking
+    assert(canon("https://e.com/p?refresh=1") == Some("https://e.com/p?refresh=1"))
+    assert(canon("https://e.com/p?ref=spam") == Some("https://e.com/p"))
+    // non-http(s) provenance -> NULL, never a junk key
+    assert(canon("mailto:x@y.com").isEmpty)
+    assert(canon("not a url at all").isEmpty)
+    assert(canon("ftp://example.com/f").isEmpty)
+  }
+
+  test("registrableDomain: suffix table, label counts, port strip") {
+    assert(dom("https://news.bbc.CO.UK:443/x") == Some("bbc.co.uk"))
+    assert(dom("http://a.b.c.example.com/") == Some("example.com"))
+    assert(dom("https://example.com/x") == Some("example.com"))
+    assert(dom("http://localhost:8080/x") == Some("localhost"))
+    assert(dom("mailto:x@y.com").isEmpty)
+  }
+
+  test("urlDedup: byte-variant URLs of one page collapse; NULL provenance keeps itself") {
+    val docs = Seq(
+      (1L, "https://E.com/page?b=2&a=1"),
+      (2L, "HTTPS://e.COM/page/?a=1&b=2#top"),   // same page, different bytes
+      (3L, "https://e.com/page?a=1&b=2&utm_source=tw"), // same after tracking strip
+      (4L, "https://e.com/other"),
+      (5L, "garbage"),
+      (6L, "junk too")).toDF("doc_id", "url")
+    val got = UrlOps.urlDedup(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getBoolean(3)))).toMap
+    assert(got == Map(
+      1L -> ((1L, true)), 2L -> ((1L, false)), 3L -> ((1L, false)),
+      4L -> ((4L, true)),
+      5L -> ((5L, true)), 6L -> ((6L, true))), // NULL keys never collapse rows
+      s"got $got")
+  }
+
+  test("domainCap: at most cap docs survive per domain, selected by the content-blind hash; NULL domains uncapped") {
+    val docs = (1L to 30L).map { i =>
+      val u = if (i % 10 == 0) "bogus" else s"https://site${i % 2}.example.com/p/$i"
+      (i, u)
+    }.toDF("doc_id", "url")
+    val got = UrlOps.domainCap(docs, cap = 5L).collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)), r.getLong(2), r.getBoolean(3)))
+    // exactly 5 kept per real domain (example.com is one registrable
+    // domain for both sites... registrable collapses site0/site1!)
+    val byDom = got.filter(_._2.isDefined).groupBy(_._2.get)
+    byDom.foreach { case (d, rows) =>
+      assert(rows.count(_._4) == math.min(5, rows.size), s"domain $d kept wrong count")
+      // the kept subset is the 5 smallest (hash, id) — deterministic
+      val keptIds = rows.filter(_._4).map(_._1).toSet
+      val wantIds = rows.sortBy(r => ((r._1 * 2654435761L + 40503L).abs % 1000000, r._1))
+        .take(5).map(_._1).toSet
+      assert(keptIds == wantIds, s"domain $d: selection must be the deterministic draw")
+    }
+    // NULL-domain rows all kept at rank 0
+    assert(got.filter(_._2.isEmpty).forall(r => r._3 == 0L && r._4))
+  }
+
+  test("domainStats: shares sum to ~1e6 and the NULL row stays visible") {
+    val docs = Seq(
+      (1L, "https://a.com/x", "aaaa"),
+      (2L, "https://a.com/y", "bbbbbb"),
+      (3L, "https://b.com/z", "cc"),
+      (4L, "oops", "dddddddd")).toDF("doc_id", "url", "text")
+    val got = UrlOps.domainStats(docs).collect()
+      .map(r => (Option(r.getString(0)), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val tot = 4 + 6 + 2 + 8
+    assert(got == Set(
+      (Some("a.com"), 2L, 10L, 10L * 1000000L / tot),
+      (Some("b.com"), 1L, 2L, 2L * 1000000L / tot),
+      (None, 1L, 8L, 8L * 1000000L / tot)), s"got $got")
+  }
+}
