@@ -579,6 +579,42 @@ object PipelineQueries {
       UrlOps.domainStats(urlAug(Tables.documents(s, dir))).orderBy("domain")
     }),
 
+    // THE WEB-INGEST CHAIN COMPOSED end-to-end, per-doc disposition
+    // table: raw markup + provenance in, one keeper set out.
+    //   extract (markup → text)
+    //   → URL dedup (cheapest first: provenance collapses byte-variant
+    //     fetches before any content work)
+    //   → domain cap (anti-spam, among URL survivors)
+    //   → NFC-normalize + content exact dedup (among capped survivors —
+    //     each election runs on the PREVIOUS stage's survivors, the
+    //     ordering a real pipeline uses because each stage shrinks the
+    //     next one's input)
+    // Output: (doc_id, url_keeper, domain_kept, content_keeper) — the
+    // per-stage verdicts a data card reports and an engineer debugs with
+    "ext_web_ingest" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val urls = urlAug(docs).select("doc_id", "url")
+      val extracted = MarkupExtract.extract(markupAug(docs.select("doc_id", "text")))
+        .select("doc_id", "text")
+      val s1 = UrlOps.urlDedup(urls).where(col("is_keeper")).select("doc_id")
+      val s2 = UrlOps.domainCap(urls.join(s1, "doc_id"), cap = 30L)
+        .where(col("kept")).select("doc_id")
+      val s3 = Dedup.exactDedup(
+          extracted.join(s2, "doc_id")
+            .withColumn("__t", TextAnalysis.normalizeExpr(col("text"))),
+          textCol = "__t")
+        .where(col("is_keeper")).select("doc_id")
+      docs.select("doc_id")
+        .join(s1.withColumn("__u", lit(true)), Seq("doc_id"), "left")
+        .join(s2.withColumn("__d", lit(true)), Seq("doc_id"), "left")
+        .join(s3.withColumn("__c", lit(true)), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("__u"), lit(false)).as("url_keeper"),
+          coalesce(col("__d"), lit(false)).as("domain_kept"),
+          coalesce(col("__c"), lit(false)).as("content_keeper"))
+        .orderBy("doc_id")
+    }),
+
     // HTML boilerplate extraction — the FIRST stage of a web-corpus
     // pipeline: markup in, main text out (block segmentation + link
     // density + length classification, jusText-style); scan-side HOFs,
@@ -1685,6 +1721,42 @@ object PipelineQueries {
          |SELECT domain, CAST(n_docs AS BIGINT) AS n_docs, CAST(n_chars AS BIGINT) AS n_chars,
          |  CAST(n_chars * 1000000 // greatest(tot, 1) AS BIGINT) AS share_ppm
          |FROM a, t ORDER BY domain NULLS FIRST""".stripMargin,
+
+    // the composed web-ingest chain: each stage's CTEs are the same
+    // generated pieces its standalone oracle uses, chained on survivors
+    "ext_web_ingest" ->
+      s"""WITH $urlAugSql,
+         |$markupAugSqlD,
+         |${MarkupExtract.extractSqlD()},
+         |cn AS (SELECT doc_id, ${UrlOps.canonicalUrlD("url")} AS cu FROM ua),
+         |k1 AS (SELECT doc_id,
+         |        doc_id = (CASE WHEN cu IS NULL THEN doc_id
+         |                  ELSE min(doc_id) OVER (PARTITION BY cu) END) AS keep1
+         |       FROM cn),
+         |s1 AS (SELECT doc_id FROM k1 WHERE keep1),
+         |dm AS (SELECT ua.doc_id, ${UrlOps.registrableDomainD("url")} AS domain,
+         |         abs(ua.doc_id * 2654435761 + 40503) % 1000000 AS hh
+         |       FROM ua JOIN s1 USING (doc_id)),
+         |r2 AS (SELECT doc_id, domain,
+         |        CASE WHEN domain IS NULL THEN 0
+         |             ELSE row_number() OVER (PARTITION BY domain ORDER BY hh, doc_id) END AS rnk
+         |       FROM dm),
+         |s2 AS (SELECT doc_id FROM r2 WHERE domain IS NULL OR rnk <= 30),
+         |n3 AS (SELECT ex.doc_id,
+         |        trim(regexp_replace(regexp_replace(nfc_normalize(ex.txt),
+         |          '[\\x00-\\x1f\\x7f]', ' ', 'g'), ' +', ' ', 'g')) AS t
+         |       FROM ex JOIN s2 USING (doc_id)),
+         |k3 AS (SELECT doc_id,
+         |        doc_id = min(doc_id) OVER (PARTITION BY md5(t)) AS keep3 FROM n3)
+         |SELECT d.doc_id,
+         |  COALESCE(k1.keep1, false) AS url_keeper,
+         |  (s2.doc_id IS NOT NULL) AS domain_kept,
+         |  COALESCE(k3.keep3, false) AS content_keeper
+         |FROM documents d
+         |LEFT JOIN k1 ON k1.doc_id = d.doc_id
+         |LEFT JOIN s2 ON s2.doc_id = d.doc_id
+         |LEFT JOIN k3 ON k3.doc_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
 
     // markup extraction: the aug builds byte-identical HTML from the same
     // fixture constants; the extraction CTEs come from MarkupExtract so

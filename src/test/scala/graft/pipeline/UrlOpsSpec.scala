@@ -82,6 +82,22 @@ class UrlOpsSpec extends SparkSpec {
     assert(got.filter(_._2.isEmpty).forall(r => r._3 == 0L && r._4))
   }
 
+  test("canonicalUrl + registrableDomain are stateless-streaming legal (scan-side, no shuffle)") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val q = in.toDF().toDF("doc_id", "url")
+      .select(col("doc_id"),
+        UrlOps.canonicalUrl(col("url")).as("cu"),
+        UrlOps.registrableDomain(col("url")).as("dom"))
+      .writeStream.format("memory").queryName("url_stream").outputMode("append").start()
+    try {
+      in.addData((1L, "HTTPS://E.com:443/p/?b=2&a=1&utm_source=x#f"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("url_stream").collect().map(r => (r.getString(1), r.getString(2)))
+    assert(got.toSeq == Seq(("https://e.com/p?a=1&b=2", "e.com")))
+  }
+
   test("domainStats: shares sum to ~1e6 and the NULL row stays visible") {
     val docs = Seq(
       (1L, "https://a.com/x", "aaaa"),
