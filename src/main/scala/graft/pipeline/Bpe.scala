@@ -554,19 +554,21 @@ object Bpe {
 
   /** Per-document encode summary: whitespace token count, BPE token
     * count, and the md5 of the comma-joined id sequence (order-exact —
-    * two documents agree iff their full BPE id streams agree). The
-    * symbol array is evaluated ONCE per row via `inline` (a Generate —
-    * projection collapsing cannot inline it into each output column).
+    * two documents agree iff their full BPE id streams agree).
+    *
+    * DICTIONARY PATH (the [[decodeRoundTrip]] shape): the per-word merge
+    * chain and id table run once per DISTINCT word, each word's ids
+    * pre-joined into one comma string; the per-doc stream reassembles in
+    * exact order via `array_sort(collect_list(struct(pos, ids)))` and
+    * joining per-word strings with ',' is byte-identical to joining the
+    * flattened stream. The order-exactness argument that once kept this
+    * operator scan-side is answered by the positional reassembly — and
+    * the chain cost it removes grows with merge-table depth, which is
+    * exactly where the trained tables hurt (measured at sf0.1: shipped
+    * 1.96 → 0.60 s, 16-rule trained 2.52 → 0.70 s).
     */
-  def encode(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val stats =
-      s"""inline(array(element_at(transform(array(${symsS(textCol)}), ss -> named_struct(
-         |  'n_ws_tokens', cast(size(${toksS(textCol)}) as bigint),
-         |  'n_bpe_tokens', cast(size(ss) as bigint),
-         |  'ids_md5', md5(concat_ws(',', transform(ss, sy -> cast(${idOfS("sy")} as string)))))), 1)))"""
-        .stripMargin.replace("\n", " ")
-    docs.select(col(idCol), expr(stats))
-  }
+  def encode(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    encodeWith(docs, merges, idCol, textCol)
 
   /** DuckDB oracle twin of [[encode]] over the `documents` table —
     * generated from the same merge constants so the two dialects cannot
@@ -581,22 +583,37 @@ object Bpe {
        |FROM syms ORDER BY doc_id""".stripMargin
 
   /** [[encode]] with an arbitrary (typically TRAINED) merge table: same
-    * output schema, ids are VOCAB_BASE + the table's own ranks. The serving path
-    * for [[refTrainedMerges]] — the table folds into the scan as
-    * literals, exactly like the shipped one.
+    * output schema, ids are VOCAB_BASE + the table's own ranks. The
+    * serving path for [[refTrainedMerges]] — the table folds into the
+    * per-distinct-word chain as literals, exactly like the shipped one.
     */
   def encodeWith(
       docs: DataFrame,
       ms: Seq[(String, String)],
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
-    val stats =
-      s"""inline(array(element_at(transform(array(${symsWithS(textCol, ms)}), ss -> named_struct(
-         |  'n_ws_tokens', cast(size(${toksS(textCol)}) as bigint),
-         |  'n_bpe_tokens', cast(size(ss) as bigint),
-         |  'ids_md5', md5(concat_ws(',', transform(ss, sy -> cast(${idOfS("sy", ms)} as string)))))), 1)))"""
-        .stripMargin.replace("\n", " ")
-    docs.select(col(idCol), expr(stats))
+    validate(ms)
+    val base = docs.select(col(idCol), expr(toksS(textCol)).as("__toks"))
+    val words = base.select(col(idCol), posexplode(col("__toks")).as(Seq("__p", "__w")))
+    val dict = words.select("__w").distinct()
+      .select(col("__w"),
+        expr(
+          s"""inline(array(element_at(transform(array(${wordSymsS("__w", ms)}), ws ->
+             |  named_struct(
+             |    '__n', cast(size(ws) as bigint),
+             |    '__ids', concat_ws(',', transform(ws, sy -> cast(${idOfS("sy", ms)} as string))))), 1)))"""
+            .stripMargin.replace("\n", " ")))
+    val perDoc = words.join(broadcast(dict), "__w")
+      .groupBy(idCol)
+      .agg(
+        expr("sum(__n)").as("__nb"),
+        expr("concat_ws(',', transform(array_sort(collect_list(struct(__p, __ids))), x -> x.__ids))")
+          .as("__idstr"))
+    base.join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        size(col("__toks")).cast("long").as("n_ws_tokens"),
+        coalesce(col("__nb"), lit(0L)).as("n_bpe_tokens"),
+        md5(coalesce(col("__idstr"), lit(""))).as("ids_md5"))
   }
 
   /** DuckDB oracle twin of [[encodeWith]] — generated from the same merge
