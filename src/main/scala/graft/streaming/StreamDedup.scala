@@ -396,4 +396,83 @@ object StreamDedup {
       }
     }
   }
+  /** A document with provenance arriving on an ingest stream. */
+  case class UrlDoc(doc_id: Long, url: String, arrival: Long)
+
+  /** A domain-cap admission receipt: the registrable domain (null for
+    * unparseable provenance) and the domain's admitted count INCLUDING
+    * this doc (0 for the uncapped null-domain path).
+    */
+  case class CappedDoc(doc_id: Long, domain: String, arrival: Long, n_admitted: Long)
+
+  /** Streaming PER-DOMAIN DOCUMENT CAP — the streaming twin of
+    * [[graft.pipeline.UrlOps.domainCap]]: admit at most `cap` documents
+    * per registrable domain over an UNBOUNDED ingest stream. The domain
+    * derives in the PLAN via the same
+    * [[graft.pipeline.UrlOps.registrableDomain]] column expression the
+    * batch operator uses (one implementation, no Scala re-derivation to
+    * drift), then a NoTimeout keyed counter admits in (arrival, doc_id)
+    * order.
+    *
+    * DELIBERATE divergence from the batch twin, documented: batch
+    * domainCap draws a content-blind uniform hash sample because it sees
+    * the whole domain at once; an online admitter cannot sample a future
+    * it has not seen, so the streaming cap keeps the FIRST `cap`
+    * arrivals — the standard online semantics (and the reason a
+    * backfill should re-run the batch form). Null-domain documents pass
+    * uncapped with n_admitted 0, mirroring the batch operator's
+    * NULL-provenance contract.
+    *
+    * State is ONE Long per domain, monotone to `cap` and never expiring
+    * (an exhausted domain must STAY exhausted) — domains are unbounded
+    * like [[dedupUnbounded]]'s hashes, so the cluster backend is the
+    * disk-backed store (exercised under RocksDB in StreamDedupSpec).
+    */
+  def domainCapAdmit(docs: Dataset[UrlDoc], cap: Long): Dataset[CappedDoc] = {
+    require(cap >= 1, s"domainCapAdmit: cap must be positive, got $cap")
+    import docs.sparkSession.implicits._
+    val withDom = docs
+      .withColumn("domain", graft.pipeline.UrlOps.registrableDomain(col("url")))
+      .select(col("doc_id"), col("domain"), col("arrival"))
+      .as[CappedDocKey]
+    withDom
+      .groupByKey(d => Option(d.domain).getOrElse(""))
+      .flatMapGroupsWithState[AdmitState, CappedDoc](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[CappedDocKey], state: GroupState[AdmitState]) =>
+          val ordered = rows.toSeq.sortBy(d => (d.arrival, d.doc_id))
+          if (key.isEmpty) {
+            // null-domain: uncapped, no state written
+            ordered.iterator.map(d => CappedDoc(d.doc_id, null, d.arrival, 0L))
+          } else {
+            var admitted = state.getOption.map(_.admitted).getOrElse(0L)
+            val out = ordered.flatMap { d =>
+              if (admitted < cap) {
+                admitted += 1
+                Some(CappedDoc(d.doc_id, d.domain, d.arrival, admitted))
+              } else None
+            }
+            state.update(AdmitState(admitted))
+            out.iterator
+          }
+      }
+  }
+
+  /** Plan-side row of [[domainCapAdmit]] (public for the encoder). */
+  case class CappedDocKey(doc_id: Long, domain: String, arrival: Long)
+
+  /** In-memory reference model of [[domainCapAdmit]]. */
+  def domainCapReference(docs: Seq[CappedDocKey], cap: Long): Seq[CappedDoc] = {
+    val counts = scala.collection.mutable.Map.empty[String, Long]
+    docs.sortBy(d => (d.arrival, d.doc_id)).flatMap { d =>
+      if (d.domain == null) Some(CappedDoc(d.doc_id, null, d.arrival, 0L))
+      else {
+        val cur = counts.getOrElse(d.domain, 0L)
+        if (cur < cap) {
+          counts(d.domain) = cur + 1
+          Some(CappedDoc(d.doc_id, d.domain, d.arrival, cur + 1))
+        } else None
+      }
+    }
+  }
 }

@@ -449,6 +449,45 @@ class StreamDedupSpec extends SparkSpec {
       }
   }
 
+  test("domainCapAdmit: first-cap arrivals kept per domain across batches; null domains uncapped; == reference across splits") {
+    import graft.streaming.StreamDedup.{UrlDoc, CappedDoc, CappedDocKey}
+    implicit val sqlCtx = spark.sqlContext
+    // two real domains interleaved + unparseable provenance; arrival is
+    // the ingest order
+    val feed = Seq(
+      UrlDoc(1L, "https://a.example.com/1", 1L),
+      UrlDoc(2L, "https://b.example.org/1", 2L),
+      UrlDoc(3L, "https://x.a.example.com/2", 3L),   // same registrable domain as 1
+      UrlDoc(4L, "garbage", 4L),                     // null domain: uncapped
+      UrlDoc(5L, "https://a.example.com/3", 5L),     // 3rd for example.com -> over cap 2
+      UrlDoc(6L, "https://b.example.org/2", 6L),
+      UrlDoc(7L, "https://b.example.org/3", 7L),     // over cap
+      UrlDoc(8L, "not a url", 8L))
+    val keyed = feed.map(d => CappedDocKey(d.doc_id,
+      Seq(Tuple1(d.url)).toDF("url")
+        .select(graft.pipeline.UrlOps.registrableDomain(col("url"))).head.getString(0),
+      d.arrival))
+    val want = StreamDedup.domainCapReference(keyed, cap = 2L).sortBy(_.arrival)
+    // sanity on the fixture: docs 5 and 7 rejected, null domains kept
+    assert(want.map(_.doc_id) == Seq(1L, 2L, 3L, 4L, 6L, 8L))
+    Seq(Seq(3, 5), Seq(1, 1, 1, 1, 1, 1, 1, 1), Seq(8)).zipWithIndex.foreach { case (split, si) =>
+      val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[UrlDoc]
+      val name = s"domcap_out_$si"
+      val q = StreamDedup.domainCapAdmit(input.toDS(), cap = 2L)
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      try {
+        var rest = feed
+        split.foreach { n =>
+          val (chunk, tail) = rest.splitAt(n)
+          rest = tail
+          if (chunk.nonEmpty) { input.addData(chunk); q.processAllAvailable() }
+        }
+        val got = spark.table(name).as[CappedDoc].collect().sortBy(_.arrival).toSeq
+        assert(got == want, s"split $si: streaming cap diverged from the reference\n$got\n$want")
+      } finally q.stop()
+    }
+  }
+
   test("unbounded state kernels run under the RocksDB state-store provider (the cluster backend)") {
     // dedupUnbounded's scaladoc claims corpus-lifetime state is viable
     // because the store is disk-backed on a cluster; this spec RUNS both
@@ -505,6 +544,22 @@ class StreamDedupSpec extends SparkSpec {
         assert(got == want.sortBy(_.arrival),
           "RocksDB-backed admission diverged from the reference model")
       } finally q2.stop()
+
+      // domainCapAdmit: the unbounded-key cap counter under the same provider
+      import graft.streaming.StreamDedup.{UrlDoc, CappedDoc}
+      val urls = Seq(
+        UrlDoc(1L, "https://a.example.com/1", 1L),
+        UrlDoc(2L, "https://a.example.com/2", 2L),
+        UrlDoc(3L, "https://a.example.com/3", 3L))
+      val in3 = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[UrlDoc]
+      val q3 = StreamDedup.domainCapAdmit(in3.toDS(), cap = 2L)
+        .writeStream.format("memory").queryName("rocks_domcap_out").outputMode("append").start()
+      try {
+        in3.addData(urls.take(2)); q3.processAllAvailable()
+        in3.addData(urls.drop(2)); q3.processAllAvailable()
+        val got = spark.table("rocks_domcap_out").as[CappedDoc].collect().map(_.doc_id).sorted.toSeq
+        assert(got == Seq(1L, 2L), "RocksDB-backed domain cap must shut the door across batches")
+      } finally q3.stop()
     } finally {
       prior match {
         case Some(v) => spark.conf.set(confKey, v)
