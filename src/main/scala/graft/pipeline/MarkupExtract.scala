@@ -88,8 +88,12 @@ object MarkupExtract {
       idCol: String = "doc_id",
       minChars: Long = minCharsDefault,
       maxLinkPpm: Long = maxLinkPpmDefault): DataFrame = {
+    // NULL markup reads as EMPTY markup (zero blocks, empty text, zero
+    // counts) — without the coalesce the counts would be NULL while the
+    // text reads '', an inconsistent row a data card would trip over
     val pre = regexp_replace(
-      regexp_replace(regexp_replace(col(htmlCol), commentRe, " "), scriptRe, " "),
+      regexp_replace(regexp_replace(coalesce(col(htmlCol), lit("")), commentRe, " "),
+        scriptRe, " "),
       styleRe, " ")
     val blocks = filter(
       transform(split(pre, blockSplitRe), b =>
@@ -134,7 +138,8 @@ object MarkupExtract {
     */
   def extractSqlD(minChars: Long = minCharsDefault,
       maxLinkPpm: Long = maxLinkPpmDefault): String =
-    s"""pre AS (SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(html,
+    s"""pre AS (SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(
+       |    coalesce(html, ''),
        |    ${sqlLit(commentRe)}, ' ', 'g'), ${sqlLit(scriptRe)}, ' ', 'g'),
        |    ${sqlLit(styleRe)}, ' ', 'g') AS ph FROM h),
        |bl AS (SELECT doc_id, list_filter(list_transform(

@@ -85,6 +85,15 @@ class MarkupExtractSpec extends SparkSpec {
     assert(extractOne(h25)._3 == 1L)
   }
 
+  test("NULL markup reads as empty markup: zero blocks, empty text, zero counts — never a half-NULL row") {
+    import spark.implicits._
+    val out = MarkupExtract.extract(
+        Seq((1L, null.asInstanceOf[String]), (2L, "")).toDF("doc_id", "html"))
+      .orderBy("doc_id").collect().map(_.toSeq)
+    assert(out(0) == Seq(1L, "", 0L, 0L, 0L))
+    assert(out(1) == Seq(2L, "", 0L, 0L, 0L))
+  }
+
   test("corpus roundtrip at sf0.001: wrapped docs extract back to exactly their text") {
     val docs = graft.tables.Tables.documents(spark, "/root/testdata/sf0.001")
       .select("doc_id", "text")
