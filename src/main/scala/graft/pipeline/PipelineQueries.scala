@@ -833,6 +833,29 @@ object PipelineQueries {
         .orderBy("doc_id", "eval_id")
     }),
 
+    // the fuzzy probe COMPOSED into its consequence: per-doc disposition
+    // (hit count, strongest match, kept?) — flagged training docs drop,
+    // everything else passes with its audit columns
+    "ext_fuzzy_excise" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val para = expr(
+        s"""concat_ws(' ', transform(${toksS("text")},
+           |  (t4, i4) -> IF((i4 + 1) % 3 = 0, concat('zz', substr(t4, 1, 1)), t4)))"""
+          .stripMargin.replace("\n", " "))
+      val evalSet = docs.filter(col("doc_id") < 10)
+        .select(col("doc_id"), para.as("text"))
+      val flags = TextAnalysis.contaminationFuzzy(docs.select("doc_id", "text"), evalSet)
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("__nh"), max(col("sim_ppm")).as("__mx"))
+      docs.select("doc_id")
+        .join(flags, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("__nh"), lit(0L)).as("n_eval_hits"),
+          coalesce(col("__mx"), lit(0L)).as("max_sim_ppm"),
+          col("__nh").isNull.as("kept"))
+        .orderBy("doc_id")
+    }),
+
     "ext_dedup_simhash_pairs" -> ((s, dir) => {
       Dedup.simhashNearDups(nearAug(Tables.documents(s, dir)), maxDist = 6)
         .orderBy("id1", "id2")
@@ -2057,6 +2080,36 @@ object PipelineQueries {
          |             JOIN esg y ON y.eval_id = cand.eval_id)
          |SELECT doc_id, eval_id, sim_ppm FROM sim
          |WHERE sim_ppm >= 500000 ORDER BY doc_id, eval_id""".stripMargin,
+
+    // the fuzzy probe's disposition: same CTE chain, aggregated per doc
+    // and left-joined back so unflagged docs read kept=true
+    "ext_fuzzy_excise" ->
+      s"""WITH tk AS (SELECT doc_id, ${toksD("text")} AS toks FROM documents),
+         |ev AS (SELECT doc_id AS eval_id,
+         |         list_transform(generate_series(1, len(toks)),
+         |           i -> CASE WHEN i % 3 = 0 THEN 'zz' || substr(toks[i], 1, 1)
+         |                ELSE toks[i] END) AS etoks
+         |       FROM tk WHERE doc_id < 10),
+         |tsh AS (SELECT doc_id, list_distinct(toks) AS shingles FROM tk WHERE len(toks) > 0),
+         |esh AS (SELECT eval_id AS doc_id, list_distinct(etoks) AS shingles FROM ev
+         |        WHERE len(etoks) > 0),
+         |tsg AS (SELECT doc_id, $minhashSigD AS sig FROM tsh),
+         |esg AS (SELECT doc_id AS eval_id, $minhashSigD AS sig FROM esh),
+         |tb AS (SELECT doc_id, unnest($bandHashesD) AS bh FROM tsg),
+         |eb AS (SELECT eval_id, unnest($bandHashesD) AS bh FROM esg),
+         |cand AS (SELECT DISTINCT tb.doc_id, eb.eval_id FROM tb JOIN eb ON tb.bh = eb.bh),
+         |sim AS (SELECT cand.doc_id, cand.eval_id,
+         |          CAST(${sigSimD("x.sig", "y.sig")} AS BIGINT) AS sim_ppm
+         |        FROM cand JOIN tsg x ON x.doc_id = cand.doc_id
+         |             JOIN esg y ON y.eval_id = cand.eval_id),
+         |fl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nh, CAST(max(sim_ppm) AS BIGINT) AS mx
+         |       FROM sim WHERE sim_ppm >= 500000 GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |  COALESCE(fl.nh, 0) AS n_eval_hits,
+         |  COALESCE(fl.mx, 0) AS max_sim_ppm,
+         |  fl.doc_id IS NULL AS kept
+         |FROM documents d LEFT JOIN fl ON fl.doc_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
 
     "ext_pack_chunks" ->
       s"""WITH d AS (SELECT doc_id, CAST(len(${toksD("text")}) AS BIGINT) AS n_tokens FROM documents),

@@ -109,6 +109,58 @@ class MarkupExtractSpec extends SparkSpec {
     assert(bad.isEmpty, "extraction must recover every document's text byte-exactly")
   }
 
+  test("property: extraction == an independent Scala reference on seeded random tag soup") {
+    // reference implementation of the documented algorithm, straight-line
+    // Scala — validates the HOF/struct plumbing of the Spark expression
+    // composition against something with no plumbing at all (the DuckDB
+    // oracle separately validates the regex dialect)
+    def clean(s: String): String = {
+      var t = s.replaceAll(MarkupExtract.inlineTagRe, " ")
+      MarkupExtract.entities.foreach { case (e, ch) =>
+        t = t.replaceAll(e, java.util.regex.Matcher.quoteReplacement(ch))
+      }
+      t.replaceAll(MarkupExtract.wsRunRe, " ").trim
+    }
+    def refExtract(html: String): (String, Long, Long) = {
+      val pre = html.replaceAll(MarkupExtract.commentRe, " ")
+        .replaceAll(MarkupExtract.scriptRe, " ")
+        .replaceAll(MarkupExtract.styleRe, " ")
+      val anchor = java.util.regex.Pattern.compile(MarkupExtract.anchorRe)
+      val blocks = pre.split(MarkupExtract.blockSplitRe, -1).toSeq
+        .map { b =>
+          val m = anchor.matcher(b)
+          val links = Iterator.continually(m).takeWhile(_.find()).map(_.group(1)).mkString(" ")
+          (clean(b), clean(links))
+        }
+        .filter(_._1.nonEmpty)
+      val good = blocks.filter { case (t, l) =>
+        t.length >= MarkupExtract.minCharsDefault &&
+          l.length * 1000000L <= MarkupExtract.maxLinkPpmDefault * t.length
+      }
+      (good.map(_._1).mkString(" "), blocks.size.toLong, good.size.toLong)
+    }
+    val rnd = new scala.util.Random(0x3a9)
+    val pieces = Seq("<p>", "</p>", "<div class='x'>", "</div>", "<a href='/y'>", "</a>",
+      "<b>", "</b>", "<br/>", "&amp;", "&lt;", "&nbsp;", "&#39;",
+      "<script>var x = 1 < 2;</script>", "<style>p{}</style>", "<!-- note <p>x</p> -->",
+      "<h2>", "</h2>", "<li>", "</li>")
+    val words = Seq("alpha", "bravo", "charlie", "delta", "echo", "foxtrot", "golf")
+    val docs = (1 to 60).map { i =>
+      val n = 5 + rnd.nextInt(40)
+      var h = (1 to n).map { _ =>
+        if (rnd.nextInt(3) == 0) pieces(rnd.nextInt(pieces.size))
+        else words(rnd.nextInt(words.size))
+      }.mkString(" ")
+      if (rnd.nextInt(4) == 0) h = h.substring(0, rnd.nextInt(h.length + 1)) // truncate mid-anything
+      (i.toLong, h)
+    }
+    val got = MarkupExtract.extract(docs.toDF("doc_id", "html")).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    docs.foreach { case (id, h) =>
+      assert(got(id) == refExtract(h), s"doc $id diverged on: $h")
+    }
+  }
+
   test("extraction is stateless-streaming legal (scan-side projection, no shuffle)") {
     implicit val sqlCtx = spark.sqlContext
     val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
