@@ -41,7 +41,10 @@ object UrlOps {
       "co.jp", "or.jp", "ne.jp", "com.br", "com.cn", "com.mx", "co.in",
       "co.kr", "co.za")
 
-  private val partsRe = "^(?i)(https?)://([^/?#]*)([^?#]*)\\??([^#]*)"
+  // group 2 skips an optional userinfo prefix (user:pass@) — credentials
+  // in URLs are transport artifacts and a secrets leak; the canonical
+  // form strips them, and the registrable domain must never see them
+  private val partsRe = "^(?i)(https?)://(?:[^/?#@]*@)?([^/?#]*)([^?#]*)\\??([^#]*)"
 
   private def isTracking(p: Column): Column =
     trackingParams.map(t => p === t || p.startsWith(t + "=")).reduce(_ || _)

@@ -29,6 +29,9 @@ class UrlOpsSpec extends SparkSpec {
     // a param merely PREFIXED by a tracking name is not tracking
     assert(canon("https://e.com/p?refresh=1") == Some("https://e.com/p?refresh=1"))
     assert(canon("https://e.com/p?ref=spam") == Some("https://e.com/p"))
+    // userinfo (credentials) strips out of the canonical form — a
+    // transport artifact and a secrets leak, and the domain never sees it
+    assert(canon("https://user:pw@example.com/x") == Some("https://example.com/x"))
     // non-http(s) provenance -> NULL, never a junk key
     assert(canon("mailto:x@y.com").isEmpty)
     assert(canon("not a url at all").isEmpty)
@@ -40,6 +43,7 @@ class UrlOpsSpec extends SparkSpec {
     assert(dom("http://a.b.c.example.com/") == Some("example.com"))
     assert(dom("https://example.com/x") == Some("example.com"))
     assert(dom("http://localhost:8080/x") == Some("localhost"))
+    assert(dom("https://alice@sub.bbc.co.uk/x") == Some("bbc.co.uk"))
     assert(dom("mailto:x@y.com").isEmpty)
   }
 

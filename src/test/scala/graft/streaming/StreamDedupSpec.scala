@@ -449,6 +449,46 @@ class StreamDedupSpec extends SparkSpec {
       }
   }
 
+  test("dedupUnbounded: state survives a query RESTART from its checkpoint — the exactly-once claim, exercised") {
+    // the scaladoc claims state is "checkpointed with the query,
+    // exactly-once across restarts"; this runs the actual restart: stop
+    // the query, start a NEW query from the SAME checkpoint (same source
+    // instance, Spark's own StreamTest restart discipline), and assert a
+    // duplicate of PRE-restart content still drops — i.e. the keyed state
+    // was reloaded from the checkpoint, not rebuilt empty
+    import graft.streaming.StreamDedup.IngestDoc
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_dedup_ckpt").toString
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[IngestDoc]
+    // foreachBatch sink: the memory sink refuses checkpoint recovery
+    val emitted = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    def start() = StreamDedup.dedupUnbounded(input.toDS())
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[IngestDoc], _: Long) =>
+        b.collect().foreach(d => emitted.add(d.doc_id)); ()
+      }
+      .outputMode("append")
+      .option("checkpointLocation", ckpt).start()
+    val q1 = start()
+    try {
+      input.addData(IngestDoc(1L, "alpha doc", 1L), IngestDoc(2L, "beta doc", 2L))
+      q1.processAllAvailable()
+      assert(emitted.size == 2)
+    } finally q1.stop()
+    emitted.clear()
+    val q2 = start()
+    try {
+      input.addData(
+        IngestDoc(3L, "alpha doc", 3L),  // dup of PRE-restart content
+        IngestDoc(4L, "gamma doc", 4L))  // novel
+      q2.processAllAvailable()
+      import scala.jdk.CollectionConverters._
+      val got = emitted.asScala.toSeq.sorted
+      assert(got == Seq(4L),
+        s"restored state must still drop pre-restart duplicates, got $got")
+    } finally q2.stop()
+  }
+
   test("domainCapAdmit: first-cap arrivals kept per domain across batches; null domains uncapped; == reference across splits") {
     import graft.streaming.StreamDedup.{UrlDoc, CappedDoc, CappedDocKey}
     implicit val sqlCtx = spark.sqlContext
