@@ -568,6 +568,30 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // corpus version DIFF: per-doc status between two snapshots (added /
+    // removed / changed / unchanged on content md5) — the release-gate
+    // table of a corpus rebuild; aug: every 9th doc removed, every
+    // surviving 7th edited, every 10th re-added under a new id
+    "ext_corpus_diff" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      val newer = docs.filter(col("doc_id") % 9 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 7 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")).as("text"))
+        .unionByName(docs.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 2000000L).as("doc_id"), col("text")))
+      Versioning.corpusDiff(docs, newer).orderBy("doc_id")
+    }),
+
+    // per-dimension embedding DRIFT between snapshots (integer-ppm means
+    // + delta): the first-order alarm that the space moved under a
+    // frozen IVF/PQ index; aug drops every 4th vector from the newer side
+    "ext_embed_drift" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Versioning.embeddingDrift(emb, emb.filter(col("vec_id") % 4 =!= 0))
+        .orderBy("dim")
+    }),
+
     // URL canonicalization + registrable domain: the provenance key the
     // three URL stages share (tracking params dropped + params sorted,
     // fragments off, case/port normalized; public-suffix-aware domain)
@@ -1723,6 +1747,37 @@ object PipelineQueries {
          |  min(doc_id) OVER (PARTITION BY md5(t)) AS keep_id,
          |  doc_id = min(doc_id) OVER (PARTITION BY md5(t)) AS is_keeper
          |FROM n ORDER BY doc_id""".stripMargin,
+
+    // snapshot versioning: diff + drift
+    "ext_corpus_diff" ->
+      s"""WITH o AS (SELECT doc_id, md5(text) AS ho FROM documents),
+         |nw AS (SELECT doc_id,
+         |         md5(CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END) AS hn
+         |       FROM documents WHERE doc_id % 9 <> 0
+         |       UNION ALL
+         |       SELECT doc_id + 2000000, md5(text) FROM documents WHERE doc_id % 10 = 0)
+         |SELECT COALESCE(o.doc_id, nw.doc_id) AS doc_id,
+         |  CASE WHEN o.ho IS NULL THEN 'added'
+         |       WHEN nw.hn IS NULL THEN 'removed'
+         |       WHEN o.ho = nw.hn THEN 'unchanged'
+         |       ELSE 'changed' END AS status
+         |FROM o FULL OUTER JOIN nw ON o.doc_id = nw.doc_id
+         |ORDER BY doc_id""".stripMargin,
+
+    "ext_embed_drift" ->
+      s"""WITH po AS (SELECT i - 1 AS dim,
+         |        CAST(floor(embedding[i]::DOUBLE * 1000000) AS BIGINT) AS p
+         |      FROM embeddings, unnest(generate_series(1, len(embedding))) AS g(i)
+         |      WHERE embedding IS NOT NULL),
+         |pn AS (SELECT i - 1 AS dim,
+         |        CAST(floor(embedding[i]::DOUBLE * 1000000) AS BIGINT) AS p
+         |      FROM embeddings, unnest(generate_series(1, len(embedding))) AS g(i)
+         |      WHERE embedding IS NOT NULL AND vec_id % 4 <> 0),
+         |mo AS (SELECT dim, CAST(sum(p) // count(*) AS BIGINT) AS mean_old_ppm FROM po GROUP BY 1),
+         |mn AS (SELECT dim, CAST(sum(p) // count(*) AS BIGINT) AS mean_new_ppm FROM pn GROUP BY 1)
+         |SELECT CAST(mo.dim AS BIGINT) AS dim, mean_old_ppm, mean_new_ppm,
+         |  mean_new_ppm - mean_old_ppm AS delta_ppm
+         |FROM mo JOIN mn USING (dim) ORDER BY dim""".stripMargin,
 
     // URL stages: aug + expressions generated from the same constants
     "ext_url_normalize" ->
