@@ -104,6 +104,9 @@ object UrlOps {
     * Output: (idCol, canon_url, keep_id, is_keeper).
     */
   def urlDedup(docs: DataFrame, idCol: String = "doc_id", urlCol: String = "url"): DataFrame = {
+    val reserved = Seq("canon_url", "keep_id", "is_keeper").filter(docs.columns.contains)
+    require(reserved.isEmpty,
+      s"urlDedup: docs columns collide with output names (rename them): ${reserved.mkString(", ")}")
     val w = Window.partitionBy(col("canon_url")).orderBy(col(idCol))
     docs
       .withColumn("canon_url", canonicalUrl(col(urlCol)))
@@ -138,6 +141,9 @@ object UrlOps {
       idCol: String = "doc_id",
       urlCol: String = "url"): DataFrame = {
     require(cap >= 1, s"domainCap: cap must be positive, got $cap")
+    val reserved = Seq("domain", "rank", "kept", "__h").filter(docs.columns.contains)
+    require(reserved.isEmpty,
+      s"domainCap: docs columns collide with output/internal names (rename them): ${reserved.mkString(", ")}")
     val w = Window.partitionBy("domain")
       .orderBy(col("__h"), col(idCol))
     docs

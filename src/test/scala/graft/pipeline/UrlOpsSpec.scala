@@ -86,6 +86,15 @@ class UrlOpsSpec extends SparkSpec {
     assert(got.filter(_._2.isEmpty).forall(r => r._3 == 0L && r._4))
   }
 
+  test("reserved-column collisions fail fast (the loud-guard convention)") {
+    val bad = Seq((1L, "https://a.com/x", "boom")).toDF("doc_id", "url", "domain")
+    val e = intercept[IllegalArgumentException] { UrlOps.domainCap(bad, 5L) }
+    assert(e.getMessage.contains("collide"))
+    val bad2 = Seq((1L, "https://a.com/x", true)).toDF("doc_id", "url", "is_keeper")
+    val e2 = intercept[IllegalArgumentException] { UrlOps.urlDedup(bad2) }
+    assert(e2.getMessage.contains("collide"))
+  }
+
   test("canonicalUrl + registrableDomain are stateless-streaming legal (scan-side, no shuffle)") {
     implicit val sqlCtx = spark.sqlContext
     val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
