@@ -638,8 +638,10 @@ object PipelineQueries {
       val extracted = MarkupExtract.extract(markupAug(docs.select("doc_id", "text")))
         .select("doc_id", "text")
       val s1 = UrlOps.urlDedup(urls).where(col("is_keeper")).select("doc_id")
-      val s2 = UrlOps.domainCap(urls.join(s1, "doc_id"), cap = 30L)
-        .where(col("kept")).select("doc_id")
+      // survivors-only cap: the rank<=cap filter rewrites to
+      // WindowGroupLimit, pruning hot domains map-side before the shuffle
+      val s2 = UrlOps.domainCapSurvivors(urls.join(s1, "doc_id"), cap = 30L)
+        .select("doc_id")
       val s3 = Dedup.exactDedup(
           extracted.join(s2, "doc_id")
             .withColumn("__t", TextAnalysis.normalizeExpr(col("text"))),

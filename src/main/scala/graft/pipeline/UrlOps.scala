@@ -156,6 +156,40 @@ object UrlOps {
         (col("domain").isNull || col("rank") <= cap).as("kept"))
   }
 
+  /** SURVIVORS-ONLY form of [[domainCap]] — the form to compose into a
+    * pipeline that only consumes the kept set: because the `rank <= cap`
+    * predicate is a plain filter over a plain `row_number` here (not
+    * folded into a disposition flag), Catalyst rewrites it to
+    * WindowGroupLimit and prunes each domain to its cap-smallest rows
+    * MAP-SIDE, before the shuffle — the hot-domain rows the cap is about
+    * to discard never leave their input partitions (plan-asserted). Use
+    * [[domainCap]] when the audit columns are the point; use this when
+    * the survivors are. Same selection, spec-asserted.
+    * Output: (idCol, domain) for every kept row (null-domain rows all
+    * pass, as in [[domainCap]]).
+    */
+  def domainCapSurvivors(
+      docs: DataFrame,
+      cap: Long,
+      idCol: String = "doc_id",
+      urlCol: String = "url"): DataFrame = {
+    require(cap >= 1, s"domainCapSurvivors: cap must be positive, got $cap")
+    val reserved = Seq("domain", "rank", "__h").filter(docs.columns.contains)
+    require(reserved.isEmpty,
+      s"domainCapSurvivors: docs columns collide with output/internal names " +
+        s"(rename them): ${reserved.mkString(", ")}")
+    val withDom = docs
+      .withColumn("domain", registrableDomain(col(urlCol)))
+      .withColumn("__h", expr(s"abs($idCol * 2654435761L + 40503L) % 1000000"))
+    val w = Window.partitionBy("domain").orderBy(col("__h"), col(idCol))
+    val real = withDom.where(col("domain").isNotNull)
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= cap)
+      .select(col(idCol), col("domain"))
+    val nulls = withDom.where(col("domain").isNull).select(col(idCol), col("domain"))
+    real.unionByName(nulls)
+  }
+
   /** Per-domain composition report — the data card: document count,
     * character mass, and corpus share in ppm (by characters, the proxy
     * for token mass that needs no tokenizer pass). NULL-domain rows

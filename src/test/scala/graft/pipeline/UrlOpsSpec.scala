@@ -86,6 +86,24 @@ class UrlOpsSpec extends SparkSpec {
     assert(got.filter(_._2.isEmpty).forall(r => r._3 == 0L && r._4))
   }
 
+  test("domainCapSurvivors == domainCap's kept set, and the plan prunes via WindowGroupLimit") {
+    val docs = (1L to 40L).map { i =>
+      val u = if (i % 10 == 0) "bogus" else s"https://site${i % 3}.example.com/p/$i"
+      (i, u)
+    }.toDF("doc_id", "url")
+    val viaFlags = UrlOps.domainCap(docs, cap = 5L).where(col("kept"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val survivors = UrlOps.domainCapSurvivors(docs, cap = 5L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(survivors == viaFlags, "survivors form must select exactly the kept set")
+    // the scale property: rank<=cap over a plain row_number rewrites to
+    // WindowGroupLimit (map-side per-domain pruning before the shuffle)
+    val plan = UrlOps.domainCapSurvivors(docs, cap = 5L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"the survivors form must prune pre-shuffle:\n${plan.take(2000)}")
+  }
+
   test("reserved-column collisions fail fast (the loud-guard convention)") {
     val bad = Seq((1L, "https://a.com/x", "boom")).toDF("doc_id", "url", "domain")
     val e = intercept[IllegalArgumentException] { UrlOps.domainCap(bad, 5L) }
