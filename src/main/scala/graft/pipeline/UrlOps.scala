@@ -130,10 +130,11 @@ object UrlOps {
     *
     * Scale shape: one window keyed by domain over fixed-width (id, hash)
     * rows. Domains are Zipfian and a hot domain lands in one partition —
-    * exactly the rows the cap is about to discard; a cap-aware pre-trim
-    * (keep the cap-smallest hashes per domain map-side) is the skew
-    * remedy if a single domain exceeds executor memory, and AQE skew
-    * handling covers the interim.
+    * exactly the rows the cap is about to discard; when only the kept
+    * set matters, use [[domainCapSurvivors]], whose rank filter prunes
+    * each domain to its cap-smallest rows MAP-SIDE (WindowGroupLimit)
+    * before the shuffle — the implemented skew remedy. This disposition
+    * form must carry every row's verdict, so it cannot prune.
     */
   def domainCap(
       docs: DataFrame,
