@@ -1752,15 +1752,15 @@ object PipelineQueries {
 
     // snapshot versioning: diff + drift
     "ext_corpus_diff" ->
-      s"""WITH o AS (SELECT doc_id, md5(text) AS ho FROM documents),
+      s"""WITH o AS (SELECT doc_id, md5(coalesce(text, '')) AS ho FROM documents),
          |nw AS (SELECT doc_id,
-         |         md5(CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END) AS hn
+         |         md5(coalesce(CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END, '')) AS hn
          |       FROM documents WHERE doc_id % 9 <> 0
          |       UNION ALL
-         |       SELECT doc_id + 2000000, md5(text) FROM documents WHERE doc_id % 10 = 0)
+         |       SELECT doc_id + 2000000, md5(coalesce(text, '')) FROM documents WHERE doc_id % 10 = 0)
          |SELECT COALESCE(o.doc_id, nw.doc_id) AS doc_id,
-         |  CASE WHEN o.ho IS NULL THEN 'added'
-         |       WHEN nw.hn IS NULL THEN 'removed'
+         |  CASE WHEN o.doc_id IS NULL THEN 'added'
+         |       WHEN nw.doc_id IS NULL THEN 'removed'
          |       WHEN o.ho = nw.hn THEN 'unchanged'
          |       ELSE 'changed' END AS status
          |FROM o FULL OUTER JOIN nw ON o.doc_id = nw.doc_id
@@ -1777,9 +1777,9 @@ object PipelineQueries {
          |      WHERE embedding IS NOT NULL AND vec_id % 4 <> 0),
          |mo AS (SELECT dim, CAST(sum(p) // count(*) AS BIGINT) AS mean_old_ppm FROM po GROUP BY 1),
          |mn AS (SELECT dim, CAST(sum(p) // count(*) AS BIGINT) AS mean_new_ppm FROM pn GROUP BY 1)
-         |SELECT CAST(mo.dim AS BIGINT) AS dim, mean_old_ppm, mean_new_ppm,
+         |SELECT CAST(COALESCE(mo.dim, mn.dim) AS BIGINT) AS dim, mean_old_ppm, mean_new_ppm,
          |  mean_new_ppm - mean_old_ppm AS delta_ppm
-         |FROM mo JOIN mn USING (dim) ORDER BY dim""".stripMargin,
+         |FROM mo FULL OUTER JOIN mn ON mo.dim = mn.dim ORDER BY dim""".stripMargin,
 
     // URL stages: aug + expressions generated from the same constants
     "ext_url_normalize" ->

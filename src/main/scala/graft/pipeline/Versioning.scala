@@ -31,12 +31,18 @@ object Versioning {
       newer: DataFrame,
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
-    val o = older.select(col(idCol), md5(col(textCol)).as("__ho"))
-    val n = newer.select(col(idCol), md5(col(textCol)).as("__hn"))
+    // presence is tracked by explicit flags, NOT by hash nullability — a
+    // NULL-text document would otherwise hash NULL and masquerade as
+    // absent ("added"/"removed" for a doc present on both sides); NULL
+    // text itself hashes like empty text (documented equivalence)
+    val o = older.select(col(idCol),
+      md5(coalesce(col(textCol), lit(""))).as("__ho"), lit(true).as("__po"))
+    val n = newer.select(col(idCol),
+      md5(coalesce(col(textCol), lit(""))).as("__hn"), lit(true).as("__pn"))
     o.join(n, Seq(idCol), "full_outer")
       .select(col(idCol),
-        when(col("__ho").isNull, lit("added"))
-          .when(col("__hn").isNull, lit("removed"))
+        when(col("__po").isNull, lit("added"))
+          .when(col("__pn").isNull, lit("removed"))
           .when(col("__ho") === col("__hn"), lit("unchanged"))
           .otherwise(lit("changed")).as("status"))
   }
@@ -63,9 +69,11 @@ object Versioning {
     * cross-engine hashable and never rounding-noisy.
     *
     * NULL vectors are excluded on each side independently; dimensions
-    * come from position, so both snapshots must share the embedding
-    * width (enforced by the join — a width change surfaces as missing
-    * or extra dim rows, loudly).
+    * come from position, and the sides FULL-OUTER join on the dim so an
+    * embedding-WIDTH change between snapshots is visible as rows with a
+    * NULL mean on one side (an inner join would silently narrow the
+    * report to the common prefix — exactly the kind of model swap this
+    * monitor exists to catch).
     */
   def embeddingDrift(
       older: DataFrame,
@@ -83,7 +91,7 @@ object Versioning {
       // mean is cross-engine exact without a sign adjustment
       .agg(expr("sum(__p) DIV count(1)").as(out))
     dimMeans(older, "mean_old_ppm")
-      .join(dimMeans(newer, "mean_new_ppm"), Seq("dim"))
+      .join(dimMeans(newer, "mean_new_ppm"), Seq("dim"), "full_outer")
       .select(col("dim").cast("long").as("dim"),
         col("mean_old_ppm"), col("mean_new_ppm"),
         (col("mean_new_ppm") - col("mean_old_ppm")).as("delta_ppm"))

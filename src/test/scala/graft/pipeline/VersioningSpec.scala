@@ -15,6 +15,12 @@ class VersioningSpec extends SparkSpec {
     val sums = Versioning.corpusDiffSummary(older, newer).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(sums == Map("unchanged" -> 1L, "changed" -> 1L, "removed" -> 1L, "added" -> 1L))
+    // a NULL-text doc present on BOTH sides is changed/unchanged, never
+    // added/removed (presence rides explicit flags, not hash nullability)
+    val oN = Seq((7L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val nN = Seq((7L, "now has text")).toDF("doc_id", "text")
+    assert(Versioning.corpusDiff(oN, nN).head.getString(1) == "changed")
+    assert(Versioning.corpusDiff(oN, oN).head.getString(1) == "unchanged")
   }
 
   test("embeddingDrift: exact integer-ppm means incl. negatives; null vectors excluded; subset drop shifts the mean") {
@@ -34,5 +40,13 @@ class VersioningSpec extends SparkSpec {
     assert(got == Seq(
       (0L, -250000L, -125000L, 125000L),
       (1L, 0L, 250000L, 250000L)), s"got $got")
+    // an embedding-WIDTH change is VISIBLE: the wider side's extra dims
+    // appear with a NULL mean on the narrow side (never silently dropped)
+    val narrow = Seq((1L, Seq(0.25f))).toDF("vec_id", "embedding")
+    val wide = Seq((1L, Seq(0.25f, 0.25f))).toDF("vec_id", "embedding")
+    val drift = Versioning.embeddingDrift(narrow, wide).orderBy("dim").collect()
+    assert(drift.length == 2, "extra dims must surface as rows")
+    assert(drift(1).isNullAt(1) && drift(1).getLong(2) == 250000L && drift(1).isNullAt(3),
+      "the width mismatch must read as a NULL-mean row, not vanish")
   }
 }
