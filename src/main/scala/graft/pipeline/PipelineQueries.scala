@@ -89,18 +89,31 @@ object PipelineQueries {
   /** documents with a deterministic synthetic URL — the provenance
     * column web-pipeline stages key on. Adversarial on purpose:
     * case-variant scheme/host, default ports, trailing slashes, tracking
-    * params in shuffled order, fragments, a two-level-suffix ccTLD for
-    * every 11th doc, and a non-http URL for every 13th (the NULL-key
-    * path). Path keys on doc_id % 40 so canonical URLs genuinely
-    * collide across docs (URL dedup has real work).
+    * params in shuffled order, fragments, a non-http URL for every 13th
+    * (the NULL-key path), and one arm per PSL rule class: a two-level
+    * ccTLD suffix (%11), a PRIVATE platform suffix where each site is
+    * its own registrable domain (%17, github.io), a ccTLD the old
+    * 16-entry heuristic missed (%19, com.tr), a wildcard geographic
+    * registry (%23, *.kawasaki.jp), an exception-rule host (%29,
+    * city.kawasaki.jp) and a wildcard ccTLD (%31, *.bd). Path keys on
+    * doc_id % 40 so canonical URLs genuinely collide across docs (URL
+    * dedup has real work).
     */
   private def urlAug(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), col("text"),
       when(col("doc_id") % 13 === 0, lit("mailto:someone@example.com"))
+        .when(col("doc_id") % 29 === 0,
+          concat(lit("https://WWW.City.Kawasaki.JP/ward/"), (col("doc_id") % 40).cast("string")))
+        .when(col("doc_id") % 31 === 0,
+          concat(lit("http://shop.Example.BD/p/"), (col("doc_id") % 40).cast("string")))
         .otherwise(concat(
           when(col("doc_id") % 2 === 0, lit("HTTP://WWW.")).otherwise(lit("https://www.")),
           col("source"), (col("doc_id") % 5).cast("string"),
-          when(col("doc_id") % 11 === 0, lit(".Example.CO.UK")).otherwise(lit(".Example.COM")),
+          when(col("doc_id") % 11 === 0, lit(".Example.CO.UK"))
+            .when(col("doc_id") % 17 === 0, lit(".GitHub.IO"))
+            .when(col("doc_id") % 19 === 0, lit(".Example.Com.TR"))
+            .when(col("doc_id") % 23 === 0, lit(".Example.Kawasaki.JP"))
+            .otherwise(lit(".Example.COM")),
           when(col("doc_id") % 2 === 0, lit(":80")).otherwise(lit(":443")),
           lit("/articles/"), (col("doc_id") % 40).cast("string"),
           when(col("doc_id") % 4 === 0, lit("/")).otherwise(lit("")),
@@ -114,10 +127,17 @@ object PipelineQueries {
   // concatenation operators trail their line instead
   private val urlAugSql: String =
     """ua AS (SELECT doc_id, text,
-      |  CASE WHEN doc_id % 13 = 0 THEN 'mailto:someone@example.com' ELSE
+      |  CASE WHEN doc_id % 13 = 0 THEN 'mailto:someone@example.com'
+      |       WHEN doc_id % 29 = 0 THEN 'https://WWW.City.Kawasaki.JP/ward/' || CAST(doc_id % 40 AS VARCHAR)
+      |       WHEN doc_id % 31 = 0 THEN 'http://shop.Example.BD/p/' || CAST(doc_id % 40 AS VARCHAR)
+      |  ELSE
       |    (CASE WHEN doc_id % 2 = 0 THEN 'HTTP://WWW.' ELSE 'https://www.' END) ||
       |    source || CAST(doc_id % 5 AS VARCHAR) ||
-      |    (CASE WHEN doc_id % 11 = 0 THEN '.Example.CO.UK' ELSE '.Example.COM' END) ||
+      |    (CASE WHEN doc_id % 11 = 0 THEN '.Example.CO.UK'
+      |        WHEN doc_id % 17 = 0 THEN '.GitHub.IO'
+      |        WHEN doc_id % 19 = 0 THEN '.Example.Com.TR'
+      |        WHEN doc_id % 23 = 0 THEN '.Example.Kawasaki.JP'
+      |        ELSE '.Example.COM' END) ||
       |    (CASE WHEN doc_id % 2 = 0 THEN ':80' ELSE ':443' END) ||
       |    '/articles/' || CAST(doc_id % 40 AS VARCHAR) ||
       |    (CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END) ||
@@ -1801,7 +1821,7 @@ object PipelineQueries {
     "ext_domain_cap" ->
       s"""WITH $urlAugSql,
          |dm AS (SELECT doc_id, ${UrlOps.registrableDomainD("url")} AS domain,
-         |         abs(doc_id * 2654435761 + 40503) % 1000000 AS h FROM ua),
+         |         ${UrlOps.drawHashD("doc_id")} AS h FROM ua),
          |r AS (SELECT doc_id, domain,
          |        CASE WHEN domain IS NULL THEN 0
          |             ELSE row_number() OVER (PARTITION BY domain ORDER BY h, doc_id) END AS rank
@@ -1833,7 +1853,7 @@ object PipelineQueries {
          |       FROM cn),
          |s1 AS (SELECT doc_id FROM k1 WHERE keep1),
          |dm AS (SELECT ua.doc_id, ${UrlOps.registrableDomainD("url")} AS domain,
-         |         abs(ua.doc_id * 2654435761 + 40503) % 1000000 AS hh
+         |         ${UrlOps.drawHashD("ua.doc_id")} AS hh
          |       FROM ua JOIN s1 USING (doc_id)),
          |r2 AS (SELECT doc_id, domain,
          |        CASE WHEN domain IS NULL THEN 0

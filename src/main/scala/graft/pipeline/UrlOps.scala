@@ -15,53 +15,58 @@ import org.apache.spark.sql.functions._
   * composition (the data-card table mixture decisions read).
   *
   * Everything is scan-side string/array work (regex component split,
-  * HOF param filtering, literal suffix table) except the two keyed
-  * operators, which are each ONE aggregation/window keyed by the
-  * canonical URL or the domain — the minimal shuffle their semantics
-  * require, with fixed-width keys (the text never rides along).
+  * HOF param filtering, public-suffix rule lookup against the frozen
+  * [[PslSnapshot]] literal arrays) except the two keyed operators,
+  * which are each ONE aggregation/window keyed by the canonical URL or
+  * the domain — the minimal shuffle their semantics require, with
+  * fixed-width keys (the text never rides along). Rows with a NULL key
+  * (unparseable provenance) never pool into one window partition: they
+  * get a unique NUL-prefixed synthetic partition key, so a crawl heavy
+  * in junk URLs pays no straggler partition.
   *
-  * Scope, documented: http(s) URLs. Registrable-domain extraction uses
-  * a LITERAL two-level-suffix table ([[twoLevelSuffixes]]) — the
-  * public-suffix list is a data artifact that changes monthly; the
-  * operator takes the last two host labels, or three when the last two
-  * form a listed two-level suffix (co.uk, com.au, …). Swap in a fuller
-  * table at the same seam for production.
+  * Scope, documented: http(s) URLs. Registrable-domain extraction
+  * implements the public-suffix-list algorithm (longest matching rule;
+  * wildcard rules; exception rules beat everything) over the frozen
+  * [[PslSnapshot]] artifact — including the list's PRIVATE section
+  * (github.io, blogspot.com, …) where every user site is a distinct
+  * registrable domain, which is what makes the domain cap fair to
+  * platform-hosted long-tail content. A fuller or newer list snapshot
+  * swaps in at the [[PslSnapshot]] seam.
   */
 object UrlOps {
-  /** Query parameters stripped during canonicalization — tracking
-    * decoration that varies per click, never per page.
+  /** Query parameters stripped during canonicalization by default —
+    * tracking decoration that varies per click, never per page (the
+    * utm_* campaign family and the per-platform click ids). Bare `ref`
+    * is deliberately NOT in the default list: unlike `utm_*`/`*clid`
+    * it is load-bearing on some sites (code forges, docs sites route
+    * on it) — pass a custom list to [[canonicalUrl]] for corpora where
+    * it is known to be tracking-only.
     */
   val trackingParams: Seq[String] =
     Seq("utm_source", "utm_medium", "utm_campaign", "utm_term",
-      "utm_content", "fbclid", "gclid", "msclkid", "ref")
-
-  /** Two-level public suffixes the registrable-domain heuristic knows. */
-  val twoLevelSuffixes: Seq[String] =
-    Seq("co.uk", "org.uk", "ac.uk", "gov.uk", "com.au", "net.au", "org.au",
-      "co.jp", "or.jp", "ne.jp", "com.br", "com.cn", "com.mx", "co.in",
-      "co.kr", "co.za")
+      "utm_content", "utm_id", "fbclid", "gclid", "msclkid")
 
   // group 2 skips an optional userinfo prefix (user:pass@) — credentials
   // in URLs are transport artifacts and a secrets leak; the canonical
   // form strips them, and the registrable domain must never see them
   private val partsRe = "^(?i)(https?)://(?:[^/?#@]*@)?([^/?#]*)([^?#]*)\\??([^#]*)"
 
-  private def isTracking(p: Column): Column =
-    trackingParams.map(t => p === t || p.startsWith(t + "=")).reduce(_ || _)
+  private def isTracking(p: Column, strip: Seq[String]): Column =
+    strip.map(t => p === t || p.startsWith(t + "=")).reduce(_ || _)
 
   /** Canonical form of an http(s) URL Column:
     *  1. fragment dropped (client-side only — never reaches the server),
     *  2. scheme and host lowercased (case-insensitive by RFC 3986),
     *  3. default port stripped (`:80` for http, `:443` for https),
     *  4. trailing path slash trimmed (empty path → `/`),
-    *  5. tracking params dropped, the rest SORTED and rejoined (param
-    *     order is transport noise; sorting makes equal param sets equal
-    *     strings).
+    *  5. params in `stripParams` dropped, the rest SORTED and rejoined
+    *     (param order is transport noise; sorting makes equal param
+    *     sets equal strings).
     * Non-http(s) input canonicalizes to NULL — an ingest feed carrying
     * ftp/mailto/garbage surfaces as NULL keys, not as silently-kept
     * junk rows.
     */
-  def canonicalUrl(url: Column): Column = {
+  def canonicalUrl(url: Column, stripParams: Seq[String] = trackingParams): Column = {
     val scheme = lower(regexp_extract(url, partsRe, 1))
     val hostport = lower(regexp_extract(url, partsRe, 2))
     val host = when(scheme === "http", regexp_replace(hostport, ":80$", ""))
@@ -72,60 +77,120 @@ object UrlOps {
     // an all-slash path reduces to "" after the trim: root it
     val path1 = when(path === "", lit("/")).otherwise(path)
     val rawQuery = regexp_extract(url, partsRe, 4)
-    val params = filter(split(rawQuery, "&"), p => p =!= "" && !isTracking(p))
+    val params = filter(split(rawQuery, "&"), p => p =!= "" && !isTracking(p, stripParams))
     val query = array_join(array_sort(params), "&")
     val canon = concat(scheme, lit("://"), host, path1,
       when(query === "", lit("")).otherwise(concat(lit("?"), query)))
     when(scheme === "", lit(null).cast("string")).otherwise(canon)
   }
 
-  /** Registrable domain of a canonical (or raw) URL Column: host minus
-    * port, last two labels — or three when the last two are a listed
-    * two-level suffix. NULL for non-http(s) input.
+  /** Registrable domain of a canonical (or raw) URL Column, by the
+    * public-suffix-list algorithm over the frozen [[PslSnapshot]]:
+    *  - the public suffix is the LONGEST matching rule (plain rules
+    *    match their own labels; a wildcard rule `*.p` makes every
+    *    single-label extension of `p` a public suffix; the implicit
+    *    default rule `*` makes every bare TLD one),
+    *  - an EXCEPTION rule beats every other match — the named domain
+    *    itself is registrable (`www.ck`, `city.kawasaki.jp`),
+    *  - the registrable domain is the public suffix plus one label.
+    * A host that IS a public suffix (apex like `co.uk`, or a 1-label
+    * host like `localhost`) is returned as-is — the lenient choice for
+    * a dedup/cap key, where dropping the row would hide provenance.
+    * NULL for non-http(s) input.
+    *
+    * Scale shape: pure scan-side label slicing + membership tests
+    * against frozen literal arrays (a few hundred entries, one linear
+    * probe per candidate suffix length) — no join against a suffix
+    * table, no shuffle, stateless-streaming legal (spec-asserted).
     */
   def registrableDomain(url: Column): Column = {
     val host = regexp_replace(lower(regexp_extract(url, partsRe, 2)), ":[0-9]+$", "")
     val labels = split(host, "\\.")
     val n = size(labels)
-    val lastTwo = concat_ws(".", element_at(labels, -2), element_at(labels, -1))
-    val isTwoLevel = twoLevelSuffixes.map(s => lastTwo === s).reduce(_ || _)
-    val dom = when(n <= 2, host)
-      .when(isTwoLevel && n >= 3,
-        concat_ws(".", element_at(labels, -3), element_at(labels, -2), element_at(labels, -1)))
-      .otherwise(lastTwo)
-    when(host === "", lit(null).cast("string")).otherwise(dom)
+    // last k labels, joined; only evaluated under an n >= k guard
+    // (element_at on a short array THROWS under ANSI — And/CaseWhen
+    // short-circuiting is load-bearing here)
+    def sfx(k: Int): Column =
+      concat_ws(".", (k to 1 by -1).map(i => element_at(labels, -i)): _*)
+    def inSet(rules: Seq[String], c: Column): Column =
+      array_contains(typedLit(rules), c)
+
+    // public-suffix length in labels: longest matching rule, default 1
+    val arms: Seq[Column] =
+      PslSnapshot.exactByLen.toSeq.sortBy(_._1).map { case (k, rules) =>
+        when(n >= k && inSet(rules, sfx(k)), lit(k)).otherwise(lit(0))
+      } ++
+        PslSnapshot.wildcardByLen.toSeq.sortBy(_._1).map { case (k, parents) =>
+          when(n >= k + 1 && inSet(parents, sfx(k)), lit(k + 1)).otherwise(lit(0))
+        }
+    val pubLen = greatest((lit(1) +: arms): _*)
+
+    // host is itself a suffix → kept as-is; else suffix + one label
+    val maxPub = PslSnapshot.maxSuffixLabels
+    val regular = (1 until maxPub)
+      .foldLeft(when(n <= pubLen, host)) { (w, k) => w.when(pubLen === k, sfx(k + 1)) }
+      .otherwise(sfx(maxPub + 1))
+
+    // exception rules trump everything, longest first
+    val withExc = PslSnapshot.exceptionsByLen.toSeq.sortBy(-_._1)
+      .foldRight(regular) { case ((k, excs), acc) =>
+        when(n >= k && inSet(excs, sfx(k)), sfx(k)).otherwise(acc)
+      }
+    when(host === "", lit(null).cast("string")).otherwise(withExc)
   }
+
+  /** Deterministic content-blind per-doc draw for the domain cap — a
+    * multiplicative hash of the doc id, masked to 1e6 BEFORE the
+    * multiply so the arithmetic stays in range on BOTH engines (the
+    * DuckDB twin has no silent 64-bit wraparound: `abs(id * prime)`
+    * overflows BIGINT for ids above ~3.47e9 — real at web scale).
+    */
+  private[pipeline] def drawHash(idCol: String): String =
+    s"(abs($idCol % 1000000L) * 2654435761L + 40503L) % 1000000L"
+
+  /** Unique synthetic window-partition key for rows whose real key is
+    * NULL: a NUL-prefixed doc id. No real canonical URL or registrable
+    * domain can start with NUL (canonical URLs start with their scheme;
+    * a NUL in a host would have to survive the regex host path AND
+    * collide with the exact `"\u0000" + id` spelling — the prefix
+    * exists so it cannot). Each NULL-key row sits alone in its window
+    * partition instead of pooling into one straggler.
+    */
+  private def nullPk(realKey: Column, idCol: String): Column =
+    coalesce(realKey, concat(lit("\u0000"), col(idCol).cast("string")))
 
   /** URL-keyed exact dedup: one keeper per canonical URL (min doc id —
     * the [[Dedup.exactDedup]] election keyed on provenance instead of
     * content; run it BEFORE content dedup, it is orders cheaper). Rows
     * whose URL fails to canonicalize keep themselves (NULL is not a
-    * dedup key — unparseable provenance must not collapse rows).
+    * dedup key — unparseable provenance must not collapse rows), each
+    * under its own synthetic partition key (no NULL straggler).
     * Output: (idCol, canon_url, keep_id, is_keeper).
     */
   def urlDedup(docs: DataFrame, idCol: String = "doc_id", urlCol: String = "url"): DataFrame = {
-    val reserved = Seq("canon_url", "keep_id", "is_keeper").filter(docs.columns.contains)
+    val reserved = Seq("canon_url", "keep_id", "is_keeper", "__pk").filter(docs.columns.contains)
     require(reserved.isEmpty,
-      s"urlDedup: docs columns collide with output names (rename them): ${reserved.mkString(", ")}")
-    val w = Window.partitionBy(col("canon_url")).orderBy(col(idCol))
+      s"urlDedup: docs columns collide with output/internal names (rename them): ${reserved.mkString(", ")}")
+    val w = Window.partitionBy(col("__pk")).orderBy(col(idCol))
     docs
       .withColumn("canon_url", canonicalUrl(col(urlCol)))
+      .withColumn("__pk", nullPk(col("canon_url"), idCol))
       .withColumn("keep_id",
-        when(col("canon_url").isNull, col(idCol))
-          .otherwise(first(col(idCol)).over(
-            w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))))
+        first(col(idCol)).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
       .select(col(idCol), col("canon_url"), col("keep_id"),
         (col(idCol) === col("keep_id")).as("is_keeper"))
   }
 
   /** Per-domain document cap — the anti-spam stage: at most `cap`
     * documents survive per registrable domain, selected DETERMINISTICALLY
-    * by a doc-id-keyed integer hash (the ext_pack_chunks mixing formula —
-    * a content-blind uniform draw, so the kept subset is an unbiased
-    * sample of the domain, not its first-crawled prefix) with doc id as
-    * the total tie-break. NULL-domain rows are all kept with rank 0 —
-    * they carry no provenance to cap on (and surface in
-    * [[domainStats]]'s NULL row for auditing).
+    * by a doc-id-keyed integer hash (a content-blind uniform draw, so
+    * the kept subset is an unbiased sample of the domain, not its
+    * first-crawled prefix) with doc id as the total tie-break.
+    * NULL-domain rows are all kept with rank 0 — they carry no
+    * provenance to cap on (and surface in [[domainStats]]'s NULL row
+    * for auditing); each rides its own synthetic partition key, so an
+    * unparseable-provenance-heavy corpus pays no hot NULL partition.
     * Output: (idCol, domain, rank, kept).
     *
     * Scale shape: one window keyed by domain over fixed-width (id, hash)
@@ -142,14 +207,14 @@ object UrlOps {
       idCol: String = "doc_id",
       urlCol: String = "url"): DataFrame = {
     require(cap >= 1, s"domainCap: cap must be positive, got $cap")
-    val reserved = Seq("domain", "rank", "kept", "__h").filter(docs.columns.contains)
+    val reserved = Seq("domain", "rank", "kept", "__h", "__pk").filter(docs.columns.contains)
     require(reserved.isEmpty,
       s"domainCap: docs columns collide with output/internal names (rename them): ${reserved.mkString(", ")}")
-    val w = Window.partitionBy("domain")
-      .orderBy(col("__h"), col(idCol))
+    val w = Window.partitionBy("__pk").orderBy(col("__h"), col(idCol))
     docs
       .withColumn("domain", registrableDomain(col(urlCol)))
-      .withColumn("__h", expr(s"abs($idCol * 2654435761L + 40503L) % 1000000"))
+      .withColumn("__h", expr(drawHash(idCol)))
+      .withColumn("__pk", nullPk(col("domain"), idCol))
       .withColumn("rank",
         when(col("domain").isNull, lit(0L))
           .otherwise(row_number().over(w).cast("long")))
@@ -181,16 +246,14 @@ object UrlOps {
         s"(rename them): ${reserved.mkString(", ")}")
     // ONE window over the whole input (a where/union split would evaluate
     // the upstream pipeline twice — measured 4× on the composed ingest
-    // chain): null-domain rows get a UNIQUE per-row partition key (a NUL
-    // prefix no real domain can carry), so each sits alone in its window
-    // with rank 1 and always passes — the uncapped contract without a
-    // second branch, and the rank<=cap filter still rewrites to
-    // WindowGroupLimit over every partition
+    // chain): null-domain rows get the unique NUL-prefixed key, so each
+    // sits alone in its window with rank 1 and always passes — the
+    // uncapped contract without a second branch, and the rank<=cap
+    // filter still rewrites to WindowGroupLimit over every partition
     val withDom = docs
       .withColumn("domain", registrableDomain(col(urlCol)))
-      .withColumn("__h", expr(s"abs($idCol * 2654435761L + 40503L) % 1000000"))
-      .withColumn("__pk",
-        coalesce(col("domain"), concat(lit(" "), col(idCol).cast("string"))))
+      .withColumn("__h", expr(drawHash(idCol)))
+      .withColumn("__pk", nullPk(col("domain"), idCol))
     val w = Window.partitionBy("__pk").orderBy(col("__h"), col(idCol))
     withDom
       .withColumn("rank", row_number().over(w))
@@ -227,12 +290,16 @@ object UrlOps {
   private def sqlLit(s: String): String = "'" + s.replace("'", "''") + "'"
   private val partsReD = sqlLit(partsRe)
 
-  private def isTrackingD(p: String): String =
-    trackingParams.map(t => s"$p = ${sqlLit(t)} OR starts_with($p, ${sqlLit(t + "=")})")
+  private def isTrackingD(p: String, strip: Seq[String]): String =
+    strip.map(t => s"$p = ${sqlLit(t)} OR starts_with($p, ${sqlLit(t + "=")})")
       .mkString("(", " OR ", ")")
 
+  /** The [[drawHash]] twin over a column expression `id`. */
+  def drawHashD(id: String): String =
+    s"(abs($id % 1000000) * 2654435761 + 40503) % 1000000"
+
   /** Canonical-URL expression over a column expression `u`. */
-  def canonicalUrlD(u: String): String = {
+  def canonicalUrlD(u: String, stripParams: Seq[String] = trackingParams): String = {
     val scheme = s"lower(regexp_extract($u, $partsReD, 1))"
     val hostport = s"lower(regexp_extract($u, $partsReD, 2))"
     val host = s"CASE WHEN $scheme = 'http' THEN regexp_replace($hostport, ':80$$', '') " +
@@ -247,22 +314,36 @@ object UrlOps {
     // NULL query must read as "no params", not poison the whole concat
     val query =
       s"""coalesce(array_to_string(list_sort(list_filter(string_split($rawQuery, '&'),
-         |  p1 -> p1 <> '' AND NOT ${isTrackingD("p1")})), '&'), '')""".stripMargin.replace("\n", " ")
+         |  p1 -> p1 <> '' AND NOT ${isTrackingD("p1", stripParams)})), '&'), '')""".stripMargin.replace("\n", " ")
     s"""CASE WHEN $scheme = '' THEN NULL ELSE
        |  $scheme || '://' || ($host) || ($path) ||
        |  list_transform([$query], q0 -> CASE WHEN q0 = '' THEN '' ELSE '?' || q0 END)[1]
        |END""".stripMargin.replace("\n", " ")
   }
 
-  /** Registrable-domain expression over a column expression `u`. */
+  /** Registrable-domain expression over a column expression `u` — the
+    * PSL algorithm generated from the same [[PslSnapshot]] constants.
+    */
   def registrableDomainD(u: String): String = {
     val host = s"regexp_replace(lower(regexp_extract($u, $partsReD, 2)), ':[0-9]+$$', '')"
-    val suffixes = twoLevelSuffixes.map(sqlLit).mkString("[", ", ", "]")
+    def lst(xs: Seq[String]) = xs.map(sqlLit).mkString("[", ", ", "]")
+    def sfxD(k: Int) = s"array_to_string(ls[-$k:], '.')"
+    val arms =
+      PslSnapshot.exactByLen.toSeq.sortBy(_._1).map { case (k, rules) =>
+        s"CASE WHEN len(ls) >= $k AND list_contains(${lst(rules)}, ${sfxD(k)}) THEN $k ELSE 0 END"
+      } ++
+        PslSnapshot.wildcardByLen.toSeq.sortBy(_._1).map { case (k, parents) =>
+          s"CASE WHEN len(ls) >= ${k + 1} AND list_contains(${lst(parents)}, ${sfxD(k)}) THEN ${k + 1} ELSE 0 END"
+        }
+    val publen = s"greatest(1, ${arms.mkString(", ")})"
+    val excArms = PslSnapshot.exceptionsByLen.toSeq.sortBy(-_._1).map { case (k, excs) =>
+      s"WHEN len(ls) >= $k AND list_contains(${lst(excs)}, ${sfxD(k)}) THEN ${sfxD(k)}"
+    }.mkString(" ")
     s"""list_transform([string_split($host, '.')], ls ->
-       |  CASE WHEN array_to_string(ls, '.') = '' THEN NULL
-       |       WHEN len(ls) <= 2 THEN array_to_string(ls, '.')
-       |       WHEN list_contains($suffixes, ls[-2] || '.' || ls[-1])
-       |         THEN ls[-3] || '.' || ls[-2] || '.' || ls[-1]
-       |       ELSE ls[-2] || '.' || ls[-1] END)[1]""".stripMargin.replace("\n", " ")
+       |  list_transform([$publen], pl ->
+       |    CASE WHEN array_to_string(ls, '.') = '' THEN NULL
+       |         $excArms
+       |         WHEN len(ls) <= pl THEN array_to_string(ls, '.')
+       |         ELSE array_to_string(ls[len(ls)-pl:], '.') END)[1])[1]""".stripMargin.replace("\n", " ")
   }
 }

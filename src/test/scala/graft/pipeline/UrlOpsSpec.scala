@@ -27,8 +27,13 @@ class UrlOpsSpec extends SparkSpec {
     // param ORDER is transport noise: permutations canonicalize equal
     assert(canon("https://e.com/p?z=1&a=2") == canon("https://e.com/p?a=2&z=1"))
     // a param merely PREFIXED by a tracking name is not tracking
-    assert(canon("https://e.com/p?refresh=1") == Some("https://e.com/p?refresh=1"))
-    assert(canon("https://e.com/p?ref=spam") == Some("https://e.com/p"))
+    assert(canon("https://e.com/p?utm_sourcex=1") == Some("https://e.com/p?utm_sourcex=1"))
+    // bare `ref` is NOT stripped by default (load-bearing on code
+    // forges / docs sites) — the per-corpus override seam handles it
+    assert(canon("https://e.com/p?ref=spam") == Some("https://e.com/p?ref=spam"))
+    assert(Option(Seq(Tuple1("https://e.com/p?ref=spam&a=1")).toDF("url")
+      .select(UrlOps.canonicalUrl(col("url"), UrlOps.trackingParams :+ "ref"))
+      .head.getString(0)) == Some("https://e.com/p?a=1"))
     // userinfo (credentials) strips out of the canonical form — a
     // transport artifact and a secrets leak, and the domain never sees it
     assert(canon("https://user:pw@example.com/x") == Some("https://example.com/x"))
@@ -38,12 +43,34 @@ class UrlOpsSpec extends SparkSpec {
     assert(canon("ftp://example.com/f").isEmpty)
   }
 
-  test("registrableDomain: suffix table, label counts, port strip") {
+  test("registrableDomain: one case per PSL rule class") {
+    // plain 2-level ccTLD rule + port strip + userinfo strip
     assert(dom("https://news.bbc.CO.UK:443/x") == Some("bbc.co.uk"))
+    assert(dom("https://alice@sub.bbc.co.uk/x") == Some("bbc.co.uk"))
+    // default `*` rule: bare TLD suffix, deep subdomains collapse
     assert(dom("http://a.b.c.example.com/") == Some("example.com"))
     assert(dom("https://example.com/x") == Some("example.com"))
+    // 1-label host is its own (lenient) key
     assert(dom("http://localhost:8080/x") == Some("localhost"))
-    assert(dom("https://alice@sub.bbc.co.uk/x") == Some("bbc.co.uk"))
+    // PRIVATE-section suffix: every user site its own domain — the rule
+    // class the old two-level heuristic could not express
+    assert(dom("https://alice.github.io/proj/") == Some("alice.github.io"))
+    assert(dom("https://www.alice.github.io/") == Some("alice.github.io"))
+    assert(dom("http://my.blog.blogspot.com.br/p") == Some("blog.blogspot.com.br"))
+    // a ccTLD second-level the 16-entry table missed
+    assert(dom("https://www.shop.com.tr/") == Some("shop.com.tr"))
+    // wildcard ccTLD rule *.bd: any second level is a public suffix
+    assert(dom("http://shop.example.bd/") == Some("shop.example.bd"))
+    // wildcard geographic registry *.kawasaki.jp
+    assert(dom("https://www.x.example.kawasaki.jp/") == Some("x.example.kawasaki.jp"))
+    // exception rules beat the wildcard: the named domain is registrable
+    assert(dom("https://www.city.kawasaki.jp/ward") == Some("city.kawasaki.jp"))
+    assert(dom("https://city.kawasaki.jp/") == Some("city.kawasaki.jp"))
+    assert(dom("http://www.ck/") == Some("www.ck"))
+    assert(dom("http://shop.www.ck/") == Some("www.ck"))
+    // host that IS a public suffix stays itself (lenient apex)
+    assert(dom("https://co.uk/") == Some("co.uk"))
+    assert(dom("https://github.io/") == Some("github.io"))
     assert(dom("mailto:x@y.com").isEmpty)
   }
 
@@ -78,7 +105,7 @@ class UrlOpsSpec extends SparkSpec {
       assert(rows.count(_._4) == math.min(5, rows.size), s"domain $d kept wrong count")
       // the kept subset is the 5 smallest (hash, id) — deterministic
       val keptIds = rows.filter(_._4).map(_._1).toSet
-      val wantIds = rows.sortBy(r => ((r._1 * 2654435761L + 40503L).abs % 1000000, r._1))
+      val wantIds = rows.sortBy(r => (((r._1 % 1000000).abs * 2654435761L + 40503L) % 1000000, r._1))
         .take(5).map(_._1).toSet
       assert(keptIds == wantIds, s"domain $d: selection must be the deterministic draw")
     }
