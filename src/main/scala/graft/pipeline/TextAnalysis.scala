@@ -364,9 +364,12 @@ object TextAnalysis {
     * signatures broadcast; the training side pays one doc-keyed
     * signature aggregation (map-side partial mins over exploded token
     * hashes) and then O(BANDS) broadcast-hash-join probes per doc — the
-    * corpus never shuffles and never self-joins. Candidates rejoin
-    * signatures per surviving pair for the exact integer agreement
-    * check, mirroring [[Dedup.minhashStoreMatches]].
+    * corpus never shuffles, never self-joins, and is read ONCE: both
+    * signatures RIDE the band join (the broadcast probe filters
+    * map-side, so only band-colliding rows carry the extra width) and
+    * the agreement check runs on the candidate-pair aggregate — no
+    * signature rejoin, which would re-execute the corpus-side
+    * explode+aggregate a second time.
     */
   def contaminationFuzzy(
       docs: DataFrame,
@@ -381,12 +384,16 @@ object TextAnalysis {
         .withColumn("h", expr(hashS("t")))
     val trainSigs = Dedup.minhashSignatureOf(tokHashes(docs, idCol), idCol)
     val evalSigs = Dedup.minhashSignatureOf(tokHashes(evalDocs, "eval_id"), "eval_id")
-    val tBands = trainSigs.select(col(idCol), explode(expr(bandHashesS)).as("bh"))
-    val eBands = evalSigs.select(col("eval_id"), explode(expr(bandHashesS)).as("bh"))
+    // signatures ride the band rows: the broadcast probe drops
+    // non-colliding corpus rows map-side, so only candidates pay the
+    // width, and the corpus-side explode+aggregate executes exactly once
+    val tBands = trainSigs.select(col(idCol), col("sig").as("__sx"),
+      explode(expr(bandHashesS)).as("bh"))
+    val eBands = evalSigs.select(col("eval_id"), col("sig").as("__sy"),
+      explode(expr(bandHashesS)).as("bh"))
     tBands.join(broadcast(eBands), "bh")
-      .select(col(idCol), col("eval_id")).distinct()
-      .join(trainSigs.select(col(idCol), col("sig").as("__sx")), idCol)
-      .join(broadcast(evalSigs.select(col("eval_id"), col("sig").as("__sy"))), "eval_id")
+      .groupBy(col(idCol), col("eval_id"))
+      .agg(first(col("__sx")).as("__sx"), first(col("__sy")).as("__sy"))
       .withColumn("sim_ppm", expr(sigSimS("__sx", "__sy")))
       .where(col("sim_ppm") >= thresholdPpm)
       .select(col(idCol), col("eval_id"), col("sim_ppm"))

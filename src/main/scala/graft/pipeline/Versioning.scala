@@ -25,6 +25,13 @@ object Versioning {
     * only in `newer`, `removed` only in `older`, `changed` in both with
     * different bytes. Deterministic, order-free; feed it to a release
     * gate as counts or join it back for the changed-doc sample.
+    *
+    * PRECONDITION, enforced loudly: `idCol` is unique on each side. A
+    * duplicated id would fan out through the full-outer join and
+    * silently misreport statuses; instead each side aggregates per id
+    * and an in-plan guard raises on any id seen twice (the repo's
+    * fail-fast convention — same shuffle key as the join, so AQE reuses
+    * the exchange and the guard costs no extra pass).
     */
   def corpusDiff(
       older: DataFrame,
@@ -35,10 +42,17 @@ object Versioning {
     // NULL-text document would otherwise hash NULL and masquerade as
     // absent ("added"/"removed" for a doc present on both sides); NULL
     // text itself hashes like empty text (documented equivalence)
-    val o = older.select(col(idCol),
-      md5(coalesce(col(textCol), lit(""))).as("__ho"), lit(true).as("__po"))
-    val n = newer.select(col(idCol),
-      md5(coalesce(col(textCol), lit(""))).as("__hn"), lit(true).as("__pn"))
+    def side(df: DataFrame, h: String, p: String, label: String) = df
+      .select(col(idCol), md5(coalesce(col(textCol), lit(""))).as(h))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("__c"), max(col(h)).as(h))
+      .select(col(idCol),
+        when(col("__c") > 1, raise_error(concat(
+          lit(s"corpusDiff: duplicate $idCol in $label snapshot: "),
+          col(idCol).cast("string")))).otherwise(col(h)).as(h),
+        lit(true).as(p))
+    val o = side(older, "__ho", "__po", "older")
+    val n = side(newer, "__hn", "__pn", "newer")
     o.join(n, Seq(idCol), "full_outer")
       .select(col(idCol),
         when(col("__po").isNull, lit("added"))

@@ -23,6 +23,15 @@ class VersioningSpec extends SparkSpec {
     assert(Versioning.corpusDiff(oN, oN).head.getString(1) == "unchanged")
   }
 
+  test("corpusDiff: a duplicated id fails LOUDLY instead of fanning out through the join") {
+    val dup = Seq((1L, "a"), (1L, "b"), (2L, "c")).toDF("doc_id", "text")
+    val clean = Seq((1L, "a"), (2L, "c")).toDF("doc_id", "text")
+    val e = intercept[Exception] { Versioning.corpusDiff(dup, clean).collect() }
+    assert(e.getMessage.contains("duplicate doc_id"), s"got: ${e.getMessage}")
+    val e2 = intercept[Exception] { Versioning.corpusDiff(clean, dup).collect() }
+    assert(e2.getMessage.contains("newer snapshot"), s"got: ${e2.getMessage}")
+  }
+
   test("embeddingDrift: exact integer-ppm means incl. negatives; null vectors excluded; subset drop shifts the mean") {
     // 2-dim vectors; ppm = floor(x * 1e6): -0.5 -> -500000, 0.25 -> 250000
     val older = Seq(
