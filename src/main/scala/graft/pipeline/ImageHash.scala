@@ -1,0 +1,243 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Perceptual image hashing + content-level image near-dup — the
+  * multimodal twin of the text near-dup stack: multimodal corpora carry
+  * the same duplication pathologies text does (the same image re-encoded,
+  * resized, or lightly retouched across millions of pages), and byte-level
+  * dedup (payload md5) is blind to all of it. The standard remedy is a
+  * PERCEPTUAL hash — a tiny fingerprint of the image's coarse luminance
+  * structure — paired with a banded Hamming join, exactly the
+  * [[Dedup.simhashNearDups]] machinery with the substrate swapped from
+  * token bit-sums to pixel-block comparisons.
+  *
+  * Two classic 64-bit hashes (both implemented; dHash is the pairing
+  * default — gradient structure survives re-encoding better than absolute
+  * brightness):
+  *  - aHash: 8×8 grid of block-mean luminances; bit k set iff block k's
+  *    mean exceeds the global mean of the 64 blocks.
+  *  - dHash: 9×8 grid; bit (x,y) set iff block(x,y) < block(x+1,y) — the
+  *    horizontal gradient sign field.
+  * All arithmetic is integer (block mean = sum div count): the same
+  * image yields the same hash on any engine, so the fingerprints are
+  * at-rest artifacts (store them next to the payloads; re-hashing 100 TB
+  * of images to re-run dedup would be the real cost).
+  *
+  * DECODE layer, same discipline as [[Multimodal.parseDims]]: pure byte
+  * arithmetic against public uncompressed container formats — binary PGM
+  * (P5) and uncompressed 24-bit BMP (BITMAPINFOHEADER, BI_RGB, bottom-up
+  * or top-down) — no media library. Compressed formats (JPEG/PNG pixel
+  * data) belong behind the [[Multimodal.MediaDecoder]] codec seam;
+  * a production pipeline decodes once there and feeds the raster here.
+  *
+  * Scale shape: hashing is a partition-preserving typed mapPartitions
+  * (payload bytes never shuffle; the emitted row is fixed-width); the
+  * pair join runs on 4×16-bit bands of the 64-bit hash — candidates must
+  * agree on at least one band, which by pigeonhole guarantees FULL recall
+  * for Hamming distance <= 3 (4 bands, <= 3 differing bits leave one band
+  * untouched) and standard approximate-recall blocking beyond — never an
+  * all-pairs join.
+  */
+object ImageHash {
+
+  case class RasterGray(fmt: String, width: Int, height: Int, px: Array[Int])
+
+  case class ImagePhash(
+      media_id: Long, fmt: String, width: Long, height: Long,
+      ahash: Long, dhash: Long)
+
+  /** Decode an uncompressed raster payload to 8-bit grayscale, row-major
+    * top-down. Binary PGM (P5, maxval <= 255, `#` comments legal) and
+    * uncompressed 24-bit BMP (gray = (299 R + 587 G + 114 B) / 1000 —
+    * the ITU-R 601 luma weights in exact integer form, summing to 1000).
+    * Fail-fast with a reason on anything malformed or out of scope
+    * (16-bit PGM samples, compressed/paletted BMP): a corrupt payload
+    * must surface at the decode stage, not flow a garbage hash into the
+    * dedup graph.
+    */
+  def parseRasterGray(bytes: Array[Byte]): RasterGray = {
+    def u8(i: Int): Int = bytes(i) & 0xff
+    def u16le(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    def u32le(i: Int): Long = u16le(i).toLong | (u16le(i + 2).toLong << 16)
+    def i32le(i: Int): Int = u32le(i).toInt
+    def fail(msg: String): Nothing =
+      throw new IllegalArgumentException(s"parseRasterGray: $msg (${bytes.length} bytes)")
+
+    if (bytes.length >= 2 && u8(0) == 'P' && u8(1) == '5') {
+      // PGM token scan: magic, width, height, maxval, ONE whitespace
+      // byte, then width*height raw samples
+      var pos = 2
+      def isWs(c: Int) = c == ' ' || c == '\t' || c == '\n' || c == '\r'
+      def nextInt(): Int = {
+        while (pos < bytes.length && (isWs(u8(pos)) || u8(pos) == '#')) {
+          if (u8(pos) == '#') { while (pos < bytes.length && u8(pos) != '\n') pos += 1 }
+          else pos += 1
+        }
+        if (pos >= bytes.length) fail("truncated PGM header")
+        var v = 0L
+        val start = pos
+        while (pos < bytes.length && u8(pos) >= '0' && u8(pos) <= '9') {
+          v = v * 10 + (u8(pos) - '0'); pos += 1
+          if (v > Int.MaxValue) fail("PGM header field out of range")
+        }
+        if (pos == start) fail(s"PGM header: digit expected at offset $pos")
+        v.toInt
+      }
+      val w = nextInt(); val h = nextInt(); val maxval = nextInt()
+      if (w <= 0 || h <= 0) fail(s"PGM dimensions out of range: ${w}x$h")
+      if (maxval <= 0 || maxval > 255) fail(s"PGM maxval $maxval not in [1, 255] (16-bit samples out of scope)")
+      if (pos >= bytes.length || !isWs(u8(pos))) fail("PGM: single whitespace expected after maxval")
+      pos += 1
+      if (w.toLong * h > bytes.length - pos) fail("truncated PGM pixel data")
+      val px = new Array[Int](w * h)
+      var i = 0
+      while (i < px.length) { px(i) = u8(pos + i); i += 1 }
+      RasterGray("pgm", w, h, px)
+    } else if (bytes.length >= 2 && u8(0) == 'B' && u8(1) == 'M') {
+      if (bytes.length < 54) fail("truncated BMP header")
+      val dataOffset = u32le(10)
+      val dibSize = u32le(14)
+      if (dibSize < 40) fail(s"BMP DIB header size $dibSize below BITMAPINFOHEADER")
+      val w = i32le(18)
+      val hRaw = i32le(22)
+      val bottomUp = hRaw > 0
+      val h = math.abs(hRaw)
+      if (w <= 0 || h == 0) fail(s"BMP dimensions out of range: ${w}x$hRaw")
+      if (u16le(26) != 1) fail(s"BMP planes ${u16le(26)} != 1")
+      if (u16le(28) != 24) fail(s"BMP bpp ${u16le(28)} not 24 (paletted/other depths out of scope)")
+      if (u32le(30) != 0) fail(s"BMP compression ${u32le(30)} not BI_RGB")
+      val rowSize = ((w * 3 + 3) / 4) * 4
+      if (dataOffset < 54 || dataOffset + rowSize.toLong * h > bytes.length)
+        fail("BMP pixel data overruns the payload")
+      val px = new Array[Int](w * h)
+      var y = 0
+      while (y < h) {
+        val srcRow = if (bottomUp) h - 1 - y else y
+        val rowBase = dataOffset.toInt + srcRow * rowSize
+        var x = 0
+        while (x < w) {
+          val i = rowBase + x * 3
+          val (b, g, r) = (u8(i), u8(i + 1), u8(i + 2))
+          px(y * w + x) = (299 * r + 587 * g + 114 * b) / 1000
+          x += 1
+        }
+        y += 1
+      }
+      RasterGray("bmp", w, h, px)
+    } else fail("unknown raster format (no PGM/BMP signature)")
+  }
+
+  /** Integer block means over a gw×gh grid: block (i,j) covers
+    * x in [i*w div gw, (i+1)*w div gw) × y alike — the exact partition of
+    * the raster (every pixel in exactly one block, blocks nonempty for
+    * w >= gw, h >= gh), mean = sum div count. Row-major (j*gw + i).
+    */
+  private[pipeline] def gridMeans(px: Array[Int], w: Int, h: Int, gw: Int, gh: Int): Array[Long] = {
+    require(w >= gw && h >= gh,
+      s"gridMeans: raster ${w}x$h smaller than the ${gw}x$gh hash grid")
+    val out = new Array[Long](gw * gh)
+    var j = 0
+    while (j < gh) {
+      val y0 = j * h / gh; val y1 = (j + 1) * h / gh
+      var i = 0
+      while (i < gw) {
+        val x0 = i * w / gw; val x1 = (i + 1) * w / gw
+        var sum = 0L
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) { sum += px(y * w + x); x += 1 }
+          y += 1
+        }
+        out(j * gw + i) = sum / ((x1 - x0).toLong * (y1 - y0))
+        i += 1
+      }
+      j += 1
+    }
+    out
+  }
+
+  /** 64-bit average hash: bit (y*8 + x) set iff block mean (x,y) strictly
+    * exceeds the global mean of the 64 block means (integer, ties → 0).
+    */
+  def aHash64(px: Array[Int], w: Int, h: Int): Long = {
+    val cells = gridMeans(px, w, h, 8, 8)
+    val mean = cells.sum / 64
+    var hash = 0L
+    var k = 0
+    while (k < 64) { if (cells(k) > mean) hash |= (1L << k); k += 1 }
+    hash
+  }
+
+  /** 64-bit difference hash: 9×8 block grid; bit (y*8 + x) set iff
+    * block(x,y) < block(x+1,y) — the horizontal luminance gradient sign.
+    */
+  def dHash64(px: Array[Int], w: Int, h: Int): Long = {
+    val cells = gridMeans(px, w, h, 9, 8)
+    var hash = 0L
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        if (cells(y * 9 + x) < cells(y * 9 + x + 1)) hash |= (1L << (y * 8 + x))
+        x += 1
+      }
+      y += 1
+    }
+    hash
+  }
+
+  /** Perceptual-hash extraction over a media table (media_id, payload):
+    * the [[Multimodal.imageDims]] seam at hash granularity — payload
+    * bytes never shuffle, one decode+hash pass per row, corrupt rows
+    * fail with their media identity. Output (media_id, fmt, width,
+    * height, ahash, dhash) — the fixed-width at-rest fingerprint table.
+    */
+  def imagePhash(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, payload) =>
+        try {
+          val r = parseRasterGray(payload)
+          ImagePhash(id, r.fmt, r.width.toLong, r.height.toLong,
+            aHash64(r.px, r.width, r.height), dHash64(r.px, r.width, r.height))
+        } catch {
+          case e: IllegalArgumentException =>
+            throw new IllegalArgumentException(s"media_id=$id: ${e.getMessage}", e)
+        }
+      }).toDF()
+  }
+
+  /** Image near-dup pairs within Hamming distance <= maxDist over a
+    * 64-bit perceptual-hash column, blocked by the hash's 4 disjoint
+    * 16-bit bands: candidates must agree on at least one band —
+    * pigeonhole guarantees FULL recall for maxDist <= 3 (enforced; wider
+    * radii need a re-banded variant, not a silent recall cliff). The
+    * Hamming cut runs per band-bucket BEFORE the pair-dedup shuffle, so
+    * only surviving near-dup pairs ride it — the
+    * [[Dedup.simhashNearDups]] shape with the substrate swapped.
+    * Output (id1, id2, dist), id1 < id2.
+    */
+  def imageNearDups(
+      hashes: DataFrame,
+      maxDist: Int = 3,
+      idCol: String = "media_id",
+      hashCol: String = "dhash"): DataFrame = {
+    require(maxDist >= 0 && maxDist <= 3,
+      s"imageNearDups: 4×16-bit banding guarantees recall only to distance 3, got $maxDist")
+    val sub = hashes.select(col(idCol), col(hashCol).cast("long").as("__h"))
+      .withColumn("__band", explode(expr(
+        "transform(sequence(0, 3), b -> struct(b as b, shiftright(__h, b * 16) & 65535 as v))")))
+      .select(col(idCol), col("__h"), col("__band.b").as("__b"), col("__band.v").as("__v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    sub.as("x").join(sub.as("y"), Seq("__b", "__v"))
+      .where(col(s"x.$idCol") < col(s"y.$idCol"))
+      .select(col(s"x.$idCol").as("id1"), col(s"y.$idCol").as("id2"),
+        expr("cast(bit_count(x.__h ^ y.__h) as bigint)").as("dist"))
+      .where(col("dist") <= maxDist)
+      .distinct()
+  }
+}

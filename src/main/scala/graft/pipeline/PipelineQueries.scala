@@ -265,6 +265,96 @@ object PipelineQueries {
       unhex(expr(hexStr)).as("payload"))
   }
 
+  // ---- perceptual-hash raster fixture: shared constants ------------------
+  // REAL uncompressed rasters (binary PGM for odd media ids, 24-bit BMP
+  // for even) whose every pixel is the same doc_id-derived closed form in
+  // both engines — Spark assembles and PARSES actual bytes; the oracle
+  // recomputes the aHash/dHash closed form from the formula. 72x16:
+  // divisible by both hash grids (8x8 -> 9x2 blocks, 9x8 -> 8x2 blocks),
+  // and a 216-byte BMP row needs no padding.
+  private val imgW = 72
+  private val imgH = 16
+  private val bmpRow = imgW * 3 // 216, already 4-byte aligned
+
+  /** Mid-square pseudo-noise pixel keyed on (doc id, pixel index): a
+    * multiplicative hash alone stays LOCALLY LINEAR (consecutive pixels
+    * step by a near-constant mod 256, block means correlate across docs
+    * and unrelated docs land within Hamming 3 — measured: 1066 accidental
+    * pairs at sf0.01), so the 24-bit residue is SQUARED and mid-bits
+    * taken — nonlinear mixing both engines express with plain integer
+    * arithmetic (measured: 500/500 distinct dHashes, zero accidental
+    * pairs). The variant perturbation is confined to dHash block (0,0)
+    * (x<8, y<2), so a variant is within Hamming distance 1 of its
+    * original BY CONSTRUCTION. `eng` picks the integer-div spelling.
+    */
+  private def rasterPx(eng: String)(d: String, x: String, y: String, isVar: String): String = {
+    val div = if (eng == "spark") "DIV" else "//"
+    val idx = s"(($y) * $imgW + ($x))"
+    val idxWide = // widened to 64-bit BEFORE any arithmetic on both engines
+      if (eng == "spark") s"cast($idx as bigint)" else s"$idx::BIGINT"
+    val v = s"((($d) * ${imgW * imgH} + $idxWide + 1) * 2654435761) % 16777216"
+    val base = s"((($v) * ($v)) $div 65536) % 256"
+    s"(CASE WHEN ($isVar) AND ($x) < 8 AND ($y) < 2 THEN ($base) $div 2 + 64 ELSE ($base) END)"
+  }
+
+  private def bytesHex(bs: Array[Byte]): String = bs.map(b => f"${b & 0xff}%02X").mkString
+  private val pgmHdrHex = bytesHex(s"P5\n$imgW $imgH\n255\n".getBytes("US-ASCII"))
+  private val bmpHdrHex: String = {
+    def le16(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def le32(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    val imgSize = bmpRow * imgH
+    bytesHex(Array[Byte]('B', 'M') ++ le32(54 + imgSize) ++ le32(0) ++ le32(54) ++
+      le32(40) ++ le32(imgW) ++ le32(imgH) ++ le16(1) ++ le16(24) ++ le32(0) ++
+      le32(imgSize) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(0))
+  }
+
+  /** documents as raster media; with variants, every 10th doc gains a
+    * perturbed copy (id + 1e6 — same parity, so same container format)
+    * whose pixels differ only inside dHash block (0,0).
+    */
+  private def rasterMedia(s: SparkSession, dir: String, withVariants: Boolean): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val base = docs.select(col("doc_id").as("media_id"),
+      col("doc_id").as("__d"), lit(false).as("__v"))
+    val ids = if (!withVariants) base else base.unionByName(
+      docs.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 1000000L).as("media_id"),
+          col("doc_id").as("__d"), lit(true).as("__v")))
+    val px = rasterPx("spark") _
+    val pgmBody = s"array_join(transform(sequence(0, ${imgW * imgH - 1}), i -> " +
+      s"lpad(hex(${px("__d", s"i % $imgW", s"i DIV $imgW", "__v")}), 2, '0')), '')"
+    // BMP rows are BOTTOM-UP: byte b sits at x=(b%row)/3, y=H-1-(b/row)
+    val bmpBody = s"array_join(transform(sequence(0, ${bmpRow * imgH - 1}), b -> " +
+      s"lpad(hex(${px("__d", s"(b % $bmpRow) DIV 3", s"${imgH - 1} - (b DIV $bmpRow)", "__v")}), 2, '0')), '')"
+    ids.select(col("media_id"),
+      when(col("media_id") % 2 === 0, unhex(concat(lit(bmpHdrHex), expr(bmpBody))))
+        .otherwise(unhex(concat(lit(pgmHdrHex), expr(pgmBody)))).as("payload"))
+  }
+
+  /** DuckDB closed forms for the two block-mean grids of the fixture
+    * raster: aHash 8x8 grid of 9x2 blocks, dHash 9x8 grid of 8x2 blocks.
+    */
+  private def rasterCellsD(d: String, isVar: String): (String, String) = {
+    def px(x: String, y: String) = rasterPx("duck")(d, x, y, isVar)
+    val a = s"list_transform(range(64), c -> CAST(list_sum(flatten(list_transform(range(9), " +
+      s"dx -> list_transform(range(2), dy -> ${px("(c % 8) * 9 + dx", "(c // 8) * 2 + dy")})))) // 18 AS BIGINT))"
+    val dd = s"list_transform(range(72), c -> CAST(list_sum(flatten(list_transform(range(8), " +
+      s"dx -> list_transform(range(2), dy -> ${px("(c % 9) * 8 + dx", "(c // 9) * 2 + dy")})))) // 16 AS BIGINT))"
+    (a, dd)
+  }
+
+  /** 32-bit halves of the dHash closed form over a `dcells` column:
+    * bit (y*8+x) set iff block(x,y) < block(x+1,y), exactly
+    * [[ImageHash.dHash64]]'s comparison.
+    */
+  private def dhashHalfD(lowHalf: Boolean): String = {
+    val k = if (lowHalf) "k" else "(k + 32)"
+    s"CAST(list_sum(list_transform(range(32), k -> CASE WHEN " +
+      s"dcells[($k // 8) * 9 + ($k % 8) + 1] < dcells[($k // 8) * 9 + ($k % 8) + 2] " +
+      s"THEN (1::BIGINT << k) ELSE 0 END)) AS BIGINT)"
+  }
+
   /** The closed-form dims the header parsers must recover — the shared
     * SELECT-list core of the dims and resize oracles.
     */
@@ -1155,6 +1245,31 @@ object PipelineQueries {
     // frameSamplePlan with container metadata instead of caller columns
     "ext_video_meta" -> ((s, dir) => {
       Multimodal.videoMeta(videoMedia(s, dir)).orderBy("media_id")
+    }),
+
+    // perceptual image hashes over REAL raster payloads: Spark assembles
+    // genuine binary-PGM / 24-bit-BMP byte streams (pixels = a doc_id
+    // closed form), ImageHash must decode BOTH containers to the same
+    // gray matrix and hash it; the oracle recomputes aHash/dHash from
+    // the closed form — a parser bug or an off-by-one block boundary
+    // cannot hash-match
+    "ext_image_phash" -> ((s, dir) => {
+      ImageHash.imagePhash(rasterMedia(s, dir, withVariants = false))
+        .select(col("media_id"), col("fmt"), col("width"), col("height"),
+          lpad(hex(col("ahash")), 16, "0").as("ahash_hex"),
+          lpad(hex(col("dhash")), 16, "0").as("dhash_hex"))
+        .orderBy("media_id")
+    }),
+
+    // content-level image near-dup: every 10th doc gains a copy perturbed
+    // inside ONE dHash block (Hamming distance <= 1 by construction); the
+    // banded Hamming join must find exactly the pairs the oracle's
+    // all-pairs distance scan finds (4x16-bit bands give FULL recall at
+    // maxDist 3 by pigeonhole, so banding vs all-pairs is exact, not
+    // approximate, at this radius)
+    "ext_image_neardup" -> ((s, dir) => {
+      val ph = ImageHash.imagePhash(rasterMedia(s, dir, withVariants = true))
+      ImageHash.imageNearDups(ph, maxDist = 3).orderBy("id1", "id2")
     }),
 
     // letterbox resize geometry over REAL parsed headers: contain-fit into
@@ -2562,6 +2677,49 @@ object PipelineQueries {
         |  CAST(doc_id % 1000 + 100 AS BIGINT) AS n_samples,
         |  CAST((doc_id % 1000 + 100) * 1000 // (8000 * (doc_id % 3 + 1)) AS BIGINT) AS duration_ms
         |FROM documents ORDER BY media_id""".stripMargin,
+
+    // perceptual hashes: the oracle recomputes the block-mean grids and
+    // bit fields from the SAME pixel closed form the Spark fixture
+    // assembles into real PGM/BMP bytes (constants shared via rasterPx)
+    "ext_image_phash" -> {
+      val (acells, dcells) = rasterCellsD("d", "v")
+      s"""WITH g AS (SELECT doc_id AS media_id, doc_id AS d, false AS v FROM documents),
+         |c AS (SELECT media_id, $acells AS acells, $dcells AS dcells FROM g),
+         |m AS (SELECT media_id, acells, dcells,
+         |        CAST(list_sum(acells) // 64 AS BIGINT) AS amean FROM c),
+         |b AS (SELECT media_id,
+         |  CAST(list_sum(list_transform(range(32), k -> CASE WHEN acells[k + 1] > amean
+         |    THEN (1::BIGINT << k) ELSE 0 END)) AS BIGINT) AS alo,
+         |  CAST(list_sum(list_transform(range(32), k -> CASE WHEN acells[k + 33] > amean
+         |    THEN (1::BIGINT << k) ELSE 0 END)) AS BIGINT) AS ahi,
+         |  ${dhashHalfD(lowHalf = true)} AS dlo,
+         |  ${dhashHalfD(lowHalf = false)} AS dhi
+         | FROM m)
+         |SELECT media_id,
+         |  CASE WHEN media_id % 2 = 0 THEN 'bmp' ELSE 'pgm' END AS fmt,
+         |  CAST($imgW AS BIGINT) AS width, CAST($imgH AS BIGINT) AS height,
+         |  upper(printf('%08x%08x', ahi, alo)) AS ahash_hex,
+         |  upper(printf('%08x%08x', dhi, dlo)) AS dhash_hex
+         |FROM b ORDER BY media_id""".stripMargin
+    },
+
+    // near-dup: all-pairs Hamming scan over the closed-form dHash — at
+    // maxDist 3 the Spark side's 4x16-bit banding is EXACT (pigeonhole),
+    // so the two pair sets must match bit for bit
+    "ext_image_neardup" -> {
+      val (_, dcells) = rasterCellsD("d", "v")
+      s"""WITH g AS (SELECT doc_id AS media_id, doc_id AS d, false AS v FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, doc_id, true FROM documents WHERE doc_id % 10 = 0),
+         |c AS (SELECT media_id, $dcells AS dcells FROM g),
+         |b AS (SELECT media_id, ${dhashHalfD(lowHalf = true)} AS dlo,
+         |        ${dhashHalfD(lowHalf = false)} AS dhi FROM c)
+         |SELECT x.media_id AS id1, y.media_id AS id2,
+         |  CAST(bit_count(xor(x.dlo, y.dlo)) + bit_count(xor(x.dhi, y.dhi)) AS BIGINT) AS dist
+         |FROM b x JOIN b y ON x.media_id < y.media_id
+         |WHERE bit_count(xor(x.dlo, y.dlo)) + bit_count(xor(x.dhi, y.dhi)) <= 3
+         |ORDER BY id1, id2""".stripMargin
+    },
 
     "ext_media_resize" ->
       s"""WITH d AS ($dimsClosedFormSql),
