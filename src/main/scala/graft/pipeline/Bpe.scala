@@ -400,15 +400,14 @@ object Bpe {
     val base = docs.select(col(idCol), expr(toksS(textCol)).as("__toks"))
     val words = base.select(col(idCol), posexplode(col("__toks")).as(Seq("__p", "__w")))
     val ids = s"transform(ws, sy -> ${idOfS("sy")})"
-    val dict = words.select("__w").distinct()
-      .select(col("__w"),
-        expr(
-          s"""inline(array(element_at(transform(array(${wordSymsS("__w")}), ws ->
-             |  named_struct(
-             |    '__n', cast(size(ws) as bigint),
-             |    '__d', ${decodeS(ids)})), 1)))"""
-            .stripMargin.replace("\n", " ")))
-    val perDoc = words.join(broadcast(dict), "__w")
+    def entry(w: String) =
+      s"""element_at(transform(array(${wordSymsS(w)}), ws ->
+         |  named_struct(
+         |    '__n', cast(size(ws) as bigint),
+         |    '__d', ${decodeS(ids)})), 1)""".stripMargin.replace("\n", " ")
+    val perDoc = dictFanBack(words, entry, "__e")
+      .select(col(idCol), col("__p"),
+        col("__e.__n").as("__n"), col("__e.__d").as("__d"))
       .groupBy(idCol)
       .agg(
         expr("sum(__n) + count(1) - 1").as("n_bpe_tokens"),
@@ -445,6 +444,47 @@ object Bpe {
   def nTokensS(textCol: String): String = s"size(${symsS(textCol)})"
   def nTokensD(textCol: String): String = s"len(${symsD(textCol)})"
 
+  /** BROADCAST-CEILING GUARD for the dictionary path. The per-word
+    * kernel runs once per distinct word and fans back over the
+    * occurrence stream via a broadcast join — measured ~5× on every BPE
+    * consumer — but the broadcast has a ceiling: a web-scale corpus's
+    * distinct-"word" set (typos, URLs-in-text, hex ids) is billions of
+    * entries, and Zipf puts nearly all of that CARDINALITY in words seen
+    * once, while nearly all of the OCCURRENCE mass stays in the head.
+    * So the dictionary is df-capped to words seen at least
+    * `spark.graft.bpe.dictMinCount` times (default 2): the broadcast
+    * side shrinks to the head the fan-back actually amortizes, and rare
+    * words fall back to the SAME kernel evaluated scan-side in the
+    * CASE's miss arm. The fallback does no extra kernel work — a word
+    * below the floor occurs fewer times than the floor, so inline
+    * evaluation at its occurrences costs no more than one dictionary
+    * entry would — and it never ships the tail to every executor.
+    *
+    * Output values are INVARIANT to the setting (spec-asserted):
+    * minCount=1 is the pure dictionary path (everything broadcasts, the
+    * miss arm is dead); a huge minCount degenerates to the pure
+    * scan-side form (empty dictionary, every row computes inline). Both
+    * branches are the same expression STRING, so they cannot drift.
+    *
+    * Returns `words` plus `outCol` = entryExprS("__w"). entryExprS must
+    * be deterministic and non-null for non-null words (join misses are
+    * detected by `outCol IS NULL`).
+    */
+  private def dictFanBack(
+      words: DataFrame,
+      entryExprS: String => String,
+      outCol: String): DataFrame = {
+    val minCount = words.sparkSession.conf
+      .getOption("spark.graft.bpe.dictMinCount").map(_.toLong).getOrElse(2L)
+    require(minCount >= 1, s"spark.graft.bpe.dictMinCount must be >= 1, got $minCount")
+    val dict = words.groupBy("__w").agg(count(lit(1)).as("__wc"))
+      .where(col("__wc") >= minCount)
+      .select(col("__w"), expr(entryExprS("__w")).as(outCol))
+    words.join(broadcast(dict), Seq("__w"), "left")
+      .withColumn(outCol,
+        expr(s"CASE WHEN $outCol IS NULL THEN ${entryExprS("__w")} ELSE $outCol END"))
+  }
+
   /** THE DICTIONARY PATH — the scale form for token COUNTING: natural
     * language vocabulary is Zipfian, so distinct words grow far slower
     * than token occurrences, and the per-word BPE cost should be paid
@@ -464,9 +504,7 @@ object Bpe {
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     val toks = docs.select(col(idCol), explode(expr(toksS(textCol))).as("__w"))
-    val dict = toks.select("__w").distinct()
-      .withColumn("__nb", expr(s"cast(size(${wordSymsS("__w")}) as bigint)"))
-    val counts = toks.join(broadcast(dict), "__w")
+    val counts = dictFanBack(toks, w => s"cast(size(${wordSymsS(w)}) as bigint)", "__nb")
       .groupBy(idCol).agg(sum(col("__nb")).as("n_bpe_tokens"))
     docs.select(col(idCol))
       .join(counts, Seq(idCol), "left")
@@ -481,37 +519,31 @@ object Bpe {
     * compute cost and shrinks its effective context). Output per lang:
     * (lang, n_words, n_bpe_tokens, fertility_ppm = bpe*1e6 div words).
     *
-    * Scale shape: the dictionary path ([[docTokenCounts]]'s discipline) —
-    * the per-word BPE chain runs once per DISTINCT word (Zipfian
-    * vocab-sized), fans back over the (lang, word) occurrence stream via
-    * a broadcast join, and the rollup is one lang-keyed aggregation. The
-    * corpus text never shuffles.
+    * Scale shape: SCAN-SIDE, deliberately NOT the dictionary path — an
+    * aggregation-only consumer keeps nothing per word, so the right plan
+    * is one kernel pass per document and ONE lang-keyed aggregation with
+    * map-side partials: zero extra shuffles, embarrassingly parallel,
+    * and every doc row (empty ones included) reaches the aggregate, so
+    * no language can vanish from the report. The round-14 dictionary
+    * form paid a word-explode + distinct-word shuffle + broadcast to
+    * save kernel evaluations and MEASURED 2.2× slower at sf0.1
+    * (0.41 → 0.9+ s) — the amortization only pays when per-word output
+    * must survive the join ([[encode]]'s id streams, [[decodeRoundTrip]]'s
+    * decoded text), not for a five-row count table.
     */
   def fertilityByLang(
       docs: DataFrame,
       langCol: String = "lang",
-      textCol: String = "text"): DataFrame = {
-    val words = docs.select(col(langCol), explode(expr(toksS(textCol))).as("__w"))
-    val dict = words.select("__w").distinct()
-      .withColumn("__nb", expr(s"cast(size(${wordSymsS("__w")}) as bigint)"))
-    val agg = words.join(broadcast(dict), "__w")
+      textCol: String = "text"): DataFrame =
+    docs
+      .select(col(langCol),
+        expr(s"cast(size(${toksS(textCol)}) as bigint)").as("__nw"),
+        expr(s"cast(size(${symsS(textCol)}) as bigint)").as("__nb"))
       .groupBy(langCol)
-      .agg(count(lit(1)).as("n_words"), sum(col("__nb")).as("n_bpe_tokens"))
-    // left join from the distinct langs: a language whose documents are
-    // ALL empty produces no word rows but must still report (0, 0, 0) —
-    // vanishing from a per-language report reads as "not ingested", the
-    // opposite of the truth. NULL-SAFE equality (<=>): an un-tagged
-    // (NULL-lang) stratum with real words must match its own aggregate
-    // row, not zero out — the exact misreport this join exists to prevent.
-    val langs = docs.select(col(langCol)).distinct().as("__l")
-    langs
-      .join(agg.as("__a"), col(s"__l.$langCol") <=> col(s"__a.$langCol"), "left")
-      .select(col(s"__l.$langCol").as(langCol),
-        coalesce(col("n_words"), lit(0L)).as("n_words"),
-        coalesce(col("n_bpe_tokens"), lit(0L)).as("n_bpe_tokens"),
-        expr("coalesce(n_bpe_tokens, 0L) * 1000000 DIV greatest(coalesce(n_words, 0L), 1)")
-          .as("fertility_ppm"))
-  }
+      .agg(sum(col("__nw")).as("n_words"), sum(col("__nb")).as("n_bpe_tokens"))
+      .select(col(langCol),
+        col("n_words"), col("n_bpe_tokens"),
+        expr("n_bpe_tokens * 1000000 DIV greatest(n_words, 1)").as("fertility_ppm"))
 
   /** DuckDB oracle twin of [[fertilityByLang]] (per-doc scan form — the
     * oracle verifies VALUES, not the plan shape).
@@ -595,15 +627,15 @@ object Bpe {
     validate(ms)
     val base = docs.select(col(idCol), expr(toksS(textCol)).as("__toks"))
     val words = base.select(col(idCol), posexplode(col("__toks")).as(Seq("__p", "__w")))
-    val dict = words.select("__w").distinct()
-      .select(col("__w"),
-        expr(
-          s"""inline(array(element_at(transform(array(${wordSymsS("__w", ms)}), ws ->
-             |  named_struct(
-             |    '__n', cast(size(ws) as bigint),
-             |    '__ids', concat_ws(',', transform(ws, sy -> cast(${idOfS("sy", ms)} as string))))), 1)))"""
-            .stripMargin.replace("\n", " ")))
-    val perDoc = words.join(broadcast(dict), "__w")
+    def entry(w: String) =
+      s"""element_at(transform(array(${wordSymsS(w, ms)}), ws ->
+         |  named_struct(
+         |    '__n', cast(size(ws) as bigint),
+         |    '__ids', concat_ws(',', transform(ws, sy -> cast(${idOfS("sy", ms)} as string))))), 1)"""
+        .stripMargin.replace("\n", " ")
+    val perDoc = dictFanBack(words, entry, "__e")
+      .select(col(idCol), col("__p"),
+        col("__e.__n").as("__n"), col("__e.__ids").as("__ids"))
       .groupBy(idCol)
       .agg(
         expr("sum(__n)").as("__nb"),
@@ -744,18 +776,18 @@ object Bpe {
     val words = base.select(col(idCol), posexplode(col("__toks")).as(Seq("__p", "__w")))
     val decFromIds = byteDecodeWordS(
       s"concat_ws('', transform(idv, v0 -> ${byteSymOfS("v0", ms)}))")
-    val dict = words.select("__w").distinct()
-      .select(col("__w"),
-        expr(
-          s"""inline(array(element_at(transform(array(${byteWordS("__w")}), bw ->
-             |  element_at(transform(array(${wordSymsS("bw", ms)}), ws ->
-             |    element_at(transform(array(transform(ws, sy -> ${byteIdOfS("sy", ms)})), idv ->
-             |      named_struct(
-             |        '__n', cast(size(ws) as bigint),
-             |        '__maxb', coalesce(array_max(filter(idv, v1 -> v1 < ${VOCAB_BASE}L)), -1L),
-             |        '__d', $decFromIds)), 1)), 1)), 1)))"""
-            .stripMargin.replace("\n", " ")))
-    val perDoc = words.join(broadcast(dict), "__w")
+    def entry(w: String) =
+      s"""element_at(transform(array(${byteWordS(w)}), bw ->
+         |  element_at(transform(array(${wordSymsS("bw", ms)}), ws ->
+         |    element_at(transform(array(transform(ws, sy -> ${byteIdOfS("sy", ms)})), idv ->
+         |      named_struct(
+         |        '__n', cast(size(ws) as bigint),
+         |        '__maxb', coalesce(array_max(filter(idv, v1 -> v1 < ${VOCAB_BASE}L)), -1L),
+         |        '__d', $decFromIds)), 1)), 1)), 1)"""
+        .stripMargin.replace("\n", " ")
+    val perDoc = dictFanBack(words, entry, "__e")
+      .select(col(idCol), col("__p"), col("__e.__n").as("__n"),
+        col("__e.__maxb").as("__maxb"), col("__e.__d").as("__d"))
       .groupBy(idCol)
       .agg(
         expr("sum(__n) + count(1) - 1").as("n_bpe_tokens"),

@@ -433,4 +433,42 @@ class BpeSpec extends SparkSpec {
     assert(ids(1L) == md5ids("the merger can scan the hash batch"))
     assert(ids(2L) == md5ids("join parlor stow"))
   }
+
+  test("dictionary broadcast-ceiling guard: values invariant across dictMinCount, both arms exercised") {
+    // singletons (unique1/unique2) sit BELOW the default floor of 2 and
+    // must take the scan-side fallback arm; 'the' sits above it and must
+    // ride the broadcast dictionary -- the default run exercises both
+    val docs = Seq(
+      (1L, "the the the unique1"),
+      (2L, "the and in unique2"),
+      (3L, "")).toDF("doc_id", "text")
+    val key = "spark.graft.bpe.dictMinCount"
+    def withMin[T](v: Option[String])(f: => T): T = {
+      val prior = spark.conf.getOption(key)
+      v match { case Some(x) => spark.conf.set(key, x); case None => spark.conf.unset(key) }
+      try f finally prior match {
+        case Some(pv) => spark.conf.set(key, pv); case None => spark.conf.unset(key) }
+    }
+    def counts = Bpe.docTokenCounts(docs).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    def roundTrip = Bpe.byteRoundTrip(docs).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getBoolean(3), r.getLong(4))).toSeq
+    val cDefault = withMin(None)(counts)
+    assert(cDefault == withMin(Some("1"))(counts),
+      "pure dictionary path (floor 1) must produce identical counts")
+    assert(cDefault == withMin(Some("1000000"))(counts),
+      "pure scan-side form (unreachable floor) must produce identical counts")
+    assert(withMin(None)(roundTrip) == withMin(Some("1"))(roundTrip)
+      && withMin(None)(roundTrip) == withMin(Some("1000000"))(roundTrip),
+      "struct-entry fan-back (byteRoundTrip) must be invariant too")
+    // the guarded plan still broadcasts the (capped) dictionary
+    val plan = Bpe.docTokenCounts(docs).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"capped dictionary must broadcast:\n${plan.take(2000)}")
+    // a zero floor is a loud error, not a silent full dictionary
+    val e = intercept[IllegalArgumentException] {
+      withMin(Some("0"))(counts)
+    }
+    assert(e.getMessage.contains("dictMinCount"))
+  }
 }

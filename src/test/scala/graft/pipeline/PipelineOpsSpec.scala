@@ -1543,7 +1543,7 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
-  test("fertilityByLang: dictionary path == per-doc scan arithmetic") {
+  test("fertilityByLang: scan-side lang rollup == per-doc encode arithmetic") {
     val docs = Seq(
       (1L, "en", "the other and another the"),
       (2L, "en", "stone store then"),
