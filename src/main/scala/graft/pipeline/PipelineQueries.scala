@@ -269,32 +269,39 @@ object PipelineQueries {
   // REAL uncompressed rasters (binary PGM for odd media ids, 24-bit BMP
   // for even) whose every pixel is the same doc_id-derived closed form in
   // both engines — Spark assembles and PARSES actual bytes; the oracle
-  // recomputes the aHash/dHash closed form from the formula. 72x16:
-  // divisible by both hash grids (8x8 -> 9x2 blocks, 9x8 -> 8x2 blocks),
-  // and a 216-byte BMP row needs no padding.
-  private val imgW = 72
-  private val imgH = 16
-  private val bmpRow = imgW * 3 // 216, already 4-byte aligned
+  // recomputes the aHash/dHash closed form from the formula. 9x8 — the
+  // smallest raster both hash grids accept (dHash cells are single
+  // pixels, aHash columns are UNEVEN 1-2px blocks, exercising the
+  // boundary arithmetic) — keeps the per-row byte generation 16x cheaper
+  // than a grid-aligned 72x16 (HOF fixture assembly is interpreted, and
+  // at sf0.1 the large fixture alone cost ~15 s of bench); a 27-byte BMP
+  // row pads to 28, so the padding walk is exercised corpus-wide.
+  private val imgW = 9
+  private val imgH = 8
+  private val bmpRow = ((imgW * 3 + 3) / 4) * 4 // 28: one pad byte per row
 
-  /** Mid-square pseudo-noise pixel keyed on (doc id, pixel index): a
-    * multiplicative hash alone stays LOCALLY LINEAR (consecutive pixels
-    * step by a near-constant mod 256, block means correlate across docs
-    * and unrelated docs land within Hamming 3 — measured: 1066 accidental
-    * pairs at sf0.01), so the 24-bit residue is SQUARED and mid-bits
-    * taken — nonlinear mixing both engines express with plain integer
-    * arithmetic (measured: 500/500 distinct dHashes, zero accidental
-    * pairs). The variant perturbation is confined to dHash block (0,0)
-    * (x<8, y<2), so a variant is within Hamming distance 1 of its
-    * original BY CONSTRUCTION. `eng` picks the integer-div spelling.
+  /** Pseudo-noise pixel keyed on (doc id, pixel index): three rounds of
+    * multiply-and-keep-mid-bits over a 24-bit residue — enough avalanche
+    * that unrelated docs' dHashes behave as independent 64-bit draws
+    * (measured at 9x8: 5493/5500 distinct, ZERO accidental pairs at
+    * sf0.01; one mid-square round left only 4163 distinct and 85
+    * accidental pairs — single-pixel dHash cells need real mixing),
+    * expressed with plain integer arithmetic both engines share. The
+    * variant perturbation is confined to dHash block (0,0), so a variant
+    * is within Hamming distance 1 of its original BY CONSTRUCTION.
+    * `eng` picks the integer-div spelling.
     */
   private def rasterPx(eng: String)(d: String, x: String, y: String, isVar: String): String = {
     val div = if (eng == "spark") "DIV" else "//"
     val idx = s"(($y) * $imgW + ($x))"
     val idxWide = // widened to 64-bit BEFORE any arithmetic on both engines
       if (eng == "spark") s"cast($idx as bigint)" else s"$idx::BIGINT"
-    val v = s"((($d) * ${imgW * imgH} + $idxWide + 1) * 2654435761) % 16777216"
-    val base = s"((($v) * ($v)) $div 65536) % 256"
-    s"(CASE WHEN ($isVar) AND ($x) < 8 AND ($y) < 2 THEN ($base) $div 2 + 64 ELSE ($base) END)"
+    val k0 = s"((($d) * ${imgW * imgH} + $idxWide + 1) % 16777216)"
+    val k1 = s"((($k0 * 2654435761) $div 256) % 16777216)"
+    val k2 = s"((($k1 * 2654435761) $div 256) % 16777216)"
+    val base = s"(($k2 * 2654435761) $div 65536) % 256"
+    s"(CASE WHEN ($isVar) AND ($x) < ${imgW / 9} AND ($y) < ${imgH / 8} " +
+      s"THEN ($base) $div 2 + 64 ELSE ($base) END)"
   }
 
   private def bytesHex(bs: Array[Byte]): String = bs.map(b => f"${b & 0xff}%02X").mkString
@@ -324,24 +331,34 @@ object PipelineQueries {
     val px = rasterPx("spark") _
     val pgmBody = s"array_join(transform(sequence(0, ${imgW * imgH - 1}), i -> " +
       s"lpad(hex(${px("__d", s"i % $imgW", s"i DIV $imgW", "__v")}), 2, '0')), '')"
-    // BMP rows are BOTTOM-UP: byte b sits at x=(b%row)/3, y=H-1-(b/row)
+    // BMP rows are BOTTOM-UP and 4-byte padded: byte b is a pad (0x00)
+    // past the pixel bytes of its row, else x=(b%row)/3, y=H-1-(b/row)
     val bmpBody = s"array_join(transform(sequence(0, ${bmpRow * imgH - 1}), b -> " +
-      s"lpad(hex(${px("__d", s"(b % $bmpRow) DIV 3", s"${imgH - 1} - (b DIV $bmpRow)", "__v")}), 2, '0')), '')"
+      s"lpad(hex(CASE WHEN (b % $bmpRow) >= ${imgW * 3} THEN 0 ELSE " +
+      s"${px("__d", s"(b % $bmpRow) DIV 3", s"${imgH - 1} - (b DIV $bmpRow)", "__v")} END), 2, '0')), '')"
     ids.select(col("media_id"),
       when(col("media_id") % 2 === 0, unhex(concat(lit(bmpHdrHex), expr(bmpBody))))
         .otherwise(unhex(concat(lit(pgmHdrHex), expr(pgmBody)))).as("payload"))
   }
 
   /** DuckDB closed forms for the two block-mean grids of the fixture
-    * raster: aHash 8x8 grid of 9x2 blocks, dHash 9x8 grid of 8x2 blocks.
+    * raster — GENERIC over the grid: block (i,j) covers
+    * x in [i*W//gw, (i+1)*W//gw) × y alike, exactly
+    * [[ImageHash.gridMeans]]'s partition, so uneven blocks (9 wide under
+    * an 8-column grid) stay cross-engine exact.
     */
   private def rasterCellsD(d: String, isVar: String): (String, String) = {
     def px(x: String, y: String) = rasterPx("duck")(d, x, y, isVar)
-    val a = s"list_transform(range(64), c -> CAST(list_sum(flatten(list_transform(range(9), " +
-      s"dx -> list_transform(range(2), dy -> ${px("(c % 8) * 9 + dx", "(c // 8) * 2 + dy")})))) // 18 AS BIGINT))"
-    val dd = s"list_transform(range(72), c -> CAST(list_sum(flatten(list_transform(range(8), " +
-      s"dx -> list_transform(range(2), dy -> ${px("(c % 9) * 8 + dx", "(c // 9) * 2 + dy")})))) // 16 AS BIGINT))"
-    (a, dd)
+    def grid(gw: Int, gh: Int): String = {
+      val x0 = s"(c % $gw) * $imgW // $gw"
+      val y0 = s"(c // $gw) * $imgH // $gh"
+      val nx = s"((c % $gw + 1) * $imgW // $gw - ($x0))"
+      val ny = s"((c // $gw + 1) * $imgH // $gh - ($y0))"
+      s"list_transform(range(${gw * gh}), c -> CAST(list_sum(flatten(list_transform(range($nx), " +
+        s"dx -> list_transform(range($ny), dy -> ${px(s"($x0) + dx", s"($y0) + dy")})))) " +
+        s"// ($nx * $ny) AS BIGINT))"
+    }
+    (grid(8, 8), grid(9, 8))
   }
 
   /** 32-bit halves of the dHash closed form over a `dcells` column:
