@@ -78,16 +78,20 @@ object MarkupExtract {
   private def cleanCol(c: Column): Column =
     trim(regexp_replace(deEnt(regexp_replace(c, inlineTagRe, " ")), wsRunRe, " "))
 
-  /** Extract main text per document: (idCol, text, n_blocks, n_good,
-    * n_chars) — `text` is the content blocks joined, `n_blocks` counts
-    * non-empty text blocks, `n_good` the blocks classified as content.
+  /** Extract main text per document: (idCol, [keep...], text, n_blocks,
+    * n_good, n_chars) — `text` is the content blocks joined, `n_blocks`
+    * counts non-empty text blocks, `n_good` the blocks classified as
+    * content. `keep` names input columns carried through unchanged
+    * (provenance/arrival columns a streaming ingest chain needs
+    * downstream — extraction is one projection, so passthrough is free).
     */
   def extract(
       docs: DataFrame,
       htmlCol: String = "html",
       idCol: String = "doc_id",
       minChars: Long = minCharsDefault,
-      maxLinkPpm: Long = maxLinkPpmDefault): DataFrame = {
+      maxLinkPpm: Long = maxLinkPpmDefault,
+      keep: Seq[String] = Nil): DataFrame = {
     // NULL markup reads as EMPTY markup (zero blocks, empty text, zero
     // counts) — without the coalesce the counts would be NULL while the
     // text reads '', an inconsistent row a data card would trip over
@@ -104,16 +108,17 @@ object MarkupExtract {
       x => x("txt") =!= "")
     // stepwise projections: CollapseProject keeps non-cheap HOF chains in
     // their own Project, so __bs/__gs each evaluate once
-    docs.select(col(idCol), blocks.as("__bs"))
-      .select(col(idCol), col("__bs"),
+    val lead = col(idCol) +: keep.map(col)
+    docs.select(lead :+ blocks.as("__bs"): _*)
+      .select(lead ++ Seq(col("__bs"),
         filter(col("__bs"), x =>
           length(x("txt")) >= minChars &&
             length(x("ltxt")) * lit(1000000L) <= lit(maxLinkPpm) * length(x("txt")))
-          .as("__gs"))
-      .select(col(idCol),
+          .as("__gs")): _*)
+      .select(lead ++ Seq(
         concat_ws(" ", transform(col("__gs"), x => x("txt"))).as("text"),
         size(col("__bs")).cast("long").as("n_blocks"),
-        size(col("__gs")).cast("long").as("n_good"))
+        size(col("__gs")).cast("long").as("n_good")): _*)
       .withColumn("n_chars", length(col("text")).cast("long"))
   }
 

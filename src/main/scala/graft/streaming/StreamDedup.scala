@@ -461,6 +461,126 @@ object StreamDedup {
   /** Plan-side row of [[domainCapAdmit]] (public for the encoder). */
   case class CappedDocKey(doc_id: Long, domain: String, arrival: Long)
 
+  /** A raw crawl record entering the streaming web-ingest chain. */
+  case class WebDoc(doc_id: Long, url: String, html: String, arrival: Long)
+
+  /** A web-ingest survivor: per-doc receipts from every stage it passed
+    * (canonical URL — null for unparseable provenance; registrable
+    * domain; normalized-content fingerprint for the store-append loop).
+    */
+  case class WebIngestRow(
+      doc_id: Long, canon_url: String, domain: String, arrival: Long,
+      content_md5: String)
+
+  /** The ENFORCED streaming WEB-INGEST composition — the streaming twin
+    * of the batch `ext_web_ingest` chain, stage order fixed in code (the
+    * [[dedupedGate]]/[[scoredIngest]] discipline), cheapest election
+    * first so each stage shrinks the next one's input:
+    *
+    *   markup extract → URL canonicalize/domain (ONE stateless
+    *   projection: [[graft.pipeline.MarkupExtract.extract]] with
+    *   provenance passthrough + the SAME
+    *   [[graft.pipeline.UrlOps.canonicalUrl]]/`registrableDomain`/
+    *   [[graft.pipeline.TextAnalysis.normalizeExpr]] column expressions
+    *   the batch operators use — no Scala re-derivation to drift)
+    *   → canon-URL-keyed unbounded dedup (byte-variant fetches of one
+    *     page collapse; unparseable provenance keeps itself, no state)
+    *   → per-domain cap (first `cap` arrivals; null domains uncapped)
+    *   → normalized-content unbounded dedup (first occurrence wins).
+    *
+    * DOCUMENTED divergences from the batch chain (inherent to online
+    * processing, same rationale as [[domainCapAdmit]]): elections keep
+    * the FIRST (arrival, doc_id) occurrence where batch keeps min
+    * doc_id, and the domain cap admits the first `cap` arrivals where
+    * batch draws a content-blind hash sample — a backfill re-runs the
+    * batch form. A doc REJECTED at any stage consumes nothing
+    * downstream (its content hash stays unseen, its domain slot stays
+    * open), exactly like the batch chain's survivor-chained elections.
+    *
+    * State: one Boolean per canonical URL + one Long per domain + one
+    * Boolean per content hash — all NoTimeout by the
+    * [[dedupUnbounded]]/[[domainCapAdmit]] corpus-lifetime contract,
+    * disk-backed (RocksDB) on a cluster; spec-exercised under
+    * `RocksDBStateStoreProvider` against [[webIngestReference]] across
+    * adversarial micro-batch splits.
+    */
+  def webIngestStream(docs: Dataset[WebDoc], cap: Long): Dataset[WebIngestRow] = {
+    require(cap >= 1, s"webIngestStream: cap must be positive, got $cap")
+    import docs.sparkSession.implicits._
+    val prepared = graft.pipeline.MarkupExtract.extract(
+        docs.toDF(), keep = Seq("url", "arrival"))
+      .select(col("doc_id"),
+        graft.pipeline.UrlOps.canonicalUrl(col("url")).as("canon_url"),
+        graft.pipeline.UrlOps.registrableDomain(col("url")).as("domain"),
+        col("arrival"),
+        md5(graft.pipeline.TextAnalysis.normalizeExpr(col("text"))).as("content_md5"))
+      .as[WebIngestRow]
+    // URL election: first occurrence per canonical URL; unparseable rows
+    // ride a space-prefixed per-doc key (the batch urlDedup unique-key
+    // convention; a real canonical URL always starts with its lowercased
+    // scheme, so a leading space cannot collide) — singleton groups that
+    // pass through and write NO state
+    val urlDeduped = prepared
+      .groupByKey(r => Option(r.canon_url).getOrElse(" " + r.doc_id))
+      .flatMapGroupsWithState[Boolean, WebIngestRow](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[WebIngestRow], state: GroupState[Boolean]) =>
+          if (key.nonEmpty && key.charAt(0) == ' ') rows
+          else if (state.exists) Iterator.empty
+          else {
+            state.update(true)
+            Iterator.single(rows.minBy(r => (r.arrival, r.doc_id)))
+          }
+      }
+    // domain cap among URL survivors ([[domainCapAdmit]]'s kernel, the
+    // full row riding through)
+    val capped = urlDeduped
+      .groupByKey(r => Option(r.domain).getOrElse(""))
+      .flatMapGroupsWithState[AdmitState, WebIngestRow](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[WebIngestRow], state: GroupState[AdmitState]) =>
+          val ordered = rows.toSeq.sortBy(r => (r.arrival, r.doc_id))
+          if (key.isEmpty) ordered.iterator
+          else {
+            var admitted = state.getOption.map(_.admitted).getOrElse(0L)
+            val out = ordered.flatMap { r =>
+              if (admitted < cap) { admitted += 1; Some(r) } else None }
+            state.update(AdmitState(admitted))
+            out.iterator
+          }
+      }
+    // content election among capped survivors
+    capped
+      .groupByKey(_.content_md5)
+      .flatMapGroupsWithState[Boolean, WebIngestRow](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (_: String, rows: Iterator[WebIngestRow], state: GroupState[Boolean]) =>
+          if (state.exists) Iterator.empty
+          else {
+            state.update(true)
+            Iterator.single(rows.minBy(r => (r.arrival, r.doc_id)))
+          }
+      }
+  }
+
+  /** In-memory reference model of [[webIngestStream]]'s keyed stages
+    * (rows = the stage-0 projection's output): one sequential pass in
+    * (arrival, doc_id) order, each election seeing only prior SURVIVORS.
+    */
+  def webIngestReference(rows: Seq[WebIngestRow], cap: Long): Seq[WebIngestRow] = {
+    val seenUrl = scala.collection.mutable.Set.empty[String]
+    val domCnt = scala.collection.mutable.Map.empty[String, Long]
+    val seenHash = scala.collection.mutable.Set.empty[String]
+    rows.sortBy(r => (r.arrival, r.doc_id)).flatMap { r =>
+      val urlOk = r.canon_url == null || seenUrl.add(r.canon_url)
+      lazy val domOk = r.domain == null || {
+        val c = domCnt.getOrElse(r.domain, 0L)
+        if (c < cap) { domCnt(r.domain) = c + 1; true } else false
+      }
+      if (urlOk && domOk && seenHash.add(r.content_md5)) Some(r) else None
+    }
+  }
+
   /** In-memory reference model of [[domainCapAdmit]]. */
   def domainCapReference(docs: Seq[CappedDocKey], cap: Long): Seq[CappedDoc] = {
     val counts = scala.collection.mutable.Map.empty[String, Long]

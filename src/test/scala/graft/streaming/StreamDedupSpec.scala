@@ -607,4 +607,85 @@ class StreamDedupSpec extends SparkSpec {
       }
     }
   }
+
+  test("webIngestStream: composed extract -> URL dedup -> domain cap -> content dedup == reference across splits, under RocksDB") {
+    import graft.streaming.StreamDedup.{WebDoc, WebIngestRow}
+    implicit val sqlCtx = spark.sqlContext
+    def page(t: String) = s"<html><body><nav><a href='/'>Home</a></nav><p>$t</p></body></html>"
+    val t1 = "the quick brown fox jumps over the lazy dog again and again"
+    val t2 = "a completely different body of content for the second page here"
+    val tHot = (i: Int) => s"hot domain page number $i with enough characters to classify as content"
+    val feed = Seq(
+      WebDoc(1L, "https://a.com/page?b=2&a=1", page(t1), 1L),
+      // byte-variant URL of doc 1's page: dies in the URL election
+      WebDoc(2L, "HTTPS://A.com:443/page/?a=1&b=2#x", page(t2), 2L),
+      // same CONTENT as doc 1 under a new URL (entity-escaped variant
+      // extracts+normalizes to identical text): dies in the content election
+      WebDoc(3L, "https://a.com/other", page(t1.replace("&", "&amp;")), 3L),
+      // unparseable provenance: no URL key, no domain cap, unique text -> kept
+      WebDoc(4L, "mailto:x@y.com", page(t2 + " mailed"), 4L),
+      // hot domain, cap 2: docs 5,6 admitted, 7,8 capped out
+      WebDoc(5L, "https://hot.com/1", page(tHot(1)), 5L),
+      WebDoc(6L, "https://hot.com/2", page(tHot(2)), 6L),
+      WebDoc(7L, "https://hot.com/3", page(tHot(3)), 7L),
+      WebDoc(8L, "https://hot.com/4", page(tHot(4)), 8L),
+      WebDoc(9L, "not a url", page("junk provenance but perfectly good unique content right here"), 9L),
+      // doc 7 was REJECTED at the cap, so its content hash was never
+      // consumed: the same content on a fresh domain must be KEPT - the
+      // survivor-chaining contract (each election sees prior survivors)
+      WebDoc(10L, "https://fresh.org/p", page(tHot(3)), 10L),
+      // same canonical URL as capped-out doc 7: still a URL-dup (the URL
+      // election is independent of later-stage rejections)
+      WebDoc(11L, "https://hot.com/3?utm_source=feed", page("yet another distinct body of text long enough to keep"), 11L))
+
+    // reference rows = the SAME stage-0 projection, computed batch-side
+    val stage0 = graft.pipeline.MarkupExtract.extract(
+        feed.toDF("doc_id", "url", "html", "arrival"), keep = Seq("url", "arrival"))
+      .select(col("doc_id"),
+        graft.pipeline.UrlOps.canonicalUrl(col("url")).as("canon_url"),
+        graft.pipeline.UrlOps.registrableDomain(col("url")).as("domain"),
+        col("arrival"),
+        org.apache.spark.sql.functions.md5(
+          graft.pipeline.TextAnalysis.normalizeExpr(col("text"))).as("content_md5"))
+      .as[WebIngestRow].collect().toSeq
+    val want = StreamDedup.webIngestReference(stage0, cap = 2L).sortBy(_.doc_id)
+    // fixture sanity: the intended dispositions, stated explicitly
+    assert(want.map(_.doc_id) == Seq(1L, 4L, 5L, 6L, 9L, 10L), s"fixture drifted: $want")
+    // batch-linkage: arrival order == doc_id order here, so the stream's
+    // URL election agrees with batch urlDedup's min-doc_id keepers
+    val batchUrlKeepers = graft.pipeline.UrlOps.urlDedup(
+        feed.toDF("doc_id", "url", "html", "arrival").select("doc_id", "url"))
+      .where(col("is_keeper")).select("doc_id").as[Long].collect().toSet
+    assert(want.map(_.doc_id).toSet.subsetOf(batchUrlKeepers),
+      "every streaming survivor must be a batch URL-election keeper on this feed")
+
+    val confKey = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(confKey)
+    spark.conf.set(confKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      Seq(Seq(3, 5, 3), Seq.fill(11)(1), Seq(11)).zipWithIndex.foreach { case (split, si) =>
+        val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[WebDoc]
+        val name = s"web_ingest_out_$si"
+        val q = StreamDedup.webIngestStream(in.toDS(), cap = 2L)
+          .writeStream.format("memory").queryName(name).outputMode("append").start()
+        try {
+          var rest = feed
+          split.foreach { n =>
+            val (chunk, tail) = rest.splitAt(n)
+            rest = tail
+            if (chunk.nonEmpty) { in.addData(chunk); q.processAllAvailable() }
+          }
+          val got = spark.table(name).as[WebIngestRow].collect().sortBy(_.doc_id).toSeq
+          assert(got == want,
+            s"split $si: streaming ingest diverged from the reference\n$got\n$want")
+        } finally q.stop()
+      }
+    } finally {
+      prior match {
+        case Some(v) => spark.conf.set(confKey, v)
+        case None => spark.conf.unset(confKey)
+      }
+    }
+  }
 }
