@@ -81,6 +81,57 @@ object Packing {
         sum(col("__in")).as("fill_tokens"))
   }
 
+  /** DELETION PROPAGATION (right-to-be-forgotten) through the packed
+    * layout: given doc ids to purge, emit every (shard, chunk) of the
+    * CURRENT layout whose bytes contain purged content — the chunks that
+    * must be rewritten NOW for the purge to be real — plus each affected
+    * shard's `rebuild_from` chunk: packing order is the deterministic
+    * per-shard hash order, so on a compact repack of the survivors every
+    * chunk strictly BEFORE the shard's first purged byte is byte-identical
+    * (offsets upstream of the purge point cannot move) and everything
+    * from `rebuild_from` onward shifts. A rebuild scheduler reads this
+    * table directly: rewrite the listed chunks (or tombstone their purged
+    * spans), or repack each shard's `[rebuild_from ..]` suffix.
+    *
+    * This is [[graft.pipeline.Versioning.corpusDiff]]'s natural
+    * consequence — feed its `removed` set in as `purged` — and the reason
+    * packing keeps provenance columns at all. Zero-token purged docs
+    * occupy no bytes and propagate nowhere; purge ids absent from `docs`
+    * are a no-op (already gone).
+    *
+    * Scale shape: the layout pass is [[packChunks]]'s (per-shard window);
+    * the purge set is release-sized, so it BROADCASTS onto the layout;
+    * the rollup is one (shard, chunk) aggregation over the purged docs'
+    * exploded chunk ranges (fan-out ≈ 1) and one per-shard min.
+    * Output: (shard, chunk_id, n_purged, purged_tokens, rebuild_from),
+    * one row per dirty chunk.
+    */
+  def purgePropagate(
+      docs: DataFrame,
+      purged: DataFrame,
+      ctxTokens: Long,
+      nShards: Int,
+      idCol: String = "doc_id",
+      tokensCol: String = "n_tokens"): DataFrame = {
+    require(purged.columns.contains(idCol),
+      s"purgePropagate: purged must carry '$idCol', got ${purged.columns.mkString(", ")}")
+    val hit = packedCore(docs, ctxTokens, nShards, idCol, tokensCol)
+      .join(broadcast(purged.select(idCol).distinct()), Seq(idCol))
+      .where(col("__n") > 0)
+    val perChunk = hit
+      .select(col(idCol), col("shard"), col("start_tok"), col("__n"),
+        explode(expr("sequence(chunk_first, chunk_last)")).as("chunk_id"))
+      .withColumn("__in", expr(
+        s"""least(start_tok + __n, (chunk_id + 1) * ${ctxTokens}L)
+           | - greatest(start_tok, chunk_id * ${ctxTokens}L)""".stripMargin))
+      .groupBy("shard", "chunk_id")
+      .agg(count(lit(1)).as("n_purged"), sum(col("__in")).as("purged_tokens"))
+    val from = perChunk.groupBy("shard").agg(min(col("chunk_id")).as("rebuild_from"))
+    perChunk.join(from, "shard")
+      .select(col("shard"), col("chunk_id"), col("n_purged"),
+        col("purged_tokens"), col("rebuild_from"))
+  }
+
   private def packedCore(
       docs: DataFrame,
       ctxTokens: Long,

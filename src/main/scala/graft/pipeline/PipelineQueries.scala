@@ -1026,6 +1026,19 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // deletion propagation (right-to-be-forgotten) through the packed
+    // layout: purge every 9th doc (the corpus-diff removed-set shape) and
+    // emit the dirty chunks + each shard's compact-repack rebuild point
+    "ext_purge_propagate" -> ((s, dir) => {
+      import graft.pipeline.TextOps.toksS
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), expr(s"size(${toksS("text")})").cast("long").as("n_tokens"))
+      Packing.purgePropagate(docs,
+          docs.filter(col("doc_id") % 9 === 0).select("doc_id"),
+          ctxTokens = 512L, nShards = 8)
+        .orderBy("shard", "chunk_id")
+    }),
+
     // the per-chunk companion view (what a training loader reads): doc
     // spans and fill per (shard, chunk)
     "ext_pack_spans" -> ((s, dir) => {
@@ -2355,6 +2368,27 @@ object PipelineQueries {
          |  CAST(sum(least(start_tok + n_tokens, (chunk_id + 1) * 512)
          |       - greatest(start_tok, chunk_id * 512)) AS BIGINT) AS fill_tokens
          |FROM e GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "ext_purge_propagate" ->
+      s"""WITH d AS (SELECT doc_id, CAST(len(${toksD("text")}) AS BIGINT) AS n_tokens FROM documents),
+         |h AS (SELECT doc_id, n_tokens,
+         |        abs(doc_id * 2654435761 + 40503) % 1000000 AS hval FROM d),
+         |s AS (SELECT doc_id, n_tokens, hval, hval % 8 AS shard FROM h),
+         |c AS (SELECT doc_id, shard, n_tokens,
+         |        CAST(COALESCE(sum(n_tokens) OVER (PARTITION BY shard ORDER BY hval, doc_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_tok
+         |      FROM s),
+         |e AS (SELECT doc_id, shard, start_tok, n_tokens,
+         |        unnest(generate_series(start_tok // 512, (start_tok + n_tokens - 1) // 512)) AS chunk_id
+         |      FROM c WHERE n_tokens > 0 AND doc_id % 9 = 0),
+         |pc AS (SELECT CAST(shard AS BIGINT) AS shard, CAST(chunk_id AS BIGINT) AS chunk_id,
+         |        CAST(count(*) AS BIGINT) AS n_purged,
+         |        CAST(sum(least(start_tok + n_tokens, (chunk_id + 1) * 512)
+         |             - greatest(start_tok, chunk_id * 512)) AS BIGINT) AS purged_tokens
+         |       FROM e GROUP BY 1, 2),
+         |f AS (SELECT shard, min(chunk_id) AS rebuild_from FROM pc GROUP BY 1)
+         |SELECT pc.shard, pc.chunk_id, pc.n_purged, pc.purged_tokens, f.rebuild_from
+         |FROM pc JOIN f ON pc.shard = f.shard ORDER BY pc.shard, pc.chunk_id""".stripMargin,
 
     "ext_sample_stratified" ->
       """WITH r(lang, rate_ppm) AS (VALUES ('en', 500000), ('zh', 200000))

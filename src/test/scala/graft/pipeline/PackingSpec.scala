@@ -251,4 +251,56 @@ class PackingSpec extends SparkSpec {
     val noTok = Packing.shardManifest(placed.drop("n_tokens"))
     assert(noTok.columns.toSeq == Seq("shard", "n_docs", "fingerprint"))
   }
+
+  test("purgePropagate: dirty set is sound+complete; chunks before rebuild_from survive a repack byte-identically; purged bytes survive nowhere") {
+    val ctx = 100L
+    val purgedIds = Set(7L, 42L, 111L, 256L, 340L)
+    val purged = purgedIds.toSeq.map(Tuple1(_)).toDF("doc_id")
+    val layout = Packing.packChunks(docs, ctx, nShards = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    val toks = docs.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // per-(shard, chunk) content = set of (doc, tokens-overlapping-chunk)
+    def contents(rows: Seq[(Long, Long, Long, Long, Long)]): Map[(Long, Long), Set[(Long, Long)]] =
+      rows.filter(r => toks(r._1) > 0).flatMap { case (id, shard, start, cf, cl) =>
+        (cf to cl).map { c =>
+          val in = math.min(start + toks(id), (c + 1) * ctx) - math.max(start, c * ctx)
+          ((shard, c), (id, in))
+        }
+      }.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val orig = contents(layout)
+
+    val got = Packing.purgePropagate(docs, purged, ctx, nShards = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    // SOUND + COMPLETE: the dirty set is exactly the chunks holding
+    // purged bytes, with the exact purged token mass
+    val wantDirty = orig.toSeq.flatMap { case ((shard, c), content) =>
+      val hit = content.filter(x => purgedIds.contains(x._1))
+      if (hit.nonEmpty) Some((shard, c) -> ((hit.size.toLong, hit.map(_._2).sum))) else None
+    }.toMap
+    assert(got.map(r => (r._1, r._2) -> ((r._3, r._4))).toMap == wantDirty,
+      "dirty chunks must be exactly the chunks containing purged bytes")
+    // rebuild_from = the shard's first dirty chunk
+    got.groupBy(_._1).foreach { case (shard, rows) =>
+      assert(rows.forall(_._5 == rows.map(_._2).min), s"shard $shard rebuild_from wrong")
+    }
+    // REPACK the survivors: chunks strictly before rebuild_from are
+    // byte-identical (same docs, same per-chunk token spans), and no
+    // surviving chunk contains a purged doc's bytes ANYWHERE
+    val repacked = contents(
+      Packing.packChunks(docs.where(!col("doc_id").isin(purgedIds.toSeq: _*)), ctx, nShards = 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq)
+    assert(repacked.values.forall(_.forall(x => !purgedIds.contains(x._1))),
+      "a purged doc's bytes must appear in no surviving chunk")
+    val rebuildFrom = got.groupBy(_._1).map { case (sh, rows) => sh -> rows.map(_._2).min }
+    rebuildFrom.foreach { case (shard, from) =>
+      (0L until from).foreach { c =>
+        assert(orig.get((shard, c)) == repacked.get((shard, c)),
+          s"shard $shard chunk $c precedes the purge point and must repack byte-identically")
+      }
+    }
+    // a shard with no purged docs never appears (nothing to rebuild)
+    val dirtyShards = got.map(_._1).toSet
+    val purgedShards = layout.filter(r => purgedIds.contains(r._1) && toks(r._1) > 0).map(_._2).toSet
+    assert(dirtyShards == purgedShards)
+  }
 }
