@@ -221,6 +221,59 @@ object ImageHash {
     * [[Dedup.simhashNearDups]] shape with the substrate swapped.
     * Output (id1, id2, dist), id1 < id2.
     */
+  /** INCREMENTAL image near-dup — probe a batch of new media against the
+    * AT-REST fingerprint store (media_id → dhash, cluster_id), the image
+    * member of the store-probe family ([[Dedup.exactDedupIncremental]]
+    * exact text, [[Dedup.minhashStoreMatches]] minhash,
+    * [[graft.pipeline.Similarity.ivfPqStoreMatches]] embeddings): a
+    * corpus ingests media in batches, and each batch must match against
+    * everything already kept WITHOUT re-pairing the store against itself.
+    * Emits one row per (probe, store) pair within `maxDist`, carrying the
+    * store's cluster id — novel media (no output row) get appended to the
+    * store by the caller, the standard incremental loop.
+    *
+    * Same 4×16-bit banding as [[imageNearDups]] (full recall to distance
+    * 3, enforced). The per-pair dedup a batch operator would do with
+    * `distinct()` is done ROW-LOCALLY instead — a joined row survives iff
+    * ITS band index is the FIRST band on which the two hashes agree —
+    * so the operator is STATELESS and streaming-legal as a stream-static
+    * join (the [[graft.streaming.StreamDedup.nearDupAgainstStore]]
+    * discipline; spec-asserted MemoryStream == batch). The store is read
+    * per probe batch: persist it or lay it out band-bucketed.
+    * Output: (idCol, store_id, cluster_id, dist).
+    */
+  def phashStoreMatches(
+      probe: DataFrame,
+      store: DataFrame,
+      maxDist: Int = 3,
+      idCol: String = "media_id",
+      hashCol: String = "dhash"): DataFrame = {
+    require(maxDist >= 0 && maxDist <= 3,
+      s"phashStoreMatches: 4×16-bit banding guarantees recall only to distance 3, got $maxDist")
+    val missing = Seq("store_id", "cluster_id", hashCol).filterNot(store.columns.contains)
+    require(missing.isEmpty,
+      s"phashStoreMatches: store must carry (store_id, cluster_id, $hashCol); missing ${missing.mkString(", ")}")
+    def bandRows(df: DataFrame, h: String) = df
+      .withColumn("__band", explode(expr(
+        s"transform(sequence(0, 3), b -> struct(b as b, shiftright($h, b * 16) & 65535 as v))")))
+      .withColumn("__b", col("__band.b")).withColumn("__v", col("__band.v"))
+      .drop("__band")
+    val pBands = bandRows(
+      probe.select(col(idCol), col(hashCol).cast("long").as("__ph")), "__ph")
+    val sBands = bandRows(
+      store.select(col("store_id"), col("cluster_id"),
+        col(hashCol).cast("long").as("__sh")), "__sh")
+    // row-local pair dedup: first band (0-based) on which the hashes agree
+    val firstCommonBand =
+      "element_at(filter(sequence(0, 3), bj -> " +
+        "(shiftright(__ph, bj * 16) & 65535) = (shiftright(__sh, bj * 16) & 65535)), 1)"
+    pBands.join(sBands, Seq("__b", "__v"))
+      .where(col("__b") === expr(firstCommonBand))
+      .withColumn("dist", expr("cast(bit_count(__ph ^ __sh) as bigint)"))
+      .where(col("dist") <= maxDist)
+      .select(col(idCol), col("store_id"), col("cluster_id"), col("dist"))
+  }
+
   def imageNearDups(
       hashes: DataFrame,
       maxDist: Int = 3,

@@ -1302,6 +1302,38 @@ object PipelineQueries {
       ImageHash.imageNearDups(ph, maxDist = 3).orderBy("id1", "id2")
     }),
 
+    // image pairs → connected components → per-cluster keeper election:
+    // the ext_dedup_clusters composition on the image substrate (every
+    // media row surfaces — pairless images are singleton keepers)
+    "ext_image_clusters" -> ((s, dir) => {
+      val media = rasterMedia(s, dir, withVariants = true)
+      val pairs = ImageHash.imageNearDups(
+        ImageHash.imagePhash(media), maxDist = 3)
+      val comps = Dedup.connectedComponents(pairs)
+      media.select("media_id")
+        .join(comps.withColumnRenamed("id", "media_id"), Seq("media_id"), "left")
+        .select(col("media_id"),
+          coalesce(col("comp"), col("media_id")).as("cluster_id"),
+          (coalesce(col("comp"), col("media_id")) === col("media_id")).as("is_keeper"))
+        .orderBy("media_id")
+    }),
+
+    // INCREMENTAL image dedup: the base corpus is the at-rest fingerprint
+    // store (each image its own cluster), the perturbed variants arrive
+    // as the probe batch — every variant must match its original's
+    // cluster, novel content must emit nothing
+    "ext_image_incr" -> ((s, dir) => {
+      val base = ImageHash.imagePhash(rasterMedia(s, dir, withVariants = false))
+        .select(col("media_id").as("store_id"),
+          col("media_id").as("cluster_id"), col("dhash"))
+      val probe = ImageHash.imagePhash(
+          rasterMedia(s, dir, withVariants = true))
+        .where(col("media_id") >= 1000000L)
+        .select("media_id", "dhash")
+      ImageHash.phashStoreMatches(probe, base, maxDist = 3)
+        .orderBy("media_id", "store_id")
+    }),
+
     // letterbox resize geometry over REAL parsed headers: contain-fit into
     // 320x240, downscale-only, integer ppm — the deterministic "what to
     // decode into" decision; pixel resampling stays behind the decoder seam
@@ -2770,6 +2802,50 @@ object PipelineQueries {
          |FROM b x JOIN b y ON x.media_id < y.media_id
          |WHERE bit_count(xor(x.dlo, y.dlo)) + bit_count(xor(x.dhi, y.dhi)) <= 3
          |ORDER BY id1, id2""".stripMargin
+    },
+
+    // image cluster election: the all-pairs dup set + a recursive-CTE CC
+    // (the ext_dedup_clusters oracle shape on the image substrate)
+    "ext_image_clusters" -> {
+      val (_, dcells) = rasterCellsD("d", "v")
+      s"""WITH RECURSIVE g AS (SELECT doc_id AS media_id, doc_id AS d, false AS v FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, doc_id, true FROM documents WHERE doc_id % 10 = 0),
+         |c AS (SELECT media_id, $dcells AS dcells FROM g),
+         |b AS (SELECT media_id, ${dhashHalfD(lowHalf = true)} AS dlo,
+         |        ${dhashHalfD(lowHalf = false)} AS dhi FROM c),
+         |dup AS (SELECT x.media_id AS id1, y.media_id AS id2
+         |        FROM b x JOIN b y ON x.media_id < y.media_id
+         |        WHERE bit_count(xor(x.dlo, y.dlo)) + bit_count(xor(x.dhi, y.dhi)) <= 3),
+         |e AS (SELECT id1 AS u, id2 AS v2 FROM dup UNION SELECT id2, id1 FROM dup),
+         |reach(id, comp) AS (
+         |  SELECT DISTINCT u, u FROM e
+         |  UNION
+         |  SELECT e.v2, reach.comp FROM reach JOIN e ON e.u = reach.id),
+         |comp AS (SELECT id, min(comp) AS comp FROM reach GROUP BY 1)
+         |SELECT g.media_id,
+         |  COALESCE(c2.comp, g.media_id) AS cluster_id,
+         |  COALESCE(c2.comp, g.media_id) = g.media_id AS is_keeper
+         |FROM g LEFT JOIN comp c2 ON c2.id = g.media_id
+         |ORDER BY g.media_id""".stripMargin
+    },
+
+    // incremental probe: variants (probe) × base (store) all-pairs
+    // distance scan — banding + row-local first-common-band dedup on the
+    // Spark side must reproduce it exactly at maxDist 3
+    "ext_image_incr" -> {
+      val (_, dcells) = rasterCellsD("d", "v")
+      s"""WITH g AS (SELECT doc_id AS media_id, doc_id AS d, false AS v FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, doc_id, true FROM documents WHERE doc_id % 10 = 0),
+         |c AS (SELECT media_id, $dcells AS dcells FROM g),
+         |b AS (SELECT media_id, ${dhashHalfD(lowHalf = true)} AS dlo,
+         |        ${dhashHalfD(lowHalf = false)} AS dhi FROM c)
+         |SELECT p.media_id, s.media_id AS store_id, s.media_id AS cluster_id,
+         |  CAST(bit_count(xor(p.dlo, s.dlo)) + bit_count(xor(p.dhi, s.dhi)) AS BIGINT) AS dist
+         |FROM b p JOIN b s ON p.media_id >= 1000000 AND s.media_id < 1000000
+         |WHERE bit_count(xor(p.dlo, s.dlo)) + bit_count(xor(p.dhi, s.dhi)) <= 3
+         |ORDER BY p.media_id, s.media_id""".stripMargin
     },
 
     "ext_media_resize" ->

@@ -120,4 +120,28 @@ class ImageHashSpec extends SparkSpec {
       ImageHash.imageNearDups(Seq((1L, 0L)).toDF("media_id", "dhash"), maxDist = 5))
     assert(e.getMessage.contains("distance 3"))
   }
+
+  test("phashStoreMatches: probe batch matches the store within distance, one row per pair, novel content silent") {
+    // store hashes chosen so band structure is exercised: h2 differs from
+    // h1 in exactly bits 0 and 17 (bands 0 and 1 touched, bands 2-3 agree)
+    val h1 = 0x0123456789ABCDEFL
+    val h2 = h1 ^ 1L ^ (1L << 17)
+    val far = ~h1 // distance 64
+    val store = Seq((10L, 100L, h1), (11L, 100L, far))
+      .toDF("store_id", "cluster_id", "dhash")
+    val probe = Seq((1L, h2), (2L, 0x7777000011112222L)).toDF("media_id", "dhash")
+    val got = ImageHash.phashStoreMatches(probe, store, maxDist = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    // exactly ONE row for the (1, 10) pair despite agreeing on TWO bands
+    // (the row-local first-common-band dedup), carrying the store cluster
+    assert(got == Seq((1L, 10L, 100L, 2L)), s"got $got")
+    // guard: wider radius than the banding guarantee is rejected
+    val e = intercept[IllegalArgumentException](
+      ImageHash.phashStoreMatches(probe, store, maxDist = 9))
+    assert(e.getMessage.contains("distance 3"))
+    // guard: a store without the contract columns fails fast
+    val e2 = intercept[IllegalArgumentException](
+      ImageHash.phashStoreMatches(probe, Seq((1L, 1L)).toDF("store_id", "dhash")))
+    assert(e2.getMessage.contains("cluster_id"))
+  }
 }

@@ -688,4 +688,28 @@ class StreamDedupSpec extends SparkSpec {
       }
     }
   }
+
+  test("phashStoreMatches is streaming-legal: MemoryStream probe == batch on the same rows") {
+    implicit val sqlCtx = spark.sqlContext
+    val h1 = 0x0123456789ABCDEFL
+    val store = Seq((10L, 100L, h1), (11L, 200L, 0x5555AAAA5555AAAAL))
+      .toDF("store_id", "cluster_id", "dhash").persist()
+    val probes = Seq((1L, h1 ^ 3L), (2L, ~h1), (3L, 0x5555AAAA5555AAABL))
+    val want = graft.pipeline.ImageHash.phashStoreMatches(
+        probes.toDF("media_id", "dhash"), store, maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(want == Set((1L, 10L, 100L, 2L), (3L, 11L, 200L, 1L)), s"batch fixture drifted: $want")
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long)]
+    val q = graft.pipeline.ImageHash.phashStoreMatches(
+        in.toDF().toDF("media_id", "dhash"), store, maxDist = 3)
+      .writeStream.format("memory").queryName("phash_probe_out").outputMode("append").start()
+    try {
+      in.addData(probes.take(1)); q.processAllAvailable()
+      in.addData(probes.drop(1)); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("phash_probe_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == want, s"stream diverged from batch: $got vs $want")
+    store.unpersist()
+  }
 }
