@@ -258,8 +258,13 @@ object ImageHash {
         s"transform(sequence(0, 3), b -> struct(b as b, shiftright($h, b * 16) & 65535 as v))")))
       .withColumn("__b", col("__band.b")).withColumn("__v", col("__band.v"))
       .drop("__band")
-    val pBands = bandRows(
-      probe.select(col(idCol), col(hashCol).cast("long").as("__ph")), "__ph")
+    // batch face: the probe batch is arrival-sized, the store is the
+    // corpus — broadcast the probe so the store NEVER shuffles (the
+    // [[Dedup.minhashStoreMatches]] store-side discipline). Streaming
+    // face: the stream side cannot broadcast; the stream-static join
+    // reads the store per micro-batch (persist or band-bucket it).
+    val pRaw = probe.select(col(idCol), col(hashCol).cast("long").as("__ph"))
+    val pBands = bandRows(if (probe.isStreaming) pRaw else broadcast(pRaw), "__ph")
     val sBands = bandRows(
       store.select(col("store_id"), col("cluster_id"),
         col(hashCol).cast("long").as("__sh")), "__sh")

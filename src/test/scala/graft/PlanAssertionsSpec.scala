@@ -405,4 +405,21 @@ class PlanAssertionsSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"),
       s"the corpus must not shuffle for the probe:\n${plan.take(2000)}")
   }
+
+  test("ext_image_phash: hashing is scan-side — payload bytes never shuffle (presentation sort only)") {
+    val plan = planOf("ext_image_phash")
+    assert(!plan.contains("Join"), s"phash extraction must not join:\n${plan.take(2000)}")
+    // the only exchange is the orderBy's range partitioning; no hash
+    // exchange means no aggregation/join ever moves the payload
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"no hash exchange may touch the media stream:\n${plan.take(2000)}")
+  }
+
+  test("ext_image_incr: the probe batch broadcasts — the fingerprint store never shuffles") {
+    val plan = planOf("ext_image_incr")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the arrival-sized probe must broadcast onto the store:\n${plan.take(2000)}")
+    assert(!plan.contains("SortMergeJoin"),
+      s"the store side must not sort-merge:\n${plan.take(2000)}")
+  }
 }
