@@ -98,12 +98,28 @@ object UrlOps {
     * a dedup/cap key, where dropping the row would hide provenance.
     * NULL for non-http(s) input.
     *
-    * Scale shape: pure scan-side label slicing + membership tests
-    * against frozen literal arrays (a few hundred entries, one linear
-    * probe per candidate suffix length) — no join against a suffix
-    * table, no shuffle, stateless-streaming legal (spec-asserted).
+    * Scale shape: one native Catalyst expression node
+    * ([[graft.functions.RegistrableDomain]] — hash-set rule lookups,
+    * O(labels) per row, single static call in the generated code) — no
+    * join against a suffix table, no shuffle, stateless-streaming legal
+    * (spec-asserted), and the enclosing stage stays inside whole-stage
+    * codegen. The pure-Column spelling below is kept as the
+    * differential REFERENCE implementation: it inlines the ~300-entry
+    * rule arrays into every CASE arm, which overflows Janino's 64 KB
+    * method limit — whole-stage codegen fails, Spark re-attempts the
+    * ~1 s compile on EVERY execution, and the stage runs interpreted
+    * (the per-row cost that would surface at cluster scale). UrlOpsSpec
+    * asserts kernel == reference across the corpus and the adversarial
+    * URL fixture.
     */
-  def registrableDomain(url: Column): Column = {
+  def registrableDomain(url: Column): Column =
+    graft.functions.RegistrableDomain.of(url)
+
+  /** The pure-Column PSL walk — the differential reference for
+    * [[registrableDomain]]'s kernel (see the codegen note there; do not
+    * use in hot paths).
+    */
+  private[pipeline] def registrableDomainHof(url: Column): Column = {
     val host = regexp_replace(lower(regexp_extract(url, partsRe, 2)), ":[0-9]+$", "")
     val labels = split(host, "\\.")
     val n = size(labels)

@@ -156,6 +156,71 @@ class UrlOpsSpec extends SparkSpec {
     assert(got.toSeq == Seq(("https://e.com/p?a=1&b=2", "e.com")))
   }
 
+  test("registrableDomain kernel == the pure-Column PSL reference (differential)") {
+    // the kernel expression exists because the Column form's generated
+    // code overflows Janino's 64 KB method limit (codegen falls back to
+    // interpreted per-row evaluation, re-attempting the ~1 s compile per
+    // execution) — so the Column form is demoted to the REFERENCE this
+    // test replays: adversarial shapes across every rule class plus
+    // degenerate hosts, then a generated corpus sweep
+    val adversarial = Seq(
+      "https://news.bbc.CO.UK:443/x", "http://a.b.c.example.com/",
+      "http://localhost:8080/x", "https://alice.github.io/proj/",
+      "https://www.alice.github.io/", "http://my.blog.blogspot.com.br/p",
+      "https://www.shop.com.tr/", "http://shop.example.bd/",
+      "https://www.x.example.kawasaki.jp/", "https://www.city.kawasaki.jp/ward",
+      "http://www.ck/", "http://shop.www.ck/", "https://co.uk/",
+      "https://github.io/", "mailto:x@y.com", "not a url", "",
+      "https://user:pw@sub.example.co.nz/", "HTTPS://UPPER.GITHUB.IO/",
+      "https://x.compute.amazonaws.com/", "https://a.b.x.compute.amazonaws.com/",
+      "https://s3.amazonaws.com/bucket", "https://b.s3.amazonaws.com/",
+      "http://1.2.3.4:80/", "https://trailing.dot./", "https://..double/",
+      "https://:8080/", "http://host:/nodigits", "http://host:12ab/x",
+      "ftp://example.com/", "https://İstanbul.example.com.tr/")
+    val urls = adversarial.map(Tuple1(_)).toDF("url")
+    val both = urls.select(
+      UrlOps.registrableDomain(col("url")).as("kernel"),
+      UrlOps.registrableDomainHof(col("url")).as("reference"),
+      col("url"))
+    val diff = both.where(!(col("kernel") <=> col("reference"))).collect()
+    assert(diff.isEmpty, s"kernel != reference on: ${diff.mkString("; ")}")
+
+    // generated sweep: every suffix in the snapshot, with 0/1/2 extra
+    // labels, mixed case and ports
+    val rules = (PslSnapshot.exactByLen.values.flatten ++
+      PslSnapshot.wildcardByLen.values.flatten ++
+      PslSnapshot.exceptionsByLen.values.flatten).toSeq
+    val gen = rules.zipWithIndex.flatMap { case (r, i) =>
+      Seq(s"https://$r/", s"http://site$i.$r:80/page",
+        s"https://Deep.Sub$i.$r/x?q=1")
+    }.map(Tuple1(_)).toDF("url")
+    val gdiff = gen.select(
+        UrlOps.registrableDomain(col("url")).as("kernel"),
+        UrlOps.registrableDomainHof(col("url")).as("reference"), col("url"))
+      .where(!(col("kernel") <=> col("reference"))).collect()
+    assert(gdiff.isEmpty, s"kernel != reference on: ${gdiff.take(5).mkString("; ")}")
+  }
+
+  test("registrableDomain keeps whole-stage codegen compilable (fallback disabled)") {
+    // the regression this expression fixes: with codegen fallback OFF, a
+    // >64 KB generated method makes execution THROW instead of silently
+    // re-compiling + interpreting per run — so green here proves the
+    // URL family's stages compile
+    val key = "spark.sql.codegen.fallback"
+    val prior = spark.conf.getOption(key)
+    spark.conf.set(key, "false")
+    try {
+      val docs = Seq((1L, "https://a.example.co.uk/x", "t"),
+        (2L, "https://b.github.io/y", "u")).toDF("doc_id", "url", "text")
+      assert(UrlOps.domainStats(docs).collect().length == 2)
+      assert(UrlOps.domainCap(docs.select("doc_id", "url"), cap = 1L)
+        .collect().length == 2)
+    } finally prior match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("domainStats: shares sum to ~1e6 and the NULL row stays visible") {
     val docs = Seq(
       (1L, "https://a.com/x", "aaaa"),
