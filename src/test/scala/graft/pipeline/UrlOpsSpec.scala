@@ -201,6 +201,34 @@ class UrlOpsSpec extends SparkSpec {
     assert(gdiff.isEmpty, s"kernel != reference on: ${gdiff.take(5).mkString("; ")}")
   }
 
+  test("canonicalUrl kernel == the pure-Column reference (differential)") {
+    val adversarial = Seq(
+      "HTTP://WWW.Example.COM:80/a/b/?utm_source=x&b=2&a=1#frag",
+      "https://example.com:443/x", "https://example.com:8443/x",
+      "https://example.com", "https://example.com///?fbclid=abc",
+      "https://e.com/p?z=1&a=2", "https://e.com/p?a=2&z=1",
+      "https://e.com/p?utm_sourcex=1", "https://e.com/p?ref=spam",
+      "https://user:pw@example.com/x", "mailto:x@y.com", "not a url",
+      "ftp://example.com/f", "", "https://h/?&&a=1&&",
+      "https://h/p?utm_id", "https://h/p?utm_id=",
+      "http://h:80", "https://h:80/x", "http://h:443/x",
+      "https://a@b@c.com/x", "https://e.com/p?b=é&a=😀",
+      "HTTPS://E.com:443/p/?b=2&a=1&utm_source=x#f")
+    val urls = adversarial.map(Tuple1(_)).toDF("url")
+    val diff = urls.select(
+        UrlOps.canonicalUrl(col("url")).as("kernel"),
+        UrlOps.canonicalUrlHof(col("url")).as("reference"), col("url"))
+      .where(!(col("kernel") <=> col("reference"))).collect()
+    assert(diff.isEmpty, s"kernel != reference on: ${diff.mkString("; ")}")
+    // the override seam behaves identically through the kernel
+    val withRef = UrlOps.trackingParams :+ "ref"
+    val d2 = urls.select(
+        UrlOps.canonicalUrl(col("url"), withRef).as("kernel"),
+        UrlOps.canonicalUrlHof(col("url"), withRef).as("reference"))
+      .where(!(col("kernel") <=> col("reference"))).collect()
+    assert(d2.isEmpty, s"kernel != reference with override: ${d2.mkString("; ")}")
+  }
+
   test("registrableDomain keeps whole-stage codegen compilable (fallback disabled)") {
     // the regression this expression fixes: with codegen fallback OFF, a
     // >64 KB generated method makes execution THROW instead of silently
