@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.tables.Tables
@@ -121,6 +121,70 @@ object PipelineQueries {
             .when(col("doc_id") % 3 === 1, lit("?a=1&b=2")).otherwise(lit("")),
           when(col("doc_id") % 7 === 0, lit("#section-2")).otherwise(lit(""))))
         .as("url"))
+
+  /** documents with a deterministic provenance URL AND page markup whose
+    * anchors point INTO the same 40-site domain universe — the link-graph
+    * fixture. Site i's host puts i in the REGISTRABLE label (site{i}.com /
+    * site{i}.co.uk / site{i}.github.io — one arm per PSL rule class), so
+    * the 40 sites stay 40 distinct domains after suffix reduction. Doc d
+    * lives on site d%40 (every 13th doc has unparseable provenance — the
+    * NULL-src path) and links to sites (3d+1)%40, (3d+8)%40, (3d+15)%40
+    * (every 13th target renders as a RELATIVE href — the dropped-scope
+    * path; one anchor is single-quoted to exercise both attribute
+    * styles). Self-links happen whenever (3i+7k+1)%40 == i — the
+    * self-edge-drop path. The closed form is shared with the DuckDB twin
+    * ([[linkAugSql]]), which synthesizes the same (url, href) pairs
+    * WITHOUT parsing HTML — so a Spark-side extraction bug surfaces as an
+    * oracle mismatch, not a shared blind spot.
+    */
+  private def siteHost(i: Column): Column =
+    when(i % 11 === 0, concat(lit("www.site"), i, lit(".co.uk")))
+      .when(i % 7 === 0, concat(lit("site"), i, lit(".github.io")))
+      .otherwise(concat(lit("www.site"), i, lit(".com")))
+
+  private def linkHref(d: Column, k: Int): Column = {
+    val t = (d * 3 + lit(7 * k + 1)) % 40
+    when(t % 13 === 0, concat(lit("/local/"), t))
+      .otherwise(concat(lit("https://"), siteHost(t), lit("/p/"), t * 97 + lit(k)))
+  }
+
+  private def linkAug(docs: DataFrame): DataFrame = {
+    val d = col("doc_id")
+    docs.select(d,
+      when(d % 13 === 0, lit("mailto:someone@example.com"))
+        .otherwise(concat(lit("https://"), siteHost(d % 40), lit("/p/"), d)).as("url"),
+      concat(
+        lit("""<html><body><nav><a href="/">Home</a></nav><ul><li><a class="x" href=""""),
+        linkHref(d, 0),
+        lit("""">a</a></li><li><a href='"""),
+        linkHref(d, 1),
+        lit("""'>b</a></li><li><a rel="nofollow" href=""""),
+        linkHref(d, 2),
+        lit("""">c</a></li></ul></body></html>""")).as("html"))
+  }
+
+  private def siteHostD(i: String): String =
+    s"(CASE WHEN ($i) % 11 = 0 THEN 'www.site' || ($i) || '.co.uk' " +
+      s"WHEN ($i) % 7 = 0 THEN 'site' || ($i) || '.github.io' " +
+      s"ELSE 'www.site' || ($i) || '.com' END)"
+
+  private def linkHrefD(k: Int): String = {
+    val t = s"((doc_id * 3 + ${7 * k + 1}) % 40)"
+    s"(CASE WHEN $t % 13 = 0 THEN '/local/' || $t " +
+      s"ELSE 'https://' || ${siteHostD(t)} || '/p/' || ($t * 97 + $k) END)"
+  }
+
+  // the twin synthesizes (url, href) pairs closed-form — no HTML parse —
+  // so extraction bugs show up as mismatches. Operator lines trail (the
+  // interpolation-into-stripMargin rule).
+  private def linkAugSql: String =
+    s"la AS (SELECT doc_id, CASE WHEN doc_id % 13 = 0 THEN 'mailto:someone@example.com' " +
+      s"ELSE 'https://' || ${siteHostD("doc_id % 40")} || '/p/' || doc_id END AS url, " +
+      s"unnest([${linkHrefD(0)}, ${linkHrefD(1)}, ${linkHrefD(2)}]) AS href FROM documents), " +
+      s"led AS (SELECT ${UrlOps.registrableDomainD("url")} AS src, " +
+      s"${UrlOps.registrableDomainD("href")} AS dst FROM la), " +
+      "le AS (SELECT src, dst, count(*) AS n_links FROM led " +
+      "WHERE src IS NOT NULL AND dst IS NOT NULL AND src <> dst GROUP BY 1, 2)"
 
   // NOTE: this CTE is interpolated into outer stripMargin blocks, so no
   // continuation line may START with '|' (the outer strip would eat it) —
@@ -745,6 +809,27 @@ object PipelineQueries {
     // per-domain composition data card (NULL-domain row kept visible)
     "ext_domain_stats" -> ((s, dir) => {
       UrlOps.domainStats(urlAug(Tables.documents(s, dir))).orderBy("domain")
+    }),
+
+    // hyperlink domain graph: scan-side href extraction from the page
+    // markup → registrable-domain edges with link counts (self-edges and
+    // no-domain sides drop — intra-domain navigation is not endorsement)
+    "ext_link_graph" -> ((s, dir) => {
+      val la = linkAug(Tables.documents(s, dir))
+      LinkGraph.linkDomainEdges(
+          LinkGraph.extractLinks(la, keepCols = Seq("url")))
+        .orderBy("src", "dst")
+    }),
+
+    // fixed-iteration integer-ppm PageRank over the domain graph — the
+    // Common-Crawl-style centrality prior quality weighting consumes
+    "ext_pagerank" -> ((s, dir) => {
+      val la = linkAug(Tables.documents(s, dir))
+      val edges = LinkGraph.linkDomainEdges(
+        LinkGraph.extractLinks(la, keepCols = Seq("url")))
+      LinkGraph.pageRankPpm(edges)
+        .withColumnRenamed("node", "domain")
+        .orderBy("domain")
     }),
 
     // THE WEB-INGEST CHAIN COMPOSED end-to-end, per-doc disposition
@@ -2016,6 +2101,20 @@ object PipelineQueries {
          |SELECT domain, CAST(n_docs AS BIGINT) AS n_docs, CAST(n_chars AS BIGINT) AS n_chars,
          |  CAST(n_chars * 1000000 // greatest(tot, 1) AS BIGINT) AS share_ppm
          |FROM a, t ORDER BY domain NULLS FIRST""".stripMargin,
+
+    // link graph: the twin builds (url, href) pairs from the SAME closed
+    // form WITHOUT parsing HTML — extraction bugs become oracle mismatches
+    "ext_link_graph" ->
+      s"""WITH $linkAugSql
+         |SELECT src, dst, CAST(n_links AS BIGINT) AS n_links
+         |FROM le ORDER BY src, dst""".stripMargin,
+
+    // PageRank: the unrolled 5-step integer-ppm recurrence over the same
+    // edge CTE (generated from the same constants as the Spark operator)
+    "ext_pagerank" ->
+      s"""WITH $linkAugSql,
+         |${LinkGraph.pageRankSqlD("le")}
+         |SELECT node AS domain, rank_ppm FROM pr_r5 ORDER BY domain""".stripMargin,
 
     // the composed web-ingest chain: each stage's CTEs are the same
     // generated pieces its standalone oracle uses, chained on survivors

@@ -415,6 +415,37 @@ class PlanAssertionsSpec extends SparkSpec {
       s"no hash exchange may touch the media stream:\n${plan.take(2000)}")
   }
 
+  test("ext_link_graph: scan-side extraction + ONE partial-aggregated exchange, no join") {
+    val plan = planOf("ext_link_graph")
+    assert(!plan.contains("Join"), s"the edge list must not join:\n${plan.take(2000)}")
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(hashExchanges == 1,
+      s"edges are one aggregation keyed by (src, dst); got $hashExchanges hash exchanges:\n${plan.take(2000)}")
+    // map-side combine: only fixed-width partial counts cross the wire
+    assert(plan.contains("partial_count") || plan.contains("HashAggregate"),
+      s"the count must partial-aggregate before the exchange:\n${plan.take(2000)}")
+  }
+
+  test("ext_pagerank: iterations re-read the persisted edges, never re-extract") {
+    // each of the 5 iterations equi-joins the fixed-width rank table
+    // against the persisted edge list on `node` — a keyed shuffle join
+    // is the CORRECT strategy at domain-graph scale (1e8-row rank
+    // tables don't broadcast), so the join flavor is AQE's call; the
+    // load-bearing invariants are that the corpus-side extraction runs
+    // once (everything downstream reads the InMemoryRelation) and no
+    // iteration degenerates to a cartesian product
+    val plan = planOf("ext_pagerank")
+    assert(plan.contains("InMemoryTableScan"),
+      s"the edge list must be persisted and re-read, not re-derived per iteration:\n${plan.take(2000)}")
+    assert(!plan.contains("CartesianProduct"),
+      s"iteration joins must be keyed:\n${plan.take(2000)}")
+    // the href-extraction regex must not appear in the iteration body —
+    // it lives only inside the cached relation's build subtree
+    val body = plan.substring(0, math.max(plan.indexOf("InMemoryRelation"), 0))
+    assert(!body.contains("regexp_extract_all"),
+      s"extraction leaked out of the cached subtree:\n${body.take(2000)}")
+  }
+
   test("ext_image_incr: the probe batch broadcasts — the fingerprint store never shuffles") {
     val plan = planOf("ext_image_incr")
     assert(plan.contains("BroadcastHashJoin"),

@@ -1,0 +1,114 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class LinkGraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("extractLinks: both quote styles, attributes between, scoping visible") {
+    val html =
+      """<html><body>
+        |<a href="https://a.com/x">double</a>
+        |<a class="btn" rel="nofollow" href='https://b.com/y'>single</a>
+        |<A HREF="https://c.com/z">uppercase</A>
+        |<a href="/relative">rel</a>
+        |<a href="mailto:x@y.com">mail</a>
+        |<a name="anchor-no-href">none</a>
+        |<script>var s = 'href="https://not-an-anchor.com/"';</script>
+        |</body></html>""".stripMargin
+    val got = LinkGraph.extractLinks(Seq((1L, html)).toDF("doc_id", "html"))
+      .select("href").as[String].collect().toSet
+    // the script's href lacks an <a prefix and is NOT extracted; the
+    // relative and mailto links ARE extracted (they drop later, at the
+    // domain stage, where the scoping is visible)
+    assert(got == Set("https://a.com/x", "https://b.com/y", "https://c.com/z",
+      "/relative", "mailto:x@y.com"))
+    // a comment-wrapped anchor IS extracted — the documented
+    // approximation every regex extractor shares (same class as
+    // MarkupExtract's attr-value '>' caveat)
+    val ghost = LinkGraph.extractLinks(
+      Seq((1L, """<!-- <a href="https://ghost.com/"> -->""")).toDF("doc_id", "html"))
+      .select("href").as[String].collect().toSeq
+    assert(ghost == Seq("https://ghost.com/"))
+    // no links → no rows (not a null row)
+    assert(LinkGraph.extractLinks(Seq((1L, "<p>plain</p>")).toDF("doc_id", "html"))
+      .count() == 0L)
+  }
+
+  test("linkDomainEdges: suffix reduction, self-edge and no-domain drops, counts") {
+    val links = Seq(
+      (1L, "https://news.a.co.uk/1", "https://www.b.com/x"),   // a.co.uk -> b.com
+      (2L, "https://a.co.uk/2", "https://cdn.b.com/y"),        // same edge again
+      (3L, "https://a.co.uk/3", "https://sub.a.co.uk/nav"),    // self-edge: dropped
+      (4L, "https://a.co.uk/4", "/relative"),                  // no dst domain
+      (5L, "mailto:x@y.com", "https://b.com/z"),               // no src domain
+      (6L, "https://u.github.io/", "https://v.github.io/")     // private-suffix pair
+    ).toDF("doc_id", "url", "href")
+    val got = LinkGraph.linkDomainEdges(links)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == Set(
+      ("a.co.uk", "b.com", 2L),
+      ("u.github.io", "v.github.io", 1L)))
+  }
+
+  /** Independent reference: the same recurrence over Scala Maps. */
+  private def refPageRank(
+      edges: Seq[(String, String)], iters: Int, damping: Long): Map[String, Long] = {
+    val e = edges.distinct
+    val out = e.groupBy(_._1).map { case (s, es) => (s, es.size.toLong) }
+    val nodes = (e.map(_._1) ++ e.map(_._2)).distinct
+    val base = 1000000L - damping
+    var r = nodes.map(n => (n, 1000000L)).toMap
+    for (_ <- 1 to iters) {
+      val contrib = e.groupBy(_._2).map { case (d, in) =>
+        (d, in.map { case (s, _) => r(s) / out(s) }.sum)
+      }
+      r = nodes.map(n => (n, base + damping * contrib.getOrElse(n, 0L) / 1000000L)).toMap
+    }
+    r
+  }
+
+  private def runPr(edges: Seq[(String, String)], iters: Int): Map[String, Long] =
+    LinkGraph.pageRankPpm(edges.toDF("src", "dst"), iters)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+
+  test("pageRankPpm == the independent reference model on structured graphs") {
+    // a hub (everyone links to h), a chain, a cycle, a dangling sink
+    val graph = Seq(
+      "a" -> "h", "b" -> "h", "c" -> "h",        // hub
+      "a" -> "b", "b" -> "c",                     // chain
+      "x" -> "y", "y" -> "z", "z" -> "x",        // 3-cycle
+      "h" -> "sink")                              // sink dangles (no outlinks)
+    for (iters <- Seq(1, 3, 5)) {
+      val got = runPr(graph, iters)
+      val ref = refPageRank(graph, iters, 850000L)
+      assert(got == ref, s"iters=$iters: $got vs $ref")
+    }
+    // the hub outranks its contributors; the closed 3-cycle conserves
+    // its full starting mass (1e6 each — no leak, no inflow) and the
+    // cycle nodes agree by symmetry
+    val r5 = runPr(graph, 5)
+    assert(r5("h") > r5("a") && r5("h") > r5("b") && r5("h") > r5("c"), r5.toString)
+    assert(r5("x") == 1000000L && r5("y") == 1000000L && r5("z") == 1000000L, r5.toString)
+  }
+
+  test("pageRankPpm: parallel edges count once; no-inlink nodes sit at the base") {
+    val got = runPr(Seq("a" -> "b", "a" -> "b", "a" -> "c"), 2)
+    val ref = refPageRank(Seq("a" -> "b", "a" -> "c"), 2, 850000L)
+    assert(got == ref)
+    assert(got("a") == 150000L) // nothing links to a
+  }
+
+  test("pageRankPpm: deterministic across runs (integer arithmetic, no float drift)") {
+    val edges = (0 until 200).map(i => (s"d${i % 17}", s"d${(i * 7 + 3) % 17}"))
+    assert(runPr(edges, 5) == runPr(edges, 5))
+    assert(runPr(edges, 5) == refPageRank(edges, 5, 850000L))
+  }
+
+  test("pageRankPpm: bounds fail fast") {
+    val e = Seq("a" -> "b").toDF("src", "dst")
+    intercept[IllegalArgumentException](LinkGraph.pageRankPpm(e, iters = 0))
+    intercept[IllegalArgumentException](LinkGraph.pageRankPpm(e, dampingPpm = 1000001L))
+  }
+}
