@@ -296,6 +296,69 @@ object PipelineQueries {
       unhex(expr(hexStr)).as("payload"))
   }
 
+  /** The audio-FINGERPRINT closed-form sample: s(d, t) for media derived
+    * from doc `d` (variant flag `v` adds +3 at every 97th sample — the
+    * perturbation the near-dup fingerprint must survive). Pure
+    * `% * +` arithmetic, so the SAME string parses in Spark AND DuckDB —
+    * one constant, zero drift. Range ±2003, well inside 16-bit PCM.
+    */
+  private def audioSampleD(d: String, t: String, v: String): String =
+    s"((($d) % 997 + 1) * ($t) * ($t) + (13 + ($d) % 89) * ($t) + ($d)) % 4001 - 2000 + " +
+      s"(CASE WHEN ($v) AND ($t) % 97 = 0 THEN 3 ELSE 0 END)"
+
+  /** Samples per fingerprint clip: a multiple of the 33 fingerprint
+    * frames so the oracle's frame sums use a plain stride (uneven
+    * lengths are spec-covered against the Scala reference).
+    */
+  private def audioFpLenD(d: String): String = s"(330 + (($d) % 5) * 33)"
+
+  /** REAL mono 16-bit PCM WAV payloads whose samples follow
+    * [[audioSampleD]] — the fingerprint substrate (audioMedia's zero-fill
+    * payloads carry header metadata only). Every 10th doc also yields a
+    * perturbed variant at media_id + 1e6, the near-dup planted pair. The
+    * Spark side assembles REAL bytes and parses them back; the oracle
+    * computes the fingerprint from the closed form WITHOUT bytes — a
+    * parse or framing bug surfaces as a hash mismatch.
+    */
+  private def audioFpMedia(s: SparkSession, dir: String): DataFrame = {
+    def le16(e: String) =
+      s"concat(lpad(hex(($e) % 256), 2, '0'), lpad(hex(($e) DIV 256), 2, '0'))"
+    def le32(e: String) =
+      s"concat(${le16(s"($e) % 65536")}, ${le16(s"($e) DIV 65536")})"
+    def wavHex(v: String) = {
+      val n = audioFpLenD("doc_id")
+      val samp = audioSampleD("doc_id", "t", v)
+      val dataSize = s"($n * 2)"
+      s"""concat('52494646', ${le32(s"36 + $dataSize")}, '57415645',
+         |  '666d7420', ${le32("16")}, ${le16("1")}, ${le16("1")}, ${le32("8000")},
+         |  ${le32("16000")}, ${le16("2")}, ${le16("16")},
+         |  '64617461', ${le32(dataSize)},
+         |  array_join(transform(sequence(0, $n - 1),
+         |    t -> ${le16(s"(($samp) + 65536) % 65536")}), ''))"""
+        .stripMargin.replace("\n", " ")
+    }
+    val docs = Tables.documents(s, dir)
+    docs.select(col("doc_id").as("media_id"), unhex(expr(wavHex("false"))).as("payload"))
+      .unionByName(docs.where(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 1000000L).as("media_id"),
+          unhex(expr(wavHex("true"))).as("payload")))
+  }
+
+  /** DuckDB CTEs computing [[audioSampleD]]'s fingerprint closed-form
+    * over the same (base + variant) media universe: `afg` (media_id, d,
+    * v) → `afe` frame energies → `aff` (media_id, fp).
+    */
+  private def audioFpSqlD: String = {
+    val m = "(10 + g.d % 5)" // frame stride = n / 33
+    val samp = audioSampleD("g.d", s"(f * $m + j)", "g.v")
+    s"afg AS (SELECT doc_id AS media_id, doc_id AS d, false AS v FROM documents " +
+      "UNION ALL SELECT doc_id + 1000000, doc_id, true FROM documents WHERE doc_id % 10 = 0), " +
+      s"afe AS (SELECT media_id, g.d, list_transform(range(33), f -> " +
+      s"list_sum(list_transform(range($m), j -> abs($samp)))) AS e FROM afg g), " +
+      "aff AS (SELECT media_id, d, CAST(list_sum(list_transform(range(32), k -> " +
+      "CASE WHEN e[k + 1] > e[k + 2] THEN (1::BIGINT << k) ELSE 0 END)) AS BIGINT) AS fp FROM afe)"
+  }
+
   /** REAL MP4 box trees (ftyp + moov[mvhd + trak[tkhd]]) with
     * doc_id-derived parameters: timescale = 1000*(doc_id%4+1), duration
     * = doc_id%9000+1000 (movie units), dims = (doc_id%640+32,
@@ -1353,6 +1416,20 @@ object PipelineQueries {
     // header decode; oracle is the closed form the parser must recover
     "ext_audio_meta" -> ((s, dir) => {
       Multimodal.audioMeta(audioMedia(s, dir)).orderBy("media_id")
+    }),
+
+    // perceptual audio fingerprints (energy-delta signs, Haitsma-Kalker
+    // family): real WAV bytes assembled, parsed back, fingerprinted —
+    // the oracle recomputes from the closed form without bytes
+    "ext_audio_fp" -> ((s, dir) => {
+      AudioFingerprint.audioFingerprint(audioFpMedia(s, dir)).orderBy("media_id")
+    }),
+
+    // audio near-dup pairs via banded Hamming over the fingerprints —
+    // the planted perturbed variants must pair with their originals
+    "ext_audio_neardup" -> ((s, dir) => {
+      val fps = AudioFingerprint.audioFingerprint(audioFpMedia(s, dir))
+      AudioFingerprint.audioNearDups(fps).orderBy("id1", "id2")
     }),
 
     // real MP4 box walk: mvhd timescale/duration + first video track's
@@ -2859,6 +2936,24 @@ object PipelineQueries {
         |  CAST(doc_id % 1000 + 100 AS BIGINT) AS n_samples,
         |  CAST((doc_id % 1000 + 100) * 1000 // (8000 * (doc_id % 3 + 1)) AS BIGINT) AS duration_ms
         |FROM documents ORDER BY media_id""".stripMargin,
+
+    // fingerprint table: the oracle never touches bytes — frame energies
+    // and delta signs from the shared closed form
+    "ext_audio_fp" ->
+      s"""WITH $audioFpSqlD
+         |SELECT media_id, CAST(8000 AS BIGINT) AS sample_rate,
+         |  CAST(${audioFpLenD("d")} AS BIGINT) AS n_samples, fp
+         |FROM aff ORDER BY media_id""".stripMargin,
+
+    // near-dup pairs: all-pairs Hamming cut at 3 (banding on the Spark
+    // side is pigeonhole-complete at this radius, so the sets agree)
+    "ext_audio_neardup" ->
+      s"""WITH $audioFpSqlD
+         |SELECT x.media_id AS id1, y.media_id AS id2,
+         |  CAST(bit_count(xor(x.fp, y.fp)) AS BIGINT) AS dist
+         |FROM aff x JOIN aff y ON x.media_id < y.media_id
+         |WHERE bit_count(xor(x.fp, y.fp)) <= 3
+         |ORDER BY id1, id2""".stripMargin,
 
     // perceptual hashes: the oracle recomputes the block-mean grids and
     // bit fields from the SAME pixel closed form the Spark fixture

@@ -415,6 +415,13 @@ class PlanAssertionsSpec extends SparkSpec {
       s"no hash exchange may touch the media stream:\n${plan.take(2000)}")
   }
 
+  test("ext_audio_fp: fingerprinting is scan-side — payload bytes never shuffle") {
+    val plan = planOf("ext_audio_fp")
+    assert(!plan.contains("Join"), s"fingerprint extraction must not join:\n${plan.take(2000)}")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"no hash exchange may touch the media stream:\n${plan.take(2000)}")
+  }
+
   test("ext_link_graph: scan-side extraction + ONE partial-aggregated exchange, no join") {
     val plan = planOf("ext_link_graph")
     assert(!plan.contains("Join"), s"the edge list must not join:\n${plan.take(2000)}")
