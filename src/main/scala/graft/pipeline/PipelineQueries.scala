@@ -175,12 +175,14 @@ object PipelineQueries {
   }
 
   // the twin synthesizes (url, href) pairs closed-form — no HTML parse —
-  // so extraction bugs show up as mismatches. Operator lines trail (the
-  // interpolation-into-stripMargin rule).
+  // so extraction bugs show up as mismatches. `lad` is the doc-level
+  // (doc_id, url) view; `la` explodes the three hrefs. Operator lines
+  // trail (the interpolation-into-stripMargin rule).
   private def linkAugSql: String =
-    s"la AS (SELECT doc_id, CASE WHEN doc_id % 13 = 0 THEN 'mailto:someone@example.com' " +
-      s"ELSE 'https://' || ${siteHostD("doc_id % 40")} || '/p/' || doc_id END AS url, " +
-      s"unnest([${linkHrefD(0)}, ${linkHrefD(1)}, ${linkHrefD(2)}]) AS href FROM documents), " +
+    s"lad AS (SELECT doc_id, CASE WHEN doc_id % 13 = 0 THEN 'mailto:someone@example.com' " +
+      s"ELSE 'https://' || ${siteHostD("doc_id % 40")} || '/p/' || doc_id END AS url FROM documents), " +
+      s"la AS (SELECT doc_id, url, " +
+      s"unnest([${linkHrefD(0)}, ${linkHrefD(1)}, ${linkHrefD(2)}]) AS href FROM lad), " +
       s"led AS (SELECT ${UrlOps.registrableDomainD("url")} AS src, " +
       s"${UrlOps.registrableDomainD("href")} AS dst FROM la), " +
       "le AS (SELECT src, dst, count(*) AS n_links FROM led " +
@@ -893,6 +895,20 @@ object PipelineQueries {
       LinkGraph.pageRankPpm(edges)
         .withColumnRenamed("node", "domain")
         .orderBy("domain")
+    }),
+
+    // the rank CONSUMED: per-domain cap scaled by the PageRank prior —
+    // high-centrality domains keep more documents, link farms fewer.
+    // The whole chain composed: extract links → domain graph → PageRank
+    // → rank-weighted cap over the same corpus's provenance
+    "ext_rank_cap" -> ((s, dir) => {
+      val la = linkAug(Tables.documents(s, dir))
+      val edges = LinkGraph.linkDomainEdges(
+        LinkGraph.extractLinks(la, keepCols = Seq("url")))
+      val ranks = LinkGraph.pageRankPpm(edges).withColumnRenamed("node", "domain")
+      UrlOps.domainCapByRank(la.select("doc_id", "url"), ranks,
+          baseCap = 10L, maxCap = 40L)
+        .orderBy("doc_id")
     }),
 
     // THE WEB-INGEST CHAIN COMPOSED end-to-end, per-doc disposition
@@ -2192,6 +2208,25 @@ object PipelineQueries {
       s"""WITH $linkAugSql,
          |${LinkGraph.pageRankSqlD("le")}
          |SELECT node AS domain, rank_ppm FROM pr_r5 ORDER BY domain""".stripMargin,
+
+    // rank-weighted cap: the same unrolled recurrence feeding the cap
+    // formula clamp(10 * rank_ppm // 1e6, [1, 40])
+    "ext_rank_cap" ->
+      s"""WITH $linkAugSql,
+         |${LinkGraph.pageRankSqlD("le")},
+         |rcm AS (SELECT doc_id, ${UrlOps.registrableDomainD("url")} AS domain,
+         |          ${UrlOps.drawHashD("doc_id")} AS h FROM lad),
+         |rcr AS (SELECT rcm.doc_id, rcm.domain, rcm.h,
+         |          COALESCE(r.rank_ppm, 150000) AS rp
+         |        FROM rcm LEFT JOIN pr_r5 r ON r.node = rcm.domain),
+         |rcc AS (SELECT *, greatest(1, least(40, (10 * rp) // 1000000)) AS cap FROM rcr),
+         |rcn AS (SELECT doc_id, domain, cap,
+         |          CASE WHEN domain IS NULL THEN 0
+         |               ELSE row_number() OVER (PARTITION BY domain ORDER BY h, doc_id) END AS rnk
+         |        FROM rcc)
+         |SELECT doc_id, domain, CAST(cap AS BIGINT) AS cap, CAST(rnk AS BIGINT) AS rank,
+         |  (domain IS NULL OR rnk <= cap) AS kept
+         |FROM rcn ORDER BY doc_id""".stripMargin,
 
     // the composed web-ingest chain: each stage's CTEs are the same
     // generated pieces its standalone oracle uses, chained on survivors

@@ -292,6 +292,62 @@ object UrlOps {
       .select(col(idCol), col("domain"))
   }
 
+  /** RANK-WEIGHTED domain cap — [[domainCap]] with the per-domain budget
+    * scaled by a centrality prior instead of one flat number: high-rank
+    * domains (in the [[LinkGraph.pageRankPpm]] sense, or any (domain,
+    * rank_ppm) quality table) keep proportionally more documents, spammy
+    * long-tail domains proportionally fewer. This is how crawl pipelines
+    * actually consume a link-graph rank (Common Crawl publishes
+    * per-domain centrality precisely so downstream corpus builds can
+    * weight by it).
+    *
+    * cap(domain) = clamp(baseCap * rank_ppm DIV 1e6, [1, maxCap]);
+    * domains absent from `ranks` default to `defaultRankPpm` (use the
+    * PageRank base, 1e6 - damping — the rank an unlinked node would
+    * have). Selection within a domain is the same deterministic
+    * content-blind draw as [[domainCap]]; NULL-domain rows are all kept
+    * with rank 0 under unique synthetic keys (no straggler partition).
+    * Output: (idCol, domain, cap, rank, kept).
+    *
+    * Scale shape: one left join of the corpus's fixed-width (id, domain,
+    * hash) projection against the domain-level rank table (rank tables
+    * are ~1e8 rows at web scale — keyed shuffle join territory, AQE's
+    * call) plus the same single window as [[domainCap]].
+    */
+  def domainCapByRank(
+      docs: DataFrame,
+      ranks: DataFrame,
+      baseCap: Long,
+      maxCap: Long,
+      defaultRankPpm: Long = 150000L,
+      idCol: String = "doc_id",
+      urlCol: String = "url"): DataFrame = {
+    require(baseCap >= 1, s"domainCapByRank: baseCap must be positive, got $baseCap")
+    require(maxCap >= 1, s"domainCapByRank: maxCap must be positive, got $maxCap")
+    val missing = Seq("domain", "rank_ppm").filterNot(ranks.columns.contains)
+    require(missing.isEmpty,
+      s"domainCapByRank: ranks must carry (domain, rank_ppm); missing ${missing.mkString(", ")}")
+    val reserved = Seq("domain", "cap", "rank", "kept", "__h", "__pk", "__rp")
+      .filter(docs.columns.contains)
+    require(reserved.isEmpty,
+      s"domainCapByRank: docs columns collide with output/internal names " +
+        s"(rename them): ${reserved.mkString(", ")}")
+    val w = Window.partitionBy("__pk").orderBy(col("__h"), col(idCol))
+    docs
+      .withColumn("domain", registrableDomain(col(urlCol)))
+      .withColumn("__h", expr(drawHash(idCol)))
+      .withColumn("__pk", nullPk(col("domain"), idCol))
+      .join(ranks.select(col("domain"), col("rank_ppm").as("__rp")), Seq("domain"), "left")
+      .withColumn("cap",
+        greatest(lit(1L), least(lit(maxCap),
+          expr(s"($baseCap * coalesce(__rp, ${defaultRankPpm}L)) DIV 1000000L"))))
+      .withColumn("rank",
+        when(col("domain").isNull, lit(0L))
+          .otherwise(row_number().over(w).cast("long")))
+      .select(col(idCol), col("domain"), col("cap"), col("rank"),
+        (col("domain").isNull || col("rank") <= col("cap")).as("kept"))
+  }
+
   /** Per-domain composition report — the data card: document count,
     * character mass, and corpus share in ppm (by characters, the proxy
     * for token mass that needs no tokenizer pass). NULL-domain rows

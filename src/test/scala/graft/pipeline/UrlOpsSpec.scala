@@ -249,6 +249,38 @@ class UrlOpsSpec extends SparkSpec {
     }
   }
 
+  test("domainCapByRank: centrality scales the budget; unranked defaults; clamps; NULL kept") {
+    // 5 docs on hot.com (rank 3e6 → cap 30, clamped to maxCap 4),
+    // 5 on cold.com (rank 100000 → cap 1), 3 on unranked.org (default
+    // 150000 → cap 1), 1 unparseable (kept, rank 0)
+    val docs = (1L to 5L).map(i => (i, s"https://hot.com/$i")) ++
+      (11L to 15L).map(i => (i, s"https://cold.com/$i")) ++
+      (21L to 23L).map(i => (i, s"https://unranked.org/$i")) :+ (30L, "oops")
+    val ranks = Seq(("hot.com", 3000000L), ("cold.com", 100000L)).toDF("domain", "rank_ppm")
+    val got = UrlOps.domainCapByRank(docs.toDF("doc_id", "url"), ranks,
+        baseCap = 2L, maxCap = 4L)
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)), r.getLong(2), r.getBoolean(4)))
+    val byDomain = got.groupBy(_._2)
+    // hot: 2 * 3e6 DIV 1e6 = 6, clamped to 4 → 4 of 5 kept
+    assert(byDomain(Some("hot.com")).forall(_._3 == 4L))
+    assert(byDomain(Some("hot.com")).count(_._4) == 4)
+    // cold: 2 * 100000 DIV 1e6 = 0, clamped up to 1 → 1 of 5 kept
+    assert(byDomain(Some("cold.com")).forall(_._3 == 1L))
+    assert(byDomain(Some("cold.com")).count(_._4) == 1)
+    // unranked: default 150000 → 2 * 150000 DIV 1e6 = 0 → clamp 1
+    assert(byDomain(Some("unranked.org")).forall(_._3 == 1L))
+    assert(byDomain(Some("unranked.org")).count(_._4) == 1)
+    // unparseable provenance: kept, never capped
+    assert(byDomain(None).forall(_._4))
+    // the kept subset must agree with domainCap's draw on an equal cap:
+    // same hash order, so cold.com's single keeper matches cap=1's keeper
+    val flat = UrlOps.domainCap(
+        (11L to 15L).map(i => (i, s"https://cold.com/$i")).toDF("doc_id", "url"), cap = 1L)
+      .collect().map(r => (r.getLong(0), r.getBoolean(3))).filter(_._2).map(_._1).toSet
+    val ranked = got.filter(r => r._2 == Some("cold.com") && r._4).map(_._1).toSet
+    assert(ranked == flat)
+  }
+
   test("domainStats: shares sum to ~1e6 and the NULL row stays visible") {
     val docs = Seq(
       (1L, "https://a.com/x", "aaaa"),
