@@ -911,6 +911,25 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // domain-level opt-out (robots/licensing/DSR) propagated through the
+    // packed layout: registrable-domain match (covers subdomains; a
+    // private-suffix site opts out only itself) → purged doc ids → the
+    // dirty chunks + per-shard rebuild points. A never-seen domain in
+    // the registry is a visible no-op.
+    "ext_optout_purge" -> ((s, dir) => {
+      import s.implicits._
+      import graft.pipeline.TextOps.toksS
+      val ua = urlAug(Tables.documents(s, dir))
+      val registry = Seq("example.co.uk", "src111.github.io", "nonexistent.org")
+        .toDF("domain")
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), expr(s"size(${toksS("text")})").cast("long").as("n_tokens"))
+      Packing.purgePropagate(docs,
+          UrlOps.domainOptOut(ua, registry).select("doc_id"),
+          ctxTokens = 512L, nShards = 8)
+        .orderBy("shard", "chunk_id")
+    }),
+
     // THE WEB-INGEST CHAIN COMPOSED end-to-end, per-doc disposition
     // table: raw markup + provenance in, one keeper set out.
     //   extract (markup → text)
@@ -2208,6 +2227,34 @@ object PipelineQueries {
       s"""WITH $linkAugSql,
          |${LinkGraph.pageRankSqlD("le")}
          |SELECT node AS domain, rank_ppm FROM pr_r5 ORDER BY domain""".stripMargin,
+
+    // opt-out purge: provenance resolution (registrable-domain IN the
+    // registry) feeding the same packed-layout propagation CTEs as
+    // ext_purge_propagate
+    "ext_optout_purge" ->
+      s"""WITH $urlAugSql,
+         |oo AS (SELECT doc_id FROM ua
+         |       WHERE ${UrlOps.registrableDomainD("url")} IN
+         |         ('example.co.uk', 'src111.github.io', 'nonexistent.org')),
+         |d AS (SELECT doc_id, CAST(len(${toksD("text")}) AS BIGINT) AS n_tokens FROM documents),
+         |h AS (SELECT doc_id, n_tokens,
+         |        abs(doc_id * 2654435761 + 40503) % 1000000 AS hval FROM d),
+         |s AS (SELECT doc_id, n_tokens, hval, hval % 8 AS shard FROM h),
+         |c AS (SELECT doc_id, shard, n_tokens,
+         |        CAST(COALESCE(sum(n_tokens) OVER (PARTITION BY shard ORDER BY hval, doc_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_tok
+         |      FROM s),
+         |e AS (SELECT c.doc_id, shard, start_tok, n_tokens,
+         |        unnest(generate_series(start_tok // 512, (start_tok + n_tokens - 1) // 512)) AS chunk_id
+         |      FROM c JOIN oo ON oo.doc_id = c.doc_id WHERE n_tokens > 0),
+         |pc AS (SELECT CAST(shard AS BIGINT) AS shard, CAST(chunk_id AS BIGINT) AS chunk_id,
+         |        CAST(count(*) AS BIGINT) AS n_purged,
+         |        CAST(sum(least(start_tok + n_tokens, (chunk_id + 1) * 512)
+         |             - greatest(start_tok, chunk_id * 512)) AS BIGINT) AS purged_tokens
+         |       FROM e GROUP BY 1, 2),
+         |f AS (SELECT shard, min(chunk_id) AS rebuild_from FROM pc GROUP BY 1)
+         |SELECT pc.shard, pc.chunk_id, pc.n_purged, pc.purged_tokens, f.rebuild_from
+         |FROM pc JOIN f ON pc.shard = f.shard ORDER BY pc.shard, pc.chunk_id""".stripMargin,
 
     // rank-weighted cap: the same unrolled recurrence feeding the cap
     // formula clamp(10 * rank_ppm // 1e6, [1, 40])

@@ -348,6 +348,36 @@ object UrlOps {
         (col("domain").isNull || col("rank") <= col("cap")).as("kept"))
   }
 
+  /** DOMAIN OPT-OUT resolution — the provenance half of
+    * right-to-be-forgotten: given an opt-out registry (one `domain` per
+    * row — robots policies, licensing takedowns, data-subject
+    * requests), return the (idCol, domain) of every document whose
+    * provenance falls under an opted-out domain. Matching is on the
+    * REGISTRABLE domain, so opting out `example.com` covers
+    * `www.example.com` and every other subdomain — the semantics
+    * registries actually intend — while `alice.github.io` (a private-
+    * suffix site) opts out only that user's site, not the platform.
+    * Feed the output into [[Packing.purgePropagate]] to find the packed
+    * chunks that must rebuild, or anti-join it to excise pre-packing.
+    *
+    * Scale shape: one scan-side domain projection + one semi-join
+    * against the registry. Registries range from config-sized to
+    * millions of rows (a national DSR registry), so the join strategy
+    * is AQE's call — broadcast when small, keyed shuffle when not.
+    */
+  def domainOptOut(
+      docs: DataFrame,
+      optOut: DataFrame,
+      idCol: String = "doc_id",
+      urlCol: String = "url"): DataFrame = {
+    require(optOut.columns.contains("domain"),
+      s"domainOptOut: optOut must carry 'domain', got ${optOut.columns.mkString(", ")}")
+    docs
+      .select(col(idCol), registrableDomain(col(urlCol)).as("domain"))
+      .join(optOut.select("domain").distinct(), Seq("domain"), "left_semi")
+      .select(col(idCol), col("domain"))
+  }
+
   /** Per-domain composition report — the data card: document count,
     * character mass, and corpus share in ppm (by characters, the proxy
     * for token mass that needs no tokenizer pass). NULL-domain rows

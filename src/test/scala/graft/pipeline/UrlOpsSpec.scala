@@ -281,6 +281,27 @@ class UrlOpsSpec extends SparkSpec {
     assert(ranked == flat)
   }
 
+  test("domainOptOut: registrable-domain match covers subdomains, isolates private-suffix sites") {
+    val docs = Seq(
+      (1L, "https://example.com/a"),
+      (2L, "https://www.example.com/b"),       // subdomain: covered
+      (3L, "https://deep.sub.example.com/c"),  // deeper subdomain: covered
+      (4L, "https://example.org/d"),           // different domain: not covered
+      (5L, "https://alice.github.io/e"),       // opted-out user site
+      (6L, "https://bob.github.io/f"),         // DIFFERENT user site: not covered
+      (7L, "not a url")                        // no provenance: never matched
+    ).toDF("doc_id", "url")
+    val registry = Seq("example.com", "alice.github.io", "never-seen.org").toDF("domain")
+    val got = UrlOps.domainOptOut(docs, registry)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set(
+      (1L, "example.com"), (2L, "example.com"), (3L, "example.com"),
+      (5L, "alice.github.io")))
+    val e = intercept[IllegalArgumentException](
+      UrlOps.domainOptOut(docs, Seq(Tuple1("x")).toDF("notdomain")))
+    assert(e.getMessage.contains("domain"))
+  }
+
   test("domainStats: shares sum to ~1e6 and the NULL row stays visible") {
     val docs = Seq(
       (1L, "https://a.com/x", "aaaa"),
