@@ -298,4 +298,56 @@ object ImageHash {
       .where(col("dist") <= maxDist)
       .distinct()
   }
+
+  /** VIDEO near-dup by sampled-frame-set matching: two videos are
+    * near-dups when at least `minFramesHit` of the first video's sampled
+    * frames each perceptually match SOME frame of the second (Hamming <=
+    * maxDist on the frame dHash) — alignment-free, so trims, re-orders
+    * and re-edits that keep most scenes still pair. This is the standard
+    * composition for video dedup: decode (behind the
+    * [[Multimodal.MediaDecoder]] seam) samples frames, [[imagePhash]]
+    * fingerprints them, and this operator lifts frame matches to video
+    * pairs. Input is the frame fingerprint table (videoCol, frameCol,
+    * hashCol).
+    *
+    * Same 4×16-bit banding as [[imageNearDups]] (full recall to distance
+    * 3, enforced); matched frame pairs are distinct-ed before the rollup
+    * so multi-band agreement never double-counts. Output one row per
+    * video pair: (id1, id2, frames_hit = distinct id1-frames with a
+    * match, min_dist), id1 < id2, frames_hit >= minFramesHit.
+    *
+    * Scale shape: frames-per-video is a small sampling constant, so the
+    * banded join is the image pair join at (frames × corpus) scale; the
+    * rollup is one aggregation keyed by the video pair — only matched
+    * pairs reach it.
+    */
+  def frameSetNearDups(
+      frames: DataFrame,
+      minFramesHit: Int = 2,
+      maxDist: Int = 3,
+      videoCol: String = "video_id",
+      frameCol: String = "frame_no",
+      hashCol: String = "dhash"): DataFrame = {
+    require(minFramesHit >= 1, s"frameSetNearDups: minFramesHit must be >= 1, got $minFramesHit")
+    require(maxDist >= 0 && maxDist <= 3,
+      s"frameSetNearDups: 4×16-bit banding guarantees recall only to distance 3, got $maxDist")
+    val sub = frames
+      .select(col(videoCol).as("__vid"), col(frameCol).as("__f"),
+        col(hashCol).cast("long").as("__h"))
+      .withColumn("__band", explode(expr(
+        "transform(sequence(0, 3), b -> struct(b as b, shiftright(__h, b * 16) & 65535 as v))")))
+      .select(col("__vid"), col("__f"), col("__h"),
+        col("__band.b").as("__b"), col("__band.v").as("__v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    sub.as("x").join(sub.as("y"), Seq("__b", "__v"))
+      .where(col("x.__vid") < col("y.__vid"))
+      .select(col("x.__vid").as("id1"), col("y.__vid").as("id2"),
+        col("x.__f").as("__f1"), col("y.__f").as("__f2"),
+        expr("cast(bit_count(x.__h ^ y.__h) as bigint)").as("dist"))
+      .where(col("dist") <= maxDist)
+      .distinct() // collapse multi-band agreement per frame pair
+      .groupBy("id1", "id2")
+      .agg(countDistinct(col("__f1")).as("frames_hit"), min(col("dist")).as("min_dist"))
+      .where(col("frames_hit") >= minFramesHit)
+  }
 }

@@ -449,14 +449,11 @@ object PipelineQueries {
     * perturbed copy (id + 1e6 — same parity, so same container format)
     * whose pixels differ only inside dHash block (0,0).
     */
-  private def rasterMedia(s: SparkSession, dir: String, withVariants: Boolean): DataFrame = {
-    val docs = Tables.documents(s, dir)
-    val base = docs.select(col("doc_id").as("media_id"),
-      col("doc_id").as("__d"), lit(false).as("__v"))
-    val ids = if (!withVariants) base else base.unionByName(
-      docs.filter(col("doc_id") % 10 === 0)
-        .select((col("doc_id") + 1000000L).as("media_id"),
-          col("doc_id").as("__d"), lit(true).as("__v")))
+  /** Assemble raster payloads for an id frame carrying (media_id, __d
+    * seed, __v pixel-perturbation flag): even ids get 24-bit BMPs, odd
+    * ids binary PGMs, pixels from [[rasterPx]].
+    */
+  private def rasterPayload(ids: DataFrame): DataFrame = {
     val px = rasterPx("spark") _
     val pgmBody = s"array_join(transform(sequence(0, ${imgW * imgH - 1}), i -> " +
       s"lpad(hex(${px("__d", s"i % $imgW", s"i DIV $imgW", "__v")}), 2, '0')), '')"
@@ -468,6 +465,45 @@ object PipelineQueries {
     ids.select(col("media_id"),
       when(col("media_id") % 2 === 0, unhex(concat(lit(bmpHdrHex), expr(bmpBody))))
         .otherwise(unhex(concat(lit(pgmHdrHex), expr(pgmBody)))).as("payload"))
+  }
+
+  private def rasterMedia(s: SparkSession, dir: String, withVariants: Boolean): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val base = docs.select(col("doc_id").as("media_id"),
+      col("doc_id").as("__d"), lit(false).as("__v"))
+    val ids = if (!withVariants) base else base.unionByName(
+      docs.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 1000000L).as("media_id"),
+          col("doc_id").as("__d"), lit(true).as("__v")))
+    rasterPayload(ids)
+  }
+
+  /** Sampled-FRAME rasters for the video near-dup fixture: every doc is
+    * a "video" of 4 sampled frames (media_id = video_id*10 + frame_no),
+    * each frame an independent raster seeded `d*31 + f*7` (injective for
+    * f < 4). Every 10th video yields a variant at video_id + 1e6 that
+    * COPIES frames 0..2 byte-for-byte (same seeds) and swaps frame 3 —
+    * the "same clip, one re-edited scene" shape frame-set matching must
+    * catch. Seeds, not pixel perturbation, model the edit (__v stays
+    * false), so the DuckDB twin reuses the raster cell closed form with
+    * the seed expression swapped in.
+    */
+  private def videoFrameMedia(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val vids = docs.select(col("doc_id").as("__vid"), col("doc_id").as("__src"),
+        lit(false).as("__var"))
+      .unionByName(docs.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 1000000L).as("__vid"), col("doc_id").as("__src"),
+          lit(true).as("__var")))
+    val frames = vids
+      .select(col("__vid"), col("__src"), col("__var"),
+        explode(expr("sequence(0, 3)")).as("__f"))
+      .select(
+        (col("__vid") * 10 + col("__f")).as("media_id"),
+        (col("__src") * 31 + col("__f") * 7 +
+          when(col("__var") && col("__f") === 3, lit(999983L)).otherwise(lit(0L))).as("__d"),
+        lit(false).as("__v"))
+    rasterPayload(frames)
   }
 
   /** DuckDB closed forms for the two block-mean grids of the fixture
@@ -909,6 +945,16 @@ object PipelineQueries {
       UrlOps.domainCapByRank(la.select("doc_id", "url"), ranks,
           baseCap = 10L, maxCap = 40L)
         .orderBy("doc_id")
+    }),
+
+    // video near-dup by sampled-frame-set matching: frame rasters →
+    // per-frame dHash → banded frame matches lifted to video pairs
+    // (alignment-free — the planted variants share 3 of 4 frames)
+    "ext_video_neardup" -> ((s, dir) => {
+      val ph = ImageHash.imagePhash(videoFrameMedia(s, dir))
+      val tbl = ph.select(expr("media_id DIV 10").as("video_id"),
+        expr("media_id % 10").as("frame_no"), col("dhash"))
+      ImageHash.frameSetNearDups(tbl).orderBy("id1", "id2")
     }),
 
     // domain-level opt-out (robots/licensing/DSR) propagated through the
@@ -2227,6 +2273,31 @@ object PipelineQueries {
       s"""WITH $linkAugSql,
          |${LinkGraph.pageRankSqlD("le")}
          |SELECT node AS domain, rank_ppm FROM pr_r5 ORDER BY domain""".stripMargin,
+
+    // video frame-set near-dup: per-frame dHash from the raster cell
+    // closed form with the FRAME SEED swapped in for doc_id, then the
+    // frame→video rollup (distinct matched id1-frames, min distance)
+    "ext_video_neardup" -> {
+      val seed = "(g.d * 31 + g.f * 7 + CASE WHEN g.video_id >= 1000000 AND g.f = 3 " +
+        "THEN 999983 ELSE 0 END)"
+      val (_, dcells) = rasterCellsD(seed, "false")
+      s"""WITH vfg AS (SELECT doc_id AS video_id, doc_id AS d,
+         |        unnest([0, 1, 2, 3]) AS f FROM documents
+         |      UNION ALL
+         |      SELECT doc_id + 1000000, doc_id, unnest([0, 1, 2, 3])
+         |      FROM documents WHERE doc_id % 10 = 0),
+         |vfc AS (SELECT video_id, f, $dcells AS dcells FROM vfg g),
+         |vfb AS (SELECT video_id, f, ${dhashHalfD(lowHalf = true)} AS dlo,
+         |        ${dhashHalfD(lowHalf = false)} AS dhi FROM vfc),
+         |vm AS (SELECT x.video_id AS id1, y.video_id AS id2, x.f AS f1,
+         |        bit_count(xor(x.dlo, y.dlo)) + bit_count(xor(x.dhi, y.dhi)) AS dist
+         |       FROM vfb x JOIN vfb y ON x.video_id < y.video_id
+         |       WHERE bit_count(xor(x.dlo, y.dlo)) + bit_count(xor(x.dhi, y.dhi)) <= 3)
+         |SELECT id1, id2, CAST(count(DISTINCT f1) AS BIGINT) AS frames_hit,
+         |  CAST(min(dist) AS BIGINT) AS min_dist
+         |FROM vm GROUP BY 1, 2 HAVING count(DISTINCT f1) >= 2
+         |ORDER BY id1, id2""".stripMargin
+    },
 
     // opt-out purge: provenance resolution (registrable-domain IN the
     // registry) feeding the same packed-layout propagation CTEs as

@@ -144,4 +144,31 @@ class ImageHashSpec extends SparkSpec {
       ImageHash.phashStoreMatches(probe, Seq((1L, 1L)).toDF("store_id", "dhash")))
     assert(e2.getMessage.contains("cluster_id"))
   }
+
+  test("frameSetNearDups: frame matches lift to video pairs; thresholds and rollups exact") {
+    // video 1: frames with hashes A B C D; video 2 shares A B C (one
+    // near, two exact); video 3 shares only D; video 4 shares nothing
+    val A = 0x1111L; val B = 0x2222L; val C = 0x4444L; val D = 0x8888L
+    val frames = Seq(
+      (1L, 0L, A), (1L, 1L, B), (1L, 2L, C), (1L, 3L, D),
+      (2L, 0L, A ^ 1L), (2L, 1L, B), (2L, 2L, C), (2L, 3L, 0xF0F0L),
+      (3L, 0L, D), (3L, 1L, 0x0F0FL), (3L, 2L, 0x3C3CL), (3L, 3L, 0xC3C3L),
+      (4L, 0L, 0xAAAAL << 16), (4L, 1L, 0x5555L << 16), (4L, 2L, 0x9999L << 16),
+      (4L, 3L, 0x6666L << 16)
+    ).toDF("video_id", "frame_no", "dhash")
+    val got = ImageHash.frameSetNearDups(frames, minFramesHit = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    // (1,2): frames 0 (dist 1), 1 and 2 (dist 0) → hit 3, min 0;
+    // (1,3): only one frame matches → below minFramesHit, excluded
+    assert(got == Set((1L, 2L, 3L, 0L)))
+    // at minFramesHit = 1 the single-frame pair surfaces
+    val loose = ImageHash.frameSetNearDups(frames, minFramesHit = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(loose.contains((1L, 3L, 1L, 0L)) && loose.contains((1L, 2L, 3L, 0L)))
+    // a frame pair agreeing on MULTIPLE bands (identical hashes agree on
+    // all 4) still counts once — frames_hit is distinct frames
+    assert(loose.filter(p => p._1 == 1L && p._2 == 2L).head._3 == 3L)
+    intercept[IllegalArgumentException](ImageHash.frameSetNearDups(frames, minFramesHit = 0))
+    intercept[IllegalArgumentException](ImageHash.frameSetNearDups(frames, maxDist = 4))
+  }
 }
