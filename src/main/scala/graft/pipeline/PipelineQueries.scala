@@ -163,6 +163,47 @@ object PipelineQueries {
         lit("""">c</a></li></ul></body></html>""")).as("html"))
   }
 
+  /** documents with provenance URLs shaped for robots-rule classes: site
+    * d%40 (the [[siteHost]] universe), path arm d%4 — under an allowed
+    * sub-prefix, under a disallowed prefix, unrelated, and root — plus
+    * the unparseable-provenance arm (d%13). The robots TABLE
+    * ([[robotsTable]]) carries the per-site policy whose `*`-group rules
+    * the oracle emits closed-form WITHOUT parsing — so the parser and
+    * the decision join are both under test on the Spark side only.
+    */
+  private def robotsAug(docs: DataFrame): DataFrame = {
+    val d = col("doc_id")
+    docs.select(d,
+      when(d % 13 === 0, lit("mailto:someone@example.com"))
+        .otherwise(concat(lit("https://"), siteHost(d % 40),
+          when(d % 4 === 0, concat(lit("/private/pub/"), d))
+            .when(d % 4 === 1, concat(lit("/private/"), d))
+            .when(d % 4 === 2, concat(lit("/p/"), d))
+            .otherwise(lit("")))).as("url"))
+  }
+
+  /** Per-site robots.txt bodies, adversarial on purpose: a badbot group
+    * that must be ignored, CRLF on even sites, comments, mixed-case
+    * field names, an unknown field inside a group, and an empty
+    * `Disallow:` (= allow-all, no rule). Site arm i%3: 0 =
+    * disallow-with-allow-exception, 1 = disallow-all, 2 = no effective
+    * rules.
+    */
+  private def robotsTable(s: SparkSession): DataFrame = {
+    val i = col("id")
+    s.range(40).select(
+      when(i % 11 === 0, concat(lit("site"), i, lit(".co.uk")))
+        .when(i % 7 === 0, concat(lit("site"), i, lit(".github.io")))
+        .otherwise(concat(lit("site"), i, lit(".com"))).as("domain"),
+      concat(
+        when(i % 2 === 0, lit("# site robots\r\n")).otherwise(lit("# site robots\n")),
+        lit("User-Agent: badbot\nDisallow: /\n\n"),
+        when(i % 3 === 0,
+          lit("User-agent: *\nDisallow: /private # keep out\nAllow: /private/pub\nCrawl-delay: 5\n"))
+          .when(i % 3 === 1, lit("user-agent: *\ndisallow: /\n"))
+          .otherwise(lit("User-agent: *\nDisallow:\n"))).as("robots_txt"))
+  }
+
   private def siteHostD(i: String): String =
     s"(CASE WHEN ($i) % 11 = 0 THEN 'www.site' || ($i) || '.co.uk' " +
       s"WHEN ($i) % 7 = 0 THEN 'site' || ($i) || '.github.io' " +
@@ -944,6 +985,15 @@ object PipelineQueries {
       val ranks = LinkGraph.pageRankPpm(edges).withColumnRenamed("node", "domain")
       UrlOps.domainCapByRank(la.select("doc_id", "url"), ranks,
           baseCap = 10L, maxCap = 40L)
+        .orderBy("doc_id")
+    }),
+
+    // robots.txt policy resolution: parse per-domain robots bodies
+    // (badbot groups ignored, comments/CRLF/case/unknown-field arms),
+    // then the longest-prefix / allow-wins-ties decision per document
+    "ext_robots_filter" -> ((s, dir) => {
+      val rules = Robots.robotsRules(robotsTable(s))
+      Robots.robotsAllowed(robotsAug(Tables.documents(s, dir)), rules)
         .orderBy("doc_id")
     }),
 
@@ -2273,6 +2323,41 @@ object PipelineQueries {
       s"""WITH $linkAugSql,
          |${LinkGraph.pageRankSqlD("le")}
          |SELECT node AS domain, rank_ppm FROM pr_r5 ORDER BY domain""".stripMargin,
+
+    // robots filter: the oracle emits each site's *-group rules DIRECTLY
+    // from the fixture's closed form (no parsing) and replays the
+    // longest-prefix/allow-wins decision as the len*2+allow integer max —
+    // a parser or join bug on the Spark side is a hash mismatch
+    "ext_robots_filter" -> {
+      val domD = "(CASE WHEN (i) % 11 = 0 THEN 'site' || (i) || '.co.uk' " +
+        "WHEN (i) % 7 = 0 THEN 'site' || (i) || '.github.io' " +
+        "ELSE 'site' || (i) || '.com' END)"
+      s"""WITH rsite AS (SELECT i, $domD AS domain FROM range(40) t(i)),
+         |rrule AS (
+         |  SELECT domain, '/private' AS prefix, false AS allow, 8 AS plen
+         |  FROM rsite WHERE i % 3 = 0
+         |  UNION ALL SELECT domain, '/private/pub', true, 12 FROM rsite WHERE i % 3 = 0
+         |  UNION ALL SELECT domain, '/', false, 1 FROM rsite WHERE i % 3 = 1),
+         |ud AS (SELECT doc_id,
+         |        CASE WHEN doc_id % 13 = 0 THEN NULL
+         |             ELSE (CASE WHEN (doc_id % 40) % 11 = 0 THEN 'site' || (doc_id % 40) || '.co.uk'
+         |                   WHEN (doc_id % 40) % 7 = 0 THEN 'site' || (doc_id % 40) || '.github.io'
+         |                   ELSE 'site' || (doc_id % 40) || '.com' END) END AS domain,
+         |        CASE WHEN doc_id % 13 = 0 THEN NULL
+         |             WHEN doc_id % 4 = 0 THEN '/private/pub/' || doc_id
+         |             WHEN doc_id % 4 = 1 THEN '/private/' || doc_id
+         |             WHEN doc_id % 4 = 2 THEN '/p/' || doc_id
+         |             ELSE '/' END AS path
+         |       FROM documents),
+         |j AS (SELECT doc_id, ud.domain,
+         |        max(CASE WHEN r.prefix IS NOT NULL AND starts_with(ud.path, r.prefix)
+         |            THEN plen * 2 + CASE WHEN r.allow THEN 1 ELSE 0 END
+         |            ELSE -1 END) AS enc
+         |      FROM ud LEFT JOIN rrule r ON r.domain = ud.domain GROUP BY 1, 2)
+         |SELECT doc_id, domain, (enc = -1 OR enc % 2 = 1) AS allowed,
+         |  CAST(CASE WHEN enc = -1 THEN -1 ELSE enc // 2 END AS BIGINT) AS rule_len
+         |FROM j ORDER BY doc_id""".stripMargin
+    },
 
     // video frame-set near-dup: per-frame dHash from the raster cell
     // closed form with the FRAME SEED swapped in for doc_id, then the

@@ -1,0 +1,128 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** robots.txt policy resolution — the crawl-compliance stage of the
+  * web-ingest provenance family: a corpus built from crawled pages must
+  * be able to answer "was this fetch allowed?" per document, both to
+  * filter retroactively (a policy added after the crawl) and to audit.
+  *
+  * Semantics follow the de-facto standard (REP, RFC 9309 / the Google
+  * reference parser's documented behavior) restricted to the portable
+  * core:
+  *
+  *  - group model: one or more consecutive `User-agent:` lines open a
+  *    group; the group's `Allow:`/`Disallow:` rules apply iff one of
+  *    its agents is `*` (per-agent token matching is a config knob left
+  *    out of scope — corpus pipelines crawl as a generic agent);
+  *  - decision: the LONGEST matching path prefix wins; on a tie,
+  *    `Allow` beats `Disallow`; no rule matches → allowed (and an
+  *    absent robots.txt allows everything);
+  *  - an empty `Disallow:` value is "allow all" (no rule), per the
+  *    original REP; `$`/`*` wildcards are extensions, out of scope —
+  *    prefixes are literal (documented, like the markup extractor's
+  *    regex caveat);
+  *  - comments (`#` to end of line), blank lines, CRLF, and
+  *    case-insensitive field names are handled; unknown fields are
+  *    ignored without closing the group (per RFC 9309).
+  *
+  * Scale shape: parsing is a partition-preserving mapPartitions over
+  * the (domain, robots_txt) table — one sequential line walk per
+  * domain, the [[Multimodal]] decode discipline (a line's meaning
+  * depends on the lines before it, so scan-side HOFs don't fit).
+  * Resolution is one keyed join of the corpus's fixed-width (id,
+  * domain, path) projection against the rules table (rules-per-domain
+  * is small; domains are Zipfian — the join is the same shape as the
+  * domain cap's window input) plus one per-document aggregation.
+  */
+object Robots {
+
+  case class RobotsRule(domain: String, prefix: String, allow: Boolean)
+
+  /** Parse one robots.txt body into the `*`-group rules, in file order. */
+  def parseRobots(domain: String, text: String): Seq[RobotsRule] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[RobotsRule]
+    var collectingAgents = false // inside a run of consecutive User-agent lines
+    var applies = false          // current group names agent *
+    text.split("\n", -1).foreach { raw =>
+      val line = {
+        val noCr = if (raw.endsWith("\r")) raw.dropRight(1) else raw
+        val hash = noCr.indexOf('#')
+        (if (hash >= 0) noCr.substring(0, hash) else noCr).trim
+      }
+      val colon = line.indexOf(':')
+      if (line.nonEmpty && colon > 0) {
+        val field = line.substring(0, colon).trim.toLowerCase
+        val value = line.substring(colon + 1).trim
+        field match {
+          case "user-agent" =>
+            if (!collectingAgents) { collectingAgents = true; applies = false }
+            if (value == "*") applies = true
+          case "allow" | "disallow" =>
+            collectingAgents = false
+            // empty Disallow = allow-all (no rule); empty Allow is a
+            // no-op the same way
+            if (applies && value.nonEmpty)
+              out += RobotsRule(domain, value, field == "allow")
+          case _ => () // unknown fields don't close the agent run (RFC 9309)
+        }
+      }
+    }
+    out.toSeq
+  }
+
+  /** (domain, prefix, allow) rules from a (domain, robots_txt) table —
+    * the at-rest policy artifact. Domains whose robots.txt yields no
+    * `*` rules produce no rows (= allow everything downstream).
+    */
+  def robotsRules(
+      robots: DataFrame,
+      domainCol: String = "domain",
+      textCol: String = "robots_txt"): DataFrame = {
+    val spark = robots.sparkSession
+    import spark.implicits._
+    robots.select(col(domainCol), col(textCol)).as[(String, String)]
+      .mapPartitions(_.flatMap { case (d, t) => parseRobots(d, t) })
+      .toDF()
+  }
+
+  /** Per-document robots decision: (idCol, domain, allowed, rule_len).
+    * `rule_len` is the matched rule's prefix length (ties resolved
+    * allow-first), -1 when no rule matched (default allow). NULL-domain
+    * documents (unparseable provenance) and domains absent from `rules`
+    * are allowed with rule_len -1 — visible, not silently dropped.
+    *
+    * The (len, allow) lexicographic max is encoded as `len * 2 + allow`
+    * over matching rules — one integer aggregation, identical on any
+    * engine.
+    */
+  def robotsAllowed(
+      docs: DataFrame,
+      rules: DataFrame,
+      idCol: String = "doc_id",
+      urlCol: String = "url"): DataFrame = {
+    val missing = Seq("domain", "prefix", "allow").filterNot(rules.columns.contains)
+    require(missing.isEmpty,
+      s"robotsAllowed: rules must carry (domain, prefix, allow); missing ${missing.mkString(", ")}")
+    val reserved = Seq("domain", "allowed", "rule_len", "__path", "__enc")
+      .filter(docs.columns.contains)
+    require(reserved.isEmpty,
+      s"robotsAllowed: docs columns collide with output/internal names " +
+        s"(rename them): ${reserved.mkString(", ")}")
+    docs
+      .select(col(idCol),
+        UrlOps.registrableDomain(col(urlCol)).as("domain"),
+        UrlOps.urlPath(col(urlCol)).as("__path"))
+      .join(rules.select(col("domain"), col("prefix"), col("allow")), Seq("domain"), "left")
+      .withColumn("__enc",
+        when(col("prefix").isNotNull && col("__path").startsWith(col("prefix")),
+          length(col("prefix")).cast("long") * 2 + col("allow").cast("long"))
+          .otherwise(lit(-1L)))
+      .groupBy(col(idCol), col("domain"))
+      .agg(max(col("__enc")).as("__enc"))
+      .select(col(idCol), col("domain"),
+        (col("__enc") === -1L || col("__enc") % 2 === 1L).as("allowed"),
+        when(col("__enc") === -1L, lit(-1L)).otherwise(expr("__enc DIV 2")).as("rule_len"))
+  }
+}

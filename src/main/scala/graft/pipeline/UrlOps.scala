@@ -130,6 +130,17 @@ object UrlOps {
   def registrableDomain(url: Column): Column =
     graft.functions.RegistrableDomain.of(url)
 
+  /** Raw path component of an http(s) URL ("/" for an empty path — the
+    * request path a server actually sees; what robots rules match
+    * against). NULL for non-http(s) input.
+    */
+  def urlPath(url: Column): Column = {
+    val scheme = regexp_extract(url, partsRe, 1)
+    val raw = regexp_extract(url, partsRe, 3)
+    when(scheme === "", lit(null).cast("string"))
+      .otherwise(when(raw === "", lit("/")).otherwise(raw))
+  }
+
   /** The pure-Column PSL walk — the differential reference for
     * [[registrableDomain]]'s kernel (see the codegen note there; do not
     * use in hot paths).

@@ -1,0 +1,81 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class RobotsSpec extends SparkSpec {
+  import spark.implicits._
+  import Robots._
+
+  private def rules(text: String): Seq[(String, Boolean)] =
+    parseRobots("d", text).map(r => (r.prefix, r.allow))
+
+  test("parseRobots: group model — only *-groups apply, agent runs share rules") {
+    // a named-agent group first, then a * group
+    assert(rules("User-agent: badbot\nDisallow: /\n\nUser-agent: *\nDisallow: /a\n")
+      == Seq(("/a", false)))
+    // consecutive User-agent lines form ONE group: * anywhere in the run applies
+    assert(rules("User-agent: googlebot\nUser-agent: *\nDisallow: /b\n")
+      == Seq(("/b", false)))
+    // after a rule, a new User-agent line OPENS A NEW group — the old *
+    // does not leak into it
+    assert(rules("User-agent: *\nDisallow: /a\nUser-agent: badbot\nDisallow: /b\n")
+      == Seq(("/a", false)))
+    // no * group at all → no rules
+    assert(rules("User-agent: badbot\nDisallow: /\n").isEmpty)
+  }
+
+  test("parseRobots: comments, CRLF, case-insensitive fields, unknown fields, empty values") {
+    assert(rules("# hello\r\nUSER-AGENT: *\r\nDISALLOW: /x # trailing\r\nallow: /x/y\r\n")
+      == Seq(("/x", false), ("/x/y", true)))
+    // an unknown field inside a group does NOT close the agent run
+    // (RFC 9309) — rules after it still apply
+    assert(rules("User-agent: *\nCrawl-delay: 5\nDisallow: /z\n")
+      == Seq(("/z", false)))
+    // empty Disallow = allow-all (no rule); empty Allow is a no-op
+    assert(rules("User-agent: *\nDisallow:\nAllow:\n").isEmpty)
+    // garbage lines without a colon are ignored
+    assert(rules("User-agent: *\nnot a directive\nDisallow: /q\n")
+      == Seq(("/q", false)))
+  }
+
+  test("robotsAllowed: longest prefix wins, allow beats disallow on ties, default allow") {
+    val docs = Seq(
+      (1L, "https://a.com/private/pub/x"),  // allow (len-12 Allow beats len-8 Disallow)
+      (2L, "https://a.com/private/x"),      // deny (len 8)
+      (3L, "https://a.com/open"),           // no match → allow, -1
+      (4L, "https://a.com/tie"),            // equal-length allow+disallow → allow
+      (5L, "https://b.com/anything"),       // no rules for b.com → allow
+      (6L, "not a url")                     // null domain → allow, visible
+    ).toDF("doc_id", "url")
+    val r = Seq(
+      ("a.com", "/private", false), ("a.com", "/private/pub", true),
+      ("a.com", "/tie", false), ("a.com", "/tie", true)
+    ).toDF("domain", "prefix", "allow")
+    val full = robotsAllowed(docs, r)
+      .collect().map(x => (x.getLong(0), (x.getBoolean(2), x.getLong(3)))).toMap
+    assert(full(1L) == ((true, 12L)))
+    assert(full(2L) == ((false, 8L)))
+    assert(full(3L) == ((true, -1L)))
+    assert(full(4L) == ((true, 4L)))
+    assert(full(5L) == ((true, -1L)))
+    assert(full(6L) == ((true, -1L)))
+    assert(full.size == 6)
+  }
+
+  test("robotsRules + robotsAllowed end-to-end: parsed text drives the decision") {
+    val robots = Seq(("shop.com",
+      "User-Agent: badbot\nDisallow: /\n\nUser-agent: *\nDisallow: /cart\nAllow: /cart/help\n"))
+      .toDF("domain", "robots_txt")
+    val docs = Seq(
+      (1L, "https://www.shop.com/cart/checkout"),
+      (2L, "https://www.shop.com/cart/help/faq"),
+      (3L, "https://www.shop.com/")).toDF("doc_id", "url")
+    val got = robotsAllowed(docs, robotsRules(robots))
+      .collect().map(x => (x.getLong(0), x.getBoolean(2))).toMap
+    assert(got == Map(1L -> false, 2L -> true, 3L -> true))
+    val e = intercept[IllegalArgumentException](
+      robotsAllowed(docs, Seq(Tuple1("x")).toDF("domain")))
+    assert(e.getMessage.contains("prefix"))
+  }
+}
