@@ -1335,6 +1335,16 @@ object PipelineQueries {
       Similarity.bruteForceKnn(emb, emb.filter(col("vec_id") < 10), 3).orderBy("query_id", "rank")
     }),
 
+    // hard-negative mining for contrastive training: top-5 most similar
+    // OFF-label vectors per query — the between-epochs retrieval-training
+    // data op (high-sim wrong-class negatives move the loss; random ones
+    // don't)
+    "ext_hard_negatives" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.hardNegatives(emb, emb.filter(col("vec_id") < 25), 5)
+        .orderBy("query_id", "rank")
+    }),
+
     "ext_knn_lsh" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       Similarity.lshKnn(emb, emb.filter(col("vec_id") < 10), 3).orderBy("query_id", "rank")
@@ -2875,6 +2885,19 @@ object PipelineQueries {
          |ORDER BY id1, id2""".stripMargin,
 
     "ext_knn_cosine" -> knnCosineSql,
+
+    // hard negatives: the brute-force cosine CTE chain with the label
+    // inequality applied BEFORE the top-k window
+    "ext_hard_negatives" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label AS ql
+         |           FROM embeddings WHERE vec_id < 25),
+         |c AS (SELECT vec_id AS neighbor_id, embedding AS nv, label AS nl FROM embeddings),
+         |s AS (SELECT query_id, neighbor_id, nl, $cosineD AS sim
+         |      FROM c, q WHERE neighbor_id <> query_id AND nl <> ql),
+         |w AS (SELECT query_id, neighbor_id, nl,
+         |        row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank FROM s)
+         |SELECT query_id, rank, neighbor_id, nl AS neg_label
+         |FROM w WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
     "ext_knn_lsh" -> knnLshSql,
 

@@ -63,6 +63,54 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id")
   }
 
+  /** HARD-NEGATIVE MINING — the contrastive-training data operator: for
+    * each query vector, the top-k most cosine-similar corpus vectors
+    * with a DIFFERENT label. "Hard" = high similarity yet wrong class —
+    * the negatives that actually move a contrastive loss, where random
+    * negatives are trivially separable (the mining step retrieval/
+    * embedding training pipelines à la DPR run between epochs). The
+    * label filter runs BEFORE the top-k window, so every query gets k
+    * negatives whenever the corpus holds k off-label vectors; rows with
+    * a NULL label on either side drop (a null can't certify "different
+    * class"), visibly reducing that query's negative pool rather than
+    * silently matching.
+    *
+    * Output (query_id, rank, neighbor_id, neg_label) with the
+    * [[bruteForceKnn]] tie-break (sim desc, neighbor id) — deterministic
+    * and oracle-hashable. Scale shape: mining batches are epoch-sized,
+    * so the query side broadcasts and the corpus never shuffles; for a
+    * web-scale corpus swap the crossJoin for [[ivfKnnWith]]'s celled
+    * probe — the label predicate is the same post-join filter.
+    */
+  def hardNegatives(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      labelCol: String = "label"): DataFrame = {
+    require(k >= 1, s"hardNegatives: k must be >= 1, got $k")
+    val missing = Seq(idCol, vecCol, labelCol).filterNot(c =>
+      corpus.columns.contains(c) && queries.columns.contains(c))
+    require(missing.isEmpty,
+      s"hardNegatives: corpus and queries must both carry ${missing.mkString(", ")}")
+    val q = broadcast(queries.where(col(vecCol).isNotNull && col(labelCol).isNotNull)
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"), col(labelCol).as("ql"))
+      .withColumn("qnorm", norm(col("qv"))))
+    val scored = corpus.where(col(vecCol).isNotNull && col(labelCol).isNotNull)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("nv"),
+        col(labelCol).as("neg_label"))
+      .withColumn("nnorm", norm(col("nv")))
+      .crossJoin(q)
+      .where(col("neighbor_id") =!= col("query_id") && col("neg_label") =!= col("ql"))
+      .withColumn("sim", dot(col("qv"), col("nv")) / (col("qnorm") * col("nnorm")))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "neg_label")
+  }
+
   /** INT8 QUANTIZATION — the memory-bound scale path for a 100 TB
     * embedding store: a float32 corpus quantized symmetrically per vector
     * to [-127, 127] is 4x smaller on disk and in executor memory, which

@@ -414,6 +414,36 @@ class PipelineOpsSpec extends SparkSpec {
     assert(narrow.groupBy("query_id").count().collect().forall(_.getLong(1) <= 3))
   }
 
+  test("hardNegatives: off-label top-k only, never same-label or self; null labels drop") {
+    val rnd = new scala.util.Random(7)
+    val vecs = (0L until 40L).map { i =>
+      val label: java.lang.Long = if (i == 39L) null else java.lang.Long.valueOf(i % 3)
+      (i, Array.fill(64)(rnd.nextDouble() - 0.5), label)
+    }
+    val corpus = vecs.toDF("vec_id", "embedding", "label")
+    val queries = corpus.filter($"vec_id" < 4)
+    val got = Similarity.hardNegatives(corpus, queries, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // 4 queries x 5 negatives; labels all differ from the query's
+    val labelOf = vecs.collect { case (i, _, l) if l != null => (i, l.longValue) }.toMap
+    assert(got.length == 20)
+    got.foreach { case (q, _, n, nl) =>
+      assert(n != q && nl != labelOf(q) && labelOf(n) == nl)
+    }
+    // independent reference: the off-label filter applied to a full
+    // brute-force ranking must produce the same top-5
+    val bf = Similarity.bruteForceKnn(corpus, queries, 39)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val expected = bf.groupBy(_._1).toSeq.flatMap { case (q, rows) =>
+      rows.sortBy(_._2).map(_._3).toSeq
+        .filter(n => labelOf.get(n).exists(_ != labelOf(q)))
+        .take(5).zipWithIndex.map { case (n, i) => (q, i + 1L, n) }
+    }.toSet
+    assert(got.map(t => (t._1, t._2, t._3)).toSet == expected)
+    // the null-label vector appears in NO result (as neighbor or query)
+    assert(got.forall(_._3 != 39L))
+  }
+
   // ------------------------------------------------------- duplicate spans
 
   test("duplicateSpans: a shared run surfaces in every holder; unique text is silent") {
