@@ -26,6 +26,7 @@ object Bench {
     val stagingSec =
       try {
         graft.pipeline.PipelineQueries.stageShingles(spark, sfDir)
+        graft.pipeline.PipelineQueries.stageMedia(spark, sfDir)
         (System.nanoTime() - tStage) / 1e9
       } catch { case _: Throwable => -1.0 }
     // best-of-N with ROUND-ROBIN reps (rep 1 of every query, then rep 2,
