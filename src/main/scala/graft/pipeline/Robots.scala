@@ -93,9 +93,14 @@ object Robots {
     * documents (unparseable provenance) and domains absent from `rules`
     * are allowed with rule_len -1 — visible, not silently dropped.
     *
-    * The (len, allow) lexicographic max is encoded as `len * 2 + allow`
-    * over matching rules — one integer aggregation, identical on any
-    * engine.
+    * The (len, allow) lexicographic max is encoded as `len * 2 + allow`,
+    * computed SCAN-SIDE: rules pre-aggregate to one array row per
+    * domain (the tiny side pays the only aggregation), each document
+    * joins exactly ONE rules row, and the decision is a HOF fold over
+    * the array — no per-document fan-out, no second shuffle, and the
+    * whole thing is stream-static-join legal, so an ingest stream can
+    * drop disallowed fetches online (spec-asserted MemoryStream ==
+    * batch).
     */
   def robotsAllowed(
       docs: DataFrame,
@@ -105,22 +110,24 @@ object Robots {
     val missing = Seq("domain", "prefix", "allow").filterNot(rules.columns.contains)
     require(missing.isEmpty,
       s"robotsAllowed: rules must carry (domain, prefix, allow); missing ${missing.mkString(", ")}")
-    val reserved = Seq("domain", "allowed", "rule_len", "__path", "__enc")
+    val reserved = Seq("domain", "allowed", "rule_len", "__path", "__rules", "__enc")
       .filter(docs.columns.contains)
     require(reserved.isEmpty,
       s"robotsAllowed: docs columns collide with output/internal names " +
         s"(rename them): ${reserved.mkString(", ")}")
+    val perDomain = rules
+      .select(col("domain"), col("prefix"), col("allow").cast("boolean").as("allow"))
+      .groupBy("domain")
+      .agg(collect_list(struct(col("prefix"), col("allow"))).as("__rules"))
     docs
       .select(col(idCol),
         UrlOps.registrableDomain(col(urlCol)).as("domain"),
         UrlOps.urlPath(col(urlCol)).as("__path"))
-      .join(rules.select(col("domain"), col("prefix"), col("allow")), Seq("domain"), "left")
-      .withColumn("__enc",
-        when(col("prefix").isNotNull && col("__path").startsWith(col("prefix")),
-          length(col("prefix")).cast("long") * 2 + col("allow").cast("long"))
-          .otherwise(lit(-1L)))
-      .groupBy(col(idCol), col("domain"))
-      .agg(max(col("__enc")).as("__enc"))
+      .join(perDomain, Seq("domain"), "left")
+      .withColumn("__enc", expr(
+        "aggregate(coalesce(__rules, array()), -1L, (acc, r) -> " +
+          "greatest(acc, if(startswith(__path, r.prefix), " +
+          "length(r.prefix) * 2L + if(r.allow, 1L, 0L), -1L)))"))
       .select(col(idCol), col("domain"),
         (col("__enc") === -1L || col("__enc") % 2 === 1L).as("allowed"),
         when(col("__enc") === -1L, lit(-1L)).otherwise(expr("__enc DIV 2")).as("rule_len"))

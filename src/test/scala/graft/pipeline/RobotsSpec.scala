@@ -63,6 +63,26 @@ class RobotsSpec extends SparkSpec {
     assert(full.size == 6)
   }
 
+  test("robotsAllowed is stream-static legal: an ingest stream drops disallowed fetches online") {
+    implicit val sqlCtx = spark.sqlContext
+    val r = Seq(("a.com", "/private", false), ("a.com", "/private/pub", true))
+      .toDF("domain", "prefix", "allow")
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val q = robotsAllowed(in.toDF().toDF("doc_id", "url"), r)
+      .writeStream.format("memory").queryName("robots_stream").outputMode("append").start()
+    try {
+      in.addData((1L, "https://a.com/private/x"), (2L, "https://a.com/private/pub/y"),
+        (3L, "https://b.com/z"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("robots_stream").collect()
+      .map(x => (x.getLong(0), x.getBoolean(2))).toMap
+    val batch = robotsAllowed(Seq((1L, "https://a.com/private/x"),
+        (2L, "https://a.com/private/pub/y"), (3L, "https://b.com/z")).toDF("doc_id", "url"), r)
+      .collect().map(x => (x.getLong(0), x.getBoolean(2))).toMap
+    assert(got == batch && got == Map(1L -> false, 2L -> true, 3L -> true))
+  }
+
   test("robotsRules + robotsAllowed end-to-end: parsed text drives the decision") {
     val robots = Seq(("shop.com",
       "User-Agent: badbot\nDisallow: /\n\nUser-agent: *\nDisallow: /cart\nAllow: /cart/help\n"))
