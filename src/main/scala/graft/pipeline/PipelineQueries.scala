@@ -209,6 +209,39 @@ object PipelineQueries {
       s"WHEN ($i) % 7 = 0 THEN 'site' || ($i) || '.github.io' " +
       s"ELSE 'www.site' || ($i) || '.com' END)"
 
+  /** The REGISTRABLE domain of site `i` (what [[siteHostD]] reduces to
+    * under the PSL — www stripped, the site label directly under the
+    * suffix).
+    */
+  private def siteDomainD(i: String): String =
+    s"(CASE WHEN ($i) % 11 = 0 THEN 'site' || ($i) || '.co.uk' " +
+      s"WHEN ($i) % 7 = 0 THEN 'site' || ($i) || '.github.io' " +
+      s"ELSE 'site' || ($i) || '.com' END)"
+
+  /** The robots-decision CTE chain shared by ext_robots_filter and the
+    * composed crawl-policy oracle: each site's *-group rules emitted
+    * directly from [[robotsTable]]'s closed form (no parsing), the
+    * doc-level (domain, path) view `ud` of [[robotsAug]]'s URLs, and
+    * `rj` (doc_id, domain, enc) — the len*2+allow integer max. Operator
+    * lines trail (the interpolation-into-stripMargin rule).
+    */
+  private def robotsSqlD: String =
+    s"rsite AS (SELECT i, ${siteDomainD("i")} AS domain FROM range(40) t(i)), " +
+      "rrule AS (SELECT domain, '/private' AS prefix, false AS allow, 8 AS plen " +
+      "FROM rsite WHERE i % 3 = 0 " +
+      "UNION ALL SELECT domain, '/private/pub', true, 12 FROM rsite WHERE i % 3 = 0 " +
+      "UNION ALL SELECT domain, '/', false, 1 FROM rsite WHERE i % 3 = 1), " +
+      "ud AS (SELECT doc_id, " +
+      s"CASE WHEN doc_id % 13 = 0 THEN NULL ELSE ${siteDomainD("doc_id % 40")} END AS domain, " +
+      "CASE WHEN doc_id % 13 = 0 THEN NULL " +
+      "WHEN doc_id % 4 = 0 THEN '/private/pub/' || doc_id " +
+      "WHEN doc_id % 4 = 1 THEN '/private/' || doc_id " +
+      "WHEN doc_id % 4 = 2 THEN '/p/' || doc_id ELSE '/' END AS path FROM documents), " +
+      "rj AS (SELECT doc_id, ud.domain, " +
+      "max(CASE WHEN r.prefix IS NOT NULL AND starts_with(ud.path, r.prefix) " +
+      "THEN plen * 2 + CASE WHEN r.allow THEN 1 ELSE 0 END ELSE -1 END) AS enc " +
+      "FROM ud LEFT JOIN rrule r ON r.domain = ud.domain GROUP BY 1, 2)"
+
   private def linkHrefD(k: Int): String = {
     val t = s"((doc_id * 3 + ${7 * k + 1}) % 40)"
     s"(CASE WHEN $t % 13 = 0 THEN '/local/' || $t " +
@@ -1024,6 +1057,37 @@ object PipelineQueries {
     "ext_robots_filter" -> ((s, dir) => {
       val rules = Robots.robotsRules(robotsTable(s))
       Robots.robotsAllowed(robotsAug(Tables.documents(s, dir)), rules)
+        .orderBy("doc_id")
+    }),
+
+    // THE CRAWL-GOVERNANCE CHAIN COMPOSED: per-document disposition
+    // across all three policy axes — robots.txt consent (parsed rules,
+    // longest-prefix decision), domain opt-out registry (registrable-
+    // domain match), and the centrality-weighted anti-spam cap
+    // (link graph → PageRank → rank-scaled budget). admitted =
+    // robots_ok AND NOT opted_out AND cap_kept — the gate a compliant
+    // crawl corpus applies before any content work
+    "ext_crawl_policy" -> ((s, dir) => {
+      import s.implicits._
+      val docs = robotsAug(Tables.documents(s, dir))
+      val robots = Robots.robotsAllowed(docs, Robots.robotsRules(robotsTable(s)))
+        .select(col("doc_id"), col("domain"), col("allowed").as("robots_ok"))
+      val registry = Seq("site22.co.uk", "site7.github.io", "never-crawled.example")
+        .toDF("domain")
+      val oo = UrlOps.domainOptOut(docs, registry)
+        .select(col("doc_id"), lit(true).as("__oo"))
+      val la = linkAug(Tables.documents(s, dir))
+      val ranks = LinkGraph.pageRankPpm(LinkGraph.linkDomainEdges(
+          LinkGraph.extractLinks(la, keepCols = Seq("url"))))
+        .withColumnRenamed("node", "domain")
+      val cap = UrlOps.domainCapByRank(docs.select("doc_id", "url"), ranks,
+          baseCap = 10L, maxCap = 40L)
+        .select(col("doc_id"), col("kept").as("cap_kept"))
+      robots.join(oo, Seq("doc_id"), "left").join(cap, Seq("doc_id"))
+        .select(col("doc_id"), col("domain"), col("robots_ok"),
+          coalesce(col("__oo"), lit(false)).as("opted_out"), col("cap_kept"),
+          (col("robots_ok") && !coalesce(col("__oo"), lit(false)) && col("cap_kept"))
+            .as("admitted"))
         .orderBy("doc_id")
     }),
 
@@ -2368,36 +2432,37 @@ object PipelineQueries {
     // from the fixture's closed form (no parsing) and replays the
     // longest-prefix/allow-wins decision as the len*2+allow integer max —
     // a parser or join bug on the Spark side is a hash mismatch
-    "ext_robots_filter" -> {
-      val domD = "(CASE WHEN (i) % 11 = 0 THEN 'site' || (i) || '.co.uk' " +
-        "WHEN (i) % 7 = 0 THEN 'site' || (i) || '.github.io' " +
-        "ELSE 'site' || (i) || '.com' END)"
-      s"""WITH rsite AS (SELECT i, $domD AS domain FROM range(40) t(i)),
-         |rrule AS (
-         |  SELECT domain, '/private' AS prefix, false AS allow, 8 AS plen
-         |  FROM rsite WHERE i % 3 = 0
-         |  UNION ALL SELECT domain, '/private/pub', true, 12 FROM rsite WHERE i % 3 = 0
-         |  UNION ALL SELECT domain, '/', false, 1 FROM rsite WHERE i % 3 = 1),
-         |ud AS (SELECT doc_id,
-         |        CASE WHEN doc_id % 13 = 0 THEN NULL
-         |             ELSE (CASE WHEN (doc_id % 40) % 11 = 0 THEN 'site' || (doc_id % 40) || '.co.uk'
-         |                   WHEN (doc_id % 40) % 7 = 0 THEN 'site' || (doc_id % 40) || '.github.io'
-         |                   ELSE 'site' || (doc_id % 40) || '.com' END) END AS domain,
-         |        CASE WHEN doc_id % 13 = 0 THEN NULL
-         |             WHEN doc_id % 4 = 0 THEN '/private/pub/' || doc_id
-         |             WHEN doc_id % 4 = 1 THEN '/private/' || doc_id
-         |             WHEN doc_id % 4 = 2 THEN '/p/' || doc_id
-         |             ELSE '/' END AS path
-         |       FROM documents),
-         |j AS (SELECT doc_id, ud.domain,
-         |        max(CASE WHEN r.prefix IS NOT NULL AND starts_with(ud.path, r.prefix)
-         |            THEN plen * 2 + CASE WHEN r.allow THEN 1 ELSE 0 END
-         |            ELSE -1 END) AS enc
-         |      FROM ud LEFT JOIN rrule r ON r.domain = ud.domain GROUP BY 1, 2)
+    "ext_robots_filter" ->
+      s"""WITH $robotsSqlD
          |SELECT doc_id, domain, (enc = -1 OR enc % 2 = 1) AS allowed,
          |  CAST(CASE WHEN enc = -1 THEN -1 ELSE enc // 2 END AS BIGINT) AS rule_len
-         |FROM j ORDER BY doc_id""".stripMargin
-    },
+         |FROM rj ORDER BY doc_id""".stripMargin,
+
+    // crawl policy: all three axes from their own shared CTE chains —
+    // robots decision (robotsSqlD), PageRank (linkAugSql + unrolled
+    // recurrence), rank cap over the robots fixture's doc view `ud`
+    "ext_crawl_policy" ->
+      s"""WITH $linkAugSql,
+         |${LinkGraph.pageRankSqlD("le")},
+         |$robotsSqlD,
+         |coo AS (SELECT doc_id FROM ud WHERE domain IN
+         |        ('site22.co.uk', 'site7.github.io', 'never-crawled.example')),
+         |cch AS (SELECT ud.doc_id, ud.domain, ${UrlOps.drawHashD("ud.doc_id")} AS h,
+         |          COALESCE(r.rank_ppm, 150000) AS rp
+         |        FROM ud LEFT JOIN pr_r5 r ON r.node = ud.domain),
+         |ccc AS (SELECT *, greatest(1, least(40, (10 * rp) // 1000000)) AS cap FROM cch),
+         |ccn AS (SELECT doc_id, domain, cap,
+         |          CASE WHEN domain IS NULL THEN 0
+         |               ELSE row_number() OVER (PARTITION BY domain ORDER BY h, doc_id) END AS rnk
+         |        FROM ccc)
+         |SELECT rj.doc_id, rj.domain, (enc = -1 OR enc % 2 = 1) AS robots_ok,
+         |  (coo.doc_id IS NOT NULL) AS opted_out,
+         |  (ccn.domain IS NULL OR ccn.rnk <= ccn.cap) AS cap_kept,
+         |  ((enc = -1 OR enc % 2 = 1) AND coo.doc_id IS NULL
+         |   AND (ccn.domain IS NULL OR ccn.rnk <= ccn.cap)) AS admitted
+         |FROM rj LEFT JOIN coo ON coo.doc_id = rj.doc_id
+         |JOIN ccn ON ccn.doc_id = rj.doc_id
+         |ORDER BY rj.doc_id""".stripMargin,
 
     // video frame-set near-dup: per-frame dHash from the raster cell
     // closed form with the FRAME SEED swapped in for doc_id, then the
