@@ -55,6 +55,55 @@ object LinkGraph {
     docs.select((col(idCol) +: keepCols.map(col)) :+ explode(hrefs).as("href"): _*)
   }
 
+  /** Anchor (href, text) pairs, exploded one row per link: (idCol, href,
+    * anchor). The anchor text is the run up to the first nested tag or
+    * the closing `</a>` — nested-markup anchors truncate at the inner
+    * tag, the same documented approximation class as [[extractLinks]]'
+    * comment handling. Raw text (no entity decode), callers trim.
+    *
+    * Anchor text is the classic cheap relevance signal: the WEB's own
+    * description of the target page — retrieval training mines
+    * (anchor text → target) pairs, and quality pipelines use anchor
+    * vocabulary as a domain prior.
+    */
+  def extractAnchors(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      htmlCol: String = "html",
+      keepCols: Seq[String] = Nil): DataFrame = {
+    // one SQL expression per attribute quote style: the regex sits in the
+    // OTHER quote's SQL string literal, and the two capture groups zip
+    // into named structs
+    def pairs(sqlQuote: Char, attrQuote: Char): String = {
+      val pat = s"(?i)<a\\\\b[^>]*?href\\\\s*=\\\\s*$attrQuote([^$attrQuote]*)$attrQuote[^>]*>([^<]*)"
+      val p = s"$sqlQuote$pat$sqlQuote"
+      s"zip_with(regexp_extract_all($htmlCol, $p, 1), " +
+        s"regexp_extract_all($htmlCol, $p, 2), " +
+        "(h, t) -> struct(h as href, t as anchor))"
+    }
+    val zipped = expr(s"concat(${pairs('\'', '"')}, ${pairs('"', '\'')})")
+    docs
+      .select((col(idCol) +: keepCols.map(col)) :+ explode(zipped).as("__a"): _*)
+      .withColumn("href", col("__a.href")).withColumn("anchor", col("__a.anchor"))
+      .drop("__a")
+  }
+
+  /** The (target domain, anchor text) harvest — one aggregation over the
+    * extracted anchors: how the web describes each domain, with counts.
+    * Links without a registrable target domain (relative, non-http)
+    * drop; text is trimmed. Output (dst_domain, anchor_text, n).
+    */
+  def anchorTextStats(
+      anchors: DataFrame,
+      hrefCol: String = "href",
+      textCol: String = "anchor"): DataFrame =
+    anchors
+      .select(UrlOps.registrableDomain(col(hrefCol)).as("dst_domain"),
+        trim(col(textCol)).as("anchor_text"))
+      .where(col("dst_domain").isNotNull && col("anchor_text") =!= "")
+      .groupBy("dst_domain", "anchor_text")
+      .agg(count(lit(1)).as("n"))
+
   /** Registrable-domain edge list from per-document links: one row per
     * (src_domain, dst_domain) with the link count. `links` carries the
     * document's own provenance URL (`urlCol`) and the extracted target

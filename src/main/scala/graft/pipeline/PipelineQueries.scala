@@ -150,17 +150,20 @@ object PipelineQueries {
 
   private def linkAug(docs: DataFrame): DataFrame = {
     val d = col("doc_id")
+    // anchor text is closed-form ("link to site T") so the anchor-text
+    // harvest has a byte-exact oracle twin
+    def anchor(k: Int) = concat(lit("link to site "), (d * 3 + lit(7 * k + 1)) % 40)
     docs.select(d,
       when(d % 13 === 0, lit("mailto:someone@example.com"))
         .otherwise(concat(lit("https://"), siteHost(d % 40), lit("/p/"), d)).as("url"),
       concat(
         lit("""<html><body><nav><a href="/">Home</a></nav><ul><li><a class="x" href=""""),
-        linkHref(d, 0),
-        lit("""">a</a></li><li><a href='"""),
-        linkHref(d, 1),
-        lit("""'>b</a></li><li><a rel="nofollow" href=""""),
-        linkHref(d, 2),
-        lit("""">c</a></li></ul></body></html>""")).as("html"))
+        linkHref(d, 0), lit("""">"""), anchor(0),
+        lit("""</a></li><li><a href='"""),
+        linkHref(d, 1), lit("'>"), anchor(1),
+        lit("""</a></li><li><a rel="nofollow" href=""""),
+        linkHref(d, 2), lit("""">"""), anchor(2),
+        lit("""</a></li></ul></body></html>""")).as("html"))
   }
 
   /** documents with provenance URLs shaped for robots-rule classes: site
@@ -1058,6 +1061,14 @@ object PipelineQueries {
       val rules = Robots.robotsRules(robotsTable(s))
       Robots.robotsAllowed(robotsAug(Tables.documents(s, dir)), rules)
         .orderBy("doc_id")
+    }),
+
+    // anchor-text harvest: how the web DESCRIBES each domain — the
+    // (anchor text → target) pairs retrieval training mines; extraction
+    // recovers both attribute quote styles, relative targets drop
+    "ext_anchor_text" -> ((s, dir) => {
+      val an = LinkGraph.extractAnchors(linkAug(Tables.documents(s, dir)))
+      LinkGraph.anchorTextStats(an).orderBy("dst_domain", "anchor_text")
     }),
 
     // THE CRAWL-GOVERNANCE CHAIN COMPOSED: per-document disposition
@@ -2437,6 +2448,16 @@ object PipelineQueries {
          |SELECT doc_id, domain, (enc = -1 OR enc % 2 = 1) AS allowed,
          |  CAST(CASE WHEN enc = -1 THEN -1 ELSE enc // 2 END AS BIGINT) AS rule_len
          |FROM rj ORDER BY doc_id""".stripMargin,
+
+    // anchor text: the twin emits (target site, text) pairs closed-form —
+    // extraction bugs (quote styles, truncation, zipping) hash-mismatch
+    "ext_anchor_text" ->
+      s"""WITH at AS (SELECT doc_id, unnest([(doc_id * 3 + 1) % 40,
+         |        (doc_id * 3 + 8) % 40, (doc_id * 3 + 15) % 40]) AS t FROM documents)
+         |SELECT ${siteDomainD("t")} AS dst_domain,
+         |  'link to site ' || t AS anchor_text, CAST(count(*) AS BIGINT) AS n
+         |FROM at WHERE t % 13 <> 0
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // crawl policy: all three axes from their own shared CTE chains —
     // robots decision (robotsSqlD), PageRank (linkAugSql + unrolled

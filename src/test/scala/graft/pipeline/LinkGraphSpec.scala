@@ -36,6 +36,28 @@ class LinkGraphSpec extends SparkSpec {
       .count() == 0L)
   }
 
+  test("extractAnchors: (href, text) pairs in both quote styles; nested tags truncate visibly") {
+    val html =
+      """<a href="https://a.com/x">plain text</a>
+        |<a class="b" href='https://b.com/y'>single quoted</a>
+        |<a href="https://c.com/z"><b>bold</b> rest</a>
+        |<a href="/rel">relative</a>""".stripMargin
+    val got = LinkGraph.extractAnchors(Seq((1L, html)).toDF("doc_id", "html"))
+      .select("href", "anchor").collect().map(r => (r.getString(0), r.getString(1))).toSet
+    // the nested-tag anchor truncates at the inner tag — the documented
+    // approximation (empty text here, since <b> opens immediately)
+    assert(got == Set(
+      ("https://a.com/x", "plain text"),
+      ("https://b.com/y", "single quoted"),
+      ("https://c.com/z", ""),
+      ("/rel", "relative")))
+    val stats = LinkGraph.anchorTextStats(
+      LinkGraph.extractAnchors(Seq((1L, html)).toDF("doc_id", "html")))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    // empty-text and no-domain anchors drop from the harvest
+    assert(stats == Set(("a.com", "plain text", 1L), ("b.com", "single quoted", 1L)))
+  }
+
   test("linkDomainEdges: suffix reduction, self-edge and no-domain drops, counts") {
     val links = Seq(
       (1L, "https://news.a.co.uk/1", "https://www.b.com/x"),   // a.co.uk -> b.com
