@@ -106,7 +106,8 @@ object Robots {
       docs: DataFrame,
       rules: DataFrame,
       idCol: String = "doc_id",
-      urlCol: String = "url"): DataFrame = {
+      urlCol: String = "url",
+      keepCols: Seq[String] = Nil): DataFrame = {
     val missing = Seq("domain", "prefix", "allow").filterNot(rules.columns.contains)
     require(missing.isEmpty,
       s"robotsAllowed: rules must carry (domain, prefix, allow); missing ${missing.mkString(", ")}")
@@ -120,16 +121,16 @@ object Robots {
       .groupBy("domain")
       .agg(collect_list(struct(col("prefix"), col("allow"))).as("__rules"))
     docs
-      .select(col(idCol),
+      .select((col(idCol) +: keepCols.map(col)) ++ Seq(
         UrlOps.registrableDomain(col(urlCol)).as("domain"),
-        UrlOps.urlPath(col(urlCol)).as("__path"))
+        UrlOps.urlPath(col(urlCol)).as("__path")): _*)
       .join(perDomain, Seq("domain"), "left")
       .withColumn("__enc", expr(
         "aggregate(coalesce(__rules, array()), -1L, (acc, r) -> " +
           "greatest(acc, if(startswith(__path, r.prefix), " +
           "length(r.prefix) * 2L + if(r.allow, 1L, 0L), -1L)))"))
-      .select(col(idCol), col("domain"),
+      .select((col(idCol) +: keepCols.map(col)) ++ Seq(col("domain"),
         (col("__enc") === -1L || col("__enc") % 2 === 1L).as("allowed"),
-        when(col("__enc") === -1L, lit(-1L)).otherwise(expr("__enc DIV 2")).as("rule_len"))
+        when(col("__enc") === -1L, lit(-1L)).otherwise(expr("__enc DIV 2")).as("rule_len")): _*)
   }
 }

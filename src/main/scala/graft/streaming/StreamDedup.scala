@@ -435,6 +435,14 @@ object StreamDedup {
       .withColumn("domain", graft.pipeline.UrlOps.registrableDomain(col("url")))
       .select(col("doc_id"), col("domain"), col("arrival"))
       .as[CappedDocKey]
+    capAdmitKernel(withDom, cap)
+  }
+
+  /** The keyed-counter kernel of [[domainCapAdmit]], over rows whose
+    * domain is already derived (shared with [[crawlAdmitStream]]).
+    */
+  private def capAdmitKernel(withDom: Dataset[CappedDocKey], cap: Long): Dataset[CappedDoc] = {
+    import withDom.sparkSession.implicits._
     withDom
       .groupByKey(d => Option(d.domain).getOrElse(""))
       .flatMapGroupsWithState[AdmitState, CappedDoc](
@@ -460,6 +468,47 @@ object StreamDedup {
 
   /** Plan-side row of [[domainCapAdmit]] (public for the encoder). */
   case class CappedDocKey(doc_id: Long, domain: String, arrival: Long)
+
+  /** STREAMING CRAWL-POLICY ADMISSION — the online twin of the composed
+    * `ext_crawl_policy` gate, chaining the three policy axes over an
+    * unbounded ingest stream:
+    *
+    *  1. robots.txt consent: [[graft.pipeline.Robots.robotsAllowed]] is
+    *     stream-static legal (rules pre-aggregate per domain on the
+    *     static side; the decision is a scan-side fold), so disallowed
+    *     fetches drop STATELESSLY;
+    *  2. domain opt-out: a stream-static LEFT OUTER join against the
+    *     registry with a null-marker filter (anti-join semantics without
+    *     the unsupported stream-static anti join) — also stateless;
+    *  3. per-domain cap: [[domainCapAdmit]]'s keyed counter (the one
+    *     stateful stage — one Long per domain, NoTimeout, disk-backed
+    *     on a cluster).
+    *
+    * Rejection at an earlier axis consumes nothing downstream (a
+    * robots-blocked doc never claims a domain slot) — the survivor-
+    * chained discipline of [[webIngestStream]]. Online divergence from
+    * the batch gate, documented as there: the cap admits the first
+    * `cap` arrivals, where batch draws a content-blind hash sample.
+    * Output: [[CappedDoc]] receipts for ADMITTED documents only.
+    */
+  def crawlAdmitStream(
+      docs: Dataset[UrlDoc],
+      rules: DataFrame,
+      optOutDomains: DataFrame,
+      cap: Long): Dataset[CappedDoc] = {
+    require(cap >= 1, s"crawlAdmitStream: cap must be positive, got $cap")
+    import docs.sparkSession.implicits._
+    val decided = graft.pipeline.Robots.robotsAllowed(
+        docs.toDF(), rules, keepCols = Seq("arrival"))
+      .where(col("allowed"))
+    val afterOptOut = decided
+      .join(optOutDomains.select(col("domain")).distinct()
+        .withColumn("__oo", lit(true)), Seq("domain"), "left_outer")
+      .where(col("__oo").isNull)
+    capAdmitKernel(
+      afterOptOut.select(col("doc_id"), col("domain"), col("arrival")).as[CappedDocKey],
+      cap)
+  }
 
   /** A raw crawl record entering the streaming web-ingest chain. */
   case class WebDoc(doc_id: Long, url: String, html: String, arrival: Long)

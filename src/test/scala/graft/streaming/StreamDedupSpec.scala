@@ -528,6 +528,60 @@ class StreamDedupSpec extends SparkSpec {
     }
   }
 
+  test("crawlAdmitStream: robots -> opt-out -> cap chained online == the axis-by-axis reference across splits") {
+    import graft.streaming.StreamDedup.{UrlDoc, CappedDoc}
+    implicit val sqlCtx = spark.sqlContext
+    val rules = Seq(
+      ("a.com", "/private", false), ("a.com", "/private/pub", true),
+      ("c.com", "/", false)).toDF("domain", "prefix", "allow")
+    val optOut = Seq(Tuple1("b.com"), Tuple1("never-seen.org")).toDF("domain")
+    val feed = Seq(
+      UrlDoc(1L, "https://a.com/open/1", 1L),         // allowed, counted
+      UrlDoc(2L, "https://a.com/private/x", 2L),      // robots-blocked
+      UrlDoc(3L, "https://b.com/1", 3L),              // opted out
+      UrlDoc(4L, "https://a.com/private/pub/y", 4L),  // allow exception, counted
+      UrlDoc(5L, "https://c.com/anything", 5L),       // robots-blocked (disallow /)
+      UrlDoc(6L, "https://a.com/open/2", 6L),         // 3rd a.com: over cap 2
+      UrlDoc(7L, "garbage", 7L),                      // null domain: allowed, uncapped
+      UrlDoc(8L, "https://a.com/open/3", 8L))         // over cap
+    // axis-by-axis reference: robots decision (batch operator), opt-out
+    // set, then first-cap-arrivals fold — a doc rejected earlier never
+    // claims a domain slot
+    val batchDecisions = graft.pipeline.Robots.robotsAllowed(
+        feed.toDF("doc_id", "url", "arrival"), rules)
+      .collect().map(r => (r.getLong(0), (Option(r.getString(1)), r.getBoolean(2)))).toMap
+    val oo = Set("b.com", "never-seen.org")
+    val cnt = scala.collection.mutable.Map.empty[String, Long]
+    val want = feed.flatMap { d =>
+      val (dom, ok) = batchDecisions(d.doc_id)
+      if (!ok || dom.exists(oo.contains)) None
+      else dom match {
+        case None => Some(CappedDoc(d.doc_id, null, d.arrival, 0L))
+        case Some(dm) =>
+          val c = cnt.getOrElse(dm, 0L)
+          if (c < 2L) { cnt(dm) = c + 1; Some(CappedDoc(d.doc_id, dm, d.arrival, c + 1)) }
+          else None
+      }
+    }
+    assert(want.map(_.doc_id) == Seq(1L, 4L, 7L), s"fixture sanity: $want")
+    Seq(Seq(4, 4), Seq(1, 1, 1, 1, 1, 1, 1, 1), Seq(8)).zipWithIndex.foreach { case (split, si) =>
+      val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[UrlDoc]
+      val name = s"crawladmit_out_$si"
+      val q = StreamDedup.crawlAdmitStream(input.toDS(), rules, optOut, cap = 2L)
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      try {
+        var rest = feed
+        split.foreach { n =>
+          val (chunk, tail) = rest.splitAt(n)
+          rest = tail
+          if (chunk.nonEmpty) { input.addData(chunk); q.processAllAvailable() }
+        }
+        val got = spark.table(name).as[CappedDoc].collect().sortBy(_.arrival).toSeq
+        assert(got == want, s"split $si: streaming crawl admission diverged\n$got\n$want")
+      } finally q.stop()
+    }
+  }
+
   test("unbounded state kernels run under the RocksDB state-store provider (the cluster backend)") {
     // dedupUnbounded's scaladoc claims corpus-lifetime state is viable
     // because the store is disk-backed on a cluster; this spec RUNS both
