@@ -229,6 +229,30 @@ class UrlOpsSpec extends SparkSpec {
     assert(d2.isEmpty, s"kernel != reference with override: ${d2.mkString("; ")}")
   }
 
+  test("URL kernels == Column references on fuzzed inputs (random strings and URL-ish mutants)") {
+    val rnd = new scala.util.Random(1234)
+    val atoms = Seq("https://", "http://", "HtTpS://", "ftp://", "", "www.", "a.", ".",
+      "example", "co.uk", "github.io", "com", "bd", "kawasaki.jp", ":", ":80", ":443",
+      ":8080", "/", "//", "/p", "?", "?a=1", "&", "utm_source=x", "b=2", "#f", "@",
+      "user:pw@", " ", "\t", "é", "😀", "..", "%2F", "=")
+    val urls = (1 to 400).map { _ =>
+      (0 until (1 + rnd.nextInt(8))).map(_ => atoms(rnd.nextInt(atoms.size))).mkString
+    } ++ (1 to 100).map { _ => // pure noise
+      new String(Array.fill(rnd.nextInt(30))((32 + rnd.nextInt(95)).toChar))
+    }
+    val df = urls.map(Tuple1(_)).toDF("url")
+    val d1 = df.select(
+        UrlOps.registrableDomain(col("url")).as("k"),
+        UrlOps.registrableDomainHof(col("url")).as("r"), col("url"))
+      .where(!(col("k") <=> col("r"))).collect()
+    assert(d1.isEmpty, s"registrableDomain kernel diverged on: ${d1.take(5).mkString("; ")}")
+    val d2 = df.select(
+        UrlOps.canonicalUrl(col("url")).as("k"),
+        UrlOps.canonicalUrlHof(col("url")).as("r"), col("url"))
+      .where(!(col("k") <=> col("r"))).collect()
+    assert(d2.isEmpty, s"canonicalUrl kernel diverged on: ${d2.take(5).mkString("; ")}")
+  }
+
   test("registrableDomain keeps whole-stage codegen compilable (fallback disabled)") {
     // the regression this expression fixes: with codegen fallback OFF, a
     // >64 KB generated method makes execution THROW instead of silently
