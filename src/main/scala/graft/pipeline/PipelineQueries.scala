@@ -1440,6 +1440,16 @@ object PipelineQueries {
       Similarity.bruteForceKnn(emb, emb.filter(col("vec_id") < 10), 3).orderBy("query_id", "rank")
     }),
 
+    // margin-based bitext mining (CCMatrix/LASER): label-0 vectors as the
+    // source "language", label-1 as the target; mutual best matches by
+    // the integer-ppm ratio margin survive — the parallel-corpus miner
+    "ext_bitext_margin" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.marginMinedPairs(
+          emb.filter(col("label") === 0), emb.filter(col("label") === 1))
+        .orderBy("src_id")
+    }),
+
     // hard-negative mining for contrastive training: top-5 most similar
     // OFF-label vectors per query — the between-epochs retrieval-training
     // data op (high-sim wrong-class negatives move the loss; random ones
@@ -3001,6 +3011,29 @@ object PipelineQueries {
          |ORDER BY id1, id2""".stripMargin,
 
     "ext_knn_cosine" -> knnCosineSql,
+
+    // bitext margin: all-pairs [0,2e6]-ppm cosines, top-4 neighborhood
+    // sums per side, the integer ratio margin, mutual-best filter
+    "ext_bitext_margin" -> {
+      val cosSt = cosD("sv", "tv")
+      s"""WITH ms AS (SELECT vec_id AS src_id, embedding AS sv FROM embeddings WHERE label = 0),
+         |mt AS (SELECT vec_id AS tgt_id, embedding AS tv FROM embeddings WHERE label = 1),
+         |mp AS (SELECT src_id, tgt_id,
+         |        CAST(floor((($cosSt) + 1) * 1000000) AS BIGINT) AS c FROM ms, mt),
+         |mr AS (SELECT *,
+         |        row_number() OVER (PARTITION BY src_id ORDER BY c DESC, tgt_id) AS rx,
+         |        row_number() OVER (PARTITION BY tgt_id ORDER BY c DESC, src_id) AS ry FROM mp),
+         |mx AS (SELECT src_id, sum(c) AS sax FROM mr WHERE rx <= 4 GROUP BY 1),
+         |my AS (SELECT tgt_id, sum(c) AS say FROM mr WHERE ry <= 4 GROUP BY 1),
+         |mm AS (SELECT mp.src_id, mp.tgt_id,
+         |        CAST((2000000 * c) // greatest(sax + say, 1) AS BIGINT) AS margin_ppm
+         |       FROM mp JOIN mx USING (src_id) JOIN my USING (tgt_id)),
+         |mb AS (SELECT *,
+         |        row_number() OVER (PARTITION BY src_id ORDER BY margin_ppm DESC, tgt_id) AS bx,
+         |        row_number() OVER (PARTITION BY tgt_id ORDER BY margin_ppm DESC, src_id) AS byy FROM mm)
+         |SELECT src_id, tgt_id, margin_ppm FROM mb WHERE bx = 1 AND byy = 1
+         |ORDER BY src_id""".stripMargin
+    },
 
     // hard negatives: the brute-force cosine CTE chain with the label
     // inequality applied BEFORE the top-k window

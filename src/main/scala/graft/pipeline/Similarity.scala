@@ -111,6 +111,68 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id", "neg_label")
   }
 
+  /** MARGIN-BASED BITEXT MINING — the parallel-corpus miner (Artetxe &
+    * Schwenk's margin criterion, the method behind CCMatrix/LASER-mined
+    * MT corpora): a source-language and a target-language embedding set
+    * pair up where the cross-lingual similarity stands out RELATIVE to
+    * each side's neighborhood — absolute cosine alone over-pairs hubs
+    * (vectors similar to everything), so each pair's score is its
+    * similarity divided by the mean of both endpoints' k-NN
+    * similarities, and only MUTUAL best matches survive.
+    *
+    * Integer-exact variant (the repo's ppm discipline): cosines map to
+    * [0, 2e6] ppm via floor((cos+1)·1e6) — nonnegative integers, so
+    * top-k sums and the ratio margin
+    *   margin_ppm = 2e6 · c / (Σ topk(x) + Σ topk(y))
+    * are engine-bit-identical (float top-k AVERAGES would accumulate in
+    * engine-dependent order and flip near-ties). The shift is a
+    * documented variant of the raw-cosine margin: selection differs
+    * only where margins nearly tie. Ties break by id — total order.
+    *
+    * Output: mutual-best (src_id, tgt_id, margin_ppm) pairs. Scale
+    * shape: this is the EXACT form (all-pairs cosine — the oracle
+    * baseline, fine for eval-sized sides); at CCMatrix scale candidate
+    * generation swaps to the ANN ladder ([[ivfKnnWith]]/[[pqKnnOf]])
+    * and this operator's margin/mutual logic runs unchanged on the
+    * candidate pairs.
+    */
+  def marginMinedPairs(
+      src: DataFrame,
+      tgt: DataFrame,
+      k: Int = 4,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1, s"marginMinedPairs: k must be >= 1, got $k")
+    val s = src.where(col(vecCol).isNotNull)
+      .select(col(idCol).as("src_id"), col(vecCol).as("sv"))
+      .withColumn("snorm", norm(col("sv")))
+    val t = tgt.where(col(vecCol).isNotNull)
+      .select(col(idCol).as("tgt_id"), col(vecCol).as("tv"))
+      .withColumn("tnorm", norm(col("tv")))
+    val pairs = s.crossJoin(t)
+      .withColumn("__c",
+        floor((dot(col("sv"), col("tv")) / (col("snorm") * col("tnorm")) + lit(1.0))
+          * lit(1000000.0)).cast("long"))
+      .select("src_id", "tgt_id", "__c")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val wx = Window.partitionBy("src_id").orderBy(col("__c").desc, col("tgt_id"))
+    val wy = Window.partitionBy("tgt_id").orderBy(col("__c").desc, col("src_id"))
+    val ranked = pairs
+      .withColumn("__rx", row_number().over(wx))
+      .withColumn("__ry", row_number().over(wy))
+    val sax = ranked.where(col("__rx") <= k).groupBy("src_id").agg(sum("__c").as("__sax"))
+    val say = ranked.where(col("__ry") <= k).groupBy("tgt_id").agg(sum("__c").as("__say"))
+    val margins = pairs.join(sax, "src_id").join(say, "tgt_id")
+      .withColumn("margin_ppm", expr("(2000000 * __c) DIV greatest(__sax + __say, 1)"))
+    val bx = Window.partitionBy("src_id").orderBy(col("margin_ppm").desc, col("tgt_id"))
+    val by = Window.partitionBy("tgt_id").orderBy(col("margin_ppm").desc, col("src_id"))
+    margins
+      .withColumn("__bx", row_number().over(bx))
+      .withColumn("__by", row_number().over(by))
+      .where(col("__bx") === 1 && col("__by") === 1)
+      .select("src_id", "tgt_id", "margin_ppm")
+  }
+
   /** INT8 QUANTIZATION — the memory-bound scale path for a 100 TB
     * embedding store: a float32 corpus quantized symmetrically per vector
     * to [-127, 127] is 4x smaller on disk and in executor memory, which

@@ -444,6 +444,58 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got.forall(_._3 != 39L))
   }
 
+  test("marginMinedPairs: mutual best only, hubs penalized, == independent reference") {
+    // src0 and tgt0 are near-copies (the planted translation pair);
+    // tgtHub points halfway to EVERYTHING (a hub: high absolute cosine
+    // with all sources) — the margin must pair src0 with tgt0, not the
+    // hub, because the hub's own neighborhood sum is uniformly high
+    val dim = 8
+    def unit(i: Int): Array[Double] = Array.tabulate(dim)(j => if (j == i) 1.0 else 0.0)
+    val rnd = new scala.util.Random(5)
+    def noisy(v: Array[Double]): Array[Double] = v.map(_ + rnd.nextDouble() * 0.01)
+    val hub = Array.fill(dim)(0.5)
+    val src = Seq((0L, noisy(unit(0))), (1L, noisy(unit(1))), (2L, noisy(unit(2))))
+    val tgt = Seq((10L, noisy(unit(0))), (11L, noisy(unit(1))), (12L, hub))
+    val got = Similarity.marginMinedPairs(
+        src.toDF("vec_id", "embedding"), tgt.toDF("vec_id", "embedding"), k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.contains((0L, 10L)) && got.contains((1L, 11L)), got.toString)
+    assert(!got.exists(p => p._2 == 12L && (p._1 == 0L || p._1 == 1L)),
+      s"the hub must not steal a planted pair: $got")
+
+    // independent integer-pipeline reference on random sides
+    val rs = (0L until 12L).map(i => (i, Array.fill(dim)(rnd.nextDouble() - 0.5)))
+    val rt = (100L until 110L).map(i => (i, Array.fill(dim)(rnd.nextDouble() - 0.5)))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val c = (for { (i, a) <- rs; (j, b) <- rt }
+      yield ((i, j), math.floor((cos(a, b) + 1) * 1000000).toLong)).toMap
+    def topkSum(keys: Seq[Long], of: Long => Seq[(Long, Long)], k: Int): Map[Long, Long] =
+      keys.map(x => (x, of(x).sortBy { case (id, cv) => (-cv, id) }.take(k).map(_._2).sum)).toMap
+    val sax = topkSum(rs.map(_._1), x => rt.map(y => (y._1, c((x, y._1)))), 4)
+    val say = topkSum(rt.map(_._1), y => rs.map(x => (x._1, c((x._1, y)))), 4)
+    val margin = c.map { case ((i, j), cv) =>
+      ((i, j), 2000000L * cv / math.max(sax(i) + say(j), 1L)) }
+    def bestBy[A](pairs: Iterable[((Long, Long), Long)], key: ((Long, Long)) => Long,
+        other: ((Long, Long)) => Long): Map[Long, Long] =
+      pairs.groupBy(p => key(p._1)).map { case (kk, ps) =>
+        (kk, ps.toSeq.sortBy(p => (-p._2, other(p._1))).head._1 match {
+          case (i, j) => if (key((i, j)) == i) j else i
+        })
+      }
+    val bestX = bestBy(margin, _._1, _._2)
+    val bestY = bestBy(margin, _._2, _._1)
+    val wantPairs = bestX.collect {
+      case (i, j) if bestY(j) == i => (i, j, margin((i, j)))
+    }.toSet
+    val gotR = Similarity.marginMinedPairs(
+        rs.toDF("vec_id", "embedding"), rt.toDF("vec_id", "embedding"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(gotR == wantPairs, s"\n$gotR\nvs reference\n$wantPairs")
+  }
+
   // ------------------------------------------------------- duplicate spans
 
   test("duplicateSpans: a shared run surfaces in every holder; unique text is silent") {
