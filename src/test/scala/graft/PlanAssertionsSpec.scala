@@ -415,6 +415,14 @@ class PlanAssertionsSpec extends SparkSpec {
       s"no hash exchange may touch the media stream:\n${plan.take(2000)}")
   }
 
+  test("ext_hard_negatives: the epoch-sized query side broadcasts — the corpus never shuffles for scoring") {
+    val plan = planOf("ext_hard_negatives")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"the bounded query side must broadcast:\n${plan.take(2000)}")
+    assert(!plan.contains("SortMergeJoin"),
+      s"the corpus must not sort-merge against the mining batch:\n${plan.take(2000)}")
+  }
+
   test("ext_audio_fp: fingerprinting is scan-side — payload bytes never shuffle") {
     val plan = planOf("ext_audio_fp")
     assert(!plan.contains("Join"), s"fingerprint extraction must not join:\n${plan.take(2000)}")
