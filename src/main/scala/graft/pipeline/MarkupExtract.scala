@@ -92,6 +92,11 @@ object MarkupExtract {
       minChars: Long = minCharsDefault,
       maxLinkPpm: Long = maxLinkPpmDefault,
       keep: Seq[String] = Nil): DataFrame = {
+    val reserved = Seq("text", "n_blocks", "n_good", "n_chars", idCol, "__bs", "__gs")
+      .filter(keep.contains)
+    require(reserved.isEmpty,
+      s"extract: keep collides with output/internal names (rename them): " +
+        reserved.mkString(", "))
     // NULL markup reads as EMPTY markup (zero blocks, empty text, zero
     // counts) — without the coalesce the counts would be NULL while the
     // text reads '', an inconsistent row a data card would trip over

@@ -181,30 +181,34 @@ object PipelineQueries {
         .otherwise(concat(lit("https://"), siteHost(d % 40),
           when(d % 4 === 0, concat(lit("/private/pub/"), d))
             .when(d % 4 === 1, concat(lit("/private/"), d))
-            .when(d % 4 === 2, concat(lit("/p/"), d))
+            .when(d % 4 === 2,
+              when(d % 8 === 6, concat(lit("/search?q="), d))
+                .otherwise(concat(lit("/p/"), d)))
             .otherwise(lit("")))).as("url"))
   }
 
-  /** Per-site robots.txt bodies, adversarial on purpose: a badbot group
-    * that must be ignored, CRLF on even sites, comments, mixed-case
-    * field names, an unknown field inside a group, and an empty
-    * `Disallow:` (= allow-all, no rule). Site arm i%3: 0 =
-    * disallow-with-allow-exception, 1 = disallow-all, 2 = no effective
-    * rules.
+  /** Per-HOST robots.txt bodies (keyed by the [[siteHost]] origin each
+    * policy is fetched from — RFC 9309 scope), adversarial on purpose:
+    * a badbot group that must be ignored, CRLF on even sites, comments,
+    * mixed-case field names, an unknown field inside a group, an empty
+    * `Disallow:` (= allow-all, no rule), a query-string rule (RFC 9309
+    * matches path + query), and a NULL body every 10th site (absent
+    * robots.txt recorded as NULL = allow-all). Site arm i%3: 0 =
+    * disallow-with-allow-exception + query rule, 1 = disallow-all, 2 =
+    * no effective rules.
     */
   private def robotsTable(s: SparkSession): DataFrame = {
     val i = col("id")
     s.range(40).select(
-      when(i % 11 === 0, concat(lit("site"), i, lit(".co.uk")))
-        .when(i % 7 === 0, concat(lit("site"), i, lit(".github.io")))
-        .otherwise(concat(lit("site"), i, lit(".com"))).as("domain"),
-      concat(
+      siteHost(i).as("host"),
+      when(i % 10 === 5, lit(null).cast("string")).otherwise(concat(
         when(i % 2 === 0, lit("# site robots\r\n")).otherwise(lit("# site robots\n")),
         lit("User-Agent: badbot\nDisallow: /\n\n"),
         when(i % 3 === 0,
-          lit("User-agent: *\nDisallow: /private # keep out\nAllow: /private/pub\nCrawl-delay: 5\n"))
+          lit("User-agent: *\nDisallow: /private # keep out\nAllow: /private/pub\n" +
+            "Disallow: /search?q=\nCrawl-delay: 5\n"))
           .when(i % 3 === 1, lit("user-agent: *\ndisallow: /\n"))
-          .otherwise(lit("User-agent: *\nDisallow:\n"))).as("robots_txt"))
+          .otherwise(lit("User-agent: *\nDisallow:\n")))).as("robots_txt"))
   }
 
   private def siteHostD(i: String): String =
@@ -223,27 +227,32 @@ object PipelineQueries {
 
   /** The robots-decision CTE chain shared by ext_robots_filter and the
     * composed crawl-policy oracle: each site's *-group rules emitted
-    * directly from [[robotsTable]]'s closed form (no parsing), the
-    * doc-level (domain, path) view `ud` of [[robotsAug]]'s URLs, and
-    * `rj` (doc_id, domain, enc) — the len*2+allow integer max. Operator
-    * lines trail (the interpolation-into-stripMargin rule).
+    * directly from [[robotsTable]]'s closed form (no parsing; NULL-body
+    * sites emit none), keyed by HOST (RFC 9309 origin scope), the
+    * doc-level (host, domain, path) view `ud` of [[robotsAug]]'s URLs
+    * (path carries the query — RFC 9309 matches path + query), and `rj`
+    * (doc_id, host, domain, enc) — the len*2+allow integer max.
+    * Operator lines trail (the interpolation-into-stripMargin rule).
     */
   private def robotsSqlD: String =
-    s"rsite AS (SELECT i, ${siteDomainD("i")} AS domain FROM range(40) t(i)), " +
-      "rrule AS (SELECT domain, '/private' AS prefix, false AS allow, 8 AS plen " +
+    s"rsite AS (SELECT i, ${siteHostD("i")} AS host FROM range(40) t(i) WHERE i % 10 <> 5), " +
+      "rrule AS (SELECT host, '/private' AS prefix, false AS allow, 8 AS plen " +
       "FROM rsite WHERE i % 3 = 0 " +
-      "UNION ALL SELECT domain, '/private/pub', true, 12 FROM rsite WHERE i % 3 = 0 " +
-      "UNION ALL SELECT domain, '/', false, 1 FROM rsite WHERE i % 3 = 1), " +
+      "UNION ALL SELECT host, '/private/pub', true, 12 FROM rsite WHERE i % 3 = 0 " +
+      "UNION ALL SELECT host, '/search?q=', false, 10 FROM rsite WHERE i % 3 = 0 " +
+      "UNION ALL SELECT host, '/', false, 1 FROM rsite WHERE i % 3 = 1), " +
       "ud AS (SELECT doc_id, " +
+      s"CASE WHEN doc_id % 13 = 0 THEN NULL ELSE ${siteHostD("doc_id % 40")} END AS host, " +
       s"CASE WHEN doc_id % 13 = 0 THEN NULL ELSE ${siteDomainD("doc_id % 40")} END AS domain, " +
       "CASE WHEN doc_id % 13 = 0 THEN NULL " +
       "WHEN doc_id % 4 = 0 THEN '/private/pub/' || doc_id " +
       "WHEN doc_id % 4 = 1 THEN '/private/' || doc_id " +
-      "WHEN doc_id % 4 = 2 THEN '/p/' || doc_id ELSE '/' END AS path FROM documents), " +
-      "rj AS (SELECT doc_id, ud.domain, " +
+      "WHEN doc_id % 4 = 2 THEN (CASE WHEN doc_id % 8 = 6 THEN '/search?q=' || doc_id " +
+      "ELSE '/p/' || doc_id END) ELSE '/' END AS path FROM documents), " +
+      "rj AS (SELECT doc_id, ud.host, ud.domain, " +
       "max(CASE WHEN r.prefix IS NOT NULL AND starts_with(ud.path, r.prefix) " +
       "THEN plen * 2 + CASE WHEN r.allow THEN 1 ELSE 0 END ELSE -1 END) AS enc " +
-      "FROM ud LEFT JOIN rrule r ON r.domain = ud.domain GROUP BY 1, 2)"
+      "FROM ud LEFT JOIN rrule r ON r.host = ud.host GROUP BY 1, 2, 3)"
 
   private def linkHrefD(k: Int): String = {
     val t = s"((doc_id * 3 + ${7 * k + 1}) % 40)"
@@ -1082,7 +1091,7 @@ object PipelineQueries {
       import s.implicits._
       val docs = robotsAug(Tables.documents(s, dir))
       val robots = Robots.robotsAllowed(docs, Robots.robotsRules(robotsTable(s)))
-        .select(col("doc_id"), col("domain"), col("allowed").as("robots_ok"))
+        .select(col("doc_id"), col("allowed").as("robots_ok"))
       val registry = Seq("site22.co.uk", "site7.github.io", "never-crawled.example")
         .toDF("domain")
       val oo = UrlOps.domainOptOut(docs, registry)
@@ -1093,7 +1102,7 @@ object PipelineQueries {
         .withColumnRenamed("node", "domain")
       val cap = UrlOps.domainCapByRank(docs.select("doc_id", "url"), ranks,
           baseCap = 10L, maxCap = 40L)
-        .select(col("doc_id"), col("kept").as("cap_kept"))
+        .select(col("doc_id"), col("domain"), col("kept").as("cap_kept"))
       robots.join(oo, Seq("doc_id"), "left").join(cap, Seq("doc_id"))
         .select(col("doc_id"), col("domain"), col("robots_ok"),
           coalesce(col("__oo"), lit(false)).as("opted_out"), col("cap_kept"),
@@ -2455,7 +2464,7 @@ object PipelineQueries {
     // a parser or join bug on the Spark side is a hash mismatch
     "ext_robots_filter" ->
       s"""WITH $robotsSqlD
-         |SELECT doc_id, domain, (enc = -1 OR enc % 2 = 1) AS allowed,
+         |SELECT doc_id, host, (enc = -1 OR enc % 2 = 1) AS allowed,
          |  CAST(CASE WHEN enc = -1 THEN -1 ELSE enc // 2 END AS BIGINT) AS rule_len
          |FROM rj ORDER BY doc_id""".stripMargin,
 

@@ -12,13 +12,22 @@ import org.apache.spark.sql.functions._
   * reference parser's documented behavior) restricted to the portable
   * core:
   *
+  *  - scope: a policy governs the HOST (origin) that serves it — each
+  *    host has its own /robots.txt, an apex policy does NOT govern its
+  *    subdomains, and a subdomain's stricter policy must never be
+  *    shadowed by the apex's. The rules table is therefore keyed by
+  *    host and the decision join matches the document URL's full host
+  *    (NOT its registrable domain — that key is for dedup/cap/opt-out,
+  *    where subdomains should pool);
   *  - group model: one or more consecutive `User-agent:` lines open a
   *    group; the group's `Allow:`/`Disallow:` rules apply iff one of
   *    its agents is `*` (per-agent token matching is a config knob left
   *    out of scope — corpus pipelines crawl as a generic agent);
-  *  - decision: the LONGEST matching path prefix wins; on a tie,
-  *    `Allow` beats `Disallow`; no rule matches → allowed (and an
-  *    absent robots.txt allows everything);
+  *  - decision: the LONGEST matching prefix wins; on a tie, `Allow`
+  *    beats `Disallow`; no rule matches → allowed (and an absent or
+  *    empty/NULL robots.txt allows everything); matching is over the
+  *    request target — path PLUS optional `?query` (RFC 9309), so a
+  *    `Disallow: /search?q=` rule matches;
   *  - an empty `Disallow:` value is "allow all" (no rule), per the
   *    original REP; `$`/`*` wildcards are extensions, out of scope —
   *    prefixes are literal (documented, like the markup extractor's
@@ -28,24 +37,28 @@ import org.apache.spark.sql.functions._
   *    ignored without closing the group (per RFC 9309).
   *
   * Scale shape: parsing is a partition-preserving mapPartitions over
-  * the (domain, robots_txt) table — one sequential line walk per
-  * domain, the [[Multimodal]] decode discipline (a line's meaning
-  * depends on the lines before it, so scan-side HOFs don't fit).
-  * Resolution is one keyed join of the corpus's fixed-width (id,
-  * domain, path) projection against the rules table (rules-per-domain
-  * is small; domains are Zipfian — the join is the same shape as the
-  * domain cap's window input) plus one per-document aggregation.
+  * the (host, robots_txt) table — one sequential line walk per host,
+  * the [[Multimodal]] decode discipline (a line's meaning depends on
+  * the lines before it, so scan-side HOFs don't fit). Resolution is one
+  * keyed join of the corpus's fixed-width (id, host, path) projection
+  * against the rules table (rules-per-host is small; hosts are Zipfian
+  * — the join is the same shape as the domain cap's window input) plus
+  * one per-document aggregation.
   */
 object Robots {
 
-  case class RobotsRule(domain: String, prefix: String, allow: Boolean)
+  case class RobotsRule(host: String, prefix: String, allow: Boolean)
 
-  /** Parse one robots.txt body into the `*`-group rules, in file order. */
-  def parseRobots(domain: String, text: String): Seq[RobotsRule] = {
+  /** Parse one robots.txt body into the `*`-group rules, in file order.
+    * A NULL body reads as an EMPTY body (no rules = allow everything —
+    * the absent-robots contract; a fetch store records "no robots.txt"
+    * as a NULL payload, not as a missing row).
+    */
+  def parseRobots(host: String, text: String): Seq[RobotsRule] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[RobotsRule]
     var collectingAgents = false // inside a run of consecutive User-agent lines
     var applies = false          // current group names agent *
-    text.split("\n", -1).foreach { raw =>
+    Option(text).getOrElse("").split("\n", -1).foreach { raw =>
       val line = {
         val noCr = if (raw.endsWith("\r")) raw.dropRight(1) else raw
         val hash = noCr.indexOf('#')
@@ -64,7 +77,7 @@ object Robots {
             // empty Disallow = allow-all (no rule); empty Allow is a
             // no-op the same way
             if (applies && value.nonEmpty)
-              out += RobotsRule(domain, value, field == "allow")
+              out += RobotsRule(host, value, field == "allow")
           case _ => () // unknown fields don't close the agent run (RFC 9309)
         }
       }
@@ -72,30 +85,39 @@ object Robots {
     out.toSeq
   }
 
-  /** (domain, prefix, allow) rules from a (domain, robots_txt) table —
-    * the at-rest policy artifact. Domains whose robots.txt yields no
-    * `*` rules produce no rows (= allow everything downstream).
+  /** (host, prefix, allow) rules from a (host, robots_txt) table — the
+    * at-rest policy artifact, keyed by the origin host the policy was
+    * fetched from. Hosts whose robots.txt yields no `*` rules produce
+    * no rows (= allow everything downstream); a NULL body parses as
+    * empty; a NULL host is skipped — a rule row without an origin can
+    * never match any document, and emitting NULL-keyed rules would just
+    * poison the decision join's NULL arm.
     */
   def robotsRules(
       robots: DataFrame,
-      domainCol: String = "domain",
+      hostCol: String = "host",
       textCol: String = "robots_txt"): DataFrame = {
     val spark = robots.sparkSession
     import spark.implicits._
-    robots.select(col(domainCol), col(textCol)).as[(String, String)]
-      .mapPartitions(_.flatMap { case (d, t) => parseRobots(d, t) })
+    robots.select(col(hostCol), col(textCol)).as[(String, String)]
+      .mapPartitions(_.flatMap {
+        case (null, _) => Iterator.empty
+        case (h, t)    => parseRobots(h, t)
+      })
       .toDF()
   }
 
-  /** Per-document robots decision: (idCol, domain, allowed, rule_len).
+  /** Per-document robots decision: (idCol, host, allowed, rule_len).
     * `rule_len` is the matched rule's prefix length (ties resolved
-    * allow-first), -1 when no rule matched (default allow). NULL-domain
-    * documents (unparseable provenance) and domains absent from `rules`
+    * allow-first), -1 when no rule matched (default allow). NULL-host
+    * documents (unparseable provenance) and hosts absent from `rules`
     * are allowed with rule_len -1 — visible, not silently dropped.
+    * Matching is host-exact (RFC 9309 origin scope) over the request
+    * target ([[UrlOps.urlPath]]: path + optional query).
     *
     * The (len, allow) lexicographic max is encoded as `len * 2 + allow`,
     * computed SCAN-SIDE: rules pre-aggregate to one array row per
-    * domain (the tiny side pays the only aggregation), each document
+    * host (the tiny side pays the only aggregation), each document
     * joins exactly ONE rules row, and the decision is a HOF fold over
     * the array — no per-document fan-out, no second shuffle, and the
     * whole thing is stream-static-join legal, so an ingest stream can
@@ -108,28 +130,28 @@ object Robots {
       idCol: String = "doc_id",
       urlCol: String = "url",
       keepCols: Seq[String] = Nil): DataFrame = {
-    val missing = Seq("domain", "prefix", "allow").filterNot(rules.columns.contains)
+    val missing = Seq("host", "prefix", "allow").filterNot(rules.columns.contains)
     require(missing.isEmpty,
-      s"robotsAllowed: rules must carry (domain, prefix, allow); missing ${missing.mkString(", ")}")
-    val reserved = Seq("domain", "allowed", "rule_len", "__path", "__rules", "__enc")
+      s"robotsAllowed: rules must carry (host, prefix, allow); missing ${missing.mkString(", ")}")
+    val reserved = Seq("host", "allowed", "rule_len", "__path", "__rules", "__enc")
       .filter(docs.columns.contains)
     require(reserved.isEmpty,
       s"robotsAllowed: docs columns collide with output/internal names " +
         s"(rename them): ${reserved.mkString(", ")}")
-    val perDomain = rules
-      .select(col("domain"), col("prefix"), col("allow").cast("boolean").as("allow"))
-      .groupBy("domain")
+    val perHost = rules
+      .select(col("host"), col("prefix"), col("allow").cast("boolean").as("allow"))
+      .groupBy("host")
       .agg(collect_list(struct(col("prefix"), col("allow"))).as("__rules"))
     docs
       .select((col(idCol) +: keepCols.map(col)) ++ Seq(
-        UrlOps.registrableDomain(col(urlCol)).as("domain"),
+        UrlOps.hostOf(col(urlCol)).as("host"),
         UrlOps.urlPath(col(urlCol)).as("__path")): _*)
-      .join(perDomain, Seq("domain"), "left")
+      .join(perHost, Seq("host"), "left")
       .withColumn("__enc", expr(
         "aggregate(coalesce(__rules, array()), -1L, (acc, r) -> " +
           "greatest(acc, if(startswith(__path, r.prefix), " +
           "length(r.prefix) * 2L + if(r.allow, 1L, 0L), -1L)))"))
-      .select((col(idCol) +: keepCols.map(col)) ++ Seq(col("domain"),
+      .select((col(idCol) +: keepCols.map(col)) ++ Seq(col("host"),
         (col("__enc") === -1L || col("__enc") % 2 === 1L).as("allowed"),
         when(col("__enc") === -1L, lit(-1L)).otherwise(expr("__enc DIV 2")).as("rule_len")): _*)
   }

@@ -130,15 +130,33 @@ object UrlOps {
   def registrableDomain(url: Column): Column =
     graft.functions.RegistrableDomain.of(url)
 
-  /** Raw path component of an http(s) URL ("/" for an empty path — the
-    * request path a server actually sees; what robots rules match
-    * against). NULL for non-http(s) input.
+  /** Lowercased host of an http(s) URL, port stripped — the ORIGIN key
+    * (what a robots.txt policy is scoped to per RFC 9309: each host
+    * serves its own /robots.txt; an apex policy does NOT govern its
+    * subdomains). NULL for non-http(s) input. Contrast
+    * [[registrableDomain]], the PSL-reduced key for dedup/cap/opt-out
+    * semantics where subdomains SHOULD pool.
+    */
+  def hostOf(url: Column): Column = {
+    val scheme = regexp_extract(url, partsRe, 1)
+    val host = regexp_replace(lower(regexp_extract(url, partsRe, 2)), ":[0-9]+$", "")
+    when(scheme === "" || host === "", lit(null).cast("string")).otherwise(host)
+  }
+
+  /** Path-and-query of an http(s) URL ("/" for an empty path; the query
+    * appended after `?` when present) — the request target robots rules
+    * match against: RFC 9309 prefix matching is over path PLUS optional
+    * query, so a `Disallow: /search?q=` rule must be able to match.
+    * NULL for non-http(s) input.
     */
   def urlPath(url: Column): Column = {
     val scheme = regexp_extract(url, partsRe, 1)
     val raw = regexp_extract(url, partsRe, 3)
+    val path = when(raw === "", lit("/")).otherwise(raw)
+    val query = regexp_extract(url, partsRe, 4)
     when(scheme === "", lit(null).cast("string"))
-      .otherwise(when(raw === "", lit("/")).otherwise(raw))
+      .otherwise(concat(path,
+        when(query === "", lit("")).otherwise(concat(lit("?"), query))))
   }
 
   /** The pure-Column PSL walk — the differential reference for
@@ -344,11 +362,19 @@ object UrlOps {
       s"domainCapByRank: docs columns collide with output/internal names " +
         s"(rename them): ${reserved.mkString(", ")}")
     val w = Window.partitionBy("__pk").orderBy(col("__h"), col(idCol))
+    // pre-aggregate the rank table to ONE row per domain: a rank table
+    // with duplicate domain rows would otherwise fan each document out
+    // through the left join — duplicate receipts and inflated row_number
+    // ranks (caps silently under-fill). max() is the deterministic pick
+    // (and the generous one: ties go to the higher budget).
+    val ranksByDomain = ranks
+      .select(col("domain"), col("rank_ppm"))
+      .groupBy("domain").agg(max(col("rank_ppm")).as("__rp"))
     docs
       .withColumn("domain", registrableDomain(col(urlCol)))
       .withColumn("__h", expr(drawHash(idCol)))
       .withColumn("__pk", nullPk(col("domain"), idCol))
-      .join(ranks.select(col("domain"), col("rank_ppm").as("__rp")), Seq("domain"), "left")
+      .join(ranksByDomain, Seq("domain"), "left")
       .withColumn("cap",
         greatest(lit(1L), least(lit(maxCap),
           expr(s"($baseCap * coalesce(__rp, ${defaultRankPpm}L)) DIV 1000000L"))))
@@ -430,6 +456,12 @@ object UrlOps {
   /** The [[drawHash]] twin over a column expression `id`. */
   def drawHashD(id: String): String =
     s"(abs($id % 1000000) * 2654435761 + 40503) % 1000000"
+
+  /** The [[hostOf]] twin over a column expression `u`. */
+  def hostOfD(u: String): String = {
+    val host = s"regexp_replace(lower(regexp_extract($u, $partsReD, 2)), ':[0-9]+$$', '')"
+    s"nullif($host, '')"
+  }
 
   /** Canonical-URL expression over a column expression `u`. */
   def canonicalUrlD(u: String, stripParams: Seq[String] = trackingParams): String = {

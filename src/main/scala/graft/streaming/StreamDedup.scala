@@ -474,9 +474,9 @@ object StreamDedup {
     * unbounded ingest stream:
     *
     *  1. robots.txt consent: [[graft.pipeline.Robots.robotsAllowed]] is
-    *     stream-static legal (rules pre-aggregate per domain on the
-    *     static side; the decision is a scan-side fold), so disallowed
-    *     fetches drop STATELESSLY;
+    *     stream-static legal (rules pre-aggregate per HOST — the RFC
+    *     9309 origin scope — on the static side; the decision is a
+    *     scan-side fold), so disallowed fetches drop STATELESSLY;
     *  2. domain opt-out: a stream-static LEFT OUTER join against the
     *     registry with a null-marker filter (anti-join semantics without
     *     the unsupported stream-static anti join) — also stateless;
@@ -498,9 +498,16 @@ object StreamDedup {
       cap: Long): Dataset[CappedDoc] = {
     require(cap >= 1, s"crawlAdmitStream: cap must be positive, got $cap")
     import docs.sparkSession.implicits._
+    // robots consent is HOST-scoped (RFC 9309 origin scope — the rules
+    // table is keyed by the host each policy was fetched from); the
+    // opt-out registry and the cap are REGISTRABLE-DOMAIN-scoped, so the
+    // survivor projection derives the domain key separately from the url
     val decided = graft.pipeline.Robots.robotsAllowed(
-        docs.toDF(), rules, keepCols = Seq("arrival"))
+        docs.toDF(), rules, keepCols = Seq("url", "arrival"))
       .where(col("allowed"))
+      .select(col("doc_id"),
+        graft.pipeline.UrlOps.registrableDomain(col("url")).as("domain"),
+        col("arrival"))
     val afterOptOut = decided
       .join(optOutDomains.select(col("domain")).distinct()
         .withColumn("__oo", lit(true)), Seq("domain"), "left_outer")

@@ -172,4 +172,11 @@ class MarkupExtractSpec extends SparkSpec {
     val got = spark.table("mx_stream").select("text").as[String].collect()
     assert(got.toSeq == Seq("Streaming ingest extracts markup on the fly just fine"))
   }
+
+  test("keep passthrough rejects names that collide with the output schema") {
+    val docs = Seq((1L, "<p>x</p>", "t")).toDF("doc_id", "html", "text")
+    val e = intercept[IllegalArgumentException](
+      MarkupExtract.extract(docs, keep = Seq("text")))
+    assert(e.getMessage.contains("keep collides"))
+  }
 }

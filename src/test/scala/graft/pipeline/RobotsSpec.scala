@@ -51,7 +51,7 @@ class RobotsSpec extends SparkSpec {
     val r = Seq(
       ("a.com", "/private", false), ("a.com", "/private/pub", true),
       ("a.com", "/tie", false), ("a.com", "/tie", true)
-    ).toDF("domain", "prefix", "allow")
+    ).toDF("host", "prefix", "allow")
     val full = robotsAllowed(docs, r)
       .collect().map(x => (x.getLong(0), (x.getBoolean(2), x.getLong(3)))).toMap
     assert(full(1L) == ((true, 12L)))
@@ -66,7 +66,7 @@ class RobotsSpec extends SparkSpec {
   test("robotsAllowed is stream-static legal: an ingest stream drops disallowed fetches online") {
     implicit val sqlCtx = spark.sqlContext
     val r = Seq(("a.com", "/private", false), ("a.com", "/private/pub", true))
-      .toDF("domain", "prefix", "allow")
+      .toDF("host", "prefix", "allow")
     val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
     val q = robotsAllowed(in.toDF().toDF("doc_id", "url"), r)
       .writeStream.format("memory").queryName("robots_stream").outputMode("append").start()
@@ -84,9 +84,9 @@ class RobotsSpec extends SparkSpec {
   }
 
   test("robotsRules + robotsAllowed end-to-end: parsed text drives the decision") {
-    val robots = Seq(("shop.com",
+    val robots = Seq(("www.shop.com",
       "User-Agent: badbot\nDisallow: /\n\nUser-agent: *\nDisallow: /cart\nAllow: /cart/help\n"))
-      .toDF("domain", "robots_txt")
+      .toDF("host", "robots_txt")
     val docs = Seq(
       (1L, "https://www.shop.com/cart/checkout"),
       (2L, "https://www.shop.com/cart/help/faq"),
@@ -95,7 +95,43 @@ class RobotsSpec extends SparkSpec {
       .collect().map(x => (x.getLong(0), x.getBoolean(2))).toMap
     assert(got == Map(1L -> false, 2L -> true, 3L -> true))
     val e = intercept[IllegalArgumentException](
-      robotsAllowed(docs, Seq(Tuple1("x")).toDF("domain")))
+      robotsAllowed(docs, Seq(Tuple1("x")).toDF("host")))
     assert(e.getMessage.contains("prefix"))
+  }
+
+  test("robots scope is the HOST, not the registrable domain (RFC 9309 origin scope)") {
+    // a stricter subdomain policy must bind on that subdomain, and the
+    // apex's policy must NOT be over-applied to subdomains
+    val robots = Seq(
+      ("private.example.com", "User-agent: *\nDisallow: /\n"),
+      ("example.com", "User-agent: *\nDisallow: /admin\n")).toDF("host", "robots_txt")
+    val docs = Seq(
+      (1L, "https://private.example.com/anything"), // subdomain's own Disallow: /
+      (2L, "https://example.com/admin/x"),          // apex rule binds on apex
+      (3L, "https://www.example.com/admin/x"),      // www has no policy -> allowed
+      (4L, "https://EXAMPLE.com:443/admin/x")       // host lowercased, port stripped
+    ).toDF("doc_id", "url")
+    val got = robotsAllowed(docs, robotsRules(robots))
+      .collect().map(x => (x.getLong(0), x.getBoolean(2))).toMap
+    assert(got == Map(1L -> false, 2L -> false, 3L -> true, 4L -> false))
+  }
+
+  test("matching is over path + query (RFC 9309) and a NULL body is allow-all") {
+    val robots = Seq(
+      ("a.com", "User-agent: *\nDisallow: /search?q=\n"),
+      ("b.com", null.asInstanceOf[String])).toDF("host", "robots_txt")
+    val rules = robotsRules(robots)
+    // NULL body parses to no rules; NULL host emits none
+    assert(rules.where(col("host") === "b.com").count() == 0)
+    assert(robotsRules(Seq((null.asInstanceOf[String], "User-agent: *\nDisallow: /\n"))
+      .toDF("host", "robots_txt")).count() == 0)
+    val docs = Seq(
+      (1L, "https://a.com/search?q=foo"),  // query participates in the prefix match
+      (2L, "https://a.com/search"),        // bare path: rule does not match
+      (3L, "https://b.com/anything")       // NULL policy -> allow
+    ).toDF("doc_id", "url")
+    val got = robotsAllowed(docs, rules)
+      .collect().map(x => (x.getLong(0), (x.getBoolean(2), x.getLong(3)))).toMap
+    assert(got == Map(1L -> ((false, 10L)), 2L -> ((true, -1L)), 3L -> ((true, -1L))))
   }
 }

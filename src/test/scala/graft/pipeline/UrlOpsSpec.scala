@@ -305,6 +305,19 @@ class UrlOpsSpec extends SparkSpec {
     assert(ranked == flat)
   }
 
+  test("domainCapByRank: duplicate domain rows in the rank table do not fan documents out") {
+    // two rank rows for the same domain (a merged rank feed) must not
+    // duplicate receipts or inflate row_number ranks — the join side
+    // pre-aggregates to one row per domain, max wins
+    val docs = (1L to 4L).map(i => (i, s"https://dup.com/$i")).toDF("doc_id", "url")
+    val ranks = Seq(("dup.com", 1000000L), ("dup.com", 2000000L)).toDF("domain", "rank_ppm")
+    val got = UrlOps.domainCapByRank(docs, ranks, baseCap = 2L, maxCap = 10L).collect()
+    assert(got.length == 4, s"fan-out through a duplicate rank row: ${got.length} receipts")
+    // max(rank_ppm) = 2e6 → cap 4: all kept; ranks are a permutation of 1..4
+    assert(got.map(_.getLong(3)).sorted.toSeq == Seq(1L, 2L, 3L, 4L))
+    assert(got.forall(_.getBoolean(4)))
+  }
+
   test("domainOptOut: registrable-domain match covers subdomains, isolates private-suffix sites") {
     val docs = Seq(
       (1L, "https://example.com/a"),

@@ -533,7 +533,7 @@ class StreamDedupSpec extends SparkSpec {
     implicit val sqlCtx = spark.sqlContext
     val rules = Seq(
       ("a.com", "/private", false), ("a.com", "/private/pub", true),
-      ("c.com", "/", false)).toDF("domain", "prefix", "allow")
+      ("c.com", "/", false)).toDF("host", "prefix", "allow")
     val optOut = Seq(Tuple1("b.com"), Tuple1("never-seen.org")).toDF("domain")
     val feed = Seq(
       UrlDoc(1L, "https://a.com/open/1", 1L),         // allowed, counted
