@@ -708,6 +708,32 @@ object PipelineQueries {
   private val dotEmbCentD =
     "list_sum(list_transform(generate_series(1,64), i -> embedding[i]::DOUBLE * cv[i]))"
 
+  /** [[dotEmbCentD]] over an arbitrary vector expression (the bitext
+    * sides alias their embeddings sv/tv).
+    */
+  private def dotCentD(v: String): String =
+    s"list_sum(list_transform(generate_series(1,64), i -> $v[i]::DOUBLE * cv[i]))"
+
+  /** The margin/mutual CTE chain over a candidate-pair CTE `mp(src_id,
+    * tgt_id, c)` — the oracle twin of Similarity.marginMutualOf, shared
+    * by the exact and the IVF-celled bitext statements so the two
+    * cannot drift. Callers close with `SELECT ... FROM mb WHERE bx = 1
+    * AND byy = 1`.
+    */
+  private val marginChainD: String =
+    """mr AS (SELECT *,
+      |        row_number() OVER (PARTITION BY src_id ORDER BY c DESC, tgt_id) AS rx,
+      |        row_number() OVER (PARTITION BY tgt_id ORDER BY c DESC, src_id) AS ry FROM mp),
+      |mx AS (SELECT src_id, sum(c) AS sax FROM mr WHERE rx <= 4 GROUP BY 1),
+      |my AS (SELECT tgt_id, sum(c) AS say FROM mr WHERE ry <= 4 GROUP BY 1),
+      |mm AS (SELECT mp.src_id, mp.tgt_id,
+      |        CAST((2000000 * c) // greatest(sax + say, 1) AS BIGINT) AS margin_ppm
+      |       FROM mp JOIN mx USING (src_id) JOIN my USING (tgt_id)),
+      |mb AS (SELECT *,
+      |        row_number() OVER (PARTITION BY src_id ORDER BY margin_ppm DESC, tgt_id) AS bx,
+      |        row_number() OVER (PARTITION BY tgt_id ORDER BY margin_ppm DESC, src_id) AS byy FROM mm)"""
+      .stripMargin
+
   /** A `cent(cid, cv)` CTE from an explicit centroid table — the VALUES
     * twin of [[ivfCentSql]] for frozen TRAINED centroids
     * (Similarity.refIvfCentroids): rows generated from the same Scala
@@ -1456,6 +1482,18 @@ object PipelineQueries {
       val emb = Tables.embeddings(s, dir)
       Similarity.marginMinedPairs(
           emb.filter(col("label") === 0), emb.filter(col("label") === 1))
+        .orderBy("src_id")
+    }),
+
+    // the SCALE form of margin mining: candidate pairs from the IVF
+    // coarse quantizer (both directions' probes, equi-joined on the
+    // cell id — no cross product anywhere in the plan), the same
+    // margin/mutual kernel on the candidates
+    "ext_bitext_margin_ivf" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.marginMinedPairsIvf(
+          emb.filter(col("label") === 0), emb.filter(col("label") === 1),
+          Similarity.defaultCentroids(64, 8))
         .orderBy("src_id")
     }),
 
@@ -3029,17 +3067,35 @@ object PipelineQueries {
          |mt AS (SELECT vec_id AS tgt_id, embedding AS tv FROM embeddings WHERE label = 1),
          |mp AS (SELECT src_id, tgt_id,
          |        CAST(floor((($cosSt) + 1) * 1000000) AS BIGINT) AS c FROM ms, mt),
-         |mr AS (SELECT *,
-         |        row_number() OVER (PARTITION BY src_id ORDER BY c DESC, tgt_id) AS rx,
-         |        row_number() OVER (PARTITION BY tgt_id ORDER BY c DESC, src_id) AS ry FROM mp),
-         |mx AS (SELECT src_id, sum(c) AS sax FROM mr WHERE rx <= 4 GROUP BY 1),
-         |my AS (SELECT tgt_id, sum(c) AS say FROM mr WHERE ry <= 4 GROUP BY 1),
-         |mm AS (SELECT mp.src_id, mp.tgt_id,
-         |        CAST((2000000 * c) // greatest(sax + say, 1) AS BIGINT) AS margin_ppm
-         |       FROM mp JOIN mx USING (src_id) JOIN my USING (tgt_id)),
-         |mb AS (SELECT *,
-         |        row_number() OVER (PARTITION BY src_id ORDER BY margin_ppm DESC, tgt_id) AS bx,
-         |        row_number() OVER (PARTITION BY tgt_id ORDER BY margin_ppm DESC, src_id) AS byy FROM mm)
+         |$marginChainD
+         |SELECT src_id, tgt_id, margin_ppm FROM mb WHERE bx = 1 AND byy = 1
+         |ORDER BY src_id""".stripMargin
+    },
+
+    // the celled twin: candidate pairs replayed from the same integer
+    // centroid formula (cell assignment rn=1, probes rn<=2, both
+    // directions unioned, DISTINCT on the scored triple), then the
+    // SAME margin chain — a drift in either the quantizer or the
+    // kernel hash-mismatches
+    "ext_bitext_margin_ivf" -> {
+      val cosSt = cosD("sv", "tv")
+      s"""WITH $ivfCentSql,
+         |ms AS (SELECT vec_id AS src_id, embedding AS sv FROM embeddings WHERE label = 0),
+         |mt AS (SELECT vec_id AS tgt_id, embedding AS tv FROM embeddings WHERE label = 1),
+         |scd AS (SELECT src_id, sv, cid, row_number() OVER (PARTITION BY src_id
+         |          ORDER BY ${dotCentD("sv")} DESC, cid) AS rn FROM ms, cent),
+         |tcd AS (SELECT tgt_id, tv, cid, row_number() OVER (PARTITION BY tgt_id
+         |          ORDER BY ${dotCentD("tv")} DESC, cid) AS rn FROM mt, cent),
+         |mp AS (SELECT DISTINCT src_id, tgt_id,
+         |        CAST(floor((($cosSt) + 1) * 1000000) AS BIGINT) AS c
+         |       FROM (SELECT s.src_id, s.sv, t.tgt_id, t.tv
+         |               FROM (SELECT * FROM scd WHERE rn <= 2) s
+         |               JOIN (SELECT * FROM tcd WHERE rn = 1) t USING (cid)
+         |             UNION ALL
+         |             SELECT s.src_id, s.sv, t.tgt_id, t.tv
+         |               FROM (SELECT * FROM scd WHERE rn = 1) s
+         |               JOIN (SELECT * FROM tcd WHERE rn <= 2) t USING (cid)) u),
+         |$marginChainD
          |SELECT src_id, tgt_id, margin_ppm FROM mb WHERE bx = 1 AND byy = 1
          |ORDER BY src_id""".stripMargin
     },

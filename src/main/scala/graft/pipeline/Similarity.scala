@@ -131,10 +131,11 @@ object Similarity {
     *
     * Output: mutual-best (src_id, tgt_id, margin_ppm) pairs. Scale
     * shape: this is the EXACT form (all-pairs cosine — the oracle
-    * baseline, fine for eval-sized sides); at CCMatrix scale candidate
-    * generation swaps to the ANN ladder ([[ivfKnnWith]]/[[pqKnnOf]])
-    * and this operator's margin/mutual logic runs unchanged on the
-    * candidate pairs.
+    * baseline for eval-sized sides; the small target side broadcasts so
+    * the pairing is a nested-loop over streamed source partitions, never
+    * a sort-merge cartesian); at CCMatrix scale, where BOTH sides are
+    * corpus-sized, use [[marginMinedPairsIvf]] — the same margin/mutual
+    * kernel ([[marginMutualOf]]) over IVF candidate pairs.
     */
   def marginMinedPairs(
       src: DataFrame,
@@ -149,12 +150,27 @@ object Similarity {
     val t = tgt.where(col(vecCol).isNotNull)
       .select(col(idCol).as("tgt_id"), col(vecCol).as("tv"))
       .withColumn("tnorm", norm(col("tv")))
-    val pairs = s.crossJoin(t)
-      .withColumn("__c",
-        floor((dot(col("sv"), col("tv")) / (col("snorm") * col("tnorm")) + lit(1.0))
-          * lit(1000000.0)).cast("long"))
-      .select("src_id", "tgt_id", "__c")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pairs = s.crossJoin(broadcast(t))
+      .select(col("src_id"), col("tgt_id"), cosinePpm.as("__c"))
+    marginMutualOf(pairs, k)
+  }
+
+  /** floor((cos+1)·1e6) over the (sv, snorm, tv, tnorm) pair columns —
+    * the integer cosine both margin-mining forms score with.
+    */
+  private def cosinePpm: Column =
+    floor((dot(col("sv"), col("tv")) / (col("snorm") * col("tnorm")) + lit(1.0))
+      * lit(1000000.0)).cast("long")
+
+  /** The margin/mutual kernel shared by [[marginMinedPairs]] (exact —
+    * the oracle) and [[marginMinedPairsIvf]] (celled — the scale path):
+    * per-side top-k neighborhood sums over the given candidate pairs,
+    * the integer ratio margin, and the mutual-best filter. `pairs` must
+    * carry (src_id, tgt_id, __c); it persists here because the windows
+    * and the margin join re-read it.
+    */
+  private def marginMutualOf(pairsIn: DataFrame, k: Int): DataFrame = {
+    val pairs = pairsIn.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val wx = Window.partitionBy("src_id").orderBy(col("__c").desc, col("tgt_id"))
     val wy = Window.partitionBy("tgt_id").orderBy(col("__c").desc, col("src_id"))
     val ranked = pairs
@@ -171,6 +187,61 @@ object Similarity {
       .withColumn("__by", row_number().over(by))
       .where(col("__bx") === 1 && col("__by") === 1)
       .select("src_id", "tgt_id", "margin_ppm")
+  }
+
+  /** IVF-CELLED margin mining — [[marginMinedPairs]] for corpus-sized
+    * sides (the CCMatrix-scale workload, where mining 1e9 × 1e9
+    * sentences all-pairs is quadratic in BOTH sides): candidate pairs
+    * come from the IVF coarse quantizer instead of the cross product,
+    * then the SAME margin/mutual kernel runs on them.
+    *
+    * Candidate generation is SYMMETRIC (the union of both directions'
+    * probes — src probing into tgt cells AND tgt probing into src
+    * cells), because the margin needs each side's neighborhood: a pair
+    * visible from only one side would truncate the other side's top-k
+    * sum. Both directions are EQUI-joins on the cell id — the corpus
+    * shuffles (or at scale is pre-bucketed) by cell, never broadcast,
+    * never paired all-to-all; candidates dedup on the fixed-width
+    * (src_id, tgt_id, __c) triple before the kernel.
+    *
+    * Approximation contract: pairs and neighborhood sums are computed
+    * over cell-mates only, so a translation pair split across non-probed
+    * cells is missed (recall follows the quantizer, tuned via `nprobe`
+    * and centroid training — [[KMeans.train]] output plugs in as
+    * `centroids`), and a margin denominator can only SHRINK vs exact
+    * (missing candidates lower the top-k sums, never raise them). With
+    * `nprobe` = nCells the candidate set is the full cross product and
+    * the output equals [[marginMinedPairs]] (spec-asserted).
+    */
+  def marginMinedPairsIvf(
+      src: DataFrame,
+      tgt: DataFrame,
+      centroids: Seq[Seq[Double]],
+      k: Int = 4,
+      nprobe: Int = 2,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1, s"marginMinedPairsIvf: k must be >= 1, got $k")
+    require(nprobe >= 1, s"marginMinedPairsIvf: nprobe must be >= 1, got $nprobe")
+    require(centroids.nonEmpty && centroids.map(_.size).distinct.size == 1,
+      "centroids must be a non-empty table of equal-dimension vectors")
+    val s = src.where(col(vecCol).isNotNull)
+      .select(col(idCol).as("src_id"), col(vecCol).as("sv"))
+      .withColumn("snorm", norm(col("sv")))
+      .withColumn("scell", ivfCellOf(col("sv"), centroids))
+    val t = tgt.where(col(vecCol).isNotNull)
+      .select(col(idCol).as("tgt_id"), col(vecCol).as("tv"))
+      .withColumn("tnorm", norm(col("tv")))
+      .withColumn("tcell", ivfCellOf(col("tv"), centroids))
+    // direction 1: src probes its nprobe nearest cells into tgt's cells
+    val d1 = s.withColumn("cell", explode(ivfProbesOf(col("sv"), centroids, nprobe)))
+      .join(t.withColumnRenamed("tcell", "cell"), "cell")
+    // direction 2: tgt probes into src's cells
+    val d2 = s.withColumnRenamed("scell", "cell")
+      .join(t.withColumn("cell", explode(ivfProbesOf(col("tv"), centroids, nprobe))), "cell")
+    def scored(df: DataFrame): DataFrame =
+      df.select(col("src_id"), col("tgt_id"), cosinePpm.as("__c"))
+    marginMutualOf(scored(d1).unionByName(scored(d2)).distinct(), k)
   }
 
   /** INT8 QUANTIZATION — the memory-bound scale path for a 100 TB

@@ -423,6 +423,14 @@ class PlanAssertionsSpec extends SparkSpec {
       s"the corpus must not sort-merge against the mining batch:\n${plan.take(2000)}")
   }
 
+  test("ext_bitext_margin_ivf: candidate generation is equi-joined on the cell id — no cartesian anywhere") {
+    val plan = planOf("ext_bitext_margin_ivf")
+    assert(!plan.contains("CartesianProduct"),
+      s"celled margin mining must never pair all-to-all:\n${plan.take(2000)}")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"celled margin mining must not nested-loop either side:\n${plan.take(2000)}")
+  }
+
   test("ext_audio_fp: fingerprinting is scan-side — payload bytes never shuffle") {
     val plan = planOf("ext_audio_fp")
     assert(!plan.contains("Join"), s"fingerprint extraction must not join:\n${plan.take(2000)}")

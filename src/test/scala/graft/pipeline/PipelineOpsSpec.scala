@@ -496,6 +496,37 @@ class PipelineOpsSpec extends SparkSpec {
     assert(gotR == wantPairs, s"\n$gotR\nvs reference\n$wantPairs")
   }
 
+  test("marginMinedPairsIvf: full probe == exact; partial probe recovers in-cell pairs") {
+    val dim = 8
+    val nCells = 4
+    val cents = Similarity.defaultCentroids(dim, nCells)
+    val rnd = new scala.util.Random(11)
+    // src/tgt planted NEAR the centroids themselves (cluster c holds
+    // src 3c..3c+2 and tgt 100+3c..100+3c+2), so every true pair is
+    // in-cell by construction
+    def near(c: Int): Array[Double] =
+      cents(c).toArray.map(_ * 10.0 + rnd.nextDouble() * 0.01)
+    val src = (0 until 12).map(i => (i.toLong, near(i / 3)))
+    val tgt = (0 until 12).map(i => (100L + i, near(i / 3)))
+    val sdf = src.toDF("vec_id", "embedding")
+    val tdf = tgt.toDF("vec_id", "embedding")
+    val exact = Similarity.marginMinedPairs(sdf, tdf, k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // nprobe = nCells: the candidate set IS the cross product, so the
+    // celled form must reproduce the exact output bit-for-bit
+    val full = Similarity.marginMinedPairsIvf(sdf, tdf, cents, k = 2, nprobe = nCells)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(full == exact, s"full-probe celled diverged:\n$full\nvs exact\n$exact")
+    // nprobe = 1: neighborhood sums see cell-mates only, so margins can
+    // differ, but the SELECTED mutual pairs (all in-cell here) must
+    // survive the celled candidate generation
+    val celled = Similarity.marginMinedPairsIvf(sdf, tdf, cents, k = 2, nprobe = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exactPairs = exact.map(p => (p._1, p._2))
+    assert(celled == exactPairs,
+      s"in-cell planted pairs must survive nprobe=1:\n$celled\nvs\n$exactPairs")
+  }
+
   // ------------------------------------------------------- duplicate spans
 
   test("duplicateSpans: a shared run surfaces in every holder; unique text is silent") {
