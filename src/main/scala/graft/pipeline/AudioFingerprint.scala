@@ -12,16 +12,17 @@ import org.apache.spark.storage.StorageLevel
   * dedup is blind to all of it.
   *
   * Fingerprint: the sign of FRAME-ENERGY DELTAS — frame the PCM stream
-  * into 33 equal spans, take each frame's integer energy E_f = Σ|s|, and
-  * set bit f iff E_f > E_{f+1}. This is the time-axis member of the
-  * energy-difference fingerprint family (Haitsma & Kalker, "A Highly
-  * Robust Audio Fingerprinting System", ISMIR 2002 — their full design
-  * differences over time AND frequency bands; the frequency axis needs
-  * an FFT, which belongs behind the [[Multimodal.MediaDecoder]] codec
-  * seam with the other signal-processing decodes). Energy-delta signs
-  * survive volume scaling (monotone per-frame) and small edits; all
-  * arithmetic is integer, so the same payload fingerprints identically
-  * on any engine and the 32-bit fingerprints are at-rest artifacts.
+  * into 65 equal spans, take each frame's integer energy E_f = Σ|s|, and
+  * set bit f iff E_f > E_{f+1} (64 deltas → a full 64-bit word). This is
+  * the time-axis member of the energy-difference fingerprint family
+  * (Haitsma & Kalker, "A Highly Robust Audio Fingerprinting System",
+  * ISMIR 2002 — their full design differences over time AND frequency
+  * bands; the frequency axis needs an FFT, which belongs behind the
+  * [[Multimodal.MediaDecoder]] codec seam with the other
+  * signal-processing decodes). Energy-delta signs survive volume scaling
+  * (monotone per-frame) and small edits; all arithmetic is integer, so
+  * the same payload fingerprints identically on any engine and the
+  * 64-bit fingerprints are at-rest artifacts.
   *
   * DECODE layer, same discipline as [[ImageHash.parseRasterGray]] /
   * [[Multimodal.parseAudio]]: pure byte arithmetic over RIFF/WAVE 16-bit
@@ -33,8 +34,10 @@ import org.apache.spark.storage.StorageLevel
   * Scale shape: fingerprinting is a partition-preserving typed
   * mapPartitions (payload bytes never shuffle; the emitted row is
   * fixed-width); the pair join blocks on the fingerprint's 4 disjoint
-  * 8-bit bands — band agreement is pigeonhole-complete for Hamming
-  * distance <= 3, the same recall contract as the image banding.
+  * 16-bit bands — band agreement is pigeonhole-complete for Hamming
+  * distance <= 3, and 65,536 buckets per band keep per-bucket candidate
+  * sets sublinear as the corpus grows (the [[ImageHash.imageNearDups]]
+  * cardinality, which 8-bit bands' 256 buckets could not).
   */
 object AudioFingerprint {
 
@@ -99,20 +102,21 @@ object AudioFingerprint {
     PcmAudio(sampleRate, channels, out)
   }
 
-  /** 32-bit energy-delta-sign fingerprint over `frames` equal spans
-    * (default 33 → 32 deltas). Frame f covers samples
+  /** 64-bit energy-delta-sign fingerprint over `frames` equal spans
+    * (default 65 → 64 deltas — a full word, so the near-dup banding
+    * gets four 16-bit bands). Frame f covers samples
     * [f*n/frames, (f+1)*n/frames) — integer boundaries, so uneven
     * lengths distribute deterministically. Bit f set iff E_f > E_{f+1}
     * (strict; ties → 0). Fails fast when the clip is shorter than the
     * frame count — a sub-frame clip cannot carry the fingerprint's
     * semantics and must surface, not hash to garbage.
     */
-  def energyFingerprint32(samples: Array[Int], frames: Int = 33): Long = {
-    require(frames >= 2 && frames <= 64, s"frames must be in [2, 64], got $frames")
+  def energyFingerprint64(samples: Array[Int], frames: Int = 65): Long = {
+    require(frames >= 2 && frames <= 65, s"frames must be in [2, 65], got $frames")
     val n = samples.length
     if (n < frames)
       throw new IllegalArgumentException(
-        s"energyFingerprint32: clip of $n samples shorter than $frames frames")
+        s"energyFingerprint64: clip of $n samples shorter than $frames frames")
     val e = new Array[Long](frames)
     var f = 0
     while (f < frames) {
@@ -146,7 +150,7 @@ object AudioFingerprint {
         try {
           val a = parsePcm16(payload)
           AudioFp(id, a.sampleRate.toLong, a.samples.length.toLong,
-            energyFingerprint32(a.samples))
+            energyFingerprint64(a.samples))
         } catch {
           case e: IllegalArgumentException =>
             throw new IllegalArgumentException(s"media_id=$id: ${e.getMessage}", e)
@@ -155,9 +159,11 @@ object AudioFingerprint {
   }
 
   /** Audio near-dup pairs within Hamming distance <= maxDist over the
-    * 32-bit fingerprint, blocked by its 4 disjoint 8-bit bands
+    * 64-bit fingerprint, blocked by its 4 disjoint 16-bit bands
     * (pigeonhole-complete to distance 3, enforced — the
-    * [[ImageHash.imageNearDups]] shape on the audio substrate).
+    * [[ImageHash.imageNearDups]] shape and bucket cardinality on the
+    * audio substrate: 65,536 buckets per band, so the banded self-join's
+    * per-bucket candidate sets stay sublinear at corpus scale).
     * Output (id1, id2, dist), id1 < id2.
     */
   def audioNearDups(
@@ -166,10 +172,10 @@ object AudioFingerprint {
       idCol: String = "media_id",
       fpCol: String = "fp"): DataFrame = {
     require(maxDist >= 0 && maxDist <= 3,
-      s"audioNearDups: 4×8-bit banding guarantees recall only to distance 3, got $maxDist")
+      s"audioNearDups: 4×16-bit banding guarantees recall only to distance 3, got $maxDist")
     val sub = fps.select(col(idCol), col(fpCol).cast("long").as("__h"))
       .withColumn("__band", explode(expr(
-        "transform(sequence(0, 3), b -> struct(b as b, shiftright(__h, b * 8) & 255 as v))")))
+        "transform(sequence(0, 3), b -> struct(b as b, shiftright(__h, b * 16) & 65535 as v))")))
       .select(col(idCol), col("__h"), col("__band.b").as("__b"), col("__band.v").as("__v"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     sub.as("x").join(sub.as("y"), Seq("__b", "__v"))

@@ -394,11 +394,11 @@ object PipelineQueries {
     s"((($d) % 997 + 1) * ($t) * ($t) + (13 + ($d) % 89) * ($t) + ($d)) % 4001 - 2000 + " +
       s"(CASE WHEN ($v) AND ($t) % 97 = 0 THEN 3 ELSE 0 END)"
 
-  /** Samples per fingerprint clip: a multiple of the 33 fingerprint
+  /** Samples per fingerprint clip: a multiple of the 65 fingerprint
     * frames so the oracle's frame sums use a plain stride (uneven
     * lengths are spec-covered against the Scala reference).
     */
-  private def audioFpLenD(d: String): String = s"(330 + (($d) % 5) * 33)"
+  private def audioFpLenD(d: String): String = s"(650 + (($d) % 5) * 65)"
 
   /** REAL mono 16-bit PCM WAV payloads whose samples follow
     * [[audioSampleD]] — the fingerprint substrate (audioMedia's zero-fill
@@ -467,14 +467,20 @@ object PipelineQueries {
     * v) → `afe` frame energies → `aff` (media_id, fp).
     */
   private def audioFpSqlD: String = {
-    val m = "(10 + g.d % 5)" // frame stride = n / 33
+    val m = "(10 + g.d % 5)" // frame stride = n / 65
     val samp = audioSampleD("g.d", s"(f * $m + j)", "g.v")
+    // delta 63 (the sign bit) is added as min-long separately: DuckDB's
+    // `1::BIGINT << 63` raises an overflow error, while the two's-
+    // complement SUM of disjoint bit values (with -2^63 standing in for
+    // bit 63) equals the Scala `|=` result exactly
     s"afg AS (SELECT doc_id AS media_id, doc_id AS d, false AS v FROM documents " +
       "UNION ALL SELECT doc_id + 1000000, doc_id, true FROM documents WHERE doc_id % 10 = 0), " +
-      s"afe AS (SELECT media_id, g.d, list_transform(range(33), f -> " +
+      s"afe AS (SELECT media_id, g.d, list_transform(range(65), f -> " +
       s"list_sum(list_transform(range($m), j -> abs($samp)))) AS e FROM afg g), " +
-      "aff AS (SELECT media_id, d, CAST(list_sum(list_transform(range(32), k -> " +
-      "CASE WHEN e[k + 1] > e[k + 2] THEN (1::BIGINT << k) ELSE 0 END)) AS BIGINT) AS fp FROM afe)"
+      "aff AS (SELECT media_id, d, CAST(list_sum(list_transform(range(63), k -> " +
+      "CASE WHEN e[k + 1] > e[k + 2] THEN (1::BIGINT << k) ELSE 0 END)) " +
+      "+ CASE WHEN e[64] > e[65] THEN (-9223372036854775807 - 1) ELSE 0 END " +
+      "AS BIGINT) AS fp FROM afe)"
   }
 
   /** REAL MP4 box trees (ftyp + moov[mvhd + trak[tkhd]]) with

@@ -56,7 +56,7 @@ class AudioFingerprintSpec extends SparkSpec {
   }
 
   /** Independent frame-energy reference (same recurrence, plain Scala). */
-  private def refFp(s: Array[Int], frames: Int = 33): Long = {
+  private def refFp(s: Array[Int], frames: Int = 65): Long = {
     val e = (0 until frames).map { f =>
       val from = f.toLong * s.length / frames
       val until = (f + 1).toLong * s.length / frames
@@ -67,26 +67,33 @@ class AudioFingerprintSpec extends SparkSpec {
     }
   }
 
-  test("energyFingerprint32: matches the reference on uneven lengths; short clips fail") {
+  test("energyFingerprint64: matches the reference on uneven lengths; short clips fail") {
     val rnd = new scala.util.Random(42)
-    for (n <- Seq(33, 34, 100, 331, 462, 1000)) {
+    for (n <- Seq(65, 66, 100, 331, 650, 1000)) {
       val s = Array.fill(n)(rnd.nextInt(4001) - 2000)
-      assert(energyFingerprint32(s) == refFp(s), s"n=$n")
+      assert(energyFingerprint64(s) == refFp(s), s"n=$n")
     }
-    intercept[IllegalArgumentException](energyFingerprint32(Array.fill(32)(1)))
+    intercept[IllegalArgumentException](energyFingerprint64(Array.fill(64)(1)))
   }
 
-  test("energyFingerprint32: survives volume scaling and small perturbations") {
+  test("energyFingerprint64: survives volume scaling and small perturbations; fills all 64 bits") {
     val rnd = new scala.util.Random(7)
-    val s = Array.fill(330)(rnd.nextInt(4001) - 2000)
+    val s = Array.fill(650)(rnd.nextInt(4001) - 2000)
     // volume scaling is monotone on every frame energy: delta signs hold
     // wherever the original had no tie
-    assert(energyFingerprint32(s.map(_ * 2)) == energyFingerprint32(s))
+    assert(energyFingerprint64(s.map(_ * 2)) == energyFingerprint64(s))
     // a +3 bump on every 97th sample moves at most a few bits
     val perturbed = s.zipWithIndex.map { case (v, i) => if (i % 97 == 0) v + 3 else v }
     val dist = java.lang.Long.bitCount(
-      energyFingerprint32(s) ^ energyFingerprint32(perturbed))
+      energyFingerprint64(s) ^ energyFingerprint64(perturbed))
     assert(dist <= 3, s"perturbation moved $dist bits")
+    // the sign bit (delta 63) is live: some random clip must set it —
+    // the banding's top 16-bit band would otherwise carry 15 bits only
+    val hits = (0 until 50).map { i =>
+      val c = Array.fill(650)(rnd.nextInt(4001) - 2000)
+      energyFingerprint64(c)
+    }
+    assert(hits.exists(_ < 0L), "bit 63 never set across 50 random clips")
   }
 
   test("audioFingerprint: corrupt payloads fail with their media identity") {
@@ -99,11 +106,12 @@ class AudioFingerprintSpec extends SparkSpec {
 
   test("audioNearDups: banding reproduces brute-force pairs at distance <= 3") {
     val rnd = new scala.util.Random(11)
-    // random 32-bit fps plus planted near pairs at distances 0..3
-    val base = (0 until 60).map(i => (i.toLong, rnd.nextLong() & 0xffffffffL))
+    // random 64-bit fps (sign bit included) plus planted near pairs at
+    // distances 0..3, with mutations spread across all four 16-bit bands
+    val base = (0 until 60).map(i => (i.toLong, rnd.nextLong()))
     val planted = (0 until 4).map { d =>
       val (id, fp) = base(d * 7)
-      val mutated = (0 until d).foldLeft(fp)((f, k) => f ^ (1L << ((k * 11 + d) % 32)))
+      val mutated = (0 until d).foldLeft(fp)((f, k) => f ^ (1L << ((k * 23 + d) % 64)))
       (1000L + d, mutated)
     }
     val all = base ++ planted
@@ -120,7 +128,7 @@ class AudioFingerprintSpec extends SparkSpec {
 
   test("end-to-end: assembled WAV variants pair with their originals") {
     def clip(d: Int, perturb: Boolean): Array[Int] =
-      Array.tabulate(330 + (d % 5) * 33) { t =>
+      Array.tabulate(650 + (d % 5) * 65) { t =>
         val s = ((d % 997 + 1) * t * t + (13 + d % 89) * t + d) % 4001 - 2000
         if (perturb && t % 97 == 0) s + 3 else s
       }
