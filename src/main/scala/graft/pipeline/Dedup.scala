@@ -997,29 +997,77 @@ object Dedup {
     labels
   }
 
-  /** [[connectedComponents]] with the star-contraction fallback wired in:
-    * run min-label for up to `minLabelIters` rounds (the cheap path for
-    * band-generated near-dup graphs, diameter ≲ a few), and if the graph
-    * turns out adversarial — a component whose diameter exceeds the
-    * budget — rerun with [[connectedComponentsStar]] instead of failing.
-    * The fallback restarts from the edges (min-label progress is per-node
-    * labels, not contracted edges, so nothing transfers), which costs at
-    * most the budgeted min-label rounds — bounded and rare by
-    * construction. Dispatch is deterministic: the same input either
-    * converges in the same rounds or falls back identically.
+  /** [[connectedComponents]] with two adaptive paths wired in:
+    *
+    *  - SMALL GRAPHS take a bounded driver union-find: the post-threshold
+    *    near-dup pair graph is tiny relative to the corpus (pairs are
+    *    what dedup REMOVES), and at that size every distributed min-label
+    *    round is pure fixed overhead — a join, an aggregation, a
+    *    checkpoint, and a driver barrier per round just to relabel a few
+    *    thousand nodes (measured: 1.75 s of ext_dedup_minhash_incr's
+    *    4.1 s was CC over 1,308 edges). The probe is `take(limit + 1)`
+    *    on the long-cast edge projection — it stops scanning as soon as
+    *    the graph proves big, and `driverEdgeLimit` edges of two longs
+    *    bound driver memory the way the k-centroid collects do. Output
+    *    is identical by construction (comp = min reachable id,
+    *    spec-asserted against the distributed path).
+    *  - LARGE graphs (or non-long ids) run min-label for up to
+    *    `minLabelIters` rounds (the cheap distributed path for
+    *    band-generated near-dup graphs, diameter ≲ a few), and if the
+    *    graph turns out adversarial — a component whose diameter exceeds
+    *    the budget — rerun with [[connectedComponentsStar]] instead of
+    *    failing. The fallback restarts from the edges (min-label progress
+    *    is per-node labels, not contracted edges, so nothing transfers),
+    *    which costs at most the budgeted min-label rounds — bounded and
+    *    rare by construction.
+    *
+    * Dispatch is deterministic: the same input takes the same path and
+    * every path yields the same (id, comp = min reachable id) labels.
     */
   def connectedComponentsAuto(
       pairs: DataFrame,
       idA: String = "id1",
       idB: String = "id2",
       minLabelIters: Int = 12,
-      starIters: Int = 50): DataFrame =
-    try connectedComponents(pairs, idA, idB, minLabelIters)
-    catch {
-      case e: IllegalArgumentException if e.getMessage != null &&
-          e.getMessage.contains("did not converge") =>
-        connectedComponentsStar(pairs, idA, idB, starIters)
+      starIters: Int = 50,
+      driverEdgeLimit: Int = 500000): DataFrame = {
+    import org.apache.spark.sql.types.LongType
+    val longIds = pairs.schema(idA).dataType == LongType &&
+      pairs.schema(idB).dataType == LongType
+    val small = if (!longIds || driverEdgeLimit <= 0) None else {
+      val rows = pairs.select(col(idA), col(idB)).take(driverEdgeLimit + 1)
+      if (rows.length > driverEdgeLimit) None else Some(rows)
     }
+    small match {
+      case Some(rows) =>
+        // path-compressing union-find with min-id roots
+        val parent = scala.collection.mutable.Map.empty[Long, Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrElse(r, r) != r) r = parent(r)
+          var c = x
+          while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+          r
+        }
+        rows.foreach { r =>
+          val (a, b) = (r.getLong(0), r.getLong(1))
+          parent.getOrElseUpdate(a, a)
+          parent.getOrElseUpdate(b, b)
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+        }
+        val spark = pairs.sparkSession
+        import spark.implicits._
+        parent.keysIterator.map(id => (id, find(id))).toSeq.toDF("id", "comp")
+      case None =>
+        try connectedComponents(pairs, idA, idB, minLabelIters)
+        catch {
+          case e: IllegalArgumentException if e.getMessage != null &&
+              e.getMessage.contains("did not converge") =>
+            connectedComponentsStar(pairs, idA, idB, starIters)
+        }
+    }
+  }
 
   /** Star-contraction connected components — the documented upgrade path
     * for graphs where [[connectedComponents]]' min-label O(diameter)

@@ -1267,7 +1267,7 @@ object PipelineQueries {
       val aug = nearAug(Tables.documents(s, dir))
       // pairs come from the staged pair store (a dedup-pass artifact, built
       // once per corpus); the query pays CC + scoring + the election only
-      val comps = Dedup.connectedComponents(pairStoreFor(s, dir))
+      val comps = Dedup.connectedComponentsAuto(pairStoreFor(s, dir))
       val labeled = aug.select("doc_id")
         .join(comps.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
         .select(col("doc_id"), coalesce(col("comp"), col("doc_id")).as("cluster_id"))
@@ -1291,7 +1291,7 @@ object PipelineQueries {
     // the post-pair step that makes dedup safe under chained duplicates
     // ((A,B) + (B,C) ⇒ one {A,B,C} cluster, one keeper)
     "ext_dedup_clusters" -> ((s, dir) => {
-      val comps = Dedup.connectedComponents(pairStoreFor(s, dir))
+      val comps = Dedup.connectedComponentsAuto(pairStoreFor(s, dir))
       // universe = the CORPUS, not the shingle table: a document too short
       // to shingle (< 3 tokens) has no sh rows but must still surface as a
       // singleton keeper rather than silently vanish from the election
@@ -1311,7 +1311,7 @@ object PipelineQueries {
     // data-card statistic of any dedup pass (how much corpus mass sits at
     // each duplication multiplicity; sum(n_clusters) = post-dedup size)
     "ext_dedup_stats" -> ((s, dir) => {
-      val comps = Dedup.connectedComponents(pairStoreFor(s, dir))
+      val comps = Dedup.connectedComponentsAuto(pairStoreFor(s, dir))
       val labeled = nearAug(Tables.documents(s, dir)).select("doc_id")
         .join(comps.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
         .select(col("doc_id"), coalesce(col("comp"), col("doc_id")).as("cluster_id"))
@@ -1322,7 +1322,7 @@ object PipelineQueries {
     // duplicated content trains at its deduplicated rate; weights feed
     // the rate-driven samplers directly
     "ext_dedup_soft" -> ((s, dir) => {
-      val comps = Dedup.connectedComponents(pairStoreFor(s, dir))
+      val comps = Dedup.connectedComponentsAuto(pairStoreFor(s, dir))
       val labeled = nearAug(Tables.documents(s, dir)).select("doc_id")
         .join(comps.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
         .select(col("doc_id"), coalesce(col("comp"), col("doc_id")).as("cluster_id"))
@@ -1780,7 +1780,7 @@ object PipelineQueries {
       val media = rasterMediaStore(s, dir, withVariants = true)
       val pairs = ImageHash.imageNearDups(
         ImageHash.imagePhash(media), maxDist = 3)
-      val comps = Dedup.connectedComponents(pairs)
+      val comps = Dedup.connectedComponentsAuto(pairs)
       media.select("media_id")
         .join(comps.withColumnRenamed("id", "media_id"), Seq("media_id"), "left")
         .select(col("media_id"),

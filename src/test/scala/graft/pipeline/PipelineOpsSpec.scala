@@ -312,18 +312,40 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got == Map(1L -> 1L, 2L -> 1L, 9L -> 9L))
   }
 
-  test("connectedComponentsAuto: short graphs use min-label, a long chain falls back to star") {
-    // well-within-budget graph: identical to min-label output
+  test("connectedComponentsAuto: small graphs take the driver union-find; == distributed") {
+    // well-within-limit graph: the bounded union-find path, same labels
     val pairs = Seq((2L, 1L), (2L, 3L), (5L, 4L)).toDF("id1", "id2")
     val got = Dedup.connectedComponentsAuto(pairs).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L))
-    // a 200-node chain blows the 12-round min-label budget; auto must
-    // fall back to star contraction and still label everything 0
+    // property: driver path == forced-distributed path on random graphs
+    // (including duplicate and self edges)
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(seed + 300)
+      val rp = Seq.fill(80)((rnd.nextInt(50).toLong, rnd.nextInt(50).toLong))
+        .toDF("id1", "id2")
+      val driver = Dedup.connectedComponentsAuto(rp).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val dist = Dedup.connectedComponentsAuto(rp, driverEdgeLimit = 0).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(driver == dist, s"seed $seed: driver $driver vs distributed $dist")
+    }
+  }
+
+  test("connectedComponentsAuto: over the driver limit, min-label runs; long chains fall back to star") {
+    // force the distributed arm with driverEdgeLimit=0: a 200-node chain
+    // blows the 12-round min-label budget; auto must fall back to star
+    // contraction and still label everything 0
     val chain = (0L until 199L).map(i => (i, i + 1)).toDF("id1", "id2")
-    val labels = Dedup.connectedComponentsAuto(chain).collect()
+    val labels = Dedup.connectedComponentsAuto(chain, driverEdgeLimit = 0).collect()
       .map(r => r.getLong(0) -> r.getLong(1))
     assert(labels.length == 200 && labels.forall(_._2 == 0L))
+    // a tiny driver limit routes even a 3-edge graph distributed — the
+    // probe must not mislabel (take(limit+1) sees only part of the graph)
+    val pairs = Seq((2L, 1L), (2L, 3L), (5L, 4L)).toDF("id1", "id2")
+    val got = Dedup.connectedComponentsAuto(pairs, driverEdgeLimit = 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L))
   }
 
   test("connectedComponentsStar: a 1000-node chain converges in O(log n) rounds") {
