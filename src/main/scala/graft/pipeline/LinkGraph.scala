@@ -21,10 +21,15 @@ import org.apache.spark.storage.StorageLevel
   *     arithmetic (deterministic across engines — no float drift; the
   *     repo's *_ppm convention).
   *
-  * Scope, documented: ABSOLUTE http(s) hrefs only. Relative links need
-  * a base-URL resolution pass that is out of scope here (most crawl
-  * formats store absolute target URLs); they extract as rows with a
-  * NULL target domain and drop out of the edge list, visibly.
+  * Raw markup hrefs are majority RELATIVE; [[resolveLinks]] is the
+  * RFC 3986 base-URL resolution pass ([[UrlOps.resolveHref]], one
+  * native-kernel call per row) that turns them absolute against the
+  * document's provenance URL — protocol-relative `//host/…` links are
+  * the ones that create CROSS-domain edges from non-absolute markup,
+  * and path-relative links resolve to the provenance host (self-edges
+  * the domain graph then drops, visibly). Unresolvable references
+  * (non-http(s) base or target) resolve to NULL and drop out of the
+  * edge list, visibly.
   *
   * Scale shape: extraction is a scan-side projection; the edge list is
   * one groupBy keyed by fixed-width (src, dst) domain strings (the
@@ -54,6 +59,18 @@ object LinkGraph {
          |  regexp_extract_all($htmlCol, "(?i)<a\\\\b[^>]*?href\\\\s*=\\\\s*'([^']*)'", 1))""".stripMargin)
     docs.select((col(idCol) +: keepCols.map(col)) :+ explode(hrefs).as("href"): _*)
   }
+
+  /** RFC 3986 resolution over an extracted link table: rewrites
+    * `hrefCol` to the absolute http(s) URL it denotes relative to the
+    * row's provenance URL (`urlCol`), NULL when unresolvable — the pass
+    * between [[extractLinks]]/[[extractAnchors]] and the domain-level
+    * consumers. Scan-side, stateless-streaming legal.
+    */
+  def resolveLinks(
+      links: DataFrame,
+      urlCol: String = "url",
+      hrefCol: String = "href"): DataFrame =
+    links.withColumn(hrefCol, UrlOps.resolveHref(col(urlCol), col(hrefCol)))
 
   /** Anchor (href, text) pairs, exploded one row per link: (idCol, href,
     * anchor). The anchor text is the run up to the first nested tag or

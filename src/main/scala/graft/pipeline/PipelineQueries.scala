@@ -142,9 +142,16 @@ object PipelineQueries {
       .when(i % 7 === 0, concat(lit("site"), i, lit(".github.io")))
       .otherwise(concat(lit("www.site"), i, lit(".com")))
 
+  // raw markup hrefs across the RFC 3986 reference classes: absolute-path
+  // relative (resolves to the doc's own host — a self-edge the domain
+  // graph drops), protocol-relative (the class that creates CROSS-domain
+  // edges from non-absolute markup), dot-segment relative (own host,
+  // exercises remove_dot_segments), and plain absolute
   private def linkHref(d: Column, k: Int): Column = {
     val t = (d * 3 + lit(7 * k + 1)) % 40
     when(t % 13 === 0, concat(lit("/local/"), t))
+      .when(t % 13 === 1, concat(lit("//"), siteHost(t), lit("/p/"), t * 97 + lit(k)))
+      .when(t % 13 === 2, concat(lit("../rel/"), t))
       .otherwise(concat(lit("https://"), siteHost(t), lit("/p/"), t * 97 + lit(k)))
   }
 
@@ -254,16 +261,26 @@ object PipelineQueries {
       "THEN plen * 2 + CASE WHEN r.allow THEN 1 ELSE 0 END ELSE -1 END) AS enc " +
       "FROM ud LEFT JOIN rrule r ON r.host = ud.host GROUP BY 1, 2, 3)"
 
+  /** The RESOLVED form of [[linkHref]] arm `k` — the oracle replays
+    * RFC 3986 resolution closed-form (base = the doc's own https URL):
+    * path-relative arms land on the doc's own host, protocol-relative
+    * picks up the base scheme, absolute passes through; every href of
+    * an unparseable-provenance doc resolves to NULL.
+    */
   private def linkHrefD(k: Int): String = {
     val t = s"((doc_id * 3 + ${7 * k + 1}) % 40)"
-    s"(CASE WHEN $t % 13 = 0 THEN '/local/' || $t " +
+    s"(CASE WHEN doc_id % 13 = 0 THEN NULL " +
+      s"WHEN $t % 13 = 0 THEN 'https://' || ${siteHostD("doc_id % 40")} || '/local/' || $t " +
+      s"WHEN $t % 13 = 1 THEN 'https://' || ${siteHostD(t)} || '/p/' || ($t * 97 + $k) " +
+      s"WHEN $t % 13 = 2 THEN 'https://' || ${siteHostD("doc_id % 40")} || '/rel/' || $t " +
       s"ELSE 'https://' || ${siteHostD(t)} || '/p/' || ($t * 97 + $k) END)"
   }
 
-  // the twin synthesizes (url, href) pairs closed-form — no HTML parse —
-  // so extraction bugs show up as mismatches. `lad` is the doc-level
-  // (doc_id, url) view; `la` explodes the three hrefs. Operator lines
-  // trail (the interpolation-into-stripMargin rule).
+  // the twin synthesizes (url, RESOLVED href) pairs closed-form — no
+  // HTML parse, no resolver — so extraction AND RFC 3986 resolution bugs
+  // both show up as mismatches. `lad` is the doc-level (doc_id, url)
+  // view; `la` explodes the three resolved hrefs. Operator lines trail
+  // (the interpolation-into-stripMargin rule).
   private def linkAugSql: String =
     s"lad AS (SELECT doc_id, CASE WHEN doc_id % 13 = 0 THEN 'mailto:someone@example.com' " +
       s"ELSE 'https://' || ${siteHostD("doc_id % 40")} || '/p/' || doc_id END AS url FROM documents), " +
@@ -1061,12 +1078,15 @@ object PipelineQueries {
     }),
 
     // hyperlink domain graph: scan-side href extraction from the page
-    // markup → registrable-domain edges with link counts (self-edges and
-    // no-domain sides drop — intra-domain navigation is not endorsement)
+    // markup → RFC 3986 base-URL resolution (protocol-relative links are
+    // the non-absolute class that creates cross-domain edges) →
+    // registrable-domain edges with link counts (self-edges and
+    // unresolvable sides drop — intra-domain navigation is not
+    // endorsement)
     "ext_link_graph" -> ((s, dir) => {
       val la = linkAug(Tables.documents(s, dir))
-      LinkGraph.linkDomainEdges(
-          LinkGraph.extractLinks(la, keepCols = Seq("url")))
+      LinkGraph.linkDomainEdges(LinkGraph.resolveLinks(
+          LinkGraph.extractLinks(la, keepCols = Seq("url"))))
         .orderBy("src", "dst")
     }),
 
@@ -1074,8 +1094,8 @@ object PipelineQueries {
     // Common-Crawl-style centrality prior quality weighting consumes
     "ext_pagerank" -> ((s, dir) => {
       val la = linkAug(Tables.documents(s, dir))
-      val edges = LinkGraph.linkDomainEdges(
-        LinkGraph.extractLinks(la, keepCols = Seq("url")))
+      val edges = LinkGraph.linkDomainEdges(LinkGraph.resolveLinks(
+        LinkGraph.extractLinks(la, keepCols = Seq("url"))))
       LinkGraph.pageRankPpm(edges)
         .withColumnRenamed("node", "domain")
         .orderBy("domain")
@@ -1087,8 +1107,8 @@ object PipelineQueries {
     // → rank-weighted cap over the same corpus's provenance
     "ext_rank_cap" -> ((s, dir) => {
       val la = linkAug(Tables.documents(s, dir))
-      val edges = LinkGraph.linkDomainEdges(
-        LinkGraph.extractLinks(la, keepCols = Seq("url")))
+      val edges = LinkGraph.linkDomainEdges(LinkGraph.resolveLinks(
+        LinkGraph.extractLinks(la, keepCols = Seq("url"))))
       val ranks = LinkGraph.pageRankPpm(edges).withColumnRenamed("node", "domain")
       UrlOps.domainCapByRank(la.select("doc_id", "url"), ranks,
           baseCap = 10L, maxCap = 40L)
@@ -1106,9 +1126,11 @@ object PipelineQueries {
 
     // anchor-text harvest: how the web DESCRIBES each domain — the
     // (anchor text → target) pairs retrieval training mines; extraction
-    // recovers both attribute quote styles, relative targets drop
+    // recovers both attribute quote styles, targets resolve per RFC 3986
+    // (relative anchors land on the doc's own domain)
     "ext_anchor_text" -> ((s, dir) => {
-      val an = LinkGraph.extractAnchors(linkAug(Tables.documents(s, dir)))
+      val an = LinkGraph.resolveLinks(LinkGraph.extractAnchors(
+        linkAug(Tables.documents(s, dir)), keepCols = Seq("url")))
       LinkGraph.anchorTextStats(an).orderBy("dst_domain", "anchor_text")
     }),
 
@@ -1130,7 +1152,7 @@ object PipelineQueries {
         .select(col("doc_id"), lit(true).as("__oo"))
       val la = linkAug(Tables.documents(s, dir))
       val ranks = LinkGraph.pageRankPpm(LinkGraph.linkDomainEdges(
-          LinkGraph.extractLinks(la, keepCols = Seq("url"))))
+          LinkGraph.resolveLinks(LinkGraph.extractLinks(la, keepCols = Seq("url")))))
         .withColumnRenamed("node", "domain")
       val cap = UrlOps.domainCapByRank(docs.select("doc_id", "url"), ranks,
           baseCap = 10L, maxCap = 40L)
@@ -2514,13 +2536,23 @@ object PipelineQueries {
 
     // anchor text: the twin emits (target site, text) pairs closed-form —
     // extraction bugs (quote styles, truncation, zipping) hash-mismatch
+    // anchor text after RESOLUTION: path-relative arms (t%13 in 0, 2)
+    // land on the doc's OWN domain, protocol-relative and absolute arms
+    // on site t, and the nav "<a href='/'>Home</a>" every page carries
+    // resolves to its own domain too; unparseable-provenance docs
+    // resolve nothing
     "ext_anchor_text" ->
       s"""WITH at AS (SELECT doc_id, unnest([(doc_id * 3 + 1) % 40,
-         |        (doc_id * 3 + 8) % 40, (doc_id * 3 + 15) % 40]) AS t FROM documents)
-         |SELECT ${siteDomainD("t")} AS dst_domain,
-         |  'link to site ' || t AS anchor_text, CAST(count(*) AS BIGINT) AS n
-         |FROM at WHERE t % 13 <> 0
-         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+         |        (doc_id * 3 + 8) % 40, (doc_id * 3 + 15) % 40]) AS t FROM documents
+         |      WHERE doc_id % 13 <> 0),
+         |ad AS (SELECT CASE WHEN t % 13 IN (0, 2) THEN ${siteDomainD("doc_id % 40")}
+         |         ELSE ${siteDomainD("t")} END AS dst_domain,
+         |       'link to site ' || t AS anchor_text FROM at
+         |      UNION ALL
+         |      SELECT ${siteDomainD("doc_id % 40")}, 'Home' FROM documents
+         |      WHERE doc_id % 13 <> 0)
+         |SELECT dst_domain, anchor_text, CAST(count(*) AS BIGINT) AS n
+         |FROM ad GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // crawl policy: all three axes from their own shared CTE chains —
     // robots decision (robotsSqlD), PageRank (linkAugSql + unrolled

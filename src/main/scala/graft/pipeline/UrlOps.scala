@@ -130,6 +130,18 @@ object UrlOps {
   def registrableDomain(url: Column): Column =
     graft.functions.RegistrableDomain.of(url)
 
+  /** RFC 3986 reference resolution: the absolute http(s) URL `href`
+    * denotes relative to `base` (the document's provenance URL), or NULL
+    * when the base is not absolute http(s) or the reference resolves
+    * outside http(s) (mailto:, javascript:, …). Handles absolute,
+    * protocol-relative (`//h/p`), absolute-path, relative-path with
+    * dot segments, query-only, and empty/fragment-only references; see
+    * [[graft.functions.ResolveHref]] for the class-by-class contract.
+    * One native-kernel call per row (stays in whole-stage codegen).
+    */
+  def resolveHref(base: Column, href: Column): Column =
+    graft.functions.ResolveHref.of(base, href)
+
   /** Lowercased host of an http(s) URL, port stripped — the ORIGIN key
     * (what a robots.txt policy is scoped to per RFC 9309: each host
     * serves its own /robots.txt; an apex policy does NOT govern its
