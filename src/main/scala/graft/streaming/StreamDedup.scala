@@ -637,6 +637,49 @@ object StreamDedup {
     }
   }
 
+  /** THE FULL ONLINE PIPELINE — crawl GOVERNANCE chained into the
+    * web-INGEST dedup chain, stage order fixed in code (the enforced-
+    * composition discipline of [[webIngestStream]]/[[dedupedGate]]):
+    *
+    *   robots.txt consent (host-scoped stream-static join, stateless)
+    *   → domain opt-out (registrable-domain stream-static left-outer +
+    *     null-marker filter, stateless)
+    *   → [[webIngestStream]]: markup extract → canon-URL dedup →
+    *     per-domain cap → normalized-content dedup.
+    *
+    * The composition contract this type-level chaining enforces: a doc
+    * REJECTED by governance consumes NOTHING downstream — it claims no
+    * canon-URL slot, no domain-cap slot, and its content hash stays
+    * unseen (a robots-blocked fetch must not shadow a later lawful
+    * fetch of the same page; spec-asserted with exactly that feed).
+    * Both governance axes are STATELESS (rejection before any keyed
+    * state, and before the extraction projection — the cheapest
+    * elections run first, the batch chain's ordering), so the composed
+    * stream's state bill is exactly [[webIngestStream]]'s. The domain
+    * cap lives in the ingest chain, where it counts actual URL-election
+    * survivors — composing [[crawlAdmitStream]]'s counter IN FRONT of
+    * the ingest chain would double-cap (an admission slot spent on a
+    * doc the URL election then drops).
+    */
+  def crawlIngestStream(
+      docs: Dataset[WebDoc],
+      rules: DataFrame,
+      optOutDomains: DataFrame,
+      cap: Long): Dataset[WebIngestRow] = {
+    require(cap >= 1, s"crawlIngestStream: cap must be positive, got $cap")
+    import docs.sparkSession.implicits._
+    val admitted = graft.pipeline.Robots.robotsAllowed(
+        docs.toDF(), rules, keepCols = Seq("url", "html", "arrival"))
+      .where(col("allowed"))
+      .withColumn("domain", graft.pipeline.UrlOps.registrableDomain(col("url")))
+      .join(optOutDomains.select(col("domain")).distinct()
+        .withColumn("__oo", lit(true)), Seq("domain"), "left_outer")
+      .where(col("__oo").isNull)
+      .select(col("doc_id"), col("url"), col("html"), col("arrival"))
+      .as[WebDoc]
+    webIngestStream(admitted, cap)
+  }
+
   /** In-memory reference model of [[domainCapAdmit]]. */
   def domainCapReference(docs: Seq[CappedDocKey], cap: Long): Seq[CappedDoc] = {
     val counts = scala.collection.mutable.Map.empty[String, Long]

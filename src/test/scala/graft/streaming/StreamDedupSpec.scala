@@ -743,6 +743,89 @@ class StreamDedupSpec extends SparkSpec {
     }
   }
 
+  test("crawlIngestStream: governance -> ingest chained online; rejected docs consume nothing downstream") {
+    import graft.streaming.StreamDedup.{WebDoc, WebIngestRow}
+    implicit val sqlCtx = spark.sqlContext
+    def page(t: String) = s"<html><body><p>$t</p></body></html>"
+    val rules = Seq(("a.com", "/private", false), ("a.com", "/private/pub", true))
+      .toDF("host", "prefix", "allow")
+    val optOut = Seq(Tuple1("banned.org")).toDF("domain")
+    val tShared = "this body of content is long enough to classify as real page text"
+    val tOther = "a different body of content also long enough to classify as text"
+    val feed = Seq(
+      // robots-blocked fetch of /private/x: must claim NO url slot and
+      // NO content hash...
+      WebDoc(1L, "https://a.com/private/x", page(tShared), 1L),
+      // ...so the LAWFUL fetch of the byte-variant URL with the SAME
+      // content survives both elections
+      WebDoc(2L, "https://a.com/open?utm_source=f", page(tShared), 2L),
+      // a URL-duplicate of doc 1's blocked target, also blocked (robots
+      // applies per fetch, not per first-seen URL)
+      WebDoc(3L, "https://a.com/private/x?b=1", page(tOther), 3L),
+      // allow-exception path under the disallowed prefix: admitted
+      WebDoc(4L, "https://a.com/private/pub/y", page(tOther), 4L),
+      // opted-out domain: claims no domain slot, no content hash
+      WebDoc(5L, "https://banned.org/1", page(tOther + " banned"), 5L),
+      // same content as the opted-out doc on a lawful domain: kept
+      WebDoc(6L, "https://c.com/1", page(tOther + " banned"), 6L),
+      // cap 2 on c.com: 6 and 7 admitted, 8 capped out
+      WebDoc(7L, "https://c.com/2", page("more unique content for the second c page here"), 7L),
+      WebDoc(8L, "https://c.com/3", page("and a third unique body that the cap must reject"), 8L))
+
+    // axis-by-axis reference: batch robots + opt-out gate, then the
+    // webIngestReference fold over the gate's survivors
+    val allowedIds = graft.pipeline.Robots.robotsAllowed(
+        feed.toDF("doc_id", "url", "html", "arrival"), rules)
+      .where(col("allowed")).select("doc_id").as[Long].collect().toSet
+    val ooIds = graft.pipeline.UrlOps.domainOptOut(
+        feed.toDF("doc_id", "url", "html", "arrival"), optOut)
+      .select("doc_id").as[Long].collect().toSet
+    val gated = feed.filter(d => allowedIds(d.doc_id) && !ooIds(d.doc_id))
+    val stage0 = graft.pipeline.MarkupExtract.extract(
+        gated.toDF("doc_id", "url", "html", "arrival"), keep = Seq("url", "arrival"))
+      .select(col("doc_id"),
+        graft.pipeline.UrlOps.canonicalUrl(col("url")).as("canon_url"),
+        graft.pipeline.UrlOps.registrableDomain(col("url")).as("domain"),
+        col("arrival"),
+        org.apache.spark.sql.functions.md5(
+          graft.pipeline.TextAnalysis.normalizeExpr(col("text"))).as("content_md5"))
+      .as[WebIngestRow].collect().toSeq
+    val want = StreamDedup.webIngestReference(stage0, cap = 2L).sortBy(_.doc_id)
+    // the dispositions, stated: blocked 1 and 3 shadow nothing (2 keeps
+    // tShared, 4 keeps its URL), opted-out 5 shadows nothing (6 keeps
+    // the content), cap drops 8
+    assert(want.map(_.doc_id) == Seq(2L, 4L, 6L, 7L), s"fixture drifted: $want")
+
+    val confKey = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(confKey)
+    spark.conf.set(confKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      Seq(Seq(2, 4, 2), Seq.fill(8)(1), Seq(8)).zipWithIndex.foreach { case (split, si) =>
+        val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[WebDoc]
+        val name = s"crawl_ingest_out_$si"
+        val q = StreamDedup.crawlIngestStream(in.toDS(), rules, optOut, cap = 2L)
+          .writeStream.format("memory").queryName(name).outputMode("append").start()
+        try {
+          var rest = feed
+          split.foreach { n =>
+            val (chunk, tail) = rest.splitAt(n)
+            rest = tail
+            if (chunk.nonEmpty) { in.addData(chunk); q.processAllAvailable() }
+          }
+          val got = spark.table(name).as[WebIngestRow].collect().sortBy(_.doc_id).toSeq
+          assert(got == want,
+            s"split $si: composed governance+ingest diverged\n$got\n$want")
+        } finally q.stop()
+      }
+    } finally {
+      prior match {
+        case Some(v) => spark.conf.set(confKey, v)
+        case None => spark.conf.unset(confKey)
+      }
+    }
+  }
+
   test("phashStoreMatches is streaming-legal: MemoryStream probe == batch on the same rows") {
     implicit val sqlCtx = spark.sqlContext
     val h1 = 0x0123456789ABCDEFL
