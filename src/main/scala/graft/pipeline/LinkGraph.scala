@@ -210,10 +210,99 @@ object LinkGraph {
     ranks
   }
 
+  /** BOUNDED-RADIUS HARMONIC CENTRALITY over a (src, dst) edge list,
+    * integer ppm: harmonic_ppm(v) = Σ_{u → v within `radius`} 1e6 DIV
+    * d(u, v) — the second centrality prior Common Crawl publishes next
+    * to PageRank, and the reason to carry both: a link farm inflates
+    * PageRank with a few high-rank endorsements but rarely manufactures
+    * the BROAD shallow in-neighborhood harmonic centrality measures
+    * (every reachable-from node counts, discounted by distance), so
+    * domains gaming one prior rarely game the other.
+    *
+    * Semantics: directed distances TOWARD v (in-centrality, the ranking
+    * convention), self-distances excluded, radius-bounded (the classic
+    * truncated variant — an unbounded sum needs full APSP; bounded
+    * radius keeps the distance table finite and the contribution tail
+    * 1/d is negligible past a few hops anyway). All arithmetic integer
+    * DIV — bit-identical across engines, unrollable by an oracle.
+    *
+    * Scale shape: BFS layering as `radius - 1` rounds of (frontier ⋈
+    * edges → distinct → anti-join reached), every frame fixed-width
+    * (node, node, d) triples; the reached table persists per round (the
+    * pageRank edge-persist discipline). The EXACT bounded-distance pair
+    * table grows as Σ_k |in-neighborhood_k| — degree^radius in the
+    * worst case — which is fine for domain graphs at small radius
+    * (the default 3) but web-scale beyond it; the production swap at
+    * that point is HyperBall-style neighborhood SKETCHES (per-node HLL
+    * registers max-merged per round — same join shape, fixed width per
+    * node), which trades exactness away and therefore lives behind a
+    * different operator when needed. Output: (node, harmonic_ppm) for
+    * every node of the edge list; never-reached nodes report 0.
+    */
+  def harmonicPpm(
+      edges: DataFrame,
+      radius: Int = 3,
+      srcCol: String = "src",
+      dstCol: String = "dst"): DataFrame = {
+    require(radius >= 1 && radius <= 6,
+      s"harmonicPpm: radius must be in [1, 6] (the pair table grows as degree^radius), got $radius")
+    val e = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
+      .where(col("u").isNotNull && col("v").isNotNull && col("u") =!= col("v"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = e.select(col("u").as("node"))
+      .unionByName(e.select(col("v").as("node")))
+      .distinct()
+    var reached = e.withColumn("d", lit(1))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var frontier: DataFrame = e
+    for (k <- 2 to radius) {
+      val next = frontier.select(col("u"), col("v").as("__m"))
+        .join(e.select(col("u").as("__m"), col("v")), "__m")
+        .select("u", "v")
+        .where(col("u") =!= col("v"))
+        .distinct()
+        .join(reached.select("u", "v"), Seq("u", "v"), "left_anti")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      reached = reached.unionByName(next.withColumn("d", lit(k)))
+      frontier = next
+    }
+    val harm = reached
+      .groupBy(col("v").as("node"))
+      .agg(sum(expr("1000000 DIV d")).as("__h"))
+    nodes.join(harm, Seq("node"), "left")
+      .select(col("node"), coalesce(col("__h"), lit(0L)).as("harmonic_ppm"))
+  }
+
   // ---------------------------------------------------------------------
   // DuckDB twins (generated from the SAME constants, the drift-proofing
   // convention)
   // ---------------------------------------------------------------------
+
+  /** Unrolled DuckDB CTE chain computing [[harmonicPpm]] over an edge
+    * CTE named `eSrc` with columns (src, dst): `hc_e, hc_n, hc_d1 ..
+    * hc_d<radius>, hc_r` — select (node, harmonic_ppm) from `hc_r`.
+    * Every line ends with its operator/comma (interpolation-into-
+    * stripMargin safe).
+    */
+  def harmonicSqlD(eSrc: String, radius: Int = 3): String = {
+    val head =
+      s"hc_e AS (SELECT DISTINCT src AS u, dst AS v FROM $eSrc " +
+        "WHERE src IS NOT NULL AND dst IS NOT NULL AND src <> dst), " +
+        "hc_n AS (SELECT u AS node FROM hc_e UNION SELECT v FROM hc_e), " +
+        "hc_d1 AS (SELECT u, v, 1 AS d FROM hc_e)"
+    val steps = (2 to radius).map { k =>
+      val seen = (1 until k).map(j => s"SELECT u, v FROM hc_d$j").mkString(" UNION ALL ")
+      s"hc_d$k AS (SELECT fe.u, fe.v, $k AS d FROM (SELECT DISTINCT f0.u, e0.v " +
+        s"FROM hc_d${k - 1} f0 JOIN hc_e e0 ON e0.u = f0.v WHERE f0.u <> e0.v) fe " +
+        s"WHERE NOT EXISTS (SELECT 1 FROM ($seen) s(u, v) WHERE s.u = fe.u AND s.v = fe.v))"
+    }
+    val all = (1 to radius).map(j => s"SELECT u, v, d FROM hc_d$j").mkString(" UNION ALL ")
+    val rank =
+      s"hc_r AS (SELECT n.node, CAST(COALESCE(SUM(1000000 // a.d), 0) AS BIGINT) AS harmonic_ppm " +
+        s"FROM hc_n n LEFT JOIN ($all) a(u, v, d) ON a.v = n.node GROUP BY n.node)"
+    (Seq(head) ++ steps :+ rank).mkString(", ")
+  }
 
   /** Unrolled DuckDB CTE chain computing [[pageRankPpm]] over an edge
     * CTE named `eSrc` with columns (src, dst). Emits CTE bodies

@@ -1101,6 +1101,32 @@ object PipelineQueries {
         .orderBy("domain")
     }),
 
+    // bounded-radius harmonic centrality — the SECOND centrality prior
+    // (Common Crawl publishes both): every in-reachable node counts,
+    // discounted by BFS distance, so a link farm's few high-rank
+    // endorsements don't move it the way they move PageRank
+    "ext_harmonic" -> ((s, dir) => {
+      val la = linkAug(Tables.documents(s, dir))
+      val edges = LinkGraph.linkDomainEdges(LinkGraph.resolveLinks(
+        LinkGraph.extractLinks(la, keepCols = Seq("url"))))
+      LinkGraph.harmonicPpm(edges)
+        .withColumnRenamed("node", "domain")
+        .orderBy("domain")
+    }),
+
+    // the harmonic prior CONSUMED by the same rank-weighted cap that
+    // takes the PageRank prior — domainCapByRank accepts either
+    "ext_harmonic_cap" -> ((s, dir) => {
+      val la = linkAug(Tables.documents(s, dir))
+      val edges = LinkGraph.linkDomainEdges(LinkGraph.resolveLinks(
+        LinkGraph.extractLinks(la, keepCols = Seq("url"))))
+      val ranks = LinkGraph.harmonicPpm(edges)
+        .select(col("node").as("domain"), col("harmonic_ppm").as("rank_ppm"))
+      UrlOps.domainCapByRank(la.select("doc_id", "url"), ranks,
+          baseCap = 10L, maxCap = 40L)
+        .orderBy("doc_id")
+    }),
+
     // the rank CONSUMED: per-domain cap scaled by the PageRank prior —
     // high-centrality domains keep more documents, link farms fewer.
     // The whole chain composed: extract links → domain graph → PageRank
@@ -2635,6 +2661,33 @@ object PipelineQueries {
 
     // rank-weighted cap: the same unrolled recurrence feeding the cap
     // formula clamp(10 * rank_ppm // 1e6, [1, 40])
+    // harmonic centrality: the BFS layers unrolled from the same edge
+    // CTE (distinct frontier ⋈ edges, anti-joined against nearer
+    // layers), reciprocal-distance ppm sum per node
+    "ext_harmonic" ->
+      s"""WITH $linkAugSql,
+         |${LinkGraph.harmonicSqlD("le")}
+         |SELECT node AS domain, harmonic_ppm FROM hc_r ORDER BY domain""".stripMargin,
+
+    // harmonic prior feeding the rank-weighted cap (the ext_rank_cap
+    // chain with hc_r in place of pr_r5)
+    "ext_harmonic_cap" ->
+      s"""WITH $linkAugSql,
+         |${LinkGraph.harmonicSqlD("le")},
+         |hcm AS (SELECT doc_id, ${UrlOps.registrableDomainD("url")} AS domain,
+         |          ${UrlOps.drawHashD("doc_id")} AS h FROM lad),
+         |hcr AS (SELECT hcm.doc_id, hcm.domain, hcm.h,
+         |          COALESCE(r.harmonic_ppm, 150000) AS rp
+         |        FROM hcm LEFT JOIN hc_r r ON r.node = hcm.domain),
+         |hcc AS (SELECT *, greatest(1, least(40, (10 * rp) // 1000000)) AS cap FROM hcr),
+         |hcn AS (SELECT doc_id, domain, cap,
+         |          CASE WHEN domain IS NULL THEN 0
+         |               ELSE row_number() OVER (PARTITION BY domain ORDER BY h, doc_id) END AS rnk
+         |        FROM hcc)
+         |SELECT doc_id, domain, CAST(cap AS BIGINT) AS cap, CAST(rnk AS BIGINT) AS rank,
+         |  (domain IS NULL OR rnk <= cap) AS kept
+         |FROM hcn ORDER BY doc_id""".stripMargin,
+
     "ext_rank_cap" ->
       s"""WITH $linkAugSql,
          |${LinkGraph.pageRankSqlD("le")},

@@ -133,4 +133,62 @@ class LinkGraphSpec extends SparkSpec {
     intercept[IllegalArgumentException](LinkGraph.pageRankPpm(e, iters = 0))
     intercept[IllegalArgumentException](LinkGraph.pageRankPpm(e, dampingPpm = 1000001L))
   }
+
+  /** Independent bounded-radius harmonic reference: BFS from every node
+    * over the distinct directed edge set, reciprocal-distance ppm sums
+    * TOWARD each target.
+    */
+  private def refHarmonic(edges: Seq[(String, String)], radius: Int): Map[String, Long] = {
+    val e = edges.distinct.filter { case (u, v) => u != v }
+    val nodes = e.flatMap { case (u, v) => Seq(u, v) }.distinct
+    val adj = e.groupBy(_._1).map { case (u, out) => (u, out.map(_._2)) }
+    val score = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    nodes.foreach { u =>
+      var frontier = Set(u)
+      var seen = Set(u)
+      for (d <- 1 to radius) {
+        frontier = frontier.flatMap(x => adj.getOrElse(x, Seq.empty)).diff(seen)
+        frontier.foreach(v => if (v != u) score(v) += 1000000L / d)
+        seen ++= frontier
+      }
+    }
+    nodes.map(n => (n, score(n))).toMap
+  }
+
+  private def runHc(edges: Seq[(String, String)], radius: Int): Map[String, Long] =
+    LinkGraph.harmonicPpm(edges.toDF("src", "dst"), radius)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+
+  test("harmonicPpm == the independent BFS reference on structured graphs") {
+    val graph = Seq(
+      "a" -> "h", "b" -> "h", "c" -> "h",        // hub: 3 at distance 1
+      "a" -> "b", "b" -> "c",                     // chain feeding the hub
+      "x" -> "y", "y" -> "z", "z" -> "x",        // 3-cycle
+      "h" -> "sink")                              // sink: everyone reaches it
+    for (radius <- Seq(1, 2, 3)) {
+      val got = runHc(graph, radius)
+      val ref = refHarmonic(graph, radius)
+      assert(got == ref, s"radius=$radius: $got vs $ref")
+    }
+    val r3 = runHc(graph, 3)
+    // hub at radius 3: a,b,c at distance 1 -> 3e6 (a->b->h etc are longer
+    // paths to an already-seen node, not counted — min distance wins)
+    assert(r3("h") == 3000000L, r3.toString)
+    // sink: h at d1, a/b/c at d2, nothing new at d3 (a's chain reaches b,c
+    // before their d3 paths) -> 1e6 + 3*5e5
+    assert(r3("sink") == 2500000L, r3.toString)
+    // cycle nodes: one in-neighbor at each distance 1, 2 -> 1e6 + 5e5 +
+    // nothing at 3 (d3 would close the cycle back to the start: excluded)
+    assert(r3("x") == 1500000L && r3("y") == 1500000L && r3("z") == 1500000L, r3.toString)
+    // never-reached nodes report 0
+    assert(runHc(Seq("a" -> "b"), 3)("a") == 0L)
+  }
+
+  test("harmonicPpm: parallel edges count once; self-loops drop; bounds fail fast") {
+    val got = runHc(Seq("a" -> "b", "a" -> "b", "c" -> "c", "c" -> "b"), 2)
+    assert(got == Map("a" -> 0L, "b" -> 2000000L, "c" -> 0L), got.toString)
+    val e = Seq("a" -> "b").toDF("src", "dst")
+    intercept[IllegalArgumentException](LinkGraph.harmonicPpm(e, radius = 0))
+    intercept[IllegalArgumentException](LinkGraph.harmonicPpm(e, radius = 7))
+  }
 }
