@@ -438,16 +438,36 @@ object Dedup {
     * bandHash) pairs, and signatures rejoin per unique candidate. A store
     * laid out bucketed by band hash makes the probe co-located.
     */
+  /** The at-rest BAND artifact of a signature store: (bh, store_id,
+    * cluster_id) — the store's banding exploded ONCE at append/stage
+    * time instead of per probe batch. Lay it out bucketed on `bh`
+    * ([[graft.pipeline.ShingleStage.stagedBucketed]] /
+    * [[graft.operators.Layout.writeBucketed]]): the probe join is keyed
+    * on bh, so a band-bucketed store joins with NO store-side exchange
+    * even when the probe batch is too large to broadcast — the layout
+    * the probe scaladocs recommended, now pinned (plan-asserted in
+    * DedupStageSpec with broadcast disabled).
+    */
+  def minhashStoreBands(sigStore: DataFrame, idCol: String = "doc_id"): DataFrame =
+    sigStore.select(col(idCol).as("store_id"), col("cluster_id"), col("sig"))
+      .select(col("store_id"), col("cluster_id"), explode(expr(bandHashesS)).as("bh"))
+
   def minhashStoreMatches(
       batchSigs: DataFrame,
       sigStore: DataFrame,
       thresholdPpm: Long = 500000L,
-      idCol: String = "doc_id"): DataFrame = {
+      idCol: String = "doc_id",
+      storeBands: Option[DataFrame] = None): DataFrame = {
     require(sigStore.columns.contains("sig") && sigStore.columns.contains("cluster_id"),
       s"sigStore must carry 'sig' and 'cluster_id', got ${sigStore.columns.mkString(", ")}")
+    storeBands.foreach { sb =>
+      val missing = Seq("bh", "store_id", "cluster_id").filterNot(sb.columns.contains)
+      require(missing.isEmpty,
+        s"storeBands must carry (bh, store_id, cluster_id); missing ${missing.mkString(", ")}")
+    }
     val bBands = batchSigs.select(col(idCol), explode(expr(bandHashesS)).as("bh"))
-    val sBands = sigStore.select(col(idCol).as("store_id"), col("cluster_id"), col("sig"))
-      .select(col("store_id"), col("cluster_id"), explode(expr(bandHashesS)).as("bh"))
+    val sBands = storeBands.map(_.select("store_id", "cluster_id", "bh"))
+      .getOrElse(minhashStoreBands(sigStore, idCol))
     bBands.join(sBands, "bh")
       .select(col(idCol), col("store_id"), col("cluster_id")).distinct()
       .join(batchSigs.select(col(idCol), col("sig").as("__sx")), idCol)
@@ -506,7 +526,8 @@ object Dedup {
       thresholdPpm: Long = 500000L,
       idCol: String = "doc_id",
       textCol: String = "text",
-      checkIdDisjointness: Boolean = false): DataFrame = {
+      checkIdDisjointness: Boolean = false,
+      storeBands: Option[DataFrame] = None): DataFrame = {
     if (checkIdDisjointness) {
       val clashes = batch.select(col(idCol).as("cluster_id"))
         .join(sigStore.select("cluster_id").distinct(), Seq("cluster_id"), "left_semi")
@@ -517,7 +538,7 @@ object Dedup {
           "them into one cluster; remap one id space first")
     }
     minhashDedupIncrementalSigs(batch.select(col(idCol)),
-      minhashSignature(batch, idCol, textCol), sigStore, thresholdPpm, idCol)
+      minhashSignature(batch, idCol, textCol), sigStore, thresholdPpm, idCol, storeBands)
   }
 
   /** [[minhashDedupIncremental]] from PRECOMPUTED batch signatures: use
@@ -537,7 +558,8 @@ object Dedup {
       batchSigs: DataFrame,
       sigStore: DataFrame,
       thresholdPpm: Long = 500000L,
-      idCol: String = "doc_id"): DataFrame = {
+      idCol: String = "doc_id",
+      storeBands: Option[DataFrame] = None): DataFrame = {
     // feeds the band explode, both sim verifications, and the final label
     // join — persist so the signature derivation runs once. (Measured:
     // the explode+aggregate form beats the scan-side rowSigS expression
@@ -547,7 +569,7 @@ object Dedup {
     // stateless streaming projection.)
     val bsig = batchSigs
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val matches = minhashStoreMatches(bsig, sigStore, thresholdPpm, idCol)
+    val matches = minhashStoreMatches(bsig, sigStore, thresholdPpm, idCol, storeBands)
     val edges = minhashSigPairs(bsig, thresholdPpm, idCol).select("id1", "id2")
       .unionByName(
         matches.select(col(idCol).as("id1"), col("cluster_id").as("id2")).distinct())

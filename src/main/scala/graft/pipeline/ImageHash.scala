@@ -239,7 +239,9 @@ object ImageHash {
     * so the operator is STATELESS and streaming-legal as a stream-static
     * join (the [[graft.streaming.StreamDedup.nearDupAgainstStore]]
     * discipline; spec-asserted MemoryStream == batch). The store is read
-    * per probe batch: persist it or lay it out band-bucketed.
+    * per probe batch: persist it, or stage [[phashStoreBands]] bucketed
+    * and pass it as `storeBands` — then the probe join has NO store-side
+    * exchange even when the probe cannot broadcast (plan-asserted).
     * Output: (idCol, store_id, cluster_id, dist).
     */
   def phashStoreMatches(
@@ -247,37 +249,59 @@ object ImageHash {
       store: DataFrame,
       maxDist: Int = 3,
       idCol: String = "media_id",
-      hashCol: String = "dhash"): DataFrame = {
+      hashCol: String = "dhash",
+      storeBands: Option[DataFrame] = None): DataFrame = {
     require(maxDist >= 0 && maxDist <= 3,
       s"phashStoreMatches: 4×16-bit banding guarantees recall only to distance 3, got $maxDist")
     val missing = Seq("store_id", "cluster_id", hashCol).filterNot(store.columns.contains)
     require(missing.isEmpty,
       s"phashStoreMatches: store must carry (store_id, cluster_id, $hashCol); missing ${missing.mkString(", ")}")
-    def bandRows(df: DataFrame, h: String) = df
-      .withColumn("__band", explode(expr(
-        s"transform(sequence(0, 3), b -> struct(b as b, shiftright($h, b * 16) & 65535 as v))")))
-      .withColumn("__b", col("__band.b")).withColumn("__v", col("__band.v"))
-      .drop("__band")
+    storeBands.foreach { sb =>
+      val m = Seq("bv", "store_id", "cluster_id", "sh").filterNot(sb.columns.contains)
+      require(m.isEmpty,
+        s"storeBands must carry (bv, store_id, cluster_id, sh); missing ${m.mkString(", ")}")
+    }
     // batch face: the probe batch is arrival-sized, the store is the
     // corpus — broadcast the probe so the store NEVER shuffles (the
     // [[Dedup.minhashStoreMatches]] store-side discipline). Streaming
     // face: the stream side cannot broadcast; the stream-static join
-    // reads the store per micro-batch (persist or band-bucket it).
+    // reads the store per micro-batch (persist it or pass the bucketed
+    // band artifact). The join key is the single bv = band*65536+value
+    // column so a bv-bucketed band store co-locates the join outright.
     val pRaw = probe.select(col(idCol), col(hashCol).cast("long").as("__ph"))
-    val pBands = bandRows(if (probe.isStreaming) pRaw else broadcast(pRaw), "__ph")
-    val sBands = bandRows(
-      store.select(col("store_id"), col("cluster_id"),
-        col(hashCol).cast("long").as("__sh")), "__sh")
+    val pBands = (if (probe.isStreaming) pRaw else broadcast(pRaw))
+      .withColumn("__band", explode(expr(
+        "transform(sequence(0, 3), b -> struct(b as b, " +
+          "b * 65536 + (shiftright(__ph, b * 16) & 65535) as bv))")))
+      .withColumn("__b", col("__band.b")).withColumn("__bv", col("__band.bv"))
+      .drop("__band")
+    val sBands = storeBands.getOrElse(phashStoreBands(store, hashCol))
+      .select(col("bv").as("__bv"), col("store_id"), col("cluster_id"),
+        col("sh").as("__sh"))
     // row-local pair dedup: first band (0-based) on which the hashes agree
     val firstCommonBand =
       "element_at(filter(sequence(0, 3), bj -> " +
         "(shiftright(__ph, bj * 16) & 65535) = (shiftright(__sh, bj * 16) & 65535)), 1)"
-    pBands.join(sBands, Seq("__b", "__v"))
+    pBands.join(sBands, Seq("__bv"))
       .where(col("__b") === expr(firstCommonBand))
       .withColumn("dist", expr("cast(bit_count(__ph ^ __sh) as bigint)"))
       .where(col("dist") <= maxDist)
       .select(col(idCol), col("store_id"), col("cluster_id"), col("dist"))
   }
+
+  /** The at-rest BAND artifact of a fingerprint store: (bv, store_id,
+    * cluster_id, sh) — the store's 4×16-bit banding exploded ONCE at
+    * append/stage time (bv = band*65536+value, the single join key; sh
+    * rides along for the distance arm). Stage it bucketed on `bv`
+    * ([[graft.pipeline.ShingleStage.stagedBucketed]]) and pass it to
+    * [[phashStoreMatches]] — the probe join then reads the store's
+    * buckets co-located, no store-side exchange.
+    */
+  def phashStoreBands(store: DataFrame, hashCol: String = "dhash"): DataFrame =
+    store.select(col("store_id"), col("cluster_id"), col(hashCol).cast("long").as("sh"))
+      .withColumn("bv", explode(expr(
+        "transform(sequence(0, 3), b -> b * 65536 + (shiftright(sh, b * 16) & 65535))")))
+      .select("bv", "store_id", "cluster_id", "sh")
 
   def imageNearDups(
       hashes: DataFrame,

@@ -910,6 +910,9 @@ object PipelineQueries {
   def stageShingles(s: SparkSession, dir: String): Unit = {
     ShingleStage.shingleHashes(s, dir, nearAug(Tables.documents(s, dir)))
     sigStoreFor(s, dir)
+    sigBandStoreFor(s, dir) // the probe family's band-bucketed layouts
+    imgStoreFor(s, dir)
+    imgBandStoreFor(s, dir)
     vecStoreFor(s, dir) // the PQ store is one-time-per-corpus too
     pairStoreFor(s, dir) // the near-dup pair graph is a dedup-pass artifact
     truthStoreFor(s, dir) // the recall audit's exact truth sample
@@ -974,6 +977,29 @@ object PipelineQueries {
     ShingleStage.stagedTable(s, s"sigstore_$dir",
       Dedup.minhashSignature(Tables.documents(s, dir).where(col("doc_id") % 2 === 0))
         .withColumn("cluster_id", col("doc_id")))
+
+  /** The signature store's BAND artifact, staged BUCKETED on the band
+    * hash — the at-rest layout the probe join is keyed on, so the
+    * store side joins with no exchange (the sigStoreAppend loop would
+    * maintain this table next to the store in production).
+    */
+  private def sigBandStoreFor(s: SparkSession, dir: String): DataFrame =
+    ShingleStage.stagedBucketed(s, s"sigbands_$dir", "bh")(
+      Dedup.minhashStoreBands(sigStoreFor(s, dir)))
+
+  /** The base corpus's image-fingerprint store (store_id, cluster_id,
+    * dhash) — at-rest like [[sigStoreFor]] (the phash append loop's
+    * table), plus its band artifact bucketed on bv.
+    */
+  private def imgStoreFor(s: SparkSession, dir: String): DataFrame =
+    ShingleStage.stagedTable(s, s"imgstore_$dir",
+      ImageHash.imagePhash(rasterMediaStore(s, dir, withVariants = false))
+        .select(col("media_id").as("store_id"),
+          col("media_id").as("cluster_id"), col("dhash")))
+
+  private def imgBandStoreFor(s: SparkSession, dir: String): DataFrame =
+    ShingleStage.stagedBucketed(s, s"imgbands_$dir", "bv")(
+      ImageHash.phashStoreBands(imgStoreFor(s, dir)))
 
   /** The incremental SEMANTIC query's persistent PQ-encoded vector store
     * (even vec_ids, cluster_id = own id) — the embedding twin of
@@ -1842,14 +1868,12 @@ object PipelineQueries {
     // as the probe batch — every variant must match its original's
     // cluster, novel content must emit nothing
     "ext_image_incr" -> ((s, dir) => {
-      val base = ImageHash.imagePhash(rasterMediaStore(s, dir, withVariants = false))
-        .select(col("media_id").as("store_id"),
-          col("media_id").as("cluster_id"), col("dhash"))
       val probe = ImageHash.imagePhash(
           rasterMediaStore(s, dir, withVariants = true))
         .where(col("media_id") >= 1000000L)
         .select("media_id", "dhash")
-      ImageHash.phashStoreMatches(probe, base, maxDist = 3)
+      ImageHash.phashStoreMatches(probe, imgStoreFor(s, dir), maxDist = 3,
+          storeBands = Some(imgBandStoreFor(s, dir)))
         .orderBy("media_id", "store_id")
     }),
 
@@ -1948,7 +1972,8 @@ object PipelineQueries {
         .unionByName(docs.filter(col("doc_id") % 10 === 5)
           .select((col("doc_id") + 2000000L).as("doc_id"),
             expr("substr(text, instr(text, ' ') + 1)").as("text")))
-      Dedup.minhashDedupIncremental(batch, store).orderBy("doc_id")
+      Dedup.minhashDedupIncremental(batch, store,
+        storeBands = Some(sigBandStoreFor(s, dir))).orderBy("doc_id")
     }),
 
     // incremental SEMANTIC dedup against the PQ-encoded vector store —

@@ -65,6 +65,32 @@ object ShingleStage {
     spark.table(table)
   }
 
+  /** [[stagedTable]] laid out BUCKETED on `bucketCol` — for at-rest
+    * artifacts whose steady-state consumer is an equi-join on that
+    * column (the band stores of the probe family: the probe join is
+    * keyed on the band hash, so a band-bucketed store joins with NO
+    * store-side exchange even when the probe batch is too large to
+    * broadcast — plan-asserted in DedupStageSpec).
+    */
+  def stagedBucketed(
+      spark: SparkSession,
+      key: String,
+      bucketCol: String,
+      buckets: Int = 32)(build: => DataFrame): DataFrame = {
+    val table = staged.getOrElseUpdate(key, {
+      val name = "graft_staged_" + key.replaceAll("[^A-Za-z0-9]", "_")
+      spark.sql(s"DROP TABLE IF EXISTS $name")
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), name)
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+      Layout.writeBucketed(build, name, bucketCol = bucketCol,
+        buckets = buckets, sortCol = None)
+      name
+    })
+    spark.table(table)
+  }
+
   /** Drop all staged tables (tests). */
   def reset(spark: SparkSession): Unit = {
     staged.values.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))

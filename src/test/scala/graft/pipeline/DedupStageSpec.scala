@@ -11,6 +11,7 @@ import org.apache.spark.sql.functions._
   * exchange in the signature plan.
   */
 class DedupStageSpec extends SparkSpec {
+  import spark.implicits._
 
   private val dir = "/root/testdata/sf0.001"
   private def docs: DataFrame = Tables.documents(spark, dir).select("doc_id", "text")
@@ -70,6 +71,70 @@ class DedupStageSpec extends SparkSpec {
     val plan = labeled.queryExecution.executedPlan.toString
     assert(!plan.contains("text:string"),
       s"corpus text leaked into the election scan:\n${plan.take(3000)}")
+  }
+
+  test("band-bucketed store probe: value-identical AND no store-side exchange under shuffle join") {
+    // the at-rest band artifact (minhashStoreBands, staged bucketed on
+    // bh) must be a pure optimization of the derive-per-probe path...
+    val store = Dedup.minhashSignature(docs.where(col("doc_id") % 2 === 0))
+      .withColumn("cluster_id", col("doc_id"))
+    val batchSigs = Dedup.minhashSignature(
+      docs.where(col("doc_id") % 2 === 1).select("doc_id", "text"))
+    val bands = ShingleStage.stagedBucketed(spark, s"$dir#specbands", "bh")(
+      Dedup.minhashStoreBands(store))
+    val got = rows(Dedup.minhashStoreMatches(batchSigs, store, storeBands = Some(bands)))
+    val want = rows(Dedup.minhashStoreMatches(batchSigs, store))
+    assert(got == want, "band-bucketed probe must be a pure optimization")
+    // ...and with broadcast off (the 100 TB shape: a probe batch too big
+    // to broadcast), the band join must read the store's buckets
+    // CO-LOCATED: only the probe side shuffles — asserted as "the band
+    // join's store side has no exchange", i.e. the store-band scan is
+    // bucketed and the plan's exchanges don't repartition it
+    val bcKey = "spark.sql.autoBroadcastJoinThreshold"
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val priorBc = spark.conf.getOption(bcKey)
+    val priorAqe = spark.conf.getOption(aqeKey)
+    spark.conf.set(bcKey, "-1")
+    spark.conf.set(aqeKey, "false")
+    try {
+      val bBands = batchSigs
+        .select(col("doc_id"), explode(expr(TextOps.bandHashesS)).as("bh"))
+      val probeJoin = bBands.join(bands.select("store_id", "cluster_id", "bh"), "bh")
+      val exec = probeJoin.queryExecution.executedPlan
+      assert(exec.toString.contains("Bucketed: true"),
+        s"store-band scan must read as bucketed:\n${exec.toString.take(3000)}")
+      // the join's STORE child must contain no shuffle — the bucketed
+      // layout supplies the join's required partitioning; only the probe
+      // side repartitions
+      val smj = exec.collect {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+      }
+      assert(smj.nonEmpty, s"expected a sort-merge join:\n${exec.toString.take(3000)}")
+      val storeShuffles = smj.head.right.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(storeShuffles.isEmpty,
+        s"the band-bucketed store side must not shuffle:\n${exec.toString.take(3000)}")
+    } finally {
+      priorBc match { case Some(v) => spark.conf.set(bcKey, v); case None => spark.conf.unset(bcKey) }
+      priorAqe match { case Some(v) => spark.conf.set(aqeKey, v); case None => spark.conf.unset(aqeKey) }
+    }
+  }
+
+  test("band-bucketed image store probe == derive-per-probe phashStoreMatches") {
+    val rnd = new scala.util.Random(21)
+    val storeRows = (0 until 40).map(i => (i.toLong, i.toLong, rnd.nextLong()))
+    val store = storeRows.toDF("store_id", "cluster_id", "dhash")
+    // probes: near-copies of store hashes (distance <= 3) plus novel ones
+    val probe = (storeRows.take(10).map { case (id, _, h) =>
+      (1000L + id, h ^ (1L << ((id * 13) % 64)))
+    } ++ (0 until 5).map(i => (2000L + i, rnd.nextLong()))).toDF("media_id", "dhash")
+    val bands = ShingleStage.stagedBucketed(spark, s"$dir#specimgbands", "bv")(
+      ImageHash.phashStoreBands(store))
+    val got = rows(ImageHash.phashStoreMatches(probe, store, storeBands = Some(bands)))
+    val want = rows(ImageHash.phashStoreMatches(probe, store))
+    assert(got == want, "bucketed image band store must be a pure optimization")
+    assert(got.nonEmpty, "fixture sanity: planted near-copies must match")
   }
 
   test("signature aggregation over the staged table plans NO exchange (bucket co-location)") {
