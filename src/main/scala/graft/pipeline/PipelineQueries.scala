@@ -1587,6 +1587,15 @@ object PipelineQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // the celled twin of hard-negative mining: corpus cells scan-side,
+    // queries probe 2 cells, label filter post-join — no cross product
+    "ext_hard_negatives_ivf" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.hardNegativesIvf(emb, emb.filter(col("vec_id") < 25),
+          Similarity.defaultCentroids(64, 8), k = 5)
+        .orderBy("query_id", "rank")
+    }),
+
     "ext_knn_lsh" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       Similarity.lshKnn(emb, emb.filter(col("vec_id") < 10), 3).orderBy("query_id", "rank")
@@ -3227,6 +3236,25 @@ object PipelineQueries {
          |w AS (SELECT query_id, neighbor_id, nl,
          |        row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank FROM s)
          |SELECT query_id, rank, neighbor_id, nl AS neg_label
+         |FROM w WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // celled hard negatives: the knnIvfSql probe chain with labels and
+    // the inequality filter applied before the top-k window
+    "ext_hard_negatives_ivf" ->
+      s"""WITH $ivfCentSql,
+         |cd AS (SELECT vec_id, embedding, label, cid,
+         |        row_number() OVER (PARTITION BY vec_id ORDER BY $dotEmbCentD DESC, cid) AS rn
+         |       FROM embeddings, cent),
+         |ca AS (SELECT vec_id AS neighbor_id, embedding AS nv, label AS nl, cid AS cell
+         |       FROM cd WHERE rn = 1),
+         |qp AS (SELECT vec_id AS query_id, embedding AS qv, label AS ql, cid AS cell
+         |       FROM cd WHERE vec_id < 25 AND rn <= 2),
+         |s AS (SELECT query_id, neighbor_id, nl, $cosineD AS sim
+         |      FROM ca JOIN qp USING (cell)
+         |      WHERE neighbor_id <> query_id AND nl <> ql),
+         |w AS (SELECT query_id, neighbor_id, nl,
+         |        row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank FROM s)
+         |SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, nl AS neg_label
          |FROM w WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
     "ext_knn_lsh" -> knnLshSql,

@@ -79,8 +79,8 @@ object Similarity {
     * [[bruteForceKnn]] tie-break (sim desc, neighbor id) — deterministic
     * and oracle-hashable. Scale shape: mining batches are epoch-sized,
     * so the query side broadcasts and the corpus never shuffles; for a
-    * web-scale corpus swap the crossJoin for [[ivfKnnWith]]'s celled
-    * probe — the label predicate is the same post-join filter.
+    * web-scale corpus use [[hardNegativesIvf]] — the celled probe with
+    * the same post-join label predicate.
     */
   def hardNegatives(
       corpus: DataFrame,
@@ -102,6 +102,53 @@ object Similarity {
         col(labelCol).as("neg_label"))
       .withColumn("nnorm", norm(col("nv")))
       .crossJoin(q)
+      .where(col("neighbor_id") =!= col("query_id") && col("neg_label") =!= col("ql"))
+      .withColumn("sim", dot(col("qv"), col("nv")) / (col("qnorm") * col("nnorm")))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "neg_label")
+  }
+
+  /** IVF-CELLED hard-negative mining — [[hardNegatives]] for the
+    * web-scale corpus its scaladoc names (the swap it promised, now
+    * composed — the [[marginMinedPairsIvf]] discipline): the corpus
+    * assigns to cells scan-side, each query probes its `nprobe` nearest
+    * cells, and the label-inequality filter applies post-join exactly as
+    * in the exact form. The probe join is an EQUI-join on the cell id
+    * (the query side still broadcasts — mining batches are epoch-sized),
+    * so the corpus never pairs all-to-all; recall follows the quantizer
+    * (nprobe = nCells reproduces the exact output, spec-asserted).
+    * Output contract identical to [[hardNegatives]].
+    */
+  def hardNegativesIvf(
+      corpus: DataFrame,
+      queries: DataFrame,
+      centroids: Seq[Seq[Double]],
+      k: Int,
+      nprobe: Int = 2,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      labelCol: String = "label"): DataFrame = {
+    require(k >= 1, s"hardNegativesIvf: k must be >= 1, got $k")
+    require(nprobe >= 1, s"hardNegativesIvf: nprobe must be >= 1, got $nprobe")
+    require(centroids.nonEmpty && centroids.map(_.size).distinct.size == 1,
+      "centroids must be a non-empty table of equal-dimension vectors")
+    val missing = Seq(idCol, vecCol, labelCol).filterNot(c =>
+      corpus.columns.contains(c) && queries.columns.contains(c))
+    require(missing.isEmpty,
+      s"hardNegativesIvf: corpus and queries must both carry ${missing.mkString(", ")}")
+    val q = broadcast(queries.where(col(vecCol).isNotNull && col(labelCol).isNotNull)
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"), col(labelCol).as("ql"))
+      .withColumn("cell", explode(ivfProbesOf(col("qv"), centroids, nprobe)))
+      .withColumn("qnorm", norm(col("qv"))))
+    val scored = corpus.where(col(vecCol).isNotNull && col(labelCol).isNotNull)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("nv"),
+        col(labelCol).as("neg_label"))
+      .withColumn("cell", ivfCellOf(col("nv"), centroids))
+      .withColumn("nnorm", norm(col("nv")))
+      .join(q, "cell")
       .where(col("neighbor_id") =!= col("query_id") && col("neg_label") =!= col("ql"))
       .withColumn("sim", dot(col("qv"), col("nv")) / (col("qnorm") * col("nnorm")))
     val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))

@@ -423,6 +423,12 @@ class PlanAssertionsSpec extends SparkSpec {
       s"the corpus must not sort-merge against the mining batch:\n${plan.take(2000)}")
   }
 
+  test("ext_hard_negatives_ivf: celled mining is equi-joined on the cell id — no cartesian") {
+    val plan = planOf("ext_hard_negatives_ivf")
+    assert(!plan.contains("CartesianProduct"),
+      s"celled hard-negative mining must never pair all-to-all:\n${plan.take(2000)}")
+  }
+
   test("ext_bitext_margin_ivf: candidate generation is equi-joined on the cell id — no cartesian anywhere") {
     val plan = planOf("ext_bitext_margin_ivf")
     assert(!plan.contains("CartesianProduct"),

@@ -518,6 +518,34 @@ class PipelineOpsSpec extends SparkSpec {
     assert(gotR == wantPairs, s"\n$gotR\nvs reference\n$wantPairs")
   }
 
+  test("hardNegativesIvf: full probe == exact; in-cell negatives survive nprobe=1") {
+    val dim = 8
+    val nCells = 4
+    val cents = Similarity.defaultCentroids(dim, nCells)
+    val rnd = new scala.util.Random(17)
+    def near(c: Int): Array[Double] =
+      cents(c).toArray.map(_ * 10.0 + rnd.nextDouble() * 0.01)
+    // per cell: 3 corpus vectors alternating labels, 1 query vector
+    val corpus = (0 until 12).map(i => (i.toLong, near(i / 3), (i % 2).toLong))
+    val queries = (0 until 4).map(c => (100L + c, near(c), 0L))
+    val cdf = corpus.toDF("vec_id", "embedding", "label")
+    val qdf = queries.toDF("vec_id", "embedding", "label")
+    val exact = Similarity.hardNegatives(cdf, qdf, k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val full = Similarity.hardNegativesIvf(cdf, qdf, cents, k = 2, nprobe = nCells)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(full == exact, s"full-probe celled diverged:\n$full\nvs exact\n$exact")
+    // nprobe=1: each query's own cell holds off-label vectors (labels
+    // alternate within cells), so every query still mines negatives and
+    // each mined negative is a true off-label in-cell neighbor
+    val celled = Similarity.hardNegativesIvf(cdf, qdf, cents, k = 2, nprobe = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(queries.forall(q => celled.exists(_._1 == q._1)),
+      s"every query must mine in-cell negatives at nprobe=1: $celled")
+    assert(celled.forall { case (_, n) => corpus(n.toInt)._3 == 1L },
+      s"queries are label 0, so every mined negative must be label 1: $celled")
+  }
+
   test("marginMinedPairsIvf: full probe == exact; partial probe recovers in-cell pairs") {
     val dim = 8
     val nCells = 4
