@@ -204,19 +204,50 @@ object PipelineQueries {
     * disallow-with-allow-exception + query rule, 1 = disallow-all, 2 =
     * no effective rules.
     */
+  /** The robots body for arm class `arm` (0 = disallow-with-allow-
+    * exception + query rule, 1 = disallow-all, 2 = no effective rules),
+    * NULL when `isNull` — shared by the flat fixture and the VERSIONED
+    * one so the two cannot drift.
+    */
+  private def robotsBody(i: Column, arm: Column, isNull: Column): Column =
+    when(isNull, lit(null).cast("string")).otherwise(concat(
+      when(i % 2 === 0, lit("# site robots\r\n")).otherwise(lit("# site robots\n")),
+      lit("User-Agent: badbot\nDisallow: /\n\n"),
+      when(arm === 0,
+        lit("User-agent: *\nDisallow: /private # keep out\nAllow: /private/pub\n" +
+          "Disallow: /search?q=\nCrawl-delay: 5\n"))
+        .when(arm === 1, lit("user-agent: *\ndisallow: /\n"))
+        .otherwise(lit("User-agent: *\nDisallow:\n"))))
+
   private def robotsTable(s: SparkSession): DataFrame = {
     val i = col("id")
     s.range(40).select(
       siteHost(i).as("host"),
-      when(i % 10 === 5, lit(null).cast("string")).otherwise(concat(
-        when(i % 2 === 0, lit("# site robots\r\n")).otherwise(lit("# site robots\n")),
-        lit("User-Agent: badbot\nDisallow: /\n\n"),
-        when(i % 3 === 0,
-          lit("User-agent: *\nDisallow: /private # keep out\nAllow: /private/pub\n" +
-            "Disallow: /search?q=\nCrawl-delay: 5\n"))
-          .when(i % 3 === 1, lit("user-agent: *\ndisallow: /\n"))
-          .otherwise(lit("User-agent: *\nDisallow:\n")))).as("robots_txt"))
+      robotsBody(i, i % 3, i % 10 === 5).as("robots_txt"))
   }
+
+  /** The POLICY HISTORY fixture: two observed versions per site — the
+    * first at ts 100 with today's arm classes, the second at ts 1000
+    * with the classes SHIFTED (arm (i+1)%3, NULL body at (i+1)%10 == 5)
+    * — so half the corpus's fetches fall under each policy and some
+    * fetches PREDATE the first observation entirely (fts < 100).
+    */
+  private def robotsVersionedTable(s: SparkSession): DataFrame = {
+    val i = col("id")
+    s.range(40).select(
+        siteHost(i).as("host"), lit(100L).as("version_ts"),
+        robotsBody(i, i % 3, i % 10 === 5).as("robots_txt"))
+      .unionByName(s.range(40).select(
+        siteHost(i).as("host"), lit(1000L).as("version_ts"),
+        robotsBody(i, (i + 1) % 3, (i + 1) % 10 === 5).as("robots_txt")))
+  }
+
+  /** [[robotsAug]] plus a fetch timestamp: fts = (doc_id * 7) % 2000 —
+    * below 100 predates any policy, below 1000 sees version 100, the
+    * rest see version 1000.
+    */
+  private def robotsAugTs(docs: DataFrame): DataFrame =
+    robotsAug(docs).withColumn("fetch_ts", (col("doc_id") * 7) % 2000)
 
   private def siteHostD(i: String): String =
     s"(CASE WHEN ($i) % 11 = 0 THEN 'www.site' || ($i) || '.co.uk' " +
@@ -1173,6 +1204,16 @@ object PipelineQueries {
     "ext_robots_filter" -> ((s, dir) => {
       val rules = Robots.robotsRules(robotsTable(s))
       Robots.robotsAllowed(robotsAug(Tables.documents(s, dir)), rules)
+        .orderBy("doc_id")
+    }),
+
+    // TIME-VERSIONED robots compliance: each fetch judged against the
+    // policy version in force AT FETCH TIME (as-of election over the
+    // per-host policy history) — fetches predating any observation are
+    // allowed with a NULL policy_ts, rule-less versions supersede
+    "ext_robots_asof" -> ((s, dir) => {
+      Robots.robotsAllowedAsOf(
+          robotsAugTs(Tables.documents(s, dir)), robotsVersionedTable(s))
         .orderBy("doc_id")
     }),
 
@@ -2596,6 +2637,41 @@ object PipelineQueries {
 
     // anchor text: the twin emits (target site, text) pairs closed-form —
     // extraction bugs (quote styles, truncation, zipping) hash-mismatch
+    // versioned robots: the oracle enumerates both policy versions per
+    // site closed-form (rule classes shifted at ts 1000), elects each
+    // doc's in-force version with a max(vts <= fts), and replays the
+    // same len*2+allow fold at that version — as-of election bugs,
+    // version-registration bugs (rule-less versions must supersede),
+    // and fold bugs all hash-mismatch
+    "ext_robots_asof" ->
+      s"""WITH $robotsSqlD,
+         |rvs AS (SELECT i, ${siteHostD("i")} AS host, 100 AS vts, i % 3 AS arm,
+         |          (i % 10 = 5) AS nullb FROM range(40) t(i)
+         |        UNION ALL
+         |        SELECT i, ${siteHostD("i")}, 1000, (i + 1) % 3, ((i + 1) % 10 = 5)
+         |        FROM range(40) t(i)),
+         |rvr AS (SELECT host, vts, '/private' AS prefix, false AS allow, 8 AS plen
+         |        FROM rvs WHERE arm = 0 AND NOT nullb
+         |        UNION ALL SELECT host, vts, '/private/pub', true, 12
+         |        FROM rvs WHERE arm = 0 AND NOT nullb
+         |        UNION ALL SELECT host, vts, '/search?q=', false, 10
+         |        FROM rvs WHERE arm = 0 AND NOT nullb
+         |        UNION ALL SELECT host, vts, '/', false, 1
+         |        FROM rvs WHERE arm = 1 AND NOT nullb),
+         |ua2 AS (SELECT doc_id, host, path, (doc_id * 7) % 2000 AS fts FROM ud),
+         |pick AS (SELECT u.doc_id, max(v.vts) AS pvts FROM ua2 u
+         |         JOIN rvs v ON v.host = u.host AND v.vts <= u.fts GROUP BY 1),
+         |rj3 AS (SELECT u.doc_id, u.host, p.pvts,
+         |          max(CASE WHEN r.prefix IS NOT NULL AND starts_with(u.path, r.prefix)
+         |            THEN plen * 2 + CASE WHEN r.allow THEN 1 ELSE 0 END ELSE -1 END) AS enc
+         |        FROM ua2 u LEFT JOIN pick p ON p.doc_id = u.doc_id
+         |        LEFT JOIN rvr r ON r.host = u.host AND r.vts = p.pvts
+         |        GROUP BY 1, 2, 3)
+         |SELECT doc_id, host, (enc = -1 OR enc % 2 = 1) AS allowed,
+         |  CAST(CASE WHEN enc = -1 THEN -1 ELSE enc // 2 END AS BIGINT) AS rule_len,
+         |  CAST(pvts AS BIGINT) AS policy_ts
+         |FROM rj3 ORDER BY doc_id""".stripMargin,
+
     // anchor text after RESOLUTION: path-relative arms (t%13 in 0, 2)
     // land on the doc's OWN domain, protocol-relative and absolute arms
     // on site t, and the nav "<a href='/'>Home</a>" every page carries

@@ -107,6 +107,91 @@ object Robots {
       .toDF()
   }
 
+  /** TIME-VERSIONED robots decision — the compliance-audit form: "was
+    * this fetch allowed under the policy IN FORCE when it happened?"
+    * Robots policies change; judging a year-old fetch against today's
+    * policy is wrong in both directions (a later Disallow must not
+    * retroactively taint lawful fetches, and a later Allow must not
+    * launder a violation). `robotsVersions` is the fetch store's policy
+    * HISTORY — (host, version_ts, robots_txt), one row per observed
+    * policy version, NULL bodies = the absent-robots observation —
+    * and each document's decision uses the latest version with
+    * version_ts <= its fetch timestamp.
+    *
+    * A version whose body yields NO `*`-rules (or a NULL body) still
+    * REGISTERS as a version: a new permissive policy must supersede an
+    * old restrictive one, so versions are carried as (possibly empty)
+    * rule arrays, never dropped. Documents with no version at or before
+    * their fetch (the crawl predates the first observation) and
+    * NULL-host documents are allowed with a NULL `policy_ts` — visible,
+    * not silently judged against a future policy.
+    *
+    * Scale shape: parsing is one mapPartitions over the version store;
+    * versions pre-aggregate to ONE array row per (host, version_ts);
+    * the in-force election is [[graft.operators.AsOfJoin.backward]]
+    * keyed on the host (policy histories per host are short — the
+    * timeline window is bounded); the decision is the same scan-side
+    * fold as [[robotsAllowed]]. NULL-host docs ride unique synthetic
+    * keys (the domainCap discipline — no straggler partition).
+    * Output: (idCol, host, allowed, rule_len, policy_ts).
+    */
+  def robotsAllowedAsOf(
+      docs: DataFrame,
+      robotsVersions: DataFrame,
+      idCol: String = "doc_id",
+      urlCol: String = "url",
+      tsCol: String = "fetch_ts",
+      hostCol: String = "host",
+      versionTsCol: String = "version_ts",
+      textCol: String = "robots_txt"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val missing = Seq(hostCol, versionTsCol, textCol)
+      .filterNot(robotsVersions.columns.contains)
+    require(missing.isEmpty,
+      s"robotsAllowedAsOf: robotsVersions must carry ($hostCol, $versionTsCol, " +
+        s"$textCol); missing ${missing.mkString(", ")}")
+    val reserved = Seq("host", "allowed", "rule_len", "policy_ts", "__k", "__path", "__rules", "__enc")
+      .filter(docs.columns.contains)
+    require(reserved.isEmpty,
+      s"robotsAllowedAsOf: docs columns collide with output/internal names " +
+        s"(rename them): ${reserved.mkString(", ")}")
+    // one row per (host, version) — rule-less versions emit a marker row
+    // whose NULL prefix collect_list then skips, leaving an EMPTY array
+    val versioned = robotsVersions
+      .select(col(hostCol), col(versionTsCol).cast("long"), col(textCol))
+      .as[(String, Long, String)]
+      .mapPartitions(_.flatMap {
+        case (null, _, _) => Iterator.empty
+        case (h, ts, t) =>
+          val rs = parseRobots(h, t)
+          if (rs.isEmpty) Iterator.single((h, ts, null: String, false))
+          else rs.iterator.map(r => (h, ts, r.prefix, r.allow))
+      })
+      .toDF("__k", versionTsCol, "prefix", "allow")
+      .groupBy("__k", versionTsCol)
+      .agg(collect_list(when(col("prefix").isNotNull,
+        struct(col("prefix"), col("allow")))).as("__rules"))
+    val docsSide = docs.select(col(idCol),
+      UrlOps.hostOf(col(urlCol)).as("host"),
+      UrlOps.urlPath(col(urlCol)).as("__path"),
+      col(tsCol).cast("long").as(tsCol))
+      .withColumn("__k",
+        coalesce(col("host"), concat(lit(" "), col(idCol).cast("string"))))
+    graft.operators.AsOfJoin.backward(
+        docsSide, versioned, keys = Seq("__k"),
+        leftTs = tsCol, rightTs = versionTsCol,
+        payload = Seq("__rules"), matchedTs = "policy_ts")
+      .withColumn("__enc", expr(
+        "aggregate(coalesce(__rules, array()), -1L, (acc, r) -> " +
+          "greatest(acc, if(startswith(__path, r.prefix), " +
+          "length(r.prefix) * 2L + if(r.allow, 1L, 0L), -1L)))"))
+      .select(col(idCol), col("host"),
+        (col("__enc") === -1L || col("__enc") % 2 === 1L).as("allowed"),
+        when(col("__enc") === -1L, lit(-1L)).otherwise(expr("__enc DIV 2")).as("rule_len"),
+        col("policy_ts").cast("long").as("policy_ts"))
+  }
+
   /** Per-document robots decision: (idCol, host, allowed, rule_len).
     * `rule_len` is the matched rule's prefix length (ties resolved
     * allow-first), -1 when no rule matched (default allow). NULL-host

@@ -116,6 +116,38 @@ class RobotsSpec extends SparkSpec {
     assert(got == Map(1L -> false, 2L -> false, 3L -> true, 4L -> false))
   }
 
+  test("robotsAllowedAsOf: each fetch judged against the policy in force AT FETCH TIME") {
+    val versions = Seq(
+      // a.com: restrictive at 100, permissive (rule-less) at 500 — the
+      // later empty version must SUPERSEDE, not vanish
+      ("a.com", 100L, "User-agent: *\nDisallow: /\n"),
+      ("a.com", 500L, "User-agent: *\nDisallow:\n"),
+      // b.com: permissive then restrictive — a later Disallow must not
+      // retroactively taint the earlier fetch
+      ("b.com", 100L, "User-agent: *\nDisallow:\n"),
+      ("b.com", 500L, "User-agent: *\nDisallow: /x\n"),
+      // c.com: NULL body observation (absent robots) after a Disallow
+      ("c.com", 100L, "User-agent: *\nDisallow: /\n"),
+      ("c.com", 500L, null.asInstanceOf[String])
+    ).toDF("host", "version_ts", "robots_txt")
+    val docs = Seq(
+      (1L, "https://a.com/p", 200L),   // under the Disallow: / version
+      (2L, "https://a.com/p", 600L),   // the rule-less version is in force
+      (3L, "https://b.com/x/1", 200L), // lawful when fetched
+      (4L, "https://b.com/x/1", 600L), // unlawful under the new policy
+      (5L, "https://c.com/q", 600L),   // NULL-body version supersedes
+      (6L, "https://a.com/p", 50L),    // predates any observation
+      (7L, "not a url", 600L)          // unparseable provenance
+    ).toDF("doc_id", "url", "fetch_ts")
+    val got = Robots.robotsAllowedAsOf(docs, versions)
+      .collect().map(r => (r.getLong(0),
+        (r.getBoolean(2), if (r.isNullAt(4)) -1L else r.getLong(4)))).toMap
+    assert(got == Map(
+      1L -> ((false, 100L)), 2L -> ((true, 500L)),
+      3L -> ((true, 100L)), 4L -> ((false, 500L)),
+      5L -> ((true, 500L)), 6L -> ((true, -1L)), 7L -> ((true, -1L))), got.toString)
+  }
+
   test("matching is over path + query (RFC 9309) and a NULL body is allow-all") {
     val robots = Seq(
       ("a.com", "User-agent: *\nDisallow: /search?q=\n"),
