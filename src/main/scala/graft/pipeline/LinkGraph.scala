@@ -1,6 +1,7 @@
 package graft.pipeline
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -274,10 +275,127 @@ object LinkGraph {
       .select(col("node"), coalesce(col("__h"), lit(0L)).as("harmonic_ppm"))
   }
 
+  /** KMV node hash: the first 15 hex chars of md5(node) as a 60-bit
+    * nonnegative long — deterministic and byte-identical in DuckDB
+    * (`CAST('0x'||prefix AS BIGINT)`), so the sketch below is
+    * oracle-replayable. 2^60 is the hash space the estimator divides.
+    */
+  private[pipeline] def kmvHashS(node: String): String =
+    s"cast(conv(substring(md5($node), 1, 15), 16, 10) as bigint)"
+  private[pipeline] val KmvSpace: Long = 1L << 60
+
+  /** SKETCHED bounded-radius harmonic centrality — the web-scale form
+    * [[harmonicPpm]]'s scaladoc names: the exact in-ball pair table
+    * grows as degree^radius, so at unbounded scale each node carries a
+    * FIXED-WIDTH neighborhood sketch instead (HyperBall's plan shape,
+    * Boldi & Vigna 2013, with a K-MINIMUM-VALUES sketch in place of
+    * HyperLogLog registers — KMV merges are min-unions over integer
+    * hashes, so the whole computation stays integer-exact and
+    * deterministic, where HLL's float harmonic-mean estimator would
+    * drift cross-engine).
+    *
+    * Per round r: B_r(v) = B_{r-1}(v) ∪ ⋃_{u→v} B_{r-1}(u), carried as
+    * each ball's K smallest distinct node hashes — at most K rows per
+    * node cross any wire, whatever the in-degree. Ball-size estimate:
+    * EXACT count while the ball holds fewer than K hashes; else the KMV
+    * estimator (K-1) · (2^60 DIV kth-min) (integer DIV — documented
+    * truncation, deterministic). Harmonic mass:
+    *   Σ_r (est_r - est_{r-1}) · (1e6 DIV r)
+    * — per-distance counts times the same truncated reciprocals the
+    * exact form sums, so BELOW K the sketch equals [[harmonicPpm]]
+    * EXACTLY (spec-asserted), and the estimator is monotone (hash sets
+    * only grow, kth-mins only shrink), so contributions never go
+    * negative.
+    *
+    * Scale shape: each round is one equi-join of the edge list against
+    * the ≤K-rows-per-node state, one distinct, and one per-node top-K
+    * (a plain row_number filter — WindowGroupLimit prunes map-side).
+    * State is K longs per node; rounds are `radius`-bounded. Output:
+    * (node, harmonic_sketch_ppm).
+    */
+  def harmonicPpmSketch(
+      edges: DataFrame,
+      radius: Int = 3,
+      k: Int = 16,
+      srcCol: String = "src",
+      dstCol: String = "dst"): DataFrame = {
+    require(radius >= 1 && radius <= 6,
+      s"harmonicPpmSketch: radius must be in [1, 6], got $radius")
+    require(k >= 2 && k <= 256, s"harmonicPpmSketch: k must be in [2, 256], got $k")
+    val e = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
+      .where(col("u").isNotNull && col("v").isNotNull && col("u") =!= col("v"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = e.select(col("u").as("node"))
+      .unionByName(e.select(col("v").as("node")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    def estimate(st: DataFrame): DataFrame = st.groupBy("v").agg(
+      expr(s"if(count(1) < $k, count(1), " +
+        s"${k - 1}L * (${KmvSpace}L DIV greatest(max(h), 1L)))").as("est"))
+    var state = nodes.select(col("node").as("v"), expr(kmvHashS("node")).as("h"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val ests = scala.collection.mutable.ArrayBuffer(estimate(state))
+    for (_ <- 1 to radius) {
+      val w = Window.partitionBy("v").orderBy("h")
+      val next = state
+        .unionByName(e.join(state.withColumnRenamed("v", "u"), "u").select("v", "h"))
+        .distinct()
+        .withColumn("__rn", row_number().over(w))
+        .where(col("__rn") <= k)
+        .drop("__rn")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      state = next
+      ests += estimate(state)
+    }
+    val joined = ests.zipWithIndex.map { case (df, r) =>
+      df.select(col("v").as("node"), col("est").as(s"__e$r"))
+    }.reduce(_.join(_, Seq("node")))
+    val mass = (1 to radius).map(r =>
+      s"(__e$r - __e${r - 1}) * ${1000000L / r}L").mkString(" + ")
+    nodes.join(joined, Seq("node"), "left")
+      .select(col("node"),
+        coalesce(expr(mass), lit(0L)).as("harmonic_sketch_ppm"))
+  }
+
   // ---------------------------------------------------------------------
   // DuckDB twins (generated from the SAME constants, the drift-proofing
   // convention)
   // ---------------------------------------------------------------------
+
+  /** Unrolled DuckDB CTE chain computing [[harmonicPpmSketch]] over an
+    * edge CTE named `eSrc`: `ks_e, ks_n, ks_s0 .. ks_s<radius>,
+    * ks_e0 .. ks_e<radius>, ks_r` — select (node, harmonic_sketch_ppm)
+    * from `ks_r`. Generated from the SAME constants (hash prefix, K,
+    * estimator, per-round reciprocals).
+    */
+  def harmonicSketchSqlD(eSrc: String, radius: Int = 3, k: Int = 16): String = {
+    val hash = "CAST(concat('0x', substr(md5(node), 1, 15)) AS BIGINT)"
+    val head =
+      s"ks_e AS (SELECT DISTINCT src AS u, dst AS v FROM $eSrc " +
+        "WHERE src IS NOT NULL AND dst IS NOT NULL AND src <> dst), " +
+        "ks_n AS (SELECT u AS node FROM ks_e UNION SELECT v FROM ks_e), " +
+        s"ks_s0 AS (SELECT node AS v, $hash AS h FROM ks_n)"
+    val steps = (1 to radius).map { r =>
+      s"ks_s$r AS (SELECT v, h FROM (SELECT v, h, " +
+        "row_number() OVER (PARTITION BY v ORDER BY h) AS rn FROM (" +
+        s"SELECT DISTINCT v, h FROM (SELECT v, h FROM ks_s${r - 1} " +
+        s"UNION ALL SELECT e.v, s.h FROM ks_e e JOIN ks_s${r - 1} s ON s.v = e.u) q0) q1) q2 " +
+        s"WHERE rn <= $k)"
+    }
+    val estims = (0 to radius).map { r =>
+      s"ks_e$r AS (SELECT v, CASE WHEN count(*) < $k THEN count(*) " +
+        s"ELSE ${k - 1} * ((1::BIGINT << 60) // greatest(max(h), 1)) END AS est " +
+        s"FROM ks_s$r GROUP BY v)"
+    }
+    val mass = (1 to radius).map(r =>
+      s"(ks_e$r.est - ks_e${r - 1}.est) * ${1000000L / r}").mkString(" + ")
+    val joins = (0 to radius).map(r => s"JOIN ks_e$r ON ks_e$r.v = ks_n.node").mkString(" ")
+    val rank =
+      s"ks_r AS (SELECT ks_n.node, CAST($mass AS BIGINT) AS harmonic_sketch_ppm " +
+        s"FROM ks_n $joins)"
+    (Seq(head) ++ steps ++ estims :+ rank).mkString(", ")
+  }
 
   /** Unrolled DuckDB CTE chain computing [[harmonicPpm]] over an edge
     * CTE named `eSrc` with columns (src, dst): `hc_e, hc_n, hc_d1 ..

@@ -1171,6 +1171,18 @@ object PipelineQueries {
         .orderBy("domain")
     }),
 
+    // the SKETCHED harmonic (KMV neighborhood sketches, the HyperBall
+    // plan shape): fixed-width per-node state however large the
+    // in-balls grow — exact below K, the integer KMV estimator above
+    "ext_harmonic_kmv" -> ((s, dir) => {
+      val la = linkAug(Tables.documents(s, dir))
+      val edges = LinkGraph.linkDomainEdges(LinkGraph.resolveLinks(
+        LinkGraph.extractLinks(la, keepCols = Seq("url"))))
+      LinkGraph.harmonicPpmSketch(edges)
+        .withColumnRenamed("node", "domain")
+        .orderBy("domain")
+    }),
+
     // the harmonic prior CONSUMED by the same rank-weighted cap that
     // takes the PageRank prior — domainCapByRank accepts either
     "ext_harmonic_cap" -> ((s, dir) => {
@@ -2778,6 +2790,13 @@ object PipelineQueries {
       s"""WITH $linkAugSql,
          |${LinkGraph.harmonicSqlD("le")}
          |SELECT node AS domain, harmonic_ppm FROM hc_r ORDER BY domain""".stripMargin,
+
+    // sketched harmonic: the same rounds unrolled with KMV top-K state
+    // per node — hash, estimator, and reciprocals from the same constants
+    "ext_harmonic_kmv" ->
+      s"""WITH $linkAugSql,
+         |${LinkGraph.harmonicSketchSqlD("le")}
+         |SELECT node AS domain, harmonic_sketch_ppm FROM ks_r ORDER BY domain""".stripMargin,
 
     // harmonic prior feeding the rank-weighted cap (the ext_rank_cap
     // chain with hc_r in place of pr_r5)

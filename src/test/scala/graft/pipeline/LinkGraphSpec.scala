@@ -184,6 +184,45 @@ class LinkGraphSpec extends SparkSpec {
     assert(runHc(Seq("a" -> "b"), 3)("a") == 0L)
   }
 
+  test("harmonicPpmSketch: equals the exact form while every in-ball is below K") {
+    // 20-node random graph: every radius-3 in-ball holds < 16 nodes, so
+    // the KMV sets stay below K, the estimator is an exact count, and
+    // the sketch must equal the exact form value-for-value — for both
+    // mass formulas sum count_at_distance_d * (1e6 DIV d)
+    for (seed <- 1 to 2) {
+      val rnd = new scala.util.Random(seed + 40)
+      val edges = Seq.fill(25)((s"n${rnd.nextInt(20)}", s"n${rnd.nextInt(20)}"))
+      val df = edges.toDF("src", "dst")
+      val exact = LinkGraph.harmonicPpm(df).collect()
+        .map(r => (r.getString(0), r.getLong(1))).toMap
+      val sketch = LinkGraph.harmonicPpmSketch(df).collect()
+        .map(r => (r.getString(0), r.getLong(1))).toMap
+      assert(sketch == exact, s"seed $seed:\n$sketch\nvs exact\n$exact")
+    }
+  }
+
+  test("harmonicPpmSketch: state stays at K rows per node and the estimate is monotone") {
+    // a dense hub: 40 nodes all link to 'hub' and to each other in a
+    // ring, so hub's radius-2 ball far exceeds K=4 — the sketch keeps
+    // 4 hashes and estimates
+    val edges = (0 until 40).flatMap(i =>
+      Seq((s"m$i", "hub"), (s"m$i", s"m${(i + 1) % 40}")))
+    val df = edges.toDF("src", "dst")
+    val got = LinkGraph.harmonicPpmSketch(df, radius = 3, k = 4).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    // the hub's in-ball at radius 1 is all 40 nodes: the K=4 estimate
+    // must be positive and roughly in the tens (KMV with K=4 is coarse;
+    // determinism is what matters — re-run equals)
+    assert(got("hub") > 0L)
+    val again = LinkGraph.harmonicPpmSketch(df, radius = 3, k = 4).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(again == got, "sketch must be deterministic")
+    // contributions never go negative: every node's mass is >= 0
+    assert(got.values.forall(_ >= 0L), got.toString)
+    intercept[IllegalArgumentException](LinkGraph.harmonicPpmSketch(df, k = 1))
+    intercept[IllegalArgumentException](LinkGraph.harmonicPpmSketch(df, radius = 9))
+  }
+
   test("harmonicPpm: parallel edges count once; self-loops drop; bounds fail fast") {
     val got = runHc(Seq("a" -> "b", "a" -> "b", "c" -> "c", "c" -> "b"), 2)
     assert(got == Map("a" -> 0L, "b" -> 2000000L, "c" -> 0L), got.toString)
