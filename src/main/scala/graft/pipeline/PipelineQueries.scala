@@ -1630,6 +1630,29 @@ object PipelineQueries {
         .orderBy("src_id")
     }),
 
+    // celled-vs-exact recall audit for the bitext miner — the
+    // "measure, don't guess" gate on the scale path's quantizer: how
+    // many exact mutual-best pairs does the IVF candidate generation
+    // recover at the default nprobe
+    "ext_bitext_recall" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val src = emb.filter(col("label") === 0)
+      val tgt = emb.filter(col("label") === 1)
+      val exact = Similarity.marginMinedPairs(src, tgt).select("src_id", "tgt_id")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      def arm(method: String, cents: Seq[Seq[Double]]) = {
+        val celled = Similarity.marginMinedPairsIvf(src, tgt, cents)
+          .select(col("src_id"), col("tgt_id"), lit(true).as("__hit"))
+        exact.join(celled, Seq("src_id", "tgt_id"), "left")
+          .agg(count(lit(1)).as("n_exact"), count(col("__hit")).as("n_hit"),
+            expr("count(__hit) * 1000000 DIV greatest(count(1), 1)").as("recall_ppm"))
+          .select(lit(method).as("method"), col("n_exact"), col("n_hit"), col("recall_ppm"))
+      }
+      arm("ivf", Similarity.defaultCentroids(64, 8))
+        .unionByName(arm("ivf_trained", Similarity.refIvfCentroids))
+        .orderBy("method")
+    }),
+
     // hard-negative mining for contrastive training: top-5 most similar
     // OFF-label vectors per query — the between-epochs retrieval-training
     // data op (high-sim wrong-class negatives move the loss; random ones
@@ -2396,6 +2419,49 @@ object PipelineQueries {
        |SELECT query_id, rank, neighbor_id FROM w WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
 
   private lazy val knnIvfSql: String = knnIvfSqlFrom(ivfCentSql)
+
+  /** The exact bitext-margin statement (also serves ext_bitext_recall
+    * as a derived-table subquery — the knn-recall discipline).
+    */
+  private lazy val bitextMarginSql: String = {
+    val cosSt = cosD("sv", "tv")
+    s"""WITH ms AS (SELECT vec_id AS src_id, embedding AS sv FROM embeddings WHERE label = 0),
+       |mt AS (SELECT vec_id AS tgt_id, embedding AS tv FROM embeddings WHERE label = 1),
+       |mp AS (SELECT src_id, tgt_id,
+       |        CAST(floor((($cosSt) + 1) * 1000000) AS BIGINT) AS c FROM ms, mt),
+       |$marginChainD
+       |SELECT src_id, tgt_id, margin_ppm FROM mb WHERE bx = 1 AND byy = 1
+       |ORDER BY src_id""".stripMargin
+  }
+
+  /** The IVF-celled bitext-margin statement from any `cent(cid, cv)`
+    * CTE (same dual use; the trained-centroid arm of ext_bitext_recall
+    * passes the frozen VALUES table).
+    */
+  private def bitextMarginIvfSqlFrom(centCte: String): String = {
+    val cosSt = cosD("sv", "tv")
+    s"""WITH $centCte,
+       |ms AS (SELECT vec_id AS src_id, embedding AS sv FROM embeddings WHERE label = 0),
+       |mt AS (SELECT vec_id AS tgt_id, embedding AS tv FROM embeddings WHERE label = 1),
+       |scd AS (SELECT src_id, sv, cid, row_number() OVER (PARTITION BY src_id
+       |          ORDER BY ${dotCentD("sv")} DESC, cid) AS rn FROM ms, cent),
+       |tcd AS (SELECT tgt_id, tv, cid, row_number() OVER (PARTITION BY tgt_id
+       |          ORDER BY ${dotCentD("tv")} DESC, cid) AS rn FROM mt, cent),
+       |mp AS (SELECT DISTINCT src_id, tgt_id,
+       |        CAST(floor((($cosSt) + 1) * 1000000) AS BIGINT) AS c
+       |       FROM (SELECT s.src_id, s.sv, t.tgt_id, t.tv
+       |               FROM (SELECT * FROM scd WHERE rn <= 2) s
+       |               JOIN (SELECT * FROM tcd WHERE rn = 1) t USING (cid)
+       |             UNION ALL
+       |             SELECT s.src_id, s.sv, t.tgt_id, t.tv
+       |               FROM (SELECT * FROM scd WHERE rn = 1) s
+       |               JOIN (SELECT * FROM tcd WHERE rn <= 2) t USING (cid)) u),
+       |$marginChainD
+       |SELECT src_id, tgt_id, margin_ppm FROM mb WHERE bx = 1 AND byy = 1
+       |ORDER BY src_id""".stripMargin
+  }
+
+  private lazy val bitextMarginIvfSql: String = bitextMarginIvfSqlFrom(ivfCentSql)
 
   /** Cell-purity statement from any `cent(cid, cv)` CTE — serves both the
     * formula-default and the frozen trained centroid tables.
@@ -3281,44 +3347,31 @@ object PipelineQueries {
 
     // bitext margin: all-pairs [0,2e6]-ppm cosines, top-4 neighborhood
     // sums per side, the integer ratio margin, mutual-best filter
-    "ext_bitext_margin" -> {
-      val cosSt = cosD("sv", "tv")
-      s"""WITH ms AS (SELECT vec_id AS src_id, embedding AS sv FROM embeddings WHERE label = 0),
-         |mt AS (SELECT vec_id AS tgt_id, embedding AS tv FROM embeddings WHERE label = 1),
-         |mp AS (SELECT src_id, tgt_id,
-         |        CAST(floor((($cosSt) + 1) * 1000000) AS BIGINT) AS c FROM ms, mt),
-         |$marginChainD
-         |SELECT src_id, tgt_id, margin_ppm FROM mb WHERE bx = 1 AND byy = 1
-         |ORDER BY src_id""".stripMargin
-    },
+    "ext_bitext_margin" -> bitextMarginSql,
 
     // the celled twin: candidate pairs replayed from the same integer
     // centroid formula (cell assignment rn=1, probes rn<=2, both
     // directions unioned, DISTINCT on the scored triple), then the
     // SAME margin chain — a drift in either the quantizer or the
     // kernel hash-mismatches
-    "ext_bitext_margin_ivf" -> {
-      val cosSt = cosD("sv", "tv")
-      s"""WITH $ivfCentSql,
-         |ms AS (SELECT vec_id AS src_id, embedding AS sv FROM embeddings WHERE label = 0),
-         |mt AS (SELECT vec_id AS tgt_id, embedding AS tv FROM embeddings WHERE label = 1),
-         |scd AS (SELECT src_id, sv, cid, row_number() OVER (PARTITION BY src_id
-         |          ORDER BY ${dotCentD("sv")} DESC, cid) AS rn FROM ms, cent),
-         |tcd AS (SELECT tgt_id, tv, cid, row_number() OVER (PARTITION BY tgt_id
-         |          ORDER BY ${dotCentD("tv")} DESC, cid) AS rn FROM mt, cent),
-         |mp AS (SELECT DISTINCT src_id, tgt_id,
-         |        CAST(floor((($cosSt) + 1) * 1000000) AS BIGINT) AS c
-         |       FROM (SELECT s.src_id, s.sv, t.tgt_id, t.tv
-         |               FROM (SELECT * FROM scd WHERE rn <= 2) s
-         |               JOIN (SELECT * FROM tcd WHERE rn = 1) t USING (cid)
-         |             UNION ALL
-         |             SELECT s.src_id, s.sv, t.tgt_id, t.tv
-         |               FROM (SELECT * FROM scd WHERE rn = 1) s
-         |               JOIN (SELECT * FROM tcd WHERE rn <= 2) t USING (cid)) u),
-         |$marginChainD
-         |SELECT src_id, tgt_id, margin_ppm FROM mb WHERE bx = 1 AND byy = 1
-         |ORDER BY src_id""".stripMargin
-    },
+    "ext_bitext_margin_ivf" -> bitextMarginIvfSql,
+
+    // celled-vs-exact recall audit (the ext_knn_recall discipline for
+    // the bitext miner): both statements embed as derived tables
+    "ext_bitext_recall" ->
+      s"""WITH ex AS (SELECT src_id, tgt_id FROM ($bitextMarginSql) x),
+         |cf AS (SELECT src_id, tgt_id FROM ($bitextMarginIvfSql) y),
+         |ct AS (SELECT src_id, tgt_id
+         |       FROM ((${bitextMarginIvfSqlFrom(ivfCentValuesSql(Similarity.refIvfCentroids))})) z),
+         |rf AS (SELECT 'ivf' AS method, CAST(count(*) AS BIGINT) AS n_exact,
+         |         CAST(count(cf.src_id) AS BIGINT) AS n_hit,
+         |         CAST(count(cf.src_id) * 1000000 // greatest(count(*), 1) AS BIGINT) AS recall_ppm
+         |       FROM ex LEFT JOIN cf USING (src_id, tgt_id)),
+         |rt AS (SELECT 'ivf_trained', CAST(count(*) AS BIGINT),
+         |         CAST(count(ct.src_id) AS BIGINT),
+         |         CAST(count(ct.src_id) * 1000000 // greatest(count(*), 1) AS BIGINT)
+         |       FROM ex LEFT JOIN ct USING (src_id, tgt_id))
+         |SELECT * FROM rf UNION ALL SELECT * FROM rt ORDER BY method""".stripMargin,
 
     // hard negatives: the brute-force cosine CTE chain with the label
     // inequality applied BEFORE the top-k window
