@@ -70,6 +70,75 @@ class ResolveHrefSpec extends SparkSpec {
     assert(res("ftp://h.com/a", "b").isEmpty)
   }
 
+  test("property: matches java.net.URI.resolve (the JDK's RFC 3986 resolver) on random references") {
+    // the JDK resolver is an independent public RFC 3986 implementation;
+    // empty and fragment-only references are excluded (JDK quirks around
+    // same-document references, unit-tested above), as are non-http(s)
+    // results (we NULL them by documented scope)
+    val rnd = new scala.util.Random(31)
+    def seg(): String = Seq("a", "bb", "ccc", ".", "..", "d9")(rnd.nextInt(6))
+    def path(n: Int): String = (1 to n).map(_ => seg()).mkString("/")
+    val bases = Seq(
+      "https://www.example.com/a/b/c",
+      "https://h.org:8080/x/y/",
+      "http://example.co.uk/p?bq=1",
+      "https://h.com")
+    val refs =
+      (1 to 40).map(_ => path(1 + rnd.nextInt(3))) ++
+      (1 to 40).map(_ => "/" + path(1 + rnd.nextInt(3))) ++
+      (1 to 20).map(_ => "//other.net/" + path(1 + rnd.nextInt(2))) ++
+      (1 to 20).map(_ => path(1 + rnd.nextInt(2)) + "?q=" + rnd.nextInt(9)) ++
+      (1 to 20).map(_ => "https://abs.example/" + path(1 + rnd.nextInt(3)))
+    // independent RFC 3986 §5.2.4 reference (segment stack), applied to
+    // the JDK's output path: java.net.URI skips dot removal for
+    // absolute-path references and PRESERVES above-root '..' in
+    // normalize() — both documented JDK deviations from the RFC
+    // pseudo-code our kernel follows
+    def refDots(p: String): String = {
+      if (p.isEmpty) return p
+      val abs = p.startsWith("/")
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      val trailingSlash = p.endsWith("/") || p.endsWith("/.") || p.endsWith("/..") ||
+        p == "." || p == ".."
+      p.split("/", -1).filter(_.nonEmpty).foreach {
+        case "."  => ()
+        case ".." => if (out.nonEmpty) out.remove(out.length - 1)
+        case sg   => out += sg
+      }
+      (if (abs) "/" else "") + out.mkString("/") +
+        (if (trailingSlash && out.nonEmpty) "/" else if (trailingSlash && abs) "" else "")
+    }
+    var checked = 0
+    for (b <- bases; r <- refs) {
+      val got = res(b, r)
+      val want =
+        try {
+          val u = new java.net.URI(b).resolve(new java.net.URI(r))
+          if (u.getScheme == null ||
+              !Set("http", "https").contains(u.getScheme.toLowerCase)) None
+          else {
+            val sb = new StringBuilder(u.getScheme).append("://")
+              .append(Option(u.getRawAuthority).getOrElse(""))
+              .append(refDots(Option(u.getRawPath).getOrElse("")))
+            Option(u.getRawQuery).filter(_.nonEmpty).foreach(q => sb.append('?').append(q))
+            Some(sb.toString)
+          }
+        } catch { case _: java.net.URISyntaxException => None }
+      if (want.isDefined) {
+        val gotDots = got.map { g =>
+          val m = "^(https?://[^/?]*)([^?]*)(\\?.*)?$".r
+          g match {
+            case m(pre, pth, q) => pre + refDots(pth) + Option(q).getOrElse("")
+            case _ => g
+          }
+        }
+        assert(gotDots == want, s"base=$b ref=$r: got $got want $want")
+        checked += 1
+      }
+    }
+    assert(checked > 400, s"fuzz coverage collapsed: only $checked comparisons ran")
+  }
+
   test("column form runs inside whole-stage codegen (fallback disabled) and null-propagates") {
     val key = "spark.sql.codegen.fallback"
     val prior = spark.conf.getOption(key)
