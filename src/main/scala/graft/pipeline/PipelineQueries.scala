@@ -1219,6 +1219,13 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // per-host politeness budget: the *-group Crawl-delay (the de-facto
+    // extension polite crawlers honor) parsed to exact integer ms and
+    // a fetches-per-day ceiling — hosts without the field emit no row
+    "ext_crawl_delay" -> ((s, dir) => {
+      Robots.crawlDelayBudget(robotsTable(s)).orderBy("host")
+    }),
+
     // TIME-VERSIONED robots compliance: each fetch judged against the
     // policy version in force AT FETCH TIME (as-of election over the
     // per-host policy history) — fetches predating any observation are
@@ -2715,6 +2722,14 @@ object PipelineQueries {
 
     // anchor text: the twin emits (target site, text) pairs closed-form —
     // extraction bugs (quote styles, truncation, zipping) hash-mismatch
+    // crawl-delay: only the arm-0 sites carry the field (5 s inside the
+    // *-group; the badbot group has none), NULL-body sites emit nothing
+    "ext_crawl_delay" ->
+      s"""SELECT host, CAST(5000 AS BIGINT) AS delay_ms,
+         |  CAST(17280 AS BIGINT) AS daily_budget
+         |FROM (SELECT i, ${siteHostD("i")} AS host FROM range(40) t(i))
+         |WHERE i % 3 = 0 AND i % 10 <> 5 ORDER BY host""".stripMargin,
+
     // versioned robots: the oracle enumerates both policy versions per
     // site closed-form (rule classes shifted at ts 1000), elects each
     // doc's in-force version with a max(vts <= fts), and replays the

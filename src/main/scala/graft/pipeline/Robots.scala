@@ -85,6 +85,78 @@ object Robots {
     out.toSeq
   }
 
+  /** Parse the `*`-group Crawl-delay of one robots.txt body to integer
+    * MILLISECONDS, or None. Crawl-delay is the de-facto politeness
+    * extension (not in RFC 9309; Bing/Yandex honor it): decimal seconds
+    * are parsed digit-wise (never through a float — "2.5" → 2500 ms
+    * exactly), the MINIMUM across `*` groups wins (the conservative
+    * politeness choice when a file repeats the field), malformed values
+    * are skipped, and groups that never name `*` contribute nothing.
+    */
+  def parseCrawlDelayMs(text: String): Option[Long] = {
+    var best: Option[Long] = None
+    var collectingAgents = false
+    var applies = false
+    Option(text).getOrElse("").split("\n", -1).foreach { raw =>
+      val line = {
+        val noCr = if (raw.endsWith("\r")) raw.dropRight(1) else raw
+        val hash = noCr.indexOf('#')
+        (if (hash >= 0) noCr.substring(0, hash) else noCr).trim
+      }
+      val colon = line.indexOf(':')
+      if (line.nonEmpty && colon > 0) {
+        val field = line.substring(0, colon).trim.toLowerCase
+        val value = line.substring(colon + 1).trim
+        field match {
+          case "user-agent" =>
+            if (!collectingAgents) { collectingAgents = true; applies = false }
+            if (value == "*") applies = true
+          case "allow" | "disallow" => collectingAgents = false
+          case "crawl-delay" =>
+            collectingAgents = false
+            if (applies) {
+              val (ip, fp) = value.indexOf('.') match {
+                case -1 => (value, "")
+                case d  => (value.substring(0, d), value.substring(d + 1))
+              }
+              val fracOk = fp.forall(_.isDigit)
+              if (ip.nonEmpty && ip.forall(_.isDigit) && fracOk && ip.length <= 7) {
+                val ms = ip.toLong * 1000L +
+                  (fp + "000").take(3).toLong
+                best = Some(best.fold(ms)(math.min(_, ms)))
+              }
+            }
+          case _ => ()
+        }
+      }
+    }
+    best
+  }
+
+  /** Per-host politeness budget from a (host, robots_txt) table: one row
+    * per host that declares a `*`-group Crawl-delay — (host, delay_ms,
+    * daily_budget = 86_400_000 DIV delay_ms), the fetches-per-day
+    * ceiling a polite crawler schedules against. Hosts without the
+    * field emit no row (politeness policy is then the crawler's own
+    * default, a config knob — absence must stay visible, not default
+    * silently here). Partition-preserving mapPartitions, the
+    * [[robotsRules]] shape.
+    */
+  def crawlDelayBudget(
+      robots: DataFrame,
+      hostCol: String = "host",
+      textCol: String = "robots_txt"): DataFrame = {
+    val spark = robots.sparkSession
+    import spark.implicits._
+    robots.select(col(hostCol), col(textCol)).as[(String, String)]
+      .mapPartitions(_.flatMap {
+        case (null, _) => Iterator.empty
+        case (h, t) => parseCrawlDelayMs(t).iterator.map(ms =>
+          (h, ms, 86400000L / math.max(ms, 1L)))
+      })
+      .toDF("host", "delay_ms", "daily_budget")
+  }
+
   /** (host, prefix, allow) rules from a (host, robots_txt) table — the
     * at-rest policy artifact, keyed by the origin host the policy was
     * fetched from. Hosts whose robots.txt yields no `*` rules produce

@@ -116,6 +116,29 @@ class RobotsSpec extends SparkSpec {
     assert(got == Map(1L -> false, 2L -> false, 3L -> true, 4L -> false))
   }
 
+  test("parseCrawlDelayMs: *-group only, decimal-exact ms, min wins, garbage skipped") {
+    assert(parseCrawlDelayMs("User-agent: *\nCrawl-delay: 5\n") == Some(5000L))
+    // decimal seconds parse digit-wise, never through a float
+    assert(parseCrawlDelayMs("User-agent: *\nCrawl-delay: 2.5\n") == Some(2500L))
+    assert(parseCrawlDelayMs("User-agent: *\nCrawl-delay: 0.125\n") == Some(125L))
+    assert(parseCrawlDelayMs("User-agent: *\nCrawl-delay: 0.1259\n") == Some(125L))
+    // a named-agent group's delay does not apply
+    assert(parseCrawlDelayMs("User-agent: badbot\nCrawl-delay: 9\n").isEmpty)
+    // repeated fields: the conservative minimum wins
+    assert(parseCrawlDelayMs(
+      "User-agent: *\nCrawl-delay: 10\n\nUser-agent: *\nCrawl-delay: 3\n") == Some(3000L))
+    // malformed values skip; NULL body parses to none
+    assert(parseCrawlDelayMs("User-agent: *\nCrawl-delay: soon\n").isEmpty)
+    assert(parseCrawlDelayMs(null).isEmpty)
+    val got = crawlDelayBudget(Seq(
+        ("a.com", "User-agent: *\nCrawl-delay: 5\n"),
+        ("b.com", "User-agent: *\nDisallow: /\n"),
+        (null.asInstanceOf[String], "User-agent: *\nCrawl-delay: 1\n"))
+      .toDF("host", "robots_txt"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq(("a.com", 5000L, 17280L)), got.toString)
+  }
+
   test("robotsAllowedAsOf: each fetch judged against the policy in force AT FETCH TIME") {
     val versions = Seq(
       // a.com: restrictive at 100, permissive (rule-less) at 500 — the
