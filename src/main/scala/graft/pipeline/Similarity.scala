@@ -1255,6 +1255,10 @@ object Similarity {
                | ' or raise maxCellRows')) as bigint)""".stripMargin)))
         .drop("__csz")
     } else b0
+    // persist: the self-join evaluates BOTH sides (cell assignment, norm,
+    // and the cell-size guard window re-run per side without it) — the
+    // minhash twin's bsig discipline
+    b.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // exact-cosine ppm (floor) so the threshold semantics match the store
     // probe's integer compare — for integer tauPpm, floor(c*1e6) >= tau
     // iff c*1e6 >= tau
