@@ -205,19 +205,29 @@ object PipelineQueries {
     * no effective rules.
     */
   /** The robots body for arm class `arm` (0 = disallow-with-allow-
-    * exception + query rule, 1 = disallow-all, 2 = no effective rules),
-    * NULL when `isNull` — shared by the flat fixture and the VERSIONED
-    * one so the two cannot drift.
+    * exception + query rule, 1 = disallow-all, 2 = no effective rules +
+    * a 9000 s Crawl-delay), NULL when `isNull` — shared by the flat
+    * fixture and the VERSIONED one so the two cannot drift. Every body
+    * carries a host-wide `Sitemap:` line (arm 0 a second one INSIDE its
+    * `*` group's agent run — the field must not close the run) and two
+    * NAMED groups (`my`, `MyBot`) whose rules diverge from the `*`
+    * group's: an agent token like `mybot-news` prefix-matches both and
+    * must take ONLY the longer `mybot` group (RFC 9309 most-specific
+    * precedence), never `*`, never `badbot`.
     */
   private def robotsBody(i: Column, arm: Column, isNull: Column): Column =
     when(isNull, lit(null).cast("string")).otherwise(concat(
       when(i % 2 === 0, lit("# site robots\r\n")).otherwise(lit("# site robots\n")),
+      concat(lit("Sitemap: https://"), siteHost(i), lit("/sitemap.xml\n")),
       lit("User-Agent: badbot\nDisallow: /\n\n"),
+      lit("User-agent: my\nDisallow: /only-my\n\n"),
+      lit("User-agent: MyBot\nDisallow: /p/\nAllow: /private\n\n"),
       when(arm === 0,
-        lit("User-agent: *\nDisallow: /private # keep out\nAllow: /private/pub\n" +
-          "Disallow: /search?q=\nCrawl-delay: 5\n"))
+        concat(lit("User-agent: *\nSitemap: https://"), siteHost(i),
+          lit("/sitemap-news.xml\nDisallow: /private # keep out\nAllow: /private/pub\n" +
+            "Disallow: /search?q=\nCrawl-delay: 5\n")))
         .when(arm === 1, lit("user-agent: *\ndisallow: /\n"))
-        .otherwise(lit("User-agent: *\nDisallow:\n"))))
+        .otherwise(lit("User-agent: *\nDisallow:\nCrawl-delay: 9000\n"))))
 
   private def robotsTable(s: SparkSession): DataFrame = {
     val i = col("id")
@@ -1224,6 +1234,35 @@ object PipelineQueries {
     // a fetches-per-day ceiling — hosts without the field emit no row
     "ext_crawl_delay" -> ((s, dir) => {
       Robots.crawlDelayBudget(robotsTable(s)).orderBy("host")
+    }),
+
+    // NAMED-AGENT robots decision (RFC 9309 most-specific precedence):
+    // agent `mybot-news` prefix-matches BOTH named groups (`my`,
+    // `MyBot`) and must take only the longest token's group — the `*`
+    // arms that drive ext_robots_filter never apply to it, so the two
+    // queries' decisions diverge on the same corpus
+    "ext_robots_agent" -> ((s, dir) => {
+      val rules = Robots.robotsRules(robotsTable(s), agent = "mybot-news")
+      Robots.robotsAllowed(robotsAug(Tables.documents(s, dir)), rules)
+        .orderBy("doc_id")
+    }),
+
+    // sitemap harvest: the frontier-seeding URLs each host declares in
+    // its robots.txt — host-wide (NOT group-scoped: one fixture line
+    // sits inside an agent run and must not close it), file order kept
+    "ext_sitemaps" -> ((s, dir) => {
+      Robots.sitemapUrls(robotsTable(s)).orderBy("host", "pos")
+    }),
+
+    // politeness budget ENFORCED — the batch twin of the online
+    // per-host admission in crawlIngestStream: hosts that declared a
+    // Crawl-delay keep daily_budget fetches per UTC day in arrival
+    // order; undeclared hosts and NULL-host docs pass uncapped, visible
+    "ext_crawl_budget" -> ((s, dir) => {
+      Robots.crawlBudgetKept(
+          robotsAugTs(Tables.documents(s, dir)),
+          Robots.crawlDelayBudget(robotsTable(s)))
+        .orderBy("doc_id")
     }),
 
     // TIME-VERSIONED robots compliance: each fetch judged against the
@@ -2720,15 +2759,69 @@ object PipelineQueries {
          |  CAST(CASE WHEN enc = -1 THEN -1 ELSE enc // 2 END AS BIGINT) AS rule_len
          |FROM rj ORDER BY doc_id""".stripMargin,
 
-    // anchor text: the twin emits (target site, text) pairs closed-form —
-    // extraction bugs (quote styles, truncation, zipping) hash-mismatch
-    // crawl-delay: only the arm-0 sites carry the field (5 s inside the
-    // *-group; the badbot group has none), NULL-body sites emit nothing
+    // crawl-delay: arm-0 sites carry 5 s, arm-2 sites 900 s (both inside
+    // the *-group; the badbot/named groups have none), NULL-body sites
+    // emit nothing
     "ext_crawl_delay" ->
-      s"""SELECT host, CAST(5000 AS BIGINT) AS delay_ms,
-         |  CAST(17280 AS BIGINT) AS daily_budget
-         |FROM (SELECT i, ${siteHostD("i")} AS host FROM range(40) t(i))
-         |WHERE i % 3 = 0 AND i % 10 <> 5 ORDER BY host""".stripMargin,
+      s"""SELECT host, CAST(delay_ms AS BIGINT) AS delay_ms,
+         |  CAST(bud AS BIGINT) AS daily_budget
+         |FROM (SELECT i, ${siteHostD("i")} AS host,
+         |        CASE WHEN i % 3 = 0 THEN 5000 ELSE 9000000 END AS delay_ms,
+         |        CASE WHEN i % 3 = 0 THEN 17280 ELSE 9 END AS bud
+         |      FROM range(40) t(i)
+         |      WHERE i % 3 IN (0, 2) AND i % 10 <> 5)
+         |ORDER BY host""".stripMargin,
+
+    // named-agent decision: the oracle emits the `mybot` group's rules
+    // closed-form for every policy'd host (they are arm-independent in
+    // the fixture) — precedence bugs (a `*` or `my` rule leaking in)
+    // and the decision fold both hash-mismatch
+    "ext_robots_agent" ->
+      s"""WITH $robotsSqlD,
+         |arule AS (SELECT host, '/p/' AS prefix, false AS allow, 3 AS plen FROM rsite
+         |          UNION ALL SELECT host, '/private', true, 8 FROM rsite),
+         |aj AS (SELECT doc_id, ud.host,
+         |         max(CASE WHEN r.prefix IS NOT NULL AND starts_with(ud.path, r.prefix)
+         |           THEN plen * 2 + CASE WHEN r.allow THEN 1 ELSE 0 END ELSE -1 END) AS enc
+         |       FROM ud LEFT JOIN arule r ON r.host = ud.host GROUP BY 1, 2)
+         |SELECT doc_id, host, (enc = -1 OR enc % 2 = 1) AS allowed,
+         |  CAST(CASE WHEN enc = -1 THEN -1 ELSE enc // 2 END AS BIGINT) AS rule_len
+         |FROM aj ORDER BY doc_id""".stripMargin,
+
+    // sitemaps: every policy'd host declares /sitemap.xml first; arm-0
+    // sites add /sitemap-news.xml (declared INSIDE the *-group's agent
+    // run — a parser that closes the run on it loses the group's rules
+    // and ext_robots_filter catches that; losing the sitemap itself is
+    // caught here)
+    "ext_sitemaps" ->
+      s"""SELECT host, sitemap_url, CAST(pos AS BIGINT) AS pos FROM (
+         |  SELECT ${siteHostD("i")} AS host,
+         |    'https://' || ${siteHostD("i")} || '/sitemap.xml' AS sitemap_url, 1 AS pos
+         |  FROM range(40) t(i) WHERE i % 10 <> 5
+         |  UNION ALL
+         |  SELECT ${siteHostD("i")},
+         |    'https://' || ${siteHostD("i")} || '/sitemap-news.xml', 2
+         |  FROM range(40) t(i) WHERE i % 10 <> 5 AND i % 3 = 0)
+         |ORDER BY host, pos""".stripMargin,
+
+    // budget enforcement: the oracle replays the per-(host, day) rank
+    // in (fts, doc_id) order against the closed-form budgets (arm 0 =
+    // 17280/day — never binds at bench SFs; arm 2 = 9/day — binds);
+    // budget-less and NULL-host docs rank 0, kept
+    "ext_crawl_budget" ->
+      s"""WITH $robotsSqlD,
+         |cb AS (SELECT host, CASE WHEN i % 3 = 0 THEN 17280 ELSE 9 END AS bud
+         |       FROM rsite WHERE i % 3 IN (0, 2)),
+         |cd AS (SELECT doc_id, ud.host, (doc_id * 7) % 2000 AS fts, cb.bud
+         |       FROM ud LEFT JOIN cb ON cb.host = ud.host),
+         |cr AS (SELECT doc_id, host, fts // 86400000 AS day, bud,
+         |         CASE WHEN bud IS NULL THEN 0
+         |              ELSE row_number() OVER (PARTITION BY host, fts // 86400000
+         |                                      ORDER BY fts, doc_id) END AS rnk
+         |       FROM cd)
+         |SELECT doc_id, host, CAST(day AS BIGINT) AS day,
+         |  CAST(rnk AS BIGINT) AS fetch_rank, (bud IS NULL OR rnk <= bud) AS kept
+         |FROM cr ORDER BY doc_id""".stripMargin,
 
     // versioned robots: the oracle enumerates both policy versions per
     // site closed-form (rule classes shifted at ts 1000), elects each

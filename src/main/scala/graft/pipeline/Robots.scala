@@ -1,6 +1,7 @@
 package graft.pipeline
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** robots.txt policy resolution — the crawl-compliance stage of the
@@ -20,9 +21,20 @@ import org.apache.spark.sql.functions._
   *    (NOT its registrable domain — that key is for dedup/cap/opt-out,
   *    where subdomains should pool);
   *  - group model: one or more consecutive `User-agent:` lines open a
-  *    group; the group's `Allow:`/`Disallow:` rules apply iff one of
-  *    its agents is `*` (per-agent token matching is a config knob left
-  *    out of scope — corpus pipelines crawl as a generic agent);
+  *    group; GROUP-SCOPED rule fields (`Allow:`/`Disallow:`/
+  *    `Crawl-delay:`) end the run, so a later `User-agent:` line opens
+  *    a NEW group (one boundary convention for every parser here —
+  *    rules and delays cannot disagree about which group a line
+  *    belongs to); `Sitemap:` and unknown fields are NOT group-scoped
+  *    and do not end the run (RFC 9309);
+  *  - agent precedence (RFC 9309 §2.2.1, the Google-parser
+  *    most-specific convention): a named group matches when its agent
+  *    token is a case-insensitive PREFIX of the crawler's product
+  *    token (`googlebot` matches a `googlebot-news` crawler); among
+  *    matching named tokens the LONGEST wins, and every group carrying
+  *    a winning token combines in file order; `*` groups apply ONLY
+  *    when no named group matches. The default agent is `*` (a generic
+  *    corpus crawler);
   *  - decision: the LONGEST matching prefix wins; on a tie, `Allow`
   *    beats `Disallow`; no rule matches → allowed (and an absent or
   *    empty/NULL robots.txt allows everything); matching is over the
@@ -33,8 +45,7 @@ import org.apache.spark.sql.functions._
   *    prefixes are literal (documented, like the markup extractor's
   *    regex caveat);
   *  - comments (`#` to end of line), blank lines, CRLF, and
-  *    case-insensitive field names are handled; unknown fields are
-  *    ignored without closing the group (per RFC 9309).
+  *    case-insensitive field names are handled.
   *
   * Scale shape: parsing is a partition-preserving mapPartitions over
   * the (host, robots_txt) table — one sequential line walk per host,
@@ -49,15 +60,37 @@ object Robots {
 
   case class RobotsRule(host: String, prefix: String, allow: Boolean)
 
-  /** Parse one robots.txt body into the `*`-group rules, in file order.
-    * A NULL body reads as an EMPTY body (no rules = allow everything —
-    * the absent-robots contract; a fetch store records "no robots.txt"
-    * as a NULL payload, not as a missing row).
+  /** One parsed robots.txt group: its (lowercased) agent tokens, its
+    * rules in file order, and its minimum valid Crawl-delay in exact
+    * integer milliseconds (decimal seconds parsed digit-wise, never
+    * through a float).
     */
-  def parseRobots(host: String, text: String): Seq[RobotsRule] = {
-    val out = scala.collection.mutable.ArrayBuffer.empty[RobotsRule]
+  case class RobotsGroup(
+      agents: Seq[String],
+      rules: Seq[(String, Boolean)],
+      delayMs: Option[Long])
+
+  /** The full group/sitemap parse of one robots.txt body — the single
+    * line walk every public parser below selects from (one group-
+    * boundary convention, so the rule and delay views can never
+    * disagree). A NULL body reads as an EMPTY body (no groups = allow
+    * everything — the absent-robots contract; a fetch store records
+    * "no robots.txt" as a NULL payload, not as a missing row).
+    * Sitemaps are host-wide (not group-scoped) and returned verbatim
+    * in file order.
+    */
+  def parseGroups(text: String): (Seq[RobotsGroup], Seq[String]) = {
+    val groups = scala.collection.mutable.ArrayBuffer.empty[RobotsGroup]
+    val sitemaps = scala.collection.mutable.ArrayBuffer.empty[String]
+    var agents = Vector.empty[String]
+    var rules = Vector.empty[(String, Boolean)]
+    var delay: Option[Long] = None
     var collectingAgents = false // inside a run of consecutive User-agent lines
-    var applies = false          // current group names agent *
+    var open = false             // a group is being built
+    def flush(): Unit = {
+      if (open) groups += RobotsGroup(agents, rules, delay)
+      agents = Vector.empty; rules = Vector.empty; delay = None; open = false
+    }
     Option(text).getOrElse("").split("\n", -1).foreach { raw =>
       val line = {
         val noCr = if (raw.endsWith("\r")) raw.dropRight(1) else raw
@@ -70,74 +103,123 @@ object Robots {
         val value = line.substring(colon + 1).trim
         field match {
           case "user-agent" =>
-            if (!collectingAgents) { collectingAgents = true; applies = false }
-            if (value == "*") applies = true
+            if (!collectingAgents) { flush(); collectingAgents = true }
+            open = true
+            if (value.nonEmpty) agents :+= value.toLowerCase
           case "allow" | "disallow" =>
             collectingAgents = false
+            open = true
             // empty Disallow = allow-all (no rule); empty Allow is a
             // no-op the same way
-            if (applies && value.nonEmpty)
-              out += RobotsRule(host, value, field == "allow")
+            if (value.nonEmpty) rules :+= ((value, field == "allow"))
+          case "crawl-delay" =>
+            collectingAgents = false
+            open = true
+            parseDelayMs(value).foreach(ms =>
+              delay = Some(delay.fold(ms)(math.min(_, ms))))
+          case "sitemap" =>
+            // host-wide, independent of groups — does NOT end the run
+            if (value.nonEmpty) sitemaps += value
           case _ => () // unknown fields don't close the agent run (RFC 9309)
         }
       }
     }
-    out.toSeq
+    flush()
+    (groups.toSeq, sitemaps.toSeq)
   }
 
-  /** Parse the `*`-group Crawl-delay of one robots.txt body to integer
-    * MILLISECONDS, or None. Crawl-delay is the de-facto politeness
-    * extension (not in RFC 9309; Bing/Yandex honor it): decimal seconds
-    * are parsed digit-wise (never through a float — "2.5" → 2500 ms
-    * exactly), the MINIMUM across `*` groups wins (the conservative
-    * politeness choice when a file repeats the field), malformed values
-    * are skipped, and groups that never name `*` contribute nothing.
+  /** Decimal-seconds Crawl-delay value → exact integer milliseconds
+    * (digit-wise — "2.5" → 2500 ms, never through a float); None for
+    * malformed values.
     */
-  def parseCrawlDelayMs(text: String): Option[Long] = {
-    var best: Option[Long] = None
-    var collectingAgents = false
-    var applies = false
-    Option(text).getOrElse("").split("\n", -1).foreach { raw =>
-      val line = {
-        val noCr = if (raw.endsWith("\r")) raw.dropRight(1) else raw
-        val hash = noCr.indexOf('#')
-        (if (hash >= 0) noCr.substring(0, hash) else noCr).trim
+  private def parseDelayMs(value: String): Option[Long] = {
+    val (ip, fp) = value.indexOf('.') match {
+      case -1 => (value, "")
+      case d  => (value.substring(0, d), value.substring(d + 1))
+    }
+    if (ip.nonEmpty && ip.forall(_.isDigit) && fp.forall(_.isDigit) && ip.length <= 7)
+      Some(ip.toLong * 1000L + (fp + "000").take(3).toLong)
+    else None
+  }
+
+  /** The groups that govern crawler `agent` (RFC 9309 §2.2.1 with the
+    * most-specific extension; see the object scaladoc): named groups
+    * whose longest case-insensitively-prefix-matching token is maximal,
+    * else the `*` groups. Agent `*` selects the `*` groups directly.
+    */
+  def selectGroups(groups: Seq[RobotsGroup], agent: String): Seq[RobotsGroup] = {
+    val a = agent.toLowerCase
+    val star = groups.filter(_.agents.contains("*"))
+    if (a == "*") star
+    else {
+      val named = groups.flatMap { g =>
+        val lens = g.agents.filter(t => t != "*" && a.startsWith(t)).map(_.length)
+        if (lens.isEmpty) None else Some((g, lens.max))
       }
-      val colon = line.indexOf(':')
-      if (line.nonEmpty && colon > 0) {
-        val field = line.substring(0, colon).trim.toLowerCase
-        val value = line.substring(colon + 1).trim
-        field match {
-          case "user-agent" =>
-            if (!collectingAgents) { collectingAgents = true; applies = false }
-            if (value == "*") applies = true
-          case "allow" | "disallow" => collectingAgents = false
-          case "crawl-delay" =>
-            collectingAgents = false
-            if (applies) {
-              val (ip, fp) = value.indexOf('.') match {
-                case -1 => (value, "")
-                case d  => (value.substring(0, d), value.substring(d + 1))
-              }
-              val fracOk = fp.forall(_.isDigit)
-              if (ip.nonEmpty && ip.forall(_.isDigit) && fracOk && ip.length <= 7) {
-                val ms = ip.toLong * 1000L +
-                  (fp + "000").take(3).toLong
-                best = Some(best.fold(ms)(math.min(_, ms)))
-              }
-            }
-          case _ => ()
-        }
+      if (named.isEmpty) star
+      else {
+        val best = named.map(_._2).max
+        named.collect { case (g, len) if len == best => g }
       }
     }
-    best
+  }
+
+  /** Parse one robots.txt body into the rules governing `agent`
+    * (default `*` — the generic-crawler group), in file order across
+    * the selected groups.
+    */
+  def parseRobots(host: String, text: String, agent: String = "*"): Seq[RobotsRule] =
+    selectGroups(parseGroups(text)._1, agent)
+      .flatMap(_.rules.map { case (p, a) => RobotsRule(host, p, a) })
+
+  /** Parse the Crawl-delay governing `agent` (default `*`) to integer
+    * MILLISECONDS, or None. Crawl-delay is the de-facto politeness
+    * extension (not in RFC 9309; Bing/Yandex honor it): the MINIMUM
+    * across the selected groups wins (the conservative politeness
+    * choice when a file repeats the field), malformed values are
+    * skipped, and unselected groups contribute nothing.
+    */
+  def parseCrawlDelayMs(text: String, agent: String = "*"): Option[Long] = {
+    val delays = selectGroups(parseGroups(text)._1, agent).flatMap(_.delayMs)
+    if (delays.isEmpty) None else Some(delays.min)
+  }
+
+  /** `Sitemap:` URLs of one robots.txt body, verbatim in file order —
+    * host-wide per the sitemaps protocol (the field is not group-
+    * scoped), the frontier-seeding signal a crawler harvests before it
+    * ever fetches a page.
+    */
+  def parseSitemaps(text: String): Seq[String] = parseGroups(text)._2
+
+  /** Per-host sitemap harvest from a (host, robots_txt) table: one row
+    * per declared `Sitemap:` URL — (host, sitemap_url, pos), pos the
+    * 1-based file-order position (a host's first sitemap is its
+    * primary index by convention). Hosts that declare none emit no
+    * rows; NULL hosts are skipped ([[robotsRules]] contract).
+    * Partition-preserving mapPartitions — the frontier seed list a
+    * crawl scheduler joins against, model-sized next to the corpus.
+    */
+  def sitemapUrls(
+      robots: DataFrame,
+      hostCol: String = "host",
+      textCol: String = "robots_txt"): DataFrame = {
+    val spark = robots.sparkSession
+    import spark.implicits._
+    robots.select(col(hostCol), col(textCol)).as[(String, String)]
+      .mapPartitions(_.flatMap {
+        case (null, _) => Iterator.empty
+        case (h, t) => parseSitemaps(t).iterator.zipWithIndex.map {
+          case (u, i) => (h, u, (i + 1).toLong)
+        }
+      })
+      .toDF("host", "sitemap_url", "pos")
   }
 
   /** Per-host politeness budget from a (host, robots_txt) table: one row
-    * per host that declares a `*`-group Crawl-delay — (host, delay_ms,
-    * daily_budget = 86_400_000 DIV delay_ms), the fetches-per-day
-    * ceiling a polite crawler schedules against. Hosts without the
-    * field emit no row (politeness policy is then the crawler's own
+    * per host that declares a Crawl-delay governing `agent` — (host,
+    * delay_ms, daily_budget = 86_400_000 DIV delay_ms), the fetches-
+    * per-day ceiling a polite crawler schedules against. Hosts without
+    * the field emit no row (politeness policy is then the crawler's own
     * default, a config knob — absence must stay visible, not default
     * silently here). Partition-preserving mapPartitions, the
     * [[robotsRules]] shape.
@@ -145,36 +227,83 @@ object Robots {
   def crawlDelayBudget(
       robots: DataFrame,
       hostCol: String = "host",
-      textCol: String = "robots_txt"): DataFrame = {
+      textCol: String = "robots_txt",
+      agent: String = "*"): DataFrame = {
     val spark = robots.sparkSession
     import spark.implicits._
     robots.select(col(hostCol), col(textCol)).as[(String, String)]
       .mapPartitions(_.flatMap {
         case (null, _) => Iterator.empty
-        case (h, t) => parseCrawlDelayMs(t).iterator.map(ms =>
+        case (h, t) => parseCrawlDelayMs(t, agent).iterator.map(ms =>
           (h, ms, 86400000L / math.max(ms, 1L)))
       })
       .toDF("host", "delay_ms", "daily_budget")
   }
 
+  /** BATCH politeness-budget admission — the batch twin of the online
+    * per-host budget stage in
+    * [[graft.streaming.StreamDedup.crawlIngestStream]]: each host that
+    * declared a Crawl-delay gets `daily_budget` fetches per UTC day
+    * (day = ts DIV 86_400_000 — `tsCol` is epoch MILLISECONDS), kept in
+    * (ts, id) arrival order; hosts without a declared budget and
+    * NULL-host documents pass uncapped with fetch_rank 0 (the crawler's
+    * own politeness default is a config knob — absence stays visible).
+    * Output: (idCol, host, day, fetch_rank, kept).
+    *
+    * Scale shape: one left join against the model-sized budget table,
+    * then ONE window keyed (host, day) — budget-less and NULL-host rows
+    * ride unique NUL-prefixed keys through the SAME window (the
+    * domainCapSurvivors single-pass discipline: a where/union split
+    * would evaluate the upstream twice), so no straggler partition.
+    */
+  def crawlBudgetKept(
+      docs: DataFrame,
+      budgets: DataFrame,
+      idCol: String = "doc_id",
+      urlCol: String = "url",
+      tsCol: String = "fetch_ts"): DataFrame = {
+    val missing = Seq("host", "daily_budget").filterNot(budgets.columns.contains)
+    require(missing.isEmpty,
+      s"crawlBudgetKept: budgets must carry (host, daily_budget); missing ${missing.mkString(", ")}")
+    val b = budgets.select(col("host"), col("daily_budget").cast("long").as("daily_budget"))
+    val joined = docs
+      .select(col(idCol),
+        UrlOps.hostOf(col(urlCol)).as("host"),
+        col(tsCol).cast("long").as("__ts"))
+      .withColumn("day", expr("__ts DIV 86400000"))
+      .join(b, Seq("host"), "left")
+    val key = when(col("host").isNull || col("daily_budget").isNull,
+        concat(lit(" "), col(idCol).cast("string")))
+      .otherwise(concat(col("host"), lit(" "), col("day").cast("string")))
+    val w = Window.partitionBy(key).orderBy(col("__ts"), col(idCol))
+    joined
+      .withColumn("__rn", row_number().over(w).cast("long"))
+      .select(col(idCol), col("host"), col("day"),
+        when(col("daily_budget").isNull, lit(0L)).otherwise(col("__rn")).as("fetch_rank"),
+        (col("daily_budget").isNull || col("__rn") <= col("daily_budget")).as("kept"))
+  }
+
   /** (host, prefix, allow) rules from a (host, robots_txt) table — the
     * at-rest policy artifact, keyed by the origin host the policy was
-    * fetched from. Hosts whose robots.txt yields no `*` rules produce
-    * no rows (= allow everything downstream); a NULL body parses as
-    * empty; a NULL host is skipped — a rule row without an origin can
-    * never match any document, and emitting NULL-keyed rules would just
-    * poison the decision join's NULL arm.
+    * fetched from, selected for `agent` (default `*`; a crawler with a
+    * published product token passes it to get RFC 9309 most-specific
+    * precedence). Hosts whose robots.txt yields no rules for the agent
+    * produce no rows (= allow everything downstream); a NULL body
+    * parses as empty; a NULL host is skipped — a rule row without an
+    * origin can never match any document, and emitting NULL-keyed rules
+    * would just poison the decision join's NULL arm.
     */
   def robotsRules(
       robots: DataFrame,
       hostCol: String = "host",
-      textCol: String = "robots_txt"): DataFrame = {
+      textCol: String = "robots_txt",
+      agent: String = "*"): DataFrame = {
     val spark = robots.sparkSession
     import spark.implicits._
     robots.select(col(hostCol), col(textCol)).as[(String, String)]
       .mapPartitions(_.flatMap {
         case (null, _) => Iterator.empty
-        case (h, t)    => parseRobots(h, t)
+        case (h, t)    => parseRobots(h, t, agent)
       })
       .toDF()
   }
@@ -188,15 +317,17 @@ object Robots {
     * HISTORY — (host, version_ts, robots_txt), one row per observed
     * policy version, NULL bodies = the absent-robots observation —
     * and each document's decision uses the latest version with
-    * version_ts <= its fetch timestamp.
+    * version_ts <= its fetch timestamp. Rules select for `agent`
+    * (default `*`), RFC 9309 precedence per version.
     *
-    * A version whose body yields NO `*`-rules (or a NULL body) still
-    * REGISTERS as a version: a new permissive policy must supersede an
-    * old restrictive one, so versions are carried as (possibly empty)
-    * rule arrays, never dropped. Documents with no version at or before
-    * their fetch (the crawl predates the first observation) and
-    * NULL-host documents are allowed with a NULL `policy_ts` — visible,
-    * not silently judged against a future policy.
+    * A version whose body yields NO rules for the agent (or a NULL
+    * body) still REGISTERS as a version: a new permissive policy must
+    * supersede an old restrictive one, so versions are carried as
+    * (possibly empty) rule arrays, never dropped. Documents with no
+    * version at or before their fetch (the crawl predates the first
+    * observation) and NULL-host documents are allowed with a NULL
+    * `policy_ts` — visible, not silently judged against a future
+    * policy.
     *
     * Scale shape: parsing is one mapPartitions over the version store;
     * versions pre-aggregate to ONE array row per (host, version_ts);
@@ -215,7 +346,8 @@ object Robots {
       tsCol: String = "fetch_ts",
       hostCol: String = "host",
       versionTsCol: String = "version_ts",
-      textCol: String = "robots_txt"): DataFrame = {
+      textCol: String = "robots_txt",
+      agent: String = "*"): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val missing = Seq(hostCol, versionTsCol, textCol)
@@ -236,7 +368,7 @@ object Robots {
       .mapPartitions(_.flatMap {
         case (null, _, _) => Iterator.empty
         case (h, ts, t) =>
-          val rs = parseRobots(h, t)
+          val rs = parseRobots(h, t, agent)
           if (rs.isEmpty) Iterator.single((h, ts, null: String, false))
           else rs.iterator.map(r => (h, ts, r.prefix, r.allow))
       })
@@ -249,7 +381,7 @@ object Robots {
       UrlOps.urlPath(col(urlCol)).as("__path"),
       col(tsCol).cast("long").as(tsCol))
       .withColumn("__k",
-        coalesce(col("host"), concat(lit(" "), col(idCol).cast("string"))))
+        coalesce(col("host"), concat(lit(" "), col(idCol).cast("string"))))
     graft.operators.AsOfJoin.backward(
         docsSide, versioned, keys = Seq("__k"),
         leftTs = tsCol, rightTs = versionTsCol,

@@ -142,16 +142,25 @@ object UrlOps {
   def resolveHref(base: Column, href: Column): Column =
     graft.functions.ResolveHref.of(base, href)
 
-  /** Lowercased host of an http(s) URL, port stripped — the ORIGIN key
-    * (what a robots.txt policy is scoped to per RFC 9309: each host
-    * serves its own /robots.txt; an apex policy does NOT govern its
-    * subdomains). NULL for non-http(s) input. Contrast
-    * [[registrableDomain]], the PSL-reduced key for dedup/cap/opt-out
-    * semantics where subdomains SHOULD pool.
+  /** Lowercased host of an http(s) URL with only the DEFAULT port
+    * stripped (`:80` for http, `:443` for https — the [[canonicalUrl]]
+    * convention) — the ORIGIN key a robots.txt policy is scoped to per
+    * RFC 9309: each host serves its own /robots.txt, an apex policy
+    * does NOT govern its subdomains, and a NON-default port is its own
+    * origin (`h.com:8080` serves its own policy), so it stays in the
+    * key. Schemes are deliberately POOLED (http and https reduce to
+    * one key): RFC 9309 scope is per scheme+authority, but the two
+    * schemes of one site serve the same policy in practice, and a
+    * scheme-split key would double the rules table for no decision
+    * change — documented approximation. NULL for non-http(s) input.
+    * Contrast [[registrableDomain]], the PSL-reduced key for
+    * dedup/cap/opt-out semantics where subdomains SHOULD pool.
     */
   def hostOf(url: Column): Column = {
-    val scheme = regexp_extract(url, partsRe, 1)
-    val host = regexp_replace(lower(regexp_extract(url, partsRe, 2)), ":[0-9]+$", "")
+    val scheme = lower(regexp_extract(url, partsRe, 1))
+    val hostport = lower(regexp_extract(url, partsRe, 2))
+    val host = when(scheme === "http", regexp_replace(hostport, ":80$", ""))
+      .otherwise(regexp_replace(hostport, ":443$", ""))
     when(scheme === "" || host === "", lit(null).cast("string")).otherwise(host)
   }
 
@@ -469,9 +478,14 @@ object UrlOps {
   def drawHashD(id: String): String =
     s"(abs($id % 1000000) * 2654435761 + 40503) % 1000000"
 
-  /** The [[hostOf]] twin over a column expression `u`. */
+  /** The [[hostOf]] twin over a column expression `u` (default-port-only
+    * strip, schemes pooled — see [[hostOf]]).
+    */
   def hostOfD(u: String): String = {
-    val host = s"regexp_replace(lower(regexp_extract($u, $partsReD, 2)), ':[0-9]+$$', '')"
+    val scheme = s"lower(regexp_extract($u, $partsReD, 1))"
+    val hostport = s"lower(regexp_extract($u, $partsReD, 2))"
+    val host = s"(CASE WHEN $scheme = 'http' THEN regexp_replace($hostport, ':80$$', '') " +
+      s"ELSE regexp_replace($hostport, ':443$$', '') END)"
     s"nullif($host, '')"
   }
 

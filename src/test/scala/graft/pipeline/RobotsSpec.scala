@@ -30,13 +30,91 @@ class RobotsSpec extends SparkSpec {
       == Seq(("/x", false), ("/x/y", true)))
     // an unknown field inside a group does NOT close the agent run
     // (RFC 9309) — rules after it still apply
+    assert(rules("User-agent: *\nHost: example.com\nDisallow: /z\n")
+      == Seq(("/z", false)))
+    // crawl-delay is GROUP-SCOPED like allow/disallow: it does not end
+    // the group (later rules still apply) ...
     assert(rules("User-agent: *\nCrawl-delay: 5\nDisallow: /z\n")
+      == Seq(("/z", false)))
+    // ... but it DOES end the agent run — a later User-agent line opens
+    // a NEW group, consistently with parseCrawlDelayMs (the two parsers
+    // share one group walker, so rules and delays cannot disagree about
+    // group boundaries)
+    assert(rules("User-agent: *\nCrawl-delay: 5\nUser-agent: bot\nDisallow: /x\n").isEmpty)
+    assert(parseCrawlDelayMs(
+      "User-agent: *\nCrawl-delay: 5\nUser-agent: bot\nCrawl-delay: 9\n") == Some(5000L))
+    // sitemap is NOT group-scoped: it neither ends the run nor joins
+    // the group — rules around it are unaffected
+    assert(rules("User-agent: *\nSitemap: https://a.com/s.xml\nDisallow: /z\n")
       == Seq(("/z", false)))
     // empty Disallow = allow-all (no rule); empty Allow is a no-op
     assert(rules("User-agent: *\nDisallow:\nAllow:\n").isEmpty)
     // garbage lines without a colon are ignored
     assert(rules("User-agent: *\nnot a directive\nDisallow: /q\n")
       == Seq(("/q", false)))
+  }
+
+  test("parseRobots: RFC 9309 named-agent precedence — most specific wins, * is the fallback") {
+    val body =
+      "User-agent: my\nDisallow: /short\n\n" +
+        "User-agent: MyBot\nDisallow: /p/\nAllow: /private\n\n" +
+        "User-agent: *\nDisallow: /star\n"
+    // agent token prefix-matches case-insensitively; the LONGEST
+    // matching token's group wins — `mybot-news` matches `my` (2) and
+    // `mybot` (5); only the `mybot` group applies
+    assert(parseRobots("d", body, "mybot-news").map(r => (r.prefix, r.allow))
+      == Seq(("/p/", false), ("/private", true)))
+    // a shorter-only match takes its own group
+    assert(parseRobots("d", body, "myfetcher").map(r => (r.prefix, r.allow))
+      == Seq(("/short", false)))
+    // no named match → the * group
+    assert(parseRobots("d", body, "otherbot").map(r => (r.prefix, r.allow))
+      == Seq(("/star", false)))
+    // two groups tying at the winning token COMBINE in file order
+    val dup = "User-agent: mybot\nDisallow: /a\n\nUser-agent: MYBOT\nDisallow: /b\n"
+    assert(parseRobots("d", dup, "mybot").map(_.prefix) == Seq("/a", "/b"))
+    // the * form never takes named groups
+    assert(parseRobots("d", "User-agent: mybot\nDisallow: /a\n").isEmpty)
+    // delay selects with the same precedence
+    val dbody = "User-agent: mybot\nCrawl-delay: 2\n\nUser-agent: *\nCrawl-delay: 7\n"
+    assert(parseCrawlDelayMs(dbody, "mybot") == Some(2000L))
+    assert(parseCrawlDelayMs(dbody) == Some(7000L))
+    assert(parseCrawlDelayMs(dbody, "unnamed") == Some(7000L))
+  }
+
+  test("sitemapUrls: host-wide harvest, file order, NULL hosts skipped") {
+    assert(parseSitemaps(
+      "Sitemap: https://a.com/s1.xml\nUser-agent: *\nSitemap: https://a.com/s2.xml\nDisallow: /x\n")
+      == Seq("https://a.com/s1.xml", "https://a.com/s2.xml"))
+    assert(parseSitemaps(null).isEmpty)
+    val got = sitemapUrls(Seq(
+        ("a.com", "Sitemap: https://a.com/one.xml\nSitemap: https://a.com/two.xml\n"),
+        ("b.com", "User-agent: *\nDisallow: /\n"),
+        (null.asInstanceOf[String], "Sitemap: https://x.com/s.xml\n"))
+      .toDF("host", "robots_txt"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq.sorted
+    assert(got == Seq(("a.com", "https://a.com/one.xml", 1L),
+      ("a.com", "https://a.com/two.xml", 2L)))
+  }
+
+  test("crawlBudgetKept: per-(host, day) arrival-order budget; undeclared and NULL hosts pass") {
+    val docs = Seq(
+      (1L, "https://a.com/1", 10L),             // day 0, rank 1 — kept
+      (2L, "https://a.com/2", 20L),             // day 0, rank 2 — kept
+      (3L, "https://a.com/3", 30L),             // day 0, rank 3 — over budget
+      (4L, "https://a.com/4", 86400000L + 5L),  // day 1 resets the window
+      (5L, "https://b.com/1", 10L),             // no declared budget: uncapped
+      (6L, "not a url", 10L)                    // NULL host: uncapped
+    ).toDF("doc_id", "url", "fetch_ts")
+    val budgets = Seq(("a.com", 2L)).toDF("host", "daily_budget")
+    val got = crawlBudgetKept(docs, budgets)
+      .collect().map(r => (r.getLong(0), (r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    assert(got == Map(
+      1L -> ((0L, 1L, true)), 2L -> ((0L, 2L, true)), 3L -> ((0L, 3L, false)),
+      4L -> ((1L, 1L, true)), 5L -> ((0L, 0L, true)), 6L -> ((0L, 0L, true))), got.toString)
+    val e = intercept[IllegalArgumentException](
+      crawlBudgetKept(docs, Seq(Tuple1("x")).toDF("host")))
+    assert(e.getMessage.contains("daily_budget"))
   }
 
   test("robotsAllowed: longest prefix wins, allow beats disallow on ties, default allow") {
