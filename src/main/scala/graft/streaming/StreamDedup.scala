@@ -644,6 +644,9 @@ object StreamDedup {
     *   robots.txt consent (host-scoped stream-static join, stateless)
     *   → domain opt-out (registrable-domain stream-static left-outer +
     *     null-marker filter, stateless)
+    *   → per-host politeness budget (OPTIONAL, when `budgets` is given
+    *     — [[politeBudgetAdmit]]'s (day, count) keyed counter against
+    *     the host's declared Crawl-delay ceiling)
     *   → [[webIngestStream]]: markup extract → canon-URL dedup →
     *     per-domain cap → normalized-content dedup.
     *
@@ -652,20 +655,28 @@ object StreamDedup {
     * canon-URL slot, no domain-cap slot, and its content hash stays
     * unseen (a robots-blocked fetch must not shadow a later lawful
     * fetch of the same page; spec-asserted with exactly that feed).
-    * Both governance axes are STATELESS (rejection before any keyed
+    * Both consent axes are STATELESS (rejection before any keyed
     * state, and before the extraction projection — the cheapest
-    * elections run first, the batch chain's ordering), so the composed
-    * stream's state bill is exactly [[webIngestStream]]'s. The domain
-    * cap lives in the ingest chain, where it counts actual URL-election
-    * survivors — composing [[crawlAdmitStream]]'s counter IN FRONT of
-    * the ingest chain would double-cap (an admission slot spent on a
-    * doc the URL election then drops).
+    * elections run first, the batch chain's ordering). The politeness
+    * budget sits after them (a robots-blocked fetch consumes no budget)
+    * but BEFORE the ingest chain's content work, and it admits FETCHES,
+    * not novel content: a governance-surviving fetch the URL election
+    * later collapses still spent a real request against the host —
+    * politeness is about fetch rate, so it must charge the budget (the
+    * opposite choice from the domain cap below). `budgets` is the
+    * [[graft.pipeline.Robots.crawlDelayBudget]] table — (host,
+    * daily_budget), model-sized, broadcast. The domain cap lives in the
+    * ingest chain, where it counts actual URL-election survivors —
+    * composing [[crawlAdmitStream]]'s counter IN FRONT of the ingest
+    * chain would double-cap (an admission slot spent on a doc the URL
+    * election then drops).
     */
   def crawlIngestStream(
       docs: Dataset[WebDoc],
       rules: DataFrame,
       optOutDomains: DataFrame,
-      cap: Long): Dataset[WebIngestRow] = {
+      cap: Long,
+      budgets: Option[DataFrame] = None): Dataset[WebIngestRow] = {
     require(cap >= 1, s"crawlIngestStream: cap must be positive, got $cap")
     import docs.sparkSession.implicits._
     val admitted = graft.pipeline.Robots.robotsAllowed(
@@ -675,9 +686,87 @@ object StreamDedup {
       .join(optOutDomains.select(col("domain")).distinct()
         .withColumn("__oo", lit(true)), Seq("domain"), "left_outer")
       .where(col("__oo").isNull)
-      .select(col("doc_id"), col("url"), col("html"), col("arrival"))
-      .as[WebDoc]
-    webIngestStream(admitted, cap)
+    val surviving = budgets match {
+      case None =>
+        admitted.select(col("doc_id"), col("url"), col("html"), col("arrival")).as[WebDoc]
+      case Some(b) =>
+        val missing = Seq("host", "daily_budget").filterNot(b.columns.contains)
+        require(missing.isEmpty, "crawlIngestStream: budgets must carry " +
+          s"(host, daily_budget); missing ${missing.mkString(", ")}")
+        // the robots join already derived the origin host — reuse it for
+        // the budget key (one derivation, no drift), stream-static left
+        // join against the model-sized budget table
+        politeBudgetAdmit(admitted
+          .join(broadcast(b.select(col("host"),
+            col("daily_budget").cast("long").as("daily_budget"))), Seq("host"), "left_outer")
+          .select(col("doc_id"), col("url"), col("html"), col("arrival"),
+            col("host"), col("daily_budget"))
+          .as[BudgetDoc])
+    }
+    webIngestStream(surviving, cap)
+  }
+
+  /** Plan-side row of [[politeBudgetAdmit]] (public for the encoder):
+    * a governance survivor with its origin host and that host's declared
+    * daily fetch budget (None when the host declared no Crawl-delay, or
+    * the provenance was unparseable).
+    */
+  case class BudgetDoc(
+      doc_id: Long, url: String, html: String, arrival: Long,
+      host: String, daily_budget: Option[Long])
+
+  /** Per-host budget-window state: the current UTC day and the fetches
+    * admitted within it (public: the encoder needs the constructor).
+    */
+  case class BudgetState(day: Long, admitted: Long)
+
+  /** STREAMING per-host POLITENESS-BUDGET admission — the online stage of
+    * [[graft.pipeline.Robots.crawlBudgetKept]]: each host that declared a
+    * Crawl-delay gets `daily_budget` fetches per UTC day (day = arrival
+    * DIV 86_400_000, arrival in epoch ms), admitted in (arrival, doc_id)
+    * order; hosts without a declared budget and NULL-host documents pass
+    * through on unique space-prefixed keys WITHOUT writing state (a real
+    * host can never start with a space — the [[webIngestStream]]
+    * singleton-key convention).
+    *
+    * State is (day, count) — two Longs per declared-budget host, bounded
+    * by the budget table forever: the day ADVANCES and the counter
+    * resets when a new day's first fetch arrives (no timeout — an
+    * exhausted window must stay exhausted until its day actually ends,
+    * and the next day's arrival is the only event that matters). A
+    * late arrival from an already-closed day counts against the CURRENT
+    * window — the conservative online reading (a polite crawler cannot
+    * un-fetch; charging the past would exceed today's ceiling), and the
+    * documented divergence from the batch twin, which sees the whole
+    * feed and bills every fetch to its own day. On an arrival-ordered
+    * feed the two agree exactly (spec-asserted across adversarial
+    * micro-batch splits under RocksDB).
+    */
+  def politeBudgetAdmit(rows: Dataset[BudgetDoc]): Dataset[WebDoc] = {
+    import rows.sparkSession.implicits._
+    rows
+      .groupByKey(r =>
+        if (r.host == null || r.daily_budget.isEmpty) " " + r.doc_id else r.host)
+      .flatMapGroupsWithState[BudgetState, WebDoc](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (key: String, it: Iterator[BudgetDoc], state: GroupState[BudgetState]) =>
+          if (key.nonEmpty && key.charAt(0) == ' ')
+            it.map(r => WebDoc(r.doc_id, r.url, r.html, r.arrival))
+          else {
+            val ordered = it.toSeq.sortBy(r => (r.arrival, r.doc_id))
+            var st = state.getOption.getOrElse(BudgetState(-1L, 0L))
+            val out = ordered.flatMap { r =>
+              val d = r.arrival / 86400000L
+              if (d > st.day) st = BudgetState(d, 0L)
+              if (st.admitted < r.daily_budget.get) {
+                st = BudgetState(st.day, st.admitted + 1L)
+                Some(WebDoc(r.doc_id, r.url, r.html, r.arrival))
+              } else None
+            }
+            state.update(st)
+            out.iterator
+          }
+      }
   }
 
   /** In-memory reference model of [[domainCapAdmit]]. */

@@ -826,6 +826,86 @@ class StreamDedupSpec extends SparkSpec {
     }
   }
 
+  test("crawlIngestStream with budgets: per-host politeness admission == crawlBudgetKept; day windows reset; rejections consume nothing") {
+    import graft.streaming.StreamDedup.{WebDoc, WebIngestRow}
+    implicit val sqlCtx = spark.sqlContext
+    def page(t: String) = s"<html><body><p>$t</p></body></html>"
+    val rules = Seq(("polite.com", "/private", false)).toDF("host", "prefix", "allow")
+    val optOut = Seq(Tuple1("banned.org")).toDF("domain")
+    val budgets = Seq(("polite.com", 2L)).toDF("host", "daily_budget")
+    def body(k: Char) = s"unique page body $k$k$k long enough to classify as real content"
+    val day1 = 86400000L
+    val feed = Seq(
+      WebDoc(1L, "https://polite.com/a", page(body('a')), 10L),   // budget 1/2
+      // robots-blocked: must consume NO budget (doc 3 still fits)
+      WebDoc(2L, "https://polite.com/private/x", page(body('b')), 20L),
+      WebDoc(3L, "https://polite.com/b", page(body('c')), 30L),   // budget 2/2
+      // over budget: rejected, and its CONTENT must stay unconsumed...
+      WebDoc(4L, "https://polite.com/c", page(body('d')), 40L),
+      // ...so the same content on a budget-less host is kept
+      WebDoc(5L, "https://free.com/1", page(body('d')), 50L),
+      WebDoc(6L, "not a url", page(body('f')), 60L),              // NULL host: uncapped
+      WebDoc(7L, "https://banned.org/x", page(body('g')), 70L),   // opted out pre-budget
+      // day 1: the window resets and polite.com admits again
+      WebDoc(8L, "https://polite.com/d", page(body('h')), day1 + 10L))
+
+    // reference, axis by axis: batch robots + opt-out gate, then the
+    // BATCH budget twin over the gate's survivors, then the ingest fold
+    val allowedIds = graft.pipeline.Robots.robotsAllowed(
+        feed.toDF("doc_id", "url", "html", "arrival"), rules)
+      .where(col("allowed")).select("doc_id").as[Long].collect().toSet
+    val ooIds = graft.pipeline.UrlOps.domainOptOut(
+        feed.toDF("doc_id", "url", "html", "arrival"), optOut)
+      .select("doc_id").as[Long].collect().toSet
+    val gated = feed.filter(d => allowedIds(d.doc_id) && !ooIds(d.doc_id))
+    val budgetKeptIds = graft.pipeline.Robots.crawlBudgetKept(
+        gated.toDF("doc_id", "url", "html", "arrival"), budgets, tsCol = "arrival")
+      .where(col("kept")).select("doc_id").as[Long].collect().toSet
+    assert(budgetKeptIds == Set(1L, 3L, 5L, 6L, 8L), s"batch twin drifted: $budgetKeptIds")
+    val surv = gated.filter(d => budgetKeptIds(d.doc_id))
+    val stage0 = graft.pipeline.MarkupExtract.extract(
+        surv.toDF("doc_id", "url", "html", "arrival"), keep = Seq("url", "arrival"))
+      .select(col("doc_id"),
+        graft.pipeline.UrlOps.canonicalUrl(col("url")).as("canon_url"),
+        graft.pipeline.UrlOps.registrableDomain(col("url")).as("domain"),
+        col("arrival"),
+        org.apache.spark.sql.functions.md5(
+          graft.pipeline.TextAnalysis.normalizeExpr(col("text"))).as("content_md5"))
+      .as[WebIngestRow].collect().toSeq
+    val want = StreamDedup.webIngestReference(stage0, cap = 3L).sortBy(_.doc_id)
+    assert(want.map(_.doc_id) == Seq(1L, 3L, 5L, 6L, 8L), s"fixture drifted: $want")
+
+    val confKey = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(confKey)
+    spark.conf.set(confKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      Seq(Seq(2, 4, 2), Seq.fill(8)(1), Seq(8)).zipWithIndex.foreach { case (split, si) =>
+        val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[WebDoc]
+        val name = s"crawl_budget_out_$si"
+        val q = StreamDedup.crawlIngestStream(in.toDS(), rules, optOut, cap = 3L,
+            budgets = Some(budgets))
+          .writeStream.format("memory").queryName(name).outputMode("append").start()
+        try {
+          var rest = feed
+          split.foreach { n =>
+            val (chunk, tail) = rest.splitAt(n)
+            rest = tail
+            if (chunk.nonEmpty) { in.addData(chunk); q.processAllAvailable() }
+          }
+          val got = spark.table(name).as[WebIngestRow].collect().sortBy(_.doc_id).toSeq
+          assert(got == want,
+            s"split $si: budget-composed chain diverged\n$got\n$want")
+        } finally q.stop()
+      }
+    } finally {
+      prior match {
+        case Some(v) => spark.conf.set(confKey, v)
+        case None => spark.conf.unset(confKey)
+      }
+    }
+  }
+
   test("phashStoreMatches is streaming-legal: MemoryStream probe == batch on the same rows") {
     implicit val sqlCtx = spark.sqlContext
     val h1 = 0x0123456789ABCDEFL
