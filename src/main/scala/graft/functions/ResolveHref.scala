@@ -14,9 +14,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * RELATIVE in real pages) into absolute link-graph targets.
   *
   * Scope matches the crawl pipeline it feeds ([[graft.pipeline.LinkGraph]]):
-  * the base must be an absolute http(s) URL (NULL otherwise — a
-  * mailto/garbage provenance row cannot anchor resolution), and the
-  * RESULT must be http(s) (an href with any other scheme — mailto:,
+  * an ABSOLUTE http(s) href resolves regardless of the base (RFC 3986
+  * §5.2.2 takes absolute references verbatim — a document with
+  * mailto/garbage/NULL provenance still contributes its absolute
+  * cross-domain edges); every RELATIVE reference class needs an
+  * absolute http(s) base to anchor it (NULL otherwise), and the RESULT
+  * must be http(s) (an href with any other scheme — mailto:,
   * javascript:, data: — resolves to NULL, the visible drop the link
   * graph documents). Handled reference classes, per RFC 3986 §5.2.2:
   *
@@ -99,14 +102,7 @@ object HrefKernel {
   }
 
   def resolve(base: UTF8String, href: UTF8String): UTF8String = {
-    if (base == null || href == null) return null
-    val b = parts.matcher(base.toString)
-    if (!b.find()) return null
-    val bScheme = b.group(1)
-    val bAuth = b.group(2)
-    val bPath = b.group(3)
-    val bQuery = b.group(4)
-
+    if (href == null) return null
     var h = href.toString
     val hash = h.indexOf('#')
     if (hash >= 0) h = h.substring(0, hash)
@@ -120,10 +116,23 @@ object HrefKernel {
       (firstSlash < 0 || colon < firstSlash) &&
       (firstQ < 0 || colon < firstQ) && isScheme(h, colon)
     if (schemed) {
+      // RFC 3986 §5.2.2: an absolute reference is taken verbatim WITHOUT
+      // consulting the base — a document with garbage/absent provenance
+      // still contributes its absolute cross-domain edges (only the
+      // non-http(s) schemes drop: mailto:, javascript:, data:)
       val m = parts.matcher(h)
-      if (!m.find()) return null // mailto:, javascript:, data:, or malformed
+      if (!m.find()) return null
       return build(m.group(1), m.group(2), removeDots(m.group(3)), m.group(4))
     }
+    // every other reference class is RELATIVE and needs an absolute
+    // http(s) base to anchor it
+    if (base == null) return null
+    val b = parts.matcher(base.toString)
+    if (!b.find()) return null
+    val bScheme = b.group(1)
+    val bAuth = b.group(2)
+    val bPath = b.group(3)
+    val bQuery = b.group(4)
     if (h.startsWith("//")) {
       // protocol-relative: authority (and everything after) from the href
       val rest = h.substring(2)
@@ -162,17 +171,38 @@ object HrefKernel {
 case class ResolveHref(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = StringType
   override def nullable: Boolean = true
-  override def nullIntolerant: Boolean = true
+  // NOT nullIntolerant on the BASE side: an absolute http(s) href
+  // resolves without a base (RFC 3986 §5.2.2), so a NULL/absent
+  // provenance URL must reach the kernel as null, not short-circuit the
+  // whole row to NULL. A NULL href is always NULL.
   override def prettyName: String = "resolve_href"
 
-  override def nullSafeEval(base: Any, href: Any): Any =
-    HrefKernel.resolve(base.asInstanceOf[UTF8String], href.asInstanceOf[UTF8String])
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val h = right.eval(input)
+    if (h == null) null
+    else {
+      val b = left.eval(input)
+      HrefKernel.resolve(
+        if (b == null) null else b.asInstanceOf[UTF8String],
+        h.asInstanceOf[UTF8String])
+    }
+  }
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (b, h) => s"""
-      ${ev.value} = graft.functions.HrefKernel.resolve($b, $h);
-      ${ev.isNull} = ${ev.value} == null;
-    """)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val bGen = left.genCode(ctx)
+    val hGen = right.genCode(ctx)
+    ev.copy(code = code"""
+      ${hGen.code}
+      boolean ${ev.isNull} = true;
+      UTF8String ${ev.value} = null;
+      if (!${hGen.isNull}) {
+        ${bGen.code}
+        ${ev.value} = graft.functions.HrefKernel.resolve(
+          ${bGen.isNull} ? null : ${bGen.value}, ${hGen.value});
+        ${ev.isNull} = (${ev.value} == null);
+      }""")
+  }
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =

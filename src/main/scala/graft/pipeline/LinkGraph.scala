@@ -28,8 +28,10 @@ import org.apache.spark.storage.StorageLevel
   * document's provenance URL — protocol-relative `//host/…` links are
   * the ones that create CROSS-domain edges from non-absolute markup,
   * and path-relative links resolve to the provenance host (self-edges
-  * the domain graph then drops, visibly). Unresolvable references
-  * (non-http(s) base or target) resolve to NULL and drop out of the
+  * the domain graph then drops, visibly). Absolute http(s) hrefs
+  * resolve WITHOUT the base (RFC 3986 §5.2.2 — bad-provenance docs
+  * keep their absolute edges); relative references under a non-http(s)
+  * base, and non-http(s) targets, resolve to NULL and drop out of the
   * edge list, visibly.
   *
   * Scale shape: extraction is a scan-side projection; the edge list is
@@ -44,10 +46,14 @@ import org.apache.spark.storage.StorageLevel
   */
 object LinkGraph {
   /** Anchor hrefs in `htmlCol`, exploded one row per link: (idCol,
-    * href). Double- or single-quoted attribute values; the href value
-    * is taken verbatim (no entity decode — URLs with raw `&` dominate
-    * real markup, and `&amp;`-encoded ones survive as distinct strings
-    * visibly rather than silently collapsing).
+    * href). Double- or single-quoted attribute values; the extracted
+    * value is HTML-entity-DECODED ([[graft.functions.HtmlUnescape]]:
+    * the five XML named references + numeric refs, single pass) —
+    * spec-conformant markup entity-encodes `&` in every attribute
+    * value, so without the decode `a&amp;b` and `a&b` spellings of one
+    * URL would split link-graph nodes and dedup keys; entity-free
+    * hrefs (the raw-`&` majority of real markup) pass through
+    * byte-identical on the kernel's zero-copy fast path.
     */
   def extractLinks(
       docs: DataFrame,
@@ -59,6 +65,7 @@ object LinkGraph {
          |  regexp_extract_all($htmlCol, '(?i)<a\\\\b[^>]*?href\\\\s*=\\\\s*"([^"]*)"', 1),
          |  regexp_extract_all($htmlCol, "(?i)<a\\\\b[^>]*?href\\\\s*=\\\\s*'([^']*)'", 1))""".stripMargin)
     docs.select((col(idCol) +: keepCols.map(col)) :+ explode(hrefs).as("href"): _*)
+      .withColumn("href", graft.functions.HtmlUnescape.of(col("href")))
   }
 
   /** RFC 3986 resolution over an extracted link table: rewrites
@@ -77,7 +84,9 @@ object LinkGraph {
     * anchor). The anchor text is the run up to the first nested tag or
     * the closing `</a>` — nested-markup anchors truncate at the inner
     * tag, the same documented approximation class as [[extractLinks]]'
-    * comment handling. Raw text (no entity decode), callers trim.
+    * comment handling. Both the href and the text are HTML-entity-
+    * decoded ([[extractLinks]]' contract — an `&amp;` in anchor text
+    * must roll up with its raw-`&` spelling), callers trim.
     *
     * Anchor text is the classic cheap relevance signal: the WEB's own
     * description of the target page — retrieval training mines
@@ -102,7 +111,8 @@ object LinkGraph {
     val zipped = expr(s"concat(${pairs('\'', '"')}, ${pairs('"', '\'')})")
     docs
       .select((col(idCol) +: keepCols.map(col)) :+ explode(zipped).as("__a"): _*)
-      .withColumn("href", col("__a.href")).withColumn("anchor", col("__a.anchor"))
+      .withColumn("href", graft.functions.HtmlUnescape.of(col("__a.href")))
+      .withColumn("anchor", graft.functions.HtmlUnescape.of(col("__a.anchor")))
       .drop("__a")
   }
 

@@ -147,19 +147,29 @@ object PipelineQueries {
   // graph drops), protocol-relative (the class that creates CROSS-domain
   // edges from non-absolute markup), dot-segment relative (own host,
   // exercises remove_dot_segments), and plain absolute
+  /** One fixture href, ENTITY-ENCODED the way spec-conformant markup
+    * serializes attribute values: the path-relative arm hides its slash
+    * in a numeric reference (`&#47;`), the absolute arm carries a
+    * multi-param query whose `&` is `&amp;`-encoded — the decode pass
+    * must recover `/local/T` and `?x=1&y=2` before resolution
+    * (ext_link_resolve compares the full decoded strings).
+    */
   private def linkHref(d: Column, k: Int): Column = {
     val t = (d * 3 + lit(7 * k + 1)) % 40
-    when(t % 13 === 0, concat(lit("/local/"), t))
+    when(t % 13 === 0, concat(lit("/local&#47;"), t))
       .when(t % 13 === 1, concat(lit("//"), siteHost(t), lit("/p/"), t * 97 + lit(k)))
       .when(t % 13 === 2, concat(lit("../rel/"), t))
-      .otherwise(concat(lit("https://"), siteHost(t), lit("/p/"), t * 97 + lit(k)))
+      .otherwise(concat(lit("https://"), siteHost(t), lit("/p/"), t * 97 + lit(k),
+        lit("?x=1&amp;y=2")))
   }
 
   private def linkAug(docs: DataFrame): DataFrame = {
     val d = col("doc_id")
-    // anchor text is closed-form ("link to site T") so the anchor-text
-    // harvest has a byte-exact oracle twin
-    def anchor(k: Int) = concat(lit("link to site "), (d * 3 + lit(7 * k + 1)) % 40)
+    // anchor text is closed-form ("link to site T", arm 1 with an
+    // entity-encoded " &amp; co" tail the harvest must decode) so the
+    // anchor-text harvest has a byte-exact oracle twin
+    def anchor(k: Int) = concat(lit("link to site "), (d * 3 + lit(7 * k + 1)) % 40,
+      if (k == 1) lit(" &amp; co") else lit(""))
     docs.select(d,
       when(d % 13 === 0, lit("mailto:someone@example.com"))
         .otherwise(concat(lit("https://"), siteHost(d % 40), lit("/p/"), d)).as("url"),
@@ -302,19 +312,22 @@ object PipelineQueries {
       "THEN plen * 2 + CASE WHEN r.allow THEN 1 ELSE 0 END ELSE -1 END) AS enc " +
       "FROM ud LEFT JOIN rrule r ON r.host = ud.host GROUP BY 1, 2, 3)"
 
-  /** The RESOLVED form of [[linkHref]] arm `k` — the oracle replays
-    * RFC 3986 resolution closed-form (base = the doc's own https URL):
-    * path-relative arms land on the doc's own host, protocol-relative
-    * picks up the base scheme, absolute passes through; every href of
-    * an unparseable-provenance doc resolves to NULL.
+  /** The DECODED + RESOLVED form of [[linkHref]] arm `k` — the oracle
+    * replays entity decode and RFC 3986 resolution closed-form (base =
+    * the doc's own https URL): path-relative arms land on the doc's own
+    * host with the `&#47;` decoded back to the slash, protocol-relative
+    * picks up the base scheme, absolute passes through with its
+    * `&amp;`-encoded query decoded; an unparseable-provenance doc
+    * (d%13=0) resolves its RELATIVE arms to NULL but KEEPS the absolute
+    * arm (RFC 3986 §5.2.2 takes absolute references without the base).
     */
   private def linkHrefD(k: Int): String = {
     val t = s"((doc_id * 3 + ${7 * k + 1}) % 40)"
-    s"(CASE WHEN doc_id % 13 = 0 THEN NULL " +
+    s"(CASE WHEN doc_id % 13 = 0 AND $t % 13 IN (0, 1, 2) THEN NULL " +
       s"WHEN $t % 13 = 0 THEN 'https://' || ${siteHostD("doc_id % 40")} || '/local/' || $t " +
       s"WHEN $t % 13 = 1 THEN 'https://' || ${siteHostD(t)} || '/p/' || ($t * 97 + $k) " +
       s"WHEN $t % 13 = 2 THEN 'https://' || ${siteHostD("doc_id % 40")} || '/rel/' || $t " +
-      s"ELSE 'https://' || ${siteHostD(t)} || '/p/' || ($t * 97 + $k) END)"
+      s"ELSE 'https://' || ${siteHostD(t)} || '/p/' || ($t * 97 + $k) || '?x=1&y=2' END)"
   }
 
   // the twin synthesizes (url, RESOLVED href) pairs closed-form — no
@@ -1277,12 +1290,24 @@ object PipelineQueries {
 
     // anchor-text harvest: how the web DESCRIBES each domain — the
     // (anchor text → target) pairs retrieval training mines; extraction
-    // recovers both attribute quote styles, targets resolve per RFC 3986
-    // (relative anchors land on the doc's own domain)
+    // recovers both attribute quote styles and entity-decodes values,
+    // targets resolve per RFC 3986 (relative anchors land on the doc's
+    // own domain; absolute anchors survive bad provenance)
     "ext_anchor_text" -> ((s, dir) => {
       val an = LinkGraph.resolveLinks(LinkGraph.extractAnchors(
         linkAug(Tables.documents(s, dir)), keepCols = Seq("url")))
       LinkGraph.anchorTextStats(an).orderBy("dst_domain", "anchor_text")
+    }),
+
+    // full-string fidelity of extract → entity-decode → resolve: every
+    // extracted href (nav + 3 arms) with its decoded, RFC 3986-resolved
+    // absolute form — NULLs (relative refs under unparseable provenance)
+    // kept visible
+    "ext_link_resolve" -> ((s, dir) => {
+      LinkGraph.resolveLinks(LinkGraph.extractLinks(
+          linkAug(Tables.documents(s, dir)), keepCols = Seq("url")))
+        .select(col("doc_id"), col("href"))
+        .orderBy(col("doc_id"), col("href"))
     }),
 
     // THE CRAWL-GOVERNANCE CHAIN COMPOSED: per-document disposition
@@ -2858,23 +2883,41 @@ object PipelineQueries {
          |  CAST(pvts AS BIGINT) AS policy_ts
          |FROM rj3 ORDER BY doc_id""".stripMargin,
 
-    // anchor text after RESOLUTION: path-relative arms (t%13 in 0, 2)
-    // land on the doc's OWN domain, protocol-relative and absolute arms
-    // on site t, and the nav "<a href='/'>Home</a>" every page carries
-    // resolves to its own domain too; unparseable-provenance docs
-    // resolve nothing
+    // anchor text after DECODE + RESOLUTION: path-relative arms (t%13 in
+    // 0, 2) land on the doc's OWN domain, protocol-relative and absolute
+    // arms on site t, and the nav "<a href='/'>Home</a>" every page
+    // carries resolves to its own domain too; unparseable-provenance
+    // docs keep ONLY their absolute arms (RFC 3986 §5.2.2); arm k=1's
+    // " &amp; co" tail decodes to " & co" (a broken decode splits the
+    // rollup key and hash-mismatches)
     "ext_anchor_text" ->
-      s"""WITH at AS (SELECT doc_id, unnest([(doc_id * 3 + 1) % 40,
-         |        (doc_id * 3 + 8) % 40, (doc_id * 3 + 15) % 40]) AS t FROM documents
-         |      WHERE doc_id % 13 <> 0),
-         |ad AS (SELECT CASE WHEN t % 13 IN (0, 2) THEN ${siteDomainD("doc_id % 40")}
+      s"""WITH at AS (SELECT doc_id, (doc_id * 3 + 1) % 40 AS t, 0 AS k FROM documents
+         |      UNION ALL SELECT doc_id, (doc_id * 3 + 8) % 40, 1 FROM documents
+         |      UNION ALL SELECT doc_id, (doc_id * 3 + 15) % 40, 2 FROM documents),
+         |ad AS (SELECT CASE WHEN doc_id % 13 = 0
+         |         THEN (CASE WHEN t % 13 IN (0, 1, 2) THEN NULL ELSE ${siteDomainD("t")} END)
+         |         WHEN t % 13 IN (0, 2) THEN ${siteDomainD("doc_id % 40")}
          |         ELSE ${siteDomainD("t")} END AS dst_domain,
-         |       'link to site ' || t AS anchor_text FROM at
+         |       'link to site ' || t || (CASE WHEN k = 1 THEN ' & co' ELSE '' END) AS anchor_text
+         |       FROM at
          |      UNION ALL
          |      SELECT ${siteDomainD("doc_id % 40")}, 'Home' FROM documents
          |      WHERE doc_id % 13 <> 0)
          |SELECT dst_domain, anchor_text, CAST(count(*) AS BIGINT) AS n
-         |FROM ad GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+         |FROM ad WHERE dst_domain IS NOT NULL GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // full-fidelity resolved links: the one query that compares the
+    // DECODED + RESOLVED href STRINGS byte-exact (the edge/anchor
+    // rollups key on domains and would not see a broken query-string
+    // decode); NULL hrefs (relative refs under bad provenance, the nav
+    // link of mailto docs) stay visible as rows
+    "ext_link_resolve" ->
+      s"""WITH $linkAugSql,
+         |lr AS (SELECT doc_id, href FROM la
+         |       UNION ALL
+         |       SELECT doc_id, CASE WHEN doc_id % 13 = 0 THEN NULL
+         |         ELSE 'https://' || ${siteHostD("doc_id % 40")} || '/' END FROM documents)
+         |SELECT doc_id, href FROM lr ORDER BY doc_id, href NULLS FIRST""".stripMargin,
 
     // crawl policy: all three axes from their own shared CTE chains —
     // robots decision (robotsSqlD), PageRank (linkAugSql + unrolled

@@ -64,10 +64,18 @@ class ResolveHrefSpec extends SparkSpec {
     assert(res(base, "") == Some("https://www.example.com/a/b/c?bq=1"))
   }
 
-  test("non-http(s) or malformed base resolves nothing") {
+  test("non-http(s)/malformed/NULL base voids RELATIVE refs only; absolute refs resolve without it") {
     assert(res("mailto:x@y.com", "/a").isEmpty)
-    assert(res("not a url", "https://ok.com/x").isEmpty)
     assert(res("ftp://h.com/a", "b").isEmpty)
+    // RFC 3986 §5.2.2: an absolute reference never consults the base —
+    // bad-provenance documents keep their absolute cross-domain edges
+    assert(res("not a url", "https://ok.com/x") == Some("https://ok.com/x"))
+    assert(res("mailto:x@y.com", "https://ok.com/a/../y?q=1") == Some("https://ok.com/y?q=1"))
+    assert(res(null, "https://ok.com/x") == Some("https://ok.com/x"))
+    // non-http(s) absolute targets still drop, whatever the base
+    assert(res("not a url", "mailto:z@w.org").isEmpty)
+    assert(res(null, "/a").isEmpty)
+    assert(res(null, "//h.com/p").isEmpty) // protocol-relative needs the base scheme
   }
 
   test("property: matches java.net.URI.resolve (the JDK's RFC 3986 resolver) on random references") {
@@ -148,12 +156,16 @@ class ResolveHrefSpec extends SparkSpec {
         ("https://a.com/p/q", "../r"),
         ("https://a.com/p/q", "//b.com/s"),
         ("https://a.com/p/q", null.asInstanceOf[String]),
-        (null.asInstanceOf[String], "/x"))
+        (null.asInstanceOf[String], "/x"),
+        // NULL base must still reach the kernel for an absolute href
+        // (the expression is null-tolerant on the base side only)
+        (null.asInstanceOf[String], "https://c.org/t"))
         .toDF("url", "href")
         .select(UrlOps.resolveHref(col("url"), col("href")).as("r"))
         .collect().map(r => Option(r.getString(0)))
       assert(rows.toSeq == Seq(
-        Some("https://a.com/r"), Some("https://b.com/s"), None, None))
+        Some("https://a.com/r"), Some("https://b.com/s"), None, None,
+        Some("https://c.org/t")))
     } finally prior match {
       case Some(v) => spark.conf.set(key, v)
       case None => spark.conf.unset(key)
