@@ -23,12 +23,14 @@ object Bench {
     // per corpus in production, so charging it to the first consumer's first
     // rep would misattribute a full corpus scan+write to that query.
     val tStage = System.nanoTime()
-    val stagingSec =
+    // per-artifact attribution (staging_detail in the detail line): the
+    // aggregate alone is ~half the bench wall and lets cost park there
+    // invisibly; the map names which at-rest artifact moved
+    val (stagingSec, stagingDetail) =
       try {
-        graft.pipeline.PipelineQueries.stageShingles(spark, sfDir)
-        graft.pipeline.PipelineQueries.stageMedia(spark, sfDir)
-        (System.nanoTime() - tStage) / 1e9
-      } catch { case _: Throwable => -1.0 }
+        val detail = graft.pipeline.PipelineQueries.stageAllDetail(spark, sfDir)
+        ((System.nanoTime() - tStage) / 1e9, detail)
+      } catch { case _: Throwable => (-1.0, Seq.empty[(String, Double)]) }
     // best-of-N with ROUND-ROBIN reps (rep 1 of every query, then rep 2,
     // ...): the host shows bursty contention lasting tens of seconds, long
     // enough to poison all back-to-back reps of one query (r4 recorded a
@@ -101,7 +103,9 @@ object Bench {
     // metric name sees exactly one total; the detail line is named
     // "total_detail" and the full per-query map also lands in
     // target/bench_reps.json.
-    println(s"""{"metric":"total_detail","value":${fmt(total)},"unit":"sec","queries":$qs,"staging_sec":${fmt(stagingSec)},"failed":$failedJson,"sf":"$sfDir"}""")
+    val stagingJson = stagingDetail
+      .map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+    println(s"""{"metric":"total_detail","value":${fmt(total)},"unit":"sec","queries":$qs,"staging_sec":${fmt(stagingSec)},"staging_detail":$stagingJson,"failed":$failedJson,"sf":"$sfDir"}""")
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","staging_sec":${fmt(stagingSec)},"n_queries":${names.size},"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }

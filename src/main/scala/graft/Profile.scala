@@ -6,6 +6,15 @@ import org.apache.spark.sql.SparkSession
   * against an SF dir. Usage: runMain graft.Profile <sfDir> <reps> <q1,q2,...>
   * Prints per-rep wall seconds so cold (first-materialization) and warm
   * costs are visible separately — Bench.scala only reports the min.
+  *
+  * Reps run ROUND-ROBIN across the queries (rep 1 of every query, then
+  * rep 2, ...) — the r16 triage lesson: host contention bursts last tens
+  * of seconds, and consecutive blocks of reps on one query mislead by
+  * ±0.3 s; interleaving spreads a burst across at most one rep per query.
+  *
+  * Set SPARK_GRAFT_STAGE=1 to pre-build the staged at-rest tables first
+  * (what Bench always does): without it, rep 1 of any staged-table
+  * consumer pays the store build and only Bench minimums are comparable.
   */
 object Profile {
   def main(args: Array[String]): Unit = {
@@ -23,8 +32,12 @@ object Profile {
     names.foreach { n =>
       try SparkEntry.queries(n)(spark, warmDir).count() catch { case _: Throwable => () }
     }
-    names.foreach { n =>
-      (1 to reps).foreach { r =>
+    if (sys.env.get("SPARK_GRAFT_STAGE").contains("1")) {
+      val detail = graft.pipeline.PipelineQueries.stageAllDetail(spark, sfDir)
+      detail.foreach { case (k, v) => println(f"PROFILE staging $k sec=$v%.3f") }
+    }
+    (1 to reps).foreach { r =>
+      names.foreach { n =>
         spark.catalog.clearCache()
         val t0 = System.nanoTime()
         val cnt = SparkEntry.queries(n)(spark, sfDir).count()

@@ -41,9 +41,24 @@ import org.apache.spark.storage.StorageLevel
   */
 object AudioFingerprint {
 
+  /** At-rest fingerprint FORMAT VERSION, stamped on every emitted row.
+    * The fingerprint is an at-rest artifact, so a format change is a
+    * store migration, not a code change: v1 was the 33-frame 32-bit
+    * word with 4×8-bit bands (retired in r16), v2 is the 65-frame
+    * 64-bit word with 4×16-bit bands. Mixed-version probe joins are
+    * meaningless (band values land in different ranges, distances
+    * compare different words), so [[audioNearDups]] REFUSES in-plan
+    * when its input carries a foreign `fp_version` — a store built
+    * with an old format surfaces as an error, never as a silently
+    * empty/garbage match set.
+    */
+  val FpVersion: Long = 2L
+
   case class PcmAudio(sampleRate: Int, channels: Int, samples: Array[Int])
 
-  case class AudioFp(media_id: Long, sample_rate: Long, n_samples: Long, fp: Long)
+  case class AudioFp(
+      media_id: Long, sample_rate: Long, n_samples: Long, fp: Long,
+      fp_version: Long)
 
   /** Decode a RIFF/WAVE payload to mono 16-bit PCM samples. PCM only
     * (audio_format 1), 16 bits per sample; multi-channel mixes down by
@@ -140,7 +155,8 @@ object AudioFingerprint {
   /** Fingerprint extraction over a media table (media_id, payload):
     * payload bytes never shuffle, one decode+fingerprint pass per row,
     * corrupt rows fail with their media identity. Output (media_id,
-    * sample_rate, n_samples, fp) — the fixed-width at-rest table.
+    * sample_rate, n_samples, fp, fp_version) — the fixed-width at-rest
+    * table, stamped with [[FpVersion]] (the store-migration contract).
     */
   def audioFingerprint(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
@@ -150,7 +166,7 @@ object AudioFingerprint {
         try {
           val a = parsePcm16(payload)
           AudioFp(id, a.sampleRate.toLong, a.samples.length.toLong,
-            energyFingerprint64(a.samples))
+            energyFingerprint64(a.samples), FpVersion)
         } catch {
           case e: IllegalArgumentException =>
             throw new IllegalArgumentException(s"media_id=$id: ${e.getMessage}", e)
@@ -164,7 +180,10 @@ object AudioFingerprint {
     * [[ImageHash.imageNearDups]] shape and bucket cardinality on the
     * audio substrate: 65,536 buckets per band, so the banded self-join's
     * per-bucket candidate sets stay sublinear at corpus scale).
-    * Output (id1, id2, dist), id1 < id2.
+    * Output (id1, id2, dist), id1 < id2. An input carrying an
+    * `fp_version` column is version-checked IN-PLAN against
+    * [[FpVersion]] — a store written by an older format fails loudly
+    * instead of matching nothing (the at-rest migration contract).
     */
   def audioNearDups(
       fps: DataFrame,
@@ -173,7 +192,14 @@ object AudioFingerprint {
       fpCol: String = "fp"): DataFrame = {
     require(maxDist >= 0 && maxDist <= 3,
       s"audioNearDups: 4×16-bit banding guarantees recall only to distance 3, got $maxDist")
-    val sub = fps.select(col(idCol), col(fpCol).cast("long").as("__h"))
+    val checked =
+      if (!fps.columns.contains("fp_version")) fps
+      else fps.withColumn(fpCol,
+        when(col("fp_version") === FpVersion, col(fpCol)).otherwise(raise_error(concat(
+          lit(s"audioNearDups: fingerprint format version "), col("fp_version"),
+          lit(s" != $FpVersion — rebuild the store (band values of different " +
+            "formats land in different ranges; a mixed probe matches garbage)")))))
+    val sub = checked.select(col(idCol), col(fpCol).cast("long").as("__h"))
       .withColumn("__band", explode(expr(
         "transform(sequence(0, 3), b -> struct(b as b, shiftright(__h, b * 16) & 65535 as v))")))
       .select(col(idCol), col("__h"), col("__band.b").as("__b"), col("__band.v").as("__v"))

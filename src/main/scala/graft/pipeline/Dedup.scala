@@ -1045,6 +1045,17 @@ object Dedup {
     *
     * Dispatch is deterministic: the same input takes the same path and
     * every path yields the same (id, comp = min reachable id) labels.
+    *
+    * NOTE the probe gives this call EAGER-action semantics: the
+    * `take(limit + 1)` runs a Spark job at CALL time (unlike the lazy
+    * operators around it). The (idA, idB) projection is persisted
+    * around the probe so a big graph's partially-computed probe scan is
+    * REUSED by the distributed path instead of thrown away and
+    * recomputed (the pairs plan upstream is often an expensive
+    * band-join); the cache releases with the last reference
+    * (ContextCleaner — the pageRank edge-persist lifecycle), and the
+    * small-graph path unpersists immediately since the labels are
+    * driver-built.
     */
   def connectedComponentsAuto(
       pairs: DataFrame,
@@ -1056,40 +1067,48 @@ object Dedup {
     import org.apache.spark.sql.types.LongType
     val longIds = pairs.schema(idA).dataType == LongType &&
       pairs.schema(idB).dataType == LongType
-    val small = if (!longIds || driverEdgeLimit <= 0) None else {
-      val rows = pairs.select(col(idA), col(idB)).take(driverEdgeLimit + 1)
-      if (rows.length > driverEdgeLimit) None else Some(rows)
-    }
-    small match {
-      case Some(rows) =>
-        // path-compressing union-find with min-id roots
-        val parent = scala.collection.mutable.Map.empty[Long, Long]
-        def find(x: Long): Long = {
-          var r = x
-          while (parent.getOrElse(r, r) != r) r = parent(r)
-          var c = x
-          while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
-          r
-        }
-        rows.foreach { r =>
-          val (a, b) = (r.getLong(0), r.getLong(1))
-          parent.getOrElseUpdate(a, a)
-          parent.getOrElseUpdate(b, b)
-          val (ra, rb) = (find(a), find(b))
-          if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
-        }
-        val spark = pairs.sparkSession
-        import spark.implicits._
-        parent.keysIterator.map(id => (id, find(id))).toSeq.toDF("id", "comp")
-      case None =>
-        try connectedComponents(pairs, idA, idB, minLabelIters)
-        catch {
-          case e: IllegalArgumentException if e.getMessage != null &&
-              e.getMessage.contains("did not converge") =>
-            connectedComponentsStar(pairs, idA, idB, starIters)
-        }
+    if (!longIds || driverEdgeLimit <= 0)
+      return distributedCc(pairs, idA, idB, minLabelIters, starIters)
+    val proj = pairs.select(col(idA), col(idB))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val rows = proj.take(driverEdgeLimit + 1)
+    if (rows.length > driverEdgeLimit) {
+      // big graph: the distributed path reads THROUGH the persisted
+      // projection, so whatever the probe materialized is not re-paid
+      distributedCc(proj, idA, idB, minLabelIters, starIters)
+    } else {
+      proj.unpersist()
+      // path-compressing union-find with min-id roots
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      rows.foreach { r =>
+        val (a, b) = (r.getLong(0), r.getLong(1))
+        parent.getOrElseUpdate(a, a)
+        parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      }
+      val spark = pairs.sparkSession
+      import spark.implicits._
+      parent.keysIterator.map(id => (id, find(id))).toSeq.toDF("id", "comp")
     }
   }
+
+  private def distributedCc(
+      pairs: DataFrame, idA: String, idB: String,
+      minLabelIters: Int, starIters: Int): DataFrame =
+    try connectedComponents(pairs, idA, idB, minLabelIters)
+    catch {
+      case e: IllegalArgumentException if e.getMessage != null &&
+          e.getMessage.contains("did not converge") =>
+        connectedComponentsStar(pairs, idA, idB, starIters)
+    }
 
   /** Star-contraction connected components — the documented upgrade path
     * for graphs where [[connectedComponents]]' min-label O(diameter)

@@ -291,6 +291,68 @@ object Similarity {
     marginMutualOf(scored(d1).unionByName(scored(d2)).distinct(), k)
   }
 
+  /** RECALL-vs-NPROBE SWEEP for the celled miners — the tuning artifact
+    * that justifies a production `nprobe`: for every exact mined pair,
+    * the smallest SYMMETRIC nprobe at which the pair would enter
+    * [[marginMinedPairsIvf]]'s candidate set,
+    *
+    *   p*(s, t) = min(rank of cell(t) among s's ranked cells,
+    *              rank of cell(s) among t's ranked cells)
+    *
+    * (the two directions of the symmetric candidate join), then the
+    * whole curve nprobe ∈ [1, nCells] from ONE frame — the pair is a
+    * candidate at nprobe p iff p* <= p. This measures CANDIDATE recall,
+    * the quantity nprobe actually tunes; the margin kernel downstream
+    * is exact on candidates and its denominator only SHRINKS with
+    * missing candidates (the [[marginMinedPairsIvf]] approximation
+    * analysis), so candidate presence is the right per-nprobe proxy —
+    * final-pair recall at the production nprobe stays separately
+    * measured (ext_bitext_recall). At nprobe = nCells the curve ends at
+    * 1e6 ppm by construction (every cell probed = the cross product).
+    *
+    * Scale shape: `exactPairs` is an audit-sized mined-pair table (the
+    * sampled-and-staged-truth discipline applies at corpus scale); the
+    * sweep itself is two id-equi joins to fetch the pair's vectors and
+    * one scan-side ranking per side — no re-mining per nprobe point.
+    * Output: (nprobe, n_exact, n_candidate, recall_ppm).
+    */
+  def ivfNprobeSweep(
+      src: DataFrame,
+      tgt: DataFrame,
+      exactPairs: DataFrame,
+      centroids: Seq[Seq[Double]],
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(centroids.nonEmpty && centroids.map(_.size).distinct.size == 1,
+      "centroids must be a non-empty table of equal-dimension vectors")
+    val n = centroids.size
+    // 1-based rank of `cellId` in the vector's best-first cell ranking —
+    // EXACTLY ivfProbesOf's order (same score structs, same sort), so
+    // rank <= p iff the cell is probed at nprobe p
+    def rankOf(vec: Column, cellId: Column): Column =
+      array_position(
+        transform(array_sort(cellScoresOf(vec, centroids)), s => s.getField("cid")),
+        cellId)
+    val s = src.where(col(vecCol).isNotNull)
+      .select(col(idCol).as("src_id"), col(vecCol).as("__sv"))
+    val t = tgt.where(col(vecCol).isNotNull)
+      .select(col(idCol).as("tgt_id"), col(vecCol).as("__tv"))
+    exactPairs.select("src_id", "tgt_id")
+      .join(s, "src_id")
+      .join(t, "tgt_id")
+      .select(
+        least(
+          rankOf(col("__sv"), ivfCellOf(col("__tv"), centroids)),
+          rankOf(col("__tv"), ivfCellOf(col("__sv"), centroids))).as("__pstar"))
+      .select(col("__pstar"), explode(expr(s"sequence(1, $n)")).as("nprobe"))
+      .groupBy("nprobe")
+      .agg(count(lit(1)).as("n_exact"),
+        sum(when(col("__pstar") <= col("nprobe"), 1L).otherwise(0L)).as("n_candidate"))
+      .select(col("nprobe").cast("long").as("nprobe"), col("n_exact"),
+        col("n_candidate"),
+        expr("n_candidate * 1000000 DIV greatest(n_exact, 1)").as("recall_ppm"))
+  }
+
   /** INT8 QUANTIZATION — the memory-bound scale path for a 100 TB
     * embedding store: a float32 corpus quantized symmetrically per vector
     * to [-127, 127] is 4x smaller on disk and in executor memory, which
@@ -764,7 +826,7 @@ object Similarity {
     * product of the query with the corpus vector's RECONSTRUCTION —
     * [[PQ_M]] lookups, no per-dimension arithmetic.
     */
-  private def pqScoreS(lut: String, codes: String): String =
+  private[pipeline] def pqScoreS(lut: String, codes: String): String =
     s"""aggregate(sequence(0, ${PQ_M - 1}), 0L, (acc, mi) ->
        |  acc + element_at(element_at($lut, mi+1), cast(element_at($codes, mi+1) as int) + 1))"""
       .stripMargin.replace("\n", " ")
@@ -796,12 +858,13 @@ object Similarity {
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
     val q = broadcast(queries.where(col(vecCol).isNotNull)
-      .select(col(idCol).as("query_id"), expr(pqLutS(vecCol, cbs)).as("lut")))
+      .select(col(idCol).as("query_id"),
+        graft.functions.PqLut.of(col(vecCol), cbs).as("lut")))
     val scored = codes
       .select(col(idCol).as("neighbor_id"), col("codes"))
       .crossJoin(q)
       .where(col("neighbor_id") =!= col("query_id"))
-      .withColumn("score", expr(pqScoreS("lut", "codes")))
+      .withColumn("score", graft.functions.PqAdc.of(col("lut"), col("codes")))
     val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("neighbor_id"))
     scored
       .withColumn("rank", row_number().over(w).cast("long"))
@@ -1031,7 +1094,7 @@ object Similarity {
     val q = broadcast(
       queries.where(col(vecCol).isNotNull)
         .select(col(idCol).as("query_id"),
-          expr(pqLutS(vecCol, cbs)).as("lut"),
+          graft.functions.PqLut.of(col(vecCol), cbs).as("lut"),
           expr(s"element_at(transform(array(${pqPpmS(vecCol)}), vp0 -> ${pqDimGuardS(basesBody)}), 1)")
             .as("__bases"),
           ivfProbesOf(col(vecCol), centroids, nprobe).as("__probes"))
@@ -1043,7 +1106,9 @@ object Similarity {
       .select(col(idCol).as("neighbor_id"), col("cell"), col("codes"), col("nrm2"))
       .join(q, "cell")
       .where(col("neighbor_id") =!= col("query_id"))
-      .withColumn("score", expr(s"2L * (${pqScoreS("lut", "codes")} + __base) - nrm2"))
+      .withColumn("score",
+        lit(2L) * (graft.functions.PqAdc.of(col("lut"), col("codes")) + col("__base"))
+          - col("nrm2"))
     val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("neighbor_id"))
     scored
       .withColumn("rank", row_number().over(w).cast("long"))
@@ -1145,6 +1210,25 @@ object Similarity {
     * rounded sqrts, and the floor are bit-identical across engines (the
     * mixture-temperature sqrt precedent).
     */
+  /** COLUMN form of [[pqCosPpmS]] over the native [[graft.functions.PqAdc]]
+    * kernel — the per-pair hot path of [[ivfPqStoreMatches]]: both
+    * integer folds (the ADC dot terms and the reconstruction norm, M
+    * lookups each) run as one static kernel call instead of two
+    * interpreted HOF aggregates; the surrounding float arithmetic is the
+    * same IEEE sequence, so outputs are bit-identical (spec-asserted
+    * differentially against the HOF spelling below).
+    */
+  def pqCosPpm(lut: Column, codes: Column, q2: Column, cbs: Seq[Seq[Seq[Long]]]): Column = {
+    val adc = graft.functions.PqAdc.of(lut, codes)
+    val r2 = graft.functions.PqAdc.of(expr(pqSelfDotLitS(cbs)), codes)
+    floor((adc.cast("double") /
+        (sqrt(q2.cast("double")) * sqrt(greatest(r2, lit(1L)).cast("double"))))
+      * lit(1000000)).cast("long")
+  }
+
+  /** The HOF spelling of the ADC cosine (the differential REFERENCE for
+    * [[pqCosPpm]]; hot paths use the Column form).
+    */
   def pqCosPpmS(lut: String, codes: String, q2: String, cbs: Seq[Seq[Seq[Long]]]): String = {
     val sd = pqSelfDotLitS(cbs)
     val adc = pqScoreS(lut, codes)
@@ -1196,10 +1280,10 @@ object Similarity {
     val qb = batch.where(col(vecCol).isNotNull)
       .select(col(idCol),
         explode(ivfProbesOf(col(vecCol), centroids, nprobe)).as("cell"),
-        expr(pqLutS(vecCol, cbs)).as("__lut"),
+        graft.functions.PqLut.of(col(vecCol), cbs).as("__lut"),
         expr(pqQNorm2S(vecCol)).as("__q2"))
     qb.join(vecStore.select(col(idCol).as("store_id"), col("cell"), col("codes"), col("cluster_id")), "cell")
-      .withColumn("cos_ppm", expr(pqCosPpmS("__lut", "codes", "__q2", cbs)))
+      .withColumn("cos_ppm", pqCosPpm(col("__lut"), col("codes"), col("__q2"), cbs))
       .where(col("cos_ppm") >= tauPpm)
       .select(col(idCol), col("store_id"), col("cluster_id"), col("cos_ppm"))
   }

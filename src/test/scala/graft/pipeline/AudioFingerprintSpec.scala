@@ -138,4 +138,16 @@ class AudioFingerprintSpec extends SparkSpec {
     val pairs = audioNearDups(fps).collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(pairs.contains((0L, 1000000L)), pairs.toSeq.toString)
   }
+
+  test("fp_version stamps the at-rest row; a foreign-format store fails loudly, not emptily") {
+    val fps = audioFingerprint(Seq((1L, wav(Array.tabulate(130)(t => t % 100))))
+      .toDF("media_id", "payload"))
+    assert(fps.select("fp_version").collect().map(_.getLong(0)).toSeq == Seq(FpVersion))
+    // a store written by the retired 32-bit format (v1) must REFUSE the
+    // probe join in-plan — silence here would read as "no duplicates"
+    val stale = Seq((1L, 7L, 1L), (2L, 7L, 1L)).toDF("media_id", "fp", "fp_version")
+    val e = intercept[Exception](audioNearDups(stale).collect())
+    assert(e.getMessage != null && e.getMessage.contains("format version"),
+      s"expected the version refusal, got: ${e.getMessage}")
+  }
 }

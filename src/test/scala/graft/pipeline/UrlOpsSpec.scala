@@ -339,6 +339,22 @@ class UrlOpsSpec extends SparkSpec {
     assert(e.getMessage.contains("domain"))
   }
 
+  test("hostOf: origin key — default ports strip per scheme, NON-default ports stay, schemes pool") {
+    val got = Seq(
+      (1L, "https://H.com:443/x"),   // default https port strips
+      (2L, "http://h.com:80/x"),     // default http port strips
+      (3L, "https://h.com:8080/x"),  // NON-default port is its own origin (RFC 9309)
+      (4L, "http://h.com:443/x"),    // 443 is NOT http's default: kept
+      (5L, "HTTP://h.com/x"),        // schemes pool (documented): same key as https
+      (6L, "mailto:x@y.com"))        // non-http(s): NULL
+      .toDF("doc_id", "url")
+      .select(col("doc_id"), UrlOps.hostOf(col("url")).as("h"))
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)))).toMap
+    assert(got == Map(
+      1L -> Some("h.com"), 2L -> Some("h.com"), 3L -> Some("h.com:8080"),
+      4L -> Some("h.com:443"), 5L -> Some("h.com"), 6L -> None), got.toString)
+  }
+
   test("domainStats: shares sum to ~1e6 and the NULL row stays visible") {
     val docs = Seq(
       (1L, "https://a.com/x", "aaaa"),
