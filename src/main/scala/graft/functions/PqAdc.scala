@@ -61,6 +61,128 @@ object PqKernel {
     java.lang.Long.valueOf(acc)
   }
 
+  /** The ppm quantization both engines share: floor(x·1e6) after exact
+    * float→double widening. A LONG input array is ALREADY ppm (the
+    * trainer/residual path) and passes through; a null element returns
+    * null (HOF null-poisoning).
+    */
+  private def toPpm(vec: ArrayData, kind: Int): Array[Long] = {
+    val dim = vec.numElements()
+    val out = new Array[Long](dim)
+    var i = 0
+    while (i < dim) {
+      if (vec.isNullAt(i)) return null
+      out(i) = kind match {
+        case 0 => vec.getLong(i)
+        case 1 => math.floor(vec.getFloat(i).toDouble * 1000000d).toLong
+        case _ => math.floor(vec.getDouble(i) * 1000000d).toLong
+      }
+      i += 1
+    }
+    out
+  }
+
+  private def dimGuard(dim: Int, m: Int, subDim: Int): Unit =
+    if (dim != m * subDim)
+      throw new IllegalArgumentException(
+        s"PQ: vector dimension $dim != ${m * subDim} — wrong-dimension vectors would silently mis-encode")
+
+  /** PQ ENCODE for one vector: per subspace, the argmin-L2 codebook
+    * entry over the ppm components (ties to the LOWER code id — the
+    * array_min struct-ordering contract of the HOF spelling). `kind`:
+    * 0 = already-ppm longs, 1 = floats, 2 = doubles.
+    */
+  def codes(vec: ArrayData, kind: Int, cbs: Array[Long], ksub: Int, subDim: Int): ArrayData = {
+    val ppm = toPpm(vec, kind)
+    if (ppm == null) return null
+    val m = cbs.length / (ksub * subDim)
+    dimGuard(ppm.length, m, subDim)
+    encodePpm(ppm, cbs, ksub, subDim, m)
+  }
+
+  private def encodePpm(ppm: Array[Long], cbs: Array[Long], ksub: Int, subDim: Int, m: Int): ArrayData = {
+    val out = new Array[Long](m)
+    var mi = 0
+    while (mi < m) {
+      val vOff = mi * subDim
+      var best = Long.MaxValue
+      var bestC = 0L
+      var ci = 0
+      while (ci < ksub) {
+        val cbOff = (mi * ksub + ci) * subDim
+        var d = 0L
+        var j = 0
+        while (j < subDim) {
+          val diff = ppm(vOff + j) - cbs(cbOff + j)
+          d += diff * diff
+          j += 1
+        }
+        if (d < best) { best = d; bestC = ci.toLong }
+        ci += 1
+      }
+      out(mi) = bestC
+      mi += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** RESIDUAL PQ encode for one (vector, cell) row: ppm-quantize,
+    * subtract the cell centroid's ppm components, then [[codes]]'
+    * argmin — the whole IVFPQ encode scan in one kernel call (no HOF
+    * subtraction pass, no interpreted argmin). `centPpm` is the flat
+    * (cell · dim + i) centroid-ppm table.
+    */
+  def residualCodes(
+      vec: ArrayData, kind: Int, cell: Long,
+      centPpm: Array[Long], cbs: Array[Long], ksub: Int, subDim: Int): ArrayData = {
+    val ppm = toPpm(vec, kind)
+    if (ppm == null) return null
+    val m = cbs.length / (ksub * subDim)
+    dimGuard(ppm.length, m, subDim)
+    val dim = ppm.length
+    if (cell < 0L || (cell + 1L) * dim > centPpm.length)
+      throw new IllegalArgumentException(
+        s"PQ: cell $cell outside the ${centPpm.length / dim}-cell centroid table")
+    val cOff = cell.toInt * dim
+    var i = 0
+    while (i < dim) { ppm(i) -= centPpm(cOff + i); i += 1 }
+    encodePpm(ppm, cbs, ksub, subDim, m)
+  }
+
+  /** Squared ppm² norm of the IVFPQ RECONSTRUCTION centroid(cell) +
+    * codebook(codes) — the per-vector constant L2 ADC stores at encode
+    * time. Null codes elements poison to null; out-of-range cells or
+    * code ids throw (the ANSI element_at contract).
+    */
+  def reconNrm2(
+      cell: Long, codesArr: ArrayData,
+      centPpm: Array[Long], cbs: Array[Long], ksub: Int, subDim: Int): java.lang.Long = {
+    val m = codesArr.numElements()
+    val dim = m * subDim
+    if (cell < 0L || (cell + 1L) * dim > centPpm.length)
+      throw new IllegalArgumentException(
+        s"PQ: cell $cell outside the ${centPpm.length / dim}-cell centroid table")
+    val cOff = cell.toInt * dim
+    var acc = 0L
+    var mi = 0
+    while (mi < m) {
+      if (codesArr.isNullAt(mi)) return null
+      val c = codesArr.getLong(mi)
+      if (c < 0L || c >= ksub)
+        throw new IllegalArgumentException(
+          s"PQ: code $c outside the $ksub-entry codebook of subspace $mi")
+      val cbOff = (mi * ksub + c.toInt) * subDim
+      var j = 0
+      while (j < subDim) {
+        val v = centPpm(cOff + mi * subDim + j) + cbs(cbOff + j)
+        acc += v * v
+        j += 1
+      }
+      mi += 1
+    }
+    java.lang.Long.valueOf(acc)
+  }
+
   /** ADC LUT build for one query vector: ppm-quantize (floor(x·1e6),
     * the int8/pq convention — exact float→double widening) and fold
     * each subvector against every codebook entry. `cbs` is the flat
@@ -171,14 +293,158 @@ case class PqLut(child: Expression, cbsFlat: Array[Long], ksub: Int, subDim: Int
 
 object PqLut {
   def of(vec: Column, cbs: Seq[Seq[Seq[Long]]]): Column = {
+    val (flat, ksub, subDim) = PqCodes.flatten(cbs)
+    GraftSqlBridge.column(PqLut(GraftSqlBridge.expression(vec), flat, ksub, subDim))
+  }
+}
+
+/** Input-kind dispatch shared by the encode expressions: 0 = array of
+  * already-ppm longs, 1 = floats, 2 = doubles.
+  */
+private[functions] object PqInputKind {
+  def of(e: Expression): Int = e.dataType match {
+    case ArrayType(LongType, _) => 0
+    case ArrayType(FloatType, _) => 1
+    case ArrayType(DoubleType, _) => 2
+    case other => throw new IllegalArgumentException(
+      s"PQ encode needs array<bigint|float|double>, got $other")
+  }
+}
+
+/** `pq_codes(vec)` — the PQ encode argmin with the codebook table
+  * embedded at plan time; accepts float/double vectors (ppm-quantized
+  * in-kernel) or already-ppm long arrays (the trainer path). See
+  * [[PqKernel.codes]].
+  */
+case class PqCodes(child: Expression, cbsFlat: Array[Long], ksub: Int, subDim: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "pq_codes"
+
+  private lazy val kind = PqInputKind.of(child)
+
+  override def nullSafeEval(vec: Any): Any =
+    PqKernel.codes(vec.asInstanceOf[ArrayData], kind, cbsFlat, ksub, subDim)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cbsRef = ctx.addReferenceObj("pqCbsFlat", cbsFlat, "long[]")
+    nullSafeCodeGen(ctx, ev, v => s"""
+      ${ev.value} = graft.functions.PqKernel.codes($v, $kind, $cbsRef, $ksub, $subDim);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object PqCodes {
+  private[functions] def flatten(cbs: Seq[Seq[Seq[Long]]]): (Array[Long], Int, Int) = {
     require(cbs.nonEmpty && cbs.forall(_.nonEmpty) && cbs.head.head.nonEmpty,
-      "pq_lut: empty codebook table")
+      "PQ: empty codebook table")
     val ksub = cbs.head.length
     val subDim = cbs.head.head.length
     require(cbs.forall(cb => cb.length == ksub && cb.forall(_.length == subDim)),
-      "pq_lut: ragged codebook table")
-    GraftSqlBridge.column(PqLut(
-      GraftSqlBridge.expression(vec),
-      cbs.flatten.flatten.toArray, ksub, subDim))
+      "PQ: ragged codebook table")
+    (cbs.flatten.flatten.toArray, ksub, subDim)
+  }
+
+  def of(vec: Column, cbs: Seq[Seq[Seq[Long]]]): Column = {
+    val (flat, ksub, subDim) = flatten(cbs)
+    GraftSqlBridge.column(PqCodes(GraftSqlBridge.expression(vec), flat, ksub, subDim))
+  }
+}
+
+/** `pq_residual_codes(vec, cell)` — the IVFPQ encode scan in one node:
+  * quantize, subtract the cell centroid's ppm, argmin-encode. Centroid
+  * and codebook tables embedded. See [[PqKernel.residualCodes]].
+  */
+case class PqResidualCodes(
+    left: Expression, right: Expression,
+    centPpmFlat: Array[Long], cbsFlat: Array[Long], ksub: Int, subDim: Int)
+    extends BinaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "pq_residual_codes"
+
+  private lazy val kind = PqInputKind.of(left)
+
+  override def nullSafeEval(vec: Any, cell: Any): Any =
+    PqKernel.residualCodes(vec.asInstanceOf[ArrayData], kind,
+      cell.asInstanceOf[Long], centPpmFlat, cbsFlat, ksub, subDim)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val centRef = ctx.addReferenceObj("pqCentPpmFlat", centPpmFlat, "long[]")
+    val cbsRef = ctx.addReferenceObj("pqCbsFlat", cbsFlat, "long[]")
+    nullSafeCodeGen(ctx, ev, (v, c) => s"""
+      ${ev.value} = graft.functions.PqKernel.residualCodes(
+        $v, $kind, $c, $centRef, $cbsRef, $ksub, $subDim);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object PqResidualCodes {
+  def of(vec: Column, cell: Column, centroidsPpm: Seq[Seq[Long]],
+      cbs: Seq[Seq[Seq[Long]]]): Column = {
+    val (flat, ksub, subDim) = PqCodes.flatten(cbs)
+    require(centroidsPpm.nonEmpty && centroidsPpm.forall(_.length == centroidsPpm.head.length),
+      "PQ: ragged centroid table")
+    GraftSqlBridge.column(PqResidualCodes(
+      GraftSqlBridge.expression(vec), GraftSqlBridge.expression(cell),
+      centroidsPpm.flatten.toArray, flat, ksub, subDim))
+  }
+}
+
+/** `pq_recon_nrm2(cell, codes)` — the reconstruction's squared ppm²
+  * norm, tables embedded. See [[PqKernel.reconNrm2]].
+  */
+case class PqReconNrm2(
+    left: Expression, right: Expression,
+    centPpmFlat: Array[Long], cbsFlat: Array[Long], ksub: Int, subDim: Int)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "pq_recon_nrm2"
+
+  override def nullSafeEval(cell: Any, codesArr: Any): Any = {
+    val r = PqKernel.reconNrm2(cell.asInstanceOf[Long],
+      codesArr.asInstanceOf[ArrayData], centPpmFlat, cbsFlat, ksub, subDim)
+    if (r == null) null else r.longValue()
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val centRef = ctx.addReferenceObj("pqCentPpmFlat", centPpmFlat, "long[]")
+    val cbsRef = ctx.addReferenceObj("pqCbsFlat", cbsFlat, "long[]")
+    nullSafeCodeGen(ctx, ev, (c, cs) => s"""
+      java.lang.Long ${ev.value}_r = graft.functions.PqKernel.reconNrm2(
+        $c, $cs, $centRef, $cbsRef, $ksub, $subDim);
+      if (${ev.value}_r == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = ${ev.value}_r.longValue(); }
+    """)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object PqReconNrm2 {
+  def of(cell: Column, codes: Column, centroidsPpm: Seq[Seq[Long]],
+      cbs: Seq[Seq[Seq[Long]]]): Column = {
+    val (flat, ksub, subDim) = PqCodes.flatten(cbs)
+    require(centroidsPpm.nonEmpty && centroidsPpm.forall(_.length == centroidsPpm.head.length),
+      "PQ: ragged centroid table")
+    GraftSqlBridge.column(PqReconNrm2(
+      GraftSqlBridge.expression(cell), GraftSqlBridge.expression(codes),
+      centroidsPpm.flatten.toArray, flat, ksub, subDim))
   }
 }

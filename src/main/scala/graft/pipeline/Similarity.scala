@@ -843,7 +843,7 @@ object Similarity {
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame =
     corpus.where(col(vecCol).isNotNull)
-      .select(col(idCol), expr(pqCodesS(vecCol, cbs)).as("codes"))
+      .select(col(idCol), graft.functions.PqCodes.of(col(vecCol), cbs).as("codes"))
 
   /** PQ top-k over a PRE-ENCODED (id, codes) corpus — the production probe:
     * queries broadcast with their ADC LUTs; each (query, corpus) pair costs
@@ -968,7 +968,7 @@ object Similarity {
         (0 until PQ_SUBDIM).map(i => seeds(c)(m * PQ_SUBDIM + i))))
     (0 until iters).foldLeft(init) { (cbs, _) =>
       val sums = vecs
-        .withColumn("__codes", expr(pqCodesFromPpmS("__p", cbs)))
+        .withColumn("__codes", graft.functions.PqCodes.of(col("__p"), cbs))
         .select(col("__codes"), posexplode(col("__p")).as(Seq("__pos", "__comp")))
         .withColumn("__m", expr(s"__pos DIV $PQ_SUBDIM"))
         .withColumn("__c", expr("element_at(__codes, cast(__m as int) + 1)"))
@@ -1003,6 +1003,12 @@ object Similarity {
     * twin of the double centroid literal, so residuals subtract exactly
     * the same values in both engines.
     */
+  /** Centroid components in ppm (floor(x*1e6) — the pqPpmS floor), the
+    * table the native residual/norm kernels embed.
+    */
+  private[pipeline] def centroidsPpm(centroids: Seq[Seq[Double]]): Seq[Seq[Long]] =
+    centroids.map(_.map(x => math.floor(x * 1000000).toLong))
+
   private def centPpmLitS(centroids: Seq[Seq[Double]]): String =
     centroids.map(_.map(x => math.floor(x * 1000000).toLong)
         .mkString("array(", "L,", "L)"))
@@ -1011,7 +1017,7 @@ object Similarity {
   /** Residual ppm array for a row carrying `cell`: ppm(vec) − ppm(centroid
     * of its cell), dimension-guarded on the input vector.
     */
-  private def residualPpmS(vecCol: String, centroids: Seq[Seq[Double]]): String = {
+  private[pipeline] def residualPpmS(vecCol: String, centroids: Seq[Seq[Double]]): String = {
     val cp = centPpmLitS(centroids)
     val body =
       s"""transform(sequence(1, ${PQ_M * PQ_SUBDIM}), ri ->
@@ -1025,7 +1031,7 @@ object Similarity {
     * −‖q − recon‖² = 2·dot(q, recon) − ‖recon‖² (+ ‖q‖², constant per
     * query). Stored once at encode time; pure Long arithmetic.
     */
-  private def reconNrm2S(centroids: Seq[Seq[Double]], cbs: Seq[Seq[Seq[Long]]]): String = {
+  private[pipeline] def reconNrm2S(centroids: Seq[Seq[Double]], cbs: Seq[Seq[Seq[Long]]]): String = {
     val cp = centPpmLitS(centroids)
     val cb = pqCbLitS(cbs)
     s"""element_at(transform(array(codes), cs ->
@@ -1057,8 +1063,10 @@ object Similarity {
     corpus.where(col(vecCol).isNotNull)
       .select(col(idCol), ivfCellOf(col(vecCol), centroids).as("cell"), col(vecCol))
       .select(col(idCol), col("cell"),
-        expr(pqCodesFromPpmS(residualPpmS(vecCol, centroids), cbs)).as("codes"))
-      .withColumn("nrm2", expr(reconNrm2S(centroids, cbs)))
+        graft.functions.PqResidualCodes.of(
+          col(vecCol), col("cell"), centroidsPpm(centroids), cbs).as("codes"))
+      .withColumn("nrm2", graft.functions.PqReconNrm2.of(
+        col("cell"), col("codes"), centroidsPpm(centroids), cbs))
 
   /** IVFPQ top-k over a PRE-ENCODED (id, cell, codes, nrm2) corpus:
     * queries broadcast with their ADC LUT, their nprobe probe cells, and
@@ -1256,7 +1264,7 @@ object Similarity {
     corpus.where(col(vecCol).isNotNull)
       .select(col(idCol),
         ivfCellOf(col(vecCol), centroids).as("cell"),
-        expr(pqCodesS(vecCol, cbs)).as("codes"))
+        graft.functions.PqCodes.of(col(vecCol), cbs).as("codes"))
 
   /** Probe a NEW batch against the PQ-encoded vector store — the IVFPQ
     * probe: each batch vector computes its `nprobe` nearest cells, its ADC

@@ -56,6 +56,43 @@ class PqExprSpec extends SparkSpec {
     assert(both.where(expr("a = b")).count() == 300 * 7)
   }
 
+  test("PqCodes == the HOF pqCodesS spelling (float input) and pqCodesFromPpmS (ppm input)") {
+    for (cbs <- Seq(defaultPqCodebooks, refResidualPqCodebooks)) {
+      val df = vecs(300).select(
+        graft.functions.PqCodes.of(col("embedding"), cbs).as("a"),
+        expr(pqCodesS("embedding", cbs)).as("b"))
+      assert(df.where(expr("a != b")).count() == 0)
+      assert(df.where(expr("a = b")).count() == 300)
+    }
+    // already-ppm long-array input (the trainer path)
+    val ppm = vecs(150).select(col("vec_id"),
+      expr("transform(embedding, x0 -> cast(floor(cast(x0 as double) * 1000000) as bigint))").as("p"))
+    val dfp = ppm.select(
+      graft.functions.PqCodes.of(col("p"), defaultPqCodebooks).as("a"),
+      expr(pqCodesFromPpmS("p", defaultPqCodebooks)).as("b"))
+    assert(dfp.where(expr("a != b")).count() == 0)
+    assert(dfp.where(expr("a = b")).count() == 150)
+  }
+
+  test("PqResidualCodes + PqReconNrm2 == the HOF residual/norm spellings (the ivfPqEncode scan)") {
+    val cents = defaultCentroids(64, 8)
+    val cbs = refResidualPqCodebooks
+    val base = vecs(300)
+      .select(col("vec_id"), ivfCellOf(col("embedding"), cents).as("cell"), col("embedding"))
+    val codesBoth = base.select(col("cell"),
+      graft.functions.PqResidualCodes.of(
+        col("embedding"), col("cell"), centroidsPpm(cents), cbs).as("a"),
+      expr(pqCodesFromPpmS(residualPpmS("embedding", cents), cbs)).as("b"))
+    assert(codesBoth.where(expr("a != b")).count() == 0)
+    assert(codesBoth.where(expr("a = b")).count() == 300)
+    val withCodes = codesBoth.select(col("cell"), col("a").as("codes"))
+    val nrmBoth = withCodes.select(
+      graft.functions.PqReconNrm2.of(col("cell"), col("codes"), centroidsPpm(cents), cbs).as("a"),
+      expr(reconNrm2S(cents, cbs)).as("b"))
+    assert(nrmBoth.where(expr("a != b")).count() == 0)
+    assert(nrmBoth.where(expr("a = b")).count() == 300)
+  }
+
   test("wrong-dimension vectors fail loudly; kernels run inside codegen (fallback disabled)") {
     val key = "spark.sql.codegen.fallback"
     val prior = spark.conf.getOption(key)
