@@ -116,6 +116,45 @@ object LinkGraph {
       .drop("__a")
   }
 
+  /** `<link rel="canonical">` harvest — the page's OWN declaration of
+    * its preferred URL, the strongest URL-identity signal a web corpus
+    * carries (pagination variants, tracking-parameter mirrors and
+    * cross-host syndication all point at one canonical target; every
+    * production crawl pipeline collapses on it before URL dedup).
+    * Per document: the FIRST canonical link tag's href, entity-decoded
+    * ([[extractLinks]]' contract), RFC 3986-resolved against the page's
+    * provenance URL, then [[UrlOps.canonicalUrl]]-normalized so the
+    * declared target and the provenance key live in one key space.
+    * NULL when the page declares none, the href is empty, or the target
+    * does not resolve to http(s). Attribute ORDER is free (`rel` before
+    * or after `href`): the tag is matched first, the href extracted from
+    * the matched tag. Both attribute quote styles. Cross-host targets
+    * are KEPT — canonical is the page author's signal and syndication →
+    * origin is its core use; a consumer wanting same-host-only filters
+    * on `hostOf`. Scan-side, stateless-streaming legal.
+    *
+    * Output: (idCol, [keep...], canonical_url). Feed the (page-key →
+    * canonical-key) pairs into [[UrlOps.resolveAliases]] together with
+    * redirect edges, and the terminal map into [[UrlOps.urlDedupAliased]].
+    */
+  def extractCanonical(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      htmlCol: String = "html",
+      urlCol: String = "url",
+      keepCols: Seq[String] = Nil): DataFrame = {
+    val tagRe = "(?is)<link\\b[^>]*?\\brel\\s*=\\s*[\"']canonical[\"'][^>]*>"
+    val hrefDq = "(?is)\\bhref\\s*=\\s*\"([^\"]*)\""
+    val hrefSq = "(?is)\\bhref\\s*=\\s*'([^']*)'"
+    val tag = regexp_extract(col(htmlCol), tagRe, 0)
+    val dq = regexp_extract(tag, hrefDq, 1)
+    val sq = regexp_extract(tag, hrefSq, 1)
+    val rawHref = when(dq =!= "", dq).when(sq =!= "", sq)
+    docs.select((col(idCol) +: keepCols.map(col)) :+
+      UrlOps.canonicalUrl(UrlOps.resolveHref(col(urlCol),
+        graft.functions.HtmlUnescape.of(rawHref))).as("canonical_url"): _*)
+  }
+
   /** The (target domain, anchor text) harvest — one aggregation over the
     * extracted anchors: how the web describes each domain, with counts.
     * Links without a registrable target domain (relative, non-http)

@@ -183,6 +183,57 @@ object PipelineQueries {
         lit("""</a></li></ul></body></html>""")).as("html"))
   }
 
+  /** documents with provenance URLs and head markup declaring
+    * `rel=canonical` — the canonical-collapse fixture, arm d%5: 0 =
+    * self-canonical relative (the common no-op), 1 = pagination
+    * collapse to page d−1 (the within-host merge), 2 = cross-host
+    * absolute with an entity-encoded query (syndication → origin; the
+    * decode path; survives the mailto-provenance arm because an
+    * absolute reference never consults the base), 3 = no canonical
+    * tag (NULL), 4 = single-quoted with `href` BEFORE `rel` and a
+    * dot-segment path (attribute order + §5.2.4). The d%13 arm keeps
+    * [[linkAug]]'s unparseable-provenance path. The twin
+    * ([[canonAugOracleSql]]) synthesizes the RESOLVED canonical
+    * closed-form — no parse, no resolver — so extraction, decode and
+    * resolution bugs all surface as oracle mismatches.
+    */
+  private def canonAug(docs: DataFrame): DataFrame = {
+    val d = col("doc_id")
+    val url = when(d % 13 === 0, lit("mailto:someone@example.com"))
+      .otherwise(concat(lit("https://"), siteHost(d % 40), lit("/p/"), d))
+    val tag = when(d % 5 === 0,
+        concat(lit("<link rel=\"canonical\" href=\"/p/"), d, lit("\">")))
+      .when(d % 5 === 1,
+        concat(lit("<link rel=\"canonical\" href=\"/p/"), d - 1, lit("\">")))
+      .when(d % 5 === 2,
+        concat(lit("<link rel=\"canonical\" href=\"https://"), siteHost((d + 1) % 40),
+          lit("/p/"), d, lit("?x=1&amp;y=2\">")))
+      .when(d % 5 === 3, lit(""))
+      .otherwise(concat(lit("<link href='../c/"), d, lit("' rel='canonical'>")))
+    docs.select(d, url.as("url"),
+      concat(lit("<html><head><title>T</title>"), tag,
+        lit("</head><body><p>body</p></body></html>")).as("html"))
+  }
+
+  /** Closed-form URL ALIAS edges (a redirect map) over the [[siteHost]]
+    * page universe, arm d%8: 1..5 = chain edge d → d−1 (chains of up
+    * to five hops ending at the multiple-of-8 terminal), 6/7 = the two
+    * halves of a 2-cycle (6 → 7 → 6), 0 = terminal (no outgoing edge);
+    * d%8 = 3 additionally declares a SECOND target (an `-alt` terminal)
+    * so the deterministic min-target election is under test — which
+    * target wins depends on the string order of full URLs, which both
+    * engines compute rather than predict.
+    */
+  private def aliasEdges(docs: DataFrame): DataFrame = {
+    val d = col("doc_id")
+    def u(i: Column) = concat(lit("https://"), siteHost(i % 40), lit("/p/"), i)
+    docs.where(d % 8 =!= 0)
+      .select(u(d).as("src"),
+        when(d % 8 === 6, u(d + 1)).otherwise(u(d - 1)).as("dst"))
+      .unionByName(docs.where(d % 8 === 3)
+        .select(u(d).as("src"), concat(u(d), lit("-alt")).as("dst")))
+  }
+
   /** documents with provenance URLs shaped for robots-rule classes: site
     * d%40 (the [[siteHost]] universe), path arm d%4 — under an allowed
     * sub-prefix, under a disallowed prefix, unrelated, and root — plus
@@ -344,6 +395,42 @@ object PipelineQueries {
       s"${UrlOps.registrableDomainD("href")} AS dst FROM la), " +
       "le AS (SELECT src, dst, count(*) AS n_links FROM led " +
       "WHERE src IS NOT NULL AND dst IS NOT NULL AND src <> dst GROUP BY 1, 2)"
+
+  /** The [[canonAug]] twin: page URL, page KEY (its canonical form —
+    * NULL for the mailto arm) and the RESOLVED canonical target,
+    * all closed-form. Arm order mirrors the operator's semantics: no
+    * tag → NULL; an ABSOLUTE target survives any base (checked before
+    * the mailto arm); relative targets need an http(s) base.
+    */
+  private def canonAugOracleSql: String =
+    s"ca AS (SELECT doc_id, " +
+      s"CASE WHEN doc_id % 13 = 0 THEN 'mailto:someone@example.com' " +
+      s"ELSE 'https://' || ${siteHostD("doc_id % 40")} || '/p/' || doc_id END AS url, " +
+      s"CASE WHEN doc_id % 13 = 0 THEN NULL " +
+      s"ELSE 'https://' || ${siteHostD("doc_id % 40")} || '/p/' || doc_id END AS pkey, " +
+      s"CASE WHEN doc_id % 5 = 3 THEN NULL " +
+      s"WHEN doc_id % 5 = 2 THEN 'https://' || ${siteHostD("(doc_id + 1) % 40")} || '/p/' || doc_id || '?x=1&y=2' " +
+      s"WHEN doc_id % 13 = 0 THEN NULL " +
+      s"WHEN doc_id % 5 = 0 THEN 'https://' || ${siteHostD("doc_id % 40")} || '/p/' || doc_id " +
+      s"WHEN doc_id % 5 = 1 THEN 'https://' || ${siteHostD("doc_id % 40")} || '/p/' || (doc_id - 1) " +
+      s"ELSE 'https://' || ${siteHostD("doc_id % 40")} || '/c/' || doc_id END AS canonical_url " +
+      "FROM documents)"
+
+  /** The [[UrlOps.resolveAliases]] twin over an edge CTE `edgeCte`
+    * (src, dst): min-target election, a recursive walk depth-capped at
+    * 64 hops (= the operator's 2^6 pointer-doubling bound), terminal =
+    * the walk position with no outgoing edge — cycle members never
+    * produce one and resolve NULL via the consumer's left join. The
+    * enclosing query must open WITH RECURSIVE.
+    */
+  private def aliasResolveSql(edgeCte: String): String =
+    s"f AS (SELECT src, min(dst) AS nxt FROM $edgeCte " +
+      "WHERE src IS NOT NULL AND dst IS NOT NULL AND src <> dst GROUP BY src), " +
+      "walk AS (SELECT src, nxt AS cur, 1 AS depth FROM f " +
+      "UNION ALL SELECT w.src, f2.nxt, w.depth + 1 FROM walk w JOIN f f2 ON w.cur = f2.src " +
+      "WHERE w.depth < 64), " +
+      "term AS (SELECT w.src, w.cur FROM walk w LEFT JOIN f fo ON w.cur = fo.src " +
+      "WHERE fo.src IS NULL)"
 
   // NOTE: this CTE is interpolated into outer stripMargin blocks, so no
   // continuation line may START with '|' (the outer strip would eat it) —
@@ -1090,10 +1177,14 @@ object PipelineQueries {
   /** The incremental SEMANTIC query's persistent PQ-encoded vector store
     * (even vec_ids, cluster_id = own id) — the embedding twin of
     * [[sigStoreFor]]: in production the vecStoreAppend loop maintains this
-    * table, so its one-time encode belongs to staging.
+    * table, so its one-time encode belongs to staging. Laid out BUCKETED
+    * on `cell` — the probe join's key ([[Similarity.ivfPqStoreMatches]]
+    * equi-joins on the cell id), so a probe batch too large to broadcast
+    * sort-merge-joins the store CO-LOCATED with no store-side exchange
+    * (the band-store discipline; plan-asserted in DedupStageSpec).
     */
   private def vecStoreFor(s: SparkSession, dir: String): DataFrame =
-    ShingleStage.stagedTable(s, s"vecstore_$dir",
+    ShingleStage.stagedBucketed(s, s"vecstore_$dir", "cell")(
       Similarity.vecStoreEncode(
           Tables.embeddings(s, dir).where(col("vec_id") % 2 === 0),
           Similarity.defaultCentroids(64, 8), Similarity.refPqCodebooks)
@@ -1176,6 +1267,34 @@ object PipelineQueries {
     // onto one keeper; unparseable provenance keeps itself
     "ext_url_dedup" -> ((s, dir) => {
       UrlOps.urlDedup(urlAug(Tables.documents(s, dir))).orderBy("doc_id")
+    }),
+
+    // rel=canonical harvest: the page's own preferred-URL declaration,
+    // entity-decoded, RFC 3986-resolved, canonicalized — NULL when
+    // absent/unresolvable (the oracle synthesizes the resolved target
+    // closed-form, so parse+decode+resolve are all under test)
+    "ext_canonical" -> ((s, dir) => {
+      LinkGraph.extractCanonical(canonAug(Tables.documents(s, dir)), keepCols = Seq("url"))
+        .orderBy("doc_id")
+    }),
+
+    // URL alias terminal resolution by pointer doubling: redirect chains
+    // collapse to their terminal in log rounds; cycles resolve NULL; a
+    // multi-target source takes the min target (the oracle walks the
+    // same edges with a recursive CTE)
+    "ext_url_alias" -> ((s, dir) => {
+      UrlOps.resolveAliases(aliasEdges(Tables.documents(s, dir))).orderBy("src")
+    }),
+
+    // the composition: canonical declarations harvested from markup →
+    // alias resolution → URL dedup keyed on the collapsed terminal
+    // (pagination variants and syndicated copies share one keeper)
+    "ext_url_dedup_canon" -> ((s, dir) => {
+      val ca = canonAug(Tables.documents(s, dir))
+      val edges = LinkGraph.extractCanonical(ca, keepCols = Seq("url"))
+        .select(UrlOps.canonicalUrl(col("url")).as("src"), col("canonical_url").as("dst"))
+        .where(col("src").isNotNull && col("dst").isNotNull && col("src") =!= col("dst"))
+      UrlOps.urlDedupAliased(ca, UrlOps.resolveAliases(edges)).orderBy("doc_id")
     }),
 
     // per-domain cap (the RefinedWeb/FineWeb anti-spam stage):
@@ -2817,6 +2936,38 @@ object PipelineQueries {
          |  doc_id = (CASE WHEN canon_url IS NULL THEN doc_id
          |       ELSE min(doc_id) OVER (PARTITION BY canon_url) END) AS is_keeper
          |FROM cn ORDER BY doc_id""".stripMargin,
+
+    "ext_canonical" ->
+      s"""WITH $canonAugOracleSql
+         |SELECT doc_id, url, canonical_url FROM ca ORDER BY doc_id""".stripMargin,
+
+    "ext_url_alias" ->
+      s"""WITH RECURSIVE ae AS (
+         |  SELECT 'https://' || ${siteHostD("doc_id % 40")} || '/p/' || doc_id AS src,
+         |    CASE WHEN doc_id % 8 = 6 THEN
+         |      'https://' || ${siteHostD("(doc_id + 1) % 40")} || '/p/' || (doc_id + 1)
+         |    ELSE 'https://' || ${siteHostD("(doc_id - 1) % 40")} || '/p/' || (doc_id - 1) END AS dst
+         |  FROM documents WHERE doc_id % 8 <> 0
+         |  UNION ALL
+         |  SELECT 'https://' || ${siteHostD("doc_id % 40")} || '/p/' || doc_id,
+         |    'https://' || ${siteHostD("doc_id % 40")} || '/p/' || doc_id || '-alt'
+         |  FROM documents WHERE doc_id % 8 = 3),
+         |${aliasResolveSql("ae")}
+         |SELECT f.src AS src, t.cur AS terminal
+         |FROM f LEFT JOIN term t ON f.src = t.src ORDER BY src""".stripMargin,
+
+    "ext_url_dedup_canon" ->
+      s"""WITH RECURSIVE $canonAugOracleSql,
+         |ce AS (SELECT pkey AS src, canonical_url AS dst FROM ca),
+         |${aliasResolveSql("ce")},
+         |rk AS (SELECT ca.doc_id, COALESCE(t.cur, ca.pkey) AS canon_url
+         |       FROM ca LEFT JOIN term t ON ca.pkey = t.src)
+         |SELECT doc_id, canon_url,
+         |  CASE WHEN canon_url IS NULL THEN doc_id
+         |       ELSE min(doc_id) OVER (PARTITION BY canon_url) END AS keep_id,
+         |  doc_id = (CASE WHEN canon_url IS NULL THEN doc_id
+         |       ELSE min(doc_id) OVER (PARTITION BY canon_url) END) AS is_keeper
+         |FROM rk ORDER BY doc_id""".stripMargin,
 
     "ext_domain_cap" ->
       s"""WITH $urlAugSql,

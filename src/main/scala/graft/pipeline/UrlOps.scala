@@ -263,6 +263,104 @@ object UrlOps {
         (col(idCol) === col("keep_id")).as("is_keeper"))
   }
 
+  /** Terminal resolution of a URL ALIAS map — redirect edges (3xx crawl
+    * logs) and `rel=canonical` declarations both say "this key is really
+    * that key", and both chain: A moved to B which moved to C, a
+    * paginated variant canonicalizes to a page that itself redirects.
+    * Collapsing on the RAW edge (one hop) leaves every chain interior as
+    * its own dedup key, so the operator resolves each source to the END
+    * of its chain — by POINTER DOUBLING: each round replaces every
+    * pointer with its pointer's pointer (`p ← p∘p`, terminals fixed), so
+    * a chain of length L resolves in ⌈log2 L⌉ self-joins, not L — the
+    * O(log n) discipline of [[graft.pipeline.Dedup.connectedComponentsStar]]
+    * applied to a functional graph. `maxRounds` = 6 reaches 2^6 = 64
+    * hops, four times a browser's redirect ceiling.
+    *
+    * Convention (cycle-safe by construction, no cycle detection pass):
+    * a source whose pointer still has an outgoing edge after the rounds
+    * — a cycle member, a chain INTO a cycle, or a chain longer than the
+    * bound — resolves to NULL: there is no terminal to collapse onto,
+    * and a redirect loop's members must not collapse onto an arbitrary
+    * cycle position. Self-edges are dropped up front (a self-redirect
+    * is a degenerate 1-cycle). A source with several declared targets
+    * takes the MINIMUM (deterministic; real alias maps are functional
+    * and the collision is provenance noise).
+    *
+    * Scale shape: `maxRounds` equi-joins of the alias table against
+    * itself, each round persisted (the pageRank edge-persist lifecycle —
+    * caches release via ContextCleaner); alias tables are node-level
+    * fixed-width rows, orders below the document count.
+    *
+    * Output: (srcCol, terminal) — every non-self-edge source appears
+    * exactly once; terminal NULL per the cycle convention above.
+    */
+  def resolveAliases(
+      edges: DataFrame,
+      srcCol: String = "src",
+      dstCol: String = "dst",
+      maxRounds: Int = 6): DataFrame = {
+    require(maxRounds >= 1 && maxRounds <= 16,
+      s"resolveAliases: maxRounds must be in [1, 16], got $maxRounds")
+    val f0 = edges
+      .select(col(srcCol).as("__s"), col(dstCol).as("__n"))
+      .where(col("__s").isNotNull && col("__n").isNotNull && col("__s") =!= col("__n"))
+      .groupBy("__s").agg(min("__n").as("__n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var p = f0
+    for (_ <- 1 to maxRounds) {
+      p = p.as("a").join(p.as("b"), col("a.__n") === col("b.__s"), "left")
+        .select(col("a.__s").as("__s"), coalesce(col("b.__n"), col("a.__n")).as("__n"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+    val dom = f0.select(col("__s").as("__d"))
+    p.join(dom, p("__n") === dom("__d"), "left")
+      .select(col("__s").as(srcCol),
+        when(col("__d").isNull, col("__n")).as("terminal"))
+  }
+
+  /** [[urlDedup]] with an ALIAS map applied first: the dedup key is the
+    * canonical URL REMAPPED through `aliases` — a (src, terminal) table
+    * from [[resolveAliases]] over redirect and/or
+    * [[graft.pipeline.LinkGraph.extractCanonical]] edges, keyed in the
+    * same [[canonicalUrl]] key space. A page whose key is aliased dedups
+    * under the terminal; NULL terminals (cycle members) and unlisted
+    * keys keep their own key — an alias must never DISSOLVE identity,
+    * only merge it. Election and NULL-provenance handling are exactly
+    * [[urlDedup]]'s. Output: (idCol, canon_url, keep_id, is_keeper) —
+    * `canon_url` is the post-remap key the election ran on.
+    *
+    * Scale shape: urlDedup's one window plus ONE equi-join against the
+    * node-level alias map (broadcast-sized in practice; Zipfian key skew
+    * lands on the window the same way urlDedup's does).
+    */
+  def urlDedupAliased(
+      docs: DataFrame,
+      aliases: DataFrame,
+      idCol: String = "doc_id",
+      urlCol: String = "url",
+      aliasSrcCol: String = "src",
+      aliasDstCol: String = "terminal"): DataFrame = {
+    val reserved = Seq("canon_url", "keep_id", "is_keeper", "__pk", "__t")
+      .filter(docs.columns.contains)
+    require(reserved.isEmpty,
+      s"urlDedupAliased: docs columns collide with output/internal names (rename them): " +
+        reserved.mkString(", "))
+    val amap = aliases
+      .where(col(aliasDstCol).isNotNull)
+      .select(col(aliasSrcCol).as("canon_url"), col(aliasDstCol).as("__t"))
+    val w = Window.partitionBy(col("__pk")).orderBy(col(idCol))
+    docs
+      .withColumn("canon_url", canonicalUrl(col(urlCol)))
+      .join(amap, Seq("canon_url"), "left")
+      .withColumn("canon_url", coalesce(col("__t"), col("canon_url")))
+      .withColumn("__pk", nullPk(col("canon_url"), idCol))
+      .withColumn("keep_id",
+        first(col(idCol)).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .select(col(idCol), col("canon_url"), col("keep_id"),
+        (col(idCol) === col("keep_id")).as("is_keeper"))
+  }
+
   /** Per-domain document cap — the anti-spam stage: at most `cap`
     * documents survive per registrable domain, selected DETERMINISTICALLY
     * by a doc-id-keyed integer hash (a content-blind uniform draw, so

@@ -253,6 +253,50 @@ class DedupStageSpec extends SparkSpec {
     }
   private val fixtureCents = Similarity.defaultCentroids(64, 8)
 
+  test("cell-bucketed vec store: value-identical probe AND no store-side exchange under shuffle join") {
+    import spark.implicits._
+    val storeRows = (0 until 40).map(i => (i.toLong * 2, proto(i % 8)))
+    val storePlain = Similarity.vecStoreEncode(
+        storeRows.toDF("vec_id", "embedding"), fixtureCents, fixtureCbs)
+      .withColumn("cluster_id", col("vec_id"))
+    val storeBucketed = ShingleStage.stagedBucketed(spark, s"$dir#specvecstore", "cell")(storePlain)
+    val batch = (0 until 12).map(i => (1001L + 2 * i, proto(i % 8))).toDF("vec_id", "embedding")
+    val got = rows(Similarity.ivfPqStoreMatches(
+      batch, storeBucketed, fixtureCents, fixtureCbs, tauPpm = 500000L))
+    val want = rows(Similarity.ivfPqStoreMatches(
+      batch, storePlain, fixtureCents, fixtureCbs, tauPpm = 500000L))
+    assert(got == want, "cell-bucketed store must be a pure optimization")
+    assert(got.nonEmpty, "fixture sanity: planted prototype copies must match")
+    // the 100 TB shape: probe batch too large to broadcast — the cell
+    // equi-join must read the store's buckets co-located, only the probe
+    // side shuffles
+    val bcKey = "spark.sql.autoBroadcastJoinThreshold"
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val priorBc = spark.conf.getOption(bcKey)
+    val priorAqe = spark.conf.getOption(aqeKey)
+    spark.conf.set(bcKey, "-1")
+    spark.conf.set(aqeKey, "false")
+    try {
+      val probeJoin = Similarity.ivfPqStoreMatches(
+        batch, storeBucketed, fixtureCents, fixtureCbs, tauPpm = 500000L)
+      val exec = probeJoin.queryExecution.executedPlan
+      assert(exec.toString.contains("Bucketed: true"),
+        s"vec store scan must read as bucketed:\n${exec.toString.take(3000)}")
+      val smj = exec.collect {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+      }
+      assert(smj.nonEmpty, s"expected a sort-merge join:\n${exec.toString.take(3000)}")
+      val storeShuffles = smj.head.right.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(storeShuffles.isEmpty,
+        s"the cell-bucketed store side must not shuffle:\n${exec.toString.take(3000)}")
+    } finally {
+      priorBc match { case Some(v) => spark.conf.set(bcKey, v); case None => spark.conf.unset(bcKey) }
+      priorAqe match { case Some(v) => spark.conf.set(aqeKey, v); case None => spark.conf.unset(aqeKey) }
+    }
+  }
+
   test("semanticDedupIncremental: bridge merges store clusters; attach; within-batch; novel; null vectors drop") {
     import spark.implicits._
     val store = Similarity.vecStoreEncode(

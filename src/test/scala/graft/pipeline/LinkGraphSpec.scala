@@ -36,6 +36,34 @@ class LinkGraphSpec extends SparkSpec {
       .count() == 0L)
   }
 
+  test("extractCanonical: quote styles, attribute order, entities, resolution, scoping") {
+    def one(url: String, html: String): Option[String] =
+      LinkGraph.extractCanonical(Seq((1L, url, html)).toDF("doc_id", "url", "html"))
+        .select("canonical_url").collect().map(r => Option(r.getString(0))).head
+    val base = "https://www.site.com/p/7"
+    // relative href resolves against the page URL; double quotes
+    assert(one(base, """<head><link rel="canonical" href="/p/1"></head>""")
+      == Some("https://www.site.com/p/1"))
+    // single quotes, href BEFORE rel, dot segments
+    assert(one(base, """<link href='../c/9' rel='canonical'>""")
+      == Some("https://www.site.com/c/9"))
+    // entity-encoded multi-param query decodes, then canonicalizes sorted
+    assert(one(base, """<link rel="canonical" href="https://other.com/x?b=2&amp;a=1">""")
+      == Some("https://other.com/x?a=1&b=2")) // cross-host KEPT
+    // no canonical tag; alternate rel values don't match; empty href
+    assert(one(base, """<link rel="stylesheet" href="/s.css">""") == None)
+    assert(one(base, """<link rel="canonical" href="">""") == None)
+    assert(one(base, "<p>no head</p>") == None)
+    // FIRST canonical tag wins
+    assert(one(base,
+      """<link rel="canonical" href="/first"><link rel="canonical" href="/second">""")
+      == Some("https://www.site.com/first"))
+    // bad provenance: relative target unresolvable, absolute target survives
+    assert(one("mailto:x@y.com", """<link rel="canonical" href="/p/1">""") == None)
+    assert(one("mailto:x@y.com", """<link rel="canonical" href="https://a.com/x">""")
+      == Some("https://a.com/x"))
+  }
+
   test("extractAnchors: (href, text) pairs in both quote styles; nested tags truncate visibly") {
     val html =
       """<a href="https://a.com/x">plain text</a>

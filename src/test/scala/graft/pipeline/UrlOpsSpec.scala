@@ -355,6 +355,54 @@ class UrlOpsSpec extends SparkSpec {
       4L -> Some("h.com:443"), 5L -> Some("h.com"), 6L -> None), got.toString)
   }
 
+  test("resolveAliases: chains resolve to terminals in log rounds; cycles and over-bound chains go NULL") {
+    // chain a->b->c->T, 2-cycle x<->y, chain INTO the cycle z->x,
+    // self-edge s->s (dropped), multi-target m->{t2,t1} (min wins)
+    val edges = Seq(
+      ("a", "b"), ("b", "c"), ("c", "T"),
+      ("x", "y"), ("y", "x"), ("z", "x"),
+      ("s", "s"),
+      ("m", "t2"), ("m", "t1")).toDF("src", "dst")
+    val got = UrlOps.resolveAliases(edges).collect()
+      .map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    assert(got == Map(
+      "a" -> Some("T"), "b" -> Some("T"), "c" -> Some("T"),
+      "x" -> None, "y" -> None, "z" -> None,
+      "m" -> Some("t1")), s"got $got")
+  }
+
+  test("resolveAliases: the 2^maxRounds hop bound is exact (64 resolves, 65 does not)") {
+    // numeric string chain i -> i+1, terminal at 65: node 1 sits 64 hops
+    // out (resolves); with a 66-terminal chain node 1 sits 65 hops out
+    def chain(last: Int) = (1 until last).map(i => (f"n$i%03d", f"n${i + 1}%03d")).toDF("src", "dst")
+    val at64 = UrlOps.resolveAliases(chain(65)).where(col("src") === "n001")
+      .collect().map(r => Option(r.getString(1))).head
+    assert(at64 == Some("n065"), s"64-hop chain must resolve, got $at64")
+    val at65 = UrlOps.resolveAliases(chain(66)).where(col("src") === "n001")
+      .collect().map(r => Option(r.getString(1))).head
+    assert(at65 == None, s"65-hop chain must overflow the bound to NULL, got $at65")
+  }
+
+  test("urlDedupAliased: aliased keys merge, NULL terminals and unlisted keys keep their own") {
+    val docs = Seq(
+      (1L, "https://a.com/page?b=2&a=1"), // aliased -> https://c.com/x
+      (2L, "https://c.com/x"),            // the terminal itself
+      (3L, "https://b.com/only"),         // unlisted key
+      (4L, "https://loop.com/p"),         // alias exists but terminal NULL (cycle)
+      (5L, "notaurl")).toDF("doc_id", "url") // NULL canon: keeps itself
+    val aliases = Seq(
+      ("https://a.com/page?a=1&b=2", Some("https://c.com/x")),
+      ("https://loop.com/p", None)).toDF("src", "terminal")
+    val got = UrlOps.urlDedupAliased(docs, aliases).collect()
+      .map(r => r.getLong(0) -> ((Option(r.getString(1)), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(got == Map(
+      1L -> ((Some("https://c.com/x"), 1L, true)),
+      2L -> ((Some("https://c.com/x"), 1L, false)),
+      3L -> ((Some("https://b.com/only"), 3L, true)),
+      4L -> ((Some("https://loop.com/p"), 4L, true)),
+      5L -> ((None, 5L, true))), s"got $got")
+  }
+
   test("domainStats: shares sum to ~1e6 and the NULL row stays visible") {
     val docs = Seq(
       (1L, "https://a.com/x", "aaaa"),
