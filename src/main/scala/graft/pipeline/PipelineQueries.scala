@@ -1418,6 +1418,40 @@ object PipelineQueries {
       Robots.sitemapUrls(robotsTable(s)).orderBy("host", "pos")
     }),
 
+    // politeness FETCH SCHEDULE: each host's sitemap-declared frontier
+    // sequenced into (slot, not_before_ms) under the host's declared
+    // Crawl-delay (default 1000 ms where none declared) — the
+    // dispatchable plan a fetch executor consumes
+    "ext_fetch_schedule" -> ((s, dir) => {
+      Robots.fetchSchedule(
+          Robots.sitemapUrls(robotsTable(s))
+            .select(col("host"), col("sitemap_url").as("url")),
+          Robots.crawlDelayBudget(robotsTable(s)).select("host", "delay_ms"))
+        .orderBy("host", "url")
+    }),
+
+    // the FULL frontier composition: link discovery (extract → RFC 3986
+    // resolve → canonicalize) ∪ sitemap harvest, minus already-crawled
+    // pages (left anti on the canonical key), scheduled per host under
+    // declared Crawl-delays — discovery to dispatchable work in one plan
+    "ext_frontier" -> ((s, dir) => {
+      val la = linkAug(Tables.documents(s, dir))
+      val discovered = LinkGraph.resolveLinks(
+          LinkGraph.extractLinks(la, keepCols = Seq("url")))
+        .select(UrlOps.canonicalUrl(col("href")).as("url"))
+        .where(col("url").isNotNull)
+        .unionByName(Robots.sitemapUrls(robotsTable(s))
+          .select(UrlOps.canonicalUrl(col("sitemap_url")).as("url")))
+        .distinct()
+      val crawled = la.select(UrlOps.canonicalUrl(col("url")).as("url"))
+        .where(col("url").isNotNull).distinct()
+      Robots.fetchSchedule(
+          discovered.join(crawled, Seq("url"), "left_anti")
+            .withColumn("host", UrlOps.hostOf(col("url"))),
+          Robots.crawlDelayBudget(robotsTable(s)).select("host", "delay_ms"))
+        .orderBy("host", "url")
+    }),
+
     // politeness budget ENFORCED — the batch twin of the online
     // per-host admission in crawlIngestStream: hosts that declared a
     // Crawl-delay keep daily_budget fetches per UTC day in arrival
@@ -3059,6 +3093,62 @@ object PipelineQueries {
          |    'https://' || ${siteHostD("i")} || '/sitemap-news.xml', 2
          |  FROM range(40) t(i) WHERE i % 10 <> 5 AND i % 3 = 0)
          |ORDER BY host, pos""".stripMargin,
+
+    // fetch schedule: closed-form sitemaps + closed-form delays (arm 0
+    // = 5000 ms, arm 2 = 9e6 ms, arm 1 = the 1000 ms default), slots by
+    // URL order per host — sitemap-news sorts BEFORE sitemap.xml
+    // ('-' < '.'), which the replayed row_number encodes
+    "ext_fetch_schedule" ->
+      s"""WITH sm AS (
+         |  SELECT ${siteHostD("i")} AS host,
+         |    'https://' || ${siteHostD("i")} || '/sitemap.xml' AS url
+         |  FROM range(40) t(i) WHERE i % 10 <> 5
+         |  UNION ALL
+         |  SELECT ${siteHostD("i")}, 'https://' || ${siteHostD("i")} || '/sitemap-news.xml'
+         |  FROM range(40) t(i) WHERE i % 10 <> 5 AND i % 3 = 0),
+         |cb AS (SELECT ${siteHostD("i")} AS host,
+         |         CASE WHEN i % 3 = 0 THEN 5000 ELSE 9000000 END AS dm
+         |       FROM range(40) t(i) WHERE i % 3 IN (0, 2) AND i % 10 <> 5),
+         |sc AS (SELECT s.host, s.url,
+         |         row_number() OVER (PARTITION BY s.host ORDER BY s.url) AS slot, cb.dm
+         |       FROM sm s LEFT JOIN cb ON cb.host = s.host)
+         |SELECT host, url, CAST(slot AS BIGINT) AS slot,
+         |  CAST((slot - 1) * COALESCE(dm, 1000) AS BIGINT) AS not_before_ms
+         |FROM sc ORDER BY host, url""".stripMargin,
+
+    // frontier: discovered (resolved links incl. the nav Home link's
+    // site ROOTS ∪ sitemaps, canonicalized, deduped) minus crawled
+    // (the fixture's own page URLs) — the
+    // closed-form resolved hrefs make the anti-join's bite visible
+    // (self-referential targets like /p/0 on site0 ARE crawled and
+    // must drop) — then the same schedule replay
+    "ext_frontier" ->
+      s"""WITH $linkAugSql,
+         |disc AS (SELECT DISTINCT url FROM (
+         |    SELECT ${UrlOps.canonicalUrlD("href")} AS url FROM la
+         |    UNION
+         |    SELECT DISTINCT 'https://' || ${siteHostD("doc_id % 40")} || '/'
+         |    FROM documents WHERE doc_id % 13 <> 0
+         |    UNION
+         |    SELECT 'https://' || ${siteHostD("i")} || '/sitemap.xml'
+         |    FROM range(40) t(i) WHERE i % 10 <> 5
+         |    UNION
+         |    SELECT 'https://' || ${siteHostD("i")} || '/sitemap-news.xml'
+         |    FROM range(40) t(i) WHERE i % 10 <> 5 AND i % 3 = 0)
+         |  WHERE url IS NOT NULL),
+         |crawled AS (SELECT DISTINCT ${UrlOps.canonicalUrlD("url")} AS url FROM lad
+         |            WHERE ${UrlOps.canonicalUrlD("url")} IS NOT NULL),
+         |fr AS (SELECT d.url, split_part(d.url, '/', 3) AS host
+         |       FROM disc d LEFT JOIN crawled c ON d.url = c.url WHERE c.url IS NULL),
+         |fcb AS (SELECT ${siteHostD("i")} AS host,
+         |          CASE WHEN i % 3 = 0 THEN 5000 ELSE 9000000 END AS dm
+         |        FROM range(40) t(i) WHERE i % 3 IN (0, 2) AND i % 10 <> 5),
+         |fsc AS (SELECT f.host, f.url,
+         |          row_number() OVER (PARTITION BY f.host ORDER BY f.url) AS slot, fcb.dm
+         |        FROM fr f LEFT JOIN fcb ON fcb.host = f.host)
+         |SELECT host, url, CAST(slot AS BIGINT) AS slot,
+         |  CAST((slot - 1) * COALESCE(dm, 1000) AS BIGINT) AS not_before_ms
+         |FROM fsc ORDER BY host, url""".stripMargin,
 
     // budget enforcement: the oracle replays the per-(host, day) rank
     // in (fts, doc_id) order against the closed-form budgets (arm 0 =

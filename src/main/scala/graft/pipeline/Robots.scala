@@ -283,6 +283,53 @@ object Robots {
         (col("daily_budget").isNull || col("__rn") <= col("daily_budget")).as("kept"))
   }
 
+  /** Per-host POLITENESS FETCH SCHEDULE — the step that turns a crawl
+    * FRONTIER (candidate URLs from sitemap harvest, link discovery, a
+    * recrawl queue) into dispatchable work: each host's candidates are
+    * sequenced deterministically (URL order) and slot k may not fire
+    * before `(k−1) · delay` — the host's declared Crawl-delay
+    * ([[crawlDelayBudget]]'s `delay_ms`), or the crawler's own
+    * `defaultDelayMs` when the host declared none. The output is the
+    * scheduling PLAN (host, url, slot, not_before_ms), the declarative
+    * artifact a fetch executor consumes — the batch face of the online
+    * budget admission ([[graft.streaming.StreamDedup.politeBudgetAdmit]]
+    * enforces arrivals against the same ceiling; this op PLACES work so
+    * the ceiling is never hit). NULL-host candidates (unparseable
+    * discoveries) get slot 1 / not_before 0 on unique NUL-prefixed keys
+    * — visible, never pooled into a straggler partition (the
+    * [[crawlBudgetKept]] single-window discipline).
+    *
+    * Scale shape: ONE broadcast join against the model-sized delay
+    * table + ONE window keyed by host. A hot host's frontier lands in
+    * one partition — inherent to per-host sequencing (the slots ARE a
+    * per-host total order), and the rows in that partition are exactly
+    * the fetches the schedule spreads over time anyway.
+    */
+  def fetchSchedule(
+      candidates: DataFrame,
+      budgets: DataFrame,
+      defaultDelayMs: Long = 1000L,
+      hostCol: String = "host",
+      urlCol: String = "url"): DataFrame = {
+    require(defaultDelayMs >= 1, s"fetchSchedule: defaultDelayMs must be positive, got $defaultDelayMs")
+    require(budgets.columns.contains("delay_ms"),
+      s"fetchSchedule: budgets must carry delay_ms (a crawlDelayBudget table), got ${budgets.columns.mkString(", ")}")
+    val reserved = Seq("slot", "not_before_ms", "__dm", "__pk").filter(candidates.columns.contains)
+    require(reserved.isEmpty,
+      s"fetchSchedule: candidates columns collide with output/internal names (rename them): " +
+        reserved.mkString(", "))
+    val b = budgets.select(col(hostCol), col("delay_ms").cast("long").as("__dm"))
+    val w = Window.partitionBy("__pk").orderBy(col(urlCol))
+    candidates
+      .join(broadcast(b), Seq(hostCol), "left")
+      .withColumn("__pk", coalesce(col(hostCol), concat(lit(" "), col(urlCol))))
+      .withColumn("slot", row_number().over(w).cast("long"))
+      .select(col(hostCol), col(urlCol), col("slot"),
+        when(col(hostCol).isNull, lit(0L))
+          .otherwise((col("slot") - 1) * coalesce(col("__dm"), lit(defaultDelayMs)))
+          .as("not_before_ms"))
+  }
+
   /** (host, prefix, allow) rules from a (host, robots_txt) table — the
     * at-rest policy artifact, keyed by the origin host the policy was
     * fetched from, selected for `agent` (default `*`; a crawler with a

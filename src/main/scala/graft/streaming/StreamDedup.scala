@@ -539,6 +539,8 @@ object StreamDedup {
     *   [[graft.pipeline.UrlOps.canonicalUrl]]/`registrableDomain`/
     *   [[graft.pipeline.TextAnalysis.normalizeExpr]] column expressions
     *   the batch operators use — no Scala re-derivation to drift)
+    *   → OPTIONAL canonical/redirect alias collapse (stream-static
+    *     broadcast remap of the URL key — see the `aliases` note below)
     *   → canon-URL-keyed unbounded dedup (byte-variant fetches of one
     *     page collapse; unparseable provenance keeps itself, no state)
     *   → per-domain cap (first `cap` arrivals; null domains uncapped)
@@ -560,17 +562,41 @@ object StreamDedup {
     * `RocksDBStateStoreProvider` against [[webIngestReference]] across
     * adversarial micro-batch splits.
     */
-  def webIngestStream(docs: Dataset[WebDoc], cap: Long): Dataset[WebIngestRow] = {
+  def webIngestStream(
+      docs: Dataset[WebDoc],
+      cap: Long,
+      aliases: Option[DataFrame] = None): Dataset[WebIngestRow] = {
     require(cap >= 1, s"webIngestStream: cap must be positive, got $cap")
     import docs.sparkSession.implicits._
-    val prepared = graft.pipeline.MarkupExtract.extract(
+    val projected = graft.pipeline.MarkupExtract.extract(
         docs.toDF(), keep = Seq("url", "arrival"))
       .select(col("doc_id"),
         graft.pipeline.UrlOps.canonicalUrl(col("url")).as("canon_url"),
         graft.pipeline.UrlOps.registrableDomain(col("url")).as("domain"),
         col("arrival"),
         md5(graft.pipeline.TextAnalysis.normalizeExpr(col("text"))).as("content_md5"))
-      .as[WebIngestRow]
+    // OPTIONAL canonical/redirect collapse before the URL election: a
+    // model-sized (src, terminal) alias map (UrlOps.resolveAliases over
+    // rel=canonical + redirect edges, the batch urlDedupAliased key
+    // space) remaps the dedup KEY stream-static — stateless, broadcast.
+    // NULL terminals (cycle members) and unlisted keys keep their own.
+    // The DOMAIN stays the FETCHED page's domain on purpose: the domain
+    // cap governs crawl composition per source actually fetched, while
+    // the alias remap governs URL identity — same division as the batch
+    // chain (urlDedupAliased vs domainCap on provenance).
+    val prepared = (aliases match {
+      case None => projected
+      case Some(a) =>
+        val missing = Seq("src", "terminal").filterNot(a.columns.contains)
+        require(missing.isEmpty, "webIngestStream: aliases must carry " +
+          s"(src, terminal) — a resolveAliases result; missing ${missing.mkString(", ")}")
+        val amap = broadcast(a.where(col("terminal").isNotNull)
+          .select(col("src").as("__asrc"), col("terminal").as("__t")))
+        projected.join(amap, col("canon_url") === col("__asrc"), "left_outer")
+          .select(col("doc_id"),
+            coalesce(col("__t"), col("canon_url")).as("canon_url"),
+            col("domain"), col("arrival"), col("content_md5"))
+    }).as[WebIngestRow]
     // URL election: first occurrence per canonical URL; unparseable rows
     // ride a space-prefixed per-doc key (the batch urlDedup unique-key
     // convention; a real canonical URL always starts with its lowercased
@@ -623,11 +649,18 @@ object StreamDedup {
     * (rows = the stage-0 projection's output): one sequential pass in
     * (arrival, doc_id) order, each election seeing only prior SURVIVORS.
     */
-  def webIngestReference(rows: Seq[WebIngestRow], cap: Long): Seq[WebIngestRow] = {
+  def webIngestReference(
+      rows: Seq[WebIngestRow],
+      cap: Long,
+      aliases: Map[String, String] = Map.empty): Seq[WebIngestRow] = {
     val seenUrl = scala.collection.mutable.Set.empty[String]
     val domCnt = scala.collection.mutable.Map.empty[String, Long]
     val seenHash = scala.collection.mutable.Set.empty[String]
-    rows.sortBy(r => (r.arrival, r.doc_id)).flatMap { r =>
+    rows.sortBy(r => (r.arrival, r.doc_id)).map { r =>
+      if (r.canon_url != null && aliases.contains(r.canon_url))
+        r.copy(canon_url = aliases(r.canon_url))
+      else r
+    }.flatMap { r =>
       val urlOk = r.canon_url == null || seenUrl.add(r.canon_url)
       lazy val domOk = r.domain == null || {
         val c = domCnt.getOrElse(r.domain, 0L)
@@ -676,7 +709,8 @@ object StreamDedup {
       rules: DataFrame,
       optOutDomains: DataFrame,
       cap: Long,
-      budgets: Option[DataFrame] = None): Dataset[WebIngestRow] = {
+      budgets: Option[DataFrame] = None,
+      aliases: Option[DataFrame] = None): Dataset[WebIngestRow] = {
     require(cap >= 1, s"crawlIngestStream: cap must be positive, got $cap")
     import docs.sparkSession.implicits._
     val admitted = graft.pipeline.Robots.robotsAllowed(
@@ -703,7 +737,7 @@ object StreamDedup {
             col("host"), col("daily_budget"))
           .as[BudgetDoc])
     }
-    webIngestStream(surviving, cap)
+    webIngestStream(surviving, cap, aliases)
   }
 
   /** Plan-side row of [[politeBudgetAdmit]] (public for the encoder):

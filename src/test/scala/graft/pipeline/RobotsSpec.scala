@@ -267,4 +267,27 @@ class RobotsSpec extends SparkSpec {
       .collect().map(x => (x.getLong(0), (x.getBoolean(2), x.getLong(3)))).toMap
     assert(got == Map(1L -> ((false, 10L)), 2L -> ((true, -1L)), 3L -> ((true, -1L))))
   }
+
+  test("fetchSchedule: slots by URL order per host; declared delay beats default; NULL hosts visible at slot 1") {
+    val candidates = Seq(
+      (Option("slow.com"), "https://slow.com/b"),
+      (Option("slow.com"), "https://slow.com/a"),
+      (Option("fast.org"), "https://fast.org/x"),
+      (Option("fast.org"), "https://fast.org/y"),
+      (Option("fast.org"), "https://fast.org/z"),
+      (Option.empty[String], "weird://one"),
+      (Option.empty[String], "weird://two")).toDF("host", "url")
+    val budgets = Seq(("slow.com", 5000L)).toDF("host", "delay_ms")
+    val got = fetchSchedule(candidates, budgets, defaultDelayMs = 250L)
+      .collect().map(r => r.getString(1) ->
+        ((Option(r.getString(0)), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == Map(
+      "https://slow.com/a" -> ((Some("slow.com"), 1L, 0L)),
+      "https://slow.com/b" -> ((Some("slow.com"), 2L, 5000L)),
+      "https://fast.org/x" -> ((Some("fast.org"), 1L, 0L)),
+      "https://fast.org/y" -> ((Some("fast.org"), 2L, 250L)),
+      "https://fast.org/z" -> ((Some("fast.org"), 3L, 500L)),
+      "weird://one" -> ((None, 1L, 0L)),
+      "weird://two" -> ((None, 1L, 0L))), s"got $got")
+  }
 }

@@ -743,6 +743,55 @@ class StreamDedupSpec extends SparkSpec {
     }
   }
 
+  test("webIngestStream with aliases: canonical/redirect collapse merges keys across micro-batches == reference") {
+    import graft.streaming.StreamDedup.{WebDoc, WebIngestRow}
+    implicit val sqlCtx = spark.sqlContext
+    def page(t: String) = s"<html><body><p>$t</p></body></html>"
+    val feed = Seq(
+      // the canonical target itself, first
+      WebDoc(1L, "https://origin.com/story", page("the original story body with plenty of characters here"), 1L),
+      // a syndicated copy whose key ALIASES to the target (different
+      // content bytes -> only the alias merges them), later batch
+      WebDoc(2L, "https://mirror.net/story-copy", page("the mirrored story body re-rendered with different chrome"), 2L),
+      // alias exists but terminal NULL (redirect cycle): keeps own key
+      WebDoc(3L, "https://loop.example/p", page("cycle member content long enough to classify as real text"), 3L),
+      // unlisted key: untouched by the remap
+      WebDoc(4L, "https://other.io/q", page("unrelated page content that is long enough to pass extraction"), 4L))
+    val aliases = Seq(
+      ("https://mirror.net/story-copy", Some("https://origin.com/story")),
+      ("https://loop.example/p", None)).toDF("src", "terminal")
+    val stage0 = graft.pipeline.MarkupExtract.extract(
+        feed.toDF("doc_id", "url", "html", "arrival"), keep = Seq("url", "arrival"))
+      .select(col("doc_id"),
+        graft.pipeline.UrlOps.canonicalUrl(col("url")).as("canon_url"),
+        graft.pipeline.UrlOps.registrableDomain(col("url")).as("domain"),
+        col("arrival"),
+        org.apache.spark.sql.functions.md5(
+          graft.pipeline.TextAnalysis.normalizeExpr(col("text"))).as("content_md5"))
+      .as[WebIngestRow].collect().toSeq
+    val want = StreamDedup.webIngestReference(stage0, cap = 10L,
+      aliases = Map("https://mirror.net/story-copy" -> "https://origin.com/story")).sortBy(_.doc_id)
+    // the alias is the ONLY thing deduping docs 1/2 (content differs)
+    assert(want.map(_.doc_id) == Seq(1L, 3L, 4L), s"fixture drifted: $want")
+    assert(want.find(_.doc_id == 1L).get.canon_url == "https://origin.com/story")
+    for ((split, si) <- Seq(Seq(4), Seq(1, 1, 1, 1), Seq(2, 2)).zipWithIndex) {
+      val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[WebDoc]
+      val name = s"web_ingest_alias_out_$si"
+      val q = StreamDedup.webIngestStream(in.toDS(), cap = 10L, aliases = Some(aliases))
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      try {
+        var rest = feed
+        split.foreach { n =>
+          val (chunk, tail) = rest.splitAt(n)
+          rest = tail
+          if (chunk.nonEmpty) { in.addData(chunk); q.processAllAvailable() }
+        }
+        val got = spark.table(name).as[WebIngestRow].collect().sortBy(_.doc_id).toSeq
+        assert(got == want, s"split $si: aliased ingest diverged\n$got\n$want")
+      } finally q.stop()
+    }
+  }
+
   test("crawlIngestStream: governance -> ingest chained online; rejected docs consume nothing downstream") {
     import graft.streaming.StreamDedup.{WebDoc, WebIngestRow}
     implicit val sqlCtx = spark.sqlContext
