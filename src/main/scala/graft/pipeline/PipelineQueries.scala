@@ -1031,6 +1031,16 @@ object PipelineQueries {
 
   private val cosineD = cosD("qv", "nv")
 
+  /** [[cosD]] over only the first `n` components (the dimension-
+    * truncation audit's scorer) — prefix sums in the same left-to-right
+    * order, so d = 64 is bit-identical to the full form.
+    */
+  private def cosDimD(a: String, b: String, n: Int): String =
+    s"""list_sum(list_transform(generate_series(1,$n), i -> $a[i]::DOUBLE * $b[i]::DOUBLE))
+       | / (sqrt(list_sum(list_transform(generate_series(1,$n), i -> $a[i]::DOUBLE * $a[i]::DOUBLE)))
+       |  * sqrt(list_sum(list_transform(generate_series(1,$n), i -> $b[i]::DOUBLE * $b[i]::DOUBLE))))"""
+      .stripMargin.replace("\n", " ")
+
   private def lshBucketD(vec: String): String = {
     val bits = (0 until 4).map { j =>
       val dot =
@@ -2008,6 +2018,25 @@ object PipelineQueries {
         .map { case (m, a) => Similarity.knnRecall(exact, a, m) }
         .reduce(_.unionByName(_))
         .orderBy("method")
+    }),
+
+    // DIMENSION-TRUNCATION recall curve (the Matryoshka/MRL serving
+    // audit): cosine top-k over PREFIX dimensions vs the full-dim exact
+    // baseline — the number you watch before shipping truncated
+    // embeddings as a cheap prefilter tier or a 8x-smaller store;
+    // dim 64 == exact is the equivalence anchor (recall 1e6), the
+    // nprobe=nCells discipline applied to the dimension axis
+    "ext_knn_dim_recall" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val qs = emb.filter(col("vec_id") < 10)
+      val exact = Similarity.bruteForceKnn(emb, qs, 3)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      Seq(8, 16, 32, 64).map { d =>
+        def t(df: org.apache.spark.sql.DataFrame) =
+          df.withColumn("embedding", slice(col("embedding"), 1, d))
+        Similarity.knnRecall(exact,
+          Similarity.bruteForceKnn(t(emb), t(qs), 3), f"dim_$d%02d")
+      }.reduce(_.unionByName(_)).orderBy("method")
     }),
 
     // kNN label consistency: the embedding-space quality probe (does the
@@ -3929,6 +3958,27 @@ object PipelineQueries {
          |SELECT method, CAST(n_exact AS BIGINT) AS n_exact, CAST(n_hit AS BIGINT) AS n_hit,
          |  CAST(n_hit * 1000000 // greatest(n_exact, 1) AS BIGINT) AS recall_ppm
          |FROM r ORDER BY method""".stripMargin,
+
+    "ext_knn_dim_recall" -> {
+      def arm(d: Int): String =
+        s"""SELECT query_id, neighbor_id FROM (
+           |WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+           |c AS (SELECT vec_id AS neighbor_id, embedding AS nv FROM embeddings),
+           |s AS (SELECT query_id, neighbor_id, ${cosDimD("qv", "nv", d)} AS sim
+           |      FROM c, q WHERE neighbor_id <> query_id),
+           |w AS (SELECT query_id, neighbor_id,
+           |        row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank FROM s)
+           |SELECT query_id, neighbor_id FROM w WHERE rank <= 3)""".stripMargin
+      s"""WITH ex AS (SELECT query_id, neighbor_id FROM ($knnCosineSql)),
+         |r AS (
+         |  ${Seq(8, 16, 32, 64).map(d =>
+             s"SELECT 'dim_${f"$d%02d"}' AS method, count(*) AS n_exact, count(a.neighbor_id) AS n_hit " +
+               s"FROM ex e LEFT JOIN (${arm(d)}) a USING (query_id, neighbor_id)")
+             .mkString(" UNION ALL ")})
+         |SELECT method, CAST(n_exact AS BIGINT) AS n_exact, CAST(n_hit AS BIGINT) AS n_hit,
+         |  CAST(n_hit * 1000000 // greatest(n_exact, 1) AS BIGINT) AS recall_ppm
+         |FROM r ORDER BY method""".stripMargin
+    },
 
     "ext_knn_int8" ->
       """WITH vp AS (SELECT vec_id,
