@@ -41,6 +41,12 @@ object Bench {
     val reps = 4
     val times = scala.collection.mutable.Map.empty[String, Vector[Double]]
     (1 to reps).foreach { _ =>
+      // one GC per rep ROUND (not per rep — 4 pauses total, not 600):
+      // ContextCleaner unloads broadcast/cache blocks only after their
+      // driver refs are COLLECTED, so without this the hundreds of dead
+      // broadcasts from earlier queries accumulate across the round and
+      // late-iterating queries run against a heavier heap than early ones
+      System.gc()
       names.foreach { name =>
         // drop every cached plan first: queries that persist intermediate
         // tables (the shared shingle table feeds minhash AND ngram) must
