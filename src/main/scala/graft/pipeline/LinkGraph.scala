@@ -331,7 +331,7 @@ object LinkGraph {
     */
   private[pipeline] def kmvHashS(node: String): String =
     s"cast(conv(substring(md5($node), 1, 15), 16, 10) as bigint)"
-  private[pipeline] val KmvSpace: Long = 1L << 60
+  private[graft] val KmvSpace: Long = 1L << 60
 
   /** SKETCHED bounded-radius harmonic centrality — the web-scale form
     * [[harmonicPpm]]'s scaladoc names: the exact in-ball pair table

@@ -1473,6 +1473,53 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // per-domain crawl FUNNEL data card: the governance chain's marginal
+    // loss at every stage, SURVIVOR-CHAINED in the online order (robots
+    // → opt-out → politeness budget → rank-weighted cap) — budget ranks
+    // only governance survivors and the cap only budget survivors,
+    // exactly what crawlIngestStream enforces; the observability table a
+    // compliance review and a capacity planner both read
+    "ext_crawl_funnel" -> ((s, dir) => {
+      import s.implicits._
+      val docs = robotsAugTs(Tables.documents(s, dir))
+      val robots = Robots.robotsAllowed(docs, Robots.robotsRules(robotsTable(s)),
+        keepCols = Seq("url", "fetch_ts"))
+      val registry = Seq("site22.co.uk", "site7.github.io", "never-crawled.example")
+        .toDF("domain")
+      val oo = UrlOps.domainOptOut(docs, registry)
+        .select(col("doc_id"), lit(true).as("__oo"))
+      val g = robots.select(col("doc_id"), col("url"), col("fetch_ts"),
+          col("allowed").as("robots_ok"))
+        .join(oo, Seq("doc_id"), "left")
+        .withColumn("opted_out", coalesce(col("__oo"), lit(false)))
+      val gsurv = g.where(col("robots_ok") && !col("opted_out"))
+      val bud = Robots.crawlBudgetKept(
+          gsurv.select("doc_id", "url", "fetch_ts"),
+          Robots.crawlDelayBudget(robotsTable(s)))
+        .select(col("doc_id"), col("kept").as("budget_kept"))
+      val bsurv = gsurv.join(bud, Seq("doc_id")).where(col("budget_kept"))
+      val la = linkAug(Tables.documents(s, dir))
+      val ranks = LinkGraph.pageRankPpm(LinkGraph.linkDomainEdges(
+          LinkGraph.resolveLinks(LinkGraph.extractLinks(la, keepCols = Seq("url")))))
+        .withColumnRenamed("node", "domain")
+      val cap = UrlOps.domainCapByRank(bsurv.select("doc_id", "url"), ranks,
+          baseCap = 10L, maxCap = 40L)
+        .select(col("doc_id"), col("kept").as("cap_kept"))
+      g.select(col("doc_id"), UrlOps.registrableDomain(col("url")).as("domain"),
+          col("robots_ok"), col("opted_out"))
+        .join(bud, Seq("doc_id"), "left")
+        .join(cap, Seq("doc_id"), "left")
+        .groupBy("domain")
+        .agg(
+          count(lit(1)).as("n_fetches"),
+          count(when(!col("robots_ok"), 1)).as("n_robots_denied"),
+          count(when(col("robots_ok") && col("opted_out"), 1)).as("n_optout_denied"),
+          count(when(col("budget_kept") === false, 1)).as("n_budget_denied"),
+          count(when(col("cap_kept") === false, 1)).as("n_cap_denied"),
+          count(when(col("cap_kept") === true, 1)).as("n_admitted"))
+        .orderBy(asc_nulls_first("domain"))
+    }),
+
     // TIME-VERSIONED robots compliance: each fetch judged against the
     // policy version in force AT FETCH TIME (as-of election over the
     // per-host policy history) — fetches predating any observation are
@@ -2131,6 +2178,25 @@ object PipelineQueries {
     // numbers mixture weights are chosen from
     "ext_datacard" -> ((s, dir) => {
       TextAnalysis.dataCard(Tables.documents(s, dir)).orderBy("source")
+    }),
+
+    // KMV distinct-count sketch — the count-distinct scale path for
+    // data cards: exact count(DISTINCT) shuffles every distinct value
+    // to its group's reducer; the sketch carries <= k longs of
+    // map-side-combinable state (a native TypedImperativeAggregate) and
+    // is EXACT below the sketch size — side-by-side with the exact
+    // count so the error is visible, k=1024 exact at this SF (the
+    // equivalence anchor), k=64 a real estimate
+    "ext_distinct_kmv" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .select(col("source"),
+          expr("cast(conv(substring(md5(text), 1, 15), 16, 10) as bigint)").as("hv"))
+        .groupBy("source")
+        .agg(
+          countDistinct(col("hv")).as("n_exact"),
+          graft.functions.KmvDistinct.of(col("hv"), 64).as("n_kmv"),
+          graft.functions.KmvDistinct.of(col("hv"), 1024).as("n_kmv_big"))
+        .orderBy("source")
     }),
 
     // calibrated per-source quality filter: keep the top 25% of EACH
@@ -3198,6 +3264,46 @@ object PipelineQueries {
          |  CAST(rnk AS BIGINT) AS fetch_rank, (bud IS NULL OR rnk <= bud) AS kept
          |FROM cr ORDER BY doc_id""".stripMargin,
 
+    // funnel: the same closed-form stage replays as crawl_policy/
+    // crawl_budget, but SURVIVOR-CHAINED (budget ranks only governance
+    // survivors, the cap only budget survivors) and rolled up per domain
+    "ext_crawl_funnel" ->
+      s"""WITH $linkAugSql,
+         |${LinkGraph.pageRankSqlD("le")},
+         |$robotsSqlD,
+         |foo AS (SELECT doc_id FROM ud WHERE domain IN
+         |        ('site22.co.uk', 'site7.github.io', 'never-crawled.example')),
+         |fg AS (SELECT rj.doc_id, rj.host, rj.domain, (enc = -1 OR enc % 2 = 1) AS robots_ok,
+         |         (foo.doc_id IS NOT NULL) AS opted_out, (rj.doc_id * 7) % 2000 AS fts
+         |       FROM rj LEFT JOIN foo ON foo.doc_id = rj.doc_id),
+         |fsv AS (SELECT * FROM fg WHERE robots_ok AND NOT opted_out),
+         |fcb AS (SELECT host, CASE WHEN i % 3 = 0 THEN 17280 ELSE 9 END AS bud
+         |        FROM rsite WHERE i % 3 IN (0, 2)),
+         |fbk AS (SELECT doc_id, (bud IS NULL OR rnk <= bud) AS budget_kept FROM (
+         |          SELECT f.doc_id, cb.bud,
+         |            CASE WHEN f.host IS NULL OR cb.bud IS NULL THEN 0
+         |                 ELSE row_number() OVER (PARTITION BY f.host, f.fts // 86400000
+         |                                         ORDER BY f.fts, f.doc_id) END AS rnk
+         |          FROM fsv f LEFT JOIN fcb cb ON cb.host = f.host)),
+         |fbs AS (SELECT f.* FROM fsv f JOIN fbk ON fbk.doc_id = f.doc_id WHERE fbk.budget_kept),
+         |fck AS (SELECT doc_id, (domain IS NULL OR rnk <= cap) AS cap_kept FROM (
+         |          SELECT doc_id, domain, greatest(1, least(40, (10 * rp) // 1000000)) AS cap,
+         |            CASE WHEN domain IS NULL THEN 0
+         |                 ELSE row_number() OVER (PARTITION BY domain ORDER BY h, doc_id) END AS rnk
+         |          FROM (SELECT f.doc_id, f.domain, ${UrlOps.drawHashD("f.doc_id")} AS h,
+         |                  COALESCE(r.rank_ppm, 150000) AS rp
+         |                FROM fbs f LEFT JOIN pr_r5 r ON r.node = f.domain))),
+         |ffl AS (SELECT fg.domain, fg.robots_ok, fg.opted_out, fbk.budget_kept, fck.cap_kept
+         |        FROM fg LEFT JOIN fbk ON fbk.doc_id = fg.doc_id
+         |        LEFT JOIN fck ON fck.doc_id = fg.doc_id)
+         |SELECT domain, count(*) AS n_fetches,
+         |  count(CASE WHEN NOT robots_ok THEN 1 END) AS n_robots_denied,
+         |  count(CASE WHEN robots_ok AND opted_out THEN 1 END) AS n_optout_denied,
+         |  count(CASE WHEN budget_kept = false THEN 1 END) AS n_budget_denied,
+         |  count(CASE WHEN cap_kept = false THEN 1 END) AS n_cap_denied,
+         |  count(CASE WHEN cap_kept = true THEN 1 END) AS n_admitted
+         |FROM ffl GROUP BY domain ORDER BY domain NULLS FIRST""".stripMargin,
+
     // versioned robots: the oracle enumerates both policy versions per
     // site closed-form (rule classes shifted at ts 1000), elects each
     // doc's in-force version with a max(vts <= fts), and replays the
@@ -4116,6 +4222,28 @@ object PipelineQueries {
          |  md5(string_agg(event_type || ':' || price_micros::VARCHAR, ' ' ORDER BY secs, event_id)) AS doc_md5
          |FROM s GROUP BY symbol, session_idx
          |ORDER BY symbol, session_idx""".stripMargin,
+
+    // KMV replay: the k smallest DISTINCT hashes per source via a
+    // window over the deduped hash stream, the same exact-below-k /
+    // (k-1)*2^60 DIV U_k arithmetic in HUGEINT (63*2^60 overflows
+    // BIGINT), clamped at the hash space
+    "ext_distinct_kmv" ->
+      """WITH kh AS (SELECT source,
+        |  CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) AS hv FROM documents),
+        |kd AS (SELECT DISTINCT source, hv FROM kh),
+        |kr AS (SELECT source, hv, row_number() OVER (PARTITION BY source ORDER BY hv) AS rk FROM kd),
+        |ka AS (SELECT source, count(*) AS n_exact,
+        |         max(CASE WHEN rk = 64 THEN hv END) AS u64,
+        |         max(CASE WHEN rk = 1024 THEN hv END) AS u1024
+        |       FROM kr GROUP BY source)
+        |SELECT source, CAST(n_exact AS BIGINT) AS n_exact,
+        |  CAST(CASE WHEN n_exact < 64 THEN n_exact
+        |       ELSE LEAST(CAST(63 AS HUGEINT) * 1152921504606846976 // greatest(u64, 1),
+        |                  CAST(1152921504606846976 AS HUGEINT)) END AS BIGINT) AS n_kmv,
+        |  CAST(CASE WHEN n_exact < 1024 THEN n_exact
+        |       ELSE LEAST(CAST(1023 AS HUGEINT) * 1152921504606846976 // greatest(u1024, 1),
+        |                  CAST(1152921504606846976 AS HUGEINT)) END AS BIGINT) AS n_kmv_big
+        |FROM ka ORDER BY source""".stripMargin,
 
     "ext_datacard" ->
       s"""WITH tk AS (SELECT doc_id, ${toksD("text")} AS toks FROM documents),

@@ -740,6 +740,71 @@ object StreamDedup {
     webIngestStream(surviving, cap, aliases)
   }
 
+  /** A frontier candidate discovered ONLINE: the canonical URL, its
+    * origin host, and the first discovering document's provenance.
+    */
+  case class FrontierCand(url: String, host: String, doc_id: Long, arrival: Long)
+
+  /** ONLINE LINK DISCOVERY — the stage that CLOSES the crawl loop: the
+    * pages the ingest chain admits are themselves the source of the next
+    * frontier. Per micro-batch, each ingested page's anchors are
+    * extracted, entity-decoded, RFC 3986-resolved against the page URL
+    * and canonicalized (ONE stateless projection — the
+    * [[graft.pipeline.LinkGraph.extractLinks]]/`resolveLinks` kernels
+    * the batch ext_frontier plan uses, so online and batch discovery
+    * cannot drift); already-crawled targets drop via a stream-static
+    * LEFT ANTI against the crawled-URL store (the [[dedupAgainstStore]]
+    * shape — the store is the at-rest table the crawl's append loop
+    * maintains); and cross-batch re-discoveries collapse through
+    * engine-held state keyed by the canonical URL itself (one value-less
+    * entry per DISCOVERED url, the [[dedupUnbounded]] corpus-lifetime
+    * contract — a popular page linked from thousands of later pages
+    * must enter the frontier once, not thousands of times). Each
+    * candidate emits exactly once, with the FIRST (arrival, doc_id)
+    * discoverer's provenance. Feed the emitted candidates to
+    * [[graft.pipeline.Robots.fetchSchedule]] per scheduling epoch.
+    */
+  def discoverFrontierStream(
+      docs: Dataset[WebDoc],
+      crawledUrls: DataFrame): Dataset[FrontierCand] = {
+    require(crawledUrls.columns.contains("url"),
+      s"crawledUrls must carry 'url' (canonical keys), got ${crawledUrls.columns.mkString(", ")}")
+    import docs.sparkSession.implicits._
+    val cands = graft.pipeline.LinkGraph.resolveLinks(
+        graft.pipeline.LinkGraph.extractLinks(docs.toDF(), keepCols = Seq("url", "arrival")))
+      .select(col("doc_id"), col("arrival"),
+        graft.pipeline.UrlOps.canonicalUrl(col("href")).as("__cu"))
+      .where(col("__cu").isNotNull)
+      .join(crawledUrls.select(col("url").as("__cu")), Seq("__cu"), "left_anti")
+      .select(col("__cu").as("url"),
+        graft.pipeline.UrlOps.hostOf(col("__cu")).as("host"),
+        col("doc_id"), col("arrival"))
+      .as[FrontierCand]
+    cands
+      .groupByKey(_.url)
+      .flatMapGroupsWithState[Boolean, FrontierCand](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (_: String, rows: Iterator[FrontierCand], state: GroupState[Boolean]) =>
+          if (state.exists) Iterator.empty
+          else {
+            state.update(true)
+            Iterator.single(rows.minBy(r => (r.arrival, r.doc_id)))
+          }
+      }
+  }
+
+  /** In-memory reference of [[discoverFrontierStream]]'s election: first
+    * (arrival, doc_id) discoverer per candidate URL, crawled URLs out.
+    */
+  def discoverFrontierReference(
+      cands: Seq[FrontierCand],
+      crawled: Set[String]): Seq[FrontierCand] = {
+    val seen = scala.collection.mutable.Set.empty[String]
+    cands.sortBy(r => (r.arrival, r.doc_id, r.url)).flatMap { r =>
+      if (!crawled.contains(r.url) && seen.add(r.url)) Some(r) else None
+    }
+  }
+
   /** Plan-side row of [[politeBudgetAdmit]] (public for the encoder):
     * a governance survivor with its origin host and that host's declared
     * daily fetch budget (None when the host declared no Crawl-delay, or

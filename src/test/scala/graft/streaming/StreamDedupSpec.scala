@@ -792,6 +792,48 @@ class StreamDedupSpec extends SparkSpec {
     }
   }
 
+  test("discoverFrontierStream: online link discovery — crawled targets drop, re-discoveries emit once, first discoverer wins") {
+    import graft.streaming.StreamDedup.{WebDoc, FrontierCand}
+    implicit val sqlCtx = spark.sqlContext
+    def page(links: String*) =
+      s"""<html><body>${links.map(l => s"""<a href="$l">x</a>""").mkString}</body></html>"""
+    val feed = Seq(
+      // doc 1 discovers two targets, one of which is ALREADY CRAWLED
+      WebDoc(1L, "https://a.com/p1", page("/new1", "https://a.com/crawled"), 1L),
+      // doc 2 re-discovers /new1 (cross-batch duplicate) + a relative link
+      WebDoc(2L, "https://b.org/p2", page("https://a.com/new1", "sub/x"), 2L),
+      // doc 3: unresolvable base -> relative drops, absolute survives
+      WebDoc(3L, "mailto:x@y.com", page("/lost", "https://c.net/found"), 3L))
+    val crawled = Seq(Tuple1("https://a.com/crawled")).toDF("url")
+    val want = StreamDedup.discoverFrontierReference(
+      Seq(
+        FrontierCand("https://a.com/new1", "a.com", 1L, 1L),
+        FrontierCand("https://a.com/crawled", "a.com", 1L, 1L),
+        FrontierCand("https://a.com/new1", "a.com", 2L, 2L),
+        FrontierCand("https://b.org/sub/x", "b.org", 2L, 2L),
+        FrontierCand("https://c.net/found", "c.net", 3L, 3L)),
+      Set("https://a.com/crawled")).sortBy(_.url)
+    assert(want.map(_.url) ==
+      Seq("https://a.com/new1", "https://b.org/sub/x", "https://c.net/found"))
+    assert(want.find(_.url == "https://a.com/new1").get.doc_id == 1L, "first discoverer wins")
+    for ((split, si) <- Seq(Seq(3), Seq(1, 1, 1), Seq(2, 1)).zipWithIndex) {
+      val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[WebDoc]
+      val name = s"frontier_out_$si"
+      val q = StreamDedup.discoverFrontierStream(in.toDS(), crawled)
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      try {
+        var rest = feed
+        split.foreach { n =>
+          val (chunk, tail) = rest.splitAt(n)
+          rest = tail
+          if (chunk.nonEmpty) { in.addData(chunk); q.processAllAvailable() }
+        }
+        val got = spark.table(name).as[FrontierCand].collect().sortBy(_.url).toSeq
+        assert(got == want, s"split $si: online discovery diverged\n$got\n$want")
+      } finally q.stop()
+    }
+  }
+
   test("crawlIngestStream: governance -> ingest chained online; rejected docs consume nothing downstream") {
     import graft.streaming.StreamDedup.{WebDoc, WebIngestRow}
     implicit val sqlCtx = spark.sqlContext
