@@ -868,6 +868,73 @@ object StreamDedup {
       }
   }
 
+  /** A fetch request entering the online dispatcher: provenance plus its
+    * host's declared Crawl-delay (None = the crawler's own default,
+    * resolved by the caller before keying).
+    */
+  case class DispatchReq(doc_id: Long, url: String, host: String, arrival: Long, delay_ms: Long)
+
+  /** A dispatch assignment: the earliest instant the fetch may fire. */
+  case class Dispatch(doc_id: Long, url: String, host: String, dispatch_ms: Long)
+
+  /** ONLINE POLITENESS DISPATCHER — the streaming twin of
+    * [[graft.pipeline.Robots.fetchSchedule]]: the batch form PLACES a
+    * known frontier into slots; this assigns each ARRIVING fetch
+    * request its earliest polite dispatch instant, one Long of state
+    * per host (the host's next free slot):
+    *
+    *   `dispatch = max(arrival, next_free)`; `next_free = dispatch +
+    *   delay_ms`.
+    *
+    * An idle host dispatches immediately (the max with arrival — slots
+    * never accumulate credit from quiet periods, which is what
+    * distinguishes a politeness gap from a token bucket: a burst after
+    * an idle hour still spaces `delay_ms` apart). Requests are
+    * processed in (arrival, doc_id) order within a batch; NULL-host
+    * requests dispatch at their arrival on unique space-prefixed keys
+    * without writing state (the [[politeBudgetAdmit]] convention).
+    * State is bounded by the distinct-host count forever — NoTimeout,
+    * because a host's next-free slot stays binding however long the
+    * stream pauses (max() makes stale slots harmless).
+    */
+  def politeDispatchStream(reqs: Dataset[DispatchReq]): Dataset[Dispatch] = {
+    import reqs.sparkSession.implicits._
+    reqs
+      .groupByKey(r => if (r.host == null) " " + r.doc_id else r.host)
+      .flatMapGroupsWithState[Long, Dispatch](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (key: String, it: Iterator[DispatchReq], state: GroupState[Long]) =>
+          if (key.nonEmpty && key.charAt(0) == ' ')
+            it.map(r => Dispatch(r.doc_id, r.url, r.host, r.arrival))
+          else {
+            val ordered = it.toSeq.sortBy(r => (r.arrival, r.doc_id))
+            var nextFree = state.getOption.getOrElse(Long.MinValue)
+            val out = ordered.map { r =>
+              val at = math.max(r.arrival, nextFree)
+              nextFree = at + r.delay_ms
+              Dispatch(r.doc_id, r.url, r.host, at)
+            }
+            state.update(nextFree)
+            out.iterator
+          }
+      }
+  }
+
+  /** In-memory reference of [[politeDispatchStream]]: one sequential
+    * pass in (arrival, doc_id) order with a per-host next-free map.
+    */
+  def politeDispatchReference(reqs: Seq[DispatchReq]): Seq[Dispatch] = {
+    val nextFree = scala.collection.mutable.Map.empty[String, Long]
+    reqs.sortBy(r => (r.arrival, r.doc_id)).map { r =>
+      if (r.host == null) Dispatch(r.doc_id, r.url, r.host, r.arrival)
+      else {
+        val at = math.max(r.arrival, nextFree.getOrElse(r.host, Long.MinValue))
+        nextFree(r.host) = at + r.delay_ms
+        Dispatch(r.doc_id, r.url, r.host, at)
+      }
+    }
+  }
+
   /** In-memory reference model of [[domainCapAdmit]]. */
   def domainCapReference(docs: Seq[CappedDocKey], cap: Long): Seq[CappedDoc] = {
     val counts = scala.collection.mutable.Map.empty[String, Long]

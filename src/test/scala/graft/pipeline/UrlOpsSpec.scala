@@ -363,24 +363,33 @@ class UrlOpsSpec extends SparkSpec {
       ("x", "y"), ("y", "x"), ("z", "x"),
       ("s", "s"),
       ("m", "t2"), ("m", "t1")).toDF("src", "dst")
-    val got = UrlOps.resolveAliases(edges).collect()
-      .map(r => r.getString(0) -> Option(r.getString(1))).toMap
-    assert(got == Map(
+    val want = Map(
       "a" -> Some("T"), "b" -> Some("T"), "c" -> Some("T"),
       "x" -> None, "y" -> None, "z" -> None,
-      "m" -> Some("t1")), s"got $got")
+      "m" -> Some("t1"))
+    // both dispatch arms must produce identical labels (the
+    // connectedComponentsAuto equivalence discipline)
+    for (limit <- Seq(500000, 0)) {
+      val got = UrlOps.resolveAliases(edges, driverEdgeLimit = limit).collect()
+        .map(r => r.getString(0) -> Option(r.getString(1))).toMap
+      assert(got == want, s"driverEdgeLimit=$limit: got $got")
+    }
   }
 
   test("resolveAliases: the 2^maxRounds hop bound is exact (64 resolves, 65 does not)") {
     // numeric string chain i -> i+1, terminal at 65: node 1 sits 64 hops
     // out (resolves); with a 66-terminal chain node 1 sits 65 hops out
     def chain(last: Int) = (1 until last).map(i => (f"n$i%03d", f"n${i + 1}%03d")).toDF("src", "dst")
-    val at64 = UrlOps.resolveAliases(chain(65)).where(col("src") === "n001")
-      .collect().map(r => Option(r.getString(1))).head
-    assert(at64 == Some("n065"), s"64-hop chain must resolve, got $at64")
-    val at65 = UrlOps.resolveAliases(chain(66)).where(col("src") === "n001")
-      .collect().map(r => Option(r.getString(1))).head
-    assert(at65 == None, s"65-hop chain must overflow the bound to NULL, got $at65")
+    for (limit <- Seq(500000, 0)) {
+      val at64 = UrlOps.resolveAliases(chain(65), driverEdgeLimit = limit)
+        .where(col("src") === "n001")
+        .collect().map(r => Option(r.getString(1))).head
+      assert(at64 == Some("n065"), s"limit=$limit: 64-hop chain must resolve, got $at64")
+      val at65 = UrlOps.resolveAliases(chain(66), driverEdgeLimit = limit)
+        .where(col("src") === "n001")
+        .collect().map(r => Option(r.getString(1))).head
+      assert(at65 == None, s"limit=$limit: 65-hop chain must overflow the bound to NULL, got $at65")
+    }
   }
 
   test("urlDedupAliased: aliased keys merge, NULL terminals and unlisted keys keep their own") {

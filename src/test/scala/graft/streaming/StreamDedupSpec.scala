@@ -792,6 +792,45 @@ class StreamDedupSpec extends SparkSpec {
     }
   }
 
+  test("politeDispatchStream: per-host spacing == reference; idle hosts dispatch immediately; no credit accumulation") {
+    import graft.streaming.StreamDedup.{DispatchReq, Dispatch}
+    implicit val sqlCtx = spark.sqlContext
+    val feed = Seq(
+      // burst of 3 on slow.com (delay 1000): 100, 1100, 2100
+      DispatchReq(1L, "https://slow.com/a", "slow.com", 100L, 1000L),
+      DispatchReq(2L, "https://slow.com/b", "slow.com", 150L, 1000L),
+      DispatchReq(3L, "https://slow.com/c", "slow.com", 160L, 1000L),
+      // other host interleaves independently
+      DispatchReq(4L, "https://fast.org/x", "fast.org", 200L, 10L),
+      DispatchReq(5L, "https://fast.org/y", "fast.org", 201L, 10L),
+      // NULL host: dispatches at arrival, no state
+      DispatchReq(6L, "weird://q", null, 250L, 1000L),
+      // after a LONG idle gap the host dispatches at arrival (no
+      // accumulated credit), and the next request spaces from there
+      DispatchReq(7L, "https://slow.com/d", "slow.com", 99999L, 1000L),
+      DispatchReq(8L, "https://slow.com/e", "slow.com", 100000L, 1000L))
+    val want = StreamDedup.politeDispatchReference(feed).sortBy(_.doc_id)
+    assert(want.map(d => d.doc_id -> d.dispatch_ms).toMap == Map(
+      1L -> 100L, 2L -> 1100L, 3L -> 2100L, 4L -> 200L, 5L -> 210L,
+      6L -> 250L, 7L -> 99999L, 8L -> 100999L), s"reference drifted: $want")
+    for ((split, si) <- Seq(Seq(8), Seq(3, 3, 2), Seq(1, 1, 1, 1, 1, 1, 1, 1)).zipWithIndex) {
+      val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[DispatchReq]
+      val name = s"dispatch_out_$si"
+      val q = StreamDedup.politeDispatchStream(in.toDS())
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      try {
+        var rest = feed
+        split.foreach { n =>
+          val (chunk, tail) = rest.splitAt(n)
+          rest = tail
+          if (chunk.nonEmpty) { in.addData(chunk); q.processAllAvailable() }
+        }
+        val got = spark.table(name).as[Dispatch].collect().sortBy(_.doc_id).toSeq
+        assert(got == want, s"split $si: dispatcher diverged\n$got\n$want")
+      } finally q.stop()
+    }
+  }
+
   test("discoverFrontierStream: online link discovery — crawled targets drop, re-discoveries emit once, first discoverer wins") {
     import graft.streaming.StreamDedup.{WebDoc, FrontierCand}
     implicit val sqlCtx = spark.sqlContext
