@@ -2110,6 +2110,26 @@ object PipelineQueries {
         .orderBy("cell")
     }),
 
+    // IVF cell BALANCE: the other retrain trigger (purity = semantics,
+    // balance = load) — a skewed cell is a hot partition in every
+    // celled probe AND caps achievable recall at fixed nprobe; the
+    // imbalance factor (max cell over mean, ppm) for the formula and
+    // trained tables side by side
+    "ext_ivf_balance" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir).where(col("embedding").isNotNull)
+      def arm(m: String, cents: Seq[Seq[Double]]) =
+        emb.select(Similarity.ivfCellOf(col("embedding"), cents).as("cell"))
+          .groupBy("cell").agg(count(lit(1)).as("__c"))
+          .agg(sum("__c").as("n_vecs"), count(lit(1)).as("n_cells_used"),
+            max("__c").as("max_cell"))
+          .select(lit(m).as("method"), col("n_vecs"), col("n_cells_used"),
+            col("max_cell"),
+            expr("max_cell * n_cells_used * 1000000 DIV n_vecs").as("imbalance_ppm"))
+      arm("formula", Similarity.defaultCentroids(64, 8))
+        .unionByName(arm("trained", Similarity.refIvfCentroids))
+        .orderBy("method")
+    }),
+
     "ext_dedup_lines" -> ((s, dir) => {
       Dedup.lineDedupKeepFirst(lineAug(Tables.documents(s, dir))).orderBy("doc_id")
     }),
@@ -4128,6 +4148,27 @@ object PipelineQueries {
     "ext_cell_purity" -> cellPuritySqlFrom(ivfCentSql),
     "ext_cell_purity_trained" ->
       cellPuritySqlFrom(ivfCentValuesSql(Similarity.refIvfCentroids)),
+
+    // balance: the same assignment CTEs rolled to (cells used, max
+    // cell, max/mean ppm); sum() casts back from DuckDB's HUGEINT
+    "ext_ivf_balance" -> {
+      def arm(m: String, centCte: String): String =
+        s"""SELECT '$m' AS method, CAST(n_vecs AS BIGINT) AS n_vecs,
+           |  CAST(n_cells_used AS BIGINT) AS n_cells_used,
+           |  CAST(max_cell AS BIGINT) AS max_cell,
+           |  CAST(max_cell * n_cells_used * 1000000 // n_vecs AS BIGINT) AS imbalance_ppm
+           |FROM (
+           |  WITH $centCte,
+           |  cd AS (SELECT vec_id, embedding, cid,
+           |          row_number() OVER (PARTITION BY vec_id ORDER BY $dotEmbCentD DESC, cid) AS rn
+           |         FROM embeddings, cent),
+           |  cc AS (SELECT cid, count(*) AS c FROM cd WHERE rn = 1 GROUP BY cid)
+           |  SELECT sum(c) AS n_vecs, count(*) AS n_cells_used, max(c) AS max_cell FROM cc)""".stripMargin
+      s"""SELECT * FROM (${arm("formula", ivfCentSql)}
+         |UNION ALL
+         |${arm("trained", ivfCentValuesSql(Similarity.refIvfCentroids))})
+         |ORDER BY method""".stripMargin
+    },
 
     "ext_dedup_lines" ->
       s"""WITH $lineAugSql,
