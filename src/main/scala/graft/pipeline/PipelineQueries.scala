@@ -1003,6 +1003,26 @@ object PipelineQueries {
        |sz AS (SELECT doc_id, count(*) AS n_sh FROM shx GROUP BY 1)""".stripMargin
 
   /** Exact Jaccard over full shingle sets for a pair CTE named `prs`. */
+  /** The exact-TRUTH side of the banding audits (¼-sample df-capped
+    * blocked pairs → exact Jaccard `jp`) — shared by ext_dedup_recall
+    * and ext_dedup_tau_sweep so the two cannot drift. Requires
+    * `shx`/`sz` ([[shinglesSqlCtes]]).
+    */
+  private val truthJaccardSqlCtes =
+    """shs AS (SELECT doc_id, s FROM shx WHERE doc_id % 4 = 0),
+      |rare2 AS (SELECT s FROM (SELECT s, count(*) AS df FROM shs GROUP BY 1) WHERE df <= 64),
+      |blk2 AS (SELECT shs.doc_id, shs.s FROM shs JOIN rare2 ON shs.s = rare2.s),
+      |tprs AS (SELECT DISTINCT x.doc_id AS id1, y.doc_id AS id2
+      |         FROM blk2 x JOIN blk2 y ON x.s = y.s AND x.doc_id < y.doc_id),
+      |titr AS (SELECT id1, id2, count(*) AS n_inter
+      |         FROM tprs JOIN shs x ON x.doc_id = tprs.id1
+      |                   JOIN shs y ON y.doc_id = tprs.id2 AND x.s = y.s GROUP BY 1, 2),
+      |tjac AS (SELECT tprs.id1, tprs.id2,
+      |          CAST(COALESCE(titr.n_inter, 0) * 1000000
+      |            // (a.n_sh + b.n_sh - COALESCE(titr.n_inter, 0)) AS BIGINT) AS jp
+      |         FROM tprs LEFT JOIN titr USING (id1, id2)
+      |              JOIN sz a ON a.doc_id = tprs.id1 JOIN sz b ON b.doc_id = tprs.id2)""".stripMargin
+
   private val jaccardOfPairsSql =
     """itr AS (SELECT id1, id2, count(*) AS n_inter
       |        FROM prs JOIN shx x ON x.doc_id = prs.id1
@@ -1147,7 +1167,7 @@ object PipelineQueries {
       val shS = ShingleStage.shingleHashes(s, dir, nearAug(Tables.documents(s, dir)))
         .select("doc_id", "sh").where(col("doc_id") % 4 === 0)
       Dedup.jaccardForPairsOf(shS, Dedup.coShinglingPairs(shS, 64L))
-        .where(col("jaccard_ppm") >= 200000L).select("id1", "id2")
+        .where(col("jaccard_ppm") >= 200000L).select("id1", "id2", "jaccard_ppm")
     })
 
   /** The incremental near-dup query's persistent signature STORE (even
@@ -1794,6 +1814,20 @@ object PipelineQueries {
         .crossJoin(broadcast(nBand))
         .select(col("n_truth"), col("n_band"), col("n_found"),
           expr("n_found * 1000000 DIV greatest(n_truth, 1)").as("recall_ppm"))
+    }),
+
+    // similarity-THRESHOLD sweep over the staged exact-truth sample:
+    // near-dup pairs admitted at each tau ∈ [0.2, 0.9] — the tuning
+    // curve a dedup tau is chosen from (the nprobe-sweep discipline
+    // applied to the similarity axis); one pass over the bounded
+    // staged truth, no re-derivation per point
+    "ext_dedup_tau_sweep" -> ((s, dir) => {
+      truthStoreFor(s, dir)
+        .select(col("jaccard_ppm"),
+          explode(expr("sequence(200000L, 900000L, 100000L)")).as("tau"))
+        .where(col("jaccard_ppm") >= col("tau"))
+        .groupBy("tau").agg(count(lit(1)).as("n_pairs"))
+        .orderBy("tau")
     }),
 
     // asymmetric shingle containment: the inclusion detector resemblance
@@ -3621,19 +3655,7 @@ object PipelineQueries {
          |$jaccardOfPairsSql,
          |band AS (SELECT id1, id2 FROM jac
          |         WHERE jaccard_ppm >= 200000 AND id1 % 4 = 0 AND id2 % 4 = 0),
-         |shs AS (SELECT doc_id, s FROM shx WHERE doc_id % 4 = 0),
-         |rare AS (SELECT s FROM (SELECT s, count(*) AS df FROM shs GROUP BY 1) WHERE df <= 64),
-         |blk AS (SELECT shs.doc_id, shs.s FROM shs JOIN rare ON shs.s = rare.s),
-         |tprs AS (SELECT DISTINCT x.doc_id AS id1, y.doc_id AS id2
-         |         FROM blk x JOIN blk y ON x.s = y.s AND x.doc_id < y.doc_id),
-         |titr AS (SELECT id1, id2, count(*) AS n_inter
-         |         FROM tprs JOIN shs x ON x.doc_id = tprs.id1
-         |                   JOIN shs y ON y.doc_id = tprs.id2 AND x.s = y.s GROUP BY 1, 2),
-         |tjac AS (SELECT tprs.id1, tprs.id2,
-         |          CAST(COALESCE(titr.n_inter, 0) * 1000000
-         |            // (a.n_sh + b.n_sh - COALESCE(titr.n_inter, 0)) AS BIGINT) AS jp
-         |         FROM tprs LEFT JOIN titr USING (id1, id2)
-         |              JOIN sz a ON a.doc_id = tprs.id1 JOIN sz b ON b.doc_id = tprs.id2),
+         |$truthJaccardSqlCtes,
          |truth AS (SELECT id1, id2 FROM tjac WHERE jp >= 200000),
          |nb AS (SELECT count(*) AS n_band FROM band)
          |SELECT CAST(count(*) AS BIGINT) AS n_truth,
@@ -3641,6 +3663,17 @@ object PipelineQueries {
          |  CAST(count(band.id1) AS BIGINT) AS n_found,
          |  CAST(count(band.id1) * 1000000 // greatest(count(*), 1) AS BIGINT) AS recall_ppm
          |FROM truth LEFT JOIN band USING (id1, id2)""".stripMargin,
+
+    // tau sweep: the shared truth-side CTEs replayed, pairs counted per
+    // threshold (taus where no pair clears drop from BOTH engines)
+    "ext_dedup_tau_sweep" ->
+      s"""WITH $nearAugSql,
+         |$shinglesSqlCtes,
+         |$truthJaccardSqlCtes,
+         |taus AS (SELECT unnest(generate_series(200000, 900000, 100000)) AS tau)
+         |SELECT CAST(tau AS BIGINT) AS tau, CAST(count(*) AS BIGINT) AS n_pairs
+         |FROM taus JOIN tjac ON tjac.jp >= taus.tau
+         |GROUP BY tau ORDER BY tau""".stripMargin,
 
     // directional containment over the df-capped shingle sets (both
     // directions of every co-shingling pair; same blocked CTEs as ngram)
