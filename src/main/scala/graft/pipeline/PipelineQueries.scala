@@ -297,6 +297,41 @@ object PipelineQueries {
       robotsBody(i, i % 3, i % 10 === 5).as("robots_txt"))
   }
 
+  /** Robots bodies exercising RFC 9309 §2.2.3 PATTERN matching (every
+    * policy'd host shares one body; the DOC paths vary): a `$`-anchored
+    * extension ban, a longer `$`-anchored allow exception, and an
+    * interior-`*` rule whose unanchored tail keeps prefix semantics.
+    */
+  private def robotsWildcardTable(s: SparkSession): DataFrame = {
+    val i = col("id")
+    s.range(40).select(
+      siteHost(i).as("host"),
+      when(i % 10 === 5, lit(null).cast("string")).otherwise(lit(
+        "User-agent: *\nDisallow: /*.pdf$\nAllow: /pub/*.pdf$\nDisallow: /tmp/*/x\n"))
+        .as("robots_txt"))
+  }
+
+  /** Docs whose paths hit every wildcard-matching class: 0 = denied by
+    * the `$`-anchored ban (rule octets 7), 1 = the longer allow
+    * exception wins (11 beats 7), 2 = the anchor MISSES a longer
+    * extension (allowed, no match), 3/4 = interior `*` with unanchored
+    * prefix tail (exact target and a longer target both denied, 8),
+    * 5 = untouched path (allowed, no match); d%13 keeps the
+    * unparseable-provenance arm.
+    */
+  private def wildcardAug(docs: DataFrame): DataFrame = {
+    val d = col("doc_id")
+    docs.select(d,
+      when(d % 13 === 0, lit("mailto:someone@example.com"))
+        .otherwise(concat(lit("https://"), siteHost(d % 40),
+          when(d % 6 === 0, concat(lit("/a/doc"), d, lit(".pdf")))
+            .when(d % 6 === 1, concat(lit("/pub/doc"), d, lit(".pdf")))
+            .when(d % 6 === 2, concat(lit("/a/doc"), d, lit(".pdfx")))
+            .when(d % 6 === 3, concat(lit("/tmp/"), d, lit("/x")))
+            .when(d % 6 === 4, concat(lit("/tmp/"), d, lit("/xy")))
+            .otherwise(concat(lit("/p/"), d)))).as("url"))
+  }
+
   /** The POLICY HISTORY fixture: two observed versions per site — the
     * first at ts 100 with today's arm classes, the second at ts 1000
     * with the classes SHIFTED (arm (i+1)%3, NULL body at (i+1)%10 == 5)
@@ -1438,6 +1473,18 @@ object PipelineQueries {
     "ext_robots_agent" -> ((s, dir) => {
       val rules = Robots.robotsRules(robotsTable(s), agent = "mybot-news")
       Robots.robotsAllowed(robotsAug(Tables.documents(s, dir)), rules)
+        .orderBy("doc_id")
+    }),
+
+    // RFC 9309 PATTERN matching: `*` wildcards and the trailing `$`
+    // anchor in rule paths (a `$`-anchored extension ban, its longer
+    // allow exception, an interior-`*` rule keeping prefix semantics) —
+    // the conformance surface prefix-only matchers get wrong in both
+    // directions; the oracle emits every decision closed-form by path
+    // class, so matcher AND precedence bugs hash-mismatch
+    "ext_robots_wildcard" -> ((s, dir) => {
+      Robots.robotsAllowed(wildcardAug(Tables.documents(s, dir)),
+          Robots.robotsRules(robotsWildcardTable(s)))
         .orderBy("doc_id")
     }),
 
@@ -3226,6 +3273,24 @@ object PipelineQueries {
          |SELECT doc_id, host, (enc = -1 OR enc % 2 = 1) AS allowed,
          |  CAST(CASE WHEN enc = -1 THEN -1 ELSE enc // 2 END AS BIGINT) AS rule_len
          |FROM aj ORDER BY doc_id""".stripMargin,
+
+    // wildcard decisions, closed-form by path class: 0 = `$`-ban (7),
+    // 1 = longer `$`-allow wins (11), 2 = anchor misses (-1), 3/4 =
+    // interior-`*` prefix tail (8), 5 = untouched (-1); NULL-host and
+    // NULL-body hosts allow
+    "ext_robots_wildcard" ->
+      s"""WITH wd AS (SELECT doc_id,
+         |  CASE WHEN doc_id % 13 = 0 THEN NULL ELSE ${siteHostD("doc_id % 40")} END AS host
+         |  FROM documents)
+         |SELECT doc_id, host,
+         |  CASE WHEN host IS NULL OR (doc_id % 40) % 10 = 5 THEN true
+         |       WHEN doc_id % 6 IN (0, 3, 4) THEN false ELSE true END AS allowed,
+         |  CAST(CASE WHEN host IS NULL OR (doc_id % 40) % 10 = 5 THEN -1
+         |       WHEN doc_id % 6 = 0 THEN 7
+         |       WHEN doc_id % 6 = 1 THEN 11
+         |       WHEN doc_id % 6 IN (3, 4) THEN 8
+         |       ELSE -1 END AS BIGINT) AS rule_len
+         |FROM wd ORDER BY doc_id""".stripMargin,
 
     // sitemaps: every policy'd host declares /sitemap.xml first; arm-0
     // sites add /sitemap-news.xml (declared INSIDE the *-group's agent

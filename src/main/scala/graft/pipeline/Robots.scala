@@ -433,10 +433,7 @@ object Robots {
         docsSide, versioned, keys = Seq("__k"),
         leftTs = tsCol, rightTs = versionTsCol,
         payload = Seq("__rules"), matchedTs = "policy_ts")
-      .withColumn("__enc", expr(
-        "aggregate(coalesce(__rules, array()), -1L, (acc, r) -> " +
-          "greatest(acc, if(startswith(__path, r.prefix), " +
-          "length(r.prefix) * 2L + if(r.allow, 1L, 0L), -1L)))"))
+      .withColumn("__enc", ruleFold(col("__rules"), col("__path")))
       .select(col(idCol), col("host"),
         (col("__enc") === -1L || col("__enc") % 2 === 1L).as("allowed"),
         when(col("__enc") === -1L, lit(-1L)).otherwise(expr("__enc DIV 2")).as("rule_len"),
@@ -460,6 +457,27 @@ object Robots {
     * drop disallowed fetches online (spec-asserted MemoryStream ==
     * batch).
     */
+  /** The shared decision fold: encoded best match over a rule array —
+    * `max(pattern_octets * 2 + allow)` across matching rules, -1 when
+    * none match. Matching is RFC 9309 §2.2.3 pattern matching
+    * ([[graft.functions.RobotsMatch]]: `*` wildcards, trailing `$`
+    * anchor; wildcard-free rules degrade to the exact prefix test, so
+    * decisions on plain rules are byte-identical to the prefix-only
+    * matcher this replaces). Precedence follows the RFC's "most
+    * octets" read applied to the PATTERN — a `$`-anchored or starred
+    * rule counts its specials, the convention the reference parsers
+    * (Google's C++ matcher) use.
+    */
+  private def ruleFold(rulesCol: Column, pathCol: Column): Column =
+    aggregate(
+      coalesce(rulesCol, expr("array()")),
+      lit(-1L),
+      (acc, r) => greatest(acc,
+        when(graft.functions.RobotsMatch.of(pathCol, r.getField("prefix")),
+          length(r.getField("prefix")).cast("long") * lit(2L) +
+            when(r.getField("allow"), lit(1L)).otherwise(lit(0L)))
+          .otherwise(lit(-1L))))
+
   def robotsAllowed(
       docs: DataFrame,
       rules: DataFrame,
@@ -483,10 +501,7 @@ object Robots {
         UrlOps.hostOf(col(urlCol)).as("host"),
         UrlOps.urlPath(col(urlCol)).as("__path")): _*)
       .join(perHost, Seq("host"), "left")
-      .withColumn("__enc", expr(
-        "aggregate(coalesce(__rules, array()), -1L, (acc, r) -> " +
-          "greatest(acc, if(startswith(__path, r.prefix), " +
-          "length(r.prefix) * 2L + if(r.allow, 1L, 0L), -1L)))"))
+      .withColumn("__enc", ruleFold(col("__rules"), col("__path")))
       .select((col(idCol) +: keepCols.map(col)) ++ Seq(col("host"),
         (col("__enc") === -1L || col("__enc") % 2 === 1L).as("allowed"),
         when(col("__enc") === -1L, lit(-1L)).otherwise(expr("__enc DIV 2")).as("rule_len")): _*)

@@ -268,6 +268,32 @@ class RobotsSpec extends SparkSpec {
     assert(got == Map(1L -> ((false, 10L)), 2L -> ((true, -1L)), 3L -> ((true, -1L))))
   }
 
+  test("RFC 9309 pattern matching: * wildcards, trailing $ anchor, prefix tail, precedence by pattern octets") {
+    import graft.functions.RobotsMatchKernel
+    import org.apache.spark.unsafe.types.UTF8String.{fromString => u}
+    def m(path: String, pat: String) = RobotsMatchKernel.matches(u(path), u(pat))
+    // plain prefixes degrade to startswith exactly
+    assert(m("/private/x", "/private") && !m("/pub/x", "/private"))
+    // $ anchors; * spans; interior $ is literal
+    assert(m("/a/doc.pdf", "/*.pdf$") && !m("/a/doc.pdfx", "/*.pdf$"))
+    assert(m("/tmp/a/x", "/tmp/*/x") && m("/tmp/a/xy", "/tmp/*/x") && !m("/tmq/a/x", "/tmp/*/x"))
+    assert(m("/a$b/c", "/a$b") && !m("/ab/c", "/a$b"))
+    // empty pattern matches everything; bare $ only the empty target
+    assert(m("/anything", "") && m("", "$") && !m("/x", "$"))
+    // multi-star backtracking
+    assert(m("/aXbYbZc", "/a*b*c$") && !m("/aXbYbZ", "/a*b*c$"))
+
+    // the decision fold: longer allow exception beats the $-ban
+    val rules = Seq(
+      ("h.com", "/*.pdf$", false), ("h.com", "/pub/*.pdf$", true)).toDF("host", "prefix", "allow")
+    val docs = Seq(
+      (1L, "https://h.com/a/doc.pdf"), (2L, "https://h.com/pub/doc.pdf"),
+      (3L, "https://h.com/a/doc.pdfx")).toDF("doc_id", "url")
+    val got = robotsAllowed(docs, rules)
+      .collect().map(r => r.getLong(0) -> ((r.getBoolean(2), r.getLong(3)))).toMap
+    assert(got == Map(1L -> ((false, 7L)), 2L -> ((true, 11L)), 3L -> ((true, -1L))), got.toString)
+  }
+
   test("fetchSchedule: slots by URL order per host; declared delay beats default; NULL hosts visible at slot 1") {
     val candidates = Seq(
       (Option("slow.com"), "https://slow.com/b"),
