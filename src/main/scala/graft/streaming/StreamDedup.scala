@@ -793,6 +793,40 @@ object StreamDedup {
       }
   }
 
+  /** The FULL online crawl loop closed: admitted pages discover the
+    * next frontier ([[discoverFrontierStream]] — crawled targets drop,
+    * each candidate emits once) and every fresh candidate is assigned
+    * its earliest polite dispatch instant
+    * ([[politeDispatchStream]] — one Long of next-free-slot state per
+    * host, spaced by the host's declared Crawl-delay or the crawler's
+    * `defaultDelayMs`). `budgets` is the model-sized
+    * [[graft.pipeline.Robots.crawlDelayBudget]] (host, delay_ms) table,
+    * broadcast stream-static between the two keyed stages. The batch
+    * twin is the ext_frontier plan (discover ∪ sitemaps − crawled →
+    * fetchSchedule); the composition contract is the ingest family's:
+    * a dropped candidate (already crawled, already discovered) consumes
+    * no dispatch slot.
+    */
+  def frontierDispatchStream(
+      docs: Dataset[WebDoc],
+      crawledUrls: DataFrame,
+      budgets: DataFrame,
+      defaultDelayMs: Long = 1000L): Dataset[Dispatch] = {
+    require(defaultDelayMs >= 1,
+      s"frontierDispatchStream: defaultDelayMs must be positive, got $defaultDelayMs")
+    val missing = Seq("host", "delay_ms").filterNot(budgets.columns.contains)
+    require(missing.isEmpty, "frontierDispatchStream: budgets must carry " +
+      s"(host, delay_ms) — a crawlDelayBudget table; missing ${missing.mkString(", ")}")
+    import docs.sparkSession.implicits._
+    politeDispatchStream(
+      discoverFrontierStream(docs, crawledUrls).toDF()
+        .join(broadcast(budgets.select(col("host"),
+          col("delay_ms").cast("long").as("__dm"))), Seq("host"), "left")
+        .select(col("doc_id"), col("url"), col("host"), col("arrival"),
+          coalesce(col("__dm"), lit(defaultDelayMs)).as("delay_ms"))
+        .as[DispatchReq])
+  }
+
   /** In-memory reference of [[discoverFrontierStream]]'s election: first
     * (arrival, doc_id) discoverer per candidate URL, crawled URLs out.
     */
@@ -907,7 +941,9 @@ object StreamDedup {
           if (key.nonEmpty && key.charAt(0) == ' ')
             it.map(r => Dispatch(r.doc_id, r.url, r.host, r.arrival))
           else {
-            val ordered = it.toSeq.sortBy(r => (r.arrival, r.doc_id))
+            // url tiebreak: two discoveries from ONE page (same arrival
+            // and doc_id) must still order deterministically
+            val ordered = it.toSeq.sortBy(r => (r.arrival, r.doc_id, r.url))
             var nextFree = state.getOption.getOrElse(Long.MinValue)
             val out = ordered.map { r =>
               val at = math.max(r.arrival, nextFree)
@@ -925,7 +961,7 @@ object StreamDedup {
     */
   def politeDispatchReference(reqs: Seq[DispatchReq]): Seq[Dispatch] = {
     val nextFree = scala.collection.mutable.Map.empty[String, Long]
-    reqs.sortBy(r => (r.arrival, r.doc_id)).map { r =>
+    reqs.sortBy(r => (r.arrival, r.doc_id, r.url)).map { r =>
       if (r.host == null) Dispatch(r.doc_id, r.url, r.host, r.arrival)
       else {
         val at = math.max(r.arrival, nextFree.getOrElse(r.host, Long.MinValue))

@@ -873,6 +873,52 @@ class StreamDedupSpec extends SparkSpec {
     }
   }
 
+  test("frontierDispatchStream: discovery chained into polite dispatch == composed reference across splits") {
+    import graft.streaming.StreamDedup.{WebDoc, DispatchReq, Dispatch, FrontierCand}
+    implicit val sqlCtx = spark.sqlContext
+    def page(links: String*) =
+      s"""<html><body>${links.map(l => s"""<a href="$l">x</a>""").mkString}</body></html>"""
+    val feed = Seq(
+      // doc 1 discovers TWO slow.com targets at once: the dispatcher
+      // must space them delay apart (url tiebreak orders /a1 first)
+      WebDoc(1L, "https://slow.com/p1", page("/a1", "/a2", "https://slow.com/crawled"), 100L),
+      // doc 2 re-discovers /a1 (no new slot consumed) + a fresh host
+      WebDoc(2L, "https://hub.net/p2", page("https://slow.com/a1", "https://fast.org/z"), 200L))
+    val crawled = Seq(Tuple1("https://slow.com/crawled")).toDF("url")
+    val budgets = Seq(("slow.com", 5000L)).toDF("host", "delay_ms")
+    val cands = StreamDedup.discoverFrontierReference(
+      Seq(
+        FrontierCand("https://slow.com/a1", "slow.com", 1L, 100L),
+        FrontierCand("https://slow.com/a2", "slow.com", 1L, 100L),
+        FrontierCand("https://slow.com/crawled", "slow.com", 1L, 100L),
+        FrontierCand("https://slow.com/a1", "slow.com", 2L, 200L),
+        FrontierCand("https://fast.org/z", "fast.org", 2L, 200L)),
+      Set("https://slow.com/crawled"))
+    val want = StreamDedup.politeDispatchReference(cands.map(c =>
+        DispatchReq(c.doc_id, c.url, c.host, c.arrival,
+          if (c.host == "slow.com") 5000L else 1000L)))
+      .sortBy(_.url)
+    assert(want.map(d => d.url -> d.dispatch_ms).toMap == Map(
+      "https://slow.com/a1" -> 100L, "https://slow.com/a2" -> 5100L,
+      "https://fast.org/z" -> 200L), s"reference drifted: $want")
+    for ((split, si) <- Seq(Seq(2), Seq(1, 1)).zipWithIndex) {
+      val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[WebDoc]
+      val name = s"frontier_dispatch_out_$si"
+      val q = StreamDedup.frontierDispatchStream(in.toDS(), crawled, budgets)
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      try {
+        var rest = feed
+        split.foreach { n =>
+          val (chunk, tail) = rest.splitAt(n)
+          rest = tail
+          if (chunk.nonEmpty) { in.addData(chunk); q.processAllAvailable() }
+        }
+        val got = spark.table(name).as[Dispatch].collect().sortBy(_.url).toSeq
+        assert(got == want, s"split $si: composed loop diverged\n$got\n$want")
+      } finally q.stop()
+    }
+  }
+
   test("crawlIngestStream: governance -> ingest chained online; rejected docs consume nothing downstream") {
     import graft.streaming.StreamDedup.{WebDoc, WebIngestRow}
     implicit val sqlCtx = spark.sqlContext
