@@ -882,6 +882,35 @@ object PipelineQueries {
        |  CAST(50 + COALESCE(a.wsum, 0) // greatest(COALESCE(a.n_tok, 0), 1) AS BIGINT) AS score_milli
        | FROM documents d LEFT JOIN cagg a ON a.doc_id = d.doc_id)""".stripMargin
 
+  /** Milli-log2 twin of TextAnalysis.log2mS: 1000·⌊log2 x⌋ + linear
+    * frac, integer arithmetic only (the numerator is non-negative, so
+    * DuckDB's floor `//` equals Spark's truncating DIV here).
+    */
+  private def log2mD(x: String): String = {
+    val k = s"(length(bin($x)) - 1)"
+    val p = s"(1::BIGINT << $k)"
+    s"(($k) * 1000 + (($x) - $p) * 1000 // $p)"
+  }
+
+  /** Labeled split + per-token class counts + totals for the NB
+    * trainer queries (label = the deterministic source-length rule;
+    * train half = even doc ids); sums cast from HUGEINT so bin() gets
+    * BIGINTs.
+    */
+  private def nbTrainSqlCtes: String =
+    s"""nl AS (SELECT doc_id, text, (length(source) % 2 = 0) AS y FROM documents),
+       |ntk AS (SELECT y, unnest(${toksD("text")}) AS token FROM nl WHERE doc_id % 2 = 0),
+       |npt AS (SELECT token, CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS cnt_pos,
+       |          CAST(sum(CASE WHEN y THEN 0 ELSE 1 END) AS BIGINT) AS cnt_neg
+       |        FROM ntk GROUP BY 1),
+       |ntt AS (SELECT CAST(sum(cnt_pos) AS BIGINT) AS tp, CAST(sum(cnt_neg) AS BIGINT) AS tn,
+       |          count(*) AS v FROM npt)""".stripMargin
+
+  /** The NB weight formula over npt×ntt columns. */
+  private def nbWMilliD: String =
+    s"CAST(${log2mD("cnt_pos + 1")} - ${log2mD("cnt_neg + 1")} + " +
+      s"${log2mD("tn + v")} - ${log2mD("tp + v")} AS BIGINT)"
+
   private val exactAugSql =
     """aug AS (SELECT doc_id, text FROM documents
       | UNION ALL SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0)""".stripMargin
@@ -2636,6 +2665,36 @@ object PipelineQueries {
       TextAnalysis.classifierScore(Tables.documents(s, dir), model,
           biasMilli = 50L, keepThresholdMilli = 0L)
         .orderBy("doc_id")
+    }),
+
+    // TRAINED quality classifier — Naive Bayes log-odds learned from a
+    // labeled split (even docs; label = a deterministic source rule),
+    // the train half of the classifierScore serve path: the top-50
+    // most positively discriminative tokens with their class counts
+    "ext_nb_train" -> ((s, dir) => {
+      val lab = Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"), (length(col("source")) % 2 === 0).as("label"))
+      TextAnalysis.nbTrainWeights(lab.where(col("doc_id") % 2 === 0))
+        .orderBy(col("w_milli").desc, col("token")).limit(50)
+    }),
+
+    // the loop CLOSED: the learned table served through the SAME
+    // classifierScore the frozen-literal query uses, held-out odd docs
+    // scored, per-true-label keep counts (the synthetic sources are not
+    // lexically separable, so accuracy is honestly near chance — the
+    // gate checks the exact arithmetic, the learnability spec lives in
+    // TextAnalysisSpec with a separable fixture)
+    "ext_nb_classify" -> ((s, dir) => {
+      val lab = Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"), (length(col("source")) % 2 === 0).as("label"))
+      val w = TextAnalysis.nbTrainWeights(lab.where(col("doc_id") % 2 === 0))
+        .select("token", "w_milli")
+      TextAnalysis.classifierScore(lab.where(col("doc_id") % 2 === 1), w)
+        .join(lab.select(col("doc_id"), col("label")), "doc_id")
+        .groupBy("label").agg(
+          count(lit(1)).as("n_docs"),
+          count(when(col("keep"), 1)).as("n_kept"))
+        .orderBy("label")
     }),
 
     // priority-aware cross-dataset dedup: a 'curated' re-release of every
@@ -4889,6 +4948,33 @@ object PipelineQueries {
       s"""WITH $classifierSqlCtes
          |SELECT doc_id, n_tok, score_milli, score_milli >= 0 AS keep
          |FROM scores ORDER BY doc_id""".stripMargin,
+
+    // NB trainer replay: the same counts + milli-log2 formula (bin
+    // length + linear frac — integer-exact in both engines); sums cast
+    // back from HUGEINT before bin()
+    "ext_nb_train" ->
+      s"""WITH $nbTrainSqlCtes
+         |SELECT token, cnt_pos, cnt_neg, $nbWMilliD AS w_milli
+         |FROM npt, ntt ORDER BY w_milli DESC, token LIMIT 50""".stripMargin,
+
+    // classify replay: scores via the learned table; division mirrors
+    // Spark's DIV (truncation toward zero — DuckDB // floors, so
+    // negative sums spell the truncation explicitly)
+    "ext_nb_classify" ->
+      s"""WITH $nbTrainSqlCtes,
+         |nw AS (SELECT token, $nbWMilliD AS w_milli FROM npt, ntt),
+         |nte AS (SELECT doc_id, unnest(${toksD("text")}) AS token FROM nl WHERE doc_id % 2 = 1),
+         |nsc AS (SELECT nte.doc_id, count(*) AS n_tok,
+         |          CAST(COALESCE(sum(nw.w_milli), 0) AS BIGINT) AS ws
+         |        FROM nte LEFT JOIN nw USING (token) GROUP BY 1),
+         |nsd AS (SELECT nl.doc_id, nl.y,
+         |          CASE WHEN COALESCE(ws, 0) >= 0
+         |               THEN COALESCE(ws, 0) // greatest(COALESCE(n_tok, 0), 1)
+         |               ELSE -((-ws) // greatest(n_tok, 1)) END AS score
+         |        FROM nl LEFT JOIN nsc ON nsc.doc_id = nl.doc_id WHERE nl.doc_id % 2 = 1)
+         |SELECT y AS label, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(count(CASE WHEN score >= 0 THEN 1 END) AS BIGINT) AS n_kept
+         |FROM nsd GROUP BY y ORDER BY y""".stripMargin,
 
     "ext_dedup_priority" ->
       s"""WITH paug AS (SELECT doc_id, source, text FROM documents

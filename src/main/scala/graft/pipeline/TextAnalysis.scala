@@ -877,6 +877,61 @@ object TextAnalysis {
     * token key: the inverted-index access path), then one doc-keyed mean.
     * Two shuffles total, both map-side-partial aggregations.
     */
+  /** Milli-precision integer log2: `1000·⌊log2 x⌋` plus a linear
+    * interpolation of the fractional part — exact integer arithmetic
+    * (`bin` length + shift + one division), so the value is
+    * deterministic and cross-engine replayable where a float `log`
+    * would drift. Monotone; x must be >= 1.
+    */
+  private def log2mS(x: String): String = {
+    val k = s"(length(bin($x)) - 1)"
+    val p = s"shiftleft(1L, $k)"
+    s"(($k) * 1000L + (($x) - $p) * 1000L DIV $p)"
+  }
+
+  /** Deterministic multinomial NAIVE BAYES trainer — the TRAINED path
+    * for the model-based quality filter (the [[classifierScore]] serving
+    * form ships a frozen `(token, w_milli)` table; this is where such a
+    * table comes FROM, completing the train→freeze→serve loop the
+    * repo's other models have — KMeans centroids, PQ codebooks, BPE
+    * merges). fastText-class pipelines (CCNet's LM filter, the
+    * GPT-3/LLaMA curated-vs-crawl classifiers) train exactly this
+    * shape: label a positive class (curated) and a negative (raw
+    * crawl), learn per-token log-odds, keep docs the model scores
+    * positive.
+    *
+    * One aggregation over the token stream (per-token class occurrence
+    * counts, map-side combinable) + one broadcast of the 3-number
+    * totals row: `w(t) = log2m(cnt_pos+1) − log2m(cnt_neg+1) +
+    * log2m(tot_neg+V) − log2m(tot_pos+V)` — Laplace-smoothed
+    * multinomial log-likelihood ratio in milli-log2 units
+    * ([[log2mS]]: integer-exact, no float log). Served through
+    * [[classifierScore]], whose mean-of-weights ≥ 0 decision equals
+    * the NB sum ≥ 0 decision (equal-prior form; fold a prior into its
+    * `biasMilli` if classes are imbalanced). NULL labels drop.
+    * Output: (token, cnt_pos, cnt_neg, w_milli).
+    */
+  def nbTrainWeights(
+      docs: DataFrame,
+      labelCol: String = "label",
+      textCol: String = "text"): DataFrame = {
+    val toks = docs
+      .where(col(labelCol).isNotNull)
+      .select(col(labelCol).cast("boolean").as("__y"),
+        explode(expr(toksS(textCol))).as("token"))
+    val perTok = toks.groupBy("token").agg(
+      sum(when(col("__y"), 1L).otherwise(0L)).as("cnt_pos"),
+      sum(when(!col("__y"), 1L).otherwise(0L)).as("cnt_neg"))
+    val tots = perTok.agg(
+      sum("cnt_pos").as("__tp"), sum("cnt_neg").as("__tn"),
+      count(lit(1)).as("__v"))
+    perTok.crossJoin(broadcast(tots))
+      .withColumn("w_milli", expr(
+        s"${log2mS("cnt_pos + 1L")} - ${log2mS("cnt_neg + 1L")} + " +
+          s"${log2mS("__tn + __v")} - ${log2mS("__tp + __v")}"))
+      .select("token", "cnt_pos", "cnt_neg", "w_milli")
+  }
+
   def surprisalStats(
       docs: DataFrame,
       idCol: String = "doc_id",

@@ -791,6 +791,36 @@ class PipelineOpsSpec extends SparkSpec {
 
   // ------------------------------------------------- classifier inference
 
+  test("nbTrainWeights: learns a separable corpus, serves through classifierScore at 100%; log-odds signs and counts exact") {
+    import spark.implicits._
+    // lexically separable fixture: quality prose vs spam boilerplate
+    val good = Seq("insightful analysis of the data", "careful analysis with real data",
+      "the data shows a careful result", "insightful result from real analysis")
+    val spam = Seq("click here buy now cheap", "cheap pills buy now click",
+      "now click here for cheap pills", "buy cheap pills here now")
+    val train = (good.map((_, true)) ++ spam.map((_, false))).zipWithIndex
+      .map { case ((t, y), i) => (i.toLong, t, y) }.toDF("doc_id", "text", "label")
+    val w = TextAnalysis.nbTrainWeights(train)
+    val wm = w.collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    // class-exclusive tokens get opposite-sign log-odds; counts are exact
+    assert(wm("analysis") > 0 && wm("cheap") < 0, s"signs wrong: $wm")
+    val counts = w.collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(counts("analysis") == ((3L, 0L)) && counts("cheap") == ((0L, 4L)), counts.toString)
+    // held-out variants classify perfectly through the serving form
+    val test = Seq(
+      (100L, "a careful analysis of data", true),
+      (101L, "real insightful data result", true),
+      (102L, "buy pills now", false),
+      (103L, "click for cheap", false)).toDF("doc_id", "text", "label")
+    val got = TextAnalysis.classifierScore(test, w.select("token", "w_milli"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(got == Map(100L -> true, 101L -> true, 102L -> false, 103L -> false), got.toString)
+    // determinism across partitioning (integer log2 — no float sums)
+    val w7 = TextAnalysis.nbTrainWeights(train.repartition(7))
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(w7 == wm, "training must be partition-shape independent")
+  }
+
   test("classifierScore: mean token weight + bias; truncation toward zero; zero-token doc scores bias") {
     val model = Seq(("good", 300L), ("bad", -500L)).toDF("token", "w_milli")
     val docs = Seq(
