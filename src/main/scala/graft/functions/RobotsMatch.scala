@@ -21,34 +21,45 @@ import org.apache.spark.unsafe.types.UTF8String
   * byte-identical decisions on wildcard-free rules.
   */
 object RobotsMatchKernel {
-  /** Classic two-pointer wildcard match of `p` (with `*`) against ALL
-    * of `s` — linear with backtracking to the last star.
+  private final val STAR: Byte = '*'
+  private final val DOLLAR: Byte = '$'
+
+  /** Classic two-pointer wildcard match of `p[0, pLen)` (with `*`)
+    * against ALL of `s` — linear with backtracking to the last star.
+    * Byte-level over the raw UTF-8 (matching is octet equality per
+    * RFC 9309, and the two specials are ASCII, so no decode is
+    * needed): zero allocation on the per-(target × rule) hot path.
+    * `trailingStar` appends a virtual `*` (the unanchored-prefix
+    * reduction) without building a new pattern.
     */
-  private def wildcardFull(s: String, p: String): Boolean = {
+  private def wildcardFull(
+      s: UTF8String, p: UTF8String, pLen: Int, trailingStar: Boolean): Boolean = {
+    val sLen = s.numBytes
+    val vLen = if (trailingStar) pLen + 1 else pLen
+    @inline def pat(j: Int): Byte = if (j < pLen) p.getByte(j) else STAR
     var i = 0
     var j = 0
     var star = -1
     var mark = 0
-    while (i < s.length) {
-      if (j < p.length && p.charAt(j) != '*' && p.charAt(j) == s.charAt(i)) {
+    while (i < sLen) {
+      if (j < vLen && pat(j) != STAR && pat(j) == s.getByte(i)) {
         i += 1; j += 1
-      } else if (j < p.length && p.charAt(j) == '*') {
+      } else if (j < vLen && pat(j) == STAR) {
         star = j; mark = i; j += 1
       } else if (star != -1) {
         j = star + 1; mark += 1; i = mark
       } else return false
     }
-    while (j < p.length && p.charAt(j) == '*') j += 1
-    j == p.length
+    while (j < vLen && pat(j) == STAR) j += 1
+    j == vLen
   }
 
   /** True iff robots rule `pattern` matches request target `path`. */
   def matches(path: UTF8String, pattern: UTF8String): Boolean = {
-    val p = pattern.toString
-    val s = path.toString
-    if (p.nonEmpty && p.charAt(p.length - 1) == '$')
-      wildcardFull(s, p.substring(0, p.length - 1))
-    else wildcardFull(s, p + "*")
+    val n = pattern.numBytes
+    if (n > 0 && pattern.getByte(n - 1) == DOLLAR)
+      wildcardFull(path, pattern, n - 1, trailingStar = false)
+    else wildcardFull(path, pattern, n, trailingStar = true)
   }
 }
 

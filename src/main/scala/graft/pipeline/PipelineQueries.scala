@@ -2683,7 +2683,7 @@ object PipelineQueries {
     // scored, per-true-label keep counts (the synthetic sources are not
     // lexically separable, so accuracy is honestly near chance — the
     // gate checks the exact arithmetic, the learnability spec lives in
-    // TextAnalysisSpec with a separable fixture)
+    // PipelineOpsSpec with a separable fixture)
     "ext_nb_classify" -> ((s, dir) => {
       val lab = Tables.documents(s, dir)
         .select(col("doc_id"), col("text"), (length(col("source")) % 2 === 0).as("label"))
