@@ -19,6 +19,16 @@ import org.apache.spark.unsafe.types.UTF8String
   * matches the entire target. A pattern without specials therefore
   * degrades to exactly the `startswith` the prefix-only matcher used —
   * byte-identical decisions on wildcard-free rules.
+  *
+  * Scope note: matching is RAW-octet equality. RFC 9309 §2.2.2 also
+  * asks that percent-encoded octets compare DECODED (except `%2F`);
+  * this matcher deliberately does not decode — both sides of this
+  * pipeline's comparisons flow through [[graft.pipeline.UrlOps]]'
+  * canonicalization, which preserves percent-encodings as-is, so rule
+  * and target meet in one consistent (undecoded) space. A rule
+  * percent-encoded differently from the crawl's URL spelling would
+  * need a normalization pass on the RULES table — a documented
+  * approximation, not a silent one.
   */
 object RobotsMatchKernel {
   private final val STAR: Byte = '*'

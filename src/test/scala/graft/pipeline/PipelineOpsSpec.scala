@@ -821,6 +821,26 @@ class PipelineOpsSpec extends SparkSpec {
     assert(w7 == wm, "training must be partition-shape independent")
   }
 
+  test("nbTrainWeights feeds the STREAMING-SAFE inline scorer: train once, serve online, scores identical") {
+    import spark.implicits._
+    val train = Seq(
+      (1L, "good clean prose with analysis", true),
+      (2L, "more clean analysis and prose", true),
+      (3L, "spam click bait now", false),
+      (4L, "bait click spam offer", false)).toDF("doc_id", "text", "label")
+    val wMap = TextAnalysis.nbTrainWeights(train)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    val test = Seq((10L, "clean analysis text"), (11L, "click spam here")).toDF("doc_id", "text")
+    val batch = TextAnalysis.classifierScore(test,
+        wMap.toSeq.toDF("token", "w_milli"))
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getBoolean(3))).toSet
+    val inline = TextAnalysis.classifierScoreInline(test, wMap)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getBoolean(3))).toSet
+    assert(batch == inline, s"trained model must serve identically through the inline form\n$batch\n$inline")
+    assert(inline.exists { case (id, _, keep) => id == 10L && keep } &&
+      inline.exists { case (id, _, keep) => id == 11L && !keep }, inline.toString)
+  }
+
   test("classifierScore: mean token weight + bias; truncation toward zero; zero-token doc scores bias") {
     val model = Seq(("good", 300L), ("bad", -500L)).toDF("token", "w_milli")
     val docs = Seq(
