@@ -482,4 +482,38 @@ class PlanAssertionsSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"),
       s"the store side must not sort-merge:\n${plan.take(2000)}")
   }
+
+  test("ext_fetch_schedule: the model-sized delay table broadcasts; one window sequences the frontier") {
+    val plan = planOf("ext_fetch_schedule")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the crawl-delay table must broadcast:\n${plan.take(2000)}")
+    assert(!plan.contains("SortMergeJoin"),
+      s"the frontier must not shuffle against the delay table:\n${plan.take(2000)}")
+  }
+
+  test("ext_robots_wildcard: the pattern matcher is the native kernel, no regex in the decision plan") {
+    val plan = planOf("ext_robots_wildcard")
+    assert(plan.contains("robots_match"), s"native robots_match missing:\n${plan.take(2000)}")
+    assert(!plan.contains("RLike") && !plan.contains("rlike"),
+      s"a regex crept into the decision path:\n${plan.take(2000)}")
+  }
+
+  test("ext_nb_train: one token aggregate + the broadcast totals row — no extra corpus shuffles") {
+    val plan = planOf("ext_nb_train")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"the 3-number totals row must broadcast:\n${plan.take(2000)}")
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(hashExchanges <= 2,
+      s"training must shuffle on the token key only (+ at most the totals agg); got $hashExchanges:\n${plan.take(2000)}")
+  }
+
+  test("ext_distinct_kmv: the sketch is partial-aggregated map-side (one exchange on the group key)") {
+    val plan = planOf("ext_distinct_kmv")
+    assert(plan.contains("kmv_distinct"), s"native aggregate missing:\n${plan.take(2000)}")
+    // the sketch must appear in a PARTIAL aggregation node (map-side
+    // combine) — an ObjectHashAggregate/SortAggregate with partial mode
+    // below the exchange
+    val partialIdx = plan.indexOf("partial_kmv_distinct")
+    assert(partialIdx >= 0, s"no map-side partial sketch:\n${plan.take(3000)}")
+  }
 }
