@@ -1402,6 +1402,22 @@ object PipelineQueries {
       UrlOps.domainStats(urlAug(Tables.documents(s, dir))).orderBy("domain")
     }),
 
+    // per-domain DISTINCT page counts, exact vs KMV-sketched — the two
+    // new families joined: the count-distinct scale path applied to the
+    // web data card (k=16 so BOTH arms fire at gate SF: small domains
+    // hit the exact-below-k equivalence, large ones the estimator)
+    "ext_domain_distinct" -> ((s, dir) => {
+      urlAug(Tables.documents(s, dir))
+        .select(UrlOps.registrableDomain(col("url")).as("domain"),
+          UrlOps.canonicalUrl(col("url")).as("cu"))
+        .where(col("cu").isNotNull)
+        .withColumn("hv", expr("cast(conv(substring(md5(cu), 1, 15), 16, 10) as bigint)"))
+        .groupBy("domain")
+        .agg(countDistinct(col("hv")).as("n_exact"),
+          graft.functions.KmvDistinct.of(col("hv"), 16).as("n_kmv"))
+        .orderBy(asc_nulls_first("domain"))
+    }),
+
     // hyperlink domain graph: scan-side href extraction from the page
     // markup → RFC 3986 base-URL resolution (protocol-relative links are
     // the non-absolute class that creates cross-domain edges) →
@@ -3269,6 +3285,22 @@ object PipelineQueries {
          |SELECT doc_id, domain, CAST(rank AS BIGINT) AS rank,
          |  (domain IS NULL OR rank <= 20) AS kept
          |FROM r ORDER BY doc_id""".stripMargin,
+
+    "ext_domain_distinct" ->
+      s"""WITH $urlAugSql,
+         |ddh AS (SELECT ${UrlOps.registrableDomainD("url")} AS domain,
+         |          ${UrlOps.canonicalUrlD("url")} AS cu FROM ua),
+         |ddp AS (SELECT domain, CAST('0x' || substr(md5(cu), 1, 15) AS BIGINT) AS hv
+         |        FROM ddh WHERE cu IS NOT NULL),
+         |ddd AS (SELECT DISTINCT domain, hv FROM ddp),
+         |ddr AS (SELECT domain, hv, row_number() OVER (PARTITION BY domain ORDER BY hv) AS rk FROM ddd),
+         |dda AS (SELECT domain, count(*) AS n_exact,
+         |          max(CASE WHEN rk = 16 THEN hv END) AS u16 FROM ddr GROUP BY domain)
+         |SELECT domain, CAST(n_exact AS BIGINT) AS n_exact,
+         |  CAST(CASE WHEN n_exact < 16 THEN n_exact
+         |       ELSE LEAST(CAST(15 AS HUGEINT) * 1152921504606846976 // greatest(u16, 1),
+         |                  CAST(1152921504606846976 AS HUGEINT)) END AS BIGINT) AS n_kmv
+         |FROM dda ORDER BY domain NULLS FIRST""".stripMargin,
 
     "ext_domain_stats" ->
       s"""WITH $urlAugSql,
