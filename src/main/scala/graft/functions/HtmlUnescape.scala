@@ -72,9 +72,15 @@ object HtmlUnescapeKernel {
       var hex = false
       if (i < n && (str.charAt(i) == 'x' || str.charAt(i) == 'X')) { hex = true; i += 1 }
       val d0 = i
+      // leading zeros are valid spellings of any codepoint (`&#000047;`
+      // decodes like `&#47;`) — skip them before bounding the SIGNIFICANT
+      // digit count, so the length guard rejects only values that are
+      // genuinely out of codepoint range
+      while (i < n && str.charAt(i) == '0') i += 1
+      val dSig = i
       var cp = 0L
       while (i < n && digitVal(str.charAt(i), hex) >= 0) {
-        if (i - d0 >= 9) return at // longer than any valid codepoint spelling
+        if (i - dSig >= 9) return at // longer than any valid codepoint spelling
         cp = cp * (if (hex) 16L else 10L) + digitVal(str.charAt(i), hex)
         i += 1
       }

@@ -134,4 +134,20 @@ object KmvDistinct {
   def of(hashCol: Column, k: Int = 256): Column =
     GraftSqlBridge.column(
       KmvDistinct(GraftSqlBridge.expression(hashCol), k).toAggregateExpression())
+
+  /** The repo's shared md5-derived 60-bit hash of a string column —
+    * uniform in `[0, 2^60)`, DuckDB twin
+    * `CAST('0x' || substr(md5(x), 1, 15) AS BIGINT)`. The ONE spelling
+    * every KMV call site shares (a site that also wants the exact
+    * `count(DISTINCT)` arm names this once and feeds both aggregates).
+    */
+  def hash60(c: Column): Column = {
+    import org.apache.spark.sql.functions.{conv, md5, substring}
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+  }
+
+  /** KMV distinct estimate over a raw STRING column — [[hash60]]
+    * composed into [[of]], for sites that need no exact twin column.
+    */
+  def ofString(c: Column, k: Int = 256): Column = of(hash60(c), k)
 }

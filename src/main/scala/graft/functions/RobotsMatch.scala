@@ -20,25 +20,31 @@ import org.apache.spark.unsafe.types.UTF8String
   * degrades to exactly the `startswith` the prefix-only matcher used —
   * byte-identical decisions on wildcard-free rules.
   *
-  * Scope note: matching is RAW-octet equality. RFC 9309 §2.2.2 also
-  * asks that percent-encoded octets compare DECODED (except `%2F`);
-  * this matcher deliberately does not decode — both sides of this
-  * pipeline's comparisons flow through [[graft.pipeline.UrlOps]]'
-  * canonicalization, which preserves percent-encodings as-is, so rule
-  * and target meet in one consistent (undecoded) space. A rule
-  * percent-encoded differently from the crawl's URL spelling would
-  * need a normalization pass on the RULES table — a documented
-  * approximation, not a silent one.
+  * Scope note: matching is octet equality over PRE-NORMALIZED inputs.
+  * RFC 9309 §2.2.2 asks that percent-encoded octets compare DECODED
+  * (except `%2F`); this matcher does not decode — both sides flow
+  * through [[RobotsPctNormKernel]] first (rules at parse time in
+  * [[graft.pipeline.Robots.parseGroups]], targets scan-side via
+  * [[RobotsPctNorm]] in the decision projections), so divergent
+  * percent-spellings of one octet sequence meet in the shared decoded
+  * space before this kernel runs.
   */
 object RobotsMatchKernel {
   private final val STAR: Byte = '*'
   private final val DOLLAR: Byte = '$'
 
   /** Classic two-pointer wildcard match of `p[0, pLen)` (with `*`)
-    * against ALL of `s` — linear with backtracking to the last star.
-    * Byte-level over the raw UTF-8 (matching is octet equality per
-    * RFC 9309, and the two specials are ASCII, so no decode is
-    * needed): zero allocation on the per-(target × rule) hot path.
+    * against ALL of `s` — greedy with backtracking to the last star:
+    * linear on wildcard-free and single-star patterns, but
+    * O(|s| · |p|) WORST CASE on adversarial multi-star patterns
+    * (a rule of repeated `*a`). robots.txt is adversary-controlled input evaluated
+    * per (target × rule) on the decision hot path, so per-row work is
+    * bounded upstream: [[graft.pipeline.Robots.parseGroups]] drops
+    * rule values longer than its documented cap at parse time (the
+    * Google-parser discipline of bounding rule length), which bounds
+    * |p| and with it the quadratic term. Byte-level over the raw UTF-8
+    * (matching is octet equality per RFC 9309, and the two specials
+    * are ASCII, so no decode is needed): zero allocation.
     * `trailingStar` appends a virtual `*` (the unanchored-prefix
     * reduction) without building a new pattern.
     */
@@ -71,6 +77,97 @@ object RobotsMatchKernel {
       wildcardFull(path, pattern, n - 1, trailingStar = false)
     else wildcardFull(path, pattern, n, trailingStar = true)
   }
+}
+
+/** RFC 9309 §2.2.2 percent-encoding normalization — the shared
+  * comparison space for rule patterns and request targets: the RFC asks
+  * that percent-encoded octets compare DECODED, except `%2F` (an
+  * encoded slash is NOT the path separator and must stay distinct).
+  * Both sides of the robots decision flow through this ONE kernel —
+  * rules at parse time ([[graft.pipeline.Robots.parseGroups]]), targets
+  * scan-side ([[RobotsPctNorm]]) — so a rule spelled `/caf%C3%A9`
+  * matches a raw-UTF-8 crawl of the same path and vice versa.
+  *
+  *  - `%2F` is KEPT, canonicalized to uppercase hex (`%2f` → `%2F`),
+  *    so divergent spellings of the kept escape still meet;
+  *  - `%2A` and `%24` are kept the same way: decoding them would MINT
+  *    the `*`/`$` pattern specials out of literal octets — on the rules
+  *    side that changes semantics, and the target side keeps them so
+  *    the two sides stay in ONE space (a documented conservative
+  *    divergence: a rule's literal `%2A` octet will not match a target
+  *    carrying a raw `*`);
+  *  - every other valid `%HH` decodes to its raw octet (matching is
+  *    octet equality — the decoded bytes need not be valid UTF-8);
+  *  - a malformed escape (`%` not followed by two hex digits) passes
+  *    through verbatim.
+  *
+  * Percent-free input (the overwhelming majority) returns the input
+  * as-is after one byte scan — the [[HtmlUnescapeKernel]] zero-copy
+  * fast-path discipline.
+  */
+object RobotsPctNormKernel {
+  private final val PCT: Byte = '%'
+
+  @inline private def hexVal(b: Byte): Int =
+    if (b >= '0' && b <= '9') b - '0'
+    else if (b >= 'a' && b <= 'f') b - 'a' + 10
+    else if (b >= 'A' && b <= 'F') b - 'A' + 10
+    else -1
+
+  def normalize(s: UTF8String): UTF8String = {
+    val n = s.numBytes
+    var i = 0
+    var hasPct = false
+    while (i < n && !hasPct) { if (s.getByte(i) == PCT) hasPct = true; i += 1 }
+    if (!hasPct) return s
+    val out = new Array[Byte](n)
+    var o = 0
+    i = 0
+    while (i < n) {
+      val b = s.getByte(i)
+      if (b == PCT && i + 2 < n && hexVal(s.getByte(i + 1)) >= 0 &&
+          hexVal(s.getByte(i + 2)) >= 0) {
+        val v = hexVal(s.getByte(i + 1)) * 16 + hexVal(s.getByte(i + 2))
+        if (v == '/' || v == '*' || v == '$') {
+          out(o) = PCT
+          out(o + 1) = java.lang.Character.toUpperCase(s.getByte(i + 1).toChar).toByte
+          out(o + 2) = java.lang.Character.toUpperCase(s.getByte(i + 2).toChar).toByte
+          o += 3
+        } else { out(o) = v.toByte; o += 1 }
+        i += 3
+      } else { out(o) = b; o += 1; i += 1 }
+    }
+    UTF8String.fromBytes(java.util.Arrays.copyOf(out, o))
+  }
+
+  /** Plain-String face for the parse-time (rules-side) call. */
+  def normalize(s: String): String =
+    normalize(UTF8String.fromString(s)).toString
+}
+
+/** Native `robots_pct_normalize(string)` Catalyst expression — the
+  * target-side face of [[RobotsPctNormKernel]]. NULL in, NULL out.
+  */
+case class RobotsPctNorm(child: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.StringType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "robots_pct_normalize"
+
+  override def nullSafeEval(s: Any): Any =
+    RobotsPctNormKernel.normalize(s.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.RobotsPctNormKernel.normalize($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object RobotsPctNorm {
+  def of(c: Column): Column =
+    GraftSqlBridge.column(RobotsPctNorm(GraftSqlBridge.expression(c)))
 }
 
 /** `robots_match(path, pattern)` as a codegen'd expression (the

@@ -332,6 +332,105 @@ object PipelineQueries {
             .otherwise(concat(lit("/p/"), d)))).as("url"))
   }
 
+  /** Sitemap XML bodies for the [[siteHost]] universe — the fetch-store
+    * table [[graft.pipeline.Sitemaps.sitemapPageUrls]] expands: hosts
+    * i%4==0 serve a SITEMAPINDEX at /sitemap.xml (one same-host child +
+    * one cross-host child that must drop); others a URLSET with a page
+    * (+lastmod), an entity-encoded query page, a cross-host page
+    * (drops), and a RELATIVE loc (resolves against the sitemap's own
+    * URL). The i%8==0 subset's child is ITSELF an index (the depth
+    * bound drops its grandchildren, staged in /sitemap-b.xml); i%8==4
+    * children are urlsets (/deep pages). i%3==0 hosts serve the
+    * robots-declared news sitemap, which RE-LISTS the /s/p page with a
+    * later lastmod (the max-lastmod election). Every host also serves
+    * an UNDECLARED /sitemap-rogue.xml that must never surface.
+    */
+  private def sitemapBodyTable(s: SparkSession): DataFrame = {
+    val i = col("id")
+    val h = siteHost(i)
+    def u(tail: Column) = concat(lit("https://"), h, tail)
+    def smUrl(name: String) = u(lit(s"/$name")).as("sitemap_url")
+    val xmlHead = "<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n"
+    val main = when(i % 4 === 0,
+      concat(lit(xmlHead + "<SiteMapIndex xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">\n<sitemap><loc>"),
+        u(lit("/sitemap-a.xml")),
+        lit("</loc><lastmod>2024-01-15</lastmod></sitemap>\n<sitemap><loc>https://"),
+        siteHost((i + 7) % 40),
+        lit("/sitemap-x.xml</loc></sitemap>\n</SiteMapIndex>")))
+      .otherwise(concat(
+        lit(xmlHead + "<urlset xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">\n<url><loc> "),
+        u(concat(lit("/s/p"), i)),
+        lit(" </loc><lastmod>2024-02-01</lastmod></url>\n<url><loc>"),
+        u(lit("/q?a=1&amp;b=2")),
+        lit("</loc></url>\n<url><loc>https://"),
+        siteHost((i + 7) % 40),
+        lit("/x</loc></url>\n<url><loc>/rel/x</loc></url>\n<url><lastmod>2024-09-09</lastmod></url>\n</urlset>")))
+    val childA = when(i % 8 === 0,
+      concat(lit(xmlHead + "<sitemapindex><sitemap><loc>"),
+        u(lit("/sitemap-b.xml")), lit("</loc></sitemap></sitemapindex>")))
+      .otherwise(concat(lit(xmlHead + "<urlset>\n<url><loc>"),
+        u(lit("/deep/1")),
+        lit("</loc><lastmod>2024-03-03</lastmod></url>\n<url><loc>"),
+        u(lit("/deep/2")), lit("</loc></url>\n</urlset>")))
+    val news = concat(lit(xmlHead + "<urlset><url><loc>"),
+      u(concat(lit("/news/"), i)), lit("</loc></url>\n<url><loc>"),
+      u(concat(lit("/s/p"), i)),
+      lit("</loc><lastmod>2024-05-01</lastmod></url></urlset>"))
+    val base = s.range(40)
+    base.select(h.as("host"), smUrl("sitemap.xml"), main.as("body"))
+      .unionByName(base.where(i % 4 === 0)
+        .select(h.as("host"), smUrl("sitemap-a.xml"), childA.as("body")))
+      .unionByName(base.where(i % 8 === 0)
+        .select(h.as("host"), smUrl("sitemap-b.xml"),
+          concat(lit(xmlHead + "<urlset><url><loc>"), u(lit("/never/1")),
+            lit("</loc></url></urlset>")).as("body")))
+      .unionByName(base.where(i % 3 === 0)
+        .select(h.as("host"), smUrl("sitemap-news.xml"), news.as("body")))
+      .unionByName(base
+        .select(h.as("host"), smUrl("sitemap-rogue.xml"),
+          concat(lit(xmlHead + "<urlset><url><loc>"), u(lit("/rogue")),
+            lit("</loc></url></urlset>")).as("body")))
+  }
+
+  /** Robots bodies exercising RFC 9309 §2.2.2 percent-encoding
+    * normalization: rules spelled with uppercase hex, lowercase hex, a
+    * kept `%2F` escape (encoded slash stays distinct from the path
+    * separator), and a decodable `%20` — all hosts share one body, the
+    * DOC paths vary spelling.
+    */
+  private def robotsPctTable(s: SparkSession): DataFrame = {
+    val i = col("id")
+    s.range(40).select(
+      siteHost(i).as("host"),
+      when(i % 10 === 5, lit(null).cast("string")).otherwise(lit(
+        "User-agent: *\nDisallow: /caf%C3%A9\nAllow: /caf%c3%a9/pub\n" +
+          "Disallow: /a%2fb\nDisallow: /sp%20ace\n"))
+        .as("robots_txt"))
+  }
+
+  /** Docs whose path spellings hit every §2.2.2 normalization class:
+    * 0 = RAW UTF-8 target vs the percent-encoded rule (denied, octet
+    * len 6 — char length would say 5, so the octet rank is under test
+    * too), 1 = encoded target, the longer lowercase-hex Allow wins
+    * (10 beats 6), 2 = lowercase-hex target (denied 6), 3 = `%2F`
+    * target meets the `%2f` rule uppercase-canonical (denied 6), 4 =
+    * LITERAL slash must NOT match the encoded-slash rule (allowed),
+    * 5 = `%20` decodes to the space the rule also decodes to (denied
+    * 7); d%13 keeps the unparseable-provenance arm.
+    */
+  private def pctAug(docs: DataFrame): DataFrame = {
+    val d = col("doc_id")
+    docs.select(d,
+      when(d % 13 === 0, lit("mailto:someone@example.com"))
+        .otherwise(concat(lit("https://"), siteHost(d % 40),
+          when(d % 6 === 0, concat(lit("/caf\u00e9/x"), d))
+            .when(d % 6 === 1, concat(lit("/caf%C3%A9/pub/"), d))
+            .when(d % 6 === 2, concat(lit("/caf%c3%a9/z"), d))
+            .when(d % 6 === 3, concat(lit("/a%2Fb/"), d))
+            .when(d % 6 === 4, concat(lit("/a/b/"), d))
+            .otherwise(concat(lit("/sp%20ace/"), d)))).as("url"))
+  }
+
   /** The POLICY HISTORY fixture: two observed versions per site — the
     * first at ts 100 with today's arm classes, the second at ts 1000
     * with the classes SHIFTED (arm (i+1)%3, NULL body at (i+1)%10 == 5)
@@ -368,6 +467,26 @@ object PipelineQueries {
     s"(CASE WHEN ($i) % 11 = 0 THEN 'site' || ($i) || '.co.uk' " +
       s"WHEN ($i) % 7 = 0 THEN 'site' || ($i) || '.github.io' " +
       s"ELSE 'site' || ($i) || '.com' END)"
+
+  /** Closed-form page set of [[sitemapBodyTable]] under the declared-
+    * seed expansion — (host, url, lastmod) per policy'd host: the /s/p
+    * page (listed by the main urlset when i%4<>0, RE-listed by the news
+    * sitemap with the later lastmod when i%3=0 — the max election), the
+    * entity-decoded query page, the resolved relative loc, the depth-1
+    * child's /deep pages (i%8=4 — the i%8=0 chain dies at the depth
+    * bound), and the news page. Shared by ext_sitemap_urls and the
+    * frontier twin (drift-proofing). Operator lines trail.
+    */
+  private def sitemapPagesSqlD: String =
+    s"smh AS (SELECT i, ${siteHostD("i")} AS host FROM range(40) t(i) WHERE i % 10 <> 5), " +
+      "smp AS (SELECT host, 'https://' || host || '/s/p' || i AS url, " +
+      "CASE WHEN i % 3 = 0 THEN '2024-05-01' ELSE '2024-02-01' END AS lastmod " +
+      "FROM smh WHERE i % 4 <> 0 OR i % 3 = 0 " +
+      "UNION ALL SELECT host, 'https://' || host || '/q?a=1&b=2', NULL FROM smh WHERE i % 4 <> 0 " +
+      "UNION ALL SELECT host, 'https://' || host || '/rel/x', NULL FROM smh WHERE i % 4 <> 0 " +
+      "UNION ALL SELECT host, 'https://' || host || '/deep/1', '2024-03-03' FROM smh WHERE i % 8 = 4 " +
+      "UNION ALL SELECT host, 'https://' || host || '/deep/2', NULL FROM smh WHERE i % 8 = 4 " +
+      "UNION ALL SELECT host, 'https://' || host || '/news/' || i, NULL FROM smh WHERE i % 3 = 0)"
 
   /** The robots-decision CTE chain shared by ext_robots_filter and the
     * composed crawl-policy oracle: each site's *-group rules emitted
@@ -1411,7 +1530,7 @@ object PipelineQueries {
         .select(UrlOps.registrableDomain(col("url")).as("domain"),
           UrlOps.canonicalUrl(col("url")).as("cu"))
         .where(col("cu").isNotNull)
-        .withColumn("hv", expr("cast(conv(substring(md5(cu), 1, 15), 16, 10) as bigint)"))
+        .withColumn("hv", graft.functions.KmvDistinct.hash60(col("cu")))
         .groupBy("domain")
         .agg(countDistinct(col("hv")).as("n_exact"),
           graft.functions.KmvDistinct.of(col("hv"), 16).as("n_kmv"))
@@ -1533,11 +1652,36 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // RFC 9309 §2.2.2 percent-encoding conformance: rules and targets
+    // spelled with DIVERGENT percent-encodings of one octet sequence
+    // must meet (decoded comparison space, uppercase-canonical %2F kept
+    // distinct from the literal slash) — the oracle emits every
+    // decision closed-form by spelling class, so the normalization
+    // kernel, the octet-length precedence rank, and the kept-escape
+    // semantics all hash-mismatch if wrong
+    "ext_robots_pct" -> ((s, dir) => {
+      Robots.robotsAllowed(pctAug(Tables.documents(s, dir)),
+          Robots.robotsRules(robotsPctTable(s)))
+        .orderBy("doc_id")
+    }),
+
     // sitemap harvest: the frontier-seeding URLs each host declares in
     // its robots.txt — host-wide (NOT group-scoped: one fixture line
     // sits inside an agent run and must not close it), file order kept
     "ext_sitemaps" -> ((s, dir) => {
       Robots.sitemapUrls(robotsTable(s)).orderBy("host", "pos")
+    }),
+
+    // sitemap XML BODIES parsed into page URLs: robots-declared seeds →
+    // one bounded index hop → entity-decoded/resolved/canonicalized
+    // locs, same-host rule, max-lastmod election across re-listings —
+    // the discovery channel a real frontier is mostly built from; the
+    // oracle emits the reachable page set closed-form, so the parser,
+    // the depth bound, the undeclared-file exclusion, and the election
+    // all hash-mismatch if wrong
+    "ext_sitemap_urls" -> ((s, dir) => {
+      Sitemaps.sitemapPageUrls(robotsTable(s), sitemapBodyTable(s))
+        .orderBy("host", "url")
     }),
 
     // politeness FETCH SCHEDULE: each host's sitemap-declared frontier
@@ -1553,17 +1697,19 @@ object PipelineQueries {
     }),
 
     // the FULL frontier composition: link discovery (extract → RFC 3986
-    // resolve → canonicalize) ∪ sitemap harvest, minus already-crawled
-    // pages (left anti on the canonical key), scheduled per host under
-    // declared Crawl-delays — discovery to dispatchable work in one plan
+    // resolve → canonicalize) ∪ sitemap-listed PAGE URLs (the bodies
+    // parsed and expanded, not the index files themselves), minus
+    // already-crawled pages (left anti on the canonical key), scheduled
+    // per host under declared Crawl-delays — discovery to dispatchable
+    // work in one plan
     "ext_frontier" -> ((s, dir) => {
       val la = linkAug(Tables.documents(s, dir))
       val discovered = LinkGraph.resolveLinks(
           LinkGraph.extractLinks(la, keepCols = Seq("url")))
         .select(UrlOps.canonicalUrl(col("href")).as("url"))
         .where(col("url").isNotNull)
-        .unionByName(Robots.sitemapUrls(robotsTable(s))
-          .select(UrlOps.canonicalUrl(col("sitemap_url")).as("url")))
+        .unionByName(Sitemaps.sitemapPageUrls(robotsTable(s), sitemapBodyTable(s))
+          .select(col("url")))
         .distinct()
       val crawled = la.select(UrlOps.canonicalUrl(col("url")).as("url"))
         .where(col("url").isNotNull).distinct()
@@ -2336,7 +2482,7 @@ object PipelineQueries {
     "ext_distinct_kmv" -> ((s, dir) => {
       Tables.documents(s, dir)
         .select(col("source"),
-          expr("cast(conv(substring(md5(text), 1, 15), 16, 10) as bigint)").as("hv"))
+          graft.functions.KmvDistinct.hash60(col("text")).as("hv"))
         .groupBy("source")
         .agg(
           countDistinct(col("hv")).as("n_exact"),
@@ -3383,6 +3529,27 @@ object PipelineQueries {
          |       ELSE -1 END AS BIGINT) AS rule_len
          |FROM wd ORDER BY doc_id""".stripMargin,
 
+    // percent-encoding decisions, closed-form by spelling class: 0/2 =
+    // raw-vs-encoded and case-divergent hex meet in the decoded space
+    // (denied, OCTET len 6 — char length would rank 5), 1 = the longer
+    // lowercase-hex Allow wins (10), 3 = %2F kept-escape meets its
+    // lowercase rule spelling (denied 6), 4 = a literal slash never
+    // matches the encoded-slash rule (allowed), 5 = %20 decodes on both
+    // sides (denied 7); NULL-host and NULL-body hosts allow
+    "ext_robots_pct" ->
+      s"""WITH pd AS (SELECT doc_id,
+         |  CASE WHEN doc_id % 13 = 0 THEN NULL ELSE ${siteHostD("doc_id % 40")} END AS host
+         |  FROM documents)
+         |SELECT doc_id, host,
+         |  CASE WHEN host IS NULL OR (doc_id % 40) % 10 = 5 THEN true
+         |       WHEN doc_id % 6 IN (0, 2, 3, 5) THEN false ELSE true END AS allowed,
+         |  CAST(CASE WHEN host IS NULL OR (doc_id % 40) % 10 = 5 THEN -1
+         |       WHEN doc_id % 6 IN (0, 2, 3) THEN 6
+         |       WHEN doc_id % 6 = 1 THEN 10
+         |       WHEN doc_id % 6 = 5 THEN 7
+         |       ELSE -1 END AS BIGINT) AS rule_len
+         |FROM pd ORDER BY doc_id""".stripMargin,
+
     // sitemaps: every policy'd host declares /sitemap.xml first; arm-0
     // sites add /sitemap-news.xml (declared INSIDE the *-group's agent
     // run — a parser that closes the run on it loses the group's rules
@@ -3398,6 +3565,14 @@ object PipelineQueries {
          |    'https://' || ${siteHostD("i")} || '/sitemap-news.xml', 2
          |  FROM range(40) t(i) WHERE i % 10 <> 5 AND i % 3 = 0)
          |ORDER BY host, pos""".stripMargin,
+
+    // sitemap page expansion: the closed-form reachable page set — see
+    // sitemapPagesSqlD for the per-rule accounting (depth bound,
+    // same-host, undeclared exclusion, entity decode, relative resolve,
+    // max-lastmod)
+    "ext_sitemap_urls" ->
+      s"""WITH $sitemapPagesSqlD
+         |SELECT host, url, lastmod FROM smp ORDER BY host, url""".stripMargin,
 
     // fetch schedule: closed-form sitemaps + closed-form delays (arm 0
     // = 5000 ms, arm 2 = 9e6 ms, arm 1 = the 1000 ms default), slots by
@@ -3422,24 +3597,21 @@ object PipelineQueries {
          |FROM sc ORDER BY host, url""".stripMargin,
 
     // frontier: discovered (resolved links incl. the nav Home link's
-    // site ROOTS ∪ sitemaps, canonicalized, deduped) minus crawled
-    // (the fixture's own page URLs) — the
+    // site ROOTS ∪ the sitemap-listed PAGE set, canonicalized, deduped)
+    // minus crawled (the fixture's own page URLs) — the
     // closed-form resolved hrefs make the anti-join's bite visible
     // (self-referential targets like /p/0 on site0 ARE crawled and
     // must drop) — then the same schedule replay
     "ext_frontier" ->
       s"""WITH $linkAugSql,
+         |$sitemapPagesSqlD,
          |disc AS (SELECT DISTINCT url FROM (
          |    SELECT ${UrlOps.canonicalUrlD("href")} AS url FROM la
          |    UNION
          |    SELECT DISTINCT 'https://' || ${siteHostD("doc_id % 40")} || '/'
          |    FROM documents WHERE doc_id % 13 <> 0
          |    UNION
-         |    SELECT 'https://' || ${siteHostD("i")} || '/sitemap.xml'
-         |    FROM range(40) t(i) WHERE i % 10 <> 5
-         |    UNION
-         |    SELECT 'https://' || ${siteHostD("i")} || '/sitemap-news.xml'
-         |    FROM range(40) t(i) WHERE i % 10 <> 5 AND i % 3 = 0)
+         |    SELECT url FROM smp)
          |  WHERE url IS NOT NULL),
          |crawled AS (SELECT DISTINCT ${UrlOps.canonicalUrlD("url")} AS url FROM lad
          |            WHERE ${UrlOps.canonicalUrlD("url")} IS NOT NULL),

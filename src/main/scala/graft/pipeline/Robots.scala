@@ -41,9 +41,18 @@ import org.apache.spark.sql.functions._
   *    request target — path PLUS optional `?query` (RFC 9309), so a
   *    `Disallow: /search?q=` rule matches;
   *  - an empty `Disallow:` value is "allow all" (no rule), per the
-  *    original REP; `$`/`*` wildcards are extensions, out of scope —
-  *    prefixes are literal (documented, like the markup extractor's
-  *    regex caveat);
+  *    original REP; `$`/`*` pattern specials match per RFC 9309 §2.2.3
+  *    ([[graft.functions.RobotsMatch]]); rule values and targets are
+  *    compared percent-DECODED per §2.2.2 — all but `%2F`/`%2A`/`%24`,
+  *    through the ONE shared kernel
+  *    ([[graft.functions.RobotsPctNormKernel]]: rules normalize at
+  *    parse time here, targets scan-side in the decision fold);
+  *  - rule values longer than [[MaxRulePatternBytes]] chars are DROPPED
+  *    at parse time: robots.txt is adversary-controlled input matched
+  *    per (document × rule), the wildcard matcher is quadratic on
+  *    hostile multi-star patterns, and no legitimate path rule
+  *    approaches the cap (the Google-parser discipline of bounding
+  *    rule length);
   *  - comments (`#` to end of line), blank lines, CRLF, and
   *    case-insensitive field names are handled.
   *
@@ -57,6 +66,12 @@ import org.apache.spark.sql.functions._
   * one per-document aggregation.
   */
 object Robots {
+
+  /** Parse-time cap on one rule's pattern length (characters) — bounds
+    * the wildcard matcher's per-row work on adversarial input; see the
+    * object scaladoc.
+    */
+  val MaxRulePatternBytes = 2048
 
   case class RobotsRule(host: String, prefix: String, allow: Boolean)
 
@@ -110,8 +125,13 @@ object Robots {
             collectingAgents = false
             open = true
             // empty Disallow = allow-all (no rule); empty Allow is a
-            // no-op the same way
-            if (value.nonEmpty) rules :+= ((value, field == "allow"))
+            // no-op the same way; over-cap values drop (hostile-pattern
+            // bound); the pattern is stored percent-NORMALIZED — the
+            // §2.2.2 comparison space the decision fold's target side
+            // shares
+            if (value.nonEmpty && value.length <= MaxRulePatternBytes)
+              rules :+= ((graft.functions.RobotsPctNormKernel.normalize(value),
+                field == "allow"))
           case "crawl-delay" =>
             collectingAgents = false
             open = true
@@ -425,7 +445,9 @@ object Robots {
         struct(col("prefix"), col("allow")))).as("__rules"))
     val docsSide = docs.select(col(idCol),
       UrlOps.hostOf(col(urlCol)).as("host"),
-      UrlOps.urlPath(col(urlCol)).as("__path"),
+      // the §2.2.2 comparison space the stored rules share — normalized
+      // ONCE per document, not per rule
+      graft.functions.RobotsPctNorm.of(UrlOps.urlPath(col(urlCol))).as("__path"),
       col(tsCol).cast("long").as(tsCol))
       .withColumn("__k",
         coalesce(col("host"), concat(lit(" "), col(idCol).cast("string"))))
@@ -474,7 +496,10 @@ object Robots {
       lit(-1L),
       (acc, r) => greatest(acc,
         when(graft.functions.RobotsMatch.of(pathCol, r.getField("prefix")),
-          length(r.getField("prefix")).cast("long") * lit(2L) +
+          // octet_length, not length: the RFC's "most octets" rank —
+          // character count diverges on multibyte UTF-8 rules (the
+          // percent-DECODED rules normalizeRulePrefix produces)
+          octet_length(r.getField("prefix")).cast("long") * lit(2L) +
             when(r.getField("allow"), lit(1L)).otherwise(lit(0L)))
           .otherwise(lit(-1L))))
 
@@ -499,7 +524,8 @@ object Robots {
     docs
       .select((col(idCol) +: keepCols.map(col)) ++ Seq(
         UrlOps.hostOf(col(urlCol)).as("host"),
-        UrlOps.urlPath(col(urlCol)).as("__path")): _*)
+        // the §2.2.2 comparison space the stored rules share
+        graft.functions.RobotsPctNorm.of(UrlOps.urlPath(col(urlCol))).as("__path")): _*)
       .join(perHost, Seq("host"), "left")
       .withColumn("__enc", ruleFold(col("__rules"), col("__path")))
       .select((col(idCol) +: keepCols.map(col)) ++ Seq(col("host"),

@@ -392,9 +392,14 @@ object UrlOps {
     require(reserved.isEmpty,
       s"urlDedupAliased: docs columns collide with output/internal names (rename them): " +
         reserved.mkString(", "))
+    // duplicate src keys would FAN OUT the left join (one document
+    // dedups as two rows) — collapse to one deterministic terminal per
+    // src at the boundary; a resolveAliases result is already unique,
+    // so this is a no-op aggregation on well-formed input
     val amap = aliases
       .where(col(aliasDstCol).isNotNull)
-      .select(col(aliasSrcCol).as("canon_url"), col(aliasDstCol).as("__t"))
+      .groupBy(col(aliasSrcCol).as("canon_url"))
+      .agg(min(col(aliasDstCol)).as("__t"))
     val w = Window.partitionBy(col("__pk")).orderBy(col(idCol))
     docs
       .withColumn("canon_url", canonicalUrl(col(urlCol)))

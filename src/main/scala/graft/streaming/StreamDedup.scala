@@ -590,8 +590,14 @@ object StreamDedup {
         val missing = Seq("src", "terminal").filterNot(a.columns.contains)
         require(missing.isEmpty, "webIngestStream: aliases must carry " +
           s"(src, terminal) — a resolveAliases result; missing ${missing.mkString(", ")}")
+        // duplicate src keys would FAN OUT the left join (one fetch
+        // becomes two rows feeding the stateful elections) — collapse to
+        // one deterministic terminal per src at the boundary; a
+        // resolveAliases result is already unique, so this is a no-op
+        // aggregation on well-formed input
         val amap = broadcast(a.where(col("terminal").isNotNull)
-          .select(col("src").as("__asrc"), col("terminal").as("__t")))
+          .groupBy(col("src").as("__asrc"))
+          .agg(min(col("terminal")).as("__t")))
         projected.join(amap, col("canon_url") === col("__asrc"), "left_outer")
           .select(col("doc_id"),
             coalesce(col("__t"), col("canon_url")).as("canon_url"),
@@ -811,7 +817,8 @@ object StreamDedup {
       docs: Dataset[WebDoc],
       crawledUrls: DataFrame,
       budgets: DataFrame,
-      defaultDelayMs: Long = 1000L): Dataset[Dispatch] = {
+      defaultDelayMs: Long = 1000L,
+      stateTtlMs: Long = 24 * 3600 * 1000L): Dataset[Dispatch] = {
     require(defaultDelayMs >= 1,
       s"frontierDispatchStream: defaultDelayMs must be positive, got $defaultDelayMs")
     val missing = Seq("host", "delay_ms").filterNot(budgets.columns.contains)
@@ -819,7 +826,8 @@ object StreamDedup {
       s"(host, delay_ms) — a crawlDelayBudget table; missing ${missing.mkString(", ")}")
     import docs.sparkSession.implicits._
     politeDispatchStream(
-      discoverFrontierStream(docs, crawledUrls).toDF()
+      stateTtlMs = stateTtlMs,
+      reqs = discoverFrontierStream(docs, crawledUrls).toDF()
         .join(broadcast(budgets.select(col("host"),
           col("delay_ms").cast("long").as("__dm"))), Seq("host"), "left")
         .select(col("doc_id"), col("url"), col("host"), col("arrival"),
@@ -927,18 +935,43 @@ object StreamDedup {
     * processed in (arrival, doc_id) order within a batch; NULL-host
     * requests dispatch at their arrival on unique space-prefixed keys
     * without writing state (the [[politeBudgetAdmit]] convention).
-    * State is bounded by the distinct-host count forever — NoTimeout,
-    * because a host's next-free slot stays binding however long the
-    * stream pauses (max() makes stale slots harmless).
+    *
+    * State is BOUNDED by a processing-time TTL (the [[MonotonicGate]]
+    * reaper discipline — a long crawl touches ~10^8 hosts and must not
+    * carry a Long for each forever): a host silent for its outstanding
+    * busy window plus `stateTtlMs` is evicted. Eviction is DECISION-
+    * IDENTICAL to keeping the state: it fires only after the host's
+    * next-free slot has passed (the timeout covers the burst-extended
+    * window — `k` queued fetches push `next_free` `k·delay` beyond the
+    * last arrival, so the duration is that extent PLUS the TTL), and a
+    * past slot loses every `max(arrival, next_free)` anyway — absent
+    * state IS a past slot (spec-asserted: with-TTL == without across
+    * adversarial splits and pauses under RocksDB). `stateTtlMs = 0`
+    * disables the reaper (the NoTimeout corpus-lifetime form). NOTE the
+    * engine contract of processing-time timeouts: the query runs
+    * micro-batches continuously to evaluate them, so
+    * `processAllAvailable()` never quiesces — production picks a real
+    * trigger interval, and tests either pass `stateTtlMs = 0` (the
+    * [[MonotonicGate]] spec convention) or poll the sink.
     */
-  def politeDispatchStream(reqs: Dataset[DispatchReq]): Dataset[Dispatch] = {
+  def politeDispatchStream(
+      reqs: Dataset[DispatchReq],
+      stateTtlMs: Long = 24 * 3600 * 1000L): Dataset[Dispatch] = {
     import reqs.sparkSession.implicits._
+    val timeoutConf =
+      if (stateTtlMs > 0) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
     reqs
       .groupByKey(r => if (r.host == null) " " + r.doc_id else r.host)
       .flatMapGroupsWithState[Long, Dispatch](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        OutputMode.Append(), timeoutConf) {
         (key: String, it: Iterator[DispatchReq], state: GroupState[Long]) =>
-          if (key.nonEmpty && key.charAt(0) == ' ')
+          if (state.hasTimedOut) {
+            // TTL reaper: next_free is in the past, so the removed state
+            // is reconstructible as absent — see the scaladoc argument
+            state.remove()
+            Iterator.empty
+          } else if (key.nonEmpty && key.charAt(0) == ' ')
             it.map(r => Dispatch(r.doc_id, r.url, r.host, r.arrival))
           else {
             // url tiebreak: two discoveries from ONE page (same arrival
@@ -951,6 +984,12 @@ object StreamDedup {
               Dispatch(r.doc_id, r.url, r.host, at)
             }
             state.update(nextFree)
+            if (stateTtlMs > 0) {
+              // a burst extends next_free past the batch's arrivals —
+              // the timeout outlives that busy window, then adds the TTL
+              val busy = math.max(nextFree - ordered.last.arrival, 0L)
+              state.setTimeoutDuration(busy + stateTtlMs)
+            }
             out.iterator
           }
       }

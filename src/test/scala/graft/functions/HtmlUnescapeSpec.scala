@@ -41,6 +41,10 @@ class HtmlUnescapeSpec extends SparkSpec {
     assert(un("&#x;") == "&#x;")
     assert(un("&#12") == "&#12")
     assert(un("&#999999999999;") == "&#999999999999;")
+    // leading zeros beyond the significant-digit bound are valid spellings
+    assert(un("&#000000047;") == "/")
+    assert(un("&#x00000000002F;") == "/")
+    assert(un("&#0000;") == "&#0000;") // all zeros = codepoint 0, out of range
   }
 
   test("single pass, no rescan: &amp;lt; is the author's literal &lt;") {

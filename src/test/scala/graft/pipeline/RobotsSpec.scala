@@ -316,4 +316,35 @@ class RobotsSpec extends SparkSpec {
       "weird://one" -> ((None, 1L, 0L)),
       "weird://two" -> ((None, 1L, 0L))), s"got $got")
   }
+
+  test("RFC 9309 2.2.2 percent-encoding: rules and targets meet decoded; %2F stays distinct; hostile rules capped") {
+    import graft.functions.RobotsPctNormKernel.{normalize => nz}
+    // kernel contract: decode all but %2F/%2A/%24 (uppercase-canonical),
+    // malformed escapes verbatim, %-free input identity
+    assert(nz("/caf%C3%A9") == "/caf\u00e9" && nz("/caf%c3%a9") == "/caf\u00e9")
+    assert(nz("/a%2fb") == "/a%2Fb" && nz("/a%2Fb") == "/a%2Fb")
+    assert(nz("/x%2ay%24z") == "/x%2Ay%24z")
+    assert(nz("/sp%20ace") == "/sp ace")
+    assert(nz("/bad%zz") == "/bad%zz" && nz("/end%2") == "/end%2" && nz("/plain") == "/plain")
+    // parse-time rules normalization: divergent spellings of one octet
+    // sequence meet, and precedence ranks by OCTETS of the decoded rule
+    val prules = robotsRules(Seq(
+      ("h.com", "User-agent: *\nDisallow: /caf%C3%A9\nAllow: /caf%c3%a9/pub\nDisallow: /a%2fb\n"))
+      .toDF("host", "robots_txt"))
+    val docs = Seq(
+      (1L, "https://h.com/caf\u00e9/x"),      // raw UTF-8 target vs encoded rule
+      (2L, "https://h.com/caf%C3%A9/pub/ok"), // encoded target; the longer Allow wins
+      (3L, "https://h.com/a%2Fb/y"),          // kept escape meets the lowercase rule spelling
+      (4L, "https://h.com/a/b/y")             // literal slash never matches %2F
+    ).toDF("doc_id", "url")
+    val got = robotsAllowed(docs, prules)
+      .collect().map(r => r.getLong(0) -> ((r.getBoolean(2), r.getLong(3)))).toMap
+    assert(got == Map(1L -> ((false, 6L)), 2L -> ((true, 10L)),
+      3L -> ((false, 6L)), 4L -> ((true, -1L))), got.toString)
+    // an over-cap (hostile multi-star) rule drops at parse time; its
+    // neighbors survive
+    val hostile = "User-agent: *\nDisallow: /" + "*a" * MaxRulePatternBytes +
+      "\nDisallow: /keep\n"
+    assert(parseRobots("h.com", hostile).map(_.prefix) == Seq("/keep"))
+  }
 }

@@ -410,6 +410,17 @@ class UrlOpsSpec extends SparkSpec {
       3L -> ((Some("https://b.com/only"), 3L, true)),
       4L -> ((Some("https://loop.com/p"), 4L, true)),
       5L -> ((None, 5L, true))), s"got $got")
+
+    // a malformed alias map with DUPLICATE src keys must not fan the
+    // join out (one document dedups as two rows): the boundary collapses
+    // to one deterministic (min) terminal per src
+    val dupAliases = Seq(
+      ("https://a.com/page?a=1&b=2", Some("https://z.com/x")),
+      ("https://a.com/page?a=1&b=2", Some("https://c.com/x"))).toDF("src", "terminal")
+    val dup = UrlOps.urlDedupAliased(docs, dupAliases).collect()
+    assert(dup.length == docs.count(), s"duplicate srcs fanned out: ${dup.length} rows")
+    val row1 = dup.find(_.getLong(0) == 1L).get
+    assert(row1.getString(1) == "https://c.com/x", s"min terminal must win, got ${row1.getString(1)}")
   }
 
   test("domainStats: shares sum to ~1e6 and the NULL row stays visible") {

@@ -816,7 +816,9 @@ class StreamDedupSpec extends SparkSpec {
     for ((split, si) <- Seq(Seq(8), Seq(3, 3, 2), Seq(1, 1, 1, 1, 1, 1, 1, 1)).zipWithIndex) {
       val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[DispatchReq]
       val name = s"dispatch_out_$si"
-      val q = StreamDedup.politeDispatchStream(in.toDS())
+      // stateTtlMs = 0 (NoTimeout) lets processAllAvailable quiesce —
+      // the MonotonicGateSpec convention; the TTL arm has its own test
+      val q = StreamDedup.politeDispatchStream(in.toDS(), stateTtlMs = 0L)
         .writeStream.format("memory").queryName(name).outputMode("append").start()
       try {
         var rest = feed
@@ -828,6 +830,65 @@ class StreamDedupSpec extends SparkSpec {
         val got = spark.table(name).as[Dispatch].collect().sortBy(_.doc_id).toSeq
         assert(got == want, s"split $si: dispatcher diverged\n$got\n$want")
       } finally q.stop()
+    }
+  }
+
+  test("politeDispatchStream TTL: eviction after busy window + TTL is decision-identical on a monotone feed; the reaper provably fires (RocksDB)") {
+    import graft.streaming.StreamDedup.{DispatchReq, Dispatch}
+    implicit val sqlCtx = spark.sqlContext
+    // slow.com's burst pushes next_free to 400 (busy window 240 ms past
+    // its last arrival); the fast.org batch runs after that window + TTL
+    // of PROCESSING time, so it fires slow.com's reaper
+    val b1 = Seq(
+      DispatchReq(1L, "https://slow.com/a", "slow.com", 100L, 100L),
+      DispatchReq(2L, "https://slow.com/b", "slow.com", 150L, 100L),
+      DispatchReq(3L, "https://slow.com/c", "slow.com", 160L, 100L))
+    val b2 = Seq(DispatchReq(4L, "https://fast.org/x", "fast.org", 5000L, 10L))
+    // b3 replays a STALE arrival (150, inside the old busy window) plus
+    // two fresh ones: the stale row is the eviction witness — a kept
+    // slot gates it to 400, an evicted slot lets it go at arrival
+    val b3 = Seq(
+      DispatchReq(7L, "https://slow.com/old", "slow.com", 150L, 100L),
+      DispatchReq(5L, "https://slow.com/d", "slow.com", 99999L, 100L),
+      DispatchReq(6L, "https://slow.com/e", "slow.com", 100000L, 100L))
+    val confKey = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(confKey)
+    spark.conf.set(confKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      for ((ttl, doc7) <- Seq((1L, 150L), (0L, 400L))) {
+        val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[DispatchReq]
+        val name = s"dispatch_ttl_$ttl"
+        val q = StreamDedup.politeDispatchStream(in.toDS(), stateTtlMs = ttl)
+          .writeStream.format("memory").queryName(name).outputMode("append").start()
+        // with the reaper on, micro-batches run continuously to evaluate
+        // timeouts and processAllAvailable never quiesces — poll the sink
+        def await(n: Int): Unit =
+          if (ttl > 0) {
+            val deadline = System.currentTimeMillis + 120000L
+            while (spark.table(name).count() < n &&
+              System.currentTimeMillis < deadline) Thread.sleep(50L)
+            assert(spark.table(name).count() >= n, s"sink stuck below $n rows")
+          } else q.processAllAvailable()
+        try {
+          in.addData(b1); await(3)
+          if (ttl > 0) Thread.sleep(800L) // > busy window (240 ms) + TTL
+          in.addData(b2); await(4)
+          in.addData(b3); await(7)
+          val got = spark.table(name).as[Dispatch].collect()
+            .map(d => d.doc_id -> d.dispatch_ms).toMap
+          // the monotone rows decide identically with and without the
+          // reaper; only the stale replay distinguishes the two
+          assert(got == Map(1L -> 100L, 2L -> 200L, 3L -> 300L, 4L -> 5000L,
+            7L -> doc7, 5L -> 99999L, 6L -> 100099L),
+            s"ttl=$ttl: diverged, got $got")
+        } finally q.stop()
+      }
+    } finally {
+      prior match {
+        case Some(v) => spark.conf.set(confKey, v)
+        case None => spark.conf.unset(confKey)
+      }
     }
   }
 
@@ -904,7 +965,8 @@ class StreamDedupSpec extends SparkSpec {
     for ((split, si) <- Seq(Seq(2), Seq(1, 1)).zipWithIndex) {
       val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[WebDoc]
       val name = s"frontier_dispatch_out_$si"
-      val q = StreamDedup.frontierDispatchStream(in.toDS(), crawled, budgets)
+      val q = StreamDedup.frontierDispatchStream(in.toDS(), crawled, budgets,
+          stateTtlMs = 0L) // NoTimeout: lets processAllAvailable quiesce
         .writeStream.format("memory").queryName(name).outputMode("append").start()
       try {
         var rest = feed
