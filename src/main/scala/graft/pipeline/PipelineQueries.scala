@@ -392,6 +392,35 @@ object PipelineQueries {
             lit("</loc></url></urlset>")).as("body")))
   }
 
+  /** The per-doc URL of the recrawl fixture — unique per doc (the
+    * mailto arm included: a shared unparseable URL would pool many
+    * docs' fetches into one history).
+    */
+  private def recrawlUrl(d: Column): Column =
+    when(d % 13 === 0, concat(lit("mailto:u"), d, lit("@example.com")))
+      .otherwise(concat(lit("https://"), siteHost(d % 40), lit("/p/"), d))
+
+  /** FETCH HISTORY fixture: 3..5 fetches per doc URL at step
+    * (100 + d%9·33) seconds, content-hash arms by d%4 — 0 = static
+    * (never changes; the d%8==0 subset gets a sitemap-lastmod prior),
+    * 1 = changes every fetch (gap = step; steps under 150 s exercise
+    * the min clamp), 2 = changes every 2nd fetch (gap = 2·step), 3 =
+    * changes only at the first and last fetch (one gap, (k−1)·step).
+    */
+  private def fetchHistoryTable(docs: DataFrame): DataFrame = {
+    val d = col("doc_id")
+    docs.select(d, recrawlUrl(d).as("url"),
+        explode(sequence(lit(0L), lit(2L) + d % 3)).as("j"))
+      .select(col("url"),
+        (d + col("j") * ((lit(100L) + (d % 9) * 33L) * 1000L)).as("fetch_ts"),
+        when(d % 4 === 0, lit("h"))
+          .when(d % 4 === 1, concat(lit("h"), col("j").cast("string")))
+          .when(d % 4 === 2, concat(lit("h"), expr("j DIV 2").cast("string")))
+          .otherwise(concat(lit("h"),
+            when(col("j") === lit(2L) + d % 3, lit("1")).otherwise(lit("0"))))
+          .as("content_hash"))
+  }
+
   /** Robots bodies exercising RFC 9309 §2.2.2 percent-encoding
     * normalization: rules spelled with uppercase hex, lowercase hex, a
     * kept `%2F` escape (encoded slash stays distinct from the path
@@ -1718,6 +1747,23 @@ object PipelineQueries {
             .withColumn("host", UrlOps.hostOf(col("url"))),
           Robots.crawlDelayBudget(robotsTable(s)).select("host", "delay_ms"))
         .orderBy("host", "url")
+    }),
+
+    // recrawl cadence: per-URL change-interval estimation from fetch
+    // history (hash-equality change events, lower-median gap — the I1
+    // tie-arm), sitemap-lastmod prior for never-changing pages, min
+    // clamp, next-due emission — the recrawl queue the frontier unions
+    // as its third source (see Recrawl scaladoc for the composition)
+    "ext_recrawl_due" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Recrawl.recrawlDue(
+          fetchHistoryTable(docs),
+          lastmods = Some(docs.where(col("doc_id") % 8 === 0)
+            .select(recrawlUrl(col("doc_id")).as("url"),
+              (col("doc_id") - 5000L).as("lastmod_ts"))),
+          defaultIntervalMs = 1000000L,
+          minIntervalMs = 150000L)
+        .orderBy("url")
     }),
 
     // politeness budget ENFORCED — the batch twin of the online
@@ -3626,6 +3672,46 @@ object PipelineQueries {
          |SELECT host, url, CAST(slot AS BIGINT) AS slot,
          |  CAST((slot - 1) * COALESCE(dm, 1000) AS BIGINT) AS not_before_ms
          |FROM fsc ORDER BY host, url""".stripMargin,
+
+    // recrawl cadence: the oracle replays change marking (lag over
+    // fetch order), change-gap lower median (the I1 spelling), the
+    // lastmod-prior and default arms, the min clamp, and next-due —
+    // doc-keyed (urls are 1:1 with docs by construction)
+    "ext_recrawl_due" ->
+      s"""WITH rfh AS (
+         |  SELECT doc_id, g.j,
+         |    doc_id + g.j * ((100 + doc_id % 9 * 33) * 1000) AS fts,
+         |    CASE WHEN doc_id % 4 = 0 THEN 'h'
+         |         WHEN doc_id % 4 = 1 THEN 'h' || g.j
+         |         WHEN doc_id % 4 = 2 THEN 'h' || (g.j // 2)
+         |         ELSE 'h' || (CASE WHEN g.j = 2 + doc_id % 3 THEN 1 ELSE 0 END) END AS ch
+         |  FROM documents, unnest(generate_series(0, CAST(2 + doc_id % 3 AS BIGINT))) AS g(j)),
+         |rmk AS (SELECT doc_id, fts, ch,
+         |          lag(ch) OVER (PARTITION BY doc_id ORDER BY fts, ch) AS prev FROM rfh),
+         |rcg AS (SELECT doc_id, fts - lag(fts) OVER (PARTITION BY doc_id ORDER BY fts) AS d
+         |        FROM rmk WHERE prev IS NULL OR ch <> prev),
+         |rmd AS (SELECT doc_id, d AS m FROM (
+         |          SELECT doc_id, d, row_number() OVER (PARTITION BY doc_id ORDER BY d) AS rn,
+         |            count(*) OVER (PARTITION BY doc_id) AS cnt
+         |          FROM rcg WHERE d IS NOT NULL)
+         |        WHERE rn = (cnt + 1) // 2),
+         |rag AS (SELECT doc_id, count(*) AS nf,
+         |          sum(CASE WHEN prev IS NULL OR ch <> prev THEN 1 ELSE 0 END) AS nc,
+         |          max(fts) AS lt
+         |        FROM rmk GROUP BY doc_id),
+         |rest AS (SELECT a.doc_id, a.nf, a.nc, a.lt,
+         |           greatest(CASE WHEN rmd.m IS NOT NULL THEN rmd.m
+         |                         WHEN a.doc_id % 8 = 0 THEN a.lt - (a.doc_id - 5000)
+         |                         ELSE 1000000 END, 150000) AS e
+         |         FROM rag a LEFT JOIN rmd ON rmd.doc_id = a.doc_id)
+         |SELECT CASE WHEN doc_id % 13 = 0 THEN 'mailto:u' || doc_id || '@example.com'
+         |       ELSE 'https://' || ${siteHostD("doc_id % 40")} || '/p/' || doc_id END AS url,
+         |  CASE WHEN doc_id % 13 = 0 THEN NULL
+         |       ELSE ${siteHostD("doc_id % 40")} END AS host,
+         |  CAST(nf AS BIGINT) AS n_fetches, CAST(nc AS BIGINT) AS n_changes,
+         |  CAST(e AS BIGINT) AS est_interval_ms,
+         |  CAST(lt + e AS BIGINT) AS next_due_ms
+         |FROM rest ORDER BY url""".stripMargin,
 
     // budget enforcement: the oracle replays the per-(host, day) rank
     // in (fts, doc_id) order against the closed-form budgets (arm 0 =

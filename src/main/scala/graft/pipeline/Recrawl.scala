@@ -1,0 +1,109 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Recrawl cadence estimation — the temporal freshness axis of the
+  * crawl family: discovery/admission/dispatch decide WHAT may be
+  * fetched and WHEN politeness allows it; this decides when a crawled
+  * URL is WORTH fetching again, from the evidence a fetch store already
+  * holds (per-fetch timestamps and content hashes).
+  *
+  * Model, per URL:
+  *
+  *  - a CHANGE EVENT is the first fetch, or any fetch whose content
+  *    hash differs from the previous fetch's (hash-equality change
+  *    detection — byte-identical refetches are not changes);
+  *  - with ≥ 2 observed change events, the estimated change interval
+  *    is the LOWER MEDIAN of the gaps between consecutive change
+  *    timestamps — the [[graft.timeseries.Infer.estimateStepSeconds]]
+  *    tie-arm applied directly (change gaps are irregular, so the mode
+  *    arm is noise; the lower median is exact, integer, and
+  *    oracle-replayable where a mean would drift);
+  *  - with only the initial change event (content never seen to
+  *    change), the prior takes over: a known external change claim —
+  *    the sitemap `<lastmod>` harvested by
+  *    [[Sitemaps.sitemapPageUrls]], converted to epoch ms by the
+  *    caller — gives `last_fetch − lastmod` (the age-since-last-known-
+  *    change heuristic; a lastmod AT OR AFTER our last fetch clamps to
+  *    the minimum and falls due immediately, which is exactly right: the
+  *    publisher claims it changed since we read it); with no prior the
+  *    caller's `defaultIntervalMs` applies;
+  *  - every estimate clamps below at `minIntervalMs` (a page observed
+  *    changing every fetch must not schedule a busy-loop);
+  *  - `next_due_ms = last_fetch_ts + est_interval_ms` — the recrawl
+  *    queue row. The frontier unions it: `ext_frontier`'s discovery ∪
+  *    sitemap-page set gains `recrawlDue(...).where(next_due_ms <= now)`
+  *    as a third source, flowing into the SAME anti-join + politeness
+  *    schedule (the queue is per-URL and keyed like every other
+  *    frontier source, so the composition is one more unionByName).
+  *
+  * Output: (url, host, n_fetches, n_changes, est_interval_ms,
+  * next_due_ms); host via [[UrlOps.hostOf]] (NULL for unparseable
+  * provenance — visible, never dropped).
+  *
+  * Scale shape: everything keys on the URL — two windows (change
+  * marking, gap ranking) and one aggregation over the SAME key, so the
+  * chain reuses one partitioning end to end; the lastmod prior is one
+  * keyed left join. Fetch histories per URL are short (the politeness
+  * budget bounds them), so no skewed window partitions; rows entering
+  * the windows are fixed-width (url, ts, hash) projections.
+  */
+object Recrawl {
+
+  def recrawlDue(
+      fetchHistory: DataFrame,
+      lastmods: Option[DataFrame] = None,
+      defaultIntervalMs: Long = 7L * 86400000L,
+      minIntervalMs: Long = 3600000L,
+      urlCol: String = "url",
+      tsCol: String = "fetch_ts",
+      hashCol: String = "content_hash"): DataFrame = {
+    require(minIntervalMs >= 1, s"recrawlDue: minIntervalMs must be positive, got $minIntervalMs")
+    require(defaultIntervalMs >= minIntervalMs,
+      s"recrawlDue: defaultIntervalMs ($defaultIntervalMs) must be >= minIntervalMs ($minIntervalMs)")
+    lastmods.foreach { lm =>
+      val missing = Seq(urlCol, "lastmod_ts").filterNot(lm.columns.contains)
+      require(missing.isEmpty,
+        s"recrawlDue: lastmods must carry ($urlCol, lastmod_ts); missing ${missing.mkString(", ")}")
+    }
+    val w = Window.partitionBy(urlCol).orderBy(col(tsCol), col(hashCol))
+    val marked = fetchHistory
+      .select(col(urlCol), col(tsCol).cast("long").as(tsCol), col(hashCol))
+      .withColumn("__chg", !(col(hashCol) <=> lag(col(hashCol), 1).over(w)))
+    // gaps between consecutive CHANGE timestamps, lower-median elected
+    // per url (the Infer.estimateStepSeconds median spelling)
+    val gaps = marked.where(col("__chg"))
+      .withColumn("__d", col(tsCol) - lag(col(tsCol), 1).over(
+        Window.partitionBy(urlCol).orderBy(col(tsCol))))
+      .where(col("__d").isNotNull)
+    val wUrl = Window.partitionBy(urlCol)
+    val med = gaps
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(urlCol).orderBy(col("__d"))))
+      .withColumn("__cnt", count(lit(1)).over(wUrl))
+      .where(col("__rn") === (col("__cnt") + 1).divide(2).cast("long"))
+      .select(col(urlCol), col("__d").as("__med"))
+    val agg = marked.groupBy(urlCol).agg(
+      count(lit(1)).as("n_fetches"),
+      sum(when(col("__chg"), 1L).otherwise(0L)).as("n_changes"),
+      max(col(tsCol)).as("__lt"))
+    val withPrior = lastmods match {
+      case None => agg.withColumn("lastmod_ts", lit(null).cast("long"))
+      case Some(lm) => agg.join(
+        lm.select(col(urlCol), col("lastmod_ts").cast("long").as("lastmod_ts")),
+        Seq(urlCol), "left")
+    }
+    withPrior
+      .join(med, Seq(urlCol), "left")
+      .withColumn("est_interval_ms", greatest(
+        when(col("__med").isNotNull, col("__med"))
+          .when(col("lastmod_ts").isNotNull, col("__lt") - col("lastmod_ts"))
+          .otherwise(lit(defaultIntervalMs)),
+        lit(minIntervalMs)))
+      .select(col(urlCol), UrlOps.hostOf(col(urlCol)).as("host"),
+        col("n_fetches"), col("n_changes"), col("est_interval_ms"),
+        (col("__lt") + col("est_interval_ms")).as("next_due_ms"))
+  }
+}
