@@ -2396,12 +2396,25 @@ object PipelineQueries {
       val qs = emb.filter(col("vec_id") < 10)
       val exact = Similarity.bruteForceKnn(emb, qs, 3)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      Seq(8, 16, 32, 64).map { d =>
-        def t(df: org.apache.spark.sql.DataFrame) =
-          df.withColumn("embedding", slice(col("embedding"), 1, d))
+      def t(d: Int)(df: org.apache.spark.sql.DataFrame) =
+        df.withColumn("embedding", slice(col("embedding"), 1, d))
+      val raw = Seq(8, 16, 32, 64).map { d =>
         Similarity.knnRecall(exact,
-          Similarity.bruteForceKnn(t(emb), t(qs), 3), f"dim_$d%02d")
-      }.reduce(_.unionByName(_)).orderBy("method")
+          Similarity.bruteForceKnn(t(d)(emb), t(d)(qs), 3), f"dim_$d%02d")
+      }
+      // the TRAINED-ROTATION arms: the same prefixes taken in the frozen
+      // principal basis (Similarity.refRotationPpm) — a raw prefix is an
+      // arbitrary coordinate subset, a rotated prefix keeps the
+      // highest-variance directions; dim_64_rot is the orthogonality
+      // anchor (full-dim rotated cosine == exact up to ppm rounding)
+      val rotEmb = emb.withColumn("embedding",
+        Similarity.rotatePpm(col("embedding")))
+      val rotQs = rotEmb.filter(col("vec_id") < 10)
+      val rot = Seq(8, 16, 32, 64).map { d =>
+        Similarity.knnRecall(exact,
+          Similarity.bruteForceKnn(t(d)(rotEmb), t(d)(rotQs), 3), f"dim_$d%02d_rot")
+      }
+      (raw ++ rot).reduce(_.unionByName(_)).orderBy("method")
     }),
 
     // kNN label consistency: the embedding-space quality probe (does the
@@ -4533,20 +4546,33 @@ object PipelineQueries {
          |FROM r ORDER BY method""".stripMargin,
 
     "ext_knn_dim_recall" -> {
-      def arm(d: Int): String =
+      def arm(d: Int, src: String, vc: String, suffix: String): String =
         s"""SELECT query_id, neighbor_id FROM (
-           |WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
-           |c AS (SELECT vec_id AS neighbor_id, embedding AS nv FROM embeddings),
+           |WITH q AS (SELECT vec_id AS query_id, $vc AS qv FROM $src WHERE vec_id < 10),
+           |c AS (SELECT vec_id AS neighbor_id, $vc AS nv FROM $src),
            |s AS (SELECT query_id, neighbor_id, ${cosDimD("qv", "nv", d)} AS sim
            |      FROM c, q WHERE neighbor_id <> query_id),
            |w AS (SELECT query_id, neighbor_id,
            |        row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank FROM s)
            |SELECT query_id, neighbor_id FROM w WHERE rank <= 3)""".stripMargin
+      def rec(d: Int, src: String, vc: String, suffix: String): String =
+        s"SELECT 'dim_${f"$d%02d"}$suffix' AS method, count(*) AS n_exact, count(a.neighbor_id) AS n_hit " +
+          s"FROM ex e LEFT JOIN (${arm(d, src, vc, suffix)}) a USING (query_id, neighbor_id)"
+      // rve: embeddings re-expressed in the frozen trained basis —
+      // floor(R_ppm · x) as exact-integer doubles, the engine-parity
+      // contract of MatVecKernel (literal generated from the SAME Scala
+      // constants the Spark side serves)
+      val rotLit = graft.pipeline.Similarity.refRotationPpm
+        .map(_.mkString("[", ", ", "]")).mkString("[", ", ", "]")
       s"""WITH ex AS (SELECT query_id, neighbor_id FROM ($knnCosineSql)),
+         |rrm AS (SELECT $rotLit AS rm),
+         |rve AS (SELECT vec_id, list_transform(generate_series(1, 64), j ->
+         |    floor(list_sum(list_transform(generate_series(1, 64),
+         |      i -> embedding[i]::DOUBLE * (rm[j][i])::DOUBLE)))) AS rv
+         |  FROM embeddings, rrm WHERE embedding IS NOT NULL),
          |r AS (
-         |  ${Seq(8, 16, 32, 64).map(d =>
-             s"SELECT 'dim_${f"$d%02d"}' AS method, count(*) AS n_exact, count(a.neighbor_id) AS n_hit " +
-               s"FROM ex e LEFT JOIN (${arm(d)}) a USING (query_id, neighbor_id)")
+         |  ${(Seq(8, 16, 32, 64).map(d => rec(d, "embeddings", "embedding", "")) ++
+             Seq(8, 16, 32, 64).map(d => rec(d, "rve", "rv", "_rot")))
              .mkString(" UNION ALL ")})
          |SELECT method, CAST(n_exact AS BIGINT) AS n_exact, CAST(n_hit AS BIGINT) AS n_hit,
          |  CAST(n_hit * 1000000 // greatest(n_exact, 1) AS BIGINT) AS recall_ppm

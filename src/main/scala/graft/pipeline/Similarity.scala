@@ -685,6 +685,93 @@ object Similarity {
     * parsed literal is bit-identical to the trained model and the DuckDB
     * oracle folds the same values.
     */
+  /** FROZEN trained rotation (integer ppm, rows = principal components
+    * descending): [[Rotation.trainPpm]] over the sf0.1 `embeddings`
+    * corpus, 300 power iterations — produced by [[TrainRotationTool]]
+    * and baked as a literal (the [[refIvfCentroids]] train-once-serve-
+    * online discipline; training is deterministic, so re-running
+    * reproduces this table verbatim). Serving:
+    * [[graft.functions.MatVecFloor]] — see [[rotatePpm]].
+    */
+  val refRotationPpm: Seq[Seq[Long]] = Seq(
+    Seq(103754L, 15168L, -59759L, -63343L, -45310L, 54819L, 45476L, -139312L, 121922L, 31080L, 48816L, 45035L, -35828L, 119900L, 21069L, -366779L, 204078L, -132186L, 144690L, -102113L, -199515L, -245280L, -123761L, 92576L, 225778L, -16702L, 131104L, -108676L, -158297L, -28512L, -58531L, 10400L, 67378L, 154386L, -11749L, -117511L, 20849L, 202940L, 141152L, -209943L, -154631L, 94510L, 145671L, 27484L, -109480L, -33075L, 70016L, 149147L, -143279L, -4249L, 73158L, -28383L, 148539L, 74547L, -5050L, -58063L, 10893L, 211350L, -113944L, -57360L, -239963L, -13541L, 200472L, -17172L),
+    Seq(65357L, -155943L, -137120L, -6140L, 244265L, -211875L, -392081L, -70491L, 220943L, 257956L, -4089L, 31332L, 75983L, 4138L, 72996L, 58180L, 70637L, -148996L, -3156L, 214991L, 234920L, 79263L, 36065L, 150054L, -109745L, -40301L, -6775L, 45630L, 20408L, 86864L, 16801L, -23055L, -102638L, -133986L, -34658L, 235572L, 167710L, 52527L, 139226L, -65883L, 149003L, 23539L, 53147L, -10336L, -90066L, 25374L, -42537L, 27929L, -188661L, -16096L, 155745L, -73499L, 120199L, -69421L, 121312L, 196244L, 48394L, 78983L, 27035L, -74107L, -22577L, 89607L, 168384L, 93019L),
+    Seq(128793L, -39659L, 66482L, 169242L, 102307L, 179536L, 156216L, -388533L, -62245L, -39930L, -124370L, 12130L, 92813L, 13107L, 9637L, 211512L, 19282L, 101564L, -68476L, -56072L, 249450L, -144911L, -172698L, -123147L, 17957L, -82937L, 71730L, 154487L, 14497L, -53081L, -102391L, 90051L, -36238L, -191282L, -56484L, 104455L, 69895L, 32593L, 71185L, -242278L, -256546L, 30070L, -44811L, 41793L, -192809L, 175092L, 40518L, 40522L, 93661L, 4767L, -222314L, 80258L, 242528L, -149644L, -42418L, -5906L, 14070L, -179542L, 9866L, -3655L, -16931L, 53212L, -4622L, 68919L),
+    Seq(60499L, 163146L, -13027L, -131601L, 77091L, -48925L, 73784L, 23647L, -6920L, -26528L, -101379L, -100905L, 3467L, -44543L, -376234L, 153555L, 113814L, -193248L, 164972L, 39516L, 28671L, -156024L, -108120L, -149915L, -235287L, -66734L, -25298L, 67904L, -15912L, 235001L, -63245L, -156307L, 237821L, 92917L, -49390L, 39620L, 2853L, 51861L, -37409L, -39646L, -7967L, -170070L, -10383L, 224895L, 81368L, -50217L, 89160L, 278666L, -54275L, -144962L, 160368L, 141318L, -34350L, -201090L, 32735L, 15617L, 66308L, 34442L, 121251L, 75551L, 103351L, -1455L, -6898L, -252153L),
+    Seq(151303L, -84361L, -50164L, -41489L, -94702L, 71482L, 9063L, 86751L, -345920L, 110133L, 41429L, 101450L, 178885L, 276080L, -90601L, -41853L, -7956L, 131869L, -65185L, -43269L, -140714L, 195057L, -223604L, -62714L, -54165L, 23207L, -162980L, 107112L, -45045L, 293194L, -36806L, 20320L, 57363L, 22999L, 197504L, 82260L, 233883L, -51824L, -68502L, 186500L, 66462L, 25939L, -4430L, -95578L, -139148L, 17156L, -11641L, 138224L, 112735L, 189647L, 44153L, -69257L, 194383L, -91830L, 32276L, -98546L, -14101L, 233519L, -88656L, -515L, -28319L, 190462L, -3715L, 61601L),
+    Seq(6073L, -28684L, 100192L, -31356L, 176079L, 165665L, 63393L, 63589L, 190462L, -50560L, 264372L, -48973L, 10402L, 309149L, 483L, -36383L, 34063L, -155904L, 80750L, -25590L, 28399L, 82888L, -24973L, -205496L, -80864L, 23748L, 75527L, -112496L, 124986L, 96725L, -112989L, -81372L, 26890L, -31529L, 31451L, 50823L, -195944L, 127258L, 398035L, 75876L, -39398L, 52234L, -44098L, -175465L, 69642L, -34659L, 78764L, -29241L, 145132L, 121526L, 45491L, 104451L, -49251L, 97245L, 181095L, -35169L, 285524L, -144530L, -88514L, -41972L, 161046L, 94935L, -150088L, 148595L),
+    Seq(88952L, 132218L, 219242L, -210830L, 186021L, 153896L, 128449L, 44408L, -181728L, -95615L, -115576L, 33285L, 50248L, 146038L, 8055L, -76612L, -172688L, 14060L, 69696L, 70329L, -119139L, 68961L, 130798L, 69842L, -148599L, 57012L, 43285L, 21162L, 47969L, 36580L, -141192L, -241927L, -192004L, -42267L, 45582L, 153379L, 19636L, -168158L, 27793L, -176291L, -81388L, 90950L, -25768L, -12068L, -83509L, 28989L, -30404L, -24685L, 23538L, -95647L, 23159L, -141729L, -204072L, -83668L, 61156L, 266223L, 39203L, 68106L, 36582L, -51483L, -283045L, -344105L, 105598L, 71763L),
+    Seq(19701L, 163917L, 177364L, 19273L, 4728L, -126714L, 135709L, 158881L, 180128L, 33829L, -35286L, -194152L, 123685L, 34416L, -56593L, 260536L, -18747L, 1618L, 7643L, 69778L, -5555L, -223641L, 88792L, 115819L, 236175L, -32228L, -6313L, -81743L, 83424L, 77305L, 19111L, 135111L, -189148L, 57040L, 141231L, -9332L, 204798L, 92200L, 82691L, 25216L, 112078L, -65601L, -87108L, 128649L, 265533L, 47817L, 72870L, 132813L, 197724L, 362654L, -158713L, 47613L, 60574L, 25103L, 88861L, 104585L, -102541L, 100505L, -59732L, 73197L, -107461L, -74902L, 133307L, 99795L),
+    Seq(47981L, 34553L, 116066L, -169750L, 28336L, 7324L, 58835L, -167632L, 50150L, 202463L, -20851L, 233724L, -84614L, -24868L, 219515L, 60660L, -145594L, -352160L, -157827L, -62769L, 41749L, -179108L, -14523L, 28295L, -151693L, -47184L, 121647L, 85742L, -78968L, 73788L, -27024L, 202684L, 120409L, 80860L, 138874L, 78175L, -54102L, -48169L, -216630L, 265797L, -107582L, -133867L, 169161L, -160785L, 158267L, 61875L, 107042L, 38478L, 180916L, -49020L, -31549L, -9717L, -25379L, 168604L, -29246L, 119435L, 16214L, 16109L, 84062L, -199860L, -151189L, 59881L, -62908L, -20667L),
+    Seq(136278L, -77975L, -9328L, -21433L, 57399L, 6486L, -156306L, 71272L, -26371L, 43695L, 93922L, -72255L, -261577L, -166323L, 115553L, 110222L, -3595L, 112253L, 236063L, -104864L, -91591L, 231400L, -73790L, 111291L, 80010L, -65393L, 192900L, 82948L, 39097L, 309073L, 246826L, -14360L, 90L, -68807L, 223890L, -170386L, 85837L, 7688L, 102163L, -67700L, -178729L, -71645L, -30366L, 75110L, 12142L, 8726L, 251304L, -153295L, 236311L, -204077L, -60070L, -33921L, 81650L, -18548L, 82847L, 17214L, -10431L, -76256L, -92471L, -91569L, 43312L, -105055L, 102107L, -179418L),
+    Seq(43363L, 29176L, -26520L, -111149L, 131685L, 44984L, 163421L, -178043L, -15385L, -35839L, -213096L, -173940L, 75565L, -26482L, -27854L, -134426L, 18021L, -70155L, 24669L, 201899L, -42289L, 39953L, -73047L, -87085L, -15015L, -201272L, 149808L, 136221L, 176616L, -131746L, 74158L, 100163L, -93894L, -234834L, 79832L, -171111L, 23829L, 48053L, 40705L, 191653L, 87612L, -132422L, -83478L, 86694L, -151227L, -131972L, -74562L, -42225L, 109706L, -55279L, 156526L, -126714L, -273390L, 179612L, 7284L, -53171L, -97844L, 9231L, -194729L, 128393L, -67827L, 320812L, 167442L, -43620L),
+    Seq(181516L, 2617L, -11461L, -90291L, 202359L, 19502L, 17939L, 7913L, 95360L, -18301L, -39737L, 99316L, -137929L, 65256L, -308108L, -44494L, 174112L, -146935L, -92784L, 153519L, -100910L, 65963L, 95799L, -100321L, 124279L, 24411L, 48269L, 135847L, -281529L, -189348L, 147094L, 20939L, 63784L, 34433L, -229562L, 19495L, 152428L, -277809L, -19499L, 85120L, 35307L, 75059L, 123272L, 72083L, 104153L, 101520L, 175680L, -172797L, 144171L, -38750L, -90663L, -104509L, 46479L, -109190L, 74480L, -97233L, -94851L, 19869L, -179684L, 36498L, 146529L, -88735L, -76439L, 244712L),
+    Seq(10949L, 8623L, 21789L, -26942L, 300484L, 3515L, -19524L, 51019L, 62547L, -152169L, -36406L, -39463L, 151253L, 110345L, 32319L, 62663L, -126709L, 1122L, -163510L, -205296L, 124448L, -9401L, 139003L, -117493L, -74899L, 18452L, -29561L, 22341L, 80775L, -40695L, 145191L, 61341L, -6328L, 28694L, 100132L, -265638L, 2074L, -89573L, 22990L, -215222L, 35128L, -97823L, 366810L, -281351L, 113098L, -90602L, -178009L, 79883L, -1932L, -53339L, 33361L, -116269L, 202832L, -52070L, -110901L, -49944L, 16210L, 153684L, -186647L, 150377L, 127753L, -83215L, 80108L, -233077L),
+    Seq(85889L, 259326L, 112679L, 115080L, -34779L, -37048L, -151548L, -76394L, 26030L, 139286L, 62228L, -167481L, -86197L, 112684L, 190441L, -111982L, 1795L, 72032L, 47962L, 293754L, 105228L, 95382L, -318455L, -232788L, -54971L, 93896L, -145434L, -25753L, 105560L, 39089L, 106699L, 113547L, 53091L, 172724L, -194968L, -44195L, -188708L, -12148L, -139574L, 5011L, -127171L, -25337L, 30540L, 53975L, 93606L, 172614L, -107069L, -4471L, -18700L, 107966L, -151987L, -117747L, -165057L, -133626L, -35101L, 49941L, 61817L, 94007L, -209773L, -99666L, 35003L, -99277L, 169398L, -64804L),
+    Seq(11488L, 17467L, 52338L, -144098L, -126065L, -27293L, 91089L, 80098L, 89599L, -117961L, 89368L, -2321L, -87135L, 3342L, -88416L, -250751L, 25509L, -26636L, 33488L, 90508L, 431592L, -4440L, -121410L, 74726L, -173438L, -38377L, -256995L, -189089L, -11934L, -65111L, -6864L, 173765L, -173828L, -175190L, 77761L, 91624L, 161739L, 18352L, 59481L, 68329L, -131885L, -47364L, -86110L, -47097L, 7530L, -38065L, 96741L, 4594L, 5731L, -138445L, -24963L, -115912L, 108731L, 53347L, 162907L, -218842L, -182214L, 75986L, -40305L, 11690L, -95838L, -202940L, -230457L, -185547L),
+    Seq(93061L, -33477L, 202924L, 179866L, -85289L, 11460L, -18374L, 322590L, 77469L, 39493L, -97014L, 145220L, 322681L, 74476L, 47804L, 172182L, -12974L, -104034L, -29648L, 83081L, 132870L, -85251L, -46495L, 197141L, 145105L, -167262L, 23748L, -45724L, -100267L, 86470L, -124209L, 27967L, 266770L, 63321L, 47546L, 43624L, -193035L, -25764L, 57776L, -49726L, 9273L, 100685L, -72083L, 50363L, -171288L, 82065L, -92498L, -141395L, 91675L, -355385L, -48252L, -89405L, -154097L, 43209L, 20645L, -165546L, -27713L, 121422L, -141784L, 72138L, 79309L, 4931L, 59897L, -15043L),
+    Seq(13766L, -200095L, -2462L, -42474L, -92961L, 184320L, -56703L, 79149L, 85318L, -281741L, -78877L, -46376L, -307814L, -49893L, -25436L, 104127L, -224963L, -52324L, -3604L, 52449L, -6124L, 128087L, -74071L, -37603L, 178973L, -126847L, 24339L, 67219L, 189830L, -158652L, 24198L, 167723L, 181195L, 247283L, 14983L, 315864L, -12996L, 11562L, -77295L, -124388L, 95600L, -215500L, 16835L, -15071L, -116109L, -41403L, -126227L, 22421L, -17394L, 53077L, 131255L, 140414L, 84159L, -65002L, 218971L, 25020L, 69544L, 89820L, -150846L, 10013L, -189654L, -21240L, -39640L, 48563L),
+    Seq(104990L, 214974L, -85558L, 206866L, 176839L, -104793L, 125032L, 209997L, 42274L, 3834L, 136227L, 142066L, -46386L, -17885L, 87526L, -145126L, -120513L, 182448L, 115205L, -80618L, 214234L, 102459L, -88424L, -46739L, 39005L, -316131L, 288775L, 303920L, 63753L, -89414L, -172342L, -2668L, 59635L, 23188L, -84273L, -167406L, 31817L, 69267L, -95180L, 85497L, 21565L, 61048L, -10853L, 31177L, 32495L, 1309L, 14445L, 116356L, -64085L, 79130L, 141872L, -54805L, 43694L, 33413L, 69044L, 63521L, -70160L, 162621L, 206535L, 5639L, 51229L, -136044L, -142508L, 153786L),
+    Seq(208218L, -52317L, 150981L, 25804L, -38458L, -103321L, 58749L, 131854L, 236580L, 5297L, -108388L, -270564L, -76207L, -14282L, 39321L, -147975L, -81669L, 56916L, -140816L, -131291L, 21789L, -145611L, -47075L, -31095L, -45523L, 97129L, -5914L, 68031L, 16859L, 7519L, 31778L, -153534L, 127965L, -21084L, 97039L, -60725L, 267362L, -34310L, -153514L, 1887L, 148431L, 278487L, 177001L, 153263L, -201838L, -50075L, -45193L, -30027L, -59638L, 38114L, -189753L, -95870L, -85129L, 28778L, 164816L, 47685L, 266779L, -166918L, 11494L, -136735L, -42638L, 142410L, -200982L, -138922L),
+    Seq(101648L, -50643L, -31312L, 75783L, 109868L, -138690L, 126742L, 47652L, -130264L, -125617L, -192183L, -178145L, 63513L, -125494L, 24562L, -20652L, 321641L, -73686L, -191350L, -115562L, 150523L, 98308L, -215863L, 57257L, 26066L, 29300L, -140675L, 144923L, 4079L, -25351L, 51040L, -50715L, -15366L, 269263L, 121444L, -92354L, -198112L, -116784L, 288922L, 141509L, 126103L, -15518L, 23808L, -163530L, -21876L, 162165L, 148323L, -158007L, -102696L, 62497L, 77404L, 156641L, -35499L, -11439L, 12887L, 56104L, -71585L, -48274L, 124873L, -112546L, -229771L, -97051L, 43263L, -14542L),
+    Seq(191032L, 37576L, 10822L, -40510L, -115722L, 41637L, -199796L, 65911L, -45337L, 141736L, 107084L, -267321L, 132624L, -32009L, 20470L, -119512L, 27855L, -64492L, 122861L, 100680L, 102061L, -96134L, 49093L, -150269L, 82156L, -8175L, 164056L, -15184L, -132863L, -136435L, 92012L, -165928L, -189462L, 33467L, -3476L, 2766L, -74970L, -218017L, -51211L, -20967L, 136678L, -224094L, -96530L, -48098L, -172483L, 17395L, -142223L, 49775L, 317241L, -84791L, 8002L, 184486L, 221281L, 124848L, -205844L, -51373L, 183391L, 100456L, 170148L, 1057L, -87965L, -64346L, -137375L, 7846L),
+    Seq(50006L, 43940L, 30622L, 25748L, -99054L, 65578L, 328205L, 145314L, 66063L, 180356L, 94735L, -70931L, -43549L, 100037L, 138563L, 43006L, -21950L, -242256L, 76175L, -200670L, 1890L, 316248L, -40263L, 94908L, -159162L, 10715L, -77111L, -75148L, -101803L, -173402L, -132704L, 143076L, -113659L, 69559L, -159593L, -84805L, 74420L, -183700L, 30734L, -67144L, 64818L, -66439L, -70482L, 168521L, -77000L, -167780L, -8540L, -35010L, -67392L, -103550L, -81045L, 167257L, 161611L, -78491L, -63769L, 297112L, -90952L, -13922L, -91319L, -24598L, 113223L, 188497L, 141186L, -55607L),
+    Seq(120932L, 43884L, 164980L, 47778L, 114284L, 154760L, -90656L, -43038L, -60528L, -85854L, -2642L, -189159L, -34251L, -224847L, -51923L, -120891L, -24664L, 100707L, 5755L, 65917L, 26171L, -67719L, -61164L, 284038L, 44973L, 433107L, -128439L, 136847L, -274L, 73029L, -317797L, 130615L, 53281L, -75134L, 1317L, -38442L, -133730L, 75315L, -10420L, -22120L, 57045L, -186090L, 165079L, 25890L, 1494L, -216966L, 62976L, 39566L, 90801L, -82722L, 51114L, -38581L, 54905L, 77579L, 19509L, 52955L, -76021L, 105514L, 31025L, -86383L, 239728L, 57283L, -26832L, 259277L),
+    Seq(188743L, 74213L, 145812L, -148877L, 37603L, 9020L, -406817L, -18824L, 88726L, -143465L, 52973L, 28589L, -64060L, 132399L, 18184L, 122390L, 139237L, 64095L, 219502L, -204353L, -18274L, -537L, 103107L, -125732L, -45138L, 58995L, 67719L, -16118L, 136432L, -156229L, -291890L, 155209L, 1272L, 40613L, 111129L, 6933L, -98493L, -122518L, -3115L, 59343L, 104355L, 109115L, -60622L, 57456L, 8101L, 67191L, 134913L, -58909L, -79021L, 38391L, -102864L, -109407L, -39998L, -136763L, -137657L, -63727L, -244581L, 31836L, 110734L, 115505L, -181000L, 254828L, -60323L, -128507L),
+    Seq(182384L, -47158L, -47883L, 125441L, 74737L, -317440L, 223507L, -14508L, -128440L, -132996L, 76461L, -88684L, -124447L, -54824L, 102705L, 110058L, 46120L, 53766L, 50392L, -86660L, 42279L, -18856L, 114876L, -56173L, 129356L, 86949L, 48976L, -123329L, 24643L, 43471L, -10083L, -112451L, -42886L, 36100L, -179736L, 331117L, -87925L, 66810L, 7838L, 179621L, 55727L, 93393L, -48072L, -63486L, 51063L, -83541L, -7620L, 275387L, 102239L, -205007L, 103816L, -278961L, 80848L, -6889L, -221152L, 23437L, -32028L, -73486L, -289895L, -122374L, -82508L, 74028L, -38797L, -24434L),
+    Seq(118077L, 114232L, -76548L, -151962L, 31881L, 191747L, 104322L, -26068L, -59505L, 226760L, -71813L, -307854L, -29094L, 72406L, 7193L, 30727L, -2082L, 295242L, 177968L, 34975L, 117132L, 7552L, 281826L, 124696L, -64401L, -215208L, -122222L, -51271L, -93575L, -73516L, 86532L, -44716L, 304554L, 619L, 182201L, 120410L, -86193L, 20375L, 10343L, 137687L, -110744L, 2089L, 100188L, -20126L, 153084L, 84450L, -12979L, -88026L, -293230L, -54649L, -45211L, 56957L, 140384L, 125274L, -68051L, 19238L, 28844L, -25932L, -98721L, 62269L, -37035L, 57545L, -11095L, 170554L),
+    Seq(251206L, 86641L, -13715L, 121288L, -36067L, -11313L, -8280L, 20292L, 139914L, -127174L, -19855L, -29246L, -16206L, 73294L, 109664L, -7017L, -79644L, -1937L, -133127L, 82201L, -166601L, 36599L, 187454L, 295618L, -126350L, -80096L, -83653L, 145686L, -28028L, 67497L, 110677L, 149422L, -38271L, 25033L, -126160L, 39456L, 113343L, -68818L, 198987L, -108487L, -225595L, -165264L, -105926L, 2629L, -78347L, 51675L, 138303L, 72869L, -80195L, 192242L, 159898L, 16866L, -210304L, -47283L, -357650L, -160675L, 158583L, 80269L, 26124L, -46441L, 42411L, 73499L, -236341L, -82387L),
+    Seq(12513L, 169020L, -124106L, 141627L, -71599L, -47683L, -107023L, -28080L, 102L, -86898L, -212910L, -83588L, -39392L, 226948L, 85569L, 135617L, -43176L, -195404L, 126466L, 61058L, -45341L, -22403L, 112341L, -99929L, -38649L, 131266L, -235667L, 187491L, -205559L, -143608L, 97175L, 122930L, 57884L, 86943L, 185103L, -163381L, -3271L, 237437L, -39002L, -7157L, -114244L, 204251L, -257026L, -57687L, -43173L, -178627L, -73407L, -48851L, 154394L, -65528L, 220484L, -168938L, 163050L, -33009L, 97319L, 104863L, 542L, -134813L, 107230L, -12927L, -20743L, -86994L, -49925L, 80378L),
+    Seq(97069L, 168050L, -217206L, 27681L, 60252L, -115017L, -24820L, -46406L, 174843L, 196825L, -136201L, 127700L, 213193L, -128334L, 69417L, -143225L, -26812L, -23449L, 51995L, -336531L, -2273L, 104021L, 65078L, -137073L, 57847L, 62676L, -196730L, -67604L, 145735L, 57714L, -65642L, -87329L, 214191L, -78495L, -44092L, 105174L, 40925L, -36292L, 19856L, -65110L, -58728L, -279188L, -24921L, 108930L, 19522L, -242520L, -59769L, -162195L, 167420L, 86920L, -43401L, 20114L, -92303L, -113851L, 27305L, -191787L, -45257L, -102000L, -81543L, -18275L, -223511L, -123206L, -22880L, 166156L),
+    Seq(26999L, -23330L, 40185L, 82624L, 25516L, 100333L, -65387L, -73387L, -20804L, 297204L, -116510L, -151640L, -31080L, -147668L, -48929L, 45141L, -41233L, 70189L, -150340L, -279785L, -162082L, -4531L, -130407L, 141834L, -260868L, -42279L, 176145L, -124229L, -79402L, -200652L, 45575L, 134422L, -116712L, 31376L, 29103L, 88243L, -225996L, -122889L, 91624L, -5242L, 40081L, 120959L, -146287L, 108315L, 127145L, 17799L, -62627L, 201003L, 46665L, 63063L, 167454L, -218825L, 19911L, -95587L, 271291L, -247246L, 97672L, 50677L, -7857L, 40945L, 58958L, -108386L, -1164L, 2779L),
+    Seq(62392L, -47954L, 53831L, -23848L, -23197L, 109612L, 126810L, 18090L, 9886L, 77665L, -89515L, 68583L, 71343L, -48183L, -123344L, -68908L, -56063L, -15823L, 171023L, -16629L, 107022L, 164853L, 187925L, 23190L, 207221L, 289225L, 62512L, 166072L, -55531L, 61246L, 100966L, 120270L, 152474L, -169851L, -230836L, -113189L, -19765L, -25774L, 60080L, -63564L, 82559L, -35823L, -273701L, -230888L, 219593L, 189314L, -145510L, 137573L, -106241L, -4763L, -98964L, -61856L, -12083L, 9755L, 201325L, -51110L, 88335L, 49094L, 127034L, -162914L, -171445L, 170622L, 34259L, -223426L),
+    Seq(148013L, -69845L, 80347L, 33393L, -91466L, -41165L, -202235L, -105189L, -278120L, -45606L, -7877L, -18184L, 232322L, 19795L, -149791L, -9245L, -33595L, -42242L, 76971L, -181181L, 44041L, 112695L, -41290L, -51203L, 31666L, -108437L, -77754L, -21195L, 101976L, -178030L, 77017L, 50809L, 24186L, 192643L, -150671L, 136218L, 233401L, 59531L, 141118L, -129782L, -141741L, 58260L, 136773L, 144172L, 230379L, -8476L, -35713L, -16298L, 80393L, -25839L, 24779L, -51042L, -149233L, 460873L, 57825L, 169900L, -39965L, -4181L, 96673L, -101185L, 141131L, 25316L, -38892L, -67189L),
+    Seq(54402L, 167962L, 101481L, -129308L, 117637L, -375077L, -26258L, 29432L, -120884L, -128384L, 47691L, -53817L, 49050L, -190656L, -34527L, 44987L, -25007L, 63058L, -48525L, -5072L, -151699L, 47911L, -67859L, -5709L, -205971L, -83706L, 37166L, -291356L, -113906L, -59811L, 69653L, 106075L, 170071L, -23273L, -126091L, -93279L, 16366L, 117639L, -99821L, -212832L, -38743L, -72667L, -168875L, -324567L, -172123L, 41118L, 138363L, -49631L, 9063L, -25130L, -149056L, 35209L, 29193L, 53586L, 173417L, 95437L, 91386L, 106510L, 5088L, 113546L, -63253L, 183885L, -38994L, 214903L),
+    Seq(25262L, 117682L, -78177L, -43623L, 25468L, -50277L, 23665L, -225550L, 139146L, -75700L, -67483L, 56531L, -32212L, -94623L, 110173L, -18758L, -136763L, 146257L, 70348L, -24812L, -93663L, -55882L, -97223L, -95751L, -93901L, 81529L, 78995L, 17214L, -262696L, 194287L, -55841L, 539L, -127061L, 166253L, 114171L, 27175L, 143364L, 24182L, 239341L, -20932L, 159396L, 47995L, -75808L, 14725L, 122534L, 175601L, -381711L, -109960L, -24673L, -177793L, 2896L, 239239L, -88077L, 8111L, 39650L, 47642L, -212905L, 139292L, -180341L, -11149L, 77594L, 52445L, -279448L, 20207L),
+    Seq(174193L, 82263L, 51358L, -70224L, 148854L, 36661L, -53573L, 121673L, -104016L, -239836L, 1908L, 215637L, 146889L, -132796L, 228468L, -38688L, -97417L, -64733L, 125158L, -10826L, 61222L, -23433L, -219642L, 39395L, 162186L, 98177L, -62280L, -50219L, -181412L, -53036L, 159564L, 15943L, -198697L, -37954L, 79552L, 60151L, 19638L, -67766L, -83203L, 152853L, -111164L, 13785L, 24148L, 178358L, 222324L, -57069L, -8737L, 41786L, -208862L, -29203L, 68369L, 112985L, 25430L, -76115L, 54578L, -80102L, 327196L, -177271L, 12826L, 276630L, -27418L, 157399L, 92504L, 80451L),
+    Seq(11068L, 193350L, 164326L, 90437L, -85407L, -63493L, -169176L, -40203L, 14878L, -142217L, 52402L, -54019L, -3702L, 103009L, -54845L, -153591L, 50780L, 35747L, -207457L, -13909L, 89094L, 84525L, 154690L, 39248L, -18644L, 45335L, 281482L, -13037L, -121584L, 193655L, 106320L, 73879L, 150565L, 10015L, -2896L, 96664L, 9514L, -214123L, 56953L, 157225L, -190208L, 11735L, -17314L, -33076L, -158914L, -198162L, -180176L, 226570L, -60007L, 72897L, 2582L, 200315L, 15535L, 68892L, 147493L, 28310L, -278144L, -290228L, 5787L, 83095L, 6752L, -58885L, 207855L, -5124L),
+    Seq(161309L, -38338L, 91942L, -67658L, -34468L, -155309L, -22517L, 5165L, -262240L, 130388L, 36051L, 12631L, -167015L, 6624L, -148125L, 303893L, -165711L, -175446L, 139946L, 17022L, 144409L, -2174L, -8779L, 53277L, -9209L, -8234L, 46030L, 40687L, -161505L, 75644L, -38446L, -50625L, -133473L, -123041L, -139680L, -194225L, -180997L, 88744L, 31037L, -48411L, -35859L, 87766L, 219352L, 39652L, -98977L, -203653L, -169230L, -154525L, -133384L, 308316L, 23402L, 113088L, -68361L, 51582L, 20274L, -221261L, -74592L, -1549L, -161280L, -76620L, -171642L, -40531L, -120069L, 7827L),
+    Seq(114803L, 131029L, 135928L, 170758L, 119055L, 28184L, 69567L, 115431L, -158453L, 223248L, 175523L, 98285L, -24741L, -291320L, -81461L, -124135L, -139861L, -185729L, -106812L, 121430L, -195591L, -133730L, 172739L, -188680L, 45261L, 124534L, -65132L, -30201L, 290336L, -17093L, 78116L, 59571L, 28954L, 27315L, 86192L, 63760L, -16164L, 61001L, 184301L, 73430L, -118220L, 53637L, -15302L, 101296L, -165638L, 168126L, -61794L, -175824L, -141043L, 3109L, 98687L, -24921L, 255691L, -15293L, 34719L, 73947L, -125346L, 2681L, 17442L, 147095L, 4904L, 42945L, -96925L, -146736L),
+    Seq(184416L, 213984L, -10368L, -62469L, -50724L, -68227L, 44105L, 23333L, -16315L, 13339L, -210460L, 138596L, -240871L, -87193L, 130656L, -7919L, 169270L, -48945L, 97150L, -1264L, -86352L, 42163L, 60966L, -47408L, 181503L, -177470L, -214239L, -86277L, -58839L, -30386L, -226477L, -61698L, -69308L, -174070L, 143066L, 111844L, -41085L, -117339L, -47823L, -141466L, 78587L, -33857L, 83703L, -194051L, -107506L, 200179L, -97216L, 109024L, 55483L, 197045L, 83356L, 4885L, -19213L, 155991L, 130733L, -49398L, 10411L, -116931L, 33927L, -53092L, 377211L, -19887L, 130031L, -159938L),
+    Seq(61450L, 3752L, -126278L, 85567L, -361870L, -67212L, -21887L, -28442L, 134643L, -99770L, -203312L, -73913L, 254814L, -165172L, -192824L, -31584L, -191643L, -106232L, 207478L, 51453L, -96461L, 61466L, -58017L, -140496L, -30998L, -22478L, 163460L, -67725L, 114538L, 126108L, -110570L, 232668L, -51564L, -163301L, 54727L, -38327L, -59439L, -216038L, 22255L, 88353L, 1352L, 171736L, 146801L, -163414L, 41024L, 34727L, 193524L, -5473L, -175189L, -10468L, 60403L, -8939L, 106165L, -25833L, -111591L, 136022L, 107930L, -42230L, -149533L, -71658L, 39868L, -164523L, -26217L, 121461L),
+    Seq(87776L, 57555L, -61863L, 32665L, -65175L, 83468L, 139808L, 37644L, -113546L, 36965L, 7000L, 22756L, -148251L, 49913L, 2922L, 121225L, 82797L, 73969L, -12971L, 105881L, 111078L, 21593L, 34587L, -97385L, 24032L, 61982L, 138921L, -399887L, 31116L, 81448L, 8414L, 287045L, 48493L, 72041L, 24025L, -134079L, 249008L, 2614L, 155946L, -29451L, 112670L, -76276L, 257452L, 30185L, -33354L, 34783L, -161130L, -48914L, 47292L, -137546L, 167273L, -146408L, -147830L, -170980L, -61969L, -108716L, 92363L, -119657L, 364639L, -75389L, -68146L, 19699L, 72104L, 195718L),
+    Seq(47221L, 64954L, -56722L, 93998L, -127086L, -61273L, 108603L, -180986L, -55832L, -164741L, 53142L, 99438L, 91307L, 78732L, 21328L, -26361L, 346130L, -162386L, 175974L, -4696L, -24537L, 43406L, 185399L, 278510L, -152449L, -28353L, 70231L, 65256L, 302420L, 131246L, 159871L, -3628L, -139314L, 127868L, 60370L, -51645L, -155467L, -38009L, -190464L, -43688L, 40599L, -101435L, 113280L, 126946L, -26033L, 91627L, -204441L, -7528L, -17434L, -20804L, -183338L, -118364L, 108030L, -30253L, 246132L, -18770L, 77697L, 11207L, -28560L, 43513L, 36391L, 45560L, -216950L, 142856L),
+    Seq(28322L, 13296L, 69289L, -17856L, -114418L, -197699L, 85603L, -112307L, 2806L, -44180L, 380098L, 53560L, 95457L, 83985L, -118167L, 81678L, -28023L, 184829L, 142215L, -190209L, -2691L, -293574L, 65203L, -7068L, -49638L, 76116L, -44655L, 213017L, -46626L, -216716L, 62784L, 121165L, 2252L, -43382L, 91040L, 69762L, 61795L, -60368L, 10525L, 138022L, 58682L, -200333L, -35401L, -36552L, -159013L, 69138L, -9138L, -201732L, -78016L, -40293L, 169711L, 37042L, -132257L, -106453L, 135384L, -9519L, 155028L, 19963L, -90391L, -209159L, 123385L, -117244L, 283701L, -28910L),
+    Seq(105475L, -157552L, 196683L, -29430L, -35498L, 18233L, -82170L, 18170L, 92644L, -7285L, -168362L, 139304L, -86372L, 28915L, -20960L, -58405L, 145818L, 269398L, -64663L, -123703L, -36597L, -117394L, 142645L, -47591L, -19222L, -193109L, -254898L, -78757L, 65682L, 166020L, 25135L, 133218L, -93510L, -131362L, -332506L, -203836L, -138571L, 9261L, -22000L, 197410L, -65121L, 89500L, 30466L, 97810L, 11093L, 11488L, -91816L, -32441L, 193716L, -89121L, 238896L, 215945L, 101397L, -39259L, 81910L, 248801L, 116857L, 99293L, -23627L, 27584L, -114573L, 2199L, -11750L, 10087L),
+    Seq(258913L, -332797L, 85254L, 213162L, 66659L, 25984L, 8831L, 52614L, 107159L, -29467L, 90641L, -83922L, -22538L, 45877L, -82132L, -95312L, -139583L, -87483L, 63058L, 37647L, -116662L, -159144L, -63141L, -24654L, -123228L, -151161L, -127904L, -89673L, 67584L, 53669L, -16972L, -192713L, -86933L, 57742L, 53037L, -154469L, 39066L, -96132L, -228750L, -111559L, -91598L, -106302L, -147548L, -163935L, 224856L, 82648L, -95974L, 12182L, -100284L, -56359L, 90672L, 11776L, -9355L, -30742L, 11915L, -130861L, -307708L, -211565L, 68816L, -149379L, -11902L, 111517L, 141260L, 212145L),
+    Seq(216252L, -162250L, -244464L, 192984L, 86971L, 92399L, 50305L, 9248L, 170100L, 30548L, 30593L, 126536L, 60032L, -36582L, -201670L, 137466L, 90898L, 152606L, 56586L, 101917L, -22437L, 12103L, -91992L, 51726L, 42347L, 112126L, 57005L, -223394L, -156875L, -160361L, -5788L, -69654L, -15181L, 13953L, 159437L, -10915L, -105064L, -25412L, -41271L, 154576L, -271920L, -150021L, 52986L, -108514L, -87395L, -138572L, -111871L, 15027L, 37469L, 156472L, -100950L, -96709L, -178550L, -30651L, 79255L, 370225L, -24977L, 95007L, 42531L, 84867L, -19720L, 6619L, -137713L, -216080L),
+    Seq(187617L, -111033L, -66292L, -369396L, 86984L, -18638L, 21332L, 297625L, 41066L, 65603L, -103558L, 55878L, 86004L, 65940L, -5102L, 20585L, 132939L, 48446L, -81368L, -49894L, -148033L, -35895L, -95203L, -126253L, 10601L, 46497L, 72980L, 94428L, 117404L, -27443L, 202429L, 262855L, -113482L, -66248L, 33788L, 96663L, -151342L, 255373L, -26375L, -23455L, -30634L, -15549L, -90874L, 45242L, -96159L, -83169L, -152547L, 135177L, -182681L, -81469L, -213779L, 71741L, -26837L, 24219L, -140514L, 2749L, -124642L, -84896L, 78930L, -227699L, 181887L, -187326L, -54684L, 118207L),
+    Seq(39266L, -43725L, 65347L, -233692L, 58261L, 19539L, 21947L, -235758L, 22636L, -172361L, -11393L, -64320L, 151291L, -80451L, 217312L, 134444L, -89391L, -110848L, 24158L, 58556L, -2991L, 55973L, -7690L, 98758L, 134961L, -17545L, 3483L, -248262L, 163192L, -120966L, 63410L, -208623L, 221961L, -21854L, -56001L, -159809L, 84372L, -104312L, 34352L, 260548L, -108537L, 151930L, -116719L, 77795L, -80504L, -57182L, -71253L, 25162L, -14631L, 104955L, 46274L, 51558L, 121558L, -179193L, 41159L, -88043L, -98332L, 258653L, 128546L, -288530L, 224117L, -85097L, -26329L, -10079L),
+    Seq(95222L, 37463L, -162401L, 77867L, 140530L, -130760L, 87857L, -32301L, 17338L, -121790L, 65190L, 77787L, 116043L, 10514L, -56618L, -47595L, -57996L, 181624L, -115701L, 335941L, -141315L, 128370L, 130255L, -17223L, -132494L, -66241L, 5327L, -21613L, -31876L, -59885L, -169287L, 132490L, -27909L, 57347L, 102634L, 79411L, -164552L, -5280L, -47724L, -93985L, 47749L, 159730L, 72876L, 178550L, 164891L, -171903L, 29933L, -106305L, 138252L, -41518L, -101016L, 216204L, 185360L, 69051L, 82432L, -209376L, 95508L, 3588L, 102963L, -300452L, -121918L, 74131L, 170002L, -239971L),
+    Seq(138328L, 144558L, 229340L, 163940L, 57462L, 159456L, 63221L, -215896L, 170137L, 155919L, 19776L, 92012L, 128897L, 58185L, -12954L, 122209L, -5702L, 77716L, 120154L, 23732L, -94530L, 203637L, -55661L, 67425L, 34688L, 82099L, -62217L, -73503L, 67447L, -71418L, 245669L, -37212L, -74986L, 38836L, -48581L, 71356L, 48195L, 216409L, -201835L, 30307L, 291342L, 107572L, 146008L, -192145L, -130625L, -55191L, 243488L, 104159L, -30187L, -128288L, 132163L, 245758L, -85418L, 48101L, 13666L, -124193L, -136022L, -68358L, 38019L, 82453L, -47464L, -137263L, -80832L, -79924L),
+    Seq(10540L, 45643L, 56259L, 101785L, -155777L, 76706L, 11524L, -15279L, 70510L, -137753L, 293475L, 28382L, -38142L, -130862L, 96721L, 123141L, 59213L, -62688L, -32923L, 36636L, -172937L, 10840L, -110168L, -124862L, -70312L, -157872L, -239296L, 133446L, -116568L, -46492L, 218593L, -58088L, 178994L, -385257L, 85324L, 20661L, -126732L, -116344L, 246476L, -90714L, 162454L, 45317L, 160091L, 88026L, 87673L, -89185L, -85330L, 223992L, 3860L, -47604L, -127960L, -102117L, -47464L, 33473L, -14046L, 95982L, -101359L, 124359L, 136176L, -18449L, -188487L, -4339L, -3788L, 128896L),
+    Seq(126827L, 73460L, 166567L, -155347L, -196050L, 123574L, -52062L, -8583L, 115990L, -145172L, 35983L, 152202L, 139307L, -146085L, -120153L, -70586L, -43102L, 36634L, -152713L, 5247L, 64840L, 202254L, 3725L, 66556L, -135000L, -83382L, 93720L, -40775L, -184347L, -57556L, -21116L, -189716L, 41696L, 46631L, 4452L, -84123L, -64581L, 382578L, 27201L, 39978L, 171308L, -177798L, 328L, 115959L, 32806L, 179426L, -62990L, -83142L, 64271L, 176222L, 89647L, -248014L, 197177L, -95386L, -156556L, 105753L, -10067L, -257075L, -102713L, -101281L, -13499L, -12817L, 73686L, -43812L),
+    Seq(97471L, 207600L, 22550L, 97434L, -249874L, -413L, -59516L, 67994L, -99230L, 44348L, -278634L, 246685L, -142568L, 218147L, 26321L, 20272L, -34128L, 130546L, -159041L, 59293L, 85340L, -197812L, -63510L, -39690L, -24054L, 86812L, 171370L, -66600L, 157885L, -126102L, 178075L, -277469L, -49592L, -75365L, 29737L, -6750L, -47118L, -56136L, 156577L, -88497L, 74648L, -171467L, -55969L, -33961L, 155226L, -217902L, 219533L, -82059L, -125441L, -80574L, 2723L, 29128L, 99708L, -27652L, 99910L, 62078L, -48909L, 128060L, -62616L, -169536L, 71744L, 195644L, -30623L, 31593L),
+    Seq(128141L, -34714L, -234712L, -109956L, -133688L, 38498L, 149003L, 87268L, 211762L, -117502L, 19832L, -44555L, 11338L, 6964L, 117012L, 186311L, -52237L, 43044L, -88421L, -71198L, 105418L, 37666L, 37859L, -155509L, -173783L, 338807L, 55860L, -1042L, 3469L, 103767L, 87054L, -115997L, -24761L, -33641L, -100677L, 45838L, -109241L, -11748L, -125616L, -82252L, -128860L, 59935L, 50525L, 180941L, -101569L, 257578L, 121560L, -63047L, 37163L, 71116L, 204260L, -20920L, 26124L, 342733L, 95007L, -93717L, -139470L, 187821L, 91605L, 157325L, -10643L, 48593L, 196650L, 88293L),
+    Seq(102837L, 276054L, -321260L, -139693L, -33251L, 67591L, -111512L, -19441L, -55429L, 9655L, 262784L, -207740L, 81232L, 173201L, -68429L, 106389L, -45564L, -73546L, -362884L, -64394L, -76996L, -8452L, -121632L, 176357L, 298020L, -55119L, -15136L, -30523L, 93945L, 12892L, -127810L, 5013L, -50146L, -197045L, -73367L, -78392L, -39206L, 3061L, -139020L, -55406L, -13661L, 14422L, 3953L, -19107L, 106373L, 152598L, -22173L, -36585L, -27252L, -195085L, 154461L, 49077L, -44579L, -75887L, 144540L, 109042L, -43152L, -139795L, -70441L, -38503L, -94047L, 22347L, -161999L, -86039L),
+    Seq(186329L, 109674L, -161047L, 174705L, 70003L, 240049L, -145501L, -20214L, -57595L, -96669L, 42127L, 124172L, -198749L, -115806L, -129151L, 119757L, 105421L, -133714L, -134888L, -87542L, 69635L, -22737L, 46565L, 26184L, -171562L, 38188L, -31917L, -73183L, 127664L, -5279L, -110379L, -26194L, 35954L, -21841L, 33509L, -154255L, 213247L, 60299L, -40485L, 167899L, 133230L, 85833L, -270472L, -22980L, -9681L, -8650L, -88390L, 62595L, -94007L, -60567L, -206995L, 112565L, -39008L, 254011L, -138702L, -48981L, 230835L, 118900L, -192231L, -22979L, -52896L, -210112L, 203157L, 64940L),
+    Seq(159682L, -192127L, 175510L, -65381L, -206268L, -40714L, 56059L, -95805L, -8272L, 101285L, 66978L, -74488L, 97210L, -68811L, 287284L, 160174L, 272914L, 54686L, -182272L, 182595L, -135655L, 87983L, 90125L, -226362L, 22663L, 4578L, 95737L, 144508L, -32841L, 8666L, -294817L, -37587L, 1926L, 40989L, -43256L, -70786L, 169452L, 43494L, -6648L, -10636L, -71888L, -157245L, -60775L, -74282L, 172628L, -205438L, 25711L, -52827L, -224411L, -74034L, 43717L, -76541L, 30693L, 37707L, 167768L, -64118L, 80082L, 7053L, -34402L, 208151L, -16361L, -203368L, -73393L, -59445L),
+    Seq(143178L, -115617L, -128311L, 108634L, -71115L, -113633L, -68516L, -83471L, -81184L, -58562L, -116525L, -111936L, -63485L, 184552L, 54787L, -105782L, -342583L, -101378L, -39516L, -68306L, -94368L, 43228L, 150738L, -28334L, 22836L, -58871L, -58163L, -16706L, -88453L, -23042L, -85326L, -59733L, -106183L, -25708L, -103774L, -26148L, -88156L, 250888L, 170518L, 278292L, 64186L, -206717L, 154569L, 50513L, -79031L, 152923L, 114677L, 103091L, -24071L, -153035L, -351968L, 19311L, -45816L, -121036L, 173619L, -66738L, -14201L, 71015L, 178371L, 176954L, 72753L, -91678L, 123675L, -22533L),
+    Seq(172640L, 1912L, -73748L, 22906L, 39682L, 169013L, 82117L, -122101L, -45581L, -110313L, 42768L, -104610L, -10639L, 42241L, 54216L, -105126L, -16517L, -72337L, -252L, -89520L, 22236L, -191400L, -67965L, 15231L, 28999L, -156764L, 57637L, -58621L, -84784L, 305729L, 126197L, 115194L, 32395L, -33142L, -174202L, 239055L, -80403L, 12476L, -84336L, -40179L, 269061L, 69845L, -154929L, -96149L, 69679L, -256502L, 10922L, -414607L, -48530L, 173199L, -47085L, -159802L, 44358L, -10086L, -39999L, 91049L, -37304L, 78213L, 203826L, 138740L, 132904L, -83312L, 76316L, -151757L),
+    Seq(26304L, -13359L, 29756L, -77990L, 23425L, 35516L, 14983L, -226090L, 30900L, 58428L, 110975L, 74783L, 16640L, -84210L, -116741L, -19644L, -130788L, 27952L, -166773L, -45087L, 221581L, 97194L, 219464L, -229368L, 246684L, -126200L, -165398L, -71247L, -117644L, 196941L, 56868L, 52620L, -169342L, 243056L, 211763L, -147206L, -185952L, -109573L, -49902L, -142538L, 60401L, -6533L, -178453L, 167850L, -155234L, -115607L, 219990L, 160150L, -166971L, -39244L, -11434L, -133663L, -135836L, 35529L, 58069L, 65030L, 60441L, 69261L, -23985L, -101728L, 69764L, 72162L, -54365L, 120207L),
+    Seq(225513L, -36112L, -4284L, -162399L, -268525L, -125851L, 85187L, -84615L, 40986L, 104810L, 93470L, 18646L, -112047L, -137624L, -125875L, -133584L, -10546L, -51858L, -112400L, -9382L, 174280L, 90668L, 55113L, 95384L, 20454L, 21594L, 15726L, 145889L, 162315L, -92639L, 27722L, -76009L, -8884L, 50451L, 161612L, 65524L, -38126L, 134873L, 20674L, -104487L, -119972L, 320353L, 178L, -186265L, 160760L, -91232L, -94333L, -6260L, 219699L, -40620L, -24007L, 166313L, -170030L, -285016L, -118027L, 16470L, 44414L, 134126L, 72663L, 247709L, 97524L, 97060L, 163274L, 92066L),
+    Seq(73491L, -186760L, 124485L, 2557L, 76732L, -344759L, 87576L, -218820L, 3483L, 46509L, -25635L, 93361L, -142134L, 308579L, -89593L, -81762L, -89944L, 5727L, -43433L, 28838L, -16847L, 116220L, -162069L, 110866L, 85010L, 149218L, 29236L, -109372L, 68230L, -29961L, -11634L, 55934L, 254486L, -180928L, 198660L, -74817L, -100511L, -107251L, -14568L, -94348L, 143125L, -86025L, -158777L, 227819L, 86124L, 106022L, -52212L, -11539L, -37487L, 14958L, 87292L, 39465L, 96530L, 174264L, -202035L, 83996L, 90889L, -43849L, 49316L, 219114L, 12905L, -205899L, -81058L, 653L),
+    Seq(56916L, 71407L, -127373L, -265594L, -47843L, -30905L, 29438L, -68467L, 145606L, 92082L, 50606L, 157913L, -33837L, -20236L, -61767L, 134180L, -190471L, 175185L, 70590L, 138654L, -67531L, -134999L, -189670L, 170075L, -9365L, -25450L, -160488L, 135123L, 176991L, 30923L, -33751L, -54824L, -6213L, 302344L, -221870L, -126626L, -20686L, -217853L, 241401L, 68401L, 53475L, 36202L, -27401L, -130812L, -114467L, -120394L, -46974L, 79868L, 43944L, -56025L, -120868L, -191873L, 154592L, 176362L, 15989L, -45172L, 30093L, -271392L, 89619L, 167876L, -27507L, -2503L, 65914L, -8173L),
+    Seq(160863L, -199713L, -227458L, -69149L, -15555L, 91605L, -22396L, 53553L, -256833L, 18013L, 71104L, 88365L, 117777L, -45195L, 273738L, -126731L, -30184L, 15798L, 81213L, 144371L, 122762L, -226661L, 144090L, 28438L, -160258L, 56610L, 21299L, -50312L, 2963L, -83144L, 29760L, 111799L, 211327L, 24803L, -27944L, -144166L, -8252L, -36964L, 47067L, -148431L, 244224L, 78770L, -27020L, 65354L, -6690L, 52930L, 199315L, 200157L, 146601L, 150614L, 39097L, 137919L, -147490L, -108046L, 119113L, 125900L, -137583L, -192673L, -232539L, 72492L, 31148L, -104546L, -77735L, -57768L)
+  )
+
+  /** Embedding re-expressed in the trained principal basis as
+    * exact-integer ppm doubles — the truncation-ladder serve path: a
+    * PREFIX of this array is the best d-dimensional linear sketch of
+    * the corpus the trained basis offers, where a prefix of the RAW
+    * array is an arbitrary coordinate subset (ext_knn_dim_recall
+    * measures the gap). Full-length rotated cosine equals exact cosine
+    * up to the matrix's ppm rounding (orthogonality).
+    */
+  def rotatePpm(vec: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    graft.functions.MatVecFloor.of(vec, refRotationPpm)
+
+
   val refIvfCentroids: Seq[Seq[Double]] = Seq(
     Seq(0.025416, 0.040068, 0.008489, 1.16E-4, -0.011068, 0.019375, 0.063418, 0.021082, 0.01399, -0.057459, 0.076434, -0.006983, 0.009293, -0.013321, 0.015576, 0.038556, 0.052695, 0.040208, -0.039346, -0.035976, -0.023297, -0.020578, 0.013782, -0.001794, -0.017992, 0.022205, -0.027033, 0.014803, 0.038176, 0.021163, 0.0578, -0.01591, 0.005221, 0.012709, -0.030898, 0.010246, -0.045167, -0.026724, 0.014747, 0.020969, -0.00447, -4.76E-4, -0.039095, -0.045231, -0.022134, -0.005039, 0.029025, 0.028119, -0.001209, -0.009864, -0.035575, 0.024908, -0.049172, -0.026929, 0.033143, 0.002092, -0.033422, -0.022961, -0.025456, -0.081535, -0.027706, -0.05005, 0.012103, -0.051374),
     Seq(0.021616, -0.012101, -0.019465, 0.029743, 0.048977, 0.005254, -0.049333, -0.020234, -0.019128, -0.042929, 0.016902, -0.016473, -0.016748, 0.022514, 0.008958, -0.010403, 0.026869, 0.040482, -0.001855, -0.036829, 0.028741, 0.051574, 0.063511, -0.103412, -0.029494, -0.024909, 0.042019, 0.042231, -0.0452, -3.52E-4, 0.029624, -0.048081, -0.032768, -0.016531, 0.021364, 0.025572, 0.061666, 0.007157, 0.029054, 0.061703, 0.013662, 0.029604, 0.032749, -0.031744, -0.024182, -0.010035, -0.027262, 0.013549, -0.01396, 0.025947, -0.01458, -0.034295, 0.012086, 0.016124, 0.014281, 0.001171, -0.015271, -0.025422, 4.25E-4, 0.032751, -0.02262, 0.034163, 0.042801, -0.02009),
