@@ -517,6 +517,45 @@ object PipelineQueries {
       "UNION ALL SELECT host, 'https://' || host || '/deep/2', NULL FROM smh WHERE i % 8 = 4 " +
       "UNION ALL SELECT host, 'https://' || host || '/news/' || i, NULL FROM smh WHERE i % 3 = 0)"
 
+  /** Closed-form recrawl replay of [[fetchHistoryTable]] — CTEs `rfh`
+    * (the generated fetch stream), `rmk` (change marking), `rcg`/`rmd`
+    * (change gaps, lower median), `rag` (per-doc rollup), `rest`
+    * (doc_id, nf, nc, lt, e) with the prior/default arms and the
+    * 150000 clamp. Shared by ext_recrawl_due and the composed frontier
+    * (drift-proofing). Doc-keyed: fixture urls are 1:1 with docs.
+    */
+  private def recrawlSqlD: String =
+    "rfh AS (SELECT doc_id, g.j, " +
+      "doc_id + g.j * ((100 + doc_id % 9 * 33) * 1000) AS fts, " +
+      "CASE WHEN doc_id % 4 = 0 THEN 'h' " +
+      "WHEN doc_id % 4 = 1 THEN 'h' || g.j " +
+      "WHEN doc_id % 4 = 2 THEN 'h' || (g.j // 2) " +
+      "ELSE 'h' || (CASE WHEN g.j = 2 + doc_id % 3 THEN 1 ELSE 0 END) END AS ch " +
+      "FROM documents, unnest(generate_series(0, CAST(2 + doc_id % 3 AS BIGINT))) AS g(j)), " +
+      "rmk AS (SELECT doc_id, fts, ch, " +
+      "lag(ch) OVER (PARTITION BY doc_id ORDER BY fts, ch) AS prev FROM rfh), " +
+      "rcg AS (SELECT doc_id, fts - lag(fts) OVER (PARTITION BY doc_id ORDER BY fts) AS d " +
+      "FROM rmk WHERE prev IS NULL OR ch <> prev), " +
+      "rmd AS (SELECT doc_id, d AS m FROM ( " +
+      "SELECT doc_id, d, row_number() OVER (PARTITION BY doc_id ORDER BY d) AS rn, " +
+      "count(*) OVER (PARTITION BY doc_id) AS cnt " +
+      "FROM rcg WHERE d IS NOT NULL) " +
+      "WHERE rn = (cnt + 1) // 2), " +
+      "rag AS (SELECT doc_id, count(*) AS nf, " +
+      "sum(CASE WHEN prev IS NULL OR ch <> prev THEN 1 ELSE 0 END) AS nc, " +
+      "max(fts) AS lt " +
+      "FROM rmk GROUP BY doc_id), " +
+      "rest AS (SELECT a.doc_id, a.nf, a.nc, a.lt, " +
+      "greatest(CASE WHEN rmd.m IS NOT NULL THEN rmd.m " +
+      "WHEN a.doc_id % 8 = 0 THEN a.lt - (a.doc_id - 5000) " +
+      "ELSE 1000000 END, 150000) AS e " +
+      "FROM rag a LEFT JOIN rmd ON rmd.doc_id = a.doc_id)"
+
+  /** [[recrawlUrl]] in SQL. */
+  private def recrawlUrlD(d: String): String =
+    s"(CASE WHEN ($d) % 13 = 0 THEN 'mailto:u' || ($d) || '@example.com' " +
+      s"ELSE 'https://' || ${siteHostD(s"($d) % 40")} || '/p/' || ($d) END)"
+
   /** The robots-decision CTE chain shared by ext_robots_filter and the
     * composed crawl-policy oracle: each site's *-group rules emitted
     * directly from [[robotsTable]]'s closed form (no parsing; NULL-body
@@ -1746,6 +1785,53 @@ object PipelineQueries {
           discovered.join(crawled, Seq("url"), "left_anti")
             .withColumn("host", UrlOps.hostOf(col("url"))),
           Robots.crawlDelayBudget(robotsTable(s)).select("host", "delay_ms"))
+        .orderBy("host", "url")
+    }),
+
+    // the COMPLETE frontier: all three discovery channels in one plan —
+    // link discovery ∪ sitemap-listed pages (both anti-joined against
+    // everything ever crawled, where "crawled" now includes the fetch
+    // store), ∪ the recrawl queue's due rows (disjoint by construction:
+    // due URLs ARE crawled, so the anti-join removed them from the
+    // fresh channels) — each row carrying its REASON provenance
+    // (recrawl/sitemap/discovered, sitemap preferred over discovered
+    // when both claim a URL), scheduled per host under declared
+    // Crawl-delays; only canonicalizable URLs dispatch (a frontier is
+    // fetchable by definition — the recrawl QUEUE keeps NULL-host rows
+    // visible, the dispatch plan does not)
+    "ext_frontier_full" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val la = linkAug(docs)
+      val fh = fetchHistoryTable(docs)
+      val crawled = la.select(UrlOps.canonicalUrl(col("url")).as("url"))
+        .unionByName(fh.select(UrlOps.canonicalUrl(col("url")).as("url")))
+        .where(col("url").isNotNull).distinct()
+      val fresh = LinkGraph.resolveLinks(
+          LinkGraph.extractLinks(la, keepCols = Seq("url")))
+        .select(UrlOps.canonicalUrl(col("href")).as("url"), lit(2L).as("__rk"))
+        .unionByName(Sitemaps.sitemapPageUrls(robotsTable(s), sitemapBodyTable(s))
+          .select(col("url"), lit(1L).as("__rk")))
+        .where(col("url").isNotNull)
+        .groupBy("url").agg(min(col("__rk")).as("__rk"))
+        .join(crawled, Seq("url"), "left_anti")
+      val due = Recrawl.recrawlDue(fh,
+          lastmods = Some(docs.where(col("doc_id") % 8 === 0)
+            .select(recrawlUrl(col("doc_id")).as("url"),
+              (col("doc_id") - 5000L).as("lastmod_ts"))),
+          defaultIntervalMs = 1000000L, minIntervalMs = 150000L)
+        .where(col("next_due_ms") <= 1500000L)
+        .select(UrlOps.canonicalUrl(col("url")).as("url"), lit(0L).as("__rk"))
+        .where(col("url").isNotNull)
+      val cands = fresh.unionByName(due)
+        .withColumn("host", UrlOps.hostOf(col("url")))
+      Robots.fetchSchedule(cands.select("host", "url"),
+          Robots.crawlDelayBudget(robotsTable(s)).select("host", "delay_ms"))
+        .join(cands.select(col("url"),
+          when(col("__rk") === 0, lit("recrawl"))
+            .when(col("__rk") === 1, lit("sitemap"))
+            .otherwise(lit("discovered")).as("reason")), Seq("url"))
+        .select(col("host"), col("url"), col("reason"), col("slot"),
+          col("not_before_ms"))
         .orderBy("host", "url")
     }),
 
@@ -3686,39 +3772,54 @@ object PipelineQueries {
          |  CAST((slot - 1) * COALESCE(dm, 1000) AS BIGINT) AS not_before_ms
          |FROM fsc ORDER BY host, url""".stripMargin,
 
+    // the complete frontier: fresh channels (resolved links incl. the
+    // nav site roots, sitemap pages; min-rank election where both claim
+    // a URL) anti-joined against crawled = page URLs ∪ the fetch store,
+    // plus the recrawl replay's due rows (disjoint — due means crawled),
+    // one schedule over the union, reason labels from the elected rank
+    "ext_frontier_full" ->
+      s"""WITH $linkAugSql,
+         |$sitemapPagesSqlD,
+         |$recrawlSqlD,
+         |ffcr AS (SELECT DISTINCT u AS url FROM (
+         |    SELECT ${UrlOps.canonicalUrlD("url")} AS u FROM lad
+         |    UNION ALL SELECT ${recrawlUrlD("doc_id")} FROM documents WHERE doc_id % 13 <> 0)
+         |  WHERE u IS NOT NULL),
+         |fffr AS (SELECT url, min(rk) AS rk FROM (
+         |    SELECT ${UrlOps.canonicalUrlD("href")} AS url, 2 AS rk FROM la
+         |    UNION ALL
+         |    SELECT DISTINCT 'https://' || ${siteHostD("doc_id % 40")} || '/', 2
+         |    FROM documents WHERE doc_id % 13 <> 0
+         |    UNION ALL
+         |    SELECT url, 1 FROM smp)
+         |  WHERE url IS NOT NULL GROUP BY url),
+         |ffa AS (SELECT f.url, f.rk FROM fffr f LEFT JOIN ffcr c ON f.url = c.url
+         |        WHERE c.url IS NULL),
+         |ffdue AS (SELECT ${recrawlUrlD("doc_id")} AS url, 0 AS rk FROM rest
+         |          WHERE doc_id % 13 <> 0 AND lt + e <= 1500000),
+         |ffc AS (SELECT url, rk FROM ffa UNION ALL SELECT url, rk FROM ffdue),
+         |ffcb AS (SELECT ${siteHostD("i")} AS host,
+         |           CASE WHEN i % 3 = 0 THEN 5000 ELSE 9000000 END AS dm
+         |         FROM range(40) t(i) WHERE i % 3 IN (0, 2) AND i % 10 <> 5),
+         |ffs AS (SELECT split_part(f.url, '/', 3) AS host, f.url, f.rk,
+         |          row_number() OVER (PARTITION BY split_part(f.url, '/', 3)
+         |                             ORDER BY f.url) AS slot,
+         |          cb.dm
+         |        FROM ffc f LEFT JOIN ffcb cb ON cb.host = split_part(f.url, '/', 3))
+         |SELECT host, url,
+         |  CASE WHEN rk = 0 THEN 'recrawl' WHEN rk = 1 THEN 'sitemap'
+         |       ELSE 'discovered' END AS reason,
+         |  CAST(slot AS BIGINT) AS slot,
+         |  CAST((slot - 1) * COALESCE(dm, 1000) AS BIGINT) AS not_before_ms
+         |FROM ffs ORDER BY host, url""".stripMargin,
+
     // recrawl cadence: the oracle replays change marking (lag over
     // fetch order), change-gap lower median (the I1 spelling), the
     // lastmod-prior and default arms, the min clamp, and next-due —
     // doc-keyed (urls are 1:1 with docs by construction)
     "ext_recrawl_due" ->
-      s"""WITH rfh AS (
-         |  SELECT doc_id, g.j,
-         |    doc_id + g.j * ((100 + doc_id % 9 * 33) * 1000) AS fts,
-         |    CASE WHEN doc_id % 4 = 0 THEN 'h'
-         |         WHEN doc_id % 4 = 1 THEN 'h' || g.j
-         |         WHEN doc_id % 4 = 2 THEN 'h' || (g.j // 2)
-         |         ELSE 'h' || (CASE WHEN g.j = 2 + doc_id % 3 THEN 1 ELSE 0 END) END AS ch
-         |  FROM documents, unnest(generate_series(0, CAST(2 + doc_id % 3 AS BIGINT))) AS g(j)),
-         |rmk AS (SELECT doc_id, fts, ch,
-         |          lag(ch) OVER (PARTITION BY doc_id ORDER BY fts, ch) AS prev FROM rfh),
-         |rcg AS (SELECT doc_id, fts - lag(fts) OVER (PARTITION BY doc_id ORDER BY fts) AS d
-         |        FROM rmk WHERE prev IS NULL OR ch <> prev),
-         |rmd AS (SELECT doc_id, d AS m FROM (
-         |          SELECT doc_id, d, row_number() OVER (PARTITION BY doc_id ORDER BY d) AS rn,
-         |            count(*) OVER (PARTITION BY doc_id) AS cnt
-         |          FROM rcg WHERE d IS NOT NULL)
-         |        WHERE rn = (cnt + 1) // 2),
-         |rag AS (SELECT doc_id, count(*) AS nf,
-         |          sum(CASE WHEN prev IS NULL OR ch <> prev THEN 1 ELSE 0 END) AS nc,
-         |          max(fts) AS lt
-         |        FROM rmk GROUP BY doc_id),
-         |rest AS (SELECT a.doc_id, a.nf, a.nc, a.lt,
-         |           greatest(CASE WHEN rmd.m IS NOT NULL THEN rmd.m
-         |                         WHEN a.doc_id % 8 = 0 THEN a.lt - (a.doc_id - 5000)
-         |                         ELSE 1000000 END, 150000) AS e
-         |         FROM rag a LEFT JOIN rmd ON rmd.doc_id = a.doc_id)
-         |SELECT CASE WHEN doc_id % 13 = 0 THEN 'mailto:u' || doc_id || '@example.com'
-         |       ELSE 'https://' || ${siteHostD("doc_id % 40")} || '/p/' || doc_id END AS url,
+      s"""WITH $recrawlSqlD
+         |SELECT ${recrawlUrlD("doc_id")} AS url,
          |  CASE WHEN doc_id % 13 = 0 THEN NULL
          |       ELSE ${siteHostD("doc_id % 40")} END AS host,
          |  CAST(nf AS BIGINT) AS n_fetches, CAST(nc AS BIGINT) AS n_changes,

@@ -516,4 +516,51 @@ class PlanAssertionsSpec extends SparkSpec {
     val partialIdx = plan.indexOf("partial_kmv_distinct")
     assert(partialIdx >= 0, s"no map-side partial sketch:\n${plan.take(3000)}")
   }
+
+  test("ext_sitemap_urls: expansion is keyed equi-joins — no cartesian, no regex; the parse is the JVM walk") {
+    val plan = planOf("ext_sitemap_urls")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"sitemap expansion must join on (host, sitemap key):\n${plan.take(2000)}")
+    // the XML parse itself is the mapPartitions walk: the only regex in
+    // the plan is hostOf/canonicalUrl's own URL-structure extraction
+    assert(!plan.contains("RLike"),
+      s"no pattern matching belongs in the sitemap plan:\n${plan.take(2000)}")
+  }
+
+  test("ext_recrawl_due: the whole chain shuffles on the URL key only") {
+    val plan = planOf("ext_recrawl_due")
+    assert(!plan.contains("CartesianProduct"),
+      s"recrawl joins must be keyed:\n${plan.take(2000)}")
+    // windows, the rollup and the prior/median joins all key on url —
+    // one partitioning end to end, so few distinct hash exchanges
+    val hashExchanges = "Exchange hashpartitioning\\(url".r.findAllIn(plan).size
+    val otherExchanges = "Exchange hashpartitioning".r.findAllIn(plan).size - hashExchanges
+    assert(otherExchanges == 0,
+      s"recrawl must not shuffle on any non-url key ($otherExchanges found):\n${plan.take(3000)}")
+  }
+
+  test("ext_knn_dim_recall: the rotation is the native codegen kernel, queries broadcast") {
+    val plan = planOf("ext_knn_dim_recall")
+    assert(plan.contains("mat_vec_floor"),
+      s"the trained rotation must serve through the native MatVecFloor node:\n${plan.take(2000)}")
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"the 10-query side must broadcast onto the corpus:\n${plan.take(2000)}")
+  }
+
+  test("ext_robots_pct: targets normalize through the native kernel; the decision stays regex-free") {
+    val plan = planOf("ext_robots_pct")
+    assert(plan.contains("robots_pct_normalize"),
+      s"the 2.2.2 normalization must be the native node:\n${plan.take(2000)}")
+    assert(plan.contains("robots_match"), s"native robots_match missing:\n${plan.take(2000)}")
+    assert(!plan.contains("RLike") && !plan.contains("rlike"),
+      s"a regex crept into the decision path:\n${plan.take(2000)}")
+  }
+
+  test("ext_frontier_full: three channels, one schedule — delay table broadcasts, no cartesian") {
+    val plan = planOf("ext_frontier_full")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the crawl-delay table must broadcast:\n${plan.take(2000)}")
+    assert(!plan.contains("CartesianProduct"),
+      s"channel union/anti-join must stay keyed:\n${plan.take(2000)}")
+  }
 }
