@@ -1,0 +1,96 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class RecrawlStreamSpec extends SparkSpec {
+  import spark.implicits._
+  import RecrawlStream.{FetchObs, RecrawlUpdate}
+
+  test("recrawlDueStream == batch recrawlDue across splits; emissions prefix-consistent (RocksDB)") {
+    implicit val sqlCtx = spark.sqlContext
+    val feed = Seq(
+      FetchObs("https://a.com/x", 0L, "h0"), FetchObs("https://a.com/x", 100L, "h1"),
+      FetchObs("https://a.com/x", 180L, "h1"), FetchObs("https://a.com/x", 250L, "h2"),
+      FetchObs("https://b.com/y", 200L, "s"), FetchObs("https://b.com/y", 300L, "s"),
+      FetchObs("https://c.com/z", 10L, "s"), FetchObs("https://c.com/z", 20L, "s"),
+      FetchObs("https://d.com/w", 0L, "x0"), FetchObs("https://d.com/w", 3L, "x1"),
+      FetchObs("https://d.com/w", 6L, "x2"),
+      FetchObs("https://e.com/v", 100L, "s"))
+    val lm = Seq(("https://b.com/y", 40L), ("https://e.com/v", 500L))
+      .toDF("url", "lastmod_ts")
+    // the batch twin over the same fetches is the equality target
+    val want = graft.pipeline.Recrawl.recrawlDue(
+        feed.toDF("url", "fetch_ts", "content_hash"), Some(lm),
+        defaultIntervalMs = 1000L, minIntervalMs = 50L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(want("https://a.com/x") == ((4L, 3L, 100L, 350L)), s"batch fixture drifted: $want")
+
+    val confKey = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(confKey)
+    spark.conf.set(confKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      Seq(Seq(12), Seq.fill(12)(1), Seq(5, 4, 3)).zipWithIndex.foreach { case (split, si) =>
+        val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[FetchObs]
+        val name = s"recrawl_stream_out_$si"
+        val q = RecrawlStream.recrawlDueStream(in.toDS(), Some(lm),
+            defaultIntervalMs = 1000L, minIntervalMs = 50L)
+          .writeStream.format("memory").queryName(name).outputMode("append").start()
+        try {
+          var rest = feed
+          split.foreach { n =>
+            val (chunk, tail) = rest.splitAt(n)
+            rest = tail
+            if (chunk.nonEmpty) { in.addData(chunk); q.processAllAvailable() }
+          }
+          val rows = spark.table(name).as[RecrawlUpdate].collect()
+          // one emission per fetch
+          assert(rows.length == feed.length, s"split $si: ${rows.length} emissions")
+          // the LAST emission per url (highest n_fetches) == the batch row
+          val last = rows.groupBy(_.url).map { case (u, rs) =>
+            val r = rs.maxBy(_.n_fetches)
+            u -> ((r.n_fetches, r.n_changes, r.est_interval_ms, r.next_due_ms))
+          }
+          assert(last == want, s"split $si: stream diverged from batch\n$last\n$want")
+          // prefix consistency for the median-arm url: each emission is
+          // the batch answer over that fetch prefix
+          val a = rows.filter(_.url == "https://a.com/x").sortBy(_.n_fetches)
+            .map(r => (r.n_fetches, r.n_changes, r.est_interval_ms, r.next_due_ms)).toSeq
+          assert(a == Seq((1L, 1L, 1000L, 1000L), (2L, 2L, 100L, 200L),
+            (3L, 2L, 100L, 280L), (4L, 3L, 100L, 350L)), s"split $si: prefixes $a")
+        } finally q.stop()
+      }
+    } finally {
+      prior match {
+        case Some(v) => spark.conf.set(confKey, v)
+        case None => spark.conf.unset(confKey)
+      }
+    }
+  }
+
+  test("recrawlDueStream bounded gaps: maxGaps slides the median window (the documented divergence)") {
+    implicit val sqlCtx = spark.sqlContext
+    // change gaps 100, 10, 12: batch medians ALL gaps (12); the stream at
+    // maxGaps=2 keeps the last two (10, 12) -> lower median 10
+    val feed = Seq(
+      FetchObs("u", 0L, "a"), FetchObs("u", 100L, "b"),
+      FetchObs("u", 110L, "c"), FetchObs("u", 122L, "d"))
+    val batch = graft.pipeline.Recrawl.recrawlDue(
+        feed.toDF("url", "fetch_ts", "content_hash"), None,
+        defaultIntervalMs = 1000L, minIntervalMs = 1L)
+      .collect().map(r => (r.getLong(4), r.getLong(5))).head
+    assert(batch == ((12L, 134L)), s"batch fixture drifted: $batch")
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[FetchObs]
+    val q = RecrawlStream.recrawlDueStream(in.toDS(), None,
+        defaultIntervalMs = 1000L, minIntervalMs = 1L, maxGaps = 2)
+      .writeStream.format("memory").queryName("recrawl_gap_out").outputMode("append").start()
+    try {
+      in.addData(feed); q.processAllAvailable()
+      val last = spark.table("recrawl_gap_out").as[RecrawlUpdate].collect().maxBy(_.n_fetches)
+      assert((last.est_interval_ms, last.next_due_ms) == ((10L, 132L)),
+        s"sliding-window median diverged: $last")
+    } finally q.stop()
+  }
+}
