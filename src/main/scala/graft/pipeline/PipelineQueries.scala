@@ -1852,6 +1852,28 @@ object PipelineQueries {
         .orderBy("url")
     }),
 
+    // the freshness family SEAMLESSLY composed: sitemap <lastmod>
+    // strings (W3C date prefix, day granularity — documented) convert
+    // to epoch ms with tz-free integer arithmetic (unix_date ==
+    // DuckDB epoch(DATE), both exact) and feed recrawlDue's prior over
+    // a never-changing fetch history of the SAME sitemap-listed pages:
+    // pages whose publisher claims a change date get an age-based
+    // interval, unclaimed pages the crawler default
+    "ext_recrawl_sitemap" -> ((s, dir) => {
+      val pages = Sitemaps.sitemapPageUrls(robotsTable(s), sitemapBodyTable(s))
+      val lm = pages.where(col("lastmod").isNotNull)
+        .select(col("url"),
+          (unix_date(to_date(substring(col("lastmod"), 1, 10))) * 86400000L)
+            .as("lastmod_ts"))
+      val fh = pages.select(col("url"), explode(sequence(lit(0L), lit(1L))).as("j"))
+        .select(col("url"),
+          (lit(1717200000000L) + col("j") * 86400000L).as("fetch_ts"),
+          lit("same").as("content_hash"))
+      Recrawl.recrawlDue(fh, Some(lm),
+          defaultIntervalMs = 30L * 86400000L, minIntervalMs = 3600000L)
+        .orderBy("url")
+    }),
+
     // politeness budget ENFORCED — the batch twin of the online
     // per-host admission in crawlIngestStream: hosts that declared a
     // Crawl-delay keep daily_budget fetches per UTC day in arrival
@@ -3812,6 +3834,22 @@ object PipelineQueries {
          |  CAST(slot AS BIGINT) AS slot,
          |  CAST((slot - 1) * COALESCE(dm, 1000) AS BIGINT) AS not_before_ms
          |FROM ffs ORDER BY host, url""".stripMargin,
+
+    // sitemap-lastmod prior composed: every page fetches twice with
+    // unchanged content (n=2, changes=1), so the estimate is purely the
+    // prior — age since the claimed lastmod day, or the 30-day default
+    "ext_recrawl_sitemap" ->
+      s"""WITH $sitemapPagesSqlD,
+         |rse AS (SELECT url,
+         |    CASE WHEN lastmod IS NOT NULL
+         |         THEN 1717286400000 - epoch(CAST(substr(lastmod, 1, 10) AS DATE)) * 1000
+         |         ELSE 2592000000 END AS e
+         |  FROM smp)
+         |SELECT url, split_part(url, '/', 3) AS host,
+         |  CAST(2 AS BIGINT) AS n_fetches, CAST(1 AS BIGINT) AS n_changes,
+         |  CAST(e AS BIGINT) AS est_interval_ms,
+         |  CAST(1717286400000 + e AS BIGINT) AS next_due_ms
+         |FROM rse ORDER BY url""".stripMargin,
 
     // recrawl cadence: the oracle replays change marking (lag over
     // fetch order), change-gap lower median (the I1 spelling), the
