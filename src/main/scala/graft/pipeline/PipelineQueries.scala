@@ -1852,6 +1852,32 @@ object PipelineQueries {
         .orderBy("url")
     }),
 
+    // CRAWL-TRAP observability: discovered candidates pooled by URL
+    // TEMPLATE (query values dropped, digit runs collapsed) per host —
+    // count + host share; the signal that catches a calendar/facet/
+    // session-id explosion before it eats the crawl budget
+    "ext_crawl_traps" -> ((s, dir) => {
+      val la = linkAug(Tables.documents(s, dir))
+      val disc = LinkGraph.resolveLinks(
+          LinkGraph.extractLinks(la, keepCols = Seq("url")))
+        .select(UrlOps.canonicalUrl(col("href")).as("url"))
+        .where(col("url").isNotNull).distinct()
+      UrlOps.crawlTraps(disc).orderBy("host", "template")
+    }),
+
+    // the trap GUARD: at most 3 frontier candidates survive per (host,
+    // template) in URL order — WindowGroupLimit prunes hot templates
+    // map-side (the domainCapSurvivors discipline)
+    "ext_trap_cap" -> ((s, dir) => {
+      val la = linkAug(Tables.documents(s, dir))
+      val disc = LinkGraph.resolveLinks(
+          LinkGraph.extractLinks(la, keepCols = Seq("url")))
+        .select(UrlOps.canonicalUrl(col("href")).as("url"))
+        .where(col("url").isNotNull).distinct()
+      UrlOps.templateCapSurvivors(disc, cap = 3)
+        .orderBy("host", "template", "url")
+    }),
+
     // the freshness family SEAMLESSLY composed: sitemap <lastmod>
     // strings (W3C date prefix, day granularity — documented) convert
     // to epoch ms with tz-free integer arithmetic (unix_date ==
@@ -3834,6 +3860,51 @@ object PipelineQueries {
          |  CAST(slot AS BIGINT) AS slot,
          |  CAST((slot - 1) * COALESCE(dm, 1000) AS BIGINT) AS not_before_ms
          |FROM ffs ORDER BY host, url""".stripMargin,
+
+    // trap card: the twin re-derives host (split_part), target
+    // (substr past 'https://'+host) and template (the same two global
+    // regex replacements) from the closed-form discovered set
+    "ext_crawl_traps" ->
+      s"""WITH $linkAugSql,
+         |tdc AS (SELECT DISTINCT url FROM (
+         |    SELECT ${UrlOps.canonicalUrlD("href")} AS url FROM la
+         |    UNION
+         |    SELECT DISTINCT 'https://' || ${siteHostD("doc_id % 40")} || '/'
+         |    FROM documents WHERE doc_id % 13 <> 0)
+         |  WHERE url IS NOT NULL),
+         |tpt AS (SELECT split_part(url, '/', 3) AS host,
+         |          regexp_replace(regexp_replace(
+         |            substr(url, 9 + length(split_part(url, '/', 3))),
+         |            '=[^&]*', '=', 'g'), '[0-9]+', 'N', 'g') AS template,
+         |          url
+         |        FROM tdc),
+         |tct AS (SELECT host, template, count(DISTINCT url) AS n FROM tpt GROUP BY 1, 2)
+         |SELECT host, template, CAST(n AS BIGINT) AS n_urls,
+         |  CAST(n * 1000000 // greatest(sum(n) OVER (PARTITION BY host), 1) AS BIGINT)
+         |    AS share_ppm
+         |FROM tct ORDER BY host, template""".stripMargin,
+
+    // trap guard: the same template derivation, slots replayed in URL
+    // order, cap 3
+    "ext_trap_cap" ->
+      s"""WITH $linkAugSql,
+         |tdc AS (SELECT DISTINCT url FROM (
+         |    SELECT ${UrlOps.canonicalUrlD("href")} AS url FROM la
+         |    UNION
+         |    SELECT DISTINCT 'https://' || ${siteHostD("doc_id % 40")} || '/'
+         |    FROM documents WHERE doc_id % 13 <> 0)
+         |  WHERE url IS NOT NULL),
+         |tpt AS (SELECT split_part(url, '/', 3) AS host,
+         |          regexp_replace(regexp_replace(
+         |            substr(url, 9 + length(split_part(url, '/', 3))),
+         |            '=[^&]*', '=', 'g'), '[0-9]+', 'N', 'g') AS template,
+         |          url
+         |        FROM tdc),
+         |tsl AS (SELECT host, template, url,
+         |          row_number() OVER (PARTITION BY host, template ORDER BY url) AS slot
+         |        FROM tpt)
+         |SELECT host, template, url, CAST(slot AS BIGINT) AS slot
+         |FROM tsl WHERE slot <= 3 ORDER BY host, template, url""".stripMargin,
 
     // sitemap-lastmod prior composed: every page fetches twice with
     // unchanged content (n=2, changes=1), so the estimate is purely the

@@ -492,6 +492,77 @@ object UrlOps {
       .select(col(idCol), col("domain"))
   }
 
+  /** URL TEMPLATE — the crawl-trap detection key: the request target
+    * ([[urlPath]]: path + optional query) with the varying parts
+    * collapsed — query VALUES dropped (`?page=7&sid=x1` → `?page=&sid=`)
+    * first, then digit runs → `N` — so a calendar trap
+    * (`/cal/2024/01/02`), a pagination facet, and a numeric-id
+    * explosion pool under ONE key per host while genuinely distinct
+    * pages keep distinct keys. Digit-run collapse only — hex/uuid
+    * segment collapse is a documented caller extension, not silently
+    * guessed here. Host-scoped by every consumer (the robots
+    * origin-scope convention); NULL for unparseable URLs.
+    */
+  def urlTemplate(url: Column): Column =
+    regexp_replace(regexp_replace(urlPath(url), "=[^&]*", "="), "[0-9]+", "N")
+
+  /** CRAWL-TRAP observability card: per (host, template), how many
+    * distinct candidate URLs instantiate the template and that count's
+    * share of the host's candidates (ppm) — the signal a frontier
+    * governor reads before a calendar/facet/session-id trap eats the
+    * crawl budget (a healthy host spreads over many templates; a trap
+    * is one template at a dominant share with a large count). NULL-host
+    * candidates are excluded (they never dispatch — the
+    * [[graft.pipeline.Sitemaps]] frontier contract).
+    *
+    * Scale shape: one (host, template)-keyed aggregation plus one
+    * host-keyed window over the already-aggregated counts (rows =
+    * distinct templates, not URLs).
+    */
+  def crawlTraps(cands: DataFrame, urlCol: String = "url"): DataFrame = {
+    val t = cands
+      .select(hostOf(col(urlCol)).as("host"),
+        urlTemplate(col(urlCol)).as("template"), col(urlCol).as("__u"))
+      .where(col("host").isNotNull)
+    t.groupBy("host", "template")
+      .agg(countDistinct(col("__u")).as("n_urls"))
+      .withColumn("__tot",
+        sum(col("n_urls")).over(Window.partitionBy("host")))
+      .select(col("host"), col("template"), col("n_urls"),
+        expr("CAST(n_urls * 1000000 DIV greatest(__tot, 1) AS BIGINT)").as("share_ppm"))
+  }
+
+  /** Per-template frontier cap — the trap GUARD: at most `cap`
+    * candidate URLs survive per (host, template), kept in URL order
+    * (deterministic; a frontier has no quality signal yet, so first-k
+    * is the honest policy). NULL-host candidates pass uncapped on
+    * unique synthetic keys (visible — the [[domainCapSurvivors]]
+    * single-window discipline, and the rank<=cap filter rewrites to
+    * WindowGroupLimit so hot templates prune map-side before the
+    * shuffle). Output: (host, template, urlCol, slot).
+    */
+  def templateCapSurvivors(
+      cands: DataFrame,
+      cap: Long,
+      urlCol: String = "url"): DataFrame = {
+    require(cap >= 1, s"templateCapSurvivors: cap must be positive, got $cap")
+    val reserved = Seq("host", "template", "slot", "__pk").filter(cands.columns.contains)
+    require(reserved.isEmpty,
+      s"templateCapSurvivors: cands columns collide with output/internal names " +
+        s"(rename them): ${reserved.mkString(", ")}")
+    val withT = cands
+      .withColumn("host", hostOf(col(urlCol)))
+      .withColumn("template", urlTemplate(col(urlCol)))
+      .withColumn("__pk",
+        when(col("host").isNull, concat(lit(" "), col(urlCol)))
+          .otherwise(concat(col("host"), lit(" "), col("template"))))
+    val w = Window.partitionBy("__pk").orderBy(col(urlCol))
+    withT
+      .withColumn("slot", row_number().over(w).cast("long"))
+      .where(col("slot") <= cap)
+      .select(col("host"), col("template"), col(urlCol), col("slot"))
+  }
+
   /** RANK-WEIGHTED domain cap — [[domainCap]] with the per-domain budget
     * scaled by a centrality prior instead of one flat number: high-rank
     * domains (in the [[LinkGraph.pageRankPpm]] sense, or any (domain,

@@ -556,6 +556,12 @@ class PlanAssertionsSpec extends SparkSpec {
       s"a regex crept into the decision path:\n${plan.take(2000)}")
   }
 
+  test("ext_trap_cap: the slot<=cap filter rewrites to WindowGroupLimit (map-side template pruning)") {
+    val plan = planOf("ext_trap_cap")
+    assert(plan.contains("WindowGroupLimit"),
+      s"hot templates must prune map-side before the shuffle:\n${plan.take(2000)}")
+  }
+
   test("ext_frontier_full: three channels, one schedule — delay table broadcasts, no cartesian") {
     val plan = planOf("ext_frontier_full")
     assert(plan.contains("BroadcastHashJoin"),

@@ -423,6 +423,29 @@ class UrlOpsSpec extends SparkSpec {
     assert(row1.getString(1) == "https://c.com/x", s"min terminal must win, got ${row1.getString(1)}")
   }
 
+  test("urlTemplate/crawlTraps/templateCapSurvivors: trap pooling, host shares, cap, null-host visibility") {
+    val cands = Seq(
+      "https://a.com/cal/2024/01/01", "https://a.com/cal/2024/01/02",
+      "https://a.com/cal/2024/02/11", "https://a.com/cal/2025/03/09",
+      "https://a.com/about",
+      "https://a.com/item?id=7&page=2", "https://a.com/item?id=9&page=5",
+      "notaurl").toDF("url")
+    val traps = UrlOps.crawlTraps(cands).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(traps == Map(
+      ("a.com", "/cal/N/N/N") -> ((4L, 571428L)),
+      ("a.com", "/about") -> ((1L, 142857L)),
+      ("a.com", "/item?id=&page=") -> ((2L, 285714L))), s"got $traps")
+    val kept = UrlOps.templateCapSurvivors(cands, cap = 2).collect()
+      .map(r => (Option(r.getString(0)), r.getString(2), r.getLong(3)))
+    assert(kept.count(_._1 == Some("a.com")) == 5, s"got ${kept.toSeq}") // 2 cal + 1 about + 2 item
+    assert(kept.exists(k => k._1.isEmpty && k._2 == "notaurl" && k._3 == 1L),
+      "null-host candidates must pass uncapped and visible")
+    val cal = kept.filter(_._2.startsWith("https://a.com/cal")).map(_._2).sorted.toSeq
+    assert(cal == Seq("https://a.com/cal/2024/01/01", "https://a.com/cal/2024/01/02"),
+      s"cap must keep the URL-order first k: $cal")
+  }
+
   test("domainStats: shares sum to ~1e6 and the NULL row stays visible") {
     val docs = Seq(
       (1L, "https://a.com/x", "aaaa"),
