@@ -1886,7 +1886,11 @@ object PipelineQueries {
     // pages whose publisher claims a change date get an age-based
     // interval, unclaimed pages the crawler default
     "ext_recrawl_sitemap" -> ((s, dir) => {
+      // the pages frame feeds the prior table AND the fetch history —
+      // persist the one model-sized derivation instead of re-running
+      // the parse/expansion DAG per consumer (the dim_recall precedent)
       val pages = Sitemaps.sitemapPageUrls(robotsTable(s), sitemapBodyTable(s))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val lm = pages.where(col("lastmod").isNotNull)
         .select(col("url"),
           (unix_date(to_date(substring(col("lastmod"), 1, 10))) * 86400000L)
