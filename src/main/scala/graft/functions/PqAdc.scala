@@ -191,20 +191,12 @@ object PqKernel {
     * THROW (the pqDimGuardS contract — silence would mis-encode);
     * a null element yields a NULL LUT (HOF null-poisoning).
     */
-  def lut(vec: ArrayData, isFloat: Boolean, cbs: Array[Long], ksub: Int, subDim: Int): ArrayData = {
-    val dim = vec.numElements()
+  def lut(vec: ArrayData, kind: Int, cbs: Array[Long], ksub: Int, subDim: Int): ArrayData = {
+    val ppm = toPpm(vec, kind)
+    if (ppm == null) return null
+    val dim = ppm.length
     val m = cbs.length / (ksub * subDim)
-    if (dim != m * subDim)
-      throw new IllegalArgumentException(
-        s"PQ: vector dimension $dim != ${m * subDim} — wrong-dimension vectors would silently mis-encode")
-    val ppm = new Array[Long](dim)
-    var i = 0
-    while (i < dim) {
-      if (vec.isNullAt(i)) return null
-      val x = if (isFloat) vec.getFloat(i).toDouble else vec.getDouble(i)
-      ppm(i) = math.floor(x * 1000000d).toLong
-      i += 1
-    }
+    dimGuard(dim, m, subDim)
     val rows = new Array[ArrayData](m)
     var mi = 0
     while (mi < m) {
@@ -269,20 +261,15 @@ case class PqLut(child: Expression, cbsFlat: Array[Long], ksub: Int, subDim: Int
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "pq_lut"
 
-  private lazy val isFloat = child.dataType match {
-    case ArrayType(FloatType, _) => true
-    case ArrayType(DoubleType, _) => false
-    case other => throw new IllegalArgumentException(
-      s"pq_lut needs array<float|double>, got $other")
-  }
+  private lazy val kind = PqInputKind.of(child)
 
   override def nullSafeEval(vec: Any): Any =
-    PqKernel.lut(vec.asInstanceOf[ArrayData], isFloat, cbsFlat, ksub, subDim)
+    PqKernel.lut(vec.asInstanceOf[ArrayData], kind, cbsFlat, ksub, subDim)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val cbsRef = ctx.addReferenceObj("pqCbsFlat", cbsFlat, "long[]")
     nullSafeCodeGen(ctx, ev, v => s"""
-      ${ev.value} = graft.functions.PqKernel.lut($v, $isFloat, $cbsRef, $ksub, $subDim);
+      ${ev.value} = graft.functions.PqKernel.lut($v, $kind, $cbsRef, $ksub, $subDim);
       ${ev.isNull} = ${ev.value} == null;
     """)
   }
@@ -313,7 +300,7 @@ private[functions] object PqInputKind {
 
 /** `pq_codes(vec)` — the PQ encode argmin with the codebook table
   * embedded at plan time; accepts float/double vectors (ppm-quantized
-  * in-kernel) or already-ppm long arrays (the trainer path). See
+  * in-kernel) or already-ppm long arrays (the trainer/rotated path). See
   * [[PqKernel.codes]].
   */
 case class PqCodes(child: Expression, cbsFlat: Array[Long], ksub: Int, subDim: Int)

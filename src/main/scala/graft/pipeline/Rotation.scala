@@ -190,3 +190,35 @@ object TrainRotationTool {
     spark.stop()
   }
 }
+
+/** Offline producer of `Similarity.refRotPqCodebooks`: PQ codebooks
+  * trained over the ROTATED corpus (the OPQ-style composition — the
+  * trained basis concentrates per-subspace structure the per-subspace
+  * Lloyd quantizer can exploit; measured: flat-PQ recall@3 roughly
+  * doubles on this corpus vs codebooks trained in the raw basis).
+  * Deterministic like every trainer here.
+  *
+  * Usage: runMain graft.pipeline.TrainRotPqTool [sfDir] [iters]
+  */
+object TrainRotPqTool {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val iters = if (args.length > 1) args(1).toInt else 3
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val emb = graft.tables.Tables.embeddings(spark, dir)
+    val rot = emb.select(col("vec_id"),
+      Similarity.rotatePpmLong(col("embedding")).as("embedding"))
+    val cbs = Similarity.pqTrainPpm(rot, iters)
+    println("TRAINED_ROT_PQ = Seq(")
+    println(cbs.map(cb => "    Seq(" + cb.map(c =>
+      "Seq(" + c.map(_.toString + "L").mkString(", ") + ")").mkString(",\n      ") + ")")
+      .mkString(",\n"))
+    println("  )")
+    spark.stop()
+  }
+}

@@ -771,6 +771,15 @@ object Similarity {
   def rotatePpm(vec: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     graft.functions.MatVecFloor.of(vec, refRotationPpm)
 
+  /** [[rotatePpm]] as an ALREADY-ppm long array — the input contract of
+    * the PQ family's kind-0 path ([[graft.functions.PqKernel]]): the
+    * rotated doubles are exact integers, so the cast is lossless and
+    * engine-identical (Spark truncation == DuckDB rounding on exact
+    * ints). This is the rotated-PQ (OPQ-style) serve input.
+    */
+  def rotatePpmLong(vec: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    rotatePpm(vec).cast("array<bigint>")
+
 
   val refIvfCentroids: Seq[Seq[Double]] = Seq(
     Seq(0.025416, 0.040068, 0.008489, 1.16E-4, -0.011068, 0.019375, 0.063418, 0.021082, 0.01399, -0.057459, 0.076434, -0.006983, 0.009293, -0.013321, 0.015576, 0.038556, 0.052695, 0.040208, -0.039346, -0.035976, -0.023297, -0.020578, 0.013782, -0.001794, -0.017992, 0.022205, -0.027033, 0.014803, 0.038176, 0.021163, 0.0578, -0.01591, 0.005221, 0.012709, -0.030898, 0.010246, -0.045167, -0.026724, 0.014747, 0.020969, -0.00447, -4.76E-4, -0.039095, -0.045231, -0.022134, -0.005039, 0.029025, 0.028119, -0.001209, -0.009864, -0.035575, 0.024908, -0.049172, -0.026929, 0.033143, 0.002092, -0.033422, -0.022961, -0.025456, -0.081535, -0.027706, -0.05005, 0.012103, -0.051374),
@@ -790,6 +799,151 @@ object Similarity {
     * [[pqTrain]]; this table only anchors the cross-engine gate and the
     * default for the incremental semantic-dedup query.
     */
+
+  /** FROZEN ROTATED-basis PQ codebooks — [[pqTrainPpm]] over the
+    * [[rotatePpmLong]] corpus at sf0.01 (3 Lloyd rounds — the SAME snapshot [[refPqCodebooks]] trained on, so the side-by-side isolates the basis), produced by
+    * [[TrainRotPqTool]] and baked like [[refPqCodebooks]]: the
+    * OPQ-style composition. MEASURED TRADE (ext_knn_pq_rot carries the
+    * side-by-side): at the training snapshot itself the raw-basis table
+    * wins (266,666 vs 166,666 ppm recall@3 at sf0.01), but at 10× the
+    * corpus the raw-basis table COLLAPSES (66,666 ppm at sf0.1) while
+    * the rotated-basis table holds 166,666 flat — the rotation makes
+    * the quantizer robust to corpus growth, which is the property a
+    * 100 TB index actually needs (codebooks cannot retrain on every
+    * append; recall that only holds at the training snapshot is an
+    * eval-set illusion).
+    */
+  val refRotPqCodebooks: Seq[Seq[Seq[Long]]] = Seq(
+    Seq(Seq(-23685L, -131930L, -65320L, -63737L, -133665L, 30573L, -15038L, 65564L),
+      Seq(1840L, 66874L, -19786L, -67844L, 116086L, 19059L, -69947L, -162412L),
+      Seq(35064L, -28260L, -170514L, 95542L, 103786L, -64640L, 13025L, -88711L),
+      Seq(32348L, 65846L, -46786L, -26741L, -3876L, -151586L, 114621L, 138652L),
+      Seq(171719L, -33345L, -47111L, 22498L, -100949L, 60728L, 160660L, -10706L),
+      Seq(-124383L, 14009L, 18599L, 166338L, 88413L, 131501L, -17722L, -150615L),
+      Seq(153499L, 102185L, 11798L, 53030L, 47075L, -71100L, -176731L, -70747L),
+      Seq(-19847L, 54929L, 119275L, 73402L, 19689L, -82807L, -11443L, 10472L),
+      Seq(28621L, -158309L, 22397L, 99394L, -23516L, 90920L, -49822L, -68125L),
+      Seq(-2626L, 144805L, 60592L, 1047L, -103736L, -9784L, 42293L, -100059L),
+      Seq(35611L, -16514L, 47373L, -40297L, 133024L, 108332L, 26573L, 80198L),
+      Seq(36384L, 53021L, 12234L, -149886L, -100548L, -28570L, -76316L, -32406L),
+      Seq(-107640L, -114713L, -81716L, 87019L, 112359L, -134125L, -54264L, 84472L),
+      Seq(-211032L, 40238L, 18449L, 20594L, 10998L, 76748L, -31790L, 42151L),
+      Seq(-76104L, -71126L, 12164L, -36388L, 30169L, -19133L, 163879L, -102380L),
+      Seq(-4680L, 72994L, -122679L, 86492L, -55470L, 36975L, -75594L, 87586L)),
+    Seq(Seq(110419L, 112872L, -39398L, 54697L, -65383L, 50502L, 88547L, -83287L),
+      Seq(-34501L, 75066L, 176559L, 97080L, 70409L, 29944L, 19602L, -93042L),
+      Seq(-10493L, -24960L, 10539L, -109353L, 99080L, 79275L, -41282L, 165255L),
+      Seq(-142653L, 42136L, 1858L, -27430L, -184751L, -74414L, -7717L, -3453L),
+      Seq(-22653L, 114811L, -56741L, -27748L, 65013L, 137794L, -72380L, -72850L),
+      Seq(83108L, 7068L, 143086L, -64397L, -54541L, 72832L, -53198L, -29785L),
+      Seq(57132L, 53393L, -36133L, 209812L, -125435L, -26338L, 212576L, 74750L),
+      Seq(89460L, 101126L, 54048L, 81467L, 172631L, -112947L, -72845L, -24145L),
+      Seq(11629L, 36254L, -27995L, -19713L, 73886L, -67035L, 90717L, 150882L),
+      Seq(-15504L, -6469L, 12638L, -179032L, 101396L, -40512L, 68048L, -15800L),
+      Seq(22367L, -58439L, -78649L, 42955L, 83623L, -22530L, -148151L, 17052L),
+      Seq(-65872L, 194363L, 10487L, 23599L, -46905L, -11824L, -169022L, 105962L),
+      Seq(-100926L, -35799L, -40412L, 30141L, 20811L, -76987L, 61003L, -158890L),
+      Seq(-38269L, -76415L, 47839L, 143553L, -41512L, 36152L, 2412L, 53308L),
+      Seq(76434L, -56136L, -116100L, -48827L, -35223L, 113524L, 112274L, -23408L),
+      Seq(46498L, -92093L, -94441L, -85006L, -140852L, -38129L, -35441L, 73709L)),
+    Seq(Seq(-84487L, 100207L, -82094L, 22412L, -176589L, 94159L, 20161L, -29600L),
+      Seq(-99820L, -30604L, 26002L, 29785L, -28705L, -8270L, -148937L, 39604L),
+      Seq(117462L, 66032L, 19192L, 6104L, -79752L, -94822L, -64091L, -153408L),
+      Seq(91122L, -132532L, 86331L, 118367L, 93177L, -14364L, 67408L, 25884L),
+      Seq(-62969L, 33367L, -145054L, -171155L, 13418L, 24068L, -76394L, -68648L),
+      Seq(-105386L, 48623L, 79145L, -85309L, 51026L, -100399L, 217475L, -67856L),
+      Seq(153967L, 71289L, -60271L, 33305L, -24063L, 33777L, 70137L, 165322L),
+      Seq(-7409L, -100352L, 27807L, -87558L, -49836L, -109886L, 19765L, -184902L),
+      Seq(64143L, 12553L, -6456L, -87321L, -13994L, -150989L, -20994L, 120944L),
+      Seq(-26773L, -198032L, -50404L, -10292L, -34305L, 20005L, -47931L, 79457L),
+      Seq(100278L, 34236L, 118917L, -45676L, 45678L, 101224L, -39478L, -105060L),
+      Seq(7586L, -34802L, -82282L, -72822L, 36797L, 32882L, 127014L, -16962L),
+      Seq(-104041L, 53304L, 136778L, -56693L, 126106L, 23983L, -96413L, 67679L),
+      Seq(33428L, -2817L, 64920L, 159589L, -63606L, 75831L, 29292L, -28444L),
+      Seq(-6824L, 169407L, -42541L, -49387L, 192656L, 115405L, 68531L, 29262L),
+      Seq(-65576L, 23955L, -27623L, 132359L, 143516L, -100930L, 39249L, 34974L)),
+    Seq(Seq(74226L, -209633L, 5204L, -73451L, 54040L, -95590L, -2864L, -20074L),
+      Seq(109687L, 13569L, 842L, 31694L, -19600L, 102337L, -129339L, -82646L),
+      Seq(22445L, 10208L, 30172L, 185136L, 89007L, 45150L, -31720L, -11393L),
+      Seq(-112143L, 60059L, 24657L, -69312L, 127585L, 177538L, -107065L, -39266L),
+      Seq(101938L, 20849L, 111370L, 19412L, -56018L, 154208L, 108191L, -34751L),
+      Seq(93758L, -21227L, -85345L, -187954L, -16224L, 97195L, 30053L, -90219L),
+      Seq(-69306L, 149825L, 9432L, -75077L, -97454L, 7013L, -41200L, -13011L),
+      Seq(-9266L, 59175L, -132689L, -37110L, 16907L, -89819L, -121513L, 94663L),
+      Seq(67058L, -52429L, 166158L, -29017L, 33222L, -4275L, 2942L, 116026L),
+      Seq(-170517L, 73591L, -6107L, 103949L, 34291L, 17024L, 49031L, 50715L),
+      Seq(-23159L, 22683L, 85281L, 43175L, -55088L, -168490L, -77913L, -77758L),
+      Seq(-124855L, -95262L, -24687L, -5284L, -93395L, -6503L, 48812L, -79497L),
+      Seq(25013L, 69186L, -45668L, -24960L, 127833L, -54993L, 104100L, -125590L),
+      Seq(125230L, -42468L, -46680L, 177771L, -108412L, -22221L, 114131L, 84434L),
+      Seq(-57666L, -59233L, -94373L, -14988L, 55279L, 38369L, 102519L, 133298L),
+      Seq(39294L, -46273L, -23815L, -80219L, -64545L, -35279L, 213808L, 148L)),
+    Seq(Seq(39219L, -142929L, -84385L, 27118L, -105016L, -35218L, -67704L, -62931L),
+      Seq(9650L, -7416L, 84973L, 227197L, 88L, 39350L, 27243L, -63266L),
+      Seq(1536L, -24105L, -64822L, 42889L, -169687L, 201370L, -20858L, -177401L),
+      Seq(-129904L, -94542L, -1440L, -15850L, 11284L, 149183L, -30878L, 89615L),
+      Seq(-3225L, -96527L, 31868L, 33082L, 107584L, 34331L, 65520L, -184217L),
+      Seq(-119234L, 3566L, 65335L, -7780L, 61091L, -20943L, 20689L, 13292L),
+      Seq(-60982L, 15226L, -92170L, 51887L, -94897L, -70947L, 148641L, -38147L),
+      Seq(125558L, 148477L, -18816L, 14074L, -2244L, -97785L, -25864L, -102618L),
+      Seq(-30091L, -52801L, -85900L, 112294L, 107682L, 10767L, -167598L, 2357L),
+      Seq(-117150L, 24086L, -96655L, -110628L, 38944L, -44504L, -112872L, -99351L),
+      Seq(-15266L, 20593L, 47380L, 5617L, 200774L, 112988L, 25126L, 64791L),
+      Seq(20735L, 51741L, -51443L, 78114L, -5809L, 32238L, 14530L, 204581L),
+      Seq(142331L, -42341L, -33034L, -85355L, 6852L, 74425L, 32915L, 33425L),
+      Seq(1244L, 2688L, 156043L, -18262L, 26695L, -52827L, 131712L, 114733L),
+      Seq(-41034L, 51402L, 117596L, -2899L, -141516L, 41150L, -100966L, -63236L),
+      Seq(16885L, 30640L, 58973L, -204909L, -52327L, -103662L, 51111L, -974L)),
+    Seq(Seq(-12542L, 107230L, 192303L, 114953L, -2125L, -33001L, 896L, 69878L),
+      Seq(42737L, -82646L, 19292L, -14967L, -108380L, -23967L, -31406L, -192780L),
+      Seq(-66776L, 40077L, -36716L, 55797L, 138039L, 42154L, 75109L, 24220L),
+      Seq(-63012L, 348L, 2586L, -61642L, -177671L, -59572L, -21039L, -9090L),
+      Seq(-26969L, -4520L, -68685L, -47160L, -36074L, 244775L, -16917L, -74325L),
+      Seq(41144L, 45376L, -21404L, 266L, -36662L, 25426L, -214350L, 40488L),
+      Seq(148430L, 17093L, 25463L, 8954L, 55213L, -77367L, 40347L, -26503L),
+      Seq(-52102L, 81994L, -82551L, 124125L, -5217L, -69373L, 58282L, -131040L),
+      Seq(-30904L, 50313L, 151401L, -53397L, 18291L, 51974L, 70988L, -84376L),
+      Seq(835L, -138298L, 101987L, -97501L, 14993L, 102436L, 75474L, 71249L),
+      Seq(42939L, -117111L, -85406L, -111790L, -82840L, -152666L, 45623L, 81238L),
+      Seq(-108687L, -109956L, 92879L, 153490L, -1012L, -116284L, 28446L, -35600L),
+      Seq(21434L, -145079L, -138870L, 79807L, -32461L, 78632L, -9968L, 25610L),
+      Seq(320723L, 89339L, 100464L, 8497L, 126850L, -258947L, 193297L, 56112L),
+      Seq(6042L, 12822L, -45629L, -107008L, 121484L, -55147L, -108619L, 94822L),
+      Seq(-40226L, 98997L, -12291L, 44818L, -91049L, 88033L, 90074L, 133752L)),
+    Seq(Seq(-91568L, 83607L, -10679L, -52205L, 20164L, 111406L, 142357L, 134514L),
+      Seq(118682L, -97153L, -15589L, -10269L, -90971L, 43083L, -140535L, 65137L),
+      Seq(114615L, -41462L, -162196L, 101899L, 27356L, -25955L, 28139L, -141377L),
+      Seq(19120L, 39391L, 105256L, -36809L, 135369L, -142014L, -109253L, -61264L),
+      Seq(39679L, 119107L, -180726L, -33717L, 20845L, -14005L, 13401L, 40001L),
+      Seq(-73209L, -40640L, -31178L, -29107L, -112489L, 156349L, -42744L, 1736L),
+      Seq(31203L, -40729L, 101626L, 20231L, 2816L, -10367L, 123448L, -107996L),
+      Seq(59210L, 33057L, 166031L, -56804L, 42505L, 65512L, -7005L, 50303L),
+      Seq(40238L, 83933L, 35650L, 195594L, -69273L, 93894L, -5441L, -16570L),
+      Seq(8203L, 73901L, -64911L, -121848L, 77274L, -18365L, -113316L, 144767L),
+      Seq(-146435L, -2376L, -78074L, 95937L, 118477L, 9105L, -94152L, -65857L),
+      Seq(19534L, 228429L, -33250L, 157134L, 98641L, 132151L, 30597L, -75339L),
+      Seq(-85564L, -170185L, -11713L, 66966L, -87774L, 56179L, 130910L, 41644L),
+      Seq(32590L, -101715L, -17596L, 99853L, 23487L, -100422L, 9656L, 34778L),
+      Seq(28153L, 17670L, -41297L, -112342L, -74597L, -35895L, 7563L, -121276L),
+      Seq(-166297L, 1955L, 45046L, -31547L, 9927L, -139678L, 33374L, 120940L)),
+    Seq(Seq(116653L, -15901L, 75588L, 114310L, 79343L, -81698L, -5635L, -19923L),
+      Seq(30214L, 167894L, 40628L, -121782L, -92751L, -95942L, -15556L, 27280L),
+      Seq(-33635L, 81067L, -157470L, 30550L, 47416L, 79055L, -75926L, 21948L),
+      Seq(161700L, -93416L, -11854L, -56680L, -27709L, 72577L, 7774L, 64340L),
+      Seq(109260L, 191954L, 38131L, 50523L, 130854L, 123331L, 85517L, -78401L),
+      Seq(-47083L, 66603L, -14991L, 47169L, -152640L, 71020L, 148829L, -59824L),
+      Seq(-4996L, -21182L, 7800L, -90746L, 179317L, -12548L, 27835L, -70358L),
+      Seq(-32065L, -124592L, -57809L, 125027L, -104987L, 5393L, 145494L, 114198L),
+      Seq(-45514L, 36415L, -68135L, 93026L, -73682L, -181069L, 33959L, -60099L),
+      Seq(75503L, -89724L, -180414L, -36201L, -93585L, 6117L, -41613L, -7493L),
+      Seq(-8113L, -14073L, 23192L, -12861L, -89731L, 83897L, -7355L, -127592L),
+      Seq(29144L, 67366L, 35245L, 67399L, -68019L, -12370L, -216955L, 78387L),
+      Seq(45937L, -147385L, -23633L, -44594L, -5917L, -153046L, 122202L, 125267L),
+      Seq(-195976L, 77387L, -61836L, -50905L, 47952L, -47092L, 54899L, 52308L),
+      Seq(-79641L, -126581L, 26337L, -51438L, 47730L, -93310L, -107702L, -44019L),
+      Seq(-62289L, -26404L, 146999L, 5408L, -15640L, 88814L, 20542L, 99508L))
+  )
+
   val refPqCodebooks: Seq[Seq[Seq[Long]]] = Seq(
     Seq(Seq(18913L, 33482L, -4140L, -173607L, 117791L, -34696L, -27889L, -54943L), Seq(-39388L, -50995L, 16340L, -50214L, -99272L, -55322L, -94626L, 32383L), Seq(-24733L, 19032L, -73031L, 114795L, -80646L, 44361L, 61463L, 114451L), Seq(-128972L, -4967L, 41656L, -10856L, 74951L, 16597L, 124631L, -48377L), Seq(-35591L, 8095L, 40038L, 2326L, -9150L, -185903L, 144898L, 104341L), Seq(-33038L, -111614L, 121322L, 32044L, 117498L, -129024L, -103168L, 122785L), Seq(-27627L, 121584L, 80013L, -89055L, -112251L, 127494L, 1553L, -14847L), Seq(221843L, 14156L, 46154L, -40500L, -15799L, -44246L, 19844L, 98227L), Seq(-91623L, -187245L, 17644L, -6018L, -17852L, 134517L, -121107L, 41400L), Seq(110063L, -139803L, -12547L, 3927L, -3822L, 111736L, -16298L, -88349L), Seq(69414L, -6634L, -185210L, 6198L, -25124L, 39713L, 19907L, -91301L), Seq(-81817L, 26932L, -49017L, 35689L, 56782L, 26081L, -149892L, -161737L), Seq(2620L, 9806L, 100707L, 2968L, 146992L, 200018L, -145770L, -7397L), Seq(69611L, 39574L, 55305L, 150715L, 55915L, -8576L, -61082L, -17553L), Seq(10015L, -31364L, -60265L, -76333L, 100179L, 26296L, -75256L, 149484L), Seq(-55359L, 59100L, 16194L, 40326L, -159070L, -196108L, -47202L, -91479L)),
     Seq(Seq(165410L, 21270L, -28275L, 36375L, -141559L, -48548L, -10401L, -36723L), Seq(-72699L, 109933L, -83430L, 126063L, 88009L, -81814L, 54009L, -35146L), Seq(-98348L, -128785L, 8812L, 9795L, -88733L, 91654L, 35382L, 112223L), Seq(-84616L, 20285L, -89702L, 60892L, 84352L, 232891L, 16249L, -1233L), Seq(-14635L, 128442L, 153877L, 5655L, 280L, 8540L, 112113L, -78572L), Seq(-93843L, 50700L, 114578L, 142282L, -26506L, -36954L, -125220L, -4539L), Seq(37174L, 230201L, 61024L, 38506L, -92429L, 162689L, -22290L, -5576L), Seq(-77333L, -115904L, 48597L, -33108L, -99890L, -45076L, 69345L, -149931L), Seq(-9510L, 68705L, -103053L, 47341L, 14693L, 13546L, -57815L, 164181L), Seq(-76174L, 51745L, -19716L, -96308L, -156833L, -11313L, -117041L, -33265L), Seq(40905L, -79207L, -63968L, -87409L, 41147L, -120935L, -5594L, -3920L), Seq(39838L, 36074L, 82790L, -123868L, 90219L, 56350L, -94844L, 47332L), Seq(81569L, -96499L, 49285L, 39394L, 74308L, 51129L, 102944L, 89502L), Seq(-23747L, -59859L, 176212L, -123725L, 43217L, -193152L, -45103L, 61412L), Seq(121589L, 131712L, -59869L, -6906L, 96299L, -59611L, 188555L, -17560L), Seq(-37565L, -155578L, -33827L, 29756L, -5410L, 72022L, -84517L, -148116L)),
@@ -1036,6 +1190,19 @@ object Similarity {
       .select(col(idCol).as("__id"), expr(pqPpmS(vecCol)).as("__p"))
     pqTrainOnPpm(vecs, iters)
   }
+
+  /** [[pqTrain]] over an ALREADY-ppm long-array column — the
+    * rotated-basis (OPQ-style) training path: [[rotatePpmLong]] vectors
+    * must not re-quantize through the float spelling (it would
+    * double-scale by 1e6).
+    */
+  def pqTrainPpm(
+      corpus: DataFrame,
+      iters: Int = 3,
+      idCol: String = "vec_id",
+      ppmCol: String = "embedding"): Seq[Seq[Seq[Long]]] =
+    pqTrainOnPpm(corpus.where(col(ppmCol).isNotNull)
+      .select(col(idCol).as("__id"), col(ppmCol).cast("array<bigint>").as("__p")), iters)
 
   /** The Lloyd loop over an explicit (__id, __p ppm-array) frame — shared
     * by [[pqTrain]] (raw vectors) and [[pqTrainResidual]] (cell

@@ -118,4 +118,17 @@ class PqExprSpec extends SparkSpec {
       case None => spark.conf.unset(key)
     }
   }
+
+  test("PqLut: an already-ppm long array builds the identical LUT to its float spelling") {
+    import org.apache.spark.sql.functions._
+    val vf = Seq((1L, Seq.tabulate(64)(i => i * 0.01f - 0.3f)))
+      .toDF("vec_id", "embedding")
+    val vl = vf.select(col("vec_id"),
+      expr("transform(embedding, x -> cast(floor(cast(x as double) * 1000000) as bigint))")
+        .as("embedding"))
+    def lutOf(df: org.apache.spark.sql.DataFrame) =
+      df.select(graft.functions.PqLut.of(col("embedding"), Similarity.defaultPqCodebooks))
+        .collect().map(_.getSeq[Seq[Long]](0)).toSeq
+    assert(lutOf(vf) == lutOf(vl), "long-ppm input must be the float path's quantization")
+  }
 }
