@@ -818,16 +818,21 @@ object StreamDedup {
       crawledUrls: DataFrame,
       budgets: DataFrame,
       defaultDelayMs: Long = 1000L,
-      stateTtlMs: Long = 24 * 3600 * 1000L): Dataset[Dispatch] = {
+      stateTtlMs: Long = 24 * 3600 * 1000L,
+      templateCap: Option[Long] = None): Dataset[Dispatch] = {
     require(defaultDelayMs >= 1,
       s"frontierDispatchStream: defaultDelayMs must be positive, got $defaultDelayMs")
     val missing = Seq("host", "delay_ms").filterNot(budgets.columns.contains)
     require(missing.isEmpty, "frontierDispatchStream: budgets must carry " +
       s"(host, delay_ms) — a crawlDelayBudget table; missing ${missing.mkString(", ")}")
     import docs.sparkSession.implicits._
+    val discovered = discoverFrontierStream(docs, crawledUrls)
+    // OPTIONAL trap guard between discovery and dispatch: a template
+    // explosion stops consuming dispatch slots after its cap
+    val guarded = templateCap.fold(discovered)(templateCapAdmit(discovered, _))
     politeDispatchStream(
       stateTtlMs = stateTtlMs,
-      reqs = discoverFrontierStream(docs, crawledUrls).toDF()
+      reqs = guarded.toDF()
         .join(broadcast(budgets.select(col("host"),
           col("delay_ms").cast("long").as("__dm"))), Seq("host"), "left")
         .select(col("doc_id"), col("url"), col("host"), col("arrival"),
@@ -905,6 +910,49 @@ object StreamDedup {
               } else None
             }
             state.update(st)
+            out.iterator
+          }
+      }
+  }
+
+  /** ONLINE per-template frontier admission — the streaming trap GUARD
+    * ([[graft.pipeline.UrlOps.templateCapSurvivors]]'s twin): at most
+    * `cap` candidates per (host, URL template) enter the dispatchable
+    * frontier, counted by ONE Long of state per (host, template) key —
+    * a calendar/facet/session-id explosion stops consuming dispatch
+    * slots after its cap however long the crawl runs. DOCUMENTED
+    * divergence (the [[domainCapAdmit]] convention): the stream admits
+    * the first `cap` ARRIVALS where the batch form keeps the URL-order
+    * first k — a backfill re-runs the batch form. NULL-host candidates
+    * pass uncapped and write no state.
+    */
+  def templateCapAdmit(
+      cands: Dataset[FrontierCand], cap: Long): Dataset[FrontierCand] = {
+    require(cap >= 1, s"templateCapAdmit: cap must be positive, got $cap")
+    import cands.sparkSession.implicits._
+    val keyed = cands.toDF()
+      .withColumn("__tpl", graft.pipeline.UrlOps.urlTemplate(col("url")))
+      .as[(String, String, Long, Long, String)]
+    keyed
+      .groupByKey { case (_, host, _, _, tpl) =>
+        if (host == null) "" else host + " " + tpl
+      }
+      .flatMapGroupsWithState[AdmitState, FrontierCand](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[(String, String, Long, Long, String)],
+         state: GroupState[AdmitState]) =>
+          val ordered = rows.toSeq.sortBy(r => (r._4, r._3, r._1))
+          if (key.isEmpty)
+            ordered.iterator.map(r => FrontierCand(r._1, r._2, r._3, r._4))
+          else {
+            var admitted = state.getOption.map(_.admitted).getOrElse(0L)
+            val out = ordered.flatMap { r =>
+              if (admitted < cap) {
+                admitted += 1
+                Some(FrontierCand(r._1, r._2, r._3, r._4))
+              } else None
+            }
+            state.update(AdmitState(admitted))
             out.iterator
           }
       }

@@ -833,6 +833,48 @@ class StreamDedupSpec extends SparkSpec {
     }
   }
 
+  test("templateCapAdmit: per-(host, template) admission caps across batches; other templates/hosts and null hosts unaffected (RocksDB)") {
+    import graft.streaming.StreamDedup.FrontierCand
+    implicit val sqlCtx = spark.sqlContext
+    val feed = Seq(
+      FrontierCand("https://a.com/cal/1", "a.com", 1L, 10L),
+      FrontierCand("https://a.com/cal/2", "a.com", 1L, 11L),
+      FrontierCand("https://a.com/cal/3", "a.com", 2L, 12L), // over the /cal/N cap
+      FrontierCand("https://a.com/about", "a.com", 2L, 13L), // its own template
+      FrontierCand("https://b.org/cal/7", "b.org", 3L, 14L), // other host's own budget
+      FrontierCand("weird", null, 4L, 15L),                  // null host: uncapped
+      FrontierCand("https://a.com/cal/9", "a.com", 5L, 16L)) // still over cap
+    val want = Set("https://a.com/cal/1", "https://a.com/cal/2",
+      "https://a.com/about", "https://b.org/cal/7", "weird")
+    val confKey = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(confKey)
+    spark.conf.set(confKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      Seq(Seq(7), Seq.fill(7)(1), Seq(3, 2, 2)).zipWithIndex.foreach { case (split, si) =>
+        val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[FrontierCand]
+        val name = s"tpl_cap_out_$si"
+        val q = StreamDedup.templateCapAdmit(in.toDS(), cap = 2L)
+          .writeStream.format("memory").queryName(name).outputMode("append").start()
+        try {
+          var rest = feed
+          split.foreach { n =>
+            val (chunk, tail) = rest.splitAt(n)
+            rest = tail
+            if (chunk.nonEmpty) { in.addData(chunk); q.processAllAvailable() }
+          }
+          val got = spark.table(name).as[FrontierCand].collect().map(_.url).toSet
+          assert(got == want, s"split $si: $got")
+        } finally q.stop()
+      }
+    } finally {
+      prior match {
+        case Some(v) => spark.conf.set(confKey, v)
+        case None => spark.conf.unset(confKey)
+      }
+    }
+  }
+
   test("politeDispatchStream TTL: eviction after busy window + TTL is decision-identical on a monotone feed; the reaper provably fires (RocksDB)") {
     import graft.streaming.StreamDedup.{DispatchReq, Dispatch}
     implicit val sqlCtx = spark.sqlContext
