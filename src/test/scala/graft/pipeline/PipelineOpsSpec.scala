@@ -1906,6 +1906,22 @@ class PipelineOpsSpec extends SparkSpec {
       "frozen residual codebook table drifted from a fresh train on the same corpus")
   }
 
+  test("refRotationPpm: the frozen literal equals a fresh Rotation.trainPpm on its corpus (sf0.1)") {
+    val fresh = Rotation.trainPpm(
+      graft.tables.Tables.embeddings(spark, "/root/testdata/sf0.1"))
+    assert(fresh == Similarity.refRotationPpm,
+      "frozen rotation drifted from a fresh train on the same corpus")
+  }
+
+  test("refRotPqCodebooks: the frozen literal equals a fresh pqTrainPpm over the rotated corpus (sf0.01)") {
+    val emb = graft.tables.Tables.embeddings(spark, "/root/testdata/sf0.01")
+    val rot = emb.select(col("vec_id"),
+      Similarity.rotatePpmLong(col("embedding")).as("embedding"))
+    val fresh = Similarity.pqTrainPpm(rot)
+    assert(fresh == Similarity.refRotPqCodebooks,
+      "frozen rotated-basis codebook table drifted from a fresh train on the same corpus")
+  }
+
   test("ivfPqEncode consistency: codes are the true residual argmin, nrm2 the true reconstruction norm, residual beats flat reconstruction") {
     val emb = graft.tables.Tables.embeddings(spark, "/root/testdata/sf0.01")
     val cents = Similarity.refIvfCentroids
