@@ -1852,6 +1852,36 @@ object PipelineQueries {
         .orderBy("url")
     }),
 
+    // the SAME frontier computed through the 100 TB anti-join shape:
+    // misses of the crawled-set Bloom filter pass scan-side (no
+    // shuffle), only the hit sliver pays the exact anti-join — output
+    // IDENTICAL to ext_frontier (one-sided error + exact resolution of
+    // false positives), so the oracle IS ext_frontier's statement: two
+    // plans, one truth, the equivalence gate
+    "ext_frontier_bloom" -> ((s, dir) => {
+      val la = linkAug(Tables.documents(s, dir))
+      val discovered = LinkGraph.resolveLinks(
+          LinkGraph.extractLinks(la, keepCols = Seq("url")))
+        .select(UrlOps.canonicalUrl(col("href")).as("url"))
+        .where(col("url").isNotNull)
+        .unionByName(Sitemaps.sitemapPageUrls(robotsTable(s), sitemapBodyTable(s))
+          .select(col("url")))
+        .distinct()
+      val crawled = la.select(UrlOps.canonicalUrl(col("url")).as("url"))
+        .where(col("url").isNotNull).distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // the filter build reads the crawled store once (eager, the
+      // connectedComponentsAuto discipline); production maintains it at
+      // rest on the store's own cadence
+      val bloom = UrlOps.crawledUrlBloom(crawled,
+        expectedUrls = math.max(crawled.count(), 1L))
+      Robots.fetchSchedule(
+          UrlOps.freshViaBloom(discovered, crawled, bloom)
+            .withColumn("host", UrlOps.hostOf(col("url"))),
+          Robots.crawlDelayBudget(robotsTable(s)).select("host", "delay_ms"))
+        .orderBy("host", "url")
+    }),
+
     // CRAWL-TRAP observability: discovered candidates pooled by URL
     // TEMPLATE (query values dropped, digit runs collapsed) per host —
     // count + host share; the signal that catches a calendar/facet/
@@ -3423,6 +3453,35 @@ object PipelineQueries {
        |  CAST(dom.c * 1000000 // tot.n_vecs AS BIGINT) AS purity_ppm
        |FROM dom JOIN tot USING (cell) ORDER BY dom.cell""".stripMargin
 
+  // the frontier statement, shared verbatim by ext_frontier and its
+  // bloom-pruned equivalence twin ext_frontier_bloom (two plans, one
+  // truth — the output sets are identical by the one-sided-error
+  // argument, so one oracle gates both)
+  private lazy val frontierSqlD: String =
+    s"""WITH $linkAugSql,
+         |$sitemapPagesSqlD,
+         |disc AS (SELECT DISTINCT url FROM (
+         |    SELECT ${UrlOps.canonicalUrlD("href")} AS url FROM la
+         |    UNION
+         |    SELECT DISTINCT 'https://' || ${siteHostD("doc_id % 40")} || '/'
+         |    FROM documents WHERE doc_id % 13 <> 0
+         |    UNION
+         |    SELECT url FROM smp)
+         |  WHERE url IS NOT NULL),
+         |crawled AS (SELECT DISTINCT ${UrlOps.canonicalUrlD("url")} AS url FROM lad
+         |            WHERE ${UrlOps.canonicalUrlD("url")} IS NOT NULL),
+         |fr AS (SELECT d.url, split_part(d.url, '/', 3) AS host
+         |       FROM disc d LEFT JOIN crawled c ON d.url = c.url WHERE c.url IS NULL),
+         |fcb AS (SELECT ${siteHostD("i")} AS host,
+         |          CASE WHEN i % 3 = 0 THEN 5000 ELSE 9000000 END AS dm
+         |        FROM range(40) t(i) WHERE i % 3 IN (0, 2) AND i % 10 <> 5),
+         |fsc AS (SELECT f.host, f.url,
+         |          row_number() OVER (PARTITION BY f.host ORDER BY f.url) AS slot, fcb.dm
+         |        FROM fr f LEFT JOIN fcb ON fcb.host = f.host)
+         |SELECT host, url, CAST(slot AS BIGINT) AS slot,
+         |  CAST((slot - 1) * COALESCE(dm, 1000) AS BIGINT) AS not_before_ms
+         |FROM fsc ORDER BY host, url""".stripMargin
+
   // rve: embeddings re-expressed in the frozen trained basis —
   // floor(R_ppm · x) as exact-integer doubles, the engine-parity
   // contract of MatVecKernel (literal generated from the SAME Scala
@@ -3846,29 +3905,12 @@ object PipelineQueries {
     // (self-referential targets like /p/0 on site0 ARE crawled and
     // must drop) — then the same schedule replay
     "ext_frontier" ->
-      s"""WITH $linkAugSql,
-         |$sitemapPagesSqlD,
-         |disc AS (SELECT DISTINCT url FROM (
-         |    SELECT ${UrlOps.canonicalUrlD("href")} AS url FROM la
-         |    UNION
-         |    SELECT DISTINCT 'https://' || ${siteHostD("doc_id % 40")} || '/'
-         |    FROM documents WHERE doc_id % 13 <> 0
-         |    UNION
-         |    SELECT url FROM smp)
-         |  WHERE url IS NOT NULL),
-         |crawled AS (SELECT DISTINCT ${UrlOps.canonicalUrlD("url")} AS url FROM lad
-         |            WHERE ${UrlOps.canonicalUrlD("url")} IS NOT NULL),
-         |fr AS (SELECT d.url, split_part(d.url, '/', 3) AS host
-         |       FROM disc d LEFT JOIN crawled c ON d.url = c.url WHERE c.url IS NULL),
-         |fcb AS (SELECT ${siteHostD("i")} AS host,
-         |          CASE WHEN i % 3 = 0 THEN 5000 ELSE 9000000 END AS dm
-         |        FROM range(40) t(i) WHERE i % 3 IN (0, 2) AND i % 10 <> 5),
-         |fsc AS (SELECT f.host, f.url,
-         |          row_number() OVER (PARTITION BY f.host ORDER BY f.url) AS slot, fcb.dm
-         |        FROM fr f LEFT JOIN fcb ON fcb.host = f.host)
-         |SELECT host, url, CAST(slot AS BIGINT) AS slot,
-         |  CAST((slot - 1) * COALESCE(dm, 1000) AS BIGINT) AS not_before_ms
-         |FROM fsc ORDER BY host, url""".stripMargin,
+      frontierSqlD,
+
+    // bloom-pruned frontier: output-identical by construction — the
+    // SAME statement gates it (see frontierSqlD)
+    "ext_frontier_bloom" ->
+      frontierSqlD,
 
     // the complete frontier: fresh channels (resolved links incl. the
     // nav site roots, sitemap pages; min-rank election where both claim

@@ -563,6 +563,78 @@ object UrlOps {
       .select(col("host"), col("template"), col(urlCol), col("slot"))
   }
 
+  /** Build the crawled-set Bloom filter ONCE — the at-rest artifact the
+    * bloom-pruned frontier anti-join consumes
+    * ([[graft.pipeline.TextAnalysis.evalShingleBloom]]'s sizing,
+    * silent-clamp guard and one-driver-read discipline, keyed on the
+    * canonical URL's xxhash64). In production the filter is maintained
+    * next to the crawled store and rebuilt on its cadence, not per
+    * frontier pass.
+    */
+  def crawledUrlBloom(
+      crawled: DataFrame,
+      expectedUrls: Long,
+      fpp: Double = 0.001,
+      urlCol: String = "url"): Array[Byte] = {
+    require(expectedUrls > 0, s"crawledUrlBloom: expectedUrls must be positive, got $expectedUrls")
+    require(fpp > 0 && fpp < 1, s"crawledUrlBloom: fpp must be in (0, 1), got $fpp")
+    val numBits = math.ceil(
+      -expectedUrls * math.log(fpp) / (math.log(2) * math.log(2))).toLong
+    val maxNumBits = crawled.sparkSession.conf
+      .getOption("spark.sql.optimizer.runtime.bloomFilter.maxNumBits")
+      .map(_.toLong).getOrElse(67108864L)
+    require(numBits <= maxNumBits,
+      s"crawledUrlBloom: sizing for expectedUrls=$expectedUrls at fpp=$fpp needs $numBits " +
+        s"bits, above spark.sql.optimizer.runtime.bloomFilter.maxNumBits=$maxNumBits — " +
+        "BloomFilterAggregate would silently clamp and the false-positive rate would " +
+        "exceed budget; raise that conf first (the evalShingleBloom guard)")
+    import org.apache.spark.sql.GraftSqlBridge
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    val bfAgg = GraftSqlBridge.column(
+      new BloomFilterAggregate(
+        GraftSqlBridge.expression(xxhash64(col(urlCol))),
+        Literal(expectedUrls), Literal(numBits)).toAggregateExpression())
+    crawled.where(col(urlCol).isNotNull).agg(bfAgg.as("__bf"))
+      .head.getAs[Array[Byte]]("__bf")
+  }
+
+  /** BLOOM-PRUNED frontier freshness — output-identical to
+    * `cands LEFT ANTI JOIN crawled` (the one-sided-error argument: the
+    * filter has NO false negatives, so a candidate that MISSES is
+    * definitely uncrawled and passes SCAN-SIDE without touching the
+    * join; only the hit set — true collisions plus the fpp sliver —
+    * pays the exact anti-join that resolves false positives). At
+    * 100 TB this is the difference between shuffling every candidate
+    * against the crawled store and shuffling only the tiny hit set;
+    * the 8 MB filter broadcasts as a literal.
+    *
+    * DELIBERATE two-branch split over `cands` (the documented exception
+    * to the domainCapSurvivors single-pass rule): the upstream here is
+    * a candidate SCAN, and reading it twice is exactly what buys not
+    * shuffling the miss majority — a caller whose candidates are an
+    * expensive derived pipeline persists them first.
+    */
+  def freshViaBloom(
+      cands: DataFrame,
+      crawled: DataFrame,
+      bloomBytes: Array[Byte],
+      urlCol: String = "url"): DataFrame = {
+    require(bloomBytes != null && bloomBytes.nonEmpty, "freshViaBloom: empty filter")
+    require(!cands.columns.contains("__hit"),
+      "freshViaBloom: cands must not carry __hit (rename it)")
+    import org.apache.spark.sql.GraftSqlBridge
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    val marked = cands.withColumn("__hit", GraftSqlBridge.column(
+      BloomFilterMightContain(
+        Literal(bloomBytes, org.apache.spark.sql.types.BinaryType),
+        GraftSqlBridge.expression(xxhash64(col(urlCol))))))
+    marked.where(!col("__hit")).drop("__hit")
+      .unionByName(marked.where(col("__hit")).drop("__hit")
+        .join(crawled.select(col(urlCol)).where(col(urlCol).isNotNull).distinct(),
+          Seq(urlCol), "left_anti"))
+  }
+
   /** RANK-WEIGHTED domain cap — [[domainCap]] with the per-domain budget
     * scaled by a centrality prior instead of one flat number: high-rank
     * domains (in the [[LinkGraph.pageRankPpm]] sense, or any (domain,

@@ -556,6 +556,14 @@ class PlanAssertionsSpec extends SparkSpec {
       s"a regex crept into the decision path:\n${plan.take(2000)}")
   }
 
+  test("ext_frontier_bloom: the filter probe is in the plan and misses bypass the join scan-side") {
+    val plan = planOf("ext_frontier_bloom")
+    assert(plan.contains("might_contain"),
+      s"the bloom probe must gate the anti-join:\n${plan.take(2000)}")
+    assert(!plan.contains("CartesianProduct"),
+      s"the hit-set anti-join must stay keyed:\n${plan.take(2000)}")
+  }
+
   test("ext_trap_cap: the slot<=cap filter rewrites to WindowGroupLimit (map-side template pruning)") {
     val plan = planOf("ext_trap_cap")
     assert(plan.contains("WindowGroupLimit"),

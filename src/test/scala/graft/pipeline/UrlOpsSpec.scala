@@ -446,6 +446,25 @@ class UrlOpsSpec extends SparkSpec {
       s"cap must keep the URL-order first k: $cal")
   }
 
+  test("crawledUrlBloom + freshViaBloom: output == the plain anti-join; the sizing clamp guard fires") {
+    val crawled = (1 to 200).map(i => s"https://c.com/p/$i").toDF("url")
+    val cands = ((150 to 260).map(i => s"https://c.com/p/$i") :+ "https://fresh.org/x")
+      .toDF("url")
+    val bloom = UrlOps.crawledUrlBloom(crawled, expectedUrls = 200)
+    val got = UrlOps.freshViaBloom(cands, crawled, bloom)
+      .collect().map(_.getString(0)).toSet
+    val want = cands.join(crawled, Seq("url"), "left_anti")
+      .collect().map(_.getString(0)).toSet
+    assert(got == want, s"bloom path diverged from the exact anti-join:\n$got\n$want")
+    assert(want.contains("https://fresh.org/x") && !want.contains("https://c.com/p/150"),
+      "fixture must exercise both fresh and crawled arms")
+    // the BloomFilterAggregate silent-clamp guard (the evalShingleBloom
+    // discipline): oversizing must refuse loudly, not degrade
+    val e = intercept[IllegalArgumentException](
+      UrlOps.crawledUrlBloom(crawled, expectedUrls = 1000000000L))
+    assert(e.getMessage.contains("maxNumBits"), e.getMessage)
+  }
+
   test("domainStats: shares sum to ~1e6 and the NULL row stays visible") {
     val docs = Seq(
       (1L, "https://a.com/x", "aaaa"),
