@@ -67,8 +67,12 @@ case class MatVecFloor(child: Expression, rotFlat: Array[Long], dim: Int)
   override def prettyName: String = "mat_vec_floor"
 
   private lazy val isFloat = child.dataType match {
-    case ArrayType(FloatType, _) => true
-    case _                       => false
+    case ArrayType(FloatType, _)  => true
+    case ArrayType(DoubleType, _) => false
+    // the PqInputKind discipline: anything else (array<bigint>, ...) would
+    // read raw bits through getDouble and produce silent garbage — refuse
+    case other => throw new IllegalArgumentException(
+      s"mat_vec_floor: unsupported input type $other (need array<float> or array<double>)")
   }
 
   override def nullSafeEval(vec: Any): Any =

@@ -3965,9 +3965,7 @@ object PipelineQueries {
          |    FROM documents WHERE doc_id % 13 <> 0)
          |  WHERE url IS NOT NULL),
          |tpt AS (SELECT split_part(url, '/', 3) AS host,
-         |          regexp_replace(regexp_replace(
-         |            substr(url, 9 + length(split_part(url, '/', 3))),
-         |            '=[^&]*', '=', 'g'), '[0-9]+', 'N', 'g') AS template,
+         |          ${UrlOps.urlTemplateD("substr(url, 9 + length(split_part(url, '/', 3)))")} AS template,
          |          url
          |        FROM tdc),
          |tct AS (SELECT host, template, count(DISTINCT url) AS n FROM tpt GROUP BY 1, 2)
@@ -3987,9 +3985,7 @@ object PipelineQueries {
          |    FROM documents WHERE doc_id % 13 <> 0)
          |  WHERE url IS NOT NULL),
          |tpt AS (SELECT split_part(url, '/', 3) AS host,
-         |          regexp_replace(regexp_replace(
-         |            substr(url, 9 + length(split_part(url, '/', 3))),
-         |            '=[^&]*', '=', 'g'), '[0-9]+', 'N', 'g') AS template,
+         |          ${UrlOps.urlTemplateD("substr(url, 9 + length(split_part(url, '/', 3)))")} AS template,
          |          url
          |        FROM tdc),
          |tsl AS (SELECT host, template, url,

@@ -91,8 +91,13 @@ object Recrawl {
       max(col(tsCol)).as("__lt"))
     val withPrior = lastmods match {
       case None => agg.withColumn("lastmod_ts", lit(null).cast("long"))
+      // collapse duplicate url rows to one deterministic prior (min) before
+      // the left join — a repeated-url lastmods table must not fan the
+      // per-URL queue out (the urlDedupAliased / webIngestStream boundary
+      // guard; the streaming twin already groupBy/min's its lastmods)
       case Some(lm) => agg.join(
-        lm.select(col(urlCol), col("lastmod_ts").cast("long").as("lastmod_ts")),
+        lm.select(col(urlCol), col("lastmod_ts").cast("long").as("lastmod_ts"))
+          .groupBy(urlCol).agg(min(col("lastmod_ts")).as("lastmod_ts")),
         Seq(urlCol), "left")
     }
     withPrior

@@ -67,9 +67,11 @@ import org.apache.spark.sql.functions._
   */
 object Robots {
 
-  /** Parse-time cap on one rule's pattern length (characters) — bounds
-    * the wildcard matcher's per-row work on adversarial input; see the
-    * object scaladoc.
+  /** Parse-time cap on one rule's pattern length in UTF-8 OCTETS —
+    * bounds the wildcard matcher's per-row work on adversarial input
+    * (the matcher walks UTF-8 bytes, so the quadratic bound must be
+    * enforced in the same unit; a char-count cap is up to 4× looser on
+    * multibyte rules); see the object scaladoc.
     */
   val MaxRulePatternBytes = 2048
 
@@ -129,7 +131,8 @@ object Robots {
             // bound); the pattern is stored percent-NORMALIZED — the
             // §2.2.2 comparison space the decision fold's target side
             // shares
-            if (value.nonEmpty && value.length <= MaxRulePatternBytes)
+            if (value.nonEmpty &&
+                value.getBytes(java.nio.charset.StandardCharsets.UTF_8).length <= MaxRulePatternBytes)
               rules :+= ((graft.functions.RobotsPctNormKernel.normalize(value),
                 field == "allow"))
           case "crawl-delay" =>

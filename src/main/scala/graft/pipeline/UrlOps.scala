@@ -494,17 +494,37 @@ object UrlOps {
 
   /** URL TEMPLATE — the crawl-trap detection key: the request target
     * ([[urlPath]]: path + optional query) with the varying parts
-    * collapsed — query VALUES dropped (`?page=7&sid=x1` → `?page=&sid=`)
-    * first, then digit runs → `N` — so a calendar trap
-    * (`/cal/2024/01/02`), a pagination facet, and a numeric-id
-    * explosion pool under ONE key per host while genuinely distinct
-    * pages keep distinct keys. Digit-run collapse only — hex/uuid
-    * segment collapse is a documented caller extension, not silently
-    * guessed here. Host-scoped by every consumer (the robots
+    * collapsed — query VALUES dropped (`?page=7&sid=x1` → `?page=&sid=`),
+    * applied to the QUERY PART ONLY (split at the first `?` — a path
+    * segment containing `=` is content, not a parameter: `/doc/QWxhZGRpbg==`
+    * must NOT pool with every other base64 id, or the template cap
+    * silently drops genuinely distinct pages), then digit runs → `N`
+    * globally — so a calendar trap (`/cal/2024/01/02`), a pagination
+    * facet, and a numeric-id explosion pool under ONE key per host while
+    * genuinely distinct pages keep distinct keys. Digit-run collapse only
+    * — hex/uuid segment collapse is a documented caller extension, not
+    * silently guessed here. Host-scoped by every consumer (the robots
     * origin-scope convention); NULL for unparseable URLs.
     */
-  def urlTemplate(url: Column): Column =
-    regexp_replace(regexp_replace(urlPath(url), "=[^&]*", "="), "[0-9]+", "N")
+  def urlTemplate(url: Column): Column = {
+    val t = urlPath(url)
+    val q = locate("?", t)
+    val valueStripped = when(q > 0,
+      concat(t.substr(lit(1), q - 1),
+        regexp_replace(t.substr(q, length(t)), "=[^&]*", "=")))
+      .otherwise(t)
+    regexp_replace(valueStripped, "[0-9]+", "N")
+  }
+
+  /** The [[urlTemplate]] twin over a DuckDB request-target expression
+    * `target` (path + optional query, as the oracles derive it).
+    */
+  def urlTemplateD(target: String): String = {
+    val q = s"strpos($target, '?')"
+    val stripped = s"CASE WHEN $q > 0 THEN substr($target, 1, $q - 1) || " +
+      s"regexp_replace(substr($target, $q), '=[^&]*', '=', 'g') ELSE $target END"
+    s"regexp_replace($stripped, '[0-9]+', 'N', 'g')"
+  }
 
   /** CRAWL-TRAP observability card: per (host, template), how many
     * distinct candidate URLs instantiate the template and that count's

@@ -994,7 +994,14 @@ object StreamDedup {
     * last arrival, so the duration is that extent PLUS the TTL), and a
     * past slot loses every `max(arrival, next_free)` anyway — absent
     * state IS a past slot (spec-asserted: with-TTL == without across
-    * adversarial splits and pauses under RocksDB). `stateTtlMs = 0`
+    * adversarial splits and pauses under RocksDB). PRECONDITION of that
+    * claim: the ARRIVAL clock tracks processing time (live ingestion).
+    * The busy extent is measured in arrival-time ms but the timeout is
+    * armed in processing time — on a backfill or slow replay whose
+    * arrival clock lags wall-clock, the reaper can evict a host whose
+    * `next_free` is still in the arrival future, and the next request
+    * then dispatches at its arrival, earlier than the declared delay.
+    * `stateTtlMs = 0` is the safe backfill setting; it
     * disables the reaper (the NoTimeout corpus-lifetime form). NOTE the
     * engine contract of processing-time timeouts: the query runs
     * micro-batches continuously to evaluate them, so

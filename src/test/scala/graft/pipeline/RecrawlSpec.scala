@@ -40,4 +40,20 @@ class RecrawlSpec extends SparkSpec {
       .collect().map(r => (Option(r.getString(1)), r.getLong(4), r.getLong(5)))
     assert(host.toSeq == Seq((None, 100L, 101L)), s"got ${host.toSeq}")
   }
+
+  test("recrawlDue: duplicate-url lastmods rows collapse to one min prior, never fan the queue") {
+    val fh = Seq(
+      ("https://b.com/y", 200L, "s"), ("https://b.com/y", 300L, "s")
+    ).toDF("url", "fetch_ts", "content_hash")
+    // three prior rows for one url (a joined prior table with history);
+    // min(40, 90, 120) = 40 is the deterministic election — est stays
+    // 300 - 40 = 260 and the queue holds exactly ONE row for the url
+    val lm = Seq(
+      ("https://b.com/y", 90L), ("https://b.com/y", 40L), ("https://b.com/y", 120L)
+    ).toDF("url", "lastmod_ts")
+    val got = Recrawl.recrawlDue(fh, Some(lm),
+        defaultIntervalMs = 1000L, minIntervalMs = 50L)
+      .collect().map(r => (r.getString(0), r.getLong(4), r.getLong(5)))
+    assert(got.toSeq == Seq(("https://b.com/y", 260L, 560L)), s"got ${got.toSeq}")
+  }
 }

@@ -346,5 +346,14 @@ class RobotsSpec extends SparkSpec {
     val hostile = "User-agent: *\nDisallow: /" + "*a" * MaxRulePatternBytes +
       "\nDisallow: /keep\n"
     assert(parseRobots("h.com", hostile).map(_.prefix) == Seq("/keep"))
+    // the cap is UTF-8 OCTETS, not chars: 1024 two-byte chars = 2048
+    // bytes (in-cap) survives; 1025 (2050 bytes, but only 1026 chars)
+    // drops — the quadratic matcher's bound is over bytes
+    val twoByte = "é"
+    val atCap = "User-agent: *\nDisallow: /" + twoByte * 1023 + "\n" // 1 + 2·1023 = 2047 bytes
+    assert(parseRobots("h.com", atCap).size == 1)
+    val overCap = "User-agent: *\nDisallow: /" + twoByte * 1024 +
+      "\nDisallow: /keep\n" // 1 + 2·1024 = 2049 bytes > 2048, though only 1025 chars
+    assert(parseRobots("h.com", overCap).map(_.prefix) == Seq("/keep"))
   }
 }

@@ -446,6 +446,19 @@ class UrlOpsSpec extends SparkSpec {
       s"cap must keep the URL-order first k: $cal")
   }
 
+  test("urlTemplate: value-strip is query-only — path '=' (base64/matrix segments) is content") {
+    val got = Seq(
+      "https://a.com/doc/QWxhZGRpbg==",        // base64 path id: '=' kept
+      "https://a.com/doc/Zm9vYmFy/x",          // distinct base64 id stays distinct
+      "https://a.com/m;k=v/p?id=7",            // matrix param in path kept; query value dropped
+      "https://a.com/s?a=x&b=y=z"              // query values (incl. a nested '=') dropped
+    ).toDF("url").select(UrlOps.urlTemplate(col("url"))).collect().map(_.getString(0))
+    // note url 2's '9' still digit-collapses (global digit rule): Zm9v -> ZmNv
+    assert(got.toSeq == Seq(
+      "/doc/QWxhZGRpbg==", "/doc/ZmNvYmFy/x",
+      "/m;k=v/p?id=", "/s?a=&b="), s"got ${got.toSeq}")
+  }
+
   test("crawledUrlBloom + freshViaBloom: output == the plain anti-join; the sizing clamp guard fires") {
     val crawled = (1 to 200).map(i => s"https://c.com/p/$i").toDF("url")
     val cands = ((150 to 260).map(i => s"https://c.com/p/$i") :+ "https://fresh.org/x")
