@@ -1882,6 +1882,32 @@ object PipelineQueries {
         .orderBy("host", "url")
     }),
 
+    // the SAME frontier through the SHARDED bloom family — the carrier
+    // that scales the anti-join shape past the single-filter clamp
+    // (10⁹-URL crawled stores = K bounded shards, one probed per
+    // candidate): output-identical for any K, so once more the oracle
+    // IS ext_frontier's statement — three plans now, one truth
+    "ext_frontier_bloom_shard" -> ((s, dir) => {
+      val la = linkAug(Tables.documents(s, dir))
+      val discovered = LinkGraph.resolveLinks(
+          LinkGraph.extractLinks(la, keepCols = Seq("url")))
+        .select(UrlOps.canonicalUrl(col("href")).as("url"))
+        .where(col("url").isNotNull)
+        .unionByName(Sitemaps.sitemapPageUrls(robotsTable(s), sitemapBodyTable(s))
+          .select(col("url")))
+        .distinct()
+      val crawled = la.select(UrlOps.canonicalUrl(col("url")).as("url"))
+        .where(col("url").isNotNull).distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val shards = UrlOps.crawledUrlBloomShards(crawled,
+        expectedUrls = math.max(crawled.count(), 1L), numShards = 8)
+      Robots.fetchSchedule(
+          UrlOps.freshViaBloomSharded(discovered, crawled, shards)
+            .withColumn("host", UrlOps.hostOf(col("url"))),
+          Robots.crawlDelayBudget(robotsTable(s)).select("host", "delay_ms"))
+        .orderBy("host", "url")
+    }),
+
     // CRAWL-TRAP observability: discovered candidates pooled by URL
     // TEMPLATE (query values dropped, digit runs collapsed) per host —
     // count + host share; the signal that catches a calendar/facet/
@@ -3910,6 +3936,11 @@ object PipelineQueries {
     // bloom-pruned frontier: output-identical by construction — the
     // SAME statement gates it (see frontierSqlD)
     "ext_frontier_bloom" ->
+      frontierSqlD,
+
+    // sharded bloom family: output-identical for any shard count — the
+    // SAME statement gates it (see frontierSqlD)
+    "ext_frontier_bloom_shard" ->
       frontierSqlD,
 
     // the complete frontier: fresh channels (resolved links incl. the

@@ -624,10 +624,11 @@ object UrlOps {
     * filter has NO false negatives, so a candidate that MISSES is
     * definitely uncrawled and passes SCAN-SIDE without touching the
     * join; only the hit set — true collisions plus the fpp sliver —
-    * pays the exact anti-join that resolves false positives). At
-    * 100 TB this is the difference between shuffling every candidate
-    * against the crawled store and shuffling only the tiny hit set;
-    * the 8 MB filter broadcasts as a literal.
+    * pays the exact anti-join that resolves false positives). This
+    * single-literal form is for BOUNDED crawled stores (≤ ~4.7 M keys
+    * at fpp 0.001 under the default clamp — [[crawledUrlBloom]]'s guard
+    * refuses past it); web-scale stores take the SAME shape through
+    * [[freshViaBloomSharded]], whose shard family has no such ceiling.
     *
     * DELIBERATE two-branch split over `cands` (the documented exception
     * to the domainCapSurvivors single-pass rule): the upstream here is
@@ -649,6 +650,89 @@ object UrlOps {
       BloomFilterMightContain(
         Literal(bloomBytes, org.apache.spark.sql.types.BinaryType),
         GraftSqlBridge.expression(xxhash64(col(urlCol))))))
+    marked.where(!col("__hit")).drop("__hit")
+      .unionByName(marked.where(col("__hit")).drop("__hit")
+        .join(crawled.select(col(urlCol)).where(col(urlCol).isNotNull).distinct(),
+          Seq(urlCol), "left_anti"))
+  }
+
+  /** Build the crawled-set Bloom filter as a HASH-PREFIX SHARD FAMILY —
+    * the form whose capacity scales past [[crawledUrlBloom]]'s
+    * single-filter ceiling: shard `k` holds exactly the URLs with
+    * `pmod(xxhash64(url), K) = k`, each shard sized for `n/K` keys and
+    * each independently under the engine clamp, so a 10⁹-URL crawled
+    * store is K ≈ n/4.7M bounded filters instead of one refused
+    * monolith. Built in ONE aggregation pass (one shuffle with K
+    * groups); shards that received no URLs materialize as empty filters
+    * (a miss — correct: nothing crawled hashes there). In production
+    * the family is maintained next to the crawled store on its cadence
+    * (the [[crawledUrlBloom]] at-rest discipline), and K is chosen once
+    * from the store's size: `K ≥ expectedUrls / (maxNumBits·ln2²/ln(1/fpp))`.
+    */
+  def crawledUrlBloomShards(
+      crawled: DataFrame,
+      expectedUrls: Long,
+      numShards: Int,
+      fpp: Double = 0.001,
+      urlCol: String = "url"): Array[Array[Byte]] = {
+    require(numShards >= 1, s"crawledUrlBloomShards: numShards must be positive, got $numShards")
+    require(expectedUrls > 0,
+      s"crawledUrlBloomShards: expectedUrls must be positive, got $expectedUrls")
+    require(fpp > 0 && fpp < 1, s"crawledUrlBloomShards: fpp must be in (0, 1), got $fpp")
+    val perShard = math.max(1L, (expectedUrls + numShards - 1) / numShards)
+    val numBits = math.ceil(
+      -perShard * math.log(fpp) / (math.log(2) * math.log(2))).toLong
+    val maxNumBits = crawled.sparkSession.conf
+      .getOption("spark.sql.optimizer.runtime.bloomFilter.maxNumBits")
+      .map(_.toLong).getOrElse(67108864L)
+    require(numBits <= maxNumBits,
+      s"crawledUrlBloomShards: sizing $perShard keys/shard at fpp=$fpp needs $numBits " +
+        s"bits/shard, above spark.sql.optimizer.runtime.bloomFilter.maxNumBits=$maxNumBits " +
+        "— BloomFilterAggregate would silently clamp; raise numShards (the whole point " +
+        "of the shard family) or that conf")
+    import org.apache.spark.sql.GraftSqlBridge
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    val bfAgg = GraftSqlBridge.column(
+      new BloomFilterAggregate(
+        GraftSqlBridge.expression(xxhash64(col(urlCol))),
+        Literal(perShard), Literal(numBits)).toAggregateExpression())
+    val built = crawled.where(col(urlCol).isNotNull)
+      .groupBy(pmod(xxhash64(col(urlCol)), lit(numShards.toLong)).as("__shard"))
+      .agg(bfAgg.as("__bf"))
+      .collect()
+      .map(r => r.getLong(0).toInt -> r.getAs[Array[Byte]]("__bf"))
+      .toMap
+    Array.tabulate(numShards) { k =>
+      built.getOrElse(k, {
+        val bos = new java.io.ByteArrayOutputStream()
+        org.apache.spark.util.sketch.BloomFilter.create(perShard, numBits).writeTo(bos)
+        bos.toByteArray
+      })
+    }
+  }
+
+  /** [[freshViaBloom]] over a shard family — output-identical to the
+    * plain anti-join for ANY shard count (the per-shard one-sided-error
+    * argument in [[graft.functions.ShardedBloomMightContain]]), probing
+    * one shard per candidate scan-side. The shards ride the task binary
+    * as one reference object, not K plan literals — this is the form
+    * whose 100 TB claim holds: a 10⁹⁺-URL crawled set broadcasts as K
+    * bounded filters, misses (the frontier majority) never shuffle, and
+    * only the fpp sliver pays the exact anti-join. Same deliberate
+    * two-branch candidate split as [[freshViaBloom]].
+    */
+  def freshViaBloomSharded(
+      cands: DataFrame,
+      crawled: DataFrame,
+      shardBytes: Array[Array[Byte]],
+      urlCol: String = "url"): DataFrame = {
+    require(shardBytes != null && shardBytes.nonEmpty && shardBytes.forall(_.nonEmpty),
+      "freshViaBloomSharded: empty shard family")
+    require(!cands.columns.contains("__hit"),
+      "freshViaBloomSharded: cands must not carry __hit (rename it)")
+    val marked = cands.withColumn("__hit",
+      graft.functions.ShardedBloomMightContain.of(xxhash64(col(urlCol)), shardBytes))
     marked.where(!col("__hit")).drop("__hit")
       .unionByName(marked.where(col("__hit")).drop("__hit")
         .join(crawled.select(col(urlCol)).where(col(urlCol).isNotNull).distinct(),

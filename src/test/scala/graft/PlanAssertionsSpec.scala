@@ -564,6 +564,14 @@ class PlanAssertionsSpec extends SparkSpec {
       s"the hit-set anti-join must stay keyed:\n${plan.take(2000)}")
   }
 
+  test("ext_frontier_bloom_shard: the sharded probe is in the plan and stays keyed") {
+    val plan = planOf("ext_frontier_bloom_shard")
+    assert(plan.contains("sharded_bloom_might_contain"),
+      s"the shard-family probe must gate the anti-join:\n${plan.take(2000)}")
+    assert(!plan.contains("CartesianProduct"),
+      s"the hit-set anti-join must stay keyed:\n${plan.take(2000)}")
+  }
+
   test("ext_trap_cap: the slot<=cap filter rewrites to WindowGroupLimit (map-side template pruning)") {
     val plan = planOf("ext_trap_cap")
     assert(plan.contains("WindowGroupLimit"),

@@ -478,6 +478,48 @@ class UrlOpsSpec extends SparkSpec {
     assert(e.getMessage.contains("maxNumBits"), e.getMessage)
   }
 
+  test("crawledUrlBloomShards + freshViaBloomSharded: shard-count invariance, empty shards, sizing guard") {
+    val key = "spark.sql.codegen.fallback"
+    val prior = spark.conf.getOption(key)
+    spark.conf.set(key, "false") // the probe expression must codegen
+    try {
+      val crawled = (1 to 200).map(i => s"https://c.com/p/$i").toDF("url")
+      val cands = ((150 to 260).map(i => s"https://c.com/p/$i") :+ "https://fresh.org/x")
+        .toDF("url")
+      val want = cands.join(crawled, Seq("url"), "left_anti")
+        .collect().map(_.getString(0)).toSet
+      // any K gives the exact anti-join's output — the per-shard
+      // one-sided-error argument; K > distinct urls forces EMPTY shards
+      for (k <- Seq(1, 4, 13, 512)) {
+        val shards = UrlOps.crawledUrlBloomShards(crawled,
+          expectedUrls = 200, numShards = k)
+        assert(shards.length == k && shards.forall(_.nonEmpty))
+        val got = UrlOps.freshViaBloomSharded(cands, crawled, shards)
+          .collect().map(_.getString(0)).toSet
+        assert(got == want, s"K=$k diverged from the exact anti-join")
+      }
+      // K=1 == the single-filter form's decisions on the same sizing
+      val one = UrlOps.crawledUrlBloomShards(crawled, expectedUrls = 200, numShards = 1)
+      val mono = UrlOps.crawledUrlBloom(crawled, expectedUrls = 200)
+      assert(one.head.sameElements(mono),
+        "K=1 shard family must be byte-identical to the monolithic filter")
+      // per-shard sizing guard: an under-sharded web-scale store refuses
+      // loudly and names the fix
+      val e = intercept[IllegalArgumentException](
+        UrlOps.crawledUrlBloomShards(crawled, expectedUrls = 1000000000L, numShards = 2))
+      assert(e.getMessage.contains("raise numShards"), e.getMessage)
+      // ... and the SAME store shards fine at an adequate K
+      val ok = UrlOps.crawledUrlBloomShards(crawled, expectedUrls = 1000000000L,
+        numShards = 256)
+      assert(ok.length == 256)
+    } finally {
+      prior match {
+        case Some(p) => spark.conf.set(key, p)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("domainStats: shares sum to ~1e6 and the NULL row stays visible") {
     val docs = Seq(
       (1L, "https://a.com/x", "aaaa"),
