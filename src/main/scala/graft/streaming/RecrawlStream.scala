@@ -31,10 +31,22 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * here).
   *
   * State: (last hash, last change ts, two counters, ≤ `maxGaps` longs)
-  * per URL — fixed-width, NoTimeout by the corpus-lifetime contract of
-  * the URL-dedup family (this state IS the crawl's memory of the page;
-  * evicting it forgets the cadence, unlike the politeness dispatcher
-  * whose expired slot is reconstructible as absent).
+  * per URL — fixed-width per key, but the KEY dimension grows with the
+  * corpus (every URL ever fetched), so production BOUNDS it with
+  * `stateTtlMs > 0`: a URL idle for its OWN estimated interval plus the
+  * TTL (processing time — the [[StreamDedup.politeDispatchStream]]
+  * reaper discipline, same arrival≈processing-time precondition) is
+  * evicted. Unlike the dispatcher, eviction here is NOT
+  * decision-identical — the gap history is the one state the batch
+  * store can't reconstruct from absence — so the divergence is PINNED
+  * as a principled degradation: the next observation of an evicted URL
+  * RE-INITIALIZES (counts as a first fetch and a change; the estimate
+  * restarts at the lastmod prior or the default, exactly the cold-start
+  * arm), and the cadence re-learns over the next `maxGaps` changes. A
+  * URL idle that long has an estimate that stale anyway — restarting at
+  * the prior is the honest restart, and the batch twin over the full
+  * store remains the backfill truth. `stateTtlMs = 0` keeps the
+  * NoTimeout corpus-lifetime form (specs, bounded corpora).
   */
 object RecrawlStream {
 
@@ -61,9 +73,11 @@ object RecrawlStream {
       lastmods: Option[DataFrame] = None,
       defaultIntervalMs: Long = 7L * 86400000L,
       minIntervalMs: Long = 3600000L,
-      maxGaps: Int = 16): Dataset[RecrawlUpdate] = {
+      maxGaps: Int = 16,
+      stateTtlMs: Long = 0L): Dataset[RecrawlUpdate] = {
     require(minIntervalMs >= 1 && defaultIntervalMs >= minIntervalMs && maxGaps >= 1,
       s"recrawlDueStream: need minIntervalMs >= 1 <= defaultIntervalMs, maxGaps >= 1")
+    require(stateTtlMs >= 0, s"recrawlDueStream: stateTtlMs must be >= 0, got $stateTtlMs")
     import obs.sparkSession.implicits._
     val withLm: Dataset[(FetchObs, Option[Long])] = lastmods match {
       case None => obs.where(col("url").isNotNull)
@@ -83,12 +97,22 @@ object RecrawlStream {
           .as[(String, Long, String, Option[Long])]
           .map { case (u, ts, h, lts) => (FetchObs(u, ts, h), lts) }
     }
+    val timeoutConf =
+      if (stateTtlMs > 0) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
     withLm
       .groupByKey(_._1.url)
       .flatMapGroupsWithState[RecrawlState, RecrawlUpdate](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        OutputMode.Append(), timeoutConf) {
         (url: String, it: Iterator[(FetchObs, Option[Long])],
          state: GroupState[RecrawlState]) =>
+          if (state.hasTimedOut) {
+            // long-idle URL: forget the cadence (the pinned re-init
+            // divergence — see the scaladoc); the batch twin rebuilds
+            // the exact estimate from the store on the next backfill
+            state.remove()
+            Iterator.empty
+          } else {
           val ordered = it.toSeq.sortBy(r => (r._1.fetch_ts, r._1.content_hash))
           var st = state.getOption.getOrElse(RecrawlState(null, 0L, 0L, 0L, Nil))
           val out = ordered.map { case (o, lmTs) =>
@@ -111,7 +135,13 @@ object RecrawlStream {
             RecrawlUpdate(url, st.nFetches, st.nChanges, est, o.fetch_ts + est)
           }
           state.update(st)
+          if (stateTtlMs > 0) {
+            // idle past the URL's own estimated cadence plus the TTL →
+            // the estimate is stale; evict and re-learn on next sight
+            state.setTimeoutDuration(out.last.est_interval_ms + stateTtlMs)
+          }
           out.iterator
+          }
       }
   }
 }

@@ -93,4 +93,55 @@ class RecrawlStreamSpec extends SparkSpec {
         s"sliding-window median diverged: $last")
     } finally q.stop()
   }
+
+  test("recrawlDueStream TTL: long-idle URLs evict and RE-INITIALIZE on next sight (the pinned divergence, RocksDB)") {
+    implicit val sqlCtx = spark.sqlContext
+    // u learns a 10 ms cadence (changes at 0, 10, 20 -> gaps 10, 10);
+    // after idling past est + TTL of PROCESSING time its state evicts,
+    // so the late refetch restarts cold: first fetch, first change,
+    // default estimate — vs ttl=0 where it continues at n_fetches=4
+    // with the learned median
+    val b1 = Seq(
+      FetchObs("u", 0L, "a"), FetchObs("u", 10L, "b"), FetchObs("u", 20L, "c"))
+    val b2 = Seq(FetchObs("u", 5000L, "d"))
+    val confKey = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(confKey)
+    spark.conf.set(confKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      for ((ttl, wantLast) <- Seq(
+        (50L, (1L, 1L, 500L, 5500L)),   // re-init: the cold-start default arm
+        (0L, (4L, 4L, 10L, 5010L)))) {  // corpus-lifetime: cadence continues
+        val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[FetchObs]
+        val name = s"recrawl_ttl_$ttl"
+        val q = RecrawlStream.recrawlDueStream(in.toDS(), None,
+            defaultIntervalMs = 500L, minIntervalMs = 1L, stateTtlMs = ttl)
+          .writeStream.format("memory").queryName(name).outputMode("append").start()
+        // processing-time timeouts run micro-batches continuously —
+        // processAllAvailable never quiesces; poll the sink (the
+        // politeDispatchStream TTL spec convention)
+        def await(n: Int): Unit =
+          if (ttl > 0) {
+            val deadline = System.currentTimeMillis + 120000L
+            while (spark.table(name).count() < n &&
+              System.currentTimeMillis < deadline) Thread.sleep(50L)
+            assert(spark.table(name).count() >= n, s"sink stuck below $n rows")
+          } else q.processAllAvailable()
+        try {
+          in.addData(b1); await(3)
+          if (ttl > 0) Thread.sleep(1000L) // > est (10 ms) + TTL (50 ms)
+          in.addData(b2); await(4)
+          val rows = spark.table(name).as[RecrawlUpdate].collect()
+          val got = rows.maxBy(_.next_due_ms)
+          assert((got.n_fetches, got.n_changes, got.est_interval_ms, got.next_due_ms)
+            == wantLast, s"ttl=$ttl: got $got")
+        } finally q.stop()
+      }
+    } finally {
+      prior match {
+        case Some(v) => spark.conf.set(confKey, v)
+        case None => spark.conf.unset(confKey)
+      }
+    }
+  }
 }
