@@ -1,0 +1,156 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** VALUE-ORDERED frontier prioritization — the composition that turns
+  * "what MAY be fetched" (discovery ∪ sitemap ∪ recrawl, anti-joined,
+  * robots-filtered) into "what is fetched FIRST". A real crawler's
+  * per-host queue is ordered by expected value, not URL spelling; the
+  * inputs all exist in this pipeline already and this operator only
+  * composes them into one integer score:
+  *
+  *   priority = rank prior                       (domain centrality,
+  *              [[LinkGraph.pageRankPpm]] / harmonic — the
+  *              [[UrlOps.domainCapByRank]] table shape, ppm)
+  *            + reason rank · reasonWeightPpm    (recrawl=2, sitemap=1,
+  *              discovered=0 — a known-changed page beats a
+  *              publisher-listed page beats a raw discovery)
+  *            + overdue age, saturating          (min(1e6, age_ms·1e6
+  *              DIV ageScaleMs) — the longer past due, the staler)
+  *            − trap share                       ([[UrlOps.crawlTraps]]
+  *              share_ppm of the URL's (host, template) — candidates
+  *              inside a suspected trap pool pay their pool's share)
+  *
+  * Everything is exact BIGINT ppm arithmetic (the int8/PQ discipline):
+  * the score is closed-form, engine-exact, and the DuckDB twin replays
+  * it term by term. Unknown reason strings score NULL — visible in the
+  * output, never silently pooled (the NULL-host convention).
+  *
+  * Scale shape: three keyed joins, each against a table that is either
+  * model-sized (ranks — domain-level, broadcastable at ~1e8 rows ÷
+  * AQE's call) or derived from the candidates themselves (trap shares —
+  * rows = distinct templates; due ages — the recrawl queue), plus
+  * scan-side host/domain/template derivation. No window here; the
+  * ordering happens once, in [[fetchScheduleByPriority]]'s per-host
+  * window, where the budget filter prunes map-side (WindowGroupLimit).
+  */
+object Frontier {
+
+  /** Attach `host` and the closed-form `priority` to frontier
+    * candidates. `cands` carries (urlCol, reason); `ranks` is any
+    * (domain, rank_ppm) quality table; `dueAges` maps recrawl URLs to
+    * their overdue age in ms (absent url → 0); `trapShares` is
+    * [[UrlOps.crawlTraps]] output (absent template → 0).
+    */
+  def frontierPriority(
+      cands: DataFrame,
+      ranks: DataFrame,
+      dueAges: Option[DataFrame] = None,
+      trapShares: Option[DataFrame] = None,
+      defaultRankPpm: Long = 150000L,
+      ageScaleMs: Long = 7L * 86400000L,
+      reasonWeightPpm: Long = 500000L,
+      urlCol: String = "url"): DataFrame = {
+    require(ageScaleMs >= 1, s"frontierPriority: ageScaleMs must be positive, got $ageScaleMs")
+    val missing = Seq("domain", "rank_ppm").filterNot(ranks.columns.contains)
+    require(missing.isEmpty,
+      s"frontierPriority: ranks must carry (domain, rank_ppm); missing ${missing.mkString(", ")}")
+    val reserved = Seq("host", "priority", "__dom", "__tpl", "__rkp", "__age", "__shr")
+      .filter(cands.columns.contains)
+    require(reserved.isEmpty,
+      s"frontierPriority: cands columns collide with output/internal names " +
+        s"(rename them): ${reserved.mkString(", ")}")
+    require(cands.columns.contains("reason"),
+      "frontierPriority: cands must carry reason (recrawl/sitemap/discovered)")
+    val withKeys = cands
+      .withColumn("host", UrlOps.hostOf(col(urlCol)))
+      .withColumn("__dom", UrlOps.registrableDomain(col(urlCol)))
+      .withColumn("__tpl", UrlOps.urlTemplate(col(urlCol)))
+    val withRank = withKeys.join(
+      ranks.select(col("domain").as("__dom"), col("rank_ppm").cast("long").as("__rkp")),
+      Seq("__dom"), "left")
+    val withAge = dueAges match {
+      case None => withRank.withColumn("__age", lit(0L))
+      case Some(da) =>
+        val m = Seq(urlCol, "age_ms").filterNot(da.columns.contains)
+        require(m.isEmpty,
+          s"frontierPriority: dueAges must carry ($urlCol, age_ms); missing ${m.mkString(", ")}")
+        // one deterministic age per url at the boundary (the recrawlDue
+        // duplicate-prior discipline) — the LARGEST overdue age wins
+        withRank.join(
+          da.groupBy(urlCol).agg(max(col("age_ms").cast("long")).as("__age")),
+          Seq(urlCol), "left")
+    }
+    val withShare = trapShares match {
+      case None => withAge.withColumn("__shr", lit(0L))
+      case Some(ts) =>
+        val m = Seq("host", "template", "share_ppm").filterNot(ts.columns.contains)
+        require(m.isEmpty,
+          s"frontierPriority: trapShares must carry (host, template, share_ppm); " +
+            s"missing ${m.mkString(", ")}")
+        withAge.join(
+          ts.select(col("host"), col("template").as("__tpl"),
+            col("share_ppm").cast("long").as("__shr")),
+          Seq("host", "__tpl"), "left")
+    }
+    val reasonRank = when(col("reason") === "recrawl", 2L)
+      .when(col("reason") === "sitemap", 1L)
+      .when(col("reason") === "discovered", 0L) // else NULL — visible
+    withShare
+      .withColumn("priority",
+        coalesce(col("__rkp"), lit(defaultRankPpm))
+          + reasonRank * lit(reasonWeightPpm)
+          + least(lit(1000000L),
+              expr(s"coalesce(__age, 0L) * 1000000L DIV ${ageScaleMs}L"))
+          - coalesce(col("__shr"), lit(0L)))
+      .drop("__dom", "__tpl", "__rkp", "__age", "__shr")
+  }
+
+  /** Per-host BUDGETED top-k dispatch by priority — the
+    * [[Robots.fetchSchedule]] window keyed the same (one per-host
+    * window, NULL hosts on unique NUL-prefixed keys at slot 1), ordered
+    * by `(priority DESC, url)` instead of URL spelling, and capped at
+    * `maxPerHost` — the `slot <= k` filter over the plain row_number
+    * rewrites to WindowGroupLimit, so a 10⁶-candidate host prunes to k
+    * map-side before the shuffle (the [[UrlOps.templateCapSurvivors]]
+    * discipline). Slots keep the politeness spacing contract: slot k
+    * may not fire before `(k−1) · delay`.
+    *
+    * Output: (host, url, priority, slot, not_before_ms).
+    */
+  def fetchScheduleByPriority(
+      candidates: DataFrame,
+      budgets: DataFrame,
+      maxPerHost: Long,
+      defaultDelayMs: Long = 1000L,
+      hostCol: String = "host",
+      urlCol: String = "url"): DataFrame = {
+    require(maxPerHost >= 1, s"fetchScheduleByPriority: maxPerHost must be positive, got $maxPerHost")
+    require(defaultDelayMs >= 1,
+      s"fetchScheduleByPriority: defaultDelayMs must be positive, got $defaultDelayMs")
+    require(budgets.columns.contains("delay_ms"),
+      s"fetchScheduleByPriority: budgets must carry delay_ms, got ${budgets.columns.mkString(", ")}")
+    require(candidates.columns.contains("priority"),
+      "fetchScheduleByPriority: candidates must carry priority (frontierPriority output)")
+    val reserved = Seq("slot", "not_before_ms", "__dm", "__pk").filter(candidates.columns.contains)
+    require(reserved.isEmpty,
+      s"fetchScheduleByPriority: candidates columns collide with output/internal names " +
+        s"(rename them): ${reserved.mkString(", ")}")
+    val b = budgets.select(col(hostCol), col("delay_ms").cast("long").as("__dm"))
+    // NULLS LAST explicit on BOTH engines: an unknown-reason NULL
+    // priority must sort below every scored candidate, identically
+    val w = Window.partitionBy("__pk")
+      .orderBy(col("priority").desc_nulls_last, col(urlCol))
+    candidates
+      .join(broadcast(b), Seq(hostCol), "left")
+      .withColumn("__pk", coalesce(col(hostCol), concat(lit(" "), col(urlCol))))
+      .withColumn("slot", row_number().over(w).cast("long"))
+      .where(col("slot") <= maxPerHost)
+      .select(col(hostCol), col(urlCol), col("priority"), col("slot"),
+        when(col(hostCol).isNull, lit(0L))
+          .otherwise((col("slot") - 1) * coalesce(col("__dm"), lit(defaultDelayMs)))
+          .as("not_before_ms"))
+  }
+}

@@ -1835,6 +1835,57 @@ object PipelineQueries {
         .orderBy("host", "url")
     }),
 
+    // VALUE-ORDERED frontier: the same three channels, but each host
+    // dispatches its budgeted top-k by a closed-form integer priority —
+    // domain centrality prior (PageRank ppm, the domainCapByRank table
+    // shape) + reason rank (recrawl > sitemap > discovered) + saturating
+    // overdue age - trap-template share — instead of URL spelling; the
+    // slot<=k budget filter prunes map-side (WindowGroupLimit)
+    "ext_frontier_priority" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val la = linkAug(docs)
+      val fh = fetchHistoryTable(docs)
+      val resolved = LinkGraph.resolveLinks(
+        LinkGraph.extractLinks(la, keepCols = Seq("url")))
+      val crawled = la.select(UrlOps.canonicalUrl(col("url")).as("url"))
+        .unionByName(fh.select(UrlOps.canonicalUrl(col("url")).as("url")))
+        .where(col("url").isNotNull).distinct()
+      val fresh = resolved
+        .select(UrlOps.canonicalUrl(col("href")).as("url"), lit(2L).as("__rk"))
+        .unionByName(Sitemaps.sitemapPageUrls(robotsTable(s), sitemapBodyTable(s))
+          .select(col("url"), lit(1L).as("__rk")))
+        .where(col("url").isNotNull)
+        .groupBy("url").agg(min(col("__rk")).as("__rk"))
+        .join(crawled, Seq("url"), "left_anti")
+        .withColumn("age_ms", lit(0L))
+      val due = Recrawl.recrawlDue(fh,
+          lastmods = Some(docs.where(col("doc_id") % 8 === 0)
+            .select(recrawlUrl(col("doc_id")).as("url"),
+              (col("doc_id") - 5000L).as("lastmod_ts"))),
+          defaultIntervalMs = 1000000L, minIntervalMs = 150000L)
+        .where(col("next_due_ms") <= 1500000L)
+        .select(UrlOps.canonicalUrl(col("url")).as("url"), lit(0L).as("__rk"),
+          (lit(1500000L) - col("next_due_ms")).as("age_ms"))
+        .where(col("url").isNotNull)
+      val cands = fresh.unionByName(due)
+        .withColumn("reason",
+          when(col("__rk") === 0, lit("recrawl"))
+            .when(col("__rk") === 1, lit("sitemap"))
+            .otherwise(lit("discovered")))
+      val ranks = LinkGraph.pageRankPpm(LinkGraph.linkDomainEdges(resolved))
+        .withColumnRenamed("node", "domain")
+      val pri = Frontier.frontierPriority(
+        cands.select("url", "reason"), ranks,
+        dueAges = Some(cands.select(col("url"), col("age_ms"))),
+        trapShares = Some(UrlOps.crawlTraps(cands)),
+        defaultRankPpm = 150000L, ageScaleMs = 1000000L)
+      Frontier.fetchScheduleByPriority(
+          pri.select("host", "url", "priority"),
+          Robots.crawlDelayBudget(robotsTable(s)).select("host", "delay_ms"),
+          maxPerHost = 5)
+        .orderBy("host", "url")
+    }),
+
     // recrawl cadence: per-URL change-interval estimation from fetch
     // history (hash-equality change events, lower-median gap — the I1
     // tie-arm), sitemap-lastmod prior for never-changing pages, min
@@ -3983,6 +4034,61 @@ object PipelineQueries {
          |  CAST(slot AS BIGINT) AS slot,
          |  CAST((slot - 1) * COALESCE(dm, 1000) AS BIGINT) AS not_before_ms
          |FROM ffs ORDER BY host, url""".stripMargin,
+
+    // value-ordered frontier: the frontier_full candidate set with the
+    // priority replayed term by term — pr_r5 rank prior on the
+    // registrable domain, (2-rk) reason rank, saturating age, trap
+    // share over the same candidates — then per-host top-5 by
+    // (priority DESC, url)
+    "ext_frontier_priority" ->
+      s"""WITH $linkAugSql,
+         |$sitemapPagesSqlD,
+         |$recrawlSqlD,
+         |${LinkGraph.pageRankSqlD("le")},
+         |ffcr AS (SELECT DISTINCT u AS url FROM (
+         |    SELECT ${UrlOps.canonicalUrlD("url")} AS u FROM lad
+         |    UNION ALL SELECT ${recrawlUrlD("doc_id")} FROM documents WHERE doc_id % 13 <> 0)
+         |  WHERE u IS NOT NULL),
+         |fffr AS (SELECT url, min(rk) AS rk FROM (
+         |    SELECT ${UrlOps.canonicalUrlD("href")} AS url, 2 AS rk FROM la
+         |    UNION ALL
+         |    SELECT DISTINCT 'https://' || ${siteHostD("doc_id % 40")} || '/', 2
+         |    FROM documents WHERE doc_id % 13 <> 0
+         |    UNION ALL
+         |    SELECT url, 1 FROM smp)
+         |  WHERE url IS NOT NULL GROUP BY url),
+         |ffa AS (SELECT f.url, f.rk, 0 AS age_ms FROM fffr f LEFT JOIN ffcr c ON f.url = c.url
+         |        WHERE c.url IS NULL),
+         |ffdue AS (SELECT ${recrawlUrlD("doc_id")} AS url, 0 AS rk,
+         |            1500000 - (lt + e) AS age_ms FROM rest
+         |          WHERE doc_id % 13 <> 0 AND lt + e <= 1500000),
+         |ffc AS (SELECT url, rk, age_ms FROM ffa UNION ALL SELECT url, rk, age_ms FROM ffdue),
+         |fpt AS (SELECT split_part(url, '/', 3) AS host,
+         |          ${UrlOps.urlTemplateD("substr(url, 9 + length(split_part(url, '/', 3)))")} AS template,
+         |          url, rk, age_ms
+         |        FROM ffc),
+         |fsh AS (SELECT host, template,
+         |          n * 1000000 // greatest(sum(n) OVER (PARTITION BY host), 1) AS share_ppm
+         |        FROM (SELECT host, template, count(DISTINCT url) AS n FROM fpt GROUP BY 1, 2)),
+         |fpr AS (SELECT f.host, f.template, f.url, f.rk, f.age_ms,
+         |          COALESCE(r.rank_ppm, 150000) AS rkp
+         |        FROM fpt f LEFT JOIN pr_r5 r ON r.node = ${UrlOps.registrableDomainD("f.url")}),
+         |fprio AS (SELECT p.host, p.url,
+         |            p.rkp + (2 - p.rk) * 500000 +
+         |            least(1000000, p.age_ms * 1000000 // 1000000) -
+         |            COALESCE(s.share_ppm, 0) AS priority
+         |          FROM fpr p LEFT JOIN fsh s ON s.host = p.host AND s.template = p.template),
+         |ffcb AS (SELECT ${siteHostD("i")} AS host,
+         |           CASE WHEN i % 3 = 0 THEN 5000 ELSE 9000000 END AS dm
+         |         FROM range(40) t(i) WHERE i % 3 IN (0, 2) AND i % 10 <> 5),
+         |fps AS (SELECT p.host, p.url, p.priority,
+         |          row_number() OVER (PARTITION BY p.host
+         |                             ORDER BY p.priority DESC NULLS LAST, p.url) AS slot,
+         |          cb.dm
+         |        FROM fprio p LEFT JOIN ffcb cb ON cb.host = p.host)
+         |SELECT host, url, CAST(priority AS BIGINT) AS priority, CAST(slot AS BIGINT) AS slot,
+         |  CAST((slot - 1) * COALESCE(dm, 1000) AS BIGINT) AS not_before_ms
+         |FROM fps WHERE slot <= 5 ORDER BY host, url""".stripMargin,
 
     // trap card: the twin re-derives host (split_part), target
     // (substr past 'https://'+host) and template (the same two global

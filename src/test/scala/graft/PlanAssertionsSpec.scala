@@ -572,6 +572,16 @@ class PlanAssertionsSpec extends SparkSpec {
       s"the hit-set anti-join must stay keyed:\n${plan.take(2000)}")
   }
 
+  test("ext_frontier_priority: budgeted top-k prunes map-side; delay table broadcasts; keyed joins only") {
+    val plan = planOf("ext_frontier_priority")
+    assert(plan.contains("WindowGroupLimit"),
+      s"the per-host budget must prune map-side:\n${plan.take(2000)}")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the crawl-delay table must broadcast:\n${plan.take(2000)}")
+    assert(!plan.contains("CartesianProduct"),
+      s"priority joins must stay keyed:\n${plan.take(2000)}")
+  }
+
   test("ext_trap_cap: the slot<=cap filter rewrites to WindowGroupLimit (map-side template pruning)") {
     val plan = planOf("ext_trap_cap")
     assert(plan.contains("WindowGroupLimit"),

@@ -1,0 +1,68 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class FrontierSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("frontierPriority: rank + reason + saturating age - trap share, exact ppm; unknown reason NULL") {
+    val cands = Seq(
+      ("https://a.com/x", "discovered"),
+      ("https://a.com/y?id=3", "sitemap"),
+      ("https://a.com/z", "recrawl"),
+      ("https://b.org/w", "discovered"),
+      ("https://a.com/q", "weird")
+    ).toDF("url", "reason")
+    val ranks = Seq(("a.com", 400000L)).toDF("domain", "rank_ppm")
+    val ages = Seq(("https://a.com/z", 500L), ("https://a.com/z", 200L)) // dup: max wins
+      .toDF("url", "age_ms")
+    val shares = Seq(("a.com", "/x", 300000L)).toDF("host", "template", "share_ppm")
+    val got = Frontier.frontierPriority(cands, ranks, Some(ages), Some(shares),
+        defaultRankPpm = 150000L, ageScaleMs = 1000L, reasonWeightPpm = 500000L)
+      .select("url", "priority")
+      .collect().map(r => r.getString(0) -> Option(r.get(1)).map(_.asInstanceOf[Long])).toMap
+    assert(got == Map(
+      "https://a.com/x" -> Some(100000L),       // 400000 - 300000 trap share
+      "https://a.com/y?id=3" -> Some(900000L),  // 400000 + 1*500000
+      "https://a.com/z" -> Some(1900000L),      // 400000 + 2*500000 + age 500000
+      "https://b.org/w" -> Some(150000L),       // default rank
+      "https://a.com/q" -> None), s"got $got")  // unknown reason stays visible as NULL
+    // the age term saturates at 1e6
+    val sat = Frontier.frontierPriority(
+        Seq(("https://a.com/z", "recrawl")).toDF("url", "reason"),
+        ranks, Some(Seq(("https://a.com/z", 999999999L)).toDF("url", "age_ms")),
+        None, defaultRankPpm = 150000L, ageScaleMs = 1000L)
+      .select("priority").collect().head.getLong(0)
+    assert(sat == 400000L + 1000000L + 1000000L, s"got $sat")
+  }
+
+  test("fetchScheduleByPriority: per-host top-k by (priority DESC, url); slots keep politeness spacing; WindowGroupLimit prunes") {
+    val cands = Seq(
+      ("a.com", "https://a.com/x", Some(100000L)),
+      ("a.com", "https://a.com/y", Some(900000L)),
+      ("a.com", "https://a.com/z", Some(1900000L)),
+      ("a.com", "https://a.com/q", Option.empty[Long]), // NULL priority sorts last
+      ("b.org", "https://b.org/w", Some(150000L))
+    ).toDF("host", "url", "priority")
+    val budgets = Seq(("a.com", 100L)).toDF("host", "delay_ms")
+    val sched = Frontier.fetchScheduleByPriority(cands, budgets, maxPerHost = 3)
+    val got = sched.collect()
+      .map(r => r.getString(1) -> ((r.getLong(3), r.getLong(4)))).toMap
+    assert(got == Map(
+      "https://a.com/z" -> ((1L, 0L)),
+      "https://a.com/y" -> ((2L, 100L)),
+      "https://a.com/x" -> ((3L, 200L)),          // NULL-priority q capped out at slot 4
+      "https://b.org/w" -> ((1L, 0L))), s"got $got")
+    // the budget filter must rewrite to the map-side top-k prune
+    val plan = sched.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"slot<=k over row_number must prune map-side:\n${plan.take(2000)}")
+    // NULL-host candidates stay visible at slot 1 / not_before 0
+    val nh = Frontier.fetchScheduleByPriority(
+        Seq((Option.empty[String], "notaurl", 5L)).toDF("host", "url", "priority"),
+        budgets, maxPerHost = 1)
+      .collect().map(r => (Option(r.getString(0)), r.getString(1), r.getLong(3), r.getLong(4)))
+    assert(nh.toSeq == Seq((None, "notaurl", 1L, 0L)), s"got ${nh.toSeq}")
+  }
+}
