@@ -19,6 +19,9 @@ import org.apache.spark.sql.functions._
   *              publisher-listed page beats a raw discovery)
   *            + overdue age, saturating          (min(1e6, age_ms·1e6
   *              DIV ageScaleMs) — the longer past due, the staler)
+  *            + sitemap priority                 (the publisher's own
+  *              `<priority>` claim in ppm, elected max per URL by
+  *              [[Sitemaps.sitemapPageUrls]] — absent → 0)
   *            − trap share                       ([[UrlOps.crawlTraps]]
   *              share_ppm of the URL's (host, template) — candidates
   *              inside a suspected trap pool pay their pool's share)
@@ -42,13 +45,17 @@ object Frontier {
     * candidates. `cands` carries (urlCol, reason); `ranks` is any
     * (domain, rank_ppm) quality table; `dueAges` maps recrawl URLs to
     * their overdue age in ms (absent url → 0); `trapShares` is
-    * [[UrlOps.crawlTraps]] output (absent template → 0).
+    * [[UrlOps.crawlTraps]] output (absent template → 0);
+    * `sitemapPriorities` maps URLs to the publisher's `<priority>`
+    * claim in ppm ([[Sitemaps.sitemapPageUrls]]'s priority_ppm column;
+    * absent url → 0).
     */
   def frontierPriority(
       cands: DataFrame,
       ranks: DataFrame,
       dueAges: Option[DataFrame] = None,
       trapShares: Option[DataFrame] = None,
+      sitemapPriorities: Option[DataFrame] = None,
       defaultRankPpm: Long = 150000L,
       ageScaleMs: Long = 7L * 86400000L,
       reasonWeightPpm: Long = 500000L,
@@ -57,7 +64,7 @@ object Frontier {
     val missing = Seq("domain", "rank_ppm").filterNot(ranks.columns.contains)
     require(missing.isEmpty,
       s"frontierPriority: ranks must carry (domain, rank_ppm); missing ${missing.mkString(", ")}")
-    val reserved = Seq("host", "priority", "__dom", "__tpl", "__rkp", "__age", "__shr")
+    val reserved = Seq("host", "priority", "__dom", "__tpl", "__rkp", "__age", "__shr", "__smp")
       .filter(cands.columns.contains)
     require(reserved.isEmpty,
       s"frontierPriority: cands columns collide with output/internal names " +
@@ -95,17 +102,31 @@ object Frontier {
             col("share_ppm").cast("long").as("__shr")),
           Seq("host", "__tpl"), "left")
     }
+    val withSmp = sitemapPriorities match {
+      case None => withShare.withColumn("__smp", lit(0L))
+      case Some(sp) =>
+        val m = Seq(urlCol, "priority_ppm").filterNot(sp.columns.contains)
+        require(m.isEmpty,
+          s"frontierPriority: sitemapPriorities must carry ($urlCol, priority_ppm); " +
+            s"missing ${m.mkString(", ")}")
+        // one deterministic claim per url (max — the sitemapPageUrls
+        // election direction) at the boundary
+        withShare.join(
+          sp.groupBy(urlCol).agg(max(col("priority_ppm").cast("long")).as("__smp")),
+          Seq(urlCol), "left")
+    }
     val reasonRank = when(col("reason") === "recrawl", 2L)
       .when(col("reason") === "sitemap", 1L)
       .when(col("reason") === "discovered", 0L) // else NULL — visible
-    withShare
+    withSmp
       .withColumn("priority",
         coalesce(col("__rkp"), lit(defaultRankPpm))
           + reasonRank * lit(reasonWeightPpm)
           + least(lit(1000000L),
               expr(s"coalesce(__age, 0L) * 1000000L DIV ${ageScaleMs}L"))
+          + coalesce(col("__smp"), lit(0L))
           - coalesce(col("__shr"), lit(0L)))
-      .drop("__dom", "__tpl", "__rkp", "__age", "__shr")
+      .drop("__dom", "__tpl", "__rkp", "__age", "__shr", "__smp")
   }
 
   /** Per-host BUDGETED top-k dispatch by priority — the

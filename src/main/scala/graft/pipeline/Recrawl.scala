@@ -12,9 +12,17 @@ import org.apache.spark.sql.functions._
   *
   * Model, per URL:
   *
-  *  - a CHANGE EVENT is the first fetch, or any fetch whose content
-  *    hash differs from the previous fetch's (hash-equality change
-  *    detection — byte-identical refetches are not changes);
+  *  - a CHANGE EVENT is the first CONTENT-BEARING fetch, or any fetch
+  *    whose content hash differs from the last content-bearing fetch's
+  *    (hash-equality change detection — byte-identical refetches are
+  *    not changes);
+  *  - a NULL-hash fetch is a CONDITIONAL-FETCH 304: the server said
+  *    "not modified" to an If-None-Match / If-Modified-Since probe, so
+  *    there is no body to hash — the row is a NON-CHANGE OBSERVATION
+  *    at near-zero fetch cost: it counts in n_fetches, advances
+  *    last_fetch (so next_due moves forward), and EXTENDS the current
+  *    change gap without minting a change event (the last observed
+  *    hash carries forward across it);
   *  - with ≥ 2 observed change events, the estimated change interval
   *    is the LOWER MEDIAN of the gaps between consecutive change
   *    timestamps — the [[graft.timeseries.Infer.estimateStepSeconds]]
@@ -22,14 +30,17 @@ import org.apache.spark.sql.functions._
   *    arm is noise; the lower median is exact, integer, and
   *    oracle-replayable where a mean would drift);
   *  - with only the initial change event (content never seen to
-  *    change), the prior takes over: a known external change claim —
-  *    the sitemap `<lastmod>` harvested by
-  *    [[Sitemaps.sitemapPageUrls]], converted to epoch ms by the
-  *    caller — gives `last_fetch − lastmod` (the age-since-last-known-
-  *    change heuristic; a lastmod AT OR AFTER our last fetch clamps to
-  *    the minimum and falls due immediately, which is exactly right: the
-  *    publisher claims it changed since we read it); with no prior the
-  *    caller's `defaultIntervalMs` applies;
+  *    change), the priors take over, most-specific first: a sitemap
+  *    `<changefreq>` claim — mapped to an interval by
+  *    [[Sitemaps.changefreqIntervalMs]] — is an EXPLICIT publisher
+  *    cadence and wins; then a known external change claim — the
+  *    sitemap `<lastmod>` harvested by [[Sitemaps.sitemapPageUrls]],
+  *    converted to epoch ms by the caller — gives `last_fetch −
+  *    lastmod` (the age-since-last-known-change heuristic; a lastmod
+  *    AT OR AFTER our last fetch clamps to the minimum and falls due
+  *    immediately, which is exactly right: the publisher claims it
+  *    changed since we read it); with no prior the caller's
+  *    `defaultIntervalMs` applies;
   *  - every estimate clamps below at `minIntervalMs` (a page observed
   *    changing every fetch must not schedule a busy-loop);
   *  - `next_due_ms = last_fetch_ts + est_interval_ms` — the recrawl
@@ -55,6 +66,7 @@ object Recrawl {
   def recrawlDue(
       fetchHistory: DataFrame,
       lastmods: Option[DataFrame] = None,
+      changefreqs: Option[DataFrame] = None,
       defaultIntervalMs: Long = 7L * 86400000L,
       minIntervalMs: Long = 3600000L,
       urlCol: String = "url",
@@ -68,10 +80,20 @@ object Recrawl {
       require(missing.isEmpty,
         s"recrawlDue: lastmods must carry ($urlCol, lastmod_ts); missing ${missing.mkString(", ")}")
     }
+    changefreqs.foreach { cf =>
+      val missing = Seq(urlCol, "changefreq_ms").filterNot(cf.columns.contains)
+      require(missing.isEmpty,
+        s"recrawlDue: changefreqs must carry ($urlCol, changefreq_ms); missing ${missing.mkString(", ")}")
+    }
     val w = Window.partitionBy(urlCol).orderBy(col(tsCol), col(hashCol))
     val marked = fetchHistory
       .select(col(urlCol), col(tsCol).cast("long").as(tsCol), col(hashCol))
-      .withColumn("__chg", !(col(hashCol) <=> lag(col(hashCol), 1).over(w)))
+      // the 304 arm: a NULL hash carries the last observed hash forward
+      // (same partitioning+ordering as the change window — one exchange)
+      .withColumn("__h", last(col(hashCol), ignoreNulls = true)
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__chg",
+        col(hashCol).isNotNull && !(col("__h") <=> lag(col("__h"), 1).over(w)))
     // gaps between consecutive CHANGE timestamps, lower-median elected
     // per url (the Infer.estimateStepSeconds median spelling)
     val gaps = marked.where(col("__chg"))
@@ -100,15 +122,67 @@ object Recrawl {
           .groupBy(urlCol).agg(min(col("lastmod_ts")).as("lastmod_ts")),
         Seq(urlCol), "left")
     }
-    withPrior
+    val withCf = changefreqs match {
+      case None => withPrior.withColumn("changefreq_ms", lit(null).cast("long"))
+      // one deterministic claim per url (min = the most frequent
+      // cadence — the sitemapPageUrls election's conservative direction)
+      case Some(cf) => withPrior.join(
+        cf.select(col(urlCol), col("changefreq_ms").cast("long").as("changefreq_ms"))
+          .groupBy(urlCol).agg(min(col("changefreq_ms")).as("changefreq_ms")),
+        Seq(urlCol), "left")
+    }
+    withCf
       .join(med, Seq(urlCol), "left")
       .withColumn("est_interval_ms", greatest(
         when(col("__med").isNotNull, col("__med"))
+          .when(col("changefreq_ms").isNotNull, col("changefreq_ms"))
           .when(col("lastmod_ts").isNotNull, col("__lt") - col("lastmod_ts"))
           .otherwise(lit(defaultIntervalMs)),
         lit(minIntervalMs)))
       .select(col(urlCol), UrlOps.hostOf(col(urlCol)).as("host"),
         col("n_fetches"), col("n_changes"), col("est_interval_ms"),
         (col("__lt") + col("est_interval_ms")).as("next_due_ms"))
+  }
+
+  /** CONDITIONAL-FETCH VALIDATORS — the per-URL (ETag, Last-Modified)
+    * pair a dispatcher sends back as If-None-Match / If-Modified-Since
+    * so the server can answer 304 instead of a full body: [[recrawlDue]]
+    * decides WHEN to refetch, this is what lets the refetch cost almost
+    * nothing when the page did not change (the 304 rows recrawlDue's
+    * hash-absent arm then folds back into the gap evidence).
+    *
+    * Each validator is elected INDEPENDENTLY as the value of the most
+    * recent fetch that CARRIED it (HTTP semantics: a 304 or a response
+    * without the header leaves the stored validator in force; a
+    * content response that re-states it refreshes it) — a max-struct
+    * over (ts, value) per validator, so NULL rows contribute nothing
+    * and a trailing run of bare 304s looks back past itself.
+    * Equal-timestamp duplicates tie-break on the value itself —
+    * deterministic on both engines.
+    *
+    * Output: (url, etag, last_modified, last_fetch_ts). One
+    * aggregation, url-keyed — the SAME key every recrawl shuffle uses,
+    * so the dispatch composition `due.join(validators, url, left)` is
+    * one more keyed join on an already-partitioned column.
+    */
+  def fetchValidators(
+      fetchHistory: DataFrame,
+      urlCol: String = "url",
+      tsCol: String = "fetch_ts",
+      etagCol: String = "etag",
+      lastModifiedCol: String = "last_modified"): DataFrame = {
+    val missing = Seq(urlCol, tsCol, etagCol, lastModifiedCol)
+      .filterNot(fetchHistory.columns.contains)
+    require(missing.isEmpty,
+      s"fetchValidators: fetch history must carry ($urlCol, $tsCol, $etagCol, " +
+        s"$lastModifiedCol); missing ${missing.mkString(", ")}")
+    def latest(c: String) = max(when(col(c).isNotNull,
+      struct(col(tsCol).cast("long").as("ts"), col(c).as("v"))))
+    fetchHistory
+      .groupBy(col(urlCol))
+      .agg(latest(etagCol).as("__e"), latest(lastModifiedCol).as("__l"),
+        max(col(tsCol).cast("long")).as("last_fetch_ts"))
+      .select(col(urlCol), col("__e.v").as("etag"),
+        col("__l.v").as("last_modified"), col("last_fetch_ts"))
   }
 }

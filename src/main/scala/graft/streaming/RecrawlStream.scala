@@ -23,12 +23,18 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * follow arrival order (the [[StreamDedup.webIngestStream]]
   * convention); a backfill re-runs the batch form.
   *
-  * The `lastmods` prior (sitemap `<lastmod>`, epoch ms) joins
+  * The `lastmods` prior (sitemap `<lastmod>`, epoch ms) and the
+  * `changefreqs` prior (sitemap `<changefreq>` as interval ms,
+  * [[graft.pipeline.Sitemaps.changefreqIntervalMs]]) join
   * stream-static and broadcast — model-sized, the
-  * [[StreamDedup.webIngestStream]] aliases discipline. NULL-URL
-  * observations are dropped (a fetch record without a URL cannot feed
-  * a per-URL queue — visible in the batch form's NULL-host row, not
-  * here).
+  * [[StreamDedup.webIngestStream]] aliases discipline; precedence
+  * matches batch (observed median, then changefreq, then lastmod age,
+  * then default). A NULL content hash is the batch twin's 304 arm — a
+  * conditional-fetch "not modified": never a change event, the last
+  * observed hash carries forward, the observation still advances
+  * n_fetches and next_due. NULL-URL observations are dropped (a fetch
+  * record without a URL cannot feed a per-URL queue — visible in the
+  * batch form's NULL-host row, not here).
   *
   * State: (last hash, last change ts, two counters, ≤ `maxGaps` longs)
   * per URL — fixed-width per key, but the KEY dimension grows with the
@@ -71,6 +77,7 @@ object RecrawlStream {
   def recrawlDueStream(
       obs: Dataset[FetchObs],
       lastmods: Option[DataFrame] = None,
+      changefreqs: Option[DataFrame] = None,
       defaultIntervalMs: Long = 7L * 86400000L,
       minIntervalMs: Long = 3600000L,
       maxGaps: Int = 16,
@@ -79,32 +86,40 @@ object RecrawlStream {
       s"recrawlDueStream: need minIntervalMs >= 1 <= defaultIntervalMs, maxGaps >= 1")
     require(stateTtlMs >= 0, s"recrawlDueStream: stateTtlMs must be >= 0, got $stateTtlMs")
     import obs.sparkSession.implicits._
-    val withLm: Dataset[(FetchObs, Option[Long])] = lastmods match {
-      case None => obs.where(col("url").isNotNull)
-        .map(o => (o, Option.empty[Long]))
-      case Some(lm) =>
-        val missing = Seq("url", "lastmod_ts").filterNot(lm.columns.contains)
-        require(missing.isEmpty,
-          s"recrawlDueStream: lastmods must carry (url, lastmod_ts); missing ${missing.mkString(", ")}")
-        // one deterministic prior per url at the boundary (the alias-map
-        // duplicate-src discipline)
-        val m = broadcast(lm.where(col("lastmod_ts").isNotNull)
-          .groupBy(col("url").as("__lu"))
-          .agg(min(col("lastmod_ts").cast("long")).as("__lts")))
-        obs.where(col("url").isNotNull).toDF()
-          .join(m, col("url") === col("__lu"), "left")
-          .select(col("url"), col("fetch_ts"), col("content_hash"), col("__lts"))
-          .as[(String, Long, String, Option[Long])]
-          .map { case (u, ts, h, lts) => (FetchObs(u, ts, h), lts) }
+    // one deterministic prior per url at the boundary (the alias-map
+    // duplicate-src discipline), broadcast stream-static
+    def priorMap(df: DataFrame, valueCol: String, kind: String): DataFrame = {
+      val missing = Seq("url", valueCol).filterNot(df.columns.contains)
+      require(missing.isEmpty,
+        s"recrawlDueStream: $kind must carry (url, $valueCol); missing ${missing.mkString(", ")}")
+      broadcast(df.where(col(valueCol).isNotNull)
+        .groupBy(col("url").as(s"__${kind}_u"))
+        .agg(min(col(valueCol).cast("long")).as(s"__${kind}_v")))
     }
+    val base = obs.where(col("url").isNotNull).toDF()
+    val withLmDf = lastmods match {
+      case None => base.withColumn("__lm_v", lit(null).cast("long"))
+      case Some(lm) => base.join(priorMap(lm, "lastmod_ts", "lm"),
+        col("url") === col("__lm_u"), "left")
+    }
+    val withCfDf = changefreqs match {
+      case None => withLmDf.withColumn("__cf_v", lit(null).cast("long"))
+      case Some(cf) => withLmDf.join(priorMap(cf, "changefreq_ms", "cf"),
+        col("url") === col("__cf_u"), "left")
+    }
+    val withPriors = withCfDf
+      .select(col("url"), col("fetch_ts"), col("content_hash"),
+        col("__lm_v"), col("__cf_v"))
+      .as[(String, Long, String, Option[Long], Option[Long])]
+      .map { case (u, ts, h, lts, cfs) => (FetchObs(u, ts, h), lts, cfs) }
     val timeoutConf =
       if (stateTtlMs > 0) GroupStateTimeout.ProcessingTimeTimeout
       else GroupStateTimeout.NoTimeout
-    withLm
+    withPriors
       .groupByKey(_._1.url)
       .flatMapGroupsWithState[RecrawlState, RecrawlUpdate](
         OutputMode.Append(), timeoutConf) {
-        (url: String, it: Iterator[(FetchObs, Option[Long])],
+        (url: String, it: Iterator[(FetchObs, Option[Long], Option[Long])],
          state: GroupState[RecrawlState]) =>
           if (state.hasTimedOut) {
             // long-idle URL: forget the cadence (the pinned re-init
@@ -115,20 +130,24 @@ object RecrawlStream {
           } else {
           val ordered = it.toSeq.sortBy(r => (r._1.fetch_ts, r._1.content_hash))
           var st = state.getOption.getOrElse(RecrawlState(null, 0L, 0L, 0L, Nil))
-          val out = ordered.map { case (o, lmTs) =>
-            val changed = st.nFetches == 0L || o.content_hash != st.lastHash
+          val out = ordered.map { case (o, lmTs, cfMs) =>
+            // the 304 arm: a NULL hash is never a change and the last
+            // observed hash carries forward (batch's filled-hash marking)
+            val changed = o.content_hash != null &&
+              (st.lastHash == null || o.content_hash != st.lastHash)
             val gaps =
               if (changed && st.nChanges > 0L)
                 (st.gaps :+ (o.fetch_ts - st.lastChangeTs)).takeRight(maxGaps)
               else st.gaps
             st = RecrawlState(
-              o.content_hash,
+              if (o.content_hash != null) o.content_hash else st.lastHash,
               if (changed) o.fetch_ts else st.lastChangeTs,
               st.nFetches + 1L,
               st.nChanges + (if (changed) 1L else 0L),
               gaps)
             val est = math.max(
               lowerMedian(gaps)
+                .orElse(cfMs)
                 .orElse(lmTs.map(l => o.fetch_ts - l))
                 .getOrElse(defaultIntervalMs),
               minIntervalMs)

@@ -31,7 +31,8 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   *    adversarial orderings).
   *
   * Emissions are PER LISTING — the batch form's (host, url)
-  * max-lastmod election is a corpus-level fold; online, re-listings
+  * max-lastmod / min-rank-changefreq / max-priority elections are
+  * corpus-level folds; online, re-listings
   * flow through and the frontier's own URL-keyed dedup
   * ([[StreamDedup.discoverFrontierStream]]'s engine-held first-wins, or
   * a downstream recrawl upsert keyed on url) absorbs them. Locs decode/
@@ -47,7 +48,9 @@ object SitemapStream {
 
   case class SitemapFetch(host: String, sitemap_url: String, body: String, arrival: Long)
 
-  case class SitemapPage(host: String, url: String, lastmod: String, arrival: Long)
+  case class SitemapPage(
+      host: String, url: String, lastmod: String,
+      changefreq: String, priority_ppm: Option[Long], arrival: Long)
 
   /** Per-host state: registered child sitemap keys (public for the
     * encoder — the [[StreamDedup.BudgetDoc]] convention).
@@ -74,7 +77,11 @@ object SitemapStream {
       .map { case (h, k, body, arrival, declared) =>
         val (isIndex, es) = graft.pipeline.Sitemaps.parseSitemap(body)
         (h, k, arrival, declared, isIndex,
-          es.map { case (loc, lm) => (loc, lm.orNull) })
+          // canonicalize changefreq/priority through the SAME kernels
+          // the batch entries table applies at parse time
+          es.map(e => (e.loc, e.lastmod.orNull,
+            graft.pipeline.Sitemaps.canonicalChangefreq(e.changefreq.orNull).orNull,
+            graft.pipeline.Sitemaps.priorityPpm(e.priority.orNull))))
       }
       .toDF("host", "__k", "arrival", "__declared", "__isIndex", "__entries")
       // decode -> resolve(base = the sitemap's own url) -> canonicalize,
@@ -86,18 +93,20 @@ object SitemapStream {
             graft.pipeline.UrlOps.canonicalUrl(
               graft.functions.ResolveHref.of(col("__k"),
                 graft.functions.HtmlUnescape.of(e.getField("_1")))).as("u"),
-            e.getField("_2").as("lm"))),
+            e.getField("_2").as("lm"),
+            e.getField("_3").as("cf"),
+            e.getField("_4").as("pp"))),
           x => x.getField("u").isNotNull &&
             graft.pipeline.UrlOps.hostOf(x.getField("u")) === col("host")))
       .select(col("host"), col("__k"), col("arrival"), col("__declared"),
         col("__isIndex"), col("__resolved"))
-      .as[(String, String, Long, Boolean, Boolean, Seq[(String, String)])]
+      .as[(String, String, Long, Boolean, Boolean, Seq[(String, String, String, Option[Long])])]
     entries
       .groupByKey(_._1)
       .flatMapGroupsWithState[ChildSet, SitemapPage](
         OutputMode.Append(), GroupStateTimeout.NoTimeout) {
         (host: String,
-         it: Iterator[(String, String, Long, Boolean, Boolean, Seq[(String, String)])],
+         it: Iterator[(String, String, Long, Boolean, Boolean, Seq[(String, String, String, Option[Long])])],
          state: GroupState[ChildSet]) =>
           val ordered = it.toSeq.sortBy(r => (r._3, r._2))
           var known = state.getOption.map(_.keys.toSet).getOrElse(Set.empty[String])
@@ -105,13 +114,15 @@ object SitemapStream {
           ordered.foreach { case (h, k, arrival, declared, isIndex, sameHost) =>
             if (declared) {
               if (isIndex) known ++= sameHost.map(_._1) // register children, ONE hop
-              else sameHost.foreach { case (u, lm) => out += SitemapPage(h, u, lm, arrival) }
+              else sameHost.foreach { case (u, lm, cf, pp) =>
+                out += SitemapPage(h, u, lm, cf, pp, arrival) }
             } else if (known.contains(k)) {
               // a registered child: pages only — a child that is itself
               // an index is the out-of-spec depth-2 chain and registers
               // nothing (the batch bound)
               if (!isIndex)
-                sameHost.foreach { case (u, lm) => out += SitemapPage(h, u, lm, arrival) }
+                sameHost.foreach { case (u, lm, cf, pp) =>
+                  out += SitemapPage(h, u, lm, cf, pp, arrival) }
             } // else: undeclared / child-before-index — contributes nothing
           }
           state.update(ChildSet(known.toSeq.sorted))
