@@ -427,6 +427,42 @@ object PipelineQueries {
           .as("content_hash"))
   }
 
+  /** FETCH HISTORY with CONDITIONAL-FETCH arms: the [[fetchHistoryTable]]
+    * grid (3..5 fetches per doc URL at step (100 + d%9·33) s) where some
+    * fetches are 304 "not modified" responses — content_hash NULL, no
+    * body — plus the validator headers a conditional dispatcher replays.
+    * Hash arms by d%4: 0 = content ONCE then trailing 304s (static; the
+    * validator election must look back past the 304 run), 1 = content
+    * every fetch except a single mid-history 304 at j=1 (change gaps
+    * 2·step then step — the lower-median arm; steps under 150 s keep
+    * exercising the clamp), 2 = changes every 2nd fetch, no 304s (the
+    * control arm, identical to [[fetchHistoryTable]]), 3 = content only
+    * at the first and last fetch with 304s between (ONE k·step gap the
+    * 304s extend without splitting). etag rides content fetches of even
+    * docs, last_modified content fetches of d%3==0 docs.
+    */
+  private def fetchHistory304Table(docs: DataFrame): DataFrame = {
+    val d = col("doc_id")
+    val hash =
+      when(d % 4 === 0, when(col("j") === 0, lit("h")))
+        .when(d % 4 === 1,
+          when(col("j") =!= 1, concat(lit("h"), col("j").cast("string"))))
+        .when(d % 4 === 2, concat(lit("h"), expr("j DIV 2").cast("string")))
+        .otherwise(when(col("j") === 0, lit("h0"))
+          .when(col("j") === lit(2L) + d % 3, lit("h1")))
+    docs.select(d, recrawlUrl(d).as("url"),
+        explode(sequence(lit(0L), lit(2L) + d % 3)).as("j"))
+      .select(col("url"),
+        (d + col("j") * ((lit(100L) + (d % 9) * 33L) * 1000L)).as("fetch_ts"),
+        hash.as("content_hash"),
+        when(hash.isNotNull && d % 2 === 0,
+          concat(lit("\"e"), d.cast("string"), lit("-"),
+            col("j").cast("string"), lit("\""))).as("etag"),
+        when(hash.isNotNull && d % 3 === 0,
+          concat(lit("lm-"), d.cast("string"), lit("-"),
+            col("j").cast("string"))).as("last_modified"))
+  }
+
   /** Robots bodies exercising RFC 9309 §2.2.2 percent-encoding
     * normalization: rules spelled with uppercase hex, lowercase hex, a
     * kept `%2F` escape (encoded slash stays distinct from the path
@@ -2040,6 +2076,35 @@ object PipelineQueries {
           lit("same").as("content_hash"))
       Recrawl.recrawlDue(fh, Some(lm), changefreqs = Some(cf),
           defaultIntervalMs = 30L * 86400000L, minIntervalMs = 3600000L)
+        .orderBy("url")
+    }),
+
+    // conditional-fetch RECRAWL: the same cadence estimator over a
+    // fetch history containing 304 "not modified" rows (content_hash
+    // NULL — the server answered an If-None-Match / If-Modified-Since
+    // probe without a body): a 304 counts as a fetch, advances
+    // next_due, and EXTENDS the change gap without minting a change
+    // event (the last observed hash carries forward); the d%4 arms pin
+    // every composition closed-form, including a trailing-304 static
+    // page and a gap whose interior is all 304s
+    "ext_recrawl_304" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Recrawl.recrawlDue(fetchHistory304Table(docs),
+          lastmods = Some(docs.where(col("doc_id") % 8 === 0)
+            .select(recrawlUrl(col("doc_id")).as("url"),
+              (col("doc_id") - 5000L).as("lastmod_ts"))),
+          defaultIntervalMs = 1000000L, minIntervalMs = 150000L)
+        .orderBy("url")
+    }),
+
+    // conditional-fetch VALIDATORS: per URL, the ETag / Last-Modified
+    // pair a dispatcher replays as If-None-Match / If-Modified-Since —
+    // each independently the value of the most recent fetch that
+    // CARRIED it (HTTP semantics: a 304 or a header-less response
+    // leaves the stored validator in force), so a trailing run of bare
+    // 304s looks back past itself
+    "ext_fetch_validators" -> ((s, dir) => {
+      Recrawl.fetchValidators(fetchHistory304Table(Tables.documents(s, dir)))
         .orderBy("url")
     }),
 
@@ -4206,6 +4271,49 @@ object PipelineQueries {
          |  CAST(e AS BIGINT) AS est_interval_ms,
          |  CAST(lt + e AS BIGINT) AS next_due_ms
          |FROM rest ORDER BY url""".stripMargin,
+
+    // conditional-fetch recrawl: the d%4 arms replayed closed-form —
+    // nc and the elected gap per arm (arm 1's mid-304 leaves gaps
+    // [2s, s, s…] whose lower median is s except at k=2; arm 3's
+    // interior 304s leave ONE k·s gap), 304 rows still advancing
+    // n_fetches and last_fetch; the %8=0 lastmod prior and the default
+    // arm as in ext_recrawl_due
+    "ext_recrawl_304" ->
+      s"""WITH r3 AS (SELECT doc_id, 2 + doc_id % 3 AS k,
+         |    (100 + doc_id % 9 * 33) * 1000 AS s FROM documents),
+         |r3e AS (SELECT doc_id, k, s,
+         |    CASE WHEN doc_id % 4 = 0 THEN 1
+         |         WHEN doc_id % 4 = 1 THEN k
+         |         WHEN doc_id % 4 = 2 THEN k // 2 + 1
+         |         ELSE 2 END AS nc,
+         |    greatest(CASE
+         |         WHEN doc_id % 4 = 1 THEN (CASE WHEN k = 2 THEN 2 * s ELSE s END)
+         |         WHEN doc_id % 4 = 2 THEN 2 * s
+         |         WHEN doc_id % 4 = 3 THEN k * s
+         |         WHEN doc_id % 8 = 0 THEN k * s + 5000
+         |         ELSE 1000000 END, 150000) AS e
+         |  FROM r3)
+         |SELECT ${recrawlUrlD("doc_id")} AS url,
+         |  CASE WHEN doc_id % 13 = 0 THEN NULL
+         |       ELSE ${siteHostD("doc_id % 40")} END AS host,
+         |  CAST(k + 1 AS BIGINT) AS n_fetches, CAST(nc AS BIGINT) AS n_changes,
+         |  CAST(e AS BIGINT) AS est_interval_ms,
+         |  CAST(doc_id + k * s + e AS BIGINT) AS next_due_ms
+         |FROM r3e ORDER BY url""".stripMargin,
+
+    // validators: the last CONTENT-BEARING fetch per arm is closed-form
+    // (arm 0 carries content only at j=0 — the trailing-304 lookback —
+    // every other arm at j=k), and each header rides only its d-class
+    "ext_fetch_validators" ->
+      s"""WITH v AS (SELECT doc_id, 2 + doc_id % 3 AS k,
+         |    (100 + doc_id % 9 * 33) * 1000 AS s FROM documents),
+         |ve AS (SELECT doc_id, k, s,
+         |    CASE WHEN doc_id % 4 = 0 THEN 0 ELSE k END AS jl FROM v)
+         |SELECT ${recrawlUrlD("doc_id")} AS url,
+         |  CASE WHEN doc_id % 2 = 0 THEN '"e' || doc_id || '-' || jl || '"' END AS etag,
+         |  CASE WHEN doc_id % 3 = 0 THEN 'lm-' || doc_id || '-' || jl END AS last_modified,
+         |  CAST(doc_id + k * s AS BIGINT) AS last_fetch_ts
+         |FROM ve ORDER BY url""".stripMargin,
 
     // budget enforcement: the oracle replays the per-(host, day) rank
     // in (fts, doc_id) order against the closed-form budgets (arm 0 =

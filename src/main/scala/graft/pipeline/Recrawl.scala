@@ -144,6 +144,62 @@ object Recrawl {
         (col("__lt") + col("est_interval_ms")).as("next_due_ms"))
   }
 
+  /** The recrawl stream's AT-REST STATE FOLD — per URL, the EXACT
+    * [[graft.streaming.RecrawlStream.RecrawlState]] the online twin
+    * would hold after consuming this fetch store: (url, last_hash —
+    * the last content-bearing fetch's hash, NULL if only 304s;
+    * last_change_ts — 0 when no change observed, the stream's
+    * cold-start value; n_fetches; n_changes; gaps — the LAST `maxGaps`
+    * change gaps in chronological order). This is what lets
+    * `recrawlDueStream(checkpoint = …)` REHYDRATE an evicted or
+    * restarted URL exactly instead of the TTL arm's re-init
+    * divergence: the batch store is the state's source of truth (the
+    * [[graft.streaming.StreamDedup.templateAdmitCheckpoint]] /
+    * dedupAgainstStore pattern), and stream-after-rehydration equals
+    * the uninterrupted stream (spec-asserted under RocksDB).
+    *
+    * Scale shape: the same url-key-only window chain as [[recrawlDue]]
+    * plus one url-keyed fold of the ≤ `maxGaps` most recent gaps —
+    * every shuffle on the one key, rows fixed-width, the gap arrays
+    * bounded by `maxGaps`.
+    */
+  def recrawlState(
+      fetchHistory: DataFrame,
+      maxGaps: Int = 16,
+      urlCol: String = "url",
+      tsCol: String = "fetch_ts",
+      hashCol: String = "content_hash"): DataFrame = {
+    require(maxGaps >= 1, s"recrawlState: maxGaps must be positive, got $maxGaps")
+    val w = Window.partitionBy(urlCol).orderBy(col(tsCol), col(hashCol))
+    val marked = fetchHistory
+      .select(col(urlCol), col(tsCol).cast("long").as(tsCol), col(hashCol))
+      .withColumn("__h", last(col(hashCol), ignoreNulls = true)
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__chg",
+        col(hashCol).isNotNull && !(col("__h") <=> lag(col("__h"), 1).over(w)))
+    val agg = marked.groupBy(urlCol).agg(
+      max(when(col(hashCol).isNotNull,
+        struct(col(tsCol).as("t"), col(hashCol).as("h")))).as("__lh"),
+      coalesce(max(when(col("__chg"), col(tsCol))), lit(0L)).as("last_change_ts"),
+      count(lit(1)).as("n_fetches"),
+      sum(when(col("__chg"), 1L).otherwise(0L)).as("n_changes"))
+    val gaps = marked.where(col("__chg"))
+      .withColumn("__d", col(tsCol) - lag(col(tsCol), 1).over(
+        Window.partitionBy(urlCol).orderBy(col(tsCol))))
+      .where(col("__d").isNotNull)
+      .withColumn("__rnd", row_number().over(
+        Window.partitionBy(urlCol).orderBy(col(tsCol).desc)))
+      .where(col("__rnd") <= maxGaps)
+      .groupBy(urlCol)
+      .agg(sort_array(collect_list(struct(col(tsCol).as("t"), col("__d").as("d"))))
+        .as("__g"))
+    agg.join(gaps, Seq(urlCol), "left")
+      .select(col(urlCol), col("__lh.h").as("last_hash"),
+        col("last_change_ts"), col("n_fetches"), col("n_changes"),
+        coalesce(transform(col("__g"), x => x.getField("d")),
+          array().cast("array<bigint>")).as("gaps"))
+  }
+
   /** CONDITIONAL-FETCH VALIDATORS — the per-URL (ETag, Last-Modified)
     * pair a dispatcher sends back as If-None-Match / If-Modified-Since
     * so the server can answer 304 instead of a full body: [[recrawlDue]]

@@ -53,6 +53,16 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * the prior is the honest restart, and the batch twin over the full
   * store remains the backfill truth. `stateTtlMs = 0` keeps the
   * NoTimeout corpus-lifetime form (specs, bounded corpora).
+  *
+  * `checkpoint` upgrades the re-init to EXACT rehydration: pass
+  * [[graft.pipeline.Recrawl.recrawlState]] over the fetch store (built
+  * with the SAME `maxGaps`) and a URL whose engine state is absent —
+  * evicted by the TTL, or a fresh query start — resumes from the
+  * store-held state on first touch, making restart emissions identical
+  * to an uninterrupted run (spec-asserted under RocksDB). Engine state
+  * always wins over the checkpoint row once present. This is the
+  * store-backed bound: TTL keeps hot state small, the at-rest fold
+  * keeps eviction lossless.
   */
 object RecrawlStream {
 
@@ -81,10 +91,19 @@ object RecrawlStream {
       defaultIntervalMs: Long = 7L * 86400000L,
       minIntervalMs: Long = 3600000L,
       maxGaps: Int = 16,
-      stateTtlMs: Long = 0L): Dataset[RecrawlUpdate] = {
+      stateTtlMs: Long = 0L,
+      checkpoint: Option[DataFrame] = None): Dataset[RecrawlUpdate] = {
     require(minIntervalMs >= 1 && defaultIntervalMs >= minIntervalMs && maxGaps >= 1,
       s"recrawlDueStream: need minIntervalMs >= 1 <= defaultIntervalMs, maxGaps >= 1")
     require(stateTtlMs >= 0, s"recrawlDueStream: stateTtlMs must be >= 0, got $stateTtlMs")
+    checkpoint.foreach { ck =>
+      val missing = Seq("url", "last_hash", "last_change_ts", "n_fetches",
+        "n_changes", "gaps").filterNot(ck.columns.contains)
+      require(missing.isEmpty,
+        "recrawlDueStream: checkpoint must carry (url, last_hash, last_change_ts, " +
+          s"n_fetches, n_changes, gaps) — a Recrawl.recrawlState table (built with " +
+          s"the SAME maxGaps); missing ${missing.mkString(", ")}")
+    }
     import obs.sparkSession.implicits._
     // one deterministic prior per url at the boundary (the alias-map
     // duplicate-src discipline), broadcast stream-static
@@ -107,11 +126,35 @@ object RecrawlStream {
       case Some(cf) => withLmDf.join(priorMap(cf, "changefreq_ms", "cf"),
         col("url") === col("__cf_u"), "left")
     }
-    val withPriors = withCfDf
+    // the at-rest state fold joins stream-static KEYED on url (the
+    // store grows with the corpus — per-URL, NOT model-sized, so no
+    // broadcast hint: production keeps it bucketed on url at rest)
+    val withCkDf = checkpoint match {
+      case None => withCfDf
+        .withColumn("__ck_h", lit(null).cast("string"))
+        .withColumn("__ck_lc", lit(null).cast("long"))
+        .withColumn("__ck_nf", lit(null).cast("long"))
+        .withColumn("__ck_nc", lit(null).cast("long"))
+        .withColumn("__ck_g", lit(null).cast("array<bigint>"))
+      case Some(ck) => withCfDf.join(
+        ck.select(col("url").as("__ck_u"), col("last_hash").as("__ck_h"),
+          col("last_change_ts").cast("long").as("__ck_lc"),
+          col("n_fetches").cast("long").as("__ck_nf"),
+          col("n_changes").cast("long").as("__ck_nc"),
+          col("gaps").cast("array<bigint>").as("__ck_g")),
+        col("url") === col("__ck_u"), "left")
+    }
+    val withPriors = withCkDf
       .select(col("url"), col("fetch_ts"), col("content_hash"),
-        col("__lm_v"), col("__cf_v"))
-      .as[(String, Long, String, Option[Long], Option[Long])]
-      .map { case (u, ts, h, lts, cfs) => (FetchObs(u, ts, h), lts, cfs) }
+        col("__lm_v"), col("__cf_v"),
+        col("__ck_h"), col("__ck_lc"), col("__ck_nf"), col("__ck_nc"), col("__ck_g"))
+      .as[(String, Long, String, Option[Long], Option[Long],
+        Option[String], Option[Long], Option[Long], Option[Long], Option[Seq[Long]])]
+      .map { case (u, ts, h, lts, cfs, ckH, ckLc, ckNf, ckNc, ckG) =>
+        (FetchObs(u, ts, h), lts, cfs,
+          ckNf.map(nf => RecrawlState(ckH.orNull, ckLc.getOrElse(0L), nf,
+            ckNc.getOrElse(0L), ckG.getOrElse(Nil))))
+      }
     val timeoutConf =
       if (stateTtlMs > 0) GroupStateTimeout.ProcessingTimeTimeout
       else GroupStateTimeout.NoTimeout
@@ -119,18 +162,24 @@ object RecrawlStream {
       .groupByKey(_._1.url)
       .flatMapGroupsWithState[RecrawlState, RecrawlUpdate](
         OutputMode.Append(), timeoutConf) {
-        (url: String, it: Iterator[(FetchObs, Option[Long], Option[Long])],
+        (url: String,
+         it: Iterator[(FetchObs, Option[Long], Option[Long], Option[RecrawlState])],
          state: GroupState[RecrawlState]) =>
           if (state.hasTimedOut) {
             // long-idle URL: forget the cadence (the pinned re-init
-            // divergence — see the scaladoc); the batch twin rebuilds
-            // the exact estimate from the store on the next backfill
+            // divergence — see the scaladoc); with a `checkpoint` the
+            // next sight rehydrates EXACTLY from the store instead
             state.remove()
             Iterator.empty
           } else {
           val ordered = it.toSeq.sortBy(r => (r._1.fetch_ts, r._1.content_hash))
-          var st = state.getOption.getOrElse(RecrawlState(null, 0L, 0L, 0L, Nil))
-          val out = ordered.map { case (o, lmTs, cfMs) =>
+          // engine state wins (any checkpoint it saw is folded in); on
+          // first touch after a restart/eviction, rehydrate the exact
+          // state from the at-rest fold
+          var st = state.getOption
+            .orElse(ordered.head._4)
+            .getOrElse(RecrawlState(null, 0L, 0L, 0L, Nil))
+          val out = ordered.map { case (o, lmTs, cfMs, _) =>
             // the 304 arm: a NULL hash is never a change and the last
             // observed hash carries forward (batch's filled-hash marking)
             val changed = o.content_hash != null &&

@@ -925,27 +925,67 @@ object StreamDedup {
     * the first `cap` ARRIVALS where the batch form keeps the URL-order
     * first k — a backfill re-runs the batch form. NULL-host candidates
     * pass uncapped and write no state.
+    *
+    * STATE COMPACTION: a SATURATED key (admitted == cap) semantically
+    * needs zero bits of engine state — every later candidate is
+    * rejected regardless — yet counting keeps a Long per key forever.
+    * The `checkpoint` parameter is the periodic fold: a (host,
+    * template, admitted) table built by [[templateAdmitCheckpoint]]
+    * from the admission LOG at rest (the [[dedupAgainstStore]]
+    * batch-store/stream-twin pattern). On restart, saturated keys
+    * (admitted >= cap) are rejected SCAN-SIDE against the broadcast
+    * table and NEVER mint state again — the compaction — while
+    * partially-admitted keys REHYDRATE their count on first touch, so
+    * admissions across the restart boundary are IDENTICAL to an
+    * uninterrupted run (spec-asserted under RocksDB). The checkpoint
+    * table is bounded by the distinct templates actually admitted —
+    * the cap itself bounds that to cap·|active templates|, and the
+    * saturated head of a trap-skewed distribution is tiny next to the
+    * per-key state it retires.
     */
   def templateCapAdmit(
-      cands: Dataset[FrontierCand], cap: Long): Dataset[FrontierCand] = {
+      cands: Dataset[FrontierCand], cap: Long,
+      checkpoint: Option[DataFrame] = None): Dataset[FrontierCand] = {
     require(cap >= 1, s"templateCapAdmit: cap must be positive, got $cap")
     import cands.sparkSession.implicits._
-    val keyed = cands.toDF()
+    val withTpl = cands.toDF()
       .withColumn("__tpl", graft.pipeline.UrlOps.urlTemplate(col("url")))
-      .as[(String, String, Long, Long, String)]
+    val withCkpt = checkpoint match {
+      case None => withTpl.withColumn("__adm", lit(null).cast("long"))
+      case Some(ck) =>
+        val missing = Seq("host", "template", "admitted").filterNot(ck.columns.contains)
+        require(missing.isEmpty,
+          "templateCapAdmit: checkpoint must carry (host, template, admitted) — " +
+            s"a templateAdmitCheckpoint table; missing ${missing.mkString(", ")}")
+        withTpl.join(
+            broadcast(ck.select(col("host"), col("template").as("__tpl"),
+              col("admitted").cast("long").as("__adm"))),
+            Seq("host", "__tpl"), "left")
+          // saturated keys reject scan-side — no state is ever minted
+          // for them again (the compaction)
+          .where(col("__adm").isNull || col("__adm") < cap)
+    }
+    val keyed = withCkpt
+      .select(col("url"), col("host"), col("doc_id"), col("arrival"),
+        col("__tpl"), col("__adm"))
+      .as[(String, String, Long, Long, String, Option[Long])]
     keyed
-      .groupByKey { case (_, host, _, _, tpl) =>
+      .groupByKey { case (_, host, _, _, tpl, _) =>
         if (host == null) "" else host + " " + tpl
       }
       .flatMapGroupsWithState[AdmitState, FrontierCand](
         OutputMode.Append(), GroupStateTimeout.NoTimeout) {
-        (key: String, rows: Iterator[(String, String, Long, Long, String)],
+        (key: String, rows: Iterator[(String, String, Long, Long, String, Option[Long])],
          state: GroupState[AdmitState]) =>
           val ordered = rows.toSeq.sortBy(r => (r._4, r._3, r._1))
           if (key.isEmpty)
             ordered.iterator.map(r => FrontierCand(r._1, r._2, r._3, r._4))
           else {
-            var admitted = state.getOption.map(_.admitted).getOrElse(0L)
+            // engine state wins (the checkpoint is already folded into
+            // it); on first touch after a restart, rehydrate the
+            // partial count from the checkpoint row
+            var admitted = state.getOption.map(_.admitted)
+              .orElse(ordered.head._6).getOrElse(0L)
             val out = ordered.flatMap { r =>
               if (admitted < cap) {
                 admitted += 1
@@ -957,6 +997,25 @@ object StreamDedup {
           }
       }
   }
+
+  /** The trap guard's AT-REST state fold — per (host, template) counts
+    * of the admission LOG (what [[templateCapAdmit]] emitted), the
+    * checkpoint table its `checkpoint` parameter rehydrates from and
+    * rejects saturated keys against. Batch, one keyed aggregation; the
+    * template derivation is the SAME [[graft.pipeline.UrlOps.urlTemplate]]
+    * kernel the online guard keys by, so the fold and the guard cannot
+    * drift. NULL-host rows are excluded (they pass the guard uncapped
+    * and hold no state to fold).
+    */
+  def templateAdmitCheckpoint(
+      admitted: DataFrame,
+      urlCol: String = "url",
+      hostCol: String = "host"): DataFrame =
+    admitted.where(col(hostCol).isNotNull)
+      .select(col(hostCol).as("host"),
+        graft.pipeline.UrlOps.urlTemplate(col(urlCol)).as("template"))
+      .groupBy("host", "template")
+      .agg(count(lit(1)).as("admitted"))
 
   /** A fetch request entering the online dispatcher: provenance plus its
     * host's declared Crawl-delay (None = the crawler's own default,

@@ -595,4 +595,26 @@ class PlanAssertionsSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"),
       s"channel union/anti-join must stay keyed:\n${plan.take(2000)}")
   }
+
+  test("ext_recrawl_304: the conditional-fetch chain keeps the url-key-only shuffle shape") {
+    val plan = planOf("ext_recrawl_304")
+    assert(!plan.contains("CartesianProduct"),
+      s"recrawl joins must be keyed:\n${plan.take(2000)}")
+    // the 304 carry-forward fill rides the SAME url window as change
+    // marking — no new partitioning appears
+    val urlExchanges = "Exchange hashpartitioning\\(url".r.findAllIn(plan).size
+    val otherExchanges = "Exchange hashpartitioning".r.findAllIn(plan).size - urlExchanges
+    assert(otherExchanges == 0,
+      s"the 304 arm must not shuffle on any non-url key ($otherExchanges found):\n${plan.take(3000)}")
+  }
+
+  test("ext_fetch_validators: one url-keyed aggregation, partial map-side") {
+    val plan = planOf("ext_fetch_validators")
+    val urlExchanges = "Exchange hashpartitioning\\(url".r.findAllIn(plan).size
+    val otherExchanges = "Exchange hashpartitioning".r.findAllIn(plan).size - urlExchanges
+    assert(urlExchanges <= 1 && otherExchanges == 0,
+      s"validators are ONE url-keyed aggregation ($urlExchanges url + $otherExchanges other):\n${plan.take(3000)}")
+    assert(plan.contains("partial"),
+      s"the validator election must partial-aggregate map-side:\n${plan.take(3000)}")
+  }
 }

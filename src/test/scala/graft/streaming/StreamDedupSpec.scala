@@ -875,6 +875,64 @@ class StreamDedupSpec extends SparkSpec {
     }
   }
 
+  test("templateCapAdmit checkpoint: admissions identical across the compaction boundary; saturated keys reject scan-side, partial keys rehydrate (RocksDB)") {
+    import graft.streaming.StreamDedup.FrontierCand
+    implicit val sqlCtx = spark.sqlContext
+    // first half: /cal/N SATURATES at cap 2 (row 3 already rejected),
+    // /p/N admits 1 of 2; second half: more /cal/N (must reject via the
+    // broadcast checkpoint with NO state), one /p/N (rehydrated count 1
+    // -> admitted, reaching the cap), one more /p/N (over), a fresh
+    // template, and a null host (uncapped)
+    val half1 = Seq(
+      FrontierCand("https://a.com/cal/1", "a.com", 1L, 10L),
+      FrontierCand("https://a.com/cal/2", "a.com", 1L, 11L),
+      FrontierCand("https://a.com/cal/3", "a.com", 2L, 12L),
+      FrontierCand("https://a.com/p/1", "a.com", 2L, 13L))
+    val half2 = Seq(
+      FrontierCand("https://a.com/cal/4", "a.com", 3L, 14L),
+      FrontierCand("https://a.com/p/2", "a.com", 3L, 15L),
+      FrontierCand("https://a.com/p/3", "a.com", 4L, 16L),
+      FrontierCand("https://b.org/cal/7", "b.org", 4L, 17L),
+      FrontierCand("weird", null, 5L, 18L))
+    val confKey = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(confKey)
+    spark.conf.set(confKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      def run(name: String, feed: Seq[FrontierCand],
+              ckpt: Option[org.apache.spark.sql.DataFrame]): Set[String] = {
+        val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[FrontierCand]
+        val q = StreamDedup.templateCapAdmit(in.toDS(), cap = 2L, checkpoint = ckpt)
+          .writeStream.format("memory").queryName(name).outputMode("append").start()
+        try {
+          in.addData(feed); q.processAllAvailable()
+          spark.table(name).as[FrontierCand].collect().map(_.url).toSet
+        } finally q.stop()
+      }
+      // the uninterrupted truth
+      val continuous = run("tpl_ck_cont", half1 ++ half2, None)
+      // the compacted restart: fold half 1's admission log, start a
+      // FRESH query (fresh engine state) over half 2 with the fold
+      val a1 = run("tpl_ck_h1", half1, None)
+      val hostByUrl = half1.map(c => c.url -> c.host).toMap
+      val ckpt = StreamDedup.templateAdmitCheckpoint(
+        a1.toSeq.map(u => (u, hostByUrl(u))).toDF("url", "host"))
+      val a2 = run("tpl_ck_h2", half2, Some(ckpt))
+      assert(a1 ++ a2 == continuous,
+        s"compaction boundary diverged:\ncontinuous=$continuous\nsplit=${a1 ++ a2}")
+      // the boundary's specific claims: the saturated /cal/N template
+      // admitted nothing in half 2 (rejected scan-side); /p/N admitted
+      // exactly its remaining budget of 1
+      assert(a2 == Set("https://a.com/p/2", "https://b.org/cal/7", "weird"),
+        s"half-2 admissions: $a2")
+    } finally {
+      prior match {
+        case Some(v) => spark.conf.set(confKey, v)
+        case None => spark.conf.unset(confKey)
+      }
+    }
+  }
+
   test("politeDispatchStream TTL: eviction after busy window + TTL is decision-identical on a monotone feed; the reaper provably fires (RocksDB)") {
     import graft.streaming.StreamDedup.{DispatchReq, Dispatch}
     implicit val sqlCtx = spark.sqlContext
