@@ -604,6 +604,24 @@ object PipelineQueries {
     s"(CASE WHEN ($d) % 13 = 0 THEN 'mailto:u' || ($d) || '@example.com' " +
       s"ELSE 'https://' || ${siteHostD(s"($d) % 40")} || '/p/' || ($d) END)"
 
+  /** Closed-form replay of [[fetchHistory304Table]] under the recrawl
+    * estimator — CTEs `r3` (per-doc fetch count k+1 and step s) and
+    * `r3e` (n_changes, clamped estimate e, and `jl` = the last
+    * CONTENT-BEARING fetch index: 0 for the trailing-304 arm, k
+    * otherwise). Shared by ext_recrawl_304, ext_fetch_validators and
+    * ext_cond_dispatch (drift-proofing).
+    */
+  private def recrawl304SqlCtes: String =
+    "r3 AS (SELECT doc_id, 2 + doc_id % 3 AS k, " +
+      "(100 + doc_id % 9 * 33) * 1000 AS s FROM documents), " +
+      "r3e AS (SELECT doc_id, k, s, " +
+      "CASE WHEN doc_id % 4 = 0 THEN 1 WHEN doc_id % 4 = 1 THEN k " +
+      "WHEN doc_id % 4 = 2 THEN k // 2 + 1 ELSE 2 END AS nc, " +
+      "greatest(CASE WHEN doc_id % 4 = 1 THEN (CASE WHEN k = 2 THEN 2 * s ELSE s END) " +
+      "WHEN doc_id % 4 = 2 THEN 2 * s WHEN doc_id % 4 = 3 THEN k * s " +
+      "WHEN doc_id % 8 = 0 THEN k * s + 5000 ELSE 1000000 END, 150000) AS e, " +
+      "CASE WHEN doc_id % 4 = 0 THEN 0 ELSE k END AS jl FROM r3)"
+
   /** The robots-decision CTE chain shared by ext_robots_filter and the
     * composed crawl-policy oracle: each site's *-group rules emitted
     * directly from [[robotsTable]]'s closed form (no parsing; NULL-body
@@ -1417,11 +1435,27 @@ object PipelineQueries {
       timed("truth_store") { truthStoreFor(s, dir) },
       timed("blocked_store") { blockedStoreFor(s, dir) },
       timed("sitemap_pages") { sitemapPagesFor(s, dir) },
+      timed("rank_store") { rankStoreFor(s, dir) },
       timed("media_audio") { audioFpMediaStore(s, dir) },
       timed("media_video_frames") { videoFrameMediaStore(s, dir) },
       timed("media_raster") { rasterMediaStore(s, dir, withVariants = false) },
       timed("media_raster_variants") { rasterMediaStore(s, dir, withVariants = true) })
   }
+
+  /** The domain RANK table (node, rank_ppm), staged — centrality is
+    * maintained on the LINK GRAPH's cadence (a whole-corpus iterative
+    * computation), never recomputed per dispatch epoch: the frontier
+    * prioritizer reads it as an input table (the domainCapByRank
+    * shape). ext_pagerank still derives it inline — that query GATES
+    * the computation; this store is the at-rest serving copy, built
+    * from the IDENTICAL derivation.
+    */
+  private def rankStoreFor(s: SparkSession, dir: String): DataFrame =
+    ShingleStage.stagedTable(s, s"rankstore_$dir", {
+      val la = linkAug(Tables.documents(s, dir))
+      LinkGraph.pageRankPpm(LinkGraph.linkDomainEdges(LinkGraph.resolveLinks(
+        LinkGraph.extractLinks(la, keepCols = Seq("url")))))
+    })
 
   /** The parsed + expanded SITEMAP PAGE table (host, url, lastmod,
     * changefreq, priority_ppm), staged — in production the entries
@@ -1930,13 +1964,21 @@ object PipelineQueries {
         .select(UrlOps.canonicalUrl(col("url")).as("url"), lit(0L).as("__rk"),
           (lit(1500000L) - col("next_due_ms")).as("age_ms"))
         .where(col("url").isNotNull)
+      // the candidate set feeds THREE consumers (the priority frame,
+      // the due ages, the trap shares) plus the schedule join — persist
+      // the one model-sized derivation instead of re-running the
+      // three-channel discovery/anti-join/recrawl DAG per consumer
+      // (the ext_recrawl_sitemap precedent; 6.5 s -> ~2 s at sf0.1)
       val cands = fresh.unionByName(due)
         .withColumn("reason",
           when(col("__rk") === 0, lit("recrawl"))
             .when(col("__rk") === 1, lit("sitemap"))
             .otherwise(lit("discovered")))
-      val ranks = LinkGraph.pageRankPpm(LinkGraph.linkDomainEdges(resolved))
-        .withColumnRenamed("node", "domain")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // the rank table is the staged at-rest serving copy (see
+      // rankStoreFor — centrality updates on the link graph's cadence,
+      // not per dispatch epoch)
+      val ranks = rankStoreFor(s, dir).withColumnRenamed("node", "domain")
       val pri = Frontier.frontierPriority(
         cands.select("url", "reason"), ranks,
         dueAges = Some(cands.select(col("url"), col("age_ms"))),
@@ -2105,6 +2147,28 @@ object PipelineQueries {
     // 304s looks back past itself
     "ext_fetch_validators" -> ((s, dir) => {
       Recrawl.fetchValidators(fetchHistory304Table(Tables.documents(s, dir)))
+        .orderBy("url")
+    }),
+
+    // CONDITIONAL DISPATCH — the recrawl loop closed end to end: the
+    // due queue joined with its validator elections, so each refetch
+    // leaves with If-None-Match / If-Modified-Since and an unchanged
+    // page costs a 304 whose NULL-hash row feeds the NEXT estimate;
+    // one more keyed join on the url partitioning both sides already
+    // hold
+    "ext_cond_dispatch" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val fh = fetchHistory304Table(docs)
+      Recrawl.recrawlDue(fh,
+          lastmods = Some(docs.where(col("doc_id") % 8 === 0)
+            .select(recrawlUrl(col("doc_id")).as("url"),
+              (col("doc_id") - 5000L).as("lastmod_ts"))),
+          defaultIntervalMs = 1000000L, minIntervalMs = 150000L)
+        .where(col("next_due_ms") <= 1500000L)
+        .join(Recrawl.fetchValidators(fh), Seq("url"), "left")
+        .select(col("url"), col("host"), col("next_due_ms"),
+          col("etag").as("if_none_match"),
+          col("last_modified").as("if_modified_since"))
         .orderBy("url")
     }),
 
@@ -4279,20 +4343,7 @@ object PipelineQueries {
     // n_fetches and last_fetch; the %8=0 lastmod prior and the default
     // arm as in ext_recrawl_due
     "ext_recrawl_304" ->
-      s"""WITH r3 AS (SELECT doc_id, 2 + doc_id % 3 AS k,
-         |    (100 + doc_id % 9 * 33) * 1000 AS s FROM documents),
-         |r3e AS (SELECT doc_id, k, s,
-         |    CASE WHEN doc_id % 4 = 0 THEN 1
-         |         WHEN doc_id % 4 = 1 THEN k
-         |         WHEN doc_id % 4 = 2 THEN k // 2 + 1
-         |         ELSE 2 END AS nc,
-         |    greatest(CASE
-         |         WHEN doc_id % 4 = 1 THEN (CASE WHEN k = 2 THEN 2 * s ELSE s END)
-         |         WHEN doc_id % 4 = 2 THEN 2 * s
-         |         WHEN doc_id % 4 = 3 THEN k * s
-         |         WHEN doc_id % 8 = 0 THEN k * s + 5000
-         |         ELSE 1000000 END, 150000) AS e
-         |  FROM r3)
+      s"""WITH $recrawl304SqlCtes
          |SELECT ${recrawlUrlD("doc_id")} AS url,
          |  CASE WHEN doc_id % 13 = 0 THEN NULL
          |       ELSE ${siteHostD("doc_id % 40")} END AS host,
@@ -4303,17 +4354,28 @@ object PipelineQueries {
 
     // validators: the last CONTENT-BEARING fetch per arm is closed-form
     // (arm 0 carries content only at j=0 — the trailing-304 lookback —
-    // every other arm at j=k), and each header rides only its d-class
+    // every other arm at j=k, the jl column), and each header rides
+    // only its d-class
     "ext_fetch_validators" ->
-      s"""WITH v AS (SELECT doc_id, 2 + doc_id % 3 AS k,
-         |    (100 + doc_id % 9 * 33) * 1000 AS s FROM documents),
-         |ve AS (SELECT doc_id, k, s,
-         |    CASE WHEN doc_id % 4 = 0 THEN 0 ELSE k END AS jl FROM v)
+      s"""WITH $recrawl304SqlCtes
          |SELECT ${recrawlUrlD("doc_id")} AS url,
          |  CASE WHEN doc_id % 2 = 0 THEN '"e' || doc_id || '-' || jl || '"' END AS etag,
          |  CASE WHEN doc_id % 3 = 0 THEN 'lm-' || doc_id || '-' || jl END AS last_modified,
          |  CAST(doc_id + k * s AS BIGINT) AS last_fetch_ts
-         |FROM ve ORDER BY url""".stripMargin,
+         |FROM r3e ORDER BY url""".stripMargin,
+
+    // conditional dispatch: the due filter over the same estimate chain
+    // joined with the validator elections — one row per due URL with
+    // the headers its refetch leaves with
+    "ext_cond_dispatch" ->
+      s"""WITH $recrawl304SqlCtes
+         |SELECT ${recrawlUrlD("doc_id")} AS url,
+         |  CASE WHEN doc_id % 13 = 0 THEN NULL
+         |       ELSE ${siteHostD("doc_id % 40")} END AS host,
+         |  CAST(doc_id + k * s + e AS BIGINT) AS next_due_ms,
+         |  CASE WHEN doc_id % 2 = 0 THEN '"e' || doc_id || '-' || jl || '"' END AS if_none_match,
+         |  CASE WHEN doc_id % 3 = 0 THEN 'lm-' || doc_id || '-' || jl END AS if_modified_since
+         |FROM r3e WHERE doc_id + k * s + e <= 1500000 ORDER BY url""".stripMargin,
 
     // budget enforcement: the oracle replays the per-(host, day) rank
     // in (fts, doc_id) order against the closed-form budgets (arm 0 =

@@ -769,19 +769,39 @@ object StreamDedup {
     * candidate emits exactly once, with the FIRST (arrival, doc_id)
     * discoverer's provenance. Feed the emitted candidates to
     * [[graft.pipeline.Robots.fetchSchedule]] per scheduling epoch.
+    *
+    * STATE COMPACTION: the one-entry-per-discovered-URL state grows
+    * with the corpus over a single run's lifetime — `discoveredStore`
+    * is the restart bound (the [[templateAdmitCheckpoint]] /
+    * dedupAgainstStore pattern): the emission LOG at rest, anti-joined
+    * scan-side exactly like the crawled store, so a restarted query
+    * never re-emits NOR re-mints state for anything a prior run
+    * already discovered — emissions across the restart boundary are
+    * identical to an uninterrupted run (spec-asserted under RocksDB).
+    * Production folds emissions into the store on the crawl's own
+    * append cadence; engine state then holds only the CURRENT run's
+    * discoveries.
     */
   def discoverFrontierStream(
       docs: Dataset[WebDoc],
-      crawledUrls: DataFrame): Dataset[FrontierCand] = {
+      crawledUrls: DataFrame,
+      discoveredStore: Option[DataFrame] = None): Dataset[FrontierCand] = {
     require(crawledUrls.columns.contains("url"),
       s"crawledUrls must carry 'url' (canonical keys), got ${crawledUrls.columns.mkString(", ")}")
+    discoveredStore.foreach(ds => require(ds.columns.contains("url"),
+      s"discoveredStore must carry 'url' (canonical keys), got ${ds.columns.mkString(", ")}"))
     import docs.sparkSession.implicits._
+    val seen = discoveredStore match {
+      case None => crawledUrls.select(col("url").as("__cu"))
+      case Some(ds) => crawledUrls.select(col("url").as("__cu"))
+        .unionByName(ds.select(col("url").as("__cu")))
+    }
     val cands = graft.pipeline.LinkGraph.resolveLinks(
         graft.pipeline.LinkGraph.extractLinks(docs.toDF(), keepCols = Seq("url", "arrival")))
       .select(col("doc_id"), col("arrival"),
         graft.pipeline.UrlOps.canonicalUrl(col("href")).as("__cu"))
       .where(col("__cu").isNotNull)
-      .join(crawledUrls.select(col("url").as("__cu")), Seq("__cu"), "left_anti")
+      .join(seen, Seq("__cu"), "left_anti")
       .select(col("__cu").as("url"),
         graft.pipeline.UrlOps.hostOf(col("__cu")).as("host"),
         col("doc_id"), col("arrival"))

@@ -1034,6 +1034,51 @@ class StreamDedupSpec extends SparkSpec {
     }
   }
 
+  test("discoverFrontierStream discoveredStore: restart emissions == uninterrupted; prior discoveries neither re-emit nor re-mint state (RocksDB)") {
+    import graft.streaming.StreamDedup.{WebDoc, FrontierCand}
+    implicit val sqlCtx = spark.sqlContext
+    def page(links: String*) =
+      s"""<html><body>${links.map(l => s"""<a href="$l">x</a>""").mkString}</body></html>"""
+    val half1 = Seq(
+      WebDoc(1L, "https://a.com/p1", page("/new1", "/new2"), 1L))
+    val half2 = Seq(
+      // re-discovers BOTH half-1 targets (must not re-emit after the
+      // restart — the store, not engine state, suppresses them) plus a
+      // fresh one, re-discovered again within the run (engine state)
+      WebDoc(2L, "https://b.org/p2", page("https://a.com/new1", "/fresh"), 2L),
+      WebDoc(3L, "https://c.net/p3", page("https://a.com/new2", "https://b.org/fresh"), 3L))
+    val crawled = Seq(Tuple1("https://x.test/none")).toDF("url")
+    val confKey = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(confKey)
+    spark.conf.set(confKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      def run(name: String, feed: Seq[WebDoc],
+              store: Option[org.apache.spark.sql.DataFrame]): Seq[FrontierCand] = {
+        val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[WebDoc]
+        val q = StreamDedup.discoverFrontierStream(in.toDS(), crawled, store)
+          .writeStream.format("memory").queryName(name).outputMode("append").start()
+        try {
+          in.addData(feed); q.processAllAvailable()
+          spark.table(name).as[FrontierCand].collect().toSeq
+        } finally q.stop()
+      }
+      val continuous = run("disc_store_cont", half1 ++ half2, None)
+      val e1 = run("disc_store_h1", half1, None)
+      val store = e1.map(c => Tuple1(c.url)).toDF("url")
+      val e2 = run("disc_store_h2", half2, Some(store))
+      assert((e1 ++ e2).sortBy(_.url) == continuous.sortBy(_.url),
+        s"restart boundary diverged:\ncontinuous=$continuous\nsplit=${e1 ++ e2}")
+      assert(e2.map(u => (u.url, u.doc_id)) == Seq(("https://b.org/fresh", 2L)),
+        s"half-2 emissions (one fresh target, first discoverer): $e2")
+    } finally {
+      prior match {
+        case Some(v) => spark.conf.set(confKey, v)
+        case None => spark.conf.unset(confKey)
+      }
+    }
+  }
+
   test("frontierDispatchStream: discovery chained into polite dispatch == composed reference across splits") {
     import graft.streaming.StreamDedup.{WebDoc, DispatchReq, Dispatch, FrontierCand}
     implicit val sqlCtx = spark.sqlContext
