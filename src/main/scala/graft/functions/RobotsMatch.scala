@@ -33,6 +33,27 @@ object RobotsMatchKernel {
   private final val STAR: Byte = '*'
   private final val DOLLAR: Byte = '$'
 
+  /** Literal-special markers in STORED rule patterns: a rule's `%2A` /
+    * `%24` escape means the literal `*` / `$` OCTET, not the pattern
+    * special — [[RobotsPctNormKernel.normalizeRule]] decodes them to
+    * these private bytes (0x01/0x02 cannot appear in a request target's
+    * percent-decoded path under any sane encoding; a raw control byte
+    * smuggled into a rule would at worst over-match a literal `*`/`$`,
+    * the harmless direction) so the matcher can treat them as literals
+    * while raw `*`/`$` keep their pattern meaning.
+    */
+  final val LiteralStar: Byte = 0x01
+  final val LiteralDollar: Byte = 0x02
+
+  /** Literal octet equality with the marker mapping: a stored
+    * [[LiteralStar]]/[[LiteralDollar]] matches exactly the raw `*`/`$`
+    * target octet.
+    */
+  @inline private def litEq(pb: Byte, sb: Byte): Boolean =
+    if (pb == LiteralStar) sb == STAR
+    else if (pb == LiteralDollar) sb == DOLLAR
+    else pb == sb
+
   /** Classic two-pointer wildcard match of `p[0, pLen)` (with `*`)
     * against ALL of `s` — greedy with backtracking to the last star:
     * linear on wildcard-free and single-star patterns, but
@@ -58,7 +79,7 @@ object RobotsMatchKernel {
     var star = -1
     var mark = 0
     while (i < sLen) {
-      if (j < vLen && pat(j) != STAR && pat(j) == s.getByte(i)) {
+      if (j < vLen && pat(j) != STAR && litEq(pat(j), s.getByte(i))) {
         i += 1; j += 1
       } else if (j < vLen && pat(j) == STAR) {
         star = j; mark = i; j += 1
@@ -84,18 +105,24 @@ object RobotsMatchKernel {
   * that percent-encoded octets compare DECODED, except `%2F` (an
   * encoded slash is NOT the path separator and must stay distinct).
   * Both sides of the robots decision flow through this ONE kernel —
-  * rules at parse time ([[graft.pipeline.Robots.parseGroups]]), targets
-  * scan-side ([[RobotsPctNorm]]) — so a rule spelled `/caf%C3%A9`
-  * matches a raw-UTF-8 crawl of the same path and vice versa.
+  * rules at parse time ([[graft.pipeline.Robots.parseGroups]], the
+  * rule mode), targets scan-side ([[RobotsPctNorm]], the target mode) —
+  * so a rule spelled `/caf%C3%A9` matches a raw-UTF-8 crawl of the
+  * same path and vice versa.
   *
-  *  - `%2F` is KEPT, canonicalized to uppercase hex (`%2f` → `%2F`),
-  *    so divergent spellings of the kept escape still meet;
-  *  - `%2A` and `%24` are kept the same way: decoding them would MINT
-  *    the `*`/`$` pattern specials out of literal octets — on the rules
-  *    side that changes semantics, and the target side keeps them so
-  *    the two sides stay in ONE space (a documented conservative
-  *    divergence: a rule's literal `%2A` octet will not match a target
-  *    carrying a raw `*`);
+  *  - `%2F` is KEPT on BOTH sides, canonicalized to uppercase hex
+  *    (`%2f` → `%2F`), so divergent spellings of the kept escape still
+  *    meet;
+  *  - `%2A` and `%24` decode EXACTLY, mode-split: a request target has
+  *    no pattern specials, so the target mode decodes them to the raw
+  *    `*`/`$` octets; the RULE mode must not mint specials out of
+  *    literal octets, so it decodes them to the matcher's private
+  *    literal markers ([[RobotsMatchKernel.LiteralStar]]/
+  *    [[RobotsMatchKernel.LiteralDollar]]) — a rule's `%2A` now
+  *    matches a target's raw `*` (RFC-exact; the r18 conservative
+  *    keep-encoded divergence is closed), raw `*`/`$` in rules keep
+  *    their pattern meaning, and the stored literal is ONE octet so
+  *    most-octets precedence counts it exactly;
   *  - every other valid `%HH` decodes to its raw octet (matching is
   *    octet equality — the decoded bytes need not be valid UTF-8);
   *  - a malformed escape (`%` not followed by two hex digits) passes
@@ -114,7 +141,7 @@ object RobotsPctNormKernel {
     else if (b >= 'A' && b <= 'F') b - 'A' + 10
     else -1
 
-  def normalize(s: UTF8String): UTF8String = {
+  private def normalizeImpl(s: UTF8String, ruleSide: Boolean): UTF8String = {
     val n = s.numBytes
     var i = 0
     var hasPct = false
@@ -128,21 +155,28 @@ object RobotsPctNormKernel {
       if (b == PCT && i + 2 < n && hexVal(s.getByte(i + 1)) >= 0 &&
           hexVal(s.getByte(i + 2)) >= 0) {
         val v = hexVal(s.getByte(i + 1)) * 16 + hexVal(s.getByte(i + 2))
-        if (v == '/' || v == '*' || v == '$') {
+        if (v == '/') {
           out(o) = PCT
           out(o + 1) = java.lang.Character.toUpperCase(s.getByte(i + 1).toChar).toByte
           out(o + 2) = java.lang.Character.toUpperCase(s.getByte(i + 2).toChar).toByte
           o += 3
-        } else { out(o) = v.toByte; o += 1 }
+        } else if (ruleSide && v == '*') { out(o) = RobotsMatchKernel.LiteralStar; o += 1 }
+        else if (ruleSide && v == '$') { out(o) = RobotsMatchKernel.LiteralDollar; o += 1 }
+        else { out(o) = v.toByte; o += 1 }
         i += 3
       } else { out(o) = b; o += 1; i += 1 }
     }
     UTF8String.fromBytes(java.util.Arrays.copyOf(out, o))
   }
 
-  /** Plain-String face for the parse-time (rules-side) call. */
-  def normalize(s: String): String =
-    normalize(UTF8String.fromString(s)).toString
+  /** Target mode (scan-side): decode everything but `%2F`. */
+  def normalize(s: UTF8String): UTF8String = normalizeImpl(s, ruleSide = false)
+
+  /** Rule mode (parse time): `%2A`/`%24` become the matcher's literal
+    * markers instead of raw specials; everything else as target mode.
+    */
+  def normalizeRule(s: String): String =
+    normalizeImpl(UTF8String.fromString(s), ruleSide = true).toString
 }
 
 /** Native `robots_pct_normalize(string)` Catalyst expression — the

@@ -479,6 +479,48 @@ object PipelineQueries {
         .as("robots_txt"))
   }
 
+  /** Robots bodies exercising the EXACT `%2A`/`%24` decode (RFC 9309
+    * §2.2.2 applied to the pattern specials): literal-star and
+    * literal-dollar rules, a literal star composed with the real `$`
+    * anchor, and a raw-`*` wildcard rule beside them — the stored
+    * literals are ONE octet each, so every matching rule here ranks 4.
+    */
+  private def robotsLitTable(s: SparkSession): DataFrame = {
+    val i = col("id")
+    s.range(40).select(
+      siteHost(i).as("host"),
+      when(i % 10 === 5, lit(null).cast("string")).otherwise(lit(
+        "User-agent: *\nDisallow: /x%2Ay\nDisallow: /p%24q\n" +
+          "Disallow: /e%2A$\nDisallow: /a*b\n"))
+        .as("robots_txt"))
+  }
+
+  /** Docs whose paths hit every literal-marker decision class: 0 = a
+    * RAW `*` target meets the `%2A` rule (the r18 divergence, now
+    * closed — denied), 1 = an encoded-star target decodes and meets it
+    * (denied), 2 = the literal star must NOT wildcard (allowed), 3/4 =
+    * raw and encoded `$` targets meet the `%24` rule (denied), 5 = the
+    * literal dollar is not optional (allowed), 6 = literal star + real
+    * anchor hit exactly (denied), 7 = the anchor misses a longer
+    * target (allowed), 8 = a raw `*` rule keeps wildcard semantics
+    * (denied); d%13 keeps the unparseable-provenance arm.
+    */
+  private def litAug(docs: DataFrame): DataFrame = {
+    val d = col("doc_id")
+    docs.select(d,
+      when(d % 13 === 0, lit("mailto:someone@example.com"))
+        .otherwise(concat(lit("https://"), siteHost(d % 40),
+          when(d % 9 === 0, concat(lit("/x*y"), d))
+            .when(d % 9 === 1, lit("/x%2Ay/z"))
+            .when(d % 9 === 2, lit("/xQy"))
+            .when(d % 9 === 3, concat(lit("/p$q"), d))
+            .when(d % 9 === 4, lit("/p%24q"))
+            .when(d % 9 === 5, lit("/pq"))
+            .when(d % 9 === 6, lit("/e*"))
+            .when(d % 9 === 7, lit("/e*x"))
+            .otherwise(concat(lit("/a"), d, lit("b"))))).as("url"))
+  }
+
   /** Docs whose path spellings hit every §2.2.2 normalization class:
     * 0 = RAW UTF-8 target vs the percent-encoded rule (denied, octet
     * len 6 — char length would say 5, so the octet rank is under test
@@ -1829,6 +1871,17 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // RFC-EXACT %2A/%24: a rule's percent-encoded star/dollar is the
+    // LITERAL octet — stored as a private marker byte so it matches a
+    // target's raw */$ without ever acting as a pattern special, and
+    // most-octets precedence counts it as the ONE octet it decodes to;
+    // the r18 keep-encoded conservative divergence closed
+    "ext_robots_literal" -> ((s, dir) => {
+      Robots.robotsAllowed(litAug(Tables.documents(s, dir)),
+          Robots.robotsRules(robotsLitTable(s)))
+        .orderBy("doc_id")
+    }),
+
     // sitemap harvest: the frontier-seeding URLs each host declares in
     // its robots.txt — host-wide (NOT group-scoped: one fixture line
     // sits inside an agent run and must not close it), file order kept
@@ -2147,6 +2200,19 @@ object PipelineQueries {
     // 304s looks back past itself
     "ext_fetch_validators" -> ((s, dir) => {
       Recrawl.fetchValidators(fetchHistory304Table(Tables.documents(s, dir)))
+        .orderBy("url")
+    }),
+
+    // the recrawl stream's AT-REST STATE FOLD, scalar projection: the
+    // exact per-URL state a restarted stream rehydrates from (the gaps
+    // array itself is pinned by the RocksDB restart-equality spec; its
+    // size and the scalars hash here) — last CONTENT hash across 304
+    // runs, last change ts (0 = never observed changing), counters
+    "ext_recrawl_state" -> ((s, dir) => {
+      Recrawl.recrawlState(fetchHistory304Table(Tables.documents(s, dir)))
+        .select(col("url"), col("last_hash"), col("last_change_ts"),
+          col("n_fetches"), col("n_changes"),
+          size(col("gaps")).cast("long").as("n_gaps"))
         .orderBy("url")
     }),
 
@@ -4090,6 +4156,21 @@ object PipelineQueries {
          |       ELSE -1 END AS BIGINT) AS rule_len
          |FROM pd ORDER BY doc_id""".stripMargin,
 
+    // literal %2A/%24 decisions closed-form — every matching rule here
+    // stores 4 octets (the literal marker is ONE octet), so rule_len
+    // pins the precedence accounting too
+    "ext_robots_literal" ->
+      s"""WITH ld AS (SELECT doc_id,
+         |  CASE WHEN doc_id % 13 = 0 THEN NULL ELSE ${siteHostD("doc_id % 40")} END AS host
+         |  FROM documents)
+         |SELECT doc_id, host,
+         |  CASE WHEN host IS NULL OR (doc_id % 40) % 10 = 5 THEN true
+         |       WHEN doc_id % 9 IN (0, 1, 3, 4, 6, 8) THEN false ELSE true END AS allowed,
+         |  CAST(CASE WHEN host IS NULL OR (doc_id % 40) % 10 = 5 THEN -1
+         |       WHEN doc_id % 9 IN (0, 1, 3, 4, 6, 8) THEN 4
+         |       ELSE -1 END AS BIGINT) AS rule_len
+         |FROM ld ORDER BY doc_id""".stripMargin,
+
     // sitemaps: every policy'd host declares /sitemap.xml first; arm-0
     // sites add /sitemap-news.xml (declared INSIDE the *-group's agent
     // run — a parser that closes the run on it loses the group's rules
@@ -4362,6 +4443,24 @@ object PipelineQueries {
          |  CASE WHEN doc_id % 2 = 0 THEN '"e' || doc_id || '-' || jl || '"' END AS etag,
          |  CASE WHEN doc_id % 3 = 0 THEN 'lm-' || doc_id || '-' || jl END AS last_modified,
          |  CAST(doc_id + k * s AS BIGINT) AS last_fetch_ts
+         |FROM r3e ORDER BY url""".stripMargin,
+
+    // the state fold's scalars, arm by arm: the last CONTENT hash is
+    // at jl (the trailing-304 arm looks back), the last change ts at
+    // the arm's final change index (arm 2's last change sits at the
+    // last even fetch), gaps count nc - 1
+    "ext_recrawl_state" ->
+      s"""WITH $recrawl304SqlCtes
+         |SELECT ${recrawlUrlD("doc_id")} AS url,
+         |  CASE WHEN doc_id % 4 = 0 THEN 'h'
+         |       WHEN doc_id % 4 = 1 THEN 'h' || k
+         |       WHEN doc_id % 4 = 2 THEN 'h' || (k // 2)
+         |       ELSE 'h1' END AS last_hash,
+         |  CAST(CASE WHEN doc_id % 4 = 0 THEN doc_id
+         |       WHEN doc_id % 4 = 2 THEN doc_id + (k - k % 2) * s
+         |       ELSE doc_id + k * s END AS BIGINT) AS last_change_ts,
+         |  CAST(k + 1 AS BIGINT) AS n_fetches, CAST(nc AS BIGINT) AS n_changes,
+         |  CAST(nc - 1 AS BIGINT) AS n_gaps
          |FROM r3e ORDER BY url""".stripMargin,
 
     // conditional dispatch: the due filter over the same estimate chain

@@ -43,10 +43,13 @@ import org.apache.spark.sql.functions._
   *  - an empty `Disallow:` value is "allow all" (no rule), per the
   *    original REP; `$`/`*` pattern specials match per RFC 9309 §2.2.3
   *    ([[graft.functions.RobotsMatch]]); rule values and targets are
-  *    compared percent-DECODED per §2.2.2 — all but `%2F`/`%2A`/`%24`,
-  *    through the ONE shared kernel
+  *    compared percent-DECODED per §2.2.2 — all but `%2F`; a rule's
+  *    `%2A`/`%24` decode to LITERAL-special markers so they match a
+  *    target's raw `*`/`$` without minting pattern specials — through
+  *    the ONE shared kernel
   *    ([[graft.functions.RobotsPctNormKernel]]: rules normalize at
-  *    parse time here, targets scan-side in the decision fold);
+  *    parse time here in rule mode, targets scan-side in the decision
+  *    fold in target mode);
   *  - rule values longer than [[MaxRulePatternBytes]] chars are DROPPED
   *    at parse time: robots.txt is adversary-controlled input matched
   *    per (document × rule), the wildcard matcher is quadratic on
@@ -133,7 +136,7 @@ object Robots {
             // shares
             if (value.nonEmpty &&
                 value.getBytes(java.nio.charset.StandardCharsets.UTF_8).length <= MaxRulePatternBytes)
-              rules :+= ((graft.functions.RobotsPctNormKernel.normalize(value),
+              rules :+= ((graft.functions.RobotsPctNormKernel.normalizeRule(value),
                 field == "allow"))
           case "crawl-delay" =>
             collectingAgents = false

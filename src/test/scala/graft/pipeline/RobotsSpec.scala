@@ -282,6 +282,18 @@ class RobotsSpec extends SparkSpec {
     assert(m("/anything", "") && m("", "$") && !m("/x", "$"))
     // multi-star backtracking
     assert(m("/aXbYbZc", "/a*b*c$") && !m("/aXbYbZ", "/a*b*c$"))
+    // literal markers (a rule's %2A/%24, stored by normalizeRule):
+    // match exactly the raw */$ target octet, never act as specials,
+    // and a trailing literal dollar is NOT the anchor
+    val ls = graft.functions.RobotsMatchKernel.LiteralStar.toChar
+    val ld = graft.functions.RobotsMatchKernel.LiteralDollar.toChar
+    assert(m("/x*y", s"/x${ls}y") && m("/x*y/z", s"/x${ls}y"))
+    assert(!m("/xQy", s"/x${ls}y"), "a literal star must not wildcard")
+    assert(m("/p$q", s"/p${ld}q") && !m("/pq", s"/p${ld}q"))
+    assert(m("/e$x", s"/e$ld") && !m("/e", s"/e$ld"),
+      "a literal dollar keeps prefix semantics — not the anchor")
+    assert(m("/e*", s"/e$ls$$") && !m("/e*x", s"/e$ls$$"),
+      "literal star composes with the real anchor")
 
     // the decision fold: longer allow exception beats the $-ban
     val rules = Seq(
@@ -318,14 +330,24 @@ class RobotsSpec extends SparkSpec {
   }
 
   test("RFC 9309 2.2.2 percent-encoding: rules and targets meet decoded; %2F stays distinct; hostile rules capped") {
-    import graft.functions.RobotsPctNormKernel.{normalize => nz}
-    // kernel contract: decode all but %2F/%2A/%24 (uppercase-canonical),
-    // malformed escapes verbatim, %-free input identity
+    import graft.functions.RobotsPctNormKernel.{normalizeRule => nzr}
+    import graft.functions.RobotsMatchKernel.{LiteralDollar, LiteralStar}
+    def nz(s: String): String = graft.functions.RobotsPctNormKernel
+      .normalize(org.apache.spark.unsafe.types.UTF8String.fromString(s)).toString
+    // kernel contract, target mode: decode all but %2F
+    // (uppercase-canonical), %2A/%24 to the raw octets, malformed
+    // escapes verbatim, %-free input identity
     assert(nz("/caf%C3%A9") == "/caf\u00e9" && nz("/caf%c3%a9") == "/caf\u00e9")
     assert(nz("/a%2fb") == "/a%2Fb" && nz("/a%2Fb") == "/a%2Fb")
-    assert(nz("/x%2ay%24z") == "/x%2Ay%24z")
+    assert(nz("/x%2ay%24z") == "/x*y$z")
     assert(nz("/sp%20ace") == "/sp ace")
     assert(nz("/bad%zz") == "/bad%zz" && nz("/end%2") == "/end%2" && nz("/plain") == "/plain")
+    // rule mode: %2A/%24 become the matcher's LITERAL markers (one
+    // octet each \u2014 most-octets precedence counts them exactly), raw
+    // specials pass through untouched
+    assert(nzr("/x%2ay%24z") ==
+      s"/x${LiteralStar.toChar}y${LiteralDollar.toChar}z")
+    assert(nzr("/a*b$") == "/a*b$" && nzr("/a%2fb") == "/a%2Fb")
     // parse-time rules normalization: divergent spellings of one octet
     // sequence meet, and precedence ranks by OCTETS of the decoded rule
     val prules = robotsRules(Seq(

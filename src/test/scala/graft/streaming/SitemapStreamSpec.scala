@@ -80,6 +80,42 @@ class SitemapStreamSpec extends SparkSpec {
     }
   }
 
+  test("sitemapIngestStream changefreq/priority: per-listing canonical claims fold to the batch elections") {
+    implicit val sqlCtx = spark.sqlContext
+    // /p is re-listed with a divergent cadence (Weekly out-ranks
+    // monthly) and a higher priority; /rel's junk token must
+    // canonicalize to NULL in the stream exactly as in batch
+    val feed2 = Seq(
+      SitemapFetch("a.com", "https://a.com/sm.xml",
+        "<urlset><url><loc>https://a.com/p</loc><changefreq>monthly</changefreq>" +
+          "<priority>0.2</priority></url>" +
+          "<url><loc>/rel</loc><changefreq>junk</changefreq></url></urlset>", 1L),
+      SitemapFetch("a.com", "https://a.com/news.xml",
+        "<urlset><url><loc>https://a.com/p</loc><changefreq>Weekly</changefreq>" +
+          "<priority>0.7</priority></url></urlset>", 2L))
+    val batch = graft.pipeline.Sitemaps.sitemapPageUrls(robotsDf,
+        feed2.map(f => (f.host, f.sitemap_url, f.body)).toDF("host", "sitemap_url", "body"))
+      .collect().map(r => (r.getString(1), Option(r.getString(3)),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)))).toSet
+    assert(batch == Set(
+      ("https://a.com/p", Some("weekly"), Some(700000L)),
+      ("https://a.com/rel", None, None)), s"batch fixture drifted: $batch")
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[SitemapFetch]
+    val q = SitemapStream.sitemapIngestStream(in.toDS(), robotsDf)
+      .writeStream.format("memory").queryName("sitemap_cf_out").outputMode("append").start()
+    try {
+      in.addData(feed2); q.processAllAvailable()
+      val rows = spark.table("sitemap_cf_out").as[SitemapPage].collect()
+      val rank = graft.pipeline.Sitemaps.ChangefreqTokens.zipWithIndex.toMap
+      val folded = rows.groupBy(_.url).map { case (u, rs) =>
+        val cfs = rs.flatMap(r => Option(r.changefreq))
+        (u, if (cfs.isEmpty) None else Some(cfs.minBy(rank)),
+          rs.flatMap(_.priority_ppm).reduceOption(_ max _))
+      }.toSet
+      assert(folded == batch, s"stream elections diverged:\n$folded\n$batch")
+    } finally q.stop()
+  }
+
   test("sitemapIngestStream: a child arriving BEFORE its index contributes nothing (the documented ordering contract)") {
     implicit val sqlCtx = spark.sqlContext
     val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[SitemapFetch]
