@@ -137,11 +137,20 @@ object RecrawlStream {
         .withColumn("__ck_nc", lit(null).cast("long"))
         .withColumn("__ck_g", lit(null).cast("array<bigint>"))
       case Some(ck) => withCfDf.join(
-        ck.select(col("url").as("__ck_u"), col("last_hash").as("__ck_h"),
-          col("last_change_ts").cast("long").as("__ck_lc"),
-          col("n_fetches").cast("long").as("__ck_nf"),
-          col("n_changes").cast("long").as("__ck_nc"),
-          col("gaps").cast("array<bigint>").as("__ck_g")),
+        // one deterministic state row per url at the boundary (the
+        // duplicate-prior discipline): a repeated-url checkpoint must
+        // not fan the stream — elect the most-advanced fold
+        // (max n_fetches, full-struct tiebreak)
+        ck.select(col("url").as("__ck_u"),
+            struct(col("n_fetches").cast("long").as("nf"),
+              col("n_changes").cast("long").as("nc"),
+              col("last_change_ts").cast("long").as("lc"),
+              col("last_hash").as("lh"),
+              col("gaps").cast("array<bigint>").as("g")).as("__st"))
+          .groupBy("__ck_u").agg(max(col("__st")).as("__st"))
+          .select(col("__ck_u"), col("__st.lh").as("__ck_h"),
+            col("__st.lc").as("__ck_lc"), col("__st.nf").as("__ck_nf"),
+            col("__st.nc").as("__ck_nc"), col("__st.g").as("__ck_g")),
         col("url") === col("__ck_u"), "left")
     }
     val withPriors = withCkDf

@@ -839,17 +839,21 @@ object StreamDedup {
       budgets: DataFrame,
       defaultDelayMs: Long = 1000L,
       stateTtlMs: Long = 24 * 3600 * 1000L,
-      templateCap: Option[Long] = None): Dataset[Dispatch] = {
+      templateCap: Option[Long] = None,
+      templateCheckpoint: Option[DataFrame] = None,
+      discoveredStore: Option[DataFrame] = None): Dataset[Dispatch] = {
     require(defaultDelayMs >= 1,
       s"frontierDispatchStream: defaultDelayMs must be positive, got $defaultDelayMs")
     val missing = Seq("host", "delay_ms").filterNot(budgets.columns.contains)
     require(missing.isEmpty, "frontierDispatchStream: budgets must carry " +
       s"(host, delay_ms) — a crawlDelayBudget table; missing ${missing.mkString(", ")}")
     import docs.sparkSession.implicits._
-    val discovered = discoverFrontierStream(docs, crawledUrls)
+    val discovered = discoverFrontierStream(docs, crawledUrls, discoveredStore)
     // OPTIONAL trap guard between discovery and dispatch: a template
-    // explosion stops consuming dispatch slots after its cap
-    val guarded = templateCap.fold(discovered)(templateCapAdmit(discovered, _))
+    // explosion stops consuming dispatch slots after its cap; both
+    // at-rest restart folds pass through
+    val guarded = templateCap.fold(discovered)(
+      templateCapAdmit(discovered, _, templateCheckpoint))
     politeDispatchStream(
       stateTtlMs = stateTtlMs,
       reqs = guarded.toDF()
@@ -978,8 +982,12 @@ object StreamDedup {
           "templateCapAdmit: checkpoint must carry (host, template, admitted) — " +
             s"a templateAdmitCheckpoint table; missing ${missing.mkString(", ")}")
         withTpl.join(
+            // one count per key at the boundary (the duplicate-prior
+            // discipline) — a repeated-key checkpoint must not fan the
+            // stream; max is the saturated-leaning election
             broadcast(ck.select(col("host"), col("template").as("__tpl"),
-              col("admitted").cast("long").as("__adm"))),
+                col("admitted").cast("long").as("__adm"))
+              .groupBy("host", "__tpl").agg(max(col("__adm")).as("__adm"))),
             Seq("host", "__tpl"), "left")
           // saturated keys reject scan-side — no state is ever minted
           // for them again (the compaction)
