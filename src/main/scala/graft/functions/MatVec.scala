@@ -66,13 +66,23 @@ case class MatVecFloor(child: Expression, rotFlat: Array[Long], dim: Int)
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "mat_vec_floor"
 
+  // the KmvDistinct checkInputDataTypes discipline: anything but
+  // array<float>/array<double> (array<bigint>, ...) would read raw bits
+  // through getDouble and produce silent garbage — refuse at ANALYSIS
+  // time, before any task launches
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"mat_vec_floor: unsupported input type $other (need array<float> or array<double>)")
+    }
+
   private lazy val isFloat = child.dataType match {
-    case ArrayType(FloatType, _)  => true
-    case ArrayType(DoubleType, _) => false
-    // the PqInputKind discipline: anything else (array<bigint>, ...) would
-    // read raw bits through getDouble and produce silent garbage — refuse
-    case other => throw new IllegalArgumentException(
-      s"mat_vec_floor: unsupported input type $other (need array<float> or array<double>)")
+    case ArrayType(FloatType, _) => true
+    case _ => false // only reachable post-analysis: double
   }
 
   override def nullSafeEval(vec: Any): Any =

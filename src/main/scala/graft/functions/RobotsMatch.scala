@@ -36,11 +36,14 @@ object RobotsMatchKernel {
   /** Literal-special markers in STORED rule patterns: a rule's `%2A` /
     * `%24` escape means the literal `*` / `$` OCTET, not the pattern
     * special — [[RobotsPctNormKernel.normalizeRule]] decodes them to
-    * these private bytes (0x01/0x02 cannot appear in a request target's
-    * percent-decoded path under any sane encoding; a raw control byte
-    * smuggled into a rule would at worst over-match a literal `*`/`$`,
-    * the harmless direction) so the matcher can treat them as literals
-    * while raw `*`/`$` keep their pattern meaning.
+    * these private bytes so the matcher can treat them as literals
+    * while raw `*`/`$` keep their pattern meaning. The markers are
+    * UNREACHABLE from normalizer output on either side: `%01`/`%02`
+    * escapes stay ENCODED both sides (the `%2F` discipline — they
+    * still meet byte-equal), so only a RAW 0x01/0x02 control byte
+    * smuggled into a rule line can collide, and at worst it matches a
+    * literal `*`/`$` instead of itself (documented residual; request
+    * targets never contain raw control bytes a sane fetcher emits).
     */
   final val LiteralStar: Byte = 0x01
   final val LiteralDollar: Byte = 0x02
@@ -155,7 +158,13 @@ object RobotsPctNormKernel {
       if (b == PCT && i + 2 < n && hexVal(s.getByte(i + 1)) >= 0 &&
           hexVal(s.getByte(i + 2)) >= 0) {
         val v = hexVal(s.getByte(i + 1)) * 16 + hexVal(s.getByte(i + 2))
-        if (v == '/') {
+        // %01/%02 stay encoded on BOTH sides: decoding them would make
+        // the literal markers reachable from target input (and a rule's
+        // %01 would silently become a literal-star matcher — an
+        // under-match); kept-encoded they still meet byte-equal, the
+        // %2F discipline
+        if (v == '/' || v == RobotsMatchKernel.LiteralStar ||
+            v == RobotsMatchKernel.LiteralDollar) {
           out(o) = PCT
           out(o + 1) = java.lang.Character.toUpperCase(s.getByte(i + 1).toChar).toByte
           out(o + 2) = java.lang.Character.toUpperCase(s.getByte(i + 2).toChar).toByte

@@ -1,7 +1,6 @@
 package graft.pipeline
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** VALUE-ORDERED frontier prioritization — the composition that turns
@@ -129,15 +128,17 @@ object Frontier {
       .drop("__dom", "__tpl", "__rkp", "__age", "__shr", "__smp")
   }
 
-  /** Per-host BUDGETED top-k dispatch by priority — the
-    * [[Robots.fetchSchedule]] window keyed the same (one per-host
-    * window, NULL hosts on unique NUL-prefixed keys at slot 1), ordered
-    * by `(priority DESC, url)` instead of URL spelling, and capped at
-    * `maxPerHost` — the `slot <= k` filter over the plain row_number
-    * rewrites to WindowGroupLimit, so a 10⁶-candidate host prunes to k
-    * map-side before the shuffle (the [[UrlOps.templateCapSurvivors]]
-    * discipline). Slots keep the politeness spacing contract: slot k
-    * may not fire before `(k−1) · delay`.
+  /** Per-host BUDGETED top-k dispatch by priority — ONE window with
+    * [[Robots.fetchSchedule]] (this is that operator, parameterized:
+    * ordered by `(priority DESC, url)` instead of URL spelling and
+    * capped at `maxPerHost` — the `slot <= k` filter over the plain
+    * row_number rewrites to WindowGroupLimit, so a 10⁶-candidate host
+    * prunes to k map-side before the shuffle, the
+    * [[UrlOps.templateCapSurvivors]] discipline). NULLS LAST is
+    * explicit on both engines: an unknown-reason NULL priority must
+    * sort below every scored candidate, identically. Slots keep the
+    * politeness spacing contract: slot k may not fire before
+    * `(k−1) · delay`.
     *
     * Output: (host, url, priority, slot, not_before_ms).
     */
@@ -148,30 +149,11 @@ object Frontier {
       defaultDelayMs: Long = 1000L,
       hostCol: String = "host",
       urlCol: String = "url"): DataFrame = {
-    require(maxPerHost >= 1, s"fetchScheduleByPriority: maxPerHost must be positive, got $maxPerHost")
-    require(defaultDelayMs >= 1,
-      s"fetchScheduleByPriority: defaultDelayMs must be positive, got $defaultDelayMs")
-    require(budgets.columns.contains("delay_ms"),
-      s"fetchScheduleByPriority: budgets must carry delay_ms, got ${budgets.columns.mkString(", ")}")
     require(candidates.columns.contains("priority"),
       "fetchScheduleByPriority: candidates must carry priority (frontierPriority output)")
-    val reserved = Seq("slot", "not_before_ms", "__dm", "__pk").filter(candidates.columns.contains)
-    require(reserved.isEmpty,
-      s"fetchScheduleByPriority: candidates columns collide with output/internal names " +
-        s"(rename them): ${reserved.mkString(", ")}")
-    val b = budgets.select(col(hostCol), col("delay_ms").cast("long").as("__dm"))
-    // NULLS LAST explicit on BOTH engines: an unknown-reason NULL
-    // priority must sort below every scored candidate, identically
-    val w = Window.partitionBy("__pk")
-      .orderBy(col("priority").desc_nulls_last, col(urlCol))
-    candidates
-      .join(broadcast(b), Seq(hostCol), "left")
-      .withColumn("__pk", coalesce(col(hostCol), concat(lit(" "), col(urlCol))))
-      .withColumn("slot", row_number().over(w).cast("long"))
-      .where(col("slot") <= maxPerHost)
-      .select(col(hostCol), col(urlCol), col("priority"), col("slot"),
-        when(col(hostCol).isNull, lit(0L))
-          .otherwise((col("slot") - 1) * coalesce(col("__dm"), lit(defaultDelayMs)))
-          .as("not_before_ms"))
+    Robots.fetchSchedule(candidates, budgets, defaultDelayMs, hostCol, urlCol,
+      orderBy = Seq(col("priority").desc_nulls_last, col(urlCol)),
+      keepCols = Seq("priority"),
+      maxPerHost = Some(maxPerHost))
   }
 }

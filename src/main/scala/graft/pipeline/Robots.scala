@@ -336,24 +336,35 @@ object Robots {
       budgets: DataFrame,
       defaultDelayMs: Long = 1000L,
       hostCol: String = "host",
-      urlCol: String = "url"): DataFrame = {
+      urlCol: String = "url",
+      orderBy: Seq[Column] = Nil,
+      keepCols: Seq[String] = Nil,
+      maxPerHost: Option[Long] = None): DataFrame = {
     require(defaultDelayMs >= 1, s"fetchSchedule: defaultDelayMs must be positive, got $defaultDelayMs")
     require(budgets.columns.contains("delay_ms"),
       s"fetchSchedule: budgets must carry delay_ms (a crawlDelayBudget table), got ${budgets.columns.mkString(", ")}")
+    require(maxPerHost.forall(_ >= 1),
+      s"fetchSchedule: maxPerHost must be positive, got $maxPerHost")
     val reserved = Seq("slot", "not_before_ms", "__dm", "__pk").filter(candidates.columns.contains)
     require(reserved.isEmpty,
       s"fetchSchedule: candidates columns collide with output/internal names (rename them): " +
         reserved.mkString(", "))
     val b = budgets.select(col(hostCol), col("delay_ms").cast("long").as("__dm"))
-    val w = Window.partitionBy("__pk").orderBy(col(urlCol))
-    candidates
+    // the one per-host sequencing window, parameterized: URL order by
+    // default, a caller ordering (value-ordered dispatch) otherwise
+    val order = if (orderBy.nonEmpty) orderBy else Seq(col(urlCol))
+    val w = Window.partitionBy("__pk").orderBy(order: _*)
+    val slotted = candidates
       .join(broadcast(b), Seq(hostCol), "left")
-      .withColumn("__pk", coalesce(col(hostCol), concat(lit(" "), col(urlCol))))
+      .withColumn("__pk", coalesce(col(hostCol), concat(lit(" "), col(urlCol))))
       .withColumn("slot", row_number().over(w).cast("long"))
-      .select(col(hostCol), col(urlCol), col("slot"),
+    // the slot <= k budget filter sits directly over the row_number so
+    // it rewrites to WindowGroupLimit (map-side pruning)
+    maxPerHost.fold(slotted)(k => slotted.where(col("slot") <= k))
+      .select(Seq(col(hostCol), col(urlCol)) ++ keepCols.map(col) ++ Seq(col("slot"),
         when(col(hostCol).isNull, lit(0L))
           .otherwise((col("slot") - 1) * coalesce(col("__dm"), lit(defaultDelayMs)))
-          .as("not_before_ms"))
+          .as("not_before_ms")): _*)
   }
 
   /** (host, prefix, allow) rules from a (host, robots_txt) table — the

@@ -181,7 +181,9 @@ object RecrawlStream {
             state.remove()
             Iterator.empty
           } else {
-          val ordered = it.toSeq.sortBy(r => (r._1.fetch_ts, r._1.content_hash))
+          // Option-wrap the hash tiebreak: a 304's NULL hash must sort
+          // (nulls first, the batch window's order), not NPE on a tie
+          val ordered = it.toSeq.sortBy(r => (r._1.fetch_ts, Option(r._1.content_hash)))
           // engine state wins (any checkpoint it saw is folded in); on
           // first touch after a restart/eviction, rehydrate the exact
           // state from the at-rest fold

@@ -348,6 +348,9 @@ class RobotsSpec extends SparkSpec {
     assert(nzr("/x%2ay%24z") ==
       s"/x${LiteralStar.toChar}y${LiteralDollar.toChar}z")
     assert(nzr("/a*b$") == "/a*b$" && nzr("/a%2fb") == "/a%2Fb")
+    // %01/%02 stay encoded BOTH sides (markers unreachable from
+    // decode): the two sides still meet byte-equal
+    assert(nzr("/c%01d%02") == "/c%01d%02" && nz("/c%01d%02") == "/c%01d%02")
     // parse-time rules normalization: divergent spellings of one octet
     // sequence meet, and precedence ranks by OCTETS of the decoded rule
     val prules = robotsRules(Seq(

@@ -57,17 +57,14 @@ class RotationSpec extends SparkSpec {
         .toDF("vec_id", "embedding")
       val out = bad.select(Similarity.rotatePpm(col("embedding"))).collect()
       assert(out.forall(_.isNullAt(0)), "short/null vectors must rotate to NULL")
-      // a non-float/double element type must REFUSE (the PqInputKind
-      // discipline), never reinterpret long bits through getDouble
+      // a non-float/double element type must REFUSE at ANALYSIS time
+      // (the KmvDistinct checkInputDataTypes discipline), never
+      // reinterpret long bits through getDouble nor launch a task
       val longs = Seq((1L, Seq.fill(64)(1L))).toDF("vec_id", "embedding")
-      val e = intercept[Exception](
+      val e = intercept[org.apache.spark.sql.AnalysisException](
         longs.select(Similarity.rotatePpm(col("embedding"))).collect())
-      def rootChain(t: Throwable): Seq[Throwable] =
-        t +: Option(t.getCause).map(rootChain).getOrElse(Nil)
-      assert(rootChain(e).exists(_.getMessage != null) &&
-        rootChain(e).exists(t => t.getMessage != null &&
-          t.getMessage.contains("mat_vec_floor: unsupported input type")),
-        s"want the unsupported-type refusal, got $e")
+      assert(e.getMessage.contains("mat_vec_floor: unsupported input type"),
+        s"want the unsupported-type refusal at analysis, got $e")
     } finally {
       prior match {
         case Some(p) => spark.conf.set(key, p)

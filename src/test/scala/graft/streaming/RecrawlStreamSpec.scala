@@ -79,8 +79,11 @@ class RecrawlStreamSpec extends SparkSpec {
       // content once then trailing 304s (static — prior chain)
       FetchObs("https://b.com/y", 0L, "s"), FetchObs("https://b.com/y", 50L, null),
       FetchObs("https://b.com/y", 90L, null),
-      // leading 304 then content — only the content fetch is a change
-      FetchObs("https://c.com/z", 10L, null), FetchObs("https://c.com/z", 20L, "s"))
+      // leading 304 then content — only the content fetch is a change;
+      // the SAME-timestamp 304 beside the content row pins the
+      // null-safe tiebreak (nulls first, the batch window's order)
+      FetchObs("https://c.com/z", 10L, null),
+      FetchObs("https://c.com/z", 20L, null), FetchObs("https://c.com/z", 20L, "s"))
     val lm = Seq(("https://b.com/y", 40L)).toDF("url", "lastmod_ts")
     // b carries BOTH priors: the changefreq claim (300) must beat the
     // lastmod age (90 - 40 = 50) in each twin — the precedence arm
@@ -93,13 +96,13 @@ class RecrawlStreamSpec extends SparkSpec {
     assert(want == Map(
       "https://a.com/x" -> ((3L, 2L, 200L, 400L)),
       "https://b.com/y" -> ((3L, 1L, 300L, 390L)),
-      "https://c.com/z" -> ((2L, 1L, 1000L, 1020L))), s"batch fixture drifted: $want")
+      "https://c.com/z" -> ((3L, 1L, 1000L, 1020L))), s"batch fixture drifted: $want")
     val confKey = "spark.sql.streaming.stateStore.providerClass"
     val prior = spark.conf.getOption(confKey)
     spark.conf.set(confKey,
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     try {
-      Seq(Seq(8), Seq.fill(8)(1), Seq(3, 3, 2)).zipWithIndex.foreach { case (split, si) =>
+      Seq(Seq(9), Seq.fill(9)(1), Seq(4, 3, 2)).zipWithIndex.foreach { case (split, si) =>
         val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[FetchObs]
         val name = s"recrawl_304_out_$si"
         val q = RecrawlStream.recrawlDueStream(in.toDS(), Some(lm), Some(cf),
