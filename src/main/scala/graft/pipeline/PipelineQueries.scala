@@ -1937,6 +1937,31 @@ object PipelineQueries {
         .orderBy("host", "url")
     }),
 
+    // the GOVERNED frontier: robots compliance applied to the frontier
+    // ITSELF, not just retroactively to fetched documents — a disallowed
+    // candidate must never consume a dispatch slot (the online
+    // crawlIngestStream order, batch-composed): candidates run through
+    // the SAME per-URL decision fold as ext_robots_filter and only
+    // allowed rows enter the politeness schedule
+    "ext_frontier_governed" -> ((s, dir) => {
+      val la = linkAug(Tables.documents(s, dir))
+      val discovered = LinkGraph.resolveLinks(
+          LinkGraph.extractLinks(la, keepCols = Seq("url")))
+        .select(UrlOps.canonicalUrl(col("href")).as("url"))
+        .where(col("url").isNotNull)
+        .unionByName(sitemapPagesFor(s, dir).select(col("url")))
+        .distinct()
+      val crawled = la.select(UrlOps.canonicalUrl(col("url")).as("url"))
+        .where(col("url").isNotNull).distinct()
+      val allowed = Robots.robotsAllowed(
+          discovered.join(crawled, Seq("url"), "left_anti"),
+          Robots.robotsRules(robotsTable(s)), idCol = "url")
+        .where(col("allowed"))
+      Robots.fetchSchedule(allowed.select("host", "url"),
+          Robots.crawlDelayBudget(robotsTable(s)).select("host", "delay_ms"))
+        .orderBy("host", "url")
+    }),
+
     // the COMPLETE frontier: all three discovery channels in one plan —
     // link discovery ∪ sitemap-listed pages (both anti-joined against
     // everything ever crawled, where "crawled" now includes the fetch
@@ -3757,12 +3782,11 @@ object PipelineQueries {
        |  CAST(dom.c * 1000000 // tot.n_vecs AS BIGINT) AS purity_ppm
        |FROM dom JOIN tot USING (cell) ORDER BY dom.cell""".stripMargin
 
-  // the frontier statement, shared verbatim by ext_frontier and its
-  // bloom-pruned equivalence twin ext_frontier_bloom (two plans, one
-  // truth — the output sets are identical by the one-sided-error
-  // argument, so one oracle gates both)
-  private lazy val frontierSqlD: String =
-    s"""WITH $linkAugSql,
+  // the frontier candidate chain (discovery ∪ sitemap pages, minus
+  // crawled, plus the closed-form delay table), shared by the plain
+  // frontier statement and the robots-GOVERNED variant
+  private lazy val frontierCandSqlCtes: String =
+    s"""$linkAugSql,
          |$sitemapPagesSqlD,
          |disc AS (SELECT DISTINCT url FROM (
          |    SELECT ${UrlOps.canonicalUrlD("href")} AS url FROM la
@@ -3778,7 +3802,14 @@ object PipelineQueries {
          |       FROM disc d LEFT JOIN crawled c ON d.url = c.url WHERE c.url IS NULL),
          |fcb AS (SELECT ${siteHostD("i")} AS host,
          |          CASE WHEN i % 3 = 0 THEN 5000 ELSE 9000000 END AS dm
-         |        FROM range(40) t(i) WHERE i % 3 IN (0, 2) AND i % 10 <> 5),
+         |        FROM range(40) t(i) WHERE i % 3 IN (0, 2) AND i % 10 <> 5)""".stripMargin
+
+  // the frontier statement, shared verbatim by ext_frontier and its
+  // bloom-pruned equivalence twins ext_frontier_bloom / _bloom_shard
+  // (three plans, one truth — the output sets are identical by the
+  // one-sided-error argument, so one oracle gates all)
+  private lazy val frontierSqlD: String =
+    s"""WITH $frontierCandSqlCtes,
          |fsc AS (SELECT f.host, f.url,
          |          row_number() OVER (PARTITION BY f.host ORDER BY f.url) AS slot, fcb.dm
          |        FROM fr f LEFT JOIN fcb ON fcb.host = f.host)
@@ -4227,6 +4258,24 @@ object PipelineQueries {
     // must drop) — then the same schedule replay
     "ext_frontier" ->
       frontierSqlD,
+
+    // governed frontier: the per-candidate decision is closed-form — no
+    // frontier path enters /private or /search?q=, so the i%3=0 rules
+    // never match and the entire bite is the Disallow-/ arm (i%3=1,
+    // policy'd): those hosts' candidates vanish whole, every other
+    // host's slots are unchanged
+    "ext_frontier_governed" ->
+      s"""WITH $frontierCandSqlCtes,
+         |gdh AS (SELECT ${siteHostD("i")} AS host FROM range(40) t(i)
+         |        WHERE i % 3 = 1 AND i % 10 <> 5),
+         |gfr AS (SELECT f.url, f.host FROM fr f LEFT JOIN gdh ON gdh.host = f.host
+         |        WHERE gdh.host IS NULL),
+         |gsc AS (SELECT f.host, f.url,
+         |          row_number() OVER (PARTITION BY f.host ORDER BY f.url) AS slot, fcb.dm
+         |        FROM gfr f LEFT JOIN fcb ON fcb.host = f.host)
+         |SELECT host, url, CAST(slot AS BIGINT) AS slot,
+         |  CAST((slot - 1) * COALESCE(dm, 1000) AS BIGINT) AS not_before_ms
+         |FROM gsc ORDER BY host, url""".stripMargin,
 
     // bloom-pruned frontier: output-identical by construction — the
     // SAME statement gates it (see frontierSqlD)
