@@ -38,12 +38,14 @@ object RobotsMatchKernel {
     * special — [[RobotsPctNormKernel.normalizeRule]] decodes them to
     * these private bytes so the matcher can treat them as literals
     * while raw `*`/`$` keep their pattern meaning. The markers are
-    * UNREACHABLE from normalizer output on either side: `%01`/`%02`
-    * escapes stay ENCODED both sides (the `%2F` discipline — they
-    * still meet byte-equal), so only a RAW 0x01/0x02 control byte
-    * smuggled into a rule line can collide, and at worst it matches a
-    * literal `*`/`$` instead of itself (documented residual; request
-    * targets never contain raw control bytes a sane fetcher emits).
+    * UNREACHABLE from any input, unconditionally: `%01`/`%02` escapes
+    * stay ENCODED on both sides (the `%2F` discipline — they still
+    * meet byte-equal), and a RAW 0x01/0x02 control byte in a rule
+    * line never survives parse — [[graft.pipeline.Robots.parseGroups]]
+    * drops rule values carrying raw C0 controls as malformed (RFC
+    * 9309's path-pattern grammar excludes CTL), so the only producer
+    * of these bytes in a stored pattern is the normalizer's own
+    * `%2A`/`%24` decode.
     */
   final val LiteralStar: Byte = 0x01
   final val LiteralDollar: Byte = 0x02

@@ -11,12 +11,19 @@ import org.apache.spark.util.sketch.BloomFilter
 
 /** SHARDED Bloom-filter membership — the carrier that takes the
   * bloom-pruned frontier anti-join past the single-filter size ceiling:
-  * one monolithic filter for a 10⁹⁺-URL crawled set needs ~GBs of bits,
+  * one monolithic filter for a ~10⁹-URL crawled set needs ~GBs of bits,
   * which neither one `Literal` nor the `maxNumBits` clamp allows, but K
   * hash-prefix shards (shard = `floorMod(xxhash64(url), K)`) are each
   * independently bounded, each sized for `n/K` keys, and a candidate
   * probes exactly ONE shard scan-side — the per-row work is identical
-  * to the monolithic form (one hash, one filter probe).
+  * to the monolithic form (one hash, one filter probe). What sharding
+  * does NOT lift is the TOTAL resident size: all K shards live in every
+  * executor's heap (~n·ln(1/fpp)/(8·ln²2) bytes — ~1.8 GB at 10⁹ keys
+  * / fpp 0.001, ~18 GB at 10¹⁰), so the family is scoped to ~10⁹ keys
+  * at default fpp and the builder
+  * ([[graft.pipeline.UrlOps.crawledUrlBloomShards]]) REFUSES past its
+  * configurable total-bytes bound; the next decade probes an at-rest
+  * bucketed membership store via a co-partitioned join instead.
   *
   * One-sided-error argument, per shard: every crawled URL was inserted
   * into the shard its hash selects, and a candidate probes that same

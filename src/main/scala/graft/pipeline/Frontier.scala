@@ -154,6 +154,7 @@ object Frontier {
     Robots.fetchSchedule(candidates, budgets, defaultDelayMs, hostCol, urlCol,
       orderBy = Seq(col("priority").desc_nulls_last, col(urlCol)),
       keepCols = Seq("priority"),
-      maxPerHost = Some(maxPerHost))
+      maxPerHost = Some(maxPerHost),
+      opName = "fetchScheduleByPriority")
   }
 }

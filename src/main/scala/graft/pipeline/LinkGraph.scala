@@ -359,8 +359,15 @@ object LinkGraph {
     * Scale shape: each round is one equi-join of the edge list against
     * the ≤K-rows-per-node state, one distinct, and one per-node top-K
     * (a plain row_number filter — WindowGroupLimit prunes map-side).
-    * State is K longs per node; rounds are `radius`-bounded. Output:
-    * (node, harmonic_sketch_ppm).
+    * State is K longs per node; rounds are `radius`-bounded. Because
+    * the per-round frame is FIXED-WIDTH, radius here is LINEAR rounds,
+    * not the exact form's degree^radius pair blowup — this arm accepts
+    * radius past [[harmonicPpm]]'s [1, 6] ball bound (up to 32: past
+    * the web's effective diameter every ball has saturated and rounds
+    * add nothing but plan depth; 1e6 DIV d also truncates to 0 there
+    * in ppm terms only past d=1e6, but the unrolled per-radius join
+    * chain — here and in the DuckDB twin — is the practical bound).
+    * Output: (node, harmonic_sketch_ppm).
     */
   def harmonicPpmSketch(
       edges: DataFrame,
@@ -368,8 +375,9 @@ object LinkGraph {
       k: Int = 16,
       srcCol: String = "src",
       dstCol: String = "dst"): DataFrame = {
-    require(radius >= 1 && radius <= 6,
-      s"harmonicPpmSketch: radius must be in [1, 6], got $radius")
+    require(radius >= 1 && radius <= 32,
+      s"harmonicPpmSketch: radius must be in [1, 32] (fixed-width state makes rounds " +
+        s"linear — the exact form's [1, 6] ball bound does not apply), got $radius")
     require(k >= 2 && k <= 256, s"harmonicPpmSketch: k must be in [2, 256], got $k")
     val e = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
       .where(col("u").isNotNull && col("v").isNotNull && col("u") =!= col("v"))
@@ -387,13 +395,23 @@ object LinkGraph {
     val ests = scala.collection.mutable.ArrayBuffer(estimate(state))
     for (_ <- 1 to radius) {
       val w = Window.partitionBy("v").orderBy("h")
+      // localCheckpoint (lazy), NOT persist: the round reads `state`
+      // TWICE (self ∪ in-neighbor merge), so an un-truncated lineage
+      // DOUBLES the logical plan every round — 2^radius trees that OOM
+      // the PLANNER long before any data does. Truncation per round is
+      // what makes radius a linear cost and lets this arm go past the
+      // exact form's ball bound; the checkpoint stores the same
+      // MEMORY_AND_DISK blocks a persist would. Tradeoff: truncated
+      // lineage cannot replay on executor loss — a long-lived cluster
+      // run swaps in reliable checkpointing (same truncation against
+      // the cluster's checkpoint dir, no plan change).
       val next = state
         .unionByName(e.join(state.withColumnRenamed("v", "u"), "u").select("v", "h"))
         .distinct()
         .withColumn("__rn", row_number().over(w))
         .where(col("__rn") <= k)
         .drop("__rn")
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(false)
       state = next
       ests += estimate(state)
     }

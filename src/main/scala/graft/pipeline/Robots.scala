@@ -78,6 +78,27 @@ object Robots {
     */
   val MaxRulePatternBytes = 2048
 
+  /** True iff a rule VALUE carries a raw C0 control character
+    * (U+0000–U+001F). RFC 9309's path-pattern grammar excludes CTL
+    * octets (`path-pattern` builds on `UTF8-char-noctl`), so such a
+    * line is malformed and [[parseGroups]] DROPS the rule — which also
+    * makes the matcher's private literal-marker bytes
+    * ([[graft.functions.RobotsMatchKernel.LiteralStar]]/`LiteralDollar`,
+    * 0x01/0x02) unreachable from ANY input unconditionally: escaped
+    * `%01`/`%02` stay percent-encoded on both sides of the comparison,
+    * and a raw control byte never survives parse. (Interior characters
+    * only — `trim` already strips the ends; `\n` can't appear in a
+    * line and an interior `\r` is itself C0.)
+    */
+  private def hasRawControlChar(value: String): Boolean = {
+    var i = 0
+    while (i < value.length) {
+      if (value.charAt(i) < 0x20) return true
+      i += 1
+    }
+    false
+  }
+
   case class RobotsRule(host: String, prefix: String, allow: Boolean)
 
   /** One parsed robots.txt group: its (lowercased) agent tokens, its
@@ -131,10 +152,12 @@ object Robots {
             open = true
             // empty Disallow = allow-all (no rule); empty Allow is a
             // no-op the same way; over-cap values drop (hostile-pattern
-            // bound); the pattern is stored percent-NORMALIZED — the
-            // §2.2.2 comparison space the decision fold's target side
-            // shares
-            if (value.nonEmpty &&
+            // bound); raw-control-byte values drop (malformed per the
+            // RFC grammar — and the marker-unreachability guarantee,
+            // see hasRawControlChar); the pattern is stored
+            // percent-NORMALIZED — the §2.2.2 comparison space the
+            // decision fold's target side shares
+            if (value.nonEmpty && !hasRawControlChar(value) &&
                 value.getBytes(java.nio.charset.StandardCharsets.UTF_8).length <= MaxRulePatternBytes)
               rules :+= ((graft.functions.RobotsPctNormKernel.normalizeRule(value),
                 field == "allow"))
@@ -339,15 +362,19 @@ object Robots {
       urlCol: String = "url",
       orderBy: Seq[Column] = Nil,
       keepCols: Seq[String] = Nil,
-      maxPerHost: Option[Long] = None): DataFrame = {
-    require(defaultDelayMs >= 1, s"fetchSchedule: defaultDelayMs must be positive, got $defaultDelayMs")
+      maxPerHost: Option[Long] = None,
+      opName: String = "fetchSchedule"): DataFrame = {
+    // opName: delegating operators (fetchScheduleByPriority) pass their
+    // own name so a require failure reports the operator the CALLER
+    // invoked, not the shared kernel
+    require(defaultDelayMs >= 1, s"$opName: defaultDelayMs must be positive, got $defaultDelayMs")
     require(budgets.columns.contains("delay_ms"),
-      s"fetchSchedule: budgets must carry delay_ms (a crawlDelayBudget table), got ${budgets.columns.mkString(", ")}")
+      s"$opName: budgets must carry delay_ms (a crawlDelayBudget table), got ${budgets.columns.mkString(", ")}")
     require(maxPerHost.forall(_ >= 1),
-      s"fetchSchedule: maxPerHost must be positive, got $maxPerHost")
+      s"$opName: maxPerHost must be positive, got $maxPerHost")
     val reserved = Seq("slot", "not_before_ms", "__dm", "__pk").filter(candidates.columns.contains)
     require(reserved.isEmpty,
-      s"fetchSchedule: candidates columns collide with output/internal names (rename them): " +
+      s"$opName: candidates columns collide with output/internal names (rename them): " +
         reserved.mkString(", "))
     val b = budgets.select(col(hostCol), col("delay_ms").cast("long").as("__dm"))
     // the one per-host sequencing window, parameterized: URL order by

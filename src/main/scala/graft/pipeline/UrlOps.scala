@@ -46,6 +46,14 @@ object UrlOps {
     Seq("utm_source", "utm_medium", "utm_campaign", "utm_term",
       "utm_content", "utm_id", "fbclid", "gclid", "msclkid")
 
+  /** Default ceiling on a [[crawledUrlBloomShards]] family's TOTAL
+    * serialized filter bytes — the bytes resident in EVERY executor's
+    * heap while a [[freshViaBloomSharded]] probe runs (2 GiB ≈ a 10⁹-key
+    * family at fpp 0.001; the formula and the refusal are documented on
+    * the builder).
+    */
+  val MaxShardFamilyBytes: Long = 2L << 30
+
   // group 2 skips an optional userinfo prefix (user:pass@) — credentials
   // in URLs are transport artifacts and a secrets leak; the canonical
   // form strips them, and the registrable domain must never see them
@@ -627,8 +635,10 @@ object UrlOps {
     * pays the exact anti-join that resolves false positives). This
     * single-literal form is for BOUNDED crawled stores (≤ ~4.7 M keys
     * at fpp 0.001 under the default clamp — [[crawledUrlBloom]]'s guard
-    * refuses past it); web-scale stores take the SAME shape through
-    * [[freshViaBloomSharded]], whose shard family has no such ceiling.
+    * refuses past it); larger stores take the SAME shape through
+    * [[freshViaBloomSharded]], whose shard family lifts the per-filter
+    * clamp up to the executor-heap ceiling documented (and enforced) on
+    * [[crawledUrlBloomShards]] (~10⁹ keys at default fpp).
     *
     * DELIBERATE two-branch split over `cands` (the documented exception
     * to the domainCapSurvivors single-pass rule): the upstream here is
@@ -668,20 +678,49 @@ object UrlOps {
     * the family is maintained next to the crawled store on its cadence
     * (the [[crawledUrlBloom]] at-rest discipline), and K is chosen once
     * from the store's size: `K ≥ expectedUrls / (maxNumBits·ln2²/ln(1/fpp))`.
+    *
+    * EXECUTOR-HEAP CEILING (the honest bound of the carrier): the probe
+    * ships ALL K shards to EVERY executor as one task-binary reference
+    * object ([[graft.functions.ShardedBloomMightContain]]), so resident
+    * bytes per executor are the WHOLE family —
+    * `expectedUrls · ln(1/fpp) / (8·ln²2)` (~1.8 bytes/key at fpp
+    * 0.001), independent of K: sharding lifts the per-filter
+    * `maxNumBits` clamp, NOT the total. That is ~1.8 GB at 10⁹ keys
+    * and ~18 GB at 10¹⁰ — the family scales to ~10⁹ URLs at default
+    * fpp under the default [[MaxShardFamilyBytes]] bound and REFUSES
+    * loudly past it (the maxNumBits discipline lifted to the family).
+    * For the next decade, either raise `maxTotalFilterBytes` knowingly
+    * (executors sized for it, or a coarser fpp — the bound is per
+    * executor, forever, for every query that carries the probe) or
+    * keep membership at rest: shard the crawled store into a bucketed
+    * table and probe only the candidate's co-partitioned bucket (the
+    * band-store join shape), paying a shuffle instead of resident heap.
     */
   def crawledUrlBloomShards(
       crawled: DataFrame,
       expectedUrls: Long,
       numShards: Int,
       fpp: Double = 0.001,
-      urlCol: String = "url"): Array[Array[Byte]] = {
+      urlCol: String = "url",
+      maxTotalFilterBytes: Long = MaxShardFamilyBytes): Array[Array[Byte]] = {
     require(numShards >= 1, s"crawledUrlBloomShards: numShards must be positive, got $numShards")
     require(expectedUrls > 0,
       s"crawledUrlBloomShards: expectedUrls must be positive, got $expectedUrls")
     require(fpp > 0 && fpp < 1, s"crawledUrlBloomShards: fpp must be in (0, 1), got $fpp")
+    require(maxTotalFilterBytes >= 1,
+      s"crawledUrlBloomShards: maxTotalFilterBytes must be positive, got $maxTotalFilterBytes")
     val perShard = math.max(1L, (expectedUrls + numShards - 1) / numShards)
     val numBits = math.ceil(
       -perShard * math.log(fpp) / (math.log(2) * math.log(2))).toLong
+    val totalBytes = numShards.toLong * ((numBits + 7L) / 8L)
+    require(totalBytes <= maxTotalFilterBytes,
+      s"crawledUrlBloomShards: the shard family totals $totalBytes filter bytes " +
+        s"($numShards shards × $numBits bits) for expectedUrls=$expectedUrls at fpp=$fpp, " +
+        s"above maxTotalFilterBytes=$maxTotalFilterBytes — the probe ships the WHOLE " +
+        "family resident into EVERY executor (sharding lifts the per-filter clamp, not " +
+        "the total ≈ n·ln(1/fpp)/(8·ln²2) bytes); raise maxTotalFilterBytes only with " +
+        "executor heap sized for it, coarsen fpp, or move membership to an at-rest " +
+        "bucketed store probed via a co-partitioned join (the band-store shape)")
     val maxNumBits = crawled.sparkSession.conf
       .getOption("spark.sql.optimizer.runtime.bloomFilter.maxNumBits")
       .map(_.toLong).getOrElse(67108864L)
@@ -716,11 +755,14 @@ object UrlOps {
     * plain anti-join for ANY shard count (the per-shard one-sided-error
     * argument in [[graft.functions.ShardedBloomMightContain]]), probing
     * one shard per candidate scan-side. The shards ride the task binary
-    * as one reference object, not K plan literals — this is the form
-    * whose 100 TB claim holds: a 10⁹⁺-URL crawled set broadcasts as K
-    * bounded filters, misses (the frontier majority) never shuffle, and
-    * only the fpp sliver pays the exact anti-join. Same deliberate
-    * two-branch candidate split as [[freshViaBloom]].
+    * as one reference object, not K plan literals: a crawled set up to
+    * ~10⁹ URLs (at default fpp — the [[crawledUrlBloomShards]]
+    * executor-heap ceiling; the builder refuses past its bound)
+    * broadcasts as K bounded filters, misses (the frontier majority)
+    * never shuffle, and only the fpp sliver pays the exact anti-join;
+    * the decade past that keeps membership at rest behind a
+    * co-partitioned bucketed-store join instead of resident heap. Same
+    * deliberate two-branch candidate split as [[freshViaBloom]].
     */
   def freshViaBloomSharded(
       cands: DataFrame,

@@ -832,6 +832,16 @@ object StreamDedup {
     * fetchSchedule); the composition contract is the ingest family's:
     * a dropped candidate (already crawled, already discovered) consumes
     * no dispatch slot.
+    *
+    * `priorities` (optional) is a stream-static (url, priority) table —
+    * the batch [[graft.pipeline.Frontier.frontierPriority]] score,
+    * maintained on the rank store's cadence — that switches each host's
+    * scheduling window to VALUE order via [[priorityDispatchStream]]:
+    * within one window a known-valuable candidate takes the earliest
+    * polite slot. Candidates absent from the table carry a NULL
+    * priority and sort last (the unknown-reason convention); duplicate
+    * urls in the table fold to max at the boundary (the duplicate-prior
+    * discipline).
     */
   def frontierDispatchStream(
       docs: Dataset[WebDoc],
@@ -841,7 +851,8 @@ object StreamDedup {
       stateTtlMs: Long = 24 * 3600 * 1000L,
       templateCap: Option[Long] = None,
       templateCheckpoint: Option[DataFrame] = None,
-      discoveredStore: Option[DataFrame] = None): Dataset[Dispatch] = {
+      discoveredStore: Option[DataFrame] = None,
+      priorities: Option[DataFrame] = None): Dataset[Dispatch] = {
     require(defaultDelayMs >= 1,
       s"frontierDispatchStream: defaultDelayMs must be positive, got $defaultDelayMs")
     val missing = Seq("host", "delay_ms").filterNot(budgets.columns.contains)
@@ -854,14 +865,31 @@ object StreamDedup {
     // at-rest restart folds pass through
     val guarded = templateCap.fold(discovered)(
       templateCapAdmit(discovered, _, templateCheckpoint))
-    politeDispatchStream(
-      stateTtlMs = stateTtlMs,
-      reqs = guarded.toDF()
-        .join(broadcast(budgets.select(col("host"),
-          col("delay_ms").cast("long").as("__dm"))), Seq("host"), "left")
-        .select(col("doc_id"), col("url"), col("host"), col("arrival"),
-          coalesce(col("__dm"), lit(defaultDelayMs)).as("delay_ms"))
-        .as[DispatchReq])
+    val withDelay = guarded.toDF()
+      .join(broadcast(budgets.select(col("host"),
+        col("delay_ms").cast("long").as("__dm"))), Seq("host"), "left")
+    priorities match {
+      case None =>
+        politeDispatchStream(
+          stateTtlMs = stateTtlMs,
+          reqs = withDelay
+            .select(col("doc_id"), col("url"), col("host"), col("arrival"),
+              coalesce(col("__dm"), lit(defaultDelayMs)).as("delay_ms"))
+            .as[DispatchReq])
+      case Some(pr) =>
+        val m = Seq("url", "priority").filterNot(pr.columns.contains)
+        require(m.isEmpty, "frontierDispatchStream: priorities must carry " +
+          s"(url, priority) — a frontierPriority table; missing ${m.mkString(", ")}")
+        priorityDispatchStream(
+          stateTtlMs = stateTtlMs,
+          reqs = withDelay
+            .join(broadcast(pr.groupBy("url")
+              .agg(max(col("priority").cast("long")).as("__pri"))), Seq("url"), "left")
+            .select(col("doc_id"), col("url"), col("host"), col("arrival"),
+              coalesce(col("__dm"), lit(defaultDelayMs)).as("delay_ms"),
+              col("__pri").as("priority"))
+            .as[PrioDispatchReq])
+    }
   }
 
   /** In-memory reference of [[discoverFrontierStream]]'s election: first
@@ -1051,8 +1079,44 @@ object StreamDedup {
     */
   case class DispatchReq(doc_id: Long, url: String, host: String, arrival: Long, delay_ms: Long)
 
+  /** A fetch request entering the VALUE-ORDERED online dispatcher
+    * ([[priorityDispatchStream]]): [[DispatchReq]] plus its
+    * [[graft.pipeline.Frontier.frontierPriority]] score (None = the
+    * unknown-reason NULL, which must sort below every scored candidate
+    * — the batch NULLS LAST contract).
+    */
+  case class PrioDispatchReq(
+      doc_id: Long, url: String, host: String, arrival: Long, delay_ms: Long,
+      priority: Option[Long])
+
   /** A dispatch assignment: the earliest instant the fetch may fire. */
   case class Dispatch(doc_id: Long, url: String, host: String, dispatch_ms: Long)
+
+  /** Arrival-ordered scheduling window — [[politeDispatchStream]]'s
+    * deterministic (arrival, doc_id, url) key (url tiebreak: two
+    * discoveries from ONE page share arrival and doc_id).
+    */
+  private val arrivalWindowOrder: Ordering[PrioDispatchReq] =
+    Ordering.by(r => (r.arrival, r.doc_id, r.url))
+
+  /** Value-ordered scheduling window — the batch
+    * [[graft.pipeline.Frontier.fetchScheduleByPriority]] key,
+    * `(priority DESC NULLS LAST, url)`. Hand-rolled compare: negating
+    * a Long priority for `Ordering.by` would overflow at
+    * `Long.MinValue`, and the None arm must be explicit (the
+    * recrawlDueStream null-tiebreak discipline — a None beside a Some
+    * in one window must order, not NPE).
+    */
+  private val priorityWindowOrder: Ordering[PrioDispatchReq] =
+    new Ordering[PrioDispatchReq] {
+      override def compare(a: PrioDispatchReq, b: PrioDispatchReq): Int =
+        (a.priority, b.priority) match {
+          case (Some(x), Some(y)) if x != y => java.lang.Long.compare(y, x)
+          case (Some(_), None)              => -1
+          case (None, Some(_))              => 1
+          case _                            => a.url.compareTo(b.url)
+        }
+    }
 
   /** ONLINE POLITENESS DISPATCHER — the streaming twin of
     * [[graft.pipeline.Robots.fetchSchedule]]: the batch form PLACES a
@@ -1100,6 +1164,47 @@ object StreamDedup {
       reqs: Dataset[DispatchReq],
       stateTtlMs: Long = 24 * 3600 * 1000L): Dataset[Dispatch] = {
     import reqs.sparkSession.implicits._
+    dispatchImpl(
+      reqs.map(r => PrioDispatchReq(r.doc_id, r.url, r.host, r.arrival, r.delay_ms, None)),
+      stateTtlMs, arrivalWindowOrder)
+  }
+
+  /** VALUE-ORDERED online politeness dispatcher —
+    * [[politeDispatchStream]] with each SCHEDULING WINDOW (one host's
+    * requests within one micro-batch) ordered by the batch
+    * [[graft.pipeline.Frontier.fetchScheduleByPriority]] key,
+    * `(priority DESC NULLS LAST, url)`, instead of arrival order: a
+    * high-value candidate takes the host's earliest polite slot ahead
+    * of same-window low-value ones. Same state machine (one Long of
+    * next-free per host), same TTL reaper, same NULL-host pass-through.
+    *
+    * DIVERGENCE CONTRACT (spec-pinned): value ordering applies WITHIN
+    * one window only — ACROSS windows arrival wins, because an earlier
+    * window's dispatches are already assigned when a later high-value
+    * candidate arrives (an online dispatcher cannot un-dispatch; the
+    * token never accumulates credit either way). On a feed that lands
+    * in ONE window with one arrival instant per host, the stream
+    * schedule EQUALS the batch `fetchScheduleByPriority` plan: per-host
+    * emission order is the slot order and `dispatch_ms − arrival` is
+    * exactly `not_before_ms`. A backfill that needs the batch total
+    * order re-runs the batch form — the [[templateCapAdmit]]
+    * divergence convention.
+    */
+  def priorityDispatchStream(
+      reqs: Dataset[PrioDispatchReq],
+      stateTtlMs: Long = 24 * 3600 * 1000L): Dataset[Dispatch] =
+    dispatchImpl(reqs, stateTtlMs, priorityWindowOrder)
+
+  /** The ONE dispatch state machine both public forms delegate to (the
+    * [[graft.pipeline.Robots.fetchSchedule]] delegation discipline:
+    * one politeness-spacing/NULL-host/TTL contract, parameterized by
+    * the window ordering alone).
+    */
+  private def dispatchImpl(
+      reqs: Dataset[PrioDispatchReq],
+      stateTtlMs: Long,
+      windowOrder: Ordering[PrioDispatchReq]): Dataset[Dispatch] = {
+    import reqs.sparkSession.implicits._
     val timeoutConf =
       if (stateTtlMs > 0) GroupStateTimeout.ProcessingTimeTimeout
       else GroupStateTimeout.NoTimeout
@@ -1107,7 +1212,7 @@ object StreamDedup {
       .groupByKey(r => if (r.host == null) " " + r.doc_id else r.host)
       .flatMapGroupsWithState[Long, Dispatch](
         OutputMode.Append(), timeoutConf) {
-        (key: String, it: Iterator[DispatchReq], state: GroupState[Long]) =>
+        (key: String, it: Iterator[PrioDispatchReq], state: GroupState[Long]) =>
           if (state.hasTimedOut) {
             // TTL reaper: next_free is in the past, so the removed state
             // is reconstructible as absent — see the scaladoc argument
@@ -1116,20 +1221,22 @@ object StreamDedup {
           } else if (key.nonEmpty && key.charAt(0) == ' ')
             it.map(r => Dispatch(r.doc_id, r.url, r.host, r.arrival))
           else {
-            // url tiebreak: two discoveries from ONE page (same arrival
-            // and doc_id) must still order deterministically
-            val ordered = it.toSeq.sortBy(r => (r.arrival, r.doc_id, r.url))
+            val ordered = it.toSeq.sorted(windowOrder)
             var nextFree = state.getOption.getOrElse(Long.MinValue)
+            var latestArrival = Long.MinValue
             val out = ordered.map { r =>
               val at = math.max(r.arrival, nextFree)
               nextFree = at + r.delay_ms
+              latestArrival = math.max(latestArrival, r.arrival)
               Dispatch(r.doc_id, r.url, r.host, at)
             }
             state.update(nextFree)
             if (stateTtlMs > 0) {
               // a burst extends next_free past the batch's arrivals —
-              // the timeout outlives that busy window, then adds the TTL
-              val busy = math.max(nextFree - ordered.last.arrival, 0L)
+              // the timeout outlives that busy window, then adds the
+              // TTL (the window's LATEST arrival, not its last row's:
+              // under value ordering the two differ)
+              val busy = math.max(nextFree - latestArrival, 0L)
               state.setTimeoutDuration(busy + stateTtlMs)
             }
             out.iterator

@@ -64,5 +64,10 @@ class FrontierSpec extends SparkSpec {
         budgets, maxPerHost = 1)
       .collect().map(r => (Option(r.getString(0)), r.getString(1), r.getLong(3), r.getLong(4)))
     assert(nh.toSeq == Seq((None, "notaurl", 1L, 0L)), s"got ${nh.toSeq}")
+    // validation failures report the operator the CALLER invoked, not
+    // the shared fetchSchedule kernel it delegates to
+    val bad = intercept[IllegalArgumentException](
+      Frontier.fetchScheduleByPriority(cands, budgets, maxPerHost = 0))
+    assert(bad.getMessage.contains("fetchScheduleByPriority:"), bad.getMessage)
   }
 }

@@ -248,7 +248,31 @@ class LinkGraphSpec extends SparkSpec {
     // contributions never go negative: every node's mass is >= 0
     assert(got.values.forall(_ >= 0L), got.toString)
     intercept[IllegalArgumentException](LinkGraph.harmonicPpmSketch(df, k = 1))
-    intercept[IllegalArgumentException](LinkGraph.harmonicPpmSketch(df, radius = 9))
+    intercept[IllegalArgumentException](LinkGraph.harmonicPpmSketch(df, radius = 33))
+  }
+
+  test("harmonicPpmSketch past radius 6: linear rounds reach where the exact ball bound refuses; below-K stays exact") {
+    // a 10-node directed path: distances up to 9 — OUTSIDE harmonicPpm's
+    // [1, 6] ball bound (which refuses), but the sketch's fixed-width
+    // state makes radius linear rounds. With K=64 every ball stays
+    // below K, so the sketch equals the independent BFS reference
+    // EXACTLY at radius 8
+    val path = (0 until 9).map(i => (s"p$i", s"p${i + 1}"))
+    intercept[IllegalArgumentException](
+      LinkGraph.harmonicPpm(path.toDF("src", "dst"), radius = 8))
+    val got = LinkGraph.harmonicPpmSketch(path.toDF("src", "dst"), radius = 8, k = 64)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val ref = refHarmonic(path, radius = 8)
+    assert(got == ref, s"radius-8 sketch diverged from the BFS reference\n$got\n$ref")
+    // the far end accumulates all 8 reciprocal distances; past-radius
+    // ancestors (p0 at distance 9) stay excluded
+    assert(got("p9") == (1 to 8).map(1000000L / _).sum, got.toString)
+    // saturation: once every ball stops growing (path diameter 9),
+    // extra rounds change nothing
+    val more = LinkGraph.harmonicPpmSketch(path.toDF("src", "dst"), radius = 12, k = 64)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(more("p9") == (1 to 9).map(1000000L / _).sum &&
+      more == refHarmonic(path, radius = 12), more.toString)
   }
 
   test("harmonicPpm: parallel edges count once; self-loops drop; bounds fail fast") {

@@ -381,4 +381,29 @@ class RobotsSpec extends SparkSpec {
       "\nDisallow: /keep\n" // 1 + 2·1024 = 2049 bytes > 2048, though only 1025 chars
     assert(parseRobots("h.com", overCap).map(_.prefix) == Seq("/keep"))
   }
+
+  test("raw C0 control bytes in rule values drop at parse time — literal markers unreachable from any input") {
+    import graft.functions.RobotsMatchKernel.{LiteralDollar, LiteralStar}
+    // a smuggled raw 0x01 (the LiteralStar marker byte) must NOT become
+    // a literal-'*' matcher: the malformed rule drops whole (RFC 9309's
+    // path-pattern grammar excludes CTL octets); neighbors survive
+    val smuggled = s"User-agent: *\nDisallow: /x${LiteralStar.toChar}y\n" +
+      s"Disallow: /p${LiteralDollar.toChar}q\nDisallow: /tab\tz\nDisallow: /keep\n"
+    assert(parseRobots("h.com", smuggled).map(_.prefix) == Seq("/keep"))
+    // consequence: no stored pattern can carry the marker bytes except
+    // via the normalizer's own %2A/%24 decode — a crawl of a raw-'*'
+    // URL is judged ONLY by genuine %2A rules, never by marker forgery
+    val prules = robotsRules(Seq(
+      ("h.com", s"User-agent: *\nDisallow: /a${LiteralStar.toChar}b\nDisallow: /c%2Ad\n"))
+      .toDF("host", "robots_txt"))
+    val docs = Seq((1L, "https://h.com/a*b"), (2L, "https://h.com/c*d"))
+      .toDF("doc_id", "url")
+    val got = robotsAllowed(docs, prules)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(got == Map(1L -> true, 2L -> false), got.toString)
+    // %01/%02 ESCAPES still parse fine (they stay encoded — not raw
+    // control bytes) and keep matching their own spelling
+    assert(parseRobots("h.com", "User-agent: *\nDisallow: /c%01d\n").map(_.prefix)
+      == Seq("/c%01d"))
+  }
 }

@@ -512,6 +512,27 @@ class UrlOpsSpec extends SparkSpec {
       val ok = UrlOps.crawledUrlBloomShards(crawled, expectedUrls = 1000000000L,
         numShards = 256)
       assert(ok.length == 256)
+      // EXECUTOR-HEAP ceiling: the family's total bytes are resident in
+      // every executor regardless of K, ≈ n·ln(1/fpp)/(8·ln²2). At 10⁹
+      // keys / fpp 0.001 that is ~1.8 GB — inside the default 2 GiB
+      // bound (the `ok` build above); at 10¹⁰ it is ~18 GB and MUST
+      // refuse loudly however finely it is sharded
+      val bitsPerKey = math.log(1 / 0.001) / (math.log(2) * math.log(2))
+      assert(1000000000L * bitsPerKey / 8 <= UrlOps.MaxShardFamilyBytes &&
+        10000000000L * bitsPerKey / 8 > UrlOps.MaxShardFamilyBytes,
+        "the default bound must admit the 10^9 decade and refuse the 10^10 decade")
+      val heap = intercept[IllegalArgumentException](
+        UrlOps.crawledUrlBloomShards(crawled, expectedUrls = 10000000000L,
+          numShards = 4096))
+      assert(heap.getMessage.contains("maxTotalFilterBytes") &&
+        heap.getMessage.contains("EVERY executor"), heap.getMessage)
+      // the bound is configurable (a caller with executors sized for it
+      // raises it knowingly): the same small family that builds under
+      // the default refuses under a 1-byte bound
+      val tiny = intercept[IllegalArgumentException](
+        UrlOps.crawledUrlBloomShards(crawled, expectedUrls = 200, numShards = 4,
+          maxTotalFilterBytes = 1L))
+      assert(tiny.getMessage.contains("maxTotalFilterBytes=1"), tiny.getMessage)
     } finally {
       prior match {
         case Some(p) => spark.conf.set(key, p)

@@ -833,6 +833,91 @@ class StreamDedupSpec extends SparkSpec {
     }
   }
 
+  test("priorityDispatchStream: one window == batch fetchScheduleByPriority; across windows arrival wins (pinned divergence)") {
+    import graft.streaming.StreamDedup.{PrioDispatchReq, Dispatch}
+    implicit val sqlCtx = spark.sqlContext
+    // one arrival instant per host — the batch-equivalence precondition
+    val feed = Seq(
+      PrioDispatchReq(1L, "https://a.com/x", "a.com", 500L, 100L, Some(100000L)),
+      PrioDispatchReq(2L, "https://a.com/y", "a.com", 500L, 100L, Some(900000L)),
+      PrioDispatchReq(3L, "https://a.com/z", "a.com", 500L, 100L, Some(1900000L)),
+      PrioDispatchReq(4L, "https://a.com/q", "a.com", 500L, 100L, None), // NULL sorts last
+      PrioDispatchReq(5L, "https://b.org/w", "b.org", 500L, 250L, Some(150000L)),
+      PrioDispatchReq(6L, "weird", null, 500L, 100L, Some(5L))) // NULL host: at arrival
+    // the batch twin's plan on the same candidates: url -> not_before_ms
+    val batchNb = graft.pipeline.Frontier.fetchScheduleByPriority(
+        feed.map(r => (Option(r.host), r.url, r.priority)).toDF("host", "url", "priority"),
+        Seq(("a.com", 100L), ("b.org", 250L)).toDF("host", "delay_ms"),
+        maxPerHost = 10)
+      .collect().map(r => r.getString(1) -> r.getLong(4)).toMap
+    def run(split: Seq[Int], si: Int): Map[String, Long] = {
+      val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[PrioDispatchReq]
+      val name = s"prio_dispatch_out_$si"
+      val q = StreamDedup.priorityDispatchStream(in.toDS(), stateTtlMs = 0L)
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      try {
+        var rest = feed
+        split.foreach { n =>
+          val (chunk, tail) = rest.splitAt(n)
+          rest = tail
+          if (chunk.nonEmpty) { in.addData(chunk); q.processAllAvailable() }
+        }
+        spark.table(name).as[Dispatch].collect().map(d => d.url -> d.dispatch_ms).toMap
+      } finally q.stop()
+    }
+    // ONE window: the stream schedule IS the batch plan — dispatch at
+    // arrival + not_before_ms, per-host order = slot order
+    val one = run(Seq(6), 0)
+    assert(one == batchNb.map { case (u, nb) => u -> (500L + nb) },
+      s"single-window stream diverged from the batch plan\n$one\n$batchNb")
+    assert(one == Map(
+      "https://a.com/z" -> 500L, "https://a.com/y" -> 600L,
+      "https://a.com/x" -> 700L, "https://a.com/q" -> 800L,
+      "https://b.org/w" -> 500L, "weird" -> 500L), one.toString)
+    // ACROSS windows arrival wins — the pinned divergence contract: the
+    // dispatcher cannot un-dispatch an earlier window, so low-priority
+    // x (window 1) now precedes high-priority z (window 2)
+    val split = run(Seq(2, 4), 1)
+    assert(split == Map(
+      "https://a.com/y" -> 500L, "https://a.com/x" -> 600L, // window 1: y beats x
+      "https://a.com/z" -> 700L, "https://a.com/q" -> 800L, // window 2 spaces after
+      "https://b.org/w" -> 500L, "weird" -> 500L), split.toString)
+    // politeness spacing survives any split: consecutive a.com
+    // dispatches stay >= delay apart
+    val aDispatches = split.collect { case (u, d) if u.contains("a.com") => d }.toSeq.sorted
+    assert(aDispatches.zip(aDispatches.tail).forall { case (p, n) => n - p >= 100L })
+  }
+
+  test("frontierDispatchStream with priorities: the batch frontier score drives online slot order; absent urls sort last") {
+    import graft.streaming.StreamDedup.{WebDoc, Dispatch}
+    implicit val sqlCtx = spark.sqlContext
+    def page(links: String*) =
+      s"""<html><body>${links.map(l => s"""<a href="$l">x</a>""").mkString}</body></html>"""
+    // ONE page discovers three slow.com targets in ONE window: the
+    // priorities table must invert the plain form's url-order tiebreak
+    val feed = Seq(WebDoc(1L, "https://slow.com/p1", page("/a1", "/a2", "/a3"), 100L))
+    val crawled = Seq(Tuple1("https://slow.com/old")).toDF("url")
+    val budgets = Seq(("slow.com", 5000L)).toDF("host", "delay_ms")
+    val pr = Seq( // duplicate /a2 rows fold to max at the boundary
+      ("https://slow.com/a1", 10L),
+      ("https://slow.com/a2", 999L),
+      ("https://slow.com/a2", 5L)).toDF("url", "priority") // /a3 absent -> NULL, last
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[WebDoc]
+    val q = StreamDedup.frontierDispatchStream(in.toDS(), crawled, budgets,
+        stateTtlMs = 0L, priorities = Some(pr))
+      .writeStream.format("memory").queryName("frontier_prio_out").outputMode("append").start()
+    try {
+      in.addData(feed); q.processAllAvailable()
+      val got = spark.table("frontier_prio_out").as[Dispatch].collect()
+        .map(d => d.url -> d.dispatch_ms).toMap
+      assert(got == Map(
+        "https://slow.com/a2" -> 100L,   // 999 wins the window
+        "https://slow.com/a1" -> 5100L,
+        "https://slow.com/a3" -> 10100L  // unscored: last
+      ), got.toString)
+    } finally q.stop()
+  }
+
   test("templateCapAdmit: per-(host, template) admission caps across batches; other templates/hosts and null hosts unaffected (RocksDB)") {
     import graft.streaming.StreamDedup.FrontierCand
     implicit val sqlCtx = spark.sqlContext
