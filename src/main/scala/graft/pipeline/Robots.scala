@@ -79,16 +79,22 @@ object Robots {
   val MaxRulePatternBytes = 2048
 
   /** True iff a rule VALUE carries a raw C0 control character
-    * (U+0000–U+001F). RFC 9309's path-pattern grammar excludes CTL
-    * octets (`path-pattern` builds on `UTF8-char-noctl`), so such a
-    * line is malformed and [[parseGroups]] DROPS the rule — which also
-    * makes the matcher's private literal-marker bytes
+    * (U+0000–U+001F). RFC 9309's path-pattern grammar excludes exactly
+    * these (`UTF8-1noctl = %x21 / %x22 / %x24-7F` — C0 out, DEL
+    * allowed; space and `#` are handled structurally by trim and
+    * comment-strip), so such a line is malformed and [[parseGroups]]
+    * DROPS the rule — which also makes the matcher's private
+    * literal-marker bytes
     * ([[graft.functions.RobotsMatchKernel.LiteralStar]]/`LiteralDollar`,
     * 0x01/0x02) unreachable from ANY input unconditionally: escaped
     * `%01`/`%02` stay percent-encoded on both sides of the comparison,
-    * and a raw control byte never survives parse. (Interior characters
-    * only — `trim` already strips the ends; `\n` can't appear in a
-    * line and an interior `\r` is itself C0.)
+    * and a raw control byte never survives parse. Scope: INTERIOR
+    * characters of the value only — the common authoring artifact
+    * (`Disallow: /x<TAB># comment`) never reaches this check, because
+    * comment-strip plus `trim` already removes it, so the rule
+    * survives intact; what drops is a control byte INSIDE the path,
+    * which no valid URL path contains raw. (`\n` can't appear in a
+    * line; an interior `\r` is itself C0.)
     */
   private def hasRawControlChar(value: String): Boolean = {
     var i = 0

@@ -880,11 +880,18 @@ object StreamDedup {
         val m = Seq("url", "priority").filterNot(pr.columns.contains)
         require(m.isEmpty, "frontierDispatchStream: priorities must carry " +
           s"(url, priority) — a frontierPriority table; missing ${m.mkString(", ")}")
+        // NO forced broadcast: priorities is URL-keyed, i.e. frontier-
+        // sized, not model-sized like the (host, delay_ms) table above —
+        // forcing a 10⁸-row broadcast is the recrawlDueStream checkpoint
+        // lesson (stream-static KEYED join; AQE still broadcasts small
+        // tables). The static side re-evaluates per micro-batch, so a
+        // caller serving a large or derived table passes it pre-folded
+        // and persisted/at-rest on the rank store's cadence.
         priorityDispatchStream(
           stateTtlMs = stateTtlMs,
           reqs = withDelay
-            .join(broadcast(pr.groupBy("url")
-              .agg(max(col("priority").cast("long")).as("__pri"))), Seq("url"), "left")
+            .join(pr.groupBy("url")
+              .agg(max(col("priority").cast("long")).as("__pri")), Seq("url"), "left")
             .select(col("doc_id"), col("url"), col("host"), col("arrival"),
               coalesce(col("__dm"), lit(defaultDelayMs)).as("delay_ms"),
               col("__pri").as("priority"))
@@ -1101,20 +1108,37 @@ object StreamDedup {
 
   /** Value-ordered scheduling window — the batch
     * [[graft.pipeline.Frontier.fetchScheduleByPriority]] key,
-    * `(priority DESC NULLS LAST, url)`. Hand-rolled compare: negating
-    * a Long priority for `Ordering.by` would overflow at
-    * `Long.MinValue`, and the None arm must be explicit (the
-    * recrawlDueStream null-tiebreak discipline — a None beside a Some
-    * in one window must order, not NPE).
+    * `(priority DESC NULLS LAST, url)`, extended with (arrival,
+    * doc_id) so a FULL tie (two requests for one url in one window —
+    * e.g. a recrawl and a discovery feed scored by the same table)
+    * still orders deterministically, never by partition-dependent
+    * iterator order. Hand-rolled compare: negating a Long priority for
+    * `Ordering.by` would overflow at `Long.MinValue`; the None arm
+    * must be explicit (the recrawlDueStream null-tiebreak discipline —
+    * a None beside a Some in one window must order, not NPE); and the
+    * url tiebreak compares UTF-8 BYTES, not Java chars — the batch
+    * window sorts Spark UTF8String binary order, and UTF-16 code-unit
+    * order diverges from it for supplementary-plane urls, which would
+    * break the pinned one-window stream == batch contract.
     */
   private val priorityWindowOrder: Ordering[PrioDispatchReq] =
     new Ordering[PrioDispatchReq] {
+      private def urlCmp(a: String, b: String): Int =
+        java.util.Arrays.compareUnsigned(
+          a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+          b.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       override def compare(a: PrioDispatchReq, b: PrioDispatchReq): Int =
         (a.priority, b.priority) match {
           case (Some(x), Some(y)) if x != y => java.lang.Long.compare(y, x)
           case (Some(_), None)              => -1
           case (None, Some(_))              => 1
-          case _                            => a.url.compareTo(b.url)
+          case _ =>
+            val u = urlCmp(a.url, b.url)
+            if (u != 0) u
+            else {
+              val t = java.lang.Long.compare(a.arrival, b.arrival)
+              if (t != 0) t else java.lang.Long.compare(a.doc_id, b.doc_id)
+            }
         }
     }
 
@@ -1189,6 +1213,17 @@ object StreamDedup {
     * exactly `not_before_ms`. A backfill that needs the batch total
     * order re-runs the batch form — the [[templateCapAdmit]]
     * divergence convention.
+    *
+    * PRECONDITION (the [[politeDispatchStream]] TTL discipline): the
+    * arrival clock tracks processing time — LIVE ingestion. Value
+    * ordering schedules the window as one batch at
+    * `max(arrival, next_free)`, so a window whose arrivals span a wide
+    * range can hold an early-arrival candidate behind a later
+    * high-priority one, idling the host up to the window's arrival
+    * spread; live, that spread is bounded by the trigger interval (the
+    * politeness delay typically dwarfs it), but on a replay whose
+    * windows span hours the idle gap is real — `stateTtlMs = 0` plus
+    * the batch form is the backfill path there too.
     */
   def priorityDispatchStream(
       reqs: Dataset[PrioDispatchReq],

@@ -390,6 +390,11 @@ class RobotsSpec extends SparkSpec {
     val smuggled = s"User-agent: *\nDisallow: /x${LiteralStar.toChar}y\n" +
       s"Disallow: /p${LiteralDollar.toChar}q\nDisallow: /tab\tz\nDisallow: /keep\n"
     assert(parseRobots("h.com", smuggled).map(_.prefix) == Seq("/keep"))
+    // the COMMON authoring artifact — a tab before a trailing comment —
+    // is NOT an interior control byte: comment-strip + trim remove it
+    // first and the rule SURVIVES (the drop is never permissive here)
+    assert(parseRobots("h.com", "User-agent: *\nDisallow: /private\t# staging\n")
+      .map(_.prefix) == Seq("/private"))
     // consequence: no stored pattern can carry the marker bytes except
     // via the normalizer's own %2A/%24 decode — a crawl of a raw-'*'
     // URL is judged ONLY by genuine %2A rules, never by marker forgery

@@ -886,6 +886,21 @@ class StreamDedupSpec extends SparkSpec {
     // dispatches stay >= delay apart
     val aDispatches = split.collect { case (u, d) if u.contains("a.com") => d }.toSeq.sorted
     assert(aDispatches.zip(aDispatches.tail).forall { case (p, n) => n - p >= 100L })
+    // FULL tie (same url, same priority in one window — a recrawl and a
+    // discovery scored by the same table) orders by (arrival, doc_id),
+    // never by partition-dependent iterator order
+    val tie = Seq(
+      PrioDispatchReq(10L, "https://c.io/same", "c.io", 500L, 100L, Some(7L)),
+      PrioDispatchReq(9L, "https://c.io/same", "c.io", 500L, 100L, Some(7L)))
+    val in2 = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[PrioDispatchReq]
+    val q2 = StreamDedup.priorityDispatchStream(in2.toDS(), stateTtlMs = 0L)
+      .writeStream.format("memory").queryName("prio_tie_out").outputMode("append").start()
+    try {
+      in2.addData(tie); q2.processAllAvailable()
+      val got = spark.table("prio_tie_out").as[Dispatch].collect()
+        .map(d => d.doc_id -> d.dispatch_ms).toMap
+      assert(got == Map(9L -> 500L, 10L -> 600L), got.toString)
+    } finally q2.stop()
   }
 
   test("frontierDispatchStream with priorities: the batch frontier score drives online slot order; absent urls sort last") {
