@@ -1478,6 +1478,7 @@ object PipelineQueries {
       timed("blocked_store") { blockedStoreFor(s, dir) },
       timed("sitemap_pages") { sitemapPagesFor(s, dir) },
       timed("rank_store") { rankStoreFor(s, dir) },
+      timed("crawled_store") { crawledStoreFor(s, dir) },
       timed("media_audio") { audioFpMediaStore(s, dir) },
       timed("media_video_frames") { videoFrameMediaStore(s, dir) },
       timed("media_raster") { rasterMediaStore(s, dir, withVariants = false) },
@@ -1492,6 +1493,20 @@ object PipelineQueries {
     * the computation; this store is the at-rest serving copy, built
     * from the IDENTICAL derivation.
     */
+  /** The crawled-set MEMBERSHIP store, staged BUCKETED on the url key —
+    * the at-rest carrier [[UrlOps.freshViaStore]] probes for the decade
+    * past the sharded-bloom executor-heap ceiling: in production the
+    * crawl loop appends to this table on its own cadence; here it
+    * stages once from the fixture's page URLs (DISTINCT at write — the
+    * probe must not re-shuffle the store to dedup it).
+    */
+  private def crawledStoreFor(s: SparkSession, dir: String): DataFrame =
+    ShingleStage.stagedBucketed(s, s"crawledstore_$dir", bucketCol = "url") {
+      linkAug(Tables.documents(s, dir))
+        .select(UrlOps.canonicalUrl(col("url")).as("url"))
+        .where(col("url").isNotNull).distinct()
+    }
+
   private def rankStoreFor(s: SparkSession, dir: String): DataFrame =
     ShingleStage.stagedTable(s, s"rankstore_$dir", {
       val la = linkAug(Tables.documents(s, dir))
@@ -2139,6 +2154,30 @@ object PipelineQueries {
         expectedUrls = math.max(crawled.count(), 1L), numShards = 8)
       Robots.fetchSchedule(
           UrlOps.freshViaBloomSharded(discovered, crawled, shards)
+            .withColumn("host", UrlOps.hostOf(col("url"))),
+          Robots.crawlDelayBudget(robotsTable(s)).select("host", "delay_ms"))
+        .orderBy("host", "url")
+    }),
+
+    // the SAME frontier through the AT-REST bucketed membership store —
+    // the carrier for the decade PAST the sharded family's executor-
+    // heap ceiling (>~10⁹ crawled URLs): membership is a managed table
+    // bucketed on the url key, the anti-join reads store buckets with
+    // NO store-side exchange (plan-guarded in UrlOpsSpec), only the
+    // frontier-epoch-sized candidate batch shuffles. Output-identical —
+    // once more the oracle IS ext_frontier's statement: four plans, one
+    // truth
+    "ext_frontier_store" -> ((s, dir) => {
+      val la = linkAug(Tables.documents(s, dir))
+      val discovered = LinkGraph.resolveLinks(
+          LinkGraph.extractLinks(la, keepCols = Seq("url")))
+        .select(UrlOps.canonicalUrl(col("href")).as("url"))
+        .where(col("url").isNotNull)
+        .unionByName(sitemapPagesFor(s, dir)
+          .select(col("url")))
+        .distinct()
+      Robots.fetchSchedule(
+          UrlOps.freshViaStore(discovered, crawledStoreFor(s, dir))
             .withColumn("host", UrlOps.hostOf(col("url"))),
           Robots.crawlDelayBudget(robotsTable(s)).select("host", "delay_ms"))
         .orderBy("host", "url")
@@ -4285,6 +4324,12 @@ object PipelineQueries {
     // sharded bloom family: output-identical for any shard count — the
     // SAME statement gates it (see frontierSqlD)
     "ext_frontier_bloom_shard" ->
+      frontierSqlD,
+
+    // at-rest bucketed membership store: output-identical by
+    // construction (one anti-join, same key) — the SAME statement
+    // gates it (see frontierSqlD)
+    "ext_frontier_store" ->
       frontierSqlD,
 
     // the complete frontier: fresh channels (resolved links incl. the

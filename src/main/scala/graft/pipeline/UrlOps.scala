@@ -781,6 +781,39 @@ object UrlOps {
           Seq(urlCol), "left_anti"))
   }
 
+  /** Frontier freshness against an AT-REST bucketed membership store —
+    * the carrier for the decade PAST [[crawledUrlBloomShards]]'s
+    * executor-heap ceiling (>~10⁹ crawled URLs at default fpp):
+    * membership lives as a managed parquet table BUCKETED on the url
+    * key (write it with [[graft.operators.Layout.writeBucketed]] /
+    * [[ShingleStage.stagedBucketed]], DISTINCT at write — the band-
+    * store discipline), and freshness is ONE left anti join against it.
+    * The store side reads its buckets with NO exchange (the bucketing
+    * IS the join partitioning) and is never resident: each pass
+    * shuffles ONLY the candidate batch — frontier-epoch-sized — while
+    * the corpus-sized membership set stays on disk. The trade versus
+    * the bloom forms is per-candidate join work instead of a scan-side
+    * O(1) probe, which is why this is the TOP decade's carrier, not a
+    * replacement: below the heap ceiling the resident filters win.
+    *
+    * `crawledStore` must be the bucketed table read (`spark.table`) —
+    * no distinct here: anti-join semantics ignore right-side
+    * duplicates, and a re-distinct would re-shuffle the store, undoing
+    * exactly the exchange the bucketing removed (plan-guarded in the
+    * spec: one exchange total, the candidate side).
+    */
+  def freshViaStore(
+      cands: DataFrame,
+      crawledStore: DataFrame,
+      urlCol: String = "url"): DataFrame = {
+    require(crawledStore.columns.contains(urlCol),
+      s"freshViaStore: crawledStore must carry $urlCol (a bucketed membership table), " +
+        s"got ${crawledStore.columns.mkString(", ")}")
+    cands.join(
+      crawledStore.select(col(urlCol)).where(col(urlCol).isNotNull),
+      Seq(urlCol), "left_anti")
+  }
+
   /** RANK-WEIGHTED domain cap — [[domainCap]] with the per-domain budget
     * scaled by a centrality prior instead of one flat number: high-rank
     * domains (in the [[LinkGraph.pageRankPpm]] sense, or any (domain,

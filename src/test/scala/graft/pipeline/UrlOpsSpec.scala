@@ -541,6 +541,43 @@ class UrlOpsSpec extends SparkSpec {
     }
   }
 
+  test("freshViaStore: at-rest bucketed membership — anti-join equivalence with zero store-side exchange") {
+    val crawled = (1 to 200).map(i => s"https://c.com/p/$i").toDF("url")
+    val cands = ((150 to 260).map(i => s"https://c.com/p/$i") :+ "https://fresh.org/x")
+      .toDF("url")
+    val want = cands.join(crawled, Seq("url"), "left_anti")
+      .collect().map(_.getString(0)).toSet
+    graft.operators.Layout.writeBucketed(crawled.distinct(), "crawled_store_spec",
+      bucketCol = "url", buckets = 8, sortCol = None)
+    try {
+      val store = spark.table("crawled_store_spec")
+      val got = UrlOps.freshViaStore(cands, store)
+      assert(got.collect().map(_.getString(0)).toSet == want,
+        "store path diverged from the exact anti-join")
+      // the scale shape: with broadcast off (at 10^9+ urls the store
+      // could never broadcast), the ONLY exchange is the candidate
+      // side — the store reads its buckets co-partitioned
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val probed = UrlOps.freshViaStore(cands, spark.table("crawled_store_spec"))
+        probed.collect()
+        // count exchanges in the FINAL plan only — AdaptiveSparkPlan's
+        // toString repeats the tree as "== Initial Plan =="
+        val plan = probed.queryExecution.executedPlan.toString
+          .split("== Initial Plan ==")(0)
+        val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+        assert(exchanges == 1,
+          s"expected ONE exchange (candidates only; bucketed store co-located), " +
+            s"got $exchanges:\n${plan.take(3000)}")
+        assert(plan.contains("Bucketed: true"),
+          s"store scan must read its buckets:\n${plan.take(3000)}")
+      } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      val bad = intercept[IllegalArgumentException](
+        UrlOps.freshViaStore(cands, store.withColumnRenamed("url", "u")))
+      assert(bad.getMessage.contains("freshViaStore"), bad.getMessage)
+    } finally spark.sql("DROP TABLE IF EXISTS crawled_store_spec")
+  }
+
   test("domainStats: shares sum to ~1e6 and the NULL row stays visible") {
     val docs = Seq(
       (1L, "https://a.com/x", "aaaa"),
