@@ -1493,26 +1493,29 @@ object PipelineQueries {
     * the computation; this store is the at-rest serving copy, built
     * from the IDENTICAL derivation.
     */
-  /** The crawled-set MEMBERSHIP store, staged BUCKETED on the url key —
-    * the at-rest carrier [[UrlOps.freshViaStore]] probes for the decade
-    * past the sharded-bloom executor-heap ceiling: in production the
-    * crawl loop appends to this table on its own cadence; here it
-    * stages once from the fixture's page URLs (DISTINCT at write — the
-    * probe must not re-shuffle the store to dedup it).
-    */
-  private def crawledStoreFor(s: SparkSession, dir: String): DataFrame =
-    ShingleStage.stagedBucketed(s, s"crawledstore_$dir", bucketCol = "url") {
-      linkAug(Tables.documents(s, dir))
-        .select(UrlOps.canonicalUrl(col("url")).as("url"))
-        .where(col("url").isNotNull).distinct()
-    }
-
   private def rankStoreFor(s: SparkSession, dir: String): DataFrame =
     ShingleStage.stagedTable(s, s"rankstore_$dir", {
       val la = linkAug(Tables.documents(s, dir))
       LinkGraph.pageRankPpm(LinkGraph.linkDomainEdges(LinkGraph.resolveLinks(
         LinkGraph.extractLinks(la, keepCols = Seq("url")))))
     })
+
+  /** The crawled-set MEMBERSHIP store, staged BUCKETED AND SORTED on
+    * the url key — the at-rest carrier [[UrlOps.freshViaStore]] probes
+    * for the decade past the sharded-bloom executor-heap ceiling: in
+    * production the crawl loop appends to this table on its own
+    * cadence; here it stages once from the fixture's page URLs
+    * (DISTINCT at write — the probe must not re-shuffle the store to
+    * dedup it; SORTED at write — the probe is a sort-merge join, and
+    * unsorted buckets would re-sort the corpus-sized store per pass).
+    */
+  private def crawledStoreFor(s: SparkSession, dir: String): DataFrame =
+    ShingleStage.stagedBucketed(s, s"crawledstore_$dir", bucketCol = "url",
+        sortCol = Some("url")) {
+      linkAug(Tables.documents(s, dir))
+        .select(UrlOps.canonicalUrl(col("url")).as("url"))
+        .where(col("url").isNotNull).distinct()
+    }
 
   /** The parsed + expanded SITEMAP PAGE table (host, url, lastmod,
     * changefreq, priority_ppm), staged — in production the entries

@@ -70,13 +70,18 @@ object ShingleStage {
     * column (the band stores of the probe family: the probe join is
     * keyed on the band hash, so a band-bucketed store joins with NO
     * store-side exchange even when the probe batch is too large to
-    * broadcast — plan-asserted in DedupStageSpec).
+    * broadcast — plan-asserted in DedupStageSpec). Pass `sortCol`
+    * (usually the bucket key) when the consumer is a SORT-merge join:
+    * sorted single-file buckets let the scan expose their ordering, so
+    * the store side drops its per-probe sort as well as its exchange —
+    * without it, every probe re-sorts the corpus-sized store.
     */
   def stagedBucketed(
       spark: SparkSession,
       key: String,
       bucketCol: String,
-      buckets: Int = 32)(build: => DataFrame): DataFrame = {
+      buckets: Int = 32,
+      sortCol: Option[String] = None)(build: => DataFrame): DataFrame = {
     val table = staged.getOrElseUpdate(key, {
       val name = "graft_staged_" + key.replaceAll("[^A-Za-z0-9]", "_")
       spark.sql(s"DROP TABLE IF EXISTS $name")
@@ -85,7 +90,7 @@ object ShingleStage {
       val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (fs.exists(loc)) fs.delete(loc, true)
       Layout.writeBucketed(build, name, bucketCol = bucketCol,
-        buckets = buckets, sortCol = None)
+        buckets = buckets, sortCol = sortCol)
       name
     })
     spark.table(table)

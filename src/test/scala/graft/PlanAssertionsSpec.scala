@@ -572,6 +572,48 @@ class PlanAssertionsSpec extends SparkSpec {
       s"the hit-set anti-join must stay keyed:\n${plan.take(2000)}")
   }
 
+  test("ext_frontier_store: the membership store reads its buckets — no store-side re-shuffle in the shipped plan") {
+    // broadcast off: at fixture scale the tiny store would broadcast
+    // (legitimate there), but the guarded property is the 10^9-URL
+    // shape, where only sort-merge is possible. Final plan only: AQE's
+    // toString repeats the tree as "== Initial Plan =="
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val plan =
+      try planOf("ext_frontier_store").split("== Initial Plan ==")(0)
+      finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    assert(plan.contains("Bucketed: true") && plan.contains("SelectedBucketsCount"),
+      s"the staged crawled_store must scan as a bucketed table:\n${plan.take(2000)}")
+    assert(!plan.contains("CartesianProduct"),
+      s"the anti-join must stay keyed:\n${plan.take(2000)}")
+    // walk the bucketed scan's ANCESTOR CHAIN up to its join: none of
+    // the ancestors may be an exchange (a distinct/repartition slipped
+    // above the store read would reintroduce the store-side shuffle
+    // while the UrlOpsSpec synthetic-table guard stayed green). The
+    // printed tree indents each child by 3 ("+- "/":- "), so the parent
+    // of a line at indent d is the nearest PRECEDING line at d - 3.
+    val lines = plan.split("\n")
+    def indentOf(l: String): Int = {
+      val i = math.max(l.indexOf("+- "), l.indexOf(":- "))
+      i // -1 for root-level lines
+    }
+    val scanIdx = lines.indexWhere(_.contains("Bucketed: true"))
+    assert(scanIdx >= 0)
+    var d = indentOf(lines(scanIdx))
+    var j = scanIdx - 1
+    var reachedJoin = false
+    while (j >= 0 && !reachedJoin && d > 0) {
+      val li = indentOf(lines(j))
+      if (li >= 0 && li < d) { // an ancestor
+        assert(!lines(j).contains("Exchange hashpartitioning"),
+          s"the store-side ancestor chain must carry no exchange:\n${lines(j)}\n${plan.take(3000)}")
+        d = li
+        if (lines(j).contains("SortMergeJoin")) reachedJoin = true
+      }
+      j -= 1
+    }
+    assert(reachedJoin, s"bucketed scan must feed a sort-merge anti-join:\n${plan.take(3000)}")
+  }
+
   test("ext_frontier_priority: budgeted top-k prunes map-side; delay table broadcasts; keyed joins only") {
     val plan = planOf("ext_frontier_priority")
     assert(plan.contains("WindowGroupLimit"),

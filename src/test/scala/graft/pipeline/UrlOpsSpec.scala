@@ -547,8 +547,16 @@ class UrlOpsSpec extends SparkSpec {
       .toDF("url")
     val want = cands.join(crawled, Seq("url"), "left_anti")
       .collect().map(_.getString(0)).toSet
+    // pre-clean catalog entry AND orphan warehouse dir (a killed prior
+    // JVM skips the finally DROP; SaveMode.Overwrite then fails with
+    // LOCATION_ALREADY_EXISTS — the ShingleStage idempotence discipline)
+    spark.sql("DROP TABLE IF EXISTS crawled_store_spec")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), "crawled_store_spec")
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
     graft.operators.Layout.writeBucketed(crawled.distinct(), "crawled_store_spec",
-      bucketCol = "url", buckets = 8, sortCol = None)
+      bucketCol = "url", buckets = 8, sortCol = Some("url"))
     try {
       val store = spark.table("crawled_store_spec")
       val got = UrlOps.freshViaStore(cands, store)
