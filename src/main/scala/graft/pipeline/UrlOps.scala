@@ -814,6 +814,35 @@ object UrlOps {
       Seq(urlCol), "left_anti")
   }
 
+  /** The APPEND step that closes the membership-store loop (the
+    * `sigStoreAppend` discipline — every incremental store has one):
+    * after a crawl epoch fetches its dispatched URLs, the NEW ones
+    * (anti-joined against the current store, so recrawls never re-append
+    * — without that, the store grows linearly in FETCHES instead of
+    * URLs) append to the managed bucketed table `table`, and the next
+    * epoch's [[freshViaStore]] probe sees them. `buckets` must match
+    * the table's existing bucket spec (the engine refuses loudly on a
+    * mismatch — a mis-bucketed append would silently break the
+    * co-partitioned probe). Each append lands one file per bucket per
+    * epoch; multi-file buckets keep the exchange-free probe but lose
+    * the sorted-scan metadata, so long-running crawls compact the
+    * store on their maintenance cadence (rewrite sorted — the
+    * [[crawledUrlBloom]] at-rest rebuild discipline).
+    */
+  def crawledStoreAppend(
+      newlyCrawled: DataFrame,
+      table: String,
+      buckets: Int = 32,
+      urlCol: String = "url"): Unit = {
+    require(buckets >= 1, s"crawledStoreAppend: buckets must be positive, got $buckets")
+    val spark = newlyCrawled.sparkSession
+    newlyCrawled.select(col(urlCol)).where(col(urlCol).isNotNull).distinct()
+      .join(spark.table(table), Seq(urlCol), "left_anti")
+      .write.mode(org.apache.spark.sql.SaveMode.Append).format("parquet")
+      .bucketBy(buckets, urlCol).sortBy(urlCol)
+      .saveAsTable(table)
+  }
+
   /** RANK-WEIGHTED domain cap — [[domainCap]] with the per-domain budget
     * scaled by a centrality prior instead of one flat number: high-rank
     * domains (in the [[LinkGraph.pageRankPpm]] sense, or any (domain,

@@ -786,6 +786,10 @@ object StreamDedup {
       docs: Dataset[WebDoc],
       crawledUrls: DataFrame,
       discoveredStore: Option[DataFrame] = None): Dataset[FrontierCand] = {
+    // crawledUrls in production IS the bucketed membership table
+    // ([[graft.pipeline.UrlOps.freshViaStore]]'s store, maintained by
+    // crawledStoreAppend) read stream-static — the same one artifact
+    // backs the batch and online anti-join arms
     require(crawledUrls.columns.contains("url"),
       s"crawledUrls must carry 'url' (canonical keys), got ${crawledUrls.columns.mkString(", ")}")
     discoveredStore.foreach(ds => require(ds.columns.contains("url"),

@@ -583,6 +583,27 @@ class UrlOpsSpec extends SparkSpec {
       val bad = intercept[IllegalArgumentException](
         UrlOps.freshViaStore(cands, store.withColumnRenamed("url", "u")))
       assert(bad.getMessage.contains("freshViaStore"), bad.getMessage)
+
+      // the APPEND step closes the loop: a fetched epoch (two new urls,
+      // one recrawl, one dup spelling) adds ONLY the new urls...
+      UrlOps.crawledStoreAppend(
+        Seq("https://c.com/p/500", "https://fresh.org/x", "https://fresh.org/x",
+          "https://c.com/p/1").toDF("url"),
+        "crawled_store_spec", buckets = 8)
+      val after = spark.table("crawled_store_spec")
+      assert(after.count() == 202,
+        s"append must add exactly the two novel urls, got ${after.count()}")
+      // ...and the next epoch's probe sees them (fresh.org/x no longer
+      // fresh) while staying on the bucketed no-store-exchange path
+      val round2 = UrlOps.freshViaStore(cands, after)
+      assert(round2.collect().map(_.getString(0)).toSet ==
+        (want - "https://fresh.org/x"), "post-append probe must see the appended urls")
+      // a mis-bucketed append refuses loudly — it would silently break
+      // the co-partitioned probe
+      val mis = intercept[Exception](
+        UrlOps.crawledStoreAppend(Seq("https://c.com/p/900").toDF("url"),
+          "crawled_store_spec", buckets = 4))
+      assert(mis.getMessage.toLowerCase.contains("bucket"), mis.getMessage)
     } finally spark.sql("DROP TABLE IF EXISTS crawled_store_spec")
   }
 
