@@ -928,17 +928,11 @@ object Dedup {
     * convergence probe stays the single job that both materializes the
     * state and measures progress.
     */
-  private def ccCheckpoint(df: DataFrame): DataFrame = {
-    val reliable = df.sparkSession.conf
-      .getOption("spark.graft.dedup.reliableCheckpoint").exists(_.toBoolean)
-    if (reliable) {
-      require(df.sparkSession.sparkContext.getCheckpointDir.isDefined,
-        "spark.graft.dedup.reliableCheckpoint=true requires " +
-          "spark.sparkContext.setCheckpointDir(<reliable storage path>) " +
-          "before running connected components")
-      df.checkpoint(eager = false)
-    } else df.localCheckpoint(eager = false)
-  }
+  private def ccCheckpoint(df: DataFrame): DataFrame =
+    // the engine-wide reliable switch, plus this operator's own
+    // documented legacy key
+    Checkpoints.iterCheckpoint(df, "connected components",
+      extraConfKeys = Seq("spark.graft.dedup.reliableCheckpoint"))
 
   /** Connected components over a near-dup pair list — the cluster-election
     * step every production dedup pipeline runs AFTER pair generation:

@@ -395,23 +395,20 @@ object LinkGraph {
     val ests = scala.collection.mutable.ArrayBuffer(estimate(state))
     for (_ <- 1 to radius) {
       val w = Window.partitionBy("v").orderBy("h")
-      // localCheckpoint (lazy), NOT persist: the round reads `state`
-      // TWICE (self ∪ in-neighbor merge), so an un-truncated lineage
-      // DOUBLES the logical plan every round — 2^radius trees that OOM
-      // the PLANNER long before any data does. Truncation per round is
-      // what makes radius a linear cost and lets this arm go past the
-      // exact form's ball bound; the checkpoint stores the same
-      // MEMORY_AND_DISK blocks a persist would. Tradeoff: truncated
-      // lineage cannot replay on executor loss — a long-lived cluster
-      // run swaps in reliable checkpointing (same truncation against
-      // the cluster's checkpoint dir, no plan change).
-      val next = state
+      // per-round lineage truncation (lazy), NOT persist: the round
+      // reads `state` TWICE (self ∪ in-neighbor merge), so an
+      // un-truncated lineage DOUBLES the logical plan every round —
+      // 2^radius trees that OOM the PLANNER long before any data does.
+      // Truncation is what makes radius a linear cost and lets this arm
+      // go past the exact form's ball bound; local blocks by default,
+      // the reliable-checkpoint swap via the engine-wide
+      // spark.graft.reliableCheckpoint conf (see [[Checkpoints]]).
+      val next = Checkpoints.iterCheckpoint(state
         .unionByName(e.join(state.withColumnRenamed("v", "u"), "u").select("v", "h"))
         .distinct()
         .withColumn("__rn", row_number().over(w))
         .where(col("__rn") <= k)
-        .drop("__rn")
-        .localCheckpoint(false)
+        .drop("__rn"), "harmonicPpmSketch")
       state = next
       ests += estimate(state)
     }

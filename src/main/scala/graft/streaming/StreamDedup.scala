@@ -1127,10 +1127,25 @@ object StreamDedup {
     */
   private val priorityWindowOrder: Ordering[PrioDispatchReq] =
     new Ordering[PrioDispatchReq] {
-      private def urlCmp(a: String, b: String): Int =
-        java.util.Arrays.compareUnsigned(
-          a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
-          b.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      // UTF-8 byte order == Unicode CODE POINT order, so the byte
+      // comparison can walk the UTF-16 chars directly — zero
+      // allocation on the sort hot path (encoding both urls per
+      // comparison would allocate 2·n·log n arrays per window).
+      // Surrogate-aware: at the first differing char, compare the full
+      // code points — a supplementary pair (code point >= 0x10000)
+      // must sort ABOVE every BMP char even though its high surrogate
+      // (0xD800-0xDBFF) sorts below 0xE000+ in raw UTF-16 order.
+      private def urlCmp(a: String, b: String): Int = {
+        val la = a.length
+        val lb = b.length
+        var i = 0
+        while (i < la && i < lb) {
+          if (a.charAt(i) != b.charAt(i))
+            return Integer.compare(a.codePointAt(i), b.codePointAt(i))
+          i += 1
+        }
+        Integer.compare(la, lb)
+      }
       override def compare(a: PrioDispatchReq, b: PrioDispatchReq): Int =
         (a.priority, b.priority) match {
           case (Some(x), Some(y)) if x != y => java.lang.Long.compare(y, x)

@@ -575,12 +575,19 @@ class PlanAssertionsSpec extends SparkSpec {
   test("ext_frontier_store: the membership store reads its buckets — no store-side re-shuffle in the shipped plan") {
     // broadcast off: at fixture scale the tiny store would broadcast
     // (legitimate there), but the guarded property is the 10^9-URL
-    // shape, where only sort-merge is possible. Final plan only: AQE's
-    // toString repeats the tree as "== Initial Plan =="
+    // shape, where only sort-merge is possible. The query EXECUTES
+    // first so the guard reads AQE's FINAL plan (pre-execution the
+    // AdaptiveSparkPlan prints only the initial tree — a store-side
+    // exchange introduced by runtime re-planning would hide from it);
+    // post-execution toString repeats the tree as "== Initial Plan ==",
+    // so keep the final section only
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     val plan =
-      try planOf("ext_frontier_store").split("== Initial Plan ==")(0)
-      finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      try {
+        val df = graft.SparkEntry.queries("ext_frontier_store")(spark, dir)
+        df.collect()
+        df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+      } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
     assert(plan.contains("Bucketed: true") && plan.contains("SelectedBucketsCount"),
       s"the staged crawled_store must scan as a bucketed table:\n${plan.take(2000)}")
     assert(!plan.contains("CartesianProduct"),

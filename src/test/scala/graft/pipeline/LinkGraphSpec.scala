@@ -275,6 +275,28 @@ class LinkGraphSpec extends SparkSpec {
       more == refHarmonic(path, radius = 12), more.toString)
   }
 
+  test("harmonicPpmSketch: the reliable-checkpoint swap — refuses without a dir, identical results with one") {
+    val path = (0 until 5).map(i => (s"r$i", s"r${i + 1}"))
+    val plain = LinkGraph.harmonicPpmSketch(path.toDF("src", "dst"), radius = 7, k = 64)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    spark.conf.set("spark.graft.reliableCheckpoint", "true")
+    try {
+      // long-lived cluster runs NEED reliable storage: the switch
+      // without a checkpoint dir refuses loudly, naming the operator
+      val e = intercept[IllegalArgumentException](
+        LinkGraph.harmonicPpmSketch(path.toDF("src", "dst"), radius = 7, k = 64))
+      assert(e.getMessage.contains("harmonicPpmSketch") &&
+        e.getMessage.contains("setCheckpointDir"), e.getMessage)
+      // with a dir, the swap changes recovery semantics only — results
+      // and every round's truncation are identical
+      val ckDir = java.nio.file.Files.createTempDirectory("graft_ck_").toString
+      spark.sparkContext.setCheckpointDir(ckDir)
+      val reliable = LinkGraph.harmonicPpmSketch(path.toDF("src", "dst"), radius = 7, k = 64)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      assert(reliable == plain, s"reliable swap changed results\n$reliable\n$plain")
+    } finally spark.conf.unset("spark.graft.reliableCheckpoint")
+  }
+
   test("harmonicPpm: parallel edges count once; self-loops drop; bounds fail fast") {
     val got = runHc(Seq("a" -> "b", "a" -> "b", "c" -> "c", "c" -> "b"), 2)
     assert(got == Map("a" -> 0L, "b" -> 2000000L, "c" -> 0L), got.toString)
