@@ -58,7 +58,9 @@ object Frontier {
       defaultRankPpm: Long = 150000L,
       ageScaleMs: Long = 7L * 86400000L,
       reasonWeightPpm: Long = 500000L,
-      urlCol: String = "url"): DataFrame = {
+      urlCol: String = "url",
+      ageCol: Option[String] = None,
+      sitemapPrioritiesUnique: Boolean = false): DataFrame = {
     require(ageScaleMs >= 1, s"frontierPriority: ageScaleMs must be positive, got $ageScaleMs")
     val missing = Seq("domain", "rank_ppm").filterNot(ranks.columns.contains)
     require(missing.isEmpty,
@@ -77,9 +79,24 @@ object Frontier {
     val withRank = withKeys.join(
       ranks.select(col("domain").as("__dom"), col("rank_ppm").cast("long").as("__rkp")),
       Seq("__dom"), "left")
-    val withAge = dueAges match {
-      case None => withRank.withColumn("__age", lit(0L))
-      case Some(da) =>
+    require(ageCol.isEmpty || dueAges.isEmpty,
+      "frontierPriority: pass EITHER ageCol (an age column already on cands) " +
+        "OR dueAges (a url-keyed age table), not both")
+    val withAge = (ageCol, dueAges) match {
+      // scan-side fast path: the caller's cands ALREADY carry their own
+      // overdue age (the frontier composition derives cands and ages
+      // from one recrawl queue, one row per url) — reading the column
+      // in place removes the groupBy+self-join exchange pair the table
+      // form pays (guide §2.4). Equivalent to dueAges =
+      // Some(cands.select(url, age)) whenever cands is unique per url,
+      // which the frontier channels guarantee by construction.
+      case (Some(c), _) =>
+        require(cands.columns.contains(c),
+          s"frontierPriority: ageCol=$c is not a cands column " +
+            s"(${cands.columns.mkString(", ")})")
+        withRank.withColumn("__age", col(c).cast("long"))
+      case (None, None) => withRank.withColumn("__age", lit(0L))
+      case (None, Some(da)) =>
         val m = Seq(urlCol, "age_ms").filterNot(da.columns.contains)
         require(m.isEmpty,
           s"frontierPriority: dueAges must carry ($urlCol, age_ms); missing ${m.mkString(", ")}")
@@ -109,10 +126,17 @@ object Frontier {
           s"frontierPriority: sitemapPriorities must carry ($urlCol, priority_ppm); " +
             s"missing ${m.mkString(", ")}")
         // one deterministic claim per url (max — the sitemapPageUrls
-        // election direction) at the boundary
-        withShare.join(
-          sp.groupBy(urlCol).agg(max(col("priority_ppm").cast("long")).as("__smp")),
-          Seq(urlCol), "left")
+        // election direction) at the boundary;
+        // sitemapPrioritiesUnique = the caller's DOCUMENTED contract
+        // that the table is already one row per url (true for
+        // [[Sitemaps.sitemapPageUrls]] output, which elects max per url
+        // at harvest) — max over a single row is that row, so skipping
+        // the fold drops its exchange without changing any value
+        val folded =
+          if (sitemapPrioritiesUnique)
+            sp.select(col(urlCol), col("priority_ppm").cast("long").as("__smp"))
+          else sp.groupBy(urlCol).agg(max(col("priority_ppm").cast("long")).as("__smp"))
+        withShare.join(folded, Seq(urlCol), "left")
     }
     val reasonRank = when(col("reason") === "recrawl", 2L)
       .when(col("reason") === "sitemap", 1L)

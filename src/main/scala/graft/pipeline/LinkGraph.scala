@@ -236,13 +236,23 @@ object LinkGraph {
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .where(col("src").isNotNull && col("dst").isNotNull)
       .distinct()
-    val out = e.groupBy("src").agg(count(lit(1)).as("__od"))
     // the frame every iteration re-reads: persist so the upstream (often
     // a corpus-wide extraction) runs once (ContextCleaner unpersists it
-    // with the last reference, the minhash-family lifecycle)
-    val eo = e.join(out, "src").persist(StorageLevel.MEMORY_AND_DISK)
-    val nodes = e.select(col("src").as("node"))
-      .unionByName(e.select(col("dst").as("node")))
+    // with the last reference, the minhash-family lifecycle). Out-degree
+    // is annotated by a window over src — not groupBy+self-join, which
+    // re-ran the extraction subtree and left eo partitioned on (src, dst)
+    // so every iteration's src-keyed join re-exchanged the WHOLE edge
+    // list. The window's one exchange leaves eo AT REST partitioned on
+    // src: iterations then exchange only the |nodes|-sized rank table
+    // (guide §2.4 — establish the partitioning once).
+    val eo = e
+      .withColumn("__od", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("src")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // derived from the persisted eo (not e) so the corpus-sized
+    // extraction upstream materializes exactly once
+    val nodes = eo.select(col("src").as("node"))
+      .unionByName(eo.select(col("dst").as("node")))
       .distinct().persist(StorageLevel.MEMORY_AND_DISK)
 
     var ranks = nodes.select(col("node"), lit(1000000L).as("rank_ppm"))
@@ -296,9 +306,14 @@ object LinkGraph {
       dstCol: String = "dst"): DataFrame = {
     require(radius >= 1 && radius <= 6,
       s"harmonicPpm: radius must be in [1, 6] (the pair table grows as degree^radius), got $radius")
+    // persisted AT REST partitioned on u — the side every BFS round
+    // equi-joins on (frontier.v = e.u), so rounds re-exchange only the
+    // frontier, never the full edge list (guide §2.4; the distinct's
+    // (u, v) layout satisfied no round's join key)
     val e = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
       .where(col("u").isNotNull && col("v").isNotNull && col("u") =!= col("v"))
       .distinct()
+      .repartition(col("u"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nodes = e.select(col("u").as("node"))
       .unionByName(e.select(col("v").as("node")))
@@ -379,9 +394,13 @@ object LinkGraph {
       s"harmonicPpmSketch: radius must be in [1, 32] (fixed-width state makes rounds " +
         s"linear — the exact form's [1, 6] ball bound does not apply), got $radius")
     require(k >= 2 && k <= 256, s"harmonicPpmSketch: k must be in [2, 256], got $k")
+    // persisted AT REST partitioned on u — the side every sketch round
+    // equi-joins on, so rounds re-exchange only the ≤K-per-node state,
+    // never the full edge list (guide §2.4)
     val e = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
       .where(col("u").isNotNull && col("v").isNotNull && col("u") =!= col("v"))
       .distinct()
+      .repartition(col("u"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nodes = e.select(col("u").as("node"))
       .unionByName(e.select(col("v").as("node")))
@@ -403,23 +422,32 @@ object LinkGraph {
       // go past the exact form's ball bound; local blocks by default,
       // the reliable-checkpoint swap via the engine-wide
       // spark.graft.reliableCheckpoint conf (see [[Checkpoints]]).
+      // Distinct-hash selection is ONE exchange: dense_rank over the
+      // v-keyed window ranks duplicate hashes equally (the k smallest
+      // DISTINCT values survive the <= k filter), and the duplicate
+      // drop afterwards aggregates on (v, h) UNDER the window's
+      // v-partitioning — clustering on a prefix is already satisfied,
+      // so the old distinct()'s separate (v, h) exchange is gone.
       val next = Checkpoints.iterCheckpoint(state
         .unionByName(e.join(state.withColumnRenamed("v", "u"), "u").select("v", "h"))
-        .distinct()
-        .withColumn("__rn", row_number().over(w))
+        .withColumn("__rn", dense_rank().over(w))
         .where(col("__rn") <= k)
-        .drop("__rn"), "harmonicPpmSketch")
+        .drop("__rn")
+        .dropDuplicates(), "harmonicPpmSketch")
       state = next
       ests += estimate(state)
     }
+    // round 0's state is exactly `nodes` and states only grow, so every
+    // est frame carries every node: the inner-join chain IS the node
+    // universe and the old trailing nodes-left-join was a no-op join
+    // (its coalesce arm could never fire) — dropped.
     val joined = ests.zipWithIndex.map { case (df, r) =>
       df.select(col("v").as("node"), col("est").as(s"__e$r"))
     }.reduce(_.join(_, Seq("node")))
     val mass = (1 to radius).map(r =>
       s"(__e$r - __e${r - 1}) * ${1000000L / r}L").mkString(" + ")
-    nodes.join(joined, Seq("node"), "left")
-      .select(col("node"),
-        coalesce(expr(mass), lit(0L)).as("harmonic_sketch_ppm"))
+    joined
+      .select(col("node"), expr(mass).as("harmonic_sketch_ppm"))
   }
 
   // ---------------------------------------------------------------------

@@ -2075,13 +2075,20 @@ object PipelineQueries {
       // rankStoreFor — centrality updates on the link graph's cadence,
       // not per dispatch epoch)
       val ranks = rankStoreFor(s, dir).withColumnRenamed("node", "domain")
+      // cands is one row per url by construction (fresh is groupBy(url),
+      // due is the recrawl queue, the two are disjoint post-anti-join),
+      // so the age rides the row (ageCol — no groupBy+self-join), the
+      // trap count needs no distinct expand (urlsUnique), and the staged
+      // sitemap table is already max-elected per url
+      // (sitemapPrioritiesUnique) — three exchanges gone, values
+      // identical (r21 optimization; equivalence oracle-gated)
       val pri = Frontier.frontierPriority(
-        cands.select("url", "reason"), ranks,
-        dueAges = Some(cands.select(col("url"), col("age_ms"))),
-        trapShares = Some(UrlOps.crawlTraps(cands)),
+        cands.select("url", "reason", "age_ms"), ranks,
+        trapShares = Some(UrlOps.crawlTraps(cands, urlsUnique = true)),
         sitemapPriorities = Some(sitemapPagesFor(s, dir)
           .select("url", "priority_ppm")),
-        defaultRankPpm = 150000L, ageScaleMs = 1000000L)
+        defaultRankPpm = 150000L, ageScaleMs = 1000000L,
+        ageCol = Some("age_ms"), sitemapPrioritiesUnique = true)
       Frontier.fetchScheduleByPriority(
           pri.select("host", "url", "priority"),
           Robots.crawlDelayBudget(robotsTable(s)).select("host", "delay_ms"),
@@ -2196,7 +2203,9 @@ object PipelineQueries {
           LinkGraph.extractLinks(la, keepCols = Seq("url")))
         .select(UrlOps.canonicalUrl(col("href")).as("url"))
         .where(col("url").isNotNull).distinct()
-      UrlOps.crawlTraps(disc).orderBy("host", "template")
+      // disc is distinct() — the unique-url contract holds, so the trap
+      // count skips the countDistinct expand (r21 optimization)
+      UrlOps.crawlTraps(disc, urlsUnique = true).orderBy("host", "template")
     }),
 
     // the trap GUARD: at most 3 frontier candidates survive per (host,
@@ -6425,4 +6434,60 @@ object PipelineQueries {
          |       ELSE start_tok // 256 END - start_tok // 256 + 1 AS n_chunks
          |FROM c ORDER BY doc_id""".stripMargin
   )
+
+  /** Throwaway component probes for graft.ScratchProf (r21 optimization
+    * round measurement only — not part of the driver contract).
+    */
+  def scratchProbes(s: SparkSession, dir: String): Seq[(String, () => DataFrame)] = {
+    def docs = Tables.documents(s, dir)
+    def la = linkAug(docs)
+    def extracted = LinkGraph.extractLinks(la, keepCols = Seq("url"))
+    def resolved = LinkGraph.resolveLinks(extracted)
+    def edges = LinkGraph.linkDomainEdges(resolved)
+    def fh = fetchHistoryTable(docs)
+    def crawledP = la.select(UrlOps.canonicalUrl(col("url")).as("url"))
+      .unionByName(fh.select(UrlOps.canonicalUrl(col("url")).as("url")))
+      .where(col("url").isNotNull).distinct()
+    def freshP = resolved
+      .select(UrlOps.canonicalUrl(col("href")).as("url"), lit(2L).as("__rk"))
+      .unionByName(sitemapPagesFor(s, dir).select(col("url"), lit(1L).as("__rk")))
+      .where(col("url").isNotNull)
+      .groupBy("url").agg(min(col("__rk")).as("__rk"))
+      .join(crawledP, Seq("url"), "left_anti")
+      .withColumn("age_ms", lit(0L))
+    def dueP = Recrawl.recrawlDue(fh,
+        lastmods = Some(docs.where(col("doc_id") % 8 === 0)
+          .select(recrawlUrl(col("doc_id")).as("url"),
+            (col("doc_id") - 5000L).as("lastmod_ts"))),
+        defaultIntervalMs = 1000000L, minIntervalMs = 150000L)
+      .where(col("next_due_ms") <= 1500000L)
+      .select(UrlOps.canonicalUrl(col("url")).as("url"), lit(0L).as("__rk"),
+        (lit(1500000L) - col("next_due_ms")).as("age_ms"))
+      .where(col("url").isNotNull)
+    def candsP = freshP.unionByName(dueP)
+      .withColumn("reason",
+        when(col("__rk") === 0, lit("recrawl"))
+          .when(col("__rk") === 1, lit("sitemap"))
+          .otherwise(lit("discovered")))
+    Seq(
+      "docs" -> (() => docs),
+      "la" -> (() => la),
+      "extract" -> (() => extracted),
+      "resolve" -> (() => resolved),
+      "canon_href" -> (() => resolved.select(UrlOps.canonicalUrl(col("href")).as("url"))
+        .where(col("url").isNotNull)),
+      "edges" -> (() => edges),
+      "fh" -> (() => fh),
+      "crawled" -> (() => crawledP),
+      "fresh" -> (() => freshP),
+      "due" -> (() => dueP),
+      "cands" -> (() => candsP),
+      "traps" -> (() => UrlOps.crawlTraps(candsP)),
+      "pagerank_over_edges" -> (() => LinkGraph.pageRankPpm(edges)),
+      "harmonic_over_edges" -> (() => LinkGraph.harmonicPpm(edges)),
+      "harmonic_kmv_over_edges" -> (() => LinkGraph.harmonicPpmSketch(edges)),
+      "fp_full" -> (() => queries("ext_frontier_priority")(s, dir)),
+      "frontier_full" -> (() => queries("ext_frontier_full")(s, dir)),
+      "frontier" -> (() => queries("ext_frontier")(s, dir)))
+  }
 }

@@ -547,13 +547,24 @@ object UrlOps {
     * host-keyed window over the already-aggregated counts (rows =
     * distinct templates, not URLs).
     */
-  def crawlTraps(cands: DataFrame, urlCol: String = "url"): DataFrame = {
+  def crawlTraps(
+      cands: DataFrame,
+      urlCol: String = "url",
+      urlsUnique: Boolean = false): DataFrame = {
     val t = cands
       .select(hostOf(col(urlCol)).as("host"),
         urlTemplate(col(urlCol)).as("template"), col(urlCol).as("__u"))
       .where(col("host").isNotNull)
+    // urlsUnique = the caller's DOCUMENTED contract that cands is one
+    // row per url (every frontier channel is, post-anti-join/distinct):
+    // countDistinct over unique urls IS count, and the plain count
+    // drops the distinct-expand exchange from the aggregation
+    // (guide §2.3 — aggregate before you shuffle, once not twice)
+    val counted =
+      if (urlsUnique) count(col("__u"))
+      else countDistinct(col("__u"))
     t.groupBy("host", "template")
-      .agg(countDistinct(col("__u")).as("n_urls"))
+      .agg(counted.as("n_urls"))
       .withColumn("__tot",
         sum(col("n_urls")).over(Window.partitionBy("host")))
       .select(col("host"), col("template"), col("n_urls"),

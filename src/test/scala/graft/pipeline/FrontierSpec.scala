@@ -70,4 +70,39 @@ class FrontierSpec extends SparkSpec {
       Frontier.fetchScheduleByPriority(cands, budgets, maxPerHost = 0))
     assert(bad.getMessage.contains("fetchScheduleByPriority:"), bad.getMessage)
   }
+
+  test("frontierPriority fast paths: ageCol == dueAges on unique-url cands; " +
+    "sitemapPrioritiesUnique == folded on a one-row-per-url table") {
+    // unique-url cands carrying their own age column (the r21
+    // scan-side path) must score identically to the dueAges table form
+    val cands = Seq(
+      ("https://a.com/x", "discovered", 0L),
+      ("https://a.com/z", "recrawl", 500L),
+      ("https://b.org/w", "sitemap", 0L)
+    ).toDF("url", "reason", "age_ms")
+    val ranks = Seq(("a.com", 400000L)).toDF("domain", "rank_ppm")
+    val smp = Seq(("https://b.org/w", 800000L)).toDF("url", "priority_ppm")
+    def scores(df: org.apache.spark.sql.DataFrame) = df.select("url", "priority")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val viaTable = scores(Frontier.frontierPriority(
+      cands.select("url", "reason"), ranks,
+      dueAges = Some(cands.select("url", "age_ms")),
+      sitemapPriorities = Some(smp),
+      defaultRankPpm = 150000L, ageScaleMs = 1000L))
+    val viaCol = scores(Frontier.frontierPriority(
+      cands, ranks,
+      sitemapPriorities = Some(smp),
+      defaultRankPpm = 150000L, ageScaleMs = 1000L,
+      ageCol = Some("age_ms"), sitemapPrioritiesUnique = true))
+    assert(viaCol == viaTable, s"ageCol path diverged: $viaCol vs $viaTable")
+    // passing both forms is a contract violation, refused loudly
+    val both = intercept[IllegalArgumentException](Frontier.frontierPriority(
+      cands, ranks, dueAges = Some(cands.select("url", "age_ms")),
+      ageCol = Some("age_ms")))
+    assert(both.getMessage.contains("EITHER ageCol"), both.getMessage)
+    // a missing ageCol column is refused by name
+    val miss = intercept[IllegalArgumentException](Frontier.frontierPriority(
+      cands.select("url", "reason"), ranks, ageCol = Some("age_ms")))
+    assert(miss.getMessage.contains("age_ms"), miss.getMessage)
+  }
 }

@@ -444,6 +444,18 @@ class UrlOpsSpec extends SparkSpec {
     val cal = kept.filter(_._2.startsWith("https://a.com/cal")).map(_._2).sorted.toSeq
     assert(cal == Seq("https://a.com/cal/2024/01/01", "https://a.com/cal/2024/01/02"),
       s"cap must keep the URL-order first k: $cal")
+    // the r21 unique-url fast path (count, not countDistinct) must be
+    // value-identical on distinct cands, and must NOT be used when the
+    // contract is broken: with a duplicated url row the default dedups
+    // while the fast path counts rows — the contract is the caller's
+    val fast = UrlOps.crawlTraps(cands, urlsUnique = true).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(fast == traps, s"urlsUnique fast path diverged: $fast vs $traps")
+    val dupCands = cands.unionByName(Seq("https://a.com/about").toDF("url"))
+    val dupDefault = UrlOps.crawlTraps(dupCands).collect()
+      .map(r => (r.getString(1), r.getLong(2))).toMap
+    assert(dupDefault("/about") == 1L,
+      s"default path must still dedup duplicate urls: $dupDefault")
   }
 
   test("urlTemplate: value-strip is query-only — path '=' (base64/matrix segments) is content") {
