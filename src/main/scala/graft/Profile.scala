@@ -24,6 +24,12 @@ object Profile {
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
+      // measurement knob (r21): the driver-side Janino codegen cache is
+      // 100 entries by default — far below the bench's working set of
+      // distinct whole-stage units, so every rep recompiles every stage.
+      // Env-gated here to A/B its effect; Bench pins the winning value.
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "8192"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
