@@ -60,12 +60,14 @@ object Frontier {
       reasonWeightPpm: Long = 500000L,
       urlCol: String = "url",
       ageCol: Option[String] = None,
-      sitemapPrioritiesUnique: Boolean = false): DataFrame = {
+      sitemapPrioritiesUnique: Boolean = false,
+      trapSharesFromCands: Boolean = false): DataFrame = {
     require(ageScaleMs >= 1, s"frontierPriority: ageScaleMs must be positive, got $ageScaleMs")
     val missing = Seq("domain", "rank_ppm").filterNot(ranks.columns.contains)
     require(missing.isEmpty,
       s"frontierPriority: ranks must carry (domain, rank_ppm); missing ${missing.mkString(", ")}")
-    val reserved = Seq("host", "priority", "__dom", "__tpl", "__rkp", "__age", "__shr", "__smp")
+    val reserved = Seq("host", "priority", "__dom", "__tpl", "__rkp", "__age", "__shr",
+        "__smp", "__nht", "__nh")
       .filter(cands.columns.contains)
     require(reserved.isEmpty,
       s"frontierPriority: cands columns collide with output/internal names " +
@@ -106,9 +108,32 @@ object Frontier {
           da.groupBy(urlCol).agg(max(col("age_ms").cast("long")).as("__age")),
           Seq(urlCol), "left")
     }
-    val withShare = trapShares match {
-      case None => withAge.withColumn("__shr", lit(0L))
-      case Some(ts) =>
+    require(!trapSharesFromCands || trapShares.isEmpty,
+      "frontierPriority: pass EITHER trapSharesFromCands (derive shares from cands " +
+        "in place) OR trapShares (a crawlTraps table), not both")
+    val withShare = (trapSharesFromCands, trapShares) match {
+      case (true, _) =>
+        // in-place fast path: when the shares WOULD be crawlTraps(cands)
+        // itself (the frontier composition) and cands is unique per url,
+        // the (host, template) pool count and the host total are two
+        // window counts over the candidate frame — one host-keyed
+        // exchange serves both (the template window's clustering is a
+        // superset of the host partitioning), and the separate
+        // groupBy + host-window + join-back derivation disappears
+        // (guide §2.4). NULL-host rows score 0 exactly as the table
+        // form's unmatched left-join arm did.
+        val wH = org.apache.spark.sql.expressions.Window.partitionBy("host")
+        val wHT = org.apache.spark.sql.expressions.Window.partitionBy("host", "__tpl")
+        withAge
+          .withColumn("__nht", count(lit(1)).over(wHT))
+          .withColumn("__nh", count(lit(1)).over(wH))
+          // integer DIV — bit-identical to crawlTraps's share_ppm
+          .withColumn("__shr",
+            when(col("host").isNotNull,
+              expr("__nht * 1000000L DIV greatest(__nh, 1L)")).otherwise(lit(0L)))
+          .drop("__nht", "__nh")
+      case (false, None) => withAge.withColumn("__shr", lit(0L))
+      case (false, Some(ts)) =>
         val m = Seq("host", "template", "share_ppm").filterNot(ts.columns.contains)
         require(m.isEmpty,
           s"frontierPriority: trapShares must carry (host, template, share_ppm); " +

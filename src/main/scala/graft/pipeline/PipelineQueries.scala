@@ -1946,8 +1946,12 @@ object PipelineQueries {
         .unionByName(sitemapPagesFor(s, dir)
           .select(col("url")))
         .distinct()
+      // no distinct() on the anti-join's build side: left_anti is
+      // set-semantics on the right already, and the distinct was a full
+      // extra exchange+aggregate of the crawled set before the join
+      // shuffled it again (guide §2.4; r21 optimization)
       val crawled = la.select(UrlOps.canonicalUrl(col("url")).as("url"))
-        .where(col("url").isNotNull).distinct()
+        .where(col("url").isNotNull)
       Robots.fetchSchedule(
           discovered.join(crawled, Seq("url"), "left_anti")
             .withColumn("host", UrlOps.hostOf(col("url"))),
@@ -1969,8 +1973,9 @@ object PipelineQueries {
         .where(col("url").isNotNull)
         .unionByName(sitemapPagesFor(s, dir).select(col("url")))
         .distinct()
+      // no distinct() — anti-join set semantics (the ext_frontier note)
       val crawled = la.select(UrlOps.canonicalUrl(col("url")).as("url"))
-        .where(col("url").isNotNull).distinct()
+        .where(col("url").isNotNull)
       val allowed = Robots.robotsAllowed(
           discovered.join(crawled, Seq("url"), "left_anti"),
           Robots.robotsRules(robotsTable(s)), idCol = "url")
@@ -1995,9 +2000,10 @@ object PipelineQueries {
       val docs = Tables.documents(s, dir)
       val la = linkAug(docs)
       val fh = fetchHistoryTable(docs)
+      // no distinct() — anti-join set semantics (the ext_frontier note)
       val crawled = la.select(UrlOps.canonicalUrl(col("url")).as("url"))
         .unionByName(fh.select(UrlOps.canonicalUrl(col("url")).as("url")))
-        .where(col("url").isNotNull).distinct()
+        .where(col("url").isNotNull)
       val fresh = LinkGraph.resolveLinks(
           LinkGraph.extractLinks(la, keepCols = Seq("url")))
         .select(UrlOps.canonicalUrl(col("href")).as("url"), lit(2L).as("__rk"))
@@ -2014,14 +2020,18 @@ object PipelineQueries {
         .where(col("next_due_ms") <= 1500000L)
         .select(UrlOps.canonicalUrl(col("url")).as("url"), lit(0L).as("__rk"))
         .where(col("url").isNotNull)
+      // reason rides the schedule window via keepCols instead of a
+      // join-back on url (cands is unique per url, so the join carried
+      // no semantics — one join + one exchange gone; r21 optimization)
       val cands = fresh.unionByName(due)
         .withColumn("host", UrlOps.hostOf(col("url")))
-      Robots.fetchSchedule(cands.select("host", "url"),
-          Robots.crawlDelayBudget(robotsTable(s)).select("host", "delay_ms"))
-        .join(cands.select(col("url"),
+        .withColumn("reason",
           when(col("__rk") === 0, lit("recrawl"))
             .when(col("__rk") === 1, lit("sitemap"))
-            .otherwise(lit("discovered")).as("reason")), Seq("url"))
+            .otherwise(lit("discovered")))
+      Robots.fetchSchedule(cands.select("host", "url", "reason"),
+          Robots.crawlDelayBudget(robotsTable(s)).select("host", "delay_ms"),
+          keepCols = Seq("reason"))
         .select(col("host"), col("url"), col("reason"), col("slot"),
           col("not_before_ms"))
         .orderBy("host", "url")
@@ -2040,9 +2050,10 @@ object PipelineQueries {
       val fh = fetchHistoryTable(docs)
       val resolved = LinkGraph.resolveLinks(
         LinkGraph.extractLinks(la, keepCols = Seq("url")))
+      // no distinct() — anti-join set semantics (the ext_frontier note)
       val crawled = la.select(UrlOps.canonicalUrl(col("url")).as("url"))
         .unionByName(fh.select(UrlOps.canonicalUrl(col("url")).as("url")))
-        .where(col("url").isNotNull).distinct()
+        .where(col("url").isNotNull)
       val fresh = resolved
         .select(UrlOps.canonicalUrl(col("href")).as("url"), lit(2L).as("__rk"))
         .unionByName(sitemapPagesFor(s, dir)
@@ -2060,17 +2071,16 @@ object PipelineQueries {
         .select(UrlOps.canonicalUrl(col("url")).as("url"), lit(0L).as("__rk"),
           (lit(1500000L) - col("next_due_ms")).as("age_ms"))
         .where(col("url").isNotNull)
-      // the candidate set feeds THREE consumers (the priority frame,
-      // the due ages, the trap shares) plus the schedule join — persist
-      // the one model-sized derivation instead of re-running the
-      // three-channel discovery/anti-join/recrawl DAG per consumer
-      // (the ext_recrawl_sitemap precedent; 6.5 s -> ~2 s at sf0.1)
+      // r21: the ageCol/trapSharesFromCands fast paths fold the former
+      // three consumers (priority frame, due ages, trap shares) into ONE
+      // linear read of the candidate set, so the persist that amortized
+      // the three-channel discovery DAG across consumers is gone with
+      // the joins it served
       val cands = fresh.unionByName(due)
         .withColumn("reason",
           when(col("__rk") === 0, lit("recrawl"))
             .when(col("__rk") === 1, lit("sitemap"))
             .otherwise(lit("discovered")))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // the rank table is the staged at-rest serving copy (see
       // rankStoreFor — centrality updates on the link graph's cadence,
       // not per dispatch epoch)
@@ -2084,11 +2094,11 @@ object PipelineQueries {
       // identical (r21 optimization; equivalence oracle-gated)
       val pri = Frontier.frontierPriority(
         cands.select("url", "reason", "age_ms"), ranks,
-        trapShares = Some(UrlOps.crawlTraps(cands, urlsUnique = true)),
         sitemapPriorities = Some(sitemapPagesFor(s, dir)
           .select("url", "priority_ppm")),
         defaultRankPpm = 150000L, ageScaleMs = 1000000L,
-        ageCol = Some("age_ms"), sitemapPrioritiesUnique = true)
+        ageCol = Some("age_ms"), sitemapPrioritiesUnique = true,
+        trapSharesFromCands = true)
       Frontier.fetchScheduleByPriority(
           pri.select("host", "url", "priority"),
           Robots.crawlDelayBudget(robotsTable(s)).select("host", "delay_ms"),
@@ -6486,6 +6496,26 @@ object PipelineQueries {
       "pagerank_over_edges" -> (() => LinkGraph.pageRankPpm(edges)),
       "harmonic_over_edges" -> (() => LinkGraph.harmonicPpm(edges)),
       "harmonic_kmv_over_edges" -> (() => LinkGraph.harmonicPpmSketch(edges)),
+      "fp_pri" -> (() => {
+        val candsQ = candsP
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        Frontier.frontierPriority(
+          candsQ.select("url", "reason", "age_ms"),
+          ShingleStage.stagedTable(s, s"rankstore_$dir", null)
+            .withColumnRenamed("node", "domain"),
+          trapShares = Some(UrlOps.crawlTraps(candsQ, urlsUnique = true)),
+          sitemapPriorities = Some(sitemapPagesFor(s, dir)
+            .select("url", "priority_ppm")),
+          defaultRankPpm = 150000L, ageScaleMs = 1000000L,
+          ageCol = Some("age_ms"), sitemapPrioritiesUnique = true)
+      }),
+      "fp_sched_only" -> (() => {
+        val pri = candsP.select(col("url"),
+            UrlOps.hostOf(col("url")).as("host"), col("age_ms").as("priority"))
+        Frontier.fetchScheduleByPriority(pri,
+          Robots.crawlDelayBudget(robotsTable(s)).select("host", "delay_ms"),
+          maxPerHost = 5)
+      }),
       "fp_full" -> (() => queries("ext_frontier_priority")(s, dir)),
       "frontier_full" -> (() => queries("ext_frontier_full")(s, dir)),
       "frontier" -> (() => queries("ext_frontier")(s, dir)))

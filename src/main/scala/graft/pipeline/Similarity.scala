@@ -213,23 +213,39 @@ object Similarity {
     * the oracle) and [[marginMinedPairsIvf]] (celled — the scale path):
     * per-side top-k neighborhood sums over the given candidate pairs,
     * the integer ratio margin, and the mutual-best filter. `pairs` must
-    * carry (src_id, tgt_id, __c); it persists here because the windows
-    * and the margin join re-read it.
+    * carry (src_id, tgt_id, __c).
+    *
+    * Plan shape (r21 optimization, guide §2.4): ONE linear window
+    * chain. The top-k sums attach as windowed conditional sums over the
+    * SAME per-side partitionings the rank windows establish (a window
+    * over an already-windowed partitioning re-sorts but never
+    * re-exchanges), and the mutual-best rank for the src side rides the
+    * src partitioning the sum pass just used — so the whole kernel is
+    * THREE exchanges of the fixed-width pair stream and ZERO joins,
+    * where the groupBy-sums-then-join-back form paid two extra window
+    * passes (the pair table was re-read per consumer), one groupBy
+    * exchange and two pair-sized joins. Values identical: a conditional
+    * windowed sum over rank <= k IS the top-k sum, and every side with
+    * a pair row has rank 1, so no side loses its row (the old inner
+    * join also kept every side). With the single linear chain the
+    * kernel-internal persist is gone too — nothing reads twice.
     */
   private def marginMutualOf(pairsIn: DataFrame, k: Int): DataFrame = {
-    val pairs = pairsIn.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val wx = Window.partitionBy("src_id").orderBy(col("__c").desc, col("tgt_id"))
     val wy = Window.partitionBy("tgt_id").orderBy(col("__c").desc, col("src_id"))
-    val ranked = pairs
-      .withColumn("__rx", row_number().over(wx))
-      .withColumn("__ry", row_number().over(wy))
-    val sax = ranked.where(col("__rx") <= k).groupBy("src_id").agg(sum("__c").as("__sax"))
-    val say = ranked.where(col("__ry") <= k).groupBy("tgt_id").agg(sum("__c").as("__say"))
-    val margins = pairs.join(sax, "src_id").join(say, "tgt_id")
-      .withColumn("margin_ppm", expr("(2000000 * __c) DIV greatest(__sax + __say, 1)"))
+    val wx = Window.partitionBy("src_id").orderBy(col("__c").desc, col("tgt_id"))
     val bx = Window.partitionBy("src_id").orderBy(col("margin_ppm").desc, col("tgt_id"))
     val by = Window.partitionBy("tgt_id").orderBy(col("margin_ppm").desc, col("src_id"))
-    margins
+    pairsIn
+      // tgt-side pass: rank + top-k sum under one tgt_id exchange
+      .withColumn("__ry", row_number().over(wy))
+      .withColumn("__say", sum(when(col("__ry") <= k, col("__c")))
+        .over(Window.partitionBy("tgt_id")))
+      // src-side pass: rank + top-k sum under one src_id exchange
+      .withColumn("__rx", row_number().over(wx))
+      .withColumn("__sax", sum(when(col("__rx") <= k, col("__c")))
+        .over(Window.partitionBy("src_id")))
+      .withColumn("margin_ppm", expr("(2000000 * __c) DIV greatest(__sax + __say, 1)"))
+      // mutual best: bx reuses the src_id partitioning in place
       .withColumn("__bx", row_number().over(bx))
       .withColumn("__by", row_number().over(by))
       .where(col("__bx") === 1 && col("__by") === 1)

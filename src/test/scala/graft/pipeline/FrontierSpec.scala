@@ -105,4 +105,32 @@ class FrontierSpec extends SparkSpec {
       cands.select("url", "reason"), ranks, ageCol = Some("age_ms")))
     assert(miss.getMessage.contains("age_ms"), miss.getMessage)
   }
+
+  test("frontierPriority trapSharesFromCands == crawlTraps(cands) joined back, " +
+    "NULL hosts score 0, both-form refusal") {
+    // a trap-shaped host (4 of 5 urls in one template) + a flat host +
+    // a NULL-host candidate
+    val cands = Seq(
+      "https://t.com/cal/2024/01/01", "https://t.com/cal/2024/01/02",
+      "https://t.com/cal/2024/02/03", "https://t.com/cal/2025/04/05",
+      "https://t.com/about",
+      "https://flat.org/a", "https://flat.org/b",
+      "notaurl"
+    ).toDF("url").withColumn("reason", lit("discovered"))
+    val ranks = Seq(("t.com", 400000L)).toDF("domain", "rank_ppm")
+    def scores(df: org.apache.spark.sql.DataFrame) = df.select("url", "priority")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val viaTable = scores(Frontier.frontierPriority(cands, ranks,
+      trapShares = Some(UrlOps.crawlTraps(cands, urlsUnique = true))))
+    val inPlace = scores(Frontier.frontierPriority(cands, ranks,
+      trapSharesFromCands = true))
+    assert(inPlace == viaTable, s"in-place trap shares diverged: $inPlace vs $viaTable")
+    // the trap pool really bites: the /cal/N/N/N urls pay 4/5 of t.com
+    assert(inPlace("https://t.com/cal/2024/01/01") ==
+      400000L + 0L - 800000L, s"got $inPlace")
+    val both = intercept[IllegalArgumentException](Frontier.frontierPriority(
+      cands, ranks, trapShares = Some(UrlOps.crawlTraps(cands)),
+      trapSharesFromCands = true))
+    assert(both.getMessage.contains("EITHER trapSharesFromCands"), both.getMessage)
+  }
 }
