@@ -251,7 +251,11 @@ object Bpe {
       .groupBy("w").agg(count(lit(1)).as("c"))
       .select(expr("transform(sequence(1, length(w)), c0 -> substr(w, c0, 1))").as("syms"),
         col("c"))
-      .localCheckpoint(eager = false)
+    // per-round lineage truncation via the SHARED helper so BPE training
+    // honors the engine-wide spark.graft.reliableCheckpoint switch like
+    // every other iterative operator (ADVICE r20 — the bare
+    // localCheckpoint left unrecoverable local blocks on reliable runs)
+    dict = Checkpoints.iterCheckpoint(dict, "Bpe.train")
     val learned = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     var exhausted = false
     while (learned.size < nMerges && !exhausted) {
@@ -273,9 +277,9 @@ object Bpe {
           val (a, b) = (p.getString(0), p.getString(1))
           learned += ((a, b))
           // apply the new rule to the dict (the encoder's positional pass)
-          dict = dict
-            .select(expr(applyRuleS("syms", learned.size, a, b)).as("syms"), col("c"))
-            .localCheckpoint(eager = false)
+          dict = Checkpoints.iterCheckpoint(dict
+            .select(expr(applyRuleS("syms", learned.size, a, b)).as("syms"), col("c")),
+            "Bpe.train")
       }
     }
     learned.toSeq

@@ -33,8 +33,19 @@ private[graft] object Checkpoints {
       opName: String,
       extraConfKeys: Seq[String] = Nil): DataFrame = {
     val conf = df.sparkSession.conf
+    // tolerant parse, refusing loudly BY KEY on junk: a bare .toBoolean
+    // threw 'For input string: "1"' with no hint of which conf was wrong
+    // (ADVICE r20)
     val reliable = ("spark.graft.reliableCheckpoint" +: extraConfKeys)
-      .exists(k => conf.getOption(k).exists(_.toBoolean))
+      .exists { k =>
+        conf.getOption(k).exists { v =>
+          val t = v.trim
+          if (t.equalsIgnoreCase("true")) true
+          else if (t.equalsIgnoreCase("false")) false
+          else throw new IllegalArgumentException(
+            s"$opName: conf $k must be true or false, got '$v'")
+        }
+      }
     if (reliable) {
       require(df.sparkSession.sparkContext.getCheckpointDir.isDefined,
         s"reliable checkpointing for $opName requires " +

@@ -824,7 +824,11 @@ object Dedup {
       .where(col(s"__t${w - 1}").isNotNull) // full w-token windows only
       .select(col(idCol), col("pos"),
         concat_ws(" ", col("t") +: (1 until w).map(i => col(s"__t$i")): _*).as("__gram"))
-      .select(col(idCol), col("pos"), md5(col("__gram")).as("gh"))
+      // unhex: the SAME 128-bit hash as 16 raw bytes instead of 32 hex
+      // chars — gh never leaves this operator, and halving the key is
+      // half the corpus-wide exchange's bytes + cheaper sort compares
+      // (guide §2.3 narrow types; r21 optimization)
+      .select(col(idCol), col("pos"), unhex(md5(col("__gram"))).as("gh"))
     val hits = grams
       .withColumn("__c", count(lit(1)).over(Window.partitionBy("gh")))
       .where(col("__c") > 1)

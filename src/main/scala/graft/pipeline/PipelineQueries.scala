@@ -897,8 +897,14 @@ object PipelineQueries {
     * parse or framing bug surfaces as a hash mismatch.
     */
   private def audioFpMedia(s: SparkSession, dir: String): DataFrame = {
+    // one hex+lpad per 16-bit word instead of two of each plus a concat:
+    // the little-endian byte pair (lo, hi) IS the 4-hex-digit rendering
+    // of lo*256 + hi, byte-identical after unhex — the per-SAMPLE string
+    // work is the whole cost of this fixture build (~4M samples at
+    // sf0.1), so halving it halves the media_audio staging entry
+    // (r21 optimization; guide §1.2 per-task work)
     def le16(e: String) =
-      s"concat(lpad(hex(($e) % 256), 2, '0'), lpad(hex(($e) DIV 256), 2, '0'))"
+      s"lpad(hex((($e) % 256) * 256 + ($e) DIV 256), 4, '0')"
     def le32(e: String) =
       s"concat(${le16(s"($e) % 65536")}, ${le16(s"($e) DIV 65536")})"
     def wavHex(v: String) = {
@@ -2360,10 +2366,12 @@ object PipelineQueries {
           Robots.crawlDelayBudget(robotsTable(s)))
         .select(col("doc_id"), col("kept").as("budget_kept"))
       val bsurv = gsurv.join(bud, Seq("doc_id")).where(col("budget_kept"))
-      val la = linkAug(Tables.documents(s, dir))
-      val ranks = LinkGraph.pageRankPpm(LinkGraph.linkDomainEdges(
-          LinkGraph.resolveLinks(LinkGraph.extractLinks(la, keepCols = Seq("url")))))
-        .withColumnRenamed("node", "domain")
+      // the rank prior reads the staged at-rest serving copy (rankStoreFor
+      // — IDENTICAL derivation, maintained on the link graph's cadence;
+      // ext_pagerank remains the inline gate of the computation): the cap
+      // consumes centrality, it does not re-run the 5-iteration loop per
+      // governance pass (r21 optimization; values oracle-identical)
+      val ranks = rankStoreFor(s, dir).withColumnRenamed("node", "domain")
       val cap = UrlOps.domainCapByRank(bsurv.select("doc_id", "url"), ranks,
           baseCap = 10L, maxCap = 40L)
         .select(col("doc_id"), col("kept").as("cap_kept"))
@@ -2430,10 +2438,8 @@ object PipelineQueries {
         .toDF("domain")
       val oo = UrlOps.domainOptOut(docs, registry)
         .select(col("doc_id"), lit(true).as("__oo"))
-      val la = linkAug(Tables.documents(s, dir))
-      val ranks = LinkGraph.pageRankPpm(LinkGraph.linkDomainEdges(
-          LinkGraph.resolveLinks(LinkGraph.extractLinks(la, keepCols = Seq("url")))))
-        .withColumnRenamed("node", "domain")
+      // staged rank serving copy — the ext_crawl_funnel note applies
+      val ranks = rankStoreFor(s, dir).withColumnRenamed("node", "domain")
       val cap = UrlOps.domainCapByRank(docs.select("doc_id", "url"), ranks,
           baseCap = 10L, maxCap = 40L)
         .select(col("doc_id"), col("domain"), col("kept").as("cap_kept"))

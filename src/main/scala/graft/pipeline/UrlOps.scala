@@ -839,6 +839,13 @@ object UrlOps {
     * the sorted-scan metadata, so long-running crawls compact the
     * store on their maintenance cadence (rewrite sorted — the
     * [[crawledUrlBloom]] at-rest rebuild discipline).
+    *
+    * SINGLE WRITER per table (ADVICE r20): the read-anti-join-append is
+    * not atomic — two concurrent epoch appends would both anti-join the
+    * pre-append snapshot and re-append the same URLs (defeating the
+    * grows-in-URLs-not-fetches invariant), and a mid-write failure can
+    * leave partial bucket files. Nothing in this API enforces it; the
+    * crawl loop's epoch cadence is the serialization point.
     */
   def crawledStoreAppend(
       newlyCrawled: DataFrame,

@@ -888,9 +888,14 @@ object StreamDedup {
         // sized, not model-sized like the (host, delay_ms) table above —
         // forcing a 10⁸-row broadcast is the recrawlDueStream checkpoint
         // lesson (stream-static KEYED join; AQE still broadcasts small
-        // tables). The static side re-evaluates per micro-batch, so a
-        // caller serving a large or derived table passes it pre-folded
-        // and persisted/at-rest on the rank store's cadence.
+        // tables). The static side re-evaluates per micro-batch —
+        // INCLUDING this groupBy/max fold, which re-runs per batch even
+        // on a pre-folded table (ADVICE r20: the fold is the boundary
+        // guard for duplicate-url priority tables and is kept
+        // unconditionally) — so a caller serving a large or derived
+        // table passes it pre-folded AND persisted/at-rest on the rank
+        // store's cadence, bounding the per-batch re-aggregation to a
+        // cached model-sized frame.
         priorityDispatchStream(
           stateTtlMs = stateTtlMs,
           reqs = withDelay
@@ -1131,6 +1136,11 @@ object StreamDedup {
       // comparison can walk the UTF-16 chars directly — zero
       // allocation on the sort hot path (encoding both urls per
       // comparison would allocate 2·n·log n arrays per window).
+      // Precondition (documented, ADVICE r20): urls are WELL-FORMED
+      // UTF-16 — the canonicalizer's output always is. For a LONE
+      // surrogate this comparison uses the raw surrogate code point
+      // (0xD800+) where UTF8String encodes '?' (0x3F), so only
+      // malformed strings could diverge from the batch order.
       // Surrogate-aware: at the first differing char, compare the full
       // code points — a supplementary pair (code point >= 0x10000)
       // must sort ABOVE every BMP char even though its high surrogate
