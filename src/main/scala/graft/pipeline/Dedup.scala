@@ -791,7 +791,8 @@ object Dedup {
     *     the array-HOF form re-evaluates the tokenizer combinatorially
     *     after projection collapse);
     *  2. one corpus-wide exchange on the fixed-width full-md5 gram hash
-    *     (32 hex chars — NOT a truncated prefix: past ~77k distinct grams
+    *     (16 raw bytes via unhex — the FULL 128 bits, NOT a truncated
+    *     prefix: past ~77k distinct grams
     *     a 32-bit key collides by birthday bound, and a collision here
     *     falsely excises unique text; whole-doc [[exactDedup]] set the
     *     full-md5 convention and this operator keeps it) —

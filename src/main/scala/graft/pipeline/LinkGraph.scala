@@ -402,10 +402,12 @@ object LinkGraph {
       .distinct()
       .repartition(col("u"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // not persisted: with the trailing nodes join gone (see below) the
+    // node table has exactly ONE consumer — the round-0 state init,
+    // which carries its own persist
     val nodes = e.select(col("u").as("node"))
       .unionByName(e.select(col("v").as("node")))
       .distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
     def estimate(st: DataFrame): DataFrame = st.groupBy("v").agg(
       expr(s"if(count(1) < $k, count(1), " +
         s"${k - 1}L * (${KmvSpace}L DIV greatest(max(h), 1L)))").as("est"))

@@ -2097,7 +2097,13 @@ object PipelineQueries {
       // trap count needs no distinct expand (urlsUnique), and the staged
       // sitemap table is already max-elected per url
       // (sitemapPrioritiesUnique) — three exchanges gone, values
-      // identical (r21 optimization; equivalence oracle-gated)
+      // identical (r21 optimization; equivalence oracle-gated).
+      // PRECONDITION the uniqueness rests on: recrawlDue keys per RAW
+      // fetch-history url and canonicalUrl is applied after it, so the
+      // fetch store must not carry canonical-collapsing spellings of one
+      // url (ingest writes canonical urls — the webIngestStream
+      // contract); a caller with a raw-spelling store canonicalizes
+      // BEFORE recrawlDue or keeps the table-form folds
       val pri = Frontier.frontierPriority(
         cands.select("url", "reason", "age_ms"), ranks,
         sitemapPriorities = Some(sitemapPagesFor(s, dir)
@@ -6507,8 +6513,7 @@ object PipelineQueries {
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         Frontier.frontierPriority(
           candsQ.select("url", "reason", "age_ms"),
-          ShingleStage.stagedTable(s, s"rankstore_$dir", null)
-            .withColumnRenamed("node", "domain"),
+          rankStoreFor(s, dir).withColumnRenamed("node", "domain"),
           trapShares = Some(UrlOps.crawlTraps(candsQ, urlsUnique = true)),
           sitemapPriorities = Some(sitemapPagesFor(s, dir)
             .select("url", "priority_ppm")),

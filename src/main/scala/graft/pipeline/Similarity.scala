@@ -245,6 +245,11 @@ object Similarity {
       .withColumn("__sax", sum(when(col("__rx") <= k, col("__c")))
         .over(Window.partitionBy("src_id")))
       .withColumn("margin_ppm", expr("(2000000 * __c) DIV greatest(__sax + __say, 1)"))
+      // NULL-id parity with the old join form: a NULL-keyed pair row
+      // CONTRIBUTED to the neighborhood sums above (the old groupBy
+      // pooled it) but never survived the inner sum joins, so it must
+      // not compete for mutual-best here either
+      .where(col("src_id").isNotNull && col("tgt_id").isNotNull)
       // mutual best: bx reuses the src_id partitioning in place
       .withColumn("__bx", row_number().over(bx))
       .withColumn("__by", row_number().over(by))

@@ -546,6 +546,27 @@ class PipelineOpsSpec extends SparkSpec {
       s"queries are label 0, so every mined negative must be label 1: $celled")
   }
 
+  test("marginMinedPairs: a NULL-id row feeds neighborhood sums but never emits " +
+    "or competes for mutual-best (the r21 kernel rewrite's join-parity contract)") {
+    val dim = 4
+    def unit(i: Int): Array[Double] = Array.tabulate(dim)(j => if (j == i) 1.0 else 0.0)
+    // tgt 10 is src 0's planted pair; the NULL-id source ALSO points at
+    // tgt 10 with a higher cosine — under the old inner-join kernel it
+    // contributed to tgt 10's top-k sum but could not steal __by = 1;
+    // the window kernel must behave identically
+    val src = Seq((java.lang.Long.valueOf(0L), unit(0)),
+      (null.asInstanceOf[java.lang.Long], unit(0).map(_ * 2.0)))
+    val tgt = Seq((java.lang.Long.valueOf(10L), unit(0)),
+      (java.lang.Long.valueOf(11L), unit(1)))
+    val got = Similarity.marginMinedPairs(
+        src.toDF("vec_id", "embedding"), tgt.toDF("vec_id", "embedding"), k = 2)
+      .collect().map(r => (Option(r.get(0)), Option(r.get(1))))
+    assert(got.forall(p => p._1.isDefined && p._2.isDefined),
+      s"NULL-id rows must never emit: ${got.toSeq}")
+    assert(got.map(p => (p._1.get, p._2.get)).contains((0L, 10L)),
+      s"the real pair must keep its mutual-best slot: ${got.toSeq}")
+  }
+
   test("marginMinedPairsIvf: full probe == exact; partial probe recovers in-cell pairs") {
     val dim = 8
     val nCells = 4
