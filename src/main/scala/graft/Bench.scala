@@ -95,6 +95,15 @@ object Bench {
     val repsJson = names.map { n =>
       s"\"" + n + "\":" + times(n).map(fmt).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
+    // per-query MINS as their own key (r21 verdict "what's wrong" #1): the
+    // stdout detail line outgrew the driver's ~2 KB tail capture at 193
+    // queries, so this file is the durable carrier of the per-query
+    // numbers a round-over-round comparison needs — mins first (the
+    // number that matters), reps/triage after (the provenance).
+    val minsJson = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
+    val stagingJson = stagingDetail
+      .map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     // per-query triage: a query whose reps spread >1.3x saw host contention
     // (its min is still faithful — that is why reps run round-robin); tight
     // reps mean a quiet host. Cross-round comparison (regressed/improved)
@@ -111,7 +120,9 @@ object Bench {
       val repsPath = java.nio.file.Paths.get("target", "bench_reps.json")
       java.nio.file.Files.createDirectories(repsPath.getParent)
       java.nio.file.Files.write(repsPath,
-        s"""{"reps":$repsJson,"triage":$triageJson,"sf":"$sfDir"}""".getBytes("UTF-8"))
+        (s"""{"mins":$minsJson,"staging_sec":${fmt(stagingSec)},""" +
+          s""""staging_detail":$stagingJson,"cpus":$cpus,""" +
+          s""""reps":$repsJson,"triage":$triageJson,"sf":"$sfDir"}""").getBytes("UTF-8"))
     } catch { case _: Throwable => () }
     // Two lines: a long per-query detail line, then a short summary line
     // LAST (the detail line outgrew the driver's ~2 KB stdout tail capture
@@ -120,8 +131,6 @@ object Bench {
     // metric name sees exactly one total; the detail line is named
     // "total_detail" and the full per-query map also lands in
     // target/bench_reps.json.
-    val stagingJson = stagingDetail
-      .map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     println(s"""{"metric":"total_detail","value":${fmt(total)},"unit":"sec","queries":$qs,"staging_sec":${fmt(stagingSec)},"staging_detail":$stagingJson,"failed":$failedJson,"sf":"$sfDir"}""")
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","staging_sec":${fmt(stagingSec)},"n_queries":${names.size},"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()

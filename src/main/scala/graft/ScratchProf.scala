@@ -8,7 +8,8 @@ import org.apache.spark.sql.functions._
   */
 object ScratchProf {
   def main(args: Array[String]): Unit = {
-    val dir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val dir = if (args.length > 0) args(0)
+      else sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val reps = if (args.length > 1) args(1).toInt else 3
     val sel = if (args.length > 2) args(2).split(",").toSet else Set.empty[String]
     val spark = SparkSession.builder().master("local[32]")
@@ -17,20 +18,28 @@ object ScratchProf {
         sys.env.getOrElse("SCRATCH_CODEGEN_CACHE", "100"))
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    graft.pipeline.PipelineQueries.stageAllDetail(spark, dir)
-      .foreach { case (k, v) => println(f"STAGE $k $v%.2f") }
+    if (!sys.env.get("SCRATCH_SKIP_STAGE").contains("1"))
+      graft.pipeline.PipelineQueries.stageAllDetail(spark, dir)
+        .foreach { case (k, v) => println(f"STAGE $k $v%.2f") }
     val probes = graft.pipeline.PipelineQueries.scratchProbes(spark, dir)
     val chosen = if (sel.isEmpty) probes else probes.filter(p => sel.contains(p._1))
+    // noop sink, NOT count(): count lets the optimizer prune every
+    // projected column (and with it the compute under test — guide §1.4),
+    // which silently turned the fixture-build probes into row-count scans.
+    def run(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
     chosen.foreach { case (name, f) =>
-      // warm-up pass (JIT/codegen), then timed reps
       try {
-        f().count()
+        // the warm-up pass is reported too: cold − warm ≈ the one-time
+        // planning + codegen cost, which is what dominates the staging
+        // fixture builds at this SF
+        val c0 = System.nanoTime(); run(f()); val cold = (System.nanoTime() - c0) / 1e9
         val ts = (1 to reps).map { _ =>
           spark.catalog.clearCache()
-          val t0 = System.nanoTime(); val n = f().count(); ((System.nanoTime() - t0) / 1e9, n)
+          val t0 = System.nanoTime(); run(f()); (System.nanoTime() - t0) / 1e9
         }
-        println(f"PROBE $name rows=${ts.head._2} min=${ts.map(_._1).min}%.3f all=" +
-          ts.map(x => f"${x._1}%.2f").mkString(","))
+        println(f"PROBE $name cold=$cold%.3f min=${ts.min}%.3f all=" +
+          ts.map(x => f"$x%.2f").mkString(","))
       } catch { case e: Throwable => println(s"PROBE $name FAILED ${e.getMessage}") }
     }
     spark.stop()
