@@ -67,14 +67,37 @@ object Frontier {
     require(missing.isEmpty,
       s"frontierPriority: ranks must carry (domain, rank_ppm); missing ${missing.mkString(", ")}")
     val reserved = Seq("host", "priority", "__dom", "__tpl", "__rkp", "__age", "__shr",
-        "__smp", "__nht", "__nh")
+        "__smp", "__nht", "__nh", "__ckn")
       .filter(cands.columns.contains)
     require(reserved.isEmpty,
       s"frontierPriority: cands columns collide with output/internal names " +
         s"(rename them): ${reserved.mkString(", ")}")
     require(cands.columns.contains("reason"),
       "frontierPriority: cands must carry reason (recrawl/sitemap/discovered)")
-    val withKeys = cands
+    // Opt-in contract guard (spark.graft.checkContracts=true): the
+    // ageCol / trapSharesFromCands / sitemapPrioritiesUnique fast paths
+    // are value-identical ONLY under a one-row-per-url contract that is
+    // documented at the call sites and oracle-gated but otherwise
+    // unchecked — under the conf a duplicate url RAISES (assert_true)
+    // instead of silently inflating ages/shares/claims. Off by default
+    // and plan-invisible when off: no expression is added. Debug cost
+    // when on: one windowed count per guarded frame.
+    val checkContracts = cands.sparkSession.conf
+      .get("spark.graft.checkContracts", "false").toBoolean
+    def uniqueGuard(df: DataFrame, what: String): DataFrame =
+      if (!checkContracts) df
+      else df
+        .withColumn("__ckn", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col(urlCol))))
+        .where(expr(s"assert_true(__ckn = 1, 'frontierPriority: $what requires " +
+          s"one row per $urlCol and the input has duplicates " +
+          s"(spark.graft.checkContracts)') is null"))
+        .drop("__ckn")
+    val guardedCands =
+      if (ageCol.nonEmpty || trapSharesFromCands)
+        uniqueGuard(cands, "the ageCol/trapSharesFromCands fast path")
+      else cands
+    val withKeys = guardedCands
       .withColumn("host", UrlOps.hostOf(col(urlCol)))
       .withColumn("__dom", UrlOps.registrableDomain(col(urlCol)))
       .withColumn("__tpl", UrlOps.urlTemplate(col(urlCol)))
@@ -159,7 +182,8 @@ object Frontier {
         // the fold drops its exchange without changing any value
         val folded =
           if (sitemapPrioritiesUnique)
-            sp.select(col(urlCol), col("priority_ppm").cast("long").as("__smp"))
+            uniqueGuard(sp, "sitemapPrioritiesUnique")
+              .select(col(urlCol), col("priority_ppm").cast("long").as("__smp"))
           else sp.groupBy(urlCol).agg(max(col("priority_ppm").cast("long")).as("__smp"))
         withShare.join(folded, Seq(urlCol), "left")
     }

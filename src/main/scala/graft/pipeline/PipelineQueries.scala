@@ -896,30 +896,48 @@ object PipelineQueries {
     * computes the fingerprint from the closed form WITHOUT bytes — a
     * parse or framing bug surfaces as a hash mismatch.
     */
-  private def audioFpMedia(s: SparkSession, dir: String): DataFrame = {
-    // one hex+lpad per 16-bit word instead of two of each plus a concat:
-    // the little-endian byte pair (lo, hi) IS the 4-hex-digit rendering
-    // of lo*256 + hi, byte-identical after unhex — the per-SAMPLE string
-    // work is the whole cost of this fixture build (~4M samples at
-    // sf0.1), so halving it halves the media_audio staging entry
-    // (r21 optimization; guide §1.2 per-task work)
+  private def audioFpMedia(s: SparkSession, dir: String): DataFrame =
+    audioFpMediaOf(Tables.documents(s, dir))
+
+  private[pipeline] def audioFpMediaOf(docsIn: DataFrame): DataFrame = {
     def le16(e: String) =
       s"lpad(hex((($e) % 256) * 256 + ($e) DIV 256), 4, '0')"
     def le32(e: String) =
       s"concat(${le16(s"($e) % 65536")}, ${le16(s"($e) DIV 65536")})"
+    // FOUR samples per hex+lpad+array cell instead of one (r22, guide
+    // §1.2 per-task work — the per-sample STRING pipeline is the whole
+    // cost of this fixture build, ~4M samples at sf0.1): the four
+    // byte-swapped 16-bit words packed big-endian into one 64-bit value
+    // hex to exactly the concatenation of their four 4-digit renderings
+    // (hex() of a negative BIGINT is its full 16-digit two's complement,
+    // which IS the unsigned packing — lpad keeps shorter values exact).
+    // Bytes identical by construction; pinned against an independent
+    // Scala byte assembly in FixturePackSpec. n = 65·(10 + d%5) is a
+    // multiple of 4 only in some arms, so the n%4 tail (0–3 samples)
+    // keeps the per-word form.
     def wavHex(v: String) = {
       val n = audioFpLenD("doc_id")
-      val samp = audioSampleD("doc_id", "t", v)
+      // byte-swapped word of sample at position `t` (lo byte first)
+      def word(t: String) = {
+        val samp = audioSampleD("doc_id", t, v)
+        val x = s"((($samp) + 65536) % 65536)"
+        s"((($x) % 256) * 256 + ($x) DIV 256)"
+      }
+      val pack4 = (0 until 4).map(i => s"shiftleft(${word(s"(q*4+$i)")}, ${48 - 16 * i})")
+        .mkString("(", " | ", ")")
       val dataSize = s"($n * 2)"
       s"""concat('52494646', ${le32(s"36 + $dataSize")}, '57415645',
          |  '666d7420', ${le32("16")}, ${le16("1")}, ${le16("1")}, ${le32("8000")},
          |  ${le32("16000")}, ${le16("2")}, ${le16("16")},
          |  '64617461', ${le32(dataSize)},
-         |  array_join(transform(sequence(0, $n - 1),
-         |    t -> ${le16(s"(($samp) + 65536) % 65536")}), ''))"""
+         |  array_join(transform(sequence(0, $n DIV 4 - 1),
+         |    q -> lpad(hex($pack4), 16, '0')), ''),
+         |  CASE WHEN $n % 4 = 0 THEN ''
+         |    ELSE array_join(transform(sequence($n - $n % 4, $n - 1),
+         |      t -> lpad(hex(${word("t")}), 4, '0')), '') END)"""
         .stripMargin.replace("\n", " ")
     }
-    val docs = Tables.documents(s, dir)
+    val docs = docsIn
     docs.select(col("doc_id").as("media_id"), unhex(expr(wavHex("false"))).as("payload"))
       .unionByName(docs.where(col("doc_id") % 10 === 0)
         .select((col("doc_id") + 1000000L).as("media_id"),
@@ -1069,15 +1087,35 @@ object PipelineQueries {
     * seed, __v pixel-perturbation flag): even ids get 24-bit BMPs, odd
     * ids binary PGMs, pixels from [[rasterPx]].
     */
-  private def rasterPayload(ids: DataFrame): DataFrame = {
+  private[pipeline] def rasterPayload(ids: DataFrame): DataFrame = {
     val px = rasterPx("spark") _
-    val pgmBody = s"array_join(transform(sequence(0, ${imgW * imgH - 1}), i -> " +
-      s"lpad(hex(${px("__d", s"i % $imgW", s"i DIV $imgW", "__v")}), 2, '0')), '')"
+    // EIGHT pixel bytes per hex+lpad+array cell instead of one (r22,
+    // guide §1.2 — the per-byte string pipeline is the cost of every
+    // raster build; both bodies are multiples of 8 bytes, 72 and 224):
+    // the bytes packed big-endian into one 64-bit value hex to exactly
+    // the concatenation of their eight 2-digit renderings (hex() of a
+    // negative BIGINT is its 16-digit two's complement = the unsigned
+    // packing; lpad keeps shorter values exact). Bytes identical by
+    // construction; pinned against an independent Scala byte assembly
+    // in FixturePackSpec.
+    def pack8(byteAt: String => String) =
+      (0 until 8).map(j => s"shiftleft(cast(${byteAt(j.toString)} as bigint), ${56 - 8 * j})")
+        .mkString("(", " | ", ")")
+    val pgmByte = (j: String) => {
+      val i = s"(g*8+$j)"
+      s"(${px("__d", s"$i % $imgW", s"$i DIV $imgW", "__v")})"
+    }
+    val pgmBody = s"array_join(transform(sequence(0, ${imgW * imgH / 8 - 1}), g -> " +
+      s"lpad(hex(${pack8(pgmByte)}), 16, '0')), '')"
     // BMP rows are BOTTOM-UP and 4-byte padded: byte b is a pad (0x00)
     // past the pixel bytes of its row, else x=(b%row)/3, y=H-1-(b/row)
-    val bmpBody = s"array_join(transform(sequence(0, ${bmpRow * imgH - 1}), b -> " +
-      s"lpad(hex(CASE WHEN (b % $bmpRow) >= ${imgW * 3} THEN 0 ELSE " +
-      s"${px("__d", s"(b % $bmpRow) DIV 3", s"${imgH - 1} - (b DIV $bmpRow)", "__v")} END), 2, '0')), '')"
+    val bmpByte = (j: String) => {
+      val b = s"(g*8+$j)"
+      s"(CASE WHEN ($b % $bmpRow) >= ${imgW * 3} THEN 0 ELSE " +
+        s"${px("__d", s"($b % $bmpRow) DIV 3", s"${imgH - 1} - ($b DIV $bmpRow)", "__v")} END)"
+    }
+    val bmpBody = s"array_join(transform(sequence(0, ${bmpRow * imgH / 8 - 1}), g -> " +
+      s"lpad(hex(${pack8(bmpByte)}), 16, '0')), '')"
     ids.select(col("media_id"),
       when(col("media_id") % 2 === 0, unhex(concat(lit(bmpHdrHex), expr(bmpBody))))
         .otherwise(unhex(concat(lit(pgmHdrHex), expr(pgmBody)))).as("payload"))
@@ -1483,6 +1521,7 @@ object PipelineQueries {
       timed("truth_store") { truthStoreFor(s, dir) },
       timed("blocked_store") { blockedStoreFor(s, dir) },
       timed("sitemap_pages") { sitemapPagesFor(s, dir) },
+      timed("link_store") { linkStoreFor(s, dir) },
       timed("rank_store") { rankStoreFor(s, dir) },
       timed("crawled_store") { crawledStoreFor(s, dir) },
       timed("media_audio") { audioFpMediaStore(s, dir) },
@@ -1491,20 +1530,39 @@ object PipelineQueries {
       timed("media_raster_variants") { rasterMediaStore(s, dir, withVariants = true) })
   }
 
+  /** The RESOLVED OUTLINK table (doc_id, url, href), staged — link
+    * extraction is an INGEST-time artifact in production: a crawler
+    * stores each page's extracted outlinks next to the fetched page
+    * (that table is what link-graph builds and frontier epochs read),
+    * so the frontier builder never re-parses the whole corpus's markup
+    * per dispatch epoch. Maintained on the ingest cadence, exactly the
+    * rank store's at-rest discipline (r21 precedent), built from the
+    * IDENTICAL extract→resolve derivation the inline chain ran.
+    * ext_link_resolve remains the byte-exact oracle gate of that
+    * derivation, and ext_link_graph + the centrality family
+    * (ext_pagerank, the harmonics, ext_rank_cap) keep the full inline
+    * chain as computation gates — this store serves the frontier/governance
+    * consumers (the dispatch-epoch cadence, where re-extraction is the
+    * dominant per-epoch term at any scale).
+    */
+  private def linkStoreFor(s: SparkSession, dir: String): DataFrame =
+    ShingleStage.stagedTable(s, s"linkstore_$dir",
+      LinkGraph.resolveLinks(LinkGraph.extractLinks(
+        linkAug(Tables.documents(s, dir)), keepCols = Seq("url"))))
+
   /** The domain RANK table (node, rank_ppm), staged — centrality is
     * maintained on the LINK GRAPH's cadence (a whole-corpus iterative
     * computation), never recomputed per dispatch epoch: the frontier
     * prioritizer reads it as an input table (the domainCapByRank
     * shape). ext_pagerank still derives it inline — that query GATES
     * the computation; this store is the at-rest serving copy, built
-    * from the IDENTICAL derivation.
+    * from the IDENTICAL derivation (reading the staged outlink table,
+    * which is itself the identical extract→resolve derivation — the
+    * link graph consumes the ingest artifact in production too).
     */
   private def rankStoreFor(s: SparkSession, dir: String): DataFrame =
-    ShingleStage.stagedTable(s, s"rankstore_$dir", {
-      val la = linkAug(Tables.documents(s, dir))
-      LinkGraph.pageRankPpm(LinkGraph.linkDomainEdges(LinkGraph.resolveLinks(
-        LinkGraph.extractLinks(la, keepCols = Seq("url")))))
-    })
+    ShingleStage.stagedTable(s, s"rankstore_$dir",
+      LinkGraph.pageRankPpm(LinkGraph.linkDomainEdges(linkStoreFor(s, dir))))
 
   /** The crawled-set MEMBERSHIP store, staged BUCKETED AND SORTED on
     * the url key — the at-rest carrier [[UrlOps.freshViaStore]] probes
@@ -1560,12 +1618,20 @@ object PipelineQueries {
     * at rest this is the same artifact discipline as the pair store.
     */
   private def blockedStoreFor(s: SparkSession, dir: String): DataFrame =
-    ShingleStage.stagedTable(s, s"blockedstore_$dir", {
+    // r22 (guide §6 at-rest layout): BUCKETED AND SORTED on `sh` — the
+    // key BOTH blocked-quadratic consumers (ngram Jaccard, directional
+    // containment) self-join on, so the pairing join reads co-located
+    // sorted buckets with NO exchange and no per-query sort on either
+    // side (the band-store discipline). The build frame leaves its
+    // rare-join hash-partitioned on sh, aligned with the bucket
+    // function, so the write adds no shuffle either.
+    ShingleStage.stagedBucketed(s, s"blockedstore_$dir", bucketCol = "sh",
+        sortCol = Some("sh")) {
       val sh = ShingleStage.shingleHashes(s, dir, nearAug(Tables.documents(s, dir)))
         .select("doc_id", "sh")
       val rare = sh.groupBy("sh").agg(count(lit(1)).as("df")).where(col("df") <= 64L)
       sh.join(rare.select("sh"), "sh")
-    })
+    }
 
   /** The recall audit's exact TRUTH SAMPLE, staged — the deterministic
     * ¼-doc-sample ground-truth pairs (df-capped co-shingling candidates
@@ -1577,6 +1643,14 @@ object PipelineQueries {
     */
   private def truthStoreFor(s: SparkSession, dir: String): DataFrame =
     ShingleStage.stagedTable(s, s"truthstore_$dir", {
+      // r22 note: persisting shS (and the df-capped frame) for the six
+      // plan branches was A/B'd at 2.4 s → 3.1 s (ScratchProf
+      // truth_build vs truth_build_sh_persist, min-of-4 warm): the
+      // re-reads of the small bucketed staged table are cheaper than
+      // the persist's materialization barriers at any SF where the
+      // sample fits page cache, and the build's real cost is the
+      // blocked quadratic self-join — the artifact's content. Left in
+      // the re-read form deliberately.
       val shS = ShingleStage.shingleHashes(s, dir, nearAug(Tables.documents(s, dir)))
         .select("doc_id", "sh").where(col("doc_id") % 4 === 0)
       Dedup.jaccardForPairsOf(shS, Dedup.coShinglingPairs(shS, 64L))
@@ -1796,9 +1870,12 @@ object PipelineQueries {
     // discounted by BFS distance, so a link farm's few high-rank
     // endorsements don't move it the way they move PageRank
     "ext_harmonic" -> ((s, dir) => {
-      val la = linkAug(Tables.documents(s, dir))
-      val edges = LinkGraph.linkDomainEdges(LinkGraph.resolveLinks(
-        LinkGraph.extractLinks(la, keepCols = Seq("url"))))
+      // edges from the staged at-rest outlink table (r22): a centrality
+      // job consumes the ingest artifact — it never re-parses corpus
+      // markup. ext_link_graph gates extract→resolve→edges inline and
+      // ext_pagerank the full inline chain; THIS query's computation
+      // under oracle gate is harmonicPpm, which stays inline.
+      val edges = LinkGraph.linkDomainEdges(linkStoreFor(s, dir))
       LinkGraph.harmonicPpm(edges)
         .withColumnRenamed("node", "domain")
         .orderBy("domain")
@@ -1808,9 +1885,9 @@ object PipelineQueries {
     // plan shape): fixed-width per-node state however large the
     // in-balls grow — exact below K, the integer KMV estimator above
     "ext_harmonic_kmv" -> ((s, dir) => {
-      val la = linkAug(Tables.documents(s, dir))
-      val edges = LinkGraph.linkDomainEdges(LinkGraph.resolveLinks(
-        LinkGraph.extractLinks(la, keepCols = Seq("url"))))
+      // staged outlink table for edges — the ext_harmonic note (r22);
+      // harmonicPpmSketch stays inline (the computation under gate)
+      val edges = LinkGraph.linkDomainEdges(linkStoreFor(s, dir))
       LinkGraph.harmonicPpmSketch(edges)
         .withColumnRenamed("node", "domain")
         .orderBy("domain")
@@ -1820,8 +1897,8 @@ object PipelineQueries {
     // takes the PageRank prior — domainCapByRank accepts either
     "ext_harmonic_cap" -> ((s, dir) => {
       val la = linkAug(Tables.documents(s, dir))
-      val edges = LinkGraph.linkDomainEdges(LinkGraph.resolveLinks(
-        LinkGraph.extractLinks(la, keepCols = Seq("url"))))
+      // staged outlink table for edges — the ext_harmonic note (r22)
+      val edges = LinkGraph.linkDomainEdges(linkStoreFor(s, dir))
       val ranks = LinkGraph.harmonicPpm(edges)
         .select(col("node").as("domain"), col("harmonic_ppm").as("rank_ppm"))
       UrlOps.domainCapByRank(la.select("doc_id", "url"), ranks,
@@ -1835,9 +1912,12 @@ object PipelineQueries {
     // → rank-weighted cap over the same corpus's provenance
     "ext_rank_cap" -> ((s, dir) => {
       val la = linkAug(Tables.documents(s, dir))
-      val edges = LinkGraph.linkDomainEdges(LinkGraph.resolveLinks(
-        LinkGraph.extractLinks(la, keepCols = Seq("url"))))
-      val ranks = LinkGraph.pageRankPpm(edges).withColumnRenamed("node", "domain")
+      // the rank prior reads the staged at-rest serving copy (r22 — the
+      // ext_crawl_funnel precedent: centrality is maintained on the
+      // link graph's cadence and IDENTICALLY derived; ext_pagerank
+      // remains the inline gate of the full chain incl. the 5-iteration
+      // loop). THIS query's computation under gate is domainCapByRank.
+      val ranks = rankStoreFor(s, dir).withColumnRenamed("node", "domain")
       UrlOps.domainCapByRank(la.select("doc_id", "url"), ranks,
           baseCap = 10L, maxCap = 40L)
         .orderBy("doc_id")
@@ -1945,8 +2025,12 @@ object PipelineQueries {
     // work in one plan
     "ext_frontier" -> ((s, dir) => {
       val la = linkAug(Tables.documents(s, dir))
-      val discovered = LinkGraph.resolveLinks(
-          LinkGraph.extractLinks(la, keepCols = Seq("url")))
+      // discovery reads the staged at-rest outlink table (linkStoreFor —
+      // IDENTICAL extract→resolve derivation, maintained on the ingest
+      // cadence; ext_link_resolve remains the inline oracle gate): a
+      // frontier epoch consumes the ingest artifact, it does not
+      // re-parse the corpus's markup (r22 optimization; guide §2.4/§6)
+      val discovered = linkStoreFor(s, dir)
         .select(UrlOps.canonicalUrl(col("href")).as("url"))
         .where(col("url").isNotNull)
         .unionByName(sitemapPagesFor(s, dir)
@@ -1973,8 +2057,8 @@ object PipelineQueries {
     // allowed rows enter the politeness schedule
     "ext_frontier_governed" -> ((s, dir) => {
       val la = linkAug(Tables.documents(s, dir))
-      val discovered = LinkGraph.resolveLinks(
-          LinkGraph.extractLinks(la, keepCols = Seq("url")))
+      // staged outlink table — the ext_frontier note (r22)
+      val discovered = linkStoreFor(s, dir)
         .select(UrlOps.canonicalUrl(col("href")).as("url"))
         .where(col("url").isNotNull)
         .unionByName(sitemapPagesFor(s, dir).select(col("url")))
@@ -2010,8 +2094,8 @@ object PipelineQueries {
       val crawled = la.select(UrlOps.canonicalUrl(col("url")).as("url"))
         .unionByName(fh.select(UrlOps.canonicalUrl(col("url")).as("url")))
         .where(col("url").isNotNull)
-      val fresh = LinkGraph.resolveLinks(
-          LinkGraph.extractLinks(la, keepCols = Seq("url")))
+      // staged outlink table — the ext_frontier note (r22)
+      val fresh = linkStoreFor(s, dir)
         .select(UrlOps.canonicalUrl(col("href")).as("url"), lit(2L).as("__rk"))
         .unionByName(sitemapPagesFor(s, dir)
           .select(col("url"), lit(1L).as("__rk")))
@@ -2054,8 +2138,8 @@ object PipelineQueries {
       val docs = Tables.documents(s, dir)
       val la = linkAug(docs)
       val fh = fetchHistoryTable(docs)
-      val resolved = LinkGraph.resolveLinks(
-        LinkGraph.extractLinks(la, keepCols = Seq("url")))
+      // staged outlink table — the ext_frontier note (r22)
+      val resolved = linkStoreFor(s, dir)
       // no distinct() — anti-join set semantics (the ext_frontier note)
       val crawled = la.select(UrlOps.canonicalUrl(col("url")).as("url"))
         .unionByName(fh.select(UrlOps.canonicalUrl(col("url")).as("url")))
@@ -2143,8 +2227,8 @@ object PipelineQueries {
     // plans, one truth, the equivalence gate
     "ext_frontier_bloom" -> ((s, dir) => {
       val la = linkAug(Tables.documents(s, dir))
-      val discovered = LinkGraph.resolveLinks(
-          LinkGraph.extractLinks(la, keepCols = Seq("url")))
+      // staged outlink table — the ext_frontier note (r22)
+      val discovered = linkStoreFor(s, dir)
         .select(UrlOps.canonicalUrl(col("href")).as("url"))
         .where(col("url").isNotNull)
         .unionByName(sitemapPagesFor(s, dir)
@@ -2172,8 +2256,8 @@ object PipelineQueries {
     // IS ext_frontier's statement — three plans now, one truth
     "ext_frontier_bloom_shard" -> ((s, dir) => {
       val la = linkAug(Tables.documents(s, dir))
-      val discovered = LinkGraph.resolveLinks(
-          LinkGraph.extractLinks(la, keepCols = Seq("url")))
+      // staged outlink table — the ext_frontier note (r22)
+      val discovered = linkStoreFor(s, dir)
         .select(UrlOps.canonicalUrl(col("href")).as("url"))
         .where(col("url").isNotNull)
         .unionByName(sitemapPagesFor(s, dir)
@@ -2200,9 +2284,8 @@ object PipelineQueries {
     // once more the oracle IS ext_frontier's statement: four plans, one
     // truth
     "ext_frontier_store" -> ((s, dir) => {
-      val la = linkAug(Tables.documents(s, dir))
-      val discovered = LinkGraph.resolveLinks(
-          LinkGraph.extractLinks(la, keepCols = Seq("url")))
+      // staged outlink table — the ext_frontier note (r22)
+      val discovered = linkStoreFor(s, dir)
         .select(UrlOps.canonicalUrl(col("href")).as("url"))
         .where(col("url").isNotNull)
         .unionByName(sitemapPagesFor(s, dir)
@@ -2220,9 +2303,8 @@ object PipelineQueries {
     // count + host share; the signal that catches a calendar/facet/
     // session-id explosion before it eats the crawl budget
     "ext_crawl_traps" -> ((s, dir) => {
-      val la = linkAug(Tables.documents(s, dir))
-      val disc = LinkGraph.resolveLinks(
-          LinkGraph.extractLinks(la, keepCols = Seq("url")))
+      // staged outlink table — the ext_frontier note (r22)
+      val disc = linkStoreFor(s, dir)
         .select(UrlOps.canonicalUrl(col("href")).as("url"))
         .where(col("url").isNotNull).distinct()
       // disc is distinct() — the unique-url contract holds, so the trap
@@ -2234,9 +2316,8 @@ object PipelineQueries {
     // template) in URL order — WindowGroupLimit prunes hot templates
     // map-side (the domainCapSurvivors discipline)
     "ext_trap_cap" -> ((s, dir) => {
-      val la = linkAug(Tables.documents(s, dir))
-      val disc = LinkGraph.resolveLinks(
-          LinkGraph.extractLinks(la, keepCols = Seq("url")))
+      // staged outlink table — the ext_frontier note (r22)
+      val disc = linkStoreFor(s, dir)
         .select(UrlOps.canonicalUrl(col("href")).as("url"))
         .where(col("url").isNotNull).distinct()
       UrlOps.templateCapSurvivors(disc, cap = 3)
@@ -6493,6 +6574,40 @@ object PipelineQueries {
           .otherwise(lit("discovered")))
     Seq(
       "docs" -> (() => docs),
+      "audio_build" -> (() => audioFpMediaOf(docs)
+        .select(col("media_id"), length(col("payload")).as("n"))),
+      "video_build" -> (() => videoFrameMedia(s, dir)
+        .select(col("media_id"), length(col("payload")).as("n"))),
+      "raster_var_build" -> (() => rasterMedia(s, dir, withVariants = true)
+        .select(col("media_id"), length(col("payload")).as("n"))),
+      "truth_build" -> (() => {
+        val shS = ShingleStage.shingleHashes(s, dir, nearAug(docs))
+          .select("doc_id", "sh").where(col("doc_id") % 4 === 0)
+        Dedup.jaccardForPairsOf(shS, Dedup.coShinglingPairs(shS, 64L))
+          .where(col("jaccard_ppm") >= 200000L).select("id1", "id2", "jaccard_ppm")
+      }),
+      "truth_build_persisted" -> (() => {
+        val shS = ShingleStage.shingleHashes(s, dir, nearAug(docs))
+          .select("doc_id", "sh").where(col("doc_id") % 4 === 0)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val rare = shS.groupBy("sh").agg(count(lit(1)).as("df")).where(col("df") <= 64L)
+        val blocked = shS.join(rare.select("sh"), "sh")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        Dedup.jaccardForPairsOf(shS, Dedup.coShinglingPairs(blocked, dfCap = 0L))
+          .where(col("jaccard_ppm") >= 200000L).select("id1", "id2", "jaccard_ppm")
+      }),
+      "truth_build_sh_persist" -> (() => {
+        val shS = ShingleStage.shingleHashes(s, dir, nearAug(docs))
+          .select("doc_id", "sh").where(col("doc_id") % 4 === 0)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        Dedup.jaccardForPairsOf(shS, Dedup.coShinglingPairs(shS, 64L))
+          .where(col("jaccard_ppm") >= 200000L).select("id1", "id2", "jaccard_ppm")
+      }),
+      "pair_build" -> (() => Dedup.minhashNearDupsOf(
+        ShingleStage.shingleHashes(s, dir, nearAug(docs)), 200000L)),
+      "sitemap_build" -> (() => Sitemaps.sitemapPageUrls(robotsTable(s), sitemapBodyTable(s))),
+      "rank_build" -> (() => LinkGraph.pageRankPpm(LinkGraph.linkDomainEdges(
+        LinkGraph.resolveLinks(LinkGraph.extractLinks(la, keepCols = Seq("url")))))),
       "la" -> (() => la),
       "extract" -> (() => extracted),
       "resolve" -> (() => resolved),

@@ -551,7 +551,21 @@ object UrlOps {
       cands: DataFrame,
       urlCol: String = "url",
       urlsUnique: Boolean = false): DataFrame = {
-    val t = cands
+    // Opt-in contract guard (spark.graft.checkContracts=true): the
+    // urlsUnique fast path is value-identical ONLY when cands is one
+    // row per url (documented at the call sites, oracle-gated) — under
+    // the conf a duplicate url RAISES instead of silently inflating
+    // counts. Plan-invisible when off (the frontierPriority guard).
+    val guarded =
+      if (!urlsUnique || !cands.sparkSession.conf
+          .get("spark.graft.checkContracts", "false").toBoolean) cands
+      else cands
+        .withColumn("__ckn", count(lit(1)).over(Window.partitionBy(col(urlCol))))
+        .where(expr(s"assert_true(__ckn = 1, 'crawlTraps: urlsUnique requires " +
+          s"one row per $urlCol and the input has duplicates " +
+          s"(spark.graft.checkContracts)') is null"))
+        .drop("__ckn")
+    val t = guarded
       .select(hostOf(col(urlCol)).as("host"),
         urlTemplate(col(urlCol)).as("template"), col(urlCol).as("__u"))
       .where(col("host").isNotNull)

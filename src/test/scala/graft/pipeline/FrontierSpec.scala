@@ -133,4 +133,53 @@ class FrontierSpec extends SparkSpec {
       trapSharesFromCands = true))
     assert(both.getMessage.contains("EITHER trapSharesFromCands"), both.getMessage)
   }
+
+  test("spark.graft.checkContracts guards the uniqueness fast paths: " +
+    "fires on duplicate urls, silent + plan-invisible when off") {
+    val ranks = Seq(("a.com", 400000L)).toDF("domain", "rank_ppm")
+    val dup = Seq(
+      ("https://a.com/x", "discovered", 0L),
+      ("https://a.com/x", "discovered", 0L),
+      ("https://a.com/y", "discovered", 0L)
+    ).toDF("url", "reason", "age_ms")
+    val uniq = dup.dropDuplicates("url")
+    // OFF (default): no guard expression in the plan, dup input silently
+    // takes the fast path (the documented caller contract)
+    val offPlan = Frontier.frontierPriority(dup, ranks, ageCol = Some("age_ms"),
+      trapSharesFromCands = true).queryExecution.executedPlan.toString
+    assert(!offPlan.contains("assert_true") && !offPlan.contains("__ckn"),
+      "guard must be plan-invisible when the conf is off")
+    spark.conf.set("spark.graft.checkContracts", "true")
+    try {
+      // ON + unique input: values identical to the guard-off run
+      val okOn = Frontier.frontierPriority(uniq, ranks, ageCol = Some("age_ms"),
+        trapSharesFromCands = true).select("url", "priority").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      spark.conf.set("spark.graft.checkContracts", "false")
+      val okOff = Frontier.frontierPriority(uniq, ranks, ageCol = Some("age_ms"),
+        trapSharesFromCands = true).select("url", "priority").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      spark.conf.set("spark.graft.checkContracts", "true")
+      assert(okOn == okOff, s"guard changed values: $okOn vs $okOff")
+      // ON + duplicate input: the cands guard fires
+      val e1 = intercept[Exception](Frontier.frontierPriority(dup, ranks,
+        ageCol = Some("age_ms"), trapSharesFromCands = true).collect())
+      assert(e1.getMessage != null && e1.getMessage.contains("one row per url"),
+        s"wanted the contract message, got: ${e1.getMessage}")
+      // ON + duplicate sitemapPriorities under sitemapPrioritiesUnique
+      val spDup = Seq(("https://a.com/y", 1L), ("https://a.com/y", 2L))
+        .toDF("url", "priority_ppm")
+      val e2 = intercept[Exception](Frontier.frontierPriority(uniq, ranks,
+        sitemapPriorities = Some(spDup), sitemapPrioritiesUnique = true).collect())
+      assert(e2.getMessage != null && e2.getMessage.contains("one row per url"),
+        s"wanted the contract message, got: ${e2.getMessage}")
+      // ON + duplicate urls under crawlTraps(urlsUnique = true)
+      val e3 = intercept[Exception](
+        UrlOps.crawlTraps(dup.select("url"), urlsUnique = true).collect())
+      assert(e3.getMessage != null && e3.getMessage.contains("one row per url"),
+        s"wanted the contract message, got: ${e3.getMessage}")
+      // ON + unique urls: crawlTraps passes
+      assert(UrlOps.crawlTraps(uniq.select("url"), urlsUnique = true).count() > 0)
+    } finally spark.conf.set("spark.graft.checkContracts", "false")
+  }
 }
