@@ -899,49 +899,50 @@ object PipelineQueries {
   private def audioFpMedia(s: SparkSession, dir: String): DataFrame =
     audioFpMediaOf(Tables.documents(s, dir))
 
-  private[pipeline] def audioFpMediaOf(docsIn: DataFrame): DataFrame = {
-    def le16(e: String) =
-      s"lpad(hex((($e) % 256) * 256 + ($e) DIV 256), 4, '0')"
-    def le32(e: String) =
-      s"concat(${le16(s"($e) % 65536")}, ${le16(s"($e) DIV 65536")})"
-    // FOUR samples per hex+lpad+array cell instead of one (r22, guide
-    // §1.2 per-task work — the per-sample STRING pipeline is the whole
-    // cost of this fixture build, ~4M samples at sf0.1): the four
-    // byte-swapped 16-bit words packed big-endian into one 64-bit value
-    // hex to exactly the concatenation of their four 4-digit renderings
-    // (hex() of a negative BIGINT is its full 16-digit two's complement,
-    // which IS the unsigned packing — lpad keeps shorter values exact).
-    // Bytes identical by construction; pinned against an independent
-    // Scala byte assembly in FixturePackSpec. n = 65·(10 + d%5) is a
-    // multiple of 4 only in some arms, so the n%4 tail (0–3 samples)
-    // keeps the per-word form.
-    def wavHex(v: String) = {
-      val n = audioFpLenD("doc_id")
-      // byte-swapped word of sample at position `t` (lo byte first)
-      def word(t: String) = {
-        val samp = audioSampleD("doc_id", t, v)
-        val x = s"((($samp) + 65536) % 65536)"
-        s"((($x) % 256) * 256 + ($x) DIV 256)"
-      }
-      val pack4 = (0 until 4).map(i => s"shiftleft(${word(s"(q*4+$i)")}, ${48 - 16 * i})")
-        .mkString("(", " | ", ")")
-      val dataSize = s"($n * 2)"
-      s"""concat('52494646', ${le32(s"36 + $dataSize")}, '57415645',
-         |  '666d7420', ${le32("16")}, ${le16("1")}, ${le16("1")}, ${le32("8000")},
-         |  ${le32("16000")}, ${le16("2")}, ${le16("16")},
-         |  '64617461', ${le32(dataSize)},
-         |  array_join(transform(sequence(0, $n DIV 4 - 1),
-         |    q -> lpad(hex($pack4), 16, '0')), ''),
-         |  CASE WHEN $n % 4 = 0 THEN ''
-         |    ELSE array_join(transform(sequence($n - $n % 4, $n - 1),
-         |      t -> lpad(hex(${word("t")}), 4, '0')), '') END)"""
-        .stripMargin.replace("\n", " ")
+  /** Compiled WAV assembler mirroring [[audioSampleD]]/[[audioFpLenD]]
+    * byte for byte (all operands nonnegative, so Scala `/`/`%` equal SQL
+    * `DIV`/`%`). r22: the fixture body was a SQL higher-order-function
+    * pipeline (transform/array_join/hex per sample) — Spark HOFs are
+    * CodegenFallback, i.e. INTERPRETED per element, which made this
+    * one-time staging build the largest staging entry (4.3 s warm for
+    * ~4.4 M samples at sf0.1, measured with the noop-sink ScratchProf
+    * probe; guide §1.2 per-task work). A tight compiled loop assembles
+    * the same bytes in milliseconds. Equivalence is double-gated: the
+    * DuckDB oracle computes every audio query's fingerprints from the
+    * closed form WITHOUT bytes (an assembly slip = corpus-wide hash
+    * mismatches), and FixturePackSpec pins the bytes against its own
+    * independently written reference.
+    */
+  private def wavFixtureBytes(d: Long, v: Boolean): Array[Byte] = {
+    val n = (650 + (d % 5) * 65).toInt
+    val bb = java.nio.ByteBuffer.allocate(44 + n * 2)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")); bb.putInt(36 + n * 2)
+    bb.put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")); bb.putInt(16)
+    bb.putShort(1); bb.putShort(1); bb.putInt(8000); bb.putInt(16000)
+    bb.putShort(2); bb.putShort(16)
+    bb.put("data".getBytes("US-ASCII")); bb.putInt(n * 2)
+    val a = d % 997 + 1
+    val b = 13 + d % 89
+    var t = 0L
+    while (t < n) {
+      val s = (a * t * t + b * t + d) % 4001 - 2000 +
+        (if (v && t % 97 == 0) 3L else 0L)
+      bb.putShort(s.toShort)
+      t += 1
     }
-    val docs = docsIn
-    docs.select(col("doc_id").as("media_id"), unhex(expr(wavHex("false"))).as("payload"))
-      .unionByName(docs.where(col("doc_id") % 10 === 0)
-        .select((col("doc_id") + 1000000L).as("media_id"),
-          unhex(expr(wavHex("true"))).as("payload")))
+    bb.array()
+  }
+
+  private[pipeline] def audioFpMediaOf(docsIn: DataFrame): DataFrame = {
+    val s = docsIn.sparkSession
+    import s.implicits._
+    val ids = docsIn.select(col("doc_id").cast("long")).as[Long]
+    ids.map(d => (d, wavFixtureBytes(d, v = false)))
+      .union(ids.filter(_ % 10 == 0)
+        .map(d => (d + 1000000L, wavFixtureBytes(d, v = true))))
+      .toDF("media_id", "payload")
   }
 
   /** STAGED media payload tables — in production the corpus's media
@@ -1067,18 +1068,6 @@ object PipelineQueries {
       s"THEN ($base) $div 2 + 64 ELSE ($base) END)"
   }
 
-  private def bytesHex(bs: Array[Byte]): String = bs.map(b => f"${b & 0xff}%02X").mkString
-  private val pgmHdrHex = bytesHex(s"P5\n$imgW $imgH\n255\n".getBytes("US-ASCII"))
-  private val bmpHdrHex: String = {
-    def le16(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
-    def le32(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
-      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
-    val imgSize = bmpRow * imgH
-    bytesHex(Array[Byte]('B', 'M') ++ le32(54 + imgSize) ++ le32(0) ++ le32(54) ++
-      le32(40) ++ le32(imgW) ++ le32(imgH) ++ le16(1) ++ le16(24) ++ le32(0) ++
-      le32(imgSize) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(0))
-  }
-
   /** documents as raster media; with variants, every 10th doc gains a
     * perturbed copy (id + 1e6 — same parity, so same container format)
     * whose pixels differ only inside dHash block (0,0).
@@ -1087,38 +1076,74 @@ object PipelineQueries {
     * seed, __v pixel-perturbation flag): even ids get 24-bit BMPs, odd
     * ids binary PGMs, pixels from [[rasterPx]].
     */
+  /** Compiled pixel mirror of [[rasterPx]] (all operands nonnegative, so
+    * Scala `/`/`%` equal SQL `DIV`/`%`; every intermediate fits a Long).
+    */
+  private def rasterPxByte(d: Long, x: Int, y: Int, isVar: Boolean): Byte = {
+    val k0 = (d * (imgW * imgH) + (y * imgW + x).toLong + 1) % 16777216
+    val k1 = ((k0 * 2654435761L) / 256) % 16777216
+    val k2 = ((k1 * 2654435761L) / 256) % 16777216
+    val base = ((k2 * 2654435761L) / 65536) % 256
+    (if (isVar && x < imgW / 9 && y < imgH / 8) base / 2 + 64 else base).toByte
+  }
+
+  private lazy val pgmHdrBytes = s"P5\n$imgW $imgH\n255\n".getBytes("US-ASCII")
+  private lazy val bmpHdrBytes = {
+    def le16(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def le32(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    val imgSize = bmpRow * imgH
+    Array[Byte]('B', 'M') ++ le32(54 + imgSize) ++ le32(0) ++ le32(54) ++
+      le32(40) ++ le32(imgW) ++ le32(imgH) ++ le16(1) ++ le16(24) ++ le32(0) ++
+      le32(imgSize) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(0)
+  }
+
+  /** r22: compiled byte assembly replacing the SQL higher-order-function
+    * hex pipeline — HOFs are CodegenFallback (interpreted per element),
+    * which billed every raster/video staging build ~1 µs/byte (noop-sink
+    * ScratchProf: raster_var 0.9 s, video frames 2.3 s warm at sf0.1;
+    * guide §1.2). Same bytes: PGM is header + row-major pixels; BMP rows
+    * are BOTTOM-UP and 4-byte padded (byte b is a 0x00 pad past the
+    * pixel bytes of its row, else x=(b%row)/3, y=H-1-(b/row)). Pinned
+    * against FixturePackSpec's independent reference, and every image/
+    * video oracle computes from the pixel closed form WITHOUT bytes, so
+    * an assembly slip surfaces as corpus-wide hash mismatches.
+    */
+  private def pgmFixtureBytes(d: Long, isVar: Boolean): Array[Byte] = {
+    val out = new Array[Byte](pgmHdrBytes.length + imgW * imgH)
+    System.arraycopy(pgmHdrBytes, 0, out, 0, pgmHdrBytes.length)
+    var i = 0
+    while (i < imgW * imgH) {
+      out(pgmHdrBytes.length + i) = rasterPxByte(d, i % imgW, i / imgW, isVar)
+      i += 1
+    }
+    out
+  }
+
+  private def bmpFixtureBytes(d: Long, isVar: Boolean): Array[Byte] = {
+    val body = bmpRow * imgH
+    val out = new Array[Byte](bmpHdrBytes.length + body)
+    System.arraycopy(bmpHdrBytes, 0, out, 0, bmpHdrBytes.length)
+    var b = 0
+    while (b < body) {
+      out(bmpHdrBytes.length + b) =
+        if (b % bmpRow >= imgW * 3) 0
+        else rasterPxByte(d, (b % bmpRow) / 3, imgH - 1 - b / bmpRow, isVar)
+      b += 1
+    }
+    out
+  }
+
   private[pipeline] def rasterPayload(ids: DataFrame): DataFrame = {
-    val px = rasterPx("spark") _
-    // EIGHT pixel bytes per hex+lpad+array cell instead of one (r22,
-    // guide §1.2 — the per-byte string pipeline is the cost of every
-    // raster build; both bodies are multiples of 8 bytes, 72 and 224):
-    // the bytes packed big-endian into one 64-bit value hex to exactly
-    // the concatenation of their eight 2-digit renderings (hex() of a
-    // negative BIGINT is its 16-digit two's complement = the unsigned
-    // packing; lpad keeps shorter values exact). Bytes identical by
-    // construction; pinned against an independent Scala byte assembly
-    // in FixturePackSpec.
-    def pack8(byteAt: String => String) =
-      (0 until 8).map(j => s"shiftleft(cast(${byteAt(j.toString)} as bigint), ${56 - 8 * j})")
-        .mkString("(", " | ", ")")
-    val pgmByte = (j: String) => {
-      val i = s"(g*8+$j)"
-      s"(${px("__d", s"$i % $imgW", s"$i DIV $imgW", "__v")})"
-    }
-    val pgmBody = s"array_join(transform(sequence(0, ${imgW * imgH / 8 - 1}), g -> " +
-      s"lpad(hex(${pack8(pgmByte)}), 16, '0')), '')"
-    // BMP rows are BOTTOM-UP and 4-byte padded: byte b is a pad (0x00)
-    // past the pixel bytes of its row, else x=(b%row)/3, y=H-1-(b/row)
-    val bmpByte = (j: String) => {
-      val b = s"(g*8+$j)"
-      s"(CASE WHEN ($b % $bmpRow) >= ${imgW * 3} THEN 0 ELSE " +
-        s"${px("__d", s"($b % $bmpRow) DIV 3", s"${imgH - 1} - ($b DIV $bmpRow)", "__v")} END)"
-    }
-    val bmpBody = s"array_join(transform(sequence(0, ${bmpRow * imgH / 8 - 1}), g -> " +
-      s"lpad(hex(${pack8(bmpByte)}), 16, '0')), '')"
-    ids.select(col("media_id"),
-      when(col("media_id") % 2 === 0, unhex(concat(lit(bmpHdrHex), expr(bmpBody))))
-        .otherwise(unhex(concat(lit(pgmHdrHex), expr(pgmBody)))).as("payload"))
+    val s = ids.sparkSession
+    import s.implicits._
+    ids.select(col("media_id").cast("long"), col("__d").cast("long"),
+        col("__v").cast("boolean"))
+      .as[(Long, Long, Boolean)]
+      .map { case (mid, d, v) =>
+        (mid, if (mid % 2 == 0) bmpFixtureBytes(d, v) else pgmFixtureBytes(d, v))
+      }
+      .toDF("media_id", "payload")
   }
 
   private def rasterMedia(s: SparkSession, dir: String, withVariants: Boolean): DataFrame = {

@@ -284,6 +284,13 @@ object Sitemaps {
       .where(col("__u").isNotNull && UrlOps.hostOf(col("__u")) === col("host"))
       .select(col("host"), col("__k"), col("__u"), col("lastmod"),
         col("changefreq"), col("priority_ppm"), col("is_index"))
+      // the parsed-entry frame feeds THREE plan branches (the seed join
+      // below is itself read twice — pages1 and the children election —
+      // and the index-hop join reads entries again): persist, or every
+      // branch re-runs the whole fetch-store parse — at corpus scale the
+      // dominant term of this operator, and the parse-ONCE contract
+      // [[sitemapEntries]] documents (r22; guide §2.4/§5)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val seeds = Robots.sitemapUrls(robots, robotsHostCol, robotsTextCol)
       .select(col("host"), UrlOps.canonicalUrl(col("sitemap_url")).as("__k"))
       .distinct()
