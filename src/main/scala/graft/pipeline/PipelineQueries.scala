@@ -6669,6 +6669,29 @@ object PipelineQueries {
       }),
       "fp_full" -> (() => queries("ext_frontier_priority")(s, dir)),
       "frontier_full" -> (() => queries("ext_frontier_full")(s, dir)),
-      "frontier" -> (() => queries("ext_frontier")(s, dir)))
+      "frontier" -> (() => queries("ext_frontier")(s, dir)),
+      // ext_web_ingest / ext_corpus_build decomposition (r22 VERDICT item
+      // 8): which funnel stage carries the scan-side CPU
+      "wi_extract" -> (() => MarkupExtract.extract(
+        markupAug(docs.select("doc_id", "text"))).select("doc_id", "text")),
+      "wi_urldedup" -> (() =>
+        UrlOps.urlDedup(urlAug(docs).select("doc_id", "url"))
+          .where(col("is_keeper")).select("doc_id")),
+      "wi_domcap" -> (() => {
+        val urls = urlAug(docs).select("doc_id", "url")
+        val s1 = UrlOps.urlDedup(urls).where(col("is_keeper")).select("doc_id")
+        UrlOps.domainCapSurvivors(urls.join(s1, "doc_id"), cap = 30L).select("doc_id")
+      }),
+      "wi_exactdedup_norm" -> (() => Dedup.exactDedup(
+        MarkupExtract.extract(markupAug(docs.select("doc_id", "text")))
+          .select("doc_id", "text")
+          .withColumn("__t", TextAnalysis.normalizeExpr(col("text"))),
+        textCol = "__t").where(col("is_keeper")).select("doc_id")),
+      "cb_gopher" -> (() => TextAnalysis.gopherFilter(docs)
+        .where(col("keep") === 1L).select("doc_id")),
+      "cb_exactdedup" -> (() => Dedup.exactDedup(docs)
+        .where(col("is_keeper")).select("doc_id")),
+      "cb_toksize" -> (() => docs.select(col("doc_id"),
+        expr(s"cast(size(${graft.pipeline.TextOps.toksS("text")}) as bigint)").as("n_tok"))))
   }
 }

@@ -52,6 +52,47 @@ class DedupStageSpec extends SparkSpec {
       == rows(Dedup.shingleContainmentOf(sh, 500000L, 64L)))
   }
 
+  test("sh-bucketed blocked store: pairing self-join reads co-located buckets (no exchange under shuffle join)") {
+    // blockedStoreFor's r22 layout: the staged blocked table is BUCKETED
+    // AND SORTED on sh, the key both quadratic consumers self-join on
+    val sh = ShingleStage.shingleHashes(spark, s"$dir#spec", docs)
+      .select("doc_id", "sh")
+    val rare = sh.groupBy("sh").agg(count(lit(1)).as("df")).where(col("df") <= 64L)
+    val blocked = ShingleStage.stagedBucketed(spark, s"$dir#specblocked", "sh",
+      sortCol = Some("sh"))(sh.join(rare.select("sh"), "sh"))
+    // the bucketed staged copy is a pure optimization
+    assert(rows(Dedup.ngramJaccardPairsOf(blocked, dfCap = 0L))
+      == rows(Dedup.ngramJaccardPairsOf(sh, dfCap = 64L)),
+      "sh-bucketed blocked store must be value-identical")
+    // with broadcast off (the 100 TB shape — a corpus-wide store is never
+    // broadcastable) the sh self-join must read BOTH sides' buckets
+    // co-located: zero shuffle exchanges in the whole pairing plan
+    val bcKey = "spark.sql.autoBroadcastJoinThreshold"
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val priorBc = spark.conf.getOption(bcKey)
+    val priorAqe = spark.conf.getOption(aqeKey)
+    spark.conf.set(bcKey, "-1")
+    spark.conf.set(aqeKey, "false")
+    try {
+      val pairing = blocked.as("x").join(blocked.as("y"), "sh")
+        .where(col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("id1"), col("y.doc_id").as("id2"))
+      val exec = pairing.queryExecution.executedPlan
+      assert(exec.toString.contains("Bucketed: true"),
+        s"blocked-store scan must read as bucketed:\n${exec.toString.take(3000)}")
+      assert(exec.collect {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+      }.nonEmpty, s"expected a sort-merge join:\n${exec.toString.take(3000)}")
+      assert(exec.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }.isEmpty,
+        s"the sh-bucketed self-join must not shuffle either side:\n${exec.toString.take(3000)}")
+    } finally {
+      priorBc match { case Some(v) => spark.conf.set(bcKey, v); case None => spark.conf.unset(bcKey) }
+      priorAqe match { case Some(v) => spark.conf.set(aqeKey, v); case None => spark.conf.unset(aqeKey) }
+    }
+  }
+
   test("pair-store election: staged pairs label identically and the corpus side never scans text") {
     // the pair graph staged as a managed table (the pairStoreFor shape)
     val pairsStaged = ShingleStage.stagedTable(spark, s"$dir#specpairs",
