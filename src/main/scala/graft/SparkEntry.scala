@@ -341,7 +341,15 @@ object SparkEntry {
           (col("qty_sum") * 100).cast(LongType).as("total_qty_hundredths"))
       val o = Tables.orders(s, dir)
       val c = Tables.customer(s, dir)
-      big.join(o, big("l_orderkey") === o("o_orderkey"))
+      // broadcast the PROVABLY-small side (r22, guide §3.1): `big` is the
+      // qty>300 survivors of the lineitem aggregation — a few hundred
+      // rows at any SF — while the planner's size estimate broadcasts
+      // orders AND customer instead (fine at toy scale, impossible at
+      // 100 TB where both are corpus-sized and the plan would fall back
+      // to shuffling them). Forcing the build side keeps orders/customer
+      // scan-only at every scale; the one exchange left is the inherent
+      // lineitem groupBy. Values unchanged (hint only).
+      broadcast(broadcast(big).join(o, big("l_orderkey") === o("o_orderkey")))
         .join(c, o("o_custkey") === c("c_custkey"))
         .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
           col("o_orderdate"),
