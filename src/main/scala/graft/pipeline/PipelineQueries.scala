@@ -1643,20 +1643,23 @@ object PipelineQueries {
     * at rest this is the same artifact discipline as the pair store.
     */
   private def blockedStoreFor(s: SparkSession, dir: String): DataFrame =
-    // r22 (guide §6 at-rest layout): BUCKETED AND SORTED on `sh` — the
-    // key BOTH blocked-quadratic consumers (ngram Jaccard, directional
-    // containment) self-join on, so the pairing join reads co-located
-    // sorted buckets with NO exchange and no per-query sort on either
-    // side (the band-store discipline). The build frame leaves its
-    // rare-join hash-partitioned on sh, aligned with the bucket
-    // function, so the write adds no shuffle either.
-    ShingleStage.stagedBucketed(s, s"blockedstore_$dir", bucketCol = "sh",
-        sortCol = Some("sh")) {
+    // LAYOUT NOTE (r22): an sh-BUCKETED+SORTED copy was built and A/B'd —
+    // at 100 TB it is the right at-rest layout (both blocked-quadratic
+    // consumers self-join on sh, and DedupStageSpec's "sh-bucketed
+    // blocked store" test PROVES the bucketed form pairs with zero
+    // exchanges under a shuffle join), but at the bench SFs the self-join
+    // BROADCASTS, so the bucket partitioning is never used while the
+    // bucketed scan's fixed 32-task layout costs ~0.3 s per execution
+    // (ngram probe: 0.76 s plain vs 1.01 s bucketed min; bench rep-
+    // consistent +0.45 s on both consumers). The staged fixture therefore
+    // keeps the plain layout; the spec pins the mechanism a corpus-scale
+    // deployment would switch on.
+    ShingleStage.stagedTable(s, s"blockedstore_$dir", {
       val sh = ShingleStage.shingleHashes(s, dir, nearAug(Tables.documents(s, dir)))
         .select("doc_id", "sh")
       val rare = sh.groupBy("sh").agg(count(lit(1)).as("df")).where(col("df") <= 64L)
       sh.join(rare.select("sh"), "sh")
-    }
+    })
 
   /** The recall audit's exact TRUTH SAMPLE, staged — the deterministic
     * ¼-doc-sample ground-truth pairs (df-capped co-shingling candidates
@@ -6692,6 +6695,17 @@ object PipelineQueries {
       "cb_exactdedup" -> (() => Dedup.exactDedup(docs)
         .where(col("is_keeper")).select("doc_id")),
       "cb_toksize" -> (() => docs.select(col("doc_id"),
-        expr(s"cast(size(${graft.pipeline.TextOps.toksS("text")}) as bigint)").as("n_tok"))))
+        expr(s"cast(size(${graft.pipeline.TextOps.toksS("text")}) as bigint)").as("n_tok"))),
+      // bucketed-vs-plain blocked store A/B (r22: the bucketed layout
+      // regressed ngram/containment ~0.45 s/rep at sf0.1 in the bench)
+      "ngram_blocked_bucketed" -> (() =>
+        Dedup.ngramJaccardPairsOf(blockedStoreFor(s, dir), dfCap = 0L)),
+      "ngram_blocked_plain" -> (() => Dedup.ngramJaccardPairsOf(
+        ShingleStage.stagedTable(s, s"blockedplain_$dir", {
+          val sh = ShingleStage.shingleHashes(s, dir, nearAug(Tables.documents(s, dir)))
+            .select("doc_id", "sh")
+          val rare = sh.groupBy("sh").agg(count(lit(1)).as("df")).where(col("df") <= 64L)
+          sh.join(rare.select("sh"), "sh")
+        }), dfCap = 0L)))
   }
 }
