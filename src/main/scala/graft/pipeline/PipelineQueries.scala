@@ -2610,15 +2610,22 @@ object PipelineQueries {
     "ext_web_ingest" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       val urls = urlAug(docs).select("doc_id", "url")
-      val extracted = MarkupExtract.extract(markupAug(docs.select("doc_id", "text")))
-        .select("doc_id", "text")
       val s1 = UrlOps.urlDedup(urls).where(col("is_keeper")).select("doc_id")
       // survivors-only cap: the rank<=cap filter rewrites to
       // WindowGroupLimit, pruning hot domains map-side before the shuffle
       val s2 = UrlOps.domainCapSurvivors(urls.join(s1, "doc_id"), cap = 30L)
         .select("doc_id")
+      // extract AFTER the url/domain funnel (r22, guide §1.2): the
+      // markup parse is the scan's dominant per-row cost (0.84 s warm of
+      // the query's ~1.0 s, ScratchProf wi_extract) and the funnel drops
+      // most rows on url evidence alone — the optimizer never moves an
+      // inner join below a projection to skip computing it, so the
+      // reorder must be source-level. Per-row extraction is
+      // deterministic, so extract(docs ⋈ s2) ≡ extract(docs) ⋈ s2.
       val s3 = Dedup.exactDedup(
-          extracted.join(s2, "doc_id")
+          MarkupExtract.extract(
+              markupAug(docs.select("doc_id", "text")).join(s2, "doc_id"))
+            .select("doc_id", "text")
             .withColumn("__t", TextAnalysis.normalizeExpr(col("text"))),
           textCol = "__t")
         .where(col("is_keeper")).select("doc_id")
@@ -6675,6 +6682,31 @@ object PipelineQueries {
       "frontier" -> (() => queries("ext_frontier")(s, dir)),
       // ext_web_ingest / ext_corpus_build decomposition (r22 VERDICT item
       // 8): which funnel stage carries the scan-side CPU
+      "wi_full" -> (() => queries("ext_web_ingest")(s, dir)),
+      // the pre-r22 composition (extract EVERY doc, then join the
+      // funnel survivors) — kept as the reorder's A/B comparator
+      "wi_full_old" -> (() => {
+        val urls = urlAug(docs).select("doc_id", "url")
+        val extracted = MarkupExtract.extract(markupAug(docs.select("doc_id", "text")))
+          .select("doc_id", "text")
+        val s1 = UrlOps.urlDedup(urls).where(col("is_keeper")).select("doc_id")
+        val s2 = UrlOps.domainCapSurvivors(urls.join(s1, "doc_id"), cap = 30L)
+          .select("doc_id")
+        val s3 = Dedup.exactDedup(
+            extracted.join(s2, "doc_id")
+              .withColumn("__t", TextAnalysis.normalizeExpr(col("text"))),
+            textCol = "__t")
+          .where(col("is_keeper")).select("doc_id")
+        docs.select("doc_id")
+          .join(s1.withColumn("__u", lit(true)), Seq("doc_id"), "left")
+          .join(s2.withColumn("__d", lit(true)), Seq("doc_id"), "left")
+          .join(s3.withColumn("__c", lit(true)), Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("__u"), lit(false)).as("url_keeper"),
+            coalesce(col("__d"), lit(false)).as("domain_kept"),
+            coalesce(col("__c"), lit(false)).as("content_keeper"))
+          .orderBy("doc_id")
+      }),
       "wi_extract" -> (() => MarkupExtract.extract(
         markupAug(docs.select("doc_id", "text"))).select("doc_id", "text")),
       "wi_urldedup" -> (() =>
